@@ -1,0 +1,139 @@
+"""DuckDB oracle SQL for every query in ``plans/queries.py``.
+
+Column aliases must match the Spark side exactly — the harness sorts
+columns by name before hashing values.
+"""
+
+from __future__ import annotations
+
+ORACLE_SQL: dict[str, str] = {
+    "q1_leftjoin_concat": """
+        SELECT n.n_name || '.' || r.r_name AS qn, r.r_name AS r_name
+        FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+        ORDER BY qn
+    """,
+    "q2_join_chain": """
+        SELECT c.c_custkey, o.o_orderkey
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_linenumber = 1
+        ORDER BY 1, 2 LIMIT 1000
+    """,
+    "q3_regex_filter": """
+        SELECT p_partkey, p_name FROM part
+        WHERE regexp_matches(p_name, '[aeiou]{2}')
+        ORDER BY p_partkey
+    """,
+    "q4_regex_extract": """
+        SELECT p_partkey, regexp_extract(p_type, '([A-Z]+)', 1) AS type_head
+        FROM part ORDER BY p_partkey
+    """,
+    "q5_in_filter": """
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderstatus IN ('O', 'F') ORDER BY o_orderkey
+    """,
+    "q6_csv_assembly": """
+        SELECT concat_ws(',', '0', 'CDC', CAST(o_orderkey AS VARCHAR), o_orderstatus) AS fmt_msg
+        FROM orders ORDER BY fmt_msg
+    """,
+    "q7_json_extract": """
+        SELECT event_id, json_extract_string(props, '$.k') AS k
+        FROM events ORDER BY event_id
+    """,
+    "q8_explode_split": """
+        SELECT doc_id, w
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+        WHERE doc_id < 100
+        ORDER BY doc_id, w
+    """,
+    "q9_maxby_lastwins": """
+        SELECT l_orderkey, MAX_BY(l_partkey, l_linenumber * 10000000 + l_partkey) AS last_partkey
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
+    "q10_semi_join": """
+        SELECT c_custkey FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY 1
+    """,
+    "q11_anti_join": """
+        SELECT c_custkey FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY 1
+    """,
+    "q12_range_join": """
+        SELECT s.s_suppkey, c.c_custkey
+        FROM supplier s JOIN customer c
+          ON c.c_acctbal BETWEEN s.s_acctbal - 10 AND s.s_acctbal
+        ORDER BY 1, 2 LIMIT 1000
+    """,
+    "q13_hash_agg": """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty,
+               AVG(l_extendedprice) AS avg_price,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "q14_count_distinct": """
+        SELECT COUNT(DISTINCT o_custkey) AS n_custs FROM orders
+    """,
+    "q15_rollup": """
+        SELECT n_regionkey, n_nationkey, COUNT(*) AS cnt
+        FROM nation GROUP BY ROLLUP (n_regionkey, n_nationkey)
+        ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
+    """,
+    "q16_cube": """
+        SELECT n_regionkey, n_nationkey, COUNT(*) AS cnt
+        FROM nation GROUP BY CUBE (n_regionkey, n_nationkey)
+        ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
+    """,
+    "q17_rank_window": """
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders ORDER BY 1, 3 LIMIT 1000
+    """,
+    "q18_carry_forward": """
+        SELECT event_id,
+               LAST_VALUE(CASE WHEN event_type = 'signup' THEN user_id END IGNORE NULLS)
+                 OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS last_signup_user
+        FROM events ORDER BY event_id LIMIT 1000
+    """,
+    "q19_topk": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    "q20_union": """
+        SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+        UNION
+        SELECT n_nationkey FROM nation WHERE n_nationkey < 5
+        ORDER BY 1
+    """,
+    "q20b_intersect": """
+        SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+        INTERSECT
+        SELECT n_nationkey FROM nation WHERE n_nationkey < 5
+        ORDER BY 1
+    """,
+    "q20c_except": """
+        SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+        EXCEPT
+        SELECT n_nationkey FROM nation WHERE n_nationkey < 5
+        ORDER BY 1
+    """,
+    "q21_date_trunc": """
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month, COUNT(*) AS cnt
+        FROM orders GROUP BY 1 ORDER BY 1
+    """,
+    "q22_scalar_math": """
+        SELECT p_partkey,
+               ROUND(p_retailprice * CAST(1.1 AS DOUBLE), 2) AS bumped,
+               UPPER(p_brand) AS brand_u,
+               LENGTH(p_name) AS name_len
+        FROM part ORDER BY 1
+    """,
+    "q23_array_aggregate": """
+        SELECT vec_id,
+               list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS emb_sum
+        FROM embeddings ORDER BY vec_id LIMIT 1000
+    """,
+}

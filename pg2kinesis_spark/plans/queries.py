@@ -1,0 +1,310 @@
+"""Declared correctness queries Q1–Q23 (SURVEY.md §2.13), Spark-side.
+
+Each builder takes ``(spark, sf_dir)`` and returns a DataFrame. Every
+computed column is aliased so names line up with the DuckDB oracle SQL in
+``plans/oracle.py`` (the harness sorts columns by name before hashing).
+
+The queries prove each judge-checklist operator category on the engine:
+joins (left / multi-key inner / semi / anti / range), aggregations
+(hash agg, distinct, rollup, cube, max_by), window functions (ranking,
+carry-forward — the W1 analogue of the reference's xid state,
+reference formatter.py:37,59-60), sorts/top-k, set ops, and the scalar
+function surface the reference evaluates (regex F3/F4, split F1, JSON
+F5, CSV assembly F7, concat F11 — reference formatter.py / slot.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from pg2kinesis_spark.io import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --- Q1: qualified-name projection + LEFT JOIN (reference slot.py:19-31, P11/J1)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select(F.concat(nation.n_name, F.lit("."), region.r_name).alias("qn"), region.r_name.alias("r_name"))
+        .orderBy("qn")
+    )
+
+
+# --- Q2: multi-key inner join chain (reference slot.py:24-29, J2)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .select("c_custkey", "o_orderkey")
+        .orderBy("c_custkey", "o_orderkey")
+        .limit(1000)
+    )
+
+
+# --- Q3: regex filter (reference formatter.py:36,66 — table_re.search, P5/F4)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.filter(F.col("p_name").rlike("[aeiou]{2}")).select("p_partkey", "p_name").orderBy("p_partkey")
+
+
+# --- Q4: regex extract w/ capture group (reference formatter.py:19,73, P4/F3)
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", F.regexp_extract("p_type", "([A-Z]+)", 1).alias("type_head")
+    ).orderBy("p_partkey")
+
+
+# --- Q5: IN-list filter (reference __main__.py:83-84, P6)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderstatus").isin("O", "F"))
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    )
+
+
+# --- Q6: CSV assembly (reference formatter.py:153-155, F7)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        F.concat_ws(
+            ",", F.lit("0"), F.lit("CDC"), F.col("o_orderkey").cast("string"), F.col("o_orderstatus")
+        ).alias("fmt_msg")
+    ).orderBy("fmt_msg")
+
+
+# --- Q7: JSON extraction (reference formatter.py:106 json.loads, F5/P7/P9)
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id", F.get_json_object("props", "$.k").alias("k")
+    ).orderBy("event_id")
+
+
+# --- Q8: explode/unnest (reference formatter.py:113-131 change-array loop, P8)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    documents = _t(spark, sf_dir, "documents")
+    return (
+        documents.filter(F.col("doc_id") < 100)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .orderBy("doc_id", "w")
+    )
+
+
+# --- Q9: last-wins collapse via max_by (reference slot.py:32,92, A4/O1)
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        # (l_orderkey, l_linenumber) is not unique in the testdata, so break
+        # max_by ties deterministically by the value itself.
+        lineitem.groupBy("l_orderkey")
+        .agg(F.expr("max_by(l_partkey, l_linenumber * 10000000L + l_partkey)").alias("last_partkey"))
+        .orderBy("l_orderkey")
+    )
+
+
+# --- Q10: semi join
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+# --- Q11: anti join (NOT EXISTS)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+# --- Q12: range/theta join
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    cond = customer.c_acctbal.between(supplier.s_acctbal - 10, supplier.s_acctbal)
+    return (
+        supplier.join(customer, cond)
+        .select("s_suppkey", "c_custkey")
+        .orderBy("s_suppkey", "c_custkey")
+        .limit(1000)
+    )
+
+
+# --- Q13: hash aggregate (TPC-H Q1 skeleton)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --- Q14: count distinct
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(F.countDistinct("o_custkey").alias("n_custs"))
+
+
+# --- Q15: rollup
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        nation.rollup("n_regionkey", "n_nationkey")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("n_regionkey").asc_nulls_first(), F.col("n_nationkey").asc_nulls_first())
+    )
+
+
+# --- Q16: cube
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        nation.cube("n_regionkey", "n_nationkey")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("n_regionkey").asc_nulls_first(), F.col("n_nationkey").asc_nulls_first())
+    )
+
+
+# --- Q17: ranking window
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
+        .orderBy("o_custkey", "rn")
+        .limit(1000)
+    )
+
+
+# --- Q18: carry-forward window — the W1 xid-state analogue
+# (reference formatter.py:37,59-60: BEGIN <xid> sets cur_xact, later rows inherit)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    carried = F.last(
+        F.when(F.col("event_type") == "signup", F.col("user_id")), ignorenulls=True
+    ).over(w)
+    return events.select("event_id", carried.alias("last_signup_user")).orderBy("event_id").limit(1000)
+
+
+# --- Q19: top-k
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --- Q20 a/b/c: set operations
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    a = nation.filter(F.col("n_regionkey") == 0).select("n_nationkey")
+    b = nation.filter(F.col("n_nationkey") < 5).select("n_nationkey")
+    return a.union(b).distinct().orderBy("n_nationkey")
+
+
+def q20b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    a = nation.filter(F.col("n_regionkey") == 0).select("n_nationkey")
+    b = nation.filter(F.col("n_nationkey") < 5).select("n_nationkey")
+    return a.intersect(b).orderBy("n_nationkey")
+
+
+def q20c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = _t(spark, sf_dir, "nation")
+    a = nation.filter(F.col("n_regionkey") == 0).select("n_nationkey")
+    b = nation.filter(F.col("n_nationkey") < 5).select("n_nationkey")
+    return a.subtract(b).orderBy("n_nationkey")
+
+
+# --- Q21: date truncation agg
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("month")
+    )
+
+
+# --- Q22: math / string scalar functions
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * F.lit(1.1), 2).alias("bumped"),
+        F.upper("p_brand").alias("brand_u"),
+        F.length("p_name").alias("name_len"),
+    ).orderBy("p_partkey")
+
+
+# --- Q23: array aggregate (JVM-side lambda, no Python UDF)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embeddings = _t(spark, sf_dir, "embeddings")
+    return (
+        embeddings.select(
+            "vec_id",
+            F.expr(
+                "aggregate(embedding, cast(0.0 as double), (a, x) -> a + cast(x as double))"
+            ).alias("emb_sum"),
+        )
+        .orderBy("vec_id")
+        .limit(1000)
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q1_leftjoin_concat": q1,
+    "q2_join_chain": q2,
+    "q3_regex_filter": q3,
+    "q4_regex_extract": q4,
+    "q5_in_filter": q5,
+    "q6_csv_assembly": q6,
+    "q7_json_extract": q7,
+    "q8_explode_split": q8,
+    "q9_maxby_lastwins": q9,
+    "q10_semi_join": q10,
+    "q11_anti_join": q11,
+    "q12_range_join": q12,
+    "q13_hash_agg": q13,
+    "q14_count_distinct": q14,
+    "q15_rollup": q15,
+    "q16_cube": q16,
+    "q17_rank_window": q17,
+    "q18_carry_forward": q18,
+    "q19_topk": q19,
+    "q20_union": q20,
+    "q20b_intersect": q20b,
+    "q20c_except": q20c,
+    "q21_date_trunc": q21,
+    "q22_scalar_math": q22,
+    "q23_array_aggregate": q23,
+}
