@@ -1,0 +1,133 @@
+"""Batch parse of the Postgres ``test_decoding`` wire format.
+
+Re-expresses the reference's `_preprocess_test_decoding_change`
+(reference formatter.py:45-81) as a declarative column pipeline:
+
+wire line                         operator                    reference
+--------------------------------  --------------------------  ---------
+split(' ', 3) tokenize            P1  split + when/otherwise  :57
+``BEGIN <xid>`` sets current xid  W1  last() over lsn window  :59-60
+``COMMIT`` ignored                P1                          :61-62
+table-name projection (strip :)   P2  substring               :64
+table regex filter (unanchored)   P5  rlike                   :66
+pk-catalog probe                  J3  broadcast hash join     :68-70
+pk value regex extract            P4  regexp_extract (column  :19,73
+                                      pattern from the join)
+operation projection (strip :)    P3  substring               :75
+unknown line / missing table /    §8.5 error column, raised   :69,76,79
+missing pk → fail-stop                 by raise_first_error
+
+Input : (lsn long, payload string [, data_size int])
+Output: (lsn, xid string, table string, operation string, pkey string,
+         error string) — one row per DML change; BEGIN/COMMIT frames
+         emit no row (after their xid side effect is applied).
+
+Scale notes (100 TB): the only non-embarrassingly-parallel step is the
+xid carry-forward, which is inherently a prefix scan over the
+commit-ordered log. Everything else (tokenize, filters, regex, the
+catalog join — broadcast, no shuffle) is per-row. The carry-forward here
+uses a global-order window; a real CDC log is consumed per-slot (one
+ordered partition per slot, like the reference's single connection), so
+the window's sort is within an already-sorted source partition and AQE
+keeps it one stage. For multi-slot fan-in, partition by slot id and run
+the same window per slot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+# Error templates — byte-identical to reference formatter.py:20-21,79.
+MISSING_TABLE_ERR = 'Unable to locate table: "{}"'
+MISSING_PK_ERR = 'Unable to locate primary key for table "{}"'
+UNKNOWN_CHANGE_ERR = 'Unknown change: "{}"'
+
+IGNORED_CHANGES = ("COMMIT",)
+DEFAULT_TABLE_PAT = r"[\w_\.]+"
+
+
+def parse_test_decoding(
+    raw: DataFrame,
+    pk_map: DataFrame,
+    table_pat: str | None = None,
+) -> DataFrame:
+    """Parse raw test_decoding lines into Change rows.
+
+    ``pk_map`` is the output of catalog.primary_key_map —
+    (table_name, pk_col_name, pk_col_type, pk_pattern).
+    """
+    table_pat = table_pat if table_pat is not None else DEFAULT_TABLE_PAT
+    # Java regex needs (?U) for Python-re \w unicode parity.
+    table_pat_j = "(?U)" + table_pat
+
+    # F.get (not getItem): lines like 'COMMIT' have fewer than 4 tokens and
+    # ANSI mode (Spark 4 default) makes out-of-bounds access an error.
+    toks = F.split("payload", " ", 4)
+    df = raw.select(
+        "*",
+        F.get(toks, 0).alias("tok0"),
+        F.get(toks, 1).alias("tok1"),
+        F.get(toks, 2).alias("tok2"),
+        F.get(toks, 3).alias("tok3"),
+    )
+
+    # W1: cur_xact starts '' and is replaced by each BEGIN's xid
+    # (reference formatter.py:37,59-60). Prefix scan in lsn order.
+    xid_w = W.orderBy("lsn").rowsBetween(W.unboundedPreceding, W.currentRow)
+    df = df.withColumn(
+        "xid",
+        F.coalesce(
+            F.last(F.when(F.col("tok0") == "BEGIN", F.col("tok1")), ignorenulls=True).over(xid_w),
+            F.lit(""),
+        ),
+    )
+
+    is_frame = (F.col("tok0") == "BEGIN") | F.col("tok0").isin(*IGNORED_CHANGES)
+    is_table = F.col("tok0") == "table"
+
+    # Unknown first token is a fail-stop error (reference formatter.py:79).
+    df = df.withColumn(
+        "error",
+        F.when(~is_frame & ~is_table, F.format_string(UNKNOWN_CHANGE_ERR.replace("{}", "%s"), F.col("payload"))),
+    )
+
+    # Frame rows emitted nothing; drop them now that the window consumed them.
+    changes = df.filter(~is_frame)
+
+    table_name = F.expr("substring(tok1, 1, length(tok1) - 1)")
+    changes = changes.withColumn("table", F.when(is_table, table_name))
+
+    # P5: unanchored search, like Python re.search / the reference :66.
+    # Rows filtered out by table_pat vanish silently — this is also the
+    # only way to skip unknown tables (SURVEY §8.2).
+    changes = changes.filter(~is_table | F.col("table").rlike(table_pat_j) | F.col("error").isNotNull())
+
+    # J3: broadcast probe of the pk catalog. A catalog miss must become
+    # MISSING_TABLE (the reference's KeyError on the colon-keyed dict,
+    # formatter.py:68-70), so join left and test for null.
+    pk = F.broadcast(pk_map.select("table_name", "pk_pattern"))
+    changes = changes.join(pk, on=changes["table"] == pk["table_name"], how="left")
+
+    # Column (per-row) regex pattern — PySpark's regexp_extract wrapper only
+    # takes a literal pattern, but the SQL function accepts a column.
+    pkey = F.expr("regexp_extract(tok3, pk_pattern, 1)")
+    changes = changes.select(
+        "lsn",
+        "xid",
+        "table",
+        F.when(is_table, F.expr("substring(tok2, 1, length(tok2) - 1)")).alias("operation"),
+        F.when(is_table & (pkey != ""), pkey).alias("pkey"),
+        F.coalesce(
+            F.col("error"),
+            F.when(
+                is_table & F.col("table_name").isNull(),
+                F.format_string(MISSING_TABLE_ERR.replace("{}", "%s"), F.col("tok1")),
+            ),
+            F.when(
+                is_table & (pkey.isNull() | (pkey == "")),
+                F.format_string(MISSING_PK_ERR.replace("{}", "%s"), F.col("table")),
+            ),
+        ).alias("error"),
+    )
+    return changes

@@ -1,2 +1,8 @@
-from pg2kinesis_spark.plans.queries import QUERIES  # noqa: F401
-from pg2kinesis_spark.plans.oracle import ORACLE_SQL  # noqa: F401
+from pg2kinesis_spark.plans.queries import QUERIES
+from pg2kinesis_spark.plans.oracle import ORACLE_SQL
+from pg2kinesis_spark.plans.cdc_queries import CDC_ORACLE_SQL, CDC_QUERIES
+
+QUERIES = {**QUERIES, **CDC_QUERIES}
+ORACLE_SQL = {**ORACLE_SQL, **CDC_ORACLE_SQL}
+
+__all__ = ["QUERIES", "ORACLE_SQL"]
