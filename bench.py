@@ -14,7 +14,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pg2kinesis_spark.plans.queries import QUERIES
+from pg2kinesis_spark.plans import QUERIES
 from pg2kinesis_spark.session import get_spark
 
 BENCH_QUERIES = [
@@ -23,7 +23,40 @@ BENCH_QUERIES = [
     "q17_rank_window",    # window exchange + sort
     "q9_maxby_lastwins",  # wide groupBy (14k+ groups at sf0.1: 150k)
     "q23_array_aggregate",# array lambda over embeddings
+    "n5_dedup_exact",     # content-hash dedup over documents
+    "n9_cosine_topk",     # brute-force ANN baseline
 ]
+
+
+def bench_minhash_full(spark, sf_dir):
+    """MinHash+LSH candidate pairs over the FULL documents table —
+    the representative 100 TB dedup workload shape."""
+    from pg2kinesis_spark.functions.dedup import minhash_lsh_pairs
+    from pg2kinesis_spark.io import load_table
+
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), n=3, k=16, bands=4)
+
+
+def bench_cdc_replay(spark, sf_dir):
+    """CDC replay throughput: parse+enrich+format ~100k test_decoding
+    messages (BASELINE.md bench item 4)."""
+    from pg2kinesis_spark import fixtures as fx
+    from pg2kinesis_spark.catalog import primary_key_map
+    from pg2kinesis_spark.operators.formatters import format_csv
+    from pg2kinesis_spark.operators.test_decoding import parse_test_decoding
+
+    rows = fx.gen_test_decoding(n_txns=22000, seed=42)  # ~100k wire lines
+    raw = spark.createDataFrame(rows, "lsn long, data_size int, payload string")
+    cat = spark.createDataFrame(
+        fx.pk_catalog_rows(), "table_name string, col_name string, col_type string, col_ord_pos int"
+    )
+    return format_csv(parse_test_decoding(raw, primary_key_map(cat))).select("lsn", "fmt_msg")
+
+
+EXTRA_BENCHES = {
+    "minhash_lsh_full": bench_minhash_full,
+    "cdc_replay_100k": bench_cdc_replay,
+}
 
 
 def main() -> None:
@@ -45,7 +78,15 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 4)
 
-    total = round(sum(times.values()), 4)
+    for name, fn in EXTRA_BENCHES.items():
+        df = fn(spark, sf_dir)
+        t0 = time.perf_counter()
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 4)
+        if name == "cdc_replay_100k":
+            times["cdc_replay_msgs_per_sec"] = round(n / times[name], 1)
+
+    total = round(sum(v for k, v in times.items() if not k.endswith("_per_sec")), 4)
     print(
         json.dumps(
             {

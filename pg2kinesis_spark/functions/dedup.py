@@ -1,0 +1,195 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Designed for the 100 TB shape of the problem:
+
+- exact:     one shuffle on a 128-bit content hash (not the text itself —
+             keys stay small), map-side partial agg.
+- jaccard:   shingle-explode → self-join on shingle → pair-count. The
+             classic skew hazard is stop-shingles; ``max_shingle_df``
+             drops shingles appearing in more than N docs (they carry
+             ~zero Jaccard signal but quadratic join cost).
+- minhash:   K independent permutation mins computed as K aggregate
+             columns over one shingle explode — one shuffle, signature
+             rows are K·8 bytes regardless of document size.
+- LSH:       band signatures → join on (band_idx, band_key): only
+             collision candidates are ever paired; est_sim refines.
+- simhash:   64-bit per doc via an Arrow-vectorized pandas UDF (the one
+             operator here that genuinely wants per-token bit math).
+
+All the non-UDF operators use the md5-based 60-bit word hash so a DuckDB
+oracle can re-derive them exactly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HASH60 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+MERSENNE31 = 2147483647
+
+
+def minhash_params(k: int = 16, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a·x + b) mod p."""
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MERSENNE31), rng.randrange(0, MERSENNE31)) for _ in range(k)]
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Group by content hash; keep the smallest doc_id as survivor.
+
+    Shuffles 16-byte keys, never the documents; partial aggregation
+    halves the shuffle again. Output: one row per distinct content.
+    """
+    return (
+        docs.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (doc_id, shingle)."""
+    ws = F.split("text", " ")
+    grams = F.when(
+        F.size(ws) >= n,
+        F.expr(
+            f"array_distinct(transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(split(text, ' '), i, {n}))))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select("doc_id", F.explode(grams).alias("shingle"))
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    min_jaccard: float = 0.0,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard for every candidate pair sharing a shingle.
+
+    ``max_shingle_df`` is the scale lever: a shingle occurring in d docs
+    creates O(d²) candidate rows, and high-frequency shingles are pure
+    noise — cap them and the join cost drops from quadratic-in-corpus to
+    quadratic-in-true-duplicate-cluster.
+    """
+    sh = shingles(docs, n)
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df).select("shingle")
+        sh = sh.join(hot, "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id1").withColumnRenamed("sz", "sz1"), "id1")
+        .join(sizes.withColumnRenamed("doc_id", "id2").withColumnRenamed("sz", "sz2"), "id2")
+        .select(
+            "id1",
+            "id2",
+            (F.col("inter") / (F.col("sz1") + F.col("sz2") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+def _minhash_cols(k: int, seed: int) -> list[Column]:
+    hm = F.expr(HASH60.format(x="shingle")) % MERSENNE31
+    return [
+        F.min((F.lit(a) * hm + F.lit(b)) % MERSENNE31).alias(f"mh{i}")
+        for i, (a, b) in enumerate(minhash_params(k, seed))
+    ]
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 16, seed: int = 7) -> DataFrame:
+    """K-permutation MinHash signature per document (columns mh0..mh{k-1}).
+
+    One explode + one groupBy: the shuffle carries (doc_id, shingle-hash)
+    pairs only. Documents with no shingles (< n words) get no row —
+    callers union them back as their own singleton cluster if needed.
+    """
+    return shingles(docs, n).groupBy("doc_id").agg(*_minhash_cols(k, seed))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n: int = 3, k: int = 16, bands: int = 4, seed: int = 7
+) -> DataFrame:
+    """Banded-LSH candidate pairs with MinHash-estimated similarity.
+
+    Signature is split into ``bands`` bands of k/bands rows; docs
+    colliding on any band become candidates (join on the band key — the
+    only shuffle whose size depends on collision rate, not corpus²).
+    """
+    assert k % bands == 0
+    r = k // bands
+    sig = minhash_signatures(docs, n, k, seed)
+    band_cols = [
+        F.concat_ws(",", *[F.col(f"mh{band * r + j}").cast("string") for j in range(r)]).alias(f"band{band}")
+        for band in range(bands)
+    ]
+    banded = sig.select("doc_id", *[F.col(f"mh{i}") for i in range(k)], *band_cols)
+    melted = banded.select(
+        "doc_id",
+        *[F.col(f"mh{i}") for i in range(k)],
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_idx", "band_key"),
+    )
+    a = melted.alias("a")
+    b = melted.alias("b")
+    eq = sum(
+        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.first((eq / F.lit(float(k)))).alias("est_jaccard"))
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document via an Arrow-batched pandas UDF.
+
+    Per-token 64-bit hashing + per-bit weight accumulation is bit-twiddling
+    that column expressions express poorly (64 conditional sums per token)
+    — the textbook case for the vectorized-Python escape hatch. Hamming
+    distance between signatures then runs JVM-side.
+    """
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            acc = [0] * bits
+            for w in (t or "").split(" "):
+                h = int.from_bytes(hashlib.md5(w.encode()).digest()[:8], "big")
+                for i in range(bits):
+                    acc[i] += 1 if (h >> i) & 1 else -1
+            v = 0
+            for i in range(bits):
+                if acc[i] > 0:
+                    v |= 1 << i
+            # wrap to signed 64-bit for LongType
+            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return pd.Series(out)
+
+    return docs.select("doc_id", _simhash(F.col("text")).alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Population count of XOR — JVM-side hamming distance."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,119 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media travel as opaque ``binary`` columns with a typed metadata struct —
+the pattern that scales: bytes are only materialized inside the Arrow
+batches of the mapInPandas stage that needs them, partition sizing is
+driven by ``bytes_hint`` in the metadata (not row counts), and decode
+never leaves the executor.
+
+The actual codec work (PIL/ffmpeg/soundfile) is NOT available in this
+environment, so the decode kernels are stubbed: ``decode_media`` raises
+NotImplementedError for real codecs and offers a deterministic fake
+(``fake=True``) that derives plausible features from the bytes alone.
+The Spark-side contract — schemas, batch iteration, partitioning — is
+real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("bytes_hint", T.LongType()),
+        T.StructField("source_uri", T.StringType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+
+def synthetic_media(docs: DataFrame, mime: str = "image/fake") -> DataFrame:
+    """Deterministic fake media table from documents: content = utf-8
+    bytes of the text. Stands in for a parquet/lakehouse media table."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.length("text").cast("long").alias("bytes_hint"),
+            F.concat(F.lit("synthetic://doc/"), F.col("doc_id")).alias("source_uri"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(content: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for image decoding: derive (width, height)
+    from the byte stream so tests can pin exact values."""
+    n = len(content)
+    return (n % 640) + 1, (n % 480) + 1
+
+
+def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+    """mapInPandas feature extraction over media batches.
+
+    Real deployments replace the kernel body with PIL/ffmpeg calls; the
+    iteration contract (Arrow record batches in, record batches out,
+    constant memory per batch) is exactly what runs here.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    if not fake:
+        raise NotImplementedError(
+            "real media codecs (PIL/ffmpeg) are not available in this "
+            "environment; use fake=True for the deterministic stand-in"
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"]
+            dims = [_fake_decode(c) for c in content]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": [m["mime"] for m in pdf["meta"]],
+                    "n_bytes": [len(c) for c in content],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "checksum": [hashlib.md5(c).hexdigest() for c in content],
+                }
+            )
+
+    return media.mapInPandas(kernel, FEATURES_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """'Video frame' sampling as pure column expressions: slice the byte
+    stream at fixed strides. Output one row per sampled frame."""
+    frames = F.expr(
+        f"transform(sequence(0, least(int(length(content) / {every_n_bytes}), {max_frames - 1})),"
+        f" i -> substring(content, i * {every_n_bytes} + 1, {every_n_bytes}))"
+    )
+    return media.select(
+        "media_id",
+        F.posexplode(frames).alias("frame_idx", "frame_bytes"),
+    )

@@ -1,0 +1,284 @@
+"""North-star operator queries: dedup / similarity / text analysis /
+multimodal, each oracle-checked against DuckDB where cross-engine
+determinism is achievable (everything except the simhash UDF and the
+SRP-LSH ANN, which get rows-only checks + pytest property tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg2kinesis_spark.functions import dedup, multimodal, similarity, text
+from pg2kinesis_spark.functions.dedup import MERSENNE31, minhash_params
+from pg2kinesis_spark.io import load_table
+
+EMB_DIM = 64
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def n1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def n2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def n3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def n4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def n5_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_duplicates(_docs(spark, sf_dir)).orderBy("content_hash")
+
+
+def n6_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return dedup.jaccard_pairs(docs, n=3, min_jaccard=0.05).orderBy("id1", "id2")
+
+
+def n7_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return dedup.minhash_signatures(docs, n=3, k=16, seed=7).orderBy("doc_id")
+
+
+def n8_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return dedup.minhash_lsh_pairs(docs, n=3, k=16, bands=4, seed=7).orderBy("id1", "id2")
+
+
+def n9_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.cosine_topk(emb, queries, k=5).orderBy("query_id", "rnk")
+
+
+def n10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_pairs(_emb(spark, sf_dir), min_cos=0.45).orderBy("id1", "id2")
+
+
+def n11_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pandas-UDF path — no SQL oracle; determinism pinned in tests.
+    return dedup.simhash(_docs(spark, sf_dir).filter(F.col("doc_id") < 300)).orderBy("doc_id")
+
+
+def n12_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.srp_ann_topk(emb, queries, dim=EMB_DIM, k=5, n_bits=6).orderBy("query_id", "rnk")
+
+
+def n13_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthetic_media(_docs(spark, sf_dir))
+    return multimodal.extract_features(media, fake=True).orderBy("media_id")
+
+
+def n14_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.synthetic_media(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
+    frames = multimodal.frame_sample(media, every_n_bytes=64, max_frames=8)
+    return frames.select(
+        "media_id", "frame_idx", F.md5("frame_bytes").alias("frame_md5")
+    ).orderBy("media_id", "frame_idx")
+
+
+NS_QUERIES = {
+    "n1_token_stats": n1_token_stats,
+    "n2_quality_score": n2_quality_score,
+    "n3_lang_id": n3_lang_id,
+    "n4_fingerprint": n4_fingerprint,
+    "n5_dedup_exact": n5_dedup_exact,
+    "n6_jaccard_pairs": n6_jaccard_pairs,
+    "n7_minhash_signatures": n7_minhash_signatures,
+    "n8_minhash_lsh_pairs": n8_minhash_lsh_pairs,
+    "n9_cosine_topk": n9_cosine_topk,
+    "n10_embedding_neardup": n10_embedding_neardup,
+    "n11_simhash": n11_simhash,
+    "n12_srp_ann_topk": n12_srp_ann_topk,
+    "n13_media_features": n13_media_features,
+    "n14_frame_sample": n14_frame_sample,
+}
+
+# ---------------------------------------------------------------- oracles
+
+_H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+_BPE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_LANGS = sorted(text.LANG_MARKERS)  # de, en, es, fr
+
+
+def _score(lang: str) -> str:
+    lit = ", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang])
+    return f"len(list_filter(string_split(text, ' '), w -> list_contains([{lit}], w)))"
+
+
+_STOP_LIT = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+
+_SHINGLES_CTE = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents WHERE doc_id < 300
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+  FROM ws, UNNEST(CASE WHEN len(w) >= 3 THEN generate_series(1, len(w) - 2) ELSE [] END) AS t(i)
+)
+"""
+
+
+def _minhash_select() -> str:
+    cols = ", ".join(
+        f"min(({a} * hm + {b}) % {MERSENNE31}) AS mh{i}"
+        for i, (a, b) in enumerate(minhash_params(16, 7))
+    )
+    return (
+        _SHINGLES_CTE
+        + f", hashed AS (SELECT doc_id, {_H60.format(x='shingle')} % {MERSENNE31} AS hm FROM sh)\n"
+        + f"SELECT doc_id, {cols} FROM hashed GROUP BY doc_id"
+    )
+
+
+def _lsh_pairs_sql() -> str:
+    sig = _minhash_select().replace("SELECT doc_id,", "SELECT doc_id,", 1)
+    bands = []
+    for band in range(4):
+        key = " || ',' || ".join(f"CAST(mh{band * 4 + j} AS VARCHAR)" for j in range(4))
+        bands.append(f"({key}) AS band{band}")
+    eq = " + ".join(f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(16))
+    return f"""
+WITH sig AS ({sig}),
+banded AS (SELECT *, {', '.join(bands)} FROM sig)
+SELECT a.doc_id AS id1, b.doc_id AS id2, ({eq}) / 16.0 AS est_jaccard
+FROM banded a JOIN banded b
+  ON a.doc_id < b.doc_id
+ AND (a.band0 = b.band0 OR a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3)
+ORDER BY 1, 2
+"""
+
+
+NS_ORACLE_SQL = {
+    "n1_token_stats": f"""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(regexp_extract_all(text, '{_BPE}')) AS n_bpe_tokens,
+               length(text) AS n_chars_m
+        FROM documents ORDER BY doc_id
+    """,
+    "n2_quality_score": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split(text, ' ') AS ws,
+                 len(string_split(text, ' ')) AS n,
+                 len(list_filter(string_split(text, ' '), w -> list_contains([{_STOP_LIT}], w))) AS stop,
+                 list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'sum') AS wlen
+          FROM documents
+        )
+        SELECT doc_id, n AS n_tokens,
+               stop / n AS stopword_ratio,
+               wlen / n AS avg_word_len,
+               least(n / 100.0, 1.0) * 0.3 + (1 - stop / n) * 0.4
+                 + least((wlen / n) / 10.0, 1.0) * 0.3 AS quality
+        FROM d ORDER BY doc_id
+    """,
+    "n3_lang_id": f"""
+        WITH s AS (
+          SELECT doc_id,
+                 {_score('de')} AS score_de,
+                 {_score('en')} AS score_en,
+                 {_score('es')} AS score_es,
+                 {_score('fr')} AS score_fr
+          FROM documents
+        )
+        SELECT doc_id, score_de, score_en, score_es, score_fr,
+               CASE WHEN score_fr > greatest(score_de, score_en, score_es) THEN 'fr'
+                    WHEN score_es > greatest(score_de, score_en) THEN 'es'
+                    WHEN score_en > score_de THEN 'en'
+                    ELSE 'de' END AS pred_lang
+        FROM s ORDER BY doc_id
+    """,
+    "n4_fingerprint": f"""
+        WITH e AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos,
+                 unnest(string_split(text, ' ')) AS w
+          FROM documents
+        )
+        SELECT doc_id, sum(pos * ({_H60.format(x='w')} % 1000003)) AS fp
+        FROM e GROUP BY doc_id ORDER BY doc_id
+    """,
+    "n5_dedup_exact": """
+        SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY 1
+    """,
+    "n6_jaccard_pairs": _SHINGLES_CTE + """
+        , sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id1, id2, i / (s1.sz + s2.sz - i) AS jaccard
+        FROM inter
+        JOIN sizes s1 ON s1.doc_id = id1
+        JOIN sizes s2 ON s2.doc_id = id2
+        WHERE i / (s1.sz + s2.sz - i) >= 0.05
+        ORDER BY 1, 2
+    """,
+    "n7_minhash_signatures": _minhash_select() + " ORDER BY doc_id",
+    "n8_minhash_lsh_pairs": _lsh_pairs_sql(),
+    "n9_cosine_topk": """
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qemb
+                   FROM embeddings WHERE vec_id < 20),
+        c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cemb FROM embeddings),
+        scored AS (
+          SELECT query_id, c.vec_id AS neighbor_id,
+                 list_cosine_similarity(qemb, cemb) AS cos
+          FROM q, c WHERE c.vec_id != query_id
+        ),
+        r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+              FROM scored)
+        SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY query_id, rnk
+    """,
+    "n10_embedding_neardup": """
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+               list_cosine_similarity(a.emb, b.emb) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
+        ORDER BY 1, 2
+    """,
+    "n13_media_features": """
+        SELECT doc_id AS media_id,
+               'image/fake' AS mime,
+               octet_length(encode(text)) AS n_bytes,
+               (octet_length(encode(text)) % 640) + 1 AS width,
+               (octet_length(encode(text)) % 480) + 1 AS height,
+               md5(text) AS checksum
+        FROM documents ORDER BY media_id
+    """,
+    "n14_frame_sample": """
+        -- content is ascii by construction, so VARCHAR slicing ≡ byte
+        -- slicing (DuckDB 1.0 has no substring(BLOB, ...)).
+        WITH fr AS (
+          SELECT doc_id AS media_id,
+                 unnest(generate_series(0, least(octet_length(encode(text)) // 64, 7))) AS frame_idx,
+                 text
+          FROM documents WHERE doc_id < 100
+        )
+        SELECT media_id, frame_idx,
+               md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
+        FROM fr ORDER BY media_id, frame_idx
+    """,
+    # n11_simhash, n12_srp_ann_topk: python-UDF / seeded-plane paths —
+    # rows-only here; determinism + recall pinned in tests/test_northstar.py
+}

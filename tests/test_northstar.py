@@ -1,0 +1,109 @@
+"""Property tests for the north-star operators whose paths aren't
+oracle-checkable (python-UDF simhash, seeded-plane SRP ANN), plus
+planted-duplicate behavior checks for the dedup family."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg2kinesis_spark.functions import dedup, multimodal, similarity, text
+from pg2kinesis_spark.io import load_table
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    words = [f"word{i}" for i in range(40)]
+    base = " ".join(words)
+    near = " ".join(words[:-1] + ["changed"])  # one-word edit → jaccard ≈ 0.92
+    other = "completely different words about spark shuffles and parquet files here"
+    rows = [(0, base), (1, base), (2, near), (3, other)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates_planted(spark, planted):
+    out = {r.keep_id: r.n_copies for r in dedup.exact_duplicates(planted).collect()}
+    assert out[0] == 2  # docs 0 and 1 identical, survivor = min doc_id
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_jaccard_identical_is_one(spark, planted):
+    pairs = {(r.id1, r.id2): r.jaccard for r in dedup.jaccard_pairs(planted, n=3).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 2)] > 0.5  # one-word edit keeps most 3-grams
+    assert (0, 3) not in pairs  # disjoint shingles never pair
+
+
+def test_minhash_estimates_jaccard(spark, planted):
+    pairs = {(r.id1, r.id2): r.est_jaccard for r in dedup.minhash_lsh_pairs(planted, k=16, bands=4).collect()}
+    assert pairs[(0, 1)] == 1.0  # identical docs: every minhash equal
+    assert pairs.get((0, 2), 0) > 0.3  # near-dup collides on some band
+
+
+def test_simhash_deterministic_and_discriminative(spark, planted):
+    sig = {r.doc_id: r.simhash for r in dedup.simhash(planted).collect()}
+    sig2 = {r.doc_id: r.simhash for r in dedup.simhash(planted).collect()}
+    assert sig == sig2  # deterministic across runs
+    assert sig[0] == sig[1]  # identical text → identical signature
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(sig[0], sig[2]) < ham(sig[0], sig[3])  # near-dup closer than unrelated
+
+
+def test_hamming64_column(spark):
+    df = spark.createDataFrame([(0b1011, 0b0001)], "a long, b long")
+    assert df.select(dedup.hamming64(F.col("a"), F.col("b")).alias("h")).collect()[0].h == 2
+
+
+def test_srp_ann_scores_match_bruteforce(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in similarity.cosine_topk(emb, queries, k=20).collect()
+    }
+    ann = similarity.srp_ann_topk(emb, queries, dim=64, k=5, n_bits=6).collect()
+    assert len(ann) > 0
+    # every ANN cosine must equal the exact cosine for that pair
+    for r in ann:
+        key = (r.query_id, r.neighbor_id)
+        if key in brute:
+            assert abs(brute[key] - r.cos) < 1e-12
+    # recall sanity: ANN finds a nonzero share of true top-5 neighbors
+    true_top5 = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    hits = sum(1 for r in ann if (r.query_id, r.neighbor_id) in true_top5)
+    assert hits > 0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(1, "le chat et les des le la"), (2, "der hund und die nicht das")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.pred_lang for r in text.lang_id(df).collect()}
+    assert out[1] == "fr" and out[2] == "de"
+
+
+def test_media_features_deterministic(spark, planted):
+    media = multimodal.synthetic_media(planted)
+    feats = {r.media_id: r for r in multimodal.extract_features(media).collect()}
+    n = len(planted.collect()[0].text.encode())
+    assert feats[0].n_bytes == n
+    assert feats[0].width == (n % 640) + 1
+    assert feats[0].height == (n % 480) + 1
+    assert feats[0].checksum == feats[1].checksum  # identical content
+    assert feats[0].checksum != feats[3].checksum
+
+
+def test_media_real_decode_is_stubbed(spark, planted):
+    with pytest.raises(NotImplementedError):
+        multimodal.extract_features(multimodal.synthetic_media(planted), fake=False)
+
+
+def test_frame_sample_shape(spark, planted):
+    frames = multimodal.frame_sample(multimodal.synthetic_media(planted), every_n_bytes=16, max_frames=4)
+    rows = frames.filter(F.col("media_id") == 0).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in rows] == list(range(len(rows)))
+    assert all(len(r.frame_bytes) <= 16 for r in rows)
