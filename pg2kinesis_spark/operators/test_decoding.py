@@ -51,11 +51,17 @@ def parse_test_decoding(
     raw: DataFrame,
     pk_map: DataFrame,
     table_pat: str | None = None,
+    xid_precomputed: bool = False,
 ) -> DataFrame:
     """Parse raw test_decoding lines into Change rows.
 
     ``pk_map`` is the output of catalog.primary_key_map —
     (table_name, pk_col_name, pk_col_type, pk_pattern).
+
+    ``xid_precomputed=True`` skips the W1 window — the streaming pipeline
+    stamps xid with applyInPandasWithState (cross-batch state) before
+    calling this, so batch and streaming share every operator downstream
+    of the stamp.
     """
     table_pat = table_pat if table_pat is not None else DEFAULT_TABLE_PAT
     # Java regex needs (?U) for Python-re \w unicode parity.
@@ -72,16 +78,17 @@ def parse_test_decoding(
         F.get(toks, 3).alias("tok3"),
     )
 
-    # W1: cur_xact starts '' and is replaced by each BEGIN's xid
-    # (reference formatter.py:37,59-60). Prefix scan in lsn order.
-    xid_w = W.orderBy("lsn").rowsBetween(W.unboundedPreceding, W.currentRow)
-    df = df.withColumn(
-        "xid",
-        F.coalesce(
-            F.last(F.when(F.col("tok0") == "BEGIN", F.col("tok1")), ignorenulls=True).over(xid_w),
-            F.lit(""),
-        ),
-    )
+    if not xid_precomputed:
+        # W1: cur_xact starts '' and is replaced by each BEGIN's xid
+        # (reference formatter.py:37,59-60). Prefix scan in lsn order.
+        xid_w = W.orderBy("lsn").rowsBetween(W.unboundedPreceding, W.currentRow)
+        df = df.withColumn(
+            "xid",
+            F.coalesce(
+                F.last(F.when(F.col("tok0") == "BEGIN", F.col("tok1")), ignorenulls=True).over(xid_w),
+                F.lit(""),
+            ),
+        )
 
     is_frame = (F.col("tok0") == "BEGIN") | F.col("tok0").isin(*IGNORED_CHANGES)
     is_table = F.col("tok0") == "table"

@@ -1,0 +1,151 @@
+"""Ordered, packing, retrying Kinesis-style sink (foreachBatch).
+
+Rebuilds the reference's StreamWriter (reference stream.py) on
+Structured Streaming micro-batches:
+
+- **Record aggregation (S6/A3/X3)**: user messages pack into ≤1 MB
+  aggregate records keyed by the xid of a contained record
+  (reference stream.py:16,36) — amortizes per-record transport cost.
+- **Flush policy (T3/X4)**: aggregate-full OR send-window expiry. The
+  reference only evaluates the clock when a message arrives
+  (stream.py:39-42, fidelity §8.9); the micro-batch trigger is the
+  rebuild's clock, and every batch flushes its tail — a strict
+  improvement documented there.
+- **Retry (S7/X5)**: exponential backoff 0.05 s × 2ⁿ capped at
+  ``back_off_limit``, then the batch fails (reference stream.py:54-74)
+  → Structured Streaming retries the batch from the checkpoint, giving
+  the same at-least-once contract end to end.
+- **Ordering (T2/O2)**: one logical writer sending in LSN order — the
+  structural invariant behind "commit order, 1 shard"
+  (reference stream.py:20, README.rst:39). Width upstream is
+  unconstrained; only this final stage is serial, same as the reference.
+- **Null messages (§8.6)**: operation-filtered rows arrive with
+  fmt_msg=NULL and are counted (put_message(None) parity) but never
+  packed — the counts drive the reference's flush accounting tests.
+
+Transport is pluggable: tests use InMemoryTransport; a boto3-backed
+transport ships in sinks/kinesis_boto.py behind an import guard (no AWS
+in this environment).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+
+class ProvisionedThroughputExceeded(Exception):
+    """Transport signals backpressure — triggers the backoff loop."""
+
+
+@dataclass
+class AggRecord:
+    """A KPL-style aggregate: many user records, one transport record."""
+
+    partition_key: str | None = None
+    messages: list[bytes] = field(default_factory=list)
+    num_bytes: int = 0
+
+    def add(self, msg: bytes, partition_key: str, max_bytes: int) -> bool:
+        if self.partition_key is None:
+            self.partition_key = partition_key
+        if self.num_bytes + len(msg) > max_bytes and self.messages:
+            return False
+        self.messages.append(msg)
+        self.num_bytes += len(msg)
+        return True
+
+    def serialize(self) -> bytes:
+        return b"\n".join(self.messages)
+
+
+class InMemoryTransport:
+    """Test transport: records every put; can fail N times to exercise
+    the backoff schedule (reference test_stream.py:37-98 shape)."""
+
+    def __init__(self, fail_times: int = 0):
+        self.records: list[tuple[str, bytes]] = []
+        self.fail_times = fail_times
+        self.attempts = 0
+
+    def put_record(self, data: bytes, partition_key: str) -> None:
+        self.attempts += 1
+        if self.fail_times > 0:
+            self.fail_times -= 1
+            raise ProvisionedThroughputExceeded()
+        self.records.append((partition_key, data))
+
+
+class KinesisLikeWriter:
+    """put_message / flush engine, one instance per streaming query."""
+
+    def __init__(
+        self,
+        transport,
+        send_window: int = 13,
+        back_off_limit: int = 60,
+        max_agg_bytes: int = 1 << 20,
+        sleep=time.sleep,
+        clock=time.time,
+    ):
+        self.transport = transport
+        self.send_window = send_window
+        self.back_off_limit = back_off_limit
+        self.max_agg_bytes = max_agg_bytes
+        self._sleep = sleep
+        self._clock = clock
+        self._agg = AggRecord()
+        self.last_send = self._clock()
+        self.put_message_calls = 0
+        self.physical_puts = 0
+
+    # -- reference stream.py:32-44 ------------------------------------
+    def put_message(self, fmt_msg: str | None, partition_key: str | None) -> bool:
+        """Add a message; flush on aggregate-full or window expiry.
+        Returns True iff a physical put happened (ack gate, S8)."""
+        self.put_message_calls += 1
+        did_put = False
+        if fmt_msg is not None:
+            data = fmt_msg.encode()
+            if not self._agg.add(data, partition_key or "", self.max_agg_bytes):
+                self._flush()
+                did_put = True
+                self._agg.add(data, partition_key or "", self.max_agg_bytes)
+        if self._clock() - self.last_send > self.send_window and self._agg.messages:
+            self._flush()
+            did_put = True
+        return did_put
+
+    def flush_tail(self) -> bool:
+        """End-of-batch flush (the trigger-based improvement over §8.9)."""
+        if self._agg.messages:
+            self._flush()
+            return True
+        return False
+
+    # -- reference stream.py:46-74 ------------------------------------
+    def _flush(self) -> None:
+        agg, self._agg = self._agg, AggRecord()
+        backoff = 0.05
+        while True:
+            try:
+                self.transport.put_record(agg.serialize(), agg.partition_key or "")
+                self.physical_puts += 1
+                self.last_send = self._clock()
+                return
+            except ProvisionedThroughputExceeded:
+                if backoff > self.back_off_limit:
+                    raise
+                self._sleep(backoff)
+                backoff *= 2
+
+    def process_batch(self, batch_df, batch_id: int) -> None:
+        """foreachBatch entry: send in LSN order, flush the tail.
+
+        The iteration is the single ordered writer (T2). ``batch_df`` may
+        be arbitrarily wide upstream — only this drain is serial.
+        """
+        order = [c for c in ("lsn", "change_idx") if c in batch_df.columns]
+        for row in batch_df.sort(*order).select("lsn", "xid", "fmt_msg").toLocalIterator():
+            self.put_message(row.fmt_msg, str(row.xid) if row.xid is not None else None)
+        self.flush_tail()

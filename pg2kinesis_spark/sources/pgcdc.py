@@ -1,0 +1,187 @@
+"""Live Postgres logical-decoding streaming source (production path).
+
+The deployment twin of sources/replay.py: same offset model (LSN), same
+single-ordered-partition shape, but reading from a real replication slot
+via psycopg2 — the rebuild of the reference's SlotReader
+(reference slot.py:36-129):
+
+- slot create/drop tolerate duplicate/absent slots
+  (reference slot.py:96-120, S2/S3 idempotency)
+- the PK catalog snapshot ships the same information_schema SQL the
+  reference sends (reference slot.py:18-33) and feeds
+  catalog.primary_key_map
+- ``commit(offset)`` sends ``send_feedback(flush_lsn=...)`` — the ack
+  that lets Postgres reclaim WAL (reference __main__.py:101-104, S8/X7)
+
+psycopg2 is not installed in this environment; everything here degrades
+to ImportError at construction, and the class is excluded from CI. The
+replay source exercises the identical engine-facing contract.
+"""
+
+from __future__ import annotations
+
+import json
+
+try:
+    import psycopg2
+    import psycopg2.errorcodes
+    import psycopg2.extras
+
+    HAVE_PSYCOPG2 = True
+except ImportError:  # pragma: no cover - not installed in test env
+    HAVE_PSYCOPG2 = False
+
+from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+
+# The reference's catalog query, reproduced verbatim in spirit
+# (slot.py:18-33): every table, its PK columns where they exist.
+PK_SQL = """
+SELECT CONCAT(table_schema, '.', table_name) AS table_name,
+       column_name, data_type, ordinal_position
+FROM information_schema.tables
+LEFT JOIN (
+    SELECT table_catalog, table_schema, table_name,
+           column_name, data_type, ordinal_position
+    FROM information_schema.table_constraints
+    JOIN information_schema.key_column_usage
+      USING (constraint_catalog, constraint_schema, constraint_name,
+             table_catalog, table_schema, table_name)
+    JOIN information_schema.columns
+      USING (table_catalog, table_schema, table_name, column_name)
+    WHERE constraint_type = 'PRIMARY KEY'
+) pk USING (table_catalog, table_schema, table_name)
+WHERE table_type = 'BASE TABLE'
+ORDER BY ordinal_position
+"""
+
+
+def _require_psycopg2():
+    if not HAVE_PSYCOPG2:  # pragma: no cover
+        raise ImportError(
+            "psycopg2 is required for the live pgcdc source; use the "
+            "cdc_replay source (sources/replay.py) in environments without it"
+        )
+
+
+class PgSlotManager:
+    """Connection + slot lifecycle (reference slot.py:36-120)."""
+
+    def __init__(self, dsn: str, slot_name: str = "pg2kinesis", plugin: str = "test_decoding"):
+        _require_psycopg2()
+        self.dsn = dsn
+        self.slot_name = slot_name
+        self.plugin = plugin
+
+    def _conn(self, replication: bool = False):  # pragma: no cover - needs PG
+        if replication:
+            return psycopg2.connect(
+                self.dsn, connection_factory=psycopg2.extras.LogicalReplicationConnection
+            )
+        c = psycopg2.connect(self.dsn)
+        c.autocommit = True
+        return c
+
+    def create_slot(self) -> None:  # pragma: no cover - needs PG
+        """Idempotent create (tolerates DUPLICATE_OBJECT, slot.py:96-108)."""
+        with self._conn(replication=True) as conn, conn.cursor() as cur:
+            try:
+                cur.create_replication_slot(self.slot_name, output_plugin=self.plugin)
+            except psycopg2.ProgrammingError as e:
+                if e.pgcode != psycopg2.errorcodes.DUPLICATE_OBJECT:
+                    raise
+
+    def delete_slot(self) -> None:  # pragma: no cover - needs PG
+        """Idempotent drop (tolerates UNDEFINED_OBJECT, slot.py:110-120)."""
+        with self._conn(replication=True) as conn, conn.cursor() as cur:
+            try:
+                cur.drop_replication_slot(self.slot_name)
+            except psycopg2.ProgrammingError as e:
+                if e.pgcode != psycopg2.errorcodes.UNDEFINED_OBJECT:
+                    raise
+
+    def fetch_pk_catalog(self) -> list[tuple]:  # pragma: no cover - needs PG
+        """One catalog round trip (S4/X6); rows feed
+        spark.createDataFrame(..., 'table_name string, col_name string,
+        col_type string, col_ord_pos int') → catalog.primary_key_map."""
+        with self._conn() as conn, conn.cursor() as cur:
+            cur.execute(PK_SQL)
+            return cur.fetchall()
+
+
+class _PgBatch(InputPartition):
+    def __init__(self, messages: list[tuple[int, int, str]]):
+        self.messages = messages
+
+
+class PgCdcStreamReader(DataSourceStreamReader):  # pragma: no cover - needs PG
+    """Polls the slot with peek semantics; commit() advances the slot.
+
+    Offsets are LSNs; each trigger drains up to rows_per_batch messages
+    via pg_logical_slot_peek_changes (non-destructive read), and
+    commit() calls pg_replication_slot_advance — so un-acked WAL is
+    re-served after a crash: the same at-least-once contract as the
+    reference's ack-after-put feedback loop.
+    """
+
+    def __init__(self, options: dict):
+        _require_psycopg2()
+        self.mgr = PgSlotManager(
+            options["dsn"], options.get("slot", "pg2kinesis"), options.get("plugin", "test_decoding")
+        )
+        self.rows_per_batch = int(options.get("rowsperbatch", 1000))
+        self._pending: list[tuple[int, int, str]] = []
+
+    def _peek(self) -> list[tuple[int, int, str]]:
+        opts = "('include-xids', '1')" if self.mgr.plugin == "wal2json" else ""
+        with self.mgr._conn() as conn, conn.cursor() as cur:
+            cur.execute(
+                f"SELECT lsn, xid, data FROM pg_logical_slot_peek_changes(%s, NULL, %s{',' if opts else ''} {opts})",
+                (self.mgr.slot_name, self.rows_per_batch),
+            )
+            rows = cur.fetchall()
+        return [(self._lsn_to_int(l), len(d.encode()), d) for l, _, d in rows]
+
+    @staticmethod
+    def _lsn_to_int(lsn: str) -> int:
+        hi, lo = lsn.split("/")
+        return (int(hi, 16) << 32) | int(lo, 16)
+
+    @staticmethod
+    def _int_to_lsn(v: int) -> str:
+        return f"{v >> 32:X}/{v & 0xFFFFFFFF:X}"
+
+    def initialOffset(self) -> dict:
+        return {"lsn": 0}
+
+    def latestOffset(self) -> dict:
+        self._pending = self._peek()
+        return {"lsn": self._pending[-1][0]} if self._pending else {"lsn": 0}
+
+    def partitions(self, start: dict, end: dict):
+        msgs = [m for m in self._pending if start["lsn"] < m[0] <= end["lsn"]]
+        return [_PgBatch(msgs)]
+
+    def read(self, partition: _PgBatch):
+        yield from partition.messages
+
+    def commit(self, end: dict) -> None:
+        # The ack (S8): Postgres may now reclaim WAL up to this LSN.
+        with self.mgr._conn() as conn, conn.cursor() as cur:
+            cur.execute(
+                "SELECT pg_replication_slot_advance(%s, %s)",
+                (self.mgr.slot_name, self._int_to_lsn(end["lsn"])),
+            )
+
+
+class PgCdcDataSource(DataSource):  # pragma: no cover - needs PG
+    """spark.readStream.format("pgcdc").option("dsn", ...).load()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pgcdc"
+
+    def schema(self) -> str:
+        return "lsn bigint, data_size int, payload string"
+
+    def streamReader(self, schema) -> PgCdcStreamReader:
+        return PgCdcStreamReader(self.options)

@@ -1,0 +1,174 @@
+"""Structured Streaming CDC pipeline.
+
+Wires the batch operators (operators/*) into a streaming dataflow:
+
+    cdc_replay source (LSN offsets)                 S1/S2/S3/T5
+      → stateful xid stamp (applyInPandasWithState) W1 streaming form
+      → parse/enrich/format (shared with batch)     P1-P11, F5-F8, J3
+      → operation filter (null-out)                 P6/§8.6
+      → foreachBatch KinesisLikeWriter              S5-S8/T2-T4
+
+Scale shape: the xid stamp is keyed by source partition (a replication
+slot is one ordered log — the reference's single connection, slot.py:129),
+so its state is one tiny tuple per slot, not a global bottleneck; parse
+and format fan back out to full width immediately after; the sink is the
+single ordered writer the Kinesis 1-shard contract requires (T2).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from pg2kinesis_spark.operators.formatters import filter_operations, format_csv, format_csvpayload
+from pg2kinesis_spark.operators.test_decoding import parse_test_decoding
+from pg2kinesis_spark.operators.wal2json import parse_wal2json
+from pg2kinesis_spark.sources.replay import register as register_replay
+
+STAMPED_SCHEMA = "lsn long, data_size int, payload string, xid string"
+
+
+def _stamp_fn(key, pdf_iter, state: GroupState):
+    """Carry cur_xact across micro-batches (reference formatter.py:37,59-60).
+
+    State: ('<current xid>',) per slot key. Rows inside a batch are
+    processed in LSN order — the source serves them ordered and we
+    re-sort defensively (cheap: one slot's batch)."""
+    cur = state.get[0] if state.exists else ""
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("lsn")
+        xids = []
+        for payload in pdf["payload"]:
+            if isinstance(payload, str) and payload.startswith("BEGIN "):
+                cur = payload.split(" ", 2)[1]
+            xids.append(cur)
+        out = pdf[["lsn", "data_size", "payload"]].copy()
+        out["xid"] = xids
+        yield out
+    state.update((cur,))
+
+
+def stamp_xid_stateful(raw: DataFrame) -> DataFrame:
+    """Stateful W1: one state tuple per slot (here: one slot → lit(0))."""
+    return (
+        raw.withColumn("slot", F.lit(0))
+        .groupBy("slot")
+        .applyInPandasWithState(
+            _stamp_fn,
+            outputStructType=STAMPED_SCHEMA,
+            stateStructType="cur_xact string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def read_replay_stream(spark: SparkSession, corpus_path: str, rows_per_batch: int = 1000, ack_log: str | None = None) -> DataFrame:
+    register_replay(spark)
+    reader = (
+        spark.readStream.format("cdc_replay")
+        .option("path", corpus_path)
+        .option("rowsperbatch", str(rows_per_batch))
+    )
+    if ack_log:
+        reader = reader.option("acklog", ack_log)
+    return reader.load()
+
+
+def build_test_decoding_stream(
+    spark: SparkSession,
+    corpus_path: str,
+    pk_map: DataFrame,
+    formatter: str = "CSV",
+    operations: tuple[str, ...] = ("all",),
+    table_pat: str | None = None,
+    rows_per_batch: int = 1000,
+    ack_log: str | None = None,
+) -> DataFrame:
+    raw = read_replay_stream(spark, corpus_path, rows_per_batch, ack_log)
+    stamped = stamp_xid_stateful(raw)
+    parsed = parse_test_decoding(stamped, pk_map, table_pat, xid_precomputed=True)
+    parsed = parsed.drop("error")  # fail-stop errors surface in the sink batch
+    msgs = format_csv(parsed) if formatter == "CSV" else format_csvpayload(parsed)
+    return filter_operations(msgs, operations)
+
+
+def build_wal2json_stream(
+    spark: SparkSession,
+    corpus_path: str,
+    pk_map: DataFrame | None,
+    formatter: str = "CSVPayload",
+    operations: tuple[str, ...] = ("all",),
+    table_pat: str | None = None,
+    full_change: bool = False,
+    rows_per_batch: int = 1000,
+    ack_log: str | None = None,
+) -> DataFrame:
+    # wal2json needs no cross-batch state: each message carries its xid
+    # (reference formatter.py:110).
+    raw = read_replay_stream(spark, corpus_path, rows_per_batch, ack_log)
+    parsed = parse_wal2json(raw, pk_map, table_pat, full_change=full_change)
+    if full_change:
+        return format_csvpayload(parsed, full_change=True)
+    parsed = parsed.drop("error")
+    msgs = format_csv(parsed) if formatter == "CSV" else format_csvpayload(parsed)
+    return filter_operations(msgs, operations)
+
+
+def run_to_sink(stream_df: DataFrame, writer, checkpoint: str, available_now: bool = True):
+    """Attach the Kinesis-like sink and run (availableNow drains what the
+    FIRST latestOffset() covers — i.e. one rate-limited batch;
+    processingTime='13 seconds' mirrors the reference's send_window in
+    production, X4)."""
+    w = (
+        stream_df.writeStream.foreachBatch(writer.process_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime="13 seconds")
+    return w.start()
+
+
+def run_until(
+    stream_df: DataFrame,
+    writer,
+    checkpoint: str,
+    done,
+    timeout: float = 120.0,
+):
+    """Run with the ASAP micro-batch trigger until ``done()`` is truthy,
+    then stop.
+
+    This exercises REAL multi-batch progression (rate-limited offsets,
+    cross-batch state, per-batch commit) — unlike availableNow, which
+    snapshots one offset range. Note the source commit (ack) for the
+    final batch intentionally lags one trigger — the same ack-lag the
+    reference exhibits (SURVEY §3.2 step 5): at-least-once, never
+    ack-before-put. Raises the query's exception if the sink failed
+    (fail-stop parity, §8.5)."""
+    import time as _time
+
+    q = (
+        stream_df.writeStream.foreachBatch(writer.process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = _time.time() + timeout
+    while _time.time() < deadline:
+        if q.exception() is not None or done():
+            break
+        _time.sleep(0.2)
+    exc = q.exception()
+    q.stop()
+    try:
+        q.awaitTermination(30)
+    except Exception:  # noqa: BLE001 — surfaced via exc below
+        pass
+    if exc is not None:
+        raise exc
+    return q

@@ -1,0 +1,225 @@
+"""Streaming pipeline tests: replay source offsets/acks, stateful xid,
+ordered packing sink, retry/backoff, restart at-least-once.
+
+(SURVEY §5 rebuild test plan item 3.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg2kinesis_spark.catalog import primary_key_map
+from pg2kinesis_spark.operators.formatters import format_csv
+from pg2kinesis_spark.operators.test_decoding import parse_test_decoding
+from pg2kinesis_spark.sinks.kinesis import (
+    AggRecord,
+    InMemoryTransport,
+    KinesisLikeWriter,
+    ProvisionedThroughputExceeded,
+)
+from pg2kinesis_spark.streaming.pipeline import build_test_decoding_stream, run_until
+
+UUID = "00079f3e-0479-4475-acff-4f225cc5188a"
+N_TXNS = 4
+MSGS_PER_TXN = 3
+TOTAL_LINES = N_TXNS * (MSGS_PER_TXN + 2)
+
+
+@pytest.fixture(scope="module")
+def few_shuffles(spark):
+    """Micro-batch stateful stages pay per-partition task overhead; 4 is
+    plenty for a 20-row corpus and keeps each trigger fast."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@pytest.fixture(scope="module")
+def pk_map(spark):
+    catalog = spark.createDataFrame(
+        [("public.test_table", "uuid", "uuid", 0)],
+        "table_name string, col_name string, col_type string, col_ord_pos int",
+    )
+    return primary_key_map(catalog)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    """rows_per_batch=7 with 5-line transactions puts batch boundaries
+    INSIDE transactions — pins cross-batch xid state."""
+    lines = []
+    lsn = 10
+    for xid in range(7, 7 + N_TXNS):
+        lines.append((lsn, f"BEGIN {xid}")); lsn += 2
+        for i in range(MSGS_PER_TXN):
+            lines.append((lsn, f"table public.test_table: UPDATE: uuid[uuid]:'{UUID[:-1]}{i}'")); lsn += 2
+        lines.append((lsn, "COMMIT")); lsn += 2
+    path = str(tmp_path_factory.mktemp("corpus") / "corpus.parquet")
+    spark.createDataFrame(
+        [(l, len(p.encode()), p) for l, p in lines], "lsn long, data_size int, payload string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _msgs(transport):
+    return [m.decode() for _, data in transport.records for m in data.split(b"\n")]
+
+
+@pytest.fixture(scope="module")
+def drained(spark, corpus, pk_map, tmp_path_factory, few_shuffles):
+    """One full multi-batch run shared by the assertion tests below."""
+    tmp = str(tmp_path_factory.mktemp("run"))
+    transport = InMemoryTransport()
+    writer = KinesisLikeWriter(transport)
+    ack_log = os.path.join(tmp, "acks.jsonl")
+    stream = build_test_decoding_stream(
+        spark, corpus, pk_map, formatter="CSV", operations=("UPDATE",),
+        rows_per_batch=7, ack_log=ack_log,
+    )
+    run_until(
+        stream,
+        writer,
+        os.path.join(tmp, "ckpt"),
+        done=lambda: writer.put_message_calls >= N_TXNS * MSGS_PER_TXN
+        and writer._agg.num_bytes == 0,
+    )
+    writer.flush_tail()
+    return transport, writer, ack_log
+
+
+def test_streaming_matches_batch_content_and_order(spark, corpus, pk_map, drained):
+    transport, writer, _ = drained
+    streamed = _msgs(transport)
+    batch = format_csv(parse_test_decoding(spark.read.parquet(corpus), pk_map)).orderBy("lsn").collect()
+    expected = [r.fmt_msg for r in batch]
+    assert streamed == expected  # content AND order (T2/O2)
+    # xid state crossed micro-batch boundaries (W1 streaming form)
+    xids = [m.split(",")[2] for m in streamed]
+    assert xids == [str(x) for x in range(7, 7 + N_TXNS) for _ in range(MSGS_PER_TXN)]
+
+
+def test_acks_monotone_and_never_exceed_puts(spark, corpus, drained):
+    transport, writer, ack_log = drained
+    acks = [json.loads(l)["acked_lsn"] for l in open(ack_log)]
+    assert acks, "source commit log must receive acks"
+    assert acks == sorted(acks)  # monotone ack watermark (S8/T5)
+    max_lsn = spark.read.parquet(corpus).agg(F.max("lsn")).collect()[0][0]
+    # ack ≤ put: the last batch's ack may lag one trigger (reference
+    # ack-lag, SURVEY §3.2 step 5) but never overtakes delivered data.
+    assert acks[-1] <= max_lsn
+
+
+def test_operation_filter_nulls_still_counted(spark, corpus, pk_map, tmp_path, few_shuffles):
+    """operations=('all',) → lowercase set → uppercase UPDATE never
+    matches (§8.4): zero published records, but every change row still
+    drove a put_message call (§8.6 flush-clock parity)."""
+    transport = InMemoryTransport()
+    writer = KinesisLikeWriter(transport)
+    stream = build_test_decoding_stream(
+        spark, corpus, pk_map, formatter="CSV", operations=("all",),
+        rows_per_batch=7, ack_log=str(tmp_path / "acks.jsonl"),
+    )
+    run_until(
+        stream, writer, str(tmp_path / "ckpt"),
+        done=lambda: writer.put_message_calls >= N_TXNS * MSGS_PER_TXN,
+    )
+    assert _msgs(transport) == []
+    assert writer.put_message_calls >= N_TXNS * MSGS_PER_TXN
+    assert writer.physical_puts == 0
+
+
+def test_restart_is_at_least_once(spark, corpus, pk_map, tmp_path, few_shuffles):
+    """Transport dies permanently mid-run → query fails after backoff;
+    restart with a healthy transport must deliver every message at least
+    once (duplicates allowed — reference README.rst:14-18)."""
+
+    class DyingTransport(InMemoryTransport):
+        def __init__(self, die_after):
+            super().__init__()
+            self.die_after = die_after
+
+        def put_record(self, data, partition_key):
+            if len(self.records) >= self.die_after:
+                raise ProvisionedThroughputExceeded()
+            super().put_record(data, partition_key)
+
+    t1 = DyingTransport(die_after=1)
+    # tiny aggregate size → one record per message → mid-batch failure
+    w1 = KinesisLikeWriter(t1, back_off_limit=0.1, sleep=lambda s: None, max_agg_bytes=10)
+    ack_log = str(tmp_path / "acks.jsonl")
+    stream = build_test_decoding_stream(
+        spark, corpus, pk_map, formatter="CSV", operations=("UPDATE",),
+        rows_per_batch=7, ack_log=ack_log,
+    )
+    with pytest.raises(Exception):
+        run_until(stream, w1, str(tmp_path / "ckpt"), done=lambda: False, timeout=60)
+
+    t2 = InMemoryTransport()
+    w2 = KinesisLikeWriter(t2)
+    stream2 = build_test_decoding_stream(
+        spark, corpus, pk_map, formatter="CSV", operations=("UPDATE",),
+        rows_per_batch=7, ack_log=ack_log,
+    )
+    # same checkpoint → resume from last committed batch
+    run_until(
+        stream2, w2, str(tmp_path / "ckpt"),
+        done=lambda: len(_msgs(t2)) >= N_TXNS * MSGS_PER_TXN and w2._agg.num_bytes == 0,
+    )
+    w2.flush_tail()
+
+    batch = format_csv(parse_test_decoding(spark.read.parquet(corpus), pk_map)).collect()
+    expected = {r.fmt_msg for r in batch}
+    delivered = _msgs(t1) + _msgs(t2)
+    assert set(delivered) == expected            # nothing lost
+    assert len(delivered) >= len(expected)       # dups allowed, loss not
+
+
+# ---------- sink unit behavior (reference test_stream.py shape) ----------
+
+def test_backoff_schedule_and_exhaustion():
+    sleeps = []
+    t = InMemoryTransport(fail_times=3)
+    w = KinesisLikeWriter(t, back_off_limit=60, sleep=sleeps.append)
+    w.put_message("x", "1")
+    w.flush_tail()
+    assert sleeps == [0.05, 0.1, 0.2]  # 0.05 × 2ⁿ (reference stream.py:54-66)
+    assert len(t.records) == 1
+
+    t2 = InMemoryTransport(fail_times=100)
+    w2 = KinesisLikeWriter(t2, back_off_limit=0.2, sleep=lambda s: None)
+    w2.put_message("x", "1")
+    with pytest.raises(ProvisionedThroughputExceeded):
+        w2.flush_tail()  # cap exceeded → re-raise (stream.py:73-74)
+
+
+def test_agg_record_size_flush():
+    t = InMemoryTransport()
+    w = KinesisLikeWriter(t, max_agg_bytes=10)
+    assert w.put_message("aaaa", "1") is False   # buffered
+    assert w.put_message("bbbb", "1") is False   # still fits (8 ≤ 10)
+    assert w.put_message("cccc", "1") is True    # overflow → flush previous
+    w.flush_tail()
+    assert [d for _, d in t.records] == [b"aaaa\nbbbb", b"cccc"]
+
+
+def test_send_window_flush():
+    now = [1000.0]
+    t = InMemoryTransport()
+    w = KinesisLikeWriter(t, send_window=13, clock=lambda: now[0], sleep=lambda s: None)
+    w.put_message("a", "1")
+    assert t.records == []
+    now[0] += 14  # window expires; next put triggers the time flush (T3)
+    assert w.put_message(None, None) is True  # even a filtered message flushes (§8.6)
+    assert [d for _, d in t.records] == [b"a"]
+
+
+def test_agg_partition_key_is_first_message_xid():
+    rec = AggRecord()
+    rec.add(b"m1", "42", 1 << 20)
+    rec.add(b"m2", "43", 1 << 20)
+    assert rec.partition_key == "42"  # key of a contained record (stream.py:36)
