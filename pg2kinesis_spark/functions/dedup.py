@@ -81,6 +81,10 @@ def jaccard_pairs(
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df).select("shingle")
         sh = sh.join(hot, "shingle", "left_anti")
+    # sh feeds three consumers (sizes + both join sides) — persist so the
+    # shingle explode runs once, not three times. At cluster scale this
+    # is a checkpoint/DISK_ONLY persist of (doc_id, shingle) pairs.
+    sh = sh.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -137,6 +141,10 @@ def minhash_lsh_pairs(
         F.concat_ws(",", *[F.col(f"mh{band * r + j}").cast("string") for j in range(r)]).alias(f"band{band}")
         for band in range(bands)
     ]
+    # Both self-join sides recompute the signature pipeline; measured
+    # locally, caching these wide rows costs MORE than recomputing the
+    # cheap agg (no ReusedExchange either way). At cluster scale, write
+    # signatures to a table once and self-join that instead.
     banded = sig.select("doc_id", *[F.col(f"mh{i}") for i in range(k)], *band_cols)
     melted = banded.select(
         "doc_id",

@@ -38,6 +38,59 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
+
+def stamp_xid_scalable(df: DataFrame, order_col: str = "lsn", begin_col: str = "begin_xid") -> DataFrame:
+    """Distributed prefix-scan of the BEGIN-xid carry-forward (W1).
+
+    A naive ``last(...) over (order by lsn)`` collapses the whole input
+    into ONE partition (Spark warns 'No Partition Defined for Window') —
+    a cliff at scale. This is the classic two-phase scan instead:
+
+    1. range-partition by ``order_col`` and window WITHIN partitions
+       (parallel),
+    2. collect one summary row per partition (its last BEGIN xid —
+       thousands of rows at most, never data-sized),
+    3. compute each partition's carry-in prefix on the driver and
+       broadcast-join it back.
+
+    Input needs a ``begin_col`` holding the xid on BEGIN rows and NULL
+    elsewhere; output adds ``xid`` (empty string before any BEGIN —
+    reference formatter.py:37).
+    """
+    spark = df.sparkSession
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    parted = (
+        df.repartitionByRange(n_parts, F.col(order_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    parted.persist()
+    # phase 2: one row per partition — (pid, last BEGIN xid in pid)
+    summary = (
+        parted.filter(F.col(begin_col).isNotNull())
+        .groupBy("_pid")
+        .agg(F.expr(f"max_by({begin_col}, {order_col})").alias("last_begin"))
+        .collect()
+    )
+    last_by_pid = {r._pid: r.last_begin for r in summary}
+    # phase 3: carry-in for pid k = last BEGIN of the nearest pid < k
+    carry, cur = {}, ""
+    for pid in range(n_parts):
+        carry[pid] = cur
+        if pid in last_by_pid:
+            cur = last_by_pid[pid]
+    carry_df = F.broadcast(
+        spark.createDataFrame([(p, c) for p, c in carry.items()], "_pid int, _carry string")
+    )
+    w = W.partitionBy("_pid").orderBy(order_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        parted.join(carry_df, "_pid")
+        .withColumn(
+            "xid",
+            F.coalesce(F.last(begin_col, ignorenulls=True).over(w), F.col("_carry")),
+        )
+        .drop("_pid", "_carry")
+    )
+
 # Error templates — byte-identical to reference formatter.py:20-21,79.
 MISSING_TABLE_ERR = 'Unable to locate table: "{}"'
 MISSING_PK_ERR = 'Unable to locate primary key for table "{}"'
@@ -80,15 +133,11 @@ def parse_test_decoding(
 
     if not xid_precomputed:
         # W1: cur_xact starts '' and is replaced by each BEGIN's xid
-        # (reference formatter.py:37,59-60). Prefix scan in lsn order.
-        xid_w = W.orderBy("lsn").rowsBetween(W.unboundedPreceding, W.currentRow)
-        df = df.withColumn(
-            "xid",
-            F.coalesce(
-                F.last(F.when(F.col("tok0") == "BEGIN", F.col("tok1")), ignorenulls=True).over(xid_w),
-                F.lit(""),
-            ),
-        )
+        # (reference formatter.py:37,59-60) — a prefix scan in lsn order,
+        # executed as a parallel two-phase scan (no global window).
+        df = stamp_xid_scalable(
+            df.withColumn("begin_xid", F.when(F.col("tok0") == "BEGIN", F.col("tok1")))
+        ).drop("begin_xid")
 
     is_frame = (F.col("tok0") == "BEGIN") | F.col("tok0").isin(*IGNORED_CHANGES)
     is_table = F.col("tok0") == "table"

@@ -98,6 +98,13 @@ class KinesisLikeWriter:
         self.last_send = self._clock()
         self.put_message_calls = 0
         self.physical_puts = 0
+        # progress metrics (reference Consume counters, __main__.py:72-77)
+        self.cum_msg_count = 0
+        self.cum_msg_size = 0
+        self.msg_window_count = 0
+        self.msg_window_size = 0
+        self._cur_window = 0
+        self.log = None  # set to a callable to receive progress lines (T7)
 
     # -- reference stream.py:32-44 ------------------------------------
     def put_message(self, fmt_msg: str | None, partition_key: str | None) -> bool:
@@ -148,4 +155,31 @@ class KinesisLikeWriter:
         order = [c for c in ("lsn", "change_idx") if c in batch_df.columns]
         for row in batch_df.sort(*order).select("lsn", "xid", "fmt_msg").toLocalIterator():
             self.put_message(row.fmt_msg, str(row.xid) if row.xid is not None else None)
+            self._count_message(len(row.fmt_msg.encode()) if row.fmt_msg else 0, row.xid)
         self.flush_tail()
+
+    # -- reference __main__.py:86-91,106-115 (A1/A2/T7) -----------------
+    def _count_message(self, size: int, xid) -> None:
+        """Cumulative + 10-second-window progress counters; logs and
+        resets the window on each 10 s wall-clock boundary, like the
+        reference's Consume loop."""
+        self.cum_msg_count += 1
+        self.cum_msg_size += size
+        self.msg_window_count += 1
+        self.msg_window_size += size
+        int_time = int(self._clock())
+        if not int_time % 10 and int_time != self._cur_window:
+            if self.log is not None:
+                self.log(
+                    "xid: {:12} win_count:{:>10} win_size:{:>10}mb "
+                    "cum_count:{:>10} cum_size:{:>10}mb".format(
+                        xid,
+                        self.msg_window_count,
+                        self.msg_window_size / 1048576,
+                        self.cum_msg_count,
+                        self.cum_msg_size / 1048576,
+                    )
+                )
+            self._cur_window = int_time
+            self.msg_window_count = 0
+            self.msg_window_size = 0

@@ -1,0 +1,62 @@
+"""CLI driver tests (D1/D2 — reference __main__.py:14-47)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pg2kinesis_spark.__main__ import build_parser, main, validate
+
+
+def test_defaults_match_reference():
+    args = build_parser().parse_args([])
+    assert args.pg_port == "5432"
+    assert args.pg_sslmode == "prefer"
+    assert args.pg_slot_name == "pg2kinesis"
+    assert args.pg_slot_output_plugin == "test_decoding"
+    assert args.stream_name == "pg2kinesis"
+    assert args.message_formatter == "CSVPayload"
+    assert not args.full_change
+
+
+def test_full_change_requires_csvpayload():
+    args = build_parser().parse_args(["--full-change", "--message-formatter", "CSV"])
+    with pytest.raises(AssertionError, match="Full changes must be formatted as JSON."):
+        validate(args)
+
+
+def test_full_change_requires_wal2json():
+    args = build_parser().parse_args(["--full-change"])  # plugin defaults to test_decoding
+    with pytest.raises(AssertionError, match="Full changes must use wal2json."):
+        validate(args)
+
+
+def test_cli_drain_replay(spark, pk_fixture_dir, tmp_path):
+    """End-to-end through the real CLI entry point on a tiny corpus."""
+    corpus = str(tmp_path / "c.parquet")
+    spark.createDataFrame(
+        [
+            (1, 9, "BEGIN 42"),
+            (2, 60, "table public.test_table: INSERT: uuid[uuid]:'a-1'"),
+            (3, 6, "COMMIT"),
+        ],
+        "lsn long, data_size int, payload string",
+    ).coalesce(1).write.parquet(corpus)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        rc = main(
+            [
+                "--source", "replay",
+                "--replay-path", corpus,
+                "--pk-catalog", os.path.join(pk_fixture_dir, "pk_catalog.parquet"),
+                "--transport", "memory",
+                "--operations", "INSERT".lower(),  # lowercase list (§8.4)
+                "--checkpoint", str(tmp_path / "ckpt"),
+                "--drain",
+            ]
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert rc == 0
