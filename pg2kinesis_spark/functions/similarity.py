@@ -90,6 +90,96 @@ def srp_buckets(emb: DataFrame, dim: int, n_bits: int = 8, seed: int = 11) -> Da
     return emb.withColumn("bucket", bucket)
 
 
+def srp_neardup_pairs(emb: DataFrame, dim: int, min_cos: float, n_bits: int = 6, seed: int = 11) -> DataFrame:
+    """Scale path for embedding near-dup: candidate pairs only within an
+    SRP bucket, then exact cosine filter. Recall trades against n_bits
+    (each bit halves bucket size; a true near-dup pair lands in the same
+    bucket with prob (1 - θ/π)^bits for angle θ). The bucket equi-join
+    replaces the N² cross join of cosine_pairs."""
+    b = srp_buckets(emb, dim, n_bits, seed)
+    a = b.alias("a")
+    c = b.alias("b")
+    joined = a.join(
+        c, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    return (
+        with_cosine(joined)
+        .filter(F.col("cos") >= min_cos)
+        .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"), "cos")
+    )
+
+
+def ivf_centroids(emb: DataFrame, n_centroids: int = 16, seed: int = 13, max_iter: int = 10) -> DataFrame:
+    """IVF coarse quantizer: k-means centroids over the corpus
+    (Spark ML KMeans — one pass of distributed Lloyd's per iter).
+    Returns (cid, centroid array<double>)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = emb.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(feats)
+    spark = emb.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return spark.createDataFrame(rows, "cid int, centroid array<double>")
+
+
+def _sqdist(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (cast(x as double) - cast(y as double)) *"
+        f" (cast(x as double) - cast(y as double))), cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid. The centroid table is
+    tiny and broadcast; the 'cross join then min_by' is the standard IVF
+    assignment — corpus×K rows exist only inside one map-side stage."""
+    joined = emb.crossJoin(F.broadcast(centroids))
+    d = _sqdist("embedding", "centroid")
+    return joined.groupBy("vec_id").agg(
+        F.min_by("cid", d).alias("cid"),
+        F.first("embedding").alias("embedding"),
+    )
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 13,
+) -> DataFrame:
+    """IVF ANN: score only vectors whose cell is among the query's
+    ``nprobe`` nearest centroids. At scale the corpus is written
+    partitioned by cid once; each query batch touches nprobe/K of it."""
+    cents = centroids = ivf_centroids(emb, n_centroids, seed)
+    corpus = ivf_assign(emb, centroids).alias("c")
+    qj = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")).crossJoin(
+        F.broadcast(cents)
+    )
+    d = _sqdist("qemb", "centroid")
+    w_probe = W.partitionBy("query_id").orderBy(d, "cid")
+    probes = (
+        qj.withColumn("prnk", F.row_number().over(w_probe))
+        .filter(F.col("prnk") <= nprobe)
+        .select("query_id", "qemb", "cid")
+        .alias("q")
+    )
+    scored = corpus.join(
+        F.broadcast(probes),
+        (F.col("c.cid") == F.col("q.cid")) & (F.col("c.vec_id") != F.col("query_id")),
+    ).withColumn("cos", _dot("qemb", "c.embedding") / (_norm("qemb") * _norm("c.embedding")))
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("c.vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", F.col("c.vec_id").alias("neighbor_id"), "cos", "rnk")
+    )
+
+
 def srp_ann_topk(
     emb: DataFrame, queries: DataFrame, dim: int, k: int = 5, n_bits: int = 8, seed: int = 11
 ) -> DataFrame:

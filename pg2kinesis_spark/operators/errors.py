@@ -18,6 +18,16 @@ class CdcParseError(Exception):
     the reference's _log_and_raise."""
 
 
+def split_errors(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """DLQ routing alternative to fail-stop: (good rows without the error
+    column, error rows). The reference has no DLQ — this is the rebuild's
+    opt-in divergence for pipelines that prefer quarantine over crash."""
+    return (
+        df.filter(F.col("error").isNull()).drop("error"),
+        df.filter(F.col("error").isNotNull()),
+    )
+
+
 def raise_first_error(df: DataFrame, order_col: str = "lsn") -> DataFrame:
     """If any row has a non-null ``error``, raise for the earliest one.
 

@@ -93,7 +93,25 @@ def n14_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id", "frame_idx")
 
 
+def n15_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-means cell assignment is iterative/seeded — rows-only check;
+    # recall + exact-score parity pinned in tests/test_northstar.py.
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return similarity.ivf_ann_topk(emb, queries, k=5, n_centroids=16, nprobe=4).orderBy(
+        "query_id", "rnk"
+    )
+
+
+def n16_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.srp_neardup_pairs(_emb(spark, sf_dir), dim=EMB_DIM, min_cos=0.4, n_bits=4).orderBy(
+        "id1", "id2"
+    )
+
+
 NS_QUERIES = {
+    "n15_ivf_ann_topk": n15_ivf_ann_topk,
+    "n16_srp_neardup": n16_srp_neardup,
     "n1_token_stats": n1_token_stats,
     "n2_quality_score": n2_quality_score,
     "n3_lang_id": n3_lang_id,
@@ -279,6 +297,40 @@ NS_ORACLE_SQL = {
                md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
         FROM fr ORDER BY media_id, frame_idx
     """,
-    # n11_simhash, n12_srp_ann_topk: python-UDF / seeded-plane paths —
-    # rows-only here; determinism + recall pinned in tests/test_northstar.py
+    # n12_srp_ann_topk: sign-of-float-dot bucketing — a 1e-16 summation
+    # difference could flip a bucket across engines, so no SQL oracle;
+    # recall + exact-score parity pinned in tests/test_northstar.py.
 }
+
+
+def _simhash_oracle() -> str:
+    """The pandas-UDF simhash re-derived in pure SQL: same md5-top-64-bit
+    word hash, same per-bit vote, same signed-64 wrap — integer math
+    only, so cross-engine exact."""
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(64)
+    )
+    recompose = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN CAST(1 AS HUGEINT) * {1 << i} ELSE 0 END" for i in range(64)
+    )
+    return f"""
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(string_split(text, ' ')) AS word
+          FROM documents WHERE doc_id < 300
+        ), h AS (
+          SELECT doc_id, ('0x' || substr(md5(word), 1, 16))::UBIGINT AS h FROM w
+        ), acc AS (
+          SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id
+        ), v AS (
+          SELECT doc_id, ({recompose}) AS uv FROM acc
+        )
+        SELECT doc_id,
+               CAST(CASE WHEN uv >= CAST(1 AS HUGEINT) * {1 << 63}
+                         THEN uv - CAST(1 AS HUGEINT) * {1 << 63} * 2
+                         ELSE uv END AS BIGINT) AS simhash
+        FROM v ORDER BY doc_id
+    """
+
+
+NS_ORACLE_SQL["n11_simhash"] = _simhash_oracle()

@@ -77,6 +77,45 @@ def test_srp_ann_scores_match_bruteforce(spark, sf_small):
     assert hits > 0
 
 
+def test_ivf_ann_scores_and_recall(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    brute5 = {(r.query_id, r.neighbor_id) for r in similarity.cosine_topk(emb, queries, k=5).collect()}
+    brute_all = {
+        (r.query_id, r.neighbor_id): r.cos
+        for r in similarity.cosine_topk(emb, queries, k=50).collect()
+    }
+    ivf = similarity.ivf_ann_topk(emb, queries, k=5, n_centroids=8, nprobe=4).collect()
+    assert len(ivf) > 0
+    for r in ivf:  # any returned score must equal the exact cosine
+        key = (r.query_id, r.neighbor_id)
+        if key in brute_all:
+            assert abs(brute_all[key] - r.cos) < 1e-12
+    hits = sum(1 for r in ivf if (r.query_id, r.neighbor_id) in brute5)
+    assert hits / len(brute5) > 0.3  # nprobe=4 of 8 cells → decent recall
+
+
+def test_srp_neardup_is_subset_of_bruteforce(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    brute = {(r.id1, r.id2) for r in similarity.cosine_pairs(emb, min_cos=0.4).collect()}
+    approx = {(r.id1, r.id2) for r in similarity.srp_neardup_pairs(emb, dim=64, min_cos=0.4, n_bits=4).collect()}
+    assert approx <= brute  # never a false positive (exact re-check)
+    if brute:
+        assert len(approx) > 0  # and it finds some of them at 4 bits
+
+
+def test_split_errors_routes_dlq(spark):
+    from pg2kinesis_spark.operators.errors import split_errors
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "boom"), (3, None)], "lsn long, error string"
+    )
+    good, bad = split_errors(df)
+    assert [r.lsn for r in good.orderBy("lsn").collect()] == [1, 3]
+    assert "error" not in good.columns
+    assert [r.lsn for r in bad.collect()] == [2]
+
+
 def test_lang_id_markers(spark):
     df = spark.createDataFrame(
         [(1, "le chat et les des le la"), (2, "der hund und die nicht das")],
