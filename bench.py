@@ -25,6 +25,7 @@ BENCH_QUERIES = [
     "q23_array_aggregate",# array lambda over embeddings
     "n5_dedup_exact",     # content-hash dedup over documents
     "n9_cosine_topk",     # brute-force ANN baseline
+    "q26_asof_join",      # as-of join over 100k events (union+window)
 ]
 
 

@@ -23,6 +23,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The DuckDB oracle renders timestamps in UTC; pin the session tz so
+    # results are oracle-comparable even when the harness built the
+    # session with different defaults.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
