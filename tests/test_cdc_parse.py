@@ -297,6 +297,36 @@ def test_end_to_end_test_decoding_csv(spark, pk_map):
     assert rows[0].fmt_msg == f"0,CDC,1337,public.test_table,UPDATE,{UUID}"
 
 
+def test_csvpayload_fullchange_golden(spark, pk_map):
+    # FullChange._asdict() → {'xid':…, 'change': <raw dict>} with JSON
+    # value types preserved through VARIANT (formatter.py:13,161-163).
+    from pg2kinesis_spark.operators.formatters import format_csvpayload
+
+    change = _chg(names=("uuid", "n"), types=("uuid", "int4"), values=(UUID, 42))
+    parsed = parse_wal2json(_raw(spark, [_w2j(1337, change)]), full_change=True)
+    row = format_csvpayload(parsed, full_change=True).collect()[0]
+    assert row.fmt_msg.startswith("0,CDC,")
+    payload = json.loads(row.fmt_msg.split(",", 2)[-1])
+    assert payload["xid"] == 1337
+    assert payload["change"] == change  # ints stay ints, not strings
+
+
+def test_unicode_table_and_pkey(spark):
+    # Python's re treats \w as unicode; the (?U) prefix gives Java regex
+    # the same semantics (SURVEY §1.3 unicode note).
+    catalog = spark.createDataFrame(
+        [("public.タグ", "名前", "text", 0)],
+        "table_name string, col_name string, col_type string, col_ord_pos int",
+    )
+    pk = primary_key_map(catalog)
+    rows = parse_test_decoding(
+        _raw(spark, ["BEGIN 5", "table public.タグ: INSERT: 名前[text]:'値-1'"]), pk
+    ).collect()
+    assert rows[0].table == "public.タグ"
+    assert rows[0].pkey == "値-1"
+    assert rows[0].error is None
+
+
 # ---------- operation filter (P6 / §8.4 / §8.6) ----------
 
 def test_expand_all():
