@@ -1,0 +1,59 @@
+"""Physical-plan regression guards: the optimizations SURVEY §4 promises
+must actually appear in the executed plans (pushdown, pruning, broadcast,
+partial aggregation, no global window in the scalable prefix scan)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pg2kinesis_spark.plans.queries import q2, q3, q13
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q13_partial_final_aggregate(spark, sf_small):
+    plan = _plan(q13(spark, sf_small))
+    assert plan.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_q13_column_pruning(spark, sf_small):
+    plan = _plan(q13(spark, sf_small))
+    scan = [l for l in plan.splitlines() if "FileScan" in l or "Scan parquet" in l]
+    assert scan, plan
+    # only the 4 referenced columns reach the scan
+    assert "l_quantity" in scan[0] and "l_shipdate" not in scan[0]
+
+
+def test_q2_broadcast_join_and_pushdown(spark, sf_small):
+    plan = _plan(q2(spark, sf_small))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # small sides must broadcast
+    assert "EqualTo(l_linenumber,1)" in plan  # filter pushed to the scan
+
+
+def test_q3_filter_pushdown_prunes_scan(spark, sf_small):
+    plan = _plan(q3(spark, sf_small))
+    scan = [l for l in plan.splitlines() if "FileScan" in l or "Scan parquet" in l]
+    assert "p_retailprice" not in scan[0]  # pruned
+
+
+def test_td_parse_has_no_global_window(spark, pk_fixture_dir):
+    """The xid carry-forward must never plan a single-partition global
+    window (the scale cliff the two-phase scan exists to avoid)."""
+    from pg2kinesis_spark.catalog import primary_key_map
+    from pg2kinesis_spark.operators.test_decoding import parse_test_decoding
+
+    raw = spark.read.parquet(f"{pk_fixture_dir}/cdc_test_decoding.parquet")
+    pk = primary_key_map(spark.read.parquet(f"{pk_fixture_dir}/pk_catalog.parquet"))
+    plan = _plan(parse_test_decoding(raw, pk))
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            # every window spec must be partitioned (by _pid)
+            assert "_pid" in line, line
+    assert "BroadcastHashJoin" in plan  # catalog probe stays broadcast
