@@ -1,0 +1,67 @@
+"""Deterministic sampling & selection for training-data pipelines.
+
+- ``hash_sample``: reproducible p% sampling by content/key hash — the
+  only sampling that is stable across engines, partitionings, cluster
+  sizes, and reruns (``df.sample`` is none of those). The standard way
+  to carve train/val/test splits at 100 TB: no shuffle, pure filter,
+  fully pushdown-friendly.
+- ``token_budget_select``: greedy quality-ranked selection under a total
+  token budget — rank documents by a score, keep the prefix whose
+  cumulative token count fits the budget. One sort + one running-sum
+  window; at scale the sort is a range-partitioned global sort (Spark's
+  default), not a single-partition collapse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+HASH60 = "cast(conv(substr(md5({x}), 1, 15), 16, 10) as bigint)"
+
+
+def hash_bucket(col: str, buckets: int = 100) -> Column:
+    """Stable bucket in [0, buckets) from the md5-based 60-bit hash —
+    cross-engine reproducible (DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT)."""
+    return F.expr(f"pmod({HASH60.format(x=col)}, {buckets})")
+
+
+def hash_sample(df: DataFrame, col: str, pct: int, buckets: int = 100) -> DataFrame:
+    """Keep rows whose hash bucket < pct — a deterministic pct% sample."""
+    return df.filter(hash_bucket(col, buckets) < pct)
+
+
+def train_val_test_split(
+    df: DataFrame, col: str, val_pct: int = 10, test_pct: int = 10
+) -> DataFrame:
+    """Adds a stable 'split' column: train/val/test by key hash."""
+    b = hash_bucket(col, 100)
+    return df.withColumn(
+        "split",
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    score: Column,
+    n_tokens: Column,
+    budget: int,
+) -> DataFrame:
+    """Highest-scoring documents whose cumulative token count fits
+    ``budget`` (ties broken by doc_id for determinism).
+
+    Returns (doc_id, n_tokens, score, cum_tokens) for the selected set.
+    """
+    ranked = docs.select(
+        "doc_id", n_tokens.alias("n_tokens"), score.alias("score")
+    )
+    w = W.orderBy(F.col("score").desc(), F.col("doc_id")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        ranked.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pg2kinesis_spark.functions import dedup, multimodal, similarity, text
+from pg2kinesis_spark.functions import dedup, multimodal, sampling, similarity, text
 from pg2kinesis_spark.functions.dedup import MERSENNE31, minhash_params
 from pg2kinesis_spark.io import load_table
 
@@ -109,9 +109,29 @@ def n16_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def n17_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% sample + stable train/val/test split by text hash."""
+    docs = sampling.train_val_test_split(_docs(spark, sf_dir), "text")
+    return (
+        sampling.hash_sample(docs, "text", pct=20)
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+def n18_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked corpus selection under a 10k-token budget."""
+    q = text.quality_score(_docs(spark, sf_dir))
+    return sampling.token_budget_select(
+        q, score=F.col("quality"), n_tokens=F.col("n_tokens"), budget=10_000
+    ).select("doc_id", "n_tokens", "cum_tokens").orderBy("doc_id")
+
+
 NS_QUERIES = {
     "n15_ivf_ann_topk": n15_ivf_ann_topk,
     "n16_srp_neardup": n16_srp_neardup,
+    "n17_hash_sample": n17_hash_sample,
+    "n18_token_budget": n18_token_budget,
     "n1_token_stats": n1_token_stats,
     "n2_quality_score": n2_quality_score,
     "n3_lang_id": n3_lang_id,
@@ -184,7 +204,44 @@ ORDER BY 1, 2
 """
 
 
+_QUALITY_CTE = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n,
+         len(list_filter(string_split(text, ' '), w -> list_contains([{{stop}}], w))) AS stop,
+         list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'sum') AS wlen
+  FROM documents
+)
+"""
+
 NS_ORACLE_SQL = {
+    "n17_hash_sample": f"""
+        WITH d AS (
+          SELECT doc_id,
+                 (('0x' || substr(md5(text), 1, 15))::BIGINT) % 100 AS b
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN b < 10 THEN 'test'
+                    WHEN b < 20 THEN 'val'
+                    ELSE 'train' END AS split
+        FROM d WHERE b < 20 ORDER BY doc_id
+    """,
+    "n18_token_budget": _QUALITY_CTE.format(stop=_STOP_LIT) + """
+        , ranked AS (
+          SELECT doc_id, n AS n_tokens,
+                 least(n / 100.0, 1.0) * 0.3 + (1 - stop / n) * 0.4
+                   + least((wlen / n) / 10.0, 1.0) * 0.3 AS score
+          FROM d
+        ), c AS (
+          SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+          FROM ranked
+        )
+        SELECT doc_id, n_tokens, cum_tokens FROM c
+        WHERE cum_tokens <= 10000 ORDER BY doc_id
+    """,
     "n1_token_stats": f"""
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tokens,
