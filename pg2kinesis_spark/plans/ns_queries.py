@@ -127,11 +127,29 @@ def n18_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_tokens", "cum_tokens").orderBy("doc_id")
 
 
+def n19_udaf_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2kinesis_spark.functions.udx import quality_by_lang_udaf
+
+    docs = _docs(spark, sf_dir)
+    return quality_by_lang_udaf(text.quality_score(docs), docs).orderBy("lang")
+
+
+def n20_udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pg2kinesis_spark.functions.udx import doc_bigrams_udtf
+
+    return (
+        doc_bigrams_udtf(_docs(spark, sf_dir).filter(F.col("doc_id") < 50))
+        .orderBy("doc_id", "pos")
+    )
+
+
 NS_QUERIES = {
     "n15_ivf_ann_topk": n15_ivf_ann_topk,
     "n16_srp_neardup": n16_srp_neardup,
     "n17_hash_sample": n17_hash_sample,
     "n18_token_budget": n18_token_budget,
+    "n19_udaf_quality_by_lang": n19_udaf_quality_by_lang,
+    "n20_udtf_bigrams": n20_udtf_bigrams,
     "n1_token_stats": n1_token_stats,
     "n2_quality_score": n2_quality_score,
     "n3_lang_id": n3_lang_id,
@@ -215,6 +233,30 @@ WITH d AS (
 """
 
 NS_ORACLE_SQL = {
+    "n19_udaf_quality_by_lang": _QUALITY_CTE.format(stop=_STOP_LIT) + """
+        , q AS (
+          SELECT d.doc_id, d.n AS n_tokens,
+                 least(n / 100.0, 1.0) * 0.3 + (1 - stop / n) * 0.4
+                   + least((wlen / n) / 10.0, 1.0) * 0.3 AS quality,
+                 doc.lang
+          FROM d JOIN documents doc USING (doc_id)
+        )
+        SELECT lang,
+               SUM(quality * n_tokens) / SUM(n_tokens) AS wq,
+               COUNT(*) AS n_docs
+        FROM q GROUP BY lang ORDER BY lang
+    """,
+    "n20_udtf_bigrams": """
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents WHERE doc_id < 50
+        )
+        SELECT doc_id,
+               CAST(i - 1 AS INT) AS pos,
+               ws[i] || ' ' || ws[i + 1] AS bigram
+        FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+        ORDER BY doc_id, pos
+    """,
     "n17_hash_sample": f"""
         WITH d AS (
           SELECT doc_id,
