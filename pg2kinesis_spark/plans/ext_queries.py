@@ -125,7 +125,28 @@ def q31_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q32_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic window family in one query: ntile,
+    percent_rank, cume_dist, first_value, nth_value."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("prank"),
+            F.cume_dist().over(w).alias("cdist"),
+            F.first("o_totalprice").over(w).alias("cheapest"),
+            F.nth_value("o_totalprice", 2).over(w).alias("second_cheapest"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+        .limit(2000)
+    )
+
+
 EXT_QUERIES = {
+    "q32_analytic_windows": q32_analytic_windows,
     "q24_pivot": q24_pivot,
     "q25_grouping_sets": q25_grouping_sets,
     "q26_asof_join": q26_asof_join,
@@ -137,6 +158,17 @@ EXT_QUERIES = {
 }
 
 EXT_ORACLE_SQL = {
+    "q32_analytic_windows": """
+        SELECT o_custkey, o_orderkey,
+               NTILE(4) OVER w AS quartile,
+               PERCENT_RANK() OVER w AS prank,
+               CUME_DIST() OVER w AS cdist,
+               FIRST_VALUE(o_totalprice) OVER w AS cheapest,
+               NTH_VALUE(o_totalprice, 2) OVER w AS second_cheapest
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_custkey, o_orderkey LIMIT 2000
+    """,
     "q24_pivot": """
         SELECT l_returnflag,
                SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_o,

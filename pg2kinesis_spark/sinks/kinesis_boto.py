@@ -29,15 +29,21 @@ except ImportError:  # pragma: no cover - not installed in test env
 from pg2kinesis_spark.sinks.kinesis import ProvisionedThroughputExceeded
 
 
-class BotoKinesisTransport:  # pragma: no cover - needs AWS
-    def __init__(self, stream_name: str, region_name: str | None = None, shard_count: int = 1):
+class BotoKinesisTransport:
+    def __init__(
+        self,
+        stream_name: str,
+        region_name: str | None = None,
+        shard_count: int = 1,
+        client=None,
+    ):
         if not HAVE_BOTO3:
             raise ImportError(
                 "boto3 is required for the Kinesis transport; use "
                 "InMemoryTransport in environments without it"
             )
         self.stream_name = stream_name
-        self.client = boto3.client("kinesis", region_name=region_name)
+        self.client = client or boto3.client("kinesis", region_name=region_name)
         try:
             self.client.create_stream(StreamName=stream_name, ShardCount=shard_count)
         except ClientError as e:
