@@ -54,14 +54,37 @@ def token_budget_select(
     ``budget`` (ties broken by doc_id for determinism).
 
     Returns (doc_id, n_tokens, score, cum_tokens) for the selected set.
+
+    The cumulative sum over a global ordering is computed as a two-phase
+    distributed scan (same pattern as the CDC xid prefix scan): range-
+    partition by (score desc, doc_id), cumsum WITHIN partitions in
+    parallel, then add each partition's carry-in offset (one tiny
+    collected summary row per partition) — no single-partition window.
     """
-    ranked = docs.select(
-        "doc_id", n_tokens.alias("n_tokens"), score.alias("score")
+    ranked = docs.select("doc_id", n_tokens.alias("n_tokens"), score.alias("score"))
+    spark = docs.sparkSession
+    n_parts = max(2, spark.sparkContext.defaultParallelism)
+    parted = ranked.repartitionByRange(
+        n_parts, F.col("score").desc(), F.col("doc_id")
+    ).withColumn("_pid", F.spark_partition_id())
+    parted.persist()
+    sums = {
+        r._pid: r.s
+        for r in parted.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in range(n_parts):
+        offsets[pid] = acc
+        acc += sums.get(pid, 0)
+    off = F.broadcast(
+        spark.createDataFrame([(p, o) for p, o in offsets.items()], "_pid int, _off long")
     )
-    w = W.orderBy(F.col("score").desc(), F.col("doc_id")).rowsBetween(
+    w = W.partitionBy("_pid").orderBy(F.col("score").desc(), F.col("doc_id")).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     return (
-        ranked.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        parted.join(off, "_pid")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w) + F.col("_off"))
         .filter(F.col("cum_tokens") <= budget)
+        .drop("_pid", "_off")
     )
