@@ -111,7 +111,11 @@ def build_wal2json_stream(
     raw = read_replay_stream(spark, corpus_path, rows_per_batch, ack_log)
     parsed = parse_wal2json(raw, pk_map, table_pat, full_change=full_change)
     if full_change:
-        return format_csvpayload(parsed, full_change=True)
+        # FullChange messages are operation-filtered too — on the RAW
+        # kind (FullChange.operation, reference formatter.py:14;
+        # filter at __main__.py:97-99).
+        msgs = format_csvpayload(parsed, full_change=True)
+        return filter_operations(msgs, operations)
     parsed = parsed.drop("error")
     msgs = format_csv(parsed) if formatter == "CSV" else format_csvpayload(parsed)
     return filter_operations(msgs, operations)

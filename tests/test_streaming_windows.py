@@ -108,6 +108,43 @@ def test_sq3_session_window(spark, events_dir, tmp_path):
         assert b[(r.ws, r.user_id)] == r.cnt
 
 
+def test_wal2json_fullchange_stream(spark, pk_fixture_dir, tmp_path):
+    """Full-change mode end-to-end in streaming: unvalidated passthrough,
+    CSVPayload envelope with the raw change dict."""
+    import json
+
+    from pg2kinesis_spark.sinks.kinesis import InMemoryTransport, KinesisLikeWriter
+    from pg2kinesis_spark.streaming.pipeline import build_wal2json_stream, run_until
+
+    corpus = f"{pk_fixture_dir}/cdc_wal2json.parquet"
+    n_changes = 2682  # every change in the corpus (no catalog validation)
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        transport = InMemoryTransport()
+        writer = KinesisLikeWriter(transport)
+        stream = build_wal2json_stream(
+            spark, corpus, pk_map=None, full_change=True, rows_per_batch=3000,
+        )
+        run_until(
+            stream, writer, str(tmp_path / "ckpt"),
+            done=lambda: writer.put_message_calls >= n_changes,
+        )
+        writer.flush_tail()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+    msgs = [m.decode() for _, data in transport.records for m in data.split(b"\n")]
+    assert len(msgs) == n_changes
+    first = json.loads(msgs[0].split(",", 2)[-1])
+    assert set(first) == {"xid", "change"}
+    assert isinstance(first["xid"], int)
+    assert {"kind", "schema", "table", "columnnames", "columntypes", "columnvalues"} <= set(
+        first["change"]
+    )
+
+
 def test_wal2json_stream_matches_batch(spark, pk_fixture_dir, tmp_path):
     """wal2json streaming (stateless per-message xid) over the committed
     fixture corpus equals the batch parse."""
