@@ -281,7 +281,8 @@ NS_ORACLE_SQL = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
           FROM ranked
         )
-        SELECT doc_id, n_tokens, cum_tokens FROM c
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c
         WHERE cum_tokens <= 10000 ORDER BY doc_id
     """,
     "n1_token_stats": f"""
@@ -330,7 +331,7 @@ NS_ORACLE_SQL = {
                  unnest(string_split(text, ' ')) AS w
           FROM documents
         )
-        SELECT doc_id, sum(pos * ({_H60.format(x='w')} % 1000003)) AS fp
+        SELECT doc_id, CAST(sum(pos * ({_H60.format(x='w')} % 1000003)) AS BIGINT) AS fp
         FROM e GROUP BY doc_id ORDER BY doc_id
     """,
     "n5_dedup_exact": """
