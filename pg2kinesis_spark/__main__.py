@@ -76,6 +76,7 @@ def main(argv: list[str] | None = None) -> int:
     from pg2kinesis_spark.streaming.pipeline import (
         build_test_decoding_stream,
         build_wal2json_stream,
+        read_pgcdc_stream,
         run_to_sink,
         run_until,
     )
@@ -99,7 +100,11 @@ def main(argv: list[str] | None = None) -> int:
         catalog = spark.createDataFrame(
             catalog_rows, "table_name string, col_name string, col_type string, col_ord_pos int"
         )
-        corpus = None  # live source path wired via format("pgcdc") below
+        # Live source (S1): the raw stream DataFrame itself is the source
+        # handle the builders consume (reference __main__.py:49-69 wiring).
+        corpus = read_pgcdc_stream(
+            spark, dsn, args.pg_slot_name, args.pg_slot_output_plugin, args.rows_per_batch
+        )
     else:
         assert args.replay_path and args.pk_catalog, "--source replay needs --replay-path and --pk-catalog"
         catalog = spark.read.parquet(args.pk_catalog)

@@ -33,6 +33,8 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass, field
 
+from pg2kinesis_spark.operators.errors import CdcParseError
+
 
 class ProvisionedThroughputExceeded(Exception):
     """Transport signals backpressure — triggers the backoff loop."""
@@ -153,7 +155,20 @@ class KinesisLikeWriter:
         be arbitrarily wide upstream — only this drain is serial.
         """
         order = [c for c in ("lsn", "change_idx") if c in batch_df.columns]
-        for row in batch_df.sort(*order).select("lsn", "xid", "fmt_msg").toLocalIterator():
+        cols = ["lsn", "xid", "fmt_msg"]
+        has_error = "error" in batch_df.columns
+        if has_error:
+            cols.append("error")
+        for row in batch_df.sort(*order).select(*cols).toLocalIterator():
+            if has_error and row.error is not None:
+                # Fail-stop (§8.5): the reference's _log_and_raise kills
+                # the stream on the first bad message (formatter.py:134-137).
+                # Rows are drained in LSN order, so this is the earliest
+                # error; messages before it were already put — same as the
+                # reference's sequential loop, still at-least-once.
+                if self.log is not None:
+                    self.log(row.error)
+                raise CdcParseError(row.error)
             self.put_message(row.fmt_msg, str(row.xid) if row.xid is not None else None)
             self._count_message(len(row.fmt_msg.encode()) if row.fmt_msg else 0, row.xid)
         self.flush_tail()

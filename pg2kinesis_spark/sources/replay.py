@@ -54,16 +54,34 @@ class CdcReplayStreamReader(DataSourceStreamReader):
         lsns = self._all_lsns()
         return {"lsn": (lsns[0] - 1) if lsns else 0}
 
+    def _recovered_cursor(self) -> int | None:
+        """After a restart the in-memory cursor is gone; the last acked
+        LSN in the ack log is the durable low-water mark (the analogue of
+        the slot's confirmed_flush_lsn). Without it, a restart whose
+        every batch was committed would re-serve the whole corpus and
+        append regressing acks."""
+        if not self.ack_log or not os.path.exists(self.ack_log):
+            return None
+        last = None
+        with open(self.ack_log) as f:
+            for line in f:
+                if line.strip():
+                    last = json.loads(line)["acked_lsn"]
+        return last
+
     def latestOffset(self) -> dict:
         # Advance by at most rows_per_batch messages per trigger — the
         # backpressure knob (maxOffsetsPerTrigger analogue, T4). The
         # cursor lives on the driver for the lifetime of the query; after
-        # a restart, partitions() re-syncs it from the checkpointed start.
+        # a restart it is recovered from the ack log (commit watermark),
+        # and partitions() re-syncs it from the checkpointed start.
         import bisect
 
         lsns = self._all_lsns()
         if not lsns:
             return {"lsn": 0}
+        if self._cursor is None:
+            self._cursor = self._recovered_cursor()
         cur = self._cursor if self._cursor is not None else lsns[0] - 1
         i = bisect.bisect_right(lsns, cur)
         j = min(i + self.rows_per_batch, len(lsns))

@@ -77,9 +77,47 @@ def read_replay_stream(spark: SparkSession, corpus_path: str, rows_per_batch: in
     return reader.load()
 
 
+def read_pgcdc_stream(
+    spark: SparkSession,
+    dsn: str,
+    slot: str = "pg2kinesis",
+    plugin: str = "test_decoding",
+    rows_per_batch: int = 1000,
+) -> DataFrame:
+    """Live source (S1): registers the pgcdc Python DataSource and builds
+    the stream DataFrame. Schema resolution needs no Postgres connection —
+    psycopg2 is only required once the query starts polling the slot
+    (reference slot.py:122-129 is the equivalent blocking loop)."""
+    from pg2kinesis_spark.sources.pgcdc import PgCdcDataSource
+
+    spark.dataSource.register(PgCdcDataSource)
+    return (
+        spark.readStream.format("pgcdc")
+        .option("dsn", dsn)
+        .option("slot", slot)
+        .option("plugin", plugin)
+        .option("rowsperbatch", str(rows_per_batch))
+        .load()
+    )
+
+
+def _raw_stream(spark, source, rows_per_batch, ack_log) -> DataFrame:
+    """Source dispatch: a pre-built streaming DataFrame (pgcdc or any
+    other registered source) passes through; a string is a replay corpus
+    path. Never constructs the replay reader with path=None."""
+    if isinstance(source, DataFrame):
+        return source
+    if not source:
+        raise ValueError(
+            "source must be a streaming DataFrame (e.g. read_pgcdc_stream) "
+            "or a replay corpus path"
+        )
+    return read_replay_stream(spark, source, rows_per_batch, ack_log)
+
+
 def build_test_decoding_stream(
     spark: SparkSession,
-    corpus_path: str,
+    source,
     pk_map: DataFrame,
     formatter: str = "CSV",
     operations: tuple[str, ...] = ("all",),
@@ -87,17 +125,20 @@ def build_test_decoding_stream(
     rows_per_batch: int = 1000,
     ack_log: str | None = None,
 ) -> DataFrame:
-    raw = read_replay_stream(spark, corpus_path, rows_per_batch, ack_log)
+    """``source``: replay corpus path (str) or a pre-built raw streaming
+    DataFrame (read_pgcdc_stream). The ``error`` column rides to the sink,
+    where KinesisLikeWriter fail-stops on the earliest error LSN —
+    the reference's _log_and_raise (formatter.py:134-137, §8.5)."""
+    raw = _raw_stream(spark, source, rows_per_batch, ack_log)
     stamped = stamp_xid_stateful(raw)
     parsed = parse_test_decoding(stamped, pk_map, table_pat, xid_precomputed=True)
-    parsed = parsed.drop("error")  # fail-stop errors surface in the sink batch
     msgs = format_csv(parsed) if formatter == "CSV" else format_csvpayload(parsed)
     return filter_operations(msgs, operations)
 
 
 def build_wal2json_stream(
     spark: SparkSession,
-    corpus_path: str,
+    source,
     pk_map: DataFrame | None,
     formatter: str = "CSVPayload",
     operations: tuple[str, ...] = ("all",),
@@ -108,15 +149,15 @@ def build_wal2json_stream(
 ) -> DataFrame:
     # wal2json needs no cross-batch state: each message carries its xid
     # (reference formatter.py:110).
-    raw = read_replay_stream(spark, corpus_path, rows_per_batch, ack_log)
+    raw = _raw_stream(spark, source, rows_per_batch, ack_log)
     parsed = parse_wal2json(raw, pk_map, table_pat, full_change=full_change)
     if full_change:
         # FullChange messages are operation-filtered too — on the RAW
         # kind (FullChange.operation, reference formatter.py:14;
-        # filter at __main__.py:97-99).
+        # filter at __main__.py:97-99). Full-change skips validation
+        # (P10) so there is no error column to carry.
         msgs = format_csvpayload(parsed, full_change=True)
         return filter_operations(msgs, operations)
-    parsed = parsed.drop("error")
     msgs = format_csv(parsed) if formatter == "CSV" else format_csvpayload(parsed)
     return filter_operations(msgs, operations)
 

@@ -60,3 +60,46 @@ def test_cli_drain_replay(spark, pk_fixture_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert rc == 0
+
+
+def test_pgcdc_stream_builds_without_pg(spark):
+    """--source pgcdc wiring (D3 live branch): the source registers and
+    the stream DataFrame resolves its schema with no live Postgres —
+    psycopg2 is only needed once the query starts polling the slot."""
+    from pg2kinesis_spark.streaming.pipeline import read_pgcdc_stream
+
+    df = read_pgcdc_stream(spark, "dbname=x host=y port=5432 user=u", "slot1", "wal2json", 500)
+    assert df.isStreaming
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema.fields] == [
+        ("lsn", "bigint"),
+        ("data_size", "int"),
+        ("payload", "string"),
+    ]
+
+
+def test_pgcdc_stream_feeds_builders(spark):
+    """The live raw stream plugs into the same parse/format builders the
+    replay path uses (no path=None replay construction)."""
+    from pg2kinesis_spark.catalog import primary_key_map
+    from pg2kinesis_spark.streaming.pipeline import build_test_decoding_stream, read_pgcdc_stream
+
+    catalog = spark.createDataFrame(
+        [("public.t", "id", "integer", 0)],
+        "table_name string, col_name string, col_type string, col_ord_pos int",
+    )
+    raw = read_pgcdc_stream(spark, "dbname=x", "slot1", "test_decoding", 100)
+    stream = build_test_decoding_stream(spark, raw, primary_key_map(catalog))
+    assert stream.isStreaming
+    assert {"lsn", "xid", "fmt_msg", "error"} <= set(stream.columns)
+
+
+def test_replay_builder_rejects_missing_path(spark):
+    from pg2kinesis_spark.catalog import primary_key_map
+    from pg2kinesis_spark.streaming.pipeline import build_test_decoding_stream
+
+    catalog = spark.createDataFrame(
+        [("public.t", "id", "integer", 0)],
+        "table_name string, col_name string, col_type string, col_ord_pos int",
+    )
+    with pytest.raises(ValueError, match="streaming DataFrame .* or a replay corpus path"):
+        build_test_decoding_stream(spark, None, primary_key_map(catalog))

@@ -223,3 +223,26 @@ def test_agg_partition_key_is_first_message_xid():
     rec.add(b"m1", "42", 1 << 20)
     rec.add(b"m2", "43", 1 << 20)
     assert rec.partition_key == "42"  # key of a contained record (stream.py:36)
+
+
+def test_unknown_table_fails_stream(spark, pk_map, tmp_path, few_shuffles):
+    """Fail-stop error channel (§8.5): a change for a table missing from
+    the PK catalog must kill the stream with the reference's
+    _log_and_raise message — never be silently published truncated."""
+    lines = [
+        (1, "BEGIN 7"),
+        (3, "table public.test_table: UPDATE: uuid[uuid]:'a-1'"),
+        (5, "table public.never_seen: UPDATE: id[integer]:'5'"),
+        (7, "COMMIT"),
+    ]
+    corpus = str(tmp_path / "bad.parquet")
+    spark.createDataFrame(
+        [(l, len(p.encode()), p) for l, p in lines], "lsn long, data_size int, payload string"
+    ).coalesce(1).write.parquet(corpus)
+    transport = InMemoryTransport()
+    writer = KinesisLikeWriter(transport)
+    stream = build_test_decoding_stream(
+        spark, corpus, pk_map, formatter="CSV", operations=("UPDATE",), rows_per_batch=10,
+    )
+    with pytest.raises(Exception, match="Unable to locate table"):
+        run_until(stream, writer, str(tmp_path / "ckpt"), done=lambda: False, timeout=90)
