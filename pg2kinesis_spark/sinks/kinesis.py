@@ -42,10 +42,21 @@ class ProvisionedThroughputExceeded(Exception):
 
 @dataclass
 class AggRecord:
-    """A KPL-style aggregate: many user records, one transport record."""
+    """A KPL aggregate: many user records, one transport record.
+
+    The aggregate's partition key is the key of the first contained
+    record (reference stream.py:36); serialize() emits the public KPL
+    aggregated-record wire format (magic + protobuf + md5) that standard
+    Kinesis consumer deaggregators read — the same format the
+    reference's aws_kinesis_agg dependency produces (stream.py:16).
+    ``num_bytes`` counts user-message bytes; the KPL framing overhead is
+    a few bytes per record, which is why max_agg_bytes defaults a little
+    under the 1 MiB Kinesis record limit.
+    """
 
     partition_key: str | None = None
     messages: list[bytes] = field(default_factory=list)
+    keys: list[str] = field(default_factory=list)
     num_bytes: int = 0
 
     def add(self, msg: bytes, partition_key: str, max_bytes: int) -> bool:
@@ -54,11 +65,14 @@ class AggRecord:
         if self.num_bytes + len(msg) > max_bytes and self.messages:
             return False
         self.messages.append(msg)
+        self.keys.append(partition_key)
         self.num_bytes += len(msg)
         return True
 
     def serialize(self) -> bytes:
-        return b"\n".join(self.messages)
+        from pg2kinesis_spark.sinks.kpl import serialize_kpl
+
+        return serialize_kpl(list(zip(self.keys, self.messages)))
 
 
 class InMemoryTransport:
@@ -86,7 +100,7 @@ class KinesisLikeWriter:
         transport,
         send_window: int = 13,
         back_off_limit: int = 60,
-        max_agg_bytes: int = 1 << 20,
+        max_agg_bytes: int = (1 << 20) - (16 << 10),
         sleep=time.sleep,
         clock=time.time,
     ):

@@ -1,0 +1,108 @@
+"""KPL aggregated-record wire format tests.
+
+The reference ships aggregates in the aws_kinesis_agg format
+(reference stream.py:16,36): magic + protobuf AggregatedRecord + md5.
+These tests pin that a consumer-side deaggregator can read the sink's
+bytes — round-trip, hand-computed golden bytes, checksum rejection, and
+the exact on-wire Data blob through the boto3 transport.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from pg2kinesis_spark.sinks.kinesis import AggRecord
+from pg2kinesis_spark.sinks.kpl import KPL_MAGIC, deaggregate_kpl, serialize_kpl
+
+
+def test_round_trip_preserves_messages_and_keys():
+    records = [("42", b"0,CDC,42,public.t,insert,1"), ("42", b"m2"), ("43", b"m3"), ("", b"")]
+    assert deaggregate_kpl(serialize_kpl(records)) == records
+
+
+def test_golden_bytes_single_record():
+    """Hand-derived protobuf: key table entry '1' (tag 0x0A), one Record
+    (tag 0x1A) holding pk_index=0 (tag 0x08) and data b'a' (tag 0x1A)."""
+    payload = b"\x0a\x011" + b"\x1a\x05\x08\x00\x1a\x01a"
+    expected = KPL_MAGIC + payload + hashlib.md5(payload).digest()
+    assert serialize_kpl([("1", b"a")]) == expected
+
+
+def test_partition_key_table_dedup():
+    blob = serialize_kpl([("k", b"a"), ("k", b"b"), ("k", b"c")])
+    # one table entry, not three: 'k' appears exactly once in the payload
+    assert blob[4:-16].count(b"\x0a\x01k") == 1
+    assert deaggregate_kpl(blob) == [("k", b"a"), ("k", b"b"), ("k", b"c")]
+
+
+def test_bad_magic_and_checksum_rejected():
+    blob = serialize_kpl([("1", b"a")])
+    with pytest.raises(ValueError, match="bad magic"):
+        deaggregate_kpl(b"XXXX" + blob[4:])
+    tampered = blob[:-16] + b"\x00" * 16
+    with pytest.raises(ValueError, match="checksum"):
+        deaggregate_kpl(tampered)
+
+
+def test_varint_lengths_above_127_bytes():
+    big = b"x" * 300  # forces multi-byte varint lengths
+    records = [("key-longer-than-a-varint-boundary" * 5, big)] * 3
+    assert deaggregate_kpl(serialize_kpl(records)) == records
+
+
+def test_agg_record_serializes_per_message_keys():
+    rec = AggRecord()
+    rec.add(b"m1", "42", 1 << 20)
+    rec.add(b"m2", "43", 1 << 20)
+    assert rec.partition_key == "42"  # aggregate key = first record's key
+    assert deaggregate_kpl(rec.serialize()) == [("42", b"m1"), ("43", b"m2")]
+
+
+def test_boto_transport_receives_kpl_wire_bytes():
+    """On-wire shape through the real boto3 client (Stubber): the Data
+    blob is the exact KPL aggregate, PartitionKey is the first message's
+    xid, SequenceNumberForOrdering stays '0' (fidelity §8.10)."""
+    boto3 = pytest.importorskip("boto3")
+    from botocore.stub import Stubber
+
+    from pg2kinesis_spark.sinks.kinesis import InMemoryTransport, KinesisLikeWriter  # noqa: F401
+    from pg2kinesis_spark.sinks.kinesis_boto import BotoKinesisTransport
+
+    c = boto3.client(
+        "kinesis", region_name="us-east-1",
+        aws_access_key_id="x", aws_secret_access_key="y",
+    )
+    ACTIVE = {
+        "StreamDescription": {
+            "StreamName": "s",
+            "StreamARN": "arn:aws:kinesis:us-east-1:1:stream/s",
+            "StreamStatus": "ACTIVE",
+            "Shards": [],
+            "HasMoreShards": False,
+            "RetentionPeriodHours": 24,
+            "StreamCreationTimestamp": 0,
+            "EnhancedMonitoring": [],
+        }
+    }
+    expected_blob = serialize_kpl([("7", b"m1"), ("7", b"m2")])
+    with Stubber(c) as stub:
+        stub.add_response("create_stream", {}, {"StreamName": "s", "ShardCount": 1})
+        stub.add_response("describe_stream", ACTIVE, {"StreamName": "s"})
+        transport = BotoKinesisTransport("s", client=c)
+        stub.add_response(
+            "put_record",
+            {"ShardId": "shardId-0", "SequenceNumber": "1"},
+            {
+                "StreamName": "s",
+                "Data": expected_blob,
+                "PartitionKey": "7",
+                "SequenceNumberForOrdering": "0",
+            },
+        )
+        w = KinesisLikeWriter(transport)
+        w.put_message("m1", "7")
+        w.put_message("m2", "7")
+        w.flush_tail()
+        stub.assert_no_pending_responses()

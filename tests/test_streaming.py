@@ -67,7 +67,9 @@ def corpus(spark, tmp_path_factory):
 
 
 def _msgs(transport):
-    return [m.decode() for _, data in transport.records for m in data.split(b"\n")]
+    from pg2kinesis_spark.sinks.kpl import deaggregate_kpl
+
+    return [m.decode() for _, data in transport.records for _, m in deaggregate_kpl(data)]
 
 
 @pytest.fixture(scope="module")
@@ -198,13 +200,18 @@ def test_backoff_schedule_and_exhaustion():
 
 
 def test_agg_record_size_flush():
+    from pg2kinesis_spark.sinks.kpl import deaggregate_kpl
+
     t = InMemoryTransport()
     w = KinesisLikeWriter(t, max_agg_bytes=10)
     assert w.put_message("aaaa", "1") is False   # buffered
     assert w.put_message("bbbb", "1") is False   # still fits (8 ≤ 10)
     assert w.put_message("cccc", "1") is True    # overflow → flush previous
     w.flush_tail()
-    assert [d for _, d in t.records] == [b"aaaa\nbbbb", b"cccc"]
+    assert [deaggregate_kpl(d) for _, d in t.records] == [
+        [("1", b"aaaa"), ("1", b"bbbb")],
+        [("1", b"cccc")],
+    ]
 
 
 def test_send_window_flush():
@@ -215,7 +222,7 @@ def test_send_window_flush():
     assert t.records == []
     now[0] += 14  # window expires; next put triggers the time flush (T3)
     assert w.put_message(None, None) is True  # even a filtered message flushes (§8.6)
-    assert [d for _, d in t.records] == [b"a"]
+    assert _msgs(t) == ["a"]
 
 
 def test_agg_partition_key_is_first_message_xid():

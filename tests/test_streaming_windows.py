@@ -6,6 +6,8 @@ batch equivalent on the same data."""
 from __future__ import annotations
 
 import pytest
+
+from pg2kinesis_spark.sinks.kpl import deaggregate_kpl
 from pyspark.sql import functions as F
 
 from pg2kinesis_spark.io import load_table
@@ -135,7 +137,7 @@ def test_wal2json_fullchange_stream(spark, pk_fixture_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
-    msgs = [m.decode() for _, data in transport.records for m in data.split(b"\n")]
+    msgs = [m.decode() for _, data in transport.records for _, m in deaggregate_kpl(data)]
     assert len(msgs) == n_changes
     first = json.loads(msgs[0].split(",", 2)[-1])
     assert set(first) == {"xid", "change"}
@@ -178,5 +180,5 @@ def test_wal2json_stream_matches_batch(spark, pk_fixture_dir, tmp_path):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
-    streamed = [m.decode() for _, data in transport.records for m in data.split(b"\n")]
+    streamed = [m.decode() for _, data in transport.records for _, m in deaggregate_kpl(data)]
     assert streamed == expected
