@@ -50,11 +50,35 @@ def cosine_pairs(emb: DataFrame, min_cos: float) -> DataFrame:
     )
 
 
+def _topk_per_query(scored: DataFrame, k: int, neighbor: str = "c.vec_id", n_salt: int = 32) -> DataFrame:
+    """Two-phase per-query top-k (adds ``rnk`` 1..k).
+
+    A plain ``row_number() over (partition by query_id)`` funnels every
+    candidate for a query into ONE reducer — with queries ≪ corpus that
+    is a whole-corpus-sized partition at 100 TB. Phase 1 salts the key
+    by a hash of the neighbor id and takes a local top-k per
+    (query, salt); phase 2 refines over ≤ n_salt·k rows per query.
+    ``cos desc, neighbor id`` is a total order, so the result is
+    byte-identical to the single-phase ranking.
+    """
+    order = (F.col("cos").desc(), F.col(neighbor))
+    salted = scored.withColumn("_salt", F.pmod(F.hash(F.col(neighbor)), F.lit(n_salt)))
+    w_local = W.partitionBy("query_id", "_salt").orderBy(*order)
+    pre = salted.withColumn("_lrnk", F.row_number().over(w_local)).filter(F.col("_lrnk") <= k)
+    w = W.partitionBy("query_id").orderBy(*order)
+    return (
+        pre.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .drop("_salt", "_lrnk")
+    )
+
+
 def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """Exact top-k neighbors per query vector by cosine.
 
     ``queries`` (vec_id, embedding) is expected to be small — broadcast
-    it so the corpus never shuffles; ranking happens per query partition.
+    it so the corpus never shuffles; ranking is the salted two-phase
+    top-k (no per-query reducer funnel).
     """
     q = F.broadcast(queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb"))).alias("q")
     c = emb.alias("c")
@@ -62,11 +86,8 @@ def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
         c.join(q, F.col("c.vec_id") != F.col("query_id"))
         .withColumn("cos", _dot("qemb", "c.embedding") / (_norm("qemb") * _norm("c.embedding")))
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("c.vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", F.col("c.vec_id").alias("neighbor_id"), "cos", "rnk")
+    return _topk_per_query(scored, k).select(
+        "query_id", F.col("c.vec_id").alias("neighbor_id"), "cos", "rnk"
     )
 
 
@@ -106,6 +127,81 @@ def srp_neardup_pairs(emb: DataFrame, dim: int, min_cos: float, n_bits: int = 6,
         with_cosine(joined)
         .filter(F.col("cos") >= min_cos)
         .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"), "cos")
+    )
+
+
+def srp_int_planes(dim: int, n_planes: int, seed: int = 11) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes for integer-quantized SRP."""
+    rng = random.Random(seed)
+    return [[rng.choice((-1.0, 1.0)) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def _int_bucket(planes: list[list[float]], scale: int) -> Column:
+    """B-bit bucket from signs of EXACT integer dot products.
+
+    Each float is quantized to floor(x·scale) (an integer-valued double,
+    exact in IEEE754 up to 2⁵³), and the hyperplane entries are ±1 — so
+    the dot product is exact integer arithmetic and the sign, hence the
+    bucket, is bit-identical across engines. Float-sign SRP (srp_buckets)
+    cannot be oracle-checked because a last-ulp summation difference can
+    flip a bucket; this variant can.
+    """
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        arr = "array(" + ", ".join(f"{x:.1f}D" for x in plane) + ")"
+        dot = F.expr(
+            f"aggregate(zip_with(embedding, {arr}, (x, y) ->"
+            f" floor(cast(x as double) * {scale}.0D) * y), 0.0D, (acc, v) -> acc + v)"
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(0)
+    return bucket
+
+
+def srp_tables_neardup_pairs(
+    emb: DataFrame,
+    dim: int,
+    min_cos: float,
+    n_tables: int = 4,
+    n_bits: int = 4,
+    seed: int = 11,
+    scale: int = 10000,
+) -> DataFrame:
+    """Scale path for embedding near-dup, hash-checkable edition.
+
+    Candidates are pairs colliding in ANY of ``n_tables`` independent
+    ``n_bits``-bit sign-projection tables (recall 1-(1-p^b)^T, p the
+    per-plane agreement probability); exact cosine then refines. The
+    candidate join is a (table_idx, bucket) equi-join — collision-rate
+    bound, never the N² self cross join of cosine_pairs, which survives
+    only as the pytest recall oracle. At 100 TB, write the bucketed
+    corpus once partitioned by (table_idx, bucket) and self-join that.
+    """
+    planes = srp_int_planes(dim, n_tables * n_bits, seed)
+    b = emb.select("vec_id", "embedding")
+    for t in range(n_tables):
+        b = b.withColumn(f"bk{t}", _int_bucket(planes[t * n_bits : (t + 1) * n_bits], scale))
+    melted = b.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(F.array(*[F.col(f"bk{t}") for t in range(n_tables)])).alias("tidx", "bucket"),
+    )
+    a = melted.alias("a")
+    c = melted.alias("b")
+    joined = a.join(
+        c,
+        (F.col("a.tidx") == F.col("b.tidx"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    scored = with_cosine(joined).select(
+        F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"), "cos"
+    )
+    # a pair colliding in several tables appears several times — dedup
+    # BEFORE the threshold so each candidate is scored once.
+    return (
+        scored.groupBy("id1", "id2")
+        .agg(F.first("cos").alias("cos"))
+        .filter(F.col("cos") >= min_cos)
     )
 
 
@@ -172,11 +268,8 @@ def ivf_ann_topk(
         F.broadcast(probes),
         (F.col("c.cid") == F.col("q.cid")) & (F.col("c.vec_id") != F.col("query_id")),
     ).withColumn("cos", _dot("qemb", "c.embedding") / (_norm("qemb") * _norm("c.embedding")))
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("c.vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", F.col("c.vec_id").alias("neighbor_id"), "cos", "rnk")
+    return _topk_per_query(scored, k).select(
+        "query_id", F.col("c.vec_id").alias("neighbor_id"), "cos", "rnk"
     )
 
 
@@ -200,9 +293,6 @@ def srp_ann_topk(
         c.join(q, (F.col("c.bucket") == F.col("qbucket")) & (F.col("c.vec_id") != F.col("query_id")))
         .withColumn("cos", _dot("qemb", "c.embedding") / (_norm("qemb") * _norm("c.embedding")))
     )
-    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("c.vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("query_id", F.col("c.vec_id").alias("neighbor_id"), "cos", "rnk")
+    return _topk_per_query(scored, k).select(
+        "query_id", F.col("c.vec_id").alias("neighbor_id"), "cos", "rnk"
     )

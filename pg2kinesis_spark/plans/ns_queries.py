@@ -45,8 +45,11 @@ def n5_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def n6_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_shingle_df caps stop-shingles: a shingle in d docs costs O(d²)
+    # join rows for ~zero Jaccard signal — uncapped this is quadratic on
+    # a hot shingle at scale. The oracle mirrors the cap exactly.
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
-    return dedup.jaccard_pairs(docs, n=3, min_jaccard=0.05).orderBy("id1", "id2")
+    return dedup.jaccard_pairs(docs, n=3, min_jaccard=0.05, max_shingle_df=50).orderBy("id1", "id2")
 
 
 def n7_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,7 +69,13 @@ def n9_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def n10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.cosine_pairs(_emb(spark, sf_dir), min_cos=0.45).orderBy("id1", "id2")
+    # Registered query is the SCALE path: multi-table integer-quantized
+    # SRP candidates + exact cosine refine (collision-bound equi-join).
+    # The N² cosine_pairs baseline survives only as the pytest recall
+    # oracle (tests/test_northstar.py).
+    return similarity.srp_tables_neardup_pairs(
+        _emb(spark, sf_dir), dim=EMB_DIM, min_cos=0.45
+    ).orderBy("id1", "id2")
 
 
 def n11_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -339,10 +348,15 @@ NS_ORACLE_SQL = {
         FROM documents GROUP BY 1 ORDER BY 1
     """,
     "n6_jaccard_pairs": _SHINGLES_CTE + """
-        , sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        , capped AS (
+          -- mirror of max_shingle_df=50: stop-shingles out BEFORE sizes
+          SELECT * FROM sh WHERE shingle NOT IN (
+            SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 50)
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS i
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2
         )
         SELECT id1, id2, i / (s1.sz + s2.sz - i) AS jaccard
@@ -367,14 +381,7 @@ NS_ORACLE_SQL = {
               FROM scored)
         SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5 ORDER BY query_id, rnk
     """,
-    "n10_embedding_neardup": """
-        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
-        SELECT a.vec_id AS id1, b.vec_id AS id2,
-               list_cosine_similarity(a.emb, b.emb) AS cos
-        FROM e a JOIN e b ON a.vec_id < b.vec_id
-        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45
-        ORDER BY 1, 2
-    """,
+    "n10_embedding_neardup": None,  # filled below by _srp_int_neardup_sql()
     "n13_media_features": """
         SELECT doc_id AS media_id,
                'image/fake' AS mime,
@@ -434,3 +441,43 @@ def _simhash_oracle() -> str:
 
 
 NS_ORACLE_SQL["n11_simhash"] = _simhash_oracle()
+
+
+def _srp_int_neardup_sql(
+    min_cos: float = 0.45, n_tables: int = 4, n_bits: int = 4, seed: int = 11, scale: int = 10000
+) -> str:
+    """The integer-quantized multi-table SRP re-derived in DuckDB SQL.
+
+    floor(x·scale) quantization makes every dot product exact integer
+    arithmetic, so bucket assignment — and therefore the candidate set —
+    is bit-identical across engines (the reason float-sign SRP n12/n16
+    stay rows-only while n10 is hash-checked)."""
+    planes = similarity.srp_int_planes(EMB_DIM, n_tables * n_bits, seed)
+
+    def bucket(t: int) -> str:
+        terms = []
+        for i in range(n_bits):
+            lit = "CAST([" + ", ".join(f"{x:.1f}" for x in planes[t * n_bits + i]) + "] AS DOUBLE[])"
+            terms.append(
+                f"(CASE WHEN list_dot_product(list_transform(emb, x -> floor(x * {scale})), {lit})"
+                f" >= 0 THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    buckets = ",\n               ".join(f"({bucket(t)}) AS bk{t}" for t in range(n_tables))
+    collide = " OR ".join(f"a.bk{t} = b2.bk{t}" for t in range(n_tables))
+    return f"""
+        WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        b AS (SELECT vec_id, emb,
+               {buckets}
+          FROM e)
+        SELECT a.vec_id AS id1, b2.vec_id AS id2,
+               list_cosine_similarity(a.emb, b2.emb) AS cos
+        FROM b a JOIN b b2
+          ON a.vec_id < b2.vec_id AND ({collide})
+        WHERE list_cosine_similarity(a.emb, b2.emb) >= {min_cos}
+        ORDER BY 1, 2
+    """
+
+
+NS_ORACLE_SQL["n10_embedding_neardup"] = _srp_int_neardup_sql()

@@ -185,3 +185,28 @@ def test_frame_sample_shape(spark, planted):
     rows = frames.filter(F.col("media_id") == 0).orderBy("frame_idx").collect()
     assert [r.frame_idx for r in rows] == list(range(len(rows)))
     assert all(len(r.frame_bytes) <= 16 for r in rows)
+
+
+def test_srp_tables_neardup_subset_and_recall(spark, sf_small):
+    """Multi-table integer-quantized SRP (the registered n10 path): every
+    returned pair is a true near-dup with the exact cosine, and multi-
+    table OR-probing recovers a solid fraction of the brute-force set —
+    highest for the closest pairs, which is what dedup cares about."""
+    from pg2kinesis_spark.functions import similarity
+
+    from pg2kinesis_spark.io import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    brute = {(r.id1, r.id2): r.cos for r in similarity.cosine_pairs(emb, min_cos=0.45).collect()}
+    approx = {
+        (r.id1, r.id2): r.cos
+        for r in similarity.srp_tables_neardup_pairs(emb, dim=64, min_cos=0.45).collect()
+    }
+    assert set(approx) <= set(brute)  # exact refine → no false positives
+    for k, cos in approx.items():
+        assert abs(brute[k] - cos) < 1e-12  # scores are the exact cosine
+    if brute:
+        assert len(approx) / len(brute) >= 0.3
+        close = {k for k, c in brute.items() if c >= 0.7}
+        if close:
+            assert len(close & set(approx)) / len(close) >= 0.5

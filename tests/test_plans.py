@@ -57,3 +57,27 @@ def test_td_parse_has_no_global_window(spark, pk_fixture_dir):
             # every window spec must be partitioned (by _pid)
             assert "_pid" in line, line
     assert "BroadcastHashJoin" in plan  # catalog probe stays broadcast
+
+
+def test_cosine_topk_two_phase_no_per_query_funnel(spark, sf_small):
+    """ANN top-k must pre-reduce per (query, salt) before the global
+    per-query ranking — a bare partitionBy(query_id) window would funnel
+    a whole corpus into one reducer per query at scale."""
+    from pg2kinesis_spark.functions.similarity import cosine_topk
+    from pg2kinesis_spark.io import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    df = cosine_topk(emb, emb.limit(5), k=3)
+    plan = _plan(df)
+    windows = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert len(windows) >= 2, plan  # local (salted) + global refine
+    assert any("_salt" in l for l in windows), plan
+
+
+def test_registered_neardup_has_no_self_cross_join(spark, sf_small):
+    """The registered embedding near-dup query must be the bucketed SRP
+    path — never an N² self cross join of the corpus."""
+    from pg2kinesis_spark.plans.ns_queries import NS_QUERIES
+
+    plan = _optimized(NS_QUERIES["n10_embedding_neardup"](spark, sf_small))
+    assert "Join Cross" not in plan, plan
