@@ -81,10 +81,11 @@ def jaccard_pairs(
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df).select("shingle")
         sh = sh.join(hot, "shingle", "left_anti")
-    # sh feeds three consumers (sizes + both join sides) — persist so the
-    # shingle explode runs once, not three times. At cluster scale this
-    # is a checkpoint/DISK_ONLY persist of (doc_id, shingle) pairs.
-    sh = sh.persist()
+    # sh feeds three consumers (sizes + both join sides) and is
+    # recomputed for each — the explode is cheap codegen, and a persist
+    # here would leak for the lifetime of the session (no safe unpersist
+    # point once the lazy result escapes). At cluster scale, WRITE the
+    # (doc_id, shingle) pairs to a table once and join that.
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

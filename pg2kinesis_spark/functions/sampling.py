@@ -56,35 +56,43 @@ def token_budget_select(
     Returns (doc_id, n_tokens, score, cum_tokens) for the selected set.
 
     The cumulative sum over a global ordering is computed as a two-phase
-    distributed scan (same pattern as the CDC xid prefix scan): range-
-    partition by (score desc, doc_id), cumsum WITHIN partitions in
-    parallel, then add each partition's carry-in offset (one tiny
-    collected summary row per partition) — no single-partition window.
+    distributed scan (same pattern as the CDC xid prefix scan): assign a
+    DETERMINISTIC coarse bucket that is weakly monotone in (score desc,
+    doc_id) — scores are assumed in [0, 1] (quality scores are; values
+    outside are clamped into the edge buckets, where the within-bucket
+    window still orders them exactly) — sum tokens per bucket (tiny
+    collected summary), add each bucket's carry-in offset back via a
+    broadcast join, and cumsum WITHIN buckets in parallel. No
+    single-partition window, and no persisted intermediate: the bucket
+    is a pure column expression both phases recompute identically
+    (range partitioning is sample-based and would need a leaked persist
+    to keep the two phases consistent).
     """
     ranked = docs.select("doc_id", n_tokens.alias("n_tokens"), score.alias("score"))
     spark = docs.sparkSession
-    n_parts = max(2, spark.sparkContext.defaultParallelism)
-    parted = ranked.repartitionByRange(
-        n_parts, F.col("score").desc(), F.col("doc_id")
-    ).withColumn("_pid", F.spark_partition_id())
-    parted.persist()
+    n_buckets = 4096
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.greatest(F.lit(0), ((F.lit(1.0) - F.col("score")) * n_buckets).cast("long")),
+    )
+    b = ranked.withColumn("_bkt", bucket)
     sums = {
-        r._pid: r.s
-        for r in parted.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
+        r._bkt: r.s
+        for r in b.groupBy("_bkt").agg(F.sum("n_tokens").alias("s")).collect()
     }
     offsets, acc = {}, 0
-    for pid in range(n_parts):
-        offsets[pid] = acc
-        acc += sums.get(pid, 0)
+    for k in range(n_buckets):
+        offsets[k] = acc
+        acc += sums.get(k, 0)
     off = F.broadcast(
-        spark.createDataFrame([(p, o) for p, o in offsets.items()], "_pid int, _off long")
+        spark.createDataFrame([(k, o) for k, o in offsets.items()], "_bkt long, _off long")
     )
-    w = W.partitionBy("_pid").orderBy(F.col("score").desc(), F.col("doc_id")).rowsBetween(
+    w = W.partitionBy("_bkt").orderBy(F.col("score").desc(), F.col("doc_id")).rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     return (
-        parted.join(off, "_pid")
+        b.join(off, "_bkt")
         .withColumn("cum_tokens", F.sum("n_tokens").over(w) + F.col("_off"))
         .filter(F.col("cum_tokens") <= budget)
-        .drop("_pid", "_off")
+        .drop("_bkt", "_off")
     )

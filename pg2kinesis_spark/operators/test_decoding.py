@@ -46,49 +46,62 @@ def stamp_xid_scalable(df: DataFrame, order_col: str = "lsn", begin_col: str = "
     into ONE partition (Spark warns 'No Partition Defined for Window') —
     a cliff at scale. This is the classic two-phase scan instead:
 
-    1. range-partition by ``order_col`` and window WITHIN partitions
-       (parallel),
-    2. collect one summary row per partition (its last BEGIN xid —
+    1. assign each row a DETERMINISTIC coarse bucket — a linear map of
+       ``order_col`` over its exact [min, max] span (weakly monotone in
+       the global order, so the within-bucket window refines it),
+    2. collect one summary row per bucket (its last BEGIN xid —
        thousands of rows at most, never data-sized),
-    3. compute each partition's carry-in prefix on the driver and
-       broadcast-join it back.
+    3. compute each bucket's carry-in prefix on the driver and
+       broadcast-join it back; window WITHIN buckets runs in parallel.
+
+    Deliberately NOT repartitionByRange+persist: range partitioning is
+    sample-based, so without a persisted intermediate the two phases
+    could disagree on partition assignment, and the persist would leak
+    (no safe unpersist point) and is impossible at 100 TB anyway. The
+    coarse bucket is a pure column expression — both phases recompute it
+    identically, nothing is cached, and the extra pass over the input is
+    a column-pruned scan.
 
     Input needs a ``begin_col`` holding the xid on BEGIN rows and NULL
     elsewhere; output adds ``xid`` (empty string before any BEGIN —
     reference formatter.py:37).
     """
     spark = df.sparkSession
-    n_parts = max(2, spark.sparkContext.defaultParallelism)
-    parted = (
-        df.repartitionByRange(n_parts, F.col(order_col))
-        .withColumn("_pid", F.spark_partition_id())
+    n_buckets = max(2, spark.sparkContext.defaultParallelism * 4)
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    if lo is None:  # empty input
+        return df.withColumn("xid", F.lit(""))
+    span = float(max(1, hi - lo + 1))
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        ((F.col(order_col) - F.lit(lo)) / F.lit(span) * n_buckets).cast("long"),
     )
-    parted.persist()
-    # phase 2: one row per partition — (pid, last BEGIN xid in pid)
+    b = df.withColumn("_bkt", bucket)
+    # phase 2: one row per bucket — (bucket, last BEGIN xid in bucket)
     summary = (
-        parted.filter(F.col(begin_col).isNotNull())
-        .groupBy("_pid")
+        b.filter(F.col(begin_col).isNotNull())
+        .groupBy("_bkt")
         .agg(F.expr(f"max_by({begin_col}, {order_col})").alias("last_begin"))
         .collect()
     )
-    last_by_pid = {r._pid: r.last_begin for r in summary}
-    # phase 3: carry-in for pid k = last BEGIN of the nearest pid < k
+    last_by_bkt = {r._bkt: r.last_begin for r in summary}
+    # phase 3: carry-in for bucket k = last BEGIN of the nearest bucket < k
     carry, cur = {}, ""
-    for pid in range(n_parts):
-        carry[pid] = cur
-        if pid in last_by_pid:
-            cur = last_by_pid[pid]
+    for k in range(n_buckets):
+        carry[k] = cur
+        if k in last_by_bkt:
+            cur = last_by_bkt[k]
     carry_df = F.broadcast(
-        spark.createDataFrame([(p, c) for p, c in carry.items()], "_pid int, _carry string")
+        spark.createDataFrame([(k, c) for k, c in carry.items()], "_bkt long, _carry string")
     )
-    w = W.partitionBy("_pid").orderBy(order_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    w = W.partitionBy("_bkt").orderBy(order_col).rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
-        parted.join(carry_df, "_pid")
+        b.join(carry_df, "_bkt")
         .withColumn(
             "xid",
             F.coalesce(F.last(begin_col, ignorenulls=True).over(w), F.col("_carry")),
         )
-        .drop("_pid", "_carry")
+        .drop("_bkt", "_carry")
     )
 
 # Error templates — byte-identical to reference formatter.py:20-21,79.
@@ -120,24 +133,34 @@ def parse_test_decoding(
     # Java regex needs (?U) for Python-re \w unicode parity.
     table_pat_j = "(?U)" + table_pat
 
+    df = raw
+    if not xid_precomputed:
+        # W1: cur_xact starts '' and is replaced by each BEGIN's xid
+        # (reference formatter.py:37,59-60) — a prefix scan in lsn order,
+        # executed as a parallel two-phase scan (no global window). The
+        # stamp runs BEFORE tokenization so the window shuffle carries
+        # only the narrow (lsn, payload, begin_xid) rows, not four extra
+        # token copies of every payload.
+        df = stamp_xid_scalable(
+            df.withColumn(
+                "begin_xid",
+                F.when(
+                    F.col("payload").startswith("BEGIN "),
+                    F.get(F.split("payload", " ", 3), 1),
+                ),
+            )
+        ).drop("begin_xid")
+
     # F.get (not getItem): lines like 'COMMIT' have fewer than 4 tokens and
     # ANSI mode (Spark 4 default) makes out-of-bounds access an error.
     toks = F.split("payload", " ", 4)
-    df = raw.select(
+    df = df.select(
         "*",
         F.get(toks, 0).alias("tok0"),
         F.get(toks, 1).alias("tok1"),
         F.get(toks, 2).alias("tok2"),
         F.get(toks, 3).alias("tok3"),
     )
-
-    if not xid_precomputed:
-        # W1: cur_xact starts '' and is replaced by each BEGIN's xid
-        # (reference formatter.py:37,59-60) — a prefix scan in lsn order,
-        # executed as a parallel two-phase scan (no global window).
-        df = stamp_xid_scalable(
-            df.withColumn("begin_xid", F.when(F.col("tok0") == "BEGIN", F.col("tok1")))
-        ).drop("begin_xid")
 
     is_frame = (F.col("tok0") == "BEGIN") | F.col("tok0").isin(*IGNORED_CHANGES)
     is_table = F.col("tok0") == "table"

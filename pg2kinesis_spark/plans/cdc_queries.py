@@ -73,17 +73,14 @@ def cdc_w2j_filter_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def cdc_w2j_fullchange(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P10: full-change passthrough (no catalog validation). change_raw is
-    VARIANT-normalized JSON (keys sorted), so the oracle-checked columns
-    are the envelope + extracted fields; raw-dict equality is pinned in
-    tests/test_cdc_parse.py."""
+    VARIANT-normalized JSON — sorted keys, minified, canonical numbers —
+    and the oracle reconstructs the identical canonical text with
+    json_object in sorted key order, so the full payload is hash-checked
+    (raw-dict equality is additionally pinned in tests/test_cdc_parse.py)."""
     out = parse_wal2json(_fx(spark, "cdc_wal2json"), full_change=True)
-    return out.select(
-        "lsn",
-        "change_idx",
-        "xid",
-        "operation",
-        F.length("change_raw").cast("long").alias("raw_len"),
-    ).orderBy("lsn", "change_idx")
+    return out.select("lsn", "change_idx", "xid", "operation", "change_raw").orderBy(
+        "lsn", "change_idx"
+    )
 
 
 _TD_TOKS = r"'^table ([^ ]+): ([^ ]+): (.*)$'"
@@ -196,7 +193,26 @@ CDC_ORACLE_SQL = {
                END AS fmt_msg
         FROM parsed ORDER BY lsn, change_idx
     """,
-    # c6_w2j_fullchange: VARIANT normalizes JSON (key order, whitespace), so
-    # raw bytes differ from DuckDB's json text — envelope-only oracle would
-    # be weaker than the pytest raw-dict equality check; omitted on purpose.
+    # Full-change: Spark VARIANT renders to_json with sorted keys and
+    # minified/canonical numbers; the change dicts have a fixed 6-key
+    # shape, so json_object in sorted key order rebuilds the exact text.
+    "c6_w2j_fullchange": f"""
+        WITH ex AS (
+          SELECT lsn,
+                 generate_subscripts(CAST(json_extract(payload, '$.change') AS JSON[]), 1) - 1 AS change_idx,
+                 unnest(CAST(json_extract(payload, '$.change') AS JSON[])) AS elem,
+                 json_extract(payload, '$.xid')::BIGINT AS xid
+          FROM {_f('cdc_wal2json')}
+        )
+        SELECT lsn, CAST(change_idx AS INT) AS change_idx, xid,
+               json_extract_string(elem, '$.kind') AS operation,
+               CAST(json_object(
+                 'columnnames', json_extract(elem, '$.columnnames'),
+                 'columntypes', json_extract(elem, '$.columntypes'),
+                 'columnvalues', json_extract(elem, '$.columnvalues'),
+                 'kind', json_extract(elem, '$.kind'),
+                 'schema', json_extract(elem, '$.schema'),
+                 'table', json_extract(elem, '$.table')) AS VARCHAR) AS change_raw
+        FROM ex ORDER BY lsn, change_idx
+    """,
 }

@@ -54,8 +54,8 @@ def test_td_parse_has_no_global_window(spark, pk_fixture_dir):
     plan = _plan(parse_test_decoding(raw, pk))
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
-            # every window spec must be partitioned (by _pid)
-            assert "_pid" in line, line
+            # every window spec must be partitioned (by the coarse bucket)
+            assert "_bkt" in line, line
     assert "BroadcastHashJoin" in plan  # catalog probe stays broadcast
 
 
@@ -81,3 +81,28 @@ def test_registered_neardup_has_no_self_cross_join(spark, sf_small):
 
     plan = _optimized(NS_QUERIES["n10_embedding_neardup"](spark, sf_small))
     assert "Join Cross" not in plan, plan
+
+
+def test_two_phase_scans_leave_no_cached_rdds(spark, pk_fixture_dir, sf_small):
+    """The prefix-scan operators must not leak persisted RDDs: a leaked
+    cache accumulates forever in a long-lived streaming driver."""
+    from pg2kinesis_spark.catalog import primary_key_map
+    from pg2kinesis_spark.functions import dedup, sampling, text
+    from pg2kinesis_spark.io import load_table
+    from pg2kinesis_spark.operators.test_decoding import parse_test_decoding
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+
+    raw = spark.read.parquet(f"{pk_fixture_dir}/cdc_test_decoding.parquet")
+    pk = primary_key_map(spark.read.parquet(f"{pk_fixture_dir}/pk_catalog.parquet"))
+    parse_test_decoding(raw, pk).count()
+
+    docs = load_table(spark, sf_small, "documents")
+    q = text.quality_score(docs)
+    sampling.token_budget_select(
+        q, score=q["quality"], n_tokens=q["n_tokens"], budget=10_000
+    ).count()
+    dedup.jaccard_pairs(docs.limit(50), n=3, max_shingle_df=50).count()
+
+    assert jsc.getPersistentRDDs().size() == before
