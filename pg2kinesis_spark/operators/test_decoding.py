@@ -118,6 +118,7 @@ def parse_test_decoding(
     pk_map: DataFrame,
     table_pat: str | None = None,
     xid_precomputed: bool = False,
+    keep_frames: bool = False,
 ) -> DataFrame:
     """Parse raw test_decoding lines into Change rows.
 
@@ -128,6 +129,12 @@ def parse_test_decoding(
     stamps xid with applyInPandasWithState (cross-batch state) before
     calling this, so batch and streaming share every operator downstream
     of the stamp.
+
+    ``keep_frames=True`` keeps BEGIN/COMMIT frame rows (is_frame=true,
+    all Change fields null) and carries ``data_size`` through — the
+    streaming sink needs them for reference-parity progress counters:
+    the reference counts EVERY wal message by data_size before the
+    formatter drops frames (reference __main__.py:86-91).
     """
     table_pat = table_pat if table_pat is not None else DEFAULT_TABLE_PAT
     # Java regex needs (?U) for Python-re \w unicode parity.
@@ -171,8 +178,11 @@ def parse_test_decoding(
         F.when(~is_frame & ~is_table, F.format_string(UNKNOWN_CHANGE_ERR.replace("{}", "%s"), F.col("payload"))),
     )
 
-    # Frame rows emitted nothing; drop them now that the window consumed them.
-    changes = df.filter(~is_frame)
+    if keep_frames:
+        changes = df.withColumn("is_frame", is_frame)
+    else:
+        # Frame rows emitted nothing; drop them once the window consumed them.
+        changes = df.filter(~is_frame)
 
     table_name = F.expr("substring(tok1, 1, length(tok1) - 1)")
     changes = changes.withColumn("table", F.when(is_table, table_name))
@@ -191,8 +201,10 @@ def parse_test_decoding(
     # Column (per-row) regex pattern — PySpark's regexp_extract wrapper only
     # takes a literal pattern, but the SQL function accepts a column.
     pkey = F.expr("regexp_extract(tok3, pk_pattern, 1)")
+    extra = ["data_size", "is_frame"] if keep_frames else []
     changes = changes.select(
         "lsn",
+        *extra,
         "xid",
         "table",
         F.when(is_table, F.expr("substring(tok2, 1, length(tok2) - 1)")).alias("operation"),

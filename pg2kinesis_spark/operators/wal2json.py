@@ -49,14 +49,21 @@ NOT_IN_LIST_ERR = "'{}' is not in list"
 DEFAULT_TABLE_PAT = r"[\w_\.]+"
 
 
-def _exploded(raw: DataFrame, table_pat: str) -> DataFrame:
+def _exploded(raw: DataFrame, table_pat: str, keep_empty: bool = False) -> DataFrame:
     v = F.expr("try_parse_json(payload)")
     df = raw.withColumn("v", v).withColumn(
         "elems", F.expr("cast(variant_get(v, '$.change') as array<variant>)")
     )
-    # Messages with an empty/missing change array emit no rows (the
-    # reference's falsy-dict and empty-list paths, formatter.py:107,113).
-    df = df.select("*", F.posexplode("elems").alias("change_idx", "elem")).drop("elems")
+    if keep_empty:
+        # Keep one (change_idx=null, elem=null) row per empty/missing
+        # change array: the wire message still exists and the streaming
+        # sink counts it by data_size like the reference's consume loop
+        # (reference __main__.py:86-91) even though it formats nothing.
+        df = df.select("*", F.posexplode_outer("elems").alias("change_idx", "elem")).drop("elems")
+    else:
+        # Messages with an empty/missing change array emit no rows (the
+        # reference's falsy-dict and empty-list paths, formatter.py:107,113).
+        df = df.select("*", F.posexplode("elems").alias("change_idx", "elem")).drop("elems")
     df = df.select(
         "*",
         F.expr("variant_get(v, '$.xid', 'long')").alias("xid"),
@@ -65,7 +72,10 @@ def _exploded(raw: DataFrame, table_pat: str) -> DataFrame:
         F.expr("variant_get(elem, '$.kind', 'string')").alias("kind"),
     )
     # P5: unanchored search on the UNqualified table name (reference :116).
-    return df.filter(F.col("tbl").rlike("(?U)" + table_pat))
+    keep = F.col("tbl").rlike("(?U)" + table_pat)
+    if keep_empty:
+        keep = keep | F.col("change_idx").isNull()
+    return df.filter(keep)
 
 
 def parse_wal2json(
@@ -73,15 +83,22 @@ def parse_wal2json(
     pk_map: DataFrame | None = None,
     table_pat: str | None = None,
     full_change: bool = False,
+    keep_empty: bool = False,
 ) -> DataFrame:
+    """``keep_empty=True`` (streaming sink counters) keeps one all-null
+    row per empty wire message and carries ``data_size`` through; those
+    rows are exempt from validation (there is no change to validate)."""
     table_pat = table_pat if table_pat is not None else DEFAULT_TABLE_PAT
-    df = _exploded(raw, table_pat)
+    df = _exploded(raw, table_pat, keep_empty)
+    extra = ["data_size"] if keep_empty else []
+    is_change = F.col("change_idx").isNotNull()
 
     if full_change:
         # P10: raw change dict passes through unvalidated; operation is the
         # raw (un-lowered) kind, per FullChange.operation (formatter.py:14).
         return df.select(
             "lsn",
+            *extra,
             "change_idx",
             "xid",
             F.col("kind").alias("operation"),
@@ -91,7 +108,9 @@ def parse_wal2json(
     if pk_map is None:
         raise ValueError("pk_map is required unless full_change=True")
 
-    df = df.withColumn("table", F.concat_ws(".", "sch", "tbl"))
+    # concat_ws never returns NULL — guard so empty-message rows keep a
+    # null table instead of '' (which would fake a catalog miss).
+    df = df.withColumn("table", F.when(is_change, F.concat_ws(".", "sch", "tbl")))
     pk = F.broadcast(pk_map.select("table_name", "pk_col_name"))
     df = df.join(pk, on=df["table"] == pk["table_name"], how="left")
 
@@ -103,6 +122,7 @@ def parse_wal2json(
 
     return df.select(
         "lsn",
+        *extra,
         "change_idx",
         "xid",
         "table",
@@ -110,11 +130,11 @@ def parse_wal2json(
         F.when(F.col("pos") > 0, pkey).alias("pkey"),
         F.coalesce(
             F.when(
-                F.col("table_name").isNull(),
+                is_change & F.col("table_name").isNull(),
                 F.format_string(MISSING_TABLE_ERR.replace("{}", "%s"), F.col("table")),
             ),
             F.when(
-                F.col("pos").isNull() | (F.col("pos") == 0),
+                is_change & (F.col("pos").isNull() | (F.col("pos") == 0)),
                 F.format_string(NOT_IN_LIST_ERR.replace("{}", "%s"), F.col("pk_col_name")),
             ),
         ).alias("error"),

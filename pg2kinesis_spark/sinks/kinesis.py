@@ -183,10 +183,25 @@ class KinesisLikeWriter:
         has_error = "error" in batch_df.columns
         if has_error:
             cols.append(F.col("error"))
+        # Sink-metadata columns from the streaming builders (reference
+        # counter parity, __main__.py:86-91): is_frame rows never drive
+        # put_message (the formatter returned [] for them); wire_size ≥ 0
+        # counts the wire message once by data_size (-1 = continuation
+        # row of an already-counted multi-change message). Without the
+        # metadata (plain batches, unit tests), every row is a message
+        # counted by its formatted size — the pre-existing behavior.
+        has_frame = "is_frame" in batch_df.columns
+        if has_frame:
+            cols.append(F.col("is_frame"))
+        has_wire = "wire_size" in batch_df.columns
+        if has_wire:
+            cols.append(F.col("wire_size"))
         pdf = batch_df.sort(*order).select(*cols).toPandas()
         fmts = pdf["fmt_msg"].tolist()
         xids = pdf["xid"].tolist()
         errors = pdf["error"].tolist() if has_error else None
+        frames = pdf["is_frame"].tolist() if has_frame else None
+        wires = pdf["wire_size"].tolist() if has_wire else None
         put_message = self.put_message
         count = self._count_message
         for i, fmt in enumerate(fmts):
@@ -200,8 +215,13 @@ class KinesisLikeWriter:
                     self.log(errors[i])
                 raise CdcParseError(errors[i])
             xid = xids[i]
-            put_message(fmt, xid)
-            count(len(fmt.encode()) if fmt else 0, xid)
+            if frames is None or not frames[i]:
+                put_message(fmt, xid)
+            if wires is not None:
+                if wires[i] >= 0:
+                    count(wires[i], xid)
+            else:
+                count(len(fmt.encode()) if fmt else 0, xid)
         self.flush_tail()
 
     # -- reference __main__.py:86-91,106-115 (A1/A2/T7) -----------------

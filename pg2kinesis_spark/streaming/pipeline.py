@@ -33,12 +33,17 @@ STAMPED_SCHEMA = "lsn long, data_size int, payload string, xid string"
 def _stamp_fn(key, pdf_iter, state: GroupState):
     """Carry cur_xact across micro-batches (reference formatter.py:37,59-60).
 
-    State: ('<current xid>',) per slot key. Rows inside a batch are
-    processed in LSN order — the source serves them ordered and we
-    re-sort defensively (cheap: one slot's batch)."""
+    State: ('<current xid>',) per slot key. Arrow hands the group over
+    as MULTIPLE chunks with no cross-chunk ordering guarantee once a
+    batch exceeds arrow.maxRecordsPerBatch — so all chunks are
+    materialized and sorted ONCE by lsn before stamping (a per-chunk
+    sort would misattribute xids when a BEGIN lands in a later chunk
+    than its DML rows). Memory is bounded by the source's
+    rows_per_batch backpressure knob, never the stream."""
     cur = state.get[0] if state.exists else ""
-    for pdf in pdf_iter:
-        pdf = pdf.sort_values("lsn")
+    chunks = list(pdf_iter)
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("lsn")
         xids = []
         for payload in pdf["payload"]:
             if isinstance(payload, str) and payload.startswith("BEGIN "):
@@ -131,9 +136,16 @@ def build_test_decoding_stream(
     the reference's _log_and_raise (formatter.py:134-137, §8.5)."""
     raw = _raw_stream(spark, source, rows_per_batch, ack_log)
     stamped = stamp_xid_stateful(raw)
-    parsed = parse_test_decoding(stamped, pk_map, table_pat, xid_precomputed=True)
+    parsed = parse_test_decoding(
+        stamped, pk_map, table_pat, xid_precomputed=True, keep_frames=True
+    )
     msgs = format_csv(parsed) if formatter == "CSV" else format_csvpayload(parsed)
-    return filter_operations(msgs, operations)
+    msgs = filter_operations(msgs, operations)
+    # Sink metadata (reference telemetry parity, __main__.py:86-91):
+    # every test_decoding wire line — frames included — counts once by
+    # its wire data_size; is_frame rows never drive put_message (the
+    # reference's formatter returns [] for them).
+    return msgs.withColumn("wire_size", F.coalesce(F.col("data_size"), F.lit(0)).cast("long"))
 
 
 def build_wal2json_stream(
@@ -150,16 +162,31 @@ def build_wal2json_stream(
     # wal2json needs no cross-batch state: each message carries its xid
     # (reference formatter.py:110).
     raw = _raw_stream(spark, source, rows_per_batch, ack_log)
-    parsed = parse_wal2json(raw, pk_map, table_pat, full_change=full_change)
+    parsed = parse_wal2json(raw, pk_map, table_pat, full_change=full_change, keep_empty=True)
     if full_change:
         # FullChange messages are operation-filtered too — on the RAW
         # kind (FullChange.operation, reference formatter.py:14;
         # filter at __main__.py:97-99). Full-change skips validation
         # (P10) so there is no error column to carry.
         msgs = format_csvpayload(parsed, full_change=True)
-        return filter_operations(msgs, operations)
-    msgs = format_csv(parsed) if formatter == "CSV" else format_csvpayload(parsed)
-    return filter_operations(msgs, operations)
+    else:
+        msgs = format_csv(parsed) if formatter == "CSV" else format_csvpayload(parsed)
+    msgs = filter_operations(msgs, operations)
+    # Sink metadata (reference telemetry parity, __main__.py:86-91): a
+    # wire message is counted ONCE by data_size — on its first exploded
+    # change row, or on the empty-message row (is_frame) that the outer
+    # explode keeps; continuation rows (change_idx > 0) carry -1.
+    # Known divergence: if --table-pat filters out change 0 of a
+    # multi-change message, that message goes uncounted (the reference
+    # counts pre-filter); exact under the default match-all pattern.
+    return msgs.withColumn("is_frame", F.col("change_idx").isNull()).withColumn(
+        "wire_size",
+        F.when(
+            F.col("change_idx").isNull() | (F.col("change_idx") == 0), F.col("data_size")
+        )
+        .otherwise(F.lit(-1))
+        .cast("long"),
+    )
 
 
 def run_to_sink(stream_df: DataFrame, writer, checkpoint: str, available_now: bool = True):

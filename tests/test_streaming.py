@@ -253,3 +253,17 @@ def test_unknown_table_fails_stream(spark, pk_map, tmp_path, few_shuffles):
     )
     with pytest.raises(Exception, match="Unable to locate table"):
         run_until(stream, writer, str(tmp_path / "ckpt"), done=lambda: False, timeout=90)
+
+
+def test_counters_use_reference_units(spark, corpus, pk_map, drained):
+    """Progress counters match the reference's Consume loop units
+    (reference __main__.py:86-91): every wire line — BEGIN/COMMIT frames
+    included — counts once by its wire data_size, while put_message is
+    only driven by formatted (change) rows."""
+    transport, writer, _ = drained
+    total_size, total_lines = (
+        spark.read.parquet(corpus).agg(F.sum("data_size"), F.count("*")).first()
+    )
+    assert writer.cum_msg_count == total_lines == TOTAL_LINES
+    assert writer.cum_msg_size == total_size
+    assert writer.put_message_calls == N_TXNS * MSGS_PER_TXN
