@@ -62,37 +62,6 @@ def q26_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "pvalue").orderBy("event_id")
 
 
-def q27_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return (
-        orders.select(
-            "o_custkey", "o_orderkey", F.sum("o_totalprice").over(w).alias("running_total")
-        )
-        .orderBy("o_custkey", "o_orderkey")
-        .limit(2000)
-    )
-
-
-def q28_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return (
-        orders.select(
-            "o_custkey",
-            "o_orderkey",
-            F.lag("o_totalprice").over(w).alias("prev_total"),
-            F.lead("o_totalprice").over(w).alias("next_total"),
-        )
-        .orderBy("o_custkey", "o_orderkey")
-        .limit(2000)
-    )
-
-
 def q29_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style rollup: hourly buckets over the event stream."""
     ev = load_table(spark, sf_dir, "events")
@@ -126,10 +95,15 @@ def q31_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q32_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The remaining analytic window family in one query: ntile,
-    percent_rank, cume_dist, first_value, nth_value."""
+    """The analytic window family in one query: ntile, percent_rank,
+    cume_dist, first_value, nth_value over a price-ordered window, plus
+    (consolidated from the former q27/q28) a running sum over an
+    explicit rows-between frame and lag/lead over a date-ordered window
+    — two distinct window specs in one plan."""
     orders = load_table(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    w2 = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w2f = w2.rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
         orders.select(
             "o_custkey",
@@ -139,6 +113,9 @@ def q32_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.cume_dist().over(w).alias("cdist"),
             F.first("o_totalprice").over(w).alias("cheapest"),
             F.nth_value("o_totalprice", 2).over(w).alias("second_cheapest"),
+            F.sum("o_totalprice").over(w2f).alias("running_total"),
+            F.lag("o_totalprice").over(w2).alias("prev_total"),
+            F.lead("o_totalprice").over(w2).alias("next_total"),
         )
         .orderBy("o_custkey", "o_orderkey")
         .limit(2000)
@@ -150,8 +127,6 @@ EXT_QUERIES = {
     "q24_pivot": q24_pivot,
     "q25_grouping_sets": q25_grouping_sets,
     "q26_asof_join": q26_asof_join,
-    "q27_running_sum": q27_running_sum,
-    "q28_lag_lead": q28_lag_lead,
     "q29_time_bucket": q29_time_bucket,
     "q30_approx_distinct": q30_approx_distinct,
     "q31_percentiles": q31_percentiles,
@@ -164,9 +139,15 @@ EXT_ORACLE_SQL = {
                PERCENT_RANK() OVER w AS prank,
                CUME_DIST() OVER w AS cdist,
                FIRST_VALUE(o_totalprice) OVER w AS cheapest,
-               NTH_VALUE(o_totalprice, 2) OVER w AS second_cheapest
+               NTH_VALUE(o_totalprice, 2) OVER w AS second_cheapest,
+               SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total,
+               LAG(o_totalprice) OVER w2 AS prev_total,
+               LEAD(o_totalprice) OVER w2 AS next_total
         FROM orders
-        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey),
+               w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         ORDER BY o_custkey, o_orderkey LIMIT 2000
     """,
     "q24_pivot": """
@@ -191,19 +172,6 @@ EXT_ORACLE_SQL = {
         SELECT e.event_id, p.pvalue
         FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
         ORDER BY event_id
-    """,
-    "q27_running_sum": """
-        SELECT o_custkey, o_orderkey,
-               SUM(o_totalprice) OVER (PARTITION BY o_custkey
-                 ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_total
-        FROM orders ORDER BY o_custkey, o_orderkey LIMIT 2000
-    """,
-    "q28_lag_lead": """
-        SELECT o_custkey, o_orderkey,
-               LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_total,
-               LEAD(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_total
-        FROM orders ORDER BY o_custkey, o_orderkey LIMIT 2000
     """,
     "q29_time_bucket": """
         SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,

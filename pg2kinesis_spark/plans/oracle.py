@@ -20,22 +20,21 @@ ORACLE_SQL: dict[str, str] = {
         WHERE l.l_linenumber = 1
         ORDER BY 1, 2 LIMIT 1000
     """,
-    "q3_regex_filter": """
-        SELECT p_partkey, p_name FROM part
+    "q3_scalar_regex": """
+        SELECT p_partkey, p_name,
+               regexp_extract(p_type, '([A-Z]+)', 1) AS type_head,
+               ROUND(p_retailprice * CAST(1.1 AS DOUBLE), 2) AS bumped,
+               UPPER(p_brand) AS brand_u,
+               LENGTH(p_name) AS name_len
+        FROM part
         WHERE regexp_matches(p_name, '[aeiou]{2}')
         ORDER BY p_partkey
     """,
-    "q4_regex_extract": """
-        SELECT p_partkey, regexp_extract(p_type, '([A-Z]+)', 1) AS type_head
-        FROM part ORDER BY p_partkey
-    """,
-    "q5_in_filter": """
-        SELECT o_orderkey, o_orderstatus FROM orders
+    "q5_csv_in_filter": """
+        SELECT o_orderkey, o_orderstatus,
+               concat_ws(',', '0', 'CDC', CAST(o_orderkey AS VARCHAR), o_orderstatus) AS fmt_msg
+        FROM orders
         WHERE o_orderstatus IN ('O', 'F') ORDER BY o_orderkey
-    """,
-    "q6_csv_assembly": """
-        SELECT concat_ws(',', '0', 'CDC', CAST(o_orderkey AS VARCHAR), o_orderstatus) AS fmt_msg
-        FROM orders ORDER BY fmt_msg
     """,
     "q7_json_extract": """
         SELECT event_id, json_extract_string(props, '$.k') AS k
@@ -51,14 +50,13 @@ ORACLE_SQL: dict[str, str] = {
         SELECT l_orderkey, MAX_BY(l_partkey, l_linenumber * 10000000 + l_partkey) AS last_partkey
         FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey
     """,
-    "q10_semi_join": """
-        SELECT c_custkey FROM customer
-        WHERE c_custkey IN (SELECT o_custkey FROM orders) ORDER BY 1
-    """,
-    "q11_anti_join": """
-        SELECT c_custkey FROM customer c
+    "q10_semi_anti_join": """
+        SELECT 'semi' AS tag, c_custkey FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        UNION ALL
+        SELECT 'anti' AS tag, c_custkey FROM customer c
         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
-        ORDER BY 1
+        ORDER BY tag, c_custkey
     """,
     "q12_range_join": """
         SELECT s.s_suppkey, c.c_custkey
@@ -73,18 +71,13 @@ ORACLE_SQL: dict[str, str] = {
                COUNT(*) AS cnt
         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
     """,
-    "q14_count_distinct": """
-        SELECT COUNT(DISTINCT o_custkey) AS n_custs FROM orders
-    """,
-    "q15_rollup": """
-        SELECT n_regionkey, n_nationkey, COUNT(*) AS cnt
+    "q15_rollup_cube": """
+        SELECT 'rollup' AS tag, n_regionkey, n_nationkey, COUNT(*) AS cnt
         FROM nation GROUP BY ROLLUP (n_regionkey, n_nationkey)
-        ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
-    """,
-    "q16_cube": """
-        SELECT n_regionkey, n_nationkey, COUNT(*) AS cnt
+        UNION ALL
+        SELECT 'cube' AS tag, n_regionkey, n_nationkey, COUNT(*) AS cnt
         FROM nation GROUP BY CUBE (n_regionkey, n_nationkey)
-        ORDER BY 1 NULLS FIRST, 2 NULLS FIRST
+        ORDER BY tag, 2 NULLS FIRST, 3 NULLS FIRST
     """,
     "q17_rank_window": """
         SELECT o_custkey, o_orderkey,
@@ -102,34 +95,31 @@ ORACLE_SQL: dict[str, str] = {
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
     """,
-    "q20_union": """
-        SELECT n_nationkey FROM nation WHERE n_regionkey = 0
-        UNION
-        SELECT n_nationkey FROM nation WHERE n_nationkey < 5
-        ORDER BY 1
-    """,
-    "q20b_intersect": """
-        SELECT n_nationkey FROM nation WHERE n_regionkey = 0
-        INTERSECT
-        SELECT n_nationkey FROM nation WHERE n_nationkey < 5
-        ORDER BY 1
-    """,
-    "q20c_except": """
-        SELECT n_nationkey FROM nation WHERE n_regionkey = 0
-        EXCEPT
-        SELECT n_nationkey FROM nation WHERE n_nationkey < 5
-        ORDER BY 1
+    "q20_set_ops": """
+        SELECT 'union' AS op, n_nationkey FROM (
+          SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+          UNION
+          SELECT n_nationkey FROM nation WHERE n_nationkey < 5
+        )
+        UNION ALL
+        SELECT 'intersect' AS op, n_nationkey FROM (
+          SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+          INTERSECT
+          SELECT n_nationkey FROM nation WHERE n_nationkey < 5
+        )
+        UNION ALL
+        SELECT 'except' AS op, n_nationkey FROM (
+          SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+          EXCEPT
+          SELECT n_nationkey FROM nation WHERE n_nationkey < 5
+        )
+        ORDER BY op, n_nationkey
     """,
     "q21_date_trunc": """
-        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month, COUNT(*) AS cnt
+        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month,
+               COUNT(*) AS cnt,
+               COUNT(DISTINCT o_custkey) AS n_custs
         FROM orders GROUP BY 1 ORDER BY 1
-    """,
-    "q22_scalar_math": """
-        SELECT p_partkey,
-               ROUND(p_retailprice * CAST(1.1 AS DOUBLE), 2) AS bumped,
-               UPPER(p_brand) AS brand_u,
-               LENGTH(p_name) AS name_len
-        FROM part ORDER BY 1
     """,
     "q23_array_aggregate": """
         SELECT vec_id,

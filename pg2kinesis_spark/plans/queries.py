@@ -52,38 +52,42 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Q3: regex filter (reference formatter.py:36,66 — table_re.search, P5/F4)
+# --- Q3+Q4+Q22 (consolidated): regex filter (reference formatter.py:36,66 —
+# table_re.search, P5/F4), regex extract w/ capture group (formatter.py:19,73,
+# P4/F3), and the math/string scalar surface — one pruned pass over `part`.
+# Merged so every registered query fits the driver's 50-row correctness cap;
+# each original §2.13 capability is still present in the plan.
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
-    return part.filter(F.col("p_name").rlike("[aeiou]{2}")).select("p_partkey", "p_name").orderBy("p_partkey")
+    return (
+        part.filter(F.col("p_name").rlike("[aeiou]{2}"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.regexp_extract("p_type", "([A-Z]+)", 1).alias("type_head"),
+            F.round(F.col("p_retailprice") * F.lit(1.1), 2).alias("bumped"),
+            F.upper("p_brand").alias("brand_u"),
+            F.length("p_name").alias("name_len"),
+        )
+        .orderBy("p_partkey")
+    )
 
 
-# --- Q4: regex extract w/ capture group (reference formatter.py:19,73, P4/F3)
-def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = _t(spark, sf_dir, "part")
-    return part.select(
-        "p_partkey", F.regexp_extract("p_type", "([A-Z]+)", 1).alias("type_head")
-    ).orderBy("p_partkey")
-
-
-# --- Q5: IN-list filter (reference __main__.py:83-84, P6)
+# --- Q5+Q6 (consolidated): IN-list filter (reference __main__.py:83-84, P6)
+# feeding CSV assembly (reference formatter.py:153-155, F7) in one scan.
 def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.filter(F.col("o_orderstatus").isin("O", "F"))
-        .select("o_orderkey", "o_orderstatus")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.concat_ws(
+                ",", F.lit("0"), F.lit("CDC"), F.col("o_orderkey").cast("string"), F.col("o_orderstatus")
+            ).alias("fmt_msg"),
+        )
         .orderBy("o_orderkey")
     )
-
-
-# --- Q6: CSV assembly (reference formatter.py:153-155, F7)
-def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    return orders.select(
-        F.concat_ws(
-            ",", F.lit("0"), F.lit("CDC"), F.col("o_orderkey").cast("string"), F.col("o_orderstatus")
-        ).alias("fmt_msg")
-    ).orderBy("fmt_msg")
 
 
 # --- Q7: JSON extraction (reference formatter.py:106 json.loads, F5/P7/P9)
@@ -116,26 +120,18 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Q10: semi join
+# --- Q10+Q11 (consolidated): semi and anti join — a tagged UNION ALL so the
+# physical plan contains BOTH a left-semi and a left-anti hash join.
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
-        .select("c_custkey")
-        .orderBy("c_custkey")
+    semi = customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi").select(
+        F.lit("semi").alias("tag"), "c_custkey"
     )
-
-
-# --- Q11: anti join (NOT EXISTS)
-def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
-        .select("c_custkey")
-        .orderBy("c_custkey")
+    anti = customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti").select(
+        F.lit("anti").alias("tag"), "c_custkey"
     )
+    return semi.unionAll(anti).orderBy("tag", "c_custkey")
 
 
 # --- Q12: range/theta join
@@ -165,29 +161,18 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Q14: count distinct
-def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    return orders.agg(F.countDistinct("o_custkey").alias("n_custs"))
-
-
-# --- Q15: rollup
+# --- Q15+Q16 (consolidated): rollup AND cube, tagged — both grouping-set
+# expansions appear in one plan (Expand operator with each grouping-id set).
 def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
-    return (
-        nation.rollup("n_regionkey", "n_nationkey")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy(F.col("n_regionkey").asc_nulls_first(), F.col("n_nationkey").asc_nulls_first())
+    rollup = nation.rollup("n_regionkey", "n_nationkey").agg(F.count("*").alias("cnt")).select(
+        F.lit("rollup").alias("tag"), "n_regionkey", "n_nationkey", "cnt"
     )
-
-
-# --- Q16: cube
-def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = _t(spark, sf_dir, "nation")
-    return (
-        nation.cube("n_regionkey", "n_nationkey")
-        .agg(F.count("*").alias("cnt"))
-        .orderBy(F.col("n_regionkey").asc_nulls_first(), F.col("n_nationkey").asc_nulls_first())
+    cube = nation.cube("n_regionkey", "n_nationkey").agg(F.count("*").alias("cnt")).select(
+        F.lit("cube").alias("tag"), "n_regionkey", "n_nationkey", "cnt"
+    )
+    return rollup.unionAll(cube).orderBy(
+        "tag", F.col("n_regionkey").asc_nulls_first(), F.col("n_nationkey").asc_nulls_first()
     )
 
 
@@ -223,47 +208,27 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Q20 a/b/c: set operations
+# --- Q20/Q20b/Q20c (consolidated): UNION, INTERSECT, and EXCEPT in one
+# tagged query — all three set-op physical plans exercised at once.
 def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     a = nation.filter(F.col("n_regionkey") == 0).select("n_nationkey")
     b = nation.filter(F.col("n_nationkey") < 5).select("n_nationkey")
-    return a.union(b).distinct().orderBy("n_nationkey")
+    u = a.union(b).distinct().select(F.lit("union").alias("op"), "n_nationkey")
+    i = a.intersect(b).select(F.lit("intersect").alias("op"), "n_nationkey")
+    e = a.subtract(b).select(F.lit("except").alias("op"), "n_nationkey")
+    return u.unionAll(i).unionAll(e).orderBy("op", "n_nationkey")
 
 
-def q20b(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = _t(spark, sf_dir, "nation")
-    a = nation.filter(F.col("n_regionkey") == 0).select("n_nationkey")
-    b = nation.filter(F.col("n_nationkey") < 5).select("n_nationkey")
-    return a.intersect(b).orderBy("n_nationkey")
-
-
-def q20c(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nation = _t(spark, sf_dir, "nation")
-    a = nation.filter(F.col("n_regionkey") == 0).select("n_nationkey")
-    b = nation.filter(F.col("n_nationkey") < 5).select("n_nationkey")
-    return a.subtract(b).orderBy("n_nationkey")
-
-
-# --- Q21: date truncation agg
+# --- Q21+Q14 (consolidated): date truncation agg with a count-distinct
+# aggregate alongside (the former standalone Q14 capability).
 def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     return (
         orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.count("*").alias("cnt"), F.countDistinct("o_custkey").alias("n_custs"))
         .orderBy("month")
     )
-
-
-# --- Q22: math / string scalar functions
-def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
-    part = _t(spark, sf_dir, "part")
-    return part.select(
-        "p_partkey",
-        F.round(F.col("p_retailprice") * F.lit(1.1), 2).alias("bumped"),
-        F.upper("p_brand").alias("brand_u"),
-        F.length("p_name").alias("name_len"),
-    ).orderBy("p_partkey")
 
 
 # --- Q23: array aggregate (JVM-side lambda, no Python UDF)
@@ -281,30 +246,26 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Consolidated to keep the full registry at ≤50 keys (the driver's
+# correctness harness caps at 50 queries per round): q4/q22→q3, q6→q5,
+# q11→q10, q14→q21, q16→q15, q20b/q20c→q20, q27/q28→q32 (ext_queries).
+# Every original §2.13 capability still appears in exactly one plan.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q1_leftjoin_concat": q1,
     "q2_join_chain": q2,
-    "q3_regex_filter": q3,
-    "q4_regex_extract": q4,
-    "q5_in_filter": q5,
-    "q6_csv_assembly": q6,
+    "q3_scalar_regex": q3,
+    "q5_csv_in_filter": q5,
     "q7_json_extract": q7,
     "q8_explode_split": q8,
     "q9_maxby_lastwins": q9,
-    "q10_semi_join": q10,
-    "q11_anti_join": q11,
+    "q10_semi_anti_join": q10,
     "q12_range_join": q12,
     "q13_hash_agg": q13,
-    "q14_count_distinct": q14,
-    "q15_rollup": q15,
-    "q16_cube": q16,
+    "q15_rollup_cube": q15,
     "q17_rank_window": q17,
     "q18_carry_forward": q18,
     "q19_topk": q19,
-    "q20_union": q20,
-    "q20b_intersect": q20b,
-    "q20c_except": q20c,
+    "q20_set_ops": q20,
     "q21_date_trunc": q21,
-    "q22_scalar_math": q22,
     "q23_array_aggregate": q23,
 }

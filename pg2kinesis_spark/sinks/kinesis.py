@@ -40,6 +40,18 @@ class ProvisionedThroughputExceeded(Exception):
     """Transport signals backpressure — triggers the backoff loop."""
 
 
+def _varint_size(n: int) -> int:
+    size = 1
+    while n >= 0x80:
+        n >>= 7
+        size += 1
+    return size
+
+
+# Fixed serialized overhead of an aggregate: 4-byte magic + 16-byte MD5.
+_KPL_FIXED_OVERHEAD = 20
+
+
 @dataclass
 class AggRecord:
     """A KPL aggregate: many user records, one transport record.
@@ -49,24 +61,43 @@ class AggRecord:
     aggregated-record wire format (magic + protobuf + md5) that standard
     Kinesis consumer deaggregators read — the same format the
     reference's aws_kinesis_agg dependency produces (stream.py:16).
-    ``num_bytes`` counts user-message bytes; the KPL framing overhead is
-    a few bytes per record, which is why max_agg_bytes defaults a little
-    under the 1 MiB Kinesis record limit.
+
+    Size accounting mirrors aws_kinesis_agg's get_estimated_size: the
+    fill check compares the aggregate's *serialized* size — user bytes
+    plus per-record protobuf framing plus the partition-key-table delta
+    for first-seen keys plus the magic/md5 envelope — against max_bytes,
+    so a full aggregate can never exceed the Kinesis 1 MiB record limit
+    (a raw-bytes check would: small CDC messages carry ~7-9 framing
+    bytes each, ~25 % over on 33-byte records). ``est_size`` is exact,
+    not an estimate: serialize() produces exactly this many bytes.
+    ``num_bytes`` still counts user-message bytes for the counters.
     """
 
     partition_key: str | None = None
     messages: list[bytes] = field(default_factory=list)
     keys: list[str] = field(default_factory=list)
     num_bytes: int = 0
+    est_size: int = _KPL_FIXED_OVERHEAD
+    _key_idx: dict[str, int] = field(default_factory=dict)
 
     def add(self, msg: bytes, partition_key: str, max_bytes: int) -> bool:
         if self.partition_key is None:
             self.partition_key = partition_key
-        if self.num_bytes + len(msg) > max_bytes and self.messages:
+        idx = self._key_idx.get(partition_key)
+        delta = 0
+        if idx is None:
+            idx = len(self._key_idx)
+            key_len = len(partition_key.encode())
+            delta += 1 + _varint_size(key_len) + key_len  # key-table entry
+        rec_len = 1 + _varint_size(idx) + 1 + _varint_size(len(msg)) + len(msg)
+        delta += 1 + _varint_size(rec_len) + rec_len  # framed Record message
+        if self.messages and self.est_size + delta > max_bytes:
             return False
+        self._key_idx.setdefault(partition_key, idx)
         self.messages.append(msg)
         self.keys.append(partition_key)
         self.num_bytes += len(msg)
+        self.est_size += delta
         return True
 
     def serialize(self) -> bytes:
@@ -100,7 +131,7 @@ class KinesisLikeWriter:
         transport,
         send_window: int = 13,
         back_off_limit: int = 60,
-        max_agg_bytes: int = (1 << 20) - (16 << 10),
+        max_agg_bytes: int = 1 << 20,
         sleep=time.sleep,
         clock=time.time,
     ):

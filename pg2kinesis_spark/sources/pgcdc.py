@@ -28,10 +28,28 @@ try:
     import psycopg2.extras
 
     HAVE_PSYCOPG2 = True
-except ImportError:  # pragma: no cover - not installed in test env
+except ImportError:
     HAVE_PSYCOPG2 = False
 
 from pyspark.sql.datasource import DataSource, DataSourceStreamReader, InputPartition
+
+# SQLSTATE codes (public PostgreSQL standard; the values behind
+# psycopg2.errorcodes.DUPLICATE_OBJECT / UNDEFINED_OBJECT that the
+# reference's tolerance branches compare against, slot.py:102-118).
+PG_DUPLICATE_OBJECT = "42710"
+PG_UNDEFINED_OBJECT = "42704"
+
+if HAVE_PSYCOPG2:
+    ProgrammingError = psycopg2.ProgrammingError
+else:
+    class ProgrammingError(Exception):
+        """Stand-in carrying ``pgcode`` so the slot-lifecycle tolerance
+        branches are testable without psycopg2 installed; replaced by
+        the real psycopg2.ProgrammingError when it is."""
+
+        def __init__(self, pgcode: str | None = None):
+            super().__init__(pgcode)
+            self.pgcode = pgcode
 
 # The reference's catalog query, reproduced verbatim in spirit
 # (slot.py:18-33): every table, its PK columns where they exist.
@@ -64,39 +82,55 @@ def _require_psycopg2():
 
 
 class PgSlotManager:
-    """Connection + slot lifecycle (reference slot.py:36-120)."""
+    """Connection + slot lifecycle (reference slot.py:36-120).
 
-    def __init__(self, dsn: str, slot_name: str = "pg2kinesis", plugin: str = "test_decoding"):
-        _require_psycopg2()
+    ``connection_factory`` (tests): a ``(replication: bool) -> conn``
+    callable injected in place of psycopg2.connect, so the S2/S3
+    idempotency branches run without a Postgres (the reference mocks
+    the cursor the same way, test_slot.py:51-140).
+    """
+
+    def __init__(
+        self,
+        dsn: str,
+        slot_name: str = "pg2kinesis",
+        plugin: str = "test_decoding",
+        connection_factory=None,
+    ):
+        if connection_factory is None:
+            _require_psycopg2()
         self.dsn = dsn
         self.slot_name = slot_name
         self.plugin = plugin
+        self._connection_factory = connection_factory
 
-    def _conn(self, replication: bool = False):  # pragma: no cover - needs PG
-        if replication:
+    def _conn(self, replication: bool = False):
+        if self._connection_factory is not None:
+            return self._connection_factory(replication)
+        if replication:  # pragma: no cover - needs PG
             return psycopg2.connect(
                 self.dsn, connection_factory=psycopg2.extras.LogicalReplicationConnection
             )
-        c = psycopg2.connect(self.dsn)
-        c.autocommit = True
-        return c
+        c = psycopg2.connect(self.dsn)  # pragma: no cover - needs PG
+        c.autocommit = True  # pragma: no cover
+        return c  # pragma: no cover
 
-    def create_slot(self) -> None:  # pragma: no cover - needs PG
+    def create_slot(self) -> None:
         """Idempotent create (tolerates DUPLICATE_OBJECT, slot.py:96-108)."""
         with self._conn(replication=True) as conn, conn.cursor() as cur:
             try:
                 cur.create_replication_slot(self.slot_name, output_plugin=self.plugin)
-            except psycopg2.ProgrammingError as e:
-                if e.pgcode != psycopg2.errorcodes.DUPLICATE_OBJECT:
+            except ProgrammingError as e:
+                if e.pgcode != PG_DUPLICATE_OBJECT:
                     raise
 
-    def delete_slot(self) -> None:  # pragma: no cover - needs PG
+    def delete_slot(self) -> None:
         """Idempotent drop (tolerates UNDEFINED_OBJECT, slot.py:110-120)."""
         with self._conn(replication=True) as conn, conn.cursor() as cur:
             try:
                 cur.drop_replication_slot(self.slot_name)
-            except psycopg2.ProgrammingError as e:
-                if e.pgcode != psycopg2.errorcodes.UNDEFINED_OBJECT:
+            except ProgrammingError as e:
+                if e.pgcode != PG_UNDEFINED_OBJECT:
                     raise
 
     def fetch_pk_catalog(self) -> list[tuple]:  # pragma: no cover - needs PG

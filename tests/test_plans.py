@@ -40,7 +40,9 @@ def test_q2_broadcast_join_and_pushdown(spark, sf_small):
 def test_q3_filter_pushdown_prunes_scan(spark, sf_small):
     plan = _plan(q3(spark, sf_small))
     scan = [l for l in plan.splitlines() if "FileScan" in l or "Scan parquet" in l]
-    assert "p_retailprice" not in scan[0]  # pruned
+    # the consolidated q3 reads 5 columns; unreferenced ones stay pruned
+    assert "p_size" not in scan[0] and "p_comment" not in scan[0]
+    assert "IsNotNull(p_name)" in scan[0]  # rlike's null-guard pushed to scan
 
 
 def test_td_parse_has_no_global_window(spark, pk_fixture_dir):

@@ -202,16 +202,35 @@ def test_backoff_schedule_and_exhaustion():
 def test_agg_record_size_flush():
     from pg2kinesis_spark.sinks.kpl import deaggregate_kpl
 
+    # Sizes are *serialized* KPL bytes: 20-byte envelope + 3-byte key
+    # table ("1") + 10 bytes per framed 4-byte record → 33, 43, 53...
     t = InMemoryTransport()
-    w = KinesisLikeWriter(t, max_agg_bytes=10)
-    assert w.put_message("aaaa", "1") is False   # buffered
-    assert w.put_message("bbbb", "1") is False   # still fits (8 ≤ 10)
-    assert w.put_message("cccc", "1") is True    # overflow → flush previous
+    w = KinesisLikeWriter(t, max_agg_bytes=50)
+    assert w.put_message("aaaa", "1") is False   # buffered (33 ≤ 50)
+    assert w.put_message("bbbb", "1") is False   # still fits (43 ≤ 50)
+    assert w.put_message("cccc", "1") is True    # 53 > 50 → flush previous
     w.flush_tail()
     assert [deaggregate_kpl(d) for _, d in t.records] == [
         [("1", b"aaaa"), ("1", b"bbbb")],
         [("1", b"cccc")],
     ]
+
+
+def test_agg_sizing_is_exact_and_respects_kinesis_limit():
+    """The fill check must bound the *serialized* aggregate at 1 MiB —
+    raw-user-byte accounting overflows the Kinesis PutRecord limit by
+    ~25 % with small CDC records (ValidationException, which escapes
+    the throughput-exceeded backoff loop and kills the stream)."""
+    rec = AggRecord()
+    msg = b"0,CDC,1337,public.blue,Update,123456"  # realistic small CDC line
+    xid = 100000
+    while rec.add(msg, str(xid), 1 << 20):
+        xid += 1  # distinct keys grow the partition-key table too
+    blob = rec.serialize()
+    assert len(blob) == rec.est_size            # accounting is exact
+    assert len(blob) <= 1 << 20                 # full agg fits a Kinesis record
+    assert len(blob) > (1 << 20) - 100          # and is packed ~to the brim
+    assert rec.num_bytes > (1 << 20) * 0.7      # mostly payload, not framing
 
 
 def test_send_window_flush():
