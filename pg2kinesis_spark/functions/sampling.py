@@ -71,9 +71,16 @@ def token_budget_select(
     ranked = docs.select("doc_id", n_tokens.alias("n_tokens"), score.alias("score"))
     spark = docs.sparkSession
     n_buckets = 4096
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        F.greatest(F.lit(0), ((F.lit(1.0) - F.col("score")) * n_buckets).cast("long")),
+    # NULL scores must land in the LAST bucket: `score desc` orders nulls
+    # last, so that placement keeps the bucket map weakly monotone in the
+    # global (score desc, doc_id) order. Without the guard, Spark's
+    # null-skipping greatest() would silently route them to bucket 0 —
+    # the TOP of the ranking — consuming budget ahead of every scored row.
+    bucket = F.when(F.col("score").isNull(), F.lit(n_buckets - 1)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(F.lit(0), ((F.lit(1.0) - F.col("score")) * n_buckets).cast("long")),
+        )
     )
     b = ranked.withColumn("_bkt", bucket)
     sums = {

@@ -72,9 +72,15 @@ def stamp_xid_scalable(df: DataFrame, order_col: str = "lsn", begin_col: str = "
     if lo is None:  # empty input
         return df.withColumn("xid", F.lit(""))
     span = float(max(1, hi - lo + 1))
-    bucket = F.least(
-        F.lit(n_buckets - 1),
-        ((F.col(order_col) - F.lit(lo)) / F.lit(span) * n_buckets).cast("long"),
+    # NULL order_col (should not occur for an LSN offset, but must not
+    # corrupt the scan): ascending order puts nulls FIRST, so bucket 0 is
+    # the only placement consistent with the global order — Spark's
+    # null-skipping least() would otherwise route them to the LAST bucket.
+    bucket = F.when(F.col(order_col).isNull(), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_buckets - 1),
+            ((F.col(order_col) - F.lit(lo)) / F.lit(span) * n_buckets).cast("long"),
+        )
     )
     b = df.withColumn("_bkt", bucket)
     # phase 2: one row per bucket — (bucket, last BEGIN xid in bucket)

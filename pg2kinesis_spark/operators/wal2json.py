@@ -74,7 +74,17 @@ def _exploded(raw: DataFrame, table_pat: str, keep_empty: bool = False) -> DataF
     # P5: unanchored search on the UNqualified table name (reference :116).
     keep = F.col("tbl").rlike("(?U)" + table_pat)
     if keep_empty:
-        keep = keep | F.col("change_idx").isNull()
+        # Streaming-counter path: non-matching change rows DEGRADE to
+        # skeleton rows (all change fields null — indistinguishable from
+        # an empty-message row) instead of vanishing, so the sink still
+        # counts the wire message even when --table-pat filters out
+        # every change (the reference counts pre-filter,
+        # __main__.py:86-91). Skeletons never format or put_message —
+        # P5's drop semantics for the data path are preserved.
+        df = df.withColumn("_keep", keep)
+        for c in ("change_idx", "elem", "tbl", "sch", "kind"):
+            df = df.withColumn(c, F.when(F.col("_keep"), F.col(c)))
+        return df.drop("_keep")
     return df.filter(keep)
 
 

@@ -216,9 +216,11 @@ class KinesisLikeWriter:
             cols.append(F.col("error"))
         # Sink-metadata columns from the streaming builders (reference
         # counter parity, __main__.py:86-91): is_frame rows never drive
-        # put_message (the formatter returned [] for them); wire_size ≥ 0
-        # counts the wire message once by data_size (-1 = continuation
-        # row of an already-counted multi-change message). Without the
+        # put_message (the formatter returned [] for them); wire_size
+        # rides every row of a wire message and the first row per lsn
+        # counts it once by data_size — so a table_pat that drops the
+        # leading change rows can never drop the message from the
+        # counters (the reference counts pre-filter). Without the
         # metadata (plain batches, unit tests), every row is a message
         # counted by its formatted size — the pre-existing behavior.
         has_frame = "is_frame" in batch_df.columns
@@ -227,14 +229,17 @@ class KinesisLikeWriter:
         has_wire = "wire_size" in batch_df.columns
         if has_wire:
             cols.append(F.col("wire_size"))
+            cols.append(F.col("lsn"))
         pdf = batch_df.sort(*order).select(*cols).toPandas()
         fmts = pdf["fmt_msg"].tolist()
         xids = pdf["xid"].tolist()
         errors = pdf["error"].tolist() if has_error else None
         frames = pdf["is_frame"].tolist() if has_frame else None
         wires = pdf["wire_size"].tolist() if has_wire else None
+        lsns = pdf["lsn"].tolist() if has_wire else None
         put_message = self.put_message
         count = self._count_message
+        prev_lsn = None
         for i, fmt in enumerate(fmts):
             if errors is not None and errors[i] is not None:
                 # Fail-stop (§8.5): the reference's _log_and_raise kills
@@ -249,8 +254,9 @@ class KinesisLikeWriter:
             if frames is None or not frames[i]:
                 put_message(fmt, xid)
             if wires is not None:
-                if wires[i] >= 0:
+                if lsns[i] != prev_lsn:
                     count(wires[i], xid)
+                    prev_lsn = lsns[i]
             else:
                 count(len(fmt.encode()) if fmt else 0, xid)
         self.flush_tail()

@@ -51,6 +51,16 @@ class CdcReplayStreamReader(DataSourceStreamReader):
         return self._lsns
 
     def initialOffset(self) -> dict:
+        # A fresh checkpoint that reuses an existing ack log starts at
+        # the ack watermark, not the corpus start — otherwise batch 0
+        # would span [corpus start, recovered + rows_per_batch]: one
+        # unbounded batch re-serving the whole previously-acked range,
+        # defeating the rows_per_batch backpressure knob. This is the
+        # slot's confirmed_flush_lsn semantics: acked WAL is reclaimed.
+        recovered = self._recovered_cursor()
+        if recovered is not None:
+            self._cursor = recovered
+            return {"lsn": recovered}
         lsns = self._all_lsns()
         return {"lsn": (lsns[0] - 1) if lsns else 0}
 

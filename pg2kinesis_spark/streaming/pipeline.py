@@ -173,19 +173,14 @@ def build_wal2json_stream(
         msgs = format_csv(parsed) if formatter == "CSV" else format_csvpayload(parsed)
     msgs = filter_operations(msgs, operations)
     # Sink metadata (reference telemetry parity, __main__.py:86-91): a
-    # wire message is counted ONCE by data_size — on its first exploded
-    # change row, or on the empty-message row (is_frame) that the outer
-    # explode keeps; continuation rows (change_idx > 0) carry -1.
-    # Known divergence: if --table-pat filters out change 0 of a
-    # multi-change message, that message goes uncounted (the reference
-    # counts pre-filter); exact under the default match-all pattern.
+    # wire message is counted ONCE by data_size. wire_size rides EVERY
+    # row of a message and the sink dedups by lsn (first row per lsn
+    # counts), so a --table-pat that filters out change 0 — or every
+    # change, in which case parse_wal2json keeps a skeleton row — can
+    # never drop a message from the counters: exact pre-filter counting
+    # under any pattern, matching the reference's consume loop.
     return msgs.withColumn("is_frame", F.col("change_idx").isNull()).withColumn(
-        "wire_size",
-        F.when(
-            F.col("change_idx").isNull() | (F.col("change_idx") == 0), F.col("data_size")
-        )
-        .otherwise(F.lit(-1))
-        .cast("long"),
+        "wire_size", F.coalesce(F.col("data_size"), F.lit(0)).cast("long")
     )
 
 

@@ -210,3 +210,24 @@ def test_srp_tables_neardup_subset_and_recall(spark, sf_small):
         close = {k for k, c in brute.items() if c >= 0.7}
         if close:
             assert len(close & set(approx)) / len(close) >= 0.5
+
+
+def test_token_budget_null_scores_rank_last_not_lost(spark):
+    """NULL scores must neither vanish through the bucket join nor jump
+    the ranking: they sort after every scored doc (score desc ⇒ nulls
+    last) and are selected only if budget remains."""
+    from pg2kinesis_spark.functions import sampling
+
+    rows = [(1, 10, 0.9), (2, 10, 0.5), (3, 10, None), (4, 10, 0.1)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long, score double")
+    # budget fits everything → null-score doc included, ranked LAST
+    sel = sampling.token_budget_select(
+        df, score=F.col("score"), n_tokens=F.col("n_tokens"), budget=100
+    ).orderBy("cum_tokens").collect()
+    assert [r.doc_id for r in sel] == [1, 2, 4, 3]
+    assert [r.cum_tokens for r in sel] == [10, 20, 30, 40]
+    # budget exhausted before the null → null excluded, never mid-ranking
+    sel2 = sampling.token_budget_select(
+        df, score=F.col("score"), n_tokens=F.col("n_tokens"), budget=30
+    ).orderBy("cum_tokens").collect()
+    assert [r.doc_id for r in sel2] == [1, 2, 4]

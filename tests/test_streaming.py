@@ -286,3 +286,115 @@ def test_counters_use_reference_units(spark, corpus, pk_map, drained):
     assert writer.cum_msg_count == total_lines == TOTAL_LINES
     assert writer.cum_msg_size == total_size
     assert writer.put_message_calls == N_TXNS * MSGS_PER_TXN
+
+
+def test_wal2json_table_pat_counts_filtered_messages(spark, pk_map, tmp_path, few_shuffles):
+    """Pre-filter counter parity (reference __main__.py:86-91): a
+    --table-pat that filters out change 0 — or EVERY change — of a wire
+    message must not drop that message from the counters. The reference
+    counts every wire message before the formatter's table filter runs;
+    the rebuild tags wire_size on every row (skeleton rows survive for
+    fully-filtered messages) and the sink counts the first row per lsn."""
+    import json
+
+    from pg2kinesis_spark.streaming.pipeline import build_wal2json_stream
+
+    def chg(table, val):
+        return {
+            "kind": "insert",
+            "schema": "public",
+            "table": table,
+            "columnnames": ["uuid"],
+            "columntypes": ["uuid"],
+            "columnvalues": [val],
+        }
+
+    msgs = [
+        # change 0 filtered, change 1 survives → counted via change 1
+        (10, {"xid": 1, "change": [chg("skipme", "a"), chg("test_table", "b")]}),
+        # every change filtered → counted via the skeleton row
+        (20, {"xid": 2, "change": [chg("skipme", "c")]}),
+        # empty change array → counted via the empty-message row
+        (30, {"xid": 3, "change": []}),
+        # nothing filtered → counted normally
+        (40, {"xid": 4, "change": [chg("test_table", "d")]}),
+    ]
+    payloads = [(lsn, json.dumps(m)) for lsn, m in msgs]
+    corpus = str(tmp_path / "corpus.parquet")
+    spark.createDataFrame(
+        [(l, len(p.encode()), p) for l, p in payloads],
+        "lsn long, data_size int, payload string",
+    ).coalesce(1).write.mode("overwrite").parquet(corpus)
+
+    transport = InMemoryTransport()
+    writer = KinesisLikeWriter(transport)
+    stream = build_wal2json_stream(
+        spark, corpus, pk_map, formatter="CSV", table_pat="test_table", rows_per_batch=10,
+    )
+    run_until(
+        stream, writer, str(tmp_path / "ckpt"), done=lambda: writer.cum_msg_count >= 4
+    )
+    writer.flush_tail()
+
+    total_size = sum(len(p.encode()) for _, p in payloads)
+    assert writer.cum_msg_count == 4          # every wire message counted once
+    assert writer.cum_msg_size == total_size  # by its full wire data_size
+    # only the two surviving changes format and put
+    assert writer.put_message_calls == 2
+    assert sorted(_msgs(transport)) == ["0,CDC,1,public.test_table,insert,b",
+                                        "0,CDC,4,public.test_table,insert,d"]
+
+
+def test_fresh_checkpoint_recovers_cursor_from_ack_log(spark, corpus, pk_map, tmp_path, few_shuffles):
+    """Restart-cursor recovery (confirmed_flush_lsn semantics): a fresh
+    checkpoint that reuses a fully-committed ack log must re-serve ZERO
+    rows and never append a regressing ack; a partially-committed log
+    resumes exactly after the watermark with batch 0 bounded relative to
+    it (not the corpus start)."""
+    from pg2kinesis_spark.streaming.pipeline import run_to_sink
+
+    max_lsn, mid_lsn = (
+        spark.read.parquet(corpus).agg(F.max("lsn"), F.expr("percentile(lsn, 0.5)")).first()
+    )
+
+    # --- fully-committed log → nothing re-served
+    ack_log = str(tmp_path / "acks_full.jsonl")
+    with open(ack_log, "w") as f:
+        f.write(json.dumps({"acked_lsn": int(max_lsn)}) + "\n")
+    t = InMemoryTransport()
+    w = KinesisLikeWriter(t)
+    stream = build_test_decoding_stream(
+        spark, corpus, pk_map, formatter="CSV", operations=("UPDATE",),
+        rows_per_batch=7, ack_log=ack_log,
+    )
+    q = run_to_sink(stream, w, str(tmp_path / "ckpt_full"), available_now=True)
+    q.awaitTermination(60)
+    w.flush_tail()
+    assert _msgs(t) == []
+    assert w.put_message_calls == 0
+    acks = [json.loads(l)["acked_lsn"] for l in open(ack_log) if l.strip()]
+    assert acks == sorted(acks) and min(acks) >= int(max_lsn)  # monotone, no regress
+
+    # --- partially-committed log → resume strictly after the watermark
+    ack_log2 = str(tmp_path / "acks_mid.jsonl")
+    with open(ack_log2, "w") as f:
+        f.write(json.dumps({"acked_lsn": int(mid_lsn)}) + "\n")
+    t2 = InMemoryTransport()
+    w2 = KinesisLikeWriter(t2)
+    stream2 = build_test_decoding_stream(
+        spark, corpus, pk_map, formatter="CSV", operations=("UPDATE",),
+        rows_per_batch=1000, ack_log=ack_log2,
+    )
+    q2 = run_to_sink(stream2, w2, str(tmp_path / "ckpt_mid"), available_now=True)
+    q2.awaitTermination(60)
+    w2.flush_tail()
+    tail = (
+        spark.read.parquet(corpus)
+        .filter(F.col("lsn") > int(mid_lsn))
+        .count()
+    )
+    # every wire line after the watermark was served once, none before
+    assert w2.put_message_calls + sum(
+        1 for r in spark.read.parquet(corpus).filter(F.col("lsn") > int(mid_lsn)).collect()
+        if not r.payload.startswith("table ")
+    ) == tail
