@@ -63,7 +63,9 @@ def bench_cdc_replay(spark, sf_dir):
     cat = spark.createDataFrame(
         fx.pk_catalog_rows(), "table_name string, col_name string, col_type string, col_ord_pos int"
     )
-    return format_csv(parse_test_decoding(raw, primary_key_map(cat))).select("lsn", "fmt_msg")
+    return format_csv(parse_test_decoding(raw, primary_key_map(cat))).select(
+        "lsn", "xid", "fmt_msg"
+    )
 
 
 EXTRA_BENCHES = {
@@ -101,6 +103,24 @@ def main() -> None:
         times[name] = round(best, 4)
         if name == "cdc_replay_450k":
             times["cdc_replay_msgs_per_sec"] = round(n / times[name], 1)
+
+    # End-to-end sink drain: the same ~450k-message pipeline pushed
+    # through the full foreachBatch path — ordered Arrow transfer,
+    # per-message put_message, KPL wire serialization, transport puts —
+    # into InMemoryTransport. cdc_replay measures parse→format; this
+    # measures parse→format→sink, the number a deployment actually sees.
+    from pg2kinesis_spark.sinks.kinesis import InMemoryTransport, KinesisLikeWriter
+
+    sink_df = bench_cdc_replay(spark, sf_dir)
+    best, n_msgs = float("inf"), 0
+    for _ in range(2):
+        writer = KinesisLikeWriter(InMemoryTransport())
+        t0 = time.perf_counter()
+        writer.process_batch(sink_df, 0)
+        best = min(best, time.perf_counter() - t0)
+        n_msgs = writer.put_message_calls
+    times["e2e_sink"] = round(best, 4)
+    times["e2e_sink_msgs_per_sec"] = round(n_msgs / times["e2e_sink"], 1)
 
     total = round(sum(v for k, v in times.items() if not k.endswith("_per_sec")), 4)
     print(

@@ -142,30 +142,40 @@ def minhash_lsh_pairs(
         F.concat_ws(",", *[F.col(f"mh{band * r + j}").cast("string") for j in range(r)]).alias(f"band{band}")
         for band in range(bands)
     ]
-    # Both self-join sides recompute the signature pipeline; measured
-    # locally, caching these wide rows costs MORE than recomputing the
-    # cheap agg (no ReusedExchange either way). At cluster scale, write
-    # signatures to a table once and self-join that instead.
-    banded = sig.select("doc_id", *[F.col(f"mh{i}") for i in range(k)], *band_cols)
-    melted = banded.select(
+    # The band explode and candidate self-join carry ONLY
+    # (doc_id, band_idx, band_key) — ×bands narrow rows, never the k
+    # signature columns (which would multiply the band shuffle width by
+    # k ints per row). Signatures re-join just for the candidate pairs —
+    # a collision-rate-bounded set — to compute est_jaccard.
+    # The signature pipeline is recomputed by its consumers; measured
+    # locally, caching these rows costs MORE than recomputing the cheap
+    # agg (no ReusedExchange either way). At cluster scale, write
+    # signatures to a table once and join that instead.
+    melted = sig.select(
         "doc_id",
-        *[F.col(f"mh{i}") for i in range(k)],
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band_idx", "band_key"),
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"),
     )
     a = melted.alias("a")
     b = melted.alias("b")
-    eq = sum(
-        F.when(F.col(f"a.mh{i}") == F.col(f"b.mh{i}"), 1).otherwise(0) for i in range(k)
-    )
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
-        .agg(F.first((eq / F.lit(float(k)))).alias("est_jaccard"))
+        .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .distinct()
+    )
+    s1 = sig.select(F.col("doc_id").alias("id1"), *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(k)])
+    s2 = sig.select(F.col("doc_id").alias("id2"), *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(k)])
+    eq = sum(
+        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0) for i in range(k)
+    )
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", (eq / F.lit(float(k))).alias("est_jaccard"))
     )
 
 

@@ -108,3 +108,23 @@ def test_two_phase_scans_leave_no_cached_rdds(spark, pk_fixture_dir, sf_small):
     dedup.jaccard_pairs(docs.limit(50), n=3, max_shingle_df=50).count()
 
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_lsh_band_explode_carries_no_signature_columns(spark, sf_small):
+    """The band-candidate self-join must shuffle only
+    (doc_id, band_idx, band_key) — carrying the k signature columns
+    through the explode multiplies the band shuffle width by k ints per
+    row. Signatures re-join only for candidate pairs."""
+    from pg2kinesis_spark.functions import dedup
+    from pg2kinesis_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_small, "documents").filter(F.col("doc_id") < 300)
+    plan = _optimized(dedup.minhash_lsh_pairs(docs, n=3, k=16, bands=4, seed=7))
+    gen = [l for l in plan.splitlines() if "posexplode" in l]
+    assert gen, plan
+    for line in gen:
+        # Generate's retained output is the bracketed list after 'false,'
+        out = line.rsplit("false,", 1)[-1]
+        assert "mh" not in out, line  # only band_idx/band_key survive
+        assert "band_key" in out

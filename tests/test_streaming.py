@@ -398,3 +398,30 @@ def test_fresh_checkpoint_recovers_cursor_from_ack_log(spark, corpus, pk_map, tm
         1 for r in spark.read.parquet(corpus).filter(F.col("lsn") > int(mid_lsn)).collect()
         if not r.payload.startswith("table ")
     ) == tail
+
+
+def test_xid_stamp_across_many_arrow_chunks(spark, corpus, pk_map, tmp_path, few_shuffles):
+    """_stamp_fn receives a micro-batch as MULTIPLE Arrow chunks once the
+    batch exceeds arrow.maxRecordsPerBatch; the stamp must concatenate
+    and sort them ONCE by lsn before attributing xids (a per-chunk sort
+    would misattribute rows when a BEGIN lands in a later chunk than its
+    DML rows). Forcing 4-row chunks over a whole-corpus batch pins this."""
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        transport = InMemoryTransport()
+        writer = KinesisLikeWriter(transport)
+        stream = build_test_decoding_stream(
+            spark, corpus, pk_map, formatter="CSV", operations=("UPDATE",),
+            rows_per_batch=1000,  # whole corpus in ONE batch → many chunks
+        )
+        run_until(
+            stream, writer, str(tmp_path / "ckpt"),
+            done=lambda: writer.put_message_calls >= N_TXNS * MSGS_PER_TXN,
+        )
+        writer.flush_tail()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    batch = format_csv(parse_test_decoding(spark.read.parquet(corpus), pk_map)).orderBy("lsn").collect()
+    assert _msgs(transport) == [r.fmt_msg for r in batch]  # same xids, same order
