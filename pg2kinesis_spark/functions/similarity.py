@@ -205,6 +205,64 @@ def srp_tables_neardup_pairs(
     )
 
 
+def srp_int_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_tables: int = 4,
+    n_bits: int = 4,
+    seed: int = 11,
+    scale: int = 10000,
+) -> DataFrame:
+    """Approximate top-k, hash-checkable edition.
+
+    Candidates collide in ANY of ``n_tables`` integer-quantized
+    sign-projection tables (exact integer dots → bit-identical buckets
+    across engines, see _int_bucket); scoring and ranking then use the
+    same double-precision cosine + (cos desc, neighbor_id) total order
+    that the exact n9 baseline hash-matches with. The candidate join is
+    a (table, bucket) equi-join with the small query side broadcast —
+    at scale the corpus is written bucketed once and probed per batch.
+    """
+    planes = srp_int_planes(dim, n_tables * n_bits, seed)
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        out = df.select("vec_id", "embedding")
+        for t in range(n_tables):
+            out = out.withColumn(f"bk{t}", _int_bucket(planes[t * n_bits : (t + 1) * n_bits], scale))
+        return out.select(
+            "vec_id",
+            "embedding",
+            F.posexplode(F.array(*[F.col(f"bk{t}") for t in range(n_tables)])).alias("tidx", "bucket"),
+        )
+
+    c = bucketed(emb).alias("c")
+    q = F.broadcast(
+        bucketed(queries).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qemb"),
+            F.col("tidx").alias("qtidx"),
+            F.col("bucket").alias("qbucket"),
+        )
+    ).alias("q")
+    cand = (
+        c.join(
+            q,
+            (F.col("c.tidx") == F.col("qtidx"))
+            & (F.col("c.bucket") == F.col("qbucket"))
+            & (F.col("c.vec_id") != F.col("query_id")),
+        )
+        # a pair colliding in several tables must be scored once
+        .groupBy("query_id", F.col("c.vec_id").alias("vec_id"))
+        .agg(F.first("qemb").alias("qemb"), F.first(F.col("c.embedding")).alias("cemb"))
+    )
+    scored = cand.withColumn("cos", _dot("qemb", "cemb") / (_norm("qemb") * _norm("cemb")))
+    return _topk_per_query(scored, k, neighbor="vec_id").select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), "cos", "rnk"
+    )
+
+
 def ivf_centroids(emb: DataFrame, n_centroids: int = 16, seed: int = 13, max_iter: int = 10) -> DataFrame:
     """IVF coarse quantizer: k-means centroids over the corpus
     (Spark ML KMeans — one pass of distributed Lloyd's per iter).
