@@ -141,6 +141,58 @@ class PgSlotManager:
             cur.execute(PK_SQL)
             return cur.fetchall()
 
+    def process_replication_stream(self, consume) -> None:
+        """START_REPLICATION push loop — exact parity with the
+        reference's SlotReader.process_replication_stream
+        (slot.py:122-129): wal2json slots get {'include-xids': 1},
+        then the blocking consume_stream drives ``consume`` once per
+        replication message. This is the reference's deployment surface;
+        the Spark stream reader below uses peek/advance polling instead
+        (same at-least-once contract) because a Structured Streaming
+        source is pull-based — push mode is bridged via QueueConsume.
+        """
+        options = {"include-xids": 1} if self.plugin == "wal2json" else None
+        with self._conn(replication=True) as conn:
+            cur = conn.cursor()
+            cur.start_replication(slot_name=self.slot_name, options=options)
+            cur.consume_stream(consume)
+
+
+class QueueConsume:
+    """Bridge from the push loop to a pull-based reader: buffers
+    (lsn, data_size, payload) rows and acks the flushed LSN back on the
+    message's own cursor — the reference's ack-after-put feedback
+    (__main__.py:101-104) split into its two halves so the sink can ack
+    only after Kinesis accepted the batch."""
+
+    def __init__(self, max_buffer: int = 100_000):
+        self.max_buffer = max_buffer
+        self.buffer: list[tuple[int, int, str]] = []
+        self._cursors: dict[int, object] = {}
+
+    def __call__(self, change) -> None:
+        if len(self.buffer) >= self.max_buffer:
+            raise BufferError(
+                f"CDC buffer exceeded {self.max_buffer} messages without an ack"
+            )
+        self.buffer.append((change.data_start, change.data_size, change.payload))
+        self._cursors[change.data_start] = change.cursor
+
+    def drain(self) -> list[tuple[int, int, str]]:
+        out, self.buffer = self.buffer, []
+        return out
+
+    def ack(self, lsn: int) -> None:
+        """send_feedback(flush_lsn=...) on the cursor that delivered the
+        message at (or nearest below) this LSN; drops older cursor refs."""
+        eligible = [k for k in self._cursors if k <= lsn]
+        if not eligible:
+            return
+        top = max(eligible)
+        self._cursors[top].send_feedback(flush_lsn=lsn)
+        for k in eligible:
+            del self._cursors[k]
+
 
 class _PgBatch(InputPartition):
     def __init__(self, messages: list[tuple[int, int, str]]):
