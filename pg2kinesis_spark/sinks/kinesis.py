@@ -41,11 +41,8 @@ class ProvisionedThroughputExceeded(Exception):
 
 
 def _varint_size(n: int) -> int:
-    size = 1
-    while n >= 0x80:
-        n >>= 7
-        size += 1
-    return size
+    # ceil(bit_length / 7), with 0 encoding in one byte
+    return 1 if n < 0x80 else -(-n.bit_length() // 7)
 
 
 # Fixed serialized overhead of an aggregate: 4-byte magic + 16-byte MD5.
@@ -84,19 +81,24 @@ class AggRecord:
         if self.partition_key is None:
             self.partition_key = partition_key
         idx = self._key_idx.get(partition_key)
-        delta = 0
-        if idx is None:
+        new_key = idx is None
+        if new_key:
             idx = len(self._key_idx)
             key_len = len(partition_key.encode())
-            delta += 1 + _varint_size(key_len) + key_len  # key-table entry
-        rec_len = 1 + _varint_size(idx) + 1 + _varint_size(len(msg)) + len(msg)
-        delta += 1 + _varint_size(rec_len) + rec_len  # framed Record message
+            delta = 1 + _varint_size(key_len) + key_len  # key-table entry
+        else:
+            delta = 0
+        msg_len = len(msg)
+        # framed Record message: tag+len envelope around pk-index + data
+        rec_len = 2 + _varint_size(idx) + _varint_size(msg_len) + msg_len
+        delta += 1 + _varint_size(rec_len) + rec_len
         if self.messages and self.est_size + delta > max_bytes:
             return False
-        self._key_idx.setdefault(partition_key, idx)
+        if new_key:
+            self._key_idx[partition_key] = idx
         self.messages.append(msg)
         self.keys.append(partition_key)
-        self.num_bytes += len(msg)
+        self.num_bytes += msg_len
         self.est_size += delta
         return True
 

@@ -39,7 +39,14 @@ _TAG_EHK_INDEX = 0x10  # field 2, varint
 _TAG_DATA = 0x1A  # field 3, length-delimited
 
 
+# Single-byte varints (n < 128) dominate real aggregates — small record
+# lengths, small key indices — so they come from a precomputed table.
+_VARINT1 = [bytes([i]) for i in range(0x80)]
+
+
 def _varint(n: int) -> bytes:
+    if n < 0x80:
+        return _VARINT1[n]
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -62,28 +69,41 @@ def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
         shift += 7
 
 
+_TAG_PK_INDEX_B = bytes([_TAG_PK_INDEX])
+_TAG_DATA_B = bytes([_TAG_DATA])
+_TAG_RECORD_B = bytes([_TAG_RECORD])
+_TAG_PK_TABLE_B = bytes([_TAG_PK_TABLE])
+
+
 def serialize_kpl(records: list[tuple[str, bytes]]) -> bytes:
-    """Pack (partition_key, data) user records into one KPL aggregate."""
+    """Pack (partition_key, data) user records into one KPL aggregate.
+
+    Hot path of the sink drain: assembles flat byte fragments and joins
+    once (no per-record intermediate concatenation)."""
     keys: list[str] = []
     key_idx: dict[str, int] = {}
-    body = bytearray()
+    parts: list[bytes] = []
+    append = parts.append
+    varint = _varint
     for pk, data in records:
-        if pk not in key_idx:
-            key_idx[pk] = len(keys)
+        idx = key_idx.get(pk)
+        if idx is None:
+            idx = key_idx[pk] = len(keys)
             keys.append(pk)
-        rec = (
-            bytes([_TAG_PK_INDEX])
-            + _varint(key_idx[pk])
-            + bytes([_TAG_DATA])
-            + _varint(len(data))
-            + data
-        )
-        body += bytes([_TAG_RECORD]) + _varint(len(rec)) + rec
-    table = bytearray()
+        vi = varint(idx)
+        vl = varint(len(data))
+        append(_TAG_RECORD_B)
+        append(varint(2 + len(vi) + len(vl) + len(data)))
+        append(_TAG_PK_INDEX_B)
+        append(vi)
+        append(_TAG_DATA_B)
+        append(vl)
+        append(data)
+    table: list[bytes] = []
     for k in keys:
         kb = k.encode()
-        table += bytes([_TAG_PK_TABLE]) + _varint(len(kb)) + kb
-    payload = bytes(table) + bytes(body)
+        table.extend((_TAG_PK_TABLE_B, varint(len(kb)), kb))
+    payload = b"".join(table) + b"".join(parts)
     return KPL_MAGIC + payload + hashlib.md5(payload).digest()
 
 
