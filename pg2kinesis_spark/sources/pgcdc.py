@@ -166,20 +166,28 @@ class QueueConsume:
     only after Kinesis accepted the batch."""
 
     def __init__(self, max_buffer: int = 100_000):
+        import threading
+
         self.max_buffer = max_buffer
         self.buffer: list[tuple[int, int, str]] = []
         self._cursors: dict[int, object] = {}
+        # consume thread appends while the driver drains — without the
+        # lock an append racing the drain swap could land on the
+        # already-swapped-out list and silently vanish.
+        self._lock = threading.Lock()
 
     def __call__(self, change) -> None:
-        if len(self.buffer) >= self.max_buffer:
-            raise BufferError(
-                f"CDC buffer exceeded {self.max_buffer} messages without an ack"
-            )
-        self.buffer.append((change.data_start, change.data_size, change.payload))
-        self._cursors[change.data_start] = change.cursor
+        with self._lock:
+            if len(self.buffer) >= self.max_buffer:
+                raise BufferError(
+                    f"CDC buffer exceeded {self.max_buffer} messages without an ack"
+                )
+            self.buffer.append((change.data_start, change.data_size, change.payload))
+            self._cursors[change.data_start] = change.cursor
 
     def drain(self) -> list[tuple[int, int, str]]:
-        out, self.buffer = self.buffer, []
+        with self._lock:
+            out, self.buffer = self.buffer, []
         return out
 
     def ack(self, lsn: int) -> None:
@@ -259,8 +267,68 @@ class PgCdcStreamReader(DataSourceStreamReader):  # pragma: no cover - needs PG
             )
 
 
+class PgCdcPushStreamReader(DataSourceStreamReader):
+    """START_REPLICATION push mode wired into the Spark source contract.
+
+    A daemon thread runs the blocking ``consume_stream`` loop
+    (reference slot.py:122-129) into a QueueConsume; ``latestOffset``
+    drains the buffer on each trigger, ``partitions`` embeds the drained
+    messages (executors cannot reach driver memory), and ``commit``
+    sends ``send_feedback(flush_lsn=...)`` on the delivering cursor —
+    ack-after-put, exactly the reference's two-phase-commit shape.
+    The poll reader (peek/advance) remains the default: re-reading
+    un-acked WAL after a crash needs no driver-side buffer there. Push
+    mode trades that re-read for the reference's lower-latency loop;
+    messages held in the buffer before commit are re-served by Postgres
+    on restart either way (at-least-once in both modes).
+    """
+
+    def __init__(self, options: dict, manager: PgSlotManager | None = None):
+        self.mgr = manager or PgSlotManager(
+            options["dsn"], options.get("slot", "pg2kinesis"), options.get("plugin", "test_decoding")
+        )
+        self.queue = QueueConsume(int(options.get("maxbuffer", 100_000)))
+        self._thread = None
+        self._pending: list[tuple[int, int, str]] = []
+        self._last = 0
+
+    def _ensure_started(self) -> None:
+        if self._thread is None:
+            import threading
+
+            self._thread = threading.Thread(
+                target=self.mgr.process_replication_stream, args=(self.queue,), daemon=True
+            )
+            self._thread.start()
+
+    def initialOffset(self) -> dict:
+        return {"lsn": 0}
+
+    def latestOffset(self) -> dict:
+        self._ensure_started()
+        drained = self.queue.drain()
+        if drained:
+            self._pending.extend(drained)
+            self._last = max(self._last, max(m[0] for m in drained))
+        return {"lsn": self._last}
+
+    def partitions(self, start: dict, end: dict):
+        msgs = [m for m in self._pending if start["lsn"] < m[0] <= end["lsn"]]
+        self._pending = [m for m in self._pending if m[0] > end["lsn"]]
+        return [_PgBatch(msgs)]
+
+    def read(self, partition: _PgBatch):
+        yield from partition.messages
+
+    def commit(self, end: dict) -> None:
+        self.queue.ack(end["lsn"])
+
+
 class PgCdcDataSource(DataSource):  # pragma: no cover - needs PG
-    """spark.readStream.format("pgcdc").option("dsn", ...).load()"""
+    """spark.readStream.format("pgcdc").option("dsn", ...).load()
+
+    option("mode", "poll"|"push") selects peek/advance polling (default)
+    or the START_REPLICATION push loop."""
 
     @classmethod
     def name(cls) -> str:
@@ -269,5 +337,7 @@ class PgCdcDataSource(DataSource):  # pragma: no cover - needs PG
     def schema(self) -> str:
         return "lsn bigint, data_size int, payload string"
 
-    def streamReader(self, schema) -> PgCdcStreamReader:
+    def streamReader(self, schema):
+        if self.options.get("mode", "poll") == "push":
+            return PgCdcPushStreamReader(self.options)
         return PgCdcStreamReader(self.options)

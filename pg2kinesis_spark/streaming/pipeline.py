@@ -88,11 +88,13 @@ def read_pgcdc_stream(
     slot: str = "pg2kinesis",
     plugin: str = "test_decoding",
     rows_per_batch: int = 1000,
+    mode: str = "poll",
 ) -> DataFrame:
     """Live source (S1): registers the pgcdc Python DataSource and builds
     the stream DataFrame. Schema resolution needs no Postgres connection —
-    psycopg2 is only required once the query starts polling the slot
-    (reference slot.py:122-129 is the equivalent blocking loop)."""
+    psycopg2 is only required once the query starts consuming the slot.
+    ``mode='push'`` selects the START_REPLICATION consume loop
+    (reference slot.py:122-129 parity); 'poll' (default) peeks/advances."""
     from pg2kinesis_spark.sources.pgcdc import PgCdcDataSource
 
     spark.dataSource.register(PgCdcDataSource)
@@ -102,6 +104,7 @@ def read_pgcdc_stream(
         .option("slot", slot)
         .option("plugin", plugin)
         .option("rowsperbatch", str(rows_per_batch))
+        .option("mode", mode)
         .load()
     )
 

@@ -234,3 +234,40 @@ def test_queue_consume_backpressure_bounds_buffer():
     mgr, cur = _repl_mgr([(1, "a"), (2, "b"), (3, "c")], "test_decoding")
     with pytest.raises(BufferError):
         mgr.process_replication_stream(q)
+
+
+def test_push_stream_reader_serves_once_in_order_and_acks():
+    """Push-mode reader drives the full DataSourceStreamReader contract
+    off the START_REPLICATION thread: messages surface exactly once in
+    LSN order across triggers, and commit() sends send_feedback with the
+    acked flush_lsn — ack only after the sink's batch succeeded."""
+    import time
+
+    from pg2kinesis_spark.sources.pgcdc import PgCdcPushStreamReader
+
+    payloads = [(10, "BEGIN 7"), (12, "table public.t: UPDATE: id[integer]:1"),
+                (14, "COMMIT"), (16, "BEGIN 8"), (18, "COMMIT")]
+    mgr, cur = _repl_mgr(payloads, "test_decoding")
+    r = PgCdcPushStreamReader({"dsn": "dbname=x"}, manager=mgr)
+
+    assert r.initialOffset() == {"lsn": 0}
+    served = []
+    start = r.initialOffset()
+    deadline = time.time() + 5
+    while len(served) < len(payloads) and time.time() < deadline:
+        end = r.latestOffset()
+        if end["lsn"] == start["lsn"]:
+            time.sleep(0.01)
+            continue
+        for part in r.partitions(start, end):
+            served.extend(r.read(part))
+        r.commit(end)
+        start = end
+
+    assert [m[0] for m in served] == [10, 12, 14, 16, 18]  # once, in order
+    assert served[1][2] == payloads[1][1]
+    assert cur.feedback and cur.feedback[-1] == 18          # acked to the tip
+    assert cur.feedback == sorted(cur.feedback)             # monotone acks
+    # re-trigger with no new data: empty batch, offset stable
+    end2 = r.latestOffset()
+    assert end2 == start and r.partitions(start, end2)[0].messages == []
