@@ -106,6 +106,49 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     return media.mapInPandas(kernel, FEATURES_SCHEMA)
 
 
+def resize_media(media: DataFrame, width: int = 64, height: int = 64, fake: bool = True) -> DataFrame:
+    """mapInPandas resize: size-bound every media item to width×height.
+
+    Real deployments put PIL's ``Image.resize`` in the kernel body; the
+    deterministic fake stride-samples (or wrap-pads) the byte stream to
+    exactly ``width*height`` bytes, so downstream stages see the real
+    contract — bounded content, same (media_id, content, meta) schema,
+    ``bytes_hint`` updated so partition sizing stays honest — with
+    exact, testable bytes. Output schema == input schema: resize
+    composes with extract_features / frame_sample unchanged.
+    """
+    import pandas as pd
+
+    if not fake:
+        raise NotImplementedError(
+            "real media codecs (PIL/ffmpeg) are not available in this "
+            "environment; use fake=True for the deterministic stand-in"
+        )
+    target = width * height
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = []
+            for c in pdf["content"]:
+                b = bytes(c)
+                if len(b) >= target:
+                    step = len(b) / target
+                    resized.append(bytes(b[int(i * step)] for i in range(target)))
+                elif b:
+                    resized.append((b * (target // len(b) + 1))[:target])
+                else:
+                    resized.append(bytes(target))
+            meta = [
+                {"mime": m["mime"], "bytes_hint": target, "source_uri": m["source_uri"]}
+                for m in pdf["meta"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": resized, "meta": meta}
+            )
+
+    return media.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
     """'Video frame' sampling as pure column expressions: slice the byte
     stream at fixed strides. Output one row per sampled frame."""

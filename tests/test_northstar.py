@@ -231,3 +231,24 @@ def test_token_budget_null_scores_rank_last_not_lost(spark):
         df, score=F.col("score"), n_tokens=F.col("n_tokens"), budget=30
     ).orderBy("cum_tokens").collect()
     assert [r.doc_id for r in sel2] == [1, 2, 4]
+
+
+def test_resize_media_bounds_content_and_composes(spark, planted):
+    media = multimodal.synthetic_media(planted)
+    small = multimodal.resize_media(media, width=8, height=8)
+    rows = {r.media_id: r for r in small.collect()}
+    origs = {r.media_id: bytes(r.content) for r in media.collect()}
+    assert rows
+    for mid, r in rows.items():
+        assert len(r.content) == 64                  # exactly width*height
+        assert r.meta.bytes_hint == 64               # partition sizing stays honest
+        assert r.meta.mime == "image/fake"
+        b = origs[mid]
+        if len(b) >= 64:                             # deterministic stride sample
+            step = len(b) / 64
+            assert bytes(r.content) == bytes(b[int(i * step)] for i in range(64))
+    # same schema in as out → composes with downstream media operators
+    feats = multimodal.extract_features(small).collect()
+    assert all(f.n_bytes == 64 for f in feats)
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_media(media, fake=False).collect()
