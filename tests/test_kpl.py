@@ -106,3 +106,24 @@ def test_boto_transport_receives_kpl_wire_bytes():
         w.put_message("m2", "7")
         w.flush_tail()
         stub.assert_no_pending_responses()
+
+
+def test_kpl_roundtrip_and_size_property():
+    """Property check: arbitrary key/payload mixes round-trip through the
+    wire format, and AggRecord's size accounting is byte-exact."""
+    from hypothesis import given, settings, strategies as st
+
+    payload = st.binary(min_size=0, max_size=400)
+    key = st.text(min_size=0, max_size=40)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(key, payload), min_size=1, max_size=30))
+    def prop(records):
+        blob = serialize_kpl(records)
+        assert deaggregate_kpl(blob) == records
+        rec = AggRecord()
+        for pk, data in records:
+            assert rec.add(data, pk, 1 << 30)
+        assert len(rec.serialize()) == rec.est_size
+
+    prop()
