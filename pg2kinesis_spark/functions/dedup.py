@@ -126,31 +126,20 @@ def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 16, seed: int = 7) 
     return shingles(docs, n).groupBy("doc_id").agg(*_minhash_cols(k, seed))
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame, n: int = 3, k: int = 16, bands: int = 4, seed: int = 7
-) -> DataFrame:
-    """Banded-LSH candidate pairs with MinHash-estimated similarity.
+def _lsh_pairs_from_sig(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """Banding core over a signature DataFrame (doc_id, mh0..mh{k-1}).
 
-    Signature is split into ``bands`` bands of k/bands rows; docs
-    colliding on any band become candidates (join on the band key — the
-    only shuffle whose size depends on collision rate, not corpus²).
+    The band explode and candidate self-join carry ONLY
+    (doc_id, band_idx, band_key) — ×bands narrow rows, never the k
+    signature columns (which would multiply the band shuffle width by
+    k ints per row). Signatures re-join just for the candidate pairs —
+    a collision-rate-bounded set — to compute est_jaccard.
     """
-    assert k % bands == 0
     r = k // bands
-    sig = minhash_signatures(docs, n, k, seed)
     band_cols = [
         F.concat_ws(",", *[F.col(f"mh{band * r + j}").cast("string") for j in range(r)]).alias(f"band{band}")
         for band in range(bands)
     ]
-    # The band explode and candidate self-join carry ONLY
-    # (doc_id, band_idx, band_key) — ×bands narrow rows, never the k
-    # signature columns (which would multiply the band shuffle width by
-    # k ints per row). Signatures re-join just for the candidate pairs —
-    # a collision-rate-bounded set — to compute est_jaccard.
-    # The signature pipeline is recomputed by its consumers; measured
-    # locally, caching these rows costs MORE than recomputing the cheap
-    # agg (no ReusedExchange either way). At cluster scale, write
-    # signatures to a table once and join that instead.
     melted = sig.select(
         "doc_id",
         F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"),
@@ -177,6 +166,44 @@ def minhash_lsh_pairs(
         .join(s2, "id2")
         .select("id1", "id2", (eq / F.lit(float(k))).alias("est_jaccard"))
     )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n: int = 3, k: int = 16, bands: int = 4, seed: int = 7
+) -> DataFrame:
+    """Banded-LSH candidate pairs with MinHash-estimated similarity.
+
+    Signature is split into ``bands`` bands of k/bands rows; docs
+    colliding on any band become candidates (join on the band key — the
+    only shuffle whose size depends on collision rate, not corpus²).
+
+    The signature pipeline is recomputed by its four consumers; measured
+    locally, caching these rows costs MORE than recomputing the cheap
+    agg (no ReusedExchange either way). At cluster scale use
+    write_minhash_signatures + minhash_lsh_pairs_from_signatures: the
+    signature scan then amortizes to column-pruned parquet reads.
+    """
+    assert k % bands == 0
+    return _lsh_pairs_from_sig(minhash_signatures(docs, n, k, seed), k, bands)
+
+
+def write_minhash_signatures(
+    docs: DataFrame, path: str, n: int = 3, k: int = 16, seed: int = 7
+) -> None:
+    """The 100 TB shape: materialize signatures ONCE (K·8 bytes per doc,
+    regardless of document size), then band/join the table as many times
+    as needed — the shingle explode never runs twice over the corpus."""
+    minhash_signatures(docs, n, k, seed).write.mode("overwrite").parquet(path)
+
+
+def minhash_lsh_pairs_from_signatures(
+    spark, path: str, k: int = 16, bands: int = 4
+) -> DataFrame:
+    """LSH candidate pairs over a materialized signature table — same
+    result as minhash_lsh_pairs on the source docs, but every signature
+    consumer is a column-pruned parquet scan instead of a recompute."""
+    assert k % bands == 0
+    return _lsh_pairs_from_sig(spark.read.parquet(path), k, bands)
 
 
 def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:

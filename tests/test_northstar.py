@@ -252,3 +252,20 @@ def test_resize_media_bounds_content_and_composes(spark, planted):
     assert all(f.n_bytes == 64 for f in feats)
     with pytest.raises(NotImplementedError):
         multimodal.resize_media(media, fake=False).collect()
+
+
+def test_lsh_from_materialized_signatures_matches_direct(spark, sf_small, tmp_path):
+    """The write-once scale path must produce byte-identical pairs to the
+    direct (recomputing) path."""
+    docs = load_table(spark, sf_small, "documents").filter(F.col("doc_id") < 300)
+    direct = {
+        (r.id1, r.id2, r.est_jaccard)
+        for r in dedup.minhash_lsh_pairs(docs, n=3, k=16, bands=4, seed=7).collect()
+    }
+    path = str(tmp_path / "sigs.parquet")
+    dedup.write_minhash_signatures(docs, path, n=3, k=16, seed=7)
+    from_table = {
+        (r.id1, r.id2, r.est_jaccard)
+        for r in dedup.minhash_lsh_pairs_from_signatures(spark, path, k=16, bands=4).collect()
+    }
+    assert from_table == direct and direct
