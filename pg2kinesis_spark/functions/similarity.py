@@ -263,6 +263,56 @@ def srp_int_ann_topk(
     )
 
 
+def write_srp_buckets(
+    emb: DataFrame,
+    path: str,
+    dim: int,
+    n_tables: int = 4,
+    n_bits: int = 4,
+    seed: int = 11,
+    scale: int = 10000,
+) -> None:
+    """The 100 TB shape for the SRP family: compute the integer-quantized
+    multi-table buckets ONCE and write the melted
+    (vec_id, embedding, tidx, bucket) corpus partitioned by (tidx,
+    bucket) — candidate generation then partition-prunes straight to the
+    colliding buckets, and the projection math never runs twice."""
+    planes = srp_int_planes(dim, n_tables * n_bits, seed)
+    b = emb.select("vec_id", "embedding")
+    for t in range(n_tables):
+        b = b.withColumn(f"bk{t}", _int_bucket(planes[t * n_bits : (t + 1) * n_bits], scale))
+    melted = b.select(
+        "vec_id",
+        "embedding",
+        F.posexplode(F.array(*[F.col(f"bk{t}") for t in range(n_tables)])).alias("tidx", "bucket"),
+    )
+    melted.write.mode("overwrite").partitionBy("tidx", "bucket").parquet(path)
+
+
+def srp_neardup_pairs_from_buckets(spark, path: str, min_cos: float) -> DataFrame:
+    """Near-dup pairs over a materialized bucketed corpus — same result
+    as srp_tables_neardup_pairs on the source embeddings, but the
+    self-join reads the pre-bucketed table (bucket-partition-local at
+    scale) instead of recomputing the projections."""
+    melted = spark.read.parquet(path)
+    a = melted.alias("a")
+    c = melted.alias("b")
+    joined = a.join(
+        c,
+        (F.col("a.tidx") == F.col("b.tidx"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    scored = with_cosine(joined).select(
+        F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"), "cos"
+    )
+    return (
+        scored.groupBy("id1", "id2")
+        .agg(F.first("cos").alias("cos"))
+        .filter(F.col("cos") >= min_cos)
+    )
+
+
 def ivf_centroids(emb: DataFrame, n_centroids: int = 16, seed: int = 13, max_iter: int = 10) -> DataFrame:
     """IVF coarse quantizer: k-means centroids over the corpus
     (Spark ML KMeans — one pass of distributed Lloyd's per iter).

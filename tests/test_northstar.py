@@ -269,3 +269,18 @@ def test_lsh_from_materialized_signatures_matches_direct(spark, sf_small, tmp_pa
         for r in dedup.minhash_lsh_pairs_from_signatures(spark, path, k=16, bands=4).collect()
     }
     assert from_table == direct and direct
+
+
+def test_srp_neardup_from_materialized_buckets_matches_direct(spark, sf_small, tmp_path):
+    emb = load_table(spark, sf_small, "embeddings")
+    direct = {
+        (r.id1, r.id2)
+        for r in similarity.srp_tables_neardup_pairs(emb, dim=64, min_cos=0.4).collect()
+    }
+    path = str(tmp_path / "buckets.parquet")
+    similarity.write_srp_buckets(emb, path, dim=64)
+    from_table = {
+        (r.id1, r.id2)
+        for r in similarity.srp_neardup_pairs_from_buckets(spark, path, min_cos=0.4).collect()
+    }
+    assert from_table == direct and direct
