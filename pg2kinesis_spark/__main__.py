@@ -48,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     # -- rebuild-specific wiring
     p.add_argument("--source", default="pgcdc", choices=["pgcdc", "replay"])
+    p.add_argument(
+        "--pg-mode",
+        default="poll",
+        choices=["poll", "push"],
+        help="pgcdc read mode: peek/advance polling or the "
+        "START_REPLICATION push loop (reference slot.py:122-129).",
+    )
     p.add_argument("--replay-path", help="Parquet wire corpus for --source replay.")
     p.add_argument("--pk-catalog", help="Parquet pk_catalog for --source replay.")
     p.add_argument("--transport", default="kinesis", choices=["kinesis", "memory"])
@@ -103,7 +110,8 @@ def main(argv: list[str] | None = None) -> int:
         # Live source (S1): the raw stream DataFrame itself is the source
         # handle the builders consume (reference __main__.py:49-69 wiring).
         corpus = read_pgcdc_stream(
-            spark, dsn, args.pg_slot_name, args.pg_slot_output_plugin, args.rows_per_batch
+            spark, dsn, args.pg_slot_name, args.pg_slot_output_plugin,
+            args.rows_per_batch, mode=args.pg_mode,
         )
     else:
         assert args.replay_path and args.pk_catalog, "--source replay needs --replay-path and --pk-catalog"
