@@ -70,6 +70,24 @@ def stamp_xid_stateful(raw: DataFrame) -> DataFrame:
     )
 
 
+def dedupe_replayed(raw: DataFrame, within: str = "10 minutes") -> DataFrame:
+    """Optional consumer-side dedup for at-least-once delivery.
+
+    A crash between put and ack re-serves the un-acked LSN range on
+    restart (reference README.rst:14-18 documents the duplicates;
+    SURVEY §2.9 T1). Downstream consumers that want effective
+    exactly-once can drop LSN repeats here: state is bounded to the
+    ``within`` watermark window — the realistic re-serve horizon —
+    never the whole stream (a plain dropDuplicates would grow state
+    forever on an infinite CDC stream)."""
+    return (
+        raw.withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", within)
+        .dropDuplicatesWithinWatermark(["lsn"])
+        .drop("ingest_ts")
+    )
+
+
 def read_replay_stream(spark: SparkSession, corpus_path: str, rows_per_batch: int = 1000, ack_log: str | None = None) -> DataFrame:
     register_replay(spark)
     reader = (

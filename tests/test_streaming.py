@@ -425,3 +425,50 @@ def test_xid_stamp_across_many_arrow_chunks(spark, corpus, pk_map, tmp_path, few
 
     batch = format_csv(parse_test_decoding(spark.read.parquet(corpus), pk_map)).orderBy("lsn").collect()
     assert _msgs(transport) == [r.fmt_msg for r in batch]  # same xids, same order
+
+
+def test_dedupe_replayed_drops_lsn_repeats_with_bounded_state(spark, pk_map, tmp_path, few_shuffles):
+    """At-least-once delivery re-serves un-acked LSNs; dedupe_replayed
+    gives consumers effective exactly-once with state bounded to the
+    watermark window (not the whole stream)."""
+    from pg2kinesis_spark.streaming.pipeline import dedupe_replayed, read_replay_stream
+
+    lines = [
+        (10, "BEGIN 7"),
+        (12, f"table public.test_table: UPDATE: uuid[uuid]:'{UUID}'"),
+        (12, f"table public.test_table: UPDATE: uuid[uuid]:'{UUID}'"),  # replay dup
+        (14, "COMMIT"),
+        (14, "COMMIT"),                                                 # replay dup
+        (16, "BEGIN 8"),
+    ]
+    corpus = str(tmp_path / "dup_corpus.parquet")
+    spark.createDataFrame(
+        [(l, len(p.encode()), p) for l, p in lines], "lsn long, data_size int, payload string"
+    ).coalesce(1).write.mode("overwrite").parquet(corpus)
+
+    raw = dedupe_replayed(read_replay_stream(spark, corpus, rows_per_batch=100))
+    got = []
+
+    def collect_batch(df, _bid):
+        got.extend((r.lsn, r.payload) for r in df.collect())
+
+    q = (
+        raw.writeStream.foreachBatch(collect_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(90)
+
+    assert sorted(got) == [
+        (10, "BEGIN 7"),
+        (12, lines[1][1]),
+        (14, "COMMIT"),
+        (16, "BEGIN 8"),
+    ]  # one row per LSN — repeats dropped
+    # dedup state is watermark-bounded, not a forever-growing key set
+    prog = q.lastProgress
+    assert prog is not None and any(
+        op.get("operatorName") == "dedupeWithinWatermark"
+        for op in prog.get("stateOperators", [])
+    )
