@@ -381,6 +381,44 @@ def ivf_ann_topk(
     )
 
 
+def write_ivf_index(
+    emb: DataFrame, path: str, n_centroids: int = 16, seed: int = 13
+) -> None:
+    """The 100 TB shape for IVF: train the coarse quantizer and write the
+    assigned corpus ONCE, partitioned by cell id — each query batch then
+    partition-prunes to its nprobe cells instead of re-clustering and
+    re-scanning the corpus. Centroids ride along as a tiny side table."""
+    centroids = ivf_centroids(emb, n_centroids, seed)
+    ivf_assign(emb, centroids).write.mode("overwrite").partitionBy("cid").parquet(f"{path}/corpus")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_ann_topk_from_index(
+    spark, path: str, queries: DataFrame, k: int = 5, nprobe: int = 4
+) -> DataFrame:
+    """IVF ANN over a materialized index — same scoring/ranking as
+    ivf_ann_topk, but the corpus read partition-prunes to the probed
+    cells (cid is a partition column) and k-means never reruns."""
+    corpus = spark.read.parquet(f"{path}/corpus").alias("c")
+    cents = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    qj = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qemb")).crossJoin(cents)
+    d = _sqdist("qemb", "centroid")
+    w_probe = W.partitionBy("query_id").orderBy(d, "cid")
+    probes = (
+        qj.withColumn("prnk", F.row_number().over(w_probe))
+        .filter(F.col("prnk") <= nprobe)
+        .select("query_id", "qemb", "cid")
+        .alias("q")
+    )
+    scored = corpus.join(
+        F.broadcast(probes),
+        (F.col("c.cid") == F.col("q.cid")) & (F.col("c.vec_id") != F.col("query_id")),
+    ).withColumn("cos", _dot("qemb", "c.embedding") / (_norm("qemb") * _norm("c.embedding")))
+    return _topk_per_query(scored, k).select(
+        "query_id", F.col("c.vec_id").alias("neighbor_id"), "cos", "rnk"
+    )
+
+
 def srp_ann_topk(
     emb: DataFrame, queries: DataFrame, dim: int, k: int = 5, n_bits: int = 8, seed: int = 11
 ) -> DataFrame:

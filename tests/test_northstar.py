@@ -284,3 +284,24 @@ def test_srp_neardup_from_materialized_buckets_matches_direct(spark, sf_small, t
         for r in similarity.srp_neardup_pairs_from_buckets(spark, path, min_cos=0.4).collect()
     }
     assert from_table == direct and direct
+
+
+def test_ivf_from_materialized_index_matches_direct(spark, sf_small, tmp_path):
+    """Same centroid seed → the indexed path must return exactly the
+    direct path's neighbors, and its corpus read must partition-prune to
+    the probed cells (cid is a partition column)."""
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    direct = {
+        (r.query_id, r.neighbor_id, r.rnk)
+        for r in similarity.ivf_ann_topk(emb, queries, k=3, n_centroids=8, nprobe=3).collect()
+    }
+    path = str(tmp_path / "ivf")
+    similarity.write_ivf_index(emb, path, n_centroids=8)
+    indexed_df = similarity.ivf_ann_topk_from_index(spark, path, queries, k=3, nprobe=3)
+    indexed = {(r.query_id, r.neighbor_id, r.rnk) for r in indexed_df.collect()}
+    assert indexed == direct and direct
+    # cid must be a partition column of the materialized corpus (the
+    # partition-pruning handle at scale)
+    import os
+    assert any(d.startswith("cid=") for d in os.listdir(f"{path}/corpus"))
