@@ -68,9 +68,22 @@ def bench_cdc_replay(spark, sf_dir):
     )
 
 
+def bench_curate(spark, sf_dir):
+    """Full corpus curation over documents: fused annotate + lang/quality
+    filter + exact dedup + MinHash-LSH near-dup removal — the end-to-end
+    100 TB training-data pipeline shape."""
+    from pg2kinesis_spark.functions.curate import curate_corpus
+    from pg2kinesis_spark.io import load_table
+
+    return curate_corpus(
+        load_table(spark, sf_dir, "documents"), min_quality=0.2, near_dup_jaccard=0.6
+    )
+
+
 EXTRA_BENCHES = {
     "minhash_lsh_full": bench_minhash_full,
     "cdc_replay_450k": bench_cdc_replay,
+    "curate_full": bench_curate,
 }
 
 

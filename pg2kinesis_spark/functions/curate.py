@@ -1,0 +1,101 @@
+"""End-to-end corpus curation: the representative 100 TB training-data
+workload, composed entirely from the verified operator primitives.
+
+Pipeline (cheapest-reduction-first, so each stage shrinks the input of
+the next):
+
+  1. ``annotate`` — ONE scan computing language ID + quality + token
+     count as fused column expressions (no joins between the per-row
+     annotators; they share the tokenization projection).
+  2. language / quality filters — pure predicates, applied before any
+     shuffle so dedup never sees documents the filters would discard.
+  3. exact dedup — groupBy on a 16-byte md5 content hash, survivor =
+     min(doc_id); the shuffle carries hashes, never documents.
+  4. near-dup removal — MinHash+LSH candidate pairs (banded; the only
+     join whose cost tracks collision rate, not corpus²); every doc that
+     is the LARGER id of a pair at/above the threshold is dropped. This
+     is the standard greedy rule: within a duplicate cluster the
+     smallest id survives; no connected-components iteration needed.
+  5. optional token-budget selection — two-phase distributed cumulative
+     sum over (quality desc, doc_id), no single-partition window.
+
+At cluster scale, materialize between stages: write the filtered
+survivors once, write MinHash signatures once
+(``dedup.write_minhash_signatures``), and band the signature table —
+every stage then starts from a column-pruned parquet scan instead of a
+recompute. The composition here keeps the whole plan lazy, which is the
+right shape for the sub-TB case and for tests.
+
+The reference system has no corpus operators; this module is north-star
+surface (BASELINE.json extensions), built only on primitives that carry
+their own oracle rows (n1-n8, n17-n18).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import minhash_lsh_pairs
+from .sampling import token_budget_select
+from .text import _words, lang_exprs, quality_exprs
+
+
+def annotate(docs: DataFrame) -> DataFrame:
+    """Single-scan per-document annotation: token count, quality score,
+    predicted language — bit-identical to ``quality_score`` / ``lang_id``
+    (shared expression builders), but one projection instead of three
+    scans plus two doc_id joins."""
+    df = docs.select("doc_id", "text", _words().alias("ws"))
+    q = quality_exprs()
+    _, pred = lang_exprs()
+    return df.select(
+        "doc_id",
+        "text",
+        q["n_tokens"].alias("n_tokens"),
+        q["quality"].alias("quality"),
+        pred.alias("pred_lang"),
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    langs: tuple[str, ...] | None = None,
+    min_quality: float = 0.0,
+    near_dup_jaccard: float | None = 0.6,
+    token_budget: int | None = None,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Curated corpus: (doc_id, text, n_tokens, quality, pred_lang) for
+    every surviving document. See module docstring for stage order and
+    the scale contract of each stage."""
+    ann = annotate(docs)
+    if langs:
+        ann = ann.filter(F.col("pred_lang").isin(*langs))
+    if min_quality > 0.0:
+        ann = ann.filter(F.col("quality") >= min_quality)
+
+    # Exact dedup: survivor = min doc_id per content hash. Left-semi join
+    # back so the kept rows keep their annotations without re-deriving.
+    keep = (
+        ann.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    ann = ann.join(keep, "doc_id", "left_semi")
+
+    if near_dup_jaccard is not None:
+        pairs = minhash_lsh_pairs(ann.select("doc_id", "text"), n=n, k=k, bands=bands)
+        drop = (
+            pairs.filter(F.col("est_jaccard") >= near_dup_jaccard)
+            .select(F.col("id2").alias("doc_id"))
+            .distinct()
+        )
+        ann = ann.join(drop, "doc_id", "left_anti")
+
+    if token_budget is not None:
+        sel = token_budget_select(ann, F.col("quality"), F.col("n_tokens"), token_budget)
+        ann = ann.join(sel.select("doc_id"), "doc_id", "left_semi")
+    return ann

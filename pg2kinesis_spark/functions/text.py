@@ -57,13 +57,12 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
-    """Length / stopword-ratio / mean-word-length composite in [0, 1].
+def quality_exprs() -> dict[str, Column]:
+    """Quality expressions over a projected ``ws`` (split words) column.
 
-    The usual cheap pre-filter before expensive dedup stages: fully
-    per-row, prunes to (doc_id, text) at the scan.
+    Shared by ``quality_score`` and the fused single-scan ``curate.annotate``
+    so both compute bit-identical values.
     """
-    df = docs.select("doc_id", _words().alias("ws"), F.length("text").alias("len"))
     n = F.size("ws")
     stop = F.expr(_in_list("ws", STOPWORDS))
     avg_word = F.expr("aggregate(ws, 0L, (a, w) -> a + length(w))") / n
@@ -72,13 +71,40 @@ def quality_score(docs: DataFrame) -> DataFrame:
         + (1 - stop / n) * 0.4
         + F.least(avg_word / F.lit(10.0), F.lit(1.0)) * 0.3
     )
-    return df.select(
-        "doc_id",
-        n.alias("n_tokens"),
-        (stop / n).alias("stopword_ratio"),
-        avg_word.alias("avg_word_len"),
-        score.alias("quality"),
-    )
+    return {
+        "n_tokens": n,
+        "stopword_ratio": stop / n,
+        "avg_word_len": avg_word,
+        "quality": score,
+    }
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / stopword-ratio / mean-word-length composite in [0, 1].
+
+    The usual cheap pre-filter before expensive dedup stages: fully
+    per-row, prunes to (doc_id, text) at the scan.
+    """
+    df = docs.select("doc_id", _words().alias("ws"))
+    q = quality_exprs()
+    return df.select("doc_id", *[c.alias(name) for name, c in q.items()])
+
+
+def lang_exprs() -> tuple[dict[str, Column], Column]:
+    """(per-language score columns, argmax prediction) over a projected
+    ``ws`` column. Ties resolve to the alphabetically-first language
+    (fixed CASE order) so results are stable across engines. Shared by
+    ``lang_id`` and the fused ``curate.annotate``."""
+    scores = {lang: F.expr(_in_list("ws", words)) for lang, words in sorted(LANG_MARKERS.items())}
+    pred = None
+    best = None
+    for lang, s in scores.items():  # alphabetical: de, en, es, fr
+        if pred is None:
+            pred, best = F.lit(lang), s
+        else:
+            pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+            best = F.greatest(best, s)
+    return scores, pred
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
@@ -89,21 +115,12 @@ def lang_id(docs: DataFrame) -> DataFrame:
     are stable across engines and partitionings.
     """
     df = docs.select("doc_id", _words().alias("ws"))
-    scores = {lang: F.expr(_in_list("ws", words)) for lang, words in sorted(LANG_MARKERS.items())}
-    pred = None
-    best = None
-    for lang, s in scores.items():  # alphabetical: de, en, es, fr
-        if pred is None:
-            pred, best = F.lit(lang), s
-        else:
-            pred = F.when(s > best, F.lit(lang)).otherwise(pred)
-            best = F.greatest(best, s)
-    out = df.select(
+    scores, pred = lang_exprs()
+    return df.select(
         "doc_id",
         *[s.alias(f"score_{lang}") for lang, s in scores.items()],
         pred.alias("pred_lang"),
     )
-    return out
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:

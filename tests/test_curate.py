@@ -1,0 +1,75 @@
+"""End-to-end corpus-curation pipeline: fused annotation parity with the
+oracle-checked per-stage operators, and stage-by-stage survivorship on a
+planted corpus."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg2kinesis_spark.functions import curate, text
+from pg2kinesis_spark.io import load_table
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    en = "the cat and the dog ran to the house of a friend and back again to rest"
+    en2 = en  # exact duplicate of en (doc 1)
+    en_near = en.replace("rest", "sleep")  # one-word edit → near-dup of en
+    de = "der hund und die katze sind nicht in das haus gegangen und der tag"
+    junk = "a a a a a a"  # degenerate: all stopwords → low quality
+    rows = [(0, en), (1, en2), (2, en_near), (3, de), (4, junk)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_annotate_matches_single_stage_operators(spark, sf_small):
+    """The fused single-scan annotate must be bit-identical to the
+    oracle-checked quality_score and lang_id run separately."""
+    docs = load_table(spark, sf_small, "documents")
+    ann = curate.annotate(docs).select("doc_id", "n_tokens", "quality", "pred_lang")
+    ref = (
+        text.quality_score(docs)
+        .select("doc_id", "n_tokens", "quality")
+        .join(text.lang_id(docs).select("doc_id", "pred_lang"), "doc_id")
+    )
+    assert ann.exceptAll(ref).count() == 0
+    assert ref.exceptAll(ann).count() == 0
+
+
+def test_curate_drops_exact_and_near_dups(spark, corpus):
+    out = curate.curate_corpus(corpus, near_dup_jaccard=0.5)
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert 0 in ids  # cluster survivor = smallest doc_id
+    assert 1 not in ids  # exact duplicate of 0
+    assert 2 not in ids  # near-dup of 0 (est_jaccard above threshold)
+    assert 3 in ids and 4 in ids  # unrelated docs survive
+
+
+def test_curate_lang_and_quality_filters(spark, corpus):
+    out = curate.curate_corpus(corpus, langs=("en",), near_dup_jaccard=None)
+    langs = {r.pred_lang for r in out.collect()}
+    assert langs == {"en"}
+    # junk doc is all stopwords → stopword term of the score collapses
+    hi = curate.curate_corpus(corpus, min_quality=0.3, near_dup_jaccard=None)
+    assert 4 not in {r.doc_id for r in hi.collect()}
+
+
+def test_curate_token_budget_respected(spark, corpus):
+    out = curate.curate_corpus(corpus, near_dup_jaccard=0.5, token_budget=20)
+    rows = out.collect()
+    assert sum(r.n_tokens for r in rows) <= 20
+    assert rows  # budget of 20 fits at least one surviving doc
+
+
+def test_curate_full_table_is_consistent(spark, sf_small):
+    """On real documents: curated set is a subset of the exact-dedup
+    survivors and survives a repeated run identically (determinism)."""
+    docs = load_table(spark, sf_small, "documents")
+    a = sorted(r.doc_id for r in curate.curate_corpus(docs).select("doc_id").collect())
+    b = sorted(r.doc_id for r in curate.curate_corpus(docs).select("doc_id").collect())
+    assert a == b and len(a) > 0
+    # every curated doc_id is an exact-dedup survivor
+    from pg2kinesis_spark.functions.dedup import exact_duplicates
+
+    keep = {r.keep_id for r in exact_duplicates(docs).collect()}
+    assert set(a) <= keep
