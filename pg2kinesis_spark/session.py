@@ -39,6 +39,12 @@ def get_spark(app_name: str = "pg2kinesis_spark", shuffle_partitions: int | None
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # saveAsTable target for bucketed tables (in-memory catalog, no Hive);
+        # out of the repo tree so tests never litter the working copy.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/pg2kinesis_spark_warehouse"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
