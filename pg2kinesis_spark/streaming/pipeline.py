@@ -30,27 +30,33 @@ from pg2kinesis_spark.sources.replay import register as register_replay
 STAMPED_SCHEMA = "lsn long, data_size int, payload string, xid string"
 
 
+def _stamp_chunks(chunks: list[pd.DataFrame], cur: str) -> tuple[pd.DataFrame | None, str]:
+    """Stamping core shared by both stateful APIs: concatenate ALL Arrow
+    chunks and sort ONCE by lsn (chunks carry no cross-chunk ordering
+    guarantee once a batch exceeds arrow.maxRecordsPerBatch — a per-chunk
+    sort would misattribute xids when a BEGIN lands in a later chunk than
+    its DML rows), then carry cur_xact through the payloads."""
+    if not chunks:
+        return None, cur
+    pdf = pd.concat(chunks, ignore_index=True).sort_values("lsn")
+    xids = []
+    for payload in pdf["payload"]:
+        if isinstance(payload, str) and payload.startswith("BEGIN "):
+            cur = payload.split(" ", 2)[1]
+        xids.append(cur)
+    out = pdf[["lsn", "data_size", "payload"]].copy()
+    out["xid"] = xids
+    return out, cur
+
+
 def _stamp_fn(key, pdf_iter, state: GroupState):
     """Carry cur_xact across micro-batches (reference formatter.py:37,59-60).
 
-    State: ('<current xid>',) per slot key. Arrow hands the group over
-    as MULTIPLE chunks with no cross-chunk ordering guarantee once a
-    batch exceeds arrow.maxRecordsPerBatch — so all chunks are
-    materialized and sorted ONCE by lsn before stamping (a per-chunk
-    sort would misattribute xids when a BEGIN lands in a later chunk
-    than its DML rows). Memory is bounded by the source's
-    rows_per_batch backpressure knob, never the stream."""
+    State: ('<current xid>',) per slot key. Memory is bounded by the
+    source's rows_per_batch backpressure knob, never the stream."""
     cur = state.get[0] if state.exists else ""
-    chunks = list(pdf_iter)
-    if chunks:
-        pdf = pd.concat(chunks, ignore_index=True).sort_values("lsn")
-        xids = []
-        for payload in pdf["payload"]:
-            if isinstance(payload, str) and payload.startswith("BEGIN "):
-                cur = payload.split(" ", 2)[1]
-            xids.append(cur)
-        out = pdf[["lsn", "data_size", "payload"]].copy()
-        out["xid"] = xids
+    out, cur = _stamp_chunks(list(pdf_iter), cur)
+    if out is not None:
         yield out
     state.update((cur,))
 
@@ -66,6 +72,59 @@ def stamp_xid_stateful(raw: DataFrame) -> DataFrame:
             stateStructType="cur_xact string",
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+try:  # Spark 4.0+ stateful-processor API
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+except ImportError:  # pragma: no cover - older Spark
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+
+
+class XidStampTws(StatefulProcessor):
+    """transformWithState form of W1 — Spark 4's stateful-processor API.
+
+    Same semantics and shared stamping core as ``_stamp_fn``; state is a
+    named ValueState("cur_xact") in the per-key state store (RocksDB
+    provider required — the test sets it). This is the forward-looking
+    surface: named state variables, TTL, and timers compose here where
+    applyInPandasWithState offers one opaque tuple.
+    """
+
+    def init(self, handle) -> None:
+        self._cur = handle.getValueState("cur_xact", "cur_xact string")
+
+    def handleInputRows(self, key, rows, timer_values):
+        got = self._cur.get()
+        cur = got[0] if got is not None else ""
+        out, cur = _stamp_chunks(list(rows), cur)
+        if out is not None:
+            yield out
+        self._cur.update((cur,))
+
+    def close(self) -> None:
+        pass
+
+
+def stamp_xid_tws(raw: DataFrame) -> DataFrame:
+    """W1 via transformWithStateInPandas — identical output to
+    ``stamp_xid_stateful``; parity pinned by tests/test_streaming.py.
+
+    Runtime requirements beyond the applyInPandasWithState path: the
+    RocksDB state-store provider and the `protobuf` package (Spark's TWS
+    Python state server speaks protobuf). The e2e parity test skips
+    where protobuf is absent; the processor logic itself is pinned with
+    a fake handle either way.
+    """
+    return (
+        raw.withColumn("slot", F.lit(0))
+        .groupBy("slot")
+        .transformWithStateInPandas(
+            statefulProcessor=XidStampTws(),
+            outputStructType=STAMPED_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
         )
     )
 
