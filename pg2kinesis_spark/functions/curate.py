@@ -13,9 +13,12 @@ the next):
      min(doc_id); the shuffle carries hashes, never documents.
   4. near-dup removal — MinHash+LSH candidate pairs (banded; the only
      join whose cost tracks collision rate, not corpus²); every doc that
-     is the LARGER id of a pair at/above the threshold is dropped. This
-     is the standard greedy rule: within a duplicate cluster the
-     smallest id survives; no connected-components iteration needed.
+     is the LARGER id of a pair at/above the threshold is dropped —
+     the cheap greedy rule (keeps every LOCAL-minimum id, which can
+     over-keep on chain-shaped clusters). ``transitive=True`` swaps in
+     true one-survivor-per-cluster dedup via connected components over
+     the pair graph (cc.py), at the cost of the O(log n)-round star
+     iteration.
   5. optional token-budget selection — two-phase distributed cumulative
      sum over (quality desc, doc_id), no single-partition window.
 
@@ -36,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cc import cluster_drop_list
 from .dedup import minhash_lsh_pairs
 from .sampling import token_budget_select
 from .text import _words, lang_exprs, quality_exprs
@@ -67,6 +71,7 @@ def curate_corpus(
     n: int = 3,
     k: int = 16,
     bands: int = 4,
+    transitive: bool = False,
 ) -> DataFrame:
     """Curated corpus: (doc_id, text, n_tokens, quality, pred_lang) for
     every surviving document. See module docstring for stage order and
@@ -88,11 +93,15 @@ def curate_corpus(
 
     if near_dup_jaccard is not None:
         pairs = minhash_lsh_pairs(ann.select("doc_id", "text"), n=n, k=k, bands=bands)
-        drop = (
-            pairs.filter(F.col("est_jaccard") >= near_dup_jaccard)
-            .select(F.col("id2").alias("doc_id"))
-            .distinct()
-        )
+        pairs = pairs.filter(F.col("est_jaccard") >= near_dup_jaccard)
+        if transitive:
+            # One survivor per TRANSITIVE duplicate cluster (connected
+            # components over the pair graph). The greedy rule below
+            # keeps every local-minimum id — e.g. chain 2—10, 10—1
+            # keeps both 1 and 2; this path keeps only 1.
+            drop = cluster_drop_list(pairs)
+        else:
+            drop = pairs.select(F.col("id2").alias("doc_id")).distinct()
         ann = ann.join(drop, "doc_id", "left_anti")
 
     if token_budget is not None:
