@@ -135,15 +135,7 @@ def _lsh_pairs_from_sig(sig: DataFrame, k: int, bands: int) -> DataFrame:
     k ints per row). Signatures re-join just for the candidate pairs —
     a collision-rate-bounded set — to compute est_jaccard.
     """
-    r = k // bands
-    band_cols = [
-        F.concat_ws(",", *[F.col(f"mh{band * r + j}").cast("string") for j in range(r)]).alias(f"band{band}")
-        for band in range(bands)
-    ]
-    melted = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"),
-    )
+    melted = _banded(sig, k, bands)
     a = melted.alias("a")
     b = melted.alias("b")
     cand = (
@@ -156,6 +148,24 @@ def _lsh_pairs_from_sig(sig: DataFrame, k: int, bands: int) -> DataFrame:
         .select(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
         .distinct()
     )
+    return _est_jaccard(cand, sig, k)
+
+
+def _banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
+    """(doc_id, band_idx, band_key) — the narrow band-explode rows."""
+    r = k // bands
+    band_cols = [
+        F.concat_ws(",", *[F.col(f"mh{band * r + j}").cast("string") for j in range(r)]).alias(f"band{band}")
+        for band in range(bands)
+    ]
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"),
+    )
+
+
+def _est_jaccard(cand: DataFrame, sig: DataFrame, k: int) -> DataFrame:
+    """Re-join signatures for the candidate pairs only and score them."""
     s1 = sig.select(F.col("doc_id").alias("id1"), *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(k)])
     s2 = sig.select(F.col("doc_id").alias("id2"), *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(k)])
     eq = sum(
@@ -239,3 +249,114 @@ def simhash(docs: DataFrame, bits: int = 64) -> DataFrame:
 def hamming64(a: Column, b: Column) -> Column:
     """Population count of XOR — JVM-side hamming distance."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 64,
+    max_bucket_df: int | None = None,
+) -> DataFrame:
+    """All (id1, id2, hamming) pairs within ``max_hamming`` bits — the
+    multi-index scheme of Manku et al. (WWW 2007, near-duplicate web
+    crawling): split the signature into d+1 disjoint bit segments; by
+    pigeonhole any pair within distance d agrees EXACTLY on at least one
+    segment, so segment-equality equi-joins generate a candidate set
+    with no false negatives, and the JVM-side popcount filter removes
+    the false positives. Exact result, never an all-pairs join.
+
+    The segment join carries only (doc_id, simhash, seg, key) — two
+    longs and two ints per row, (d+1)× rows. Bucket sizes follow
+    N / 2^width per segment table; for corpora where 16-bit segments get
+    hot, ``max_bucket_df`` drops buckets above the cap (trading the
+    completeness guarantee for a cost bound, like jaccard_pairs'
+    max_shingle_df) — the Manku permuted-table refinement (agree on
+    s−d of s>d+1 narrower segments) is the exact alternative at that
+    scale.
+    """
+    s = max_hamming + 1
+    base, rem = divmod(bits, s)
+    segs, off = [], 0
+    for i in range(s):
+        w = base + (1 if i < rem else 0)
+        if w >= 64:
+            segs.append(F.col("simhash"))
+        else:
+            segs.append(
+                F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
+                    F.lit((1 << w) - 1)
+                )
+            )
+        off += w
+    melted = sig.select(
+        "doc_id", "simhash", F.posexplode(F.array(*segs)).alias("seg", "key")
+    )
+    if max_bucket_df is not None:
+        ok = (
+            melted.groupBy("seg", "key")
+            .count()
+            .filter(F.col("count") <= max_bucket_df)
+            .select("seg", "key")
+        )
+        melted = melted.join(ok, ["seg", "key"])
+    left = melted.select(
+        F.col("doc_id").alias("id1"), F.col("simhash").alias("s1"), "seg", "key"
+    )
+    right = melted.select(
+        F.col("doc_id").alias("id2"), F.col("simhash").alias("s2"), "seg", "key"
+    )
+    return (
+        left.join(right, ["seg", "key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2", "s1", "s2")
+        .distinct()
+        .select("id1", "id2", hamming64(F.col("s1"), F.col("s2")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def lsh_pairs_incremental(
+    spark,
+    new_docs: DataFrame,
+    sig_path: str,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Daily-ingest dedup: candidate pairs TOUCHING a new batch, against
+    a materialized signature index (write_minhash_signatures) — the new
+    batch is signed and banded once; the corpus contributes a
+    column-pruned parquet scan of (doc_id, mh*) only. Emits new-vs-index
+    plus new-vs-new pairs, ids canonicalized id1 < id2, so
+
+        pairs(index docs) ∪ incremental(new batch) == pairs(all docs)
+
+    (the invariant the tests pin). Caller contract: new doc_ids are not
+    already in the index. Append the batch with
+    ``append_minhash_signatures`` AFTER collecting these pairs — the
+    index scan here is lazy and must not see the batch's own rows.
+    """
+    new_sig = minhash_signatures(new_docs, n, k, seed)
+    old_sig = spark.read.parquet(sig_path)
+    mn = _banded(new_sig, k, bands)
+    mo = _banded(old_sig, k, bands)
+    a = mn.select(F.col("doc_id").alias("nid"), "band_idx", "band_key")
+    b = mo.select(F.col("doc_id").alias("oid"), "band_idx", "band_key")
+    cross = a.join(b, ["band_idx", "band_key"]).select(
+        F.least("nid", "oid").alias("id1"), F.greatest("nid", "oid").alias("id2")
+    )
+    a2 = mn.select(F.col("doc_id").alias("id1"), "band_idx", "band_key")
+    b2 = mn.select(F.col("doc_id").alias("id2"), "band_idx", "band_key")
+    within = (
+        a2.join(b2, ["band_idx", "band_key"]).filter(F.col("id1") < F.col("id2")).select("id1", "id2")
+    )
+    cand = cross.union(within).distinct()
+    return _est_jaccard(cand, old_sig.unionByName(new_sig), k)
+
+
+def append_minhash_signatures(
+    docs: DataFrame, path: str, n: int = 3, k: int = 16, seed: int = 7
+) -> None:
+    """Add a new batch to a materialized signature index."""
+    minhash_signatures(docs, n, k, seed).write.mode("append").parquet(path)
