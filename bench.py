@@ -80,10 +80,23 @@ def bench_curate(spark, sf_dir):
     )
 
 
+def bench_cosine_blas(spark, sf_dir):
+    """Same workload as n9_cosine_topk through the BLAS mapInPandas path
+    (one dgemm per Arrow batch, local top-k per batch) — the exact-ANN
+    throughput shape for 100 TB corpora."""
+    from pg2kinesis_spark.functions.similarity import cosine_topk_blas
+    from pg2kinesis_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_blas(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
 EXTRA_BENCHES = {
     "minhash_lsh_full": bench_minhash_full,
     "cdc_replay_450k": bench_cdc_replay,
     "curate_full": bench_curate,
+    "n9_blas_cosine_topk": bench_cosine_blas,
 }
 
 

@@ -77,6 +77,38 @@ def test_srp_ann_scores_match_bruteforce(spark, sf_small):
     assert hits > 0
 
 
+def test_cosine_topk_blas_matches_jvm(spark, sf_small):
+    # Same neighbors, same ranks, cosines within float64-vs-JVM ulp —
+    # repartition forces several Arrow batches so the local-topk +
+    # global-refine two-phase path is actually exercised.
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    jvm = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.cos)
+        for r in similarity.cosine_topk(emb, queries, k=5).collect()
+    }
+    blas = {
+        (r.query_id, r.rnk): (r.neighbor_id, r.cos)
+        for r in similarity.cosine_topk_blas(emb.repartition(7), queries, k=5).collect()
+    }
+    assert jvm.keys() == blas.keys()
+    for key, (nid, cos) in jvm.items():
+        bnid, bcos = blas[key]
+        assert bnid == nid
+        assert abs(bcos - cos) < 1e-9
+
+
+def test_cosine_topk_blas_small_corpus(spark):
+    # Corpus smaller than k and a query that exists in the corpus:
+    # self-excluded, all remaining rows ranked.
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = similarity.cosine_topk_blas(emb, emb.filter(F.col("vec_id") == 0), k=5).collect()
+    assert [(r.neighbor_id, r.rnk) for r in sorted(got, key=lambda r: r.rnk)] == [(1, 1), (2, 2)]
+
+
 def test_ivf_ann_scores_and_recall(spark, sf_small):
     emb = load_table(spark, sf_small, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
