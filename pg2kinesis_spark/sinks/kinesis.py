@@ -82,16 +82,22 @@ class AggRecord:
             self.partition_key = partition_key
         idx = self._key_idx.get(partition_key)
         new_key = idx is None
-        if new_key:
-            idx = len(self._key_idx)
-            key_len = len(partition_key.encode())
-            delta = 1 + _varint_size(key_len) + key_len  # key-table entry
-        else:
-            delta = 0
         msg_len = len(msg)
-        # framed Record message: tag+len envelope around pk-index + data
-        rec_len = 2 + _varint_size(idx) + _varint_size(msg_len) + msg_len
-        delta += 1 + _varint_size(rec_len) + rec_len
+        if not new_key and idx < 0x80 and msg_len < 0x7C:
+            # fast path (typical CDC messages, seen key): every varint is
+            # one byte, rec_len = 4 + msg_len < 0x80 — same arithmetic as
+            # below, no function calls
+            delta = 6 + msg_len
+        else:
+            if new_key:
+                idx = len(self._key_idx)
+                key_len = len(partition_key.encode())
+                delta = 1 + _varint_size(key_len) + key_len  # key-table entry
+            else:
+                delta = 0
+            # framed Record message: tag+len envelope around pk-index + data
+            rec_len = 2 + _varint_size(idx) + _varint_size(msg_len) + msg_len
+            delta += 1 + _varint_size(rec_len) + rec_len
         if self.messages and self.est_size + delta > max_bytes:
             return False
         if new_key:

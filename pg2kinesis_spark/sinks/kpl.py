@@ -82,28 +82,43 @@ def serialize_kpl(records: list[tuple[str, bytes]]) -> bytes:
     once (no per-record intermediate concatenation)."""
     keys: list[str] = []
     key_idx: dict[str, int] = {}
-    parts: list[bytes] = []
-    append = parts.append
+    buf = bytearray()
+    push = buf.append
+    extend = buf.extend
     varint = _varint
     for pk, data in records:
         idx = key_idx.get(pk)
         if idx is None:
             idx = key_idx[pk] = len(keys)
             keys.append(pk)
-        vi = varint(idx)
-        vl = varint(len(data))
-        append(_TAG_RECORD_B)
-        append(varint(2 + len(vi) + len(vl) + len(data)))
-        append(_TAG_PK_INDEX_B)
-        append(vi)
-        append(_TAG_DATA_B)
-        append(vl)
-        append(data)
-    table: list[bytes] = []
+        ldata = len(data)
+        if idx < 0x80 and ldata < 0x7C:
+            # fast path: every varint below is one byte (rec_len =
+            # 4 + ldata < 0x80) — append raw ints, no bytes objects
+            push(_TAG_RECORD)
+            push(4 + ldata)
+            push(_TAG_PK_INDEX)
+            push(idx)
+            push(_TAG_DATA)
+            push(ldata)
+            extend(data)
+        else:
+            vi = varint(idx)
+            vl = varint(ldata)
+            push(_TAG_RECORD)
+            extend(varint(2 + len(vi) + len(vl) + ldata))
+            push(_TAG_PK_INDEX)
+            extend(vi)
+            push(_TAG_DATA)
+            extend(vl)
+            extend(data)
+    table = bytearray()
     for k in keys:
         kb = k.encode()
-        table.extend((_TAG_PK_TABLE_B, varint(len(kb)), kb))
-    payload = b"".join(table) + b"".join(parts)
+        table.append(_TAG_PK_TABLE)
+        table.extend(varint(len(kb)))
+        table.extend(kb)
+    payload = bytes(table + buf)
     return KPL_MAGIC + payload + hashlib.md5(payload).digest()
 
 
