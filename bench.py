@@ -92,8 +92,19 @@ def bench_cosine_blas(spark, sf_dir):
     return cosine_topk_blas(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
+def bench_gopher(spark, sf_dir):
+    """Gopher A1.1 repetition+shape gate over the FULL documents table —
+    six doc_id-keyed explode/agg passes (top 2/3/4-gram, dup 5/10-gram,
+    dup lines) plus the zero-shuffle shape pass."""
+    from pg2kinesis_spark.functions.repetition import gopher_filter
+    from pg2kinesis_spark.io import load_table
+
+    return gopher_filter(load_table(spark, sf_dir, "documents"))
+
+
 EXTRA_BENCHES = {
     "minhash_lsh_full": bench_minhash_full,
+    "gopher_filter_full": bench_gopher,
     "cdc_replay_450k": bench_cdc_replay,
     "curate_full": bench_curate,
     "n9_blas_cosine_topk": bench_cosine_blas,

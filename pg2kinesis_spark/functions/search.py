@@ -1,0 +1,183 @@
+"""Full-text keyword search: TF-IDF postings and Okapi BM25 top-k.
+
+The standard lexical-retrieval stack for corpus curation (quality
+sourcing, contamination checks against eval sets, targeted subset
+selection). The reference system has no search operators; this module is
+north-star surface like text.py / dedup.py.
+
+Scale design
+------------
+* ``build_postings`` is the classic MapReduce inverted index as one
+  declarative plan: tokenize → explode → per-(term, doc) count. The
+  only shuffle is keyed by (term, doc_id); partial aggregation collapses
+  repeated terms map-side, so the shuffle carries ~unique terms per doc,
+  not tokens. Document frequency and length statistics derive from the
+  postings with doc-local or term-local keys — no global hot key.
+* ``bm25_topk`` joins QUERY terms (tiny — a handful of rows per query)
+  to the postings with an explicit broadcast, so candidate scoring is a
+  map-side hash probe against the term-partitioned postings; the only
+  shuffles are the per-(query, doc) score sum and the salted two-phase
+  top-k borrowed from similarity.py (no per-query reducer funnel).
+* At 100 TB the postings are written once (partitioned by a term hash)
+  and every query batch reuses them; ``write_postings`` /
+  ``bm25_topk_from_postings`` are that path. df/N/avgdl are corpus
+  constants — computed once with the index, broadcast ever after.
+
+BM25 uses the Robertson/Sparck-Jones idf with the standard +0.5
+smoothing, floored at 0 (Lucene-style) so ultra-common terms cannot
+contribute negative scores: idf = ln(max((N - df + .5)/(df + .5), 1)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .similarity import _topk_per_query
+
+# Lowercased letter/digit runs: the tokenizer is intentionally simpler
+# than text.BPE_REGEX (punctuation is never a search term).
+TOKEN_REGEX = r"[a-z0-9]+"
+
+
+def _tokens(col: str = "text"):
+    return F.expr(
+        f"filter(regexp_extract_all(lower({col}), '{TOKEN_REGEX}', 0), t -> t != '')"
+    )
+
+
+def build_postings(docs: DataFrame) -> DataFrame:
+    """Inverted index: one row per (term, doc_id) with the term count.
+
+    Columns: term, doc_id, tf (count of term in doc), dl (doc length in
+    tokens). dl rides along so scoring never re-joins the corpus.
+    """
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("term"))
+    tf = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    dl = docs.select("doc_id", F.size(_tokens()).alias("dl"))
+    return tf.join(dl, "doc_id")
+
+
+def corpus_stats(postings: DataFrame) -> DataFrame:
+    """(term, df, n_docs, avgdl): document frequency + corpus constants.
+
+    df is term-keyed (partial agg); N and avgdl are a single global agg
+    over the per-doc lengths, cross-joined back as a 1-row broadcast.
+    """
+    df = postings.groupBy("term").agg(F.count("*").alias("df"))
+    per_doc = postings.select("doc_id", "dl").distinct()
+    consts = per_doc.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    return df.crossJoin(F.broadcast(consts))
+
+
+def _query_terms(spark: SparkSession, queries: dict[str, str] | DataFrame) -> DataFrame:
+    """(query_id, term, qn) — qn = count of the term within the query."""
+    if isinstance(queries, dict):
+        qdf = spark.createDataFrame(list(queries.items()), ["query_id", "text"])
+    else:
+        qdf = queries
+    return (
+        qdf.select("query_id", F.explode(_tokens()).alias("term"))
+        .groupBy("query_id", "term")
+        .agg(F.count("*").alias("qn"))
+    )
+
+
+def bm25_score_expr(k1: float = 1.2, b: float = 0.75):
+    idf = F.log(
+        F.greatest(
+            (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)),
+            F.lit(1.0),
+        )
+    )
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return F.col("qn") * idf * tf_norm
+
+
+def bm25_topk(
+    spark: SparkSession,
+    docs: DataFrame,
+    queries: dict[str, str] | DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents per query by BM25, built from ``docs`` in-plan.
+
+    Returns (query_id, doc_id, score, rnk). Ties break on doc_id
+    ascending (total order — engine-stable results).
+    """
+    postings = build_postings(docs)
+    stats = corpus_stats(postings)
+    return _bm25_rank(postings, stats, _query_terms(spark, queries), k, k1, b)
+
+
+def _bm25_rank(postings, stats, qterms, k, k1, b):
+    cand = postings.join(F.broadcast(qterms), "term").join(
+        stats.select("term", "df", "n_docs", "avgdl"), "term"
+    )
+    scored = (
+        cand.withColumn("_s", bm25_score_expr(k1, b))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("_s").alias("score"))
+    )
+    # _topk_per_query orders by `cos` desc — alias and restore.
+    ranked = _topk_per_query(
+        scored.withColumnRenamed("score", "cos"), k, neighbor="doc_id"
+    )
+    return ranked.withColumnRenamed("cos", "score").select(
+        "query_id", "doc_id", "score", "rnk"
+    )
+
+
+def write_postings(docs: DataFrame, path: str, buckets: int = 64) -> None:
+    """Materialize the inverted index once — the 100 TB amortization path.
+
+    ``{path}/postings`` is partitioned by a term-hash bucket so a query
+    batch prunes to the buckets its terms hash into instead of scanning
+    the full index; ``{path}/stats`` holds (term, df, n_docs, avgdl),
+    bucketed the same way, computed ONCE here so query batches never
+    re-aggregate the corpus.
+    """
+    postings = build_postings(docs).withColumn(
+        "term_bucket", F.pmod(F.hash("term"), F.lit(buckets))
+    )
+    postings.write.mode("overwrite").partitionBy("term_bucket").parquet(
+        f"{path}/postings"
+    )
+    corpus_stats(postings.drop("term_bucket")).withColumn(
+        "term_bucket", F.pmod(F.hash("term"), F.lit(buckets))
+    ).write.mode("overwrite").partitionBy("term_bucket").parquet(f"{path}/stats")
+
+
+def bm25_topk_from_postings(
+    spark: SparkSession,
+    path: str,
+    queries: dict[str, str] | DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    buckets: int = 64,
+) -> DataFrame:
+    """BM25 over a pre-built index: both the postings scan and the stats
+    scan prune to the query terms' hash buckets (partition pruning on
+    term_bucket), so cost scales with the matched postings, not the
+    corpus."""
+    qterms = _query_terms(spark, queries)
+    q_buckets = [
+        r["b"]
+        for r in qterms.select(
+            F.pmod(F.hash("term"), F.lit(buckets)).alias("b")
+        ).distinct().collect()
+    ]
+    pruned = spark.read.parquet(f"{path}/postings").filter(
+        F.col("term_bucket").isin(q_buckets)
+    )
+    stats = spark.read.parquet(f"{path}/stats").filter(
+        F.col("term_bucket").isin(q_buckets)
+    )
+    return _bm25_rank(pruned, stats, qterms, k, k1, b)

@@ -29,14 +29,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.parquet stores ts as TIMESTAMP(NANOS), which Spark's parquet
-        # reader rejects. Read nanos as long, then truncate to microseconds —
-        # the same truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP.
+        # events.parquet has shipped ts as TIMESTAMP(NANOS) (which Spark's
+        # parquet reader rejects unless read as long), or TIMESTAMP(MICROS)
+        # without a timezone (read as TIMESTAMP_NTZ, which watermarks
+        # reject). Normalize both to TIMESTAMP: nanos→micros truncation is
+        # what DuckDB applies casting TIMESTAMP_NS → TIMESTAMP, and with the
+        # session tz pinned to UTC the NTZ→LTZ cast is wall-clock-identical
+        # to DuckDB's naive read.
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType, TimestampNTZType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif isinstance(ts_type, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(path)
 
 
