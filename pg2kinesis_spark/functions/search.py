@@ -124,6 +124,9 @@ def _bm25_rank(postings, stats, qterms, k, k1, b):
         cand.withColumn("_s", bm25_score_expr(k1, b))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("_s").alias("score"))
+        # Terms in >half the corpus idf-floor to 0 (Lucene semantics);
+        # a doc matching ONLY such terms carries no ranking signal.
+        .filter(F.col("score") > 0)
     )
     # _topk_per_query orders by `cos` desc — alias and restore.
     ranked = _topk_per_query(
