@@ -103,3 +103,62 @@ def token_budget_select(
         .filter(F.col("cum_tokens") <= budget)
         .drop("_bkt", "_off")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict | float,
+    key_col: str,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum hash sampling — zero shuffle.
+
+    ``fractions`` is either one float for every stratum or a dict
+    {stratum_value: fraction}; strata absent from the dict are dropped
+    (fraction 0). The hash is the cross-engine md5 bucket, so the
+    sample is reproducible across engines/reruns/partitionings, and the
+    whole operator is a single pushdown-friendly filter.
+    """
+    if isinstance(fractions, dict):
+        thresh = F.lit(0)
+        for val, frac in fractions.items():
+            thresh = F.when(F.col(strata_col) == val, F.lit(int(frac * buckets))).otherwise(
+                thresh
+            )
+    else:
+        thresh = F.lit(int(fractions * buckets))
+    return df.filter(hash_bucket(key_col, buckets) < thresh)
+
+
+def stratified_fixed_n(
+    df: DataFrame,
+    strata_col: str,
+    n: int,
+    key_col: str,
+    n_salt: int = 32,
+) -> DataFrame:
+    """EXACTLY min(n, |stratum|) rows per stratum, chosen by key hash —
+    a deterministic uniform draw with an exact count guarantee.
+
+    A plain row_number() partitioned by stratum funnels every row of a
+    stratum into one reducer — a whole-stratum-sized partition when
+    strata are few and huge (the common case: language, source). Same
+    fix as similarity._topk_per_query: phase 1 takes a local top-n per
+    (stratum, salt); phase 2 refines over <= n_salt * n rows per
+    stratum. (hash asc, key asc) is a total order, so the result is
+    identical to the single-phase ranking.
+    """
+    h = F.expr(HASH60.format(x=key_col))
+    order = (h.asc(), F.col(key_col).asc())
+    salted = df.withColumn("_salt", F.pmod(h, F.lit(n_salt)))
+    w_local = W.partitionBy(strata_col, "_salt").orderBy(*order)
+    pre = salted.withColumn("_lrnk", F.row_number().over(w_local)).filter(
+        F.col("_lrnk") <= n
+    )
+    w = W.partitionBy(strata_col).orderBy(*order)
+    return (
+        pre.withColumn("_rnk", F.row_number().over(w))
+        .filter(F.col("_rnk") <= n)
+        .drop("_salt", "_lrnk", "_rnk")
+    )

@@ -1,0 +1,117 @@
+"""PII redaction + stratified sampling tests."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg2kinesis_spark.functions.pii import pii_counts, pii_filter, redact_pii
+from pg2kinesis_spark.functions.sampling import (
+    stratified_fixed_n,
+    stratified_sample,
+)
+from pg2kinesis_spark.io import load_table
+
+PII_DOCS = [
+    (1, "contact me at john.doe+spam@example.co.uk for details"),
+    (2, "server at 192.168.1.254 port 8080, fallback 10.0.0.1"),
+    (3, "SSN 123-45-6789 on file"),
+    (4, "card 4111 1111 1111 1111 expires 12/26"),
+    (5, "call 555-867-5309 or +1 (212) 555-0123"),
+    (6, "clean document with no sensitive data at all"),
+    (7, "v1.2.3.4 is not an IP but 8.8.8.8 is"),
+    (8, "000-12-3456 is not a valid SSN prefix"),
+]
+
+
+@pytest.fixture(scope="module")
+def pii_df(spark):
+    return spark.createDataFrame(PII_DOCS, ["doc_id", "text"])
+
+
+def test_redact_pii(pii_df):
+    got = {r["doc_id"]: r["text"] for r in redact_pii(pii_df).collect()}
+    assert got[1] == "contact me at <EMAIL> for details"
+    assert got[2] == "server at <IP> port 8080, fallback <IP>"
+    assert got[3] == "SSN <SSN> on file"
+    assert got[4] == "card <CARD> expires 12/26"
+    assert got[5] == "call <PHONE> or <PHONE>"
+    assert got[6] == PII_DOCS[5][1]
+    # version strings survive; the bare IP is caught
+    assert got[7] == "v1.2.3.4 is not an IP but <IP> is"
+    # invalid SSN area 000 is NOT redacted as SSN (it hits the phone rule's
+    # NNN-NN… shape? no — phone needs 3-3/4 groups; it stays untouched)
+    assert "<SSN>" not in got[8]
+
+
+def test_pii_counts_no_double_count(pii_df):
+    got = {r["doc_id"]: r.asDict() for r in pii_counts(pii_df).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_pii"] == 1
+    assert got[2]["n_ipv4"] == 2 and got[2]["n_pii"] == 2
+    assert got[3]["n_ssn"] == 1 and got[3]["n_pii"] == 1
+    # the card must count once as card, zero as phone
+    assert got[4]["n_card"] == 1 and got[4]["n_phone"] == 0
+    assert got[5]["n_phone"] == 2
+    assert got[6]["n_pii"] == 0
+
+
+def test_pii_filter_zero_shuffle(pii_df):
+    kept = pii_filter(pii_df, max_pii=0)
+    assert {r["doc_id"] for r in kept.collect()} == {6, 8}
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    for op in ("Exchange", "Join", "Aggregate"):
+        assert op not in plan, op
+
+
+def _py_bucket(s: str, buckets: int) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % buckets
+
+
+def test_stratified_sample_matches_hash_oracle(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text", "lang")
+    fr = {"en": 0.5, "de": 0.1}
+    got = {r["doc_id"] for r in stratified_sample(docs, "lang", fr, "text").collect()}
+    want = set()
+    for r in docs.collect():
+        frac = fr.get(r["lang"], 0.0)
+        if _py_bucket(r["text"], 10_000) < int(frac * 10_000):
+            want.add(r["doc_id"])
+    assert got == want and got  # non-empty
+
+
+def test_stratified_sample_single_fraction(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text", "lang")
+    out = stratified_sample(docs, "lang", 0.25, "text")
+    n, total = out.count(), docs.count()
+    assert 0.15 * total < n < 0.35 * total
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure filter
+
+
+def test_stratified_fixed_n_exact_and_deterministic(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text", "lang")
+    out = stratified_fixed_n(docs, "lang", 7, "text")
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    avail = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n_avail in avail.items():
+        assert sizes.get(lang, 0) == min(7, n_avail), lang
+    # deterministic: same result twice, and equals the single-phase ranking
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in stratified_fixed_n(docs, "lang", 7, "text").collect())
+    assert a == b
+    per_lang_want = {}
+    for r in docs.collect():
+        per_lang_want.setdefault(r["lang"], []).append(
+            (_py_bucket_full(r["text"]), r["text"], r["doc_id"])
+        )
+    want = []
+    for lang, rows in per_lang_want.items():
+        rows.sort(key=lambda x: (x[0], x[1]))
+        want += [d for _, _, d in rows[:7]]
+    assert a == sorted(want)
+
+
+def _py_bucket_full(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
