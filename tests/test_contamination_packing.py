@@ -1,0 +1,130 @@
+"""Decontamination + sequence packing vs pure-Python oracles."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg2kinesis_spark.functions.contamination import (
+    contaminated_ids,
+    contamination_report,
+    decontaminate,
+)
+from pg2kinesis_spark.functions.packing import pack_sequences, packing_stats
+from pg2kinesis_spark.io import load_table
+
+
+def _py_grams(text: str, n: int) -> set[str]:
+    ws = text.split(" ")
+    if len(ws) < n:
+        return {" ".join(ws)}
+    return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+
+@pytest.fixture(scope="module")
+def eval_df(spark, sf_small):
+    # fabricate an eval set: 5 verbatim snippets lifted from real docs
+    # (guaranteed contamination), plus clean items incl. a short one
+    docs = load_table(spark, sf_small, "documents").limit(50).collect()
+    rows, n = [], 0
+    for r in docs[:5]:
+        ws = r["text"].split(" ")
+        if len(ws) >= 20:
+            rows.append((n, " ".join(ws[3:20]))); n += 1
+    rows.append((n, "completely novel benchmark question nobody wrote")); n += 1
+    rows.append((n, "short item")); n += 1
+    return spark.createDataFrame(rows, ["eval_id", "text"])
+
+
+def test_contaminated_ids_matches_python(spark, sf_small, eval_df):
+    docs = load_table(spark, sf_small, "documents").limit(300)
+    N = 13
+    got = {r["doc_id"] for r in contaminated_ids(docs, eval_df, N).collect()}
+    eval_grams = set()
+    for r in eval_df.collect():
+        eval_grams |= _py_grams(r["text"], N)
+    want = {
+        r["doc_id"]
+        for r in docs.collect()
+        if _py_grams(r["text"], N) & eval_grams
+    }
+    assert got == want and got  # the planted snippets must flag
+
+
+def test_decontaminate_removes_exactly_flagged(spark, sf_small, eval_df):
+    docs = load_table(spark, sf_small, "documents").limit(300)
+    flagged = {r["doc_id"] for r in contaminated_ids(docs, eval_df).collect()}
+    kept = {r["doc_id"] for r in decontaminate(docs, eval_df).collect()}
+    alldocs = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept == alldocs - flagged
+
+
+def test_contamination_report(spark, sf_small, eval_df):
+    docs = load_table(spark, sf_small, "documents").limit(300)
+    rep = {r["eval_id"]: r for r in contamination_report(docs, eval_df).collect()}
+    # planted snippets (eval 0..4) contaminate; the novel item does not
+    assert all(eid in rep for eid in range(5))
+    novel = eval_df.count() - 2
+    assert novel not in rep
+
+
+def test_contamination_plan_broadcasts_eval(spark, sf_small, eval_df):
+    docs = load_table(spark, sf_small, "documents").limit(300)
+    plan = (
+        contaminated_ids(docs, eval_df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # corpus-side gram explosion must not be exchanged before the join
+    assert plan.index("Generate") > plan.index("BroadcastHashJoin")
+
+
+def _py_hash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_pack_sequences_matches_python(spark, sf_small):
+    docs = (
+        load_table(spark, sf_small, "documents")
+        .limit(500)
+        .select("doc_id", F.size(F.split("text", " ")).alias("nt"))
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    )
+    SEQ = 512
+    got = {
+        r["doc_id"]: (r["start_offset"], r["seq_id"], r["seq_pos"], r["spans_boundary"])
+        for r in pack_sequences(docs, F.col("nt"), SEQ, "doc_id").collect()
+    }
+    rows = [(r["doc_id"], r["nt"]) for r in docs.collect() if r["nt"] > 0]
+    rows.sort(key=lambda x: (_py_hash60(x[0]), x[0]))
+    off = 0
+    for doc_id, nt in rows:
+        want = (off, off // SEQ, off % SEQ, (off + nt - 1) // SEQ != off // SEQ)
+        assert got[doc_id] == want, doc_id
+        off += nt
+    assert len(got) == len(rows)
+
+
+def test_packing_stats(spark):
+    docs = spark.createDataFrame(
+        [(str(i), 100) for i in range(10)], ["doc_id", "nt"]
+    )
+    packed = pack_sequences(docs, F.col("nt"), 256, "doc_id")
+    s = packing_stats(packed, 256).collect()[0]
+    assert s["n_docs"] == 10 and s["n_tokens"] == 1000
+    assert s["n_sequences"] == 4  # ceil(1000/256)
+    # with uniform 100-token docs, every doc crossing a 256 boundary flags
+    spans = sum(1 for r in packed.collect() if r["spans_boundary"])
+    assert s["n_spanning"] == spans > 0
+
+
+def test_pack_sequences_no_single_partition_window(spark):
+    docs = spark.createDataFrame([(str(i), 10) for i in range(100)], ["doc_id", "nt"])
+    plan = (
+        pack_sequences(docs, F.col("nt"), 64, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan
