@@ -9,6 +9,10 @@ the next):
      annotators; they share the tokenization projection).
   2. language / quality filters — pure predicates, applied before any
      shuffle so dedup never sees documents the filters would discard.
+  2b. optional row-local gates, still shuffle-free: the Gopher A1.1
+     repetition/shape filter (``gopher=``), PII redaction/threshold
+     (``redact_pii_text=`` / ``max_pii=``) — redaction happens BEFORE
+     dedup so two documents differing only in scrubbed PII hash equal.
   3. exact dedup — groupBy on a 16-byte md5 content hash, survivor =
      min(doc_id); the shuffle carries hashes, never documents.
   4. near-dup removal — MinHash+LSH candidate pairs (banded; the only
@@ -19,6 +23,9 @@ the next):
      true one-survivor-per-cluster dedup via connected components over
      the pair graph (cc.py), at the cost of the O(log n)-round star
      iteration.
+  4b. optional eval-set decontamination (``eval_df=``) — broadcast
+     gram-hash probe + broadcast anti join; placed after dedup so the
+     gram explosion runs over survivors only.
   5. optional token-budget selection — two-phase distributed cumulative
      sum over (quality desc, doc_id), no single-partition window.
 
@@ -72,6 +79,11 @@ def curate_corpus(
     k: int = 16,
     bands: int = 4,
     transitive: bool = False,
+    gopher: bool | dict = False,
+    redact_pii_text: bool = False,
+    max_pii: int | None = None,
+    eval_df: DataFrame | None = None,
+    contamination_n: int = 13,
 ) -> DataFrame:
     """Curated corpus: (doc_id, text, n_tokens, quality, pred_lang) for
     every surviving document. See module docstring for stage order and
@@ -81,6 +93,18 @@ def curate_corpus(
         ann = ann.filter(F.col("pred_lang").isin(*langs))
     if min_quality > 0.0:
         ann = ann.filter(F.col("quality") >= min_quality)
+    if gopher:
+        from .repetition import gopher_filter
+
+        ann = gopher_filter(ann, thresholds=gopher if isinstance(gopher, dict) else None)
+    if max_pii is not None:
+        from .pii import pii_filter
+
+        ann = pii_filter(ann, max_pii=max_pii)
+    if redact_pii_text:
+        from .pii import redact_pii
+
+        ann = redact_pii(ann)
 
     # Exact dedup: survivor = min doc_id per content hash. Left-semi join
     # back so the kept rows keep their annotations without re-deriving.
@@ -103,6 +127,11 @@ def curate_corpus(
         else:
             drop = pairs.select(F.col("id2").alias("doc_id")).distinct()
         ann = ann.join(drop, "doc_id", "left_anti")
+
+    if eval_df is not None:
+        from .contamination import decontaminate
+
+        ann = decontaminate(ann, eval_df, n=contamination_n)
 
     if token_budget is not None:
         sel = token_budget_select(ann, F.col("quality"), F.col("n_tokens"), token_budget)

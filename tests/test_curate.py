@@ -73,3 +73,34 @@ def test_curate_full_table_is_consistent(spark, sf_small):
 
     keep = {r.keep_id for r in exact_duplicates(docs).collect()}
     assert set(a) <= keep
+
+
+def test_curate_with_gopher_pii_decontam_stages(spark, sf_small):
+    from pg2kinesis_spark.functions.contamination import contaminated_ids
+    from pg2kinesis_spark.functions.pii import pii_filter
+    from pg2kinesis_spark.functions.repetition import gopher_filter
+    from pg2kinesis_spark.io import load_table
+
+    docs = load_table(spark, sf_small, "documents").limit(200).select("doc_id", "text")
+    # eval set lifted from one real doc -> guaranteed contamination hit
+    src = docs.filter(F.size(F.split("text", " ")) > 30).first()
+    eval_df = spark.createDataFrame(
+        [(0, " ".join(src["text"].split(" ")[2:20]))], ["eval_id", "text"]
+    )
+    out = curate.curate_corpus(
+        docs,
+        near_dup_jaccard=None,
+        gopher=True,
+        max_pii=0,
+        eval_df=eval_df,
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    # every stage's own verdict must hold on the survivors
+    gopher_ok = {r["doc_id"] for r in gopher_filter(docs).select("doc_id").collect()}
+    pii_ok = {r["doc_id"] for r in pii_filter(docs, 0).select("doc_id").collect()}
+    contaminated = {r["doc_id"] for r in contaminated_ids(docs, eval_df).collect()}
+    assert src["doc_id"] in contaminated
+    assert kept <= (gopher_ok & pii_ok) - contaminated
+    # and nothing the gates allow was over-dropped (exact dedup only
+    # removes duplicate text, rare in 200 real docs)
+    assert len((gopher_ok & pii_ok) - contaminated) - len(kept) <= 3
