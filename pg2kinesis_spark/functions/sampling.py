@@ -162,3 +162,44 @@ def stratified_fixed_n(
         .filter(F.col("_rnk") <= n)
         .drop("_salt", "_lrnk", "_rnk")
     )
+
+
+def rebalance_to_target(
+    df: DataFrame,
+    strata_col: str,
+    targets: dict,
+    key_col: str,
+    weight_col: str | None = None,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Down-sample strata so the kept mixture matches ``targets`` — the
+    domain-weighting step of corpus assembly (Pile/Dolma-style mixes).
+
+    ``targets`` maps stratum value -> desired share of the OUTPUT
+    (shares are normalized; strata absent from the dict are dropped).
+    Only down-sampling is applied: the binding stratum (the one whose
+    available mass most undershoots its target) is kept whole and every
+    other stratum is thinned to match, which yields the largest corpus
+    achieving the target mixture. Mass is row count, or the sum of
+    ``weight_col`` (e.g. token counts) when given.
+
+    Two passes: one tiny per-stratum aggregate (collected — O(strata)),
+    then one deterministic hash filter (zero shuffle, reproducible).
+    """
+    tot = sum(targets.values())
+    shares = {k: v / tot for k, v in targets.items()}
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    avail = {
+        r["s"]: r["m"]
+        for r in df.groupBy(F.col(strata_col).alias("s"))
+        .agg(F.sum(w).alias("m"))
+        .collect()
+        if r["s"] in shares
+    }
+    if not avail:
+        return df.filter(F.lit(False))
+    # total output mass is limited by the stratum with the least
+    # available mass relative to its share
+    out_total = min(avail[s] / shares[s] for s in avail)
+    fractions = {s: min(1.0, (shares[s] * out_total) / avail[s]) for s in avail}
+    return stratified_sample(df, strata_col, fractions, key_col, buckets)

@@ -115,3 +115,26 @@ def test_stratified_fixed_n_exact_and_deterministic(spark, sf_small):
 
 def _py_bucket_full(s: str) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_rebalance_to_target(spark, sf_small):
+    from pg2kinesis_spark.functions.sampling import rebalance_to_target
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text", "lang")
+    targets = {"en": 0.5, "de": 0.3, "fr": 0.2}
+    out = rebalance_to_target(docs, "lang", targets, "text")
+    got = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(got) <= set(targets)
+    total = sum(got.values())
+    assert total > 0
+    # mixture within hash-granularity tolerance of the target shares
+    for lang, share in targets.items():
+        assert abs(got.get(lang, 0) / total - share) < 0.08, (lang, got)
+    # deterministic
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in rebalance_to_target(docs, "lang", targets, "text").collect())
+    assert a == b
+    # the binding stratum is kept (nearly) whole: at least one lang keeps
+    # ~all of its available docs
+    avail = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert any(got.get(l, 0) >= 0.95 * avail[l] for l in targets if l in avail)
