@@ -49,7 +49,9 @@ def pack_sequences(
     start_offset MOD seq_len``. Zero-token documents are dropped (they
     occupy no stream positions).
     """
-    h = F.expr(HASH60.format(x=key_col))
+    # md5 needs STRING/BINARY input; numeric keys hash via their decimal
+    # rendering (cross-engine stable: DuckDB md5(x::VARCHAR) matches).
+    h = F.expr(HASH60.format(x=f"cast({key_col} as string)"))
     df = (
         docs.select(F.col(key_col), n_tokens.cast("long").alias("n_tokens"))
         .filter(F.col("n_tokens") > 0)
