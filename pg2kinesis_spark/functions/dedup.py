@@ -350,7 +350,11 @@ def lsh_pairs_incremental(
     index scan here is lazy and must not see the batch's own rows.
     """
     new_sig = minhash_signatures(new_docs, n, k, seed)
-    old_sig = spark.read.parquet(sig_path)
+    # explicit column pruning: the index may carry extra layout columns
+    # (e.g. a batch_id partition from the streaming ingest)
+    old_sig = spark.read.parquet(sig_path).select(
+        "doc_id", *[f"mh{i}" for i in range(k)]
+    )
     mn = _banded(new_sig, k, bands)
     mo = _banded(old_sig, k, bands)
     a = mn.select(F.col("doc_id").alias("nid"), "band_idx", "band_key")

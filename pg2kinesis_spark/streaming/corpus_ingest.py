@@ -1,0 +1,175 @@
+"""Streaming corpus ingest: continuous curation with incremental dedup.
+
+The streaming twin of ``functions.curate``: documents arrive as files
+(the standard landing-zone pattern — each micro-batch is a set of new
+parquet files), pass the row-local gates, are exact-deduplicated against
+everything already accepted, near-dup-checked against the materialized
+MinHash signature index, and appended to the curated output — while the
+signature index grows by exactly the accepted batch.
+
+Scale/streaming design
+----------------------
+* Row-local gates (quality/lang/Gopher/PII) run inside the micro-batch —
+  map-only, no state.
+* Exact dedup state is the ACCEPTED-HASH PARQUET INDEX (16-byte md5
+  keys), not Spark operator state: a `dropDuplicates` over an unbounded
+  key stream would grow executor state forever and die on restart
+  recovery at 100 TB. The index is a column-pruned scan + left-anti
+  join per batch, and doubles as within-batch dedup via a groupBy.
+* Near-dup state is the signature index from
+  ``dedup.write_minhash_signatures`` — the new batch is signed ONCE;
+  banding joins new-vs-index candidates (`lsh_pairs_incremental`).
+* Idempotence: the foreachBatch body keys every append by batch_id
+  (overwrite-by-partition), so a replayed batch after a crash rewrites
+  the same partition instead of duplicating it — the standard
+  exactly-once-by-idempotence recipe for file sinks.
+
+The reference system is itself a streaming CDC pump; this module is the
+same at-least-once + idempotent-sink contract applied to the corpus
+domain (reference `__main__.py` consume loop; SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pg2kinesis_spark.functions.curate import annotate
+from pg2kinesis_spark.functions.dedup import lsh_pairs_incremental
+
+
+class CorpusIngest:
+    """foreachBatch processor: gate -> dedup -> near-dup -> append."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        min_quality: float = 0.0,
+        near_dup_jaccard: float | None = 0.6,
+        n: int = 3,
+        k: int = 16,
+        bands: int = 4,
+    ):
+        self.out_dir = out_dir
+        self.accepted_path = os.path.join(out_dir, "accepted")
+        self.hash_path = os.path.join(out_dir, "hash_index")
+        self.sig_path = os.path.join(out_dir, "sig_index")
+        self.min_quality = min_quality
+        self.near_dup_jaccard = near_dup_jaccard
+        self.n, self.k, self.bands = n, k, bands
+
+    def _existing(self, spark: SparkSession, path: str) -> DataFrame | None:
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            return None  # first batch: no index yet
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        ann = annotate(batch)
+        if self.min_quality > 0.0:
+            ann = ann.filter(F.col("quality") >= self.min_quality)
+
+        # exact dedup: within batch (min doc_id per hash) and vs index
+        ann = ann.withColumn("_h", F.md5("text"))
+        ann = ann.join(
+            ann.groupBy("_h").agg(F.min("doc_id").alias("doc_id")),
+            ["_h", "doc_id"],
+            "left_semi",
+        )
+        idx = self._existing(spark, self.hash_path)
+        if idx is not None:
+            ann = ann.join(idx, "_h", "left_anti")
+
+        # near-dup vs signature index (new-vs-index + new-vs-new pairs)
+        if self.near_dup_jaccard is not None:
+            docs = ann.select("doc_id", "text")
+            if self._existing(spark, self.sig_path) is not None:
+                pairs = lsh_pairs_incremental(
+                    spark, docs, self.sig_path, self.n, self.k, self.bands
+                ).filter(F.col("est_jaccard") >= self.near_dup_jaccard)
+                # ids are canonicalized id1 < id2; the ACCEPTED index side
+                # must never be dropped. Mark which side is new (the batch
+                # id set is micro-batch-sized -> broadcast), then drop:
+                # both new -> the larger; one new -> the new one.
+                ids = docs.select("doc_id")
+                n1 = F.broadcast(
+                    ids.select(F.col("doc_id").alias("id1"), F.lit(True).alias("_n1"))
+                )
+                n2 = F.broadcast(
+                    ids.select(F.col("doc_id").alias("id2"), F.lit(True).alias("_n2"))
+                )
+                drop = (
+                    pairs.join(n1, "id1", "left")
+                    .join(n2, "id2", "left")
+                    .select(
+                        F.when(F.col("_n1") & F.col("_n2"), F.col("id2"))
+                        .when(F.col("_n1"), F.col("id1"))
+                        .otherwise(F.col("id2"))
+                        .alias("doc_id")
+                    )
+                    .distinct()
+                )
+                ann = ann.join(drop, "doc_id", "left_anti")
+
+        # WRITE-THEN-READ-BACK, deliberately: the accepted plan's lineage
+        # runs anti-joins AGAINST the hash/signature indexes. If the index
+        # writes below re-executed that lineage (cache eviction, partial
+        # persist), they would see the batch's OWN freshly-written hashes
+        # and silently compute an empty batch. Materializing the accepted
+        # rows to their final parquet first and deriving both index writes
+        # from a re-read severs that lineage completely — and doubles as
+        # the idempotence anchor (everything is partitioned by batch_id,
+        # so a crash-replayed batch overwrites its own partition).
+        def _write(df: DataFrame, path: str) -> None:
+            df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "overwrite"
+            ).partitionBy("batch_id").option(
+                "partitionOverwriteMode", "dynamic"
+            ).parquet(path)
+
+        if ann.limit(1).count() == 0:
+            return
+        _write(ann.drop("_h"), self.accepted_path)
+        back = (
+            spark.read.parquet(self.accepted_path)
+            .filter(F.col("batch_id") == batch_id)
+            .drop("batch_id")
+        )
+        _write(back.select(F.md5("text").alias("_h")), self.hash_path)
+        if self.near_dup_jaccard is not None:
+            from pg2kinesis_spark.functions.dedup import minhash_signatures
+
+            _write(
+                minhash_signatures(back.select("doc_id", "text"), self.n, self.k),
+                self.sig_path,
+            )
+
+
+def start_corpus_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    schema=None,
+    max_files_per_trigger: int = 10,
+    **kwargs,
+):
+    """Wire the file-landing-zone stream into CorpusIngest. Returns the
+    StreamingQuery (caller owns lifecycle)."""
+    if schema is None:
+        schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir)
+    )
+    ingest = CorpusIngest(out_dir, **kwargs)
+    return (
+        stream.writeStream.foreachBatch(ingest.process_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,76 @@
+"""Streaming corpus ingest: continuous curation with incremental dedup."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg2kinesis_spark.streaming.corpus_ingest import CorpusIngest, start_corpus_ingest
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _write_batch(spark, src, rows, name):
+    _docs(spark, rows).coalesce(1).write.mode("append").parquet(src)
+
+
+def test_ingest_stream_dedups_across_batches(spark, tmp_path):
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+
+    b1 = [
+        (1, BASE),
+        (2, BASE),  # exact dup within batch -> dropped
+        (3, "completely different text about spark clusters and shuffles here"),
+    ]
+    _write_batch(spark, src, b1, "b1")
+    q = start_corpus_ingest(spark, src, out, ckpt, near_dup_jaccard=0.6)
+    q.awaitTermination(120)
+
+    accepted = spark.read.parquet(os.path.join(out, "accepted"))
+    got1 = {r["doc_id"] for r in accepted.select("doc_id").collect()}
+    assert got1 == {1, 3}
+
+    b2 = [
+        (10, BASE),  # exact dup vs batch 1 -> dropped
+        (11, BASE.replace("today", "tomorrow")),  # near-dup vs index -> dropped
+        (12, "a fresh unique document mentioning entirely new material now"),
+    ]
+    _write_batch(spark, src, b2, "b2")
+    q = start_corpus_ingest(spark, src, out, ckpt, near_dup_jaccard=0.6)
+    q.awaitTermination(120)
+
+    accepted = spark.read.parquet(os.path.join(out, "accepted"))
+    got2 = {r["doc_id"] for r in accepted.select("doc_id").collect()}
+    assert got2 == {1, 3, 12}, got2
+
+    # the signature index grew by exactly the accepted docs
+    sig = spark.read.parquet(os.path.join(out, "sig_index"))
+    assert {r["doc_id"] for r in sig.select("doc_id").collect()} == {1, 3, 12}
+    # annotations present on accepted output
+    assert {"n_tokens", "quality", "pred_lang"} <= set(accepted.columns)
+
+
+def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
+    out = str(tmp_path / "curated2")
+    ingest = CorpusIngest(out, near_dup_jaccard=None)
+    batch = _docs(spark, [(1, BASE), (2, "other words forming another unique document")])
+    ingest.process_batch(batch, 7)
+    ingest.process_batch(batch, 7)  # crash-replay of the same batch_id
+    accepted = spark.read.parquet(os.path.join(out, "accepted"))
+    assert accepted.count() == 2  # no duplicates from the replay
+    assert {r["batch_id"] for r in accepted.select("batch_id").collect()} == {7}
+
+
+def test_ingest_empty_batch_noop(spark, tmp_path):
+    out = str(tmp_path / "curated3")
+    ingest = CorpusIngest(out, min_quality=2.0)  # nothing can pass
+    ingest.process_batch(_docs(spark, [(1, BASE)]), 0)
+    assert not os.path.exists(os.path.join(out, "accepted"))
