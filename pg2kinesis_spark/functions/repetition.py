@@ -192,14 +192,15 @@ def doc_shape_stats(docs: DataFrame) -> DataFrame:
     )
     n_words = F.size("ws")
     n_lines = F.size("lines")
-    alpha_words = F.expr("size(filter(ws, w -> w rlike '[A-Za-z]'))")
+    # translate-based "contains a letter" — no regex engine per word
+    alpha_words = F.expr("size(filter(ws, w -> translate(w, 'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ', '') != w))")
     stop_lit = ", ".join(f"'{w}'" for w in STOPWORDS)
     stop_hits = F.expr(f"size(filter(ws, w -> w IN ({stop_lit})))")
     bullet_lines = F.expr(
-        "size(filter(lines, l -> ltrim(l) rlike '^([-*\\u2022\\u2023\\u25e6])'))"
+        "size(filter(lines, l -> substring(ltrim(l), 1, 1) IN ('-', '*', '\u2022', '\u2023', '\u25e6')))"
     )
     ellipsis_lines = F.expr(
-        "size(filter(lines, l -> rtrim(l) rlike '(\\\\.\\\\.\\\\.|\\u2026)$'))"
+        "size(filter(lines, l -> endswith(rtrim(l), '...') or endswith(rtrim(l), '\u2026')))"
     )
     avg_word_len = _safe_frac(F.expr("aggregate(ws, 0L, (a, w) -> a + length(w))"), n_words)
     symbols = _occurrences(F.col("text"), "#") + _occurrences(F.col("text"), "...")
@@ -324,9 +325,9 @@ def gopher_filter(
         " + (length(text) - length(replace(text, '...', ''))) / 3.0D)"
     )
     avg_wl = _sfrac("aggregate(ws2, 0L, (a, w) -> a + length(w))", "size(ws2)")
-    alpha = "size(filter(ws2, w -> w rlike '[A-Za-z]'))"
-    bullet = "size(filter(ln2, l -> ltrim(l) rlike '^([-*•‣◦])'))"
-    ellipsis = r"size(filter(ln2, l -> rtrim(l) rlike '(\\.\\.\\.|" + "…" + r")$'))"
+    alpha = "size(filter(ws2, w -> translate(w, 'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ', '') != w))"
+    bullet = "size(filter(ln2, l -> substring(ltrim(l), 1, 1) IN ('-', '*', '•', '‣', '◦')))"
+    ellipsis = "size(filter(ln2, l -> endswith(rtrim(l), '...') or endswith(rtrim(l), '…')))"
     line_conds = " and ".join(
         [
             f"{_sfrac(bullet, 'size(ln2)')} <= {t['max_bullet_line_frac']}",
