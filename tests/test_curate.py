@@ -104,3 +104,20 @@ def test_curate_with_gopher_pii_decontam_stages(spark, sf_small):
     # and nothing the gates allow was over-dropped (exact dedup only
     # removes duplicate text, rare in 200 real docs)
     assert len((gopher_ok & pii_ok) - contaminated) - len(kept) <= 3
+
+
+def test_corpus_profile_single_job(spark, sf_small):
+    from pg2kinesis_spark.functions.profile import corpus_profile, lang_distribution
+
+    docs = load_table(spark, sf_small, "documents").limit(100).select("doc_id", "text")
+    p = corpus_profile(docs).collect()[0]
+    assert p["n_docs"] == 100
+    assert p["n_tokens"] > 0 and p["n_chars"] > p["n_tokens"]
+    assert len(p["tok_p10_p50_p90_p99"]) == 4
+    assert 0.0 <= p["quality_mean"] <= 1.0
+    assert p["approx_distinct_texts"] >= 90  # sf0.001 docs are ~unique
+    ld = lang_distribution(docs).collect()
+    assert sum(r["n_docs"] for r in ld) == 100
+    # no collect_list / per-doc blowup in the one-row profile plan
+    plan = corpus_profile(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
