@@ -376,3 +376,32 @@ def append_minhash_signatures(
 ) -> None:
     """Add a new batch to a materialized signature index."""
     minhash_signatures(docs, n, k, seed).write.mode("append").parquet(path)
+
+
+def refine_pairs_levenshtein(
+    pairs: DataFrame,
+    docs: DataFrame,
+    max_dist: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Verify candidate pairs with a true edit-distance check — the
+    exact-verification step after LSH/SimHash candidate generation
+    (sketches can collide on genuinely different documents).
+
+    Adds ``edit_dist`` and keeps pairs with distance <= max_dist. The
+    threshold-bounded ``levenshtein(a, b, threshold)`` short-circuits at
+    max_dist+1, so cost is O(max_dist * min_len) per pair, not
+    O(len_a * len_b) — the difference between verifying near-dups and
+    diffing arbitrary documents. Texts are joined only for candidate
+    pairs (two doc_id-keyed joins), never carried through the sketch
+    machinery.
+    """
+    t1 = docs.select(F.col("doc_id").alias("id1"), F.col(text_col).alias("_t1"))
+    t2 = docs.select(F.col("doc_id").alias("id2"), F.col(text_col).alias("_t2"))
+    return (
+        pairs.join(t1, "id1")
+        .join(t2, "id2")
+        .withColumn("edit_dist", F.expr(f"levenshtein(_t1, _t2, {max_dist})"))
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= max_dist))
+        .drop("_t1", "_t2")
+    )

@@ -58,3 +58,34 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view (for spark.sql use)."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    target_mb: float = 256,
+    size_cols: tuple[str, ...] = ("text",),
+) -> int:
+    """Write parquet with shard files sized for a 100 TB-friendly layout.
+
+    Output file sizing is a first-order concern at scale: thousands of
+    tiny files kill the namenode/lister and per-task overhead; single
+    huge files kill parallelism. This computes the dataset's payload mass
+    (sum of the given columns' lengths — a cheap partial-aggregated agg),
+    derives the shard count for ``target_mb`` (assuming ~2.5x parquet
+    compression on text), and round-robin repartitions to exactly that
+    many equal shards. Returns the shard count.
+
+    Round-robin (not range/hash) because shard assignment has no
+    semantic meaning — equal fill is the only goal.
+    """
+    from pyspark.sql import functions as F
+
+    mass = df.agg(
+        sum(F.sum(F.length(c)) for c in size_cols).alias("m")
+    ).collect()[0]["m"] or 0
+    est_bytes = mass / 2.5
+    shard_bytes = max(1024, int(target_mb * 1024 * 1024))
+    n = max(1, int(est_bytes // shard_bytes) + 1)
+    df.repartition(n).write.mode("overwrite").parquet(path)
+    return n

@@ -133,3 +133,49 @@ def test_append_then_reread_equals_full(spark, split_docs, tmp_path):
     append_minhash_signatures(new, path)
     full = _pairset(minhash_lsh_pairs(docs))
     assert _pairset(minhash_lsh_pairs_from_signatures(spark, path)) == full
+
+
+def test_refine_pairs_levenshtein(spark):
+    from pg2kinesis_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        refine_pairs_levenshtein,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today ok"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base.replace("today", "tonite")),     # few edits
+            (3, base.replace("quick", "slow").replace("lazy", "busy")),
+            (4, "completely different words forming some other document body"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = minhash_lsh_pairs(docs, n=2, k=16, bands=8)
+    refined = refine_pairs_levenshtein(pairs, docs, max_dist=8)
+    got = {(r["id1"], r["id2"]): r["edit_dist"] for r in refined.collect()}
+    assert (1, 2) in got and got[(1, 2)] <= 6
+    # pairs over the threshold are dropped even if the sketch proposed them
+    assert all(d <= 8 for d in got.values())
+    # the threshold form must short-circuit (-1) rather than compute full
+    # distance: no pair with a big true distance survives
+    assert (1, 4) not in got and (2, 4) not in got
+
+
+def test_write_sharded(spark, tmp_path):
+    import glob
+
+    from pg2kinesis_spark.io import write_sharded
+
+    df = spark.createDataFrame(
+        [(i, "x" * 1000) for i in range(2000)], ["doc_id", "text"]
+    )
+    # 2 MB of text / 2.5 -> ~0.8 MB est; 1 MB target -> 1 shard
+    n = write_sharded(df, str(tmp_path / "a"), target_mb=1)
+    files = glob.glob(str(tmp_path / "a" / "part-*"))
+    assert n == len(files) == 1
+    # tiny target -> multiple equal shards
+    n2 = write_sharded(df, str(tmp_path / "b"), target_mb=0.2)
+    files2 = glob.glob(str(tmp_path / "b" / "part-*"))
+    assert n2 == len(files2) > 1
+    assert spark.read.parquet(str(tmp_path / "b")).count() == 2000
