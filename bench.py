@@ -102,6 +102,18 @@ def bench_gopher(spark, sf_dir):
     return gopher_filter(load_table(spark, sf_dir, "documents"))
 
 
+def bench_substr_dedup(spark, sf_dir):
+    """Exact substring dedup (Lee et al.) over the FULL documents table:
+    rolling 20-gram hash stream, groupBy-min first-occurrence, loser-only
+    rebuild."""
+    from pg2kinesis_spark.functions.substr_dedup import dedup_substrings
+    from pg2kinesis_spark.io import load_table
+
+    return dedup_substrings(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), k=20
+    )
+
+
 def bench_bm25(spark, sf_dir):
     """BM25 over the FULL documents table, index built in-plan: the
     lexical-retrieval workload shape (tokenize -> postings -> broadcast
@@ -154,6 +166,7 @@ EXTRA_BENCHES = {
     "minhash_lsh_full": bench_minhash_full,
     "gopher_filter_full": bench_gopher,
     "bm25_topk_full": bench_bm25,
+    "substr_dedup_full": bench_substr_dedup,
     "decontam_full": bench_decontam,
     "pack_sequences_full": bench_pack,
     "cdc_replay_450k": bench_cdc_replay,
