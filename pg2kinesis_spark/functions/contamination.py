@@ -56,11 +56,14 @@ def contaminated_ids(docs: DataFrame, eval_df: DataFrame, n: int = 13) -> DataFr
 def decontaminate(docs: DataFrame, eval_df: DataFrame, n: int = 13) -> DataFrame:
     """Corpus minus contaminated documents (original rows preserved).
 
-    The flagged-id side is at most "documents that overlap a benchmark"
-    — broadcast it so the anti join stays shuffle-free on the corpus.
+    The flagged-id side is typically tiny ("documents overlapping a
+    benchmark") but is corpus-sized in the worst case, so it is NOT
+    force-broadcast: with AQE on (session default) the runtime converts
+    the anti join to broadcast exactly when the flagged set turns out
+    small, without the OOM cliff a static hint would have.
     """
     flagged = contaminated_ids(docs, eval_df, n)
-    return docs.join(F.broadcast(flagged), "doc_id", "left_anti")
+    return docs.join(flagged, "doc_id", "left_anti")
 
 
 def contamination_report(
