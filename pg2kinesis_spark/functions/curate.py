@@ -84,10 +84,23 @@ def curate_corpus(
     max_pii: int | None = None,
     eval_df: DataFrame | None = None,
     contamination_n: int = 13,
+    c4_rules: bool = False,
+    substring_k: int | None = None,
 ) -> DataFrame:
     """Curated corpus: (doc_id, text, n_tokens, quality, pred_lang) for
     every surviving document. See module docstring for stage order and
-    the scale contract of each stage."""
+    the scale contract of each stage.
+
+    ``c4_rules`` applies the C4 line/page gates BEFORE annotation (they
+    rewrite text, so annotations must see the cleaned version);
+    ``substring_k`` runs exact substring dedup (Lee et al.) after
+    near-dup removal and RE-annotates the survivors, since the cut
+    rewrites text and stales token counts.
+    """
+    if c4_rules:
+        from .c4 import c4_clean
+
+        docs = c4_clean(docs, span_dedup=False)
     ann = annotate(docs)
     if langs:
         ann = ann.filter(F.col("pred_lang").isin(*langs))
@@ -127,6 +140,13 @@ def curate_corpus(
         else:
             drop = pairs.select(F.col("id2").alias("doc_id")).distinct()
         ann = ann.join(drop, "doc_id", "left_anti")
+
+    if substring_k is not None:
+        from .substr_dedup import dedup_substrings
+
+        ann = annotate(
+            dedup_substrings(ann.select("doc_id", "text"), k=substring_k)
+        )
 
     if eval_df is not None:
         from .contamination import decontaminate

@@ -203,3 +203,40 @@ def rebalance_to_target(
     out_total = min(avail[s] / shares[s] for s in avail)
     fractions = {s: min(1.0, (shares[s] * out_total) / avail[s]) for s in avail}
     return stratified_sample(df, strata_col, fractions, key_col, buckets)
+
+
+def weighted_sample_n(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    key_col: str,
+    n_salt: int = 32,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: exactly min(n, rows) rows,
+    inclusion probability proportional to ``weight_col`` — deterministic
+    and engine-reproducible.
+
+    Efraimidis–Spirakis A-ES: draw u ~ U(0,1] per row, rank by u^(1/w)
+    descending, take the top n. The uniform draw is derived from the md5
+    key hash (u = (h+1)/2^60], so reruns and engines agree; ranking by
+    the equivalent -ln(u)/w ASCENDING avoids u^(1/w) underflow for tiny
+    weights. Rows with weight <= 0 or NULL are excluded (standard A-ES
+    domain). Top-n runs as the salted two-phase ranking — no global
+    single-reducer sort.
+    """
+    h = F.expr(HASH60.format(x=f"cast({key_col} as string)"))
+    u = (h + F.lit(1.0)) / F.lit(float(1 << 60))
+    key = -F.log(u) / F.col(weight_col)
+    base = df.filter(F.col(weight_col) > 0).withColumn("_es_key", key)
+    order = (F.col("_es_key").asc(), F.col(key_col).asc())
+    salted = base.withColumn("_salt", F.pmod(h, F.lit(n_salt)))
+    w_local = W.partitionBy("_salt").orderBy(*order)
+    pre = salted.withColumn("_lrnk", F.row_number().over(w_local)).filter(
+        F.col("_lrnk") <= n
+    )
+    w_all = W.partitionBy().orderBy(*order)
+    return (
+        pre.withColumn("_rnk", F.row_number().over(w_all))
+        .filter(F.col("_rnk") <= n)
+        .drop("_es_key", "_salt", "_lrnk", "_rnk")
+    )

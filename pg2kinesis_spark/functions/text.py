@@ -134,3 +134,17 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     h = F.expr(WORD_HASH60.format(w="w"))
     contrib = (F.col("pos") + 1) * (h % 1000003)
     return df.groupBy("doc_id").agg(F.sum(contrib).alias("fp"))
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Standard pre-tokenization normalization, all codegen: strip
+    control characters (keep \\n and \\t), collapse runs of spaces/tabs,
+    normalize \\r\\n|\\r to \\n, trim line edges. Deliberately does NOT
+    lowercase or touch unicode letters — case and diacritics carry
+    signal for LID/quality; callers lowercase at tokenization time."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, "\\r\\n|\\r", "\n")
+    c = F.regexp_replace(c, "[\\x00-\\x08\\x0b-\\x1f\\x7f]", "")
+    c = F.regexp_replace(c, "[ \\t]+", " ")
+    c = F.regexp_replace(c, " ?\\n ?", "\n")
+    return docs.withColumn(text_col, F.trim(c))

@@ -121,3 +121,33 @@ def test_corpus_profile_single_job(spark, sf_small):
     # no collect_list / per-doc blowup in the one-row profile plan
     plan = corpus_profile(docs)._jdf.queryExecution().executedPlan().toString()
     assert "collect_list" not in plan
+
+
+def test_curate_c4_and_substring_stages(spark):
+    span = "exact duplicated span of many words repeated verbatim across docs"
+    rows = [
+        (1, f"A good sentence with enough words here. {span} more trailing words now. Extra sentence to pass gates."),
+        (2, f"Different opening sentence for this doc. {span} and a different tail. One more closing sentence here."),
+        (3, "Clean unique document. It has several sentences. All of them end properly. Nothing repeats at all. Final line here."),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curate.curate_corpus(
+        docs,
+        near_dup_jaccard=None,
+        c4_rules=False,
+        substring_k=8,
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 3}
+    # the duplicated span survives only in doc 1 (first occurrence)
+    assert "verbatim" in got[1]["text"]
+    assert "verbatim" not in got[2]["text"]
+    # re-annotation reflects the cut
+    assert got[2]["n_tokens"] < got[1]["n_tokens"]
+    # c4_rules drop the punctuation-free corpus entirely (honest gate)
+    out2 = curate.curate_corpus(
+        spark.createDataFrame([(9, "no punctuation here at all")], ["doc_id", "text"]),
+        near_dup_jaccard=None,
+        c4_rules=True,
+    )
+    assert out2.count() == 0

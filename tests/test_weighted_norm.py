@@ -1,0 +1,71 @@
+"""Weighted sampling (Efraimidis-Spirakis) + text normalization tests."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg2kinesis_spark.functions.sampling import weighted_sample_n
+from pg2kinesis_spark.functions.text import normalize_text
+
+
+def _es_key(key: str, w: float) -> float:
+    h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+    u = (h + 1.0) / float(1 << 60)
+    return -math.log(u) / w
+
+
+def test_weighted_sample_matches_python(spark):
+    rows = [(f"d{i}", float(1 + (i * 7) % 13)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = [r["doc_id"] for r in weighted_sample_n(df, "w", 25, "doc_id").collect()]
+    want = sorted(rows, key=lambda x: (_es_key(x[0], x[1]), x[0]))[:25]
+    assert sorted(got) == sorted(d for d, _ in want)
+
+
+def test_weighted_sample_properties(spark):
+    rows = [("heavy", 10000.0)] + [(f"d{i}", 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    out = {r["doc_id"] for r in weighted_sample_n(df, "w", 10, "doc_id").collect()}
+    assert "heavy" in out and len(out) == 10
+    # deterministic across reruns
+    out2 = {r["doc_id"] for r in weighted_sample_n(df, "w", 10, "doc_id").collect()}
+    assert out == out2
+    # zero/negative/null weights excluded
+    df2 = spark.createDataFrame(
+        [("a", 1.0), ("b", 0.0), ("c", -1.0), ("d", None)], ["doc_id", "w"]
+    )
+    assert {r["doc_id"] for r in weighted_sample_n(df2, "w", 4, "doc_id").collect()} == {"a"}
+
+
+def test_weighted_sample_no_single_partition_phase1(spark):
+    df = spark.createDataFrame([(f"d{i}", 1.0) for i in range(100)], ["doc_id", "w"])
+    plan = (
+        weighted_sample_n(df, "w", 5, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # phase 1 must partition by salt; the only SinglePartition stage is
+    # the bounded (<= n_salt * n rows) refine
+    assert "_salt" in plan
+
+
+def test_normalize_text(spark):
+    rows = [
+        (1, "a  b\tc"),
+        (2, "line1\r\nline2\rline3"),
+        (3, "  padded  \n  inner  "),
+        (4, "ctrl\x07chars\x1fgone"),
+        (5, "Ünïcode Stays ÉÉ"),
+    ]
+    got = {
+        r["doc_id"]: r["text"]
+        for r in normalize_text(spark.createDataFrame(rows, ["doc_id", "text"])).collect()
+    }
+    assert got[1] == "a b c"
+    assert got[2] == "line1\nline2\nline3"
+    assert got[3] == "padded\ninner"
+    assert got[4] == "ctrlcharsgone"
+    assert got[5] == "Ünïcode Stays ÉÉ"  # no case/unicode mangling
