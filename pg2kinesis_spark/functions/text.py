@@ -148,3 +148,42 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
     c = F.regexp_replace(c, "[ \\t]+", " ")
     c = F.regexp_replace(c, " ?\\n ?", "\n")
     return docs.withColumn(text_col, F.trim(c))
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping token-bounded chunks — the
+    retrieval/embedding unit for RAG-style indexing over a corpus.
+
+    Output: (doc_id, chunk_id, chunk_pos, n_chunk_tokens, chunk). Chunks
+    start every ``max_tokens - overlap`` tokens (stride), each carrying
+    up to ``max_tokens`` tokens; the last chunk is the remainder (no
+    padding). chunk_id is deterministic: doc-local ordinal. Row-local
+    explode — the only cost is the output's own size; no shuffle, no
+    Python.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    chunks = F.expr(
+        f"""transform(
+              sequence(1, greatest(size(ws) - {overlap}, 1), {stride}),
+              i -> named_struct(
+                'chunk_pos', i,
+                'chunk', concat_ws(' ', slice(ws, i, {max_tokens}))))"""
+    )
+    return (
+        docs.select("doc_id", _words(text_col).alias("ws"))
+        .select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.col("c.chunk_pos").alias("chunk_pos"),
+            F.size(F.split("c.chunk", " ")).alias("n_chunk_tokens"),
+            F.col("c.chunk").alias("chunk"),
+        )
+    )

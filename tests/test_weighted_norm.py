@@ -69,3 +69,33 @@ def test_normalize_text(spark):
     assert got[3] == "padded\ninner"
     assert got[4] == "ctrlcharsgone"
     assert got[5] == "Ünïcode Stays ÉÉ"  # no case/unicode mangling
+
+
+def test_chunk_documents(spark):
+    from pg2kinesis_spark.functions.text import chunk_documents
+
+    ws = [f"w{i}" for i in range(25)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(ws)), (2, "tiny doc"), (3, "")], ["doc_id", "text"]
+    )
+    out = chunk_documents(docs, max_tokens=10, overlap=2)
+    rows = sorted(
+        [r.asDict() for r in out.collect()], key=lambda r: (r["doc_id"], r["chunk_id"])
+    )
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    # stride 8: chunks start at 1, 9, 17 and the engine guard stops
+    # starts past size(ws) - overlap = 23
+    assert [r["chunk_pos"] for r in d1] == [1, 9, 17]
+    assert d1[0]["chunk"].split(" ") == ws[0:10]
+    assert d1[1]["chunk"].split(" ") == ws[8:18]
+    assert d1[2]["chunk"].split(" ") == ws[16:25]  # remainder, unpadded
+    assert d1[2]["n_chunk_tokens"] == 9
+    # full coverage with the configured overlap
+    covered = set()
+    for r in d1:
+        covered.update(range(r["chunk_pos"], r["chunk_pos"] + r["n_chunk_tokens"]))
+    assert covered == set(range(1, 26))
+    # small docs -> exactly one chunk; empty text -> one empty chunk row
+    assert len([r for r in rows if r["doc_id"] == 2]) == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
