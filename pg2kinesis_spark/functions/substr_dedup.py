@@ -33,19 +33,30 @@ from pyspark.sql import functions as F
 
 
 def _kgram_hashes(docs: DataFrame, k: int, stride: int) -> DataFrame:
-    """(doc_id, pos, h): xxhash64 of each k-token window (1-based pos)."""
+    """(doc_id, pos, h): xxhash64 of each k-token window (1-based pos).
+
+    Two deliberate expression-level choices, worth ~6x end-to-end
+    (measured at 25k docs):
+
+    * words are hashed ONCE to a bigint array and each window hashes the
+      SLICE of that array (xxhash64 accepts arrays) — no k-word string
+      rebuild per position (per-gram ``concat_ws`` allocates
+      O(k·wordlen) per token);
+    * the word-hash array is LET-BOUND via a one-element transform
+      (same trick as repetition._bind): as a plain projected column,
+      Catalyst inlines it into the per-position lambda, re-splitting
+      and re-hashing the whole document per gram — O(L²) per doc.
+    """
+    empty = "cast(array() as array<struct<pos: int, h: bigint>>)"
+    grams = (
+        f"transform(array(transform(split(text, ' '), w -> xxhash64(w))), wh ->"
+        f" if(size(wh) >= {k},"
+        f" transform(sequence(1, size(wh) - {k} + 1, {stride}),"
+        f" i -> named_struct('pos', i, 'h', xxhash64(slice(wh, i, {k})))),"
+        f" {empty}))[0]"
+    )
     return (
-        docs.select("doc_id", F.split("text", " ").alias("ws"))
-        .select(
-            "doc_id",
-            F.expr(
-                f"""if(size(ws) >= {k},
-                  transform(sequence(1, size(ws) - {k} + 1, {stride}),
-                    i -> named_struct('pos', i,
-                                      'h', xxhash64(concat_ws(' ', slice(ws, i, {k}))))),
-                  array())"""
-            ).alias("g"),
-        )
+        docs.select("doc_id", F.expr(grams).alias("g"))
         .select("doc_id", F.explode("g").alias("g"))
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
     )
@@ -78,30 +89,32 @@ def dedup_substrings(docs: DataFrame, k: int = 50, stride: int = 1) -> DataFrame
     dropped.
     """
     losers = duplicated_kgram_losers(docs, k, stride)
-    covered = losers.select(
-        "doc_id", F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("wpos")
-    ).distinct()
-    cut_ids = covered.select("doc_id").distinct()
-    untouched = docs.join(cut_ids, "doc_id", "left_anti")
-    words = (
-        docs.join(cut_ids, "doc_id", "left_semi")
-        .select("doc_id", F.posexplode(F.split("text", " ")).alias("wpos0", "w"))
-        .select("doc_id", (F.col("wpos0") + 1).alias("wpos"), "w")
-    )
-    rebuilt = (
-        words.join(covered, ["doc_id", "wpos"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.expr("transform(array_sort(collect_list(struct(wpos, w))), s -> s.w)"),
-                " ",
-            ).alias("text")
+    # ONE doc_id-keyed aggregate collapses every losing occurrence into a
+    # per-doc covered-position array; the k-gram stream executes exactly
+    # once. Rebuild is then row-local (docs without cuts keep their text
+    # column untouched — no explode, no per-word shuffle). The covered
+    # array is bounded by the document's own length.
+    cut = (
+        losers.select(
+            "doc_id", F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("wpos")
         )
+        .groupBy("doc_id")
+        .agg(F.collect_set("wpos").alias("_cut"))
     )
-    extra = [c for c in docs.columns if c not in ("doc_id", "text")]
-    if extra:
-        rebuilt = rebuilt.join(docs.select("doc_id", *extra), "doc_id")
-    return untouched.unionByName(rebuilt.select(*docs.columns))
+    rebuilt = F.expr(
+        "array_join(filter(transform(split(text, ' '),"
+        " (w, i) -> if(array_contains(_cut, i + 1), null, w)),"
+        " w -> w is not null), ' ')"
+    )
+    return (
+        docs.join(cut, "doc_id", "left")
+        .withColumn(
+            "text", F.when(F.col("_cut").isNull(), F.col("text")).otherwise(rebuilt)
+        )
+        # drop only docs CUT to nothing; originally-empty docs pass through
+        .filter(F.col("_cut").isNull() | (F.length("text") > 0))
+        .drop("_cut")
+    )
 
 
 def duplication_profile(docs: DataFrame, k: int = 50, stride: int = 1) -> DataFrame:
