@@ -160,3 +160,38 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8)
         "media_id",
         F.posexplode(frames).alias("frame_idx", "frame_bytes"),
     )
+
+
+def media_exact_duplicates(media: DataFrame) -> DataFrame:
+    """Exact media dedup: group by content md5 — 16-byte keys shuffle,
+    never the binary payloads. Same shape as text exact dedup."""
+    return media.groupBy(F.md5("content").alias("content_hash")).agg(
+        F.min("media_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+def media_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 3, chunk_bytes: int = 64
+) -> DataFrame:
+    """Near-duplicate media via a byte-stream perceptual-hash stand-in:
+    a 64-bit signature whose bit b is the parity of chunk b's xxhash64
+    (deterministic; a real pHash/dHash kernel slots into the same
+    signature column when codecs are available — the Spark-side pair
+    search is codec-agnostic). Pair search reuses the multi-index
+    SimHash machinery (Manku et al.): pigeonhole segment equi-joins +
+    JVM popcount refine — no all-pairs join.
+    """
+    from .dedup import simhash_pairs
+
+    sig = F.expr(
+        f"""aggregate(
+          transform(sequence(0, 63),
+            b -> if(pmod(xxhash64(substring(content, b * {chunk_bytes} + 1, {chunk_bytes})), 2) = 0, 0L, shiftleft(1L, b))),
+          0L, (a, x) -> a | x)"""
+    )
+    sigs = media.select(F.col("media_id").alias("doc_id"), sig.alias("simhash"))
+    return simhash_pairs(sigs, max_hamming=max_hamming).select(
+        F.col("id1").alias("media_id1"),
+        F.col("id2").alias("media_id2"),
+        "hamming",
+    )

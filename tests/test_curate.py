@@ -151,3 +151,31 @@ def test_curate_c4_and_substring_stages(spark):
         c4_rules=True,
     )
     assert out2.count() == 0
+
+
+def test_media_dedup(spark):
+    from pg2kinesis_spark.functions.multimodal import (
+        media_exact_duplicates,
+        media_near_dup_pairs,
+        synthetic_media,
+    )
+
+    base = "x" * 600
+    rows = [
+        (1, base),
+        (2, base),                      # exact dup of 1
+        (3, base[:-1] + "y"),           # 1 chunk differs -> near dup
+        (4, "completely different content " * 20),
+    ]
+    media = synthetic_media(spark.createDataFrame(rows, ["doc_id", "text"]))
+    ex = {r["keep_id"]: r["n_copies"] for r in media_exact_duplicates(media).collect()}
+    assert ex[1] == 2  # 1 and 2 collapse
+    pairs = {
+        (r["media_id1"], r["media_id2"]): r["hamming"]
+        for r in media_near_dup_pairs(media, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    # docs 1/3 differ in ONE 64-byte chunk -> signatures differ by at
+    # most one bit (possibly zero: parity may coincide) -> must pair
+    assert (1, 3) in pairs and pairs[(1, 3)] <= 1
+    assert not any(4 in p for p in pairs)
