@@ -179,3 +179,27 @@ def test_media_dedup(spark):
     # most one bit (possibly zero: parity may coincide) -> must pair
     assert (1, 3) in pairs and pairs[(1, 3)] <= 1
     assert not any(4 in p for p in pairs)
+
+
+def test_materialize_corpus(spark, sf_small, tmp_path):
+    import json
+    import os
+
+    from pg2kinesis_spark.functions.materialize import materialize_corpus
+
+    docs = load_table(spark, sf_small, "documents").limit(150).select("doc_id", "text")
+    out = str(tmp_path / "corpus")
+    m = materialize_corpus(docs, out, seq_len=256, target_shard_mb=64, min_quality=0.2)
+    # manifest written and self-consistent
+    with open(os.path.join(out, "manifest.json")) as f:
+        disk = json.load(f)
+    assert disk["n_shards"] == m["n_shards"] == 1
+    accepted = spark.read.parquet(m["docs_path"])
+    layout = spark.read.parquet(m["layout_path"])
+    assert accepted.count() == m["profile"]["n_docs"] == m["packing"]["n_docs"]
+    assert layout.count() == accepted.count()
+    assert m["packing"]["n_tokens"] == m["profile"]["n_tokens"]
+    # every accepted doc has a layout slot and vice versa
+    a = {r["doc_id"] for r in accepted.select("doc_id").collect()}
+    b = {r["doc_id"] for r in layout.select("doc_id").collect()}
+    assert a == b and len(a) > 0
