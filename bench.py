@@ -195,6 +195,10 @@ def main() -> None:
         times[name] = round(best, 4)
 
     for name, fn in EXTRA_BENCHES.items():
+        # one untimed pass first: page cache + codegen warm-up (the cold
+        # first run is 2-4x the steady state and best-of-2 alone can
+        # record it when both timed reps land cold)
+        fn(spark, sf_dir).count()
         best = float("inf")
         for _ in range(2):  # best-of-2, same policy as BENCH_QUERIES
             t0 = time.perf_counter()
