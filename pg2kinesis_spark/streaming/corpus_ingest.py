@@ -51,8 +51,12 @@ class CorpusIngest:
         n: int = 3,
         k: int = 16,
         bands: int = 4,
+        gopher: bool | dict = False,
+        max_pii: int | None = None,
     ):
         self.out_dir = out_dir
+        self.gopher = gopher
+        self.max_pii = max_pii
         self.accepted_path = os.path.join(out_dir, "accepted")
         self.hash_path = os.path.join(out_dir, "hash_index")
         self.sig_path = os.path.join(out_dir, "sig_index")
@@ -68,6 +72,16 @@ class CorpusIngest:
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if self.gopher:
+            from pg2kinesis_spark.functions.repetition import gopher_filter
+
+            batch = gopher_filter(
+                batch, thresholds=self.gopher if isinstance(self.gopher, dict) else None
+            )
+        if self.max_pii is not None:
+            from pg2kinesis_spark.functions.pii import pii_filter
+
+            batch = pii_filter(batch, max_pii=self.max_pii)
         ann = annotate(batch)
         if self.min_quality > 0.0:
             ann = ann.filter(F.col("quality") >= self.min_quality)

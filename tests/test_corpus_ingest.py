@@ -74,3 +74,19 @@ def test_ingest_empty_batch_noop(spark, tmp_path):
     ingest = CorpusIngest(out, min_quality=2.0)  # nothing can pass
     ingest.process_batch(_docs(spark, [(1, BASE)]), 0)
     assert not os.path.exists(os.path.join(out, "accepted"))
+
+
+def test_ingest_with_row_local_gates(spark, tmp_path):
+    out = str(tmp_path / "curated4")
+    good = (
+        "the quick brown fox jumps over the lazy dog and runs back home to rest "
+        "while the sun sets over the hills and the day slowly ends in quiet calm "
+        "with a long and peaceful evening of reading and tea by the fire tonight"
+    )
+    pii_doc = good + " contact me at a.person@example.com for more"
+    ingest = CorpusIngest(out, near_dup_jaccard=None, max_pii=0)
+    ingest.process_batch(
+        spark.createDataFrame([(1, good), (2, pii_doc)], ["doc_id", "text"]), 0
+    )
+    accepted = spark.read.parquet(os.path.join(out, "accepted"))
+    assert {r["doc_id"] for r in accepted.collect()} == {1}
