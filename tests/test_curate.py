@@ -203,3 +203,22 @@ def test_materialize_corpus(spark, sf_small, tmp_path):
     a = {r["doc_id"] for r in accepted.select("doc_id").collect()}
     b = {r["doc_id"] for r in layout.select("doc_id").collect()}
     assert a == b and len(a) > 0
+
+
+def test_corpus_report_cli(sf_small):
+    """The report CLI end-to-end: subprocess, JSON contract."""
+    import json
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "tools/corpus_report.py", sf_small, "--limit", "80"],
+        capture_output=True, text=True, timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["profile"]["n_docs"] == 80
+    assert set(rep["gate_survivors"]) == {"quality_ge_0.2", "gopher", "pii_clean"}
+    assert 0 <= rep["exact_dedup"]["dup_rate"] <= 1
+    assert rep["languages"]
