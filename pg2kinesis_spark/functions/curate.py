@@ -86,6 +86,9 @@ def curate_corpus(
     contamination_n: int = 13,
     c4_rules: bool = False,
     substring_k: int | None = None,
+    classifier_model=None,
+    classifier_keep: str = "curated",
+    classifier_min_score: float = 0.5,
 ) -> DataFrame:
     """Curated corpus: (doc_id, text, n_tokens, quality, pred_lang) for
     every surviving document. See module docstring for stage order and
@@ -114,6 +117,12 @@ def curate_corpus(
         from .pii import pii_filter
 
         ann = pii_filter(ann, max_pii=max_pii)
+    if classifier_model is not None:
+        from .classifier import classifier_filter
+
+        ann = classifier_filter(
+            classifier_model, ann, classifier_keep, classifier_min_score
+        )
     if redact_pii_text:
         from .pii import redact_pii
 

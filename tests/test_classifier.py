@@ -79,3 +79,19 @@ def test_score_docs_probability_domain(spark, split, model):
     rows = score_docs(model, test.limit(20)).collect()
     assert all(0.0 <= r["score"] <= 1.0 for r in rows)
     assert all(r["predicted_label"] in ("crawl", "curated") for r in rows)
+
+
+def test_classifier_stage_in_curate(spark, split, model):
+    from pg2kinesis_spark.functions import curate
+
+    _, test = split
+    out = curate.curate_corpus(
+        test.select("doc_id", "text"),
+        near_dup_jaccard=None,
+        classifier_model=model,
+        classifier_keep="curated",
+    )
+    kept = {r["doc_id"] for r in out.select("doc_id").collect()}
+    truth = {r["doc_id"]: r["label"] for r in test.collect()}
+    curated = {d for d, l in truth.items() if l == "curated"}
+    assert kept and len(kept & curated) / len(kept) >= 0.95
