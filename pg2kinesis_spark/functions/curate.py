@@ -12,7 +12,9 @@ the next):
   2b. optional row-local gates, still shuffle-free: the Gopher A1.1
      repetition/shape filter (``gopher=``), PII redaction/threshold
      (``redact_pii_text=`` / ``max_pii=``) — redaction happens BEFORE
-     dedup so two documents differing only in scrubbed PII hash equal.
+     dedup so two documents differing only in scrubbed PII hash equal —
+     and the trained model filter (``classifier_model=`` — broadcast
+     coefficients, map-only scoring).
   3. exact dedup — groupBy on a 16-byte md5 content hash, survivor =
      min(doc_id); the shuffle carries hashes, never documents.
   4. near-dup removal — MinHash+LSH candidate pairs (banded; the only
