@@ -80,6 +80,31 @@ def bench_curate(spark, sf_dir):
     )
 
 
+def bench_curate_max(spark, sf_dir):
+    """curate_corpus with EVERY gate on: quality + Gopher + PII + exact
+    dedup + LSH near-dup + substring dedup + eval decontamination — the
+    full 100 TB pipeline wall-to-wall."""
+    from pyspark.sql import functions as F
+
+    from pg2kinesis_spark.functions.curate import curate_corpus
+    from pg2kinesis_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.limit(20).select(
+        F.col("doc_id").alias("eval_id"),
+        F.expr("concat_ws(' ', slice(split(text, ' '), 3, 18))").alias("text"),
+    )
+    return curate_corpus(
+        docs,
+        min_quality=0.2,
+        gopher=True,
+        max_pii=0,
+        near_dup_jaccard=0.6,
+        substring_k=20,
+        eval_df=eval_df,
+    )
+
+
 def bench_cosine_blas(spark, sf_dir):
     """Same workload as n9_cosine_topk through the BLAS mapInPandas path
     (one dgemm per Arrow batch, local top-k per batch) — the exact-ANN
@@ -171,6 +196,7 @@ EXTRA_BENCHES = {
     "pack_sequences_full": bench_pack,
     "cdc_replay_450k": bench_cdc_replay,
     "curate_full": bench_curate,
+    "curate_max_full": bench_curate_max,
     "n9_blas_cosine_topk": bench_cosine_blas,
 }
 

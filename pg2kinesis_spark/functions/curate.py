@@ -130,6 +130,16 @@ def curate_corpus(
 
         ann = redact_pii(ann)
 
+    # The dedup/decontamination stages below each reference `ann` from
+    # 2-4 plan subtrees; when the row-local gates above are active,
+    # leaving the chain lazy re-executes those gates per subtree.
+    # Materialize the gated survivors once (GC-cleaned localCheckpoint —
+    # the in-plan analogue of the documented write-survivors-once rule).
+    gates_active = bool(gopher) or max_pii is not None or classifier_model is not None
+    heavy_downstream = near_dup_jaccard is not None or substring_k is not None or eval_df is not None
+    if gates_active and heavy_downstream:
+        ann = ann.localCheckpoint(eager=False)
+
     # Exact dedup: survivor = min doc_id per content hash. Left-semi join
     # back so the kept rows keep their annotations without re-deriving.
     keep = (
@@ -155,9 +165,15 @@ def curate_corpus(
     if substring_k is not None:
         from .substr_dedup import dedup_substrings
 
-        ann = annotate(
-            dedup_substrings(ann.select("doc_id", "text"), k=substring_k)
-        )
+        # dedup_substrings references its input from several plan
+        # subtrees (gram stream, loser cut, rebuild join); left lazy,
+        # each subtree would re-execute the ENTIRE gate+dedup chain
+        # above (measured 7x wall on the all-gates pipeline).
+        # localCheckpoint materializes the survivors once and is
+        # GC-cleaned with the DataFrame — unlike a persist, which pins
+        # the CacheManager entry for the session lifetime.
+        base = ann.select("doc_id", "text").localCheckpoint(eager=False)
+        ann = annotate(dedup_substrings(base, k=substring_k))
 
     if eval_df is not None:
         from .contamination import decontaminate
