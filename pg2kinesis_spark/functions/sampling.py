@@ -240,3 +240,35 @@ def weighted_sample_n(
         .filter(F.col("_rnk") <= n)
         .drop("_es_key", "_salt", "_lrnk", "_rnk")
     )
+
+
+def mix_corpora(
+    sources: dict,
+    weights: dict,
+    key_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic weighted mixture of multiple corpora (the Pile /
+    Dolma assembly step): union the sources with a `source` tag, keeping
+    each source's deterministic hash-fraction so the OUTPUT mixture
+    follows ``weights``.
+
+    Weights are interpreted like ``rebalance_to_target``: shares of the
+    output, normalized; the binding source (least mass relative to its
+    share) is kept whole, others down-sample — the largest corpus with
+    the requested mixture. Zero shuffle: tag + filter + union.
+    """
+    from functools import reduce
+
+    import pyspark.sql.functions as F
+
+    tot = sum(weights[s] for s in sources)
+    shares = {s: weights[s] / tot for s in sources}
+    masses = {s: df.count() for s, df in sources.items()}
+    out_total = min(masses[s] / shares[s] for s in sources)
+    parts = []
+    for s, df in sources.items():
+        frac = min(1.0, (shares[s] * out_total) / masses[s]) if masses[s] else 0.0
+        kept = df.filter(hash_bucket(key_col, buckets) < int(frac * buckets))
+        parts.append(kept.withColumn("source", F.lit(s)))
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -138,3 +138,32 @@ def test_rebalance_to_target(spark, sf_small):
     # ~all of its available docs
     avail = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert any(got.get(l, 0) >= 0.95 * avail[l] for l in targets if l in avail)
+
+
+def test_mix_corpora(spark, sf_small):
+    from pg2kinesis_spark.functions.sampling import mix_corpora
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text")
+    a = docs.filter(F.col("doc_id") % 3 == 0)
+    b = docs.filter(F.col("doc_id") % 3 == 1)
+    c = docs.filter(F.col("doc_id") % 3 == 2)
+    out = mix_corpora(
+        {"web": a, "code": b, "books": c},
+        {"web": 0.6, "code": 0.3, "books": 0.1},
+        key_col="text",
+    )
+    got = {r["source"]: r["n"] for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    total = sum(got.values())
+    assert total > 0
+    for s, share in (("web", 0.6), ("code", 0.3), ("books", 0.1)):
+        assert abs(got.get(s, 0) / total - share) < 0.1, (s, got)
+    # deterministic + disjoint doc sets preserved
+    out2 = mix_corpora(
+        {"web": a, "code": b, "books": c},
+        {"web": 0.6, "code": 0.3, "books": 0.1},
+        key_col="text",
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(r["doc_id"] for r in out2.collect())
+    # the binding source is kept ~whole
+    masses = {"web": a.count(), "code": b.count(), "books": c.count()}
+    assert any(got.get(s, 0) >= 0.9 * masses[s] for s in masses)
