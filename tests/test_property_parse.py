@@ -72,7 +72,7 @@ def pk_map(spark):
     return primary_key_map(catalog).persist()
 
 
-@settings(max_examples=15, deadline=None)
+@settings(max_examples=15, deadline=None, derandomize=True)
 @given(lines=corpus())
 def test_parse_agrees_with_model(spark, pk_map, lines):
     raw = spark.createDataFrame(
