@@ -62,10 +62,22 @@ def _kgram_hashes(docs: DataFrame, k: int, stride: int) -> DataFrame:
     )
 
 
-def duplicated_kgram_losers(docs: DataFrame, k: int = 50, stride: int = 1) -> DataFrame:
+def duplicated_kgram_losers(
+    docs: DataFrame, k: int = 50, stride: int = 1, materialize: bool = True
+) -> DataFrame:
     """(doc_id, pos) of every k-gram occurrence that is NOT the
-    corpus-wide first occurrence of its gram (first = min (doc_id, pos))."""
+    corpus-wide first occurrence of its gram (first = min (doc_id, pos)).
+
+    The gram stream feeds both the per-hash aggregate and the probe side
+    of the join; left lazy the tokenize+hash pass runs 2-4x (exchange
+    reuse does not fire across the agg/probe shapes). ``materialize``
+    checkpoints the ~16-byte/token stream once (GC-cleaned); at cluster
+    scale prefer writing it to parquet and passing stride>1 if storage
+    is the binding constraint.
+    """
     grams = _kgram_hashes(docs, k, stride)
+    if materialize:
+        grams = grams.localCheckpoint(eager=False)
     firsts = grams.groupBy("h").agg(
         F.min(F.struct("doc_id", "pos")).alias("_first"),
         F.count("*").alias("_n"),
