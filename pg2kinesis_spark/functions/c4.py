@@ -170,6 +170,11 @@ def drop_boilerplate_lines(docs: DataFrame, min_df: int = 10) -> DataFrame:
     documents that actually contain a boilerplate line are rebuilt
     (row-local filter on the cut-index array), everything else passes
     through byte-identical.
+
+    Empty/whitespace-only lines are EXCLUDED from the candidate set:
+    '' trivially reaches min_df distinct docs in any real corpus, and
+    cutting it would strip every paragraph-separating blank line from
+    every document. Blank lines are structure, not boilerplate.
     """
     from pyspark.sql import functions as F
 
@@ -178,6 +183,7 @@ def drop_boilerplate_lines(docs: DataFrame, min_df: int = 10) -> DataFrame:
             "doc_id",
             F.posexplode(F.split("text", "\n")).alias("li", "l"),
         )
+        .filter(F.trim("l") != "")
         .select("doc_id", "li", F.xxhash64("l").alias("lh"))
     )
     hot = (

@@ -92,14 +92,23 @@ def classifier_filter(
 ) -> DataFrame:
     """Documents the model assigns to ``keep_label`` with at least
     ``min_score`` probability — the CCNet-style keep gate."""
-    scored = score_docs(model, docs)
+    from pyspark.ml.functions import vector_to_array
+
     labels = None
     for st in model.stages:
         if hasattr(st, "labelsArray"):
             labels = list(st.labelsArray[0])
     idx = labels.index(keep_label)
-    prob = F.when(F.lit(idx == 0), F.col("score")).otherwise(1.0 - F.col("score"))
-    keep = scored.filter(
-        (F.col("predicted_label") == keep_label) & (prob >= min_score)
-    ).select("doc_id")
+    # Read P(keep_label) directly from the probability vector: deriving
+    # it as 1 - P(class 0) is wrong for >2 classes (it sums ALL other
+    # classes, overestimating the keep probability).
+    prob = F.element_at(vector_to_array("probability"), idx + 1)
+    pred_label = F.element_at(
+        F.array(*[F.lit(l) for l in labels]), F.col("prediction").cast("int") + 1
+    )
+    keep = (
+        model.transform(docs)
+        .filter((pred_label == keep_label) & (prob >= min_score))
+        .select("doc_id")
+    )
     return docs.join(keep, "doc_id", "left_semi")

@@ -55,7 +55,10 @@ def pack_sequences(
     df = (
         docs.select(F.col(key_col), n_tokens.cast("long").alias("n_tokens"))
         .filter(F.col("n_tokens") > 0)
-        .withColumn("_bkt", (h / F.lit(_BUCKET_DIV)).cast("long"))
+        # Integer shift, not double division: (h / 2^48).cast('long')
+        # rounds a hash within 2^12 of 2^60 UP to bucket 4096, which has
+        # no offsets row -> the inner join would silently drop the doc.
+        .withColumn("_bkt", F.shiftright(h, 48))
     )
     spark = docs.sparkSession
     sums = {

@@ -169,21 +169,30 @@ def chunk_documents(
     if overlap >= max_tokens:
         raise ValueError("overlap must be < max_tokens")
     stride = max_tokens - overlap
+    # split('', ' ') yields [''] — filter empty tokens so an
+    # empty/whitespace-only doc produces ZERO chunks (not one spurious
+    # empty chunk claiming n_chunk_tokens=1), and count tokens from the
+    # slice length, not by re-splitting the joined chunk string.
     chunks = F.expr(
         f"""transform(
               sequence(1, greatest(size(ws) - {overlap}, 1), {stride}),
               i -> named_struct(
                 'chunk_pos', i,
+                'n_chunk_tokens', least({max_tokens}, size(ws) - i + 1),
                 'chunk', concat_ws(' ', slice(ws, i, {max_tokens}))))"""
     )
     return (
-        docs.select("doc_id", _words(text_col).alias("ws"))
+        docs.select(
+            "doc_id",
+            F.expr(f"filter(split({text_col}, ' '), w -> w != '')").alias("ws"),
+        )
+        .filter(F.size("ws") > 0)
         .select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
         .select(
             "doc_id",
             "chunk_id",
             F.col("c.chunk_pos").alias("chunk_pos"),
-            F.size(F.split("c.chunk", " ")).alias("n_chunk_tokens"),
+            F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
             F.col("c.chunk").alias("chunk"),
         )
     )

@@ -127,3 +127,17 @@ def test_drop_boilerplate_lines(spark):
     # below-threshold lines survive
     out2 = {r["doc_id"]: r["text"] for r in drop_boilerplate_lines(docs, min_df=50).collect()}
     assert out2 == {r[0]: r[1] for r in rows}
+
+
+def test_drop_boilerplate_keeps_blank_lines(spark):
+    """Blank lines appear in every doc but are structure, not boilerplate:
+    they must never enter the hot-line set, whatever min_df."""
+    from pg2kinesis_spark.functions.c4 import drop_boilerplate_lines
+
+    footer = "Subscribe to our newsletter"
+    rows = [(i, f"para one of doc {i}\n\npara two of doc {i}\n   \n{footer}") for i in range(1, 9)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"] for r in drop_boilerplate_lines(docs, min_df=5).collect()}
+    for i in range(1, 9):
+        # footer cut, both blank separators (empty AND whitespace-only) kept
+        assert out[i] == f"para one of doc {i}\n\npara two of doc {i}\n   "

@@ -81,6 +81,55 @@ def test_score_docs_probability_domain(spark, split, model):
     assert all(r["predicted_label"] in ("crawl", "curated") for r in rows)
 
 
+def test_classifier_filter_multiclass_uses_keep_label_probability(spark, sf_small):
+    """With >2 classes, P(keep) must come straight from the probability
+    vector; deriving it as 1 - P(class 0) sums ALL other classes and
+    over-keeps. Pin: the kept set equals exactly {pred == keep_label and
+    P(keep_label) >= min_score} computed independently."""
+    from pyspark.ml.functions import vector_to_array
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id", "text").limit(300)
+    tags = {0: ("curated", ""), 1: ("crawl", SPAM), 2: ("adsy", "zzads promo4u dealblast")}
+    labeled = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            "text",
+            F.element_at(
+                F.array(*[F.lit(v[1]) for v in tags.values()]),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+        ).alias("text"),
+        F.element_at(
+            F.array(*[F.lit(v[0]) for v in tags.values()]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("label"),
+    )
+    m = train_doc_classifier(labeled, "label", num_features=1 << 13)
+    labels = None
+    for st in m.stages:
+        if hasattr(st, "labelsArray"):
+            labels = list(st.labelsArray[0])
+    # pick a keep label that is NOT class 0, so the old 1-score derivation differs
+    keep_label = labels[1]
+    min_score = 0.6
+    kept = {
+        r["doc_id"]
+        for r in classifier_filter(
+            m, labeled.select("doc_id", "text"), keep_label, min_score
+        ).collect()
+    }
+    idx = labels.index(keep_label)
+    probs = m.transform(labeled).select(
+        "doc_id",
+        F.element_at(vector_to_array("probability"), idx + 1).alias("p"),
+        F.col("prediction").cast("int").alias("pred"),
+    )
+    expect = {r["doc_id"] for r in probs.collect() if r["pred"] == idx and r["p"] >= min_score}
+    assert kept == expect
+    assert kept  # the class is learnable, so the filter keeps something
+
+
 def test_classifier_stage_in_curate(spark, split, model):
     from pg2kinesis_spark.functions import curate
 

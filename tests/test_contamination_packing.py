@@ -121,6 +121,26 @@ def test_packing_stats(spark):
     assert s["n_spanning"] == spans > 0
 
 
+def test_pack_bucket_is_exact_at_hash_ceiling(spark):
+    """Bucket assignment must be integer arithmetic. The old
+    (h / 2^48).cast('long') rounds hashes within 2^12 of 2^60 UP to
+    bucket 4096 — which has no offsets row, silently dropping the doc
+    from the layout (~2^-48 per row)."""
+    from pg2kinesis_spark.functions.packing import _BUCKET_DIV, _N_BUCKETS
+
+    edge = (1 << 60) - 1
+    row = (
+        spark.range(1)
+        .select(
+            F.shiftright(F.lit(edge), 48).alias("good"),
+            (F.lit(edge) / F.lit(_BUCKET_DIV)).cast("long").alias("bad"),
+        )
+        .collect()[0]
+    )
+    assert row["good"] == _N_BUCKETS - 1  # in-range
+    assert row["bad"] == _N_BUCKETS  # the dropped-doc failure mode being pinned away
+
+
 def test_pack_sequences_no_single_partition_window(spark):
     docs = spark.createDataFrame([(str(i), 10) for i in range(100)], ["doc_id", "nt"])
     plan = (

@@ -95,7 +95,23 @@ def test_chunk_documents(spark):
     for r in d1:
         covered.update(range(r["chunk_pos"], r["chunk_pos"] + r["n_chunk_tokens"]))
     assert covered == set(range(1, 26))
-    # small docs -> exactly one chunk; empty text -> one empty chunk row
-    assert len([r for r in rows if r["doc_id"] == 2]) == 1
+    # small docs -> exactly one chunk with an honest token count
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["n_chunk_tokens"] == 2
+    # empty / whitespace-only docs -> ZERO chunks (split('',' ') gives
+    # [''] — a spurious 1-token empty chunk would poison RAG indexes)
+    assert not [r for r in rows if r["doc_id"] == 3]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_chunk_documents_whitespace_only_and_multispace(spark):
+    from pg2kinesis_spark.functions.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "   "), (2, "a  b   c")], ["doc_id", "text"]
+    )
+    rows = [r.asDict() for r in chunk_documents(docs, max_tokens=4, overlap=1).collect()]
+    assert {r["doc_id"] for r in rows} == {2}
+    assert rows[0]["n_chunk_tokens"] == 3  # empty tokens from space runs ignored
+    assert rows[0]["chunk"] == "a b c"
