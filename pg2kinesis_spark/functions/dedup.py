@@ -335,6 +335,7 @@ def lsh_pairs_incremental(
     k: int = 16,
     bands: int = 4,
     seed: int = 7,
+    exclude_batch_id: int | None = None,
 ) -> DataFrame:
     """Daily-ingest dedup: candidate pairs TOUCHING a new batch, against
     a materialized signature index (write_minhash_signatures) — the new
@@ -352,9 +353,13 @@ def lsh_pairs_incremental(
     new_sig = minhash_signatures(new_docs, n, k, seed)
     # explicit column pruning: the index may carry extra layout columns
     # (e.g. a batch_id partition from the streaming ingest)
-    old_sig = spark.read.parquet(sig_path).select(
-        "doc_id", *[f"mh{i}" for i in range(k)]
-    )
+    old_raw = spark.read.parquet(sig_path)
+    if exclude_batch_id is not None and "batch_id" in old_raw.columns:
+        # crash-replay idempotence for the streaming ingest: a replayed
+        # batch must not see its own partially-written index partition
+        # (partition-pruned scan, not a row filter).
+        old_raw = old_raw.filter(F.col("batch_id") != exclude_batch_id)
+    old_sig = old_raw.select("doc_id", *[f"mh{i}" for i in range(k)])
     mn = _banded(new_sig, k, bands)
     mo = _banded(old_sig, k, bands)
     a = mn.select(F.col("doc_id").alias("nid"), "band_idx", "band_key")

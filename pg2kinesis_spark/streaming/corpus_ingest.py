@@ -64,11 +64,26 @@ class CorpusIngest:
         self.near_dup_jaccard = near_dup_jaccard
         self.n, self.k, self.bands = n, k, bands
 
-    def _existing(self, spark: SparkSession, path: str) -> DataFrame | None:
+    def _existing(
+        self, spark: SparkSession, path: str, exclude_batch_id: int | None = None
+    ) -> DataFrame | None:
+        """Read an index, excluding ``exclude_batch_id``'s partition.
+
+        The exclusion is the crash-replay contract: a replayed batch must
+        dedup against everything EXCEPT its own (possibly partial) prior
+        writes, so it recomputes the same accepted set and idempotently
+        rewrites all of its partitions. Without it, a crash after the
+        hash-index write but before the sig-index write would make the
+        replay see its own hashes, compute an empty batch, and leave the
+        sig index permanently missing those signatures.
+        """
         try:
-            return spark.read.parquet(path)
+            df = spark.read.parquet(path)
         except Exception:
             return None  # first batch: no index yet
+        if exclude_batch_id is not None and "batch_id" in df.columns:
+            df = df.filter(F.col("batch_id") != exclude_batch_id)
+        return df
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -93,16 +108,22 @@ class CorpusIngest:
             ["_h", "doc_id"],
             "left_semi",
         )
-        idx = self._existing(spark, self.hash_path)
+        idx = self._existing(spark, self.hash_path, exclude_batch_id=batch_id)
         if idx is not None:
-            ann = ann.join(idx, "_h", "left_anti")
+            ann = ann.join(idx.select("_h"), "_h", "left_anti")
 
         # near-dup vs signature index (new-vs-index + new-vs-new pairs)
         if self.near_dup_jaccard is not None:
             docs = ann.select("doc_id", "text")
-            if self._existing(spark, self.sig_path) is not None:
+            if self._existing(spark, self.sig_path, exclude_batch_id=batch_id) is not None:
                 pairs = lsh_pairs_incremental(
-                    spark, docs, self.sig_path, self.n, self.k, self.bands
+                    spark,
+                    docs,
+                    self.sig_path,
+                    self.n,
+                    self.k,
+                    self.bands,
+                    exclude_batch_id=batch_id,
                 ).filter(F.col("est_jaccard") >= self.near_dup_jaccard)
                 # ids are canonicalized id1 < id2; the ACCEPTED index side
                 # must never be dropped. Mark which side is new (the batch
@@ -152,7 +173,11 @@ class CorpusIngest:
             .filter(F.col("batch_id") == batch_id)
             .drop("batch_id")
         )
-        _write(back.select(F.md5("text").alias("_h")), self.hash_path)
+        # sig BEFORE hash: with the batch-id exclusion above, replay is
+        # idempotent regardless of where a crash lands, but ordering the
+        # replay-gating state (exact-dedup hashes) last means even a
+        # reader that ignores the exclusion can never observe a batch
+        # whose hashes exist while its signatures don't.
         if self.near_dup_jaccard is not None:
             from pg2kinesis_spark.functions.dedup import minhash_signatures
 
@@ -160,6 +185,7 @@ class CorpusIngest:
                 minhash_signatures(back.select("doc_id", "text"), self.n, self.k),
                 self.sig_path,
             )
+        _write(back.select(F.md5("text").alias("_h")), self.hash_path)
 
 
 def start_corpus_ingest(

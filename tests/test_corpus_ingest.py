@@ -69,6 +69,36 @@ def test_ingest_batch_replay_is_idempotent(spark, tmp_path):
     assert {r["batch_id"] for r in accepted.select("batch_id").collect()} == {7}
 
 
+def test_ingest_replay_after_crash_between_index_writes(spark, tmp_path):
+    """Crash window: accepted + hash_index written, sig_index NOT.
+    The replayed batch must not gate itself out on its own hashes — it
+    recomputes and rewrites every index, so the sig index ends up with
+    the batch's signatures (previously it stayed permanently missing,
+    silently disabling near-dup detection for those docs)."""
+    import shutil
+
+    out = str(tmp_path / "curated5")
+    ingest = CorpusIngest(out, near_dup_jaccard=0.6)
+    doc_rows = [(1, BASE), (2, "another entirely unrelated document about databases")]
+    ingest.process_batch(_docs(spark, doc_rows), 3)
+
+    # simulate the crash: wipe the batch's sig partition (the write that
+    # never happened), keep accepted + hash_index
+    shutil.rmtree(os.path.join(out, "sig_index", "batch_id=3"))
+
+    ingest.process_batch(_docs(spark, doc_rows), 3)  # checkpoint replay
+    sig = spark.read.parquet(os.path.join(out, "sig_index"))
+    assert {r["doc_id"] for r in sig.select("doc_id").collect()} == {1, 2}
+    accepted = spark.read.parquet(os.path.join(out, "accepted"))
+    assert accepted.count() == 2  # still no duplicates
+    # and a near-dup arriving later is now actually caught
+    ingest.process_batch(
+        _docs(spark, [(9, BASE.replace("today", "tomorrow"))]), 4
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(os.path.join(out, "accepted")).select("doc_id").collect()}
+    assert got == {1, 2}
+
+
 def test_ingest_empty_batch_noop(spark, tmp_path):
     out = str(tmp_path / "curated3")
     ingest = CorpusIngest(out, min_quality=2.0)  # nothing can pass
