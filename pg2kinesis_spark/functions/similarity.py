@@ -501,6 +501,155 @@ def ivf_ann_topk_from_index(
     )
 
 
+IVF_INT_SCALE = 10000
+
+
+def _ivf_int_vec(col: str, scale: int = IVF_INT_SCALE) -> Column:
+    """Embedding → non-negative exact-integer vector.
+
+    floor(x·scale) is the same quantization the SRP family uses for
+    cross-engine bit-identity; the +scale offset shifts [-scale, scale]
+    to [0, 2·scale] so centroid updates can use truncating integer
+    division with floor semantics on every engine (negative integer
+    division truncates toward zero in Spark but not everywhere)."""
+    return F.expr(
+        f"transform({col}, x -> cast(floor(cast(x as double) * {scale}.0D) as bigint)"
+        f" + {scale})"
+    )
+
+
+def _int_sqdist(a: str, b: str) -> Column:
+    """Exact squared distance between bigint vectors (≤ dim·(2·scale)²
+    ≈ 2.6e10 at dim 64 — far inside exact-integer range)."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+
+
+def ivf_int_centroids(
+    emb: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    scale: int = IVF_INT_SCALE,
+) -> list[list[int]]:
+    """Deterministic integer k-means: hash-seeded init + a FIXED number
+    of Lloyd steps, all arithmetic exact integers — so ANY engine
+    computes bit-identical centroids (the n10/n16 quantization recipe
+    applied to n15's seeded-KMeans problem; MLlib ``ivf_centroids``
+    stays the scale API for real recall-tuned indexes).
+
+    * init: the ``n_centroids`` vectors with the smallest
+      (md5-hash(vec_id), vec_id) — a cross-engine total order.
+    * assign: argmin of exact integer squared distance, ties → min cid.
+    * update: per-dimension integer sum div count (all non-negative, so
+      truncation ≡ floor everywhere); an empty cell keeps its previous
+      centroid.
+
+    Each Lloyd step is one broadcast-assignment + one partial-agg
+    groupBy; only the K centroid rows (K·dim ints) ever reach the
+    driver — the same per-iteration shape MLlib's distributed Lloyd
+    uses, so the 100 TB story is unchanged.
+    """
+    from pg2kinesis_spark.functions.dedup import HASH60
+
+    spark = emb.sparkSession
+    q = emb.select("vec_id", _ivf_int_vec("embedding", scale).alias("qv"))
+    h = F.expr(HASH60.format(x="cast(vec_id as string)"))
+    seed_rows = (
+        q.withColumn("_h", h).orderBy("_h", "vec_id").limit(n_centroids).collect()
+    )
+    cents = [[int(x) for x in r.qv] for r in seed_rows]
+    for _ in range(n_iter):
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(cents)], "cid int, cent array<bigint>"
+            )
+        )
+        assigned = (
+            q.crossJoin(cdf)
+            .withColumn("_d", _int_sqdist("qv", "cent"))
+            .groupBy("vec_id")
+            # min over (distance, cid) structs = deterministic tie-break
+            .agg(
+                F.min(F.struct(F.col("_d"), F.col("cid"))).alias("m"),
+                F.first("qv").alias("qv"),
+            )
+            .select(F.col("m.cid").alias("cid"), "qv")
+        )
+        sums = assigned.groupBy("cid").agg(
+            F.count("*").alias("n"),
+            *[F.sum(F.element_at("qv", i + 1)).alias(f"s{i}") for i in range(dim)],
+        ).collect()
+        new = {
+            int(r["cid"]): [int(r[f"s{i}"]) // int(r["n"]) for i in range(dim)]
+            for r in sums
+        }
+        cents = [new.get(i, cents[i]) for i in range(n_centroids)]
+    return cents
+
+
+def ivf_int_ann_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iter: int = 2,
+    scale: int = IVF_INT_SCALE,
+) -> DataFrame:
+    """IVF ANN with fully deterministic (hash-checkable) cell structure:
+    ``ivf_int_centroids`` quantizer, exact-integer cell assignment and
+    probe selection, exact double cosine over the ORIGINAL embeddings
+    for ranking (the same _dot/_norm chain the hash-green n9 baseline
+    uses). Same plan shape as ``ivf_ann_topk``: broadcast centroids,
+    map-side assignment, candidate set = nprobe cells per query."""
+    spark = emb.sparkSession
+    cents = ivf_int_centroids(emb, dim, n_centroids, n_iter, scale)
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cid int, cent array<bigint>"
+        )
+    )
+    corpus = (
+        emb.select("vec_id", "embedding", _ivf_int_vec("embedding", scale).alias("qv"))
+        .crossJoin(cdf)
+        .withColumn("_d", _int_sqdist("qv", "cent"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("_d"), F.col("cid"))).alias("m"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", F.col("m.cid").alias("cid"), "embedding")
+        .alias("c")
+    )
+    qj = (
+        queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qemb"),
+            _ivf_int_vec("embedding", scale).alias("qqv"),
+        )
+        .crossJoin(cdf)
+        .withColumn("_d", _int_sqdist("qqv", "cent"))
+    )
+    w_probe = W.partitionBy("query_id").orderBy("_d", "cid")
+    probes = (
+        qj.withColumn("prnk", F.row_number().over(w_probe))
+        .filter(F.col("prnk") <= nprobe)
+        .select("query_id", "qemb", "cid")
+        .alias("q")
+    )
+    scored = corpus.join(
+        F.broadcast(probes),
+        (F.col("c.cid") == F.col("q.cid")) & (F.col("c.vec_id") != F.col("query_id")),
+    ).withColumn("cos", _dot("qemb", "c.embedding") / (_norm("qemb") * _norm("c.embedding")))
+    return _topk_per_query(scored, k).select(
+        "query_id", F.col("c.vec_id").alias("neighbor_id"), "cos", "rnk"
+    )
+
+
 def srp_ann_topk(
     emb: DataFrame, queries: DataFrame, dim: int, k: int = 5, n_bits: int = 8, seed: int = 11
 ) -> DataFrame:

@@ -77,12 +77,23 @@ def q29_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q30_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ sketch — approximate by nature: rows-only check here,
-    ±5% tolerance asserted in tests."""
+    """HLL++ sketch as a TOLERANCE WITNESS: sketches differ across
+    engines, so instead of emitting the raw estimate (rows-only
+    forever), emit the exact count plus a boolean asserting this
+    engine's sketch landed within ±5% of it. Each engine computes its
+    OWN sketch; both return the identical row whenever both sketches
+    are sane — making the approximate operator hash-checkable."""
     orders = load_table(spark, sf_dir, "orders")
+    # rsd=0.01: the default 0.05 is a STANDARD DEVIATION, so ~1-sigma
+    # excursions (measured 6.7% at sf0.01) routinely breach a 5% witness;
+    # at rsd=0.01 the measured error is <1% at every test scale.
+    approx = F.approx_count_distinct("o_custkey", 0.01)
     return orders.agg(
-        F.approx_count_distinct("o_custkey").alias("approx_custs"),
         F.countDistinct("o_custkey").alias("exact_custs"),
+        (
+            F.abs(approx - F.countDistinct("o_custkey")) / F.countDistinct("o_custkey")
+            <= 0.05
+        ).alias("within_tol"),
     )
 
 
@@ -187,5 +198,13 @@ EXT_ORACLE_SQL = {
                quantile_cont(o_totalprice, 0.75) AS p75
         FROM orders
     """,
-    # q30_approx_distinct: sketch output is engine-specific — rows-only.
+    # q30: each engine runs its OWN HLL sketch and witnesses the same
+    # ±5% tolerance against the exact count — hash-checkable even though
+    # the raw estimates differ.
+    "q30_approx_distinct": """
+        SELECT count(DISTINCT o_custkey) AS exact_custs,
+               (abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+                  / CAST(count(DISTINCT o_custkey) AS DOUBLE) <= 0.05) AS within_tol
+        FROM orders
+    """,
 }

@@ -73,14 +73,17 @@ def n9_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def n10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Registered query is the SCALE path: multi-table integer-quantized
-    # SRP candidates + exact cosine refine (collision-bound equi-join).
-    # NOTE the oracle validates the APPROXIMATION (same buckets, same
-    # candidates), not near-dup completeness — recall vs the N²
-    # cosine_pairs baseline is pinned separately in pytest
-    # (test_northstar.py: ≥30% overall, ≥50% at cos ≥ 0.7; n16 is the
-    # recall-dialed-up 8-table variant recovering 12/14 at sf0.01).
+    # SRP candidates + exact cosine refine (collision-bound equi-join),
+    # at the 8-table×4-bit operating point (recall 11/14 at sf0.01,
+    # 5/7 at sf0.001 vs the N² baseline — the 4-table config the first
+    # rounds shipped sat at 3/7, under the ≥60% floor the pytest now
+    # pins). NOTE the oracle validates the APPROXIMATION (same buckets,
+    # same candidates), not near-dup completeness — recall is pinned
+    # separately (test_northstar.py ≥0.6); n16 is the same shape at an
+    # independent seed, demonstrating recall is tuned by adding tables,
+    # never by widening the join.
     return similarity.srp_tables_neardup_pairs(
-        _emb(spark, sf_dir), dim=EMB_DIM, min_cos=0.45
+        _emb(spark, sf_dir), dim=EMB_DIM, min_cos=0.45, n_tables=8, n_bits=4, seed=11
     ).orderBy("id1", "id2")
 
 
@@ -116,13 +119,18 @@ def n14_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def n15_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # k-means cell assignment is iterative/seeded — rows-only check;
-    # recall + exact-score parity pinned in tests/test_northstar.py.
+    # HASH-CHECKABLE IVF: deterministic integer k-means (hash-seeded
+    # init + 2 fixed Lloyd steps, all exact integer arithmetic — the
+    # n10/n16 quantization recipe applied to the quantizer itself), so
+    # cells, probes, and therefore the candidate set are bit-identical
+    # across engines; ranking is the hash-green n9 double-cosine chain.
+    # MLlib's seeded ivf_ann_topk stays the scale API (pytest recall +
+    # materialized-index tests).
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 20)
-    return similarity.ivf_ann_topk(emb, queries, k=5, n_centroids=16, nprobe=4).orderBy(
-        "query_id", "rnk"
-    )
+    return similarity.ivf_int_ann_topk(
+        emb, queries, dim=EMB_DIM, k=5, n_centroids=16, nprobe=4, n_iter=2
+    ).orderBy("query_id", "rnk")
 
 
 def n16_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -425,8 +433,8 @@ NS_ORACLE_SQL = {
         FROM fr ORDER BY media_id, frame_idx
     """,
     # n12_srp_ann_topk: oracle generated below (_srp_int_ann_sql).
-    # n15_ivf_ann_topk: seeded distributed k-means has no cross-engine
-    # twin — rows-only; recall pinned in tests/test_northstar.py.
+    # n15_ivf_ann_topk: oracle generated below (_ivf_int_ann_sql) — the
+    # deterministic integer k-means unrolled as SQL CTEs.
 }
 
 
@@ -500,7 +508,9 @@ def _srp_int_neardup_sql(
     """
 
 
-NS_ORACLE_SQL["n10_embedding_neardup"] = _srp_int_neardup_sql()
+NS_ORACLE_SQL["n10_embedding_neardup"] = _srp_int_neardup_sql(
+    min_cos=0.45, n_tables=8, n_bits=4, seed=11
+)
 NS_ORACLE_SQL["n16_srp_neardup"] = _srp_int_neardup_sql(
     min_cos=0.45, n_tables=8, n_bits=4, seed=29
 )
@@ -551,3 +561,98 @@ def _srp_int_ann_sql(
 
 
 NS_ORACLE_SQL["n12_srp_ann_topk"] = _srp_int_ann_sql()
+
+
+def _ivf_int_ann_sql(
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_iter: int = 2,
+    scale: int = 10000,
+    dim: int | None = None,
+) -> str:
+    """n15's deterministic IVF re-derived in DuckDB SQL: the SAME
+    hash-seeded init, the SAME fixed Lloyd steps as exact integer
+    arithmetic (sums of quantized non-negative ints stay < 2^53, so the
+    distance doubles are exact and comparisons bit-identical), the SAME
+    truncating per-dimension centroid division, and the hash-green n9
+    double-cosine ranking. Every Lloyd step is one CTE pair (assign +
+    update); an empty cell keeps its previous centroid."""
+    dim = dim or EMB_DIM
+    h = _H60.format(x="CAST(vec_id AS VARCHAR)")
+    sums = ", ".join(f"CAST(sum(qv[{i + 1}]) AS BIGINT) AS s{i}" for i in range(dim))
+    cent_expr = ", ".join(f"s{i} // n" for i in range(dim))
+    d = "(vv - 2 * list_dot_product(qvd, c.cd) + list_dot_product(c.cd, c.cd))"
+    ctes = [
+        f"""e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * {scale}.0) AS BIGINT) + {scale}) AS qv
+      FROM embeddings)""",
+        """b AS (
+      SELECT vec_id, emb, qv, list_transform(qv, x -> CAST(x AS DOUBLE)) AS qvd
+      FROM e)""",
+        "b2 AS (SELECT *, list_dot_product(qvd, qvd) AS vv FROM b)",
+        f"""seeds AS (
+      SELECT CAST(rn - 1 AS INT) AS cid, cent FROM (
+        SELECT row_number() OVER (ORDER BY {h}, vec_id) AS rn, qv AS cent FROM b2)
+      WHERE rn <= {n_centroids})""",
+    ]
+    prev = "seeds"
+    for it in range(n_iter):
+        ctes.append(
+            f"""cd{it} AS (
+      SELECT cid, cent, list_transform(cent, x -> CAST(x AS DOUBLE)) AS cd FROM {prev})"""
+        )
+        ctes.append(
+            f"""a{it} AS (
+      SELECT vec_id, cid, qv FROM (
+        SELECT v.vec_id, c.cid, v.qv,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY {d}, c.cid) AS arn
+        FROM b2 v CROSS JOIN cd{it} c)
+      WHERE arn = 1)"""
+        )
+        ctes.append(f"u{it} AS (SELECT cid, count(*) AS n, {sums} FROM a{it} GROUP BY cid)")
+        ctes.append(
+            f"""c{it} AS (
+      SELECT p.cid,
+             CASE WHEN u.cid IS NULL THEN p.cent ELSE list_value({cent_expr}) END AS cent
+      FROM {prev} p LEFT JOIN u{it} u USING (cid))"""
+        )
+        prev = f"c{it}"
+    ctes += [
+        f"""cf AS (
+      SELECT cid, list_transform(cent, x -> CAST(x AS DOUBLE)) AS cd FROM {prev})""",
+        f"""cells AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY {d}, c.cid) AS arn
+        FROM b2 v CROSS JOIN cf c)
+      WHERE arn = 1)""",
+        f"""probes AS (
+      SELECT query_id, cid FROM (
+        SELECT v.vec_id AS query_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY {d}, c.cid) AS prn
+        FROM b2 v CROSS JOIN cf c WHERE v.vec_id < 20)
+      WHERE prn <= {nprobe})""",
+        """cand AS (
+      SELECT p.query_id, ce.vec_id AS neighbor_id
+      FROM probes p JOIN cells ce USING (cid)
+      WHERE ce.vec_id != p.query_id)""",
+        """scored AS (
+      SELECT query_id, neighbor_id, list_cosine_similarity(eq.emb, ec.emb) AS cos
+      FROM cand
+      JOIN e eq ON eq.vec_id = cand.query_id
+      JOIN e ec ON ec.vec_id = cand.neighbor_id)""",
+        """r AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= {k} ORDER BY query_id, rnk"
+    )
+
+
+NS_ORACLE_SQL["n15_ivf_ann_topk"] = _ivf_int_ann_sql()

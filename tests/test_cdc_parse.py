@@ -157,6 +157,30 @@ def test_xid_carry_forward_across_transactions(spark, pk_map):
     assert [r.xid for r in rows] == ["1", "1", "2"]
 
 
+def test_stamp_xid_null_order_col_sorts_first_and_survives(spark):
+    """NULL order_col must not corrupt the scan: ascending order places
+    nulls FIRST, so a NULL-lsn row belongs in bucket 0, before any BEGIN
+    — xid '' — and every real row still gets its correct carry. A
+    null-skipping bucket expression would route it to the LAST bucket
+    and stamp it with the final transaction's xid instead."""
+    from pg2kinesis_spark.operators.test_decoding import stamp_xid_scalable
+
+    rows = [
+        (None, None),  # orphan row with no offset: sorts before everything
+        (1, "100"),
+        (2, None),
+        (3, "200"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "lsn long, begin_xid string")
+    got = {
+        r.lsn: r.xid for r in stamp_xid_scalable(df).collect()
+    }
+    assert got[None] == ""  # before any BEGIN, never "200"
+    assert got[1] == "100" and got[2] == "100"
+    assert got[3] == "200" and got[4] == "200"
+
+
 # ---------- wal2json ----------
 
 def _w2j(xid, *changes):

@@ -60,10 +60,21 @@ def test_asof_join_no_row_explosion(spark, quotes_trades):
 def test_approx_distinct_within_tolerance(spark, sf_small):
     orders = load_table(spark, sf_small, "orders")
     row = orders.agg(
-        F.approx_count_distinct("o_custkey").alias("approx"),
+        F.approx_count_distinct("o_custkey", 0.01).alias("approx"),
         F.countDistinct("o_custkey").alias("exact"),
     ).collect()[0]
-    assert abs(row.approx - row.exact) / row.exact < 0.05  # HLL++ default rsd
+    assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_q30_witness_shape(spark, sf_small):
+    """The registered q30 is the tolerance-witness form: exact count +
+    a within_tol boolean each engine derives from its OWN sketch — the
+    recipe that makes an approximate operator hash-checkable."""
+    from pg2kinesis_spark.plans.ext_queries import q30_approx_distinct
+
+    row = q30_approx_distinct(spark, sf_small).collect()[0]
+    assert row.within_tol is True
+    assert row.exact_custs > 0
 
 
 def test_sq4_streaming_drop_duplicates(spark, tmp_path):
