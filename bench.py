@@ -187,7 +187,22 @@ def bench_pack(spark, sf_dir):
     return pack_sequences(docs, F.col("nt"), 2048, "doc_id")
 
 
+def bench_bpe(spark, sf_dir):
+    """BPE subword token counts over the FULL documents table against a
+    500-merge model learned on a 5k-doc sample: one word-count shuffle +
+    driver merges (learn), then distinct-word Python encode + broadcast
+    join + per-doc sum (count). Learn runs inside the timer — it is part
+    of the workload, exactly once per corpus."""
+    from pg2kinesis_spark.functions.bpe import bpe_token_counts, learn_bpe
+    from pg2kinesis_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = learn_bpe(docs.limit(5000), num_merges=500)
+    return bpe_token_counts(docs, model)
+
+
 EXTRA_BENCHES = {
+    "bpe_token_counts_full": bench_bpe,
     "minhash_lsh_full": bench_minhash_full,
     "gopher_filter_full": bench_gopher,
     "bm25_topk_full": bench_bm25,

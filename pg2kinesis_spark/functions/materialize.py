@@ -35,10 +35,16 @@ def materialize_corpus(
     out_dir: str,
     seq_len: int = 2048,
     target_shard_mb: float = 256,
+    bpe_model=None,
     **curate_kwargs,
 ) -> dict:
     """Curate -> shard -> layout -> manifest. Returns the manifest dict
-    (also written to ``{out_dir}/manifest.json``)."""
+    (also written to ``{out_dir}/manifest.json``).
+
+    With ``bpe_model`` (a :class:`functions.bpe.BpeModel`), the packing
+    layout and manifest token totals use budget-true BPE subword counts
+    instead of the curation's whitespace ``n_tokens`` — the counts a
+    trainer's dataloader will actually see."""
     from pg2kinesis_spark.io import write_sharded
 
     spark = docs.sparkSession
@@ -49,7 +55,13 @@ def materialize_corpus(
     n_shards = write_sharded(curated, docs_path, target_mb=target_shard_mb)
 
     back = spark.read.parquet(docs_path)
-    layout = pack_sequences(back, F.col("n_tokens"), seq_len, "doc_id")
+    token_col = F.col("n_tokens")
+    if bpe_model is not None:
+        from .bpe import bpe_token_counts
+
+        back = back.join(bpe_token_counts(back, bpe_model), "doc_id")
+        token_col = F.col("n_bpe_tokens")
+    layout = pack_sequences(back, token_col, seq_len, "doc_id")
     layout.write.mode("overwrite").parquet(layout_path)
 
     layout_back = spark.read.parquet(layout_path)
@@ -62,6 +74,7 @@ def materialize_corpus(
         "layout_path": layout_path,
         "n_shards": n_shards,
         "seq_len": seq_len,
+        "token_counter": "bpe" if bpe_model is not None else "whitespace",
         "packing": stats,
         "profile": prof,
         "curate_args": {

@@ -205,6 +205,37 @@ def test_materialize_corpus(spark, sf_small, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_materialize_corpus_with_bpe_counter(spark, sf_small, tmp_path):
+    """bpe_model switches layout/manifest to budget-true subword counts."""
+    import json
+    import os
+
+    from pg2kinesis_spark.functions.bpe import bpe_token_counts, learn_bpe
+    from pg2kinesis_spark.functions.materialize import materialize_corpus
+
+    docs = load_table(spark, sf_small, "documents").limit(80).select("doc_id", "text")
+    model = learn_bpe(docs, num_merges=60)
+    out = str(tmp_path / "corpus_bpe")
+    m = materialize_corpus(
+        docs, out, seq_len=256, target_shard_mb=64, bpe_model=model, min_quality=0.0
+    )
+    with open(os.path.join(out, "manifest.json")) as f:
+        disk = json.load(f)
+    assert disk["token_counter"] == "bpe"
+    accepted = spark.read.parquet(m["docs_path"])
+    layout = spark.read.parquet(m["layout_path"])
+    # layout token counts are the BPE counts of the accepted docs
+    want = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_token_counts(accepted, model).collect()
+        if r["n_bpe_tokens"] > 0
+    }
+    got = {r["doc_id"]: r["n_tokens"] for r in layout.collect()}
+    assert got == want
+    # BPE counts exceed whitespace counts (subwords split words up)
+    assert m["packing"]["n_tokens"] > m["profile"]["n_tokens"]
+
+
 def test_corpus_report_cli(sf_small):
     """The report CLI end-to-end: subprocess, JSON contract."""
     import json
