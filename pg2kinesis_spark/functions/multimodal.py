@@ -6,18 +6,25 @@ batches of the mapInPandas stage that needs them, partition sizing is
 driven by ``bytes_hint`` in the metadata (not row counts), and decode
 never leaves the executor.
 
-The actual codec work (PIL/ffmpeg/soundfile) is NOT available in this
-environment, so the decode kernels are stubbed: ``decode_media`` raises
-NotImplementedError for real codecs and offers a deterministic fake
-(``fake=True``) that derives plausible features from the bytes alone.
-The Spark-side contract — schemas, batch iteration, partitioning — is
-real and tested.
+Codec support is tiered, honestly:
+
+* PNG and PCM WAV decode/encode are REAL — dependency-free kernels in
+  :mod:`codecs` (stdlib zlib/struct + numpy). ``extract_features`` /
+  ``resize_media`` with ``fake=False`` run true pixel decodes for PNG;
+  ``extract_image_features`` / ``extract_audio_features`` add
+  codec-true columns (channels, luma, sample rate, RMS).
+* JPEG/MP3/video codecs (PIL/ffmpeg) are NOT available in this
+  environment — those mimes raise NotImplementedError inside the
+  kernel, and the deterministic fake (``fake=True``) remains for
+  plumbing tests. The Spark-side contract — schemas, batch iteration,
+  partitioning — is identical either way.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -82,16 +89,26 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
 
     import pandas as pd
 
-    if not fake:
+    from . import codecs
+
+    def real_dims(c: bytes) -> tuple[int, int]:
+        if codecs.is_png(c):
+            h, w = codecs.decode_png(c).shape[:2]
+            return w, h
+        if codecs.is_wav(c):
+            samples, _ = codecs.decode_wav(c)
+            # audio "dims": (n_samples, n_channels) — documented mapping
+            return int(samples.shape[0]), int(samples.shape[1])
         raise NotImplementedError(
-            "real media codecs (PIL/ffmpeg) are not available in this "
-            "environment; use fake=True for the deterministic stand-in"
+            "only PNG/WAV decode is available in this environment "
+            "(JPEG/MP3/video need PIL/ffmpeg)"
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             content = pdf["content"]
-            dims = [_fake_decode(c) for c in content]
+            decode = _fake_decode if fake else real_dims
+            dims = [decode(c) for c in content]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -119,34 +136,140 @@ def resize_media(media: DataFrame, width: int = 64, height: int = 64, fake: bool
     """
     import pandas as pd
 
-    if not fake:
-        raise NotImplementedError(
-            "real media codecs (PIL/ffmpeg) are not available in this "
-            "environment; use fake=True for the deterministic stand-in"
-        )
+    from . import codecs
+
     target = width * height
+
+    def resize_one(c: bytes) -> bytes:
+        b = bytes(c)
+        if not fake:
+            if not codecs.is_png(b):
+                raise NotImplementedError(
+                    "real resize supports PNG only in this environment"
+                )
+            # true pixel resize: decode -> nearest-neighbor -> re-encode
+            return codecs.encode_png(
+                codecs.resize_nearest(codecs.decode_png(b), width, height)
+            )
+        if len(b) >= target:
+            step = len(b) / target
+            return bytes(b[int(i * step)] for i in range(target))
+        if b:
+            return (b * (target // len(b) + 1))[:target]
+        return bytes(target)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = []
-            for c in pdf["content"]:
-                b = bytes(c)
-                if len(b) >= target:
-                    step = len(b) / target
-                    resized.append(bytes(b[int(i * step)] for i in range(target)))
-                elif b:
-                    resized.append((b * (target // len(b) + 1))[:target])
-                else:
-                    resized.append(bytes(target))
+            resized = [resize_one(c) for c in pdf["content"]]
             meta = [
-                {"mime": m["mime"], "bytes_hint": target, "source_uri": m["source_uri"]}
-                for m in pdf["meta"]
+                {
+                    "mime": m["mime"],
+                    "bytes_hint": len(r) if not fake else target,
+                    "source_uri": m["source_uri"],
+                }
+                for m, r in zip(pdf["meta"], resized)
             ]
             yield pd.DataFrame(
                 {"media_id": pdf["media_id"], "content": resized, "meta": meta}
             )
 
     return media.mapInPandas(kernel, MEDIA_SCHEMA)
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("checksum", T.StringType()),
+    ]
+)
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """REAL image features over PNG content: decoded dimensions, channel
+    count, mean luma (ITU-R 601 on RGB, plain mean on gray). Same
+    mapInPandas contract as extract_features — constant memory per Arrow
+    batch, decode never leaves the executor."""
+    import hashlib
+
+    import pandas as pd
+
+    from . import codecs
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                img = codecs.decode_png(bytes(c))
+                h, w, nch = img.shape
+                px = img.astype("float64")
+                if nch >= 3:
+                    luma = float(
+                        (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]).mean()
+                    )
+                else:
+                    luma = float(px[:, :, 0].mean())
+                rows.append(
+                    (mid, w, h, nch, luma, hashlib.md5(bytes(c)).hexdigest())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_channels", "mean_luma", "checksum",
+                ],
+            )
+
+    return media.mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio features over PCM WAV content: sample rate, channel
+    count, sample count, duration, RMS amplitude."""
+    import pandas as pd
+
+    from . import codecs
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                samples, rate = codecs.decode_wav(bytes(c))
+                n = samples.shape[0]
+                rows.append(
+                    (
+                        mid,
+                        rate,
+                        int(samples.shape[1]),
+                        n,
+                        1000.0 * n / rate if rate else 0.0,
+                        float(np.sqrt((samples.astype("float64") ** 2).mean()))
+                        if n
+                        else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "sample_rate", "n_channels", "n_samples", "duration_ms", "rms",
+                ],
+            )
+
+    return media.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:

@@ -1,0 +1,275 @@
+"""PNG/WAV codecs vs independent oracles (hand-applied PNG filters,
+stdlib wave module), plus the real-codec Spark paths."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+import pytest
+
+from pg2kinesis_spark.functions.codecs import (
+    PNG_SIG,
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    is_png,
+    is_wav,
+    resize_nearest,
+)
+
+
+# --- PNG oracle helpers: build filtered scanlines INDEPENDENTLY of the
+# decoder, straight from the spec's forward-filter definitions ------------
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+def _forward_filter(img: np.ndarray, ftypes: list[int]) -> bytes:
+    """Apply per-row filters (spec §9 forward direction) to raw pixels."""
+    h, w, c = img.shape
+    flat = img.reshape(h, w * c).astype(int)
+    out = bytearray()
+    prev = np.zeros(w * c, dtype=int)
+    for y in range(h):
+        ft = ftypes[y % len(ftypes)]
+        out.append(ft)
+        row = flat[y]
+        for x in range(w * c):
+            left = row[x - c] if x >= c else 0
+            up = prev[x]
+            ul = prev[x - c] if x >= c else 0
+            if ft == 0:
+                v = row[x]
+            elif ft == 1:
+                v = row[x] - left
+            elif ft == 2:
+                v = row[x] - up
+            elif ft == 3:
+                v = row[x] - ((left + up) >> 1)
+            else:
+                v = row[x] - _paeth(left, up, ul)
+            out.append(v & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _make_png(img: np.ndarray, ftypes: list[int], color: int) -> bytes:
+    h, w, c = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = _forward_filter(img, ftypes)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _rand_img(h, w, c, seed):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, c), dtype=np.uint8).reshape(h, w, c)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("color,c", [(0, 1), (2, 3), (4, 2), (6, 4)])
+def test_png_each_filter_and_colortype(ftype, color, c):
+    img = _rand_img(7, 5, c, seed=ftype * 10 + color)
+    data = _make_png(img, [ftype], color)
+    np.testing.assert_array_equal(decode_png(data), img)
+
+
+def test_png_mixed_filters_and_split_idat():
+    img = _rand_img(16, 11, 3, seed=7)
+    raw = _forward_filter(img, [0, 1, 2, 3, 4])
+    comp = zlib.compress(raw)
+    ihdr = struct.pack(">IIBBBBB", 11, 16, 8, 2, 0, 0, 0)
+    # split the compressed stream across three IDAT chunks
+    data = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", comp[:10])
+        + _chunk(b"IDAT", comp[10:25])
+        + _chunk(b"IDAT", comp[25:])
+        + _chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(data), img)
+
+
+def test_png_palette_expands_to_rgb():
+    plte = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8).reshape(2, 2, 1)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raw = _forward_filter(idx, [0])
+    data = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte.tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(data), plte[idx[:, :, 0]])
+
+
+def test_png_encoder_roundtrip_and_rejections():
+    img = _rand_img(9, 13, 4, seed=3)
+    assert is_png(encode_png(img))
+    np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    # 16-bit depth rejected explicitly
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    bad = PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\x00" * 26)) + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png(bad)
+
+
+def test_resize_nearest_exact():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    out = resize_nearest(img, 2, 2)
+    np.testing.assert_array_equal(out[:, :, 0], [[0, 2], [8, 10]])
+    up = resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8, 1) and up[0, 0, 0] == 0 and up[7, 7, 0] == 15
+
+
+# --- WAV: stdlib wave as the independent oracle --------------------------
+
+def _wav_via_stdlib(samples: np.ndarray, rate: int, width: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(samples.shape[1])
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        if width == 1:
+            w.writeframes((samples.astype(np.int16) + 128).astype(np.uint8).tobytes())
+        elif width == 2:
+            w.writeframes(samples.astype("<i2").tobytes())
+        else:
+            w.writeframes(samples.astype("<i4").tobytes())
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("width,nch", [(1, 1), (2, 1), (2, 2), (4, 2)])
+def test_wav_matches_stdlib_writer(width, nch):
+    rng = np.random.RandomState(width * 10 + nch)
+    lo, hi = (-120, 120) if width == 1 else (-30000, 30000)
+    samples = rng.randint(lo, hi, size=(50, nch))
+    data = _wav_via_stdlib(samples, 16000, width)
+    got, rate = decode_wav(data)
+    assert rate == 16000 and is_wav(data)
+    np.testing.assert_array_equal(got, samples)
+
+
+def test_wav_24bit_and_rejections():
+    # 24-bit little-endian by hand (stdlib wave also writes sampwidth=3)
+    samples = np.array([[-(1 << 22)], [1 << 22], [-1], [0]], dtype=np.int64)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(8000)
+        b = bytearray()
+        for s in samples[:, 0]:
+            b += int(s & 0xFFFFFF).to_bytes(3, "little")
+        w.writeframes(bytes(b))
+    got, rate = decode_wav(buf.getvalue())
+    np.testing.assert_array_equal(got[:, 0], samples[:, 0])
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxJUNK")
+
+
+def test_wav_roundtrip_own_encoder():
+    samples = np.array([[1, -1], [100, -100], [32000, -32000]], dtype=np.int16)
+    got, rate = decode_wav(encode_wav(samples, 44100))
+    assert rate == 44100
+    np.testing.assert_array_equal(got, samples)
+
+
+# --- Spark-side real paths -----------------------------------------------
+
+@pytest.fixture()
+def png_media(spark):
+    rows = []
+    for i, (h, w, c) in enumerate([(6, 4, 3), (8, 8, 1), (3, 5, 4)]):
+        img = _rand_img(h, w, c, seed=i)
+        data = encode_png(img)
+        rows.append((i, bytearray(data), ("image/png", len(data), f"mem://{i}")))
+    from pg2kinesis_spark.functions.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_real_png(spark, png_media):
+    from pg2kinesis_spark.functions.multimodal import extract_features
+
+    got = {r["media_id"]: (r["width"], r["height"]) for r in extract_features(png_media, fake=False).collect()}
+    assert got == {0: (4, 6), 1: (8, 8), 2: (5, 3)}
+
+
+def test_extract_image_features_real(spark, png_media):
+    from pg2kinesis_spark.functions.multimodal import extract_image_features
+
+    rows = {r["media_id"]: r for r in extract_image_features(png_media).collect()}
+    assert rows[0]["n_channels"] == 3 and rows[1]["n_channels"] == 1
+    # luma oracle for the gray image: plain mean
+    img = _rand_img(8, 8, 1, seed=1)
+    assert rows[1]["mean_luma"] == pytest.approx(float(img.mean()))
+
+
+def test_resize_media_real_png(spark, png_media):
+    from pg2kinesis_spark.functions.multimodal import resize_media
+
+    out = resize_media(png_media, width=4, height=4, fake=False).collect()
+    for r in out:
+        img = decode_png(bytes(r["content"]))
+        assert img.shape[:2] == (4, 4)
+        assert r["meta"]["bytes_hint"] == len(bytes(r["content"]))
+    # pixel-exact vs driver-side oracle for media 0
+    src = _rand_img(6, 4, 3, seed=0)
+    want = resize_nearest(src, 4, 4)
+    got = decode_png(bytes(next(r for r in out if r["media_id"] == 0)["content"]))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_extract_audio_features_real(spark):
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+
+    samples = np.array([[3, -3]] * 8000, dtype=np.int16)
+    data = encode_wav(samples, 16000)
+    media = spark.createDataFrame(
+        [(7, bytearray(data), ("audio/wav", len(data), "mem://a"))], MEDIA_SCHEMA
+    )
+    r = extract_audio_features(media).collect()[0]
+    assert (r["sample_rate"], r["n_channels"], r["n_samples"]) == (16000, 2, 8000)
+    assert r["duration_ms"] == pytest.approx(500.0)
+    assert r["rms"] == pytest.approx(3.0)
+
+
+def test_unsupported_mime_raises_in_kernel(spark):
+    from pg2kinesis_spark.functions.multimodal import MEDIA_SCHEMA, extract_features
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0 fake jpeg"), ("image/jpeg", 10, "mem://j"))],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="PNG/WAV"):
+        extract_features(media, fake=False).collect()

@@ -233,9 +233,14 @@ def test_media_features_deterministic(spark, planted):
     assert feats[0].checksum != feats[3].checksum
 
 
-def test_media_real_decode_is_stubbed(spark, planted):
-    with pytest.raises(NotImplementedError):
-        multimodal.extract_features(multimodal.synthetic_media(planted), fake=False)
+def test_media_real_decode_rejects_unsupported_mime(spark, planted):
+    # synthetic media is raw utf-8 bytes — neither PNG nor WAV, so the
+    # real-codec path must fail loudly inside the kernel (PNG/WAV are
+    # REAL now; see tests/test_codecs.py for the decode paths)
+    with pytest.raises(Exception, match="PNG/WAV"):
+        multimodal.extract_features(
+            multimodal.synthetic_media(planted), fake=False
+        ).collect()
 
 
 def test_frame_sample_shape(spark, planted):
@@ -311,7 +316,8 @@ def test_resize_media_bounds_content_and_composes(spark, planted):
     # same schema in as out → composes with downstream media operators
     feats = multimodal.extract_features(small).collect()
     assert all(f.n_bytes == 64 for f in feats)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(Exception, match="PNG"):
+        # real resize decodes true pixels — fake media isn't PNG
         multimodal.resize_media(media, fake=False).collect()
 
 
