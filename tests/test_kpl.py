@@ -127,3 +127,56 @@ def test_kpl_roundtrip_and_size_property():
         assert len(rec.serialize()) == rec.est_size
 
     prop()
+
+
+def test_kpl_boundary_fill_property():
+    """Adversarial 1 MiB-style boundary fills: randomized unicode keys and
+    payload sizes that straddle the varint breakpoints (0x7B/0x7C fast
+    path, 0x7F/0x80 one->two byte varints). Invariants at EVERY step:
+
+    * est_size is byte-exact vs serialize()
+    * a full aggregate never serializes past max_bytes
+    * every rejection is a genuine overflow — force-appending the
+      rejected record would have crossed max_bytes
+    """
+    from hypothesis import given, settings, strategies as st
+
+    # sizes clustered on the varint/fast-path breakpoints + a random tail
+    sizes = st.one_of(
+        st.sampled_from([0, 1, 0x7A, 0x7B, 0x7C, 0x7D, 0x7E, 0x7F, 0x80, 0x81, 200]),
+        st.integers(min_value=0, max_value=300),
+    )
+    # keys mixing ascii, multibyte utf-8, and empty — encoded length is
+    # what the key-table accounting must charge
+    keys = st.one_of(
+        st.sampled_from(["", "7", "käy", "键键键", "k" * 130]),
+        st.text(min_size=0, max_size=20),
+    )
+    records = st.lists(st.tuples(keys, sizes), min_size=1, max_size=60)
+    caps = st.integers(min_value=25, max_value=2500)
+
+    @settings(max_examples=300, deadline=None)
+    @given(records, caps)
+    def prop(specs, max_bytes):
+        rec = AggRecord()
+        accepted = []
+        for key, n in specs:
+            payload = bytes((i * 7 + n) & 0xFF for i in range(n))
+            ok = rec.add(payload, key, max_bytes)
+            if ok:
+                accepted.append((key, payload))
+                assert rec.est_size == len(rec.serialize())  # byte-exact
+            else:
+                # rejection must be a genuine overflow of the FULL wire
+                # format (framing + key-table delta included)
+                assert len(serialize_kpl(accepted + [(key, payload)])) > max_bytes
+                assert accepted, "first add must always be accepted"
+        if accepted:
+            blob = rec.serialize()
+            assert deaggregate_kpl(blob) == accepted
+            # full aggregates never exceed the cap (unless a single
+            # oversized first record forced it through)
+            if len(accepted) > 1:
+                assert len(blob) <= max_bytes
+
+    prop()

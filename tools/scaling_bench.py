@@ -1,0 +1,139 @@
+"""Replica-blown scaling measurement for the corpus operators.
+
+Usage: python tools/scaling_bench.py ROWS [ROWS ...] [--ops op,op,...]
+
+Blows up sf0.1's 5,000 documents to each target row count by word-level
+replica suffixing — every non-stopword w in replica r becomes "w_r" —
+so each replica keeps the base corpus's internal near-dup structure
+while cross-replica shingle Jaccard is ~0 (a shared shingle needs 3+
+consecutive stopwords). Candidate-pair counts therefore scale LINEARLY
+with rows on a healthy implementation; a quadratic blowup is
+immediately visible. Stopwords stay unsuffixed so Gopher's stop-hit
+gate sees realistic text. Prints one JSON line per (rows, op) with wall
+seconds and output rows. This is the script behind SCALING.md's
+"Measured scaling" table.
+
+Note: bm25 rows are meaningful from 25k up — at the 5k base the
+synthetic corpus puts every term in >half the docs, so idf floors to 0
+(Lucene semantics) and every query returns empty.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from pg2kinesis_spark.io import load_table
+from pg2kinesis_spark.session import get_spark
+
+BASE_SF = "/root/testdata/sf0.1"
+BASE_ROWS = 5000
+
+
+def build_corpus(spark, rows: int) -> str:
+    """Materialize the replica-blown corpus to parquet (pay once) and
+    return its path. Distinct doc_ids; word-suffixed distinct texts."""
+    path = os.path.join(tempfile.gettempdir(), f"scaling_docs_{rows}.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    from pg2kinesis_spark.functions.text import STOPWORDS
+
+    stop_lit = ", ".join(f"'{w}'" for w in STOPWORDS)
+    reps = (rows + BASE_ROWS - 1) // BASE_ROWS
+    base = load_table(spark, BASE_SF, "documents").select("doc_id", "text")
+    blown = (
+        base.crossJoin(spark.range(reps).select(F.col("id").alias("r")))
+        .select(
+            (F.col("doc_id") + F.col("r") * BASE_ROWS).alias("doc_id"),
+            F.array_join(
+                F.expr(
+                    "transform(split(text, ' '), "
+                    f"w -> IF(w IN ({stop_lit}), w, concat(w, '_', r)))"
+                ),
+                " ",
+            ).alias("text"),
+        )
+        .filter(F.col("doc_id") < rows)
+    )
+    blown.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def op_gopher(spark, docs):
+    from pg2kinesis_spark.functions.repetition import gopher_filter
+
+    return gopher_filter(docs)
+
+
+def op_substr(spark, docs):
+    from pg2kinesis_spark.functions.substr_dedup import dedup_substrings
+
+    return dedup_substrings(docs, k=20)
+
+
+def op_lsh(spark, docs):
+    from pg2kinesis_spark.functions.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(docs, n=3, k=16, bands=4)
+
+
+def op_bm25(spark, docs):
+    from pg2kinesis_spark.functions.search import bm25_topk
+
+    qs = {"q1": "spark_0 window_0 merge_0", "q2": "customer_0 order_0 data_0"}
+    return bm25_topk(spark, docs, qs, k=10)
+
+
+def op_curate(spark, docs):
+    from pg2kinesis_spark.functions.curate import curate_corpus
+
+    return curate_corpus(docs, min_quality=0.2, near_dup_jaccard=0.6)
+
+
+def op_bpe(spark, docs):
+    from pg2kinesis_spark.functions.bpe import bpe_token_counts, learn_bpe
+
+    model = learn_bpe(docs.limit(5000), num_merges=500)
+    return bpe_token_counts(docs, model)
+
+
+OPS = {
+    "gopher": op_gopher,
+    "substr": op_substr,
+    "lsh": op_lsh,
+    "bm25": op_bm25,
+    "curate": op_curate,
+    "bpe": op_bpe,
+}
+
+
+def main() -> None:
+    rows_list = [int(a) for a in sys.argv[1:] if not a.startswith("--")]
+    ops = ["gopher", "substr", "lsh", "bm25"]
+    for a in sys.argv[1:]:
+        if a.startswith("--ops"):
+            ops = a.split("=", 1)[1].split(",")
+    spark = get_spark("scaling_bench")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    for rows in rows_list:
+        path = build_corpus(spark, rows)
+        docs = spark.read.parquet(path)
+        for op in ops:
+            t0 = time.perf_counter()
+            n = OPS[op](spark, docs).count()
+            wall = round(time.perf_counter() - t0, 2)
+            print(
+                json.dumps({"rows": rows, "op": op, "wall_s": wall, "out_rows": n}),
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
