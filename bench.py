@@ -150,6 +150,11 @@ def bench_bm25(spark, sf_dir):
         "q1": "spark window merge join",
         "q2": "customer order data stream",
         "q3": "vector hash batch",
+        # the synthetic corpus puts almost every term in >half the docs
+        # (idf floors to 0 — Lucene semantics), so q1-q3 measure only the
+        # index build; "dup" is the one selective term (df ~5%) and makes
+        # the scoring + salted top-k path do real work too
+        "q4": "dup scan filter",
     }
     return bm25_topk(spark, load_table(spark, sf_dir, "documents"), qs, k=10)
 

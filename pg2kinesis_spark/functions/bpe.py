@@ -298,3 +298,65 @@ def bpe_token_counts(
             F.coalesce("n_bpe_tokens", F.lit(0)).cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def save_model(model: BpeModel, path: str) -> None:
+    """Persist the learned model as JSON (merges in rank order + ids).
+    The model is driver-side metadata — kilobytes to a few megabytes —
+    so a plain file is the right container, like MLlib coefficients."""
+    import json
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(
+            {"merges": [list(p) for p in model.merges], "token_ids": model.token_ids},
+            f,
+        )
+
+
+def load_model(path: str) -> BpeModel:
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    return BpeModel(
+        merges=tuple(tuple(p) for p in d["merges"]), token_ids=dict(d["token_ids"])
+    )
+
+
+def bpe_decode(
+    encoded: DataFrame,
+    model: BpeModel,
+    key_col: str = "doc_id",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """(key_col, text): invert ``bpe_encode`` — ids map back to symbols
+    via a broadcast (id, token) join, sequences reassemble positionally,
+    EOW markers become word boundaries. Round-trips exactly for any text
+    whose characters were all in the learn-time alphabet (UNK is lossy
+    by nature). All JVM-side; the id table is vocabulary-bounded."""
+    spark = encoded.sparkSession
+    id_rows = [(i, t) for t, i in model.token_ids.items()]
+    id_df = spark.createDataFrame(id_rows, ["tid", "tok"])
+    toks = encoded.select(
+        key_col, F.posexplode(ids_col).alias("pos", "tid")
+    ).join(F.broadcast(id_df), "tid", "left")
+    seqs = (
+        toks.select(key_col, "pos", F.coalesce("tok", F.lit("�")).alias("tok"))
+        .groupBy(key_col)
+        .agg(
+            F.expr(
+                "concat_ws('', transform(array_sort(collect_list(struct(pos, tok))), s -> s.tok))"
+            ).alias("_joined")
+        )
+        .select(
+            key_col,
+            F.trim(F.replace(F.col("_joined"), F.lit(EOW), F.lit(" "))).alias("text"),
+        )
+    )
+    return (
+        encoded.select(key_col)
+        .join(seqs, key_col, "left")
+        .select(key_col, F.coalesce("text", F.lit("")).alias("text"))
+    )

@@ -91,6 +91,8 @@ def curate_corpus(
     classifier_model=None,
     classifier_keep: str = "curated",
     classifier_min_score: float = 0.5,
+    lm_model=None,
+    max_perplexity: float | None = None,
 ) -> DataFrame:
     """Curated corpus: (doc_id, text, n_tokens, quality, pred_lang) for
     every surviving document. See module docstring for stage order and
@@ -125,6 +127,12 @@ def curate_corpus(
         ann = classifier_filter(
             classifier_model, ann, classifier_keep, classifier_min_score
         )
+    if lm_model is not None and max_perplexity is not None:
+        # CCNet perplexity gate: broadcast-join scoring (lm.py), a
+        # reduction before the expensive dedup stages like the others
+        from .lm import perplexity_filter
+
+        ann = perplexity_filter(ann, lm_model, max_perplexity)
     if redact_pii_text:
         from .pii import redact_pii
 
@@ -135,7 +143,12 @@ def curate_corpus(
     # leaving the chain lazy re-executes those gates per subtree.
     # Materialize the gated survivors once (GC-cleaned localCheckpoint —
     # the in-plan analogue of the documented write-survivors-once rule).
-    gates_active = bool(gopher) or max_pii is not None or classifier_model is not None
+    gates_active = (
+        bool(gopher)
+        or max_pii is not None
+        or classifier_model is not None
+        or lm_model is not None
+    )
     heavy_downstream = near_dup_jaccard is not None or substring_k is not None or eval_df is not None
     if gates_active and heavy_downstream:
         ann = ann.localCheckpoint(eager=False)

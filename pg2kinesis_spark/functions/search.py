@@ -52,10 +52,18 @@ def build_postings(docs: DataFrame) -> DataFrame:
     Columns: term, doc_id, tf (count of term in doc), dl (doc length in
     tokens). dl rides along so scoring never re-joins the corpus.
     """
-    toks = docs.select("doc_id", F.explode(_tokens()).alias("term"))
-    tf = toks.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
-    dl = docs.select("doc_id", F.size(_tokens()).alias("dl"))
-    return tf.join(dl, "doc_id")
+    # tokenize ONCE: dl rides the exploded rows as a grouping key (it is
+    # functionally dependent on doc_id, so the key set is unchanged) —
+    # no second tokenize pass, no doc_id self-join.
+    toked = docs.select("doc_id", _tokens().alias("_toks"))
+    return (
+        toked.select(
+            "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
+        )
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count("*").alias("tf"))
+        .select("term", "doc_id", "tf", "dl")
+    )
 
 
 def corpus_stats(postings: DataFrame) -> DataFrame:
@@ -112,14 +120,26 @@ def bm25_topk(
     ascending (total order — engine-stable results).
     """
     postings = build_postings(docs)
+    # the rank references postings from THREE subtrees (candidates, df
+    # stats, per-doc lengths); left lazy, each re-runs tokenize+explode
+    # over the corpus (the measured lazy-reexecution trap — see
+    # curate.py). One GC-cleaned localCheckpoint executes it once.
+    postings = postings.localCheckpoint(eager=False)
     stats = corpus_stats(postings)
     return _bm25_rank(postings, stats, _query_terms(spark, queries), k, k1, b)
 
 
 def _bm25_rank(postings, stats, qterms, k, k1, b):
-    cand = postings.join(F.broadcast(qterms), "term").join(
-        stats.select("term", "df", "n_docs", "avgdl"), "term"
+    # stats pruned to the query's terms BEFORE the join: a semi join
+    # against the broadcast term set, then the surviving handful of
+    # stats rows broadcast themselves — the full term table never
+    # shuffles for a query batch.
+    qstats = F.broadcast(
+        stats.select("term", "df", "n_docs", "avgdl").join(
+            F.broadcast(qterms.select("term").distinct()), "term", "semi"
+        )
     )
+    cand = postings.join(F.broadcast(qterms), "term").join(qstats, "term")
     scored = (
         cand.withColumn("_s", bm25_score_expr(k1, b))
         .groupBy("query_id", "doc_id")

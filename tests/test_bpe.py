@@ -167,3 +167,23 @@ def test_budget_wiring(spark, docs, model):
         scored, F.col("score"), F.col("n_bpe_tokens"), budget=5000
     ).collect()
     assert sel and sum(r["n_tokens"] for r in sel) <= 5000
+
+
+def test_save_load_roundtrip(tmp_path, model):
+    from pg2kinesis_spark.functions.bpe import load_model, save_model
+
+    p = str(tmp_path / "bpe" / "model.json")
+    save_model(model, p)
+    back = load_model(p)
+    assert back.merges == model.merges and back.token_ids == model.token_ids
+
+
+def test_decode_inverts_encode(spark, docs, model):
+    from pg2kinesis_spark.functions.bpe import bpe_decode
+
+    enc = bpe_encode(docs, model)
+    dec = {r["doc_id"]: r["text"] for r in bpe_decode(enc, model).collect()}
+    for r in docs.collect():
+        # canonical whitespace: split/rejoin collapses runs of spaces
+        want = " ".join(w for w in r["text"].split(" ") if w)
+        assert dec[r["doc_id"]] == want, r["doc_id"]
