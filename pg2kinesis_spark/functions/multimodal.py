@@ -293,26 +293,82 @@ def media_exact_duplicates(media: DataFrame) -> DataFrame:
     )
 
 
+def media_dhash(media: DataFrame) -> DataFrame:
+    """REAL perceptual hash for PNG content: the classic 64-bit dHash —
+    decode, luma, nearest-neighbor resize to 9x8, sign of horizontally
+    adjacent differences. Robust to re-encoding and uniform brightness
+    shifts; bit-compatible with the SimHash pair-search machinery.
+    Returns (media_id, dhash). Non-PNG content raises in the kernel.
+    """
+    import pandas as pd
+
+    from . import codecs
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                img = codecs.decode_png(bytes(c)).astype("float64")
+                if img.shape[2] >= 3:
+                    gray = (
+                        0.299 * img[:, :, 0]
+                        + 0.587 * img[:, :, 1]
+                        + 0.114 * img[:, :, 2]
+                    )
+                else:
+                    gray = img[:, :, 0]
+                small = codecs.resize_nearest(gray[:, :, None], 9, 8)[:, :, 0]
+                bits = (small[:, 1:] > small[:, :-1]).flatten()
+                h = 0
+                for i, b in enumerate(bits):
+                    if b:
+                        h |= 1 << i
+                # to signed 64-bit (Spark long)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                rows.append((mid, h))
+            yield pd.DataFrame(rows, columns=["media_id", "dhash"])
+
+    return media.mapInPandas(
+        kernel,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("dhash", T.LongType()),
+            ]
+        ),
+    )
+
+
 def media_near_dup_pairs(
-    media: DataFrame, max_hamming: int = 3, chunk_bytes: int = 64
+    media: DataFrame,
+    max_hamming: int = 3,
+    chunk_bytes: int = 64,
+    signature: str = "bytes",
 ) -> DataFrame:
-    """Near-duplicate media via a byte-stream perceptual-hash stand-in:
-    a 64-bit signature whose bit b is the parity of chunk b's xxhash64
-    (deterministic; a real pHash/dHash kernel slots into the same
-    signature column when codecs are available — the Spark-side pair
-    search is codec-agnostic). Pair search reuses the multi-index
+    """Near-duplicate media pairs without an all-pairs join.
+
+    ``signature="dhash"`` uses the REAL perceptual hash (``media_dhash``
+    — PNG content decoded to pixels); ``"bytes"`` (default) is the
+    codec-free stand-in: a 64-bit signature whose bit b is the parity of
+    chunk b's xxhash64. Either way the pair search is the multi-index
     SimHash machinery (Manku et al.): pigeonhole segment equi-joins +
-    JVM popcount refine — no all-pairs join.
+    JVM popcount refine.
     """
     from .dedup import simhash_pairs
 
-    sig = F.expr(
-        f"""aggregate(
-          transform(sequence(0, 63),
-            b -> if(pmod(xxhash64(substring(content, b * {chunk_bytes} + 1, {chunk_bytes})), 2) = 0, 0L, shiftleft(1L, b))),
-          0L, (a, x) -> a | x)"""
-    )
-    sigs = media.select(F.col("media_id").alias("doc_id"), sig.alias("simhash"))
+    if signature == "dhash":
+        sigs = media_dhash(media).select(
+            F.col("media_id").alias("doc_id"), F.col("dhash").alias("simhash")
+        )
+    else:
+        sig = F.expr(
+            f"""aggregate(
+              transform(sequence(0, 63),
+                b -> if(pmod(xxhash64(substring(content, b * {chunk_bytes} + 1, {chunk_bytes})), 2) = 0, 0L, shiftleft(1L, b))),
+              0L, (a, x) -> a | x)"""
+        )
+        sigs = media.select(F.col("media_id").alias("doc_id"), sig.alias("simhash"))
     return simhash_pairs(sigs, max_hamming=max_hamming).select(
         F.col("id1").alias("media_id1"),
         F.col("id2").alias("media_id2"),

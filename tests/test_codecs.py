@@ -273,3 +273,43 @@ def test_unsupported_mime_raises_in_kernel(spark):
     )
     with pytest.raises(Exception, match="PNG/WAV"):
         extract_features(media, fake=False).collect()
+
+
+def test_media_dhash_real_neardup(spark):
+    """dHash finds a re-encoded + slightly brightened copy of the same
+    image while separating a genuinely different image — the property a
+    byte-parity signature can NOT provide (one byte of zlib framing
+    flips it). Oracle: driver-side dHash on the same pixel math."""
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        media_dhash,
+        media_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(11)
+    base = rng.randint(0, 200, size=(32, 32, 3), dtype=np.uint8)
+    bright = np.clip(base.astype(int) + 12, 0, 255).astype(np.uint8)  # near-dup
+    other = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)     # unrelated
+    rows = []
+    for i, img in enumerate([base, bright, other]):
+        data = encode_png(img)
+        rows.append((i, bytearray(data), ("image/png", len(data), f"mem://{i}")))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def py_dhash(img):
+        from pg2kinesis_spark.functions.codecs import resize_nearest
+
+        f = img.astype("float64")
+        gray = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+        small = resize_nearest(gray[:, :, None], 9, 8)[:, :, 0]
+        bits = (small[:, 1:] > small[:, :-1]).flatten()
+        h = sum(1 << i for i, b in enumerate(bits) if b)
+        return h - (1 << 64) if h >= 1 << 63 else h
+
+    got = {r["media_id"]: r["dhash"] for r in media_dhash(media).collect()}
+    assert got == {0: py_dhash(base), 1: py_dhash(bright), 2: py_dhash(other)}
+
+    pairs = media_near_dup_pairs(media, max_hamming=8, signature="dhash").collect()
+    got_pairs = {(r["media_id1"], r["media_id2"]) for r in pairs}
+    assert (0, 1) in got_pairs            # brightened copy found
+    assert not any(2 in p for p in got_pairs)  # unrelated image separated
