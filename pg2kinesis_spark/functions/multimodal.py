@@ -340,6 +340,48 @@ def media_dhash(media: DataFrame) -> DataFrame:
     )
 
 
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """REAL audio fingerprint for PCM WAV content: the energy-envelope
+    analogue of dHash — mono-mix, 65 equal frames, bit i = energy of
+    frame i+1 > energy of frame i. Invariant to amplitude scaling
+    (comparisons only) and channel layout (mono mix). Returns
+    (media_id, afp). Non-WAV content raises in the kernel."""
+    import pandas as pd
+
+    from . import codecs
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                samples, _rate = codecs.decode_wav(bytes(c))
+                mono = samples.astype("float64").mean(axis=1)
+                n = len(mono)
+                h = 0
+                if n >= 65:
+                    edges = (np.arange(66) * n) // 65
+                    energy = np.array(
+                        [(mono[edges[i] : edges[i + 1]] ** 2).mean() for i in range(65)]
+                    )
+                    for i in range(64):
+                        if energy[i + 1] > energy[i]:
+                            h |= 1 << i
+                    if h >= 1 << 63:
+                        h -= 1 << 64
+                rows.append((mid, h))
+            yield pd.DataFrame(rows, columns=["media_id", "afp"])
+
+    return media.mapInPandas(
+        kernel,
+        T.StructType(
+            [
+                T.StructField("media_id", T.LongType()),
+                T.StructField("afp", T.LongType()),
+            ]
+        ),
+    )
+
+
 def media_near_dup_pairs(
     media: DataFrame,
     max_hamming: int = 3,
@@ -360,6 +402,10 @@ def media_near_dup_pairs(
     if signature == "dhash":
         sigs = media_dhash(media).select(
             F.col("media_id").alias("doc_id"), F.col("dhash").alias("simhash")
+        )
+    elif signature == "audio":
+        sigs = audio_fingerprint(media).select(
+            F.col("media_id").alias("doc_id"), F.col("afp").alias("simhash")
         )
     else:
         sig = F.expr(

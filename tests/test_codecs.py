@@ -313,3 +313,34 @@ def test_media_dhash_real_neardup(spark):
     got_pairs = {(r["media_id1"], r["media_id2"]) for r in pairs}
     assert (0, 1) in got_pairs            # brightened copy found
     assert not any(2 in p for p in got_pairs)  # unrelated image separated
+
+
+def test_audio_fingerprint_real_neardup(spark):
+    """The energy-envelope fingerprint matches an amplitude-scaled copy
+    of the same signal (comparison bits are scale-invariant) and
+    separates an independent noise signal."""
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprint,
+        media_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    envelope = np.repeat(rng.randint(50, 8000, size=130), 100).astype(np.float64)
+    base = (rng.randn(13000) * envelope / 4 + envelope / 2).clip(-30000, 30000)
+    scaled = (base * 0.5).astype(np.int16)          # half volume: near-dup
+    other = (rng.randn(13000) * 5000).clip(-30000, 30000).astype(np.int16)
+    rows = []
+    for i, sig in enumerate([base.astype(np.int16), scaled, other]):
+        data = encode_wav(sig[:, None], 16000)
+        rows.append((i, bytearray(data), ("audio/wav", len(data), f"mem://{i}")))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    fps = {r["media_id"]: r["afp"] for r in audio_fingerprint(media).collect()}
+    ham01 = bin((fps[0] ^ fps[1]) & (1 << 64) - 1).count("1")
+    ham02 = bin((fps[0] ^ fps[2]) & (1 << 64) - 1).count("1")
+    assert ham01 <= 6 < ham02
+
+    pairs = media_near_dup_pairs(media, max_hamming=6, signature="audio").collect()
+    got = {(r["media_id1"], r["media_id2"]) for r in pairs}
+    assert (0, 1) in got and not any(2 in p for p in got)
