@@ -206,8 +206,22 @@ def bench_bpe(spark, sf_dir):
     return bpe_token_counts(docs, model)
 
 
+def bench_lm(spark, sf_dir):
+    """CCNet perplexity gate over the FULL documents table: train the
+    capped interpolated bigram model on a 2.5k-doc sample, score every
+    doc (three broadcast probes + one doc-keyed agg). Train runs inside
+    the timer — once per corpus, like bench_bpe."""
+    from pg2kinesis_spark.functions.lm import score_perplexity, train_ngram_lm
+    from pg2kinesis_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lm = train_ngram_lm(docs.limit(2500), max_vocab=50_000, max_bigrams=500_000)
+    return score_perplexity(docs, lm)
+
+
 EXTRA_BENCHES = {
     "bpe_token_counts_full": bench_bpe,
+    "lm_perplexity_full": bench_lm,
     "minhash_lsh_full": bench_minhash_full,
     "gopher_filter_full": bench_gopher,
     "bm25_topk_full": bench_bm25,

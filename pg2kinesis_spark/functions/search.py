@@ -46,21 +46,27 @@ def _tokens(col: str = "text"):
     )
 
 
-def build_postings(docs: DataFrame) -> DataFrame:
+def build_postings(docs: DataFrame, term_filter: DataFrame | None = None) -> DataFrame:
     """Inverted index: one row per (term, doc_id) with the term count.
 
     Columns: term, doc_id, tf (count of term in doc), dl (doc length in
     tokens). dl rides along so scoring never re-joins the corpus.
+
+    ``term_filter`` (a broadcastable (term) DataFrame) prunes the
+    exploded stream IN-MAP before the aggregation — for a query batch,
+    only the query's terms ever reach a shuffle.
     """
     # tokenize ONCE: dl rides the exploded rows as a grouping key (it is
     # functionally dependent on doc_id, so the key set is unchanged) —
     # no second tokenize pass, no doc_id self-join.
     toked = docs.select("doc_id", _tokens().alias("_toks"))
+    exploded = toked.select(
+        "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
+    )
+    if term_filter is not None:
+        exploded = exploded.join(F.broadcast(term_filter), "term", "semi")
     return (
-        toked.select(
-            "doc_id", F.size("_toks").alias("dl"), F.explode("_toks").alias("term")
-        )
-        .groupBy("term", "doc_id", "dl")
+        exploded.groupBy("term", "doc_id", "dl")
         .agg(F.count("*").alias("tf"))
         .select("term", "doc_id", "tf", "dl")
     )
@@ -119,14 +125,33 @@ def bm25_topk(
     Returns (query_id, doc_id, score, rnk). Ties break on doc_id
     ascending (total order — engine-stable results).
     """
-    postings = build_postings(docs)
-    # the rank references postings from THREE subtrees (candidates, df
-    # stats, per-doc lengths); left lazy, each re-runs tokenize+explode
-    # over the corpus (the measured lazy-reexecution trap — see
-    # curate.py). One GC-cleaned localCheckpoint executes it once.
-    postings = postings.localCheckpoint(eager=False)
-    stats = corpus_stats(postings)
-    return _bm25_rank(postings, stats, _query_terms(spark, queries), k, k1, b)
+    qterms = _query_terms(spark, queries)
+    qset = qterms.select("term").distinct()
+    # Prune the exploded token stream to the QUERY'S terms in-map
+    # (broadcast semi) before any aggregation: df only matters for the
+    # query's terms, so the full-corpus term table never exists in this
+    # plan at all. The pruned subtree is evaluated twice (candidates +
+    # per-term df) — two cheap map-heavy passes; materializing the full
+    # postings instead (a localCheckpoint) looks clever but holds
+    # O(corpus tokens) rows in executor storage and GC-killed the 5M-doc
+    # scaling run. The amortized full index is write_postings' job.
+    postings = build_postings(docs, term_filter=qset)
+    # n_docs / avgdl are corpus constants: one map-only tokenize pass,
+    # 1-row output, no join against the corpus. dl > 0 keeps the exact
+    # semantics of corpus_stats (which derives them from postings, where
+    # token-less docs never appear) — the persisted-index path must stay
+    # result-identical.
+    consts = (
+        docs.select(F.size(_tokens()).alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    )
+    stats = (
+        postings.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(consts))
+    )
+    return _bm25_rank(postings, stats, qterms, k, k1, b)
 
 
 def _bm25_rank(postings, stats, qterms, k, k1, b):

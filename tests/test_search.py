@@ -134,3 +134,37 @@ def test_bm25_plan_broadcasts_query_terms(spark, docs):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_inline_and_persisted_agree_with_empty_docs(spark, tmp_path):
+    """Token-less docs must not skew n_docs/avgdl on either path — the
+    inline path computes corpus constants from docs (dl > 0 filter), the
+    persisted path from postings; results must stay identical."""
+    from pg2kinesis_spark.functions.search import (
+        bm25_topk,
+        bm25_topk_from_postings,
+        write_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "alpha delta"),
+            (3, ""),          # token-less
+            (4, "...!!!"),    # tokenizer yields nothing
+            (5, "beta beta gamma"),
+            # enough alpha/beta-free docs that idf does not floor to 0
+            (6, "delta epsilon zeta"),
+            (7, "gamma delta epsilon"),
+            (8, "zeta epsilon"),
+        ],
+        ["doc_id", "text"],
+    )
+    qs = {"q": "alpha beta"}
+    inline = {(r["query_id"], r["doc_id"], round(r["score"], 10))
+              for r in bm25_topk(spark, docs, qs, k=3).collect()}
+    path = str(tmp_path / "idx")
+    write_postings(docs, path, buckets=4)
+    persisted = {(r["query_id"], r["doc_id"], round(r["score"], 10))
+                 for r in bm25_topk_from_postings(spark, path, qs, k=3, buckets=4).collect()}
+    assert inline == persisted and inline

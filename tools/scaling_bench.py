@@ -62,7 +62,12 @@ def build_corpus(spark, rows: int) -> str:
         )
         .filter(F.col("doc_id") < rows)
     )
-    blown.repartition(32).write.mode("overwrite").parquet(path)
+    # partition count scales with rows (~25k docs/file): a fixed 32-file
+    # layout makes per-task memory GROW with corpus size — at 5M rows the
+    # 156k-doc tasks GC-thrash the executor to death. Bounded tasks are
+    # exactly what spark.sql.files.maxPartitionBytes gives a real cluster;
+    # the writer must not defeat it with giant row groups.
+    blown.repartition(max(32, rows // 25_000)).write.mode("overwrite").parquet(path)
     return path
 
 
