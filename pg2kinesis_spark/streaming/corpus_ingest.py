@@ -53,10 +53,16 @@ class CorpusIngest:
         bands: int = 4,
         gopher: bool | dict = False,
         max_pii: int | None = None,
+        lm_model=None,
+        max_perplexity: float | None = None,
     ):
         self.out_dir = out_dir
         self.gopher = gopher
         self.max_pii = max_pii
+        # LM gate state: the model's count DataFrames live for the whole
+        # stream (trained once, on a REFERENCE corpus — not the stream)
+        self.lm_model = lm_model
+        self.max_perplexity = max_perplexity
         self.accepted_path = os.path.join(out_dir, "accepted")
         self.hash_path = os.path.join(out_dir, "hash_index")
         self.sig_path = os.path.join(out_dir, "sig_index")
@@ -97,6 +103,10 @@ class CorpusIngest:
             from pg2kinesis_spark.functions.pii import pii_filter
 
             batch = pii_filter(batch, max_pii=self.max_pii)
+        if self.lm_model is not None and self.max_perplexity is not None:
+            from pg2kinesis_spark.functions.lm import perplexity_filter
+
+            batch = perplexity_filter(batch, self.lm_model, self.max_perplexity)
         ann = annotate(batch)
         if self.min_quality > 0.0:
             ann = ann.filter(F.col("quality") >= self.min_quality)

@@ -120,3 +120,37 @@ def test_ingest_with_row_local_gates(spark, tmp_path):
     )
     accepted = spark.read.parquet(os.path.join(out, "accepted"))
     assert {r["doc_id"] for r in accepted.collect()} == {1}
+
+
+def test_ingest_lm_perplexity_gate(spark, tmp_path):
+    """The CCNet gate in streaming: a reference-corpus LM drops the
+    gibberish doc while in-domain docs flow through to the indexes."""
+    from pg2kinesis_spark.functions.lm import score_perplexity, train_ngram_lm
+    from pg2kinesis_spark.io import load_table
+
+    ref = load_table(spark, "/root/testdata/sf0.001", "documents").limit(200).select(
+        "doc_id", "text"
+    )
+    lm = train_ngram_lm(ref, max_vocab=500, max_bigrams=5000)
+
+    src = str(tmp_path / "landing")
+    out = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+    indomain = [r["text"] for r in ref.limit(2).collect()]
+    gibberish = "zqx vbnk wpfj ttyu qqas lkhg zzzp mmro xxyz qwpv"
+    rows = [(1, indomain[0]), (2, indomain[1]), (3, gibberish)]
+    _write_batch(spark, src, rows, "b1")
+
+    # threshold between the in-domain docs and the gibberish
+    ppl = {
+        r["doc_id"]: r["perplexity"]
+        for r in score_perplexity(_docs(spark, rows), lm).collect()
+    }
+    thresh = (max(ppl[1], ppl[2]) + ppl[3]) / 2
+    q = start_corpus_ingest(
+        spark, src, out, ckpt, near_dup_jaccard=0.6, lm_model=lm, max_perplexity=thresh
+    )
+    q.awaitTermination(120)
+
+    accepted = spark.read.parquet(os.path.join(out, "accepted"))
+    assert {r["doc_id"] for r in accepted.select("doc_id").collect()} == {1, 2}
