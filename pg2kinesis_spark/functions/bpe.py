@@ -164,13 +164,27 @@ def learn_bpe_from_frequencies(word_freqs: list, num_merges: int) -> BpeModel:
             pair_counts[pair] += f
             pair_words.setdefault(pair, set()).add(idx)
 
+    # Lazy-deletion max-heap over (-count, pair): a full min() scan of
+    # the pair table per merge is O(P) and makes 8k merges over a
+    # million-type vocabulary quadratic; the heap pops stale entries
+    # until one matches the live count. Heap order (-count, pair)
+    # ascending == most frequent pair, ties to the lexicographically
+    # smallest (a, b) — identical to the naive scan, and the pure-Python
+    # oracle test pins that equivalence.
+    import heapq
+
+    heap = [(-cnt, pair) for pair, cnt in pair_counts.items()]
+    heapq.heapify(heap)
+
     merges = []
     for _ in range(num_merges):
-        if not pair_counts:
-            break
-        # most frequent pair; ties -> lexicographically smallest (a, b)
-        best_pair = min(pair_counts, key=lambda p: (-pair_counts[p], p))
-        if pair_counts[best_pair] <= 0:
+        best_pair = None
+        while heap:
+            neg, pair = heapq.heappop(heap)
+            if pair_counts.get(pair) == -neg:
+                best_pair = pair
+                break
+        if best_pair is None:
             break
         merges.append(best_pair)
         for idx in list(pair_words.get(best_pair, ())):
@@ -180,6 +194,11 @@ def learn_bpe_from_frequencies(word_freqs: list, num_merges: int) -> BpeModel:
                 pair_counts[pair] -= f
                 if pair_counts[pair] <= 0:
                     del pair_counts[pair]
+                else:
+                    # decrements need a heap entry too: stale higher
+                    # counts get discarded on pop, so without this the
+                    # pair would become unselectable forever
+                    heapq.heappush(heap, (-pair_counts[pair], pair))
                 s = pair_words.get(pair)
                 if s is not None:
                     s.discard(idx)
@@ -190,6 +209,7 @@ def learn_bpe_from_frequencies(word_freqs: list, num_merges: int) -> BpeModel:
             for pair in zip(merged, merged[1:]):
                 pair_counts[pair] += f
                 pair_words.setdefault(pair, set()).add(idx)
+                heapq.heappush(heap, (-pair_counts[pair], pair))
 
     alphabet = sorted({c for w, _ in word_freqs for c in w} | {EOW})
     token_ids = {s: i + 1 for i, s in enumerate(alphabet)}

@@ -187,3 +187,60 @@ def test_decode_inverts_encode(spark, docs, model):
         # canonical whitespace: split/rejoin collapses runs of spaces
         want = " ".join(w for w in r["text"].split(" ") if w)
         assert dec[r["doc_id"]] == want, r["doc_id"]
+
+
+def test_bpe_property_segmentation_partitions_word():
+    """For arbitrary corpora: every word's segmentation concatenates
+    back to word+EOW exactly (BPE only ever merges adjacent symbols),
+    and learned merges are deterministic across runs."""
+    from hypothesis import given, settings, strategies as st
+
+    word = st.text(alphabet="abcde", min_size=1, max_size=12)
+    corpus = st.lists(
+        st.tuples(word, st.integers(min_value=1, max_value=50)),
+        min_size=1,
+        max_size=40,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(corpus, st.integers(min_value=0, max_value=60))
+    def prop(wf, n_merges):
+        # collapse duplicate words (the real word-freq table is keyed)
+        table = {}
+        for w, f in wf:
+            table[w] = table.get(w, 0) + f
+        items = sorted(table.items())
+        m1 = learn_bpe_from_frequencies(items, n_merges)
+        m2 = learn_bpe_from_frequencies(items, n_merges)
+        assert m1.merges == m2.merges
+        for w, _ in items:
+            syms = m1.segment_word(w)
+            assert "".join(syms) == w + EOW
+            assert all(s in m1.token_ids for s in syms)
+
+    prop()
+
+
+def test_bpe_heap_learner_speed_sanity():
+    """8k merges over a synthetic 20k-type vocabulary completes fast —
+    the lazy-deletion heap keeps per-merge cost near the touched words,
+    not the full pair table."""
+    import random
+    import time
+
+    rng = random.Random(3)
+    wf = [
+        (
+            "".join(rng.choices("abcdefghijklmnop", k=rng.randint(3, 12))),
+            rng.randint(1, 500),
+        )
+        for _ in range(20000)
+    ]
+    table = {}
+    for w, f in wf:
+        table[w] = table.get(w, 0) + f
+    t0 = time.perf_counter()
+    m = learn_bpe_from_frequencies(sorted(table.items()), 8000)
+    wall = time.perf_counter() - t0
+    assert len(m.merges) > 2000
+    assert wall < 60, wall
