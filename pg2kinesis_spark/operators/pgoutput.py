@@ -1,0 +1,323 @@
+"""pgoutput (Postgres built-in logical replication) binary parser.
+
+The reference decodes test_decoding and wal2json — both TEXT output
+plugins a user must install or opt into. Real logical replication
+(`CREATE PUBLICATION` / pub-sub) speaks **pgoutput**, the binary
+protocol built into every Postgres since 10; this module is that
+front door, beyond-reference CDC surface. Wire format per the public
+docs (protocol.html, "Logical Replication Message Formats"):
+
+    Begin     'B' final_lsn(8) commit_ts(8) xid(4)
+    Commit    'C' flags(1) commit_lsn(8) end_lsn(8) commit_ts(8)
+    Relation  'R' rel_id(4) ns(cstr) rel(cstr) replident(1) ncols(2)
+                  [flags(1) name(cstr) type_oid(4) type_mod(4)]...
+    Insert    'I' rel_id(4) 'N' TupleData
+    Update    'U' rel_id(4) [('K'|'O') TupleData] 'N' TupleData
+    Delete    'D' rel_id(4) ('K'|'O') TupleData
+    TupleData ncols(2) [kind(1: 'n'|'u'|'t') [len(4) bytes]]...
+
+Scale design
+------------
+* Relation messages are STATEFUL protocol metadata (each session sends
+  them before the rows that reference them), and Spark partitions can
+  split a stream arbitrarily — so relations are extracted first into a
+  bounded registry (one row per replicated table: thousands, not
+  data-sized), collected, and BROADCAST into the row kernel. Row
+  parsing is then embarrassingly parallel.
+* Binary struct-walking is not expressible as Catalyst expressions, so
+  the kernel is an Arrow-batched mapInPandas — the same honest Python
+  tier as the media codecs; everything around it (filters, the xid
+  stamp, formatting) stays JVM-side.
+* xid attribution reuses the existing distributed prefix-scan
+  (``stamp_xid_scalable``): Begin rows carry ``begin_xid``, row
+  messages inherit it — identical W1 semantics to test_decoding.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------- decode
+
+
+def _cstr(buf: bytes, pos: int) -> tuple[str, int]:
+    end = buf.index(b"\x00", pos)
+    return buf[pos:end].decode("utf-8"), end + 1
+
+
+def _tuple_data(buf: bytes, pos: int) -> tuple[list, int]:
+    """Decode TupleData -> list of (text | None | '<unchanged>')."""
+    (ncols,) = struct.unpack_from(">H", buf, pos)
+    pos += 2
+    out = []
+    for _ in range(ncols):
+        kind = buf[pos : pos + 1]
+        pos += 1
+        if kind == b"n":
+            out.append(None)
+        elif kind == b"u":
+            out.append("<unchanged>")
+        elif kind == b"t":
+            (ln,) = struct.unpack_from(">I", buf, pos)
+            pos += 4
+            out.append(buf[pos : pos + ln].decode("utf-8"))
+            pos += ln
+        else:
+            raise ValueError(f"bad TupleData column kind {kind!r}")
+    return out, pos
+
+
+def decode_message(buf: bytes) -> dict:
+    """Decode ONE pgoutput message to a plain dict (kernel helper;
+    also the unit the tests hit directly)."""
+    tag = buf[:1]
+    if tag == b"B":
+        final_lsn, ts, xid = struct.unpack_from(">QQI", buf, 1)
+        return {"op": "begin", "xid": xid, "final_lsn": final_lsn}
+    if tag == b"C":
+        flags, commit_lsn, end_lsn, ts = struct.unpack_from(">BQQQ", buf, 1)
+        return {"op": "commit", "commit_lsn": commit_lsn, "end_lsn": end_lsn}
+    if tag == b"R":
+        (rel_id,) = struct.unpack_from(">I", buf, 1)
+        ns, pos = _cstr(buf, 5)
+        rel, pos = _cstr(buf, pos)
+        replident = chr(buf[pos])
+        pos += 1
+        (ncols,) = struct.unpack_from(">H", buf, pos)
+        pos += 2
+        cols, key_cols = [], []
+        for _ in range(ncols):
+            flags = buf[pos]
+            pos += 1
+            name, pos = _cstr(buf, pos)
+            type_oid, type_mod = struct.unpack_from(">Ii", buf, pos)
+            pos += 8
+            cols.append(name)
+            if flags & 1:
+                key_cols.append(name)
+        return {
+            "op": "relation",
+            "rel_id": rel_id,
+            "namespace": ns or "pg_catalog",
+            "relname": rel,
+            "replident": replident,
+            "col_names": cols,
+            "key_cols": key_cols,
+        }
+    if tag == b"I":
+        (rel_id,) = struct.unpack_from(">I", buf, 1)
+        assert buf[5:6] == b"N", "Insert must carry a New tuple"
+        vals, _ = _tuple_data(buf, 6)
+        return {"op": "insert", "rel_id": rel_id, "new": vals, "old": None}
+    if tag == b"U":
+        (rel_id,) = struct.unpack_from(">I", buf, 1)
+        pos, old = 5, None
+        marker = buf[pos : pos + 1]
+        if marker in (b"K", b"O"):
+            old, pos = _tuple_data(buf, pos + 1)
+            marker = buf[pos : pos + 1]
+        assert marker == b"N", "Update must carry a New tuple"
+        vals, _ = _tuple_data(buf, pos + 1)
+        return {"op": "update", "rel_id": rel_id, "new": vals, "old": old}
+    if tag == b"D":
+        (rel_id,) = struct.unpack_from(">I", buf, 1)
+        marker = buf[5:6]
+        assert marker in (b"K", b"O"), "Delete must carry a Key/Old tuple"
+        old, _ = _tuple_data(buf, 6)
+        return {"op": "delete", "rel_id": rel_id, "new": None, "old": old}
+    raise ValueError(f"unknown pgoutput message tag {tag!r}")
+
+
+# ---------------------------------------------------------------- encode
+# (fixture/test writer — also lets tests be independent of the decoder)
+
+
+def encode_begin(final_lsn: int, xid: int, ts: int = 0) -> bytes:
+    return b"B" + struct.pack(">QQI", final_lsn, ts, xid)
+
+
+def encode_commit(commit_lsn: int, end_lsn: int, ts: int = 0) -> bytes:
+    return b"C" + struct.pack(">BQQQ", 0, commit_lsn, end_lsn, ts)
+
+
+def encode_relation(
+    rel_id: int, ns: str, rel: str, cols: list, key_cols: tuple = (), replident: str = "d"
+) -> bytes:
+    out = b"R" + struct.pack(">I", rel_id)
+    out += ns.encode() + b"\x00" + rel.encode() + b"\x00"
+    out += replident.encode() + struct.pack(">H", len(cols))
+    for name in cols:
+        flags = 1 if name in key_cols else 0
+        out += bytes([flags]) + name.encode() + b"\x00" + struct.pack(">Ii", 25, -1)
+    return out
+
+
+def _enc_tuple(vals: list) -> bytes:
+    out = struct.pack(">H", len(vals))
+    for v in vals:
+        if v is None:
+            out += b"n"
+        elif v == "<unchanged>":
+            out += b"u"
+        else:
+            b = str(v).encode("utf-8")
+            out += b"t" + struct.pack(">I", len(b)) + b
+    return out
+
+
+def encode_insert(rel_id: int, vals: list) -> bytes:
+    return b"I" + struct.pack(">I", rel_id) + b"N" + _enc_tuple(vals)
+
+
+def encode_update(rel_id: int, vals: list, old: list | None = None, old_kind: str = "K") -> bytes:
+    out = b"U" + struct.pack(">I", rel_id)
+    if old is not None:
+        out += old_kind.encode() + _enc_tuple(old)
+    return out + b"N" + _enc_tuple(vals)
+
+
+def encode_delete(rel_id: int, old: list, old_kind: str = "K") -> bytes:
+    return b"D" + struct.pack(">I", rel_id) + old_kind.encode() + _enc_tuple(old)
+
+
+# ------------------------------------------------------------- operators
+
+RELATION_SCHEMA = T.StructType(
+    [
+        T.StructField("rel_id", T.LongType()),
+        T.StructField("namespace", T.StringType()),
+        T.StructField("relname", T.StringType()),
+        T.StructField("replident", T.StringType()),
+        T.StructField("col_names", T.ArrayType(T.StringType())),
+        T.StructField("key_cols", T.ArrayType(T.StringType())),
+    ]
+)
+
+ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("lsn", T.LongType()),
+        T.StructField("operation", T.StringType()),
+        # string: stamp_xid_scalable carries xid as text with '' before
+        # any BEGIN (reference formatter.py:37 semantics)
+        T.StructField("begin_xid", T.StringType()),
+        T.StructField("rel_id", T.LongType()),
+        T.StructField("col_values", T.ArrayType(T.StringType())),
+        T.StructField("old_values", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def relation_registry(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Bounded (rel_id, namespace, relname, replident, col_names,
+    key_cols) registry from the stream's Relation messages. Later
+    Relation messages for the same rel_id win (schema changes resend
+    them); ordering is by lsn."""
+    import pandas as pd
+
+    rel_only = raw.filter(F.expr(f"substring({payload_col}, 1, 1) = x'52'"))  # 'R'
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for lsn, buf in zip(pdf["lsn"], pdf[payload_col]):
+                d = decode_message(bytes(buf))
+                rows.append(
+                    (
+                        lsn,
+                        d["rel_id"],
+                        d["namespace"],
+                        d["relname"],
+                        d["replident"],
+                        d["col_names"],
+                        d["key_cols"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "lsn", "rel_id", "namespace", "relname", "replident",
+                    "col_names", "key_cols",
+                ],
+            )
+
+    schema = T.StructType(
+        [T.StructField("lsn", T.LongType()), *RELATION_SCHEMA.fields]
+    )
+    parsed = rel_only.select("lsn", payload_col).mapInPandas(kernel, schema)
+    # last Relation message per rel_id wins (max_by on lsn)
+    return parsed.groupBy("rel_id").agg(
+        F.max_by("namespace", "lsn").alias("namespace"),
+        F.max_by("relname", "lsn").alias("relname"),
+        F.max_by("replident", "lsn").alias("replident"),
+        F.max_by("col_names", "lsn").alias("col_names"),
+        F.max_by("key_cols", "lsn").alias("key_cols"),
+    )
+
+
+def parse_pgoutput(
+    raw: DataFrame, registry: DataFrame | None = None, payload_col: str = "payload"
+) -> DataFrame:
+    """Parse a (lsn, payload binary) pgoutput stream into change rows.
+
+    Returns (lsn, operation, xid, table, col_names, col_values,
+    old_values, key_cols): insert/update/delete rows joined to their
+    broadcast relation metadata, xid attributed via the distributed
+    BEGIN carry-forward. Begin/Commit/Relation messages drive the
+    attribution and registry but emit no change rows.
+    """
+    import pandas as pd
+
+    from .test_decoding import stamp_xid_scalable
+
+    if registry is None:
+        registry = relation_registry(raw, payload_col)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for lsn, buf in zip(pdf["lsn"], pdf[payload_col]):
+                d = decode_message(bytes(buf))
+                op = d["op"]
+                if op == "begin":
+                    rows.append((lsn, "begin", str(d["xid"]), None, None, None))
+                elif op == "commit":
+                    rows.append((lsn, "commit", None, None, None, None))
+                elif op in ("insert", "update", "delete"):
+                    rows.append(
+                        (lsn, op, None, d["rel_id"], d["new"], d["old"])
+                    )
+                # relation messages feed relation_registry, not rows
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "lsn", "operation", "begin_xid", "rel_id",
+                    "col_values", "old_values",
+                ],
+            )
+
+    parsed = raw.select("lsn", payload_col).mapInPandas(kernel, ROWS_SCHEMA)
+    stamped = stamp_xid_scalable(parsed, order_col="lsn", begin_col="begin_xid")
+    changes = stamped.filter(F.col("operation").isin("insert", "update", "delete"))
+    reg = F.broadcast(
+        registry.select(
+            "rel_id",
+            F.concat_ws(".", "namespace", "relname").alias("table"),
+            "col_names",
+            "key_cols",
+        )
+    )
+    return changes.join(reg, "rel_id", "left").select(
+        "lsn",
+        "operation",
+        "xid",
+        "table",
+        "col_names",
+        "col_values",
+        "old_values",
+        "key_cols",
+    )

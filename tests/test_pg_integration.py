@@ -130,3 +130,38 @@ def test_push_reader_consume_loop_live(manager, table, slot_name):
         time.sleep(0.5)
     assert any("push" in m[2] for m in got)
     reader.commit(end)
+
+
+def test_pgoutput_binary_peek_parses_live(manager, table, slot_name):
+    """Real pgoutput bytes: create a publication + pgoutput slot, insert,
+    peek the BINARY change stream, and run the repo's decoder over it —
+    the wire-format twin of tests/test_pgoutput.py's hand-packed bytes."""
+    from pg2kinesis_spark.operators.pgoutput import decode_message
+
+    from pg2kinesis_spark.sources.pgcdc import PgSlotManager
+
+    pub = f"pub_{slot_name}"
+    mgr = PgSlotManager(DSN, slot_name, "pgoutput")
+    with psycopg2.connect(DSN) as conn, conn.cursor() as cur:
+        cur.execute(f"CREATE PUBLICATION {pub} FOR TABLE {table}")
+    try:
+        mgr.create_slot()
+        with psycopg2.connect(DSN) as conn, conn.cursor() as cur:
+            cur.execute(f"INSERT INTO {table} VALUES (1, 'x'), (2, 'y')")
+        with psycopg2.connect(DSN) as conn, conn.cursor() as cur:
+            cur.execute(
+                "SELECT lsn, data FROM pg_logical_slot_peek_binary_changes("
+                "%s, NULL, NULL, 'proto_version', '1', 'publication_names', %s)",
+                (slot_name, pub),
+            )
+            msgs = [decode_message(bytes(d)) for _, d in cur.fetchall()]
+        ops = [m["op"] for m in msgs]
+        assert "begin" in ops and "relation" in ops and "commit" in ops
+        inserts = [m for m in msgs if m["op"] == "insert"]
+        assert [m["new"] for m in inserts] == [["1", "x"], ["2", "y"]]
+        rel = next(m for m in msgs if m["op"] == "relation")
+        assert rel["relname"] == table and rel["key_cols"] == ["id"]
+    finally:
+        mgr.delete_slot()
+        with psycopg2.connect(DSN) as conn, conn.cursor() as cur:
+            cur.execute(f"DROP PUBLICATION IF EXISTS {pub}")

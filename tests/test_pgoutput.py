@@ -1,0 +1,126 @@
+"""pgoutput binary protocol: decode unit tests against hand-packed
+bytes, and the Spark parse pipeline end-to-end."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from pg2kinesis_spark.operators.pgoutput import (
+    decode_message,
+    encode_begin,
+    encode_commit,
+    encode_delete,
+    encode_insert,
+    encode_relation,
+    encode_update,
+    parse_pgoutput,
+    relation_registry,
+)
+
+
+def test_decode_begin_commit_hand_packed():
+    # independent of the encoders: bytes packed inline per the spec
+    b = b"B" + struct.pack(">QQI", 0x1_0000_0010, 0, 777)
+    assert decode_message(b) == {"op": "begin", "xid": 777, "final_lsn": 0x1_0000_0010}
+    c = b"C" + struct.pack(">BQQQ", 0, 16, 32, 0)
+    assert decode_message(c) == {"op": "commit", "commit_lsn": 16, "end_lsn": 32}
+
+
+def test_decode_relation_and_tuples_hand_packed():
+    r = (
+        b"R"
+        + struct.pack(">I", 55)
+        + b"public\x00users\x00d"
+        + struct.pack(">H", 2)
+        + b"\x01id\x00" + struct.pack(">Ii", 23, -1)
+        + b"\x00name\x00" + struct.pack(">Ii", 25, -1)
+    )
+    d = decode_message(r)
+    assert d["rel_id"] == 55 and d["relname"] == "users"
+    assert d["col_names"] == ["id", "name"] and d["key_cols"] == ["id"]
+
+    ins = (
+        b"I"
+        + struct.pack(">I", 55)
+        + b"N"
+        + struct.pack(">H", 3)
+        + b"t" + struct.pack(">I", 1) + b"7"
+        + b"n"
+        + b"u"
+    )
+    d = decode_message(ins)
+    assert d == {"op": "insert", "rel_id": 55, "new": ["7", None, "<unchanged>"], "old": None}
+
+
+def test_encode_decode_roundtrip_all_ops():
+    msgs = [
+        encode_begin(100, 42),
+        encode_relation(9, "public", "t", ["id", "v"], key_cols=("id",)),
+        encode_insert(9, ["1", "hello"]),
+        encode_update(9, ["1", "world"], old=["1", None], old_kind="O"),
+        encode_delete(9, ["1", "<unchanged>"]),
+        encode_commit(100, 101),
+    ]
+    ops = [decode_message(m)["op"] for m in msgs]
+    assert ops == ["begin", "relation", "insert", "update", "delete", "commit"]
+    upd = decode_message(msgs[3])
+    assert upd["new"] == ["1", "world"] and upd["old"] == ["1", None]
+    assert decode_message(msgs[4])["old"] == ["1", "<unchanged>"]
+    with pytest.raises(ValueError):
+        decode_message(b"Zjunk")
+
+
+def _stream(spark, unicode_table=False):
+    rel = "tüble" if unicode_table else "users"
+    msgs = [
+        (10, encode_relation(55, "public", rel, ["id", "name"], key_cols=("id",))),
+        (20, encode_begin(60, 900)),
+        (30, encode_insert(55, ["1", "alice"])),
+        (40, encode_update(55, ["1", "bob"], old=["1", "alice"], old_kind="O")),
+        (50, encode_commit(60, 61)),
+        (60, encode_begin(95, 901)),
+        (70, encode_delete(55, ["1", None])),
+        (80, encode_commit(95, 96)),
+    ]
+    return spark.createDataFrame(
+        [(lsn, bytearray(m)) for lsn, m in msgs], "lsn long, payload binary"
+    )
+
+
+def test_relation_registry_last_wins(spark):
+    raw = _stream(spark)
+    # re-send the relation with a new column set at a later lsn
+    extra = spark.createDataFrame(
+        [(90, bytearray(encode_relation(55, "public", "users", ["id", "name", "age"], key_cols=("id",))))],
+        "lsn long, payload binary",
+    )
+    reg = relation_registry(raw.union(extra)).collect()
+    assert len(reg) == 1
+    assert reg[0]["col_names"] == ["id", "name", "age"]
+
+
+def test_parse_pgoutput_end_to_end(spark):
+    out = parse_pgoutput(_stream(spark)).orderBy("lsn").collect()
+    assert [(r["operation"], r["xid"]) for r in out] == [
+        ("insert", "900"),
+        ("update", "900"),
+        ("delete", "901"),
+    ]
+    ins, upd, dele = out
+    assert ins["table"] == "public.users"
+    assert ins["col_names"] == ["id", "name"] and ins["col_values"] == ["1", "alice"]
+    assert upd["old_values"] == ["1", "alice"] and upd["col_values"] == ["1", "bob"]
+    assert dele["col_values"] is None and dele["old_values"] == ["1", None]
+    assert dele["key_cols"] == ["id"]
+
+
+def test_parse_handles_unicode_and_plan_shape(spark):
+    df = parse_pgoutput(_stream(spark, unicode_table=True))
+    rows = df.collect()
+    assert all(r["table"] == "public.tüble" for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # relation metadata joins via broadcast; no cartesian anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
