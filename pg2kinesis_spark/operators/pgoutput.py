@@ -315,9 +315,52 @@ def parse_pgoutput(
         "lsn",
         "operation",
         "xid",
+        "rel_id",
         "table",
         "col_names",
         "col_values",
         "old_values",
         "key_cols",
     )
+
+
+def pgoutput_cdc_changes(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Adapt a pgoutput stream to apply_cdc's change contract:
+    (lsn, change_idx, table, operation, pkey, row map<string,string>,
+    error) — so ``_last_wins`` / ``snapshot_changes`` semantics and
+    ``CdcTableMaterializer`` run unchanged on the binary protocol.
+
+    pgoutput carries one change per message (change_idx = 0); the pkey
+    is the first replica-identity column (both 'K' and 'O' old tuples
+    use the full column layout, so one position lookup covers every
+    op); rows referencing a rel_id with no Relation message surface an
+    ``error`` instead of being dropped (fail-stop channel, §8.5).
+    """
+    parsed = parse_pgoutput(raw, payload_col=payload_col)
+    eff_values = F.when(
+        F.col("operation") == "delete", F.col("old_values")
+    ).otherwise(F.col("col_values"))
+    pos = F.array_position(F.col("col_names"), F.element_at(F.col("key_cols"), 1))
+    pkey = F.coalesce(F.element_at(eff_values, pos.cast("int")), F.lit("None"))
+    return parsed.select(
+        "lsn",
+        F.lit(0).alias("change_idx"),
+        "table",
+        "operation",
+        F.when(pos > 0, pkey).alias("pkey"),
+        F.map_from_arrays("col_names", eff_values).alias("row"),
+        F.when(
+            F.col("table").isNull(),
+            F.format_string("no Relation message for rel_id %s", F.col("rel_id")),
+        ).alias("error"),
+    )
+
+
+def pgoutput_snapshot(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """One-shot materialization from pgoutput: current row per
+    (table, pkey), deletes gone — the binary-protocol twin of
+    apply_cdc.snapshot_changes."""
+    from .apply_cdc import _last_wins
+
+    changes = pgoutput_cdc_changes(raw, payload_col)
+    return _last_wins(changes).filter(F.col("last_operation") != "delete")

@@ -124,3 +124,48 @@ def test_parse_handles_unicode_and_plan_shape(spark):
     # relation metadata joins via broadcast; no cartesian anywhere
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pgoutput_snapshot_materializes_current_state(spark):
+    """insert -> update -> delete stream materializes like wal2json's
+    snapshot_changes: updates win, deleted keys vanish."""
+    from pg2kinesis_spark.operators.pgoutput import (
+        pgoutput_cdc_changes,
+        pgoutput_snapshot,
+    )
+
+    msgs = [
+        (10, encode_relation(55, "public", "users", ["id", "name"], key_cols=("id",))),
+        (20, encode_begin(95, 900)),
+        (30, encode_insert(55, ["1", "alice"])),
+        (40, encode_insert(55, ["2", "bob"])),
+        (50, encode_update(55, ["1", "alice2"], old=["1", "alice"], old_kind="O")),
+        (60, encode_delete(55, ["2", None])),
+        (70, encode_commit(95, 96)),
+    ]
+    raw = spark.createDataFrame(
+        [(lsn, bytearray(m)) for lsn, m in msgs], "lsn long, payload binary"
+    )
+    ch = pgoutput_cdc_changes(raw).collect()
+    assert all(r["error"] is None for r in ch)
+    by_key = {(r["table"], r["pkey"], r["lsn"]): r for r in ch}
+    assert by_key[("public.users", "2", 60)]["operation"] == "delete"
+
+    snap = {r["pkey"]: r["row"] for r in pgoutput_snapshot(raw).collect()}
+    assert snap == {"1": {"id": "1", "name": "alice2"}}
+
+
+def test_pgoutput_unknown_rel_surfaces_error(spark):
+    from pg2kinesis_spark.operators.pgoutput import pgoutput_cdc_changes
+
+    msgs = [
+        (10, encode_begin(30, 900)),
+        (20, encode_insert(99, ["1", "ghost"])),  # no Relation for 99
+        (30, encode_commit(30, 31)),
+    ]
+    raw = spark.createDataFrame(
+        [(lsn, bytearray(m)) for lsn, m in msgs], "lsn long, payload binary"
+    )
+    rows = pgoutput_cdc_changes(raw).collect()
+    assert len(rows) == 1
+    assert rows[0]["error"] == "no Relation message for rel_id 99"
