@@ -380,3 +380,35 @@ def bpe_decode(
         .join(seqs, key_col, "left")
         .select(key_col, F.coalesce("text", F.lit("")).alias("text"))
     )
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    model: BpeModel,
+    text_col: str = "text",
+) -> DataFrame:
+    """One row: (n_words, n_bpe_tokens, fertility, chars_per_token) —
+    the standard tokenizer-quality metrics (fertility = subword tokens
+    per word; lower is better for a fixed vocabulary). Same bounded
+    word-type Python stage as the counters; the corpus side is one
+    broadcast join + global agg."""
+    word_n = _word_ids_table(docs, model, text_col).select(
+        "w", F.size("ids").alias("n")
+    )
+    words = docs.select(F.explode(F.split(text_col, " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    return (
+        words.join(F.broadcast(word_n), "w")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n").alias("n_bpe_tokens"),
+            F.sum(F.length("w")).alias("_chars"),
+        )
+        .select(
+            "n_words",
+            "n_bpe_tokens",
+            (F.col("n_bpe_tokens") / F.col("n_words")).alias("fertility"),
+            (F.col("_chars") / F.col("n_bpe_tokens")).alias("chars_per_token"),
+        )
+    )

@@ -272,3 +272,21 @@ def mix_corpora(
         kept = df.filter(hash_bucket(key_col, buckets) < int(frac * buckets))
         parts.append(kept.withColumn("source", F.lit(s)))
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def temperature_weights(
+    df: DataFrame, strata_col: str, alpha: float = 0.7, weight_col: str | None = None
+) -> dict:
+    """Temperature-scaled mixture targets: share_i proportional to
+    size_i ** alpha — the standard multilingual/domain re-weighting
+    (alpha=1 keeps natural proportions, alpha=0 is uniform, 0.3-0.7
+    up-weights small domains). One O(strata) aggregate; the returned
+    dict feeds ``rebalance_to_target`` directly."""
+    agg = F.count("*") if weight_col is None else F.sum(weight_col)
+    sizes = {
+        r[strata_col]: float(r["_n"])
+        for r in df.groupBy(strata_col).agg(agg.alias("_n")).collect()
+    }
+    powered = {k: v**alpha for k, v in sizes.items() if v > 0}
+    total = sum(powered.values())
+    return {k: v / total for k, v in powered.items()}

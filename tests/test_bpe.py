@@ -244,3 +244,16 @@ def test_bpe_heap_learner_speed_sanity():
     wall = time.perf_counter() - t0
     assert len(m.merges) > 2000
     assert wall < 60, wall
+
+
+def test_bpe_fertility_matches_python(spark, docs, texts, model):
+    from pg2kinesis_spark.functions.bpe import bpe_fertility
+
+    words = [w for t in texts.values() for w in t.split(" ") if w] if isinstance(texts, dict) else [w for t in texts for w in t.split(" ") if w]
+    n_tok = sum(len(model.encode_word(w)) for w in words)
+    r = bpe_fertility(docs, model).collect()[0]
+    assert r["n_words"] == len(words)
+    assert r["n_bpe_tokens"] == n_tok
+    assert r["fertility"] == pytest.approx(n_tok / len(words))
+    # fertility is at least 1 (every word is >= 1 token incl. EOW merge)
+    assert r["fertility"] >= 1.0

@@ -344,3 +344,43 @@ def test_audio_fingerprint_real_neardup(spark):
     pairs = media_near_dup_pairs(media, max_hamming=6, signature="audio").collect()
     got = {(r["media_id1"], r["media_id2"]) for r in pairs}
     assert (0, 1) in got and not any(2 in p for p in got)
+
+
+def test_png_property_roundtrip():
+    """Arbitrary small images round-trip through encode_png/decode_png."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.sampled_from([1, 2, 3, 4]),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def prop(h, w, c, seed):
+        img = np.random.RandomState(seed).randint(0, 256, size=(h, w, c), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+
+    prop()
+
+
+def test_wav_property_roundtrip():
+    """Arbitrary int16 sample blocks round-trip through encode/decode."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=200),
+        st.sampled_from([1, 2]),
+        st.sampled_from([8000, 16000, 44100]),
+    )
+    def prop(flat, nch, rate):
+        n = (len(flat) // nch) * nch
+        if n == 0:
+            return
+        samples = np.array(flat[:n], dtype=np.int16).reshape(-1, nch)
+        got, r = decode_wav(encode_wav(samples, rate))
+        assert r == rate
+        np.testing.assert_array_equal(got, samples)
+
+    prop()

@@ -169,3 +169,28 @@ def test_pgoutput_unknown_rel_surfaces_error(spark):
     rows = pgoutput_cdc_changes(raw).collect()
     assert len(rows) == 1
     assert rows[0]["error"] == "no Relation message for rel_id 99"
+
+
+def test_pgoutput_property_roundtrip():
+    """Arbitrary tuple payloads (unicode, None, <unchanged>, empty
+    strings) survive encode->decode for every row op."""
+    from hypothesis import given, settings, strategies as st
+
+    val = st.one_of(
+        st.none(),
+        st.just("<unchanged>"),
+        st.text(max_size=30),
+    )
+    vals = st.lists(val, min_size=0, max_size=8)
+
+    @settings(max_examples=120, deadline=None)
+    @given(vals, vals, st.integers(min_value=0, max_value=2**31 - 1))
+    def prop(new, old, rel_id):
+        d = decode_message(encode_insert(rel_id, new))
+        assert d["new"] == new and d["rel_id"] == rel_id
+        d = decode_message(encode_update(rel_id, new, old=old, old_kind="O"))
+        assert d["new"] == new and d["old"] == old
+        d = decode_message(encode_delete(rel_id, old))
+        assert d["old"] == old
+
+    prop()

@@ -167,3 +167,25 @@ def test_mix_corpora(spark, sf_small):
     # the binding source is kept ~whole
     masses = {"web": a.count(), "code": b.count(), "books": c.count()}
     assert any(got.get(s, 0) >= 0.9 * masses[s] for s in masses)
+
+
+def test_temperature_weights_feed_rebalance(spark):
+    from pg2kinesis_spark.functions.sampling import (
+        rebalance_to_target,
+        temperature_weights,
+    )
+
+    rows = [(f"d{i}", "big") for i in range(900)] + [
+        (f"d{i + 1000}", "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+    w1 = temperature_weights(df, "domain", alpha=1.0)
+    assert w1["big"] == pytest.approx(0.9) and w1["small"] == pytest.approx(0.1)
+    w0 = temperature_weights(df, "domain", alpha=0.0)
+    assert w0["big"] == pytest.approx(0.5) and w0["small"] == pytest.approx(0.5)
+    wt = temperature_weights(df, "domain", alpha=0.5)
+    assert 0.1 < wt["small"] < 0.5  # small domain up-weighted, not past uniform
+    out = rebalance_to_target(df, "domain", wt, "doc_id")
+    mix = {r["domain"]: r["n"] for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
+    got_small_share = mix["small"] / (mix["small"] + mix["big"])
+    assert got_small_share == pytest.approx(wt["small"], abs=0.05)
