@@ -32,7 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--pg-slot-output-plugin",
         default="test_decoding",
-        choices=["test_decoding", "wal2json"],
+        # pgoutput is beyond-reference: the built-in binary protocol
+        # (replay corpora carry its messages base64-encoded)
+        choices=["test_decoding", "wal2json", "pgoutput"],
     )
     p.add_argument("--stream-name", "-k", default="pg2kinesis")
     p.add_argument("--message-formatter", "-f", default="CSVPayload", choices=["CSVPayload", "CSV"])
@@ -114,19 +116,39 @@ def main(argv: list[str] | None = None) -> int:
             args.rows_per_batch, mode=args.pg_mode,
         )
     else:
-        assert args.replay_path and args.pk_catalog, "--source replay needs --replay-path and --pk-catalog"
-        catalog = spark.read.parquet(args.pk_catalog)
+        assert args.replay_path, "--source replay needs --replay-path"
+        if args.pg_slot_output_plugin != "pgoutput":
+            assert args.pk_catalog, "--source replay needs --pk-catalog"
+            catalog = spark.read.parquet(args.pk_catalog)
         corpus = args.replay_path
 
-    pk_map = primary_key_map(catalog)
     fmt = "CSV" if args.message_formatter == "CSV" else "CSVPayload"
 
-    if args.pg_slot_output_plugin == "test_decoding":
+    if args.pg_slot_output_plugin == "pgoutput":
+        # pgoutput carries its own keys (Relation replica identity) —
+        # no pk catalog; the registry comes from the corpus itself for
+        # replay, or a catalog snapshot for live slots.
+        from pg2kinesis_spark.operators.pgoutput import relation_registry_from_replay
+        from pg2kinesis_spark.streaming.pipeline import build_pgoutput_stream
+
+        assert args.source == "replay", (
+            "live pgoutput needs the binary peek path — provide a replay "
+            "corpus (base64 payloads) or use test_decoding/wal2json live"
+        )
+        registry = relation_registry_from_replay(spark, args.replay_path)
+        stream = build_pgoutput_stream(
+            spark, corpus, registry, formatter=fmt, operations=operations,
+            table_pat=args.table_pat, rows_per_batch=args.rows_per_batch,
+            ack_log=args.ack_log,
+        )
+    elif args.pg_slot_output_plugin == "test_decoding":
+        pk_map = primary_key_map(catalog)
         stream = build_test_decoding_stream(
             spark, corpus, pk_map, formatter=fmt, operations=operations,
             table_pat=args.table_pat, rows_per_batch=args.rows_per_batch, ack_log=args.ack_log,
         )
     else:
+        pk_map = primary_key_map(catalog)
         stream = build_wal2json_stream(
             spark, corpus, pk_map, formatter=fmt, operations=operations,
             table_pat=args.table_pat, full_change=args.full_change,

@@ -153,3 +153,52 @@ def gen_wal2json(n_msgs: int = 2000, seed: int = 43) -> list[tuple[int, int, str
             )
         emit(json.dumps({"xid": xid, "change": changes}))
     return rows
+
+
+def gen_pgoutput(n_txns: int = 2000, seed: int = 44) -> list[tuple[int, int, str]]:
+    """(lsn, data_size, payload) rows of base64-encoded pgoutput
+    messages — Relation declarations up front, then Begin/DML/Commit
+    framed transactions. data_size counts the BINARY message bytes
+    (the wire size a real slot serves)."""
+    import base64
+
+    from pg2kinesis_spark.operators.pgoutput import (
+        encode_begin,
+        encode_commit,
+        encode_delete,
+        encode_insert,
+        encode_relation,
+        encode_update,
+    )
+
+    rng = random.Random(seed)
+    rows, lsn, xid = [], 1000, 100
+    rels = [
+        (101, "public", "users", ["id", "name"], ("id",)),
+        (102, "public", "orders", ["order_id", "total"], ("order_id",)),
+        (103, "app", "events", ["event_id", "kind"], ("event_id",)),
+    ]
+
+    def emit(msg: bytes):
+        nonlocal lsn
+        rows.append((lsn, len(msg), base64.b64encode(msg).decode()))
+        lsn += rng.randrange(1, 50)
+
+    for rel_id, ns, rel, cols, keys in rels:
+        emit(encode_relation(rel_id, ns, rel, cols, key_cols=keys))
+    for _ in range(n_txns):
+        xid += rng.randrange(1, 5)
+        emit(encode_begin(lsn + 500, xid))
+        for _ in range(rng.randrange(1, 5)):
+            rel_id, ns, rel, cols, keys = rng.choice(rels)
+            pk = str(rng.randrange(10_000))
+            other = f"v{rng.randrange(1000)}"
+            op = rng.choice(["insert", "update", "delete"])
+            if op == "insert":
+                emit(encode_insert(rel_id, [pk, other]))
+            elif op == "update":
+                emit(encode_update(rel_id, [pk, other], old=[pk, None], old_kind="K"))
+            else:
+                emit(encode_delete(rel_id, [pk, None]))
+        emit(encode_commit(lsn + 500, lsn + 501))
+    return rows

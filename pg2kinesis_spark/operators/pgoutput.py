@@ -364,3 +364,13 @@ def pgoutput_snapshot(raw: DataFrame, payload_col: str = "payload") -> DataFrame
 
     changes = pgoutput_cdc_changes(raw, payload_col)
     return _last_wins(changes).filter(F.col("last_operation") != "delete")
+
+
+def relation_registry_from_replay(spark, corpus_path: str) -> DataFrame:
+    """Registry from a base64-payload replay corpus (the string-schema
+    convention streaming uses for binary plugins): unbase64 -> the
+    standard registry scan."""
+    raw = spark.read.parquet(corpus_path).select(
+        "lsn", F.unbase64("payload").alias("payload")
+    )
+    return relation_registry(raw)

@@ -264,6 +264,153 @@ def build_wal2json_stream(
     )
 
 
+PGOUT_PARSED_SCHEMA = (
+    "lsn long, data_size int, operation string, begin_xid string, "
+    "rel_id long, col_values array<string>, old_values array<string>"
+)
+PGOUT_STAMPED_SCHEMA = PGOUT_PARSED_SCHEMA + ", xid string"
+
+
+def _parse_pgoutput_batches(raw: DataFrame) -> DataFrame:
+    """Stateless mapInPandas parse of base64 pgoutput payloads.
+
+    The replay/live source schema carries ``payload string``; binary
+    plugins ship their messages base64-encoded in it (the documented
+    corpus convention). Relation messages emit no rows here — streaming
+    name resolution happens against a static registry (below)."""
+    import base64
+
+    from pg2kinesis_spark.operators.pgoutput import decode_message
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for lsn, size, payload in zip(pdf["lsn"], pdf["data_size"], pdf["payload"]):
+                d = decode_message(base64.b64decode(payload))
+                op = d["op"]
+                if op == "begin":
+                    rows.append((lsn, size, "begin", str(d["xid"]), None, None, None))
+                elif op == "commit":
+                    rows.append((lsn, size, "commit", None, None, None, None))
+                elif op in ("insert", "update", "delete"):
+                    rows.append(
+                        (lsn, size, op, None, d["rel_id"], d["new"], d["old"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "lsn", "data_size", "operation", "begin_xid",
+                    "rel_id", "col_values", "old_values",
+                ],
+            )
+
+    return raw.select("lsn", "data_size", "payload").mapInPandas(
+        kernel, PGOUT_PARSED_SCHEMA
+    )
+
+
+def _stamp_fn_pgout(key, pdf_iter, state: GroupState):
+    """Carry cur_xact across micro-batches for PARSED pgoutput rows —
+    the begin_xid column plays BEGIN's role (same chunk-concat + single
+    lsn sort discipline as _stamp_chunks)."""
+    cur = state.get[0] if state.exists else ""
+    chunks = list(pdf_iter)
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values("lsn")
+        xids = []
+        for bx in pdf["begin_xid"]:
+            if isinstance(bx, str) and bx:
+                cur = bx
+            xids.append(cur)
+        out = pdf[
+            [
+                "lsn", "data_size", "operation", "begin_xid",
+                "rel_id", "col_values", "old_values",
+            ]
+        ].copy()
+        out["xid"] = xids
+        yield out
+    state.update((cur,))
+
+
+def build_pgoutput_stream(
+    spark: SparkSession,
+    source,
+    registry: DataFrame,
+    formatter: str = "CSVPayload",
+    operations: tuple[str, ...] = ("all",),
+    table_pat: str | None = None,
+    rows_per_batch: int = 1000,
+    ack_log: str | None = None,
+) -> DataFrame:
+    """Streaming pgoutput: parse (stateless kernel) -> stateful xid
+    carry-forward -> broadcast registry join -> format -> op filter.
+
+    ``registry`` is the STATIC relation catalog (rel_id, namespace,
+    relname, col_names, key_cols) — from ``relation_registry`` over a
+    replay corpus, or a catalog snapshot for live slots. Mid-stream
+    schema changes need the batch path; a rel_id absent from the
+    registry surfaces the fail-stop ``error`` channel like an unknown
+    table (§8.5)."""
+    raw = _raw_stream(spark, source, rows_per_batch, ack_log)
+    parsed = _parse_pgoutput_batches(raw)
+    stamped = (
+        parsed.withColumn("slot", F.lit(0))
+        .groupBy("slot")
+        .applyInPandasWithState(
+            _stamp_fn_pgout,
+            outputStructType=PGOUT_STAMPED_SCHEMA,
+            stateStructType="cur_xact string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    reg = F.broadcast(
+        registry.select(
+            "rel_id",
+            "relname",
+            F.concat_ws(".", "namespace", "relname").alias("table"),
+            "col_names",
+            "key_cols",
+        )
+    )
+    is_change = F.col("operation").isin("insert", "update", "delete")
+    df = stamped.join(reg, "rel_id", "left")
+    if table_pat is not None:
+        # P5 parity: unanchored search on the UNqualified table name;
+        # frames (begin/commit) pass through for the counters
+        df = df.filter(
+            ~is_change
+            | F.coalesce(F.col("relname"), F.lit("")).rlike("(?U)" + table_pat)
+        )
+    eff_values = F.when(F.col("operation") == "delete", F.col("old_values")).otherwise(
+        F.col("col_values")
+    )
+    pos = F.array_position(F.col("col_names"), F.element_at(F.col("key_cols"), 1))
+    pkey = F.coalesce(F.element_at(eff_values, pos.cast("int")), F.lit("None"))
+    df = df.select(
+        "lsn",
+        "data_size",
+        "operation",
+        "xid",
+        "table",
+        F.when(is_change & (pos > 0), pkey).alias("pkey"),
+        F.when(
+            is_change & F.col("table").isNull(),
+            F.format_string("no Relation for rel_id %s", F.col("rel_id")),
+        ).alias("error"),
+        (~is_change).alias("is_frame"),
+    )
+    fmt = format_csv if formatter == "CSV" else format_csvpayload
+    msgs = fmt(df).withColumn(
+        "fmt_msg", F.when(~F.col("is_frame"), F.col("fmt_msg"))
+    )
+    msgs = filter_operations(msgs, operations)
+    return msgs.withColumn(
+        "wire_size", F.coalesce(F.col("data_size"), F.lit(0)).cast("long")
+    )
+
+
 def run_to_sink(stream_df: DataFrame, writer, checkpoint: str, available_now: bool = True):
     """Attach the Kinesis-like sink and run (availableNow drains what the
     FIRST latestOffset() covers — i.e. one rate-limited batch;

@@ -103,3 +103,31 @@ def test_replay_builder_rejects_missing_path(spark):
     )
     with pytest.raises(ValueError, match="streaming DataFrame .* or a replay corpus path"):
         build_test_decoding_stream(spark, None, primary_key_map(catalog))
+
+
+def test_cli_drain_pgoutput_replay(spark, tmp_path):
+    """The pgoutput plugin through the real CLI entry point: registry
+    self-derived from the replay corpus, no --pk-catalog needed."""
+    from pg2kinesis_spark.fixtures import gen_pgoutput
+
+    corpus = str(tmp_path / "pgout.parquet")
+    spark.createDataFrame(
+        gen_pgoutput(n_txns=4, seed=44), "lsn long, data_size int, payload string"
+    ).coalesce(1).write.parquet(corpus)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        rc = main(
+            [
+                "--source", "replay",
+                "--replay-path", corpus,
+                "--pg-slot-output-plugin", "pgoutput",
+                "--message-formatter", "CSV",
+                "--transport", "memory",
+                "--checkpoint", str(tmp_path / "ckpt_pgout"),
+                "--drain",
+            ]
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert rc == 0
