@@ -68,6 +68,32 @@ def bench_cdc_replay(spark, sf_dir):
     )
 
 
+def bench_pgoutput_replay(spark, sf_dir):
+    """pgoutput binary-protocol parse throughput: ~190k framed messages
+    through decode kernel + distributed xid prefix-scan + broadcast
+    registry join + CSV format — the binary twin of cdc_replay_450k."""
+    import tempfile
+
+    from pg2kinesis_spark import fixtures as fx
+    from pg2kinesis_spark.operators.formatters import format_csv
+    from pg2kinesis_spark.operators.pgoutput import (
+        pgoutput_cdc_changes,
+        relation_registry_from_replay,
+    )
+    from pyspark.sql import functions as F
+
+    corpus = os.path.join(tempfile.gettempdir(), "bench_pgout_corpus_40000.parquet")
+    if not os.path.exists(corpus):
+        rows = fx.gen_pgoutput(n_txns=40000, seed=44)
+        spark.createDataFrame(rows, "lsn long, data_size int, payload string").coalesce(
+            8
+        ).write.mode("overwrite").parquet(corpus)
+    raw = spark.read.parquet(corpus).select(
+        "lsn", "data_size", F.unbase64("payload").alias("payload")
+    )
+    return format_csv(pgoutput_cdc_changes(raw)).select("lsn", "xid", "fmt_msg")
+
+
 def bench_curate(spark, sf_dir):
     """Full corpus curation over documents: fused annotate + lang/quality
     filter + exact dedup + MinHash-LSH near-dup removal — the end-to-end
@@ -229,6 +255,7 @@ EXTRA_BENCHES = {
     "decontam_full": bench_decontam,
     "pack_sequences_full": bench_pack,
     "cdc_replay_450k": bench_cdc_replay,
+    "pgoutput_replay_190k": bench_pgoutput_replay,
     "curate_full": bench_curate,
     "curate_max_full": bench_curate_max,
     "n9_blas_cosine_topk": bench_cosine_blas,
@@ -269,6 +296,10 @@ def main() -> None:
         times[name] = round(best, 4)
         if name == "cdc_replay_450k":
             times["cdc_replay_msgs_per_sec"] = round(n / times[name], 1)
+        elif name == "pgoutput_replay_190k":
+            # n counts DML rows; frames (~45% of wire messages) are
+            # parsed too but emit no change row
+            times["pgoutput_dml_rows_per_sec"] = round(n / times[name], 1)
 
     # End-to-end sink drain: the same ~450k-message pipeline pushed
     # through the full foreachBatch path — ordered Arrow transfer,

@@ -345,6 +345,7 @@ def pgoutput_cdc_changes(raw: DataFrame, payload_col: str = "payload") -> DataFr
     return parsed.select(
         "lsn",
         F.lit(0).alias("change_idx"),
+        "xid",
         "table",
         "operation",
         F.when(pos > 0, pkey).alias("pkey"),
