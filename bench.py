@@ -309,6 +309,9 @@ def main() -> None:
     from pg2kinesis_spark.sinks.kinesis import InMemoryTransport, KinesisLikeWriter
 
     sink_df = bench_cdc_replay(spark, sf_dir)
+    # untimed warm pass (same policy as EXTRA_BENCHES): the cold first
+    # drain is 2-3x steady state and best-of-2 alone can record it
+    KinesisLikeWriter(InMemoryTransport()).process_batch(sink_df, 0)
     best, n_msgs = float("inf"), 0
     for _ in range(2):
         writer = KinesisLikeWriter(InMemoryTransport())
