@@ -245,8 +245,59 @@ def bench_lm(spark, sf_dir):
     return score_perplexity(docs, lm)
 
 
+def bench_semdedup(spark, sf_dir):
+    """SemDeDup over the FULL embeddings table: deterministic integer
+    k-means (2 Lloyd steps inside the timer) + within-cluster cosine
+    pair join + anti-join drop rule — the semantic-dedup workload
+    shape (pair count = Σ cluster², controlled by n_clusters)."""
+    from pg2kinesis_spark.functions.semdedup import semdedup
+    from pg2kinesis_spark.io import load_table
+
+    return semdedup(
+        load_table(spark, sf_dir, "embeddings"), dim=64, eps=0.4, n_clusters=8
+    )
+
+
+def bench_dsir(spark, sf_dir):
+    """DSIR importance resampling over the FULL documents table: hashed
+    uni+bigram features, 10k-bucket log-ratio fit vs a 200-doc target
+    (two partial-agg passes), broadcast-scored docs, Gumbel top-k
+    select. Fit runs inside the timer — once per corpus."""
+    from pg2kinesis_spark.functions.dsir import dsir_select, fit_dsir_logratios
+    from pg2kinesis_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    lr = fit_dsir_logratios(docs.limit(200), docs)
+    return dsir_select(docs, lr, n=1000)
+
+
+def bench_urls(spark, sf_dir):
+    """URL front-door gates over the FULL documents table with
+    deterministically synthesized URLs (500 domains, ~10% duplicate
+    paths, tracking params): parse/normalize -> badword filter ->
+    blocklist -> normalized-URL dedup -> per-domain cap."""
+    from pyspark.sql import functions as F
+
+    from pg2kinesis_spark.functions import urls as U
+    from pg2kinesis_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").withColumn(
+        "url",
+        F.expr(
+            "concat('https://www.d', pmod(hash(doc_id), 500), '.example.com/p/',"
+            " pmod(doc_id, 4500), '?utm_source=bench&id=', pmod(doc_id, 4500))"
+        ),
+    )
+    gated = U.url_badword_filter(docs, ("casino", "poker"), max_score=0)
+    gated = U.domain_blocklist_filter(gated, [f"d{i}.example.com" for i in range(50)])
+    return U.domain_cap(U.url_dedup(gated), k=8)
+
+
 EXTRA_BENCHES = {
     "bpe_token_counts_full": bench_bpe,
+    "semdedup_full": bench_semdedup,
+    "dsir_select_full": bench_dsir,
+    "url_pipeline_full": bench_urls,
     "lm_perplexity_full": bench_lm,
     "minhash_lsh_full": bench_minhash_full,
     "gopher_filter_full": bench_gopher,

@@ -93,6 +93,15 @@ def curate_corpus(
     classifier_min_score: float = 0.5,
     lm_model=None,
     max_perplexity: float | None = None,
+    url_col: str | None = None,
+    url_blocklist: list[str] | None = None,
+    url_badwords: tuple[str, ...] | None = None,
+    domain_cap_k: int | None = None,
+    embeddings: DataFrame | None = None,
+    semdedup_eps: float | None = None,
+    semdedup_clusters: int = 64,
+    dsir_target: DataFrame | None = None,
+    dsir_n: int | None = None,
 ) -> DataFrame:
     """Curated corpus: (doc_id, text, n_tokens, quality, pred_lang) for
     every surviving document. See module docstring for stage order and
@@ -103,7 +112,29 @@ def curate_corpus(
     ``substring_k`` runs exact substring dedup (Lee et al.) after
     near-dup removal and RE-annotates the survivors, since the cut
     rewrites text and stales token counts.
+
+    ``url_col`` switches on the RefinedWeb front door (urls.py) as
+    stage 0 — the cheapest gates run before any text is even scanned:
+    badword score filter, domain blocklist, normalized-URL dedup, and
+    the per-domain crawl cap (ordered by doc_id — crawl budgets are
+    url-axis decisions, made before quality exists).
+
+    ``embeddings`` (vec_id == doc_id) + ``semdedup_eps`` adds SemDeDup
+    semantic near-dup removal after the MinHash stage; ``dsir_target``
+    + ``dsir_n`` swaps the final selection to DSIR importance
+    resampling toward the target corpus (mutually exclusive with
+    ``token_budget``).
     """
+    if url_col is not None:
+        from . import urls as _urls
+
+        if url_badwords:
+            docs = _urls.url_badword_filter(docs, url_badwords, url_col=url_col)
+        if url_blocklist:
+            docs = _urls.domain_blocklist_filter(docs, url_blocklist, url_col=url_col)
+        docs = _urls.url_dedup(docs, url_col=url_col)
+        if domain_cap_k is not None:
+            docs = _urls.domain_cap(docs, domain_cap_k, url_col=url_col)
     if c4_rules:
         from .c4 import c4_clean
 
@@ -188,6 +219,25 @@ def curate_corpus(
         base = ann.select("doc_id", "text").localCheckpoint(eager=False)
         ann = annotate(dedup_substrings(base, k=substring_k))
 
+    if embeddings is not None and semdedup_eps is not None:
+        from .semdedup import semdedup
+
+        # semantic near-dups among CURRENT survivors only: restrict the
+        # embedding table first so a dropped doc can't suppress a kept
+        # one, then drop the semantic losers.
+        surv_emb = embeddings.join(
+            ann.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        )
+        # array<float> carries no length in the schema; one first()-row
+        # probe fixes dim (the k-means needs it only to enumerate the
+        # centroid-update sum columns)
+        dim = len(surv_emb.select("embedding").first()["embedding"])
+        flags = semdedup(
+            surv_emb, dim=dim, eps=semdedup_eps, n_clusters=semdedup_clusters
+        )
+        drop_sem = flags.filter(~F.col("kept")).select(F.col("vec_id").alias("doc_id"))
+        ann = ann.join(drop_sem, "doc_id", "left_anti")
+
     if eval_df is not None:
         from .contamination import decontaminate
 
@@ -195,5 +245,11 @@ def curate_corpus(
 
     if token_budget is not None:
         sel = token_budget_select(ann, F.col("quality"), F.col("n_tokens"), token_budget)
+        ann = ann.join(sel.select("doc_id"), "doc_id", "left_semi")
+    if dsir_target is not None and dsir_n is not None:
+        from .dsir import dsir_select, fit_dsir_logratios
+
+        lr = fit_dsir_logratios(dsir_target, ann)
+        sel = dsir_select(ann, lr, n=dsir_n)
         ann = ann.join(sel.select("doc_id"), "doc_id", "left_semi")
     return ann

@@ -1,0 +1,166 @@
+"""SemDeDup — semantic deduplication via embedding clustering.
+
+Implements the method of Abbas et al. 2023 ("SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication", arXiv:2303.09540)
+as a composition of this repo's existing primitives:
+
+1. **Cluster** all embeddings with the deterministic integer k-means
+   (``similarity.ivf_int_centroids`` — hash-seeded init + fixed Lloyd
+   steps, exact-integer arithmetic, so reruns and engines agree).
+2. **Within each cluster**, score pairwise cosine similarity; two items
+   with ``cos >= 1 - eps`` are *semantic duplicates*.
+3. **Keep one representative per duplicate group**: order the cluster
+   by similarity-to-centroid (the paper found keeping the *least*
+   centroid-similar example best preserves diversity) and drop any item
+   that has a semantic duplicate EARLIER in that order. As in the
+   paper's triangular-matrix implementation, suppression does not
+   cascade: a dropped item still suppresses later duplicates of itself.
+
+Scale shape (the reason this survives 100 TB): the only pair-generating
+step is a self-equi-join on cluster id, so the pair count is
+Σ size(cluster)² — the operator's cost is controlled by ``n_clusters``
+exactly as the paper controls it with K (they use K = 50k on 234M
+docs, ~5k docs/cluster). Assignment is a broadcast of K·dim ints and a
+map-side argmin; no corpus shuffle except the cid equi-join.
+``max_cluster_size`` optionally sub-splits oversized clusters by key
+hash (a recall/cost trade identical to simhash's ``max_bucket_df``).
+
+The reference (/root/reference/pg2kinesis) has no analogue — this is
+north-star training-data surface, not parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pg2kinesis_spark.functions.dedup import HASH60
+from pg2kinesis_spark.functions.similarity import (
+    IVF_INT_SCALE,
+    _dot,
+    _int_sqdist,
+    _ivf_int_vec,
+    _norm,
+    ivf_int_centroids,
+)
+
+
+def semdedup_assign(
+    emb: DataFrame,
+    dim: int,
+    n_clusters: int = 16,
+    n_iter: int = 2,
+    scale: int = IVF_INT_SCALE,
+) -> DataFrame:
+    """(vec_id, cid, cent_sim, embedding): deterministic cluster id and
+    exact double cosine to the (dequantized) centroid.
+
+    The centroid used for ``cent_sim`` is the integer centroid mapped
+    back to doubles ((c - scale)/scale) — exact integers in, the same
+    IEEE ops in the same order out, so every engine agrees bitwise.
+    """
+    spark = emb.sparkSession
+    cents = ivf_int_centroids(emb, dim, n_clusters, n_iter, scale)
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(cents)], "cid int, cent array<bigint>"
+        ).withColumn(
+            "cent_d",
+            F.expr(
+                f"transform(cent, v -> (cast(v as double) - {scale}.0D) / {scale}.0D)"
+            ),
+        )
+    )
+    return (
+        emb.select("vec_id", "embedding", _ivf_int_vec("embedding", scale).alias("qv"))
+        .crossJoin(cdf)
+        .withColumn("_d", _int_sqdist("qv", "cent"))
+        .groupBy("vec_id")
+        # min over (distance, cid) structs = deterministic tie-break
+        .agg(
+            F.min(F.struct(F.col("_d"), F.col("cid"), F.col("cent_d"))).alias("m"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select(
+            "vec_id",
+            F.col("m.cid").alias("cid"),
+            (
+                _dot("embedding", "m.cent_d") / (_norm("embedding") * _norm("m.cent_d"))
+            ).alias("cent_sim"),
+            "embedding",
+        )
+    )
+
+
+def _subsplit(assigned: DataFrame, max_cluster_size: int) -> DataFrame:
+    """Sub-split clusters larger than the cap by key hash.
+
+    n_sub = ceil(size / cap) sub-buckets per oversized cluster; pairs
+    across sub-buckets of the same cluster are no longer compared (the
+    documented recall trade). One tiny per-cid count + broadcast join.
+    """
+    sizes = assigned.groupBy("cid").agg(
+        F.ceil(F.count("*") / max_cluster_size).cast("int").alias("_nsub")
+    )
+    h = F.expr(HASH60.format(x="cast(vec_id as string)"))
+    return assigned.join(F.broadcast(sizes), "cid").withColumn(
+        "sub", F.pmod(h, F.greatest(F.col("_nsub"), F.lit(1)))
+    ).drop("_nsub")
+
+
+def semdedup(
+    emb: DataFrame,
+    dim: int,
+    eps: float = 0.05,
+    n_clusters: int = 16,
+    n_iter: int = 2,
+    scale: int = IVF_INT_SCALE,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """(vec_id, cid, cent_sim, kept) — ``kept = false`` for items with a
+    semantic duplicate (cos >= 1 - eps) earlier in the keep order.
+
+    Keep order within a cluster is ascending (cent_sim, vec_id): the
+    least-centroid-similar duplicate survives (SemDeDup §3: "keeping
+    examples with low similarity to cluster centroids" scored best),
+    vec_id breaking exact-tie determinism. The drop rule is an
+    EXISTS — expressed as pair-join → distinct losers → anti-join flag,
+    so no window function ever sees a whole cluster in one reducer.
+    """
+    assigned = semdedup_assign(emb, dim, n_clusters, n_iter, scale)
+    if max_cluster_size is not None:
+        assigned = _subsplit(assigned, max_cluster_size)
+        join_keys = ["cid", "sub"]
+    else:
+        join_keys = ["cid"]
+
+    sides = assigned.select(
+        *join_keys,
+        "vec_id",
+        "cent_sim",
+        F.col("embedding"),
+        _norm("embedding").alias("nrm"),
+    )
+    a, b = sides.alias("a"), sides.alias("b")
+    precede = (F.col("a.cent_sim") < F.col("b.cent_sim")) | (
+        (F.col("a.cent_sim") == F.col("b.cent_sim"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    cond = precede
+    for kcol in join_keys:
+        cond = (F.col(f"a.{kcol}") == F.col(f"b.{kcol}")) & cond
+    dropped = (
+        a.join(b, cond)
+        .withColumn(
+            "cos",
+            _dot("a.embedding", "b.embedding") / (F.col("a.nrm") * F.col("b.nrm")),
+        )
+        .filter(F.col("cos") >= 1.0 - eps)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_dup", F.lit(True)), "vec_id", "left")
+        .withColumn("kept", F.col("_dup").isNull())
+        .select("vec_id", "cid", "cent_sim", "kept")
+    )

@@ -253,3 +253,80 @@ def test_corpus_report_cli(sf_small):
     assert set(rep["gate_survivors"]) == {"quality_ge_0.2", "gopher", "pii_clean"}
     assert 0 <= rep["exact_dedup"]["dup_rate"] <= 1
     assert rep["languages"]
+
+
+def test_curate_url_front_door_stage(spark, corpus):
+    """url_col= switches on the RefinedWeb stage-0 gates; results must
+    equal applying the urls.py operators by hand before curation."""
+    from pg2kinesis_spark.functions import urls as U
+
+    docs = corpus.withColumn(
+        "url",
+        F.expr(
+            "case when doc_id = 1 then 'https://www.mirror.example/a?utm_source=x'"
+            "     when doc_id = 0 then 'https://mirror.example/a'"
+            "     when doc_id = 3 then 'https://blocked.example/x'"
+            "     else concat('https://ok.example/p/', doc_id) end"
+        ),
+    )
+    out = curate.curate_corpus(
+        docs,
+        near_dup_jaccard=None,
+        url_col="url",
+        url_blocklist=["blocked.example"],
+    )
+    ids = {r.doc_id for r in out.collect()}
+    # doc 1's URL normalizes to doc 0's → url-dedup keeps min id 0;
+    # doc 3 is on a blocked domain; 2 and 4 survive
+    assert ids == {0, 2, 4}
+    manual = curate.curate_corpus(
+        U.url_dedup(U.domain_blocklist_filter(docs, ["blocked.example"])),
+        near_dup_jaccard=None,
+    )
+    assert ids == {r.doc_id for r in manual.collect()}
+
+
+def test_curate_semdedup_stage(spark, corpus):
+    """embeddings= + semdedup_eps= drops semantic near-dups among
+    survivors; a doc already dropped by an earlier stage must not act
+    as a suppressor."""
+    from pg2kinesis_spark.functions.semdedup import semdedup
+
+    # doc 0/2 nearly parallel vectors (semantic dups), others orthogonal
+    emb_rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),   # exact text dup of 0 — dropped before semdedup
+        (2, [0.999, 0.04, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<float>")
+    out = curate.curate_corpus(
+        corpus,
+        near_dup_jaccard=None,
+        embeddings=emb,
+        semdedup_eps=0.01,
+        semdedup_clusters=2,
+    )
+    ids = {r.doc_id for r in out.collect()}
+    assert 1 not in ids          # exact text dup, dropped at stage 3
+    assert ids & {0, 2} != {0, 2}  # one of the semantic pair dropped
+    assert {3, 4} <= ids
+    # and the flags on the SURVIVOR set agree with a standalone semdedup
+    surv_emb = emb.filter(F.col("vec_id") != 1)
+    flags = {r.vec_id: r.kept for r in semdedup(surv_emb, dim=4, eps=0.01, n_clusters=2).collect()}
+    assert ids == {d for d in [0, 2, 3, 4] if flags[d]}
+
+
+def test_curate_dsir_selection_stage(spark, corpus):
+    """dsir_target= + dsir_n= performs the final selection; equals the
+    standalone fit+select over the same survivor set."""
+    from pg2kinesis_spark.functions.dsir import dsir_select, fit_dsir_logratios
+
+    target = corpus.filter(F.col("doc_id") == 3).select("doc_id", "text")
+    out = curate.curate_corpus(corpus, near_dup_jaccard=None, dsir_target=target, dsir_n=2)
+    assert out.count() == 2
+    surv = curate.curate_corpus(corpus, near_dup_jaccard=None)
+    lr = fit_dsir_logratios(target, surv)
+    want = {r.doc_id for r in dsir_select(surv, lr, n=2).collect()}
+    assert {r.doc_id for r in out.collect()} == want

@@ -1,0 +1,163 @@
+"""URL curation oracle tests. The Python mirror implements the PINNED
+normalization rules (module docstring of functions/urls.py) with
+urllib, independently of Spark's parse_url."""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+import pytest
+from pyspark.sql import functions as F
+
+from pg2kinesis_spark.functions import urls as U
+
+_SUFFIXES = set(U._TWO_LABEL_SUFFIXES)
+_TRACKING = U._TRACKING_PARAMS
+
+
+def _py_domain(host: str) -> str:
+    parts = host.split(".")
+    if len(parts) <= 1:
+        return host
+    last2 = ".".join(parts[-2:])
+    if last2 in _SUFFIXES and len(parts) >= 3:
+        return ".".join(parts[-3:])
+    return last2
+
+
+def _py_norm(url: str) -> str | None:
+    try:
+        s = urlsplit(url)
+    except ValueError:
+        return None
+    if not s.hostname:
+        return None
+    scheme = (s.scheme or "http").lower()
+    host = s.hostname.lower()
+    if host.startswith("www."):
+        host = host[4:]
+    port = ""
+    if s.port is not None and s.port not in (80, 443):
+        port = f":{s.port}"
+    path = s.path
+    if path == "/":
+        path = ""
+    kept = sorted(
+        p
+        for p in s.query.split("&")
+        if p != "" and not any(p.startswith(t) for t in _TRACKING)
+    )
+    q = f"?{'&'.join(kept)}" if kept else ""
+    return f"{scheme}://{host}{port}{path}{q}"
+
+
+URLS = [
+    "https://www.Example.COM/Path/To/Page",
+    "http://example.com/",
+    "http://example.com",
+    "https://example.com:443/x",
+    "https://example.com:8443/x",
+    "http://example.com:80/y?b=2&a=1",
+    "https://news.bbc.co.uk/article?utm_source=x&id=7",
+    "https://shop.example.co.jp/item?fbclid=abc&color=red&utm_medium=mail",
+    "http://sub.deep.example.org/a/b?z=1&y=2&x=3#frag",
+    "https://example.com/search?q=hello+world&ref=homepage",
+    "https://example.com/?",
+    "https://EXAMPLE.com/UPPER?Utm_source=keepme",  # params are case-sensitive (pinned)
+    "https://www.gov.uk/",
+    "http://localhost/test",
+    "https://a.b.c.d.example.com/deep/sub",
+]
+
+
+@pytest.fixture(scope="module")
+def url_df(spark):
+    return spark.createDataFrame(
+        [(i, u) for i, u in enumerate(URLS)], "doc_id long, url string"
+    )
+
+
+def test_normalize_matches_python(spark, url_df):
+    got = {r.doc_id: r.url_norm for r in U.parse_urls(url_df).collect()}
+    for i, u in enumerate(URLS):
+        assert got[i] == _py_norm(u), u
+
+
+def test_registered_domain_matches_python(spark, url_df):
+    got = {r.doc_id: (r.host, r.domain) for r in U.parse_urls(url_df).collect()}
+    for i, u in enumerate(URLS):
+        host, dom = got[i]
+        if host is not None:
+            assert dom == _py_domain(host), u
+
+
+def test_parse_urls_is_map_only(spark, url_df):
+    plan = U.parse_urls(url_df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_url_dedup_first_id_wins(spark):
+    rows = [
+        (5, "https://www.example.com/a?utm_source=x"),
+        (2, "http://example.com/a"),          # different scheme → distinct
+        (9, "https://example.com/a"),          # dup of 5 (www + utm stripped)
+        (1, "https://example.com/a#frag"),     # dup of 5 (fragment dropped)
+        (7, "not a url"),                      # unparseable → kept
+        (8, "also-not-a-url"),                 # unparseable → kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = {r.doc_id for r in U.url_dedup(df).collect()}
+    assert kept == {1, 2, 7, 8}  # min id among {5,9,1} is 1
+
+
+def test_domain_blocklist_filter(spark):
+    rows = [
+        (1, "https://spam.example/x"),
+        (2, "https://deep.spam.example/x"),     # subdomain of blocked reg domain
+        (3, "https://ok.example/x"),
+        (4, "https://bad.host.co.uk/x"),        # deep entry exact
+        (5, "https://very.bad.host.co.uk/x"),   # subdomain of deep entry
+        (6, "https://host.co.uk/x"),            # parent of deep entry → kept
+        (7, "https://notspam.example/x"),       # suffix of name, not of domain → kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id for r in U.domain_blocklist_filter(df, ["spam.example", "bad.host.co.uk"]).collect()}
+    assert out == {3, 6, 7}
+
+
+def test_url_badword_filter(spark):
+    rows = [
+        (1, "https://example.com/article/science"),
+        (2, "https://example.com/casino-poker-slots"),
+        (3, "https://CASINO.example.com/news"),  # case-insensitive
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r.doc_id for r in U.url_badword_filter(df, ("casino", "poker"), max_score=0).collect()}
+    assert out == {1}
+    soft = {r.doc_id for r in U.url_badword_filter(df, ("casino", "poker"), max_score=1).collect()}
+    assert soft == {1, 3}
+
+
+def test_domain_cap_matches_single_phase(spark):
+    rows = [
+        (i, f"https://d{i % 3}.example.com/p{i}", float(i % 7)) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, score double")
+    got = {r.doc_id for r in U.domain_cap(df, k=5, order_col="score").collect()}
+    # python single-phase oracle
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i, u, s in rows:
+        groups[_py_domain(urlsplit(u).hostname.lower())].append((-s, i))
+    want = set()
+    for g in groups.values():
+        want |= {i for _, i in sorted(g)[:5]}
+    assert got == want
+    # hot-domain skew: every row one domain, still exactly k survivors
+    hot = spark.createDataFrame(
+        [(i, "https://one.example.com/x", float(i)) for i in range(40)],
+        "doc_id long, url string, score double",
+    )
+    top = sorted(r.doc_id for r in U.domain_cap(hot, k=3, order_col="score").collect())
+    assert top == [37, 38, 39]
