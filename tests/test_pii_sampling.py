@@ -189,3 +189,61 @@ def test_temperature_weights_feed_rebalance(spark):
     mix = {r["domain"]: r["n"] for r in out.groupBy("domain").agg(F.count("*").alias("n")).collect()}
     got_small_share = mix["small"] / (mix["small"] + mix["big"])
     assert got_small_share == pytest.approx(wt["small"], abs=0.05)
+
+
+def _py_luhn(s: str) -> bool:
+    ds = [int(ch) for ch in s if ch.isdigit()]
+    if not 13 <= len(ds) <= 19:
+        return False
+    total = 0
+    for k, d in enumerate(reversed(ds)):
+        if k % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+def test_card_rule_requires_luhn(spark):
+    """The card rule redacts only Luhn-valid candidates: a random
+    16-digit string is not PII and must survive."""
+    rows = [
+        (1, "pay with 4111 1111 1111 1111 now"),        # valid visa test number
+        (2, "pay with 4111 1111 1111 1112 now"),        # checksum off by one
+        (3, "amex 3400-0000-0000-009 on file"),          # valid 15-digit
+        (4, "id 1234567890123456 is an order number"),   # invalid
+        (5, "5500 0000 0000 0004 mastercard test"),      # valid
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.text for r in redact_pii(df).collect()}
+    assert got[1] == "pay with <CARD> now"
+    assert "<CARD>" not in got[2]
+    assert got[3] == "amex <CARD> on file"
+    assert "<CARD>" not in got[4]
+    assert got[5] == "<CARD> mastercard test"
+    counts = {r.doc_id: r.n_card for r in pii_counts(df).collect()}
+    assert counts == {1: 1, 2: 0, 3: 1, 4: 0, 5: 1}
+
+
+def test_luhn_column_matches_python(spark):
+    """luhn_valid vs the python oracle over systematic digit strings
+    (every checksum residue at several lengths + separator noise)."""
+    from pg2kinesis_spark.functions.pii import luhn_valid
+
+    cands = []
+    for ln in (12, 13, 15, 16, 19, 20):
+        for last in range(10):
+            cands.append("524441" + "7" * (ln - 7) + str(last))
+    cands += ["4111-1111-1111-1111", "4111 1111 1111 1111", "no digits at all", ""]
+    df = spark.createDataFrame([(c,) for c in cands], "cand string")
+    got = {r.cand: r.ok for r in df.select("cand", luhn_valid(F.col("cand")).alias("ok")).collect()}
+    for c in cands:
+        assert got[c] == _py_luhn(c), c
+
+
+def test_card_luhn_still_zero_shuffle(spark):
+    df = spark.createDataFrame([(1, "x 4111 1111 1111 1111 y")], "doc_id long, text string")
+    plan = pii_filter(df, max_pii=0)._jdf.queryExecution().executedPlan().toString()
+    for op in ("Exchange", "Join", "BatchEvalPython"):
+        assert op not in plan, op
