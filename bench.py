@@ -293,11 +293,44 @@ def bench_urls(spark, sf_dir):
     return U.domain_cap(U.url_dedup(gated), k=8)
 
 
+def bench_warc(spark, sf_dir):
+    """CommonCrawl-style ingestion: gzip WARC archives (one per ~312
+    docs, materialized once from the documents table) through record
+    split + HTTP parse + codegen HTML->text. Measures the full
+    archive->corpus front door."""
+    import glob
+    import tempfile
+
+    from pg2kinesis_spark.functions import warc as W
+    from pg2kinesis_spark.io import load_table
+
+    d = os.path.join(tempfile.gettempdir(), "bench_warc_archives")
+    if not glob.glob(os.path.join(d, "*.warc.gz")):
+        os.makedirs(d, exist_ok=True)
+        rows = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        for shard in range(16):
+            recs = [
+                {
+                    "warc_type": "response",
+                    "url": f"https://bench.example/doc/{r.doc_id}",
+                    "payload": W.http_response_bytes(
+                        f"<html><body><p>{r.text}</p></body></html>".encode()
+                    ),
+                }
+                for r in rows
+                if r.doc_id % 16 == shard
+            ]
+            with open(os.path.join(d, f"crawl-{shard:05d}.warc.gz"), "wb") as f:
+                f.write(W.encode_warc(recs, gzip_members=True))
+    return W.warc_to_corpus(spark.read.format("binaryFile").load(d))
+
+
 EXTRA_BENCHES = {
     "bpe_token_counts_full": bench_bpe,
     "semdedup_full": bench_semdedup,
     "dsir_select_full": bench_dsir,
     "url_pipeline_full": bench_urls,
+    "warc_ingest_full": bench_warc,
     "lm_perplexity_full": bench_lm,
     "minhash_lsh_full": bench_minhash_full,
     "gopher_filter_full": bench_gopher,

@@ -1,0 +1,113 @@
+"""WARC ingestion tests: fixture archives written by encode_warc (the
+pgoutput-encoder convention), read back through binaryFile + the
+mapInPandas record splitter, with the raw byte-level parser also
+exercised directly as its own oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from pg2kinesis_spark.functions import warc as W
+
+
+def _fixture_records():
+    html1 = b"<html><head><title>T1</title></head><body><p>hello world</p></body></html>"
+    html2 = "<html><body><p>café 世界</p></body></html>".encode()
+    return [
+        {
+            "warc_type": "warcinfo",
+            "content_type": "application/warc-fields",
+            "payload": b"software: test\r\n",
+        },
+        {
+            "warc_type": "request",
+            "url": "https://example.com/a",
+            "payload": b"GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n",
+        },
+        {
+            "warc_type": "response",
+            "url": "https://example.com/a",
+            "content_type": "application/http; msgtype=response",
+            "payload": W.http_response_bytes(html1),
+        },
+        {
+            "warc_type": "response",
+            "url": "https://example.com/missing",
+            "payload": W.http_response_bytes(b"gone", status=404),
+        },
+        {
+            "warc_type": "response",
+            "url": "https://example.com/img.png",
+            "payload": W.http_response_bytes(b"\x89PNG...", content_type="image/png"),
+        },
+        {
+            "warc_type": "response",
+            "url": "https://example.com/b",
+            "payload": W.http_response_bytes(html2),
+        },
+    ]
+
+
+@pytest.fixture(scope="module", params=[False, True], ids=["plain", "gzip"])
+def archive_df(request, spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    name = "crawl-00000.warc.gz" if request.param else "crawl-00000.warc"
+    (d / name).write_bytes(W.encode_warc(_fixture_records(), gzip_members=request.param))
+    return spark.read.format("binaryFile").load(str(d))
+
+
+def test_warc_records_roundtrip(spark, archive_df):
+    rows = sorted(W.warc_records(archive_df).collect(), key=lambda r: r.offset)
+    fx = _fixture_records()
+    assert [r.warc_type for r in rows] == [f["warc_type"] for f in fx]
+    assert [r.url for r in rows] == [f.get("url") for f in fx]
+    assert [bytes(r.payload) for r in rows] == [f["payload"] for f in fx]
+    # offsets into the DECOMPRESSED stream must agree with the raw parser
+    plain = W.gunzip_members(W.encode_warc(_fixture_records(), gzip_members=False))
+    want_offsets = [off for off, _, _ in W.iter_warc_records(plain)]
+    # gzip per-member and plain layouts decompress to the same stream
+    assert [r.offset for r in rows] == want_offsets
+
+
+def test_warc_responses_to_docs_filters(spark, archive_df):
+    docs = {r.url: r for r in W.warc_responses_to_docs(W.warc_records(archive_df)).collect()}
+    # 200 text/html kept; 404 and image/png dropped; request/warcinfo never seen
+    assert set(docs) == {"https://example.com/a", "https://example.com/b"}
+    assert docs["https://example.com/a"].http_status == 200
+    assert "hello world" in docs["https://example.com/a"].html
+    assert "café 世界" in docs["https://example.com/b"].html
+
+
+def test_warc_to_corpus_extracts_text(spark, archive_df):
+    out = {r.url: r for r in W.warc_to_corpus(archive_df).collect()}
+    assert out["https://example.com/a"].text == "hello world"
+    assert out["https://example.com/b"].text == "café 世界"
+    # doc_id is deterministic across runs
+    again = {r.url: r.doc_id for r in W.warc_to_corpus(archive_df).collect()}
+    assert {u: r.doc_id for u, r in out.items()} == again
+
+
+def test_iter_warc_records_stops_on_garbage():
+    good = W.encode_warc(_fixture_records()[:2])
+    recs = list(W.iter_warc_records(good + b"NOT A WARC RECORD"))
+    assert len(recs) == 2  # records before the garbage still parse
+
+
+def test_parse_http_response_edges():
+    assert W.parse_http_response(b"no http envelope here") == (
+        None,
+        None,
+        b"no http envelope here",
+    )
+    s, c, b = W.parse_http_response(
+        b"HTTP/1.0 301 Moved\r\nLocation: /x\r\n\r\nbody"
+    )
+    assert (s, c, b) == (301, None, b"body")
+
+
+def test_gunzip_members_multi():
+    import gzip
+
+    data = gzip.compress(b"abc") + gzip.compress(b"def")
+    assert W.gunzip_members(data) == b"abcdef"
+    assert W.gunzip_members(b"plain bytes") == b"plain bytes"
