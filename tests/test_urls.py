@@ -161,3 +161,27 @@ def test_domain_cap_matches_single_phase(spark):
     )
     top = sorted(r.doc_id for r in U.domain_cap(hot, k=3, order_col="score").collect())
     assert top == [37, 38, 39]
+
+
+def test_normalize_property_random_urls(spark):
+    """Property check: URLs assembled from randomized components must
+    normalize identically to the urllib mirror. Components are chosen
+    to stay within well-formed URL syntax (the pinned contract; garbage
+    input is covered by the NULL-host path above)."""
+    import itertools
+    import random
+
+    rng = random.Random(1213)
+    hosts = ["www.Site.COM", "a.b.co.uk", "x-y.example.org", "localhost", "WWW.GOV.UK"]
+    paths = ["", "/", "/a/b", "/Upper/Case", "/p%20q"]
+    queries = ["", "?a=1", "?utm_source=t&b=2", "?z=9&y=8&x=7", "?ref=abc&keep=1", "?b=2&a=1&a=0"]
+    frags = ["", "#top", "#a/b?c=1"]
+    ports = ["", ":80", ":443", ":8080"]
+    schemes = ["http", "https", "HTTP"]
+    combos = list(itertools.product(schemes, hosts, ports, paths, queries, frags))
+    rng.shuffle(combos)
+    urls = [f"{s}://{h}{po}{pa}{q}{f}" for s, h, po, pa, q, f in combos[:300]]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "doc_id long, url string")
+    got = {r.doc_id: r.url_norm for r in U.parse_urls(df).collect()}
+    for i, u in enumerate(urls):
+        assert got[i] == _py_norm(u), u

@@ -109,6 +109,52 @@ def op_bpe(spark, docs):
     return bpe_token_counts(docs, model)
 
 
+def op_dsir(spark, docs):
+    from pg2kinesis_spark.functions.dsir import dsir_select, fit_dsir_logratios
+
+    lr = fit_dsir_logratios(docs.limit(200), docs)
+    return dsir_select(docs, lr, n=1000)
+
+
+def op_urls(spark, docs):
+    # deterministic URL column synthesized from doc_id: ~rows/500
+    # domains, 10% duplicate paths — the bench_urls shape at scale
+    from pg2kinesis_spark.functions import urls as U
+
+    with_urls = docs.select("doc_id").withColumn(
+        "url",
+        F.expr(
+            "concat('https://www.d', pmod(hash(doc_id), greatest(cast(500 as int), 1)),"
+            " '.example', pmod(hash(doc_id, 7), 100), '.com/p/',"
+            " cast(doc_id div 10 as string), '?utm_source=s&id=', doc_id)"
+        ),
+    )
+    gated = U.domain_blocklist_filter(
+        with_urls, [f"d{i}.example{i % 100}.com" for i in range(50)]
+    )
+    return U.domain_cap(U.url_dedup(gated), k=100)
+
+
+def op_semdedup(spark, docs):
+    # embeddings synthesized row-locally from the text hash: 16-dim
+    # integer-derived vectors, deterministic, cluster count scaled so
+    # mean cluster size stays ~250 — the paper's K-scales-with-N rule
+    from pg2kinesis_spark.functions.semdedup import semdedup
+
+    emb = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(0, 15), i -> "
+            "cast(pmod(xxhash64(text, i), 1000) as float) / 1000.0)"
+        ).alias("embedding"),
+    )
+    n = docs.count()
+    # flat k-means assignment is O(N*K): K follows N/250 but is capped —
+    # the CPU ladder runs to ~100k rows; see SCALING.md "Known
+    # super-linear costs" for the documented large-K story
+    return semdedup(emb, dim=16, eps=0.05, n_clusters=max(8, min(512, n // 250)))
+
+
 OPS = {
     "gopher": op_gopher,
     "substr": op_substr,
@@ -116,6 +162,9 @@ OPS = {
     "bm25": op_bm25,
     "curate": op_curate,
     "bpe": op_bpe,
+    "dsir": op_dsir,
+    "urls": op_urls,
+    "semdedup": op_semdedup,
 }
 
 
