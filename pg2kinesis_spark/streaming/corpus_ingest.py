@@ -223,3 +223,49 @@ def start_corpus_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_warc_ingest(
+    spark: SparkSession,
+    warc_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    max_files_per_trigger: int = 4,
+    **kwargs,
+):
+    """The CommonCrawl front door as a CONTINUOUS stream: WARC archives
+    landing in ``warc_dir`` flow through the record splitter + HTTP
+    gate + codegen HTML->text (functions/warc.py) into the same
+    crash-idempotent CorpusIngest gates (exact + incremental-LSH dedup
+    against the parquet indexes).
+
+    binaryFile is a regular file-stream source, so checkpointed file
+    tracking gives exactly-once archive consumption; one archive = one
+    task (the CommonCrawl 64k-files layout is the parallelism), and
+    maxFilesPerTrigger bounds per-batch memory the same way
+    maxPartitionBytes bounds scan tasks on a real cluster.
+    """
+    from pg2kinesis_spark.functions.warc import warc_to_corpus
+
+    # binaryFile's schema is fixed by the format, but the stream source
+    # API still demands it explicitly
+    bf_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(bf_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(warc_dir)
+    )
+    ingest = CorpusIngest(out_dir, **kwargs)
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        ingest.process_batch(warc_to_corpus(df).select("doc_id", "text"), batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -111,3 +111,40 @@ def test_gunzip_members_multi():
     data = gzip.compress(b"abc") + gzip.compress(b"def")
     assert W.gunzip_members(data) == b"abcdef"
     assert W.gunzip_members(b"plain bytes") == b"plain bytes"
+
+
+def test_streaming_warc_ingest(spark, tmp_path):
+    """Two WARC archives arriving across two stream runs: cross-batch
+    exact dedup holds (a page recrawled in archive 2 is not re-accepted),
+    and restart consumes only the new archive (checkpointed file source)."""
+    from pg2kinesis_spark.streaming.corpus_ingest import start_warc_ingest
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def page(i, text):
+        return {
+            "warc_type": "response",
+            "url": f"https://example.com/p{i}",
+            "payload": W.http_response_bytes(
+                f"<html><body><p>{text}</p></body></html>".encode()
+            ),
+        }
+
+    docs1 = [page(i, f"unique page number {i} with plenty of words here") for i in range(5)]
+    (land / "c-00000.warc.gz").write_bytes(W.encode_warc(docs1, gzip_members=True))
+    q = start_warc_ingest(spark, str(land), out, ckpt, near_dup_jaccard=None)
+    q.awaitTermination(120)
+    first = spark.read.parquet(f"{out}/accepted")
+    assert first.count() == 5
+
+    # archive 2: a recrawl of page 2 (same body → same text) + one new page
+    docs2 = [page(2, "unique page number 2 with plenty of words here"), page(9, "a brand new page body")]
+    (land / "c-00001.warc.gz").write_bytes(W.encode_warc(docs2, gzip_members=True))
+    q2 = start_warc_ingest(spark, str(land), out, ckpt, near_dup_jaccard=None)
+    q2.awaitTermination(120)
+    acc = spark.read.parquet(f"{out}/accepted")
+    assert acc.count() == 6  # only the new page joined; the recrawl deduped
+    texts = {r.text for r in acc.collect()}
+    assert "a brand new page body" in texts
