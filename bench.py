@@ -325,8 +325,22 @@ def bench_warc(spark, sf_dir):
     return W.warc_to_corpus(spark.read.format("binaryFile").load(d))
 
 
+def bench_unigram(spark, sf_dir):
+    """Unigram-LM subword token counts over the FULL documents table
+    against a 500-piece model EM-trained on a 5k-doc sample (driver-side
+    over the word-type table, inside the timer like bench_bpe); count
+    path = distinct-word Viterbi + broadcast join + per-doc sum."""
+    from pg2kinesis_spark.functions.unigram import learn_unigram, unigram_token_counts
+    from pg2kinesis_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = learn_unigram(docs.limit(5000), vocab_size=500)
+    return unigram_token_counts(docs, model)
+
+
 EXTRA_BENCHES = {
     "bpe_token_counts_full": bench_bpe,
+    "unigram_token_counts_full": bench_unigram,
     "semdedup_full": bench_semdedup,
     "dsir_select_full": bench_dsir,
     "url_pipeline_full": bench_urls,
