@@ -31,6 +31,8 @@ north-star training-data surface, not parity.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -51,6 +53,9 @@ def semdedup_assign(
     n_clusters: int = 16,
     n_iter: int = 2,
     scale: int = IVF_INT_SCALE,
+    hierarchical: bool = False,
+    nprobe: int = 2,
+    train_per_centroid: int = 64,
 ) -> DataFrame:
     """(vec_id, cid, cent_sim, embedding): deterministic cluster id and
     exact double cosine to the (dequantized) centroid.
@@ -58,8 +63,34 @@ def semdedup_assign(
     The centroid used for ``cent_sim`` is the integer centroid mapped
     back to doubles ((c - scale)/scale) — exact integers in, the same
     IEEE ops in the same order out, so every engine agrees bitwise.
+
+    ``hierarchical=True`` is the scale path: Lloyd trains on a
+    deterministic ``train_per_centroid · K`` sample and points route
+    through a √K coarse quantizer (``hier_assign``) — O(N·√K·nprobe)
+    instead of the flat O(N·K). Assignment becomes IVF-approximate;
+    clustering is a partition of the data either way, so the drop rule
+    downstream stays exact within each produced cluster.
     """
     spark = emb.sparkSession
+    if hierarchical:
+        cents = ivf_int_centroids(
+            emb, dim, n_clusters, n_iter, scale,
+            train_limit=train_per_centroid * n_clusters,
+        )
+        assigned = hier_assign(emb, cents, scale, nprobe).withColumn(
+            "cent_d",
+            F.expr(
+                f"transform(cent, v -> (cast(v as double) - {scale}.0D) / {scale}.0D)"
+            ),
+        )
+        return assigned.select(
+            "vec_id",
+            "cid",
+            (
+                _dot("embedding", "cent_d") / (_norm("embedding") * _norm("cent_d"))
+            ).alias("cent_sim"),
+            "embedding",
+        )
     cents = ivf_int_centroids(emb, dim, n_clusters, n_iter, scale)
     cdf = F.broadcast(
         spark.createDataFrame(
@@ -92,6 +123,92 @@ def semdedup_assign(
     )
 
 
+def _py_sqdist(a: list, b: list) -> int:
+    acc = 0
+    for x, y in zip(a, b):
+        acc += (x - y) * (x - y)
+    return acc
+
+
+def _coarse_groups(cents: list, k1: int, n_iter: int = 2) -> list:
+    """Driver-side deterministic integer k-means over the K fine
+    centroids (K rows — microseconds): returns gid per fine centroid.
+    Seeds are the first k1 centroids (already deterministic), updates
+    are exact-integer sum // count, ties break on the smaller gid."""
+    coarse = [list(c) for c in cents[:k1]]
+    assign = [0] * len(cents)
+    for _ in range(n_iter + 1):
+        for i, c in enumerate(cents):
+            assign[i] = min(
+                range(len(coarse)), key=lambda g: (_py_sqdist(c, coarse[g]), g)
+            )
+        groups: dict[int, list] = {}
+        for i, g in enumerate(assign):
+            groups.setdefault(g, []).append(cents[i])
+        for g, members in groups.items():
+            n = len(members)
+            coarse[g] = [sum(m[d] for m in members) // n for d in range(len(cents[0]))]
+    return assign, coarse
+
+
+def hier_assign(
+    emb: DataFrame,
+    cents: list,
+    scale: int = IVF_INT_SCALE,
+    nprobe: int = 2,
+) -> DataFrame:
+    """(vec_id, cid, embedding): two-level centroid assignment.
+
+    Flat argmin over K centroids is O(N·K·dim) — the SemDeDup paper's
+    K-scales-with-N rule makes that O(N²) on CPU. The standard fix
+    (IVF/IMI coarse quantizer): cluster the K centroids into K1≈√K
+    coarse groups driver-side, route each point to its ``nprobe``
+    nearest coarse groups (O(N·K1)), then argmin only over the fine
+    centroids of those groups (O(N·nprobe·K/K1)) — O(N·√K) total.
+    Approximate exactly where IVF is (the true nearest fine centroid
+    can live in an unprobed group); determinism is unchanged.
+    """
+    spark = emb.sparkSession
+    k1 = max(1, int(math.isqrt(len(cents))))
+    assign, coarse = _coarse_groups(cents, k1)
+    # coarse probe happens IN-ROW against a literal array of the K1
+    # coarse centroids (K1·dim ints of codegen constant — ~√K, small by
+    # construction): no N·K1 crossJoin, no per-point window shuffle.
+    coarse_lit = (
+        "array(" + ", ".join(
+            "array(" + ", ".join(f"{v}L" for v in c) + ")" for c in coarse
+        ) + ")"
+    )
+    sq = (
+        "aggregate(zip_with(qv, c, (x, y) -> (x - y) * (x - y)),"
+        " cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    probe_expr = (
+        f"transform(slice(array_sort(transform({coarse_lit},"
+        f" (c, g) -> struct({sq} as d, g as gid))), 1, {nprobe}), s -> s.gid)"
+    )
+    cdf_fine = F.broadcast(
+        spark.createDataFrame(
+            [(assign[i], i, c) for i, c in enumerate(cents)],
+            "gid int, cid int, cent array<bigint>",
+        )
+    )
+    probed = (
+        emb.select("vec_id", "embedding", _ivf_int_vec("embedding", scale).alias("qv"))
+        .withColumn("gid", F.explode(F.expr(probe_expr)))
+    )
+    return (
+        probed.join(cdf_fine, "gid")
+        .withColumn("_d", _int_sqdist("qv", "cent"))
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct(F.col("_d"), F.col("cid"), F.col("cent"))).alias("m"),
+            F.first("embedding").alias("embedding"),
+        )
+        .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.cent").alias("cent"), "embedding")
+    )
+
+
 def _subsplit(assigned: DataFrame, max_cluster_size: int) -> DataFrame:
     """Sub-split clusters larger than the cap by key hash.
 
@@ -116,6 +233,8 @@ def semdedup(
     n_iter: int = 2,
     scale: int = IVF_INT_SCALE,
     max_cluster_size: int | None = None,
+    hierarchical: bool = False,
+    nprobe: int = 2,
 ) -> DataFrame:
     """(vec_id, cid, cent_sim, kept) — ``kept = false`` for items with a
     semantic duplicate (cos >= 1 - eps) earlier in the keep order.
@@ -127,7 +246,9 @@ def semdedup(
     EXISTS — expressed as pair-join → distinct losers → anti-join flag,
     so no window function ever sees a whole cluster in one reducer.
     """
-    assigned = semdedup_assign(emb, dim, n_clusters, n_iter, scale)
+    assigned = semdedup_assign(
+        emb, dim, n_clusters, n_iter, scale, hierarchical=hierarchical, nprobe=nprobe
+    )
     if max_cluster_size is not None:
         assigned = _subsplit(assigned, max_cluster_size)
         join_keys = ["cid", "sub"]

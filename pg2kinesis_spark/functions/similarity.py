@@ -533,6 +533,7 @@ def ivf_int_centroids(
     n_centroids: int = 16,
     n_iter: int = 2,
     scale: int = IVF_INT_SCALE,
+    train_limit: int | None = None,
 ) -> list[list[int]]:
     """Deterministic integer k-means: hash-seeded init + a FIXED number
     of Lloyd steps, all arithmetic exact integers — so ANY engine
@@ -557,6 +558,13 @@ def ivf_int_centroids(
     spark = emb.sparkSession
     q = emb.select("vec_id", _ivf_int_vec("embedding", scale).alias("qv"))
     h = F.expr(HASH60.format(x="cast(vec_id as string)"))
+    if train_limit is not None and train_limit > n_centroids:
+        # standard sample-trained k-means: Lloyd runs on the train_limit
+        # smallest (hash, vec_id) rows — a deterministic draw via
+        # TakeOrdered (per-partition heaps), the seed order's superset,
+        # so Lloyd cost is O(train_limit·K) instead of O(N·K). The
+        # registered n15 query passes no train_limit and is unchanged.
+        q = q.withColumn("_h", h).orderBy("_h", "vec_id").limit(train_limit).drop("_h")
     seed_rows = (
         q.withColumn("_h", h).orderBy("_h", "vec_id").limit(n_centroids).collect()
     )

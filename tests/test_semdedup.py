@@ -151,3 +151,51 @@ def test_semdedup_plan_has_no_cluster_funnel_window(spark, sf_small):
     emb = load_table(spark, sf_small, "embeddings")
     plan = sd.semdedup(emb, dim=64, eps=0.5, n_clusters=8)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_hier_assign_exact_when_all_groups_probed(spark, sf_small):
+    """K=8 → K1=2 coarse groups; nprobe=2 probes both, so hierarchical
+    assignment must equal the flat argmin exactly."""
+    emb = load_table(spark, sf_small, "embeddings")
+    flat = {
+        (r.vec_id, r.cid)
+        for r in sd.semdedup_assign(emb, dim=64, n_clusters=8).collect()
+    }
+    hier = {
+        (r.vec_id, r.cid)
+        for r in sd.semdedup_assign(
+            emb, dim=64, n_clusters=8, hierarchical=True, nprobe=2,
+            train_per_centroid=1_000_000,
+        ).collect()
+    }
+    assert hier == flat
+
+
+def test_hier_assign_high_agreement_when_probing_subset(spark, sf_small):
+    """K=16 → K1=4, nprobe=2 probes half the groups: assignment is
+    IVF-approximate but must agree with flat for the large majority."""
+    emb = load_table(spark, sf_small, "embeddings")
+    flat = {
+        r.vec_id: r.cid for r in sd.semdedup_assign(emb, dim=64, n_clusters=16).collect()
+    }
+    hier = {
+        r.vec_id: r.cid
+        for r in sd.semdedup_assign(
+            emb, dim=64, n_clusters=16, hierarchical=True, nprobe=2,
+            train_per_centroid=1_000_000,
+        ).collect()
+    }
+    assert set(hier) == set(flat)
+    agree = sum(1 for v in flat if hier[v] == flat[v]) / len(flat)
+    assert agree >= 0.8, agree
+
+
+def test_hier_semdedup_deterministic_and_plan(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    kw = dict(dim=64, eps=0.5, n_clusters=16, hierarchical=True)
+    r1 = sorted(map(tuple, sd.semdedup(emb, **kw).collect()))
+    r2 = sorted(map(tuple, sd.semdedup(emb, **kw).collect()))
+    assert r1 == r2
+    plan = sd.semdedup(emb, **kw)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan  # the flat path's crossJoin is gone

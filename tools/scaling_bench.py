@@ -149,10 +149,14 @@ def op_semdedup(spark, docs):
         ).alias("embedding"),
     )
     n = docs.count()
-    # flat k-means assignment is O(N*K): K follows N/250 but is capped —
-    # the CPU ladder runs to ~100k rows; see SCALING.md "Known
-    # super-linear costs" for the documented large-K story
-    return semdedup(emb, dim=16, eps=0.05, n_clusters=max(8, min(512, n // 250)))
+    # hierarchical (coarse-quantizer) assignment: O(N·√K·nprobe) — the
+    # scale path; the flat O(N·K) wall is recorded in SCALING.md (100k
+    # rows / K=400: 205 s flat). K follows N/250, capped at 512.
+    return semdedup(
+        emb, dim=16, eps=0.05,
+        n_clusters=max(8, min(512, n // 250)),
+        hierarchical=True,
+    )
 
 
 OPS = {
