@@ -36,15 +36,20 @@ def materialize_corpus(
     seq_len: int = 2048,
     target_shard_mb: float = 256,
     bpe_model=None,
+    unigram_model=None,
     **curate_kwargs,
 ) -> dict:
     """Curate -> shard -> layout -> manifest. Returns the manifest dict
     (also written to ``{out_dir}/manifest.json``).
 
-    With ``bpe_model`` (a :class:`functions.bpe.BpeModel`), the packing
-    layout and manifest token totals use budget-true BPE subword counts
-    instead of the curation's whitespace ``n_tokens`` — the counts a
-    trainer's dataloader will actually see."""
+    With ``bpe_model`` (a :class:`functions.bpe.BpeModel`) or
+    ``unigram_model`` (a :class:`functions.unigram.UnigramModel` —
+    mutually exclusive), the packing layout and manifest token totals
+    use budget-true subword counts instead of the curation's whitespace
+    ``n_tokens`` — the counts a trainer's dataloader will actually
+    see."""
+    if bpe_model is not None and unigram_model is not None:
+        raise ValueError("pass bpe_model or unigram_model, not both")
     from pg2kinesis_spark.io import write_sharded
 
     spark = docs.sparkSession
@@ -61,6 +66,11 @@ def materialize_corpus(
 
         back = back.join(bpe_token_counts(back, bpe_model), "doc_id")
         token_col = F.col("n_bpe_tokens")
+    elif unigram_model is not None:
+        from .unigram import unigram_token_counts
+
+        back = back.join(unigram_token_counts(back, unigram_model), "doc_id")
+        token_col = F.col("n_unigram_tokens")
     layout = pack_sequences(back, token_col, seq_len, "doc_id")
     layout.write.mode("overwrite").parquet(layout_path)
 
@@ -74,7 +84,11 @@ def materialize_corpus(
         "layout_path": layout_path,
         "n_shards": n_shards,
         "seq_len": seq_len,
-        "token_counter": "bpe" if bpe_model is not None else "whitespace",
+        "token_counter": (
+            "bpe"
+            if bpe_model is not None
+            else "unigram" if unigram_model is not None else "whitespace"
+        ),
         "packing": stats,
         "profile": prof,
         "curate_args": {
