@@ -127,6 +127,12 @@ def dsir_scores(
     no grams (empty text) survive via explode_outer's null-bucket row
     (left-joined → NULL logratio → coalesced to 0 — no evidence either
     way), so there is no second docs-keyed join to re-attach them.
+
+    ``n_buckets`` MUST match the fit's. (It is deliberately NOT
+    inferred via logratios.count(): on a lazy log-ratio plan that
+    count re-executes the whole fit — two corpus gram explosions — as
+    a hidden side effect. Callers that hold a materialized table can
+    pass its count.)
     """
     grams = _gram_buckets(docs, text_col, n_buckets, id_col)
     return (

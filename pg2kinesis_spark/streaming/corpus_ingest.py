@@ -55,10 +55,31 @@ class CorpusIngest:
         max_pii: int | None = None,
         lm_model=None,
         max_perplexity: float | None = None,
+        url_col: str | None = None,
+        url_blocklist: list[str] | None = None,
+        url_badwords: tuple[str, ...] | None = None,
+        dsir_logratios: DataFrame | None = None,
+        min_dsir_logw: float | None = None,
     ):
         self.out_dir = out_dir
         self.gopher = gopher
         self.max_pii = max_pii
+        # URL front door (urls.py): badwords/blocklist are row-local;
+        # URL dedup is WITHIN-batch (cross-batch dedup is the text-hash
+        # index's job — a recrawled page has equal text and dedups there)
+        self.url_col = url_col
+        self.url_blocklist = url_blocklist
+        self.url_badwords = url_badwords
+        # DSIR as a STREAMING gate: the log-ratio table is fit once on
+        # reference corpora; per-batch scoring thresholds on logw — the
+        # streaming analogue of top-k selection. Materialize it HERE
+        # (eager localCheckpoint): the table is probed every batch, and
+        # a lazy plan would re-run the whole fit per micro-batch.
+        if dsir_logratios is not None:
+            dsir_logratios = dsir_logratios.localCheckpoint(eager=True)
+            self.dsir_n_buckets = dsir_logratios.count()
+        self.dsir_logratios = dsir_logratios
+        self.min_dsir_logw = min_dsir_logw
         # LM gate state: the model's count DataFrames live for the whole
         # stream (trained once, on a REFERENCE corpus — not the stream)
         self.lm_model = lm_model
@@ -93,6 +114,27 @@ class CorpusIngest:
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        if self.url_col is not None:
+            from pg2kinesis_spark.functions import urls as _urls
+
+            if self.url_badwords:
+                batch = _urls.url_badword_filter(
+                    batch, self.url_badwords, url_col=self.url_col
+                )
+            if self.url_blocklist:
+                batch = _urls.domain_blocklist_filter(
+                    batch, self.url_blocklist, url_col=self.url_col
+                )
+            batch = _urls.url_dedup(batch, url_col=self.url_col)
+        if self.dsir_logratios is not None and self.min_dsir_logw is not None:
+            from pg2kinesis_spark.functions.dsir import dsir_scores
+
+            keep = (
+                dsir_scores(batch, self.dsir_logratios, n_buckets=self.dsir_n_buckets)
+                .filter(F.col("logw") >= self.min_dsir_logw)
+                .select("doc_id")
+            )
+            batch = batch.join(keep, "doc_id", "left_semi")
         if self.gopher:
             from pg2kinesis_spark.functions.repetition import gopher_filter
 

@@ -154,3 +154,45 @@ def test_ingest_lm_perplexity_gate(spark, tmp_path):
 
     accepted = spark.read.parquet(os.path.join(out, "accepted"))
     assert {r["doc_id"] for r in accepted.select("doc_id").collect()} == {1, 2}
+
+
+def test_ingest_url_and_dsir_gates(spark, tmp_path):
+    """URL gates (badwords/blocklist/within-batch dedup) and the DSIR
+    logw threshold run as stage-0 of the batch processor; results equal
+    the standalone operators applied by hand."""
+    from pg2kinesis_spark.functions.dsir import dsir_scores, fit_dsir_logratios
+
+    rows = [
+        (1, "spark shuffle partition broadcast arrow codegen text here", "https://good.example/a"),
+        (2, "llama yak gnu ibex okapi tapir words only in this one", "https://good.example/b"),
+        (3, "spark shuffle partition broadcast again fresh words too", "https://www.good.example/a?utm_source=x"),  # url dup of 1
+        (4, "spark partition shuffle lines of reasonable target text", "https://blocked.example/x"),
+        (5, "spark broadcast codegen arrow shuffle partition material", "https://good.example/casino-page"),
+    ]
+    batch = spark.createDataFrame(rows, ["doc_id", "text", "url"])
+    target = spark.createDataFrame(
+        [(100, "spark shuffle partition broadcast arrow codegen")], ["doc_id", "text"]
+    )
+    lr = fit_dsir_logratios(target, batch.select("doc_id", "text"))
+    # with a tiny target, every logw is negative (importance weights
+    # only rank docs); a real deployment calibrates the threshold from
+    # a score quantile — do the same here: keep above the 1/2 gap
+    scores = {r.doc_id: r.logw for r in dsir_scores(batch.select("doc_id", "text"), lr).collect()}
+    assert scores[1] == max(scores.values())  # target-like doc ranks first
+    ranked = sorted(scores.values(), reverse=True)
+    thr = (ranked[0] + ranked[1]) / 2
+    out = str(tmp_path / "out")
+    ing = CorpusIngest(
+        out,
+        near_dup_jaccard=None,
+        url_col="url",
+        url_blocklist=["blocked.example"],
+        url_badwords=("casino",),
+        dsir_logratios=lr,
+        min_dsir_logw=thr,
+    )
+    ing.process_batch(batch, 0)
+    accepted = {r.doc_id for r in spark.read.parquet(os.path.join(out, "accepted")).collect()}
+    # 3 dropped (url dup of 1), 4 blocked domain, 5 badword url,
+    # 2 below the DSIR threshold — only the target-like doc survives
+    assert accepted == {1}
