@@ -148,3 +148,43 @@ def test_streaming_warc_ingest(spark, tmp_path):
     assert acc.count() == 6  # only the new page joined; the recrawl deduped
     texts = {r.text for r in acc.collect()}
     assert "a brand new page body" in texts
+
+
+def test_warc_roundtrip_property():
+    """Hypothesis: arbitrary payloads (including CRLF sequences, empty,
+    binary) and unicode URLs round-trip through encode_warc →
+    gunzip_members → iter_warc_records byte-identically, plain and
+    gzip-per-member."""
+    from hypothesis import given, settings, strategies as st
+
+    rec = st.fixed_dictionaries(
+        {
+            "warc_type": st.sampled_from(["response", "request", "metadata"]),
+            "url": st.one_of(
+                st.none(),
+                st.text(
+                    alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+                    min_size=1,
+                    max_size=30,
+                ).map(lambda s: "https://h.example/" + s.replace(" ", "%20").replace("\r", "").replace("\n", "")),
+            ),
+            "payload": st.binary(max_size=400),
+        }
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(rec, min_size=1, max_size=6), st.booleans())
+    def check(records, gz):
+        for r in records:
+            if r["url"] is None:
+                r.pop("url")
+        buf = W.gunzip_members(W.encode_warc(records, gzip_members=gz))
+        parsed = list(W.iter_warc_records(buf))
+        assert len(parsed) == len(records)
+        for r, (off, hdrs, payload) in zip(records, parsed):
+            assert payload == r["payload"]
+            assert hdrs["warc-type"] == r["warc_type"]
+            if "url" in r:
+                assert hdrs["warc-target-uri"] == r["url"]
+
+    check()
