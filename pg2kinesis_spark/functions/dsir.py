@@ -151,6 +151,26 @@ def gumbel_key(logw: Column, key_col: str) -> Column:
     return logw - F.log(-F.log(u))
 
 
+def dsir_threshold_for_rate(
+    scores: DataFrame, rate: float, logw_col: str = "logw"
+) -> float:
+    """The ``min_dsir_logw`` that keeps approximately the top ``rate``
+    fraction of documents by log importance weight — calibrates the
+    streaming DSIR gate (CorpusIngest) from a reference batch.
+
+    Importance weights have no meaningful absolute zero (with a small
+    target, ~every logw is negative); acceptance is a RANK decision, so
+    the operational threshold is a quantile. One approx_percentile
+    aggregate (t-digest, single pass, driver gets one double).
+    """
+    if not 0.0 < rate <= 1.0:
+        raise ValueError(f"rate must be in (0, 1], got {rate}")
+    q = scores.agg(
+        F.expr(f"approx_percentile({logw_col}, {1.0 - rate}, 10000)")
+    ).first()[0]
+    return float(q)
+
+
 def dsir_select(
     docs: DataFrame,
     logratios: DataFrame,
