@@ -131,6 +131,56 @@ def bench_curate_max(spark, sf_dir):
     )
 
 
+def bench_curate_ultra(spark, sf_dir):
+    """curate_corpus with EVERY gate in the repo on, including the
+    round-4 stages: URL front door (synthesized deterministic URLs) ->
+    quality + Gopher + PII + exact/LSH/substring dedup + eval
+    decontamination + SemDeDup (embeddings joined on doc_id) -> DSIR
+    selection toward a 200-doc target. The complete 100 TB pipeline
+    wall-to-wall."""
+    from pyspark.sql import functions as F
+
+    from pg2kinesis_spark.functions.curate import curate_corpus
+    from pg2kinesis_spark.io import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn(
+            "url",
+            F.expr(
+                "concat('https://www.d', pmod(hash(doc_id), 500), '.example.com/p/',"
+                " doc_id, '?utm_source=bench')"
+            ),
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id"), F.col("embedding")
+    )
+    eval_df = docs.limit(20).select(
+        F.col("doc_id").alias("eval_id"),
+        F.expr("concat_ws(' ', slice(split(text, ' '), 3, 18))").alias("text"),
+    )
+    target = docs.select("doc_id", "text").limit(200)
+    return curate_corpus(
+        docs,
+        min_quality=0.2,
+        gopher=True,
+        max_pii=0,
+        near_dup_jaccard=0.6,
+        substring_k=20,
+        eval_df=eval_df,
+        url_col="url",
+        url_blocklist=[f"d{i}.example.com" for i in range(20)],
+        url_badwords=("casino",),
+        embeddings=emb,
+        semdedup_eps=0.4,
+        semdedup_clusters=8,
+        dsir_target=target,
+        dsir_n=1500,
+    )
+
+
 def bench_cosine_blas(spark, sf_dir):
     """Same workload as n9_cosine_topk through the BLAS mapInPandas path
     (one dgemm per Arrow batch, local top-k per batch) — the exact-ANN
@@ -356,6 +406,7 @@ EXTRA_BENCHES = {
     "pgoutput_replay_190k": bench_pgoutput_replay,
     "curate_full": bench_curate,
     "curate_max_full": bench_curate_max,
+    "curate_ultra_full": bench_curate_ultra,
     "n9_blas_cosine_topk": bench_cosine_blas,
 }
 

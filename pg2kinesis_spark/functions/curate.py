@@ -222,6 +222,12 @@ def curate_corpus(
     if embeddings is not None and semdedup_eps is not None:
         from .semdedup import semdedup
 
+        # semdedup drives MANY actions against the survivor set (dim
+        # probe, centroid seed + per-Lloyd collects, assignment, pair
+        # join) — left lazy, each one re-executes the whole gate+dedup
+        # chain above (the measured multi-reference trap; same fix as
+        # the substring stage).
+        ann = ann.localCheckpoint(eager=False)
         # semantic near-dups among CURRENT survivors only: restrict the
         # embedding table first so a dropped doc can't suppress a kept
         # one, then drop the semantic losers.
@@ -249,6 +255,9 @@ def curate_corpus(
     if dsir_target is not None and dsir_n is not None:
         from .dsir import dsir_select, fit_dsir_logratios
 
+        # fit (raw side), scoring, and the final semi join all
+        # reference the survivor set — materialize once (same trap)
+        ann = ann.localCheckpoint(eager=False)
         lr = fit_dsir_logratios(dsir_target, ann)
         sel = dsir_select(ann, lr, n=dsir_n)
         ann = ann.join(sel.select("doc_id"), "doc_id", "left_semi")
