@@ -137,17 +137,25 @@ def _coarse_groups(cents: list, k1: int, n_iter: int = 2) -> list:
     are exact-integer sum // count, ties break on the smaller gid."""
     coarse = [list(c) for c in cents[:k1]]
     assign = [0] * len(cents)
-    for _ in range(n_iter + 1):
+
+    def _assign():
         for i, c in enumerate(cents):
             assign[i] = min(
                 range(len(coarse)), key=lambda g: (_py_sqdist(c, coarse[g]), g)
             )
+
+    for _ in range(n_iter):
+        _assign()
         groups: dict[int, list] = {}
         for i, g in enumerate(assign):
             groups.setdefault(g, []).append(cents[i])
         for g, members in groups.items():
             n = len(members)
             coarse[g] = [sum(m[d] for m in members) // n for d in range(len(cents[0]))]
+    # final assignment against the FINAL coarse centroids — the fine
+    # routing table and the point-side probe must see the same coarse
+    # space, or a fine centroid can sit in a group its points never probe
+    _assign()
     return assign, coarse
 
 
