@@ -179,21 +179,30 @@ def hier_assign(
     spark = emb.sparkSession
     k1 = max(1, int(math.isqrt(len(cents))))
     assign, coarse = _coarse_groups(cents, k1)
-    # coarse probe happens IN-ROW against a literal array of the K1
-    # coarse centroids (K1·dim ints of codegen constant — ~√K, small by
-    # construction): no N·K1 crossJoin, no per-point window shuffle.
+    # a coarse group that ended up with ZERO fine centroids must not be
+    # probed: a point whose nprobe nearest groups were all empty would
+    # join no fine centroid and silently vanish from the partition
+    used = sorted(set(assign))
+    # coarse probe happens IN-ROW against a literal array of the used
+    # coarse centroids (≤K1·dim ints of codegen constant — ~√K, small
+    # by construction): no N·K1 crossJoin, no per-point window shuffle.
+    # Each literal struct carries its ORIGINAL gid (indices shift when
+    # empty groups are dropped).
     coarse_lit = (
         "array(" + ", ".join(
-            "array(" + ", ".join(f"{v}L" for v in c) + ")" for c in coarse
+            f"struct({g} as gid, array("
+            + ", ".join(f"{v}L" for v in coarse[g])
+            + ") as c)"
+            for g in used
         ) + ")"
     )
     sq = (
-        "aggregate(zip_with(qv, c, (x, y) -> (x - y) * (x - y)),"
+        "aggregate(zip_with(qv, s.c, (x, y) -> (x - y) * (x - y)),"
         " cast(0 as bigint), (acc, v) -> acc + v)"
     )
     probe_expr = (
         f"transform(slice(array_sort(transform({coarse_lit},"
-        f" (c, g) -> struct({sq} as d, g as gid))), 1, {nprobe}), s -> s.gid)"
+        f" s -> struct({sq} as d, s.gid as gid))), 1, {nprobe}), p -> p.gid)"
     )
     cdf_fine = F.broadcast(
         spark.createDataFrame(

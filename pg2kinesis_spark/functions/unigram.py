@@ -58,8 +58,9 @@ class UnigramModel:
         """ML segmentation of one word into vocabulary pieces.
 
         Unknown characters segment as themselves with UNK_LOGP. Ties
-        prefer the longer piece ending at each position, then the
-        lexicographically smaller piece — pinned, mirrored in tests.
+        prefer the LONGER piece ending at each position — pinned,
+        mirrored in tests. (At a fixed end position, equal length means
+        the identical piece, so no further tie-break exists.)
         """
         lp = self.logprobs
         n = len(word)
@@ -76,10 +77,7 @@ class UnigramModel:
                     else:
                         continue
                 s = best[j][0] + p
-                key = (s, i - j, piece)
-                if cand is None or (key[0], key[1]) > (cand[0], cand[1]) or (
-                    key[0] == cand[0] and key[1] == cand[1] and piece < cand[2]
-                ):
+                if cand is None or (s, i - j) > (cand[0], cand[1]):
                     cand = (s, i - j, piece)
             best[i] = (cand[0], i - cand[1], cand[2])
         out, i = [], n

@@ -22,9 +22,10 @@ Operators:
 
 Normalization rules (pinned, mirrored by the pure-Python oracle in
 tests/test_urls.py): lowercase scheme+host, strip a leading ``www.``,
-drop the fragment, drop tracking params (utm_*, gclid, fbclid, ref,
-igshid, mc_cid, mc_eid), sort surviving query params, strip default
-ports (:80/:443), collapse a trailing ``/`` on a bare path.
+drop the fragment, drop tracking params (``utm_`` by prefix; gclid,
+fbclid, ref, igshid, mc_cid, mc_eid by exact param NAME — ``refresh=``
+is not ``ref``), sort surviving query params, strip default ports
+(:80/:443), collapse a trailing ``/`` on a bare path.
 
 The reference (/root/reference/pg2kinesis) has no analogue — this is
 north-star training-data surface, not parity.
@@ -69,7 +70,14 @@ def registered_domain(host: Column) -> Column:
         ),
     )
     is_two_label = last2.isin(*_TWO_LABEL_SUFFIXES)
-    return F.when(n <= 1, host).when(is_two_label & (n >= 3), last3).otherwise(last2)
+    # NULL host -> NULL domain (concat_ws would silently yield "" and
+    # collapse every unparseable URL into one cap group)
+    return (
+        F.when(host.isNull(), F.lit(None).cast("string"))
+        .when(n <= 1, host)
+        .when(is_two_label & (n >= 3), last3)
+        .otherwise(last2)
+    )
 
 
 def normalize_url(url: str | Column = "url") -> Column:
@@ -81,22 +89,32 @@ def normalize_url(url: str | Column = "url") -> Column:
     c = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.coalesce(F.try_parse_url(c, F.lit("PROTOCOL")), F.lit("http")))
     host = F.regexp_replace(_host(c), r"^www\.", "")
-    port = F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*:(\d+)", 1)
+    # optional userinfo is consumed POSSESSIVELY (?+) — a plain ? lets
+    # the engine backtrack out of it and capture a numeric password as
+    # the port (user:1234@host)
+    port = F.regexp_extract(
+        c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?+[^/?#:]*:(\d+)", 1
+    )
     keep_port = F.when(
         (port != "") & ~port.isin("80", "443"), F.concat(F.lit(":"), port)
     ).otherwise(F.lit(""))
     path = F.coalesce(F.try_parse_url(c, F.lit("PATH")), F.lit(""))
     path = F.when(path == "/", F.lit("")).otherwise(path)
     query = F.coalesce(F.try_parse_url(c, F.lit("QUERY")), F.lit(""))
+    # utm_* matches by prefix; every other tracking entry matches the
+    # exact param NAME (t or t=...) — a bare prefix would also strip
+    # genuine params like refresh= / reference=
+    def _tracked(p: Column) -> Column:
+        hit = F.lit(False)
+        for t in _TRACKING_PARAMS:
+            if t.endswith("_"):  # prefix-family entry (utm_*)
+                hit = hit | p.startswith(t)
+            else:
+                hit = hit | (p == t) | p.startswith(t + "=")
+        return hit
+
     kept = F.array_sort(
-        F.filter(
-            F.split(query, "&"),
-            lambda p: (p != "")
-            & ~F.exists(
-                F.array(*[F.lit(t) for t in _TRACKING_PARAMS]),
-                lambda t: p.startswith(t),
-            ),
-        )
+        F.filter(F.split(query, "&"), lambda p: (p != "") & ~_tracked(p))
     )
     qstr = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
         F.lit("")
@@ -210,10 +228,14 @@ def domain_cap(
     (order_col desc, id) when order_col is given (e.g. a quality
     score), else the k smallest ids. Salted two-phase ranking: no
     whole-domain reducer funnel (the hot-domain case is exactly the
-    skew this repo's top-k shape exists for)."""
+    skew this repo's top-k shape exists for). Docs whose URL fails to
+    parse (NULL domain) all pass through uncapped — the url_dedup
+    no-evidence rule, not one shared cap bucket."""
     from pyspark.sql import Window as W
 
     base = df.withColumn("_dom", registered_domain(_host(url_col)))
+    unparsed = base.filter(F.col("_dom").isNull()).drop("_dom")
+    base = base.filter(F.col("_dom").isNotNull())
     if order_col is None:
         order = (F.col(id_col).asc(),)
     else:
@@ -225,8 +247,9 @@ def domain_cap(
         F.col("_lrnk") <= k
     )
     w = W.partitionBy("_dom").orderBy(*order)
-    return (
+    capped = (
         pre.withColumn("_rnk", F.row_number().over(w))
         .filter(F.col("_rnk") <= k)
         .drop("_dom", "_salt", "_lrnk", "_rnk")
     )
+    return capped.unionByName(unparsed)

@@ -163,10 +163,11 @@ DOC_SCHEMA = T.StructType(
 def warc_responses_to_docs(records: DataFrame) -> DataFrame:
     """Response records → (path, offset, url, http_status, html).
 
-    Keeps 2xx responses whose HTTP Content-Type says text/html (or has
-    no Content-Type at all but an ``application/http`` WARC envelope —
-    the pre-1.1 crawler convention). Body bytes decode as utf-8 with
-    replacement; the pinned rule, mirrored in tests.
+    Keeps 2xx responses whose HTTP Content-Type explicitly says
+    text/html; a response with NO Content-Type header is dropped — an
+    untyped body is as likely a JPEG as a page, and utf-8-replace
+    decoding it would land mojibake in the corpus. Body bytes decode
+    as utf-8 with replacement; the pinned rule, mirrored in tests.
     """
     import pandas as pd
 
@@ -181,7 +182,7 @@ def warc_responses_to_docs(records: DataFrame) -> DataFrame:
                 status, ctype, body = parse_http_response(bytes(payload))
                 if status is None or not (200 <= status < 300):
                     continue
-                if ctype is not None and "text/html" not in ctype.lower():
+                if ctype is None or "text/html" not in ctype.lower():
                     continue
                 rows["path"].append(path)
                 rows["offset"].append(int(off))

@@ -45,6 +45,13 @@ def _fixture_records():
             "url": "https://example.com/b",
             "payload": W.http_response_bytes(html2),
         },
+        {
+            # 200 with NO Content-Type header: could be anything —
+            # dropped by the pinned rule (mojibake guard)
+            "warc_type": "response",
+            "url": "https://example.com/untyped",
+            "payload": b"HTTP/1.1 200 OK\r\nContent-Length: 4\r\n\r\n\xff\xd8\xff\xe0",
+        },
     ]
 
 
