@@ -168,6 +168,8 @@ def dsir_threshold_for_rate(
     q = scores.agg(
         F.expr(f"approx_percentile({logw_col}, {1.0 - rate}, 10000)")
     ).first()[0]
+    if q is None:
+        raise ValueError("cannot calibrate a threshold from an empty score set")
     return float(q)
 
 

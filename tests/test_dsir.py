@@ -162,3 +162,9 @@ def test_threshold_for_rate_calibration(spark, corpora):
 
     with _pt.raises(ValueError):
         dsir.dsir_threshold_for_rate(scores, rate=0.0)
+
+
+def test_threshold_for_rate_empty_scores_raises(spark):
+    empty = spark.createDataFrame([], "doc_id long, logw double")
+    with pytest.raises(ValueError):
+        dsir.dsir_threshold_for_rate(empty, rate=0.5)
