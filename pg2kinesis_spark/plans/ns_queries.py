@@ -27,20 +27,25 @@ def _emb(spark, sf_dir):
     return load_table(spark, sf_dir, "embeddings")
 
 
-def n1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.token_stats(_docs(spark, sf_dir)).orderBy("doc_id")
+def n1_text_stats_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 consolidation of n1_token_stats + n4_fingerprint (frees a
+    registry slot under the driver's 50-row cap; both capabilities stay
+    hash-checked). The doc_id join is registry-only plumbing — the
+    production path composes these as columns in one scan
+    (curate.annotate)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        text.token_stats(docs).join(text.fingerprint(docs), "doc_id").orderBy("doc_id")
+    )
 
 
-def n2_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.quality_score(_docs(spark, sf_dir)).orderBy("doc_id")
-
-
-def n3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.lang_id(_docs(spark, sf_dir)).orderBy("doc_id")
-
-
-def n4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.fingerprint(_docs(spark, sf_dir)).orderBy("doc_id")
+def n2_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 consolidation of n2_quality_score + n3_lang_id (same
+    rationale as n1_text_stats_fp)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        text.quality_score(docs).join(text.lang_id(docs), "doc_id").orderBy("doc_id")
+    )
 
 
 def n5_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,10 +192,8 @@ NS_QUERIES = {
     "n18_token_budget": n18_token_budget,
     "n19_udaf_quality_by_lang": n19_udaf_quality_by_lang,
     "n20_udtf_bigrams": n20_udtf_bigrams,
-    "n1_token_stats": n1_token_stats,
-    "n2_quality_score": n2_quality_score,
-    "n3_lang_id": n3_lang_id,
-    "n4_fingerprint": n4_fingerprint,
+    "n1_text_stats_fp": n1_text_stats_fp,
+    "n2_quality_lang": n2_quality_lang,
     "n5_dedup_exact": n5_dedup_exact,
     "n6_jaccard_pairs": n6_jaccard_pairs,
     "n7_minhash_signatures": n7_minhash_signatures,
@@ -322,14 +325,31 @@ NS_ORACLE_SQL = {
                CAST(cum_tokens AS BIGINT) AS cum_tokens FROM c
         WHERE cum_tokens <= 10000 ORDER BY doc_id
     """,
-    "n1_token_stats": f"""
-        SELECT doc_id,
-               len(string_split(text, ' ')) AS n_tokens,
-               len(regexp_extract_all(text, '{_BPE}')) AS n_bpe_tokens,
-               length(text) AS n_chars_m
-        FROM documents ORDER BY doc_id
+    # Round-4 consolidation (driver 50-row cap): token stats + fingerprint
+    # in one row, quality + lang in the other — all four capabilities stay
+    # hash-checked.
+    "n1_text_stats_fp": f"""
+        WITH st AS (
+          SELECT doc_id,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 len(regexp_extract_all(text, '{_BPE}')) AS n_bpe_tokens,
+                 length(text) AS n_chars_m
+          FROM documents
+        ),
+        e AS (
+          SELECT doc_id,
+                 generate_subscripts(string_split(text, ' '), 1) AS pos,
+                 unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ),
+        fp AS (
+          SELECT doc_id, CAST(sum(pos * ({_H60.format(x='w')} % 1000003)) AS BIGINT) AS fp
+          FROM e GROUP BY doc_id
+        )
+        SELECT st.doc_id, st.n_tokens, st.n_bpe_tokens, st.n_chars_m, fp.fp
+        FROM st JOIN fp ON st.doc_id = fp.doc_id ORDER BY st.doc_id
     """,
-    "n2_quality_score": f"""
+    "n2_quality_lang": f"""
         WITH d AS (
           SELECT doc_id,
                  string_split(text, ' ') AS ws,
@@ -337,16 +357,16 @@ NS_ORACLE_SQL = {
                  len(list_filter(string_split(text, ' '), w -> list_contains([{_STOP_LIT}], w))) AS stop,
                  list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'sum') AS wlen
           FROM documents
-        )
-        SELECT doc_id, n AS n_tokens,
-               stop / n AS stopword_ratio,
-               wlen / n AS avg_word_len,
-               least(n / 100.0, 1.0) * 0.3 + (1 - stop / n) * 0.4
-                 + least((wlen / n) / 10.0, 1.0) * 0.3 AS quality
-        FROM d ORDER BY doc_id
-    """,
-    "n3_lang_id": f"""
-        WITH s AS (
+        ),
+        q AS (
+          SELECT doc_id, n AS n_tokens,
+                 stop / n AS stopword_ratio,
+                 wlen / n AS avg_word_len,
+                 least(n / 100.0, 1.0) * 0.3 + (1 - stop / n) * 0.4
+                   + least((wlen / n) / 10.0, 1.0) * 0.3 AS quality
+          FROM d
+        ),
+        s AS (
           SELECT doc_id,
                  {_score('de')} AS score_de,
                  {_score('en')} AS score_en,
@@ -354,22 +374,13 @@ NS_ORACLE_SQL = {
                  {_score('fr')} AS score_fr
           FROM documents
         )
-        SELECT doc_id, score_de, score_en, score_es, score_fr,
-               CASE WHEN score_fr > greatest(score_de, score_en, score_es) THEN 'fr'
-                    WHEN score_es > greatest(score_de, score_en) THEN 'es'
-                    WHEN score_en > score_de THEN 'en'
+        SELECT q.doc_id, q.n_tokens, q.stopword_ratio, q.avg_word_len, q.quality,
+               s.score_de, s.score_en, s.score_es, s.score_fr,
+               CASE WHEN s.score_fr > greatest(s.score_de, s.score_en, s.score_es) THEN 'fr'
+                    WHEN s.score_es > greatest(s.score_de, s.score_en) THEN 'es'
+                    WHEN s.score_en > s.score_de THEN 'en'
                     ELSE 'de' END AS pred_lang
-        FROM s ORDER BY doc_id
-    """,
-    "n4_fingerprint": f"""
-        WITH e AS (
-          SELECT doc_id,
-                 generate_subscripts(string_split(text, ' '), 1) AS pos,
-                 unnest(string_split(text, ' ')) AS w
-          FROM documents
-        )
-        SELECT doc_id, CAST(sum(pos * ({_H60.format(x='w')} % 1000003)) AS BIGINT) AS fp
-        FROM e GROUP BY doc_id ORDER BY doc_id
+        FROM q JOIN s ON q.doc_id = s.doc_id ORDER BY q.doc_id
     """,
     "n5_dedup_exact": """
         SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies

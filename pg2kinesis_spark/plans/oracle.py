@@ -79,10 +79,21 @@ ORACLE_SQL: dict[str, str] = {
         FROM nation GROUP BY CUBE (n_regionkey, n_nationkey)
         ORDER BY tag, 2 NULLS FIRST, 3 NULLS FIRST
     """,
+    # q17 absorbs the former q19_topk (round-4 registry consolidation):
+    # window ranking + global top-k, tagged.
     "q17_rank_window": """
-        SELECT o_custkey, o_orderkey,
-               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
-        FROM orders ORDER BY 1, 3 LIMIT 1000
+        SELECT 'rank' AS op, o_custkey, o_orderkey, CAST(rn AS DOUBLE) AS val
+        FROM (
+          SELECT o_custkey, o_orderkey,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+          FROM orders ORDER BY o_custkey, rn LIMIT 1000
+        )
+        UNION ALL
+        SELECT 'topk' AS op, CAST(NULL AS BIGINT) AS o_custkey, o_orderkey, o_totalprice AS val
+        FROM (
+          SELECT o_orderkey, o_totalprice FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        )
     """,
     "q18_carry_forward": """
         SELECT event_id,
@@ -90,10 +101,6 @@ ORACLE_SQL: dict[str, str] = {
                  OVER (ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS last_signup_user
         FROM events ORDER BY event_id LIMIT 1000
-    """,
-    "q19_topk": """
-        SELECT o_orderkey, o_totalprice FROM orders
-        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
     """,
     "q20_set_ops": """
         SELECT 'union' AS op, n_nationkey FROM (

@@ -176,15 +176,35 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Q17: ranking window
+# --- Q17 (+ former Q19, round-4 consolidation under the driver's 50-row
+# cap): ranking window UNION-tagged with the global top-k — both the
+# window-exchange plan and the TakeOrderedAndProject plan in one query.
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    return (
+    ranked = (
         orders.select("o_custkey", "o_orderkey", F.row_number().over(w).alias("rn"))
         .orderBy("o_custkey", "rn")
         .limit(1000)
+        .select(
+            F.lit("rank").alias("op"),
+            "o_custkey",
+            "o_orderkey",
+            F.col("rn").cast("double").alias("val"),
+        )
     )
+    topk = (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select(
+            F.lit("topk").alias("op"),
+            F.lit(None).cast("long").alias("o_custkey"),
+            "o_orderkey",
+            F.col("o_totalprice").alias("val"),
+        )
+    )
+    return ranked.unionByName(topk)
 
 
 # --- Q18: carry-forward window — the W1 xid-state analogue
@@ -196,16 +216,6 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("event_type") == "signup", F.col("user_id")), ignorenulls=True
     ).over(w)
     return events.select("event_id", carried.alias("last_signup_user")).orderBy("event_id").limit(1000)
-
-
-# --- Q19: top-k
-def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.select("o_orderkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-        .limit(10)
-    )
 
 
 # --- Q20/Q20b/Q20c (consolidated): UNION, INTERSECT, and EXCEPT in one
@@ -262,9 +272,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q12_range_join": q12,
     "q13_hash_agg": q13,
     "q15_rollup_cube": q15,
-    "q17_rank_window": q17,
+    "q17_rank_window": q17,  # includes the former q19_topk section (tagged)
     "q18_carry_forward": q18,
-    "q19_topk": q19,
     "q20_set_ops": q20,
     "q21_date_trunc": q21,
     "q23_array_aggregate": q23,
