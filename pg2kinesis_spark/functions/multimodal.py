@@ -8,16 +8,17 @@ never leaves the executor.
 
 Codec support is tiered, honestly:
 
-* PNG and PCM WAV decode/encode are REAL — dependency-free kernels in
-  :mod:`codecs` (stdlib zlib/struct + numpy). ``extract_features`` /
-  ``resize_media`` with ``fake=False`` run true pixel decodes for PNG;
-  ``extract_image_features`` / ``extract_audio_features`` add
-  codec-true columns (channels, luma, sample rate, RMS).
-* JPEG/MP3/video codecs (PIL/ffmpeg) are NOT available in this
-  environment — those mimes raise NotImplementedError inside the
-  kernel, and the deterministic fake (``fake=True``) remains for
-  plumbing tests. The Spark-side contract — schemas, batch iteration,
-  partitioning — is identical either way.
+* PNG, baseline JPEG, and PCM WAV decode/encode are REAL —
+  dependency-free kernels in :mod:`codecs` (stdlib zlib/struct +
+  numpy). ``extract_features`` / ``resize_media`` with ``fake=False``
+  run true pixel decodes for PNG and JPEG; ``extract_image_features``
+  / ``extract_audio_features`` / ``media_dhash`` add codec-true
+  columns (channels, luma, sample rate, RMS, perceptual hash).
+* MP3/video codecs (ffmpeg) are NOT available in this environment —
+  those mimes raise NotImplementedError inside the kernel, and the
+  deterministic fake (``fake=True``) remains for plumbing tests. The
+  Spark-side contract — schemas, batch iteration, partitioning — is
+  identical either way.
 """
 
 from __future__ import annotations
@@ -92,16 +93,16 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     from . import codecs
 
     def real_dims(c: bytes) -> tuple[int, int]:
-        if codecs.is_png(c):
-            h, w = codecs.decode_png(c).shape[:2]
+        if codecs.is_png(c) or codecs.is_jpeg(c):
+            h, w = codecs.decode_image(c).shape[:2]
             return w, h
         if codecs.is_wav(c):
             samples, _ = codecs.decode_wav(c)
             # audio "dims": (n_samples, n_channels) — documented mapping
             return int(samples.shape[0]), int(samples.shape[1])
         raise NotImplementedError(
-            "only PNG/WAV decode is available in this environment "
-            "(JPEG/MP3/video need PIL/ffmpeg)"
+            "only PNG/JPEG/WAV decode is available in this environment "
+            "(MP3/video need ffmpeg)"
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -143,13 +144,17 @@ def resize_media(media: DataFrame, width: int = 64, height: int = 64, fake: bool
     def resize_one(c: bytes) -> bytes:
         b = bytes(c)
         if not fake:
-            if not codecs.is_png(b):
-                raise NotImplementedError(
-                    "real resize supports PNG only in this environment"
-                )
             # true pixel resize: decode -> nearest-neighbor -> re-encode
-            return codecs.encode_png(
-                codecs.resize_nearest(codecs.decode_png(b), width, height)
+            # in the source format (PNG stays PNG, JPEG stays JPEG)
+            if codecs.is_png(b):
+                return codecs.encode_png(
+                    codecs.resize_nearest(codecs.decode_png(b), width, height)
+                )
+            if codecs.is_jpeg(b):
+                img = codecs.resize_nearest(codecs.decode_jpeg(b), width, height)
+                return codecs.encode_jpeg(img[:, :, 0] if img.shape[2] == 1 else img)
+            raise NotImplementedError(
+                "real resize supports PNG and baseline JPEG in this environment"
             )
         if len(b) >= target:
             step = len(b) / target
@@ -189,10 +194,10 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def extract_image_features(media: DataFrame) -> DataFrame:
-    """REAL image features over PNG content: decoded dimensions, channel
-    count, mean luma (ITU-R 601 on RGB, plain mean on gray). Same
-    mapInPandas contract as extract_features — constant memory per Arrow
-    batch, decode never leaves the executor."""
+    """REAL image features over PNG/JPEG content: decoded dimensions,
+    channel count, mean luma (ITU-R 601 on RGB, plain mean on gray).
+    Same mapInPandas contract as extract_features — constant memory per
+    Arrow batch, decode never leaves the executor."""
     import hashlib
 
     import pandas as pd
@@ -203,7 +208,7 @@ def extract_image_features(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, c in zip(pdf["media_id"], pdf["content"]):
-                img = codecs.decode_png(bytes(c))
+                img = codecs.decode_image(bytes(c))
                 h, w, nch = img.shape
                 px = img.astype("float64")
                 if nch >= 3:
@@ -294,11 +299,12 @@ def media_exact_duplicates(media: DataFrame) -> DataFrame:
 
 
 def media_dhash(media: DataFrame) -> DataFrame:
-    """REAL perceptual hash for PNG content: the classic 64-bit dHash —
-    decode, luma, nearest-neighbor resize to 9x8, sign of horizontally
-    adjacent differences. Robust to re-encoding and uniform brightness
-    shifts; bit-compatible with the SimHash pair-search machinery.
-    Returns (media_id, dhash). Non-PNG content raises in the kernel.
+    """REAL perceptual hash for PNG/JPEG content: the classic 64-bit
+    dHash — decode, luma, nearest-neighbor resize to 9x8, sign of
+    horizontally adjacent differences. Robust to re-encoding (including
+    across PNG<->JPEG) and uniform brightness shifts; bit-compatible
+    with the SimHash pair-search machinery. Returns (media_id, dhash).
+    Non-image content raises in the kernel.
     """
     import pandas as pd
 
@@ -308,7 +314,7 @@ def media_dhash(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, c in zip(pdf["media_id"], pdf["content"]):
-                img = codecs.decode_png(bytes(c)).astype("float64")
+                img = codecs.decode_image(bytes(c)).astype("float64")
                 if img.shape[2] >= 3:
                     gray = (
                         0.299 * img[:, :, 0]

@@ -267,11 +267,19 @@ def test_extract_audio_features_real(spark):
 def test_unsupported_mime_raises_in_kernel(spark):
     from pg2kinesis_spark.functions.multimodal import MEDIA_SCHEMA, extract_features
 
+    # a mime with no decoder (mp3) fails loudly in the kernel
+    media = spark.createDataFrame(
+        [(1, bytearray(b"ID3\x04 fake mp3"), ("audio/mpeg", 10, "mem://m"))],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="PNG/JPEG/WAV"):
+        extract_features(media, fake=False).collect()
+    # JPEG-looking garbage now reaches the REAL decoder and fails there
     media = spark.createDataFrame(
         [(1, bytearray(b"\xff\xd8\xff\xe0 fake jpeg"), ("image/jpeg", 10, "mem://j"))],
         MEDIA_SCHEMA,
     )
-    with pytest.raises(Exception, match="PNG/WAV"):
+    with pytest.raises(Exception, match="missing SOF"):
         extract_features(media, fake=False).collect()
 
 

@@ -1,0 +1,229 @@
+"""Baseline JPEG codec: independent oracles + round trips + Spark paths.
+
+Trust strategy (the codec is hand-written, so the evidence is layered):
+
+* the DCT basis is pinned against the naive O(N^4) definition form of
+  T.81 A.3.3 — a completely independent derivation;
+* the canonical huffman assignment is pinned against hand-derived spec
+  codes (T.81 Annex K Table K.3);
+* encode->decode round trips bound reconstruction error on solid,
+  smooth, and noise content at several qualities and samplings —
+  encoder and decoder share only the table constants, so a defect in
+  either direction breaks the tolerance;
+* restart-marker streams must decode pixel-identical to the same image
+  without restarts;
+* the Spark-side multimodal paths (features / luma / resize / dHash)
+  run the real kernels over JPEG content, including a cross-format
+  PNG<->JPEG near-dup pairing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pg2kinesis_spark.functions.codecs import (
+    _DCT_M,
+    _H_DC_LUMA,
+    _huff_codes,
+    decode_image,
+    decode_jpeg,
+    decode_png,
+    encode_jpeg,
+    encode_png,
+    is_jpeg,
+    resize_nearest,
+)
+
+
+def _smooth_img(h, w, c=3, seed=0):
+    """Low-frequency content a lossy codec should reproduce closely."""
+    rng = np.random.RandomState(seed)
+    base = rng.randint(30, 226, (3, 4, c)).astype(np.uint8)
+    return resize_nearest(base, w, h)
+
+
+# --- independent oracles ---------------------------------------------------
+
+def test_dct_matrix_matches_definition():
+    """F(u,v) = 1/4 C(u) C(v) sum_x sum_y f(x,y) cos(...) cos(...) —
+    the T.81 A.3.3 definition, evaluated with four explicit loops."""
+    rng = np.random.RandomState(3)
+    f = rng.randint(-128, 128, (8, 8)).astype(np.float64)
+    want = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / np.sqrt(2) if u == 0 else 1.0
+            cv = 1 / np.sqrt(2) if v == 0 else 1.0
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        f[y, x]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            want[v, u] = 0.25 * cu * cv * s
+    got = _DCT_M @ f @ _DCT_M.T
+    np.testing.assert_allclose(got, want, atol=1e-9)
+    # and the inverse is the transpose pair
+    np.testing.assert_allclose(_DCT_M.T @ got @ _DCT_M, f, atol=1e-9)
+
+
+def test_huffman_canonical_assignment_matches_spec():
+    """T.81 Annex K Table K.3: the DC luminance codes, hand-derived."""
+    codes = _huff_codes(*_H_DC_LUMA)
+    assert codes[0] == (0b00, 2)
+    assert codes[1] == (0b010, 3)
+    assert codes[5] == (0b110, 3)
+    assert codes[6] == (0b1110, 4)
+    assert codes[11] == (0b111111110, 9)
+
+
+# --- round trips -----------------------------------------------------------
+
+def test_solid_blocks_roundtrip_exact():
+    for val in (0, 128, 255):
+        img = np.full((16, 16), val, dtype=np.uint8)
+        dec = decode_jpeg(encode_jpeg(img, quality=95))
+        assert dec.shape == (16, 16, 1)
+        assert int(np.abs(dec[:, :, 0].astype(int) - int(val)).max()) <= 1
+
+
+def test_gray_gradient_roundtrip_odd_dims():
+    g = np.add.outer(np.arange(17) * 9, np.arange(13) * 4).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg(g, quality=95))
+    assert dec.shape == (17, 13, 1)
+    assert np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max() <= 3
+
+
+def test_rgb_444_roundtrip_tolerance():
+    img = _smooth_img(24, 32)
+    dec = decode_jpeg(encode_jpeg(img, quality=95))
+    assert dec.shape == (24, 32, 3)
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 8 and err.mean() <= 2.0
+
+
+def test_rgb_420_roundtrip_tolerance():
+    img = _smooth_img(24, 32, seed=1)
+    dec = decode_jpeg(encode_jpeg(img, quality=95, subsample=True))
+    assert dec.shape == (24, 32, 3)
+    # chroma is 2x2-averaged: bound the error on the luma reconstruction
+    luma = lambda a: 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+    assert np.abs(luma(dec.astype(float)) - luma(img.astype(float))).mean() <= 3.0
+
+
+def test_noise_roundtrip_bounded_and_quality_tradeoff():
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (24, 24, 3)).astype(np.uint8)
+    hi = encode_jpeg(img, quality=95)
+    lo = encode_jpeg(img, quality=30)
+    assert len(lo) < len(hi)  # coarser tables compress harder
+    err_hi = np.abs(decode_jpeg(hi).astype(int) - img.astype(int)).mean()
+    err_lo = np.abs(decode_jpeg(lo).astype(int) - img.astype(int)).mean()
+    assert err_hi < err_lo  # and reconstruct worse
+    assert err_hi < 20.0
+
+
+def test_restart_markers_decode_pixel_identical():
+    img = _smooth_img(40, 24, seed=2)
+    plain = decode_jpeg(encode_jpeg(img, quality=90))
+    restarted = decode_jpeg(encode_jpeg(img, quality=90, restart_interval=2))
+    np.testing.assert_array_equal(plain, restarted)
+    # and with 4:2:0 MCUs
+    plain = decode_jpeg(encode_jpeg(img, quality=90, subsample=True))
+    restarted = decode_jpeg(encode_jpeg(img, quality=90, subsample=True, restart_interval=1))
+    np.testing.assert_array_equal(plain, restarted)
+
+
+def test_progressive_and_garbage_rejected():
+    jp = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
+    sof = jp.find(b"\xff\xc0")
+    jp[sof + 1] = 0xC2  # pretend progressive
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(jp))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01\x02")
+    with pytest.raises(ValueError):
+        # cut inside the entropy stream of a non-trivial image
+        decode_jpeg(encode_jpeg(_smooth_img(24, 32), quality=95)[:-20])
+    with pytest.raises(ValueError):
+        # cut inside the header tables of a tiny image
+        decode_jpeg(encode_jpeg(np.zeros((8, 8), dtype=np.uint8))[:-20])
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((4, 4, 4), dtype=np.uint8))  # RGBA unsupported
+
+
+def test_decode_image_dispatch():
+    img = _smooth_img(8, 8)
+    assert decode_image(encode_png(img)).shape == (8, 8, 3)
+    assert decode_image(encode_jpeg(img)).shape == (8, 8, 3)
+    assert is_jpeg(encode_jpeg(img))
+    with pytest.raises(NotImplementedError):
+        decode_image(b"RIFFxxxxWAVE")  # audio is not an image
+
+
+# --- Spark-side real paths -------------------------------------------------
+
+@pytest.fixture()
+def jpeg_media(spark):
+    from pg2kinesis_spark.functions.multimodal import MEDIA_SCHEMA
+
+    rows = []
+    for i, (h, w, c) in enumerate([(24, 16, 3), (16, 16, 1)]):
+        img = _smooth_img(h, w, c, seed=i)
+        data = encode_jpeg(img[:, :, 0] if c == 1 else img, quality=95)
+        rows.append((i, bytearray(data), ("image/jpeg", len(data), f"mem://{i}")))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_real_jpeg(spark, jpeg_media):
+    from pg2kinesis_spark.functions.multimodal import extract_features
+
+    got = {
+        r["media_id"]: (r["width"], r["height"])
+        for r in extract_features(jpeg_media, fake=False).collect()
+    }
+    assert got == {0: (16, 24), 1: (16, 16)}
+
+
+def test_extract_image_features_real_jpeg(spark, jpeg_media):
+    from pg2kinesis_spark.functions.multimodal import extract_image_features
+
+    rows = {r["media_id"]: r for r in extract_image_features(jpeg_media).collect()}
+    assert rows[0]["n_channels"] == 3 and rows[1]["n_channels"] == 1
+    # lossy codec: luma within 2 levels of the source mean
+    src = _smooth_img(16, 16, 1, seed=1)
+    assert rows[1]["mean_luma"] == pytest.approx(float(src.mean()), abs=2.0)
+
+
+def test_resize_media_real_jpeg(spark, jpeg_media):
+    from pg2kinesis_spark.functions.multimodal import resize_media
+
+    out = resize_media(jpeg_media, width=8, height=8, fake=False).collect()
+    for r in out:
+        data = bytes(r["content"])
+        assert is_jpeg(data)  # format preserved through resize
+        assert decode_jpeg(data).shape[:2] == (8, 8)
+        assert r["meta"]["bytes_hint"] == len(data)
+
+
+def test_media_dhash_cross_format_neardup(spark):
+    """The same picture shipped as PNG and as JPEG must land within a
+    few dHash bits — the exact cross-codec dedup case the perceptual
+    hash exists for — while different content stays far away."""
+    from pg2kinesis_spark.functions.multimodal import MEDIA_SCHEMA, media_dhash
+
+    img_a = _smooth_img(32, 32, seed=5)
+    img_b = _smooth_img(32, 32, seed=11)
+    rows = [
+        (0, bytearray(encode_png(img_a)), ("image/png", 0, "a.png")),
+        (1, bytearray(encode_jpeg(img_a, quality=90)), ("image/jpeg", 0, "a.jpg")),
+        (2, bytearray(encode_jpeg(img_b, quality=90)), ("image/jpeg", 0, "b.jpg")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    h = {r["media_id"]: r["dhash"] for r in media_dhash(media).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(h[0], h[1]) <= 6  # same picture, different codec
+    assert ham(h[0], h[2]) > 8 and ham(h[1], h[2]) > 8  # different picture
