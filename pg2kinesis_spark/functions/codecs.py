@@ -791,3 +791,102 @@ def decode_image(data: bytes) -> np.ndarray:
     raise NotImplementedError(
         "only PNG and baseline JPEG decode are available in this environment"
     )
+
+
+# --- AVI (MJPEG) ----------------------------------------------------------
+#
+# Motion-JPEG in an AVI RIFF container: the simplest REAL video format —
+# every frame is a baseline JPEG, so the JPEG kernel above does all the
+# pixel work and this layer is pure RIFF bookkeeping (the same chunk walk
+# as WAV). Covers the "video" modality end-to-end: container parse ->
+# per-frame decode -> the existing image machinery (features, dHash,
+# resize) applied per frame.
+
+
+def is_avi(data: bytes) -> bool:
+    return bytes(data[:4]) == b"RIFF" and bytes(data[8:12]) == b"AVI "
+
+
+def decode_avi_mjpeg(data: bytes) -> list[np.ndarray]:
+    """Decode an MJPEG AVI to a list of (H, W, C) uint8 frames.
+
+    Walks the RIFF tree to the ``movi`` LIST and decodes every video
+    chunk (``##dc``/``##db``) as a baseline JPEG. Non-MJPEG payloads
+    fail inside ``decode_jpeg`` with its usual errors.
+    """
+    data = bytes(data)
+    if not is_avi(data):
+        raise ValueError("not an AVI: bad RIFF/AVI header")
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if cid == b"LIST":
+                ltype = data[body_start : body_start + 4]
+                if ltype in (b"movi", b"hdrl", b"rec "):
+                    walk(body_start + 4, body_start + clen)
+            elif cid[2:4] in (b"dc", b"db") and clen:
+                frames.append(decode_jpeg(data[body_start : body_start + clen]))
+            pos = body_start + clen + (clen & 1)  # word-aligned
+
+    walk(12, len(data))
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    return frames
+
+
+def encode_avi_mjpeg(
+    frames: list[np.ndarray], fps: int = 25, quality: int = 90
+) -> bytes:
+    """Encode frames as an MJPEG AVI (avih/strh/strf headers + idx1),
+    playable by standard tools and round-trippable by decode_avi_mjpeg."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    payloads = []
+    for f in frames:
+        if f.shape[:2] != (h, w):
+            raise ValueError("all frames must share dimensions")
+        payloads.append(encode_jpeg(f, quality=quality))
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    max_bytes = max(len(p) for p in payloads)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_bytes * fps,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # AVIF_HASINDEX
+        len(frames), 0, 1, max_bytes,  # totalFrames, initial, streams, bufsize
+        w, h, 0, 0, 0, 0,
+    )
+    strh = b"vids" + b"MJPG" + struct.pack(
+        "<IHHIIIIIIiI4H",
+        0, 0, 0, 0,  # flags, priority+lang, initialFrames
+        1, fps,  # scale, rate -> fps frames/sec
+        0, len(frames), max_bytes, -1, 0,  # start, length, bufsize, quality, sampleSize
+        0, 0, w, h,  # rcFrame
+    )
+    strf = struct.pack("<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_chunks, idx, off = [], [], 4
+    for p in payloads:
+        movi_chunks.append(chunk(b"00dc", p))
+        idx.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(p)))
+        off += 8 + len(p) + (len(p) & 1)
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx1 = chunk(b"idx1", b"".join(idx))
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body

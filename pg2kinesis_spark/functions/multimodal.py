@@ -14,11 +14,14 @@ Codec support is tiered, honestly:
   run true pixel decodes for PNG and JPEG; ``extract_image_features``
   / ``extract_audio_features`` / ``media_dhash`` add codec-true
   columns (channels, luma, sample rate, RMS, perceptual hash).
-* MP3/video codecs (ffmpeg) are NOT available in this environment —
-  those mimes raise NotImplementedError inside the kernel, and the
-  deterministic fake (``fake=True``) remains for plumbing tests. The
-  Spark-side contract — schemas, batch iteration, partitioning — is
-  identical either way.
+* Video is REAL for MJPEG AVI (``video_frames``: container walk +
+  per-frame JPEG decode, frames re-emitted as PNG media rows so the
+  image operators compose per frame).
+* MP3 and non-MJPEG video codecs (ffmpeg) are NOT available in this
+  environment — those mimes raise NotImplementedError inside the
+  kernel, and the deterministic fake (``fake=True``) remains for
+  plumbing tests. The Spark-side contract — schemas, batch iteration,
+  partitioning — is identical either way.
 """
 
 from __future__ import annotations
@@ -100,9 +103,13 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             samples, _ = codecs.decode_wav(c)
             # audio "dims": (n_samples, n_channels) — documented mapping
             return int(samples.shape[0]), int(samples.shape[1])
+        if codecs.is_avi(c):
+            # video "dims": first frame's (width, height)
+            h, w = codecs.decode_avi_mjpeg(c)[0].shape[:2]
+            return w, h
         raise NotImplementedError(
-            "only PNG/JPEG/WAV decode is available in this environment "
-            "(MP3/video need ffmpeg)"
+            "only PNG/JPEG/WAV/MJPEG-AVI decode is available in this "
+            "environment (MP3/non-MJPEG video need ffmpeg)"
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -426,3 +433,55 @@ def media_near_dup_pairs(
         F.col("id2").alias("media_id2"),
         "hamming",
     )
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+    ]
+)
+
+
+def video_frames(media: DataFrame, stride: int = 1, max_frames: int = 8) -> DataFrame:
+    """REAL video frame extraction for MJPEG AVI content.
+
+    Decodes the container, keeps every ``stride``-th frame up to
+    ``max_frames``, and re-emits each frame as a PNG media row —
+    (media_id, frame_idx, content, meta) — so the entire image operator
+    surface (extract_image_features, media_dhash, resize_media)
+    composes per frame unchanged. This is the codec-true successor of
+    ``frame_sample``'s byte-stride stand-in; the mapInPandas contract
+    (Arrow batches, constant memory, executor-local decode) is the
+    same. Non-AVI content raises in the kernel.
+    """
+    import pandas as pd
+
+    from . import codecs
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c, m in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                frames = codecs.decode_avi_mjpeg(bytes(c))
+                for i, f in enumerate(frames[::stride][:max_frames]):
+                    png = codecs.encode_png(f)
+                    rows.append(
+                        (
+                            mid,
+                            i,
+                            png,
+                            {
+                                "mime": "image/png",
+                                "bytes_hint": len(png),
+                                "source_uri": f"{m['source_uri']}#frame{i * stride}",
+                            },
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "content", "meta"]
+            )
+
+    return media.mapInPandas(kernel, VIDEO_FRAMES_SCHEMA)

@@ -227,3 +227,91 @@ def test_media_dhash_cross_format_neardup(spark):
     ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
     assert ham(h[0], h[1]) <= 6  # same picture, different codec
     assert ham(h[0], h[2]) > 8 and ham(h[1], h[2]) > 8  # different picture
+
+
+# --- MJPEG AVI video -------------------------------------------------------
+
+from pg2kinesis_spark.functions.codecs import (  # noqa: E402
+    decode_avi_mjpeg,
+    encode_avi_mjpeg,
+    is_avi,
+)
+
+
+def _clip_frames(n=5, seed=4, shift=0):
+    base = _smooth_img(16, 24, seed=seed)
+    return [
+        np.clip(base.astype(int) + 10 * i + shift, 0, 255).astype(np.uint8)
+        for i in range(n)
+    ]
+
+
+def test_avi_roundtrip_frames():
+    frames = _clip_frames()
+    avi = encode_avi_mjpeg(frames, fps=10, quality=95)
+    assert is_avi(avi)
+    dec = decode_avi_mjpeg(avi)
+    assert len(dec) == 5 and dec[0].shape == (16, 24, 3)
+    for d, f in zip(dec, frames):
+        assert np.abs(d.astype(int) - f.astype(int)).mean() <= 4.0
+
+
+def test_avi_rejections():
+    with pytest.raises(ValueError):
+        decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")  # a WAV is not an AVI
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg([])
+    with pytest.raises(ValueError):
+        encode_avi_mjpeg(
+            [np.zeros((8, 8, 3), np.uint8), np.zeros((16, 8, 3), np.uint8)]
+        )
+    # an AVI whose movi list is empty of video chunks
+    frames = _clip_frames(n=1)
+    avi = bytearray(encode_avi_mjpeg(frames))
+    avi = avi.replace(b"00dc", b"00xx")
+    with pytest.raises(ValueError, match="no video frames"):
+        decode_avi_mjpeg(bytes(avi))
+
+
+def test_video_frames_spark_and_cross_video_neardup(spark):
+    """The full real video path: AVI -> per-frame PNG rows -> dHash.
+    A re-encoded brightness-shifted copy of the clip must match frame
+    for frame; an unrelated clip must not."""
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        media_dhash,
+        video_frames,
+    )
+
+    clip_a = _clip_frames(seed=4)
+    clip_a2 = _clip_frames(seed=4, shift=12)  # same content, brighter
+    clip_b = _clip_frames(seed=21)
+    rows = [
+        (i, bytearray(encode_avi_mjpeg(c, quality=92)), ("video/avi", 0, f"mem://{i}"))
+        for i, c in enumerate([clip_a, clip_a2, clip_b])
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    # container-level features: first-frame dims
+    dims = {r["media_id"]: (r["width"], r["height"]) for r in extract_features(media, fake=False).collect()}
+    assert dims == {0: (24, 16), 1: (24, 16), 2: (24, 16)}
+
+    frames = video_frames(media, stride=2, max_frames=2)
+    got = frames.collect()
+    assert len(got) == 6  # 3 clips x frames 0 and 2
+    assert all(r["meta"]["mime"] == "image/png" for r in got)
+
+    # per-frame dHash via the unchanged image machinery
+    from pyspark.sql import functions as F
+
+    per_frame = frames.select(
+        (F.col("media_id") * 100 + F.col("frame_idx")).alias("media_id"),
+        "content",
+        "meta",
+    )
+    h = {r["media_id"]: r["dhash"] for r in media_dhash(per_frame).collect()}
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    for fi in (0, 1):
+        assert ham(h[0 + fi], h[100 + fi]) <= 6  # same clip, brightness shift
+        assert ham(h[0 + fi], h[200 + fi]) > 8  # different clip
