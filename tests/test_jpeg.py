@@ -315,3 +315,30 @@ def test_video_frames_spark_and_cross_video_neardup(spark):
     for fi in (0, 1):
         assert ham(h[0 + fi], h[100 + fi]) <= 6  # same clip, brightness shift
         assert ham(h[0 + fi], h[200 + fi]) > 8  # different clip
+
+
+def test_jpeg_property_roundtrip():
+    """Arbitrary small images survive encode/decode at any quality:
+    correct shape, no exceptions, and at high quality a bounded error
+    (lossy, so exact equality is not the contract)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=20),
+        st.integers(min_value=1, max_value=20),
+        st.sampled_from([1, 3]),
+        st.sampled_from([30, 75, 95]),
+        st.booleans(),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def prop(h, w, c, quality, subsample, seed):
+        img = np.random.RandomState(seed).randint(0, 256, (h, w, c), dtype=np.uint8)
+        src = img[:, :, 0] if c == 1 else img
+        dec = decode_jpeg(encode_jpeg(src, quality=quality, subsample=subsample and c == 3))
+        assert dec.shape == (h, w, c)
+        if quality == 95 and not subsample:
+            err = np.abs(dec.astype(int) - img.astype(int)).mean()
+            assert err < 25.0  # noise is the worst case for a DCT codec
+
+    prop()
