@@ -1,10 +1,11 @@
-"""Dependency-free media codecs: PNG, baseline JPEG, and PCM WAV.
+"""Dependency-free media codecs: PNG, baseline JPEG, GIF, PCM WAV,
+and MJPEG AVI.
 
 The multimodal stage needs decode kernels that run on every executor.
-This container ships no PIL/ffmpeg/soundfile — so the three formats
-that cover most real corpora are implemented from their public specs
-with stdlib ``zlib``/``struct`` + numpy, and for those the pipeline is
-REAL end-to-end: bytes in parquet -> decoded pixels/samples ->
+This container ships no PIL/ffmpeg/soundfile — so the formats that
+cover most real corpora are implemented from their public specs with
+stdlib ``zlib``/``struct`` + numpy, and for those the pipeline is
+REAL end-to-end: bytes in parquet -> decoded pixels/samples/frames ->
 features/dHash/resize, all inside Arrow batches.
 
 * PNG: 8-bit gray/RGB/palette/alpha, all five scanline filters.
@@ -12,13 +13,18 @@ features/dHash/resize, all inside Arrow batches.
   4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers; the encoder uses
   the Annex-K tables with IJG quality scaling. Progressive (SOF2),
   arithmetic coding, and 12-bit streams raise NotImplementedError.
+* GIF: 87a/89a static decode (first frame), LZW + interlace; the
+  encoder is palette-exact (<= 256 colors), so GIF round trips are
+  LOSSLESS — which is what pins the LZW pair bit-for-bit.
 * WAV: PCM 8/16/24/32-bit int + float32, manual RIFF walk.
+* AVI: MJPEG container walk — real video frames via the JPEG kernel.
 
-MP3/video remain honestly unimplemented (``NotImplementedError``).
-The decode/encode pairs are written independently enough that the
-round-trip tolerance tests in tests/test_jpeg.py / test_codecs.py
-catch a defect in either direction; the DCT basis is additionally
-pinned against a naive O(N^4) definition-form oracle.
+MP3 and non-MJPEG video remain honestly unimplemented
+(``NotImplementedError``). The decode/encode pairs are written
+independently enough that the round-trip tests in tests/test_jpeg.py /
+test_gif.py / test_codecs.py catch a defect in either direction; the
+DCT basis is additionally pinned against a naive O(N^4)
+definition-form oracle.
 
 Scale note: these functions are per-row kernels invoked from
 ``mapInPandas`` — decode cost is embarrassingly parallel and
@@ -782,14 +788,16 @@ def encode_jpeg(
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Dispatch PNG or baseline JPEG decode to an (H, W, C) uint8 array."""
+    """Dispatch PNG / baseline JPEG / GIF decode to (H, W, C) uint8."""
     b = bytes(data)
     if is_png(b):
         return decode_png(b)
     if is_jpeg(b):
         return decode_jpeg(b)
+    if is_gif(b):
+        return decode_gif(b)
     raise NotImplementedError(
-        "only PNG and baseline JPEG decode are available in this environment"
+        "only PNG, baseline JPEG, and GIF decode are available in this environment"
     )
 
 
@@ -890,3 +898,222 @@ def encode_avi_mjpeg(
     idx1 = chunk(b"idx1", b"".join(idx))
     riff_body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+# --- GIF ------------------------------------------------------------------
+#
+# GIF87a/89a static decode (first frame of an animation): palette +
+# LZW, optional interlace. Palette images with <= 256 colors round-trip
+# LOSSLESSLY through encode_gif/decode_gif — which is what makes the
+# LZW pair testable exactly, unlike the lossy JPEG path. Transparency
+# and later animation frames are ignored (first-frame semantics — the
+# standard choice for corpus features/dedup); both are documented.
+
+
+def is_gif(data: bytes) -> bool:
+    return bytes(data[:6]) in (b"GIF87a", b"GIF89a")
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) passes
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """GIF-flavor LZW: variable code width, CLEAR/EOI codes, dictionary
+    rebuilt from the palette roots on CLEAR."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+
+    def reset():
+        return {i: (i,) for i in range(clear)}, min_code_size + 1, clear + 2
+
+    table, width, next_code = reset()
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # tolerate missing explicit EOI
+            acc |= data[pos] << nbits  # LSB-first packing
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table, width, next_code = reset()
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + (prev[0],)  # the KwKwK case
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return out
+
+
+def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
+    """The matching GIF LZW encoder (greedy longest-match)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    width = min_code_size + 1
+    next_code = clear + 2
+    emit(clear, width)
+    run: tuple[int, ...] = ()
+    for sym in indices:
+        cand = run + (sym,)
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+            # decoder parity: its dictionary lags ours by one entry, so it
+            # widens when ITS next_code (= ours - 1) reaches 2^width
+            if next_code - 1 == (1 << width) and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            width = min_code_size + 1
+            next_code = clear + 2
+        run = (sym,)
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode the first frame of a GIF to an (H, W, 3) uint8 RGB array.
+
+    Global/local color tables, interlace, and the LZW stream are fully
+    handled; transparency and animation frames beyond the first are
+    ignored (first-frame semantics)."""
+    data = bytes(data)
+    if not is_gif(data):
+        raise ValueError("not a GIF: bad signature")
+    try:
+        return _decode_gif_body(data)
+    except (struct.error, IndexError) as e:  # truncated mid-structure
+        raise ValueError(f"truncated GIF: {e}") from e
+
+
+def _decode_gif_body(data: bytes) -> np.ndarray:
+    sw, sh, flags, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x21:  # extension: skip its sub-blocks
+            pos += 1  # label
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _left, _top, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
+            pos += 9
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                pal = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            min_code = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(lzw), min_code)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            grid = np.array(idx[: w * h], dtype=np.int32).reshape(h, w)
+            if iflags & 0x40:  # interlaced: rows arrive in four passes
+                rows = [r for start, step in _GIF_INTERLACE for r in range(start, h, step)]
+                fixed = np.empty_like(grid)
+                fixed[rows] = grid
+                grid = fixed
+            if int(grid.max(initial=0)) >= len(pal):
+                raise ValueError("GIF palette index out of range")
+            return pal[grid]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image")
+
+
+def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode an (H, W, 3) or (H, W) uint8 array as a GIF89a.
+
+    The palette is built from the distinct colors (<= 256 required —
+    this encoder quantizes nothing, so decode_gif(encode_gif(x)) == x
+    exactly)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError(f"GIF encode needs RGB or gray input, got {c} channels")
+    flat = img.reshape(-1, 3)
+    pal, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"GIF encode needs <= 256 distinct colors, got {len(pal)}")
+    bits = max(1, int(len(pal) - 1).bit_length())
+    n = 1 << bits
+    table = np.zeros((n, 3), dtype=np.uint8)
+    table[: len(pal)] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += table.tobytes()
+    iflags = 0x40 if interlace else 0
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, iflags)
+    grid = inv.reshape(h, w)
+    if interlace:
+        rows = [r for start, step in _GIF_INTERLACE for r in range(start, h, step)]
+        grid = grid[rows]
+    min_code = max(2, bits)  # spec: minimum LZW code size is 2
+    out.append(min_code)
+    lzw = _lzw_encode([int(v) for v in grid.reshape(-1)], min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

@@ -96,7 +96,7 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     from . import codecs
 
     def real_dims(c: bytes) -> tuple[int, int]:
-        if codecs.is_png(c) or codecs.is_jpeg(c):
+        if codecs.is_png(c) or codecs.is_jpeg(c) or codecs.is_gif(c):
             h, w = codecs.decode_image(c).shape[:2]
             return w, h
         if codecs.is_wav(c):
@@ -160,8 +160,14 @@ def resize_media(media: DataFrame, width: int = 64, height: int = 64, fake: bool
             if codecs.is_jpeg(b):
                 img = codecs.resize_nearest(codecs.decode_jpeg(b), width, height)
                 return codecs.encode_jpeg(img[:, :, 0] if img.shape[2] == 1 else img)
+            if codecs.is_gif(b):
+                # nearest-neighbor only samples existing pixels, so the
+                # palette stays <= 256 and the GIF re-encode is exact
+                return codecs.encode_gif(
+                    codecs.resize_nearest(codecs.decode_gif(b), width, height)
+                )
             raise NotImplementedError(
-                "real resize supports PNG and baseline JPEG in this environment"
+                "real resize supports PNG, baseline JPEG, and GIF in this environment"
             )
         if len(b) >= target:
             step = len(b) / target

@@ -234,10 +234,10 @@ def test_media_features_deterministic(spark, planted):
 
 
 def test_media_real_decode_rejects_unsupported_mime(spark, planted):
-    # synthetic media is raw utf-8 bytes — neither PNG nor WAV, so the
-    # real-codec path must fail loudly inside the kernel (PNG/WAV are
-    # REAL now; see tests/test_codecs.py for the decode paths)
-    with pytest.raises(Exception, match="PNG/WAV"):
+    # synthetic media is raw utf-8 bytes — no known signature, so the
+    # real-codec path must fail loudly inside the kernel (the real
+    # decode paths live in tests/test_codecs.py / test_jpeg.py / test_gif.py)
+    with pytest.raises(Exception, match="PNG/JPEG"):
         multimodal.extract_features(
             multimodal.synthetic_media(planted), fake=False
         ).collect()
