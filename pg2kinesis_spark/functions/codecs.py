@@ -676,14 +676,15 @@ def _encode_block(
 def encode_jpeg(
     img: np.ndarray,
     quality: int = 90,
-    subsample: bool = False,
+    subsample: bool | str = False,
     restart_interval: int = 0,
 ) -> bytes:
     """Encode an (H, W[, C]) uint8 array as a baseline JFIF JPEG.
 
-    C in {1: gray, 3: RGB}. ``subsample=True`` emits 4:2:0 (2x2 mean
-    chroma); ``restart_interval`` > 0 emits DRI + RSTn markers every
-    that many MCUs. Standard Annex-K tables, IJG quality scaling.
+    C in {1: gray, 3: RGB}. ``subsample`` is False (4:4:4), True or
+    "420" (2x2 mean chroma), or "422" (horizontal-only mean chroma);
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs. Standard Annex-K tables, IJG quality scaling.
     """
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim == 2:
@@ -702,7 +703,10 @@ def encode_jpeg(
         y = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
         cb = 128.0 - 0.168736 * px[:, :, 0] - 0.331264 * px[:, :, 1] + 0.5 * px[:, :, 2]
         cr = 128.0 + 0.5 * px[:, :, 0] - 0.418688 * px[:, :, 1] - 0.081312 * px[:, :, 2]
-        if subsample:
+        mode = {True: "420", False: "444"}.get(subsample, subsample)
+        if mode not in ("444", "420", "422"):
+            raise ValueError(f"unknown subsample mode {subsample!r}")
+        if mode == "420":
             # 2x2 mean chroma; pad odd dims by edge replication first
             cbp = np.pad(cb, ((0, h % 2), (0, w % 2)), mode="edge")
             crp = np.pad(cr, ((0, h % 2), (0, w % 2)), mode="edge")
@@ -710,6 +714,17 @@ def encode_jpeg(
             cr = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean(axis=(1, 3))
             comps = [
                 {"id": 1, "h": 2, "v": 2, "tq": 0, "td": 0, "ta": 0},
+                {"id": 2, "h": 1, "v": 1, "tq": 1, "td": 1, "ta": 1},
+                {"id": 3, "h": 1, "v": 1, "tq": 1, "td": 1, "ta": 1},
+            ]
+        elif mode == "422":
+            # horizontal-only mean chroma (luma h=2, v=1)
+            cbp = np.pad(cb, ((0, 0), (0, w % 2)), mode="edge")
+            crp = np.pad(cr, ((0, 0), (0, w % 2)), mode="edge")
+            cb = cbp.reshape(h, cbp.shape[1] // 2, 2).mean(axis=2)
+            cr = crp.reshape(h, crp.shape[1] // 2, 2).mean(axis=2)
+            comps = [
+                {"id": 1, "h": 2, "v": 1, "tq": 0, "td": 0, "ta": 0},
                 {"id": 2, "h": 1, "v": 1, "tq": 1, "td": 1, "ta": 1},
                 {"id": 3, "h": 1, "v": 1, "tq": 1, "td": 1, "ta": 1},
             ]

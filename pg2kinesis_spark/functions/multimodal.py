@@ -491,3 +491,58 @@ def video_frames(media: DataFrame, stride: int = 1, max_frames: int = 8) -> Data
             )
 
     return media.mapInPandas(kernel, VIDEO_FRAMES_SCHEMA)
+
+
+def video_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 6,
+    stride: int = 1,
+    max_frames: int = 8,
+    min_matching_frames: int = 2,
+) -> DataFrame:
+    """Clip-level near-duplicate detection for MJPEG AVI content.
+
+    Composition of verified pieces: video_frames -> per-frame dHash ->
+    the multi-index SimHash pair search over frame signatures ->
+    clip-pair aggregation. Two clips match when >= min_matching_frames
+    TEMPORALLY ALIGNED frames (same sampled index) land within
+    max_hamming dHash bits — re-encoded or brightness-shifted copies
+    match; unrelated clips share no aligned near-identical frames.
+    Scale shape is inherited: the pair search is segment-equi-join +
+    popcount (never all-pairs), and the aggregation shuffles only
+    (clip1, clip2) longs. Returns (media_id1, media_id2, n_frames,
+    min_hamming).
+    """
+    from .dedup import simhash_pairs
+
+    if max_frames > 1024:
+        raise ValueError("max_frames must be <= 1024 (frame-id packing)")
+    frames = video_frames(media, stride=stride, max_frames=max_frames)
+    keyed = frames.select(
+        (F.col("media_id") * 1024 + F.col("frame_idx")).alias("media_id"),
+        "content",
+        "meta",
+    )
+    sigs = media_dhash(keyed).select(
+        F.col("media_id").alias("doc_id"), F.col("dhash").alias("simhash")
+    )
+    # integer div, not float division — double rounding would corrupt
+    # clip ids past 2^53
+    pairs = simhash_pairs(sigs, max_hamming=max_hamming).select(
+        F.expr("id1 div 1024").alias("clip1"),
+        F.pmod("id1", F.lit(1024)).alias("idx1"),
+        F.expr("id2 div 1024").alias("clip2"),
+        F.pmod("id2", F.lit(1024)).alias("idx2"),
+        "hamming",
+    )
+    aligned = pairs.filter(
+        (F.col("clip1") != F.col("clip2")) & (F.col("idx1") == F.col("idx2"))
+    )
+    return (
+        aligned.groupBy(
+            F.least("clip1", "clip2").alias("media_id1"),
+            F.greatest("clip1", "clip2").alias("media_id2"),
+        )
+        .agg(F.count("*").alias("n_frames"), F.min("hamming").alias("min_hamming"))
+        .filter(F.col("n_frames") >= min_matching_frames)
+    )

@@ -342,3 +342,45 @@ def test_jpeg_property_roundtrip():
             assert err < 25.0  # noise is the worst case for a DCT codec
 
     prop()
+
+
+def test_rgb_422_roundtrip_and_restart():
+    """4:2:2 (horizontal-only chroma): decoder exercises h=2, v=1."""
+    img = _smooth_img(24, 32, seed=6)
+    dec = decode_jpeg(encode_jpeg(img, quality=95, subsample="422"))
+    assert dec.shape == (24, 32, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() <= 2.0
+    # tighter than 4:2:0 on the same content (only one axis averaged)
+    dec420 = decode_jpeg(encode_jpeg(img, quality=95, subsample="420"))
+    err422 = np.abs(dec.astype(int) - img.astype(int)).mean()
+    err420 = np.abs(dec420.astype(int) - img.astype(int)).mean()
+    assert err422 <= err420 + 0.25
+    # restart markers with 4:2:2 MCUs decode pixel-identical
+    a = decode_jpeg(encode_jpeg(img, quality=90, subsample="422"))
+    b = decode_jpeg(encode_jpeg(img, quality=90, subsample="422", restart_interval=1))
+    np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError, match="subsample"):
+        encode_jpeg(img, subsample="411")
+
+
+def test_video_near_dup_pairs_clip_level(spark):
+    """Clip-level dedup: a re-encoded brightened copy matches on every
+    aligned frame; an unrelated clip produces no pair."""
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        video_near_dup_pairs,
+    )
+
+    clip_a = _clip_frames(seed=4)
+    clip_a2 = _clip_frames(seed=4, shift=12)
+    clip_b = _clip_frames(seed=21)
+    rows = [
+        (i, bytearray(encode_avi_mjpeg(c, quality=92)), ("video/avi", 0, f"mem://{i}"))
+        for i, c in enumerate([clip_a, clip_a2, clip_b])
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = video_near_dup_pairs(
+        media, max_hamming=6, stride=2, max_frames=2, min_matching_frames=2
+    ).collect()
+    assert {(r["media_id1"], r["media_id2"]) for r in got} == {(0, 1)}
+    assert got[0]["n_frames"] == 2
