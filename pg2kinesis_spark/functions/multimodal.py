@@ -546,3 +546,45 @@ def video_near_dup_pairs(
         .agg(F.count("*").alias("n_frames"), F.min("hamming").alias("min_hamming"))
         .filter(F.col("n_frames") >= min_matching_frames)
     )
+
+
+def sniff_mime(content: "F.Column") -> "F.Column":
+    """Magic-byte mime sniffing as pure column expressions (no Python):
+    the five formats the codec layer decodes, else 'application/
+    octet-stream'. Works on any binary column."""
+    sig8 = F.substring(content, 1, 8)
+    sig4 = F.substring(content, 1, 4)
+    sub = lambda pos, n: F.substring(content, pos, n)
+    return (
+        F.when(sig8 == F.lit(bytes.fromhex("89504E470D0A1A0A")), "image/png")
+        .when(sub(1, 2) == F.lit(b"\xff\xd8"), "image/jpeg")
+        .when(sub(1, 3) == F.lit(b"GIF"), "image/gif")
+        .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"WAVE")), "audio/wav")
+        .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"AVI ")), "video/avi")
+        .otherwise("application/octet-stream")
+    )
+
+
+def media_from_files(spark, path: str, glob: str | None = None) -> DataFrame:
+    """Directory-of-files front door: Spark's binaryFile source mapped
+    into MEDIA_SCHEMA. media_id is the xxhash64 of the file path
+    (deterministic across runs and executors), mime is sniffed from the
+    magic bytes JVM-side, bytes_hint is the true length. Parallelism
+    and partition sizing come from the binaryFile source's standard
+    file-splitting (one file per row; maxPartitionBytes groups small
+    files) — the same front-door shape as WARC ingest, minus the
+    record splitting.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path)
+    return files.select(
+        F.xxhash64("path").alias("media_id"),
+        "content",
+        F.struct(
+            sniff_mime(F.col("content")).alias("mime"),
+            F.col("length").alias("bytes_hint"),
+            F.col("path").alias("source_uri"),
+        ).alias("meta"),
+    )

@@ -392,3 +392,51 @@ def test_wav_property_roundtrip():
         np.testing.assert_array_equal(got, samples)
 
     prop()
+
+
+def test_media_from_files_front_door(spark, tmp_path):
+    """binaryFile directory -> MEDIA_SCHEMA: JVM-side magic-byte mime
+    sniffing for all five codec formats, deterministic path-hash ids,
+    and the real feature kernel running straight off the loaded table."""
+    from pg2kinesis_spark.functions.codecs import (
+        encode_avi_mjpeg,
+        encode_gif,
+        encode_jpeg,
+        encode_wav,
+    )
+    from pg2kinesis_spark.functions.multimodal import (
+        extract_features,
+        media_from_files,
+    )
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    (tmp_path / "a.png").write_bytes(encode_png(img))
+    (tmp_path / "b.jpg").write_bytes(encode_jpeg(img))
+    (tmp_path / "c.gif").write_bytes(encode_gif(img))
+    (tmp_path / "d.wav").write_bytes(encode_wav(np.zeros((100, 1), np.int16), 8000))
+    (tmp_path / "e.avi").write_bytes(encode_avi_mjpeg([np.zeros((8, 8, 3), np.uint8)]))
+    (tmp_path / "f.bin").write_bytes(b"garbage")
+
+    media = media_from_files(spark, str(tmp_path))
+    rows = media.collect()
+    mimes = {r["meta"]["source_uri"].rsplit("/", 1)[-1]: r["meta"]["mime"] for r in rows}
+    assert mimes == {
+        "a.png": "image/png",
+        "b.jpg": "image/jpeg",
+        "c.gif": "image/gif",
+        "d.wav": "audio/wav",
+        "e.avi": "video/avi",
+        "f.bin": "application/octet-stream",
+    }
+    assert len({r["media_id"] for r in rows}) == 6  # distinct deterministic ids
+    assert all(r["meta"]["bytes_hint"] == len(bytes(r["content"])) for r in rows)
+
+    feats = extract_features(
+        media.filter("meta.mime != 'application/octet-stream'"), fake=False
+    ).collect()
+    dims = sorted((r["width"], r["height"]) for r in feats)
+    assert dims == [(8, 8), (8, 8), (8, 8), (8, 8), (100, 1)]
+
+    # glob filter narrows the listing at the source
+    only_png = media_from_files(spark, str(tmp_path), glob="*.png").collect()
+    assert len(only_png) == 1 and only_png[0]["meta"]["mime"] == "image/png"
