@@ -8,12 +8,14 @@ never leaves the executor.
 
 Codec support is tiered, honestly:
 
-* PNG, baseline JPEG, and PCM WAV decode/encode are REAL —
+* PNG, baseline JPEG, GIF, and PCM WAV decode/encode are REAL —
   dependency-free kernels in :mod:`codecs` (stdlib zlib/struct +
   numpy). ``extract_features`` / ``resize_media`` with ``fake=False``
-  run true pixel decodes for PNG and JPEG; ``extract_image_features``
-  / ``extract_audio_features`` / ``media_dhash`` add codec-true
-  columns (channels, luma, sample rate, RMS, perceptual hash).
+  run true pixel decodes for all three image formats;
+  ``extract_image_features`` / ``extract_audio_features`` /
+  ``media_dhash`` add codec-true columns (channels, luma, sample
+  rate, RMS, perceptual hash). ``media_from_files`` turns a directory
+  into the media table with JVM-side magic-byte mime sniffing.
 * Video is REAL for MJPEG AVI (``video_frames``: container walk +
   per-frame JPEG decode, frames re-emitted as PNG media rows so the
   image operators compose per frame).
