@@ -590,3 +590,27 @@ def media_from_files(spark, path: str, glob: str | None = None) -> DataFrame:
             F.col("path").alias("source_uri"),
         ).alias("meta"),
     )
+
+
+def media_profile(media: DataFrame) -> DataFrame:
+    """One-scan corpus profile of a media table: per-mime row counts,
+    byte totals, size quantiles, and distinct-content counts. Pure
+    column aggregates over (mime, length) — the binary payloads feed
+    only a map-side md5; no collect, no Python, one keyed shuffle
+    (the profile.py discipline applied to media)."""
+    return (
+        media.select(
+            F.col("meta.mime").alias("mime"),
+            F.length("content").cast("long").alias("n_bytes"),
+            F.md5("content").alias("h"),
+        )
+        .groupBy("mime")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.expr("percentile_approx(n_bytes, 0.5)").alias("p50_bytes"),
+            F.max("n_bytes").alias("max_bytes"),
+            F.countDistinct("h").alias("n_distinct"),
+        )
+        .orderBy("mime")
+    )

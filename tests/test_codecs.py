@@ -440,3 +440,25 @@ def test_media_from_files_front_door(spark, tmp_path):
     # glob filter narrows the listing at the source
     only_png = media_from_files(spark, str(tmp_path), glob="*.png").collect()
     assert len(only_png) == 1 and only_png[0]["meta"]["mime"] == "image/png"
+
+
+def test_media_profile_one_scan(spark, tmp_path):
+    from pg2kinesis_spark.functions.codecs import encode_wav
+    from pg2kinesis_spark.functions.multimodal import MEDIA_SCHEMA, media_profile
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    png = encode_png(img)
+    wav = encode_wav(np.zeros((50, 1), np.int16), 8000)
+    rows = [
+        (0, bytearray(png), ("image/png", len(png), "a")),
+        (1, bytearray(png), ("image/png", len(png), "b")),  # exact dup
+        (2, bytearray(wav), ("audio/wav", len(wav), "c")),
+    ]
+    got = {r["mime"]: r for r in media_profile(spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert got["image/png"]["n_items"] == 2
+    assert got["image/png"]["n_distinct"] == 1  # the dup collapses
+    assert got["image/png"]["total_bytes"] == 2 * len(png)
+    assert got["audio/wav"]["n_items"] == 1
+    assert got["audio/wav"]["max_bytes"] == len(wav)
+    plan = media_profile(spark.createDataFrame(rows, MEDIA_SCHEMA))._jdf.queryExecution().executedPlan().toString()
+    assert "mapInPandas" not in plan.lower()  # pure column aggregates
