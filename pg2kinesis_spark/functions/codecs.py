@@ -13,9 +13,11 @@ features/dHash/resize, all inside Arrow batches.
   4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers; the encoder uses
   the Annex-K tables with IJG quality scaling. Progressive (SOF2),
   arithmetic coding, and 12-bit streams raise NotImplementedError.
-* GIF: 87a/89a static decode (first frame), LZW + interlace; the
-  encoder is palette-exact (<= 256 colors), so GIF round trips are
-  LOSSLESS — which is what pins the LZW pair bit-for-bit.
+* GIF: 87a/89a including animation — full canvas composition with
+  GCE transparency and disposal methods 1/2/3, LZW + interlace; the
+  encoders (static + animated) are palette-exact (<= 256 colors), so
+  GIF round trips are LOSSLESS — which is what pins the LZW pair
+  bit-for-bit.
 * WAV: PCM 8/16/24/32-bit int + float32, manual RIFF walk.
 * AVI: MJPEG container walk — real video frames via the JPEG kernel.
 
@@ -1029,36 +1031,67 @@ def _lzw_encode(indices: list[int], min_code_size: int) -> bytes:
 def decode_gif(data: bytes) -> np.ndarray:
     """Decode the first frame of a GIF to an (H, W, 3) uint8 RGB array.
 
-    Global/local color tables, interlace, and the LZW stream are fully
-    handled; transparency and animation frames beyond the first are
-    ignored (first-frame semantics)."""
+    Equivalent to ``decode_gif_frames(data)[0]`` — the composed canvas
+    after the first image block."""
+    return decode_gif_frames(data, max_frames=1)[0]
+
+
+def decode_gif_frames(data: bytes, max_frames: int | None = None) -> list[np.ndarray]:
+    """Decode a (possibly animated) GIF to full-canvas RGB frames.
+
+    Each image block is composed onto the logical-screen canvas at its
+    (left, top) position; Graphic Control Extension transparency leaves
+    the underlying canvas visible, and disposal methods are honored:
+    1/none keep the canvas, 2 restores the painted region to the
+    background color, 3 restores the previous canvas. The initial
+    canvas is the background color (global-palette bg index, else
+    black). Interlace, local palettes, and the LZW stream are handled
+    per frame. Frame delays/loop counts are playback metadata and are
+    not returned."""
     data = bytes(data)
     if not is_gif(data):
         raise ValueError("not a GIF: bad signature")
     try:
-        return _decode_gif_body(data)
+        return _decode_gif_body(data, max_frames)
     except (struct.error, IndexError) as e:  # truncated mid-structure
         raise ValueError(f"truncated GIF: {e}") from e
 
 
-def _decode_gif_body(data: bytes) -> np.ndarray:
-    sw, sh, flags, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+def _decode_gif_body(data: bytes, max_frames: int | None) -> list[np.ndarray]:
+    sw, sh, flags, bg, _aspect = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 7)
         gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(-1, 3)
         pos += 3 * n
+    bg_rgb = gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (sh, sw, 3)).astype(np.uint8).copy()
+    frames: list[np.ndarray] = []
+    transparent = None  # from the pending GCE, if any
+    disposal = 0
     while pos < len(data):
         block = data[pos]
         pos += 1
-        if block == 0x21:  # extension: skip its sub-blocks
-            pos += 1  # label
-            while data[pos]:
-                pos += 1 + data[pos]
+        if block == 0x21:  # extension
+            label = data[pos]
             pos += 1
+            if label == 0xF9:  # Graphic Control Extension
+                blen = data[pos]
+                packed = data[pos + 1]
+                tidx = data[pos + 4]
+                disposal = (packed >> 2) & 7
+                transparent = tidx if packed & 1 else None
+                pos += 1 + blen
+                if data[pos] != 0:
+                    raise ValueError("bad GIF GCE terminator")
+                pos += 1
+            else:  # other extensions (NETSCAPE loop, comments): skip
+                while data[pos]:
+                    pos += 1 + data[pos]
+                pos += 1
         elif block == 0x2C:  # image descriptor
-            _left, _top, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
+            left, top, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
             pos += 9
             pal = gct
             if iflags & 0x80:
@@ -1086,12 +1119,30 @@ def _decode_gif_body(data: bytes) -> np.ndarray:
                 grid = fixed
             if int(grid.max(initial=0)) >= len(pal):
                 raise ValueError("GIF palette index out of range")
-            return pal[grid]
+            if left + w > sw or top + h > sh:
+                raise ValueError("GIF image block exceeds the logical screen")
+            before = canvas[top : top + h, left : left + w].copy()
+            region = canvas[top : top + h, left : left + w]
+            if transparent is None:
+                region[:] = pal[grid]
+            else:
+                opaque = grid != transparent
+                region[opaque] = pal[grid[opaque]]
+            frames.append(canvas.copy())
+            if max_frames is not None and len(frames) >= max_frames:
+                return frames
+            if disposal == 2:  # restore region to background
+                canvas[top : top + h, left : left + w] = bg_rgb
+            elif disposal == 3:  # restore previous canvas
+                canvas[top : top + h, left : left + w] = before
+            transparent, disposal = None, 0
         elif block == 0x3B:  # trailer
             break
         else:
             raise ValueError(f"bad GIF block 0x{block:02x}")
-    raise ValueError("GIF contains no image")
+    if not frames:
+        raise ValueError("GIF contains no image")
+    return frames
 
 
 def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
@@ -1131,4 +1182,59 @@ def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
         out.append(len(chunk))
         out += chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def encode_gif_frames(
+    frames: list[np.ndarray], delay_cs: int = 10, loop: int = 0
+) -> bytes:
+    """Encode frames as an animated GIF89a (NETSCAPE loop + per-frame
+    GCE, full-frame image blocks, shared global palette).
+
+    All frames must share dimensions and jointly use <= 256 distinct
+    colors — like ``encode_gif`` this quantizes nothing, so
+    ``decode_gif_frames(encode_gif_frames(x)) == x`` exactly.
+    ``delay_cs`` is per-frame delay in centiseconds; ``loop=0`` means
+    forever."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    norm = []
+    for f in frames:
+        f = np.ascontiguousarray(f, dtype=np.uint8)
+        if f.ndim == 2:
+            f = np.repeat(f[:, :, None], 3, axis=2)
+        if f.shape[2] != 3:
+            raise ValueError("GIF frames must be RGB or gray")
+        norm.append(f)
+    h, w = norm[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in norm):
+        raise ValueError("all frames must share dimensions")
+    stacked = np.concatenate([f.reshape(-1, 3) for f in norm])
+    pal, inv = np.unique(stacked, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"GIF encode needs <= 256 distinct colors, got {len(pal)}")
+    bits = max(1, int(len(pal) - 1).bit_length())
+    n = 1 << bits
+    table = np.zeros((n, 3), dtype=np.uint8)
+    table[: len(pal)] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += table.tobytes()
+    # NETSCAPE 2.0 looping application extension
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + struct.pack("<H", loop) + b"\x00"
+    min_code = max(2, bits)
+    per_frame = w * h
+    for i in range(len(norm)):
+        # GCE: disposal=1 (leave in place), no transparency
+        out += b"\x21\xf9\x04" + bytes([1 << 2]) + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code)
+        grid = inv[i * per_frame : (i + 1) * per_frame]
+        lzw = _lzw_encode([int(v) for v in grid], min_code)
+        for j in range(0, len(lzw), 255):
+            chunk = lzw[j : j + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)

@@ -454,10 +454,13 @@ VIDEO_FRAMES_SCHEMA = T.StructType(
 
 
 def video_frames(media: DataFrame, stride: int = 1, max_frames: int = 8) -> DataFrame:
-    """REAL video frame extraction for MJPEG AVI content.
+    """REAL video frame extraction for MJPEG AVI and animated GIF
+    content.
 
-    Decodes the container, keeps every ``stride``-th frame up to
-    ``max_frames``, and re-emits each frame as a PNG media row —
+    Decodes the container (AVI per-frame JPEGs, or GIF canvas
+    composition with disposal/transparency), keeps every ``stride``-th
+    frame up to ``max_frames``, and re-emits each frame as a PNG media
+    row —
     (media_id, frame_idx, content, meta) — so the entire image operator
     surface (extract_image_features, media_dhash, resize_media)
     composes per frame unchanged. This is the codec-true successor of
@@ -473,7 +476,11 @@ def video_frames(media: DataFrame, stride: int = 1, max_frames: int = 8) -> Data
         for pdf in batches:
             rows = []
             for mid, c, m in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
-                frames = codecs.decode_avi_mjpeg(bytes(c))
+                b = bytes(c)
+                if codecs.is_gif(b):  # animated GIFs are videos too
+                    frames = codecs.decode_gif_frames(b)
+                else:
+                    frames = codecs.decode_avi_mjpeg(b)
                 for i, f in enumerate(frames[::stride][:max_frames]):
                     png = codecs.encode_png(f)
                     rows.append(
