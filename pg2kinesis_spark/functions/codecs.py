@@ -1238,3 +1238,84 @@ def encode_gif_frames(
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+def video_info(data: bytes) -> dict:
+    """Container-level video metadata WITHOUT pixel decode — the cheap
+    metadata path (header walk only; no LZW/huffman work): dict with
+    n_frames, width, height, fps, duration_ms. Supports MJPEG AVI
+    (avih header) and animated GIF (block walk + GCE delays)."""
+    data = bytes(data)
+    if is_avi(data):
+        pos = 12
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            if cid == b"LIST" and data[pos + 8 : pos + 12] == b"hdrl":
+                inner = pos + 12
+                end = pos + 8 + clen
+                while inner + 8 <= end:
+                    icid = data[inner : inner + 4]
+                    (ilen,) = struct.unpack("<I", data[inner + 4 : inner + 8])
+                    if icid == b"avih":
+                        usec, _mb, _pg, _fl, nf = struct.unpack(
+                            "<5I", data[inner + 8 : inner + 28]
+                        )
+                        w, h = struct.unpack("<II", data[inner + 40 : inner + 48])
+                        fps = 1_000_000.0 / usec if usec else 0.0
+                        return {
+                            "n_frames": nf,
+                            "width": w,
+                            "height": h,
+                            "fps": fps,
+                            "duration_ms": 1000.0 * nf / fps if fps else 0.0,
+                        }
+                    inner += 8 + ilen + (ilen & 1)
+            pos += 8 + clen + (clen & 1)
+        raise ValueError("AVI missing avih header")
+    if is_gif(data):
+        sw, sh = struct.unpack("<HH", data[6:10])
+        flags = data[10]
+        pos = 13 + (3 * (2 << (flags & 7)) if flags & 0x80 else 0)
+        n_frames, total_cs, pending_cs = 0, 0, 0
+        try:
+            while pos < len(data):
+                block = data[pos]
+                pos += 1
+                if block == 0x21:
+                    label = data[pos]
+                    pos += 1
+                    if label == 0xF9:
+                        pending_cs = struct.unpack("<H", data[pos + 2 : pos + 4])[0]
+                    while data[pos]:
+                        pos += 1 + data[pos]
+                    pos += 1
+                elif block == 0x2C:
+                    iflags = data[pos + 8]
+                    pos += 9
+                    if iflags & 0x80:
+                        pos += 3 * (2 << (iflags & 7))
+                    pos += 1  # LZW min code size
+                    while data[pos]:  # skip data sub-blocks, no decode
+                        pos += 1 + data[pos]
+                    pos += 1
+                    n_frames += 1
+                    total_cs += pending_cs
+                    pending_cs = 0
+                elif block == 0x3B:
+                    break
+                else:
+                    raise ValueError(f"bad GIF block 0x{block:02x}")
+        except IndexError as e:
+            raise ValueError(f"truncated GIF: {e}") from e
+        if not n_frames:
+            raise ValueError("GIF contains no image")
+        fps = n_frames / (total_cs / 100.0) if total_cs else 0.0
+        return {
+            "n_frames": n_frames,
+            "width": sw,
+            "height": sh,
+            "fps": fps,
+            "duration_ms": total_cs * 10.0,
+        }
+    raise ValueError("not a supported video container (MJPEG AVI / GIF)")

@@ -621,3 +621,47 @@ def media_profile(media: DataFrame) -> DataFrame:
         )
         .orderBy("mime")
     )
+
+
+VIDEO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("fps", T.DoubleType()),
+        T.StructField("duration_ms", T.DoubleType()),
+    ]
+)
+
+
+def extract_video_features(media: DataFrame) -> DataFrame:
+    """Container-level video metadata for MJPEG AVI / animated GIF —
+    header walk only, NO pixel decode (no huffman, no LZW): the cheap
+    profiling path at corpus scale. Same mapInPandas contract as the
+    decode kernels."""
+    import pandas as pd
+
+    from . import codecs
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                info = codecs.video_info(bytes(c))
+                rows.append(
+                    (
+                        mid,
+                        int(info["n_frames"]),
+                        int(info["width"]),
+                        int(info["height"]),
+                        float(info["fps"]),
+                        float(info["duration_ms"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_frames", "width", "height", "fps", "duration_ms"],
+            )
+
+    return media.mapInPandas(kernel, VIDEO_FEATURES_SCHEMA)

@@ -384,3 +384,39 @@ def test_video_near_dup_pairs_clip_level(spark):
     ).collect()
     assert {(r["media_id1"], r["media_id2"]) for r in got} == {(0, 1)}
     assert got[0]["n_frames"] == 2
+
+
+def test_video_info_header_only_and_spark(spark):
+    """Container metadata without pixel decode, for both video formats."""
+    from pg2kinesis_spark.functions.codecs import encode_gif_frames, video_info
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_video_features,
+    )
+
+    clip = _clip_frames(n=5, seed=4)
+    avi = encode_avi_mjpeg(clip, fps=10, quality=90)
+    info = video_info(avi)
+    assert info == {"n_frames": 5, "width": 24, "height": 16, "fps": 10.0, "duration_ms": 500.0}
+
+    # animated GIF: frame count + GCE delays, still no decode
+    pal = np.array([[0, 0, 0], [9, 9, 9]], np.uint8)
+    gframes = [pal[np.zeros((12, 10), np.uint8)] for _ in range(4)]
+    gif = encode_gif_frames(gframes, delay_cs=5)
+    ginfo = video_info(gif)
+    assert ginfo["n_frames"] == 4 and ginfo["duration_ms"] == 200.0
+    assert (ginfo["width"], ginfo["height"]) == (10, 12)
+
+    with pytest.raises(ValueError):
+        video_info(b"not a container")
+
+    media = spark.createDataFrame(
+        [
+            (0, bytearray(avi), ("video/avi", 0, "a.avi")),
+            (1, bytearray(gif), ("image/gif", 0, "b.gif")),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in extract_video_features(media).collect()}
+    assert rows[0]["n_frames"] == 5 and rows[0]["fps"] == 10.0
+    assert rows[1]["n_frames"] == 4 and rows[1]["duration_ms"] == 200.0
