@@ -832,12 +832,14 @@ def is_avi(data: bytes) -> bool:
     return bytes(data[:4]) == b"RIFF" and bytes(data[8:12]) == b"AVI "
 
 
-def decode_avi_mjpeg(data: bytes) -> list[np.ndarray]:
+def decode_avi_mjpeg(data: bytes, max_frames: int | None = None) -> list[np.ndarray]:
     """Decode an MJPEG AVI to a list of (H, W, C) uint8 frames.
 
     Walks the RIFF tree to the ``movi`` LIST and decodes every video
-    chunk (``##dc``/``##db``) as a baseline JPEG. Non-MJPEG payloads
-    fail inside ``decode_jpeg`` with its usual errors.
+    chunk (``##dc``/``##db``) as a baseline JPEG, stopping after
+    ``max_frames`` frames so samplers pay only for the frames they
+    keep. Non-MJPEG payloads fail inside ``decode_jpeg`` with its
+    usual errors.
     """
     data = bytes(data)
     if not is_avi(data):
@@ -846,6 +848,8 @@ def decode_avi_mjpeg(data: bytes) -> list[np.ndarray]:
 
     def walk(pos: int, end: int) -> None:
         while pos + 8 <= end:
+            if max_frames is not None and len(frames) >= max_frames:
+                return
             cid = data[pos : pos + 4]
             (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
             body_start = pos + 8

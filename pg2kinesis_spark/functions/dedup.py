@@ -268,6 +268,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     bits: int = 64,
     max_bucket_df: int | None = None,
+    block: str | None = None,
 ) -> DataFrame:
     """All (id1, id2, hamming) pairs within ``max_hamming`` bits — the
     multi-index scheme of Manku et al. (WWW 2007, near-duplicate web
@@ -285,6 +286,12 @@ def simhash_pairs(
     max_shingle_df) — the Manku permuted-table refinement (agree on
     s−d of s>d+1 narrower segments) is the exact alternative at that
     scale.
+
+    ``block`` names an extra column in ``sig`` that rides every join
+    key: only rows sharing the block value can pair, and the returned
+    pairs carry the column. This is how per-frame video alignment works
+    — blocking on frame_idx keeps ids verbatim (no arithmetic packing)
+    AND shrinks candidate buckets by the block cardinality.
     """
     s = max_hamming + 1
     base, rem = divmod(bits, s)
@@ -300,29 +307,33 @@ def simhash_pairs(
                 )
             )
         off += w
+    blk = [block] if block else []
     melted = sig.select(
-        "doc_id", "simhash", F.posexplode(F.array(*segs)).alias("seg", "key")
+        "doc_id", "simhash", *blk, F.posexplode(F.array(*segs)).alias("seg", "key")
     )
+    join_keys = blk + ["seg", "key"]
     if max_bucket_df is not None:
         ok = (
-            melted.groupBy("seg", "key")
+            melted.groupBy(*join_keys)
             .count()
             .filter(F.col("count") <= max_bucket_df)
-            .select("seg", "key")
+            .select(*join_keys)
         )
-        melted = melted.join(ok, ["seg", "key"])
+        melted = melted.join(ok, join_keys)
     left = melted.select(
-        F.col("doc_id").alias("id1"), F.col("simhash").alias("s1"), "seg", "key"
+        F.col("doc_id").alias("id1"), F.col("simhash").alias("s1"), *join_keys
     )
     right = melted.select(
-        F.col("doc_id").alias("id2"), F.col("simhash").alias("s2"), "seg", "key"
+        F.col("doc_id").alias("id2"), F.col("simhash").alias("s2"), *join_keys
     )
     return (
-        left.join(right, ["seg", "key"])
+        left.join(right, join_keys)
         .filter(F.col("id1") < F.col("id2"))
-        .select("id1", "id2", "s1", "s2")
+        .select("id1", "id2", *blk, "s1", "s2")
         .distinct()
-        .select("id1", "id2", hamming64(F.col("s1"), F.col("s2")).alias("hamming"))
+        .select(
+            "id1", "id2", *blk, hamming64(F.col("s1"), F.col("s2")).alias("hamming")
+        )
         .filter(F.col("hamming") <= max_hamming)
     )
 

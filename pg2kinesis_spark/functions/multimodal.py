@@ -24,6 +24,16 @@ Codec support is tiered, honestly:
   kernel, and the deterministic fake (``fake=True``) remains for
   plumbing tests. The Spark-side contract — schemas, batch iteration,
   partitioning — is identical either way.
+
+Dirty-data contract: scraped corpora contain truncated, mislabeled,
+and unsupported bytes, and one bad row must never kill a 100 TB job
+(a task failure retries 4× then fails the whole stage). Every decode
+kernel therefore takes ``errors=`` — ``"quarantine"`` (default) wraps
+the per-row decode in a guard that emits NULL features plus a
+``decode_error`` string column, ``"raise"`` keeps the fail-stop
+behavior for trusted inputs (parity with operators/errors.py
+semantics on the CDC path). ``media_quarantine`` splits a guarded
+result into (clean, quarantined) DataFrames.
 """
 
 from __future__ import annotations
@@ -34,6 +44,42 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_ERROR_FIELD = T.StructField("decode_error", T.StringType())
+
+
+def _with_error(schema: T.StructType) -> T.StructType:
+    return T.StructType(list(schema.fields) + [_ERROR_FIELD])
+
+
+def _check_errors(errors: str) -> None:
+    if errors not in ("raise", "quarantine"):
+        raise ValueError(f"errors must be 'raise' or 'quarantine', got {errors!r}")
+
+
+def _guard(errors: str, fn, *args):
+    """Run fn(*args); return (result, None) or (None, error string).
+
+    ``errors="raise"`` propagates — fail-stop for trusted inputs;
+    ``"quarantine"`` converts ANY per-row decode failure into an error
+    string so the Arrow batch (and the job) completes.
+    """
+    if errors == "raise":
+        return fn(*args), None
+    try:
+        return fn(*args), None
+    except Exception as e:  # noqa: BLE001 — untrusted bytes: route, don't die
+        return None, f"{type(e).__name__}: {e}"[:512]
+
+
+def media_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a guarded kernel output on ``decode_error``: (clean rows
+    with the error column dropped, quarantined rows with it kept).
+    Both are filters over the same plan — one scan when both sides are
+    written, no shuffle."""
+    clean = df.filter(F.col("decode_error").isNull()).drop("decode_error")
+    bad = df.filter(F.col("decode_error").isNotNull())
+    return clean, bad
 
 MEDIA_META = T.StructType(
     [
@@ -59,6 +105,7 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("checksum", T.StringType()),
+        _ERROR_FIELD,
     ]
 )
 
@@ -84,18 +131,24 @@ def _fake_decode(content: bytes) -> tuple[int, int]:
     return (n % 640) + 1, (n % 480) + 1
 
 
-def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def extract_features(
+    media: DataFrame, fake: bool = True, errors: str = "quarantine"
+) -> DataFrame:
     """mapInPandas feature extraction over media batches.
 
     Real deployments replace the kernel body with PIL/ffmpeg calls; the
     iteration contract (Arrow record batches in, record batches out,
-    constant memory per batch) is exactly what runs here.
+    constant memory per batch) is exactly what runs here. Undecodable
+    rows get NULL dims + ``decode_error`` (``errors="quarantine"``,
+    default) or fail the task (``errors="raise"``).
     """
     import hashlib
 
     import pandas as pd
 
     from . import codecs
+
+    _check_errors(errors)
 
     def real_dims(c: bytes) -> tuple[int, int]:
         if codecs.is_png(c) or codecs.is_jpeg(c) or codecs.is_gif(c):
@@ -107,10 +160,10 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
             return int(samples.shape[0]), int(samples.shape[1])
         if codecs.is_avi(c):
             # video "dims": first frame's (width, height)
-            h, w = codecs.decode_avi_mjpeg(c)[0].shape[:2]
+            h, w = codecs.decode_avi_mjpeg(c, max_frames=1)[0].shape[:2]
             return w, h
         raise NotImplementedError(
-            "only PNG/JPEG/WAV/MJPEG-AVI decode is available in this "
+            "only PNG/JPEG/GIF/WAV/MJPEG-AVI decode is available in this "
             "environment (MP3/non-MJPEG video need ffmpeg)"
         )
 
@@ -118,36 +171,47 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
         for pdf in batches:
             content = pdf["content"]
             decode = _fake_decode if fake else real_dims
-            dims = [decode(c) for c in content]
+            guarded = [_guard(errors, decode, bytes(c)) for c in content]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "mime": [m["mime"] for m in pdf["meta"]],
                     "n_bytes": [len(c) for c in content],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
+                    "width": [d[0] if d else None for d, _ in guarded],
+                    "height": [d[1] if d else None for d, _ in guarded],
                     "checksum": [hashlib.md5(c).hexdigest() for c in content],
+                    "decode_error": [e for _, e in guarded],
                 }
             )
 
     return media.mapInPandas(kernel, FEATURES_SCHEMA)
 
 
-def resize_media(media: DataFrame, width: int = 64, height: int = 64, fake: bool = True) -> DataFrame:
+def resize_media(
+    media: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    fake: bool = True,
+    errors: str = "quarantine",
+) -> DataFrame:
     """mapInPandas resize: size-bound every media item to width×height.
 
     Real deployments put PIL's ``Image.resize`` in the kernel body; the
     deterministic fake stride-samples (or wrap-pads) the byte stream to
     exactly ``width*height`` bytes, so downstream stages see the real
-    contract — bounded content, same (media_id, content, meta) schema,
+    contract — bounded content, same (media_id, content, meta) columns,
     ``bytes_hint`` updated so partition sizing stays honest — with
-    exact, testable bytes. Output schema == input schema: resize
-    composes with extract_features / frame_sample unchanged.
+    exact, testable bytes. Output adds only the nullable
+    ``decode_error`` column (NULL content + error string for rows the
+    codec rejects under ``errors="quarantine"``); drop it or route it
+    with ``media_quarantine`` and the result composes with
+    extract_features / frame_sample unchanged.
     """
     import pandas as pd
 
     from . import codecs
 
+    _check_errors(errors)
     target = width * height
 
     def resize_one(c: bytes) -> bytes:
@@ -180,20 +244,25 @@ def resize_media(media: DataFrame, width: int = 64, height: int = 64, fake: bool
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [resize_one(c) for c in pdf["content"]]
+            guarded = [_guard(errors, resize_one, c) for c in pdf["content"]]
             meta = [
                 {
                     "mime": m["mime"],
-                    "bytes_hint": len(r) if not fake else target,
+                    "bytes_hint": (len(r) if not fake else target) if r is not None else 0,
                     "source_uri": m["source_uri"],
                 }
-                for m, r in zip(pdf["meta"], resized)
+                for m, (r, _) in zip(pdf["meta"], guarded)
             ]
             yield pd.DataFrame(
-                {"media_id": pdf["media_id"], "content": resized, "meta": meta}
+                {
+                    "media_id": pdf["media_id"],
+                    "content": [r for r, _ in guarded],
+                    "meta": meta,
+                    "decode_error": [e for _, e in guarded],
+                }
             )
 
-    return media.mapInPandas(kernel, MEDIA_SCHEMA)
+    return media.mapInPandas(kernel, _with_error(MEDIA_SCHEMA))
 
 
 IMAGE_FEATURES_SCHEMA = T.StructType(
@@ -204,41 +273,52 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("n_channels", T.IntegerType()),
         T.StructField("mean_luma", T.DoubleType()),
         T.StructField("checksum", T.StringType()),
+        _ERROR_FIELD,
     ]
 )
 
 
-def extract_image_features(media: DataFrame) -> DataFrame:
-    """REAL image features over PNG/JPEG content: decoded dimensions,
-    channel count, mean luma (ITU-R 601 on RGB, plain mean on gray).
-    Same mapInPandas contract as extract_features — constant memory per
-    Arrow batch, decode never leaves the executor."""
+def extract_image_features(media: DataFrame, errors: str = "quarantine") -> DataFrame:
+    """REAL image features over PNG/JPEG/GIF content: decoded
+    dimensions, channel count, mean luma (ITU-R 601 on RGB, plain mean
+    on gray). Same mapInPandas contract as extract_features — constant
+    memory per Arrow batch, decode never leaves the executor.
+    Undecodable rows → NULL features + ``decode_error`` (default) or
+    task failure (``errors="raise"``)."""
     import hashlib
 
     import pandas as pd
 
     from . import codecs
 
+    _check_errors(errors)
+
+    def one(c: bytes) -> tuple[int, int, int, float]:
+        img = codecs.decode_image(c)
+        h, w, nch = img.shape
+        px = img.astype("float64")
+        if nch >= 3:
+            luma = float(
+                (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]).mean()
+            )
+        else:
+            luma = float(px[:, :, 0].mean())
+        return w, h, nch, luma
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, c in zip(pdf["media_id"], pdf["content"]):
-                img = codecs.decode_image(bytes(c))
-                h, w, nch = img.shape
-                px = img.astype("float64")
-                if nch >= 3:
-                    luma = float(
-                        (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]).mean()
-                    )
-                else:
-                    luma = float(px[:, :, 0].mean())
+                r, err = _guard(errors, one, bytes(c))
+                w, h, nch, luma = r if r else (None, None, None, None)
                 rows.append(
-                    (mid, w, h, nch, luma, hashlib.md5(bytes(c)).hexdigest())
+                    (mid, w, h, nch, luma, hashlib.md5(bytes(c)).hexdigest(), err)
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "media_id", "width", "height", "n_channels", "mean_luma", "checksum",
+                    "media_id", "width", "height", "n_channels", "mean_luma",
+                    "checksum", "decode_error",
                 ],
             )
 
@@ -253,39 +333,45 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
         T.StructField("n_samples", T.LongType()),
         T.StructField("duration_ms", T.DoubleType()),
         T.StructField("rms", T.DoubleType()),
+        _ERROR_FIELD,
     ]
 )
 
 
-def extract_audio_features(media: DataFrame) -> DataFrame:
+def extract_audio_features(media: DataFrame, errors: str = "quarantine") -> DataFrame:
     """REAL audio features over PCM WAV content: sample rate, channel
-    count, sample count, duration, RMS amplitude."""
+    count, sample count, duration, RMS amplitude. Undecodable rows →
+    NULL features + ``decode_error`` (default) or task failure
+    (``errors="raise"``)."""
     import pandas as pd
 
     from . import codecs
+
+    _check_errors(errors)
+
+    def one(c: bytes):
+        samples, rate = codecs.decode_wav(c)
+        n = samples.shape[0]
+        return (
+            rate,
+            int(samples.shape[1]),
+            n,
+            1000.0 * n / rate if rate else 0.0,
+            float(np.sqrt((samples.astype("float64") ** 2).mean())) if n else 0.0,
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, c in zip(pdf["media_id"], pdf["content"]):
-                samples, rate = codecs.decode_wav(bytes(c))
-                n = samples.shape[0]
-                rows.append(
-                    (
-                        mid,
-                        rate,
-                        int(samples.shape[1]),
-                        n,
-                        1000.0 * n / rate if rate else 0.0,
-                        float(np.sqrt((samples.astype("float64") ** 2).mean()))
-                        if n
-                        else 0.0,
-                    )
-                )
+                r, err = _guard(errors, one, bytes(c))
+                rate, nch, n, dur, rms = r if r else (None, None, None, None, None)
+                rows.append((mid, rate, nch, n, dur, rms, err))
             yield pd.DataFrame(
                 rows,
                 columns=[
-                    "media_id", "sample_rate", "n_channels", "n_samples", "duration_ms", "rms",
+                    "media_id", "sample_rate", "n_channels", "n_samples",
+                    "duration_ms", "rms", "decode_error",
                 ],
             )
 
@@ -313,94 +399,112 @@ def media_exact_duplicates(media: DataFrame) -> DataFrame:
     )
 
 
-def media_dhash(media: DataFrame) -> DataFrame:
-    """REAL perceptual hash for PNG/JPEG content: the classic 64-bit
+def _dhash_image(img: np.ndarray, resize_nearest) -> int:
+    """64-bit dHash of a decoded (H, W, C) image: luma, nearest-neighbor
+    9x8, sign of horizontally adjacent differences — signed-64 for
+    Spark longs."""
+    px = img.astype("float64")
+    if px.shape[2] >= 3:
+        gray = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    else:
+        gray = px[:, :, 0]
+    small = resize_nearest(gray[:, :, None], 9, 8)[:, :, 0]
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    h = 0
+    for i, b in enumerate(bits):
+        if b:
+            h |= 1 << i
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("dhash", T.LongType()),
+        _ERROR_FIELD,
+    ]
+)
+
+
+def media_dhash(media: DataFrame, errors: str = "quarantine") -> DataFrame:
+    """REAL perceptual hash for PNG/JPEG/GIF content: the classic 64-bit
     dHash — decode, luma, nearest-neighbor resize to 9x8, sign of
     horizontally adjacent differences. Robust to re-encoding (including
     across PNG<->JPEG) and uniform brightness shifts; bit-compatible
-    with the SimHash pair-search machinery. Returns (media_id, dhash).
-    Non-image content raises in the kernel.
+    with the SimHash pair-search machinery. Returns (media_id, dhash,
+    decode_error): non-image content gets NULL dhash + the error string
+    (default) or raises (``errors="raise"``).
     """
     import pandas as pd
 
     from . import codecs
 
+    _check_errors(errors)
+
+    def one(c: bytes) -> int:
+        return _dhash_image(codecs.decode_image(c), codecs.resize_nearest)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, c in zip(pdf["media_id"], pdf["content"]):
-                img = codecs.decode_image(bytes(c)).astype("float64")
-                if img.shape[2] >= 3:
-                    gray = (
-                        0.299 * img[:, :, 0]
-                        + 0.587 * img[:, :, 1]
-                        + 0.114 * img[:, :, 2]
-                    )
-                else:
-                    gray = img[:, :, 0]
-                small = codecs.resize_nearest(gray[:, :, None], 9, 8)[:, :, 0]
-                bits = (small[:, 1:] > small[:, :-1]).flatten()
-                h = 0
-                for i, b in enumerate(bits):
-                    if b:
-                        h |= 1 << i
-                # to signed 64-bit (Spark long)
-                if h >= 1 << 63:
-                    h -= 1 << 64
-                rows.append((mid, h))
-            yield pd.DataFrame(rows, columns=["media_id", "dhash"])
+                h, err = _guard(errors, one, bytes(c))
+                rows.append((mid, h, err))
+            yield pd.DataFrame(rows, columns=["media_id", "dhash", "decode_error"])
 
-    return media.mapInPandas(
-        kernel,
-        T.StructType(
-            [
-                T.StructField("media_id", T.LongType()),
-                T.StructField("dhash", T.LongType()),
-            ]
-        ),
-    )
+    return media.mapInPandas(kernel, DHASH_SCHEMA)
 
 
-def audio_fingerprint(media: DataFrame) -> DataFrame:
+AFP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("afp", T.LongType()),
+        _ERROR_FIELD,
+    ]
+)
+
+
+def audio_fingerprint(media: DataFrame, errors: str = "quarantine") -> DataFrame:
     """REAL audio fingerprint for PCM WAV content: the energy-envelope
     analogue of dHash — mono-mix, 65 equal frames, bit i = energy of
     frame i+1 > energy of frame i. Invariant to amplitude scaling
     (comparisons only) and channel layout (mono mix). Returns
-    (media_id, afp). Non-WAV content raises in the kernel."""
+    (media_id, afp, decode_error): non-WAV content gets NULL afp + the
+    error string (default) or raises (``errors="raise"``)."""
     import pandas as pd
 
     from . import codecs
+
+    _check_errors(errors)
+
+    def one(c: bytes) -> int:
+        samples, _rate = codecs.decode_wav(c)
+        mono = samples.astype("float64").mean(axis=1)
+        n = len(mono)
+        h = 0
+        if n >= 65:
+            edges = (np.arange(66) * n) // 65
+            energy = np.array(
+                [(mono[edges[i] : edges[i + 1]] ** 2).mean() for i in range(65)]
+            )
+            for i in range(64):
+                if energy[i + 1] > energy[i]:
+                    h |= 1 << i
+            if h >= 1 << 63:
+                h -= 1 << 64
+        return h
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, c in zip(pdf["media_id"], pdf["content"]):
-                samples, _rate = codecs.decode_wav(bytes(c))
-                mono = samples.astype("float64").mean(axis=1)
-                n = len(mono)
-                h = 0
-                if n >= 65:
-                    edges = (np.arange(66) * n) // 65
-                    energy = np.array(
-                        [(mono[edges[i] : edges[i + 1]] ** 2).mean() for i in range(65)]
-                    )
-                    for i in range(64):
-                        if energy[i + 1] > energy[i]:
-                            h |= 1 << i
-                    if h >= 1 << 63:
-                        h -= 1 << 64
-                rows.append((mid, h))
-            yield pd.DataFrame(rows, columns=["media_id", "afp"])
+                h, err = _guard(errors, one, bytes(c))
+                rows.append((mid, h, err))
+            yield pd.DataFrame(rows, columns=["media_id", "afp", "decode_error"])
 
-    return media.mapInPandas(
-        kernel,
-        T.StructType(
-            [
-                T.StructField("media_id", T.LongType()),
-                T.StructField("afp", T.LongType()),
-            ]
-        ),
-    )
+    return media.mapInPandas(kernel, AFP_SCHEMA)
 
 
 def media_near_dup_pairs(
@@ -412,20 +516,21 @@ def media_near_dup_pairs(
     """Near-duplicate media pairs without an all-pairs join.
 
     ``signature="dhash"`` uses the REAL perceptual hash (``media_dhash``
-    — PNG content decoded to pixels); ``"bytes"`` (default) is the
-    codec-free stand-in: a 64-bit signature whose bit b is the parity of
-    chunk b's xxhash64. Either way the pair search is the multi-index
-    SimHash machinery (Manku et al.): pigeonhole segment equi-joins +
-    JVM popcount refine.
+    — PNG/JPEG/GIF content decoded to pixels); ``"bytes"`` (default) is
+    the codec-free stand-in: a 64-bit signature whose bit b is the
+    parity of chunk b's xxhash64. Either way the pair search is the
+    multi-index SimHash machinery (Manku et al.): pigeonhole segment
+    equi-joins + JVM popcount refine. Undecodable media simply can't
+    pair (their NULL signatures are filtered before the search).
     """
     from .dedup import simhash_pairs
 
     if signature == "dhash":
-        sigs = media_dhash(media).select(
+        sigs = media_dhash(media).filter(F.col("dhash").isNotNull()).select(
             F.col("media_id").alias("doc_id"), F.col("dhash").alias("simhash")
         )
     elif signature == "audio":
-        sigs = audio_fingerprint(media).select(
+        sigs = audio_fingerprint(media).filter(F.col("afp").isNotNull()).select(
             F.col("media_id").alias("doc_id"), F.col("afp").alias("simhash")
         )
     else:
@@ -449,11 +554,14 @@ VIDEO_FRAMES_SCHEMA = T.StructType(
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("content", T.BinaryType()),
         T.StructField("meta", MEDIA_META),
+        _ERROR_FIELD,
     ]
 )
 
 
-def video_frames(media: DataFrame, stride: int = 1, max_frames: int = 8) -> DataFrame:
+def video_frames(
+    media: DataFrame, stride: int = 1, max_frames: int = 8, errors: str = "quarantine"
+) -> DataFrame:
     """REAL video frame extraction for MJPEG AVI and animated GIF
     content.
 
@@ -463,25 +571,40 @@ def video_frames(media: DataFrame, stride: int = 1, max_frames: int = 8) -> Data
     row —
     (media_id, frame_idx, content, meta) — so the entire image operator
     surface (extract_image_features, media_dhash, resize_media)
-    composes per frame unchanged. This is the codec-true successor of
-    ``frame_sample``'s byte-stride stand-in; the mapInPandas contract
-    (Arrow batches, constant memory, executor-local decode) is the
-    same. Non-AVI content raises in the kernel.
+    composes per frame unchanged. Decode work is bounded by the
+    SAMPLED frame count: the container decoders stop after the last
+    frame that survives ``[::stride][:max_frames]``, so a 2-hour clip
+    sampled at 8 frames never decodes the tail. This is the codec-true
+    successor of ``frame_sample``'s byte-stride stand-in; the
+    mapInPandas contract (Arrow batches, constant memory,
+    executor-local decode) is the same. An undecodable clip emits ONE
+    row with NULL frame_idx/content + ``decode_error`` (default) or
+    fails the task (``errors="raise"``).
     """
     import pandas as pd
 
     from . import codecs
 
+    _check_errors(errors)
+    # last decoded frame index we can possibly emit (0-based), +1 = cap
+    decode_cap = (max_frames - 1) * stride + 1
+
+    def decode_clip(b: bytes) -> list[np.ndarray]:
+        if codecs.is_gif(b):  # animated GIFs are videos too
+            frames = codecs.decode_gif_frames(b, max_frames=decode_cap)
+        else:
+            frames = codecs.decode_avi_mjpeg(b, max_frames=decode_cap)
+        return frames[::stride][:max_frames]
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, c, m in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
-                b = bytes(c)
-                if codecs.is_gif(b):  # animated GIFs are videos too
-                    frames = codecs.decode_gif_frames(b)
-                else:
-                    frames = codecs.decode_avi_mjpeg(b)
-                for i, f in enumerate(frames[::stride][:max_frames]):
+                frames, err = _guard(errors, decode_clip, bytes(c))
+                if frames is None:
+                    rows.append((mid, None, None, dict(m), err))
+                    continue
+                for i, f in enumerate(frames):
                     png = codecs.encode_png(f)
                     rows.append(
                         (
@@ -493,13 +616,70 @@ def video_frames(media: DataFrame, stride: int = 1, max_frames: int = 8) -> Data
                                 "bytes_hint": len(png),
                                 "source_uri": f"{m['source_uri']}#frame{i * stride}",
                             },
+                            None,
                         )
                     )
             yield pd.DataFrame(
-                rows, columns=["media_id", "frame_idx", "content", "meta"]
+                rows,
+                columns=["media_id", "frame_idx", "content", "meta", "decode_error"],
             )
 
     return media.mapInPandas(kernel, VIDEO_FRAMES_SCHEMA)
+
+
+FRAME_DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("dhash", T.LongType()),
+        _ERROR_FIELD,
+    ]
+)
+
+
+def video_frame_dhash(
+    media: DataFrame, stride: int = 1, max_frames: int = 8, errors: str = "quarantine"
+) -> DataFrame:
+    """Per-frame dHash for MJPEG AVI / animated GIF clips in ONE kernel:
+    container decode -> sampled frames -> dHash on the decoded pixels —
+    no intermediate PNG re-encode/re-decode (the video_frames ->
+    media_dhash composition pays that round-trip; this is the fused
+    form the near-dup search uses). Decode work is capped by the
+    sampled frame count. Returns (media_id, frame_idx, dhash,
+    decode_error) — one NULL-frame error row per undecodable clip under
+    the default ``errors="quarantine"``."""
+    import pandas as pd
+
+    from . import codecs
+
+    _check_errors(errors)
+    decode_cap = (max_frames - 1) * stride + 1
+
+    def clip_hashes(b: bytes) -> list[int]:
+        if codecs.is_gif(b):
+            frames = codecs.decode_gif_frames(b, max_frames=decode_cap)
+        else:
+            frames = codecs.decode_avi_mjpeg(b, max_frames=decode_cap)
+        return [
+            _dhash_image(f, codecs.resize_nearest)
+            for f in frames[::stride][:max_frames]
+        ]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                hashes, err = _guard(errors, clip_hashes, bytes(c))
+                if hashes is None:
+                    rows.append((mid, None, None, err))
+                    continue
+                for i, h in enumerate(hashes):
+                    rows.append((mid, i, h, None))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "frame_idx", "dhash", "decode_error"]
+            )
+
+    return media.mapInPandas(kernel, FRAME_DHASH_SCHEMA)
 
 
 def video_near_dup_pairs(
@@ -508,49 +688,42 @@ def video_near_dup_pairs(
     stride: int = 1,
     max_frames: int = 8,
     min_matching_frames: int = 2,
+    errors: str = "quarantine",
 ) -> DataFrame:
-    """Clip-level near-duplicate detection for MJPEG AVI content.
+    """Clip-level near-duplicate detection for MJPEG AVI / animated GIF
+    content.
 
-    Composition of verified pieces: video_frames -> per-frame dHash ->
-    the multi-index SimHash pair search over frame signatures ->
-    clip-pair aggregation. Two clips match when >= min_matching_frames
-    TEMPORALLY ALIGNED frames (same sampled index) land within
-    max_hamming dHash bits — re-encoded or brightness-shifted copies
-    match; unrelated clips share no aligned near-identical frames.
-    Scale shape is inherited: the pair search is segment-equi-join +
+    Composition of verified pieces: fused per-frame dHash
+    (``video_frame_dhash``) -> the multi-index SimHash pair search,
+    BLOCKED on the frame index -> clip-pair aggregation. Two clips
+    match when >= min_matching_frames TEMPORALLY ALIGNED frames (same
+    sampled index) land within max_hamming dHash bits — re-encoded or
+    brightness-shifted copies match; unrelated clips share no aligned
+    near-identical frames. Frame alignment rides the pair search's
+    join key (``simhash_pairs(block=...)``), so clip ids are carried
+    VERBATIM — the full signed-64 media_id range (xxhash64 ids from
+    media_from_files included) is safe, with no arithmetic packing to
+    overflow or round. Scale shape is inherited: segment-equi-join +
     popcount (never all-pairs), and the aggregation shuffles only
     (clip1, clip2) longs. Returns (media_id1, media_id2, n_frames,
     min_hamming).
     """
     from .dedup import simhash_pairs
 
-    if max_frames > 1024:
-        raise ValueError("max_frames must be <= 1024 (frame-id packing)")
-    frames = video_frames(media, stride=stride, max_frames=max_frames)
-    keyed = frames.select(
-        (F.col("media_id") * 1024 + F.col("frame_idx")).alias("media_id"),
-        "content",
-        "meta",
+    sigs = (
+        video_frame_dhash(media, stride=stride, max_frames=max_frames, errors=errors)
+        .filter(F.col("dhash").isNotNull())
+        .select(
+            F.col("media_id").alias("doc_id"),
+            F.col("frame_idx").alias("blk"),
+            F.col("dhash").alias("simhash"),
+        )
     )
-    sigs = media_dhash(keyed).select(
-        F.col("media_id").alias("doc_id"), F.col("dhash").alias("simhash")
-    )
-    # integer div, not float division — double rounding would corrupt
-    # clip ids past 2^53
-    pairs = simhash_pairs(sigs, max_hamming=max_hamming).select(
-        F.expr("id1 div 1024").alias("clip1"),
-        F.pmod("id1", F.lit(1024)).alias("idx1"),
-        F.expr("id2 div 1024").alias("clip2"),
-        F.pmod("id2", F.lit(1024)).alias("idx2"),
-        "hamming",
-    )
-    aligned = pairs.filter(
-        (F.col("clip1") != F.col("clip2")) & (F.col("idx1") == F.col("idx2"))
-    )
+    aligned = simhash_pairs(sigs, max_hamming=max_hamming, block="blk")
     return (
         aligned.groupBy(
-            F.least("clip1", "clip2").alias("media_id1"),
-            F.greatest("clip1", "clip2").alias("media_id2"),
+            F.least("id1", "id2").alias("media_id1"),
+            F.greatest("id1", "id2").alias("media_id2"),
         )
         .agg(F.count("*").alias("n_frames"), F.min("hamming").alias("min_hamming"))
         .filter(F.col("n_frames") >= min_matching_frames)
@@ -569,7 +742,7 @@ def sniff_mime(content: "F.Column") -> "F.Column":
         .when(sub(1, 2) == F.lit(b"\xff\xd8"), "image/jpeg")
         .when(sub(1, 3) == F.lit(b"GIF"), "image/gif")
         .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"WAVE")), "audio/wav")
-        .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"AVI ")), "video/avi")
+        .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"AVI ")), "video/x-msvideo")
         .otherwise("application/octet-stream")
     )
 
@@ -631,37 +804,46 @@ VIDEO_FEATURES_SCHEMA = T.StructType(
         T.StructField("height", T.IntegerType()),
         T.StructField("fps", T.DoubleType()),
         T.StructField("duration_ms", T.DoubleType()),
+        _ERROR_FIELD,
     ]
 )
 
 
-def extract_video_features(media: DataFrame) -> DataFrame:
+def extract_video_features(media: DataFrame, errors: str = "quarantine") -> DataFrame:
     """Container-level video metadata for MJPEG AVI / animated GIF —
     header walk only, NO pixel decode (no huffman, no LZW): the cheap
     profiling path at corpus scale. Same mapInPandas contract as the
-    decode kernels."""
+    decode kernels; unparseable containers → NULL features +
+    ``decode_error`` (default) or task failure (``errors="raise"``)."""
     import pandas as pd
 
     from . import codecs
+
+    _check_errors(errors)
+
+    def one(c: bytes):
+        info = codecs.video_info(c)
+        return (
+            int(info["n_frames"]),
+            int(info["width"]),
+            int(info["height"]),
+            float(info["fps"]),
+            float(info["duration_ms"]),
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, c in zip(pdf["media_id"], pdf["content"]):
-                info = codecs.video_info(bytes(c))
-                rows.append(
-                    (
-                        mid,
-                        int(info["n_frames"]),
-                        int(info["width"]),
-                        int(info["height"]),
-                        float(info["fps"]),
-                        float(info["duration_ms"]),
-                    )
-                )
+                r, err = _guard(errors, one, bytes(c))
+                nf, w, h, fps, dur = r if r else (None, None, None, None, None)
+                rows.append((mid, nf, w, h, fps, dur, err))
             yield pd.DataFrame(
                 rows,
-                columns=["media_id", "n_frames", "width", "height", "fps", "duration_ms"],
+                columns=[
+                    "media_id", "n_frames", "width", "height", "fps",
+                    "duration_ms", "decode_error",
+                ],
             )
 
     return media.mapInPandas(kernel, VIDEO_FEATURES_SCHEMA)

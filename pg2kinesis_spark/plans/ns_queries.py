@@ -427,7 +427,8 @@ NS_ORACLE_SQL = {
                octet_length(encode(text)) AS n_bytes,
                (octet_length(encode(text)) % 640) + 1 AS width,
                (octet_length(encode(text)) % 480) + 1 AS height,
-               md5(text) AS checksum
+               md5(text) AS checksum,
+               CAST(NULL AS VARCHAR) AS decode_error
         FROM documents ORDER BY media_id
     """,
     "n14_frame_sample": """

@@ -267,20 +267,26 @@ def test_extract_audio_features_real(spark):
 def test_unsupported_mime_raises_in_kernel(spark):
     from pg2kinesis_spark.functions.multimodal import MEDIA_SCHEMA, extract_features
 
-    # a mime with no decoder (mp3) fails loudly in the kernel
+    # errors="raise": a mime with no decoder (mp3) fails loudly in the kernel
     media = spark.createDataFrame(
         [(1, bytearray(b"ID3\x04 fake mp3"), ("audio/mpeg", 10, "mem://m"))],
         MEDIA_SCHEMA,
     )
-    with pytest.raises(Exception, match="PNG/JPEG/WAV"):
-        extract_features(media, fake=False).collect()
+    with pytest.raises(Exception, match="PNG/JPEG"):
+        extract_features(media, fake=False, errors="raise").collect()
+    # the default quarantine path routes the same row instead of dying
+    r = extract_features(media, fake=False).collect()[0]
+    assert r["width"] is None and r["height"] is None
+    assert "NotImplementedError" in r["decode_error"]
     # JPEG-looking garbage now reaches the REAL decoder and fails there
     media = spark.createDataFrame(
         [(1, bytearray(b"\xff\xd8\xff\xe0 fake jpeg"), ("image/jpeg", 10, "mem://j"))],
         MEDIA_SCHEMA,
     )
     with pytest.raises(Exception, match="missing SOF"):
-        extract_features(media, fake=False).collect()
+        extract_features(media, fake=False, errors="raise").collect()
+    r = extract_features(media, fake=False).collect()[0]
+    assert r["width"] is None and "missing SOF" in r["decode_error"]
 
 
 def test_media_dhash_real_neardup(spark):
@@ -425,7 +431,7 @@ def test_media_from_files_front_door(spark, tmp_path):
         "b.jpg": "image/jpeg",
         "c.gif": "image/gif",
         "d.wav": "audio/wav",
-        "e.avi": "video/avi",
+        "e.avi": "video/x-msvideo",
         "f.bin": "application/octet-stream",
     }
     assert len({r["media_id"] for r in rows}) == 6  # distinct deterministic ids

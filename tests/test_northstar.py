@@ -235,12 +235,19 @@ def test_media_features_deterministic(spark, planted):
 
 def test_media_real_decode_rejects_unsupported_mime(spark, planted):
     # synthetic media is raw utf-8 bytes — no known signature, so the
-    # real-codec path must fail loudly inside the kernel (the real
-    # decode paths live in tests/test_codecs.py / test_jpeg.py / test_gif.py)
+    # real-codec path must fail loudly inside the kernel under
+    # errors="raise" (the real decode paths live in tests/test_codecs.py
+    # / test_jpeg.py / test_gif.py) and quarantine under the default
     with pytest.raises(Exception, match="PNG/JPEG"):
         multimodal.extract_features(
-            multimodal.synthetic_media(planted), fake=False
+            multimodal.synthetic_media(planted), fake=False, errors="raise"
         ).collect()
+    rows = multimodal.extract_features(
+        multimodal.synthetic_media(planted), fake=False
+    ).collect()
+    assert rows and all(
+        r.width is None and "NotImplementedError" in r.decode_error for r in rows
+    )
 
 
 def test_frame_sample_shape(spark, planted):
@@ -318,7 +325,10 @@ def test_resize_media_bounds_content_and_composes(spark, planted):
     assert all(f.n_bytes == 64 for f in feats)
     with pytest.raises(Exception, match="PNG"):
         # real resize decodes true pixels — fake media isn't PNG
-        multimodal.resize_media(media, fake=False).collect()
+        multimodal.resize_media(media, fake=False, errors="raise").collect()
+    # default quarantine: same rows survive with NULL content + the error
+    bad = multimodal.resize_media(media, fake=False).collect()
+    assert bad and all(r.content is None and "PNG" in r.decode_error for r in bad)
 
 
 def test_lsh_from_materialized_signatures_matches_direct(spark, sf_small, tmp_path):
