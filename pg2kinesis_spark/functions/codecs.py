@@ -371,48 +371,160 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     return out
 
 
-def _huff_decode_map(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> value, for bit-serial decoding."""
-    return {(ln, code): v for v, (code, ln) in _huff_codes(bits, vals).items()}
-
-
 def is_jpeg(data: bytes) -> bool:
     return bytes(data[:2]) == JPEG_SIG
 
 
 class _BitReader:
-    """MSB-first bit reader over an already-unstuffed entropy segment."""
+    """MSB-first bit reader over an already-unstuffed entropy segment.
+
+    Buffered: bytes enter a small accumulator 8 at a time, huffman
+    codes resolve with ONE 16-bit peek into a flat lookup table
+    (``_huff_lut``) instead of a dict probe per bit — the classic
+    table-driven decode that makes pure-Python entropy decoding
+    tolerable. Peeks past the end see zero padding; CONSUMING past the
+    end raises (truncated stream), preserving strict error semantics.
+    """
+
+    __slots__ = ("data", "nbytes", "pos", "acc", "nacc", "limit", "consumed")
 
     def __init__(self, data: bytes):
         self.data = data
+        self.nbytes = len(data)
         self.pos = 0
-        self.bit = 0
+        self.acc = 0
+        self.nacc = 0
+        self.limit = self.nbytes * 8
+        self.consumed = 0
+
+    def _fill(self, need: int) -> None:
+        data, pos, nbytes = self.data, self.pos, self.nbytes
+        acc, nacc = self.acc, self.nacc
+        while nacc < need:
+            acc = (acc << 8) | (data[pos] if pos < nbytes else 0)
+            pos += 1
+            nacc += 8
+        self.acc, self.nacc, self.pos = acc, nacc, pos
+
+    def _consume(self, n: int) -> None:
+        self.consumed += n
+        if self.consumed > self.limit:
+            raise ValueError("JPEG entropy stream truncated")
+        self.nacc -= n
+        self.acc &= (1 << self.nacc) - 1
 
     def read_bit(self) -> int:
-        if self.pos >= len(self.data):
-            raise ValueError("JPEG entropy stream truncated")
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
-            self.pos += 1
-        return b
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if self.nacc < 1:
+            self._fill(1)
+        v = (self.acc >> (self.nacc - 1)) & 1
+        self._consume(1)
         return v
 
-    def read_code(self, table: dict[tuple[int, int], int]) -> int:
-        code, ln = 0, 0
-        while ln < 16:
-            code = (code << 1) | self.read_bit()
-            ln += 1
-            v = table.get((ln, code))
-            if v is not None:
-                return v
-        raise ValueError("invalid JPEG huffman code")
+    def read_bits(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nacc < n:
+            self._fill(n)
+        v = (self.acc >> (self.nacc - n)) & ((1 << n) - 1)
+        self._consume(n)
+        return v
+
+    def read_code(self, lut: list[int]) -> int:
+        if self.nacc < 16:
+            self._fill(16)
+        entry = lut[(self.acc >> (self.nacc - 16)) & 0xFFFF]
+        ln = entry & 31
+        if ln == 0:
+            raise ValueError("invalid JPEG huffman code")
+        self._consume(ln)
+        return entry >> 5
+
+
+_LUT_CACHE: dict[bytes, list[int]] = {}
+
+
+def _huff_lut(bits: list[int], vals: list[int]) -> list[int]:
+    """16-bit-peek decode table: lut[peek16] = (value << 5) | code_len,
+    0 for invalid prefixes. A plain Python list — scalar indexing beats
+    a numpy array from the per-symbol loop. Cached by table bytes: a
+    real corpus reuses the same (usually Annex-K) tables across
+    millions of images, so the 64K build is paid once per executor."""
+    key = bytes(bits) + bytes(vals)  # bits is always 16 bytes: unambiguous
+    lut = _LUT_CACHE.get(key)
+    if lut is not None:
+        return lut
+    lut = [0] * (1 << 16)
+    code, k = 0, 0
+    for ln in range(1, 17):
+        span = 1 << (16 - ln)
+        for _ in range(bits[ln - 1]):
+            v = vals[k]
+            k += 1
+            start = code << (16 - ln)
+            lut[start : start + span] = [(v << 5) | ln] * span
+            code += 1
+        code <<= 1
+    if len(_LUT_CACHE) < 256:  # bound executor memory for adversarial corpora
+        _LUT_CACHE[key] = lut
+    return lut
+
+
+def _seq_lut(bits: list[int], vals: list[int], is_dc: bool) -> list[int]:
+    """COMBINED decode table for the sequential hot path: one 16-bit
+    peek resolves the huffman symbol AND its magnitude bits (when
+    code+magnitude fit in 16 bits — virtually always), so the per-
+    coefficient loop does a single lookup instead of code-then-bits.
+
+    Entry layout (0 = invalid prefix):
+      bits 0-4   total bits to consume
+      bits 5-6   kind: 0=value, 1=EOB, 2=ZRL, 3=slow (magnitude spills
+                 past the peek — consume the code only, read bits after)
+      bits 7-10  zero-run r (value/slow kinds)
+      bits 11+   value+32768 (value kind) | size s (slow kind)
+    Built vectorized in numpy from the canonical table; cached like
+    ``_huff_lut``.
+    """
+    key = (b"D" if is_dc else b"A") + bytes(bits) + bytes(vals)
+    lut = _LUT_CACHE.get(key)
+    if lut is not None:
+        return lut
+    base = np.array(_huff_lut(bits, vals), dtype=np.int64)
+    ln = base & 31
+    sym = base >> 5
+    if is_dc:
+        r = np.zeros_like(sym)
+        s = sym
+    else:
+        r = sym >> 4
+        s = sym & 15
+    total = ln + s
+    idx = np.arange(1 << 16, dtype=np.int64)
+    shift = np.clip(16 - total, 0, 16)
+    mag = (idx >> shift) & ((1 << np.minimum(s, 15)) - 1)
+    val = np.where(mag >= (1 << np.maximum(s - 1, 0)), mag, mag - (1 << s) + 1)
+    val = np.where(s == 0, 0, val)
+    invalid = ln == 0
+    slow = total > 16
+    if is_dc:
+        eob = np.zeros_like(invalid)
+        zrl = np.zeros_like(invalid)
+    else:
+        eob = (s == 0) & (r != 15)
+        zrl = (s == 0) & (r == 15)
+    out = np.select(
+        [invalid, slow, eob, zrl],
+        [
+            np.int64(0),
+            ln | (3 << 5) | (r << 7) | (s << 11),
+            ln | (1 << 5),
+            ln | (2 << 5),
+        ],
+        default=total | (r << 7) | ((val + 32768) << 11),
+    )
+    lut = out.tolist()
+    if len(_LUT_CACHE) < 256:
+        _LUT_CACHE[key] = lut
+    return lut
 
 
 def _extend(v: int, s: int) -> int:
@@ -422,168 +534,463 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to (H, W, 1) gray or (H, W, 3) RGB uint8.
+def _scan_mcu_geometry(scan_sel, by_id, mcx, mcy, width, height, hmax, vmax):
+    """Per-scan MCU structure (T.81 A.2): interleaved scans step the
+    (mcx, mcy) grid with h×v blocks per component; a single-component
+    scan's MCU is ONE block over that component's own ceil grid."""
+    if len(scan_sel) > 1:
+        units = []
+        for s in scan_sel:
+            c = by_id[s["cs"]]
+            units.append((s, c, c["h"], c["v"]))
+        return mcx * mcy, mcx, units, True
+    s = scan_sel[0]
+    c = by_id[s["cs"]]
+    xi = -(-(width * c["h"]) // hmax)  # T.81 A.1.1 component dimensions
+    yi = -(-(height * c["v"]) // vmax)
+    bw = -(-xi // 8)
+    bh = -(-yi // 8)
+    return bw * bh, bw, [(s, c, 1, 1)], False
 
-    Baseline/extended sequential huffman (SOF0/SOF1) only; progressive
-    and arithmetic-coded streams raise NotImplementedError. Component
-    sampling factors must divide the maxima (the 4:4:4 / 4:2:2 / 4:2:0
-    family); restart markers are honored.
+
+_Z64 = [0] * 64
+
+
+def _decode_seq_scan(coefs, scan, huff, by_id, mcx, mcy, width, height, hmax, vmax):
+    """Sequential (SOF0/SOF1) scan: full DC+AC per block.
+
+    THE hot kernel of image decode at corpus scale, so the bit reader
+    is inlined into locals (no attribute access or method calls per
+    symbol — the jdhuff discipline applied to Python) and blocks decode
+    into plain Python lists that become the int32 coefficient array in
+    ONE bulk numpy conversion at scan end.
+    """
+    sel, segments, ri = scan["sel"], scan["segments"], scan["ri"]
+    n_mcus, row_mcus, units, interleaved = _scan_mcu_geometry(
+        sel, by_id, mcx, mcy, width, height, hmax, vmax
+    )
+    tabs = []
+    for s, c, nh, nv in units:
+        dc = huff.get((0, s["td"]))
+        ac = huff.get((1, s["ta"]))
+        if dc is None or ac is None:
+            raise ValueError("JPEG scan references missing table")
+        tabs.append((c, _seq_lut(*dc, True), _seq_lut(*ac, False), nh, nv))
+    # decoded blocks per component, row-major over its block grid
+    rows = {
+        c["id"]: [None] * (coefs[c["id"]].shape[0] * coefs[c["id"]].shape[1])
+        for c, *_ in tabs
+    }
+    nbx_of = {c["id"]: coefs[c["id"]].shape[1] for c, *_ in tabs}
+    pred = {c["id"]: 0 for c, *_ in tabs}
+    seg_idx = 0
+    # --- inlined bit-reader state (locals only in the loop below)
+    sdata = segments[0]
+    snb = len(sdata)
+    spos = acc = nacc = 0
+    limit = snb * 8
+    for mcu in range(n_mcus):
+        if ri and mcu and mcu % ri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG missing restart segment")
+            sdata = segments[seg_idx]
+            snb = len(sdata)
+            spos = acc = nacc = 0
+            limit = snb * 8
+            pred = {c["id"]: 0 for c, *_ in tabs}
+        my, mx = divmod(mcu, row_mcus)
+        for c, dc_lut, ac_lut, nh, nv in tabs:
+            cid = c["id"]
+            p = pred[cid]
+            crows = rows[cid]
+            nbx = nbx_of[cid]
+            for bv in range(nv):
+                for bh in range(nh):
+                    if interleaved:
+                        bi = (my * c["v"] + bv) * nbx + mx * c["h"] + bh
+                    else:
+                        bi = my * nbx + mx
+                    blk = [0] * 64
+                    # --- DC: one combined peek (code + magnitude)
+                    while nacc < 16:
+                        acc = (acc << 8) | (sdata[spos] if spos < snb else 0)
+                        spos += 1
+                        nacc += 8
+                    e = dc_lut[(acc >> (nacc - 16)) & 0xFFFF]
+                    tl = e & 31
+                    if tl == 0:
+                        raise ValueError("invalid JPEG huffman code")
+                    nacc -= tl
+                    acc &= (1 << nacc) - 1
+                    kind = e & 96
+                    if kind == 0:
+                        p += (e >> 11) - 32768
+                    else:  # slow: magnitude spilled past the peek
+                        t = (e >> 11) & 15
+                        while nacc < t:
+                            acc = (acc << 8) | (sdata[spos] if spos < snb else 0)
+                            spos += 1
+                            nacc += 8
+                        nacc -= t
+                        v = acc >> nacc
+                        acc &= (1 << nacc) - 1
+                        p += v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+                    blk[0] = p
+                    # --- AC: combined peeks
+                    k = 1
+                    while k < 64:
+                        while nacc < 16:
+                            acc = (acc << 8) | (sdata[spos] if spos < snb else 0)
+                            spos += 1
+                            nacc += 8
+                        e = ac_lut[(acc >> (nacc - 16)) & 0xFFFF]
+                        tl = e & 31
+                        if tl == 0:
+                            raise ValueError("invalid JPEG huffman code")
+                        nacc -= tl
+                        acc &= (1 << nacc) - 1
+                        kind = e & 96
+                        if kind == 0:  # run + value in one entry
+                            k += (e >> 7) & 15
+                            if k > 63:
+                                raise ValueError("JPEG AC coefficient overflow")
+                            blk[k] = (e >> 11) - 32768
+                            k += 1
+                        elif kind == 32:  # EOB
+                            break
+                        elif kind == 64:  # ZRL
+                            k += 16
+                        else:  # slow: read the magnitude separately
+                            size = (e >> 11) & 15
+                            k += (e >> 7) & 15
+                            if k > 63:
+                                raise ValueError("JPEG AC coefficient overflow")
+                            while nacc < size:
+                                acc = (acc << 8) | (sdata[spos] if spos < snb else 0)
+                                spos += 1
+                                nacc += 8
+                            nacc -= size
+                            v = acc >> nacc
+                            acc &= (1 << nacc) - 1
+                            blk[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                            k += 1
+                    if spos * 8 - nacc > limit:
+                        raise ValueError("JPEG entropy stream truncated")
+                    crows[bi] = blk
+            pred[cid] = p
+    if spos * 8 - nacc > limit:
+        raise ValueError("JPEG entropy stream truncated")
+    for cid, lst in rows.items():
+        arr = coefs[cid]
+        arr.reshape(-1, 64)[:] = [b if b is not None else _Z64 for b in lst]
+
+
+def _decode_dc_scan_prog(coefs, scan, huff, by_id, mcx, mcy, width, height, hmax, vmax):
+    """Progressive DC scan — first (Ah=0: diff huffman, << Al) or
+    refinement (Ah>0: one bit per block ORed at Al)."""
+    sel, segments, ri = scan["sel"], scan["segments"], scan["ri"]
+    ah, al = scan["ah"], scan["al"]
+    if scan["se"] != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    n_mcus, row_mcus, units, interleaved = _scan_mcu_geometry(
+        sel, by_id, mcx, mcy, width, height, hmax, vmax
+    )
+    tabs = []
+    for s, c, _, _ in units:
+        dc = huff.get((0, s["td"])) if ah == 0 else None
+        if ah == 0 and dc is None:
+            raise ValueError("JPEG scan references missing table")
+        tabs.append((c, _huff_lut(*dc) if dc else None))
+    pred = {u[1]["id"]: 0 for u in units}
+    seg_idx = 0
+    rd = _BitReader(segments[0])
+    bit = 1 << al
+    for mcu in range(n_mcus):
+        if ri and mcu and mcu % ri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG missing restart segment")
+            rd = _BitReader(segments[seg_idx])
+            pred = {u[1]["id"]: 0 for u in units}
+        my, mx = divmod(mcu, row_mcus)
+        for (c, dc_lut), (_, _, nh, nv) in zip(tabs, units):
+            arr = coefs[c["id"]]
+            for bv in range(nv):
+                for bh in range(nh):
+                    if interleaved:
+                        by, bx = my * c["v"] + bv, mx * c["h"] + bh
+                    else:
+                        by, bx = my, mx
+                    if ah == 0:
+                        t = rd.read_code(dc_lut)
+                        pred[c["id"]] += _extend(rd.read_bits(t), t)
+                        arr[by, bx, 0] = pred[c["id"]] << al
+                    elif rd.read_bit():
+                        arr[by, bx, 0] |= bit
+
+
+def _decode_ac_scan_prog(coefs, scan, huff, by_id, mcx, mcy, width, height, hmax, vmax):
+    """Progressive AC scan (always single-component, T.81 G.1.1.1.1) —
+    first (EOB-run coded bands) or refinement (correction bits; the
+    jdphuff algorithm from the spec's G.2 flowcharts)."""
+    sel, segments, ri = scan["sel"], scan["segments"], scan["ri"]
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    if len(sel) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    n_mcus, row_mcus, units, _ = _scan_mcu_geometry(
+        sel, by_id, mcx, mcy, width, height, hmax, vmax
+    )
+    s0, c = units[0][0], units[0][1]
+    ac_spec = huff.get((1, s0["ta"]))
+    if ac_spec is None:
+        raise ValueError("JPEG scan references missing table")
+    ac_lut = _huff_lut(*ac_spec)
+    arr = coefs[c["id"]]
+    p1 = 1 << al
+    m1 = -p1
+    seg_idx = 0
+    rd = _BitReader(segments[0])
+    eobrun = 0
+    for mcu in range(n_mcus):
+        if ri and mcu and mcu % ri == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG missing restart segment")
+            rd = _BitReader(segments[seg_idx])
+            eobrun = 0
+        by, bx = divmod(mcu, row_mcus)
+        blk = arr[by, bx]
+        if ah == 0:  # --- first scan of this band
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = rd.read_code(ac_lut)
+                r, size = rs >> 4, rs & 15
+                if size == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += rd.read_bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC coefficient overflow")
+                blk[k] = _extend(rd.read_bits(size), size) << al
+                k += 1
+        else:  # --- refinement: append one bit to this band's history
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = rd.read_code(ac_lut)
+                    r, size = rs >> 4, rs & 15
+                    newval = 0
+                    if size:
+                        if size != 1:
+                            raise ValueError("invalid JPEG AC refinement code")
+                        newval = p1 if rd.read_bit() else m1
+                    elif r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += rd.read_bits(r)
+                        break
+                    # advance over r zero-history coefs, appending
+                    # correction bits to already-nonzero ones
+                    while k <= se:
+                        coef = int(blk[k])
+                        if coef != 0:
+                            if rd.read_bit() and (coef & p1) == 0:
+                                blk[k] = coef + (p1 if coef >= 0 else m1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval:
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    coef = int(blk[k])
+                    if coef != 0:
+                        if rd.read_bit() and (coef & p1) == 0:
+                            blk[k] = coef + (p1 if coef >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline or PROGRESSIVE JPEG to (H, W, 1) gray or
+    (H, W, 3) RGB uint8.
+
+    Sequential huffman (SOF0/SOF1) and progressive huffman (SOF2 —
+    spectral selection AND successive approximation, the format most
+    of the web serves) are REAL; arithmetic coding, hierarchical, and
+    lossless modes raise NotImplementedError. Component sampling
+    factors must divide the maxima (the 4:4:4 / 4:2:2 / 4:2:0 family);
+    restart markers are honored in every scan type. Architecture:
+    every scan decodes into per-component zigzag coefficient arrays
+    (progressive scans accumulate bits across scans); dequantize +
+    IDCT then run VECTORIZED over all blocks at once (one einsum per
+    component), so numpy does the pixel math and Python only walks the
+    entropy stream.
     """
     data = bytes(data)
     if not is_jpeg(data):
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
     qt: dict[int, np.ndarray] = {}
-    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    huff: dict[tuple[int, int], list[int]] = {}
     sof = None
+    progressive = False
     restart_interval = 0
-    scan = None  # (components, segments)
-    while pos < len(data):
-        if data[pos] != 0xFF:
-            raise ValueError("JPEG marker expected")
-        while pos < len(data) and data[pos] == 0xFF:
+    scans: list[dict] = []
+    try:
+        while pos < len(data):
+            if data[pos] != 0xFF:
+                raise ValueError("JPEG marker expected")
+            while pos < len(data) and data[pos] == 0xFF:
+                pos += 1
+            marker = data[pos]
             pos += 1
-        marker = data[pos]
-        pos += 1
-        if marker == 0xD9:  # EOI
-            break
-        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
-            continue
-        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
-        body = data[pos + 2 : pos + seglen]
-        pos += seglen
-        if marker == 0xDB:  # DQT (possibly several tables)
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 15
-                if pq != 0:
-                    raise NotImplementedError("16-bit JPEG quant tables")
-                zz = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.int64)
-                if len(zz) < 64:
-                    raise ValueError("truncated JPEG DQT segment")
-                tbl = np.zeros(64, dtype=np.int64)
-                tbl[ZIGZAG] = zz
-                qt[tq] = tbl.reshape(8, 8)
-                i += 65
-        elif marker == 0xC4:  # DHT (possibly several tables)
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 15
-                bits = list(body[i + 1 : i + 17])
-                n = sum(bits)
-                vals = list(body[i + 17 : i + 17 + n])
-                if len(bits) < 16 or len(vals) < n:
-                    raise ValueError("truncated JPEG DHT segment")
-                huff[(tc, th)] = _huff_decode_map(bits, vals)
-                i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1: (baseline|extended) huffman
-            prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
-            if prec != 8:
-                raise NotImplementedError(f"JPEG precision {prec}")
-            comps = []
-            for i in range(nc):
-                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            sof = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("only baseline sequential JPEG is supported")
-        elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS + entropy data
-            ns = body[0]
-            sel = []
-            for i in range(ns):
-                cs, tda = body[1 + 2 * i : 3 + 2 * i]
-                sel.append({"cs": cs, "td": tda >> 4, "ta": tda & 15})
-            # split entropy stream into unstuffed restart segments
-            segments, cur = [], bytearray()
-            while pos < len(data):
-                b = data[pos]
-                if b != 0xFF:
-                    cur.append(b)
-                    pos += 1
-                    continue
-                nxt = data[pos + 1] if pos + 1 < len(data) else 0xD9
-                if nxt == 0x00:
-                    cur.append(0xFF)
-                    pos += 2
-                elif 0xD0 <= nxt <= 0xD7:  # RSTn
-                    segments.append(bytes(cur))
-                    cur = bytearray()
-                    pos += 2
-                else:  # a real marker ends the scan
-                    break
-            segments.append(bytes(cur))
-            scan = (sel, segments)
-            break  # single-scan baseline
-    if sof is None or scan is None:
+            if marker == 0xD9:  # EOI
+                break
+            if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                continue
+            (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+            body = data[pos + 2 : pos + seglen]
+            pos += seglen
+            if marker == 0xDB:  # DQT (possibly several tables)
+                i = 0
+                while i < len(body):
+                    pq, tq = body[i] >> 4, body[i] & 15
+                    if pq != 0:
+                        raise NotImplementedError("16-bit JPEG quant tables")
+                    zz = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.int64)
+                    if len(zz) < 64:
+                        raise ValueError("truncated JPEG DQT segment")
+                    tbl = np.zeros(64, dtype=np.int64)
+                    tbl[ZIGZAG] = zz
+                    qt[tq] = tbl.reshape(8, 8)
+                    i += 65
+            elif marker == 0xC4:  # DHT (possibly several tables)
+                i = 0
+                while i < len(body):
+                    tc, th = body[i] >> 4, body[i] & 15
+                    bits = list(body[i + 1 : i + 17])
+                    n = sum(bits)
+                    vals = list(body[i + 17 : i + 17 + n])
+                    if len(bits) < 16 or len(vals) < n:
+                        raise ValueError("truncated JPEG DHT segment")
+                    huff[(tc, th)] = (bits, vals)  # raw spec; LUTs built lazily
+                    i += 17 + n
+            elif marker in (0xC0, 0xC1, 0xC2):  # sequential | progressive huffman
+                progressive = marker == 0xC2
+                prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
+                if prec != 8:
+                    raise NotImplementedError(f"JPEG precision {prec}")
+                comps = []
+                for i in range(nc):
+                    cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                    comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+                sof = (h, w, comps)
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(
+                    "only sequential and progressive huffman JPEG are supported"
+                )
+            elif marker == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack(">H", body[:2])
+            elif marker == 0xDA:  # SOS + entropy data
+                ns = body[0]
+                sel = []
+                for i in range(ns):
+                    cs, tda = body[1 + 2 * i : 3 + 2 * i]
+                    sel.append({"cs": cs, "td": tda >> 4, "ta": tda & 15})
+                ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+                # split entropy stream into unstuffed restart segments;
+                # bulk-copy the (overwhelmingly common) 0xFF-free runs
+                segments, cur = [], bytearray()
+                while pos < len(data):
+                    ff = data.find(b"\xff", pos)
+                    if ff < 0:
+                        cur += data[pos:]
+                        pos = len(data)
+                        break
+                    cur += data[pos:ff]
+                    pos = ff
+                    nxt = data[pos + 1] if pos + 1 < len(data) else 0xD9
+                    if nxt == 0x00:
+                        cur.append(0xFF)
+                        pos += 2
+                    elif 0xD0 <= nxt <= 0xD7:  # RSTn
+                        segments.append(bytes(cur))
+                        cur = bytearray()
+                        pos += 2
+                    else:  # a real marker ends the scan
+                        break
+                segments.append(bytes(cur))
+                scans.append(
+                    {
+                        "sel": sel,
+                        "segments": segments,
+                        "ri": restart_interval,
+                        "ss": ss,
+                        "se": se,
+                        "ah": ahal >> 4,
+                        "al": ahal & 15,
+                    }
+                )
+                if not progressive:
+                    break  # single-scan sequential
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"truncated JPEG header: {e}") from None
+    if sof is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
     height, width, comps = sof
-    sel, segments = scan
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     for c in comps:
         if c["h"] not in (1, 2, 4) or c["v"] not in (1, 2, 4) or hmax % c["h"] or vmax % c["v"]:
             raise NotImplementedError("unsupported JPEG sampling factors")
+        if c["tq"] not in qt:
+            raise ValueError("JPEG scan references missing table")
     mcx = -(-width // (8 * hmax))
     mcy = -(-height // (8 * vmax))
-    planes = {
-        c["id"]: np.zeros((mcy * 8 * c["v"], mcx * 8 * c["h"]), dtype=np.float64)
+    by_id = {c["id"]: c for c in comps}
+    # zigzag-ordered coefficients per component, every scan accumulates
+    coefs = {
+        c["id"]: np.zeros((mcy * c["v"], mcx * c["h"], 64), dtype=np.int32)
         for c in comps
     }
-    by_id = {c["id"]: c for c in comps}
-    order = [by_id[s["cs"]] for s in sel]
-    tabsel = {s["cs"]: s for s in sel}
-    pred = {c["id"]: 0 for c in comps}
-    seg_idx, mcu_in_seg = 0, 0
-    reader = _BitReader(segments[0])
-    n_mcus = mcx * mcy
-    for mcu in range(n_mcus):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                raise ValueError("JPEG missing restart segment")
-            reader = _BitReader(segments[seg_idx])
-            pred = {c["id"]: 0 for c in comps}
-        my, mx = divmod(mcu, mcx)
-        for c in order:
-            s = tabsel[c["id"]]
-            dc_tab = huff.get((0, s["td"]))
-            ac_tab = huff.get((1, s["ta"]))
-            q = qt.get(c["tq"])
-            if dc_tab is None or ac_tab is None or q is None:
-                raise ValueError("JPEG scan references missing table")
-            for bv in range(c["v"]):
-                for bh in range(c["h"]):
-                    zz = np.zeros(64, dtype=np.int64)
-                    t = reader.read_code(dc_tab)
-                    diff = _extend(reader.read_bits(t), t)
-                    pred[c["id"]] += diff
-                    zz[0] = pred[c["id"]]
-                    k = 1
-                    while k < 64:
-                        rs = reader.read_code(ac_tab)
-                        r, size = rs >> 4, rs & 15
-                        if size == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("JPEG AC coefficient overflow")
-                        zz[k] = _extend(reader.read_bits(size), size)
-                        k += 1
-                    coef = np.zeros(64, dtype=np.float64)
-                    coef[ZIGZAG] = zz
-                    block = _DCT_M.T @ (coef.reshape(8, 8) * q) @ _DCT_M
-                    y0 = (my * c["v"] + bv) * 8
-                    x0 = (mx * c["h"] + bh) * 8
-                    planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = block + 128.0
+    for scan in scans:
+        if not progressive:
+            _decode_seq_scan(
+                coefs, scan, huff, by_id, mcx, mcy, width, height, hmax, vmax
+            )
+        elif scan["ss"] == 0:
+            _decode_dc_scan_prog(
+                coefs, scan, huff, by_id, mcx, mcy, width, height, hmax, vmax
+            )
+        else:
+            _decode_ac_scan_prog(
+                coefs, scan, huff, by_id, mcx, mcy, width, height, hmax, vmax
+            )
     out = []
     for c in comps:
-        p = planes[c["id"]]
+        arr = coefs[c["id"]]
+        nby, nbx = arr.shape[0], arr.shape[1]
+        zz = arr.reshape(-1, 64).astype(np.float64)
+        raster = np.empty_like(zz)
+        raster[:, ZIGZAG] = zz
+        blocks = raster.reshape(-1, 8, 8) * qt[c["tq"]]
+        # batched IDCT over every block at once: broadcast matmul is
+        # ~20x faster than the equivalent einsum for 8x8 stacks
+        pix = (_DCT_M.T @ blocks) @ _DCT_M + 128.0
+        p = pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         out.append(p[:height, :width])
     if len(out) == 1:
@@ -675,18 +1082,10 @@ def _encode_block(
     return int(zz[0])
 
 
-def encode_jpeg(
-    img: np.ndarray,
-    quality: int = 90,
-    subsample: bool | str = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode an (H, W[, C]) uint8 array as a baseline JFIF JPEG.
-
-    C in {1: gray, 3: RGB}. ``subsample`` is False (4:4:4), True or
-    "420" (2x2 mean chroma), or "422" (horizontal-only mean chroma);
-    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
-    MCUs. Standard Annex-K tables, IJG quality scaling.
+def _jpeg_prepare(img: np.ndarray, quality: int, subsample: bool | str):
+    """Shared encoder front half: color transform, chroma subsampling,
+    quality-scaled quant tables, MCU-aligned edge padding. Returns
+    (h, w, nch, comps, padded_planes, qts, ql, qc, hmax, vmax, mcx, mcy).
     """
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim == 2:
@@ -747,6 +1146,25 @@ def encode_jpeg(
     for cc, p in zip(comps, planes):
         th, tw = mcy * 8 * cc["v"], mcx * 8 * cc["h"]
         padded.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"))
+    return h, w, c, comps, padded, qts, ql, qc, hmax, vmax, mcx, mcy
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool | str = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (H, W[, C]) uint8 array as a baseline JFIF JPEG.
+
+    C in {1: gray, 3: RGB}. ``subsample`` is False (4:4:4), True or
+    "420" (2x2 mean chroma), or "422" (horizontal-only mean chroma);
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs. Standard Annex-K tables, IJG quality scaling.
+    """
+    h, w, c, comps, padded, qts, ql, qc, hmax, vmax, mcx, mcy = _jpeg_prepare(
+        img, quality, subsample
+    )
     dc_l = _huff_codes(*_H_DC_LUMA)
     ac_l = _huff_codes(*_H_AC_LUMA)
     dc_c = _huff_codes(*_H_DC_CHROMA)
@@ -801,6 +1219,249 @@ def encode_jpeg(
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"
+    return bytes(out)
+
+
+# Flat huffman tables for the progressive encoder: every DC category a
+# 5-bit code, every AC RRRRSSSS symbol a 9-bit code (255 of them; the
+# last symbol takes 10 bits because a DHT count byte caps at 255).
+# Kraft sums 12/32 and 255/512+1/1024 — valid canonical tables,
+# deliberately suboptimal. The Annex-K tables lack the EOBRUN symbols
+# (0x10..0xE0) progressive streams need; a flat table covers them all
+# without the IJG two-pass optimizer, and the DECODER only sees what
+# the DHT segments declare.
+_H_DC_FLAT = ([0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_H_AC_FLAT = ([0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0], list(range(256)))
+
+
+def _default_prog_scans(nc: int) -> list[tuple[list[int], int, int, int, int]]:
+    """The classic IJG-style scan script: (component ids, Ss, Se, Ah, Al).
+    DC first coarse then refined; luma AC split into two bands and
+    refined twice (2->1->0), chroma refined once."""
+    if nc == 1:
+        return [
+            ([1], 0, 0, 0, 1),
+            ([1], 1, 63, 0, 2),
+            ([1], 1, 63, 2, 1),
+            ([1], 0, 0, 1, 0),
+            ([1], 1, 63, 1, 0),
+        ]
+    return [
+        ([1, 2, 3], 0, 0, 0, 1),
+        ([1], 1, 5, 0, 2),
+        ([2], 1, 63, 0, 1),
+        ([3], 1, 63, 0, 1),
+        ([1], 6, 63, 0, 2),
+        ([1], 1, 63, 2, 1),
+        ([1, 2, 3], 0, 0, 1, 0),
+        ([2], 1, 63, 1, 0),
+        ([3], 1, 63, 1, 0),
+        ([1], 1, 63, 1, 0),
+    ]
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: bool | str = False,
+    restart_interval: int = 0,
+    scans: list[tuple[list[int], int, int, int, int]] | None = None,
+) -> bytes:
+    """Encode an (H, W[, C]) uint8 array as a PROGRESSIVE (SOF2) JFIF
+    JPEG — spectral selection AND successive approximation (T.81 G.1),
+    the jcphuff scan discipline: DC diff/refine scans, AC first scans
+    with EOB-run accumulation, AC refinement scans with buffered
+    correction bits. Quantized coefficients are computed ONCE (batched
+    FDCT) and are bit-identical to what ``encode_jpeg`` emits for the
+    same image, so a progressive stream must decode pixel-identical to
+    its sequential sibling — the oracle the tests pin.
+    ``restart_interval`` > 0 emits DRI + RSTn in every scan.
+    """
+    h, w, nc, comps, padded, qts, ql, qc, hmax, vmax, mcx, mcy = _jpeg_prepare(
+        img, quality, subsample
+    )
+    # --- quantized zigzag coefficients per component, batched FDCT
+    qb: dict[int, np.ndarray] = {}
+    for cc, p, q in zip(comps, padded, qts):
+        nby, nbx = p.shape[0] // 8, p.shape[1] // 8
+        blocks = (
+            p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0
+        )
+        coef = (_DCT_M @ blocks) @ _DCT_M.T
+        zz = coef.reshape(-1, 64)[:, ZIGZAG]
+        qzz = q.reshape(64)[ZIGZAG].astype(np.float64)
+        qb[cc["id"]] = (
+            np.round(zz / qzz).astype(np.int64).reshape(nby, nbx, 64)
+        )
+    by_id = {cc["id"]: cc for cc in comps}
+    scans = scans if scans is not None else _default_prog_scans(nc)
+
+    # --- headers
+    out = bytearray()
+    out += JPEG_SIG
+    jfif = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(jfif)) + jfif
+    for tq, q in ((0, ql), (1, qc))[: 1 if nc == 1 else 2]:
+        zzq = q.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64) + bytes([tq]) + zzq
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cc in comps:
+        sof += bytes([cc["id"], (cc["h"] << 4) | cc["v"], cc["tq"]])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+    for tc, th, (bits, vals) in ((0, 0, _H_DC_FLAT), (1, 0, _H_AC_FLAT)):
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    dc_codes = _huff_codes(*_H_DC_FLAT)
+    ac_codes = _huff_codes(*_H_AC_FLAT)
+
+    for scan_comps, ss, se, ahi, al in scans:
+        sel = [by_id[cid] for cid in scan_comps]
+        sos = bytes([len(sel)])
+        for cc in sel:
+            sos += bytes([cc["id"], 0x00])  # td=0, ta=0 (flat tables)
+        sos += bytes([ss, se, (ahi << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+        out += _emit_prog_scan(
+            qb, sel, ss, se, ahi, al, dc_codes, ac_codes,
+            mcx, mcy, hmax, vmax, w, h, restart_interval,
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _emit_prog_scan(
+    qb, sel, ss, se, ahi, al, dc_codes, ac_codes,
+    mcx, mcy, hmax, vmax, width, height, ri,
+) -> bytes:
+    """Entropy data for one progressive scan (without SOS header)."""
+    out = bytearray()
+    wtr = _BitWriter()
+    # EOB-run + buffered-correction-bit state (jcphuff): BE bits are
+    # correction bits owed from blocks folded into the pending EOBRUN
+    eobrun = 0
+    be_bits: list[int] = []
+
+    def emit_eobrun():
+        nonlocal eobrun
+        if eobrun > 0:
+            nbits = eobrun.bit_length() - 1
+            wtr.write(*ac_codes[nbits << 4])
+            if nbits:
+                wtr.write(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+            for b in be_bits:
+                wtr.write(b, 1)
+            be_bits.clear()
+
+    def flush_segment(rst_idx):
+        nonlocal wtr
+        emit_eobrun()
+        wtr.flush()
+        out.extend(wtr.out)
+        out.append(0xFF)
+        out.append(0xD0 + (rst_idx & 7))
+        wtr = _BitWriter()
+
+    interleaved = len(sel) > 1
+    if interleaved:
+        n_mcus, row_mcus = mcx * mcy, mcx
+    else:
+        cc = sel[0]
+        xi = -(-(width * cc["h"]) // hmax)
+        yi = -(-(height * cc["v"]) // vmax)
+        bw, bh = -(-xi // 8), -(-yi // 8)
+        n_mcus, row_mcus = bw * bh, bw
+    pred = {cc["id"]: 0 for cc in sel}
+    rst = 0
+    for mcu in range(n_mcus):
+        if ri and mcu and mcu % ri == 0:
+            flush_segment(rst)
+            rst += 1
+            pred = {cc["id"]: 0 for cc in sel}
+        my, mx = divmod(mcu, row_mcus)
+        for cc in sel:
+            arr = qb[cc["id"]]
+            nh, nv = (cc["h"], cc["v"]) if interleaved else (1, 1)
+            for bv in range(nv):
+                for bh_ in range(nh):
+                    if interleaved:
+                        blk = arr[my * cc["v"] + bv, mx * cc["h"] + bh_]
+                    else:
+                        blk = arr[my, mx]
+                    if ss == 0:  # --- DC scan
+                        v = int(blk[0]) >> al  # arithmetic shift (T.81 G.1.2.1)
+                        if ahi == 0:
+                            diff = v - pred[cc["id"]]
+                            pred[cc["id"]] = v
+                            s, bits = _mag_bits(diff)
+                            wtr.write(*dc_codes[s])
+                            if s:
+                                wtr.write(bits, s)
+                        else:  # refinement: one bit per block
+                            wtr.write(v & 1, 1)
+                    elif ahi == 0:  # --- AC first scan of this band
+                        r = 0
+                        for k in range(ss, se + 1):
+                            coef = int(blk[k])
+                            v = -((-coef) >> al) if coef < 0 else coef >> al
+                            if v == 0:
+                                r += 1
+                                continue
+                            emit_eobrun()
+                            while r > 15:
+                                wtr.write(*ac_codes[0xF0])
+                                r -= 16
+                            s, bits = _mag_bits(v)
+                            wtr.write(*ac_codes[(r << 4) | s])
+                            wtr.write(bits, s)
+                            r = 0
+                        if r > 0:
+                            eobrun += 1
+                            if eobrun == 0x7FFF:
+                                emit_eobrun()
+                    else:  # --- AC refinement scan (jcphuff G.1.2.3)
+                        absv = [0] * 64
+                        eob_k = ss - 1
+                        for k in range(ss, se + 1):
+                            t = abs(int(blk[k])) >> al
+                            absv[k] = t
+                            if t == 1:
+                                eob_k = k  # last NEWLY-nonzero coef
+                        r = 0
+                        br: list[int] = []
+                        for k in range(ss, se + 1):
+                            t = absv[k]
+                            if t == 0:
+                                r += 1
+                                continue
+                            while r > 15 and k <= eob_k:
+                                emit_eobrun()
+                                wtr.write(*ac_codes[0xF0])
+                                r -= 16
+                                for b in br:
+                                    wtr.write(b, 1)
+                                br = []
+                            if t > 1:  # history-nonzero: correction bit only
+                                br.append(t & 1)
+                                continue
+                            emit_eobrun()
+                            wtr.write(*ac_codes[(r << 4) | 1])
+                            wtr.write(0 if int(blk[k]) < 0 else 1, 1)
+                            for b in br:
+                                wtr.write(b, 1)
+                            br = []
+                            r = 0
+                        if r > 0 or br:
+                            eobrun += 1
+                            be_bits.extend(br)
+                            # bound the buffered bits like jcphuff does
+                            if eobrun == 0x7FFF or len(be_bits) > 937:
+                                emit_eobrun()
+    emit_eobrun()
+    wtr.flush()
+    out.extend(wtr.out)
     return bytes(out)
 
 

@@ -137,10 +137,10 @@ def test_restart_markers_decode_pixel_identical():
     np.testing.assert_array_equal(plain, restarted)
 
 
-def test_progressive_and_garbage_rejected():
+def test_arithmetic_and_garbage_rejected():
     jp = bytearray(encode_jpeg(np.zeros((8, 8), dtype=np.uint8)))
     sof = jp.find(b"\xff\xc0")
-    jp[sof + 1] = 0xC2  # pretend progressive
+    jp[sof + 1] = 0xC9  # pretend arithmetic-coded (SOF9)
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(jp))
     with pytest.raises(ValueError):
