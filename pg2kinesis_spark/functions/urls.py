@@ -38,14 +38,168 @@ from pyspark.sql import functions as F
 
 from pg2kinesis_spark.functions.dedup import HASH60
 
-# multi-label public suffixes common enough to matter for registered-
-# domain extraction; a full PSL drop-in would replace this tuple
-_TWO_LABEL_SUFFIXES = (
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
-    "com.au", "net.au", "org.au", "com.br", "com.cn", "com.mx",
-    "co.jp", "or.jp", "ne.jp", "co.in", "co.kr", "com.tw",
-    "com.ar", "com.tr", "co.za", "com.sg", "com.hk",
+# --------------------------------------------------------------------------
+# Public-suffix rules (publicsuffix.org syntax: "co.uk" exact,
+# "*.ck" wildcard, "!www.ck" exception). The built-in set below is a
+# vendored subset of the PUBLIC suffix list (public data, MPL-2.0):
+# every wildcard TLD, the second-level registration suffixes of the
+# major ccTLDs, and the most common private-section hosting suffixes —
+# the entries that actually change registered-domain grouping for a
+# web corpus. For exact parity with the full ~9k-rule list, pass the
+# real public_suffix_list.dat through ``load_psl`` — the SAME compiler
+# turns either rule set into one pure longest-match column expression
+# (isin over literal sets -> Catalyst InSet; map-only, no UDF, no join).
+# --------------------------------------------------------------------------
+
+_PSL_BUILTIN = (
+    # wildcard TLDs (every label directly under them is a suffix)
+    "*.bd", "*.ck", "*.er", "*.fk", "*.jm", "*.kh", "*.mm", "*.np", "*.pg",
+    "!www.ck",
+    # United Kingdom / Ireland
+    "co.uk", "org.uk", "me.uk", "ltd.uk", "plc.uk", "net.uk", "sch.uk",
+    "ac.uk", "gov.uk", "nhs.uk", "police.uk",
+    # Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz", "geek.nz",
+    "gen.nz", "kiwi.nz", "maori.nz", "iwi.nz", "health.nz", "mil.nz", "cri.nz",
+    # Japan / Korea / China / Taiwan / Hong Kong / Singapore
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp", "gr.jp", "lg.jp",
+    "co.kr", "or.kr", "ne.kr", "re.kr", "pe.kr", "go.kr", "mil.kr", "ac.kr",
+    "hs.kr", "ms.kr", "es.kr", "sc.kr", "kg.kr",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "mil.cn", "ac.cn",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "mil.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    # India / Indonesia / Thailand / Malaysia / Philippines / Vietnam
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+    "edu.in", "res.in", "gov.in", "mil.in", "nic.in",
+    "co.id", "net.id", "or.id", "web.id", "sch.id", "go.id", "mil.id", "my.id",
+    "biz.id", "ac.id",
+    "co.th", "net.th", "or.th", "ac.th", "go.th", "in.th", "mi.th",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my", "mil.my", "name.my",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph", "mil.ph", "i.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn", "ac.vn",
+    "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
+    # Americas
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "mil.br", "art.br",
+    "blog.br", "eco.br", "ind.br", "inf.br", "jus.br", "leg.br", "med.br",
+    "mus.br", "rec.br", "srv.br", "tur.br", "tv.br", "wiki.br",
+    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar", "gov.ar", "int.ar",
+    "mil.ar", "musica.ar", "tur.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "mil.co", "nom.co",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe", "mil.pe", "nom.pe",
+    "com.ve", "net.ve", "org.ve", "edu.ve", "gob.ve", "mil.ve",
+    "com.uy", "net.uy", "org.uy", "edu.uy", "gub.uy", "mil.uy",
+    "com.ec", "net.ec", "org.ec", "edu.ec", "gob.ec", "mil.ec",
+    "com.do", "net.do", "org.do", "edu.do", "gob.do", "mil.do",
+    "com.gt", "net.gt", "org.gt", "edu.gt", "gob.gt", "mil.gt",
+    "com.pa", "net.pa", "org.pa", "edu.pa", "gob.pa",
+    "com.py", "net.py", "org.py", "edu.py", "gov.py", "mil.py",
+    "com.bo", "net.bo", "org.bo", "edu.bo", "gob.bo", "mil.bo",
+    "com.ni", "net.ni", "org.ni", "edu.ni", "gob.ni", "mil.ni",
+    "com.sv", "edu.sv", "gob.sv", "org.sv", "red.sv",
+    "com.hn", "net.hn", "org.hn", "edu.hn", "gob.hn", "mil.hn",
+    "co.cr", "ed.cr", "fi.cr", "go.cr", "or.cr", "sa.cr",
+    # Europe
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "mil.pl", "info.pl",
+    "waw.pl", "biz.pl",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "mil.tr", "av.tr",
+    "bbs.tr", "bel.tr", "biz.tr", "dr.tr", "gen.tr", "info.tr", "k12.tr",
+    "name.tr", "pol.tr", "tel.tr", "tv.tr", "web.tr",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.ru", "net.ru", "org.ru", "pp.ru", "msk.ru", "spb.ru",
+    "co.at", "or.at", "ac.at", "gv.at", "priv.at",
+    "com.pt", "net.pt", "org.pt", "edu.pt", "gov.pt", "int.pt", "publ.pt",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.ro", "org.ro", "tm.ro", "nt.ro", "nom.ro", "info.ro", "rec.ro",
+    "arts.ro", "firm.ro", "store.ro", "www.ro",
+    "co.hu", "org.hu", "info.hu", "priv.hu", "tm.hu", "2000.hu",
+    "com.cy", "net.cy", "org.cy", "gov.cy", "ac.cy",
+    "com.mt", "net.mt", "org.mt", "edu.mt", "gov.mt",
+    "co.rs", "org.rs", "edu.rs", "ac.rs", "gov.rs", "in.rs",
+    "com.hr", "iz.hr", "from.hr", "name.hr",
+    "co.im", "com.im", "net.im", "org.im", "ac.im", "gov.im",
+    "co.gg", "net.gg", "org.gg", "co.je", "net.je", "org.je",
+    # Middle East / Africa
+    "co.il", "org.il", "net.il", "k12.il", "gov.il", "ac.il", "muni.il", "idf.il",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa", "pub.sa", "sch.sa",
+    "co.ae", "net.ae", "org.ae", "ac.ae", "gov.ae", "mil.ae", "sch.ae",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg", "sci.eg", "eun.eg",
+    "mil.eg", "name.eg", "info.eg",
+    "com.qa", "net.qa", "org.qa", "edu.qa", "gov.qa", "mil.qa", "name.qa", "sch.qa",
+    "com.kw", "net.kw", "org.kw", "edu.kw", "gov.kw", "ind.kw", "emb.kw",
+    "com.bh", "net.bh", "org.bh", "edu.bh", "gov.bh",
+    "com.om", "net.om", "org.om", "edu.om", "gov.om", "med.om", "museum.om",
+    "pro.om", "co.om",
+    "com.jo", "net.jo", "org.jo", "edu.jo", "gov.jo", "mil.jo", "name.jo", "sch.jo",
+    "com.lb", "net.lb", "org.lb", "edu.lb", "gov.lb",
+    "co.za", "net.za", "org.za", "web.za", "gov.za", "ac.za", "edu.za",
+    "mil.za", "nom.za", "school.za",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng", "i.ng", "mil.ng",
+    "mobi.ng", "name.ng", "sch.ng",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke", "mobi.ke",
+    "info.ke",
+    "co.tz", "ne.tz", "or.tz", "go.tz", "ac.tz", "sc.tz", "me.tz", "mobi.tz",
+    "hotel.tz", "tv.tz", "info.tz",
+    "co.ug", "ne.ug", "or.ug", "go.ug", "ac.ug", "sc.ug",
+    "co.zw", "org.zw", "gov.zw", "mil.zw", "ac.zw",
+    "com.gh", "edu.gh", "gov.gh", "org.gh", "mil.gh",
+    "co.ma", "net.ma", "org.ma", "gov.ma", "ac.ma", "press.ma",
+    "com.tn", "ens.tn", "fin.tn", "gov.tn", "ind.tn", "info.tn", "intl.tn",
+    "nat.tn", "net.tn", "org.tn", "perso.tn", "tourism.tn",
+    "com.dz", "net.dz", "org.dz", "edu.dz", "gov.dz", "pol.dz", "art.dz",
+    # common private-section hosting suffixes (each site its own domain)
+    "github.io", "gitlab.io", "blogspot.com", "wordpress.com", "tumblr.com",
+    "weebly.com", "wixsite.com", "netlify.app", "vercel.app", "herokuapp.com",
+    "appspot.com", "web.app", "firebaseapp.com", "azurewebsites.net",
+    "cloudapp.net", "github.dev", "pages.dev", "workers.dev", "repl.co",
+    "neocities.org", "readthedocs.io", "s3.amazonaws.com",
 )
+
+
+def compile_psl(rules: tuple[str, ...] | list[str]) -> dict:
+    """Compile PSL-syntax rules into the longest-match lookup structure:
+    ``{"exact": {L: frozenset}, "wild": {L_parent: frozenset},
+    "exc": {L: frozenset}, "max_s": int}`` where L is the label count.
+    """
+    exact: dict[int, set[str]] = {}
+    wild: dict[int, set[str]] = {}
+    exc: dict[int, set[str]] = {}
+    for raw in rules:
+        r = raw.strip().lower()
+        if not r or r.startswith("//"):
+            continue
+        if r.startswith("!"):
+            name = r[1:]
+            exc.setdefault(name.count(".") + 1, set()).add(name)
+        elif r.startswith("*."):
+            parent = r[2:]
+            wild.setdefault(parent.count(".") + 1, set()).add(parent)
+        else:
+            exact.setdefault(r.count(".") + 1, set()).add(r)
+    max_s = max(
+        [ln for ln in exact] + [ln + 1 for ln in wild] + [1],
+    )
+    return {
+        "exact": {k: frozenset(v) for k, v in exact.items()},
+        "wild": {k: frozenset(v) for k, v in wild.items()},
+        "exc": {k: frozenset(v) for k, v in exc.items()},
+        "max_s": max_s,
+    }
+
+
+_PSL_COMPILED = compile_psl(_PSL_BUILTIN)
+
+
+def load_psl(path: str) -> dict:
+    """Read a real ``public_suffix_list.dat`` (or any PSL-syntax file)
+    and compile it for ``registered_domain(..., psl=...)``. Comments
+    and section markers are ignored; both ICANN and PRIVATE sections
+    are kept (the standard library behavior)."""
+    with open(path, encoding="utf-8") as f:
+        return compile_psl([line for line in f])
+
 
 _TRACKING_PARAMS = ("utm_", "gclid", "fbclid", "ref", "igshid", "mc_cid", "mc_eid")
 
@@ -55,29 +209,46 @@ def _host(url: str | Column = "url") -> Column:
     return F.lower(F.try_parse_url(c, F.lit("HOST")))
 
 
-def registered_domain(host: Column) -> Column:
-    """eTLD+1 for the common suffixes above, else last two labels.
+def registered_domain(host: Column, psl: dict | None = None) -> Column:
+    """eTLD+1 under the PUBLIC SUFFIX LIST longest-match algorithm
+    (publicsuffix.org): exceptions beat wildcards, longer rules beat
+    shorter, the implicit ``*`` default makes every bare TLD a suffix.
+    ``psl`` is a ``compile_psl``/``load_psl`` structure (default: the
+    vendored built-in subset).
 
-    Pure array expression over the split host — no UDF, no join.
+    Pure array expression over the split host — no UDF, no join; the
+    rule sets become Catalyst InSet literals.
     """
+    p = psl or _PSL_COMPILED
     parts = F.split(host, r"\.")
     n = F.size(parts)
-    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
-    last3 = F.when(
-        n >= 3,
-        F.concat_ws(
-            ".", F.element_at(parts, -3), F.element_at(parts, -2), F.element_at(parts, -1)
-        ),
-    )
-    is_two_label = last2.isin(*_TWO_LABEL_SUFFIXES)
+
+    def last(ln: int) -> Column:
+        return F.concat_ws(".", *[F.element_at(parts, -i) for i in range(ln, 0, -1)])
+
     # NULL host -> NULL domain (concat_ws would silently yield "" and
     # collapse every unparseable URL into one cap group)
-    return (
-        F.when(host.isNull(), F.lit(None).cast("string"))
-        .when(n <= 1, host)
-        .when(is_two_label & (n >= 3), last3)
-        .otherwise(last2)
-    )
+    out = F.when(host.isNull(), F.lit(None).cast("string")).when(n <= 1, host)
+    # exceptions first (an exception IS the registered domain), longest first
+    for ln in sorted(p["exc"], reverse=True):
+        out = out.when((n >= ln) & last(ln).isin(*p["exc"][ln]), last(ln))
+    # suffix matches, longest suffix length S first
+    for s_len in range(p["max_s"], 1, -1):
+        conds = []
+        if s_len in p["exact"]:
+            conds.append(last(s_len).isin(*p["exact"][s_len]))
+        if s_len - 1 in p["wild"]:
+            conds.append(last(s_len - 1).isin(*p["wild"][s_len - 1]))
+        if not conds:
+            continue
+        hit = conds[0]
+        for c in conds[1:]:
+            hit = hit | c
+        # host deeper than the suffix -> suffix + 1 label; host IS the
+        # suffix -> no registrable part, return the host (degenerate)
+        out = out.when((n > s_len) & hit, last(s_len + 1)).when((n == s_len) & hit, host)
+    # implicit '*' default rule: the TLD is the suffix
+    return out.otherwise(last(2))
 
 
 def normalize_url(url: str | Column = "url") -> Column:
@@ -152,14 +323,30 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
     return kept.unionByName(base.filter(F.col("_un").isNull())).drop("_un")
 
 
-def _py_registered(b: str) -> str:
+def _py_registered(b: str, psl: dict | None = None) -> str:
+    """Pure-Python mirror of ``registered_domain`` — used to split
+    blocklists at compile time and as the cross-checked test oracle."""
+    p = psl or _PSL_COMPILED
     parts = b.split(".")
-    if len(parts) <= 1:
+    n = len(parts)
+    if n <= 1:
         return b
-    last2 = ".".join(parts[-2:])
-    if last2 in _TWO_LABEL_SUFFIXES and len(parts) >= 3:
-        return ".".join(parts[-3:])
-    return last2
+    for ln in sorted(p["exc"], reverse=True):
+        if n >= ln and ".".join(parts[-ln:]) in p["exc"][ln]:
+            return ".".join(parts[-ln:])
+    for s_len in range(p["max_s"], 1, -1):
+        hit = (
+            s_len in p["exact"] and ".".join(parts[-s_len:]) in p["exact"][s_len]
+        ) or (
+            s_len - 1 in p["wild"]
+            and n >= s_len
+            and ".".join(parts[-(s_len - 1):]) in p["wild"][s_len - 1]
+        )
+        if hit and n > s_len:
+            return ".".join(parts[-(s_len + 1):])
+        if hit and n == s_len:
+            return b
+    return ".".join(parts[-2:])
 
 
 def domain_blocklist_filter(
