@@ -7,6 +7,7 @@ ordered packing sink, retry/backoff, restart at-least-once.
 from __future__ import annotations
 
 import json
+import time
 import os
 
 import pytest
@@ -524,13 +525,12 @@ def test_tws_stamp_matches_stateful_stamp(spark, corpus, tmp_path, few_shuffles)
     including cur_xact carried ACROSS micro-batch boundaries
     (rows_per_batch=7 splits transactions across batches)."""
     # Spark's TWS runtime speaks protobuf to the Python state server
-    # (pyspark.sql.streaming.proto generated stubs); without the package
-    # the driver worker crashes at import. Vendoring is not viable — the
-    # generated *_pb2 modules need the full google.protobuf runtime
-    # (descriptor pool, builders), not a shim — so in protobuf-less
-    # environments this e2e stays skipped and the TwS logic is covered
-    # by test_tws_processor_logic_with_fake_handle above. Any env with
-    # `pip install protobuf` runs this test (it is green there).
+    # (pyspark.sql.streaming.proto generated stubs). Environments
+    # without the protobuf package run on the vendored mini-runtime
+    # (pg2kinesis_spark/vendor/protoshim — descriptor parsing + real
+    # wire format), activated by conftest BEFORE the JVM starts so the
+    # Python workers inherit it via PYTHONPATH. With the real protobuf
+    # installed, that one is used instead; either way this e2e runs.
     pytest.importorskip("google.protobuf")
     from pg2kinesis_spark.streaming.pipeline import read_replay_stream, stamp_xid_tws
 
@@ -543,13 +543,20 @@ def test_tws_stamp_matches_stateful_stamp(spark, corpus, tmp_path, few_shuffles)
     rows = []
     try:
         stamped = stamp_xid_tws(read_replay_stream(spark, corpus, rows_per_batch=7))
+        # the replay source is a custom Python micro-batch source with no
+        # Trigger.AvailableNow support (Spark falls back to ONE batch) —
+        # drive it like run_until does: ASAP trigger + done predicate
         q = (
             stamped.writeStream.foreachBatch(lambda df, bid: rows.extend(df.collect()))
             .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
-            .trigger(availableNow=True)
+            .trigger(processingTime="0 seconds")
             .start()
         )
-        q.awaitTermination(120)
+        deadline = time.time() + 120
+        while len(rows) < TOTAL_LINES and time.time() < deadline:
+            time.sleep(0.3)
+        q.stop()
+        q.awaitTermination(30)
     finally:
         spark.conf.set(key, old)
 
