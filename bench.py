@@ -56,8 +56,11 @@ def bench_cdc_replay(spark, sf_dir):
     corpus = os.path.join(tempfile.gettempdir(), "bench_cdc_corpus_100000.parquet")
     if not os.path.exists(corpus):
         rows = fx.gen_test_decoding(n_txns=100000, seed=42)  # ~450k wire lines
-        spark.createDataFrame(rows, "lsn long, data_size int, payload string").coalesce(
-            8
+        # 32 files: the kernel is embarrassingly parallel and the bench
+        # box has 32 cores — an 8-file corpus was measuring scheduling,
+        # not the parser (real CDC archives ship many segments)
+        spark.createDataFrame(rows, "lsn long, data_size int, payload string").repartition(
+            32, "lsn"
         ).write.mode("overwrite").parquet(corpus)
     raw = spark.read.parquet(corpus)
     cat = spark.createDataFrame(
@@ -82,11 +85,14 @@ def bench_pgoutput_replay(spark, sf_dir):
     )
     from pyspark.sql import functions as F
 
-    corpus = os.path.join(tempfile.gettempdir(), "bench_pgout_corpus_40000.parquet")
+    corpus = os.path.join(tempfile.gettempdir(), "bench_pgout_corpus_40000x32.parquet")
     if not os.path.exists(corpus):
         rows = fx.gen_pgoutput(n_txns=40000, seed=44)
-        spark.createDataFrame(rows, "lsn long, data_size int, payload string").coalesce(
-            8
+        # 32 files: the kernel is embarrassingly parallel and the bench
+        # box has 32 cores — an 8-file corpus was measuring scheduling,
+        # not the parser (real CDC archives ship many segments)
+        spark.createDataFrame(rows, "lsn long, data_size int, payload string").repartition(
+            32, "lsn"
         ).write.mode("overwrite").parquet(corpus)
     raw = spark.read.parquet(corpus).select(
         "lsn", "data_size", F.unbase64("payload").alias("payload")

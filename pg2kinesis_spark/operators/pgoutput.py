@@ -278,26 +278,66 @@ def parse_pgoutput(
         registry = relation_registry(raw, payload_col)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # specialized flat decoder: no per-message dict, column lists
+        # built directly (measured ~2x the generic decode_message walk;
+        # decode_message remains the single-message/test surface)
+        unpack_from = struct.unpack_from
         for pdf in batches:
-            rows = []
+            c_lsn, c_op, c_xid, c_rel, c_new, c_old = [], [], [], [], [], []
             for lsn, buf in zip(pdf["lsn"], pdf[payload_col]):
-                d = decode_message(bytes(buf))
-                op = d["op"]
-                if op == "begin":
-                    rows.append((lsn, "begin", str(d["xid"]), None, None, None))
-                elif op == "commit":
-                    rows.append((lsn, "commit", None, None, None, None))
-                elif op in ("insert", "update", "delete"):
-                    rows.append(
-                        (lsn, op, None, d["rel_id"], d["new"], d["old"])
-                    )
+                buf = bytes(buf)
+                tag = buf[0]
+                if tag in (73, 85, 68):  # 'I' 'U' 'D'
+                    (rel_id,) = unpack_from(">I", buf, 1)
+                    new = old = None
+                    pos = 5
+                    marker = buf[pos]
+                    if tag != 73 and marker in (75, 79):  # 'K' 'O'
+                        old, pos = _tuple_data(buf, pos + 1)
+                        # a Delete ends after its old tuple — no N marker
+                        marker = buf[pos] if pos < len(buf) else 0
+                    if tag == 68:  # delete carries only the old tuple
+                        op = "delete"
+                        if old is None:
+                            raise ValueError("Delete must carry a Key/Old tuple")
+                    else:
+                        if marker != 78:  # 'N'
+                            raise ValueError("Insert/Update must carry a New tuple")
+                        new, _ = _tuple_data(buf, pos + 1)
+                        op = "insert" if tag == 73 else "update"
+                    c_lsn.append(lsn)
+                    c_op.append(op)
+                    c_xid.append(None)
+                    c_rel.append(rel_id)
+                    c_new.append(new)
+                    c_old.append(old)
+                elif tag == 66:  # 'B'
+                    c_lsn.append(lsn)
+                    c_op.append("begin")
+                    c_xid.append(str(unpack_from(">I", buf, 17)[0]))
+                    c_rel.append(None)
+                    c_new.append(None)
+                    c_old.append(None)
+                elif tag == 67:  # 'C'
+                    c_lsn.append(lsn)
+                    c_op.append("commit")
+                    c_xid.append(None)
+                    c_rel.append(None)
+                    c_new.append(None)
+                    c_old.append(None)
                 # relation messages feed relation_registry, not rows
+            # dtype=object on nullable columns: an all-None batch slice
+            # must not be inferred float64 (Arrow can't cast that to
+            # list<string>/string targets)
             yield pd.DataFrame(
-                rows,
-                columns=[
-                    "lsn", "operation", "begin_xid", "rel_id",
-                    "col_values", "old_values",
-                ],
+                {
+                    "lsn": c_lsn,
+                    "operation": c_op,
+                    "begin_xid": pd.Series(c_xid, dtype=object),
+                    "rel_id": pd.Series(c_rel, dtype=object),
+                    "col_values": pd.Series(c_new, dtype=object),
+                    "old_values": pd.Series(c_old, dtype=object),
+                }
             )
 
     parsed = raw.select("lsn", payload_col).mapInPandas(kernel, ROWS_SCHEMA)
