@@ -92,9 +92,20 @@ def semdedup_assign(
             "embedding",
         )
     cents = ivf_int_centroids(emb, dim, n_clusters, n_iter, scale)
+    return assign_with_centroids(emb, cents, scale)
+
+
+def assign_with_centroids(
+    emb: DataFrame, cents: list, scale: int = IVF_INT_SCALE
+) -> DataFrame:
+    """Flat assignment against PRECOMPUTED integer centroids — the
+    broadcast map-side argmin used by both one-shot semdedup and the
+    streaming stage (where centroids are fit once on a reference corpus
+    and every micro-batch routes through the same frozen quantizer)."""
+    spark = emb.sparkSession
     cdf = F.broadcast(
         spark.createDataFrame(
-            [(i, c) for i, c in enumerate(cents)], "cid int, cent array<bigint>"
+            [(i, list(c)) for i, c in enumerate(cents)], "cid int, cent array<bigint>"
         ).withColumn(
             "cent_d",
             F.expr(
@@ -301,4 +312,72 @@ def semdedup(
         assigned.join(dropped.withColumn("_dup", F.lit(True)), "vec_id", "left")
         .withColumn("kept", F.col("_dup").isNull())
         .select("vec_id", "cid", "cent_sim", "kept")
+    )
+
+
+def semdedup_incremental(
+    new_emb: DataFrame,
+    index_assigned: DataFrame | None,
+    cents: list,
+    eps: float = 0.05,
+    scale: int = IVF_INT_SCALE,
+) -> DataFrame:
+    """Streaming SemDeDup: kept flags for the NEW side only.
+
+    The cross-batch contract mirrors ``dedup.lsh_pairs_incremental``:
+    the accepted index is immutable — a new item is dropped when it has
+    a semantic duplicate (cos >= 1 - eps) ANYWHERE in the accepted
+    index (accepted always wins; you cannot retroactively drop what
+    previous batches shipped), or an EARLIER duplicate in the paper's
+    keep order (cent_sim asc, vec_id asc) within its own batch.
+    Both checks are cid-equi-joins against the same frozen centroids,
+    so pair cost stays Σ cluster² exactly like the one-shot operator —
+    no all-pairs join, index side shuffles only the matching clusters.
+
+    ``index_assigned`` is the accepted-embedding index
+    ((vec_id, cid, cent_sim, embedding) — what ``assign_with_centroids``
+    produced when those batches were accepted), or None for the first
+    batch. Returns (vec_id, cid, cent_sim, embedding, kept).
+    """
+    assigned = assign_with_centroids(new_emb, cents, scale)
+    sides = assigned.select(
+        "cid", "vec_id", "cent_sim", "embedding", _norm("embedding").alias("nrm")
+    )
+    a, b = sides.alias("a"), sides.alias("b")
+    precede = (F.col("a.cent_sim") < F.col("b.cent_sim")) | (
+        (F.col("a.cent_sim") == F.col("b.cent_sim"))
+        & (F.col("a.vec_id") < F.col("b.vec_id"))
+    )
+    within = (
+        a.join(b, (F.col("a.cid") == F.col("b.cid")) & precede)
+        .withColumn(
+            "cos",
+            _dot("a.embedding", "b.embedding") / (F.col("a.nrm") * F.col("b.nrm")),
+        )
+        .filter(F.col("cos") >= 1.0 - eps)
+        .select(F.col("b.vec_id").alias("vec_id"))
+    )
+    dropped = within
+    if index_assigned is not None:
+        idx = index_assigned.select(
+            "cid",
+            F.col("vec_id").alias("_ivid"),
+            F.col("embedding").alias("iemb"),
+            _norm("embedding").alias("inrm"),
+        )
+        vs_index = (
+            sides.join(idx, "cid")
+            .withColumn(
+                "cos", _dot("embedding", "iemb") / (F.col("nrm") * F.col("inrm"))
+            )
+            .filter(F.col("cos") >= 1.0 - eps)
+            .select("vec_id")
+        )
+        dropped = dropped.unionByName(vs_index)
+    return (
+        assigned.join(
+            dropped.distinct().withColumn("_dup", F.lit(True)), "vec_id", "left"
+        )
+        .withColumn("kept", F.col("_dup").isNull())
+        .select("vec_id", "cid", "cent_sim", "embedding", "kept")
     )

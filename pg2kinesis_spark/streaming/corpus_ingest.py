@@ -60,10 +60,34 @@ class CorpusIngest:
         url_badwords: tuple[str, ...] | None = None,
         dsir_logratios: DataFrame | None = None,
         min_dsir_logw: float | None = None,
+        semdedup_eps: float | None = None,
+        semdedup_ref_emb: DataFrame | None = None,
+        semdedup_dim: int | None = None,
+        semdedup_clusters: int = 16,
     ):
         self.out_dir = out_dir
         self.gopher = gopher
         self.max_pii = max_pii
+        # SemDeDup as a STREAMING stage: centroids are fit ONCE on a
+        # reference embedding set (frozen quantizer — every batch and
+        # the accepted index agree on cluster ids forever), then each
+        # micro-batch is checked against the accepted-embedding parquet
+        # index + itself (semdedup_incremental: index side always wins,
+        # within-batch uses the paper's keep order). Requires batches to
+        # carry an `embedding` column.
+        self.semdedup_eps = semdedup_eps
+        self.sd_cents = None
+        if semdedup_eps is not None:
+            if semdedup_ref_emb is None or semdedup_dim is None:
+                raise ValueError(
+                    "semdedup_eps needs semdedup_ref_emb + semdedup_dim "
+                    "(centroids are fit once, on a reference corpus)"
+                )
+            from pg2kinesis_spark.functions.similarity import ivf_int_centroids
+
+            self.sd_cents = ivf_int_centroids(
+                semdedup_ref_emb, semdedup_dim, semdedup_clusters
+            )
         # URL front door (urls.py): badwords/blocklist are row-local;
         # URL dedup is WITHIN-batch (cross-batch dedup is the text-hash
         # index's job — a recrawled page has equal text and dedups there)
@@ -87,6 +111,7 @@ class CorpusIngest:
         self.accepted_path = os.path.join(out_dir, "accepted")
         self.hash_path = os.path.join(out_dir, "hash_index")
         self.sig_path = os.path.join(out_dir, "sig_index")
+        self.emb_path = os.path.join(out_dir, "emb_index")
         self.min_quality = min_quality
         self.near_dup_jaccard = near_dup_jaccard
         self.n, self.k, self.bands = n, k, bands
@@ -150,6 +175,10 @@ class CorpusIngest:
 
             batch = perplexity_filter(batch, self.lm_model, self.max_perplexity)
         ann = annotate(batch)
+        if self.sd_cents is not None:
+            # annotate projects (doc_id, text, ...); carry the embedding
+            # through for the semantic stage + the accepted output
+            ann = ann.join(batch.select("doc_id", "embedding"), "doc_id")
         if self.min_quality > 0.0:
             ann = ann.filter(F.col("quality") >= self.min_quality)
 
@@ -201,6 +230,23 @@ class CorpusIngest:
                 )
                 ann = ann.join(drop, "doc_id", "left_anti")
 
+        # semantic near-dup vs the accepted-embedding index (+ itself)
+        if self.sd_cents is not None:
+            from pg2kinesis_spark.functions.semdedup import semdedup_incremental
+
+            new_emb = ann.select(F.col("doc_id").alias("vec_id"), "embedding")
+            idx_emb = self._existing(spark, self.emb_path, exclude_batch_id=batch_id)
+            if idx_emb is not None:
+                idx_emb = idx_emb.select("vec_id", "cid", "cent_sim", "embedding")
+            kept = (
+                semdedup_incremental(
+                    new_emb, idx_emb, self.sd_cents, eps=self.semdedup_eps
+                )
+                .filter(F.col("kept"))
+                .select(F.col("vec_id").alias("doc_id"))
+            )
+            ann = ann.join(kept, "doc_id", "left_semi")
+
         # WRITE-THEN-READ-BACK, deliberately: the accepted plan's lineage
         # runs anti-joins AGAINST the hash/signature indexes. If the index
         # writes below re-executed that lineage (cache eviction, partial
@@ -236,6 +282,19 @@ class CorpusIngest:
             _write(
                 minhash_signatures(back.select("doc_id", "text"), self.n, self.k),
                 self.sig_path,
+            )
+        if self.sd_cents is not None:
+            from pg2kinesis_spark.functions.semdedup import assign_with_centroids
+
+            # re-assign from the read-back rows (same frozen centroids →
+            # identical cids) so the index write shares the severed
+            # lineage and the replay-exclusion contract of the others
+            _write(
+                assign_with_centroids(
+                    back.select(F.col("doc_id").alias("vec_id"), "embedding"),
+                    self.sd_cents,
+                ),
+                self.emb_path,
             )
         _write(back.select(F.md5("text").alias("_h")), self.hash_path)
 

@@ -196,3 +196,68 @@ def test_ingest_url_and_dsir_gates(spark, tmp_path):
     # 3 dropped (url dup of 1), 4 blocked domain, 5 badword url,
     # 2 below the DSIR threshold — only the target-like doc survives
     assert accepted == {1}
+
+
+def _emb_docs(spark, rows):
+    # (doc_id, text, embedding) — unit-ish 4-d embeddings
+    return spark.createDataFrame(rows, "doc_id long, text string, embedding array<double>")
+
+
+def _ref_emb(spark):
+    # reference embeddings spanning two well-separated directions
+    rows = [
+        (100 + i, [1.0, 0.01 * i, 0.0, 0.0]) for i in range(8)
+    ] + [
+        (200 + i, [0.0, 0.01 * i, 1.0, 0.0]) for i in range(8)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ingest_semdedup_drops_cross_batch_paraphrase(spark, tmp_path):
+    """A batch-2 doc whose TEXT differs (no exact/MinHash dup) but whose
+    EMBEDDING is a near-copy of an accepted batch-1 doc must be dropped
+    by the streaming SemDeDup stage; crash-replay stays idempotent."""
+    out = str(tmp_path / "curated_sd")
+    ingest = CorpusIngest(
+        out,
+        near_dup_jaccard=None,  # isolate the semantic stage
+        semdedup_eps=0.05,
+        semdedup_ref_emb=_ref_emb(spark),
+        semdedup_dim=4,
+        semdedup_clusters=2,
+    )
+    b1 = _emb_docs(spark, [
+        (1, "an article about foxes and dogs in the meadow", [1.0, 0.0, 0.0, 0.0]),
+        (2, "spark shuffle tuning for very large clusters", [0.0, 0.0, 1.0, 0.0]),
+        # within-batch semantic dup of doc 1 (cos ~ 1): paper keep order
+        # (cent_sim asc, vec_id asc) decides which one survives
+        (3, "a piece describing dogs and foxes in a meadow", [0.999, 0.001, 0.0, 0.0]),
+    ])
+    ingest.process_batch(b1, 0)
+    acc1 = {r.doc_id for r in spark.read.parquet(os.path.join(out, "accepted")).collect()}
+    assert len(acc1 & {1, 3}) == 1  # exactly one of the semantic twins
+    assert 2 in acc1
+    survivor = (acc1 & {1, 3}).pop()
+
+    b2 = _emb_docs(spark, [
+        # PARAPHRASE of the accepted doc: different words, same meaning
+        # (embedding within eps) -> dropped against the emb index
+        (10, "completely rephrased text on canines and vulpines afield", [0.9995, 0.0005, 0.0, 0.0]),
+        (11, "an unrelated note on database checkpoint protocols", [0.0, 1.0, 0.0, 0.0]),
+    ])
+    ingest.process_batch(b2, 1)
+    acc2 = {r.doc_id for r in spark.read.parquet(os.path.join(out, "accepted")).collect()}
+    assert 10 not in acc2  # cross-batch semantic near-dup dropped
+    assert acc2 == {survivor, 2, 11}
+
+    # the embedding index grew by exactly the accepted docs
+    emb_idx = spark.read.parquet(os.path.join(out, "emb_index"))
+    assert {r.vec_id for r in emb_idx.collect()} == acc2
+
+    # crash-replay of batch 1 (same batch_id): identical accepted set,
+    # no duplicate index rows, batch-2 state untouched
+    ingest.process_batch(b1, 0)
+    acc3 = {r.doc_id for r in spark.read.parquet(os.path.join(out, "accepted")).collect()}
+    assert acc3 == acc2
+    emb_idx2 = spark.read.parquet(os.path.join(out, "emb_index"))
+    assert emb_idx2.count() == len(acc2)
