@@ -159,6 +159,71 @@ def op_semdedup(spark, docs):
     )
 
 
+def build_media_corpus(spark, rows: int) -> str:
+    """Materialize a replica-blown MEDIA corpus: 32x32 smooth RGB
+    images synthesized deterministically from the media_id. Ids pair
+    up — (2k, 2k+1) share a base image, the even one ships as PNG, the
+    odd one as a brightness-shifted quality-85 JPEG — so every pair is
+    a planted cross-format near-dup and the TRUE near-dup count grows
+    LINEARLY with rows (the same health probe as the text ladder)."""
+    path = os.path.join(tempfile.gettempdir(), f"scaling_media_{rows}.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    import numpy as np
+    import pandas as pd
+
+    from pg2kinesis_spark.functions.multimodal import MEDIA_SCHEMA
+
+    def kernel(batches):
+        from pg2kinesis_spark.functions import codecs
+
+        for pdf in batches:
+            out = []
+            for mid in pdf["id"]:
+                seed = int(mid) // 2
+                rng = np.random.RandomState(seed % (2**31))
+                base = rng.randint(0, 256, (8, 8, 3)).astype(float)
+                img = np.clip(np.kron(base, np.ones((4, 4, 1))), 0, 255).astype(np.uint8)
+                if mid % 2 == 0:
+                    data, mime = codecs.encode_png(img), "image/png"
+                else:
+                    shifted = np.clip(img.astype(np.int16) + 3, 0, 255).astype(np.uint8)
+                    data, mime = codecs.encode_jpeg(shifted, quality=85), "image/jpeg"
+                out.append((int(mid), data, {"mime": mime, "bytes_hint": len(data),
+                                             "source_uri": f"mem://{mid}"}))
+            yield pd.DataFrame(out, columns=["media_id", "content", "meta"])
+
+    (
+        spark.range(rows)
+        .repartition(max(32, rows // 25_000))
+        .mapInPandas(kernel, MEDIA_SCHEMA)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def op_media_features(spark, media):
+    # full pixel decode (PNG + progressive-capable JPEG path) + luma
+    from pg2kinesis_spark.functions.multimodal import extract_image_features
+
+    return extract_image_features(media)
+
+
+def op_media_dhash(spark, media):
+    from pg2kinesis_spark.functions.multimodal import media_dhash
+
+    return media_dhash(media)
+
+
+def op_media_neardup(spark, media):
+    # decode -> dHash -> segment-equi-join pair search; output should be
+    # ~rows/2 planted pairs (linear), never all-pairs
+    from pg2kinesis_spark.functions.multimodal import media_near_dup_pairs
+
+    return media_near_dup_pairs(media, signature="dhash", max_hamming=6)
+
+
 OPS = {
     "gopher": op_gopher,
     "substr": op_substr,
@@ -169,6 +234,9 @@ OPS = {
     "dsir": op_dsir,
     "urls": op_urls,
     "semdedup": op_semdedup,
+    "media_features": op_media_features,
+    "media_dhash": op_media_dhash,
+    "media_neardup": op_media_neardup,
 }
 
 
@@ -181,11 +249,16 @@ def main() -> None:
     spark = get_spark("scaling_bench")
     spark.range(1000000).selectExpr("sum(id)").collect()
     for rows in rows_list:
-        path = build_corpus(spark, rows)
-        docs = spark.read.parquet(path)
+        text_ops = [op for op in ops if not op.startswith("media_")]
+        media_ops = [op for op in ops if op.startswith("media_")]
+        docs = spark.read.parquet(build_corpus(spark, rows)) if text_ops else None
+        media = (
+            spark.read.parquet(build_media_corpus(spark, rows)) if media_ops else None
+        )
         for op in ops:
+            src = media if op.startswith("media_") else docs
             t0 = time.perf_counter()
-            n = OPS[op](spark, docs).count()
+            n = OPS[op](spark, src).count()
             wall = round(time.perf_counter() - t0, 2)
             print(
                 json.dumps({"rows": rows, "op": op, "wall_s": wall, "out_rows": n}),
