@@ -191,6 +191,35 @@ def is_wav(data: bytes) -> bool:
     return bytes(data[:4]) == b"RIFF" and bytes(data[8:12]) == b"WAVE"
 
 
+def wav_info(data: bytes) -> dict:
+    """Header-only WAV metadata (no sample materialization): the cheap
+    profiling twin of decode_wav — same RIFF walk, lengths only."""
+    data = bytes(data)
+    if not is_wav(data):
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", data[pos + 8 : pos + 24])
+        elif cid == b"data":
+            data_len = min(clen, len(data) - pos - 8)
+        pos += 8 + clen + (clen & 1)
+    if fmt is None or data_len is None:
+        raise ValueError("not a WAV: missing fmt/data chunk")
+    audio_fmt, nch, rate, _brate, _balign, bits = fmt
+    n = data_len // max(1, (bits // 8) * nch)
+    return {
+        "n_samples": n,
+        "sample_rate": rate,
+        "n_channels": nch,
+        "bits": bits,
+        "duration_ms": 1000.0 * n / rate if rate else 0.0,
+        "audio_fmt": audio_fmt,
+    }
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Decode a PCM WAV to ((n_samples, n_channels) array, sample_rate).
 
@@ -248,6 +277,176 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(payload)) + payload
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# --- MP3 (frame-header walk — metadata only, NO audio decode) -------------
+#
+# Real audio corpora are mostly MP3/AAC; full Layer-III synthesis
+# (huffman + IMDCT + polyphase filterbank) is out of scope for a
+# dependency-free kernel, but the per-frame HEADER walk (ISO/IEC
+# 11172-3 / 13818-3 frame sync, bitrate/samplerate tables, Xing/Info
+# VBR header) gives the profiling tier everything corpus curation
+# needs — duration, bitrate, channel layout, VBR-ness — at container-
+# walk cost, exactly like video_info does for AVI/GIF. decode_wav
+# remains the only PCM path; MP3 audio decode still raises.
+
+_MP3_BITRATES = {
+    # (version_group, layer) -> kbps table indexed by the 4-bit field
+    (1, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+
+
+def _id3v2_size(data: bytes) -> int:
+    """Bytes occupied by a leading ID3v2 tag (0 if none) — syncsafe size."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    sz = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+    return 10 + sz
+
+
+def is_mp3(data: bytes) -> bool:
+    data = bytes(data)
+    pos = _id3v2_size(data)
+    if pos and data[:3] == b"ID3":
+        return True
+    return (
+        len(data) >= pos + 2
+        and data[pos] == 0xFF
+        and (data[pos + 1] & 0xE0) == 0xE0
+        and (data[pos + 1] & 0x18) != 0x08  # version bits 01 reserved
+        and (data[pos + 1] & 0x06) != 0x00  # layer bits 00 reserved
+    )
+
+
+def mp3_info(data: bytes) -> dict:
+    """Frame-by-frame MP3 header walk: (n_frames, sample_rate,
+    n_channels, duration_ms, bitrate_kbps [mean over frames], vbr,
+    layer, version, id3v2). Xing/Info VBR frames are recognized and
+    excluded from the audio-frame count. Raises ValueError on content
+    with no valid frame sync."""
+    data = bytes(data)
+    pos = _id3v2_size(data)
+    id3 = pos > 0
+    n = len(data)
+    n_frames = 0
+    bitrate_sum = 0
+    bitrates: set[int] = set()
+    sample_rate = channels = layer_out = None
+    version_out = ""
+    duration_s = 0.0
+    while pos + 4 <= n:
+        if data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
+            break  # lost sync (trailing tag/garbage ends the walk)
+        b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
+        vbits = (b1 >> 3) & 3  # 00=2.5, 10=2, 11=1 (01 reserved)
+        lbits = (b1 >> 1) & 3  # 01=III, 10=II, 11=I (00 reserved)
+        br_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 3
+        if vbits == 1 or lbits == 0 or br_idx in (0, 15) or sr_idx == 3:
+            break
+        layer = 4 - lbits  # 1/2/3
+        vgroup = 1 if vbits == 3 else 2  # MPEG1 vs MPEG2/2.5 tables
+        kbps = _MP3_BITRATES[(vgroup, layer)][br_idx]
+        rate = _MP3_RATES[vbits][sr_idx]
+        padding = (b2 >> 1) & 1
+        mode = (b3 >> 6) & 3  # 3 = mono
+        if layer == 1:
+            flen = (12 * kbps * 1000 // rate + padding) * 4
+            spf = 384
+        else:
+            spf = 1152 if (layer == 2 or vgroup == 1) else 576
+            flen = spf // 8 * kbps * 1000 // rate + padding
+        if flen <= 4 or pos + flen > n:
+            break
+        # Xing/Info (VBR metadata) frame: side-info offset by version/mode
+        side = (17 if mode != 3 else 9) if vgroup == 2 else (32 if mode != 3 else 17)
+        tag_at = pos + 4 + side
+        is_meta = data[tag_at : tag_at + 4] in (b"Xing", b"Info")
+        if not is_meta:
+            n_frames += 1
+            bitrate_sum += kbps
+            bitrates.add(kbps)
+            duration_s += spf / rate
+            sample_rate = rate
+            channels = 1 if mode == 3 else 2
+            layer_out = layer
+            version_out = {3: "1", 2: "2", 0: "2.5"}[vbits]
+        pos += flen
+    if n_frames == 0:
+        raise ValueError("not an MP3: no valid audio frame")
+    return {
+        "n_frames": n_frames,
+        "sample_rate": sample_rate,
+        "n_channels": channels,
+        "duration_ms": duration_s * 1000.0,
+        "bitrate_kbps": bitrate_sum / n_frames,
+        "vbr": len(bitrates) > 1,
+        "layer": layer_out,
+        "version": version_out,
+        "id3v2": id3,
+    }
+
+
+def encode_mp3_frames(
+    n_frames: int,
+    kbps: int | list[int] = 128,
+    rate: int = 44100,
+    mono: bool = False,
+    layer: int = 3,
+    mpeg2: bool = False,
+    id3v2_bytes: int = 0,
+    xing: bool = False,
+) -> bytes:
+    """Spec-packed MP3 frame stream for tests: valid headers + zeroed
+    payloads (this module parses headers, not audio — the fixture
+    writer is the independent side of that contract)."""
+    out = bytearray()
+    if id3v2_bytes:
+        sz = id3v2_bytes
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+        )
+        out += bytes(sz)
+    vbits = 2 if mpeg2 else 3
+    lbits = 4 - layer
+    sr_table = _MP3_RATES[vbits]
+    sr_idx = sr_table.index(rate)
+    vgroup = 1 if vbits == 3 else 2
+    rates = [kbps] * n_frames if isinstance(kbps, int) else list(kbps)
+
+    def frame(kb: int, meta: bool = False) -> bytes:
+        br_idx = _MP3_BITRATES[(vgroup, layer)].index(kb)
+        mode = 3 if mono else 0
+        hdr = bytes(
+            [
+                0xFF,
+                0xE0 | (vbits << 3) | (lbits << 1) | 1,
+                (br_idx << 4) | (sr_idx << 2),
+                mode << 6,
+            ]
+        )
+        if layer == 1:
+            flen = (12 * kb * 1000 // rate) * 4
+        else:
+            spf = 1152 if (layer == 2 or vgroup == 1) else 576
+            flen = spf // 8 * kb * 1000 // rate
+        body = bytearray(flen - 4)
+        if meta:
+            side = (17 if not mono else 9) if vgroup == 2 else (32 if not mono else 17)
+            body[side : side + 4] = b"Xing"
+        return hdr + bytes(body)
+
+    if xing:
+        out += frame(rates[0], meta=True)
+    for kb in rates:
+        out += frame(kb)
+    return bytes(out)
 
 
 # --- JPEG -----------------------------------------------------------------

@@ -19,8 +19,11 @@ Codec support is tiered, honestly:
 * Video is REAL for MJPEG AVI (``video_frames``: container walk +
   per-frame JPEG decode, frames re-emitted as PNG media rows so the
   image operators compose per frame).
-* MP3 and non-MJPEG video codecs (ffmpeg) are NOT available in this
-  environment — those mimes raise NotImplementedError inside the
+* MP3 METADATA is real (``extract_audio_metadata``: ISO 11172-3
+  frame-header walk — duration/bitrate/channels/VBR, ID3v2 skip,
+  Xing exclusion — the profiling tier for audio corpora), but MP3
+  AUDIO decode and non-MJPEG video codecs (ffmpeg) are NOT available
+  in this environment — those raise NotImplementedError inside the
   kernel, and the deterministic fake (``fake=True``) remains for
   plumbing tests. The Spark-side contract — schemas, batch iteration,
   partitioning — is identical either way.
@@ -732,19 +735,88 @@ def video_near_dup_pairs(
 
 def sniff_mime(content: "F.Column") -> "F.Column":
     """Magic-byte mime sniffing as pure column expressions (no Python):
-    the five formats the codec layer decodes, else 'application/
-    octet-stream'. Works on any binary column."""
+    the formats the codec layer understands, else 'application/
+    octet-stream'. Works on any binary column. MP3 matches an ID3v2
+    tag or a bare MPEG frame sync (0xFFEx/0xFFFx first two bytes)."""
     sig8 = F.substring(content, 1, 8)
     sig4 = F.substring(content, 1, 4)
     sub = lambda pos, n: F.substring(content, pos, n)
+    # MPEG frame sync: 0xFF then a second byte with sync bits 111,
+    # version != reserved(01), layer != reserved(00) — enumerated as a
+    # hex-literal InSet so the check stays pure codegen on ANY column
+    valid_b1 = [
+        b for b in range(0xE0, 0x100) if (b & 0x18) != 0x08 and (b & 0x06) != 0
+    ]
+    mp3_sync = F.hex(sub(1, 2)).isin(*[f"FF{b:02X}" for b in valid_b1])
     return (
         F.when(sig8 == F.lit(bytes.fromhex("89504E470D0A1A0A")), "image/png")
         .when(sub(1, 2) == F.lit(b"\xff\xd8"), "image/jpeg")
         .when(sub(1, 3) == F.lit(b"GIF"), "image/gif")
         .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"WAVE")), "audio/wav")
         .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"AVI ")), "video/x-msvideo")
+        .when(sub(1, 3) == F.lit(b"ID3"), "audio/mpeg")
+        .when(mp3_sync, "audio/mpeg")
         .otherwise("application/octet-stream")
     )
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("duration_ms", T.DoubleType()),
+        T.StructField("bitrate_kbps", T.DoubleType()),
+        T.StructField("vbr", T.BooleanType()),
+        _ERROR_FIELD,
+    ]
+)
+
+
+def extract_audio_metadata(media: DataFrame, errors: str = "quarantine") -> DataFrame:
+    """Container-level audio metadata for WAV AND MP3 — header walk
+    only, NO sample decode (the audio twin of extract_video_features):
+    sample rate, channels, duration, bitrate, VBR-ness. MP3 coverage is
+    the frame-header walk (codecs.mp3_info — Layer I/II/III, MPEG
+    1/2/2.5, ID3v2 skip, Xing/Info VBR frames excluded from the audio
+    count); PCM decode itself remains WAV-only and MP3 audio decode
+    still raises in the decode kernels."""
+    import pandas as pd
+
+    from . import codecs
+
+    _check_errors(errors)
+
+    def one(c: bytes):
+        if codecs.is_wav(c):
+            w = codecs.wav_info(c)
+            kbps = w["sample_rate"] * w["n_channels"] * w["bits"] / 1000.0
+            return ("wav", w["sample_rate"], w["n_channels"], w["duration_ms"], kbps, False)
+        if codecs.is_mp3(c):
+            m = codecs.mp3_info(c)
+            return (
+                "mp3", m["sample_rate"], m["n_channels"], m["duration_ms"],
+                float(m["bitrate_kbps"]), m["vbr"],
+            )
+        raise NotImplementedError("audio metadata covers WAV and MP3 containers")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                r, err = _guard(errors, one, bytes(c))
+                cont, sr, nch, dur, kbps, vbr = r if r else (None,) * 6
+                rows.append((mid, cont, sr, nch, dur, kbps, vbr, err))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "container", "sample_rate", "n_channels",
+                    "duration_ms", "bitrate_kbps", "vbr", "decode_error",
+                ],
+            )
+
+    return media.mapInPandas(kernel, AUDIO_META_SCHEMA)
 
 
 def media_from_files(spark, path: str, glob: str | None = None) -> DataFrame:

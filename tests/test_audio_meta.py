@@ -1,0 +1,111 @@
+"""MP3/WAV header-walk metadata: spec-packed frame streams as the
+independent fixture side (ISO/IEC 11172-3 frame-length and
+samples-per-frame formulas, hand-expected values), ID3v2 skip, Xing
+exclusion, VBR detection, and the Spark header-only audio operator."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pg2kinesis_spark.functions.codecs import (
+    encode_mp3_frames,
+    encode_wav,
+    is_mp3,
+    mp3_info,
+    wav_info,
+)
+
+
+def test_mp3_cbr_stereo_mpeg1_layer3():
+    data = encode_mp3_frames(n_frames=40, kbps=128, rate=44100)
+    assert is_mp3(data)
+    m = mp3_info(data)
+    assert m["n_frames"] == 40
+    assert m["sample_rate"] == 44100 and m["n_channels"] == 2
+    assert m["layer"] == 3 and m["version"] == "1"
+    assert m["bitrate_kbps"] == 128 and m["vbr"] is False
+    # 40 frames * 1152 samples / 44100 Hz
+    assert m["duration_ms"] == pytest.approx(40 * 1152 / 44100 * 1000)
+    assert m["id3v2"] is False
+
+
+def test_mp3_id3v2_skip_and_mono_mpeg2():
+    data = encode_mp3_frames(
+        n_frames=10, kbps=64, rate=22050, mono=True, mpeg2=True, id3v2_bytes=500
+    )
+    assert is_mp3(data)
+    m = mp3_info(data)
+    assert m["id3v2"] is True
+    assert m["n_frames"] == 10 and m["n_channels"] == 1
+    assert m["version"] == "2" and m["sample_rate"] == 22050
+    # MPEG2 Layer III: 576 samples per frame
+    assert m["duration_ms"] == pytest.approx(10 * 576 / 22050 * 1000)
+
+
+def test_mp3_vbr_with_xing_frame_excluded():
+    rates = [96, 128, 160, 128, 192] * 4
+    data = encode_mp3_frames(n_frames=len(rates), kbps=rates, rate=44100, xing=True)
+    m = mp3_info(data)
+    assert m["n_frames"] == len(rates)  # the Xing frame is NOT counted
+    assert m["vbr"] is True
+    assert m["bitrate_kbps"] == pytest.approx(sum(rates) / len(rates))
+
+
+def test_mp3_layer2_and_trailing_garbage_stops_cleanly():
+    data = encode_mp3_frames(n_frames=5, kbps=192, rate=48000, layer=2)
+    m = mp3_info(data + b"TAGsome-id3v1-style-trailer")
+    assert m["n_frames"] == 5 and m["layer"] == 2
+    assert m["duration_ms"] == pytest.approx(5 * 1152 / 48000 * 1000)
+
+
+def test_mp3_rejects_non_mp3():
+    with pytest.raises(ValueError):
+        mp3_info(b"definitely not audio")
+    assert not is_mp3(b"RIFFxxxxWAVE")
+
+
+def test_wav_info_matches_decode_metadata():
+    samples = (np.sin(np.arange(8000) / 7) * 12000).astype(np.int16).reshape(-1, 2)
+    data = encode_wav(samples, 16000)
+    w = wav_info(data)
+    assert w["n_samples"] == 4000 and w["sample_rate"] == 16000
+    assert w["n_channels"] == 2 and w["bits"] == 16
+    assert w["duration_ms"] == pytest.approx(250.0)
+
+
+def test_extract_audio_metadata_spark(spark):
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_metadata,
+        sniff_mime,
+    )
+    from pyspark.sql import functions as F
+
+    wav = encode_wav(np.zeros((1600, 1), dtype=np.int16), 16000)
+    mp3 = encode_mp3_frames(n_frames=20, kbps=128, rate=44100)
+    mp3_tagged = encode_mp3_frames(n_frames=4, kbps=64, rate=22050, mpeg2=True, id3v2_bytes=64)
+    rows = [
+        (0, bytearray(wav), ("audio/wav", len(wav), "a.wav")),
+        (1, bytearray(mp3), ("audio/mpeg", len(mp3), "b.mp3")),
+        (2, bytearray(mp3_tagged), ("audio/mpeg", len(mp3_tagged), "c.mp3")),
+        (3, bytearray(b"not audio at all"), ("text/plain", 16, "d.txt")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in extract_audio_metadata(media).collect()}
+    assert got[0].container == "wav" and got[0].duration_ms == pytest.approx(100.0)
+    assert got[1].container == "mp3" and got[1].sample_rate == 44100
+    assert got[1].duration_ms == pytest.approx(20 * 1152 / 44100 * 1000)
+    assert got[2].container == "mp3" and got[2].n_channels == 2
+    assert got[3].container is None and got[3].decode_error
+    # sniff: bare frame sync AND ID3-tagged streams both → audio/mpeg
+    sniffed = {
+        r.media_id: r.mime
+        for r in media.select(
+            "media_id", sniff_mime(F.col("content")).alias("mime")
+        ).collect()
+    }
+    assert sniffed[1] == "audio/mpeg" and sniffed[2] == "audio/mpeg"
+    assert sniffed[0] == "audio/wav"
+    with pytest.raises(Exception, match="WAV and MP3"):
+        extract_audio_metadata(media, errors="raise").collect()
