@@ -421,6 +421,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c runs a subset in isolation — the
+    # controlled-conditions knob for reconciling entry-count/GC effects
+    # (a 32-entry process measures different JVM pressure than 4)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    only_set = set(only.split(",")) if only else None
+    global BENCH_QUERIES, EXTRA_BENCHES
+    if only_set is not None:
+        BENCH_QUERIES = [n for n in BENCH_QUERIES if n in only_set]
+        EXTRA_BENCHES = {k: v for k, v in EXTRA_BENCHES.items() if k in only_set}
     spark = get_spark("bench")
 
     # Warm the JVM/codegen once with an unrelated query.
@@ -461,6 +470,9 @@ def main() -> None:
     # per-message put_message, KPL wire serialization, transport puts —
     # into InMemoryTransport. cdc_replay measures parse→format; this
     # measures parse→format→sink, the number a deployment actually sees.
+    if only_set is not None and "e2e_sink" not in only_set:
+        _emit(times, sf)
+        return
     from pg2kinesis_spark.sinks.kinesis import InMemoryTransport, KinesisLikeWriter
 
     sink_df = bench_cdc_replay(spark, sf_dir)
@@ -476,7 +488,10 @@ def main() -> None:
         n_msgs = writer.put_message_calls
     times["e2e_sink"] = round(best, 4)
     times["e2e_sink_msgs_per_sec"] = round(n_msgs / times["e2e_sink"], 1)
+    _emit(times, sf)
 
+
+def _emit(times: dict, sf: float) -> None:
     total = round(sum(v for k, v in times.items() if not k.endswith("_per_sec")), 4)
     print(
         json.dumps(
