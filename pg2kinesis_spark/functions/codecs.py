@@ -783,20 +783,21 @@ def _decode_seq_scan(coefs, scan, huff, by_id, mcx, mcy, width, height, hmax, vm
     nbx_of = {c["id"]: coefs[c["id"]].shape[1] for c, *_ in tabs}
     pred = {c["id"]: 0 for c, *_ in tabs}
     seg_idx = 0
-    # --- inlined bit-reader state (locals only in the loop below)
-    sdata = segments[0]
-    snb = len(sdata)
+    # --- inlined bit-reader state (locals only in the loop below).
+    # Segments are zero-padded so every refill is ONE unconditional
+    # 16-bit load (a truncated stream overruns into padding by at most
+    # one block before the per-block consumed check raises).
+    sdata = segments[0] + b"\x00" * 256
     spos = acc = nacc = 0
-    limit = snb * 8
+    limit = len(segments[0]) * 8
     for mcu in range(n_mcus):
         if ri and mcu and mcu % ri == 0:
             seg_idx += 1
             if seg_idx >= len(segments):
                 raise ValueError("JPEG missing restart segment")
-            sdata = segments[seg_idx]
-            snb = len(sdata)
+            sdata = segments[seg_idx] + b"\x00" * 256
             spos = acc = nacc = 0
-            limit = snb * 8
+            limit = len(segments[seg_idx]) * 8
             pred = {c["id"]: 0 for c, *_ in tabs}
         my, mx = divmod(mcu, row_mcus)
         for c, dc_lut, ac_lut, nh, nv in tabs:
@@ -812,10 +813,10 @@ def _decode_seq_scan(coefs, scan, huff, by_id, mcx, mcy, width, height, hmax, vm
                         bi = my * nbx + mx
                     blk = [0] * 64
                     # --- DC: one combined peek (code + magnitude)
-                    while nacc < 16:
-                        acc = (acc << 8) | (sdata[spos] if spos < snb else 0)
-                        spos += 1
-                        nacc += 8
+                    if nacc < 16:
+                        acc = (acc << 16) | (sdata[spos] << 8) | sdata[spos + 1]
+                        spos += 2
+                        nacc += 16
                     e = dc_lut[(acc >> (nacc - 16)) & 0xFFFF]
                     tl = e & 31
                     if tl == 0:
@@ -827,10 +828,10 @@ def _decode_seq_scan(coefs, scan, huff, by_id, mcx, mcy, width, height, hmax, vm
                         p += (e >> 11) - 32768
                     else:  # slow: magnitude spilled past the peek
                         t = (e >> 11) & 15
-                        while nacc < t:
-                            acc = (acc << 8) | (sdata[spos] if spos < snb else 0)
-                            spos += 1
-                            nacc += 8
+                        if nacc < t:
+                            acc = (acc << 16) | (sdata[spos] << 8) | sdata[spos + 1]
+                            spos += 2
+                            nacc += 16
                         nacc -= t
                         v = acc >> nacc
                         acc &= (1 << nacc) - 1
@@ -839,10 +840,10 @@ def _decode_seq_scan(coefs, scan, huff, by_id, mcx, mcy, width, height, hmax, vm
                     # --- AC: combined peeks
                     k = 1
                     while k < 64:
-                        while nacc < 16:
-                            acc = (acc << 8) | (sdata[spos] if spos < snb else 0)
-                            spos += 1
-                            nacc += 8
+                        if nacc < 16:
+                            acc = (acc << 16) | (sdata[spos] << 8) | sdata[spos + 1]
+                            spos += 2
+                            nacc += 16
                         e = ac_lut[(acc >> (nacc - 16)) & 0xFFFF]
                         tl = e & 31
                         if tl == 0:
@@ -865,10 +866,10 @@ def _decode_seq_scan(coefs, scan, huff, by_id, mcx, mcy, width, height, hmax, vm
                             k += (e >> 7) & 15
                             if k > 63:
                                 raise ValueError("JPEG AC coefficient overflow")
-                            while nacc < size:
-                                acc = (acc << 8) | (sdata[spos] if spos < snb else 0)
-                                spos += 1
-                                nacc += 8
+                            if nacc < size:
+                                acc = (acc << 16) | (sdata[spos] << 8) | sdata[spos + 1]
+                                spos += 2
+                                nacc += 16
                             nacc -= size
                             v = acc >> nacc
                             acc &= (1 << nacc) - 1
