@@ -1205,7 +1205,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 
 class _BitWriter:
-    """MSB-first bit writer with JPEG 0xFF byte stuffing."""
+    """MSB-first bit writer with JPEG 0xFF byte stuffing.
+
+    Accumulator-based: a whole code/magnitude enters in one shift-or
+    and bytes drain 8 at a time — the per-BIT loop this replaces was
+    the encoder's hot spot."""
+
+    __slots__ = ("out", "acc", "nbits")
 
     def __init__(self):
         self.out = bytearray()
@@ -1213,15 +1219,17 @@ class _BitWriter:
         self.nbits = 0
 
     def write(self, value: int, n: int) -> None:
-        for i in range(n - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((value >> i) & 1)
-            self.nbits += 1
-            if self.nbits == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)
-                self.acc = 0
-                self.nbits = 0
+        acc = (self.acc << n) | (value & ((1 << n) - 1))
+        nbits = self.nbits + n
+        out = self.out
+        while nbits >= 8:
+            nbits -= 8
+            b = (acc >> nbits) & 0xFF
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        self.acc = acc & ((1 << nbits) - 1)
+        self.nbits = nbits
 
     def flush(self) -> None:
         """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""
@@ -1243,43 +1251,63 @@ def _mag_bits(v: int) -> tuple[int, int]:
     return s, bits
 
 
-def _encode_block(
+def _fdct_quant(p: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Batched FDCT + quantize of an MCU-aligned plane: (n_blocks, 64)
+    int64 zigzag coefficients, one broadcast matmul for ALL blocks —
+    shared by the sequential and progressive encoders."""
+    nby, nbx = p.shape[0] // 8, p.shape[1] // 8
+    blocks = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0
+    coef = (_DCT_M @ blocks) @ _DCT_M.T
+    zz = coef.reshape(-1, 64)[:, ZIGZAG]
+    qzz = q.reshape(64)[ZIGZAG].astype(np.float64)
+    return np.round(zz / qzz).astype(np.int64)
+
+
+def _nz_slices(flat: np.ndarray):
+    """Per-block AC nonzeros precomputed in ONE numpy pass: returns
+    (dc0 list, ac position list, ac value list, start offsets) so the
+    per-block huffman emitter touches only actual nonzero coefficients."""
+    bi, ki = np.nonzero(flat[:, 1:])
+    vals = flat[bi, ki + 1]
+    starts = np.searchsorted(bi, np.arange(flat.shape[0] + 1))
+    return flat[:, 0].tolist(), (ki + 1).tolist(), vals.tolist(), starts.tolist()
+
+
+def _emit_block(
     w: _BitWriter,
-    block: np.ndarray,
-    q: np.ndarray,
+    dc0: int,
+    ks: list[int],
+    vs: list[int],
+    lo: int,
+    hi: int,
     pred: int,
     dc: dict[int, tuple[int, int]],
     ac: dict[int, tuple[int, int]],
 ) -> int:
-    """FDCT + quantize + huffman-encode one 8x8 block; returns new DC pred."""
-    coef = _DCT_M @ (block.astype(np.float64) - 128.0) @ _DCT_M.T
-    zz = np.round(coef.reshape(64)[ZIGZAG] / q.reshape(64)[ZIGZAG]).astype(np.int64)
-    s, bits = _mag_bits(int(zz[0]) - pred)
+    """Huffman-emit one block from its nonzero (position, value) slice
+    [lo:hi]; returns the block's DC for the next prediction."""
+    s, bits = _mag_bits(dc0 - pred)
     code, ln = dc[s]
     w.write(code, ln)
     if s:
         w.write(bits, s)
-    run = 0
-    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-    for k in range(1, 64):
-        v = int(zz[k])
-        if k > last_nz:
-            code, ln = ac[0x00]  # EOB
-            w.write(code, ln)
-            break
-        if v == 0:
-            run += 1
-            continue
+    prev = 0
+    for i in range(lo, hi):
+        k = ks[i]
+        run = k - prev - 1
         while run > 15:
             code, ln = ac[0xF0]  # ZRL
             w.write(code, ln)
             run -= 16
-        s, bits = _mag_bits(v)
+        s, bits = _mag_bits(vs[i])
         code, ln = ac[(run << 4) | s]
         w.write(code, ln)
         w.write(bits, s)
-        run = 0
-    return int(zz[0])
+        prev = k
+    if prev != 63:
+        code, ln = ac[0x00]  # EOB
+        w.write(code, ln)
+    return dc0
 
 
 def _jpeg_prepare(img: np.ndarray, quality: int, subsample: bool | str):
@@ -1396,6 +1424,13 @@ def encode_jpeg(
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
+    # batched FDCT+quantize per component, then per-block emission from
+    # precomputed nonzero slices (the per-block matmul/nonzero this
+    # replaces dominated encode wall)
+    planes = []
+    for cc, p, q in zip(comps, padded, qts):
+        flat = _fdct_quant(p, q)
+        planes.append((cc, p.shape[1] // 8, *_nz_slices(flat)))
     writer = _BitWriter()
     pred = {cc["id"]: 0 for cc in comps}
     rst = 0
@@ -1408,13 +1443,13 @@ def encode_jpeg(
             writer = _BitWriter()
             pred = {cc["id"]: 0 for cc in comps}
         my, mx = divmod(mcu, mcx)
-        for cc, p, q, (dc, ac) in zip(comps, padded, qts, enc_tabs):
+        for (cc, nbx, dc0s, ks, vs, starts), (dc, ac) in zip(planes, enc_tabs):
             for bv in range(cc["v"]):
                 for bh in range(cc["h"]):
-                    y0 = (my * cc["v"] + bv) * 8
-                    x0 = (mx * cc["h"] + bh) * 8
-                    pred[cc["id"]] = _encode_block(
-                        writer, p[y0 : y0 + 8, x0 : x0 + 8], q, pred[cc["id"]], dc, ac
+                    b = (my * cc["v"] + bv) * nbx + (mx * cc["h"] + bh)
+                    pred[cc["id"]] = _emit_block(
+                        writer, dc0s[b], ks, vs, starts[b], starts[b + 1],
+                        pred[cc["id"]], dc, ac,
                     )
     writer.flush()
     out += writer.out
@@ -1484,15 +1519,7 @@ def encode_jpeg_progressive(
     qb: dict[int, np.ndarray] = {}
     for cc, p, q in zip(comps, padded, qts):
         nby, nbx = p.shape[0] // 8, p.shape[1] // 8
-        blocks = (
-            p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0
-        )
-        coef = (_DCT_M @ blocks) @ _DCT_M.T
-        zz = coef.reshape(-1, 64)[:, ZIGZAG]
-        qzz = q.reshape(64)[ZIGZAG].astype(np.float64)
-        qb[cc["id"]] = (
-            np.round(zz / qzz).astype(np.int64).reshape(nby, nbx, 64)
-        )
+        qb[cc["id"]] = _fdct_quant(p, q).reshape(nby, nbx, 64)
     by_id = {cc["id"]: cc for cc in comps}
     scans = scans if scans is not None else _default_prog_scans(nc)
 
