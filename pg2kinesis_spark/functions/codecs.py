@@ -639,7 +639,20 @@ class _BitReader:
         return entry >> 5
 
 
+# Each cached LUT is a 65536-slot list of mostly-distinct Python ints —
+# ~2.6 MB of long-lived objects per entry — so the cap must be SMALL to
+# mean anything: 16 covers the Annex-K steady state (4 plain + 4 combined
+# sequential keys + progressive flat tables) at ≤ ~42 MB per executor.
+# cjpeg -optimize corpora carry per-image tables and miss regardless; FIFO
+# eviction keeps the common tables resident under a shifting workload.
 _LUT_CACHE: dict[bytes, list[int]] = {}
+_LUT_CACHE_MAX = 16
+
+
+def _lut_cache_put(key: bytes, lut: list[int]) -> None:
+    if len(_LUT_CACHE) >= _LUT_CACHE_MAX:
+        _LUT_CACHE.pop(next(iter(_LUT_CACHE)))
+    _LUT_CACHE[key] = lut
 
 
 def _huff_lut(bits: list[int], vals: list[int]) -> list[int]:
@@ -663,8 +676,7 @@ def _huff_lut(bits: list[int], vals: list[int]) -> list[int]:
             lut[start : start + span] = [(v << 5) | ln] * span
             code += 1
         code <<= 1
-    if len(_LUT_CACHE) < 256:  # bound executor memory for adversarial corpora
-        _LUT_CACHE[key] = lut
+    _lut_cache_put(key, lut)
     return lut
 
 
@@ -721,8 +733,7 @@ def _seq_lut(bits: list[int], vals: list[int], is_dc: bool) -> list[int]:
         default=total | (r << 7) | ((val + 32768) << 11),
     )
     lut = out.tolist()
-    if len(_LUT_CACHE) < 256:
-        _LUT_CACHE[key] = lut
+    _lut_cache_put(key, lut)
     return lut
 
 
@@ -1011,6 +1022,13 @@ def _decode_ac_scan_prog(coefs, scan, huff, by_id, mcx, mcy, width, height, hmax
                             r -= 1
                         k += 1
                     if newval:
+                        # a (r,1) symbol whose zero-run outran the band would
+                        # land one slot past [ss,se] — hostile/corrupt input;
+                        # keep the module's ValueError contract (the first-scan
+                        # path raises the same way) instead of an IndexError
+                        # at se==63 or silent cross-band corruption at se<63
+                        if k > se:
+                            raise ValueError("JPEG AC refinement overflow")
                         blk[k] = newval
                     k += 1
             if eobrun > 0:
@@ -1142,6 +1160,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         "se": se,
                         "ah": ahal >> 4,
                         "al": ahal & 15,
+                        # snapshot of the DHT state AT THIS SOS: libjpeg-family
+                        # progressive encoders (cjpeg -progressive always runs
+                        # -optimize) emit a fresh DHT reusing slots 0/1 before
+                        # every scan, so decoding all scans against the final
+                        # table state would mis-decode every real-world
+                        # progressive JPEG
+                        "huff": dict(huff),
                     }
                 )
                 if not progressive:
@@ -1167,17 +1192,18 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         for c in comps
     }
     for scan in scans:
+        shuff = scan["huff"]
         if not progressive:
             _decode_seq_scan(
-                coefs, scan, huff, by_id, mcx, mcy, width, height, hmax, vmax
+                coefs, scan, shuff, by_id, mcx, mcy, width, height, hmax, vmax
             )
         elif scan["ss"] == 0:
             _decode_dc_scan_prog(
-                coefs, scan, huff, by_id, mcx, mcy, width, height, hmax, vmax
+                coefs, scan, shuff, by_id, mcx, mcy, width, height, hmax, vmax
             )
         else:
             _decode_ac_scan_prog(
-                coefs, scan, huff, by_id, mcx, mcy, width, height, hmax, vmax
+                coefs, scan, shuff, by_id, mcx, mcy, width, height, hmax, vmax
             )
     out = []
     for c in comps:

@@ -92,7 +92,10 @@ def iter_warc_records(buf: bytes):
         hdrs: dict[str, str] = {}
         for ln in lines[1:]:
             k, _, v = ln.partition(":")
-            hdrs[k.strip().lower()] = v.strip()
+            # trim only ASCII LWS (WARC-1.1 §4 field grammar) — str.strip()
+            # would also eat Unicode whitespace like U+00A0 that is part of
+            # the header VALUE (e.g. a WARC-Target-URI ending in NBSP)
+            hdrs[k.strip(" \t\r\n").lower()] = v.strip(" \t\r\n")
         try:
             clen = int(hdrs.get("content-length", "0"))
         except ValueError:

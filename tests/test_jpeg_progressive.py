@@ -140,6 +140,123 @@ def test_progressive_truncated_raises():
         decode_jpeg(data[:-10])
 
 
+def _dht_seg(defs):
+    """A DHT marker segment defining [(tc, th, (bits, vals)), ...]."""
+    import struct
+
+    body = b""
+    for tc, th, (bits, vals) in defs:
+        body += bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+
+def _split_prog_stream(data):
+    """(head bytes WITHOUT the upfront DHT, [(sos_seg, entropy), ...])."""
+    import struct
+
+    pos = 2
+    head = bytearray(data[:2])
+    scans = []
+    while pos < len(data):
+        assert data[pos] == 0xFF
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDA:
+            start = pos
+            while pos < len(data):
+                ff = data.find(b"\xff", pos)
+                nxt = data[ff + 1]
+                if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                    pos = ff + 2
+                    continue
+                pos = ff
+                break
+            scans.append((bytearray(seg), data[start:pos]))
+        elif marker != 0xC4:  # drop the upfront DHT; keep everything else
+            head += seg
+    return head, scans
+
+
+def test_progressive_per_scan_dht_redefinition():
+    """The cjpeg -progressive shape: a fresh DHT REUSING the same table
+    slots before every scan. Each scan must decode against the DHT
+    state at ITS OWN SOS, not the final state — the rewritten stream
+    alternates slots 0/1 per scan and poisons the other slot with the
+    (different) Annex-K tables, so final-state decoding would misread
+    every earlier scan."""
+    import struct
+
+    from pg2kinesis_spark.functions import codecs as C
+
+    rng = np.random.RandomState(21)
+    img = rng.randint(0, 256, (24, 16)).astype(np.uint8)
+    original = encode_jpeg_progressive(img, quality=85)
+    head, scans = _split_prog_stream(original)
+    assert len(scans) >= 3
+    out = bytearray(head)
+    for i, (sos, ent) in enumerate(scans):
+        slot, other = i % 2, 1 - (i % 2)
+        out += _dht_seg(
+            [
+                (0, slot, C._H_DC_FLAT),
+                (1, slot, C._H_AC_FLAT),
+                (0, other, C._H_DC_LUMA),  # poison: different code lengths
+                (1, other, C._H_AC_LUMA),
+            ]
+        )
+        sos[6] = (slot << 4) | slot  # td/ta byte of the single component
+        out += bytes(sos) + ent
+    out += b"\xff\xd9"
+    np.testing.assert_array_equal(decode_jpeg(bytes(out)), decode_jpeg(original))
+
+
+def test_progressive_refinement_overflow_raises_valueerror():
+    """A hostile AC-refinement scan whose (15,1) symbol claims more
+    zero-history positions than remain in the band must raise the
+    module's ValueError (not IndexError / silent cross-band write)."""
+    import struct
+
+    from pg2kinesis_spark.functions import codecs as C
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    base = encode_jpeg_progressive(
+        img, quality=85, scans=[([1], 0, 0, 0, 0), ([1], 1, 49, 0, 0)]
+    )
+    assert base.endswith(b"\xff\xd9")
+    ac_codes = C._huff_codes(*C._H_AC_FLAT)
+    wtr = C._BitWriter()
+    code, ln = ac_codes[0xF1]  # r=15, s=1: run past the 14-coef band
+    wtr.write(code, ln)
+    wtr.write(1, 1)  # the pending newval's sign bit
+    wtr.flush()
+    sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00, 50, 63, 0x10])
+    data = base[:-2] + sos + bytes(wtr.out) + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        decode_jpeg(data)
+
+
+def test_huffman_lut_cache_bounded():
+    """Distinct per-image tables (the cjpeg -optimize corpus shape) must
+    not pin unbounded LUT memory: the cache stays ≤ its cap and keeps
+    recently used tables resident."""
+    from pg2kinesis_spark.functions import codecs as C
+
+    C._LUT_CACHE.clear()
+    try:
+        for n in range(2, 30):
+            # n distinct valid 1-symbol tables: symbol n at depth 2
+            C._huff_lut([0, 1] + [0] * 14, [n])
+        assert len(C._LUT_CACHE) <= C._LUT_CACHE_MAX
+        key = bytes([0, 1] + [0] * 14) + bytes([29])
+        assert key in C._LUT_CACHE  # most recent entries survive FIFO
+    finally:
+        C._LUT_CACHE.clear()
+
+
 def test_progressive_through_spark_media_path(spark):
     """The round-5 contract: progressive web JPEGs flow through
     features + dHash end-to-end, and a progressive re-encode of the
