@@ -60,6 +60,17 @@ def _check_errors(errors: str) -> None:
         raise ValueError(f"errors must be 'raise' or 'quarantine', got {errors!r}")
 
 
+def _check_sampling(stride: int, max_frames: int) -> None:
+    """Fail fast at operator CONSTRUCTION: stride<=0 would otherwise die
+    inside the kernel per row — and under errors='quarantine' a plain
+    misconfiguration would silently label the whole corpus as decode
+    errors instead of raising on the driver."""
+    if stride < 1:
+        raise ValueError(f"stride must be >= 1, got {stride}")
+    if max_frames < 1:
+        raise ValueError(f"max_frames must be >= 1, got {max_frames}")
+
+
 def _guard(errors: str, fn, *args):
     """Run fn(*args); return (result, None) or (None, error string).
 
@@ -589,6 +600,7 @@ def video_frames(
     from . import codecs
 
     _check_errors(errors)
+    _check_sampling(stride, max_frames)
     # last decoded frame index we can possibly emit (0-based), +1 = cap
     decode_cap = (max_frames - 1) * stride + 1
 
@@ -656,6 +668,7 @@ def video_frame_dhash(
     from . import codecs
 
     _check_errors(errors)
+    _check_sampling(stride, max_frames)
     decode_cap = (max_frames - 1) * stride + 1
 
     def clip_hashes(b: bytes) -> list[int]:

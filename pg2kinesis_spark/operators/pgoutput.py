@@ -341,7 +341,21 @@ def parse_pgoutput(
             )
 
     parsed = raw.select("lsn", payload_col).mapInPandas(kernel, ROWS_SCHEMA)
-    stamped = stamp_xid_scalable(parsed, order_col="lsn", begin_col="begin_xid")
+    # pure-JVM twin of (lsn, begin_xid) for the prefix-scan's two EAGER
+    # phases: a Begin is tag 'B' with the uint32 xid at byte offset 17
+    # (big-endian, same field the kernel unpacks) — hex+conv gives the
+    # identical str(uint32). Without this twin, each eager phase re-runs
+    # the full Python decode, tripling the pipeline's wall per build.
+    begin_stats = raw.select(
+        F.col("lsn"),
+        F.when(
+            F.expr(f"substring({payload_col}, 1, 1) = x'42'"),  # 'B'
+            F.conv(F.hex(F.expr(f"substring({payload_col}, 18, 4)")), 16, 10),
+        ).alias("begin_xid"),
+    )
+    stamped = stamp_xid_scalable(
+        parsed, order_col="lsn", begin_col="begin_xid", stats_df=begin_stats
+    )
     changes = stamped.filter(F.col("operation").isin("insert", "update", "delete"))
     reg = F.broadcast(
         registry.select(
@@ -364,7 +378,11 @@ def parse_pgoutput(
     )
 
 
-def pgoutput_cdc_changes(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
+def pgoutput_cdc_changes(
+    raw: DataFrame,
+    payload_col: str = "payload",
+    registry: DataFrame | None = None,
+) -> DataFrame:
     """Adapt a pgoutput stream to apply_cdc's change contract:
     (lsn, change_idx, table, operation, pkey, row map<string,string>,
     error) — so ``_last_wins`` / ``snapshot_changes`` semantics and
@@ -376,7 +394,7 @@ def pgoutput_cdc_changes(raw: DataFrame, payload_col: str = "payload") -> DataFr
     op); rows referencing a rel_id with no Relation message surface an
     ``error`` instead of being dropped (fail-stop channel, §8.5).
     """
-    parsed = parse_pgoutput(raw, payload_col=payload_col)
+    parsed = parse_pgoutput(raw, registry=registry, payload_col=payload_col)
     eff_values = F.when(
         F.col("operation") == "delete", F.col("old_values")
     ).otherwise(F.col("col_values"))

@@ -142,3 +142,20 @@ def test_video_near_dup_full_range_clip_ids(spark):
     ).collect()
     assert [(r.media_id1, r.media_id2) for r in got] == [(neg_id, big_id)]
     assert got[0].n_frames >= 2
+
+
+def test_video_sampling_params_fail_fast(spark):
+    """stride<=0 / max_frames<=0 must raise at operator construction —
+    under errors='quarantine' the per-row slice error would otherwise
+    silently label the entire corpus as decode failures."""
+    import pytest
+
+    from pg2kinesis_spark.functions import multimodal
+    from pg2kinesis_spark.functions.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame([], MEDIA_SCHEMA)
+    for kwargs in ({"stride": 0}, {"stride": -2}, {"max_frames": 0}):
+        with pytest.raises(ValueError):
+            multimodal.video_frames(media, **kwargs)
+        with pytest.raises(ValueError):
+            multimodal.video_frame_dhash(media, **kwargs)

@@ -194,3 +194,45 @@ def test_pgoutput_property_roundtrip():
         assert d["old"] == old
 
     prop()
+
+
+def test_begin_stats_jvm_twin_matches_kernel(spark):
+    """The pure-JVM (lsn, begin_xid) stats twin parse_pgoutput feeds to
+    stamp_xid_scalable's eager phases must agree byte-for-byte with the
+    Python kernel's Begin decode — including xids above 2^31 (uint32)."""
+    from pyspark.sql import functions as F
+
+    msgs = [
+        (10, encode_relation(55, "public", "users", ["id"], key_cols=("id",))),
+        (20, encode_begin(60, 900)),
+        (30, encode_insert(55, ["1"])),
+        (40, encode_commit(60, 61)),
+        (50, encode_begin(95, 2**32 - 7)),  # top-bit-set uint32 xid
+        (60, encode_insert(55, ["2"])),
+        (70, encode_commit(95, 96)),
+    ]
+    raw = spark.createDataFrame(
+        [(lsn, bytearray(m)) for lsn, m in msgs], "lsn long, payload binary"
+    )
+    twin = (
+        raw.select(
+            "lsn",
+            F.when(
+                F.expr("substring(payload, 1, 1) = x'42'"),
+                F.conv(F.hex(F.expr("substring(payload, 18, 4)")), 16, 10),
+            ).alias("begin_xid"),
+        )
+        .filter(F.col("begin_xid").isNotNull())
+        .orderBy("lsn")
+        .collect()
+    )
+    assert [(r.lsn, r.begin_xid) for r in twin] == [
+        (20, "900"),
+        (50, str(2**32 - 7)),
+    ]
+    # and the stamped pipeline attributes both transactions correctly
+    out = parse_pgoutput(raw).orderBy("lsn").collect()
+    assert [(r.operation, r.xid) for r in out] == [
+        ("insert", "900"),
+        ("insert", str(2**32 - 7)),
+    ]

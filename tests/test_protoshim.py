@@ -86,6 +86,86 @@ def test_whichoneof_and_negative_int64():
     assert back.expiryTimestampMs == -1
 
 
+def _mk_cls(fields):
+    """Build a shim message class from (name, number, label, type) specs."""
+    from pg2kinesis_spark.vendor.protoshim.google.protobuf.internal import wire
+
+    m = wire.MsgDesc()
+    m.name = m.full_name = "T"
+    for name, number, label, typ in fields:
+        f = wire.FieldDesc()
+        f.name, f.number, f.label, f.type = name, number, label, typ
+        m.fields.append(f)
+    fd = wire.FileDesc()
+    fd.messages = [m]
+    classes, _ = wire.build_classes(fd)
+    return classes["T"]
+
+
+def test_fixed_width_scalars_are_unsigned_on_the_wire():
+    from pg2kinesis_spark.vendor.protoshim.google.protobuf.internal import wire as W
+
+    cls = _mk_cls(
+        [
+            ("f64", 1, W.L_OPTIONAL, W.T_FIXED64),
+            ("f32", 2, W.L_OPTIONAL, W.T_FIXED32),
+            ("s64", 3, W.L_OPTIONAL, W.T_SFIXED64),
+            ("s32", 4, W.L_OPTIONAL, W.T_SFIXED32),
+        ]
+    )
+    # fixed64/fixed32 are uint on the wire: top-bit-set values must
+    # serialize (old '<q'/'<i' packing crashed) and parse back unsigned
+    m = cls(f64=2**63 + 5, f32=2**31 + 7, s64=-1, s32=-2)
+    data = m.SerializeToString()
+    assert bytes.fromhex("09") + (2**63 + 5).to_bytes(8, "little") in data
+    back = cls()
+    back.ParseFromString(data)
+    assert back.f64 == 2**63 + 5
+    assert back.f32 == 2**31 + 7
+    assert back.s64 == -1 and back.s32 == -2
+
+
+def test_packed_repeated_fixed_and_zigzag_scalars():
+    import struct
+
+    from pg2kinesis_spark.vendor.protoshim.google.protobuf.internal import wire as W
+
+    cls = _mk_cls(
+        [
+            ("ds", 1, W.L_REPEATED, W.T_DOUBLE),
+            ("fs", 2, W.L_REPEATED, W.T_FLOAT),
+            ("u64s", 3, W.L_REPEATED, W.T_FIXED64),
+            ("zs", 4, W.L_REPEATED, W.T_SINT64),
+            ("bs", 5, W.L_REPEATED, W.T_BOOL),
+        ]
+    )
+    # proto3 packs repeated scalars by default: a length-delimited record
+    # must decode element-wise, not vanish into the malformed-skip branch
+    payload = struct.pack("<2d", 1.5, -2.25)
+    data = bytes([0x0A, len(payload)]) + payload
+    payload = struct.pack("<2f", 3.0, 4.5)
+    data += bytes([0x12, len(payload)]) + payload
+    payload = struct.pack("<Q", 2**63 + 1)
+    data += bytes([0x1A, len(payload)]) + payload
+    data += bytes([0x22, 0x02, 0x03, 0x04])  # zigzag: 3 -> -2, 4 -> 2
+    data += bytes([0x2A, 0x02, 0x01, 0x00])
+    m = cls()
+    m.ParseFromString(data)
+    assert list(m.ds) == [1.5, -2.25]
+    assert list(m.fs) == [3.0, 4.5]
+    assert list(m.u64s) == [2**63 + 1]
+    assert list(m.zs) == [-2, 2]
+    assert list(m.bs) == [True, False]
+    # the shim's own (unpacked) serialization of the same values round-trips
+    back = cls()
+    back.ParseFromString(m.SerializeToString())
+    assert back == m
+    # truncated packed payload is a DecodeError, not silent data loss
+    bad = cls()
+    with pytest.raises(W.DecodeError):
+        bad.ParseFromString(bytes([0x0A, 0x07]) + b"\x00" * 7)
+
+
 def test_real_runtime_wins_when_present():
     import google.protobuf as gp
 
