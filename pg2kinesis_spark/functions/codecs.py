@@ -57,9 +57,10 @@ def decode_png(data: bytes) -> np.ndarray:
     """Decode an 8-bit PNG to an (H, W, C) uint8 array.
 
     Supports color types 0/2/3/4/6 (gray, RGB, palette, gray+alpha,
-    RGBA), all five scanline filters, single IDAT or split IDATs.
-    Palette images expand to RGB. Interlaced (Adam7) and 16-bit images
-    are rejected explicitly.
+    RGBA), all five scanline filters, single IDAT or split IDATs, and
+    Adam7 interlacing (each pass an independently-filtered sub-image,
+    spec §8.2). Palette images expand to RGB. 16-bit images are
+    rejected explicitly.
     """
     data = bytes(data)
     if not is_png(data):
@@ -85,26 +86,31 @@ def decode_png(data: bytes) -> np.ndarray:
     width, height, depth, color, comp, filt, interlace = ihdr
     if depth != 8:
         raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
-    if interlace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {color}")
     nch = _PNG_CHANNELS[color]
     raw = zlib.decompress(b"".join(idat))
-    stride = width * nch
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG data length mismatch")
-    img = np.empty((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(height):
-        row_start = y * (stride + 1)
-        ftype = raw[row_start]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=row_start + 1
-        ).copy()
-        img[y] = _unfilter_row(line, prev, ftype, nch)
-        prev = img[y]
-    out = img.reshape(height, width, nch)
+    if interlace == 0:
+        stride = width * nch
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG data length mismatch")
+        out = _png_unfilter_pass(raw, 0, width, height, nch)[0].reshape(
+            height, width, nch
+        )
+    else:  # Adam7: 7 independently-filtered sub-images, spec §8.2
+        out = np.empty((height, width, nch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass contributes NO bytes (not even filters)
+            sub, off = _png_unfilter_pass(raw, off, pw, ph, nch)
+            out[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
+        if off != len(raw):
+            raise ValueError("PNG data length mismatch")
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
@@ -117,6 +123,36 @@ def decode_png(data: bytes) -> np.ndarray:
             return np.dstack([rgb, alpha])
         return rgb
     return out
+
+
+# Adam7 pass geometry (x_start, y_start, x_step, y_step) — PNG spec §8.2
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter_pass(
+    raw: bytes, off: int, width: int, height: int, nch: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter one filtered image (the whole image, or one Adam7
+    sub-image): ``height`` scanlines of 1 filter byte + ``width*nch``
+    samples starting at ``off``. Returns ((height, width*nch) array,
+    next offset)."""
+    stride = width * nch
+    if off + height * (stride + 1) > len(raw):
+        raise ValueError("PNG data length mismatch")
+    img = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        row_start = off + y * (stride + 1)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).copy()
+        img[y] = _unfilter_row(line, prev, ftype, nch)
+        prev = img[y]
+    return img, off + height * (stride + 1)
 
 
 def _unfilter_row(line: np.ndarray, prev: np.ndarray, ftype: int, bpp: int) -> np.ndarray:
@@ -152,20 +188,30 @@ def _unfilter_row(line: np.ndarray, prev: np.ndarray, ftype: int, bpp: int) -> n
     return out.astype(np.uint8)
 
 
-def encode_png(img: np.ndarray) -> bytes:
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
     """Encode an (H, W) or (H, W, C) uint8 array as PNG (filter 0 rows).
 
     C in {1: gray, 2: gray+alpha, 3: RGB, 4: RGBA}. Minimal but fully
     spec-conformant output — any PNG reader (including decode_png)
-    accepts it.
+    accepts it. ``interlace=True`` emits Adam7 pass order (spec §8.2);
+    empty passes contribute no bytes.
     """
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.extend(b"\x00" + sub[y].tobytes() for y in range(sub.shape[0]))
+        raw = b"".join(parts)
+    else:
+        raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
     out = [PNG_SIG, _png_chunk(b"IHDR", ihdr)]
     out.append(_png_chunk(b"IDAT", zlib.compress(raw, 6)))
     out.append(_png_chunk(b"IEND", b""))
@@ -220,13 +266,36 @@ def wav_info(data: bytes) -> dict:
     }
 
 
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    """256-entry G.711 expand tables computed from the ITU formulas
+    (segment + mantissa companding): (A-law, mu-law) -> int16."""
+    codes = np.arange(256, dtype=np.int64)
+    # A-law: toggle even bits, sign bit SET means positive
+    a = codes ^ 0x55
+    seg_a = (a >> 4) & 7
+    mant_a = a & 15
+    t = (mant_a << 4) + np.where(seg_a == 0, 8, 0x108)
+    t = np.where(seg_a > 1, t << np.maximum(seg_a - 1, 0), t)
+    alaw = np.where(a & 0x80, t, -t).astype(np.int16)
+    # mu-law: complement, bias 0x84, sign bit SET means negative
+    u = codes ^ 0xFF
+    t = (((u & 15) << 3) + 0x84) << ((u >> 4) & 7)
+    ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+    return alaw, ulaw
+
+
+_G711_ALAW, _G711_ULAW = _g711_tables()
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """Decode a PCM WAV to ((n_samples, n_channels) array, sample_rate).
 
-    Manual RIFF chunk walk (fmt / data), PCM 8/16/24/32-bit integer and
-    32-bit float. 8-bit is unsigned per spec and is recentred to signed.
-    The stdlib ``wave`` module is deliberately NOT used here so tests
-    can employ it as an independent oracle.
+    Manual RIFF chunk walk (fmt / data), PCM 8/16/24/32-bit integer,
+    32-bit float, and ITU-T G.711 A-law/mu-law (audio_fmt 6/7 — the
+    telephony companding formats) expanded to int16 via spec-derived
+    tables. 8-bit PCM is unsigned per spec and is recentred to signed.
+    The stdlib ``wave``/``audioop`` modules are deliberately NOT used
+    here so tests can employ them as independent oracles.
     """
     data = bytes(data)
     if not is_wav(data):
@@ -260,6 +329,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         arr = np.where(arr >= 1 << 23, arr - (1 << 24), arr)
     elif audio_fmt == 1 and bits == 32:
         arr = np.frombuffer(payload, dtype="<i4")
+    elif audio_fmt == 6 and bits == 8:  # ITU-T G.711 A-law (telephony)
+        arr = _G711_ALAW[np.frombuffer(payload, dtype=np.uint8)]
+    elif audio_fmt == 7 and bits == 8:  # ITU-T G.711 mu-law (telephony)
+        arr = _G711_ULAW[np.frombuffer(payload, dtype=np.uint8)]
     else:
         raise NotImplementedError(f"WAV format {audio_fmt}/{bits}-bit not supported")
     n = (len(arr) // nch) * nch

@@ -194,6 +194,62 @@ def test_wav_24bit_and_rejections():
         decode_wav(b"RIFFxxxxJUNK")
 
 
+def _g711_wav(codes: bytes, audio_fmt: int, rate: int = 8000) -> bytes:
+    """Hand-build a G.711 WAV (audio_fmt 6 = A-law, 7 = mu-law)."""
+    fmt = struct.pack("<HHIIHH", audio_fmt, 1, rate, rate, 1, 8)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(codes)) + codes
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_g711_matches_audioop_oracle():
+    """A-law/mu-law expansion agrees with the stdlib audioop G.711
+    implementation for EVERY code byte, plus the ITU pin values."""
+    audioop = pytest.importorskip("audioop")
+    codes = bytes(range(256))
+    got_a, rate = decode_wav(_g711_wav(codes, 6))
+    want_a = np.frombuffer(audioop.alaw2lin(codes, 2), dtype="<i2")
+    np.testing.assert_array_equal(got_a[:, 0], want_a)
+    got_u, _ = decode_wav(_g711_wav(codes, 7))
+    want_u = np.frombuffer(audioop.ulaw2lin(codes, 2), dtype="<i2")
+    np.testing.assert_array_equal(got_u[:, 0], want_u)
+    assert rate == 8000
+    # spec pins: mu-law 0xFF -> 0, 0x00 -> -32124; A-law max magnitude 32256
+    assert got_u[0xFF, 0] == 0 and got_u[0x00, 0] == -32124
+    assert int(np.abs(got_a[:, 0]).max()) == 32256
+
+
+def test_wav_g711_through_audio_fingerprint(spark):
+    """G.711 WAVs flow through the audio feature/fingerprint kernels:
+    the same sine companded to mu-law fingerprints like its PCM-16
+    sibling."""
+    audioop = pytest.importorskip("audioop")
+
+    from pg2kinesis_spark.functions.codecs import encode_wav
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprint,
+        extract_audio_features,
+    )
+
+    t = np.arange(8000) / 8000.0
+    pcm = (np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16)
+    ulaw = audioop.lin2ulaw(pcm.astype("<i2").tobytes(), 2)
+    rows = [
+        (1, bytearray(encode_wav(pcm[:, None], 8000)), ("audio/wav", 0, "a.wav")),
+        (2, bytearray(_g711_wav(ulaw, 7)), ("audio/wav", 0, "b.wav")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r.media_id: r for r in extract_audio_features(media).collect()}
+    assert all(r.decode_error is None for r in feats.values())
+    assert feats[1].n_samples == feats[2].n_samples == 8000
+    assert feats[1].sample_rate == feats[2].sample_rate == 8000
+    fps = {r.media_id: r for r in audio_fingerprint(media).collect()}
+    assert fps[1].afp is not None and fps[2].afp is not None
+    # companding preserves the energy envelope: identical 64-bit prints
+    assert fps[1].afp == fps[2].afp
+
+
 def test_wav_roundtrip_own_encoder():
     samples = np.array([[1, -1], [100, -100], [32000, -32000]], dtype=np.int16)
     got, rate = decode_wav(encode_wav(samples, 44100))
@@ -358,6 +414,98 @@ def test_audio_fingerprint_real_neardup(spark):
     pairs = media_near_dup_pairs(media, max_hamming=6, signature="audio").collect()
     got = {(r["media_id1"], r["media_id2"]) for r in pairs}
     assert (0, 1) in got and not any(2 in p for p in got)
+
+
+def _adam7_passes():
+    from pg2kinesis_spark.functions.codecs import _ADAM7_PASSES
+
+    return _ADAM7_PASSES
+
+
+def _make_png_adam7(img: np.ndarray, ftypes: list[int], color: int) -> bytes:
+    """Hand-build an interlaced PNG: each Adam7 pass forward-filtered
+    INDEPENDENTLY (fresh prev row), which is exactly what the spec
+    requires and what a shared-state decoder would get wrong."""
+    h, w, c = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+    parts = []
+    for x0, y0, dx, dy in _adam7_passes():
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        parts.append(_forward_filter(np.ascontiguousarray(sub), ftypes))
+    raw = b"".join(parts)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (2, 2), (3, 3), (5, 3), (7, 5), (8, 8), (9, 10), (16, 11)])
+def test_png_adam7_roundtrip_all_sizes(h, w):
+    """Interlaced encode -> decode is identity for sizes that exercise
+    empty passes (anything < 8 wide/tall skips whole passes)."""
+    for c in (1, 3, 4):
+        img = _rand_img(h, w, c, seed=h * 100 + w * 10 + c)
+        data = encode_png(img, interlace=True)
+        np.testing.assert_array_equal(decode_png(data), img)
+        # and agrees with the non-interlaced encoding of the same image
+        np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+
+
+def test_png_adam7_per_pass_filters_are_independent():
+    """Each pass restarts filtering (prev row = zeros): mixed Sub/Up/
+    Average/Paeth rows built per-pass by the independent forward filter
+    must decode exactly."""
+    img = _rand_img(13, 9, 3, seed=42)
+    data = _make_png_adam7(img, [1, 2, 3, 4, 0], color=2)
+    np.testing.assert_array_equal(decode_png(data), img)
+
+
+def test_png_adam7_truncated_raises():
+    img = _rand_img(12, 12, 3, seed=9)
+    full = encode_png(img, interlace=True)
+    # rebuild with a truncated raw stream (drop the last pass bytes)
+    raw = zlib.decompress(
+        full[full.index(b"IDAT") + 4 : full.rindex(b"IEND") - 8]
+    )
+    ihdr = struct.pack(">IIBBBBB", 12, 12, 8, 2, 0, 0, 1)
+    bad = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw[: len(raw) // 2]))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(bad)
+    # surplus bytes are an error too
+    bad2 = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw + b"\x00" * 7))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        decode_png(bad2)
+
+
+def test_png_adam7_property_roundtrip():
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=20),
+        st.integers(min_value=1, max_value=20),
+        st.sampled_from([1, 3, 4]),
+        st.integers(min_value=0, max_value=2**32 - 1),
+    )
+    def prop(h, w, c, seed):
+        img = np.random.RandomState(seed).randint(0, 256, size=(h, w, c), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_png(encode_png(img, interlace=True)), img)
+
+    prop()
 
 
 def test_png_property_roundtrip():
