@@ -84,11 +84,37 @@ def _last_wins(changes: DataFrame) -> DataFrame:
     )
 
 
+def snapshot_last_wins(changes: DataFrame) -> DataFrame:
+    """Truncate-aware materialization of a change stream: per-(table,
+    pkey) last-wins, minus keys whose final operation is a delete,
+    minus keys whose last change precedes the table's last TRUNCATE
+    (a key re-inserted after the truncate survives with its
+    post-truncate value). Truncate ordinals aggregate to ONE row per
+    truncated table — a bounded broadcast, never data-sized."""
+    ordk = F.struct(F.col("lsn"), F.col("change_idx"))
+    trunc = (
+        changes.filter(F.col("operation") == "truncate")
+        .groupBy("table")
+        .agg(F.max(ordk).alias("_t_ord"))
+    )
+    rows = _last_wins(changes.filter(F.col("operation") != "truncate"))
+    last_ord = F.struct(
+        F.col("last_lsn").alias("lsn"), F.col("last_change_idx").alias("change_idx")
+    )
+    return (
+        rows.join(F.broadcast(trunc), "table", "left")
+        .filter(F.col("_t_ord").isNull() | (last_ord > F.col("_t_ord")))
+        .drop("_t_ord")
+        .filter(F.col("last_operation") != "delete")
+    )
+
+
 def snapshot_changes(raw: DataFrame, pk_map: DataFrame, table_pat: str | None = None) -> DataFrame:
     """One-shot batch materialization: current row per (table, pkey);
-    keys whose final operation is a delete are gone."""
-    changes = cdc_changes(raw, pk_map, table_pat)
-    return _last_wins(changes).filter(F.col("last_operation") != "delete")
+    keys whose final operation is a delete are gone, truncated tables
+    keep only post-truncate keys (wal2json emits ``truncate`` kinds
+    when the slot is created with that option)."""
+    return snapshot_last_wins(cdc_changes(raw, pk_map, table_pat))
 
 
 class CdcTableMaterializer:
@@ -124,9 +150,12 @@ class CdcTableMaterializer:
         return self.spark.read.parquet(os.path.join(self.state_dir, f"v{v}"))
 
     def snapshot(self) -> DataFrame | None:
-        """Queryable current state: live rows only."""
+        """Queryable current state: live rows only (delete and truncate
+        tombstones filtered)."""
         cur = self.current()
-        return None if cur is None else cur.filter(F.col("last_operation") != "delete")
+        if cur is None:
+            return None
+        return cur.filter(~F.col("last_operation").isin("delete", "truncate"))
 
     def apply(self, changes: DataFrame) -> None:
         """Merge a micro-batch of ``cdc_changes`` rows into the snapshot."""
@@ -147,7 +176,34 @@ class CdcTableMaterializer:
         # under at-least-once replay a re-served pre-delete change must
         # lose the max_by to the tombstone, not resurrect the key. Only
         # the query view (snapshot()) filters them.
-        out = batch
+        # Truncates work the same way at TABLE granularity: the
+        # (table, NULL-pkey) truncate row persists as a tombstone so a
+        # replayed pre-truncate change re-dies on the next apply, while
+        # keys whose last change precedes the truncate are purged here
+        # (one broadcast row per truncated table).
+        trunc = (
+            batch.filter(F.col("last_operation") == "truncate")
+            .select(
+                "table",
+                F.struct(
+                    F.col("last_lsn").alias("lsn"),
+                    F.col("last_change_idx").alias("change_idx"),
+                ).alias("_t_ord"),
+            )
+        )
+        last_ord = F.struct(
+            F.col("last_lsn").alias("lsn"),
+            F.col("last_change_idx").alias("change_idx"),
+        )
+        out = (
+            batch.join(F.broadcast(trunc), "table", "left")
+            .filter(
+                F.col("_t_ord").isNull()
+                | (F.col("last_operation") == "truncate")
+                | (last_ord > F.col("_t_ord"))
+            )
+            .drop("_t_ord")
+        )
         v = self._current_version() + 1
         out.write.mode("overwrite").parquet(os.path.join(self.state_dir, f"v{v}"))
         tmp = os.path.join(self.state_dir, "CURRENT.tmp")

@@ -14,7 +14,15 @@ docs (protocol.html, "Logical Replication Message Formats"):
     Insert    'I' rel_id(4) 'N' TupleData
     Update    'U' rel_id(4) [('K'|'O') TupleData] 'N' TupleData
     Delete    'D' rel_id(4) ('K'|'O') TupleData
+    Truncate  'T' nrels(4) options(1) rel_id(4)*nrels
     TupleData ncols(2) [kind(1: 'n'|'u'|'t') [len(4) bytes]]...
+
+Truncate emits one change row per truncated rel (operation
+``truncate``, NULL pkey/row); the snapshot/materializer paths treat it
+as a table-granularity tombstone — keys whose last change precedes the
+truncate are purged, post-truncate inserts survive, and the tombstone
+persists across micro-batches so at-least-once replay cannot
+resurrect pre-truncate keys.
 
 Scale design
 ------------
@@ -130,6 +138,16 @@ def decode_message(buf: bytes) -> dict:
         assert marker in (b"K", b"O"), "Delete must carry a Key/Old tuple"
         old, _ = _tuple_data(buf, 6)
         return {"op": "delete", "rel_id": rel_id, "new": None, "old": old}
+    if tag == b"T":  # Truncate: nrels(4) options(1) rel_id(4)*nrels
+        (nrels,) = struct.unpack_from(">I", buf, 1)
+        options = buf[5]
+        rel_ids = list(struct.unpack_from(f">{nrels}I", buf, 6))
+        return {
+            "op": "truncate",
+            "rel_ids": rel_ids,
+            "cascade": bool(options & 1),
+            "restart_identity": bool(options & 2),
+        }
     raise ValueError(f"unknown pgoutput message tag {tag!r}")
 
 
@@ -183,6 +201,18 @@ def encode_update(rel_id: int, vals: list, old: list | None = None, old_kind: st
 
 def encode_delete(rel_id: int, old: list, old_kind: str = "K") -> bytes:
     return b"D" + struct.pack(">I", rel_id) + old_kind.encode() + _enc_tuple(old)
+
+
+def encode_truncate(
+    rel_ids: list[int], cascade: bool = False, restart_identity: bool = False
+) -> bytes:
+    options = (1 if cascade else 0) | (2 if restart_identity else 0)
+    return (
+        b"T"
+        + struct.pack(">I", len(rel_ids))
+        + bytes([options])
+        + struct.pack(f">{len(rel_ids)}I", *rel_ids)
+    )
 
 
 # ------------------------------------------------------------- operators
@@ -325,6 +355,15 @@ def parse_pgoutput(
                     c_rel.append(None)
                     c_new.append(None)
                     c_old.append(None)
+                elif tag == 84:  # 'T' — one change row PER truncated rel
+                    (nrels,) = unpack_from(">I", buf, 1)
+                    for rel_id in unpack_from(f">{nrels}I", buf, 6):
+                        c_lsn.append(lsn)
+                        c_op.append("truncate")
+                        c_xid.append(None)
+                        c_rel.append(rel_id)
+                        c_new.append(None)
+                        c_old.append(None)
                 # relation messages feed relation_registry, not rows
             # dtype=object on nullable columns: an all-None batch slice
             # must not be inferred float64 (Arrow can't cast that to
@@ -356,7 +395,9 @@ def parse_pgoutput(
     stamped = stamp_xid_scalable(
         parsed, order_col="lsn", begin_col="begin_xid", stats_df=begin_stats
     )
-    changes = stamped.filter(F.col("operation").isin("insert", "update", "delete"))
+    changes = stamped.filter(
+        F.col("operation").isin("insert", "update", "delete", "truncate")
+    )
     reg = F.broadcast(
         registry.select(
             "rel_id",
@@ -400,14 +441,18 @@ def pgoutput_cdc_changes(
     ).otherwise(F.col("col_values"))
     pos = F.array_position(F.col("col_names"), F.element_at(F.col("key_cols"), 1))
     pkey = F.coalesce(F.element_at(eff_values, pos.cast("int")), F.lit("None"))
+    # Truncate rows carry NO tuple: pkey/row stay NULL (the registry
+    # join still resolves col_names, so the pos>0 guard alone would
+    # coalesce pkey to the 'None' sentinel and collide with real keys)
+    is_trunc = F.col("operation") == "truncate"
     return parsed.select(
         "lsn",
         F.lit(0).alias("change_idx"),
         "xid",
         "table",
         "operation",
-        F.when(pos > 0, pkey).alias("pkey"),
-        F.map_from_arrays("col_names", eff_values).alias("row"),
+        F.when(~is_trunc & (pos > 0), pkey).alias("pkey"),
+        F.when(~is_trunc, F.map_from_arrays("col_names", eff_values)).alias("row"),
         F.when(
             F.col("table").isNull(),
             F.format_string("no Relation message for rel_id %s", F.col("rel_id")),
@@ -417,12 +462,12 @@ def pgoutput_cdc_changes(
 
 def pgoutput_snapshot(raw: DataFrame, payload_col: str = "payload") -> DataFrame:
     """One-shot materialization from pgoutput: current row per
-    (table, pkey), deletes gone — the binary-protocol twin of
+    (table, pkey), deletes gone, truncated tables emptied up to the
+    truncate LSN — the binary-protocol twin of
     apply_cdc.snapshot_changes."""
-    from .apply_cdc import _last_wins
+    from .apply_cdc import snapshot_last_wins
 
-    changes = pgoutput_cdc_changes(raw, payload_col)
-    return _last_wins(changes).filter(F.col("last_operation") != "delete")
+    return snapshot_last_wins(pgoutput_cdc_changes(raw, payload_col))
 
 
 def relation_registry_from_replay(spark, corpus_path: str) -> DataFrame:

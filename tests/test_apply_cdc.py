@@ -142,3 +142,59 @@ def test_unknown_table_gets_error_row(spark, pk_map):
     raw = spark.createDataFrame([(10, 1, payload)], "lsn long, data_size int, payload string")
     rows = cdc_changes(raw, pk_map).collect()
     assert rows[0].error == 'Unable to locate table: "public.nope"'
+
+
+def _tmsg(lsn, kind, pkval=None, extra=None, table="orders_cdc"):
+    ch = {"kind": kind, "schema": "public", "table": table}
+    if kind != "truncate":
+        ch["columnnames"] = ["id"] + (["txt_col"] if extra else [])
+        ch["columntypes"] = ["int4"] + (["text"] if extra else [])
+        ch["columnvalues"] = [pkval] + ([extra] if extra else [])
+    return (lsn, 1, json.dumps({"xid": 1, "change": [ch]}))
+
+
+def test_snapshot_truncate_semantics(spark, pk_map):
+    """A truncate kills every key whose last change precedes it; a key
+    re-inserted after the truncate survives; other tables untouched."""
+    schema = "lsn long, data_size int, payload string"
+    raw = spark.createDataFrame(
+        [
+            _tmsg(10, "insert", 1, "a"),
+            _tmsg(20, "insert", 2, "b"),
+            _tmsg(30, "truncate"),
+            _tmsg(40, "insert", 3, "c"),
+        ],
+        schema,
+    )
+    from pg2kinesis_spark.operators.apply_cdc import snapshot_changes
+
+    snap = snapshot_changes(raw, pk_map).collect()
+    assert {(r.table, r.pkey) for r in snap} == {("public.orders_cdc", "3")}
+    # truncate LAST -> table empties entirely
+    raw2 = spark.createDataFrame(
+        [_tmsg(10, "insert", 1, "a"), _tmsg(50, "truncate")], schema
+    )
+    assert snapshot_changes(raw2, pk_map).count() == 0
+
+
+def test_materializer_truncate_tombstone_survives_replay(spark, pk_map, tmp_path):
+    """Truncate works across micro-batches AND under at-least-once
+    replay: a re-served pre-truncate insert must re-die against the
+    persisted truncate tombstone."""
+    schema = "lsn long, data_size int, payload string"
+    mat = CdcTableMaterializer(spark, str(tmp_path / "state"))
+    b1 = [_tmsg(10, "insert", 1, "a"), _tmsg(20, "insert", 2, "b")]
+    mat.apply(cdc_changes(spark.createDataFrame(b1, schema), pk_map))
+    assert mat.snapshot().count() == 2
+    b2 = [_tmsg(30, "truncate"), _tmsg(40, "insert", 3, "c")]
+    mat.apply(cdc_changes(spark.createDataFrame(b2, schema), pk_map))
+    assert {(r.table, r.pkey) for r in mat.snapshot().collect()} == {
+        ("public.orders_cdc", "3")
+    }
+    # replay batch 1: pre-truncate inserts must NOT resurrect
+    mat.apply(cdc_changes(spark.createDataFrame(b1, schema), pk_map))
+    assert {(r.table, r.pkey) for r in mat.snapshot().collect()} == {
+        ("public.orders_cdc", "3")
+    }
+    tomb = [r for r in mat.current().collect() if r.last_operation == "truncate"]
+    assert len(tomb) == 1 and tomb[0].pkey is None

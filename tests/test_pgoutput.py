@@ -236,3 +236,53 @@ def test_begin_stats_jvm_twin_matches_kernel(spark):
         ("insert", "900"),
         ("insert", str(2**32 - 7)),
     ]
+
+
+def test_truncate_decode_encode_roundtrip():
+    from pg2kinesis_spark.operators.pgoutput import encode_truncate
+
+    # hand-packed per the protocol doc: 'T' nrels(4) options(1) relids
+    b = b"T" + struct.pack(">I", 2) + bytes([3]) + struct.pack(">2I", 55, 77)
+    assert decode_message(b) == {
+        "op": "truncate",
+        "rel_ids": [55, 77],
+        "cascade": True,
+        "restart_identity": True,
+    }
+    assert encode_truncate([55, 77], cascade=True, restart_identity=True) == b
+    assert decode_message(encode_truncate([9]))["rel_ids"] == [9]
+
+
+def test_parse_pgoutput_truncate_rows_and_snapshot(spark):
+    """Truncate emits one change row per rel (xid-attributed, NULL
+    pkey/row), and pgoutput_snapshot empties the table up to the
+    truncate LSN while keeping post-truncate inserts."""
+    from pg2kinesis_spark.operators.pgoutput import (
+        encode_truncate,
+        pgoutput_cdc_changes,
+        pgoutput_snapshot,
+    )
+
+    msgs = [
+        (10, encode_relation(55, "public", "users", ["id", "name"], key_cols=("id",))),
+        (15, encode_relation(66, "public", "other", ["id"], key_cols=("id",))),
+        (20, encode_begin(60, 900)),
+        (30, encode_insert(55, ["1", "alice"])),
+        (40, encode_insert(55, ["2", "bob"])),
+        (45, encode_insert(66, ["7"])),
+        (50, encode_commit(60, 61)),
+        (60, encode_begin(95, 901)),
+        (70, encode_truncate([55], restart_identity=True)),
+        (80, encode_insert(55, ["3", "carol"])),
+        (90, encode_commit(95, 96)),
+    ]
+    raw = spark.createDataFrame(
+        [(lsn, bytearray(m)) for lsn, m in msgs], "lsn long, payload binary"
+    )
+    ch = pgoutput_cdc_changes(raw).orderBy("lsn").collect()
+    tr = [r for r in ch if r.operation == "truncate"]
+    assert len(tr) == 1
+    assert tr[0].table == "public.users" and tr[0].xid == "901"
+    assert tr[0].pkey is None and tr[0].row is None and tr[0].error is None
+    snap = {(r.table, r.pkey) for r in pgoutput_snapshot(raw).collect()}
+    assert snap == {("public.users", "3"), ("public.other", "7")}
