@@ -64,6 +64,8 @@ class CorpusIngest:
         semdedup_ref_emb: DataFrame | None = None,
         semdedup_dim: int | None = None,
         semdedup_clusters: int = 16,
+        bloom_bits: int | None = 1 << 23,
+        bloom_k: int = 7,
     ):
         self.out_dir = out_dir
         self.gopher = gopher
@@ -115,6 +117,18 @@ class CorpusIngest:
         self.min_quality = min_quality
         self.near_dup_jaccard = near_dup_jaccard
         self.n, self.k, self.bands = n, k, bands
+        # Bloom sidecar over the accepted hashes: answers "definitely
+        # new" for the bulk of each batch so the hash-index anti-join
+        # runs only on the maybe-seen residue. Purely an optimization —
+        # no false negatives by construction, accepted set identical
+        # with it on or off (test-pinned). bloom_bits=None disables.
+        self.bloom = None
+        if bloom_bits is not None:
+            from pg2kinesis_spark.functions.bloom import BloomSidecar
+
+            self.bloom = BloomSidecar(
+                os.path.join(out_dir, "bloom"), m_bits=bloom_bits, k=bloom_k
+            )
 
     def _existing(
         self, spark: SparkSession, path: str, exclude_batch_id: int | None = None
@@ -191,7 +205,30 @@ class CorpusIngest:
         )
         idx = self._existing(spark, self.hash_path, exclude_batch_id=batch_id)
         if idx is not None:
-            ann = ann.join(idx.select("_h"), "_h", "left_anti")
+            bloom_bits = (
+                self.bloom.load_union(exclude_batch_id=batch_id)
+                if self.bloom is not None
+                else None
+            )
+            if bloom_bits is not None:
+                # bloom prefilter: rows the filter has never seen are
+                # DEFINITELY new and skip the index anti-join; only the
+                # maybe-seen residue (dups + <1% false positives) pays it
+                from pg2kinesis_spark.functions.bloom import (
+                    bloom_hash_cols,
+                    maybe_seen_udf,
+                )
+
+                h1, h2 = bloom_hash_cols(F.col("_h"))
+                maybe = maybe_seen_udf(spark, bloom_bits, self.bloom.k)
+                flagged = ann.withColumn("_maybe", maybe(h1, h2))
+                ann = flagged.filter(~F.col("_maybe")).unionByName(
+                    flagged.filter(F.col("_maybe")).join(
+                        idx.select("_h"), "_h", "left_anti"
+                    )
+                ).drop("_maybe")
+            else:
+                ann = ann.join(idx.select("_h"), "_h", "left_anti")
 
         # near-dup vs signature index (new-vs-index + new-vs-new pairs)
         if self.near_dup_jaccard is not None:
@@ -295,6 +332,20 @@ class CorpusIngest:
                     self.sd_cents,
                 ),
                 self.emb_path,
+            )
+        # bloom BEFORE the hash index: a crash between the two leaves the
+        # bloom over-approximating (maybe-seen rows probe the index, find
+        # nothing, get re-accepted) — never under-approximating, which
+        # would silently re-admit duplicates. Replay overwrites both.
+        if self.bloom is not None:
+            from pg2kinesis_spark.functions.bloom import bloom_hash_cols
+
+            h1, h2 = bloom_hash_cols(F.md5("text"))
+            self.bloom.write(
+                back.select(h1.alias("_h1"), h2.alias("_h2")),
+                "_h1",
+                "_h2",
+                batch_id,
             )
         _write(back.select(F.md5("text").alias("_h")), self.hash_path)
 

@@ -1,0 +1,103 @@
+"""Bloom prefilter: no false negatives ever (the correctness
+invariant), plausible false-positive rate, sidecar replay exclusion,
+and the CorpusIngest integration's accepted-set equivalence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pg2kinesis_spark.functions.bloom import (
+    BloomSidecar,
+    bloom_hash_cols,
+    build_bloom,
+    maybe_seen_udf,
+)
+
+
+def _hashed(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    h1, h2 = bloom_hash_cols(F.col("key"))
+    return df.select("key", h1.alias("h1"), h2.alias("h2"))
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    inserted = [f"doc-{i}" for i in range(5000)]
+    other = [f"other-{i}" for i in range(5000)]
+    bits = build_bloom(_hashed(spark, inserted), "h1", "h2", 1 << 20, 7)
+    udf = maybe_seen_udf(spark, bits, 7)
+    got = (
+        _hashed(spark, inserted + other)
+        .withColumn("m", udf("h1", "h2"))
+        .collect()
+    )
+    seen = {r.key: r.m for r in got}
+    # every inserted key MUST test positive
+    assert all(seen[k] for k in inserted)
+    # false-positive rate on fresh keys stays near the design point
+    fp = sum(seen[k] for k in other)
+    assert fp / len(other) < 0.02
+
+
+def test_bloom_power_of_two_enforced(spark):
+    with pytest.raises(ValueError):
+        BloomSidecar("/tmp/x", m_bits=1000)
+    with pytest.raises(ValueError):
+        build_bloom(_hashed(spark, ["a"]), "h1", "h2", 1000, 7)
+
+
+def test_sidecar_union_and_replay_exclusion(spark, tmp_path):
+    sc = BloomSidecar(str(tmp_path / "bloom"), m_bits=1 << 16, k=5)
+    assert sc.load_union() is None
+    sc.write(_hashed(spark, ["a", "b"]), "h1", "h2", batch_id=0)
+    sc.write(_hashed(spark, ["c"]), "h1", "h2", batch_id=1)
+    udf_all = maybe_seen_udf(spark, sc.load_union(), 5)
+    rows = {
+        r.key: r.m
+        for r in _hashed(spark, ["a", "b", "c"]).withColumn("m", udf_all("h1", "h2")).collect()
+    }
+    assert rows == {"a": True, "b": True, "c": True}
+    # replay of batch 1 must NOT see batch 1's own bloom
+    udf_ex = maybe_seen_udf(spark, sc.load_union(exclude_batch_id=1), 5)
+    rows = {
+        r.key: r.m
+        for r in _hashed(spark, ["a", "c"]).withColumn("m", udf_ex("h1", "h2")).collect()
+    }
+    assert rows["a"] is True and rows["c"] is False
+
+
+def test_ingest_accepted_set_identical_bloom_on_off(spark, tmp_path):
+    """The prefilter is pure optimization: two ingests over the same
+    batches produce byte-identical accepted doc_id sets with the bloom
+    enabled and disabled, including a cross-batch exact dup."""
+    import os
+
+    from pg2kinesis_spark.streaming.corpus_ingest import start_corpus_ingest
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    b1 = [(1, base), (2, base), (3, "completely different text about spark clusters here")]
+    b2 = [(10, base), (12, "a fresh unique document mentioning entirely new material")]
+
+    def run(tag, **kw):
+        src = str(tmp_path / f"landing_{tag}")
+        out = str(tmp_path / f"curated_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+        for rows in (b1, b2):
+            spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            q = start_corpus_ingest(spark, src, out, ckpt, near_dup_jaccard=None, **kw)
+            q.awaitTermination(120)
+        got = {
+            r.doc_id
+            for r in spark.read.parquet(os.path.join(out, "accepted")).select("doc_id").collect()
+        }
+        return out, got
+
+    out_on, with_bloom = run("on", bloom_bits=1 << 16)
+    _, without = run("off", bloom_bits=None)
+    assert with_bloom == without == {1, 3, 12}
+    # the sidecar actually wrote per-batch blooms
+    blooms = os.listdir(os.path.join(out_on, "bloom"))
+    assert sorted(blooms) == ["bloom_0.bin", "bloom_1.bin"]
