@@ -53,6 +53,39 @@ def is_png(data: bytes) -> bool:
     return bytes(data[:8]) == PNG_SIG
 
 
+# Resource guard for untrusted bytes: header dimension fields are
+# attacker-controlled and drive canvas/coefficient ALLOCATIONS before
+# any pixel decodes, so a 1 KB file claiming 65535x65535 would allocate
+# gigabytes — an OOM the quarantine channel cannot catch (the kernel
+# OOM-killer fires before Python raises). 2^26 pixels (67 MP ≈ 8K x 8K)
+# admits any sane corpus image; peak decode memory at the cap stays
+# ~1 GB (JPEG coefficients, the worst case). Raise it for trusted
+# high-resolution archives.
+MAX_PIXELS = 1 << 26
+
+
+def _check_pixels(width: int, height: int, what: str) -> None:
+    if width <= 0 or height <= 0 or width * height > MAX_PIXELS:
+        raise ValueError(f"{what} dimensions {width}x{height} out of bounds")
+
+
+def _bounded_inflate(chunks, expected: int) -> bytes:
+    """zlib-decompress to AT MOST ``expected`` bytes: a decompression
+    bomb (tiny IDAT inflating to gigabytes) raises instead of
+    allocating. Returns whatever the stream yields up to the cap — the
+    callers' exact length checks handle short streams."""
+    d = zlib.decompressobj()
+    out = bytearray()
+    for ch in chunks:
+        out += d.decompress(bytes(ch), expected + 1 - len(out))
+        if len(out) > expected:
+            raise ValueError("PNG data length mismatch")
+    out += d.decompress(b"", expected + 1 - len(out))
+    if len(out) > expected:
+        raise ValueError("PNG data length mismatch")
+    return bytes(out)
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Decode an 8-bit PNG to an (H, W, C) uint8 array.
 
@@ -90,8 +123,18 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"bad PNG interlace method {interlace}")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {color}")
+    _check_pixels(width, height, "PNG")
     nch = _PNG_CHANNELS[color]
-    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        expected = height * (width * nch + 1)
+    else:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                expected += ph * (pw * nch + 1)
+    raw = _bounded_inflate(idat, expected)
     if interlace == 0:
         stride = width * nch
         if len(raw) != height * (stride + 1):
@@ -1184,6 +1227,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
                 if prec != 8:
                     raise NotImplementedError(f"JPEG precision {prec}")
+                # the wire field allows 255 components, each of which
+                # allocates its own coefficient plane — a hostile SOF at
+                # the pixel cap would claim ~68 GB. Real JFIF is 1 (gray),
+                # 3 (YCbCr), or 4 (CMYK).
+                if not 1 <= nc <= 4:
+                    raise ValueError(f"JPEG component count {nc} out of bounds")
                 comps = []
                 for i in range(nc):
                     cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
@@ -1249,6 +1298,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if sof is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
     height, width, comps = sof
+    _check_pixels(width, height, "JPEG")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     for c in comps:
@@ -1925,9 +1975,17 @@ def is_gif(data: bytes) -> bool:
 _GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step) passes
 
 
-def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+def _lzw_decode(data: bytes, min_code_size: int, max_out: int | None = None) -> list[int]:
     """GIF-flavor LZW: variable code width, CLEAR/EOI codes, dictionary
-    rebuilt from the palette roots on CLEAR."""
+    rebuilt from the palette roots on CLEAR. ``max_out`` stops decoding
+    once that many symbols exist — LZW expands up to ~4096x, so an
+    unbounded decode of hostile input is a memory bomb; callers pass
+    the frame's pixel count (the tail is playback-irrelevant anyway)."""
+    # the field is attacker-controlled and sizes the root dictionary:
+    # a stomped byte claiming 40 builds a 2^40-entry dict. GIF codes
+    # are at most 12 bits wide, so roots can never exceed 2^11.
+    if not 2 <= min_code_size <= 11:
+        raise ValueError(f"GIF LZW minimum code size {min_code_size} out of bounds")
     clear = 1 << min_code_size
     eoi = clear + 1
 
@@ -1962,6 +2020,8 @@ def _lzw_decode(data: bytes, min_code_size: int) -> list[int]:
         else:
             raise ValueError("corrupt GIF LZW stream")
         out.extend(entry)
+        if max_out is not None and len(out) >= max_out:
+            return out
         if prev is not None and next_code < 4096:
             table[next_code] = prev + (entry[0],)
             next_code += 1
@@ -2050,6 +2110,7 @@ def decode_gif_frames(data: bytes, max_frames: int | None = None) -> list[np.nda
 
 def _decode_gif_body(data: bytes, max_frames: int | None) -> list[np.ndarray]:
     sw, sh, flags, bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    _check_pixels(sw, sh, "GIF screen")
     pos = 13
     gct = None
     if flags & 0x80:
@@ -2083,6 +2144,7 @@ def _decode_gif_body(data: bytes, max_frames: int | None) -> list[np.ndarray]:
                 pos += 1
         elif block == 0x2C:  # image descriptor
             left, top, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
+            _check_pixels(w, h, "GIF frame")
             pos += 9
             pal = gct
             if iflags & 0x80:
@@ -2099,7 +2161,7 @@ def _decode_gif_body(data: bytes, max_frames: int | None) -> list[np.ndarray]:
                 lzw += data[pos + 1 : pos + 1 + ln]
                 pos += 1 + ln
             pos += 1
-            idx = _lzw_decode(bytes(lzw), min_code)
+            idx = _lzw_decode(bytes(lzw), min_code, max_out=w * h)
             if len(idx) < w * h:
                 raise ValueError("GIF pixel data truncated")
             grid = np.array(idx[: w * h], dtype=np.int32).reshape(h, w)

@@ -1,0 +1,193 @@
+"""Adversarial corruption fuzz over every decode kernel.
+
+The quarantine channel's contract is "any dirty bytes are survivable":
+`_guard` catches Exception, so the only job-killers left are hangs and
+interpreter-level faults. This fuzz hammers each decoder with seeded
+corruptions of VALID streams — single byte flips, truncations, splices,
+length-field tampering — and asserts every call returns or raises a
+normal Exception quickly. It exists to FIND pathological paths (huffman
+loops on corrupt DHTs, LZW table runaway, zero-length chunk spins), not
+to pin outputs.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pytest
+
+from pg2kinesis_spark.functions import codecs as C
+
+
+def _corruptions(data: bytes, rng: np.random.RandomState, n: int):
+    """Deterministic corruption stream: flips, truncations, splices."""
+    data = bytearray(data)
+    for i in range(n):
+        kind = rng.randint(4)
+        buf = bytearray(data)
+        if kind == 0:  # flip 1-4 bytes anywhere
+            for _ in range(rng.randint(1, 5)):
+                pos = rng.randint(len(buf))
+                buf[pos] ^= 1 << rng.randint(8)
+        elif kind == 1:  # truncate at a random offset
+            buf = buf[: rng.randint(1, len(buf))]
+        elif kind == 2:  # splice a random window over another offset
+            a, b = sorted(rng.randint(0, len(buf), size=2))
+            w = buf[a : min(b, a + 64)]
+            pos = rng.randint(len(buf))
+            buf[pos : pos + len(w)] = w
+        else:  # stomp a run with random bytes (hits length fields)
+            pos = rng.randint(len(buf))
+            run = rng.randint(1, 16)
+            buf[pos : pos + run] = bytes(rng.randint(0, 256, size=run, dtype=np.uint8))
+        yield bytes(buf)
+
+
+def _hammer(decode, corpus, seed, n_per_item=120, budget_s=0.5):
+    """Every corruption must return or raise within the time budget."""
+    rng = np.random.RandomState(seed)
+    slowest = 0.0
+    for data in corpus:
+        for mutated in _corruptions(data, rng, n_per_item):
+            t0 = time.perf_counter()
+            try:
+                decode(mutated)
+            except Exception:
+                pass  # any normal exception is fine — _guard routes it
+            dt = time.perf_counter() - t0
+            slowest = max(slowest, dt)
+            assert dt < budget_s, (
+                f"decoder took {dt:.2f}s on a corrupt input — pathological path"
+            )
+    return slowest
+
+
+def _img(h, w, c, seed):
+    return np.random.RandomState(seed).randint(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+def test_fuzz_png():
+    corpus = [
+        C.encode_png(_img(24, 17, 3, 1)),
+        C.encode_png(_img(9, 9, 1, 2), interlace=True),
+    ]
+    _hammer(C.decode_png, corpus, seed=10)
+
+
+def test_fuzz_jpeg_sequential_and_progressive():
+    corpus = [
+        C.encode_jpeg(_img(24, 24, 3, 3), quality=85, subsample=True),
+        C.encode_jpeg(_img(17, 13, 1, 4), quality=70),
+        C.encode_jpeg_progressive(_img(24, 16, 3, 5), quality=85),
+        C.encode_jpeg(_img(32, 32, 3, 6), quality=85, restart_interval=2),
+    ]
+    _hammer(C.decode_jpeg, corpus, seed=11)
+
+
+def test_fuzz_gif():
+    from pg2kinesis_spark.functions.codecs import encode_gif
+
+    img = _img(16, 16, 3, 7) // 32 * 32  # palette-friendly
+    corpus = [encode_gif(img)]
+    _hammer(C.decode_gif, corpus, seed=12)
+
+
+def test_fuzz_wav():
+    pcm = (np.random.RandomState(8).randn(4000, 2) * 8000).astype(np.int16)
+    corpus = [C.encode_wav(pcm, 16000)]
+    _hammer(C.decode_wav, corpus, seed=13)
+
+
+def test_fuzz_avi_and_dispatch():
+    from pg2kinesis_spark.functions.codecs import encode_avi_mjpeg
+
+    frames = [_img(16, 16, 3, 20 + i) for i in range(3)]
+    corpus = [encode_avi_mjpeg(frames, fps=5, quality=85)]
+    _hammer(C.decode_avi_mjpeg, corpus, seed=14)
+    # the mime-dispatching front door must be equally crash-free
+    png = C.encode_png(_img(12, 12, 3, 30))
+    _hammer(C.decode_image, [png], seed=15, n_per_item=60)
+
+
+def test_resource_guards_reject_absurd_dimensions():
+    """Header fields claiming giant canvases must raise BEFORE any
+    allocation — the OOM-killer fires faster than Python's MemoryError
+    on a real executor, so quarantine can't catch an allocation bomb."""
+    import struct
+    import zlib
+
+    # GIF claiming a 65535x65535 screen (12 GB canvas)
+    gif = bytearray(C.encode_gif(_img(8, 8, 3, 40) // 32 * 32))
+    struct.pack_into("<HH", gif, 6, 65535, 65535)
+    with pytest.raises(ValueError, match="out of bounds"):
+        C.decode_gif(bytes(gif))
+    # PNG IHDR claiming 60000x60000 (10 GB RGB)
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    png = (
+        C.PNG_SIG
+        + C._png_chunk(b"IHDR", ihdr)
+        + C._png_chunk(b"IDAT", zlib.compress(b"\x00" * 100))
+        + C._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="out of bounds"):
+        C.decode_png(png)
+    # JPEG SOF claiming 65500x65500
+    jpg = bytearray(C.encode_jpeg(_img(8, 8, 1, 41), quality=85))
+    sof = jpg.index(b"\xff\xc0")
+    struct.pack_into(">HH", jpg, sof + 5, 65500, 65500)
+    with pytest.raises(ValueError, match="out of bounds"):
+        C.decode_jpeg(bytes(jpg))
+
+
+def test_png_decompression_bomb_bounded():
+    """A tiny IDAT inflating to far more than the claimed image size
+    raises instead of materializing the bomb."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)  # 4x4 gray: 20 raw bytes
+    bomb = zlib.compress(b"\x00" * (50 * 1024 * 1024), 9)  # 50 MB of zeros, ~50 KB
+    assert len(bomb) < 100 * 1024
+    png = (
+        C.PNG_SIG
+        + C._png_chunk(b"IHDR", ihdr)
+        + C._png_chunk(b"IDAT", bomb)
+        + C._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="length mismatch"):
+        C.decode_png(png)
+
+
+def test_gif_lzw_min_code_size_bounded():
+    """A stomped LZW minimum-code-size byte (e.g. 40) must not size the
+    root dictionary: 2^40 roots is a found-by-fuzz memory/CPU bomb."""
+    with pytest.raises(ValueError, match="minimum code size"):
+        C._lzw_decode(b"\x00\x01\x02", 40)
+    with pytest.raises(ValueError, match="minimum code size"):
+        C._lzw_decode(b"\x00", 1)
+
+
+def test_jpeg_component_count_bounded():
+    """SOF claiming 255 components would allocate 255 coefficient
+    planes (~68 GB at the pixel cap) — found by fuzz."""
+    import struct
+
+    jpg = bytearray(C.encode_jpeg(_img(8, 8, 1, 43), quality=85))
+    sof = jpg.index(b"\xff\xc0")
+    jpg[sof + 9] = 255  # nc byte
+    with pytest.raises(ValueError, match="component count"):
+        C.decode_jpeg(bytes(jpg))
+
+
+def test_gif_lzw_expansion_bounded():
+    """LZW output stops at the frame's pixel count: a stream built to
+    expand ~4096x per code cannot out-allocate the declared frame."""
+    img = _img(8, 8, 3, 42) // 32 * 32
+    data = C.encode_gif(img)
+    # valid image still decodes identically with the cap in place
+    np.testing.assert_array_equal(C.decode_gif(data), C.decode_gif(data))
+    got = C._lzw_decode(
+        C._lzw_encode(list(range(16)) * 1000, 8), 8, max_out=64
+    )
+    assert 64 <= len(got) < 64 + 4096  # stops at/near the cap, not 16k
