@@ -63,6 +63,14 @@ def is_png(data: bytes) -> bool:
 # high-resolution archives.
 MAX_PIXELS = 1 << 26
 
+# Cap on the SUM of output pixels across an animation's frames: each
+# decoded GIF frame is a full-canvas copy, so a small file declaring a
+# large screen plus many tiny image blocks multiplies the canvas
+# (8K x 8K screen x 1000 one-pixel frames = 200 GB). 2^28 total pixels
+# ≈ 805 MB RGB — a million frames of thumbnails, or 4 frames at the
+# single-image cap.
+MAX_TOTAL_PIXELS = 1 << 28
+
 
 def _check_pixels(width: int, height: int, what: str) -> None:
     if width <= 0 or height <= 0 or width * height > MAX_PIXELS:
@@ -1882,8 +1890,10 @@ def decode_avi_mjpeg(data: bytes, max_frames: int | None = None) -> list[np.ndar
     if not is_avi(data):
         raise ValueError("not an AVI: bad RIFF/AVI header")
     frames: list[np.ndarray] = []
+    total_px = 0
 
     def walk(pos: int, end: int) -> None:
+        nonlocal total_px
         while pos + 8 <= end:
             if max_frames is not None and len(frames) >= max_frames:
                 return
@@ -1895,7 +1905,16 @@ def decode_avi_mjpeg(data: bytes, max_frames: int | None = None) -> list[np.ndar
                 if ltype in (b"movi", b"hdrl", b"rec "):
                     walk(body_start + 4, body_start + clen)
             elif cid[2:4] in (b"dc", b"db") and clen:
-                frames.append(decode_jpeg(data[body_start : body_start + clen]))
+                f = decode_jpeg(data[body_start : body_start + clen])
+                total_px += f.shape[0] * f.shape[1]
+                # same animation-output bound as GIF: per-frame dims are
+                # individually capped, but a hostile file can multiply
+                # near-cap frames until the LIST is exhausted
+                if total_px > MAX_TOTAL_PIXELS:
+                    raise ValueError(
+                        f"AVI exceeds {MAX_TOTAL_PIXELS} total output pixels"
+                    )
+                frames.append(f)
             pos = body_start + clen + (clen & 1)  # word-aligned
 
     walk(12, len(data))
@@ -2184,6 +2203,10 @@ def _decode_gif_body(data: bytes, max_frames: int | None) -> list[np.ndarray]:
             frames.append(canvas.copy())
             if max_frames is not None and len(frames) >= max_frames:
                 return frames
+            if (len(frames) + 1) * sw * sh > MAX_TOTAL_PIXELS:
+                raise ValueError(
+                    f"GIF animation exceeds {MAX_TOTAL_PIXELS} total output pixels"
+                )
             if disposal == 2:  # restore region to background
                 canvas[top : top + h, left : left + w] = bg_rgb
             elif disposal == 3:  # restore previous canvas

@@ -57,16 +57,33 @@ RECORD_SCHEMA = T.StructType(
 )
 
 
-def gunzip_members(data: bytes) -> bytes:
+def gunzip_members(data: bytes, max_bytes: int = 1 << 31) -> bytes:
     """Decompress a possibly multi-member gzip stream (the .warc.gz
-    layout: one gzip member per record). Plain data passes through."""
+    layout: one gzip member per record). Plain data passes through.
+
+    Output is capped at ``max_bytes`` (default 2 GiB — the kernel holds
+    one decompressed archive at a time, and real WARC segments are ~1 GiB
+    compressed): gzip expands up to ~1032x per member, so an unbounded
+    inflate of a hostile archive is a memory bomb the quarantine channel
+    cannot catch."""
     if data[:2] != b"\x1f\x8b":
         return data
     out = []
+    total = 0
     while data:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-        out.append(d.decompress(data))
-        out.append(d.flush())
+        buf = data
+        while True:
+            chunk = d.decompress(buf, max_bytes + 1 - total)
+            out.append(chunk)
+            total += len(chunk)
+            if total > max_bytes:
+                raise ValueError(
+                    f"decompressed archive exceeds {max_bytes} bytes (gzip bomb?)"
+                )
+            if d.eof or not d.unconsumed_tail or not chunk:
+                break
+            buf = d.unconsumed_tail
         if not d.eof:
             break  # truncated trailing member: keep what decoded
         data = d.unused_data

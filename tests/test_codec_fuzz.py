@@ -180,6 +180,43 @@ def test_jpeg_component_count_bounded():
         C.decode_jpeg(bytes(jpg))
 
 
+def test_animation_total_output_bounded():
+    """Frames multiply the canvas: a small file declaring a large
+    screen plus many tiny image blocks must hit the total-output cap
+    instead of materializing gigabytes of canvas copies."""
+    import struct
+
+    # GIF: 4096x4096 screen (under the per-image cap), many 1x1 frames
+    img = _img(4, 4, 3, 50) // 32 * 32
+    data = bytearray(C.encode_gif(img))
+    struct.pack_into("<HH", data, 6, 4096, 4096)
+    # splice the (1x1-equivalent) image block many times: decode each
+    # frame onto the big canvas until the cumulative cap trips
+    desc = data.index(b"\x2c")
+    frame_block = bytes(data[desc:-1])  # descriptor..before trailer
+    bomb = bytes(data[:desc]) + frame_block * 40 + b"\x3b"
+    with pytest.raises(ValueError, match="total output pixels"):
+        C.decode_gif_frames(bomb)
+    # bounded samplers (max_frames) are unaffected
+    assert len(C.decode_gif_frames(bomb, max_frames=2)) == 2
+
+
+def test_warc_gunzip_bomb_bounded():
+    import zlib
+
+    from pg2kinesis_spark.functions import warc as W
+
+    co = zlib.compressobj(9, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    bomb = co.compress(b"\x00" * (64 * 1024 * 1024)) + co.flush()
+    assert len(bomb) < 1024 * 1024
+    with pytest.raises(ValueError, match="gzip bomb"):
+        W.gunzip_members(bomb, max_bytes=4 * 1024 * 1024)
+    # legit multi-member round trip unaffected
+    recs = [{"warc_type": "response", "payload": b"hello"}]
+    buf = W.encode_warc(recs, gzip_members=True)
+    assert b"hello" in W.gunzip_members(buf)
+
+
 def test_gif_lzw_expansion_bounded():
     """LZW output stops at the frame's pixel count: a stream built to
     expand ~4096x per code cannot out-allocate the declared frame."""
