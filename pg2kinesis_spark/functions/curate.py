@@ -130,11 +130,27 @@ def curate_corpus(
 
         if url_badwords:
             docs = _urls.url_badword_filter(docs, url_badwords, url_col=url_col)
+        # parse ONCE: blocklist + dedup + cap all reuse the host/domain/
+        # url_norm columns instead of re-evaluating the PSL longest-match
+        # CASE per stage (the expensive expression in this tier). The
+        # stages are multi-reference (url_dedup sees its input from 3
+        # plan subtrees, domain_cap from 2), so materialize between them
+        # — same localCheckpoint discipline as the dedup stages below
+        # (measured 2.6x on the bench URL pipeline).
+        parsed = _urls.parse_urls(docs, url_col)
         if url_blocklist:
-            docs = _urls.domain_blocklist_filter(docs, url_blocklist, url_col=url_col)
-        docs = _urls.url_dedup(docs, url_col=url_col)
+            parsed = _urls.domain_blocklist_filter(
+                parsed, url_blocklist, url_col=url_col,
+                host_col="host", domain_col="domain",
+            )
+        parsed = parsed.localCheckpoint(eager=False)
+        parsed = _urls.url_dedup(parsed, url_col=url_col, norm_col="url_norm")
         if domain_cap_k is not None:
-            docs = _urls.domain_cap(docs, domain_cap_k, url_col=url_col)
+            parsed = _urls.domain_cap(
+                parsed.localCheckpoint(eager=False),
+                domain_cap_k, url_col=url_col, domain_col="domain",
+            )
+        docs = parsed.drop("host", "domain", "path", "url_norm")
     if c4_rules:
         from .c4 import c4_clean
 

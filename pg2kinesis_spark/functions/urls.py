@@ -306,21 +306,31 @@ def parse_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
-def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    norm_col: str | None = None,
+) -> DataFrame:
     """One doc per normalized URL — the smallest id wins (deterministic
     first-occurrence). GroupBy-min + semi-join on (url_norm, id): the
     verified n5 exact-dedup shape — partial-aggregated, no window, and
     only (hash-sized key, id) rows ever shuffle. Docs whose URL fails
     to parse (url_norm NULL) are all kept — no evidence of duplication.
+    ``norm_col`` reuses a ``parse_urls``-computed ``url_norm`` column.
     """
-    base = df.withColumn("_un", normalize_url(url_col))
+    if norm_col is None:
+        base = df.withColumn("_un", normalize_url(url_col))
+        un, drop = "_un", ("_un",)
+    else:
+        base, un, drop = df, norm_col, ()
     winners = (
-        base.filter(F.col("_un").isNotNull())
-        .groupBy("_un")
+        base.filter(F.col(un).isNotNull())
+        .groupBy(un)
         .agg(F.min(id_col).alias(id_col))
     )
-    kept = base.filter(F.col("_un").isNotNull()).join(winners, ["_un", id_col], "left_semi")
-    return kept.unionByName(base.filter(F.col("_un").isNull())).drop("_un")
+    kept = base.filter(F.col(un).isNotNull()).join(winners, [un, id_col], "left_semi")
+    return kept.unionByName(base.filter(F.col(un).isNull())).drop(*drop)
 
 
 def _py_registered(b: str, psl: dict | None = None) -> str:
@@ -350,7 +360,11 @@ def _py_registered(b: str, psl: dict | None = None) -> str:
 
 
 def domain_blocklist_filter(
-    df: DataFrame, blocklist: list[str], url_col: str = "url"
+    df: DataFrame,
+    blocklist: list[str],
+    url_col: str = "url",
+    host_col: str | None = None,
+    domain_col: str | None = None,
 ) -> DataFrame:
     """Drop rows whose host IS a blocked domain or a subdomain of one.
 
@@ -363,26 +377,40 @@ def domain_blocklist_filter(
     * deeper entries (e.g. ``bad.example.com``) match by host equality
       or ``.``-suffix — a broadcast theta anti-join over only that
       (small) residue, never the full list.
+
+    ``host_col``/``domain_col`` reuse columns a prior ``parse_urls``
+    already computed — the PSL longest-match CASE is the expensive
+    expression in the URL tier, and a pipeline that chains blocklist +
+    cap would otherwise evaluate it once per stage per row.
     """
     spark = df.sparkSession
-    base = df.withColumn("_h", _host(url_col)).withColumn(
-        "_d", registered_domain(F.col("_h"))
-    )
+    tmp = []
+    base = df
+    hc = host_col
+    if hc is None:
+        base = base.withColumn("_h", _host(url_col))
+        hc = "_h"
+        tmp.append("_h")
+    dc = domain_col
+    if dc is None:
+        base = base.withColumn("_d", registered_domain(F.col(hc)))
+        dc = "_d"
+        tmp.append("_d")
     entries = sorted({b.lower().lstrip(".") for b in blocklist})
     regs = [b for b in entries if _py_registered(b) == b]
     deep = [b for b in entries if _py_registered(b) != b]
     out = base
     if regs:
         rdf = F.broadcast(spark.createDataFrame([(b,) for b in regs], "b string"))
-        out = out.join(rdf, out["_d"] == rdf["b"], "left_anti")
+        out = out.join(rdf, out[dc] == rdf["b"], "left_anti")
     if deep:
         ddf = F.broadcast(spark.createDataFrame([(b,) for b in deep], "b string"))
         out = out.join(
             ddf,
-            (out["_h"] == ddf["b"]) | out["_h"].endswith(F.concat(F.lit("."), ddf["b"])),
+            (out[hc] == ddf["b"]) | out[hc].endswith(F.concat(F.lit("."), ddf["b"])),
             "left_anti",
         )
-    return out.drop("_h", "_d")
+    return out.drop(*tmp)
 
 
 def url_badword_score(url_col: str = "url", words: tuple[str, ...] = ()) -> Column:
@@ -409,6 +437,7 @@ def domain_cap(
     id_col: str = "doc_id",
     order_col: str | None = None,
     n_salt: int = 32,
+    domain_col: str | None = None,
 ) -> DataFrame:
     """At most k docs per registered domain — the per-domain crawl
     budget (CommonCrawl-style hostload). Keeps the k best by
@@ -420,23 +449,27 @@ def domain_cap(
     no-evidence rule, not one shared cap bucket."""
     from pyspark.sql import Window as W
 
-    base = df.withColumn("_dom", registered_domain(_host(url_col)))
-    unparsed = base.filter(F.col("_dom").isNull()).drop("_dom")
-    base = base.filter(F.col("_dom").isNotNull())
+    if domain_col is None:
+        base = df.withColumn("_dom", registered_domain(_host(url_col)))
+        dom, dom_drop = "_dom", ("_dom",)
+    else:
+        base, dom, dom_drop = df, domain_col, ()
+    unparsed = base.filter(F.col(dom).isNull()).drop(*dom_drop)
+    base = base.filter(F.col(dom).isNotNull())
     if order_col is None:
         order = (F.col(id_col).asc(),)
     else:
         order = (F.col(order_col).desc(), F.col(id_col).asc())
     h = F.expr(HASH60.format(x=f"cast({id_col} as string)"))
     salted = base.withColumn("_salt", F.pmod(h, F.lit(n_salt)))
-    w_local = W.partitionBy("_dom", "_salt").orderBy(*order)
+    w_local = W.partitionBy(dom, "_salt").orderBy(*order)
     pre = salted.withColumn("_lrnk", F.row_number().over(w_local)).filter(
         F.col("_lrnk") <= k
     )
-    w = W.partitionBy("_dom").orderBy(*order)
+    w = W.partitionBy(dom).orderBy(*order)
     capped = (
         pre.withColumn("_rnk", F.row_number().over(w))
         .filter(F.col("_rnk") <= k)
-        .drop("_dom", "_salt", "_lrnk", "_rnk")
+        .drop(*dom_drop, "_salt", "_lrnk", "_rnk")
     )
     return capped.unionByName(unparsed)

@@ -160,11 +160,15 @@ class CorpusIngest:
                 batch = _urls.url_badword_filter(
                     batch, self.url_badwords, url_col=self.url_col
                 )
+            # parse once; blocklist + dedup reuse the computed columns
+            parsed = _urls.parse_urls(batch, self.url_col)
             if self.url_blocklist:
-                batch = _urls.domain_blocklist_filter(
-                    batch, self.url_blocklist, url_col=self.url_col
+                parsed = _urls.domain_blocklist_filter(
+                    parsed, self.url_blocklist, url_col=self.url_col,
+                    host_col="host", domain_col="domain",
                 )
-            batch = _urls.url_dedup(batch, url_col=self.url_col)
+            parsed = _urls.url_dedup(parsed, url_col=self.url_col, norm_col="url_norm")
+            batch = parsed.drop("host", "domain", "path", "url_norm")
         if self.dsir_logratios is not None and self.min_dsir_logw is not None:
             from pg2kinesis_spark.functions.dsir import dsir_scores
 
