@@ -132,10 +132,14 @@ def n22_url_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", F.expr(_URL_EXPR).alias("url"))
     out = urls.parse_urls(docs)
-    out = urls.url_dedup(out)
-    out = urls.domain_blocklist_filter(out, _URL_BLOCKLIST)
+    # reuse the parsed columns through the chain — same results, but
+    # the PSL longest-match CASE evaluates once per row, not per stage
+    out = urls.url_dedup(out, norm_col="url_norm")
+    out = urls.domain_blocklist_filter(
+        out, _URL_BLOCKLIST, host_col="host", domain_col="domain"
+    )
     out = urls.url_badword_filter(out, ("casino",), max_score=0)
-    out = urls.domain_cap(out, k=_URL_CAP)
+    out = urls.domain_cap(out, k=_URL_CAP, domain_col="domain")
     return out.select("doc_id", "host", "domain", "url_norm").orderBy("doc_id")
 
 
