@@ -253,6 +253,121 @@ def _subsplit(assigned: DataFrame, max_cluster_size: int) -> DataFrame:
     ).drop("_nsub")
 
 
+def _seq_fold(prod):
+    """Left-fold sum over the last axis matching Spark's ``aggregate``
+    lambda (acc + v in array order): ``np.add.accumulate`` is strictly
+    sequential, unlike ``np.sum``'s pairwise summation — the difference
+    is real ULPs on cosines near the eps boundary."""
+    import numpy as np
+
+    return np.add.accumulate(prod, axis=-1)[..., -1]
+
+
+def _spark_order_key(cent_sim: float, vec_id):
+    """Spark sort key for (cent_sim, vec_id): NaN sorts LAST (Spark
+    treats NaN as larger than any double, unlike IEEE)."""
+    return (math.isnan(cent_sim), cent_sim, vec_id)
+
+
+def _semdedup_driver(
+    spark, rows, vec_id_field, dim, eps, n_clusters, n_iter, scale, max_pairs
+):
+    """Driver-side numpy twin of the flat semdedup path for SMALL
+    inputs — the broadcast-side-compute analogue: bit-identical to the
+    distributed path by construction (same float64 ops in the same
+    order, same integer Lloyd, same Spark NaN semantics), parity-pinned
+    by tests. Returns None when the pair count exceeds ``max_pairs``
+    (caller falls back to the distributed join)."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    schema_empty = T.StructType(
+        [
+            vec_id_field,
+            T.StructField("cid", T.IntegerType(), False),
+            T.StructField("cent_sim", T.DoubleType(), True),
+            T.StructField("kept", T.BooleanType(), False),
+        ]
+    )
+    if not rows:
+        return spark.createDataFrame([], schema_empty)
+    ids = [r["vec_id"] for r in rows]
+    emb64 = np.array([[float(x) for x in r["embedding"]] for r in rows], dtype=np.float64)
+    n = len(ids)
+    # quantize exactly like _ivf_int_vec: floor(double(x)·scale) + scale
+    qv = np.floor(emb64 * float(scale)).astype(np.int64) + scale
+    # hash-seeded init: smallest (HASH60(str(vec_id)), vec_id)
+    h = [int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) for v in ids]
+    order = sorted(range(n), key=lambda i: (h[i], ids[i]))
+    cents = [qv[i].tolist() for i in order[:n_clusters]]
+    for _ in range(n_iter):
+        C = np.array(cents, dtype=np.int64)
+        d = ((qv[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # exact ints
+        cid = d.argmin(axis=1)  # first-min index == min-cid tie-break
+        new = {}
+        for k in range(len(cents)):
+            mask = cid == k
+            cnt = int(mask.sum())
+            if cnt:
+                s = qv[mask].sum(axis=0)
+                new[k] = [int(v) // cnt for v in s]
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    C = np.array(cents, dtype=np.int64)
+    d = ((qv[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    cid = d.argmin(axis=1)
+    cent_d = (C.astype(np.float64) - float(scale)) / float(scale)
+    cd = cent_d[cid]
+    nrm_e = np.sqrt(_seq_fold(emb64 * emb64))
+    nrm_c = np.sqrt(_seq_fold(cd * cd))
+    denom = nrm_e * nrm_c
+    if bool((denom == 0.0).any()):
+        # parity with the distributed path: Spark 4 ANSI mode raises
+        # DIVIDE_BY_ZERO for double division too, so a zero-norm
+        # embedding fail-stops there — mirror it, don't emit NaN
+        raise ArithmeticError(
+            "Division by zero in cent_sim (zero-norm embedding) — "
+            "matches the distributed path's ANSI DIVIDE_BY_ZERO"
+        )
+    cent_sim = _seq_fold(emb64 * cd) / denom
+
+    total_pairs = 0
+    by_cluster: dict[int, list[int]] = {}
+    for i, k in enumerate(cid.tolist()):
+        by_cluster.setdefault(k, []).append(i)
+    for idx in by_cluster.values():
+        total_pairs += len(idx) * (len(idx) - 1) // 2
+    if total_pairs > max_pairs:
+        return None
+
+    thr = 1.0 - eps
+    kept = [True] * n
+    for idx in by_cluster.values():
+        idx.sort(key=lambda i: _spark_order_key(float(cent_sim[i]), ids[i]))
+        E = emb64[idx]
+        NR = nrm_e[idx]
+        for j in range(1, len(idx)):
+            cos = _seq_fold(E[:j] * E[j]) / (NR[:j] * NR[j])
+            # Spark comparison semantics: NaN >= thr is TRUE (NaN is
+            # the largest double in Spark's ordering)
+            if bool(np.any((cos >= thr) | np.isnan(cos))):
+                kept[idx[j]] = False
+
+    schema = T.StructType(
+        [
+            vec_id_field,
+            T.StructField("cid", T.IntegerType(), False),
+            T.StructField("cent_sim", T.DoubleType(), True),
+            T.StructField("kept", T.BooleanType(), False),
+        ]
+    )
+    out = [
+        (ids[i], int(cid[i]), float(cent_sim[i]), bool(kept[i])) for i in range(n)
+    ]
+    return spark.createDataFrame(out, schema)
+
+
 def semdedup(
     emb: DataFrame,
     dim: int,
@@ -263,6 +378,8 @@ def semdedup(
     max_cluster_size: int | None = None,
     hierarchical: bool = False,
     nprobe: int = 2,
+    driver_threshold: int | None = 20_000,
+    driver_max_pairs: int = 50_000_000,
 ) -> DataFrame:
     """(vec_id, cid, cent_sim, kept) — ``kept = false`` for items with a
     semantic duplicate (cos >= 1 - eps) earlier in the keep order.
@@ -273,7 +390,37 @@ def semdedup(
     vec_id breaking exact-tie determinism. The drop rule is an
     EXISTS — expressed as pair-join → distinct losers → anti-join flag,
     so no window function ever sees a whole cluster in one reducer.
+
+    Inputs at or below ``driver_threshold`` rows take a numpy driver
+    path (``_semdedup_driver``) — bit-identical by construction and
+    parity-pinned by tests — because the distributed path's ~15 Spark
+    jobs (Lloyd collects, assignment, pair join) are pure scheduling
+    overhead at that size (measured ~5 s on a 2.4k-row survivor set).
+    ``driver_threshold=None`` (or the hierarchical / sub-split paths,
+    or a blown ``driver_max_pairs`` budget) always runs distributed.
     """
+    if (
+        driver_threshold is not None
+        and not hierarchical
+        and max_cluster_size is None
+    ):
+        sample = (
+            emb.select("vec_id", "embedding").limit(driver_threshold + 1).collect()
+        )
+        if len(sample) <= driver_threshold:
+            out = _semdedup_driver(
+                emb.sparkSession,
+                sample,
+                emb.schema["vec_id"],
+                dim,
+                eps,
+                n_clusters,
+                n_iter,
+                scale,
+                driver_max_pairs,
+            )
+            if out is not None:
+                return out
     assigned = semdedup_assign(
         emb, dim, n_clusters, n_iter, scale, hierarchical=hierarchical, nprobe=nprobe
     )

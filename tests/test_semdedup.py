@@ -99,16 +99,65 @@ def emb_rows(spark, sf_small):
 
 
 def test_semdedup_matches_python_oracle(spark, sf_small, emb_rows):
+    # BOTH execution paths against the independent mirror: the numpy
+    # driver fast path (default at this size) and the distributed
+    # join path (driver_threshold=None)
     emb = load_table(spark, sf_small, "embeddings")
-    got = {
-        (r.vec_id, r.cid, r.kept)
-        for r in sd.semdedup(emb, dim=64, eps=0.6, n_clusters=8, n_iter=2).collect()
-    }
     want = _py_semdedup(emb_rows, n_centroids=8, n_iter=2, eps=0.6)
-    assert got == want
+    for thr in (20_000, None):
+        got = {
+            (r.vec_id, r.cid, r.kept)
+            for r in sd.semdedup(
+                emb, dim=64, eps=0.6, n_clusters=8, n_iter=2, driver_threshold=thr
+            ).collect()
+        }
+        assert got == want, f"driver_threshold={thr}"
     # the oracle corpus must actually exercise both branches
     assert any(not kept for _, _, kept in want)
     assert any(kept for _, _, kept in want)
+
+
+def test_semdedup_driver_path_bitwise_parity(spark):
+    """Driver fast path == distributed path EXACTLY, including
+    cent_sim to the last ULP, on adversarial inputs: negatives,
+    near-duplicates straddling the eps boundary, and exact clones
+    (cent_sim ties). A zero-norm embedding FAIL-STOPS on both paths
+    (Spark 4 ANSI raises DIVIDE_BY_ZERO for double division; the
+    driver mirror raises too)."""
+    import struct as _struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(77)
+    base = rng.randn(40, 8).astype(np.float32)
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(40)]
+    rows += [(100, rows[3][1])]  # exact clone (cent_sim tie)
+    rows += [(101, [float(x) for x in (base[5] * 1.000001)])]  # boundary dup
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(dim=8, eps=0.15, n_clusters=4, n_iter=2)
+    fast = sorted(
+        sd.semdedup(emb, driver_threshold=20_000, **kw).collect(),
+        key=lambda r: r.vec_id,
+    )
+    dist = sorted(
+        sd.semdedup(emb, driver_threshold=None, **kw).collect(),
+        key=lambda r: r.vec_id,
+    )
+    assert len(fast) == len(dist) == len(rows)
+    assert any(not r.kept for r in dist)  # the planted dups actually drop
+    for a, b in zip(fast, dist):
+        assert (a.vec_id, a.cid, a.kept) == (b.vec_id, b.cid, b.kept)
+        pa = _struct.pack(">d", a.cent_sim)
+        pb = _struct.pack(">d", b.cent_sim)
+        assert pa == pb, (a.vec_id, a.cent_sim, b.cent_sim)
+    # zero-norm embedding: both paths fail-stop
+    zemb = spark.createDataFrame(
+        rows[:8] + [(102, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ArithmeticError):
+        sd.semdedup(zemb, driver_threshold=20_000, **kw).collect()
+    with pytest.raises(Exception, match="(?i)divide|zero"):
+        sd.semdedup(zemb, driver_threshold=None, **kw).collect()
 
 
 def test_semdedup_deterministic_across_runs(spark, sf_small):
@@ -149,7 +198,12 @@ def test_semdedup_plan_has_no_cluster_funnel_window(spark, sf_small):
     """The drop rule must be join+distinct, not a per-cluster window —
     a window over cid would funnel a whole cluster into one task."""
     emb = load_table(spark, sf_small, "embeddings")
-    plan = sd.semdedup(emb, dim=64, eps=0.5, n_clusters=8)._jdf.queryExecution().executedPlan().toString()
+    plan = (
+        sd.semdedup(emb, dim=64, eps=0.5, n_clusters=8, driver_threshold=None)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "Window" not in plan
 
 
