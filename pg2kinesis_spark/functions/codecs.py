@@ -95,13 +95,15 @@ def _bounded_inflate(chunks, expected: int) -> bytes:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode an 8-bit PNG to an (H, W, C) uint8 array.
+    """Decode an 8- or 16-bit PNG to an (H, W, C) uint8 array.
 
     Supports color types 0/2/3/4/6 (gray, RGB, palette, gray+alpha,
     RGBA), all five scanline filters, single IDAT or split IDATs, and
     Adam7 interlacing (each pass an independently-filtered sub-image,
-    spec §8.2). Palette images expand to RGB. 16-bit images are
-    rejected explicitly.
+    spec §8.2). Palette images expand to RGB. 16-bit samples (valid
+    for non-palette color types; filters run on BYTES with bpp=2·C per
+    spec §9) reduce to uint8 by taking the high byte — the libpng/PIL
+    bit-depth-reduction convention. Sub-8-bit depths are rejected.
     """
     data = bytes(data)
     if not is_png(data):
@@ -125,31 +127,39 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("not a PNG: missing IHDR/IDAT")
     width, height, depth, color, comp, filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} (only 8 supported)")
+    if depth not in (8, 16):
+        raise NotImplementedError(f"PNG bit depth {depth} (8/16 supported)")
+    if depth == 16 and color == 3:
+        raise ValueError("16-bit palette PNG is not a valid combination")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace method {interlace}")
     if color not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {color}")
     _check_pixels(width, height, "PNG")
     nch = _PNG_CHANNELS[color]
+    sw = depth // 8  # sample width in bytes
+    bpp = nch * sw
+
+    def to_pixels(byte_img: np.ndarray, h: int, w: int) -> np.ndarray:
+        px = byte_img.reshape(h, w, nch, sw)
+        # 16-bit big-endian -> uint8 high byte (bit-depth reduction)
+        return px[..., 0] if sw == 2 else px.reshape(h, w, nch)
+
     if interlace == 0:
-        expected = height * (width * nch + 1)
+        expected = height * (width * bpp + 1)
     else:
         expected = 0
         for x0, y0, dx, dy in _ADAM7_PASSES:
             pw = (width - x0 + dx - 1) // dx
             ph = (height - y0 + dy - 1) // dy
             if pw > 0 and ph > 0:
-                expected += ph * (pw * nch + 1)
+                expected += ph * (pw * bpp + 1)
     raw = _bounded_inflate(idat, expected)
     if interlace == 0:
-        stride = width * nch
+        stride = width * bpp
         if len(raw) != height * (stride + 1):
             raise ValueError("PNG data length mismatch")
-        out = _png_unfilter_pass(raw, 0, width, height, nch)[0].reshape(
-            height, width, nch
-        )
+        out = to_pixels(_png_unfilter_pass(raw, 0, width, height, bpp)[0], height, width)
     else:  # Adam7: 7 independently-filtered sub-images, spec §8.2
         out = np.empty((height, width, nch), dtype=np.uint8)
         off = 0
@@ -158,8 +168,8 @@ def decode_png(data: bytes) -> np.ndarray:
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass contributes NO bytes (not even filters)
-            sub, off = _png_unfilter_pass(raw, off, pw, ph, nch)
-            out[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
+            sub, off = _png_unfilter_pass(raw, off, pw, ph, bpp)
+            out[y0::dy, x0::dx] = to_pixels(sub, ph, pw)
         if off != len(raw):
             raise ValueError("PNG data length mismatch")
     if color == 3:
@@ -184,13 +194,14 @@ _ADAM7_PASSES = (
 
 
 def _png_unfilter_pass(
-    raw: bytes, off: int, width: int, height: int, nch: int
+    raw: bytes, off: int, width: int, height: int, bpp: int
 ) -> tuple[np.ndarray, int]:
     """Unfilter one filtered image (the whole image, or one Adam7
-    sub-image): ``height`` scanlines of 1 filter byte + ``width*nch``
-    samples starting at ``off``. Returns ((height, width*nch) array,
-    next offset)."""
-    stride = width * nch
+    sub-image): ``height`` scanlines of 1 filter byte + ``width*bpp``
+    BYTES starting at ``off``, where ``bpp`` is bytes per pixel
+    (channels × sample width — PNG filters always operate on bytes,
+    spec §9). Returns ((height, width*bpp) byte array, next offset)."""
+    stride = width * bpp
     if off + height * (stride + 1) > len(raw):
         raise ValueError("PNG data length mismatch")
     img = np.empty((height, stride), dtype=np.uint8)
@@ -201,7 +212,7 @@ def _png_unfilter_pass(
         line = np.frombuffer(
             raw, dtype=np.uint8, count=stride, offset=row_start + 1
         ).copy()
-        img[y] = _unfilter_row(line, prev, ftype, nch)
+        img[y] = _unfilter_row(line, prev, ftype, bpp)
         prev = img[y]
     return img, off + height * (stride + 1)
 
@@ -1210,15 +1221,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 i = 0
                 while i < len(body):
                     pq, tq = body[i] >> 4, body[i] & 15
-                    if pq != 0:
-                        raise NotImplementedError("16-bit JPEG quant tables")
-                    zz = np.frombuffer(body[i + 1 : i + 65], dtype=np.uint8).astype(np.int64)
-                    if len(zz) < 64:
+                    if pq not in (0, 1):
+                        raise ValueError(f"bad JPEG DQT precision {pq}")
+                    # pq=1: 16-bit big-endian entries (T.81 B.2.4.1) —
+                    # archival/high-quality encoders emit them for
+                    # near-lossless quant steps
+                    width_b = 2 if pq else 1
+                    raw_q = body[i + 1 : i + 1 + 64 * width_b]
+                    if len(raw_q) < 64 * width_b:
                         raise ValueError("truncated JPEG DQT segment")
+                    zz = np.frombuffer(
+                        raw_q, dtype=">u2" if pq else np.uint8
+                    ).astype(np.int64)
                     tbl = np.zeros(64, dtype=np.int64)
                     tbl[ZIGZAG] = zz
                     qt[tq] = tbl.reshape(8, 8)
-                    i += 65
+                    i += 1 + 64 * width_b
             elif marker == 0xC4:  # DHT (possibly several tables)
                 i = 0
                 while i < len(body):

@@ -133,9 +133,9 @@ def test_png_encoder_roundtrip_and_rejections():
     np.testing.assert_array_equal(decode_png(encode_png(img)), img)
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
-    # 16-bit depth rejected explicitly
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
-    bad = PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\x00" * 26)) + _chunk(b"IEND", b"")
+    # sub-8-bit depth rejected explicitly (16-bit decodes since round 5)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    bad = PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\x00" * 6)) + _chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
         decode_png(bad)
 
@@ -506,6 +506,68 @@ def test_png_adam7_property_roundtrip():
         np.testing.assert_array_equal(decode_png(encode_png(img, interlace=True)), img)
 
     prop()
+
+
+def _png16_bytes(img16: np.ndarray) -> np.ndarray:
+    """(h, w, c) uint16 -> (h, w, 2c) big-endian byte image; PNG
+    filters run on bytes with bpp = 2c, which is exactly what
+    _forward_filter computes when fed this shape."""
+    h, w, c = img16.shape
+    hi = (img16 >> 8).astype(np.uint8)
+    lo = (img16 & 0xFF).astype(np.uint8)
+    return np.stack([hi, lo], axis=-1).reshape(h, w, 2 * c)
+
+
+@pytest.mark.parametrize("color,c", [(0, 1), (2, 3), (6, 4)])
+def test_png_16bit_decodes_high_byte(color, c):
+    """16-bit samples: filters on bytes (bpp=2c), output reduces to the
+    high byte (libpng/PIL convention). All five filters exercised."""
+    rng = np.random.RandomState(60 + c)
+    img16 = rng.randint(0, 65536, size=(9, 7, c), dtype=np.uint16)
+    byte_img = _png16_bytes(img16)
+    raw = _forward_filter(byte_img, [0, 1, 2, 3, 4])
+    ihdr = struct.pack(">IIBBBBB", 7, 9, 16, color, 0, 0, 0)
+    data = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(data), (img16 >> 8).astype(np.uint8))
+
+
+def test_png_16bit_adam7():
+    """16-bit + Adam7 together: per-pass byte filtering, high-byte
+    reduction after the scatter."""
+    rng = np.random.RandomState(70)
+    img16 = rng.randint(0, 65536, size=(13, 10, 3), dtype=np.uint16)
+    byte_img = _png16_bytes(img16)
+    ihdr = struct.pack(">IIBBBBB", 10, 13, 16, 2, 0, 0, 1)
+    parts = []
+    for x0, y0, dx, dy in _adam7_passes():
+        sub = byte_img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        parts.append(_forward_filter(np.ascontiguousarray(sub), [2, 4, 1]))
+    data = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(parts)))
+        + _chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(data), (img16 >> 8).astype(np.uint8))
+
+
+def test_png_16bit_palette_rejected():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    data = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette"):
+        decode_png(data)
 
 
 def test_png_property_roundtrip():

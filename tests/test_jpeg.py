@@ -420,3 +420,39 @@ def test_video_info_header_only_and_spark(spark):
     rows = {r["media_id"]: r for r in extract_video_features(media).collect()}
     assert rows[0]["n_frames"] == 5 and rows[0]["fps"] == 10.0
     assert rows[1]["n_frames"] == 4 and rows[1]["duration_ms"] == 200.0
+
+
+def test_jpeg_16bit_quant_tables_decode():
+    """DQT precision 1 (16-bit entries, T.81 B.2.4.1): a stream whose
+    16-bit tables hold the same values as the 8-bit original decodes
+    PIXEL-IDENTICAL; quant steps above 255 also parse."""
+    import struct
+
+    import numpy as np
+
+    from pg2kinesis_spark.functions.codecs import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(55)
+    img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    data = encode_jpeg(img, quality=85)
+    # rewrite every DQT segment to precision-1 (16-bit) form
+    out = bytearray()
+    pos = 0
+    while pos < len(data):
+        if data[pos : pos + 2] == b"\xff\xdb":
+            (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+            body = data[pos + 4 : pos + 2 + seglen]
+            new_body = bytearray()
+            i = 0
+            while i < len(body):
+                tq = body[i] & 15
+                vals = body[i + 1 : i + 65]
+                new_body += bytes([(1 << 4) | tq])
+                new_body += b"".join(struct.pack(">H", v) for v in vals)
+                i += 65
+            out += b"\xff\xdb" + struct.pack(">H", 2 + len(new_body)) + new_body
+            pos += 2 + seglen
+        else:
+            out.append(data[pos])
+            pos += 1
+    np.testing.assert_array_equal(decode_jpeg(bytes(out)), decode_jpeg(data))
