@@ -2138,7 +2138,11 @@ def decode_gif(data: bytes) -> np.ndarray:
     return decode_gif_frames(data, max_frames=1)[0]
 
 
-def decode_gif_frames(data: bytes, max_frames: int | None = None) -> list[np.ndarray]:
+def decode_gif_frames(
+    data: bytes,
+    max_frames: int | None = None,
+    frame_indices: "set[int] | None" = None,
+) -> list[np.ndarray]:
     """Decode a (possibly animated) GIF to full-canvas RGB frames.
 
     Each image block is composed onto the logical-screen canvas at its
@@ -2149,19 +2153,29 @@ def decode_gif_frames(data: bytes, max_frames: int | None = None) -> list[np.nda
     canvas is the background color (global-palette bg index, else
     black). Interlace, local palettes, and the LZW stream are handled
     per frame. Frame delays/loop counts are playback metadata and are
-    not returned."""
+    not returned.
+
+    ``frame_indices`` returns only those frame ordinals. Composition
+    is inherently sequential (every prior frame must still decode and
+    compose), but the full-canvas COPY — the dominant per-frame memory
+    cost on large canvases — happens only for sampled frames, and
+    decoding stops after the last wanted ordinal."""
     data = bytes(data)
     if not is_gif(data):
         raise ValueError("not a GIF: bad signature")
     try:
-        return _decode_gif_body(data, max_frames)
+        return _decode_gif_body(data, max_frames, frame_indices)
     except (struct.error, IndexError) as e:  # truncated mid-structure
         raise ValueError(f"truncated GIF: {e}") from e
 
 
-def _decode_gif_body(data: bytes, max_frames: int | None) -> list[np.ndarray]:
+def _decode_gif_body(
+    data: bytes, max_frames: int | None, frame_indices: "set[int] | None" = None
+) -> list[np.ndarray]:
     sw, sh, flags, bg, _aspect = struct.unpack("<HHBBB", data[6:13])
     _check_pixels(sw, sh, "GIF screen")
+    last_wanted = max(frame_indices) if frame_indices else None
+    n_seen = 0
     pos = 13
     gct = None
     if flags & 0x80:
@@ -2232,8 +2246,12 @@ def _decode_gif_body(data: bytes, max_frames: int | None) -> list[np.ndarray]:
             else:
                 opaque = grid != transparent
                 region[opaque] = pal[grid[opaque]]
-            frames.append(canvas.copy())
+            if frame_indices is None or n_seen in frame_indices:
+                frames.append(canvas.copy())
+            n_seen += 1
             if max_frames is not None and len(frames) >= max_frames:
+                return frames
+            if last_wanted is not None and n_seen > last_wanted:
                 return frames
             if (len(frames) + 1) * sw * sh > MAX_TOTAL_PIXELS:
                 raise ValueError(

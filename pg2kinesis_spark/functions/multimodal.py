@@ -601,17 +601,14 @@ def video_frames(
 
     _check_errors(errors)
     _check_sampling(stride, max_frames)
-    # last decoded frame index we can possibly emit (0-based), +1 = cap
-    decode_cap = (max_frames - 1) * stride + 1
-
-    # MJPEG frames are independent: decode ONLY the sampled ordinals
-    # (GIF must decode every prior frame for canvas composition)
+    # decode ONLY the sampled ordinals: MJPEG skips unwanted frames at
+    # container-walk cost; GIF still composes every prior frame but
+    # copies the canvas only for sampled ones and stops after the last
     sampled = {i * stride for i in range(max_frames)}
 
     def decode_clip(b: bytes) -> list[np.ndarray]:
         if codecs.is_gif(b):  # animated GIFs are videos too
-            frames = codecs.decode_gif_frames(b, max_frames=decode_cap)
-            return frames[::stride][:max_frames]
+            return codecs.decode_gif_frames(b, frame_indices=sampled)
         return codecs.decode_avi_mjpeg(b, frame_indices=sampled)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -672,15 +669,12 @@ def video_frame_dhash(
 
     _check_errors(errors)
     _check_sampling(stride, max_frames)
-    decode_cap = (max_frames - 1) * stride + 1
-
-    # MJPEG: decode only the sampled ordinals (GIF composes sequentially)
+    # sampled-ordinals decode (see video_frames)
     sampled = {i * stride for i in range(max_frames)}
 
     def clip_hashes(b: bytes) -> list[int]:
         if codecs.is_gif(b):
-            frames = codecs.decode_gif_frames(b, max_frames=decode_cap)
-            frames = frames[::stride][:max_frames]
+            frames = codecs.decode_gif_frames(b, frame_indices=sampled)
         else:
             frames = codecs.decode_avi_mjpeg(b, frame_indices=sampled)
         return [_dhash_image(f, codecs.resize_nearest) for f in frames]
