@@ -121,7 +121,7 @@ def decode_png(data: bytes) -> np.ndarray:
         elif ctype == b"PLTE":
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"tRNS":
-            trns = np.frombuffer(body, dtype=np.uint8)
+            trns = bytes(body)  # layout depends on color type
         elif ctype == b"IEND":
             break
     if ihdr is None or not idat:
@@ -140,10 +140,10 @@ def decode_png(data: bytes) -> np.ndarray:
     sw = depth // 8  # sample width in bytes
     bpp = nch * sw
 
-    def to_pixels(byte_img: np.ndarray, h: int, w: int) -> np.ndarray:
-        px = byte_img.reshape(h, w, nch, sw)
-        # 16-bit big-endian -> uint8 high byte (bit-depth reduction)
-        return px[..., 0] if sw == 2 else px.reshape(h, w, nch)
+    def to_samples(byte_img: np.ndarray, h: int, w: int) -> np.ndarray:
+        """(h, w, nch, sw) full-precision sample bytes — reduction to
+        uint8 happens LAST so tRNS color keys match exact samples."""
+        return byte_img.reshape(h, w, nch, sw)
 
     if interlace == 0:
         expected = height * (width * bpp + 1)
@@ -159,9 +159,9 @@ def decode_png(data: bytes) -> np.ndarray:
         stride = width * bpp
         if len(raw) != height * (stride + 1):
             raise ValueError("PNG data length mismatch")
-        out = to_pixels(_png_unfilter_pass(raw, 0, width, height, bpp)[0], height, width)
+        full = to_samples(_png_unfilter_pass(raw, 0, width, height, bpp)[0], height, width)
     else:  # Adam7: 7 independently-filtered sub-images, spec §8.2
-        out = np.empty((height, width, nch), dtype=np.uint8)
+        full = np.empty((height, width, nch, sw), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7_PASSES:
             pw = (width - x0 + dx - 1) // dx
@@ -169,20 +169,38 @@ def decode_png(data: bytes) -> np.ndarray:
             if pw <= 0 or ph <= 0:
                 continue  # empty pass contributes NO bytes (not even filters)
             sub, off = _png_unfilter_pass(raw, off, pw, ph, bpp)
-            out[y0::dy, x0::dx] = to_pixels(sub, ph, pw)
+            full[y0::dy, x0::dx] = to_samples(sub, ph, pw)
         if off != len(raw):
             raise ValueError("PNG data length mismatch")
+    # 16-bit big-endian -> uint8 high byte (bit-depth reduction)
+    out = full[..., 0] if sw == 2 else full.reshape(height, width, nch)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
+        pal_a = np.frombuffer(trns, dtype=np.uint8) if trns is not None else None
         idx = out[:, :, 0]
         rgb = plte[idx]
-        if trns is not None:
+        if pal_a is not None:
             alpha = np.full(idx.shape, 255, dtype=np.uint8)
-            known = idx < len(trns)
-            alpha[known] = trns[idx[known]]
+            known = idx < len(pal_a)
+            alpha[known] = pal_a[idx[known]]
             return np.dstack([rgb, alpha])
         return rgb
+    if color in (0, 2) and trns is not None:
+        # color-key transparency (spec §11.3.2): one 2-byte value per
+        # channel; for depth 8 the LOW byte is the key. Matching runs on
+        # the FULL-precision samples so 16-bit keys are exact.
+        key = np.frombuffer(trns[: 2 * nch], dtype=">u2").astype(np.uint16)
+        if len(key) < nch:
+            raise ValueError("truncated PNG tRNS chunk")
+        if sw == 1:
+            sample = full.reshape(height, width, nch).astype(np.uint16)
+            match = (sample == (key & 0xFF)).all(axis=2)
+        else:
+            sample = (full[..., 0].astype(np.uint16) << 8) | full[..., 1]
+            match = (sample == key).all(axis=2)
+        alpha = np.where(match, 0, 255).astype(np.uint8)
+        return np.dstack([out, alpha])
     return out
 
 

@@ -678,3 +678,43 @@ def test_media_profile_one_scan(spark, tmp_path):
     assert got["audio/wav"]["max_bytes"] == len(wav)
     plan = media_profile(spark.createDataFrame(rows, MEDIA_SCHEMA))._jdf.queryExecution().executedPlan().toString()
     assert "mapInPandas" not in plan.lower()  # pure column aggregates
+
+
+def test_png_color_key_transparency():
+    """tRNS on gray/RGB (spec §11.3.2): exact color-key pixels get
+    alpha 0, everything else 255; 16-bit keys match FULL-precision
+    samples (high-byte-equal-but-low-byte-different must NOT match)."""
+    # depth 8 RGB: key = (10, 20, 30)
+    img = np.array(
+        [[[10, 20, 30], [10, 20, 31]], [[0, 0, 0], [10, 20, 30]]], dtype=np.uint8
+    )
+    raw = _forward_filter(img, [0])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    trns = struct.pack(">3H", 10, 20, 30)
+    data = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"tRNS", trns)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    out = decode_png(data)
+    assert out.shape == (2, 2, 4)
+    np.testing.assert_array_equal(out[:, :, 3], [[0, 255], [255, 0]])
+    np.testing.assert_array_equal(out[:, :, :3], img)
+    # depth 16 gray: key 0x1234 — pixel 0x1235 shares the high byte but
+    # must stay opaque
+    img16 = np.array([[0x1234, 0x1235], [0x9999, 0x1234]], dtype=np.uint16)[:, :, None]
+    raw = _forward_filter(_png16_bytes(img16), [0])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    data = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"tRNS", struct.pack(">H", 0x1234))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    out = decode_png(data)
+    assert out.shape == (2, 2, 2)  # gray + alpha
+    np.testing.assert_array_equal(out[:, :, 1], [[0, 255], [255, 0]])
+    np.testing.assert_array_equal(out[:, :, 0], (img16[:, :, 0] >> 8).astype(np.uint8))
