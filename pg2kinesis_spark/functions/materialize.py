@@ -37,6 +37,8 @@ def materialize_corpus(
     target_shard_mb: float = 256,
     bpe_model=None,
     unigram_model=None,
+    write_sequences: bool = False,
+    pad_id: int = 0,
     **curate_kwargs,
 ) -> dict:
     """Curate -> shard -> layout -> manifest. Returns the manifest dict
@@ -47,7 +49,13 @@ def materialize_corpus(
     mutually exclusive), the packing layout and manifest token totals
     use budget-true subword counts instead of the curation's whitespace
     ``n_tokens`` — the counts a trainer's dataloader will actually
-    see."""
+    see.
+
+    ``write_sequences=True`` (requires ``bpe_model``) additionally
+    materializes the ACTUAL training batches at ``{out_dir}/sequences``
+    — (seq_id, input_ids, segment_ids, n_real, n_docs) via
+    ``packing.materialize_sequences`` over the BPE-encoded shards, so
+    the output is trainer-ready rather than layout-only."""
     if bpe_model is not None and unigram_model is not None:
         raise ValueError("pass bpe_model or unigram_model, not both")
     from pg2kinesis_spark.io import write_sharded
@@ -74,6 +82,19 @@ def materialize_corpus(
     layout = pack_sequences(back, token_col, seq_len, "doc_id")
     layout.write.mode("overwrite").parquet(layout_path)
 
+    sequences_path = None
+    if write_sequences:
+        if bpe_model is None:
+            raise ValueError("write_sequences=True requires bpe_model")
+        from .bpe import bpe_encode
+        from .packing import materialize_sequences
+
+        sequences_path = os.path.join(out_dir, "sequences")
+        encoded = bpe_encode(back, bpe_model)
+        materialize_sequences(encoded, seq_len, pad_id=pad_id).write.mode(
+            "overwrite"
+        ).parquet(sequences_path)
+
     layout_back = spark.read.parquet(layout_path)
     stats = packing_stats(layout_back, seq_len).collect()[0].asDict()
     prof = corpus_profile(back.select("doc_id", "text")).collect()[0].asDict()
@@ -82,6 +103,7 @@ def materialize_corpus(
     manifest = {
         "docs_path": docs_path,
         "layout_path": layout_path,
+        "sequences_path": sequences_path,
         "n_shards": n_shards,
         "seq_len": seq_len,
         "token_counter": (

@@ -330,3 +330,35 @@ def test_curate_dsir_selection_stage(spark, corpus):
     lr = fit_dsir_logratios(target, surv)
     want = {r.doc_id for r in dsir_select(surv, lr, n=2).collect()}
     assert {r.doc_id for r in out.collect()} == want
+
+
+def test_materialize_corpus_writes_sequences(spark, sf_small, tmp_path):
+    """write_sequences=True materializes trainer-ready batches whose
+    real-token total equals the layout's token total and whose
+    input_ids are exactly seq_len wide."""
+    import os
+
+    from pg2kinesis_spark.functions.bpe import learn_bpe
+    from pg2kinesis_spark.functions.materialize import materialize_corpus
+
+    docs = load_table(spark, sf_small, "documents").limit(60).select("doc_id", "text")
+    model = learn_bpe(docs, num_merges=60)
+    out = str(tmp_path / "corpus_seq")
+    m = materialize_corpus(
+        docs, out, seq_len=128, target_shard_mb=64,
+        bpe_model=model, write_sequences=True, min_quality=0.0,
+    )
+    seqs = spark.read.parquet(m["sequences_path"])
+    rows = seqs.collect()
+    assert all(len(r.input_ids) == 128 and len(r.segment_ids) == 128 for r in rows)
+    assert sum(r.n_real for r in rows) == m["packing"]["n_tokens"]
+    assert m["packing"]["n_sequences"] == len(rows)
+    # without the flag, no sequences dir and a None path in the manifest
+    out2 = str(tmp_path / "corpus_noseq")
+    m2 = materialize_corpus(docs, out2, seq_len=128, target_shard_mb=64, min_quality=0.0)
+    assert m2["sequences_path"] is None
+    assert not os.path.exists(os.path.join(out2, "sequences"))
+    import pytest
+
+    with pytest.raises(ValueError, match="bpe_model"):
+        materialize_corpus(docs, str(tmp_path / "x"), write_sequences=True)
