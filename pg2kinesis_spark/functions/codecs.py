@@ -127,8 +127,10 @@ def decode_png(data: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("not a PNG: missing IHDR/IDAT")
     width, height, depth, color, comp, filt, interlace = ihdr
-    if depth not in (8, 16):
-        raise NotImplementedError(f"PNG bit depth {depth} (8/16 supported)")
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"bad PNG bit depth {depth}")
+    if depth < 8 and color not in (0, 3):
+        raise ValueError(f"PNG depth {depth} invalid for color type {color}")
     if depth == 16 and color == 3:
         raise ValueError("16-bit palette PNG is not a valid combination")
     if interlace not in (0, 1):
@@ -137,29 +139,41 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"bad PNG color type {color}")
     _check_pixels(width, height, "PNG")
     nch = _PNG_CHANNELS[color]
-    sw = depth // 8  # sample width in bytes
+    sw = max(1, depth // 8)  # sample width in bytes (1 for sub-8 values)
     bpp = nch * sw
+
+    def row_nbytes(pw: int) -> int:
+        # sub-8 rows pack pixels MSB-first and pad to a byte boundary
+        return (pw * depth + 7) // 8 if depth < 8 else pw * bpp
 
     def to_samples(byte_img: np.ndarray, h: int, w: int) -> np.ndarray:
         """(h, w, nch, sw) full-precision sample bytes — reduction to
         uint8 happens LAST so tRNS color keys match exact samples."""
+        if depth < 8:
+            return _png_unpack_bits(byte_img, w, depth)[:, :, None, None]
         return byte_img.reshape(h, w, nch, sw)
 
     if interlace == 0:
-        expected = height * (width * bpp + 1)
+        expected = height * (row_nbytes(width) + 1)
     else:
         expected = 0
         for x0, y0, dx, dy in _ADAM7_PASSES:
             pw = (width - x0 + dx - 1) // dx
             ph = (height - y0 + dy - 1) // dy
             if pw > 0 and ph > 0:
-                expected += ph * (pw * bpp + 1)
+                expected += ph * (row_nbytes(pw) + 1)
     raw = _bounded_inflate(idat, expected)
+    # filters operate on BYTES: the left-neighbor distance is bpp for
+    # depth >= 8 and ONE byte for packed sub-8 rows (spec §9)
+    fbpp = bpp if depth >= 8 else 1
     if interlace == 0:
-        stride = width * bpp
-        if len(raw) != height * (stride + 1):
+        if len(raw) != height * (row_nbytes(width) + 1):
             raise ValueError("PNG data length mismatch")
-        full = to_samples(_png_unfilter_pass(raw, 0, width, height, bpp)[0], height, width)
+        full = to_samples(
+            _png_unfilter_pass(raw, 0, row_nbytes(width), height, fbpp)[0],
+            height,
+            width,
+        )
     else:  # Adam7: 7 independently-filtered sub-images, spec §8.2
         full = np.empty((height, width, nch, sw), dtype=np.uint8)
         off = 0
@@ -168,12 +182,21 @@ def decode_png(data: bytes) -> np.ndarray:
             ph = (height - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # empty pass contributes NO bytes (not even filters)
-            sub, off = _png_unfilter_pass(raw, off, pw, ph, bpp)
+            sub, off = _png_unfilter_pass(raw, off, row_nbytes(pw), ph, fbpp)
             full[y0::dy, x0::dx] = to_samples(sub, ph, pw)
         if off != len(raw):
             raise ValueError("PNG data length mismatch")
-    # 16-bit big-endian -> uint8 high byte (bit-depth reduction)
-    out = full[..., 0] if sw == 2 else full.reshape(height, width, nch)
+    if depth < 8 and color == 0:
+        # gray sub-8: scale 0..(2^d - 1) to full 0..255 (exact factors
+        # 255, 85, 17 — the spec's sample-depth scaling)
+        out = (full.reshape(height, width, 1) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
+    elif sw == 2:
+        # 16-bit big-endian -> uint8 high byte (bit-depth reduction)
+        out = full[..., 0]
+    else:
+        out = full.reshape(height, width, nch)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
@@ -188,20 +211,29 @@ def decode_png(data: bytes) -> np.ndarray:
         return rgb
     if color in (0, 2) and trns is not None:
         # color-key transparency (spec §11.3.2): one 2-byte value per
-        # channel; for depth 8 the LOW byte is the key. Matching runs on
-        # the FULL-precision samples so 16-bit keys are exact.
+        # channel; for depth < 16 the LOW bits are the key. Matching
+        # runs on the FULL-precision samples so 16-bit keys are exact.
         key = np.frombuffer(trns[: 2 * nch], dtype=">u2").astype(np.uint16)
         if len(key) < nch:
             raise ValueError("truncated PNG tRNS chunk")
         if sw == 1:
             sample = full.reshape(height, width, nch).astype(np.uint16)
-            match = (sample == (key & 0xFF)).all(axis=2)
+            match = (sample == (key & ((1 << depth) - 1))).all(axis=2)
         else:
             sample = (full[..., 0].astype(np.uint16) << 8) | full[..., 1]
             match = (sample == key).all(axis=2)
         alpha = np.where(match, 0, 255).astype(np.uint8)
         return np.dstack([out, alpha])
     return out
+
+
+def _png_unpack_bits(rows: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """(h, row_bytes) packed sub-8 scanlines -> (h, width) raw sample
+    values (MSB-first within each byte, rows padded to byte boundary)."""
+    bits = np.unpackbits(rows, axis=1)
+    bits = bits[:, : width * depth].reshape(rows.shape[0], width, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (bits * weights).sum(axis=2).astype(np.uint8)
 
 
 # Adam7 pass geometry (x_start, y_start, x_step, y_step) — PNG spec §8.2
@@ -212,14 +244,14 @@ _ADAM7_PASSES = (
 
 
 def _png_unfilter_pass(
-    raw: bytes, off: int, width: int, height: int, bpp: int
+    raw: bytes, off: int, stride: int, height: int, bpp: int
 ) -> tuple[np.ndarray, int]:
     """Unfilter one filtered image (the whole image, or one Adam7
-    sub-image): ``height`` scanlines of 1 filter byte + ``width*bpp``
-    BYTES starting at ``off``, where ``bpp`` is bytes per pixel
-    (channels × sample width — PNG filters always operate on bytes,
-    spec §9). Returns ((height, width*bpp) byte array, next offset)."""
-    stride = width * bpp
+    sub-image): ``height`` scanlines of 1 filter byte + ``stride``
+    BYTES starting at ``off``. ``bpp`` is the filter's left-neighbor
+    distance in bytes (channels × sample width, or 1 for packed sub-8
+    rows — PNG filters always operate on bytes, spec §9). Returns
+    ((height, stride) byte array, next offset)."""
     if off + height * (stride + 1) > len(raw):
         raise ValueError("PNG data length mismatch")
     img = np.empty((height, stride), dtype=np.uint8)

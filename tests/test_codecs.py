@@ -133,10 +133,15 @@ def test_png_encoder_roundtrip_and_rejections():
     np.testing.assert_array_equal(decode_png(encode_png(img)), img)
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
-    # sub-8-bit depth rejected explicitly (16-bit decodes since round 5)
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 0, 0, 0, 0)
+    # invalid bit depth rejected (every legal depth decodes since round 5)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0)
     bad = PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\x00" * 6)) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(bad)
+    # sub-8 depths are only valid for gray/palette color types
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    bad = PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\x00" * 6)) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="invalid for color type"):
         decode_png(bad)
 
 
@@ -718,3 +723,89 @@ def test_png_color_key_transparency():
     assert out.shape == (2, 2, 2)  # gray + alpha
     np.testing.assert_array_equal(out[:, :, 1], [[0, 255], [255, 0]])
     np.testing.assert_array_equal(out[:, :, 0], (img16[:, :, 0] >> 8).astype(np.uint8))
+
+
+def _pack_sub8(vals: np.ndarray, depth: int) -> np.ndarray:
+    """(h, w) values -> (h, row_bytes) MSB-first packed rows (spec §7.2),
+    built independently of the decoder."""
+    h, w = vals.shape
+    bits = ((vals[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1).astype(np.uint8)
+    flat = bits.reshape(h, w * depth)
+    pad = (-flat.shape[1]) % 8
+    if pad:
+        flat = np.concatenate([flat, np.zeros((h, pad), dtype=np.uint8)], axis=1)
+    return np.packbits(flat, axis=1)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4])
+def test_png_sub8_gray(depth):
+    """1/2/4-bit grayscale (document scans, old-web graphics): packed
+    MSB-first rows, byte-level filters, spec sample scaling (x255/85/17)."""
+    rng = np.random.RandomState(depth)
+    vals = rng.randint(0, 1 << depth, size=(7, 11), dtype=np.uint8)
+    packed = _pack_sub8(vals, depth)
+    raw = _forward_filter(packed[:, :, None], [0, 2])  # None + Up filters
+    ihdr = struct.pack(">IIBBBBB", 11, 7, depth, 0, 0, 0, 0)
+    data = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    want = (vals * (255 // ((1 << depth) - 1))).astype(np.uint8)[:, :, None]
+    np.testing.assert_array_equal(decode_png(data), want)
+
+
+def test_png_sub8_palette_and_interlace():
+    """4-bit palette + Adam7: packed indices per pass, palette expansion."""
+    rng = np.random.RandomState(9)
+    plte = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(9, 6), dtype=np.uint8)
+    # non-interlaced palette
+    packed = _pack_sub8(idx, 4)
+    raw = _forward_filter(packed[:, :, None], [0, 1])
+    ihdr = struct.pack(">IIBBBBB", 6, 9, 4, 3, 0, 0, 0)
+    data = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte.tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(data), plte[idx])
+    # Adam7 1-bit gray: per-pass packing + filtering
+    vals = rng.randint(0, 2, size=(10, 9), dtype=np.uint8)
+    parts = []
+    for x0, y0, dx, dy in _adam7_passes():
+        sub = vals[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        parts.append(_forward_filter(_pack_sub8(sub, 1)[:, :, None], [0, 2]))
+    ihdr = struct.pack(">IIBBBBB", 9, 10, 1, 0, 0, 0, 1)
+    data = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(parts)))
+        + _chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(decode_png(data), (vals * 255)[:, :, None])
+
+
+def test_png_sub8_gray_color_key():
+    """tRNS on 2-bit gray: the key's LOW bits select the transparent
+    level; output is scaled gray + alpha."""
+    vals = np.array([[0, 1], [2, 3]], dtype=np.uint8)
+    packed = _pack_sub8(vals, 2)
+    raw = _forward_filter(packed[:, :, None], [0])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 2, 0, 0, 0, 0)
+    data = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"tRNS", struct.pack(">H", 2))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    out = decode_png(data)
+    assert out.shape == (2, 2, 2)
+    np.testing.assert_array_equal(out[:, :, 0], vals * 85)
+    np.testing.assert_array_equal(out[:, :, 1], [[255, 255], [0, 255]])
