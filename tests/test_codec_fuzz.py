@@ -68,10 +68,33 @@ def _img(h, w, c, seed):
 
 
 def test_fuzz_png():
+    import struct
+    import zlib
+
     corpus = [
         C.encode_png(_img(24, 17, 3, 1)),
         C.encode_png(_img(9, 9, 1, 2), interlace=True),
     ]
+    # 16-bit and 1-bit variants built by hand (the encoder is 8-bit)
+    rng = np.random.RandomState(3)
+    v16 = rng.randint(0, 65536, size=(6, 5, 1), dtype=np.uint16)
+    b16 = np.stack([(v16 >> 8), (v16 & 0xFF)], axis=-1).astype(np.uint8).reshape(6, 10)
+    raw = b"".join(b"\x00" + b16[y].tobytes() for y in range(6))
+    corpus.append(
+        C.PNG_SIG
+        + C._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 6, 16, 0, 0, 0, 0))
+        + C._png_chunk(b"IDAT", zlib.compress(raw))
+        + C._png_chunk(b"IEND", b"")
+    )
+    bits = np.packbits(rng.randint(0, 2, size=(8, 16), dtype=np.uint8), axis=1)
+    raw = b"".join(b"\x00" + bits[y].tobytes() for y in range(8))
+    corpus.append(
+        C.PNG_SIG
+        + C._png_chunk(b"IHDR", struct.pack(">IIBBBBB", 16, 8, 1, 0, 0, 0, 0))
+        + C._png_chunk(b"tRNS", struct.pack(">H", 1))
+        + C._png_chunk(b"IDAT", zlib.compress(raw))
+        + C._png_chunk(b"IEND", b"")
+    )
     _hammer(C.decode_png, corpus, seed=10)
 
 
