@@ -405,6 +405,13 @@ def simhash_pairs(
     )
 
 
+def band_key_col() -> "Column":
+    """The string a band-bloom hashes: one key per (band_idx, band_key)
+    row of ``_banded`` output — shared by the bloom build (over an
+    accepted batch's bands) and the probe (over a new batch's bands)."""
+    return F.concat_ws(":", F.col("band_idx"), F.col("band_key"))
+
+
 def lsh_pairs_incremental(
     spark,
     new_docs: DataFrame,
@@ -414,6 +421,8 @@ def lsh_pairs_incremental(
     bands: int = 4,
     seed: int = 7,
     exclude_batch_id: int | None = None,
+    band_bloom_bits=None,
+    band_bloom_k: int = 7,
 ) -> DataFrame:
     """Daily-ingest dedup: candidate pairs TOUCHING a new batch, against
     a materialized signature index (write_minhash_signatures) — the new
@@ -427,6 +436,14 @@ def lsh_pairs_incremental(
     already in the index. Append the batch with
     ``append_minhash_signatures`` AFTER collecting these pairs — the
     index scan here is lazy and must not see the batch's own rows.
+
+    ``band_bloom_bits`` (a bloom over the INDEX's (band_idx, band_key)
+    rows — see ``functions.bloom``) prefilters the new batch's band
+    rows before the index join: a band key the index has never banded
+    cannot produce a candidate, so dropping definitely-absent rows
+    leaves the pair set EXACTLY unchanged (test-pinned) while the
+    index-side join probes only the maybe-colliding residue.
+    Within-batch (new-vs-new) pairs are never filtered.
     """
     new_sig = minhash_signatures(new_docs, n, k, seed)
     # explicit column pruning: the index may carry extra layout columns
@@ -441,6 +458,12 @@ def lsh_pairs_incremental(
     mn = _banded(new_sig, k, bands)
     mo = _banded(old_sig, k, bands)
     a = mn.select(F.col("doc_id").alias("nid"), "band_idx", "band_key")
+    if band_bloom_bits is not None:
+        from pg2kinesis_spark.functions.bloom import bloom_hash_cols, maybe_seen_udf
+
+        h1, h2 = bloom_hash_cols(band_key_col())
+        maybe = maybe_seen_udf(spark, band_bloom_bits, band_bloom_k)
+        a = a.withColumn("_m", maybe(h1, h2)).filter(F.col("_m")).drop("_m")
     b = mo.select(F.col("doc_id").alias("oid"), "band_idx", "band_key")
     cross = a.join(b, ["band_idx", "band_key"]).select(
         F.least("nid", "oid").alias("id1"), F.greatest("nid", "oid").alias("id2")

@@ -123,11 +123,18 @@ class CorpusIngest:
         # no false negatives by construction, accepted set identical
         # with it on or off (test-pinned). bloom_bits=None disables.
         self.bloom = None
+        self.band_bloom = None
         if bloom_bits is not None:
             from pg2kinesis_spark.functions.bloom import BloomSidecar
 
             self.bloom = BloomSidecar(
                 os.path.join(out_dir, "bloom"), m_bits=bloom_bits, k=bloom_k
+            )
+            # second sidecar over the signature index's (band_idx,
+            # band_key) rows: prefilters the banding join the same way
+            # the hash bloom prefilters the exact anti-join
+            self.band_bloom = BloomSidecar(
+                os.path.join(out_dir, "bloom_bands"), m_bits=bloom_bits, k=bloom_k
             )
 
     def _existing(
@@ -238,6 +245,11 @@ class CorpusIngest:
         if self.near_dup_jaccard is not None:
             docs = ann.select("doc_id", "text")
             if self._existing(spark, self.sig_path, exclude_batch_id=batch_id) is not None:
+                band_bits = (
+                    self.band_bloom.load_union(exclude_batch_id=batch_id)
+                    if self.band_bloom is not None
+                    else None
+                )
                 pairs = lsh_pairs_incremental(
                     spark,
                     docs,
@@ -246,6 +258,8 @@ class CorpusIngest:
                     self.k,
                     self.bands,
                     exclude_batch_id=batch_id,
+                    band_bloom_bits=band_bits,
+                    band_bloom_k=self.band_bloom.k if self.band_bloom else 7,
                 ).filter(F.col("est_jaccard") >= self.near_dup_jaccard)
                 # ids are canonicalized id1 < id2; the ACCEPTED index side
                 # must never be dropped. Mark which side is new (the batch
@@ -318,12 +332,29 @@ class CorpusIngest:
         # reader that ignores the exclusion can never observe a batch
         # whose hashes exist while its signatures don't.
         if self.near_dup_jaccard is not None:
-            from pg2kinesis_spark.functions.dedup import minhash_signatures
-
-            _write(
-                minhash_signatures(back.select("doc_id", "text"), self.n, self.k),
-                self.sig_path,
+            from pg2kinesis_spark.functions.dedup import (
+                _banded,
+                band_key_col,
+                minhash_signatures,
             )
+
+            sig = minhash_signatures(back.select("doc_id", "text"), self.n, self.k)
+            # band bloom BEFORE the sig index (same over-approximation
+            # discipline as the hash bloom: a crash between the two
+            # leaves extra maybe-seen probes, never missed duplicates)
+            if self.band_bloom is not None:
+                from pg2kinesis_spark.functions.bloom import bloom_hash_cols
+
+                h1, h2 = bloom_hash_cols(band_key_col())
+                self.band_bloom.write(
+                    _banded(sig, self.k, self.bands).select(
+                        h1.alias("_h1"), h2.alias("_h2")
+                    ),
+                    "_h1",
+                    "_h2",
+                    batch_id,
+                )
+            _write(sig, self.sig_path)
         if self.sd_cents is not None:
             from pg2kinesis_spark.functions.semdedup import assign_with_centroids
 

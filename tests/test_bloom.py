@@ -101,3 +101,73 @@ def test_ingest_accepted_set_identical_bloom_on_off(spark, tmp_path):
     # the sidecar actually wrote per-batch blooms
     blooms = os.listdir(os.path.join(out_on, "bloom"))
     assert sorted(blooms) == ["bloom_0.bin", "bloom_1.bin"]
+
+
+def test_band_bloom_pairs_exactly_unchanged(spark, tmp_path):
+    """The band bloom drops only definitely-absent band rows, so the
+    incremental pair set is EXACTLY the unfiltered one — including the
+    est_jaccard values — on a corpus with planted cross-batch dups."""
+    from pg2kinesis_spark.functions.bloom import bloom_hash_cols, build_bloom
+    from pg2kinesis_spark.functions.dedup import (
+        _banded,
+        band_key_col,
+        lsh_pairs_incremental,
+        minhash_signatures,
+        write_minhash_signatures,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    old_rows = [(i, f"{base} variant number {i}") for i in range(30)]
+    new_rows = [(100, base + " today"), (101, "an entirely different new document here"),
+                (102, old_rows[7][1])]
+    old = spark.createDataFrame(old_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    sig_path = str(tmp_path / "sig")
+    write_minhash_signatures(old, sig_path)
+
+    h1, h2 = bloom_hash_cols(band_key_col())
+    banded = _banded(minhash_signatures(old), 16, 4).select(
+        h1.alias("h1"), h2.alias("h2")
+    )
+    bits = build_bloom(banded, "h1", "h2", 1 << 18, 7)
+
+    def collect(**kw):
+        return sorted(
+            (r.id1, r.id2, round(r.est_jaccard, 9))
+            for r in lsh_pairs_incremental(spark, new, sig_path, **kw).collect()
+        )
+
+    plain = collect()
+    filtered = collect(band_bloom_bits=bits)
+    assert filtered == plain
+    assert any(102 in (p[0], p[1]) for p in plain)  # the planted clone pairs
+
+
+def test_ingest_band_bloom_files_written(spark, tmp_path):
+    """The streaming ingest writes per-batch band blooms alongside the
+    sig index and still drops the cross-batch near-dup."""
+    import os
+
+    from pg2kinesis_spark.streaming.corpus_ingest import start_corpus_ingest
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    src, out, ckpt = (str(tmp_path / d) for d in ("landing", "curated", "ckpt"))
+    b1 = [(1, base), (3, "completely different text about spark clusters here today")]
+    b2 = [(11, base.replace("today", "tomorrow")),  # near-dup vs index
+          (12, "a fresh unique document mentioning entirely new material")]
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = start_corpus_ingest(spark, src, out, ckpt, near_dup_jaccard=0.6,
+                                bloom_bits=1 << 16)
+        q.awaitTermination(120)
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(out, "accepted")).select("doc_id").collect()
+    }
+    assert got == {1, 3, 12}  # 11 dropped as a cross-batch near-dup
+    assert sorted(os.listdir(os.path.join(out, "bloom_bands"))) == [
+        "bloom_0.bin",
+        "bloom_1.bin",
+    ]
