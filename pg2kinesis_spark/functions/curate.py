@@ -137,20 +137,26 @@ def curate_corpus(
         # plan subtrees, domain_cap from 2), so materialize between them
         # — same localCheckpoint discipline as the dedup stages below
         # (measured 2.6x on the bench URL pipeline).
-        parsed = _urls.parse_urls(docs, url_col)
+        # internal output names: a docs DataFrame may legitimately carry
+        # its own host/domain/path columns (crawl metadata) — default
+        # names would silently clobber then drop them
+        parsed = _urls.parse_urls(
+            docs, url_col, host_col="_cu_host", domain_col="_cu_domain",
+            path_col="_cu_path", norm_col="_cu_url_norm",
+        )
         if url_blocklist:
             parsed = _urls.domain_blocklist_filter(
                 parsed, url_blocklist, url_col=url_col,
-                host_col="host", domain_col="domain",
+                host_col="_cu_host", domain_col="_cu_domain",
             )
         parsed = parsed.localCheckpoint(eager=False)
-        parsed = _urls.url_dedup(parsed, url_col=url_col, norm_col="url_norm")
+        parsed = _urls.url_dedup(parsed, url_col=url_col, norm_col="_cu_url_norm")
         if domain_cap_k is not None:
             parsed = _urls.domain_cap(
                 parsed.localCheckpoint(eager=False),
-                domain_cap_k, url_col=url_col, domain_col="domain",
+                domain_cap_k, url_col=url_col, domain_col="_cu_domain",
             )
-        docs = parsed.drop("host", "domain", "path", "url_norm")
+        docs = parsed.drop("_cu_host", "_cu_domain", "_cu_path", "_cu_url_norm")
     if c4_rules:
         from .c4 import c4_clean
 

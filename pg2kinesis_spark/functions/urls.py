@@ -295,14 +295,24 @@ def normalize_url(url: str | Column = "url") -> Column:
     ).otherwise(F.concat(scheme, F.lit("://"), host, keep_port, path, qstr))
 
 
-def parse_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
-    """Adds host, domain (registered), path, url_norm — one map-only pass."""
+def parse_urls(
+    df: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    domain_col: str = "domain",
+    path_col: str = "path",
+    norm_col: str = "url_norm",
+) -> DataFrame:
+    """Adds host, domain (registered), path, url_norm — one map-only
+    pass. The output names are overridable so pipeline callers
+    (curate_corpus, CorpusIngest) can use internal names that cannot
+    clobber same-named user columns on the input."""
     host = _host(url_col)
     return (
-        df.withColumn("host", host)
-        .withColumn("domain", registered_domain(F.col("host")))
-        .withColumn("path", F.try_parse_url(F.col(url_col), F.lit("PATH")))
-        .withColumn("url_norm", normalize_url(url_col))
+        df.withColumn(host_col, host)
+        .withColumn(domain_col, registered_domain(F.col(host_col)))
+        .withColumn(path_col, F.try_parse_url(F.col(url_col), F.lit("PATH")))
+        .withColumn(norm_col, normalize_url(url_col))
     )
 
 
@@ -331,6 +341,26 @@ def url_dedup(
     )
     kept = base.filter(F.col(un).isNotNull()).join(winners, [un, id_col], "left_semi")
     return kept.unionByName(base.filter(F.col(un).isNull())).drop(*drop)
+
+
+def _py_is_public_suffix(b: str, psl: dict | None = None) -> bool:
+    """True when ``b`` itself is a public suffix under the compiled PSL
+    (exact rule, wildcard-covered label, exception rules excluded, and
+    the implicit ``*`` rule for bare TLDs). A blocklist entry that is a
+    suffix — ``blogspot.com``-style private hosting suffixes above all —
+    must match by HOST suffix, not registered-domain equality: its
+    subdomains each have their OWN registered domain."""
+    p = psl or _PSL_COMPILED
+    parts = b.split(".")
+    n = len(parts)
+    for ln in p["exc"]:
+        if n == ln and b in p["exc"][ln]:
+            return False  # exception rule: explicitly registrable
+    if n in p["exact"] and b in p["exact"][n]:
+        return True
+    if n >= 2 and (n - 1) in p["wild"] and ".".join(parts[1:]) in p["wild"][n - 1]:
+        return True
+    return n == 1  # implicit '*': every bare TLD is a suffix
 
 
 def _py_registered(b: str, psl: dict | None = None) -> str:
@@ -374,9 +404,11 @@ def domain_blocklist_filter(
     * entries that ARE a registered domain (the overwhelming majority
       in real blocklists) match by eTLD+1 equality — one broadcast
       HASH anti-join, O(1) per row regardless of list size;
-    * deeper entries (e.g. ``bad.example.com``) match by host equality
-      or ``.``-suffix — a broadcast theta anti-join over only that
-      (small) residue, never the full list.
+    * deeper entries (e.g. ``bad.example.com``) AND entries that are
+      themselves public suffixes (``blogspot.com``-style hosting
+      suffixes, whose subdomains each carry their own eTLD+1) match by
+      host equality or ``.``-suffix — a broadcast theta anti-join over
+      only that (small) residue, never the full list.
 
     ``host_col``/``domain_col`` reuse columns a prior ``parse_urls``
     already computed — the PSL longest-match CASE is the expensive
@@ -397,8 +429,18 @@ def domain_blocklist_filter(
         dc = "_d"
         tmp.append("_d")
     entries = sorted({b.lower().lstrip(".") for b in blocklist})
-    regs = [b for b in entries if _py_registered(b) == b]
-    deep = [b for b in entries if _py_registered(b) != b]
+    # three-way split: an entry that IS a public suffix (blogspot.com,
+    # github.io, bare TLDs) would never match by registered-domain
+    # equality — every subdomain under it has its own eTLD+1 — so it
+    # takes the host-suffix path alongside the deeper-than-registered
+    # entries
+    regs = [
+        b
+        for b in entries
+        if _py_registered(b) == b and not _py_is_public_suffix(b)
+    ]
+    regs_set = set(regs)
+    deep = [b for b in entries if b not in regs_set]
     out = base
     if regs:
         rdf = F.broadcast(spark.createDataFrame([(b,) for b in regs], "b string"))

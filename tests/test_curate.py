@@ -362,3 +362,30 @@ def test_materialize_corpus_writes_sequences(spark, sf_small, tmp_path):
 
     with pytest.raises(ValueError, match="bpe_model"):
         materialize_corpus(docs, str(tmp_path / "x"), write_sequences=True)
+
+
+def test_url_tier_tolerates_user_metadata_columns(spark):
+    """A docs table carrying its own host/domain/path/url_norm columns
+    (common crawl metadata) must not confuse the URL tier: the tier's
+    parsed columns use internal names, so filtering decisions come from
+    the PARSED url — a user `host` column naming a blocked domain must
+    not get its row dropped (regression: default names clobbered the
+    user's columns and made the overlap ambiguous)."""
+    from pg2kinesis_spark.functions.curate import curate_corpus
+
+    rows = [
+        (1, "a doc about spark and scale " * 4, "https://a.example.com/p",
+         "blocked.example", "/meta/path"),  # user host col is a blocked name
+        (2, "a second doc entirely different words " * 4,
+         "https://b.blocked.example/q", "meta-host-2", "/meta/other"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, url string, host string, path string"
+    )
+    out = curate_corpus(
+        docs, url_col="url", url_blocklist=["blocked.example"],
+        domain_cap_k=5, near_dup_jaccard=None,
+    )
+    # doc 2's URL is under the blocked domain -> dropped; doc 1's user
+    # metadata column must NOT trigger the blocklist
+    assert {r.doc_id for r in out.collect()} == {1}

@@ -322,3 +322,46 @@ def test_load_psl_file_roundtrip(spark, tmp_path):
     for h, want in cases.items():
         assert got[h] == want, h
         assert U._py_registered(h, psl=psl) == want, h
+
+
+def test_blocklist_public_suffix_entry_blocks_subdomains(spark):
+    """A blocklist entry that IS a public suffix (blogspot.com is in the
+    PSL's private section) must match by host suffix: every blog under
+    it has its OWN registered domain, so the eTLD+1 equality path can
+    never see it (the pre-PSL behavior this regression pins)."""
+    rows = [
+        (1, "https://evil.blogspot.com/x"),      # subdomain of suffix entry
+        (2, "https://blogspot.com/about"),       # the suffix host itself
+        (3, "https://myblog.example.com/x"),     # unrelated -> kept
+        (4, "https://blogspot.com.evil.com/x"),  # name-suffix trap -> kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {
+        r.doc_id
+        for r in U.domain_blocklist_filter(df, ["blogspot.com"]).collect()
+    }
+    assert out == {3, 4}
+    # and the split itself: a suffix entry must NOT ride the equality path
+    assert U._py_is_public_suffix("blogspot.com")
+    assert U._py_is_public_suffix("co.nz")        # exact ccTLD rule
+    assert U._py_is_public_suffix("com")          # implicit '*' TLD rule
+    assert not U._py_is_public_suffix("example.com")
+    assert not U._py_is_public_suffix("bad.host.co.uk")
+
+
+def test_parse_urls_custom_column_names(spark):
+    """Pipeline callers use internal output names so a docs table's own
+    host/domain/path columns survive the URL tier untouched."""
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/p?x=1", "/user/supplied")],
+        "doc_id long, url string, path string",
+    )
+    out = U.parse_urls(
+        df, "url", host_col="_h2", domain_col="_d2", path_col="_p2",
+        norm_col="_n2",
+    )
+    row = out.collect()[0]
+    assert row.path == "/user/supplied"      # user column untouched
+    assert row._h2 == "a.example.com"
+    assert row._d2 == "example.com"
+    assert row._p2 == "/p"
