@@ -174,3 +174,70 @@ def test_real_runtime_wins_when_present():
     active = install_protobuf_shim()
     is_shim = "protoshim" in (getattr(gp, "__file__", "") or "")
     assert active == is_shim
+
+
+def test_pure_read_does_not_mark_presence():
+    # real-runtime contract: reading an unset submessage auto-vivifies
+    # a child but does NOT set presence; the first MUTATION does
+    cmd = sm.StateCallCommand()
+    assert cmd.ttl.durationMs == 0  # pure read
+    assert not cmd.HasField("ttl")
+    assert cmd.SerializeToString() == b""  # no empty submessage on the wire
+    cmd.ttl.durationMs = 7  # write-through promotes the chain
+    assert cmd.HasField("ttl")
+    back = sm.StateCallCommand()
+    back.ParseFromString(cmd.SerializeToString())
+    assert back.ttl.durationMs == 7
+
+
+def test_nested_chain_promotion_and_repeated_on_lazy_child():
+    req = sm.StateRequest()
+    # deep pure read: nothing becomes present
+    _ = req.statefulProcessorCall.getValueState.stateName
+    assert not req.HasField("statefulProcessorCall")
+    assert req.SerializeToString() == b""
+    # deep write promotes every level
+    req.statefulProcessorCall.getValueState.stateName = "x"
+    assert req.HasField("statefulProcessorCall")
+    assert req.statefulProcessorCall.HasField("getValueState")
+    # repeated append on a lazily-vivified child also promotes
+    it = sm.StateResponseWithMapIterator()
+    pair = it.kvPair.add(key=b"k", value=b"v")
+    assert pair.key == b"k"
+    back = sm.StateResponseWithMapIterator()
+    back.ParseFromString(it.SerializeToString())
+    assert len(back.kvPair) == 1 and back.kvPair[0].key == b"k"
+
+
+def test_oneof_default_value_keeps_presence_on_the_wire():
+    from pg2kinesis_spark.vendor.protoshim.google.protobuf.internal import wire as W
+
+    m = W.MsgDesc()
+    m.name = m.full_name = "O"
+    m.oneofs = ["pick"]
+    for name, number, typ in (("a", 1, W.T_INT32), ("b", 2, W.T_STRING)):
+        f = W.FieldDesc()
+        f.name, f.number, f.label, f.type = name, number, W.L_OPTIONAL, typ
+        f.oneof_index = 0
+        m.fields.append(f)
+    fd = W.FileDesc()
+    fd.messages = [m]
+    cls, _ = W.build_classes(fd)
+    cls = cls["O"]
+
+    msg = cls()
+    msg.a = 0  # oneof member at its default value: presence must survive
+    assert msg.WhichOneof("pick") == "a"
+    data = msg.SerializeToString()
+    assert data == bytes.fromhex("0800")  # field 1 varint 0 IS emitted
+    back = cls()
+    back.ParseFromString(data)
+    assert back.WhichOneof("pick") == "a"
+    # setting the sibling clears the first member (single-armed oneof)
+    msg.b = "hi"
+    assert msg.WhichOneof("pick") == "b"
+    assert not msg.HasField("a")
+    # last-wins when both arms appear on the wire
+    both = cls()
+    both.ParseFromString(bytes.fromhex("0805") + bytes.fromhex("12026869"))
+    assert both.WhichOneof("pick") == "b"
