@@ -53,7 +53,9 @@ def bench_cdc_replay(spark, sf_dir):
     from pg2kinesis_spark.operators.formatters import format_csv
     from pg2kinesis_spark.operators.test_decoding import parse_test_decoding
 
-    corpus = os.path.join(tempfile.gettempdir(), "bench_cdc_corpus_100000.parquet")
+    # layout is part of the name: a host with the old 8-file cache must
+    # rebuild, or the repartition(32) change silently never applies
+    corpus = os.path.join(tempfile.gettempdir(), "bench_cdc_corpus_100000x32.parquet")
     if not os.path.exists(corpus):
         rows = fx.gen_test_decoding(n_txns=100000, seed=42)  # ~450k wire lines
         # 32 files: the kernel is embarrassingly parallel and the bench

@@ -1966,6 +1966,9 @@ def decode_avi_mjpeg(
     if not is_avi(data):
         raise ValueError("not an AVI: bad RIFF/AVI header")
     wanted = set(frame_indices) if frame_indices is not None else None
+    if wanted is not None and not wanted:
+        return []  # zero frames requested: no walk, no decode
+    last_wanted = max(wanted) if wanted else -1  # hoisted: O(1) per chunk
     frames: list[np.ndarray] = []
     total_px = 0
     ordinal = 0
@@ -1975,7 +1978,7 @@ def decode_avi_mjpeg(
         while pos + 8 <= end:
             if max_frames is not None and len(frames) >= max_frames:
                 return
-            if wanted is not None and ordinal > max(wanted):
+            if wanted is not None and ordinal > last_wanted:
                 return
             cid = data[pos : pos + 4]
             (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])

@@ -263,6 +263,19 @@ def _seq_fold(prod):
     return np.add.accumulate(prod, axis=-1)[..., -1]
 
 
+def _int_sqdist_matrix(qv, C):
+    """(n, k) exact int64 squared distances via the ||q||^2 - 2q.C +
+    ||c||^2 decomposition — integer arithmetic, so bit-identical to the
+    naive (q - c)^2 sum but without its (n, k, dim) int64 temporary
+    (1.9 GB at n=20k, k=16, dim=768 — a driver OOM at the default
+    driver_threshold; the decomposition peaks at O(n*dim))."""
+    import numpy as np
+
+    q2 = np.einsum("ij,ij->i", qv, qv)
+    c2 = np.einsum("ij,ij->i", C, C)
+    return q2[:, None] - 2 * (qv @ C.T) + c2[None, :]
+
+
 def _spark_order_key(cent_sim: float, vec_id):
     """Spark sort key for (cent_sim, vec_id): NaN sorts LAST (Spark
     treats NaN as larger than any double, unlike IEEE)."""
@@ -304,7 +317,7 @@ def _semdedup_driver(
     cents = [qv[i].tolist() for i in order[:n_clusters]]
     for _ in range(n_iter):
         C = np.array(cents, dtype=np.int64)
-        d = ((qv[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)  # exact ints
+        d = _int_sqdist_matrix(qv, C)  # exact ints
         cid = d.argmin(axis=1)  # first-min index == min-cid tie-break
         new = {}
         for k in range(len(cents)):
@@ -315,7 +328,7 @@ def _semdedup_driver(
                 new[k] = [int(v) // cnt for v in s]
         cents = [new.get(i, cents[i]) for i in range(len(cents))]
     C = np.array(cents, dtype=np.int64)
-    d = ((qv[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    d = _int_sqdist_matrix(qv, C)
     cid = d.argmin(axis=1)
     cent_d = (C.astype(np.float64) - float(scale)) / float(scale)
     cd = cent_d[cid]

@@ -477,3 +477,15 @@ def test_avi_frame_indices_skip_decode_cost():
         np.testing.assert_array_equal(a, b)
     # sampling through the Spark operator matches frame-by-frame too
     from pg2kinesis_spark.functions.codecs import decode_jpeg  # noqa: F401
+
+
+def test_avi_empty_frame_indices_returns_no_frames():
+    """An explicitly empty frame_indices set asks for zero frames: no
+    walk, no decode, no crash (regression: bare max() ValueError)."""
+    import numpy as np
+
+    from pg2kinesis_spark.functions.codecs import decode_avi_mjpeg, encode_avi_mjpeg
+
+    frames = [np.full((16, 16, 3), 128, dtype=np.uint8) for _ in range(3)]
+    avi = encode_avi_mjpeg(frames, quality=90)
+    assert decode_avi_mjpeg(avi, frame_indices=set()) == []
