@@ -124,17 +124,33 @@ class BloomSidecar:
         if not os.path.isdir(self.dir):
             return []
         return sorted(
-            f for f in os.listdir(self.dir) if re.fullmatch(r"bloom_\d+\.bin", f)
+            f for f in os.listdir(self.dir) if re.fullmatch(r"bloom_-?\d+\.bin", f)
         )
 
-    def load_union(self, exclude_batch_id: int | None = None) -> np.ndarray | None:
+    def load_union(
+        self,
+        exclude_batch_id: int | None = None,
+        require_batch_ids: "set[int] | None" = None,
+    ) -> np.ndarray | None:
         """OR of every batch's bloom except ``exclude_batch_id``'s.
-        Returns None when no (other-batch) blooms exist yet."""
+        Returns None when no (other-batch) blooms exist yet.
+
+        ``require_batch_ids`` is the coverage contract: the batch ids
+        the index being prefiltered actually holds. If ANY of them has
+        no bloom file (an index created before the sidecar existed, a
+        stretch of batches run with the filter disabled, a lost/partial
+        ``bloom/`` dir), the union would UNDER-approximate — a key from
+        the uncovered batch reads "definitely new" and a duplicate is
+        silently re-admitted. That breaks the no-false-negatives
+        contract, so the load refuses (returns None) and the caller
+        falls back to the full index join."""
         out = None
+        covered: set[int] = set()
         for f in self._files():
             bid = int(f[len("bloom_") : -len(".bin")])
             if exclude_batch_id is not None and bid == exclude_batch_id:
                 continue
+            covered.add(bid)
             with open(os.path.join(self.dir, f), "rb") as fh:
                 arr = np.frombuffer(fh.read(), dtype=np.uint8)
             if len(arr) != self.m_bits // 8:
@@ -143,6 +159,8 @@ class BloomSidecar:
                     " — m_bits changed under an existing index"
                 )
             out = arr.copy() if out is None else (out | arr)
+        if require_batch_ids is not None and not set(require_batch_ids) <= covered:
+            return None  # index batches without a bloom: filter unsafe
         return out
 
     def write(self, df: DataFrame, h1_col: str, h2_col: str, batch_id: int) -> None:

@@ -40,6 +40,24 @@ from pg2kinesis_spark.functions.curate import annotate
 from pg2kinesis_spark.functions.dedup import lsh_pairs_incremental
 
 
+def _index_batch_ids(path: str) -> set[int]:
+    """batch_id partition values present in a parquet index directory —
+    a filesystem listing (no Spark job); the coverage set a bloom
+    sidecar must match before it may prefilter that index."""
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return set()
+    out = set()
+    for n in names:
+        if n.startswith("batch_id="):
+            try:
+                out.add(int(n.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return out
+
+
 class CorpusIngest:
     """foreachBatch processor: gate -> dedup -> near-dup -> append."""
 
@@ -60,6 +78,8 @@ class CorpusIngest:
         url_badwords: tuple[str, ...] | None = None,
         dsir_logratios: DataFrame | None = None,
         min_dsir_logw: float | None = None,
+        eval_df: DataFrame | None = None,
+        contamination_n: int = 13,
         semdedup_eps: float | None = None,
         semdedup_ref_emb: DataFrame | None = None,
         semdedup_dim: int | None = None,
@@ -106,6 +126,18 @@ class CorpusIngest:
             self.dsir_n_buckets = dsir_logratios.count()
         self.dsir_logratios = dsir_logratios
         self.min_dsir_logw = min_dsir_logw
+        # Eval-set decontamination as a STREAMING gate: the distinct
+        # eval gram-hash set is fit ONCE (the benchmark suite is static)
+        # and materialized eagerly — it is broadcast-probed every batch,
+        # and a lazy plan would re-shingle the eval set per micro-batch.
+        self.eval_grams = None
+        self.contamination_n = contamination_n
+        if eval_df is not None:
+            from pg2kinesis_spark.functions.contamination import eval_gram_set
+
+            self.eval_grams = eval_gram_set(
+                eval_df, contamination_n
+            ).localCheckpoint(eager=True)
         # LM gate state: the model's count DataFrames live for the whole
         # stream (trained once, on a REFERENCE corpus — not the stream)
         self.lm_model = lm_model
@@ -160,6 +192,10 @@ class CorpusIngest:
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # heal a crashed compact_corpus_indexes swap (two cheap stat
+        # calls per index; the index must never appear absent)
+        for p in (self.hash_path, self.sig_path, self.emb_path):
+            _recover_compaction(p)
         if self.url_col is not None:
             from pg2kinesis_spark.functions import urls as _urls
 
@@ -167,15 +203,25 @@ class CorpusIngest:
                 batch = _urls.url_badword_filter(
                     batch, self.url_badwords, url_col=self.url_col
                 )
-            # parse once; blocklist + dedup reuse the computed columns
-            parsed = _urls.parse_urls(batch, self.url_col)
+            # parse once; blocklist + dedup reuse the computed columns.
+            # Internal names: a batch may carry its own host/domain/path
+            # columns (crawl metadata) — defaults would clobber them.
+            parsed = _urls.parse_urls(
+                batch, self.url_col, host_col="_cu_host",
+                domain_col="_cu_domain", path_col="_cu_path",
+                norm_col="_cu_url_norm",
+            )
             if self.url_blocklist:
                 parsed = _urls.domain_blocklist_filter(
                     parsed, self.url_blocklist, url_col=self.url_col,
-                    host_col="host", domain_col="domain",
+                    host_col="_cu_host", domain_col="_cu_domain",
                 )
-            parsed = _urls.url_dedup(parsed, url_col=self.url_col, norm_col="url_norm")
-            batch = parsed.drop("host", "domain", "path", "url_norm")
+            parsed = _urls.url_dedup(
+                parsed, url_col=self.url_col, norm_col="_cu_url_norm"
+            )
+            batch = parsed.drop(
+                "_cu_host", "_cu_domain", "_cu_path", "_cu_url_norm"
+            )
         if self.dsir_logratios is not None and self.min_dsir_logw is not None:
             from pg2kinesis_spark.functions.dsir import dsir_scores
 
@@ -199,6 +245,21 @@ class CorpusIngest:
             from pg2kinesis_spark.functions.lm import perplexity_filter
 
             batch = perplexity_filter(batch, self.lm_model, self.max_perplexity)
+        if self.eval_grams is not None:
+            # GPT-3-style 13-gram leakage gate vs the frozen eval gram
+            # set: corpus grams are consumed in-map by the broadcast
+            # semi join (contamination.py's shape), flagged ids
+            # anti-joined back — a benchmark snippet arriving in ANY
+            # batch is dropped before it can enter the corpus
+            from pg2kinesis_spark.functions.contamination import _gram_hashes
+
+            flagged = (
+                _gram_hashes(batch, self.contamination_n, "doc_id", "gram_h")
+                .join(F.broadcast(self.eval_grams), "gram_h", "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+            batch = batch.join(flagged, "doc_id", "left_anti")
         ann = annotate(batch)
         if self.sd_cents is not None:
             # annotate projects (doc_id, text, ...); carry the embedding
@@ -207,8 +268,15 @@ class CorpusIngest:
         if self.min_quality > 0.0:
             ann = ann.filter(F.col("quality") >= self.min_quality)
 
-        # exact dedup: within batch (min doc_id per hash) and vs index
-        ann = ann.withColumn("_h", F.md5("text"))
+        # exact dedup: within batch (min doc_id per hash) and vs index.
+        # Materialize the gated batch FIRST (curate.py's multi-reference
+        # discipline): everything below — the within-batch groupBy
+        # semi-join, the bloom maybe/definitely split, docs for the
+        # signature stage, the near-dup drop anti-join — references
+        # `ann` from 2+ plan subtrees, and without a checkpoint each
+        # reference re-executes the whole gate chain (URL/DSIR/gopher/
+        # LM/annotate) per micro-batch.
+        ann = ann.withColumn("_h", F.md5("text")).localCheckpoint(eager=True)
         ann = ann.join(
             ann.groupBy("_h").agg(F.min("doc_id").alias("doc_id")),
             ["_h", "doc_id"],
@@ -216,8 +284,13 @@ class CorpusIngest:
         )
         idx = self._existing(spark, self.hash_path, exclude_batch_id=batch_id)
         if idx is not None:
+            # every index batch must have a bloom file, or the union
+            # would under-approximate (load_union refuses -> full join)
+            need = _index_batch_ids(self.hash_path) - {batch_id}
             bloom_bits = (
-                self.bloom.load_union(exclude_batch_id=batch_id)
+                self.bloom.load_union(
+                    exclude_batch_id=batch_id, require_batch_ids=need
+                )
                 if self.bloom is not None
                 else None
             )
@@ -242,11 +315,19 @@ class CorpusIngest:
                 ann = ann.join(idx.select("_h"), "_h", "left_anti")
 
         # near-dup vs signature index (new-vs-index + new-vs-new pairs)
+        if self.near_dup_jaccard is not None or self.sd_cents is not None:
+            # the survivors feed 2-3 subtrees below (docs/signatures,
+            # the id-side broadcast marks, the final anti-join) — bound
+            # the plan here too
+            ann = ann.localCheckpoint(eager=True)
         if self.near_dup_jaccard is not None:
             docs = ann.select("doc_id", "text")
             if self._existing(spark, self.sig_path, exclude_batch_id=batch_id) is not None:
+                band_need = _index_batch_ids(self.sig_path) - {batch_id}
                 band_bits = (
-                    self.band_bloom.load_union(exclude_batch_id=batch_id)
+                    self.band_bloom.load_union(
+                        exclude_batch_id=batch_id, require_batch_ids=band_need
+                    )
                     if self.band_bloom is not None
                     else None
                 )
@@ -383,6 +464,131 @@ class CorpusIngest:
                 batch_id,
             )
         _write(back.select(F.md5("text").alias("_h")), self.hash_path)
+
+
+COMPACTED_BATCH_ID = -1
+"""Reserved batch_id partition for compacted index history. Streaming
+batch ids are >= 0, so the replay-exclusion filter
+(``batch_id != current``) can never exclude compacted rows — exactly
+right, because only batches that can no longer be replayed are folded."""
+
+
+def _recover_compaction(path: str) -> None:
+    """Crash recovery for ``compact_corpus_indexes``'s swap: if the live
+    dir is missing but the ``.old`` backup exists (crash between the two
+    renames), restore the backup — the index must never appear absent."""
+    old = path + ".compact_old"
+    if os.path.isdir(old) and not os.path.isdir(path):
+        os.replace(old, path)
+
+
+def compact_corpus_indexes(
+    spark: SparkSession,
+    out_dir: str,
+    keep_last_batches: int = 1,
+    target_files: int = 1,
+) -> dict:
+    """Fold old per-batch index partitions into one compacted partition.
+
+    At 100 TB streaming scale the small-file problem is real: every
+    micro-batch appends a ``batch_id=N`` partition to the hash /
+    signature / embedding indexes, so after 10^4 batches every dedup
+    join opens 10^4 parquet footers. Per-batch partitioning only earns
+    its keep for REPLAYABLE batches (the crash-replay exclusion
+    contract); history that can no longer be replayed doesn't need it.
+    This maintenance op rewrites each index with all but the newest
+    ``keep_last_batches`` partitions folded into ``batch_id=-1``
+    (``COMPACTED_BATCH_ID``, sized to ``target_files`` files), leaving
+    row content bit-identical — only layout changes.
+
+    MUST run with the ingest stream STOPPED (the contract that makes
+    folding safe: a stopped stream has no batch left to replay, and
+    ``keep_last_batches >= 1`` keeps the newest partitions replayable
+    anyway as belt-and-braces).
+
+    Bloom sidecars fold with their index: the folded batches' bloom
+    files OR into ``bloom_-1.bin`` — written BEFORE the index swap, so
+    a crash only ever leaves extra (over-approximating) bloom files —
+    and only when EVERY folded batch had one (a partial union would
+    under-approximate; the coverage check would refuse it anyway).
+
+    Crash-safe by rename protocol per index: write the compacted copy
+    to ``<path>.compact_tmp``, rename live -> ``<path>.compact_old``,
+    rename tmp -> live, delete old. A crash between the renames is
+    healed by ``_recover_compaction`` (called here and by
+    ``CorpusIngest.process_batch``).
+    """
+    import shutil
+
+    if keep_last_batches < 1:
+        # the newest batch stays replayable as belt-and-braces: a
+        # checkpoint that didn't commit its last batch would replay it,
+        # and a folded partition can't honor the exclusion contract
+        raise ValueError("keep_last_batches must be >= 1")
+    summary: dict = {}
+    index_blooms = {
+        "hash_index": "bloom",
+        "sig_index": "bloom_bands",
+        "emb_index": None,
+    }
+    for index_name, bloom_name in index_blooms.items():
+        path = os.path.join(out_dir, index_name)
+        _recover_compaction(path)
+        ids = sorted(_index_batch_ids(path))
+        if len(ids) <= keep_last_batches:
+            continue
+        fold = ids[: len(ids) - keep_last_batches]
+        kept = ids[len(ids) - keep_last_batches :]
+        if fold == [COMPACTED_BATCH_ID]:
+            continue  # already compacted, nothing new to fold
+        df = spark.read.parquet(path)
+        folded = (
+            df.filter(F.col("batch_id").isin(fold))
+            .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
+            .repartition(target_files)
+        )
+        kept_df = df.filter(F.col("batch_id").isin(kept)) if kept else None
+
+        # bloom fold first (over-approximation-only crash window)
+        if bloom_name is not None:
+            bdir = os.path.join(out_dir, bloom_name)
+            srcs = [os.path.join(bdir, f"bloom_{b}.bin") for b in fold]
+            if os.path.isdir(bdir) and all(os.path.isfile(s) for s in srcs):
+                import numpy as np
+
+                acc = None
+                for s in srcs:
+                    with open(s, "rb") as fh:
+                        arr = np.frombuffer(fh.read(), dtype=np.uint8)
+                    acc = arr.copy() if acc is None else (acc | arr)
+                tmp = os.path.join(bdir, f"bloom_{COMPACTED_BATCH_ID}.bin.tmp")
+                with open(tmp, "wb") as fh:
+                    fh.write(acc.tobytes())
+                os.replace(tmp, os.path.join(bdir, f"bloom_{COMPACTED_BATCH_ID}.bin"))
+
+        tmp_path = path + ".compact_tmp"
+        old_path = path + ".compact_old"
+        shutil.rmtree(tmp_path, ignore_errors=True)
+        shutil.rmtree(old_path, ignore_errors=True)
+        folded.write.mode("append").partitionBy("batch_id").parquet(tmp_path)
+        if kept_df is not None:
+            kept_df.write.mode("append").partitionBy("batch_id").parquet(tmp_path)
+        os.replace(path, old_path)
+        os.replace(tmp_path, path)
+        shutil.rmtree(old_path)
+
+        # stale per-batch blooms last: deleting after the swap means a
+        # crash anywhere above leaves them present = over-approximation
+        if bloom_name is not None:
+            bdir = os.path.join(out_dir, bloom_name)
+            for b in fold:
+                if b != COMPACTED_BATCH_ID:
+                    try:
+                        os.remove(os.path.join(bdir, f"bloom_{b}.bin"))
+                    except OSError:
+                        pass
+        summary[index_name] = {"folded": fold, "kept": kept}
+    return summary
 
 
 def start_corpus_ingest(

@@ -4,6 +4,8 @@ and the CorpusIngest integration's accepted-set equivalence."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -171,3 +173,55 @@ def test_ingest_band_bloom_files_written(spark, tmp_path):
         "bloom_0.bin",
         "bloom_1.bin",
     ]
+
+
+def test_load_union_refuses_partial_coverage(tmp_path):
+    """An index batch with no bloom file would make the union
+    under-approximate (silent duplicate re-admission) — load_union must
+    refuse and force the full-join fallback."""
+    import numpy as np
+
+    from pg2kinesis_spark.functions.bloom import BloomSidecar
+
+    sc = BloomSidecar(str(tmp_path / "bloom"), m_bits=1 << 10, k=3)
+    os.makedirs(sc.dir, exist_ok=True)
+    with open(os.path.join(sc.dir, "bloom_1.bin"), "wb") as fh:
+        fh.write(np.zeros((1 << 10) // 8, dtype=np.uint8).tobytes())
+    # batch 0 has index data but no bloom -> refuse
+    assert sc.load_union(require_batch_ids={0, 1}) is None
+    # full coverage -> union loads
+    assert sc.load_union(require_batch_ids={1}) is not None
+    # the replayed batch itself is never required
+    assert sc.load_union(exclude_batch_id=2, require_batch_ids={1}) is not None
+    # extra bloom files beyond the index (crash before index write) are fine
+    assert sc.load_union(require_batch_ids=set()) is not None
+
+
+def test_ingest_bloom_coverage_gap_still_drops_duplicates(spark, tmp_path):
+    """Batch 0 ingested with the bloom DISABLED (an index predating the
+    sidecar), batch 1 with it enabled and carrying a duplicate of a
+    batch-0 text: the partial sidecar must not prefilter (coverage
+    check) and the duplicate must still be dropped."""
+    from pg2kinesis_spark.streaming.corpus_ingest import start_corpus_ingest
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    src, out, ck = (str(tmp_path / d) for d in ("landing", "curated", "ck"))
+    spark.createDataFrame(
+        [(1, base), (2, "some completely different text entirely here")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_corpus_ingest(spark, src, out, ck, near_dup_jaccard=None,
+                            bloom_bits=None)  # no sidecar for batch 0
+    q.awaitTermination(120)
+    spark.createDataFrame(
+        [(11, base), (12, "a fresh unique document with new material")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_corpus_ingest(spark, src, out, ck, near_dup_jaccard=None,
+                            bloom_bits=1 << 16)  # sidecar on, batch 0 uncovered
+    q.awaitTermination(120)
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(out, "accepted")).select("doc_id").collect()
+    }
+    assert got == {1, 2, 12}  # 11 dropped: exact dup of uncovered batch 0

@@ -261,3 +261,143 @@ def test_ingest_semdedup_drops_cross_batch_paraphrase(spark, tmp_path):
     assert acc3 == acc2
     emb_idx2 = spark.read.parquet(os.path.join(out, "emb_index"))
     assert emb_idx2.count() == len(acc2)
+
+
+def _parquet_files(path):
+    out = []
+    for root, _dirs, files in os.walk(path):
+        out += [os.path.join(root, f) for f in files if f.endswith(".parquet")]
+    return out
+
+
+def test_compact_indexes_preserves_dedup_and_shrinks_files(spark, tmp_path):
+    """Three ingested batches -> compact(keep_last_batches=1) folds the
+    first two index partitions into batch_id=-1: row content identical,
+    file count down, blooms folded, and a FOURTH batch carrying an
+    exact dup of batch 0 plus a near-dup of batch 1 still dedups."""
+    from pg2kinesis_spark.streaming.corpus_ingest import (
+        COMPACTED_BATCH_ID,
+        compact_corpus_indexes,
+        start_corpus_ingest,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different text about spark clusters and scale here"
+    src, out = str(tmp_path / "landing"), str(tmp_path / "curated")
+    batches = [
+        [(1, base), (2, other)],
+        [(11, "a second-batch document with its own unique words entirely")],
+        [(21, "third batch text that shares nothing with the others at all")],
+    ]
+    ck = str(tmp_path / "ck")
+    for rows in batches:
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = start_corpus_ingest(
+            spark, src, out, ck,
+            near_dup_jaccard=0.6, bloom_bits=1 << 16,
+        )
+        q.awaitTermination(120)
+
+    hash_path = os.path.join(out, "hash_index")
+    sig_path = os.path.join(out, "sig_index")
+    before_rows = sorted(r._h for r in spark.read.parquet(hash_path).collect())
+    before_sig = spark.read.parquet(sig_path).count()
+    files_before = len(_parquet_files(hash_path))
+
+    summary = compact_corpus_indexes(spark, out, keep_last_batches=1)
+    assert summary["hash_index"]["folded"] == [0, 1]
+    assert summary["hash_index"]["kept"] == [2]
+
+    after = spark.read.parquet(hash_path)
+    assert sorted(r._h for r in after.collect()) == before_rows
+    assert {r.batch_id for r in after.select("batch_id").distinct().collect()} == {
+        COMPACTED_BATCH_ID, 2,
+    }
+    assert spark.read.parquet(sig_path).count() == before_sig
+    assert len(_parquet_files(hash_path)) < files_before
+    blooms = sorted(os.listdir(os.path.join(out, "bloom")))
+    assert blooms == ["bloom_-1.bin", "bloom_2.bin"]
+    assert sorted(os.listdir(os.path.join(out, "bloom_bands"))) == [
+        "bloom_-1.bin", "bloom_2.bin",
+    ]
+
+    # post-compaction ingest: exact dup of folded batch 0 + near-dup of
+    # folded batch 1 must still be dropped; fresh doc accepted
+    spark.createDataFrame(
+        [
+            (31, base),                                               # exact dup
+            (32, "a second-batch document with its own unique words entirely!"),
+            (33, "a brand new never seen document mentioning novel things"),
+        ],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_corpus_ingest(
+        spark, src, out, ck,
+        near_dup_jaccard=0.6, bloom_bits=1 << 16,
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(out, "accepted")).select("doc_id").collect()
+    }
+    assert got == {1, 2, 11, 21, 33}
+
+
+def test_compact_crash_recovery_restores_live_dir(spark, tmp_path):
+    """A crash between the two swap renames leaves <path>.compact_old
+    and no live dir; recovery (compact re-run or the next micro-batch)
+    must restore it."""
+    from pg2kinesis_spark.streaming.corpus_ingest import (
+        _recover_compaction,
+        start_corpus_ingest,
+    )
+
+    src, out = str(tmp_path / "landing"), str(tmp_path / "curated")
+    spark.createDataFrame(
+        [(1, "some document text for the recovery test scenario here")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_corpus_ingest(spark, src, out, str(tmp_path / "ck"),
+                            near_dup_jaccard=None, bloom_bits=None)
+    q.awaitTermination(120)
+    hash_path = os.path.join(out, "hash_index")
+    n = spark.read.parquet(hash_path).count()
+    os.replace(hash_path, hash_path + ".compact_old")  # simulated crash
+    _recover_compaction(hash_path)
+    assert spark.read.parquet(hash_path).count() == n
+
+
+def test_ingest_decontamination_gate_drops_benchmark_leakage(spark, tmp_path):
+    """A doc containing a verbatim 13-gram from the frozen eval set is
+    dropped in whichever batch it arrives; clean docs pass. Mirrors the
+    batch decontaminate() operator under the streaming contract."""
+    from pg2kinesis_spark.streaming.corpus_ingest import start_corpus_ingest
+
+    bench_q = (
+        "what is the capital city of the country directly north of "
+        "france in western europe"
+    )  # 14 words -> contains 13-grams
+    eval_df = spark.createDataFrame([(1, bench_q)], ["eval_id", "text"])
+    src, out = str(tmp_path / "landing"), str(tmp_path / "curated")
+    b1 = [(1, "a perfectly clean document with plenty of original words here")]
+    b2 = [
+        (11, f"quiz dump page: {bench_q} answer brussels obviously"),  # leaked
+        (12, "another clean document mentioning entirely unrelated topics"),
+    ]
+    ck = str(tmp_path / "ck")
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = start_corpus_ingest(
+            spark, src, out, ck,
+            near_dup_jaccard=None, bloom_bits=None, eval_df=eval_df,
+        )
+        q.awaitTermination(120)
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(out, "accepted")).select("doc_id").collect()
+    }
+    assert got == {1, 12}
