@@ -76,6 +76,8 @@ class CorpusIngest:
         url_col: str | None = None,
         url_blocklist: list[str] | None = None,
         url_badwords: tuple[str, ...] | None = None,
+        url_dedup_cross_batch: bool = False,
+        domain_cap_k: int | None = None,
         dsir_logratios: DataFrame | None = None,
         min_dsir_logw: float | None = None,
         eval_df: DataFrame | None = None,
@@ -116,6 +118,23 @@ class CorpusIngest:
         self.url_col = url_col
         self.url_blocklist = url_blocklist
         self.url_badwords = url_badwords
+        # Cross-batch URL state, both on the parquet-index pattern:
+        # * url_dedup_cross_batch: normalized-URL exact dedup vs a
+        #   md5(url_norm) index — a RECRAWL whose boilerplate changed
+        #   (so the text hash differs) still collapses at the URL key.
+        # * domain_cap_k: per-registered-domain doc budget over the
+        #   WHOLE accepted corpus — a (domain, n) count index accrues
+        #   per batch; each batch admits at most k - already_accepted
+        #   more docs per domain. Applied AFTER the dedup stages so
+        #   duplicates never consume a domain's budget.
+        if (url_dedup_cross_batch or domain_cap_k is not None) and url_col is None:
+            raise ValueError(
+                "url_dedup_cross_batch / domain_cap_k need url_col"
+            )
+        self.url_xbatch = url_dedup_cross_batch
+        self.domain_cap_k = domain_cap_k
+        self.url_path = os.path.join(out_dir, "url_index")
+        self.dom_path = os.path.join(out_dir, "domain_counts")
         # DSIR as a STREAMING gate: the log-ratio table is fit once on
         # reference corpora; per-batch scoring thresholds on logw — the
         # streaming analogue of top-k selection. Materialize it HERE
@@ -194,7 +213,13 @@ class CorpusIngest:
         spark = batch.sparkSession
         # heal a crashed compact_corpus_indexes swap (two cheap stat
         # calls per index; the index must never appear absent)
-        for p in (self.hash_path, self.sig_path, self.emb_path):
+        for p in (
+            self.hash_path,
+            self.sig_path,
+            self.emb_path,
+            self.url_path,
+            self.dom_path,
+        ):
             _recover_compaction(p)
         if self.url_col is not None:
             from pg2kinesis_spark.functions import urls as _urls
@@ -219,6 +244,24 @@ class CorpusIngest:
             parsed = _urls.url_dedup(
                 parsed, url_col=self.url_col, norm_col="_cu_url_norm"
             )
+            if self.url_xbatch:
+                # recrawl collapse: anti-join the normalized-URL hash
+                # against the accepted-URL index (16-byte keys shuffle,
+                # never the docs); unparseable URLs (NULL norm) always
+                # pass — no evidence of duplication
+                uidx = self._existing(
+                    spark, self.url_path, exclude_batch_id=batch_id
+                )
+                if uidx is not None:
+                    hashed = parsed.withColumn("_uh", F.md5("_cu_url_norm"))
+                    parsed = (
+                        hashed.filter(F.col("_cu_url_norm").isNotNull())
+                        .join(uidx.select("_uh"), "_uh", "left_anti")
+                        .unionByName(
+                            hashed.filter(F.col("_cu_url_norm").isNull())
+                        )
+                        .drop("_uh")
+                    )
             batch = parsed.drop(
                 "_cu_host", "_cu_domain", "_cu_path", "_cu_url_norm"
             )
@@ -265,6 +308,11 @@ class CorpusIngest:
             # annotate projects (doc_id, text, ...); carry the embedding
             # through for the semantic stage + the accepted output
             ann = ann.join(batch.select("doc_id", "embedding"), "doc_id")
+        if self.url_col is not None and (self.url_xbatch or self.domain_cap_k is not None):
+            # carry the URL into the accepted output: the cap stage and
+            # the url/domain index write-backs derive from it (and the
+            # accepted corpus keeping its provenance URL is useful)
+            ann = ann.join(batch.select("doc_id", self.url_col), "doc_id")
         if self.min_quality > 0.0:
             ann = ann.filter(F.col("quality") >= self.min_quality)
 
@@ -383,6 +431,53 @@ class CorpusIngest:
             )
             ann = ann.join(kept, "doc_id", "left_semi")
 
+        # cross-batch per-domain cap: admit at most k - already_accepted
+        # docs per registered domain. LAST on purpose — placed after the
+        # dedup stages so a recrawl/near-dup never consumes its domain's
+        # budget with a doc that was going to be dropped anyway. The
+        # count index is semi-pruned to THIS batch's domains before the
+        # broadcast (the full domain table never ships), and the
+        # within-batch rank is a window over micro-batch-bounded groups.
+        if self.domain_cap_k is not None:
+            from pyspark.sql.window import Window
+
+            from pg2kinesis_spark.functions import urls as _urls
+
+            dom = _urls.registered_domain(_urls._host(self.url_col))
+            capped = ann.withColumn("_dom", dom)
+            used = None
+            counts_idx = self._existing(
+                spark, self.dom_path, exclude_batch_id=batch_id
+            )
+            if counts_idx is not None:
+                batch_doms = (
+                    capped.select(F.col("_dom").alias("domain"))
+                    .filter(F.col("domain").isNotNull())
+                    .distinct()
+                )
+                used = (
+                    counts_idx.join(batch_doms, "domain", "left_semi")
+                    .groupBy("domain")
+                    .agg(F.sum("n").alias("_used"))
+                )
+            rn = F.row_number().over(
+                Window.partitionBy("_dom").orderBy("doc_id")
+            )
+            capped = capped.withColumn("_rn", rn)
+            if used is not None:
+                capped = capped.join(
+                    F.broadcast(used),
+                    capped["_dom"] == used["domain"],
+                    "left",
+                ).drop("domain")
+            else:
+                capped = capped.withColumn("_used", F.lit(None).cast("long"))
+            keep = F.col("_dom").isNull() | (
+                F.col("_rn")
+                <= self.domain_cap_k - F.coalesce(F.col("_used"), F.lit(0))
+            )
+            ann = capped.filter(keep).drop("_dom", "_rn", "_used")
+
         # WRITE-THEN-READ-BACK, deliberately: the accepted plan's lineage
         # runs anti-joins AGAINST the hash/signature indexes. If the index
         # writes below re-executed that lineage (cache eviction, partial
@@ -448,6 +543,31 @@ class CorpusIngest:
                     self.sd_cents,
                 ),
                 self.emb_path,
+            )
+        if self.url_xbatch:
+            from pg2kinesis_spark.functions import urls as _urls
+
+            # same normalize_url expression as the probe side -> same
+            # md5 keys; NULL norms (unparseable) never enter the index
+            _write(
+                back.select(
+                    F.md5(_urls.normalize_url(self.url_col)).alias("_uh")
+                ).filter(F.col("_uh").isNotNull()),
+                self.url_path,
+            )
+        if self.domain_cap_k is not None:
+            from pg2kinesis_spark.functions import urls as _urls
+
+            _write(
+                back.select(
+                    _urls.registered_domain(
+                        _urls._host(self.url_col)
+                    ).alias("domain")
+                )
+                .filter(F.col("domain").isNotNull())
+                .groupBy("domain")
+                .agg(F.count(F.lit(1)).alias("n")),
+                self.dom_path,
             )
         # bloom BEFORE the hash index: a crash between the two leaves the
         # bloom over-approximating (maybe-seen rows probe the index, find
@@ -530,6 +650,10 @@ def compact_corpus_indexes(
         "hash_index": "bloom",
         "sig_index": "bloom_bands",
         "emb_index": None,
+        "url_index": None,
+        # (domain, n) count rows: folding only relabels batch_id — the
+        # per-batch sum the cap stage aggregates is unchanged
+        "domain_counts": None,
     }
     for index_name, bloom_name in index_blooms.items():
         path = os.path.join(out_dir, index_name)

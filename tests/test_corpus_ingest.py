@@ -401,3 +401,125 @@ def test_ingest_decontamination_gate_drops_benchmark_leakage(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(out, "accepted")).select("doc_id").collect()
     }
     assert got == {1, 12}
+
+
+def test_ingest_url_cross_batch_dedup_collapses_recrawls(spark, tmp_path):
+    """A recrawl with the SAME normalized URL but changed text (so the
+    text-hash index cannot see it) is dropped by the url_index; new
+    URLs and unparseable URLs pass."""
+    from pg2kinesis_spark.streaming.corpus_ingest import start_corpus_ingest
+
+    src, out, ck = (str(tmp_path / d) for d in ("landing", "curated", "ck"))
+    b1 = [(1, "the original page text as first crawled with many words",
+           "https://news.example.com/story?utm_source=feed")]
+    b2 = [
+        (11, "the SAME page recrawled with a different cookie banner text",
+         "https://news.example.com/story"),          # same url_norm -> drop
+        (12, "a different page entirely with fresh content here",
+         "https://news.example.com/other"),           # new url -> keep
+        (13, "doc whose url does not parse at all but text is fine",
+         "::not a url::"),                            # NULL norm -> keep
+    ]
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, ["doc_id", "text", "url"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = start_corpus_ingest(
+            spark, src, out, ck, near_dup_jaccard=None, bloom_bits=None,
+            url_col="url", url_dedup_cross_batch=True,
+        )
+        q.awaitTermination(120)
+    acc = spark.read.parquet(os.path.join(out, "accepted"))
+    assert {r.doc_id for r in acc.select("doc_id").collect()} == {1, 12, 13}
+    assert "url" in acc.columns  # provenance URL rides the accepted output
+
+
+def test_ingest_domain_cap_is_a_whole_corpus_budget(spark, tmp_path):
+    """domain_cap_k=2 across batches: once a registered domain has two
+    accepted docs, later batches admit none from it — while other
+    domains and unparseable URLs are unaffected. Duplicates never
+    consume budget (cap runs after dedup)."""
+    from pg2kinesis_spark.streaming.corpus_ingest import start_corpus_ingest
+
+    src, out, ck = (str(tmp_path / d) for d in ("landing", "curated", "ck"))
+    b1 = [
+        (1, "first hot-domain page with words " * 3, "https://a.hot.example/1"),
+        (2, "second hot-domain page different words " * 3, "https://b.hot.example/2"),
+    ]
+    b2 = [
+        (11, "third hot-domain page more words " * 3, "https://c.hot.example/3"),
+        (12, "first hot-domain page with words " * 3, "https://a.hot.example/1b"),  # exact text dup
+        (13, "a calm-domain page with its own words " * 3, "https://calm.example/1"),
+        (14, "unparseable url doc with plenty of words " * 3, "::nope::"),
+    ]
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, ["doc_id", "text", "url"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = start_corpus_ingest(
+            spark, src, out, ck, near_dup_jaccard=None, bloom_bits=None,
+            url_col="url", domain_cap_k=2,
+        )
+        q.awaitTermination(120)
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(out, "accepted")).select("doc_id").collect()
+    }
+    # 11 dropped (hot.example budget exhausted by batch 1); 12 dropped as
+    # an exact dup BEFORE the cap (never consumed budget); 13/14 kept
+    assert got == {1, 2, 13, 14}
+    # count index accrued only accepted rows
+    counts = {
+        (r.domain, r.n)
+        for r in spark.read.parquet(os.path.join(out, "domain_counts"))
+        .groupBy("domain").sum("n")
+        .withColumnRenamed("sum(n)", "n").collect()
+    }
+    assert ("hot.example", 2) in counts and ("calm.example", 1) in counts
+
+
+def test_compact_folds_url_and_domain_indexes(spark, tmp_path):
+    """Compaction folds the url/domain indexes too: the URL recrawl
+    check and the whole-corpus domain budget survive the fold."""
+    from pg2kinesis_spark.streaming.corpus_ingest import (
+        compact_corpus_indexes,
+        start_corpus_ingest,
+    )
+
+    src, out, ck = (str(tmp_path / d) for d in ("landing", "curated", "ck"))
+    batches = [
+        [(1, "page one text for the compaction scenario " * 3,
+          "https://site.example/1")],
+        [(11, "page two text all different for the test " * 3,
+          "https://site.example/2")],
+    ]
+    kw = dict(near_dup_jaccard=None, bloom_bits=None, url_col="url",
+              url_dedup_cross_batch=True, domain_cap_k=2)
+    for rows in batches:
+        spark.createDataFrame(rows, ["doc_id", "text", "url"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = start_corpus_ingest(spark, src, out, ck, **kw)
+        q.awaitTermination(120)
+    summary = compact_corpus_indexes(spark, out, keep_last_batches=1)
+    assert summary["url_index"]["folded"] == [0]
+    assert summary["domain_counts"]["folded"] == [0]
+    # batch 3: recrawl of folded url dropped; domain budget (2) exhausted
+    spark.createDataFrame(
+        [
+            (21, "recrawl of page one with new boilerplate attached " * 3,
+             "https://site.example/1"),
+            (22, "page three brand new never crawled before today " * 3,
+             "https://site.example/3"),
+            (23, "other domain page with its very own words here " * 3,
+             "https://fresh.example/1"),
+        ],
+        ["doc_id", "text", "url"],
+    ).coalesce(1).write.mode("append").parquet(src)
+    q = start_corpus_ingest(spark, src, out, ck, **kw)
+    q.awaitTermination(120)
+    got = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(out, "accepted")).select("doc_id").collect()
+    }
+    assert got == {1, 11, 23}
