@@ -444,17 +444,17 @@ def bench_ingest_batch(spark, sf_dir, out_dir):
     from pg2kinesis_spark.streaming.corpus_ingest import CorpusIngest
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    b0 = docs.filter(F.expr("doc_id % 5 < 3"))
+    b0 = docs.filter(F.expr("doc_id % 5 < 3"))  # residues {0,1,2} mod 5
     fresh = docs.filter(F.expr("doc_id % 5 = 3")).selectExpr(
         "doc_id + 1000000 AS doc_id", "text"
-    )
-    exact = docs.filter(F.expr("doc_id % 10 = 8")).selectExpr(
+    )  # residue 3 mod 5: disjoint from b0 -> genuinely never seen
+    exact = docs.filter(F.expr("doc_id % 10 = 0")).selectExpr(
         "doc_id + 2000000 AS doc_id", "text"
-    )  # verbatim recrawls of batch-0 docs
-    near = docs.filter(F.expr("doc_id % 10 = 9")).selectExpr(
+    )  # residue 0 mod 5 IS in b0: verbatim recrawls hit the hash index
+    near = docs.filter(F.expr("doc_id % 10 = 1")).selectExpr(
         "doc_id + 3000000 AS doc_id",
         "concat(text, ' tail edit') AS text",
-    )  # near-dups of batch-0 docs
+    )  # residue 1 mod 5 IS in b0: near-dups hit the incremental LSH
     b1 = fresh.unionByName(exact).unionByName(near)
     ingest = CorpusIngest(out_dir, near_dup_jaccard=0.6, bloom_bits=1 << 23)
     return b0, b1, ingest

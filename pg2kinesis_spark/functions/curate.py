@@ -54,12 +54,15 @@ from .sampling import token_budget_select
 from .text import _words, lang_exprs, quality_exprs
 
 
-def annotate(docs: DataFrame) -> DataFrame:
+def annotate(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Single-scan per-document annotation: token count, quality score,
     predicted language — bit-identical to ``quality_score`` / ``lang_id``
     (shared expression builders), but one projection instead of three
-    scans plus two doc_id joins."""
-    df = docs.select("doc_id", "text", _words().alias("ws"))
+    scans plus two doc_id joins. ``carry`` names extra input columns to
+    pass through in the same projection — a column ride is free where a
+    doc_id re-join would shuffle the batch (the streaming ingest carries
+    embedding / URL columns this way)."""
+    df = docs.select("doc_id", "text", _words().alias("ws"), *carry)
     q = quality_exprs()
     _, pred = lang_exprs()
     return df.select(
@@ -68,6 +71,7 @@ def annotate(docs: DataFrame) -> DataFrame:
         q["n_tokens"].alias("n_tokens"),
         q["quality"].alias("quality"),
         pred.alias("pred_lang"),
+        *carry,
     )
 
 

@@ -113,8 +113,9 @@ class CorpusIngest:
                 semdedup_ref_emb, semdedup_dim, semdedup_clusters
             )
         # URL front door (urls.py): badwords/blocklist are row-local;
-        # URL dedup is WITHIN-batch (cross-batch dedup is the text-hash
-        # index's job — a recrawled page has equal text and dedups there)
+        # URL dedup is within-batch by default (a byte-identical recrawl
+        # also collapses at the text-hash index; url_dedup_cross_batch
+        # below adds the URL-key index for recrawls whose text CHANGED)
         self.url_col = url_col
         self.url_blocklist = url_blocklist
         self.url_badwords = url_badwords
@@ -262,9 +263,15 @@ class CorpusIngest:
                         )
                         .drop("_uh")
                     )
-            batch = parsed.drop(
-                "_cu_host", "_cu_domain", "_cu_path", "_cu_url_norm"
-            )
+            if self.domain_cap_k is not None:
+                # parse-once discipline: the cap stage reuses the PSL
+                # longest-match result instead of re-deriving it
+                parsed = parsed.withColumnRenamed("_cu_domain", "_cu_dom")
+                batch = parsed.drop("_cu_host", "_cu_path", "_cu_url_norm")
+            else:
+                batch = parsed.drop(
+                    "_cu_host", "_cu_domain", "_cu_path", "_cu_url_norm"
+                )
         if self.dsir_logratios is not None and self.min_dsir_logw is not None:
             from pg2kinesis_spark.functions.dsir import dsir_scores
 
@@ -293,9 +300,13 @@ class CorpusIngest:
             # set: corpus grams are consumed in-map by the broadcast
             # semi join (contamination.py's shape), flagged ids
             # anti-joined back — a benchmark snippet arriving in ANY
-            # batch is dropped before it can enter the corpus
+            # batch is dropped before it can enter the corpus.
+            # Materialize first: flagged + the anti-join reference the
+            # gated batch from two subtrees, and without a checkpoint
+            # the whole upstream gate chain executes twice per batch.
             from pg2kinesis_spark.functions.contamination import _gram_hashes
 
+            batch = batch.localCheckpoint(eager=True)
             flagged = (
                 _gram_hashes(batch, self.contamination_n, "doc_id", "gram_h")
                 .join(F.broadcast(self.eval_grams), "gram_h", "left_semi")
@@ -303,16 +314,22 @@ class CorpusIngest:
                 .distinct()
             )
             batch = batch.join(flagged, "doc_id", "left_anti")
-        ann = annotate(batch)
+        # columns the later stages need RIDE annotate's single-scan
+        # projection (a column carry is free; a doc_id re-join would
+        # shuffle the micro-batch once per carried column): embedding
+        # for the semantic stage, the provenance URL for the accepted
+        # output + index write-backs, the parsed registered domain for
+        # the cap stage.
+        carry: list[str] = []
         if self.sd_cents is not None:
-            # annotate projects (doc_id, text, ...); carry the embedding
-            # through for the semantic stage + the accepted output
-            ann = ann.join(batch.select("doc_id", "embedding"), "doc_id")
-        if self.url_col is not None and (self.url_xbatch or self.domain_cap_k is not None):
-            # carry the URL into the accepted output: the cap stage and
-            # the url/domain index write-backs derive from it (and the
-            # accepted corpus keeping its provenance URL is useful)
-            ann = ann.join(batch.select("doc_id", self.url_col), "doc_id")
+            carry.append("embedding")
+        if self.url_col is not None and (
+            self.url_xbatch or self.domain_cap_k is not None
+        ):
+            carry.append(self.url_col)
+        if self.domain_cap_k is not None:
+            carry.append("_cu_dom")
+        ann = annotate(batch, carry=tuple(carry))
         if self.min_quality > 0.0:
             ann = ann.filter(F.col("quality") >= self.min_quality)
 
@@ -363,10 +380,14 @@ class CorpusIngest:
                 ann = ann.join(idx.select("_h"), "_h", "left_anti")
 
         # near-dup vs signature index (new-vs-index + new-vs-new pairs)
-        if self.near_dup_jaccard is not None or self.sd_cents is not None:
+        if (
+            self.near_dup_jaccard is not None
+            or self.sd_cents is not None
+            or self.domain_cap_k is not None
+        ):
             # the survivors feed 2-3 subtrees below (docs/signatures,
-            # the id-side broadcast marks, the final anti-join) — bound
-            # the plan here too
+            # the id-side broadcast marks, the cap's parsed/unparsed
+            # split, the final anti-join) — bound the plan here too
             ann = ann.localCheckpoint(eager=True)
         if self.near_dup_jaccard is not None:
             docs = ann.select("doc_id", "text")
@@ -436,47 +457,59 @@ class CorpusIngest:
         # dedup stages so a recrawl/near-dup never consumes its domain's
         # budget with a doc that was going to be dropped anyway. The
         # count index is semi-pruned to THIS batch's domains before the
-        # broadcast (the full domain table never ships), and the
-        # within-batch rank is a window over micro-batch-bounded groups.
+        # broadcast (the full domain table never ships). The rank is the
+        # salted two-phase shape (urls.domain_cap): a hot-domain flood
+        # first prunes to <= k per (domain, salt) in parallel, so the
+        # exact window sees at most n_salt*k rows per domain — never the
+        # whole flood in one reducer. NULL domains (unparseable URLs)
+        # pass uncapped, the no-evidence rule.
         if self.domain_cap_k is not None:
             from pyspark.sql.window import Window
 
-            from pg2kinesis_spark.functions import urls as _urls
-
-            dom = _urls.registered_domain(_urls._host(self.url_col))
-            capped = ann.withColumn("_dom", dom)
+            k = self.domain_cap_k
+            unparsed = ann.filter(F.col("_cu_dom").isNull())
+            base = ann.filter(F.col("_cu_dom").isNotNull())
             used = None
             counts_idx = self._existing(
                 spark, self.dom_path, exclude_batch_id=batch_id
             )
             if counts_idx is not None:
                 batch_doms = (
-                    capped.select(F.col("_dom").alias("domain"))
-                    .filter(F.col("domain").isNotNull())
-                    .distinct()
+                    base.select(F.col("_cu_dom").alias("domain")).distinct()
                 )
                 used = (
                     counts_idx.join(batch_doms, "domain", "left_semi")
                     .groupBy("domain")
                     .agg(F.sum("n").alias("_used"))
                 )
-            rn = F.row_number().over(
-                Window.partitionBy("_dom").orderBy("doc_id")
+            # phase 1: per-(domain, salt) prune — the budget is <= k, so
+            # a doc ranked > k within its salt can never be admitted
+            salt = F.pmod(F.xxhash64("doc_id"), F.lit(32))
+            w_local = Window.partitionBy("_cu_dom", "_salt").orderBy("doc_id")
+            pre = (
+                base.withColumn("_salt", salt)
+                .withColumn("_lrnk", F.row_number().over(w_local))
+                .filter(F.col("_lrnk") <= k)
+                .drop("_salt", "_lrnk")
             )
-            capped = capped.withColumn("_rn", rn)
+            # phase 2: exact rank over the bounded survivors vs budget
+            w = Window.partitionBy("_cu_dom").orderBy("doc_id")
+            ranked = pre.withColumn("_rn", F.row_number().over(w))
             if used is not None:
-                capped = capped.join(
+                ranked = ranked.join(
                     F.broadcast(used),
-                    capped["_dom"] == used["domain"],
+                    ranked["_cu_dom"] == used["domain"],
                     "left",
                 ).drop("domain")
             else:
-                capped = capped.withColumn("_used", F.lit(None).cast("long"))
-            keep = F.col("_dom").isNull() | (
-                F.col("_rn")
-                <= self.domain_cap_k - F.coalesce(F.col("_used"), F.lit(0))
+                ranked = ranked.withColumn("_used", F.lit(None).cast("long"))
+            keep = F.col("_rn") <= k - F.coalesce(F.col("_used"), F.lit(0))
+            ann = (
+                ranked.filter(keep)
+                .drop("_rn", "_used")
+                .unionByName(unparsed)
+                .drop("_cu_dom")
             )
-            ann = capped.filter(keep).drop("_dom", "_rn", "_used")
 
         # WRITE-THEN-READ-BACK, deliberately: the accepted plan's lineage
         # runs anti-joins AGAINST the hash/signature indexes. If the index
@@ -547,8 +580,15 @@ class CorpusIngest:
         if self.url_xbatch:
             from pg2kinesis_spark.functions import urls as _urls
 
-            # same normalize_url expression as the probe side -> same
-            # md5 keys; NULL norms (unparseable) never enter the index
+            # the index writes re-derive url_norm/domain from `back`'s
+            # provenance URL on purpose: deriving from the pre-write
+            # plan would re-execute the whole batch lineage (the severed-
+            # lineage rule above), and keeping _cu_* columns in the
+            # accepted parquet would leak internals into the user-facing
+            # schema — one map-only codegen pass over ACCEPTED rows only
+            # is the cheapest correct option.
+            # Same normalize_url expression as the probe side -> same
+            # md5 keys; NULL norms (unparseable) never enter the index.
             _write(
                 back.select(
                     F.md5(_urls.normalize_url(self.url_col)).alias("_uh")

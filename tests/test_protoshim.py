@@ -241,3 +241,20 @@ def test_oneof_default_value_keeps_presence_on_the_wire():
     both = cls()
     both.ParseFromString(bytes.fromhex("0805") + bytes.fromhex("12026869"))
     assert both.WhichOneof("pick") == "b"
+
+
+def test_repeated_add_works_after_parse_and_assignment():
+    # every access path must yield the notifying container: parse-then-
+    # add and assign-then-add both work like the real runtime
+    it = sm.StateResponseWithMapIterator()
+    it.kvPair.add(key=b"a", value=b"1")
+    parsed = sm.StateResponseWithMapIterator()
+    parsed.ParseFromString(it.SerializeToString())
+    parsed.kvPair.add(key=b"b", value=b"2")  # add() after parse
+    assert [p.key for p in parsed.kvPair] == [b"a", b"b"]
+    assigned = sm.StateResponseWithMapIterator()
+    assigned.kvPair = [sm.KeyAndValuePair(key=b"c", value=b"3")]
+    assigned.kvPair.add(key=b"d", value=b"4")  # add() after assignment
+    back = sm.StateResponseWithMapIterator()
+    back.ParseFromString(assigned.SerializeToString())
+    assert [p.key for p in back.kvPair] == [b"c", b"d"]
