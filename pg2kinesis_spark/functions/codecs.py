@@ -2497,4 +2497,266 @@ def video_info(data: bytes) -> dict:
             "fps": fps,
             "duration_ms": total_cs * 10.0,
         }
-    raise ValueError("not a supported video container (MJPEG AVI / GIF)")
+    if is_mp4(data):
+        info = mp4_info(data)
+        return {
+            "n_frames": info["n_frames"],
+            "width": info["width"],
+            "height": info["height"],
+            "fps": info["fps"],
+            "duration_ms": info["duration_ms"],
+            "video_codec": info["video_codec"],
+            "audio_codec": info["audio_codec"],
+        }
+    raise ValueError("not a supported video container (MJPEG AVI / GIF / MP4)")
+
+
+# --------------------------------------------------------------------------
+# MP4 / ISO BMFF (ISO/IEC 14496-12) metadata walk — the container most
+# real video corpora ship (H.264/AAC in MP4/MOV/M4A). Box-structure walk
+# only: no bitstream decode (H.264/AAC stay honestly unsupported in the
+# pixel/sample kernels), same tier as mp3_info's frame-header walk.
+# --------------------------------------------------------------------------
+
+_MP4_CONTAINERS = frozenset((b"moov", b"trak", b"mdia", b"minf", b"stbl"))
+_MP4_MAX_BOXES = 10_000  # hostile-input bound: a stomped size field
+_MP4_MAX_DEPTH = 16      # cannot make the walk loop or recurse forever
+
+
+def is_mp4(data: bytes) -> bool:
+    return len(data) >= 12 and bytes(data[4:8]) == b"ftyp"
+
+
+def _mp4_walk(data: bytes, pos: int, end: int, depth: int, budget: list) -> list:
+    """Yield (fourcc, body_start, body_end) for each box in [pos, end),
+    recursing into container boxes. Sizes are validated against the
+    enclosing range; size==1 reads the 64-bit largesize; size==0 means
+    to-end-of-enclosure (top level only, per spec usage)."""
+    out = []
+    if depth > _MP4_MAX_DEPTH:
+        raise ValueError("MP4 box nesting exceeds bound")
+    while pos + 8 <= end:
+        budget[0] -= 1
+        if budget[0] < 0:
+            raise ValueError(f"MP4 exceeds {_MP4_MAX_BOXES} boxes")
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        fourcc = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated MP4 largesize box")
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"MP4 box {fourcc!r} size {size} escapes enclosure")
+        out.append((bytes(fourcc), body, pos + size))
+        if fourcc in _MP4_CONTAINERS:
+            out += _mp4_walk(data, body, pos + size, depth + 1, budget)
+        pos += size
+    return out
+
+
+def mp4_info(data: bytes) -> dict:
+    """ISO BMFF metadata: brand, movie duration, per-track kind/codec,
+    and for the FIRST video track its dimensions (tkhd 16.16 fixed),
+    frame count (stsz/stz2 sample_count) and fps (mdhd timescale).
+    Handles version-0 and version-1 full boxes and 64-bit largesize.
+    Raises ValueError on truncated/hostile structure (bounded walk)."""
+    data = bytes(data)
+    if not is_mp4(data):
+        raise ValueError("not an MP4: no ftyp box")
+    budget = [_MP4_MAX_BOXES]
+    boxes = _mp4_walk(data, 0, len(data), 0, budget)
+    brand = ""
+    duration_ms = 0.0
+    width = height = 0
+    n_frames = 0
+    fps = 0.0
+    video_codec = audio_codec = None
+    n_video = n_audio = 0
+    saw_moov = False
+    # group leaf boxes by their enclosing trak: replay the walk tracking
+    # the current trak extent (boxes arrive depth-first in file order)
+    trak_end = -1
+    trak: dict = {}
+    traks: list[dict] = []
+
+    def flush():
+        if trak:
+            traks.append(dict(trak))
+            trak.clear()
+
+    for fourcc, body, bend in boxes:
+        if fourcc == b"ftyp":
+            brand = data[body : body + 4].decode("latin-1").strip()
+        elif fourcc == b"moov":
+            saw_moov = True
+        elif fourcc == b"mvhd":
+            v = data[body]
+            if v == 1:
+                ts, = struct.unpack(">I", data[body + 20 : body + 24])
+                dur, = struct.unpack(">Q", data[body + 24 : body + 32])
+            else:
+                ts, dur = struct.unpack(">II", data[body + 12 : body + 20])
+            duration_ms = 1000.0 * dur / ts if ts else 0.0
+        elif fourcc == b"trak":
+            flush()
+            trak_end = bend
+        elif body <= trak_end:
+            if fourcc == b"tkhd":
+                v = data[body]
+                # verflags(4) + creation/mod (16 or 8) + track_id(4) +
+                # reserved(4) -> off points at duration
+                off = body + (4 + 24 if v == 1 else 4 + 16)
+                # ...duration, 8 reserved, layer/alt/volume/reserved (8),
+                # matrix (36), width, height — offsets from after times
+                woff = off + (8 if v == 1 else 4) + 8 + 8 + 36
+                w_fx, h_fx = struct.unpack(">II", data[woff : woff + 8])
+                trak["width"], trak["height"] = w_fx >> 16, h_fx >> 16
+            elif fourcc == b"mdhd":
+                v = data[body]
+                if v == 1:
+                    ts, = struct.unpack(">I", data[body + 20 : body + 24])
+                    dur, = struct.unpack(">Q", data[body + 24 : body + 32])
+                else:
+                    ts, dur = struct.unpack(">II", data[body + 12 : body + 20])
+                trak["mdhd_ts"], trak["mdhd_dur"] = ts, dur
+            elif fourcc == b"hdlr":
+                trak["handler"] = bytes(data[body + 8 : body + 12])
+            elif fourcc == b"stsd":
+                (n_entries,) = struct.unpack(">I", data[body + 4 : body + 8])
+                if n_entries and body + 16 <= bend:
+                    trak["codec"] = (
+                        data[body + 12 : body + 16].decode("latin-1").strip()
+                    )
+            elif fourcc in (b"stsz", b"stz2"):
+                cnt_off = body + (8 if fourcc == b"stsz" else 8)
+                (cnt,) = struct.unpack(">I", data[cnt_off : cnt_off + 4])
+                trak["n_samples"] = cnt
+    flush()
+    if not saw_moov:
+        raise ValueError("MP4 missing moov box")
+    for t in traks:
+        kind = t.get("handler", b"")
+        if kind == b"vide":
+            n_video += 1
+            if n_video == 1:
+                width, height = t.get("width", 0), t.get("height", 0)
+                n_frames = t.get("n_samples", 0)
+                video_codec = t.get("codec")
+                ts, dur = t.get("mdhd_ts", 0), t.get("mdhd_dur", 0)
+                if ts and dur:
+                    fps = n_frames / (dur / ts)
+        elif kind == b"soun":
+            n_audio += 1
+            if n_audio == 1:
+                audio_codec = t.get("codec")
+    return {
+        "container": "mp4",
+        "brand": brand,
+        "duration_ms": duration_ms,
+        "width": width,
+        "height": height,
+        "n_frames": n_frames,
+        "fps": fps,
+        "video_codec": video_codec,
+        "audio_codec": audio_codec,
+        "n_video_tracks": n_video,
+        "n_audio_tracks": n_audio,
+    }
+
+
+def _mp4_box(fourcc: bytes, payload: bytes, largesize: bool = False) -> bytes:
+    if largesize:
+        return struct.pack(">I", 1) + fourcc + struct.pack(">Q", 16 + len(payload)) + payload
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def encode_mp4_skeleton(
+    duration_s: float = 10.0,
+    timescale: int = 600,
+    width: int = 640,
+    height: int = 360,
+    fps: float = 25.0,
+    video_codec: bytes = b"avc1",
+    audio_codec: bytes | None = b"mp4a",
+    version1: bool = False,
+    largesize_mdat: bool = False,
+    brand: bytes = b"isom",
+) -> bytes:
+    """Spec-packed ISO BMFF fixture writer: valid box structure with
+    zeroed media data (this module walks boxes, not bitstreams — the
+    independent side of mp4_info's contract, like encode_mp3_frames)."""
+    dur = int(round(duration_s * timescale))
+    n_frames = int(round(duration_s * fps))
+
+    def fullbox(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+        return _mp4_box(fourcc, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+    def times(v: int, *vals: int) -> bytes:
+        return b"".join(struct.pack(">Q" if v else ">I", x) for x in vals)
+
+    v = 1 if version1 else 0
+    matrix = struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    mvhd = fullbox(
+        b"mvhd", v, 0,
+        times(v, 0, 0) + struct.pack(">I", timescale)
+        + (struct.pack(">Q", dur) if v else struct.pack(">I", dur))
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + bytes(10) + matrix + bytes(24) + struct.pack(">I", 3),
+    )
+
+    def trak_box(kind: bytes, codec: bytes, track_id: int, media_ts: int,
+                 media_dur: int, n_samples: int, w: int = 0, h: int = 0) -> bytes:
+        tkhd = fullbox(
+            b"tkhd", v, 3,
+            times(v, 0, 0) + struct.pack(">I", track_id) + bytes(4)
+            + (struct.pack(">Q", dur) if v else struct.pack(">I", dur))
+            + bytes(8) + struct.pack(">HHHH", 0, 0, 0x0100 if kind == b"soun" else 0, 0)
+            + matrix + struct.pack(">II", w << 16, h << 16),
+        )
+        mdhd = fullbox(
+            b"mdhd", v, 0,
+            times(v, 0, 0) + struct.pack(">I", media_ts)
+            + (struct.pack(">Q", media_dur) if v else struct.pack(">I", media_dur))
+            + struct.pack(">HH", 0x55C4, 0),  # language 'und'
+        )
+        hdlr = fullbox(b"hdlr", 0, 0, bytes(4) + kind + bytes(12) + b"x\x00")
+        if kind == b"vide":
+            entry_body = bytes(6) + struct.pack(">H", 1) + bytes(16) + struct.pack(
+                ">HH", w, h
+            ) + struct.pack(">II", 0x00480000, 0x00480000) + bytes(4) + struct.pack(
+                ">H", 1
+            ) + bytes(32) + struct.pack(">Hh", 24, -1)
+        else:
+            entry_body = bytes(6) + struct.pack(">H", 1) + bytes(8) + struct.pack(
+                ">HH", 2, 16
+            ) + bytes(4) + struct.pack(">I", 44100 << 16)
+        stsd = fullbox(
+            b"stsd", 0, 0, struct.pack(">I", 1) + _mp4_box(codec, entry_body)
+        )
+        stsz = fullbox(
+            b"stsz", 0, 0, struct.pack(">II", 100, n_samples)
+        )  # uniform sample size: no per-sample table
+        stbl = _mp4_box(b"stbl", stsd + stsz)
+        minf = _mp4_box(b"minf", stbl)
+        mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+        return _mp4_box(b"trak", tkhd + mdia)
+
+    media_ts = max(1, int(round(fps * 1000)))
+    video = trak_box(
+        b"vide", video_codec, 1, media_ts,
+        int(round(duration_s * media_ts)), n_frames, width, height,
+    )
+    audio = (
+        trak_box(b"soun", audio_codec, 2, 44100,
+                 int(round(duration_s * 44100)), max(1, int(duration_s * 43)))
+        if audio_codec is not None
+        else b""
+    )
+    ftyp = _mp4_box(b"ftyp", brand + struct.pack(">I", 0x200) + brand)
+    moov = _mp4_box(b"moov", mvhd + video + audio)
+    mdat = _mp4_box(b"mdat", bytes(32), largesize=largesize_mdat)
+    return ftyp + moov + mdat

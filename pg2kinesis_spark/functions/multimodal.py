@@ -767,6 +767,13 @@ def sniff_mime(content: "F.Column") -> "F.Column":
         .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"AVI ")), "video/x-msvideo")
         .when(sub(1, 3) == F.lit(b"ID3"), "audio/mpeg")
         .when(mp3_sync, "audio/mpeg")
+        # ISO BMFF: any box layout starts size(4) + 'ftyp'; audio-only
+        # brands (M4A) label as audio, everything else as video
+        .when(
+            (sub(5, 4) == F.lit(b"ftyp")) & (sub(9, 3) == F.lit(b"M4A")),
+            "audio/mp4",
+        )
+        .when(sub(5, 4) == F.lit(b"ftyp"), "video/mp4")
         .otherwise("application/octet-stream")
     )
 
@@ -893,11 +900,14 @@ VIDEO_FEATURES_SCHEMA = T.StructType(
 
 
 def extract_video_features(media: DataFrame, errors: str = "quarantine") -> DataFrame:
-    """Container-level video metadata for MJPEG AVI / animated GIF —
-    header walk only, NO pixel decode (no huffman, no LZW): the cheap
-    profiling path at corpus scale. Same mapInPandas contract as the
-    decode kernels; unparseable containers → NULL features +
-    ``decode_error`` (default) or task failure (``errors="raise"``)."""
+    """Container-level video metadata for MJPEG AVI / animated GIF /
+    MP4 (ISO BMFF box walk: mvhd/tkhd/mdhd/stsd/stsz — the container
+    most real corpora ship) — header walk only, NO pixel decode (no
+    huffman, no LZW, and H.264/AAC bitstreams stay honestly
+    unsupported in the decode kernels): the cheap profiling path at
+    corpus scale. Same mapInPandas contract as the decode kernels;
+    unparseable containers → NULL features + ``decode_error``
+    (default) or task failure (``errors="raise"``)."""
     import pandas as pd
 
     from . import codecs
