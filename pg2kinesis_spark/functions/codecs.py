@@ -634,6 +634,74 @@ def encode_mp3_frames(
     return bytes(out)
 
 
+# --- FLAC (header-only) ---------------------------------------------------
+#
+# STREAMINFO metadata block (the mandatory first block, RFC 9639 /
+# xiph spec): everything a profiler needs — rate, channels, bit depth,
+# exact total samples — at magic+38-byte cost. FLAC audio DECODE stays
+# honestly unsupported (the rice/LPC bitstream is out of scope); this
+# is the mp3_info/mp4_info tier.
+
+
+def is_flac(data: bytes) -> bool:
+    return bytes(data[:4]) == b"fLaC"
+
+
+def flac_info(data: bytes) -> dict:
+    """STREAMINFO parse: (sample_rate, n_channels, bits, n_samples,
+    duration_ms, min/max_block). Raises ValueError when the mandatory
+    STREAMINFO block is missing or truncated."""
+    data = bytes(data)
+    if not is_flac(data):
+        raise ValueError("not a FLAC: bad fLaC magic")
+    if len(data) < 4 + 4 + 34:
+        raise ValueError("truncated FLAC: no STREAMINFO")
+    btype = data[4] & 0x7F
+    (blen,) = (int.from_bytes(data[5:8], "big"),)
+    if btype != 0 or blen < 34:
+        raise ValueError("FLAC missing mandatory STREAMINFO first block")
+    b = data[8 : 8 + 34]
+    min_block, max_block = struct.unpack(">HH", b[0:4])
+    # 20-bit rate, 3-bit channels-1, 5-bit bits-1, 36-bit total samples
+    packed = int.from_bytes(b[10:18], "big")
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    n_samples = packed & ((1 << 36) - 1)
+    if rate == 0:
+        raise ValueError("FLAC STREAMINFO declares zero sample rate")
+    return {
+        "sample_rate": rate,
+        "n_channels": channels,
+        "bits": bits,
+        "n_samples": n_samples,
+        "duration_ms": 1000.0 * n_samples / rate,
+        "min_block": min_block,
+        "max_block": max_block,
+    }
+
+
+def encode_flac_streaminfo(
+    rate: int = 44100,
+    channels: int = 2,
+    bits: int = 16,
+    n_samples: int = 441000,
+    extra_blocks: int = 0,
+) -> bytes:
+    """Spec-packed FLAC header fixture (STREAMINFO + optional padding
+    blocks + empty frame area) — the independent side of flac_info."""
+    body = struct.pack(">HH", 4096, 4096) + bytes(6)  # blocks + framesize
+    packed = (rate << 44) | ((channels - 1) << 41) | ((bits - 1) << 36) | n_samples
+    body += packed.to_bytes(8, "big") + bytes(16)  # md5 of raw audio
+    assert len(body) == 34
+    last = 0x80 if extra_blocks == 0 else 0
+    out = b"fLaC" + bytes([last]) + len(body).to_bytes(3, "big") + body
+    for i in range(extra_blocks):
+        is_last = 0x80 if i == extra_blocks - 1 else 0
+        out += bytes([is_last | 1]) + (4).to_bytes(3, "big") + bytes(4)  # PADDING
+    return out
+
+
 # --- JPEG -----------------------------------------------------------------
 #
 # Baseline sequential DCT (SOF0/SOF1), 8-bit, gray or YCbCr, subsampling

@@ -763,6 +763,7 @@ def sniff_mime(content: "F.Column") -> "F.Column":
         F.when(sig8 == F.lit(bytes.fromhex("89504E470D0A1A0A")), "image/png")
         .when(sub(1, 2) == F.lit(b"\xff\xd8"), "image/jpeg")
         .when(sub(1, 3) == F.lit(b"GIF"), "image/gif")
+        .when(sig4 == F.lit(b"fLaC"), "audio/flac")
         .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"WAVE")), "audio/wav")
         .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"AVI ")), "video/x-msvideo")
         .when(sub(1, 3) == F.lit(b"ID3"), "audio/mpeg")
@@ -811,13 +812,25 @@ def extract_audio_metadata(media: DataFrame, errors: str = "quarantine") -> Data
             w = codecs.wav_info(c)
             kbps = w["sample_rate"] * w["n_channels"] * w["bits"] / 1000.0
             return ("wav", w["sample_rate"], w["n_channels"], w["duration_ms"], kbps, False)
+        if codecs.is_flac(c):
+            fl = codecs.flac_info(c)
+            dur_s = fl["duration_ms"] / 1000.0
+            kbps = (len(c) * 8 / dur_s / 1000.0) if dur_s else 0.0
+            # container bitrate (actual bytes over play time); FLAC
+            # frames are inherently variable-rate
+            return (
+                "flac", fl["sample_rate"], fl["n_channels"],
+                fl["duration_ms"], kbps, True,
+            )
         if codecs.is_mp3(c):
             m = codecs.mp3_info(c)
             return (
                 "mp3", m["sample_rate"], m["n_channels"], m["duration_ms"],
                 float(m["bitrate_kbps"]), m["vbr"],
             )
-        raise NotImplementedError("audio metadata covers WAV and MP3 containers")
+        raise NotImplementedError(
+            "audio metadata covers WAV, FLAC, and MP3 containers"
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
