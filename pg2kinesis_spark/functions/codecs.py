@@ -702,6 +702,140 @@ def encode_flac_streaminfo(
     return out
 
 
+# --- Ogg (header-only) ----------------------------------------------------
+#
+# Page-structure walk (RFC 3533) + the Opus (RFC 7845) / Vorbis
+# identification headers in the first packet: rate/channels from the id
+# header, duration from the LAST page's granule position (Opus granules
+# are always 48 kHz; Vorbis granules run at the stream rate). Audio
+# decode stays honestly unsupported — same tier as mp3/flac/mp4.
+
+_OGG_MAX_PAGES = 1_000_000  # hostile-input bound
+
+
+def is_ogg(data: bytes) -> bool:
+    return bytes(data[:4]) == b"OggS"
+
+
+def ogg_info(data: bytes) -> dict:
+    """(codec, sample_rate, n_channels, duration_ms, n_pages, pre_skip)
+    from the page walk. Raises ValueError on bad structure or an
+    unrecognized first packet."""
+    data = bytes(data)
+    if not is_ogg(data):
+        raise ValueError("not an Ogg: bad OggS capture pattern")
+    pos = 0
+    n_pages = 0
+    first_payload = b""
+    last_granule = 0
+    first_serial = None
+    while pos + 27 <= len(data):
+        if data[pos : pos + 4] != b"OggS":
+            break  # trailing garbage ends the walk (mp3_info's rule)
+        n_pages += 1
+        if n_pages > _OGG_MAX_PAGES:
+            raise ValueError(f"Ogg exceeds {_OGG_MAX_PAGES} pages")
+        granule = struct.unpack("<q", data[pos + 6 : pos + 14])[0]
+        serial = struct.unpack("<I", data[pos + 14 : pos + 18])[0]
+        nsegs = data[pos + 26]
+        lacing = data[pos + 27 : pos + 27 + nsegs]
+        if len(lacing) < nsegs:
+            raise ValueError("truncated Ogg page header")
+        body = pos + 27 + nsegs
+        size = int(sum(lacing))
+        if body + size > len(data):
+            raise ValueError("truncated Ogg page body")
+        if first_serial is None:
+            first_serial = serial
+            first_payload = data[body : body + size]
+        # granule -1 marks a page with no finished packet; track the
+        # largest finished granule of the FIRST stream (simple files
+        # are single-stream; for muxed files this is the first one)
+        if serial == first_serial and granule >= 0:
+            last_granule = max(last_granule, granule)
+        pos = body + size
+    if n_pages == 0:
+        raise ValueError("Ogg contains no pages")
+    if first_payload.startswith(b"OpusHead"):
+        channels = first_payload[9]
+        pre_skip = struct.unpack("<H", first_payload[10:12])[0]
+        in_rate = struct.unpack("<I", first_payload[12:16])[0]
+        # Opus granules are ALWAYS 48 kHz regardless of input rate
+        samples = max(0, last_granule - pre_skip)
+        return {
+            "codec": "opus",
+            "sample_rate": in_rate,
+            "n_channels": channels,
+            "duration_ms": 1000.0 * samples / 48000.0,
+            "n_pages": n_pages,
+            "pre_skip": pre_skip,
+        }
+    if first_payload.startswith(b"\x01vorbis"):
+        channels = first_payload[11]
+        rate = struct.unpack("<I", first_payload[12:16])[0]
+        if rate == 0:
+            raise ValueError("Vorbis id header declares zero rate")
+        return {
+            "codec": "vorbis",
+            "sample_rate": rate,
+            "n_channels": channels,
+            "duration_ms": 1000.0 * last_granule / rate,
+            "n_pages": n_pages,
+            "pre_skip": 0,
+        }
+    raise ValueError("unrecognized Ogg first packet (not Opus/Vorbis)")
+
+
+def encode_ogg_pages(
+    codec: str = "opus",
+    rate: int = 48000,
+    channels: int = 2,
+    n_samples: int = 96000,
+    pre_skip: int = 312,
+    n_body_pages: int = 3,
+) -> bytes:
+    """Spec-packed Ogg fixture: id-header page + empty body pages with
+    a running granule position — the independent side of ogg_info."""
+
+    def page(granule: int, serial: int, seq: int, payload: bytes,
+             header_type: int = 0) -> bytes:
+        segs = []
+        rest = len(payload)
+        while rest >= 255:
+            segs.append(255)
+            rest -= 255
+        segs.append(rest)
+        hdr = (
+            b"OggS" + bytes([0, header_type])
+            + struct.pack("<q", granule)
+            + struct.pack("<II", serial, seq)
+            + bytes(4)  # crc unchecked by the walk
+            + bytes([len(segs)]) + bytes(segs)
+        )
+        return hdr + payload
+
+    if codec == "opus":
+        idp = (
+            b"OpusHead" + bytes([1, channels])
+            + struct.pack("<H", pre_skip)
+            + struct.pack("<I", rate) + bytes(3)
+        )
+        final_granule = pre_skip + n_samples  # granules at 48 kHz
+    elif codec == "vorbis":
+        idp = (
+            b"\x01vorbis" + struct.pack("<I", 0) + bytes([channels])
+            + struct.pack("<I", rate) + bytes(16) + b"\x01"
+        )
+        final_granule = n_samples
+    else:
+        raise ValueError(codec)
+    out = page(0 if codec == "vorbis" else -1, 7, 0, idp, header_type=2)
+    for i in range(1, n_body_pages + 1):
+        g = final_granule * i // n_body_pages
+        out += page(g, 7, i, bytes(17), header_type=4 if i == n_body_pages else 0)
+    return out
+
+
 # --- JPEG -----------------------------------------------------------------
 #
 # Baseline sequential DCT (SOF0/SOF1), 8-bit, gray or YCbCr, subsampling

@@ -764,6 +764,7 @@ def sniff_mime(content: "F.Column") -> "F.Column":
         .when(sub(1, 2) == F.lit(b"\xff\xd8"), "image/jpeg")
         .when(sub(1, 3) == F.lit(b"GIF"), "image/gif")
         .when(sig4 == F.lit(b"fLaC"), "audio/flac")
+        .when(sig4 == F.lit(b"OggS"), "audio/ogg")
         .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"WAVE")), "audio/wav")
         .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"AVI ")), "video/x-msvideo")
         .when(sub(1, 3) == F.lit(b"ID3"), "audio/mpeg")
@@ -822,6 +823,14 @@ def extract_audio_metadata(media: DataFrame, errors: str = "quarantine") -> Data
                 "flac", fl["sample_rate"], fl["n_channels"],
                 fl["duration_ms"], kbps, True,
             )
+        if codecs.is_ogg(c):
+            o = codecs.ogg_info(c)
+            dur_s = o["duration_ms"] / 1000.0
+            kbps = (len(c) * 8 / dur_s / 1000.0) if dur_s else 0.0
+            return (
+                "ogg/" + o["codec"], o["sample_rate"], o["n_channels"],
+                o["duration_ms"], kbps, True,
+            )
         if codecs.is_mp3(c):
             m = codecs.mp3_info(c)
             return (
@@ -829,7 +838,7 @@ def extract_audio_metadata(media: DataFrame, errors: str = "quarantine") -> Data
                 float(m["bitrate_kbps"]), m["vbr"],
             )
         raise NotImplementedError(
-            "audio metadata covers WAV, FLAC, and MP3 containers"
+            "audio metadata covers WAV, FLAC, Ogg (Opus/Vorbis), and MP3"
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

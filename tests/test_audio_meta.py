@@ -107,7 +107,7 @@ def test_extract_audio_metadata_spark(spark):
     }
     assert sniffed[1] == "audio/mpeg" and sniffed[2] == "audio/mpeg"
     assert sniffed[0] == "audio/wav"
-    with pytest.raises(Exception, match="WAV, FLAC, and MP3"):
+    with pytest.raises(Exception, match="WAV, FLAC, Ogg"):
         extract_audio_metadata(media, errors="raise").collect()
 
 
@@ -177,3 +177,60 @@ def test_spark_audio_metadata_over_flac(spark):
     assert r.vbr is True and r.decode_error is None
     mime = media.select(sniff_mime(F.col("content")).alias("m")).collect()[0].m
     assert mime == "audio/flac"
+
+
+def test_ogg_opus_and_vorbis_hand_expected():
+    from pg2kinesis_spark.functions.codecs import encode_ogg_pages, ogg_info
+
+    op = ogg_info(encode_ogg_pages("opus", rate=48000, channels=2,
+                                   n_samples=96000, pre_skip=312))
+    assert op["codec"] == "opus"
+    assert op["sample_rate"] == 48000 and op["n_channels"] == 2
+    # Opus granules run at 48 kHz; pre-skip samples don't count
+    assert op["duration_ms"] == pytest.approx(2000.0)
+    vo = ogg_info(encode_ogg_pages("vorbis", rate=22050, channels=1,
+                                   n_samples=44100))
+    assert vo["codec"] == "vorbis"
+    assert vo["sample_rate"] == 22050 and vo["n_channels"] == 1
+    assert vo["duration_ms"] == pytest.approx(2000.0)
+
+
+def test_ogg_rejects_bad_structure():
+    import struct
+
+    from pg2kinesis_spark.functions.codecs import encode_ogg_pages, ogg_info
+
+    with pytest.raises(ValueError, match="OggS"):
+        ogg_info(b"NotOgg" + bytes(30))
+    good = encode_ogg_pages()
+    with pytest.raises(ValueError, match="truncated"):
+        ogg_info(good[:40])
+    # first packet neither OpusHead nor vorbis
+    weird = good[:26] + bytes([1, 8]) + b"XXXXXXXX"
+    with pytest.raises(ValueError, match="unrecognized"):
+        ogg_info(weird)
+    # trailing garbage after valid pages ends the walk, not the parse
+    ok = ogg_info(good + b"garbage tail bytes")
+    assert ok["codec"] == "opus"
+    _ = struct
+
+
+def test_spark_audio_metadata_over_ogg(spark):
+    from pg2kinesis_spark.functions.codecs import encode_ogg_pages
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_metadata,
+    )
+
+    rows = [
+        (0, bytearray(encode_ogg_pages("vorbis", rate=16000, channels=2,
+                                       n_samples=32000)),
+         ("audio/ogg", 0, "mem://v.ogg")),
+    ]
+    r = extract_audio_metadata(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)
+    ).collect()[0]
+    assert r.container == "ogg/vorbis"
+    assert r.sample_rate == 16000
+    assert r.duration_ms == pytest.approx(2000.0)
+    assert r.decode_error is None
