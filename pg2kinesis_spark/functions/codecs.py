@@ -836,6 +836,255 @@ def encode_ogg_pages(
     return out
 
 
+# --- Matroska / WebM (header-only) ----------------------------------------
+#
+# EBML element walk (RFC 8794 structure; Matroska element IDs): Segment
+# -> Info (TimecodeScale, Duration) and Tracks -> TrackEntry (TrackType,
+# CodecID, Video{PixelWidth, PixelHeight}, Audio{SamplingFrequency,
+# Channels}). VP8/VP9/AV1/Opus bitstreams stay honestly unsupported —
+# the mp4_info tier for the web's other video container.
+
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+_MKV_SEGMENT = 0x18538067
+_MKV_INFO = 0x1549A966
+_MKV_TIMECODESCALE = 0x2AD7B1
+_MKV_DURATION = 0x4489
+_MKV_TRACKS = 0x1654AE6B
+_MKV_TRACKENTRY = 0xAE
+_MKV_TRACKTYPE = 0x83
+_MKV_CODECID = 0x86
+_MKV_VIDEO = 0xE0
+_MKV_PIXELWIDTH = 0xB0
+_MKV_PIXELHEIGHT = 0xBA
+_MKV_AUDIO = 0xE1
+_MKV_SAMPLINGFREQ = 0xB5
+_MKV_CHANNELS = 0x9F
+_MKV_CONTAINERS = frozenset(
+    (_MKV_SEGMENT, _MKV_INFO, _MKV_TRACKS, _MKV_TRACKENTRY, _MKV_VIDEO, _MKV_AUDIO)
+)
+_MKV_MAX_ELEMS = 100_000
+_MKV_MAX_DEPTH = 16
+_EBML_UNKNOWN = object()  # sentinel: unknown-size element (streams)
+
+
+def is_webm(data: bytes) -> bool:
+    return bytes(data[:4]) == _EBML_MAGIC
+
+
+def _ebml_id(data: bytes, pos: int) -> tuple[int, int]:
+    """Read an EBML ID (marker bit KEPT, per spec)."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML id")
+    b0 = data[pos]
+    if b0 == 0:
+        raise ValueError("invalid EBML id")
+    n = 8 - b0.bit_length() + 1
+    if pos + n > len(data):
+        raise ValueError("truncated EBML id")
+    return int.from_bytes(data[pos : pos + n], "big"), pos + n
+
+
+def _ebml_size(data: bytes, pos: int):
+    """Read an EBML size vint (marker bit STRIPPED); all-ones payload
+    means unknown size (used by streamed Segments)."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML size")
+    b0 = data[pos]
+    if b0 == 0:
+        raise ValueError("invalid EBML size")
+    n = 8 - b0.bit_length() + 1
+    if pos + n > len(data):
+        raise ValueError("truncated EBML size")
+    val = int.from_bytes(data[pos : pos + n], "big") - (1 << (7 * n))
+    if val == (1 << (7 * n)) - 1:
+        return _EBML_UNKNOWN, pos + n
+    return val, pos + n
+
+
+def _mkv_walk(data: bytes, pos: int, end: int, depth: int, budget: list) -> list:
+    out = []
+    if depth > _MKV_MAX_DEPTH:
+        raise ValueError("EBML nesting exceeds bound")
+    while pos < end:
+        budget[0] -= 1
+        if budget[0] < 0:
+            raise ValueError(f"EBML exceeds {_MKV_MAX_ELEMS} elements")
+        eid, p = _ebml_id(data, pos)
+        size, body = _ebml_size(data, p)
+        bend = end if size is _EBML_UNKNOWN else body + size
+        if bend > end:
+            raise ValueError(f"EBML element 0x{eid:X} escapes enclosure")
+        out.append((eid, body, bend, depth))
+        if eid in _MKV_CONTAINERS:
+            out += _mkv_walk(data, body, bend, depth + 1, budget)
+        pos = bend
+    return out
+
+
+def _ebml_uint(data: bytes, body: int, bend: int) -> int:
+    return int.from_bytes(data[body:bend], "big")
+
+
+def _ebml_float(data: bytes, body: int, bend: int) -> float:
+    n = bend - body
+    if n == 4:
+        return struct.unpack(">f", data[body:bend])[0]
+    if n == 8:
+        return struct.unpack(">d", data[body:bend])[0]
+    raise ValueError(f"EBML float of width {n}")
+
+
+def webm_info(data: bytes) -> dict:
+    """Matroska/WebM metadata: duration (TimecodeScale-scaled), first
+    video track's dimensions + codec, first audio track's rate/channels
+    + codec, track counts. Bounded walk; ValueError on bad structure."""
+    data = bytes(data)
+    if not is_webm(data):
+        raise ValueError("not Matroska/WebM: bad EBML magic")
+    budget = [_MKV_MAX_ELEMS]
+    elems = _mkv_walk(data, 0, len(data), 0, budget)
+    timecode_scale = 1_000_000  # Matroska default: ns per tick
+    duration_ticks = None
+    tracks: list[dict] = []
+    cur: dict = {}
+    entry_end = -1
+    saw_segment = False
+    for eid, body, bend, depth in elems:
+        if eid == _MKV_SEGMENT:
+            saw_segment = True
+        elif eid == _MKV_TIMECODESCALE:
+            timecode_scale = _ebml_uint(data, body, bend)
+        elif eid == _MKV_DURATION:
+            duration_ticks = _ebml_float(data, body, bend)
+        elif eid == _MKV_TRACKENTRY:
+            if cur:
+                tracks.append(dict(cur))
+                cur.clear()
+            entry_end = bend
+        elif body <= entry_end:
+            if eid == _MKV_TRACKTYPE:
+                cur["type"] = _ebml_uint(data, body, bend)
+            elif eid == _MKV_CODECID:
+                cur["codec"] = data[body:bend].decode("latin-1").rstrip("\x00")
+            elif eid == _MKV_PIXELWIDTH:
+                cur["width"] = _ebml_uint(data, body, bend)
+            elif eid == _MKV_PIXELHEIGHT:
+                cur["height"] = _ebml_uint(data, body, bend)
+            elif eid == _MKV_SAMPLINGFREQ:
+                cur["rate"] = _ebml_float(data, body, bend)
+            elif eid == _MKV_CHANNELS:
+                cur["channels"] = _ebml_uint(data, body, bend)
+    if cur:
+        tracks.append(dict(cur))
+    if not saw_segment:
+        raise ValueError("Matroska missing Segment element")
+    duration_ms = (
+        duration_ticks * timecode_scale / 1e6 if duration_ticks is not None else 0.0
+    )
+    width = height = 0
+    video_codec = audio_codec = None
+    sample_rate = channels = None
+    n_video = n_audio = 0
+    for t in tracks:
+        if t.get("type") == 1:  # video
+            n_video += 1
+            if n_video == 1:
+                width, height = t.get("width", 0), t.get("height", 0)
+                video_codec = t.get("codec")
+        elif t.get("type") == 2:  # audio
+            n_audio += 1
+            if n_audio == 1:
+                audio_codec = t.get("codec")
+                sample_rate = t.get("rate")
+                channels = t.get("channels")
+    return {
+        "container": "webm",
+        "duration_ms": duration_ms,
+        "width": width,
+        "height": height,
+        "video_codec": video_codec,
+        "audio_codec": audio_codec,
+        "sample_rate": sample_rate,
+        "n_channels": channels,
+        "n_video_tracks": n_video,
+        "n_audio_tracks": n_audio,
+    }
+
+
+def _ebml_encode_id(eid: int) -> bytes:
+    return eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+
+
+def _ebml_encode_size(n: int) -> bytes:
+    for width in range(1, 9):
+        if n < (1 << (7 * width)) - 1:
+            return (n | (1 << (7 * width))).to_bytes(width, "big")
+    raise ValueError("EBML size too large")
+
+
+def _ebml_elem(eid: int, payload: bytes) -> bytes:
+    return _ebml_encode_id(eid) + _ebml_encode_size(len(payload)) + payload
+
+
+def encode_webm_skeleton(
+    duration_s: float = 10.0,
+    width: int = 1280,
+    height: int = 720,
+    video_codec: bytes = b"V_VP9",
+    audio_codec: bytes | None = b"A_OPUS",
+    rate: float = 48000.0,
+    channels: int = 2,
+    timecode_scale: int = 1_000_000,
+    unknown_segment_size: bool = False,
+) -> bytes:
+    """Spec-packed Matroska fixture (EBML header + Segment(Info,
+    Tracks)) — the independent side of webm_info's contract."""
+    ebml_hdr = _EBML_MAGIC + _ebml_encode_size(0)
+    info = _ebml_elem(
+        _MKV_INFO,
+        _ebml_elem(_MKV_TIMECODESCALE, timecode_scale.to_bytes(4, "big"))
+        + _ebml_elem(
+            _MKV_DURATION,
+            struct.pack(">d", duration_s * 1e9 / timecode_scale),
+        ),
+    )
+    video_entry = _ebml_elem(
+        _MKV_TRACKENTRY,
+        _ebml_elem(_MKV_TRACKTYPE, b"\x01")
+        + _ebml_elem(_MKV_CODECID, video_codec)
+        + _ebml_elem(
+            _MKV_VIDEO,
+            _ebml_elem(_MKV_PIXELWIDTH, width.to_bytes(2, "big"))
+            + _ebml_elem(_MKV_PIXELHEIGHT, height.to_bytes(2, "big")),
+        ),
+    )
+    audio_entry = (
+        _ebml_elem(
+            _MKV_TRACKENTRY,
+            _ebml_elem(_MKV_TRACKTYPE, b"\x02")
+            + _ebml_elem(_MKV_CODECID, audio_codec)
+            + _ebml_elem(
+                _MKV_AUDIO,
+                _ebml_elem(_MKV_SAMPLINGFREQ, struct.pack(">f", rate))
+                + _ebml_elem(_MKV_CHANNELS, bytes([channels])),
+            ),
+        )
+        if audio_codec is not None
+        else b""
+    )
+    tracks = _ebml_elem(_MKV_TRACKS, video_entry + audio_entry)
+    seg_payload = info + tracks
+    if unknown_segment_size:
+        seg = (
+            _ebml_encode_id(_MKV_SEGMENT)
+            + b"\xff"  # 1-byte unknown-size vint
+            + seg_payload
+        )
+    else:
+        seg = _ebml_elem(_MKV_SEGMENT, seg_payload)
+    return ebml_hdr + seg
+
+
 # --- JPEG -----------------------------------------------------------------
 #
 # Baseline sequential DCT (SOF0/SOF1), 8-bit, gray or YCbCr, subsampling
@@ -2710,7 +2959,22 @@ def video_info(data: bytes) -> dict:
             "video_codec": info["video_codec"],
             "audio_codec": info["audio_codec"],
         }
-    raise ValueError("not a supported video container (MJPEG AVI / GIF / MP4)")
+    if is_webm(data):
+        info = webm_info(data)
+        # frame count/fps need a Cluster walk the skeleton tier doesn't
+        # do; NULL is honest (dims + duration are the profiling signal)
+        return {
+            "n_frames": None,
+            "width": info["width"],
+            "height": info["height"],
+            "fps": None,
+            "duration_ms": info["duration_ms"],
+            "video_codec": info["video_codec"],
+            "audio_codec": info["audio_codec"],
+        }
+    raise ValueError(
+        "not a supported video container (MJPEG AVI / GIF / MP4 / WebM)"
+    )
 
 
 # --------------------------------------------------------------------------

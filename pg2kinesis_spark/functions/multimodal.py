@@ -776,6 +776,8 @@ def sniff_mime(content: "F.Column") -> "F.Column":
             "audio/mp4",
         )
         .when(sub(5, 4) == F.lit(b"ftyp"), "video/mp4")
+        # EBML magic: Matroska/WebM family
+        .when(sig4 == F.lit(b"\x1a\x45\xdf\xa3"), "video/webm")
         .otherwise("application/octet-stream")
     )
 
@@ -938,12 +940,16 @@ def extract_video_features(media: DataFrame, errors: str = "quarantine") -> Data
 
     def one(c: bytes):
         info = codecs.video_info(c)
+
+        def opt(v, cast):
+            return cast(v) if v is not None else None
+
         return (
-            int(info["n_frames"]),
-            int(info["width"]),
-            int(info["height"]),
-            float(info["fps"]),
-            float(info["duration_ms"]),
+            opt(info["n_frames"], int),
+            opt(info["width"], int),
+            opt(info["height"], int),
+            opt(info["fps"], float),
+            opt(info["duration_ms"], float),
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
