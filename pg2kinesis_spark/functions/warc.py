@@ -53,6 +53,10 @@ RECORD_SCHEMA = T.StructType(
         T.StructField("record_id", T.StringType()),
         T.StructField("content_type", T.StringType()),
         T.StructField("payload", T.BinaryType()),
+        # NULL for good records; set (with everything else NULL) on the
+        # single row a quarantined archive emits — multimodal.py's
+        # dirty-data contract applied to the crawl front door
+        T.StructField("decode_error", T.StringType()),
     ]
 )
 
@@ -73,17 +77,20 @@ def gunzip_members(data: bytes, max_bytes: int = 1 << 31) -> bytes:
     while data:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         buf = data
-        while True:
-            chunk = d.decompress(buf, max_bytes + 1 - total)
-            out.append(chunk)
-            total += len(chunk)
-            if total > max_bytes:
-                raise ValueError(
-                    f"decompressed archive exceeds {max_bytes} bytes (gzip bomb?)"
-                )
-            if d.eof or not d.unconsumed_tail or not chunk:
-                break
-            buf = d.unconsumed_tail
+        try:
+            while True:
+                chunk = d.decompress(buf, max_bytes + 1 - total)
+                out.append(chunk)
+                total += len(chunk)
+                if total > max_bytes:
+                    raise ValueError(
+                        f"decompressed archive exceeds {max_bytes} bytes (gzip bomb?)"
+                    )
+                if d.eof or not d.unconsumed_tail or not chunk:
+                    break
+                buf = d.unconsumed_tail
+        except zlib.error:
+            break  # corrupt member: salvage the records already decoded
         if not d.eof:
             break  # truncated trailing member: keep what decoded
         data = d.unused_data
@@ -141,29 +148,55 @@ def parse_http_response(payload: bytes) -> tuple[int | None, str | None, bytes]:
     return status, ctype, payload[sep + 4 :]
 
 
-def warc_records(archives: DataFrame) -> DataFrame:
+def warc_records(
+    archives: DataFrame,
+    errors: str = "quarantine",
+    max_inflate_bytes: int = 1 << 31,
+) -> DataFrame:
     """(path, content binary) → one row per WARC record (RECORD_SCHEMA).
 
     ``archives`` is typically ``spark.read.format("binaryFile")
     .load(dir)`` — the kernel decompresses and splits each archive
     within its task; record payloads stream out in Arrow batches.
-    """
+
+    ``errors="quarantine"`` (default): an archive whose processing
+    raises (gzip bomb over the inflate cap, pathological structure)
+    yields ONE row with ``decode_error`` set and everything else NULL
+    instead of failing the task — at crawl scale some archives WILL be
+    hostile or corrupt, and four task retries then stage death is the
+    wrong response (the media-kernel contract, multimodal.py). Corrupt
+    gzip members are additionally SALVAGED: records decoded before the
+    corruption still flow. ``errors="raise"`` keeps fail-stop for
+    trusted archives."""
     import pandas as pd
+
+    if errors not in ("quarantine", "raise"):
+        raise ValueError(f"errors must be 'quarantine' or 'raise', got {errors!r}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in RECORD_SCHEMA.fieldNames()}
+
+            def emit(path, off, hdrs, payload, err):
+                rows["path"].append(path)
+                rows["offset"].append(off)
+                rows["warc_type"].append(hdrs.get("warc-type"))
+                rows["url"].append(hdrs.get("warc-target-uri"))
+                rows["warc_date"].append(hdrs.get("warc-date"))
+                rows["record_id"].append(hdrs.get("warc-record-id"))
+                rows["content_type"].append(hdrs.get("content-type"))
+                rows["payload"].append(payload)
+                rows["decode_error"].append(err)
+
             for path, content in zip(pdf["path"], pdf["content"]):
-                buf = gunzip_members(bytes(content))
-                for off, hdrs, payload in iter_warc_records(buf):
-                    rows["path"].append(path)
-                    rows["offset"].append(off)
-                    rows["warc_type"].append(hdrs.get("warc-type"))
-                    rows["url"].append(hdrs.get("warc-target-uri"))
-                    rows["warc_date"].append(hdrs.get("warc-date"))
-                    rows["record_id"].append(hdrs.get("warc-record-id"))
-                    rows["content_type"].append(hdrs.get("content-type"))
-                    rows["payload"].append(payload)
+                try:
+                    buf = gunzip_members(bytes(content), max_bytes=max_inflate_bytes)
+                    for off, hdrs, payload in iter_warc_records(buf):
+                        emit(path, off, hdrs, payload, None)
+                except Exception as e:  # noqa: BLE001 — quarantine channel
+                    if errors == "raise":
+                        raise
+                    emit(path, None, {}, None, f"{type(e).__name__}: {e}")
             yield pd.DataFrame(rows)
 
     return archives.select("path", "content").mapInPandas(kernel, RECORD_SCHEMA)
@@ -214,15 +247,18 @@ def warc_responses_to_docs(records: DataFrame) -> DataFrame:
     return resp.select("path", "offset", "url", "payload").mapInPandas(kernel, DOC_SCHEMA)
 
 
-def warc_to_corpus(archives: DataFrame) -> DataFrame:
+def warc_to_corpus(archives: DataFrame, errors: str = "quarantine") -> DataFrame:
     """The composed CommonCrawl front door: archives → (doc_id, url,
     text). doc_id is the cross-engine md5-60 hash of path:offset —
     stable across reruns and engines (the sampling.HASH60 recipe), so
-    downstream dedup/sampling decisions are reproducible."""
+    downstream dedup/sampling decisions are reproducible. Quarantined
+    archives' error rows (warc_records ``errors=``) are not responses,
+    so they drop out of the corpus here — audit them on warc_records'
+    output directly."""
     from pg2kinesis_spark.functions.html import html_to_text_col
     from pg2kinesis_spark.functions.sampling import HASH60
 
-    docs = warc_responses_to_docs(warc_records(archives))
+    docs = warc_responses_to_docs(warc_records(archives, errors=errors))
     key = "concat(path, ':', cast(offset as string))"
     return docs.select(
         F.expr(HASH60.format(x=key)).alias("doc_id"),

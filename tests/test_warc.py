@@ -195,3 +195,45 @@ def test_warc_roundtrip_property():
                 assert hdrs["warc-target-uri"] == r["url"]
 
     check()
+
+
+def test_warc_quarantine_and_salvage(spark):
+    """One hostile archive among good ones must not kill the batch: a
+    bomb over the inflate cap yields one error row (quarantine), a
+    corrupt gzip member salvages its already-decoded records, and
+    errors='raise' restores fail-stop."""
+    import gzip
+
+    good = W.encode_warc(
+        [{"warc_type": "response", "url": "http://a.example/1",
+          "payload": W.http_response_bytes(
+              b"<html><body><p>hello good page</p></body></html>")}],
+        gzip_members=True,
+    )
+    salvage = W.encode_warc(
+        [{"warc_type": "response", "url": "http://b.example/1",
+          "payload": W.http_response_bytes(
+              b"<html><body><p>salvaged record</p></body></html>")}],
+        gzip_members=True,
+    ) + b"\x1f\x8b\x08\x00CORRUPT-MEMBER-NOT-DEFLATE"
+    bomb = gzip.compress(bytes(1 << 16))  # expands past the test cap
+    rows = [(f"mem://{i}.warc.gz", bytearray(b))
+            for i, b in enumerate((good, salvage, bomb))]
+    archives = spark.createDataFrame(rows, "path string, content binary")
+
+    recs = W.warc_records(archives, max_inflate_bytes=1 << 12).collect()
+    errs = [r for r in recs if r.decode_error is not None]
+    assert len(errs) == 1 and errs[0].path == "mem://2.warc.gz"
+    assert "bomb" in errs[0].decode_error
+    ok = {r.url for r in recs if r.decode_error is None}
+    assert ok == {"http://a.example/1", "http://b.example/1"}  # salvaged
+
+    # the composed corpus front door drops the error row silently
+    docs = W.warc_to_corpus(archives).collect()
+    assert {d.url for d in docs} == {"http://a.example/1", "http://b.example/1"}
+
+    # fail-stop stays available for trusted archives
+    with pytest.raises(Exception, match="bomb"):
+        W.warc_records(
+            archives, errors="raise", max_inflate_bytes=1 << 12
+        ).collect()
