@@ -1,0 +1,202 @@
+"""ZIP / TAR document front door.
+
+Text corpora routinely arrive as archives of files (a tarball of .txt,
+a zip of .md/.jsonl) rather than WARC. This module is the
+``functions/warc.py`` pattern for those layouts: ``binaryFile`` rows →
+an Arrow-batched ``mapInPandas`` splitter that explodes each archive
+into per-member rows inside its task, with
+
+* **format detection by magic bytes** — ZIP (``PK\\x03\\x04``), tar
+  (``ustar`` at offset 257), gzip (``\\x1f\\x8b``: decompressed, then
+  re-sniffed — ``.tar.gz`` becomes tar, a bare ``.gz`` becomes one
+  member named after the archive);
+* **bounded decompression everywhere** — per-member and whole-archive
+  inflate caps (an archive entry claiming 10 TB must error before the
+  allocation, not after; the zip format's independent per-member
+  streams make member caps enforceable on read), plus a member-count
+  cap;
+* **the quarantine error channel** — at corpus scale some archives
+  WILL be corrupt or hostile; ``errors="quarantine"`` (default) turns
+  a failing archive into one ``decode_error`` row instead of a dead
+  stage (the media-kernel / warc_records contract), while
+  ``errors="raise"`` keeps fail-stop for trusted inputs.
+
+Parallelism = one archive per task (same contract as WARC: compressed
+streams don't split mid-file; the many-archives layout is the
+parallelism). Reference analogy: the reference system's only ingest is
+the replication stream (`stream.py`); this front door is the batch
+twin the corpus domain needs.
+"""
+
+from __future__ import annotations
+
+import io
+import tarfile
+import zipfile
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pg2kinesis_spark.functions.warc import gunzip_members
+
+MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("member", T.StringType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+_TEXT_SUFFIXES = (".txt", ".md", ".text", ".json", ".jsonl", ".csv", ".html", ".htm")
+
+
+def _split_archive(
+    data: bytes,
+    name: str,
+    max_member_bytes: int,
+    max_total_bytes: int,
+    max_members: int,
+):
+    """Yield (member_name, payload) from one archive's bytes."""
+    if data[:2] == b"\x1f\x8b":
+        inner = gunzip_members(data, max_bytes=max_total_bytes)
+        if len(inner) >= 262 and inner[257:262] == b"ustar":
+            data = inner  # .tar.gz
+        else:
+            # bare .gz: one member, named after the archive
+            stem = name.rsplit("/", 1)[-1]
+            stem = stem[:-3] if stem.endswith(".gz") else stem
+            yield stem, inner
+            return
+    if data[:4] == b"PK\x03\x04":
+        total = 0
+        zf = zipfile.ZipFile(io.BytesIO(data))
+        infos = [i for i in zf.infolist() if not i.is_dir()]
+        if len(infos) > max_members:
+            raise ValueError(f"zip has {len(infos)} members (cap {max_members})")
+        for info in infos:
+            with zf.open(info) as f:
+                payload = f.read(max_member_bytes + 1)
+                if len(payload) > max_member_bytes:
+                    raise ValueError(
+                        f"zip member {info.filename!r} exceeds "
+                        f"{max_member_bytes} bytes (bomb?)"
+                    )
+            total += len(payload)
+            if total > max_total_bytes:
+                raise ValueError(
+                    f"zip inflates past {max_total_bytes} bytes (bomb?)"
+                )
+            yield info.filename, payload
+        return
+    if len(data) >= 262 and data[257:262] == b"ustar":
+        total = 0
+        n = 0
+        tf = tarfile.open(fileobj=io.BytesIO(data), mode="r:")
+        for info in tf:
+            if not info.isfile():
+                continue
+            n += 1
+            if n > max_members:
+                raise ValueError(f"tar exceeds {max_members} members")
+            if info.size > max_member_bytes:
+                raise ValueError(
+                    f"tar member {info.name!r} claims {info.size} bytes "
+                    f"(cap {max_member_bytes})"
+                )
+            total += info.size
+            if total > max_total_bytes:
+                raise ValueError(
+                    f"tar inflates past {max_total_bytes} bytes (bomb?)"
+                )
+            f = tf.extractfile(info)
+            yield info.name, (f.read() if f else b"")
+        return
+    raise ValueError("not a recognized archive (zip / tar / gzip)")
+
+
+def archive_members(
+    archives: DataFrame,
+    errors: str = "quarantine",
+    max_member_bytes: int = 1 << 28,
+    max_total_bytes: int = 1 << 31,
+    max_members: int = 100_000,
+) -> DataFrame:
+    """(path, content) → one row per archive member (MEMBER_SCHEMA).
+    A failing archive yields one ``decode_error`` row under
+    ``errors="quarantine"`` (default) or fails the task under
+    ``errors="raise"``."""
+    import pandas as pd
+
+    if errors not in ("quarantine", "raise"):
+        raise ValueError(f"errors must be 'quarantine' or 'raise', got {errors!r}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in MEMBER_SCHEMA.fieldNames()}
+
+            def emit(path, member, payload, err):
+                rows["path"].append(path)
+                rows["member"].append(member)
+                rows["size"].append(len(payload) if payload is not None else None)
+                rows["payload"].append(payload)
+                rows["decode_error"].append(err)
+
+            for path, content in zip(pdf["path"], pdf["content"]):
+                try:
+                    # buffer per archive: a cap tripping mid-walk must
+                    # quarantine the WHOLE archive, not leave a partial
+                    # member list next to the error row
+                    got = list(
+                        _split_archive(
+                            bytes(content), path, max_member_bytes,
+                            max_total_bytes, max_members,
+                        )
+                    )
+                except Exception as e:  # noqa: BLE001 — quarantine channel
+                    if errors == "raise":
+                        raise
+                    emit(path, None, None, f"{type(e).__name__}: {e}")
+                    continue
+                for member, payload in got:
+                    emit(path, member, payload, None)
+            yield pd.DataFrame(rows)
+
+    return archives.select("path", "content").mapInPandas(kernel, MEMBER_SCHEMA)
+
+
+def archive_to_corpus(
+    archives: DataFrame,
+    suffixes: tuple[str, ...] = _TEXT_SUFFIXES,
+    errors: str = "quarantine",
+    **caps,
+) -> DataFrame:
+    """Archives → (doc_id, path, member, text): text-suffixed members
+    decoded utf-8-with-replacement; doc_id is the cross-engine md5-60
+    of path:member (the WARC front door's reproducibility recipe).
+    Quarantined archives' error rows drop here — audit them on
+    ``archive_members`` output."""
+    from pg2kinesis_spark.functions.sampling import HASH60
+
+    members = archive_members(archives, errors=errors, **caps)
+    cond = F.lit(False)
+    for s in suffixes:
+        cond = cond | F.lower("member").endswith(s)
+    key = "concat(path, ':', member)"
+    # utf-8-with-replacement, JVM-side: BINARY->STRING cast wraps the
+    # bytes unvalidated, make_valid_utf8 replaces malformed sequences
+    # with U+FFFD — ANSI decode() would instead raise
+    # MALFORMED_CHARACTER_CODING on the first dirty member
+    return (
+        members.filter(F.col("decode_error").isNull() & cond)
+        .select(
+            F.expr(HASH60.format(x=key)).alias("doc_id"),
+            "path",
+            "member",
+            F.expr("make_valid_utf8(cast(payload as string))").alias("text"),
+        )
+    )

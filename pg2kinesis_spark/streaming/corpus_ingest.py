@@ -782,6 +782,48 @@ def start_corpus_ingest(
     )
 
 
+def start_archive_ingest(
+    spark: SparkSession,
+    archive_dir: str,
+    out_dir: str,
+    checkpoint: str,
+    max_files_per_trigger: int = 4,
+    suffixes: tuple[str, ...] | None = None,
+    **kwargs,
+):
+    """ZIP/TAR landing zone as a continuous stream: archives landing in
+    ``archive_dir`` explode through the bounded splitter + quarantine
+    channel (functions/archives.py) into the same crash-idempotent
+    CorpusIngest gates. One archive = one task; binaryFile checkpoint
+    tracking gives exactly-once archive consumption (the WARC front
+    door's contract for the tarball/zip corpus layout)."""
+    from pg2kinesis_spark.functions.archives import archive_to_corpus
+
+    bf_schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(bf_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(archive_dir)
+    )
+    ingest = CorpusIngest(out_dir, **kwargs)
+    kw = {} if suffixes is None else {"suffixes": suffixes}
+
+    def _batch(df: DataFrame, batch_id: int) -> None:
+        ingest.process_batch(
+            archive_to_corpus(df, **kw).select("doc_id", "text"), batch_id
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_warc_ingest(
     spark: SparkSession,
     warc_dir: str,

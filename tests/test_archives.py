@@ -1,0 +1,145 @@
+"""ZIP/TAR front door: in-memory fixtures, magic-based detection,
+bomb/member caps, quarantine channel, corpus conversion."""
+
+from __future__ import annotations
+
+import gzip
+import io
+import tarfile
+import zipfile
+
+import pytest
+
+from pg2kinesis_spark.functions.archives import (
+    archive_members,
+    archive_to_corpus,
+)
+
+
+def _zip_bytes(files: dict[str, bytes]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in files.items():
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def _tar_bytes(files: dict[str, bytes], gz: bool = False) -> bytes:
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in files.items():
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    raw = buf.getvalue()
+    return gzip.compress(raw) if gz else raw
+
+
+def test_zip_tar_targz_and_bare_gz_members(spark):
+    zips = _zip_bytes({"a/one.txt": b"alpha text", "img.png": b"\x89PNG.."})
+    tars = _tar_bytes({"two.md": b"# beta doc", "skip.bin": b"\x00\x01"})
+    targz = _tar_bytes({"three.txt": b"gamma words"}, gz=True)
+    bare = gzip.compress(b"delta solo file")
+    rows = [
+        ("mem://a.zip", bytearray(zips)),
+        ("mem://b.tar", bytearray(tars)),
+        ("mem://c.tar.gz", bytearray(targz)),
+        ("mem://d.txt.gz", bytearray(bare)),
+    ]
+    archives = spark.createDataFrame(rows, "path string, content binary")
+    members = archive_members(archives).collect()
+    assert all(m.decode_error is None for m in members)
+    got = {(m.path, m.member): bytes(m.payload) for m in members}
+    assert got[("mem://a.zip", "a/one.txt")] == b"alpha text"
+    assert got[("mem://b.tar", "two.md")] == b"# beta doc"
+    assert got[("mem://c.tar.gz", "three.txt")] == b"gamma words"
+    assert got[("mem://d.txt.gz", "d.txt")] == b"delta solo file"
+
+    docs = archive_to_corpus(archives).collect()
+    texts = {(d.path, d.member): d.text for d in docs}
+    # binary-suffixed members are filtered out of the corpus
+    assert ("mem://a.zip", "img.png") not in texts
+    assert ("mem://b.tar", "skip.bin") not in texts
+    assert texts[("mem://a.zip", "a/one.txt")] == "alpha text"
+    assert texts[("mem://d.txt.gz", "d.txt")] == "delta solo file"
+    assert len({d.doc_id for d in docs}) == len(docs)  # ids distinct
+
+
+def test_archive_quarantine_and_caps(spark):
+    good = _zip_bytes({"ok.txt": b"fine"})
+    junk = b"\x00not an archive at all" + bytes(300)
+    bomb = _zip_bytes({"big.txt": bytes(1 << 16)})
+    rows = [
+        ("mem://good.zip", bytearray(good)),
+        ("mem://junk.bin", bytearray(junk)),
+        ("mem://bomb.zip", bytearray(bomb)),
+    ]
+    archives = spark.createDataFrame(rows, "path string, content binary")
+    members = archive_members(archives, max_member_bytes=1 << 10).collect()
+    errs = {m.path: m.decode_error for m in members if m.decode_error}
+    assert set(errs) == {"mem://junk.bin", "mem://bomb.zip"}
+    assert "bomb" in errs["mem://bomb.zip"]
+    assert [m.member for m in members if m.decode_error is None] == ["ok.txt"]
+    # corpus path silently drops quarantined archives
+    assert {d.member for d in archive_to_corpus(
+        archives, max_member_bytes=1 << 10).collect()} == {"ok.txt"}
+    # fail-stop mode
+    with pytest.raises(Exception, match="archive"):
+        archive_members(archives, errors="raise").collect()
+
+
+def test_member_count_cap(spark):
+    many = _tar_bytes({f"f{i}.txt": b"x" for i in range(30)})
+    archives = spark.createDataFrame(
+        [("mem://many.tar", bytearray(many))], "path string, content binary"
+    )
+    ok = archive_members(archives, max_members=50).collect()
+    assert len(ok) == 30
+    capped = archive_members(archives, max_members=10).collect()
+    assert len(capped) == 1 and "members" in capped[0].decode_error
+
+
+def test_malformed_utf8_member_does_not_kill_corpus(spark):
+    # utf-8-with-replacement decoding: a text-suffixed member with
+    # invalid bytes must yield replacement chars, not an error
+    bad = _zip_bytes({"weird.txt": b"ok \xff\xfe bytes"})
+    archives = spark.createDataFrame(
+        [("mem://w.zip", bytearray(bad))], "path string, content binary"
+    )
+    [d] = archive_to_corpus(archives).collect()
+    assert d.text.startswith("ok ") and "bytes" in d.text
+
+
+def test_streaming_archive_ingest_dedups_across_batches(spark, tmp_path):
+    """Two archive drops through the continuous front door: members
+    flow through the gates, an exact cross-batch duplicate member is
+    dropped at the hash index, and a corrupt archive quarantines
+    without killing the stream."""
+    import os
+
+    from pg2kinesis_spark.streaming.corpus_ingest import start_archive_ingest
+
+    land, out, ck = (str(tmp_path / d) for d in ("land", "curated", "ck"))
+    os.makedirs(land)
+    with open(os.path.join(land, "b1.zip"), "wb") as f:
+        f.write(_zip_bytes({
+            "one.txt": b"the first unique document with several words here",
+            "two.txt": b"a second unique document about something different",
+        }))
+    q = start_archive_ingest(spark, land, out, ck, near_dup_jaccard=None,
+                             bloom_bits=None)
+    q.awaitTermination(120)
+    with open(os.path.join(land, "b2.zip"), "wb") as f:
+        f.write(_zip_bytes({
+            "dup.txt": b"the first unique document with several words here",
+            "new.txt": b"a third document never before seen in the corpus",
+        }))
+    with open(os.path.join(land, "junk.zip"), "wb") as f:
+        f.write(b"\x00definitely not a zip" + bytes(200))
+    q = start_archive_ingest(spark, land, out, ck, near_dup_jaccard=None,
+                             bloom_bits=None)
+    q.awaitTermination(120)
+    acc = spark.read.parquet(os.path.join(out, "accepted"))
+    texts = {r.text for r in acc.select("text").collect()}
+    assert len(texts) == 3  # dup.txt collapsed at the hash index
+    assert any("third document" in t for t in texts)
