@@ -88,6 +88,7 @@ class CorpusIngest:
         semdedup_clusters: int = 16,
         bloom_bits: int | None = 1 << 23,
         bloom_k: int = 7,
+        stats: bool = False,
     ):
         self.out_dir = out_dir
         self.gopher = gopher
@@ -162,6 +163,12 @@ class CorpusIngest:
         # stream (trained once, on a REFERENCE corpus — not the stream)
         self.lm_model = lm_model
         self.max_perplexity = max_perplexity
+        # opt-in per-batch observability: one row per micro-batch to
+        # out_dir/stats (input-after-gates, after-exact-dedup, accepted,
+        # wall). The counts reuse the eager checkpoints the plan already
+        # materializes, so they cost RDD counts, not gate re-execution.
+        self.stats = stats
+        self.stats_path = os.path.join(out_dir, "stats")
         self.accepted_path = os.path.join(out_dir, "accepted")
         self.hash_path = os.path.join(out_dir, "hash_index")
         self.sig_path = os.path.join(out_dir, "sig_index")
@@ -211,6 +218,10 @@ class CorpusIngest:
         return df
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        import time as _time
+
+        t_start = _time.perf_counter()
+        stats_row: dict = {}
         spark = batch.sparkSession
         # heal a crashed compact_corpus_indexes swap (two cheap stat
         # calls per index; the index must never appear absent)
@@ -342,6 +353,8 @@ class CorpusIngest:
         # reference re-executes the whole gate chain (URL/DSIR/gopher/
         # LM/annotate) per micro-batch.
         ann = ann.withColumn("_h", F.md5("text")).localCheckpoint(eager=True)
+        if self.stats:
+            stats_row["n_after_gates"] = ann.count()  # checkpointed: cheap
         ann = ann.join(
             ann.groupBy("_h").agg(F.min("doc_id").alias("doc_id")),
             ["_h", "doc_id"],
@@ -389,6 +402,8 @@ class CorpusIngest:
             # the id-side broadcast marks, the cap's parsed/unparsed
             # split, the final anti-join) — bound the plan here too
             ann = ann.localCheckpoint(eager=True)
+            if self.stats:
+                stats_row["n_after_exact"] = ann.count()
         if self.near_dup_jaccard is not None:
             docs = ann.select("doc_id", "text")
             if self._existing(spark, self.sig_path, exclude_batch_id=batch_id) is not None:
@@ -527,7 +542,28 @@ class CorpusIngest:
                 "partitionOverwriteMode", "dynamic"
             ).parquet(path)
 
+        def _write_stats(n_accepted: int) -> None:
+            if not self.stats:
+                return
+            import time as _t
+
+            row = [
+                (
+                    stats_row.get("n_after_gates"),
+                    stats_row.get("n_after_exact"),
+                    n_accepted,
+                    round(_t.perf_counter() - t_start, 3),
+                )
+            ]
+            df = spark.createDataFrame(
+                row,
+                "n_after_gates long, n_after_exact long, "
+                "n_accepted long, wall_s double",
+            )
+            _write(df, self.stats_path)
+
         if ann.limit(1).count() == 0:
+            _write_stats(0)
             return
         _write(ann.drop("_h"), self.accepted_path)
         back = (
@@ -624,6 +660,7 @@ class CorpusIngest:
                 batch_id,
             )
         _write(back.select(F.md5("text").alias("_h")), self.hash_path)
+        _write_stats(back.count())  # read-back parquet: a cheap count
 
 
 COMPACTED_BATCH_ID = -1

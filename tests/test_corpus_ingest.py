@@ -523,3 +523,37 @@ def test_compact_folds_url_and_domain_indexes(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(out, "accepted")).select("doc_id").collect()
     }
     assert got == {1, 11, 23}
+
+
+def test_ingest_stats_rows(spark, tmp_path):
+    """stats=True writes one observability row per micro-batch with
+    gate/dedup/accepted counts that reconcile with the accepted output."""
+    from pg2kinesis_spark.streaming.corpus_ingest import start_corpus_ingest
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    src, out, ck = (str(tmp_path / d) for d in ("landing", "curated", "ck"))
+    b1 = [(1, base), (2, base), (3, "a different document with other words")]
+    b2 = [(11, base), (12, "an entirely fresh document in batch two")]
+    for rows in (b1, b2):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q = start_corpus_ingest(spark, src, out, ck, near_dup_jaccard=0.6,
+                                bloom_bits=None, stats=True)
+        q.awaitTermination(120)
+    stats = {
+        r.batch_id: r
+        for r in spark.read.parquet(os.path.join(out, "stats")).collect()
+    }
+    assert set(stats) == {0, 1}
+    # batch 0: 3 in after gates, within-batch exact dup collapses 2->1
+    assert stats[0].n_after_gates == 3
+    assert stats[0].n_after_exact == 2
+    assert stats[0].n_accepted == 2
+    # batch 1: doc 11 is an exact dup of the index
+    assert stats[1].n_after_gates == 2
+    assert stats[1].n_after_exact == 1
+    assert stats[1].n_accepted == 1
+    assert all(s.wall_s > 0 for s in stats.values())
+    n_acc = spark.read.parquet(os.path.join(out, "accepted")).count()
+    assert n_acc == stats[0].n_accepted + stats[1].n_accepted

@@ -224,6 +224,48 @@ def op_media_neardup(spark, media):
     return media_near_dup_pairs(media, signature="dhash", max_hamming=6)
 
 
+def run_ingest(spark, docs_path: str, rows: int) -> tuple[float, int]:
+    """Streaming-ingest micro-batch at ladder scale: seed the indexes
+    with 3/5 of the corpus untimed, then time ONE process_batch over a
+    mix of never-seen docs + planted exact/near duplicates of the
+    seeded batch (bench.py's ingest_batch shape, scaled). Returns
+    (timed wall, input docs in the timed batch) — the marginal
+    docs/sec at deployment batch sizes, where the ~5 s fixed per-batch
+    cost amortizes away."""
+    import shutil
+
+    from pg2kinesis_spark.streaming.corpus_ingest import CorpusIngest
+
+    docs = spark.read.parquet(docs_path)
+    b0 = docs.filter("doc_id % 5 < 3")
+    b1 = (
+        docs.filter("doc_id % 5 = 3")
+        .selectExpr("doc_id + 100000000 AS doc_id", "text")
+        .unionByName(
+            docs.filter("doc_id % 10 = 0").selectExpr(
+                "doc_id + 200000000 AS doc_id", "text"
+            )
+        )
+        .unionByName(
+            docs.filter("doc_id % 10 = 1").selectExpr(
+                "doc_id + 300000000 AS doc_id",
+                "concat(text, ' tail_edit') AS text",
+            )
+        )
+    )
+    out = os.path.join(tempfile.gettempdir(), f"scaling_ingest_{rows}")
+    shutil.rmtree(out, ignore_errors=True)
+    try:
+        ing = CorpusIngest(out, near_dup_jaccard=0.6, bloom_bits=1 << 25)
+        ing.process_batch(b0, 0)
+        n = b1.count()
+        t0 = time.perf_counter()
+        ing.process_batch(b1, 1)
+        return time.perf_counter() - t0, n
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 OPS = {
     "gopher": op_gopher,
     "substr": op_substr,
@@ -256,6 +298,21 @@ def main() -> None:
             spark.read.parquet(build_media_corpus(spark, rows)) if media_ops else None
         )
         for op in ops:
+            if op == "ingest":
+                wall, n = run_ingest(spark, build_corpus(spark, rows), rows)
+                print(
+                    json.dumps(
+                        {
+                            "rows": rows,
+                            "op": op,
+                            "wall_s": round(wall, 2),
+                            "out_rows": n,
+                            "docs_per_sec": round(n / wall, 1),
+                        }
+                    ),
+                    flush=True,
+                )
+                continue
             src = media if op.startswith("media_") else docs
             t0 = time.perf_counter()
             n = OPS[op](spark, src).count()
