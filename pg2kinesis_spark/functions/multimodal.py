@@ -778,6 +778,7 @@ def sniff_mime(content: "F.Column") -> "F.Column":
         .when(sub(5, 4) == F.lit(b"ftyp"), "video/mp4")
         # EBML magic: Matroska/WebM family
         .when(sig4 == F.lit(b"\x1a\x45\xdf\xa3"), "video/webm")
+        .when(F.substring(content, 1, 5) == F.lit(b"%PDF-"), "application/pdf")
         .otherwise("application/octet-stream")
     )
 

@@ -584,6 +584,10 @@ class CorpusIngest:
             )
 
             sig = minhash_signatures(back.select("doc_id", "text"), self.n, self.k)
+            if self.band_bloom is not None:
+                # two consumers (bloom build + index write): materialize
+                # once or the shingle+hash pass runs twice per batch
+                sig = sig.localCheckpoint(eager=True)
             # band bloom BEFORE the sig index (same over-approximation
             # discipline as the hash bloom: a crash between the two
             # leaves extra maybe-seen probes, never missed duplicates)

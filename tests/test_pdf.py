@@ -1,0 +1,116 @@
+"""PDF text tier: fixture PDFs from encode_pdf (the independent side),
+escape/hex/TJ semantics, the honest refusals (Type0, encrypted), bomb
+bounds, and the Spark operator."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from pg2kinesis_spark.functions.pdf import (
+    encode_pdf,
+    extract_pdf_text,
+    is_pdf,
+    pdf_page_count,
+    pdf_text,
+)
+
+
+def test_multipage_roundtrip_plain_and_compressed():
+    pages = [["Hello world", "second line"], ["page two text"]]
+    for compress in (False, True):
+        data = encode_pdf(pages, compress=compress)
+        assert is_pdf(data)
+        text = pdf_text(data)
+        assert "Hello world" in text
+        assert "second line" in text
+        assert "page two text" in text
+        # T* between lines -> newline structure survives
+        assert text.index("Hello world") < text.index("second line")
+        assert pdf_page_count(data) == 2
+
+
+def test_string_escapes_hex_and_tj_kerning():
+    data = encode_pdf([["parens ( inside ) and backslash \\ done"]])
+    # encode_pdf escapes; build a raw stream for the exotic cases instead
+    content = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"(a\\(b\\)c \\134 \\110i) Tj "          # escapes + octal H, i
+        b"<48454C4C4F> Tj "                        # hex HELLO
+        b"[(wo) -50 (rd) -300 (gap)] TJ "          # kern -300 -> space
+        b"ET"
+    )
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    text = pdf_text(pdf)
+    assert "a(b)c" in text
+    assert "\\" in text and "Hi" in text           # octal 134 = backslash
+    assert "HELLO" in text
+    assert "word gap" in text                      # -50 joins, -300 spaces
+    t2 = pdf_text(data)
+    assert "parens ( inside ) and backslash \\ done" in t2
+
+
+def test_honest_refusals_and_bounds():
+    good = encode_pdf([["ok"]])
+    with pytest.raises(ValueError, match="PDF"):
+        pdf_text(b"not a pdf at all")
+    with pytest.raises(NotImplementedError, match="CMap"):
+        pdf_text(good.replace(b"/Type1", b"/Type0"))
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        pdf_text(good + b"\n<< /Encrypt 9 0 R >>")
+    # inflate bomb: a tiny Flate stream claiming to expand huge
+    bomb_payload = zlib.compress(bytes(1 << 16))
+    bomb = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(bomb_payload)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + bomb_payload
+        + b"\nendstream\nendobj\n"
+    )
+    import pg2kinesis_spark.functions.pdf as P
+
+    old = P.MAX_INFLATE
+    P.MAX_INFLATE = 1 << 10
+    try:
+        with pytest.raises(ValueError, match="inflates"):
+            pdf_text(bomb)
+    finally:
+        P.MAX_INFLATE = old
+    # broken /Length falls back to the endstream scan
+    broken = encode_pdf([["fallback works"]]).replace(b"/Length", b"/Lemgth")
+    assert "fallback works" in pdf_text(broken)
+
+
+def test_spark_pdf_operator_quarantines(spark):
+    from pg2kinesis_spark.functions.multimodal import MEDIA_SCHEMA
+
+    good = encode_pdf([["spark side text"], ["and page two"]], compress=True)
+    cid = encode_pdf([["x"]]).replace(b"/Type1", b"/Type0")
+    rows = [
+        (0, bytearray(good), ("application/pdf", 0, "mem://a.pdf")),
+        (1, bytearray(b"junk not pdf"), ("application/pdf", 0, "mem://b.pdf")),
+        (2, bytearray(cid), ("application/pdf", 0, "mem://c.pdf")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: r for r in extract_pdf_text(media).collect()}
+    assert "spark side text" in out[0].text and out[0].n_pages == 2
+    assert out[0].decode_error is None
+    assert out[1].text is None and "PDF" in out[1].decode_error
+    assert out[2].text is None and "CMap" in out[2].decode_error
+    with pytest.raises(Exception):
+        extract_pdf_text(media, errors="raise").collect()
+
+
+def test_sniff_mime_pdf(spark):
+    import pyspark.sql.functions as F
+
+    from pg2kinesis_spark.functions.multimodal import MEDIA_SCHEMA, sniff_mime
+
+    media = spark.createDataFrame(
+        [(0, bytearray(encode_pdf([["x"]])), ("", 0, "m"))], MEDIA_SCHEMA
+    )
+    assert media.select(
+        sniff_mime(F.col("content")).alias("m")
+    ).collect()[0].m == "application/pdf"
