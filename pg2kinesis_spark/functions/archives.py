@@ -67,7 +67,12 @@ def _split_archive(
         if len(inner) >= 262 and inner[257:262] == b"ustar":
             data = inner  # .tar.gz
         else:
-            # bare .gz: one member, named after the archive
+            # bare .gz: one member, named after the archive — the
+            # per-member cap applies the same as inside a zip/tar
+            if len(inner) > max_member_bytes:
+                raise ValueError(
+                    f"gz member inflates past {max_member_bytes} bytes (bomb?)"
+                )
             stem = name.rsplit("/", 1)[-1]
             stem = stem[:-3] if stem.endswith(".gz") else stem
             yield stem, inner
@@ -132,8 +137,9 @@ def archive_members(
     ``errors="raise"``."""
     import pandas as pd
 
-    if errors not in ("quarantine", "raise"):
-        raise ValueError(f"errors must be 'quarantine' or 'raise', got {errors!r}")
+    from pg2kinesis_spark.functions.multimodal import _check_errors
+
+    _check_errors(errors)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

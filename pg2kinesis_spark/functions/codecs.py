@@ -634,6 +634,25 @@ def encode_mp3_frames(
     return bytes(out)
 
 
+def _truncation_as_valueerror(what: str):
+    """Metadata walks promise ValueError on hostile/truncated input;
+    short-slice IndexError / struct.error from a stomped field must
+    honor that contract, not leak implementation exceptions."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*a, **k):
+            try:
+                return fn(*a, **k)
+            except (IndexError, struct.error) as e:
+                raise ValueError(f"truncated {what} metadata: {e}") from e
+
+        return wrapper
+
+    return deco
+
+
 # --- FLAC (header-only) ---------------------------------------------------
 #
 # STREAMINFO metadata block (the mandatory first block, RFC 9639 /
@@ -717,6 +736,7 @@ def is_ogg(data: bytes) -> bool:
     return bytes(data[:4]) == b"OggS"
 
 
+@_truncation_as_valueerror("Ogg")
 def ogg_info(data: bytes) -> dict:
     """(codec, sample_rate, n_channels, duration_ms, n_pages, pre_skip)
     from the page walk. Raises ValueError on bad structure or an
@@ -934,6 +954,7 @@ def _ebml_float(data: bytes, body: int, bend: int) -> float:
     raise ValueError(f"EBML float of width {n}")
 
 
+@_truncation_as_valueerror("Matroska")
 def webm_info(data: bytes) -> dict:
     """Matroska/WebM metadata: duration (TimecodeScale-scaled), first
     video track's dimensions + codec, first audio track's rate/channels
@@ -3024,6 +3045,7 @@ def _mp4_walk(data: bytes, pos: int, end: int, depth: int, budget: list) -> list
     return out
 
 
+@_truncation_as_valueerror("MP4")
 def mp4_info(data: bytes) -> dict:
     """ISO BMFF metadata: brand, movie duration, per-track kind/codec,
     and for the FIRST video track its dimensions (tkhd 16.16 fixed),

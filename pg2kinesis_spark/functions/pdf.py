@@ -54,6 +54,32 @@ _STREAM_RE = re.compile(rb"stream\r?\n", re.DOTALL)
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![\d\s]*R)")
 
 
+def _dict_before(data: bytes, at: int, window: int = 4096) -> bytes:
+    """The OUTERMOST ``<< ... >>`` dict ending just before ``at`` —
+    a backward balance scan, because ``rfind(b'<<')`` would return the
+    innermost nested dict (``/DecodeParms << ... >>``) and lose the
+    outer dict's ``/Filter`` key."""
+    lo = max(0, at - window)
+    seg = data[lo:at]
+    depth = 0
+    i = len(seg)
+    start = -1
+    while i >= 2:
+        pair = seg[i - 2 : i]
+        if pair == b">>":
+            depth += 1
+            i -= 2
+        elif pair == b"<<":
+            depth -= 1
+            i -= 2
+            if depth <= 0:
+                start = i
+                break
+        else:
+            i -= 1
+    return seg[start:] if start >= 0 else b""
+
+
 def _iter_streams(data: bytes):
     """Yield (dict_bytes, body_bytes) for every stream object. The
     enclosing dict is the bytes between the nearest '<<' chain start
@@ -68,8 +94,7 @@ def _iter_streams(data: bytes):
         count += 1
         if count > MAX_STREAMS:
             raise ValueError(f"PDF exceeds {MAX_STREAMS} streams")
-        dict_start = data.rfind(b"<<", max(0, m.start() - 2048), m.start())
-        sdict = data[dict_start : m.start()] if dict_start >= 0 else b""
+        sdict = _dict_before(data, m.start())
         body_start = m.end()
         lm = _LENGTH_RE.search(sdict)
         body_end = -1

@@ -74,6 +74,7 @@ def gunzip_members(data: bytes, max_bytes: int = 1 << 31) -> bytes:
         return data
     out = []
     total = 0
+    ok_members = 0
     while data:
         d = zlib.decompressobj(16 + zlib.MAX_WBITS)
         buf = data
@@ -89,10 +90,21 @@ def gunzip_members(data: bytes, max_bytes: int = 1 << 31) -> bytes:
                 if d.eof or not d.unconsumed_tail or not chunk:
                     break
                 buf = d.unconsumed_tail
-        except zlib.error:
-            break  # corrupt member: salvage the records already decoded
+        except zlib.error as e:
+            # corrupt member: SALVAGE what already decoded — but a
+            # stream that never produced a complete member must RAISE,
+            # or a fully-corrupt archive silently vanishes (no records,
+            # no quarantine row, no audit trail)
+            if ok_members == 0 and total == 0:
+                raise ValueError(f"corrupt gzip stream: {e}") from e
+            break
         if not d.eof:
-            break  # truncated trailing member: keep what decoded
+            # truncated trailing member: keep what decoded — same
+            # nothing-at-all rule as the corrupt case
+            if ok_members == 0 and total == 0:
+                raise ValueError("truncated gzip stream: no complete member")
+            break
+        ok_members += 1
         data = d.unused_data
         if data[:2] != b"\x1f\x8b":
             break
@@ -123,6 +135,10 @@ def iter_warc_records(buf: bytes):
         try:
             clen = int(hdrs.get("content-length", "0"))
         except ValueError:
+            break
+        if clen < 0:
+            # a negative Content-Length would move pos BACKWARD and
+            # re-yield the same record forever (hostile input)
             break
         payload = buf[head_end + 4 : head_end + 4 + clen]
         yield pos, hdrs, payload
@@ -170,8 +186,9 @@ def warc_records(
     trusted archives."""
     import pandas as pd
 
-    if errors not in ("quarantine", "raise"):
-        raise ValueError(f"errors must be 'quarantine' or 'raise', got {errors!r}")
+    from pg2kinesis_spark.functions.multimodal import _check_errors
+
+    _check_errors(errors)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

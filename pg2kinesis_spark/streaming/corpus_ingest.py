@@ -397,10 +397,13 @@ class CorpusIngest:
             self.near_dup_jaccard is not None
             or self.sd_cents is not None
             or self.domain_cap_k is not None
+            or self.stats
         ):
             # the survivors feed 2-3 subtrees below (docs/signatures,
             # the id-side broadcast marks, the cap's parsed/unparsed
-            # split, the final anti-join) — bound the plan here too
+            # split, the final anti-join) — bound the plan here too.
+            # stats alone also lands here: the after-exact count must
+            # come off a materialized plan, not re-run the anti-join.
             ann = ann.localCheckpoint(eager=True)
             if self.stats:
                 stats_row["n_after_exact"] = ann.count()
@@ -586,14 +589,13 @@ class CorpusIngest:
             sig = minhash_signatures(back.select("doc_id", "text"), self.n, self.k)
             if self.band_bloom is not None:
                 # two consumers (bloom build + index write): materialize
-                # once or the shingle+hash pass runs twice per batch
-                sig = sig.localCheckpoint(eager=True)
-            # band bloom BEFORE the sig index (same over-approximation
-            # discipline as the hash bloom: a crash between the two
-            # leaves extra maybe-seen probes, never missed duplicates)
-            if self.band_bloom is not None:
+                # once or the shingle+hash pass runs twice per batch.
+                # Band bloom BEFORE the sig index (same over-approximation
+                # discipline as the hash bloom: a crash between the two
+                # leaves extra maybe-seen probes, never missed duplicates).
                 from pg2kinesis_spark.functions.bloom import bloom_hash_cols
 
+                sig = sig.localCheckpoint(eager=True)
                 h1, h2 = bloom_hash_cols(band_key_col())
                 self.band_bloom.write(
                     _banded(sig, self.k, self.bands).select(

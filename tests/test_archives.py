@@ -143,3 +143,26 @@ def test_streaming_archive_ingest_dedups_across_batches(spark, tmp_path):
     texts = {r.text for r in acc.select("text").collect()}
     assert len(texts) == 3  # dup.txt collapsed at the hash index
     assert any("third document" in t for t in texts)
+
+
+def test_corrupt_and_bomb_gz_archives_quarantine(spark):
+    """A fully corrupt .gz and a bare .gz blowing the PER-MEMBER cap
+    both quarantine (the member cap previously only applied inside
+    zip/tar); an empty-but-valid gzip member stays a valid empty doc."""
+    corrupt = b"\x1f\x8b\x08\x00NOT-REAL-DEFLATE-DATA"
+    big = gzip.compress(bytes(5000))
+    empty_ok = gzip.compress(b"")
+    archives = spark.createDataFrame(
+        [("mem://c.txt.gz", bytearray(corrupt)),
+         ("mem://big.txt.gz", bytearray(big)),
+         ("mem://e.txt.gz", bytearray(empty_ok))],
+        "path string, content binary",
+    )
+    rows = archive_members(archives, max_member_bytes=100).collect()
+    by_path = {}
+    for r in rows:
+        by_path.setdefault(r.path, []).append(r)
+    assert by_path["mem://c.txt.gz"][0].decode_error is not None
+    assert "bomb" in by_path["mem://big.txt.gz"][0].decode_error
+    [e] = by_path["mem://e.txt.gz"]
+    assert e.decode_error is None and bytes(e.payload) == b""

@@ -538,7 +538,7 @@ def test_ingest_stats_rows(spark, tmp_path):
         spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
             "append"
         ).parquet(src)
-        q = start_corpus_ingest(spark, src, out, ck, near_dup_jaccard=0.6,
+        q = start_corpus_ingest(spark, src, out, ck, near_dup_jaccard=None,
                                 bloom_bits=None, stats=True)
         q.awaitTermination(120)
     stats = {

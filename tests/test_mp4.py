@@ -114,3 +114,30 @@ def test_spark_video_metadata_and_sniff_over_mp4(spark):
     assert sniffed[0] == "video/mp4"
     assert sniffed[1] == "application/octet-stream"
     assert sniffed[2] == "audio/mp4"
+
+
+def test_truncated_metadata_raises_valueerror():
+    """The documented contract: hostile/truncated structure raises
+    ValueError — never a leaked IndexError/struct.error."""
+    import struct as _s
+
+    from pg2kinesis_spark.functions.codecs import (
+        _mp4_box,
+        encode_ogg_pages,
+        ogg_info,
+    )
+
+    # an mvhd whose body is 2 bytes (version byte readable, fields not)
+    stub = _mp4_box(b"ftyp", b"isom" + bytes(8)) + _mp4_box(
+        b"moov", _mp4_box(b"mvhd", b"\x00\x00")
+    )
+    with pytest.raises(ValueError, match="MP4"):
+        mp4_info(stub)
+    # an OpusHead first packet too short for its channel field
+    ogg = encode_ogg_pages("opus")
+    # rebuild page 0 with a 9-byte OpusHead payload
+    short = b"OggS" + bytes([0, 2]) + _s.pack("<q", -1) + _s.pack("<II", 7, 0) \
+        + bytes(4) + bytes([1, 9]) + b"OpusHead\x01"
+    with pytest.raises(ValueError, match="Ogg"):
+        ogg_info(short)
+    _ = ogg

@@ -114,3 +114,19 @@ def test_sniff_mime_pdf(spark):
     assert media.select(
         sniff_mime(F.col("content")).alias("m")
     ).collect()[0].m == "application/pdf"
+
+
+def test_nested_decodeparms_dict_keeps_filter(spark):
+    """A stream dict with a NESTED dict after /Filter (DecodeParms —
+    ubiquitous in real PDFs) must still FlateDecode: the naive
+    rfind('<<') picked the inner dict and lost the /Filter key."""
+    import zlib as _z
+
+    content = b"BT /F1 12 Tf 72 720 Td (nested dict text) Tj ET"
+    z = _z.compress(content)
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(z)).encode()
+        + b" /Filter /FlateDecode /DecodeParms << /Columns 4 >> >>\n"
+        b"stream\n" + z + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert "nested dict text" in pdf_text(pdf)

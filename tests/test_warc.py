@@ -237,3 +237,41 @@ def test_warc_quarantine_and_salvage(spark):
         W.warc_records(
             archives, errors="raise", max_inflate_bytes=1 << 12
         ).collect()
+
+
+def test_hostile_warc_headers_and_fully_corrupt_gzip(spark):
+    """A negative Content-Length must terminate the record walk (it
+    previously re-yielded the same record forever), and an archive
+    whose gzip never produced one complete member must surface as a
+    QUARANTINE row — not vanish silently."""
+    import gzip as _gzip
+
+    neg = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -54\r\n\r\n"
+        b"payload bytes"
+    )
+    recs = list(W.iter_warc_records(neg))
+    assert recs == []  # terminated, no infinite loop
+
+    fully_corrupt = b"\x1f\x8b\x08\x00CORRUPT-FROM-THE-FIRST-MEMBER"
+    with pytest.raises(ValueError, match="corrupt gzip"):
+        W.gunzip_members(fully_corrupt)
+    # truncated-but-started member with no complete predecessor: raises too
+    half = _gzip.compress(b"some content here")[:10]
+    with pytest.raises(ValueError, match="gzip"):
+        W.gunzip_members(half)
+    # and through the Spark kernel: one quarantine row, batch survives
+    good = W.encode_warc(
+        [{"warc_type": "response", "url": "http://ok.example/",
+          "payload": W.http_response_bytes(b"<html><body><p>fine</p></body></html>")}],
+        gzip_members=True,
+    )
+    archives = spark.createDataFrame(
+        [("mem://good.warc.gz", bytearray(good)),
+         ("mem://dead.warc.gz", bytearray(fully_corrupt))],
+        "path string, content binary",
+    )
+    rows = W.warc_records(archives).collect()
+    errs = [r for r in rows if r.decode_error is not None]
+    assert len(errs) == 1 and errs[0].path == "mem://dead.warc.gz"
+    assert {r.url for r in rows if r.decode_error is None} == {"http://ok.example/"}
