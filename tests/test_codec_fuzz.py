@@ -251,3 +251,84 @@ def test_gif_lzw_expansion_bounded():
         C._lzw_encode(list(range(16)) * 1000, 8), 8, max_out=64
     )
     assert 64 <= len(got) < 64 + 4096  # stops at/near the cap, not 16k
+
+
+def test_fuzz_container_metadata_walks():
+    """MP4 / WebM / Ogg / FLAC / MP3 metadata walks under the same
+    corruption hammer: every mutation returns or raises promptly —
+    no budget blowups, no hangs on stomped size/length fields."""
+    corpus_mp4 = [
+        C.encode_mp4_skeleton(),
+        C.encode_mp4_skeleton(version1=True, largesize_mdat=True),
+    ]
+    _hammer(C.mp4_info, corpus_mp4, seed=41)
+    corpus_webm = [
+        C.encode_webm_skeleton(),
+        C.encode_webm_skeleton(unknown_segment_size=True),
+    ]
+    _hammer(C.webm_info, corpus_webm, seed=42)
+    _hammer(C.ogg_info, [C.encode_ogg_pages("opus"),
+                         C.encode_ogg_pages("vorbis")], seed=43)
+    _hammer(C.flac_info, [C.encode_flac_streaminfo(extra_blocks=2)], seed=44)
+    _hammer(C.mp3_info, [C.encode_mp3_frames(8, xing=True)], seed=45)
+
+
+def test_fuzz_pdf_and_archives():
+    """PDF text extraction and the archive splitter under corruption:
+    return-or-raise quickly, never hang."""
+    import gzip
+    import io
+    import tarfile
+    import zipfile
+
+    from pg2kinesis_spark.functions import archives as A
+    from pg2kinesis_spark.functions import pdf as P
+
+    pdfs = [
+        P.encode_pdf([["fuzz page one", "line two"], ["page two"]]),
+        P.encode_pdf([["compressed text stream"]], compress=True),
+    ]
+    _hammer(P.pdf_text, pdfs, seed=46)
+
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("a.txt", b"zip member text content")
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as tf:
+        info = tarfile.TarInfo("b.txt")
+        payload = b"tar member text content"
+        info.size = len(payload)
+        tf.addfile(info, io.BytesIO(payload))
+    archives = [
+        zbuf.getvalue(),
+        tbuf.getvalue(),
+        gzip.compress(tbuf.getvalue()),
+        gzip.compress(b"bare gz member"),
+    ]
+
+    def split(data):
+        return list(
+            A._split_archive(data, "fuzz.bin", 1 << 20, 1 << 22, 1000)
+        )
+
+    _hammer(split, archives, seed=47)
+
+
+def test_fuzz_warc_records_walk():
+    """The WARC record walk (incl. the negative-Content-Length guard)
+    and multi-member gunzip under corruption."""
+    from pg2kinesis_spark.functions import warc as W
+
+    recs = [
+        {"warc_type": "response", "url": "http://x.example/",
+         "payload": W.http_response_bytes(b"<html><body><p>f</p></body></html>")}
+    ] * 3
+    corpus = [
+        W.encode_warc(recs, gzip_members=False),
+        W.encode_warc(recs, gzip_members=True),
+    ]
+
+    def walk(data):
+        return list(W.iter_warc_records(W.gunzip_members(data, max_bytes=1 << 22)))
+
+    _hammer(walk, corpus, seed=48)
