@@ -557,3 +557,37 @@ def test_ingest_stats_rows(spark, tmp_path):
     assert all(s.wall_s > 0 for s in stats.values())
     n_acc = spark.read.parquet(os.path.join(out, "accepted")).count()
     assert n_acc == stats[0].n_accepted + stats[1].n_accepted
+
+
+def test_compact_folds_emb_index_and_semdedup_survives(spark, tmp_path):
+    """Compaction folds the embedding index too: a post-compaction
+    batch's paraphrase of FOLDED history is still dropped by the
+    streaming SemDeDup stage."""
+    from pg2kinesis_spark.streaming.corpus_ingest import compact_corpus_indexes
+
+    out = str(tmp_path / "curated_sdc")
+    kw = dict(
+        near_dup_jaccard=None,
+        semdedup_eps=0.05,
+        semdedup_ref_emb=_ref_emb(spark),
+        semdedup_dim=4,
+        semdedup_clusters=2,
+    )
+    ingest = CorpusIngest(out, **kw)
+    ingest.process_batch(_emb_docs(spark, [
+        (1, "an article about foxes and dogs in the meadow", [1.0, 0.0, 0.0, 0.0]),
+    ]), 0)
+    ingest.process_batch(_emb_docs(spark, [
+        (11, "spark shuffle tuning for very large clusters", [0.0, 0.0, 1.0, 0.0]),
+    ]), 1)
+    summary = compact_corpus_indexes(spark, out, keep_last_batches=1)
+    assert summary["emb_index"]["folded"] == [0]
+    # a FRESH processor (post-maintenance restart) sees the folded index
+    ingest2 = CorpusIngest(out, **kw)
+    ingest2.process_batch(_emb_docs(spark, [
+        (21, "rephrased canine and vulpine field report", [0.9995, 0.0005, 0.0, 0.0]),
+        (22, "a note about entirely unrelated database internals", [0.0, 1.0, 0.0, 0.0]),
+    ]), 2)
+    acc = {r.doc_id for r in spark.read.parquet(os.path.join(out, "accepted")).collect()}
+    assert 21 not in acc  # paraphrase of folded batch-0 doc still dropped
+    assert acc == {1, 11, 22}
