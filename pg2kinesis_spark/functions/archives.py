@@ -175,6 +175,27 @@ def archive_members(
     return archives.select("path", "content").mapInPandas(kernel, MEMBER_SCHEMA)
 
 
+def members_as_media(members: DataFrame) -> DataFrame:
+    """Adapt ``archive_members`` output to the media table shape
+    (multimodal.MEDIA_SCHEMA): media_id = xxhash64(path:member)
+    (deterministic across runs), content = payload, mime sniffed from
+    magic bytes JVM-side. Composes a zip-of-PDFs (or images/audio)
+    straight into extract_pdf_text / the decode kernels — quarantined
+    archives' error rows are excluded (they have no payload)."""
+    from pg2kinesis_spark.functions.multimodal import sniff_mime
+
+    ok = members.filter(F.col("decode_error").isNull())
+    return ok.select(
+        F.xxhash64(F.concat_ws(":", "path", "member")).alias("media_id"),
+        F.col("payload").alias("content"),
+        F.struct(
+            sniff_mime(F.col("payload")).alias("mime"),
+            F.col("size").alias("bytes_hint"),
+            F.concat_ws(":", "path", "member").alias("source_uri"),
+        ).alias("meta"),
+    )
+
+
 def archive_to_corpus(
     archives: DataFrame,
     suffixes: tuple[str, ...] = _TEXT_SUFFIXES,

@@ -166,3 +166,28 @@ def test_corrupt_and_bomb_gz_archives_quarantine(spark):
     assert "bomb" in by_path["mem://big.txt.gz"][0].decode_error
     [e] = by_path["mem://e.txt.gz"]
     assert e.decode_error is None and bytes(e.payload) == b""
+
+
+def test_zip_of_pdfs_flows_into_the_pdf_tier(spark):
+    """End-to-end composition: a zip of PDFs -> archive_members ->
+    members_as_media -> extract_pdf_text, with a corrupt member's
+    archive quarantined out upstream."""
+    from pg2kinesis_spark.functions.archives import members_as_media
+    from pg2kinesis_spark.functions.pdf import encode_pdf, extract_pdf_text
+
+    z = _zip_bytes({
+        "docs/a.pdf": encode_pdf([["alpha document text"]], compress=True),
+        "docs/b.pdf": encode_pdf([["beta document text"], ["second page"]]),
+    })
+    archives = spark.createDataFrame(
+        [("mem://pdfs.zip", bytearray(z)),
+         ("mem://broken.zip", bytearray(b"\x00nope" + bytes(64)))],
+        "path string, content binary",
+    )
+    media = members_as_media(archive_members(archives))
+    rows = media.collect()
+    assert len(rows) == 2
+    assert all(r.meta.mime == "application/pdf" for r in rows)
+    texts = {r.text for r in extract_pdf_text(media).collect()}
+    assert any("alpha document" in t for t in texts)
+    assert any("beta document" in t for t in texts)
