@@ -44,6 +44,10 @@ from pg2kinesis_spark.functions.warc import gunzip_members
 MEMBER_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),
+        # position within the archive: both ZIP and TAR legally allow
+        # DUPLICATE member names, so (path, member) is not a key —
+        # (path, ordinal) is
+        T.StructField("ordinal", T.IntegerType()),
         T.StructField("member", T.StringType()),
         T.StructField("size", T.LongType()),
         T.StructField("payload", T.BinaryType()),
@@ -145,8 +149,9 @@ def archive_members(
         for pdf in batches:
             rows = {k: [] for k in MEMBER_SCHEMA.fieldNames()}
 
-            def emit(path, member, payload, err):
+            def emit(path, ordinal, member, payload, err):
                 rows["path"].append(path)
+                rows["ordinal"].append(ordinal)
                 rows["member"].append(member)
                 rows["size"].append(len(payload) if payload is not None else None)
                 rows["payload"].append(payload)
@@ -166,10 +171,10 @@ def archive_members(
                 except Exception as e:  # noqa: BLE001 — quarantine channel
                     if errors == "raise":
                         raise
-                    emit(path, None, None, f"{type(e).__name__}: {e}")
+                    emit(path, None, None, None, f"{type(e).__name__}: {e}")
                     continue
-                for member, payload in got:
-                    emit(path, member, payload, None)
+                for i, (member, payload) in enumerate(got):
+                    emit(path, i, member, payload, None)
             yield pd.DataFrame(rows)
 
     return archives.select("path", "content").mapInPandas(kernel, MEMBER_SCHEMA)
@@ -185,8 +190,11 @@ def members_as_media(members: DataFrame) -> DataFrame:
     from pg2kinesis_spark.functions.multimodal import sniff_mime
 
     ok = members.filter(F.col("decode_error").isNull())
+    # multi-column xxhash64 (each field length-prefixed in the hash
+    # chain): no concat-ambiguity collisions, and the ordinal keeps
+    # legally-duplicated member names distinct
     return ok.select(
-        F.xxhash64(F.concat_ws(":", "path", "member")).alias("media_id"),
+        F.xxhash64("path", "ordinal", "member").alias("media_id"),
         F.col("payload").alias("content"),
         F.struct(
             sniff_mime(F.col("payload")).alias("mime"),
@@ -204,16 +212,17 @@ def archive_to_corpus(
 ) -> DataFrame:
     """Archives → (doc_id, path, member, text): text-suffixed members
     decoded utf-8-with-replacement; doc_id is the cross-engine md5-60
-    of path:member (the WARC front door's reproducibility recipe).
-    Quarantined archives' error rows drop here — audit them on
-    ``archive_members`` output."""
+    of path:ordinal:member (the WARC front door's reproducibility
+    recipe; the ordinal keeps legally-duplicated member names
+    distinct). Quarantined archives' error rows drop here — audit them
+    on ``archive_members`` output."""
     from pg2kinesis_spark.functions.sampling import HASH60
 
     members = archive_members(archives, errors=errors, **caps)
     cond = F.lit(False)
     for s in suffixes:
         cond = cond | F.lower("member").endswith(s)
-    key = "concat(path, ':', member)"
+    key = "concat(path, ':', cast(ordinal as string), ':', member)"
     # utf-8-with-replacement, JVM-side: BINARY->STRING cast wraps the
     # bytes unvalidated, make_valid_utf8 replaces malformed sequences
     # with U+FFFD — ANSI decode() would instead raise

@@ -191,3 +191,32 @@ def test_zip_of_pdfs_flows_into_the_pdf_tier(spark):
     texts = {r.text for r in extract_pdf_text(media).collect()}
     assert any("alpha document" in t for t in texts)
     assert any("beta document" in t for t in texts)
+
+
+def test_duplicate_member_names_get_distinct_ids(spark):
+    """ZIP legally allows duplicate member names: the ordinal keeps
+    their media_ids AND corpus doc_ids distinct."""
+    import io as _io
+    import zipfile as _zf
+
+    from pg2kinesis_spark.functions.archives import members_as_media
+
+    buf = _io.BytesIO()
+    with _zf.ZipFile(buf, "w") as zf:
+        zf.writestr("doc.txt", b"first version of the document")
+        zf.writestr("doc.txt", b"second version entirely different")
+    archives = spark.createDataFrame(
+        [("mem://dup.zip", bytearray(buf.getvalue()))],
+        "path string, content binary",
+    )
+    members = archive_members(archives)
+    rows = members.collect()
+    assert len(rows) == 2 and {r.ordinal for r in rows} == {0, 1}
+    media = members_as_media(members).collect()
+    assert len({m.media_id for m in media}) == 2
+    docs = archive_to_corpus(archives).collect()
+    assert len({d.doc_id for d in docs}) == 2
+    assert {d.text for d in docs} == {
+        "first version of the document",
+        "second version entirely different",
+    }
