@@ -89,3 +89,31 @@ def write_sharded(
     n = max(1, int(est_bytes // shard_bytes) + 1)
     df.repartition(n).write.mode("overwrite").parquet(path)
     return n
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    by: str | tuple[str, ...],
+    n_files: int | None = None,
+) -> None:
+    """Layout optimization: range-partition + sort-within-partitions on
+    ``by`` before writing, so parquet row-group (and file) min/max
+    statistics on those columns become NARROW and DISJOINT instead of
+    every row group spanning the whole domain.
+
+    Why it matters at 100 TB: the parquet reader skips a row group when
+    a pushed-down predicate falls outside its min/max — but a
+    round-robin layout gives every row group the full value range, so
+    nothing ever skips and a selective point/range query scans the
+    whole dataset. Sorted-on-write, the same pushed filter touches only
+    the row groups whose range overlaps — the poor man's clustering
+    index, paid once at write time (one range-exchange + local sort,
+    both scalable shapes; the range partitioner samples keys, which is
+    fine HERE because layout — unlike pack_sequences' deterministic
+    cumsum — has no bit-reproducibility contract). The footer-stats
+    test pins disjointness with pyarrow.
+    """
+    cols = [by] if isinstance(by, str) else list(by)
+    out = df.repartitionByRange(*([n_files] if n_files else []), *cols)
+    out.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
