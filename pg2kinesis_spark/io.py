@@ -115,5 +115,10 @@ def write_sorted(
     test pins disjointness with pyarrow.
     """
     cols = [by] if isinstance(by, str) else list(by)
-    out = df.repartitionByRange(*([n_files] if n_files else []), *cols)
+    if n_files is not None and n_files < 1:
+        # a falsy 0 must not silently fall back to the default shuffle
+        # partition count (hundreds of tiny files — the exact hygiene
+        # problem write_sharded exists to prevent)
+        raise ValueError(f"n_files must be >= 1, got {n_files}")
+    out = df.repartitionByRange(*([n_files] if n_files is not None else []), *cols)
     out.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)

@@ -113,3 +113,12 @@ def test_write_sorted_yields_disjoint_rowgroup_stats(spark, tmp_path):
     a = spark.read.parquet(sorted_path).orderBy("k", "v").collect()
     b = spark.read.parquet(rr_path).orderBy("k", "v").collect()
     assert a == b
+
+
+def test_write_sorted_rejects_zero_files(spark, tmp_path):
+    import pytest as _pt
+
+    from pg2kinesis_spark.io import write_sorted
+
+    with _pt.raises(ValueError, match="n_files"):
+        write_sorted(spark.range(10), str(tmp_path / "x"), by="id", n_files=0)
