@@ -209,10 +209,23 @@ class CorpusIngest:
         replay see its own hashes, compute an empty batch, and leave the
         sig index permanently missing those signatures.
         """
+        # Probe existence through the Hadoop FS API instead of letting
+        # spark.read.parquet raise on the first batch: the raise is
+        # caught here, but the JVM logs the full AnalysisException stack
+        # to stderr via py4j — which is exactly the "unexplained trace in
+        # the bench artifact" problem. The probe is scheme-agnostic
+        # (local/HDFS/S3A), so the quiet path survives on a real cluster.
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return None  # first batch: no index yet
         try:
             df = spark.read.parquet(path)
         except Exception:
-            return None  # first batch: no index yet
+            # exists but unreadable (e.g. crash left an empty dir before
+            # any part file) — same "no index yet" semantics
+            return None
         if exclude_batch_id is not None and "batch_id" in df.columns:
             df = df.filter(F.col("batch_id") != exclude_batch_id)
         return df
