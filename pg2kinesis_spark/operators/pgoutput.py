@@ -392,8 +392,21 @@ def parse_pgoutput(
             F.conv(F.hex(F.expr(f"substring({payload_col}, 18, 4)")), 16, 10),
         ).alias("begin_xid"),
     )
+    # summary twin pre-filtered on the raw tag byte so the eager
+    # per-bucket job scans only Begin frames (the [min,max] job still
+    # reads begin_stats — an lsn-pruned scan)
+    begin_rows = raw.filter(F.expr(f"substring({payload_col}, 1, 1) = x'42'")).select(
+        F.col("lsn"),
+        F.conv(F.hex(F.expr(f"substring({payload_col}, 18, 4)")), 16, 10).alias(
+            "begin_xid"
+        ),
+    )
     stamped = stamp_xid_scalable(
-        parsed, order_col="lsn", begin_col="begin_xid", stats_df=begin_stats
+        parsed,
+        order_col="lsn",
+        begin_col="begin_xid",
+        stats_df=begin_stats,
+        begin_rows_df=begin_rows,
     )
     changes = stamped.filter(
         F.col("operation").isin("insert", "update", "delete", "truncate")
