@@ -2,6 +2,26 @@
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores).
+
+Harness shape (round 6): by default this process is an ORCHESTRATOR —
+it runs the entries in a handful of FRESH-JVM groups (subprocesses with
+``SPARK_GRAFT_BENCH_ONLY`` set) and merges their JSON lines. A 32-entry
+single-JVM run measures accumulated GC/codegen-cache pressure as much
+as the operators (BENCH_r04/r05 vs the controlled SCALING.md table
+disagreed ~1.2-1.6x on entries whose code hadn't changed); small fresh
+processes reproduce the controlled condition the SCALING.md
+reconciliation used. Each entry gets an untimed warm-up pass plus
+best-of-3 (best-of-2 for slow entries), and the artifact carries the
+per-entry [min, max, reps] spread so run-to-run noise is visible
+instead of silently baked into a single number. Children's stderr is
+scanned for JVM stack traces: any found are counted and labeled in the
+output (r05's artifact carried an unexplained py4j AnalysisException
+trace — the first-batch index probe in corpus_ingest, since fixed to a
+quiet Hadoop-FS existence check).
+
+``SPARK_GRAFT_BENCH_ONLY=a,b,c`` still runs exactly that subset inline
+in THIS process (the controlled-conditions knob, and the orchestrator's
+child protocol).
 """
 
 from __future__ import annotations
@@ -9,13 +29,11 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from pg2kinesis_spark.plans import QUERIES
-from pg2kinesis_spark.session import get_spark
 
 BENCH_QUERIES = [
     "q13_hash_agg",       # scan + hash aggregate (TPC-H Q1 skeleton)
@@ -482,118 +500,297 @@ EXTRA_BENCHES = {
     "n9_blas_cosine_topk": bench_cosine_blas,
 }
 
+# Fresh-JVM group layout: each group is one subprocess, sized so no
+# process accumulates 30+ entries of JVM/GC/codegen-cache pressure (the
+# measured cause of the r4/r5 scoreboard-vs-controlled disagreement).
+# The throughput headliners (cdc/pgoutput/e2e_sink) get their own
+# near-empty JVM — those are the numbers the baseline comparison reads.
+BENCH_GROUPS: list[tuple[str, list[str]]] = [
+    ("plans", list(BENCH_QUERIES)),
+    (
+        "light",
+        [
+            "bpe_token_counts_full",
+            "unigram_token_counts_full",
+            "semdedup_full",
+            "warc_ingest_full",
+            "lm_perplexity_full",
+            "minhash_lsh_full",
+            "bm25_topk_full",
+            "decontam_full",
+            "pack_sequences_full",
+            "n9_blas_cosine_topk",
+        ],
+    ),
+    (
+        "heavy",
+        [
+            "gopher_filter_full",
+            "substr_dedup_full",
+            "dsir_select_full",
+            "url_pipeline_full",
+            "curate_full",
+        ],
+    ),
+    ("curate", ["curate_max_full", "curate_ultra_full"]),
+    ("cdc", ["cdc_replay_450k", "pgoutput_replay_190k", "e2e_sink"]),
+    ("ingest", ["ingest_batch"]),
+]
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1).rstrip(".")) if m else -1.0
-    # SPARK_GRAFT_BENCH_ONLY=a,b,c runs a subset in isolation — the
-    # controlled-conditions knob for reconciling entry-count/GC effects
-    # (a 32-entry process measures different JVM pressure than 4)
-    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
-    only_set = set(only.split(",")) if only else None
-    global BENCH_QUERIES, EXTRA_BENCHES
-    if only_set is not None:
-        BENCH_QUERIES = [n for n in BENCH_QUERIES if n in only_set]
-        EXTRA_BENCHES = {k: v for k, v in EXTRA_BENCHES.items() if k in only_set}
+# Reps policy: warm-up pass (untimed) + best-of-3; entries whose warm
+# pass exceeds this many seconds get best-of-2 to bound total wall.
+SLOW_ENTRY_SEC = 5.0
+
+
+def _time_reps(run_once, warm_sec: float) -> tuple[float, float, int]:
+    """(best, worst, reps) over best-of-3 (best-of-2 when slow)."""
+    reps = 2 if warm_sec >= SLOW_ENTRY_SEC else 3
+    samples = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_once()
+        samples.append(time.perf_counter() - t0)
+    return min(samples), max(samples), reps
+
+
+def run_inline(only_set: set[str] | None, sf_dir: str) -> tuple[dict, dict]:
+    """Run a subset (or everything) in THIS process; returns
+    (times, spread) where spread[name] = [min, max, reps]."""
+    from pg2kinesis_spark.plans import QUERIES
+    from pg2kinesis_spark.session import get_spark
+
+    def selected(name: str) -> bool:
+        return only_set is None or name in only_set
+
     spark = get_spark("bench")
-
     # Warm the JVM/codegen once with an unrelated query.
     spark.range(1000000).selectExpr("sum(id)").collect()
 
     times: dict[str, float] = {}
+    spread: dict[str, list] = {}
+
     for name in BENCH_QUERIES:
+        if not selected(name):
+            continue
         fn = QUERIES[name]
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
-            best = min(best, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()  # untimed warm-up (page cache + codegen)
+        warm = time.perf_counter() - t0
+        best, worst, reps = _time_reps(lambda: fn(spark, sf_dir).collect(), warm)
         times[name] = round(best, 4)
+        spread[name] = [round(best, 4), round(worst, 4), reps]
 
     for name, fn in EXTRA_BENCHES.items():
+        if not selected(name):
+            continue
         # one untimed pass first: page cache + codegen warm-up (the cold
-        # first run is 2-4x the steady state and best-of-2 alone can
-        # record it when both timed reps land cold)
+        # first run is 2-4x the steady state and best-of-N alone can
+        # record it when all timed reps land cold)
+        t0 = time.perf_counter()
         fn(spark, sf_dir).count()
-        best = float("inf")
-        for _ in range(2):  # best-of-2, same policy as BENCH_QUERIES
-            t0 = time.perf_counter()
+        warm = time.perf_counter() - t0
+        n = 0
+
+        def run_once():
             # build INSIDE the timer: some operators (pack_sequences)
             # run a driver-side phase at construction time.
+            nonlocal n
             n = fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
+
+        best, worst, reps = _time_reps(run_once, warm)
         times[name] = round(best, 4)
+        spread[name] = [round(best, 4), round(worst, 4), reps]
         if name == "cdc_replay_450k":
             times["cdc_replay_msgs_per_sec"] = round(n / times[name], 1)
         elif name == "pgoutput_replay_190k":
             # n counts DML rows; frames (~45% of wire messages) are
             # parsed too but emit no change row
             times["pgoutput_dml_rows_per_sec"] = round(n / times[name], 1)
+            # Steady-state twin (VERDICT r5 item 5): re-execute the
+            # already-built plan — the deployment shape, where the
+            # pipeline is constructed once per slot connection and every
+            # micro-batch only EXECUTES it. The build-inclusive number
+            # above is the backfill/cold-start rate; this is the rate a
+            # long-lived stream sustains (SCALING.md "pgoutput:
+            # reconciling ...").
+            built = fn(spark, sf_dir)
+            ss = [_timed_count(built) for _ in range(3)]
+            times["pgoutput_steady_rows_per_sec"] = round(n / min(ss), 1)
+            spread["pgoutput_replay_steady"] = [round(min(ss), 4), round(max(ss), 4), 3]
 
     # Streaming corpus ingest: time ONE micro-batch against a populated
     # index (fresh state dir per rep — the op is stateful, so the
     # EXTRA_BENCHES re-run contract doesn't apply). Metric = input
     # docs/sec through the full gate + dedup + write-back path.
-    if only_set is None or "ingest_batch" in only_set:
+    if selected("ingest_batch"):
         import shutil
         import tempfile
 
-        best, n_in = float("inf"), 0
+        samples = []
         for rep in range(2):
             out_dir = tempfile.mkdtemp(prefix="bench_ingest_")
             try:
                 b0, b1, ingest = bench_ingest_batch(spark, sf_dir, out_dir)
                 ingest.process_batch(b0, 0)  # seed the indexes, untimed
-                n_in = b1.count()
+                b1.count()
                 t0 = time.perf_counter()
                 ingest.process_batch(b1, 1)
-                best = min(best, time.perf_counter() - t0)
+                samples.append(time.perf_counter() - t0)
             finally:
                 shutil.rmtree(out_dir, ignore_errors=True)
-        times["ingest_batch"] = round(best, 4)
-        _ = n_in  # wall only: fixed per-batch cost dominates at sf0.1
-        # (a docs/sec figure at 2k docs would misread as throughput)
+        times["ingest_batch"] = round(min(samples), 4)
+        spread["ingest_batch"] = [round(min(samples), 4), round(max(samples), 4), 2]
+        # wall only: fixed per-batch cost dominates at sf0.1 (a docs/sec
+        # figure at 2k docs would misread as throughput)
 
     # End-to-end sink drain: the same ~450k-message pipeline pushed
     # through the full foreachBatch path — ordered Arrow transfer,
     # per-message put_message, KPL wire serialization, transport puts —
     # into InMemoryTransport. cdc_replay measures parse→format; this
     # measures parse→format→sink, the number a deployment actually sees.
-    if only_set is not None and "e2e_sink" not in only_set:
-        _emit(times, sf)
-        return
-    from pg2kinesis_spark.sinks.kinesis import InMemoryTransport, KinesisLikeWriter
+    if selected("e2e_sink"):
+        from pg2kinesis_spark.sinks.kinesis import InMemoryTransport, KinesisLikeWriter
 
-    sink_df = bench_cdc_replay(spark, sf_dir)
-    # untimed warm pass (same policy as EXTRA_BENCHES): the cold first
-    # drain is 2-3x steady state and best-of-2 alone can record it
-    KinesisLikeWriter(InMemoryTransport()).process_batch(sink_df, 0)
-    best, n_msgs = float("inf"), 0
-    for _ in range(2):
-        writer = KinesisLikeWriter(InMemoryTransport())
+        sink_df = bench_cdc_replay(spark, sf_dir)
+        # untimed warm pass (same policy as EXTRA_BENCHES): the cold
+        # first drain is 2-3x steady state
         t0 = time.perf_counter()
-        writer.process_batch(sink_df, 0)
-        best = min(best, time.perf_counter() - t0)
-        n_msgs = writer.put_message_calls
-    times["e2e_sink"] = round(best, 4)
-    times["e2e_sink_msgs_per_sec"] = round(n_msgs / times["e2e_sink"], 1)
-    _emit(times, sf)
+        KinesisLikeWriter(InMemoryTransport()).process_batch(sink_df, 0)
+        warm = time.perf_counter() - t0
+        n_msgs = 0
+
+        def run_sink():
+            nonlocal n_msgs
+            writer = KinesisLikeWriter(InMemoryTransport())
+            writer.process_batch(sink_df, 0)
+            n_msgs = writer.put_message_calls
+
+        best, worst, reps = _time_reps(run_sink, warm)
+        times["e2e_sink"] = round(best, 4)
+        spread["e2e_sink"] = [round(best, 4), round(worst, 4), reps]
+        times["e2e_sink_msgs_per_sec"] = round(n_msgs / times["e2e_sink"], 1)
+
+    return times, spread
 
 
-def _emit(times: dict, sf: float) -> None:
-    total = round(sum(v for k, v in times.items() if not k.endswith("_per_sec")), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
+def _timed_count(df) -> float:
+    t0 = time.perf_counter()
+    df.count()
+    return time.perf_counter() - t0
+
+
+# stderr lines that indicate a JVM-side exception got logged (caught or
+# not). The artifact must either be free of these or label them.
+_TRACE_RE = re.compile(
+    r"^(Traceback \(most recent call last\)|.*\b(\w*Exception|\w*Error)\b.*"
+    r"|\tat [\w.$]+\(.*\))"
+)
+
+
+def _scan_stderr(text: str) -> list[str]:
+    """First line of each exception-looking block in captured stderr."""
+    labels: list[str] = []
+    in_block = False
+    for line in text.splitlines():
+        if line.startswith("\tat ") or line.startswith("  File "):
+            in_block = True
+            continue
+        if _TRACE_RE.match(line):
+            if not in_block:
+                labels.append(line.strip()[:160])
+            in_block = True
+        else:
+            in_block = False
+    return labels
+
+
+def orchestrate(sf_dir: str, sf: float) -> None:
+    """Run each BENCH_GROUP in a fresh subprocess JVM and merge."""
+    times: dict[str, float] = {}
+    spread: dict[str, list] = {}
+    errors: dict[str, str] = {}
+    stderr_labels: list[str] = []
+    t_all = time.perf_counter()
+    for gname, entries in BENCH_GROUPS:
+        env = dict(os.environ)
+        env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(entries)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True,
+                text=True,
+                env=env,
+                timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            errors[gname] = "timeout after 1800s"
+            continue
+        line = next(
+            (l for l in reversed(proc.stdout.splitlines()) if l.startswith("{")), None
         )
+        if proc.returncode != 0 or line is None:
+            tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
+            errors[gname] = f"rc={proc.returncode}: {' | '.join(tail)[:300]}"
+            continue
+        child = json.loads(line)
+        times.update(child.get("queries", {}))
+        spread.update(child.get("spread", {}))
+        for lbl in _scan_stderr(proc.stderr or ""):
+            stderr_labels.append(f"{gname}: {lbl}")
+    _emit(
+        times,
+        sf,
+        spread=spread,
+        extra={
+            "bench_mode": "fresh-jvm-groups",
+            "n_groups": len(BENCH_GROUPS),
+            "orchestration_wall": round(time.perf_counter() - t_all, 1),
+            # Any JVM stack trace logged by any child, labeled; [] means
+            # the run was clean (VERDICT r5 "What's wrong" item 2).
+            "stderr_exceptions": stderr_labels,
+            **({"group_errors": errors} if errors else {}),
+        },
     )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c runs a subset inline in THIS process —
+    # the controlled-conditions knob, and the orchestrator's child
+    # protocol (each fresh-JVM group is one such invocation).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only is None:
+        orchestrate(sf_dir, sf)
+        return
+    times, spread = run_inline(set(only.split(",")), sf_dir)
+    _emit(times, sf, spread=spread)
+
+
+def _emit(times: dict, sf: float, spread: dict | None = None, extra: dict | None = None) -> None:
+    # *_per_sec are rates, *_steady re-executes an already-timed plan:
+    # neither belongs in the wall-clock sum.
+    total = round(
+        sum(
+            v
+            for k, v in times.items()
+            if not k.endswith("_per_sec") and not k.endswith("_steady")
+        ),
+        4,
+    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if spread:
+        out["spread"] = spread  # per entry: [best, worst, reps]
+    if extra:
+        out.update(extra)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
