@@ -202,3 +202,197 @@ def gen_pgoutput(n_txns: int = 2000, seed: int = 44) -> list[tuple[int, int, str
                 emit(encode_delete(rel_id, [pk, None]))
         emit(encode_commit(lsn + 500, lsn + 501))
     return rows
+
+
+# --------------------------------------------------------------------------
+# Round-6 media-front-door fixtures (driver oracle rows n24-n26).
+#
+# Construction-side truth tables are the independence contract: the
+# generators record WHAT went into each archive/container (member
+# order, encoder parameters), and the oracle re-derives the expected
+# operator output from that record with plain SQL/arithmetic — never by
+# calling the walk/extract code under test.
+# --------------------------------------------------------------------------
+
+
+def gen_media_archives() -> tuple[list[tuple], list[tuple]]:
+    """(archive_rows, truth_rows) for the archive front door (n24).
+
+    archive_rows: (path, content_bytes) — two good archives (ZIP with a
+    legally-duplicated member name + binary member; TAR with nested
+    paths) and one corrupt ZIP that must quarantine whole.
+    truth_rows: (path, ordinal, member, text) in CONSTRUCTION order —
+    text is None for binary members (the suffix rule excludes them
+    downstream; the oracle applies that rule in SQL, independently).
+    """
+    import io
+    import tarfile
+    import zipfile
+
+    rng = random.Random(42)
+    vocab = (
+        "spark shuffle archive member corpus dedup batch stream kernel "
+        "column vector window merge join filter"
+    ).split()
+
+    def sentence(n: int) -> str:
+        return " ".join(rng.choice(vocab) for _ in range(n)) + "."
+
+    zip_members = [
+        ("docs/intro.txt", sentence(24)),
+        ("docs/guide.md", "# Guide\n\n" + sentence(40)),
+        ("img/logo.bin", bytes(range(256)) * 4),  # binary: suffix-excluded
+        ("notes.txt", "naïve café — ünïcode ✓"),
+        ("dup.txt", "first copy: " + sentence(8)),
+        ("dup.txt", "second copy: " + sentence(8)),  # dup names are legal
+    ]
+    tar_members = [
+        ("readme.txt", sentence(30)),
+        ("data.csv", "a,b\n1,2\n3,4\n"),
+        ("sub/deep/leaf.md", sentence(16)),
+        ("binary.dat", b"\x00\xff" * 64),  # suffix-excluded
+    ]
+
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, content in zip_members:
+            data = content if isinstance(content, bytes) else content.encode()
+            # fixed date_time: archive bytes must be bit-reproducible
+            zi = zipfile.ZipInfo(name, date_time=(2020, 1, 1, 0, 0, 0))
+            zf.writestr(zi, data)
+    tbuf = io.BytesIO()
+    with tarfile.open(fileobj=tbuf, mode="w") as tf:
+        for name, content in tar_members:
+            data = content if isinstance(content, bytes) else content.encode()
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            ti.mtime = 0
+            tf.addfile(ti, io.BytesIO(data))
+
+    archive_rows = [
+        ("fx/a1.zip", zbuf.getvalue()),
+        ("fx/a2.tar", tbuf.getvalue()),
+        # ZIP magic + garbage: BadZipFile -> whole-archive quarantine,
+        # so NO truth rows exist for it (the oracle sees it only as
+        # absence; the quarantine row itself is pinned in pytest)
+        ("fx/bad.zip", b"PK\x03\x04" + bytes(32)),
+    ]
+    truth_rows = []
+    for path, members in (("fx/a1.zip", zip_members), ("fx/a2.tar", tar_members)):
+        for ordinal, (name, content) in enumerate(members):
+            text = None if isinstance(content, bytes) else content
+            truth_rows.append((path, ordinal, name, text))
+    return archive_rows, truth_rows
+
+
+def gen_media_containers() -> tuple[list[tuple], list[tuple], list[tuple]]:
+    """(container_rows, audio_truth, video_truth) for n25/n26.
+
+    container_rows: (media_id, kind, content) — spec-packed fixture
+    encodings across every supported container. Truth rows carry the
+    EXPECTED metadata columns computed from the encoder parameters with
+    the documented formulas (duration = samples/rate, bitrate =
+    bytes*8/seconds, fps = frames/duration) — plain arithmetic on the
+    construction inputs, independent of the header walks under test.
+    """
+    import numpy as np
+
+    from pg2kinesis_spark.functions import codecs as C
+
+    container_rows: list[tuple] = []
+    audio_truth: list[tuple] = []
+    video_truth: list[tuple] = []
+
+    def add(mid: int, kind: str, content: bytes) -> None:
+        container_rows.append((mid, kind, content))
+
+    # --- audio -------------------------------------------------------
+    # 1: WAV — PCM16 mono; kbps = rate*ch*bits/1000 (CBR by definition)
+    samples = (np.sin(np.arange(4000) / 10.0) * 3000).astype(np.int16)
+    wav = C.encode_wav(samples, 8000)
+    add(1, "audio", wav)
+    audio_truth.append(
+        (1, "wav", 8000, 1, 1000.0 * 4000 / 8000, 8000 * 1 * 16 / 1000.0, False)
+    )
+    # 2: FLAC — STREAMINFO totals; container bitrate = bytes over play time
+    flac = C.encode_flac_streaminfo(
+        rate=44100, channels=2, bits=16, n_samples=441000, extra_blocks=1
+    )
+    dur_ms = 1000.0 * 441000 / 44100
+    add(2, "audio", flac)
+    audio_truth.append(
+        (2, "flac", 44100, 2, dur_ms, len(flac) * 8 / (dur_ms / 1000.0) / 1000.0, True)
+    )
+    # 3: Ogg Opus — granules at 48 kHz, pre-skip excluded
+    ogg_o = C.encode_ogg_pages(
+        codec="opus", rate=48000, channels=2, n_samples=96000, pre_skip=312
+    )
+    dur_ms = 1000.0 * 96000 / 48000.0
+    add(3, "audio", ogg_o)
+    audio_truth.append(
+        (3, "ogg/opus", 48000, 2, dur_ms,
+         len(ogg_o) * 8 / (dur_ms / 1000.0) / 1000.0, True)
+    )
+    # 4: Ogg Vorbis — granules at the stream rate
+    ogg_v = C.encode_ogg_pages(
+        codec="vorbis", rate=22050, channels=1, n_samples=44100
+    )
+    dur_ms = 1000.0 * 44100 / 22050
+    add(4, "audio", ogg_v)
+    audio_truth.append(
+        (4, "ogg/vorbis", 22050, 1, dur_ms,
+         len(ogg_v) * 8 / (dur_ms / 1000.0) / 1000.0, True)
+    )
+    # 5: MP3 CBR — 20 stereo MPEG1 Layer III frames at 128 kbps.
+    # duration accumulates per frame (spf/rate summed), mirroring how a
+    # frame walk must add it up — same float-op order, same result.
+    mp3_cbr = C.encode_mp3_frames(20, kbps=128, rate=44100)
+    d = 0.0
+    for _ in range(20):
+        d += 1152 / 44100
+    add(5, "audio", mp3_cbr)
+    audio_truth.append((5, "mp3", 44100, 2, d * 1000.0, 128.0, False))
+    # 6: MP3 VBR — varying frame bitrates + Xing frame (excluded from
+    # the audio-frame count and the mean)
+    vbr_rates = [128, 192, 160, 128, 224, 192, 160, 128, 192, 160, 128, 96]
+    mp3_vbr = C.encode_mp3_frames(len(vbr_rates), kbps=vbr_rates, rate=44100, xing=True)
+    d = 0.0
+    for _ in vbr_rates:
+        d += 1152 / 44100
+    add(6, "audio", mp3_vbr)
+    audio_truth.append(
+        (6, "mp3", 44100, 2, d * 1000.0, sum(vbr_rates) / len(vbr_rates), True)
+    )
+
+    # --- video -------------------------------------------------------
+    # 7: MP4 v0 boxes — mdhd timescale = fps*1000, so fps re-derives
+    # exactly as n_frames / duration_s
+    mp4_a = C.encode_mp4_skeleton(
+        duration_s=8.0, timescale=600, width=640, height=360, fps=25.0
+    )
+    add(7, "video", mp4_a)
+    video_truth.append((7, 200, 640, 360, 25.0, 1000.0 * 4800 / 600))
+    # 8: MP4 v1 boxes + 64-bit largesize mdat
+    mp4_b = C.encode_mp4_skeleton(
+        duration_s=3.5, timescale=1000, width=1920, height=1080, fps=24.0,
+        version1=True, largesize_mdat=True,
+    )
+    add(8, "video", mp4_b)
+    video_truth.append((8, 84, 1920, 1080, 84 / 3.5, 1000.0 * 3500 / 1000))
+    # 9: WebM skeleton — dims + duration only (no Cluster walk), so
+    # frame count and fps are honestly NULL
+    webm = C.encode_webm_skeleton(duration_s=12.0, width=1280, height=720)
+    add(9, "video", webm)
+    video_truth.append((9, None, 1280, 720, None, 12000.0))
+    # 10: MJPEG AVI — avih math: usec/frame = 10^6 // fps
+    rng = np.random.default_rng(42)
+    frames = [rng.integers(0, 255, (16, 16, 3), dtype=np.uint8) for _ in range(5)]
+    avi = C.encode_avi_mjpeg(frames, fps=25)
+    add(10, "video", avi)
+    video_truth.append((10, 5, 16, 16, 1_000_000.0 / (1_000_000 // 25), 1000.0 * 5 / 25.0))
+    # 11: animated GIF — 4 frames at 25 cs; fps = frames / (cs/100)
+    gframes = [np.full((8, 8, 3), 32 * i, dtype=np.uint8) for i in range(4)]
+    gif = C.encode_gif_frames(gframes, delay_cs=25)
+    add(11, "video", gif)
+    video_truth.append((11, 4, 8, 8, 4 / (100 / 100.0), 100 * 10.0))
+    return container_rows, audio_truth, video_truth

@@ -4,8 +4,9 @@ from pg2kinesis_spark.plans.cdc_queries import CDC_ORACLE_SQL, CDC_QUERIES
 from pg2kinesis_spark.plans.ns_queries import NS_ORACLE_SQL, NS_QUERIES
 from pg2kinesis_spark.plans.ext_queries import EXT_ORACLE_SQL, EXT_QUERIES
 from pg2kinesis_spark.plans.r4_queries import R4_ORACLE_SQL, R4_QUERIES
+from pg2kinesis_spark.plans.r6_queries import R6_ORACLE_SQL, R6_QUERIES
 
-QUERIES = {**QUERIES, **CDC_QUERIES, **NS_QUERIES, **EXT_QUERIES, **R4_QUERIES}
-ORACLE_SQL = {**ORACLE_SQL, **CDC_ORACLE_SQL, **NS_ORACLE_SQL, **EXT_ORACLE_SQL, **R4_ORACLE_SQL}
+QUERIES = {**QUERIES, **CDC_QUERIES, **NS_QUERIES, **EXT_QUERIES, **R4_QUERIES, **R6_QUERIES}
+ORACLE_SQL = {**ORACLE_SQL, **CDC_ORACLE_SQL, **NS_ORACLE_SQL, **EXT_ORACLE_SQL, **R4_ORACLE_SQL, **R6_ORACLE_SQL}
 
 __all__ = ["QUERIES", "ORACLE_SQL"]

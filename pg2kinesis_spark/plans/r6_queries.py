@@ -1,0 +1,121 @@
+"""Round-6 oracle rows: the media front door on the driver's board.
+
+The round-5 archive/container tiers were pytest-only (VERDICT r5 task
+2); these rows put them on the cross-engine CORRECTNESS ledger. The
+independence contract is construction-side truth tables (committed
+parquet next to the fixture bytes, both written by
+``tools/gen_fixtures.py`` from ``fixtures.gen_media_*``): the truth
+records what was PUT IN (member order, encoder parameters, expected
+formula outputs), and the oracle SQL re-derives the operator's answer
+from that record — doc ids and the text-suffix rule are recomputed in
+SQL, never by the walk code under test.
+
+* n24: ZIP/TAR → ``archive_to_corpus``. Covers deflate + store, nested
+  tar paths, a legally-duplicated ZIP member name (ordinal-keyed), a
+  binary member the suffix rule must drop, unicode text, and a corrupt
+  archive that must quarantine WHOLE (it simply has no truth rows —
+  presence in the output would hash-mismatch).
+* n25: WAV/FLAC/Ogg(Opus+Vorbis)/MP3(CBR+VBR+Xing) →
+  ``extract_audio_metadata``. Expected values are encoder-parameter
+  arithmetic (duration = samples/rate, bitrate = bytes·8/seconds,
+  Xing frames excluded from the mean).
+* n26: MP4(v0 + v1/largesize)/WebM/MJPEG-AVI/animated-GIF →
+  ``extract_video_features``. WebM frame count/fps are honestly NULL
+  (no Cluster walk) and the truth table says so.
+
+The reference (/root/reference/pg2kinesis) has no analogue — this is
+the training-data front-door surface, not CDC parity.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FIXTURES_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+)
+
+
+def _fx(spark: SparkSession, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(FIXTURES_DIR, f"{name}.parquet"))
+
+
+def _f(name: str) -> str:
+    return f"read_parquet('{FIXTURES_DIR}/{name}.parquet')"
+
+
+def n24_archive_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP/TAR front door: archives → per-member text docs, hash-keyed
+    by the cross-engine md5-60 of path:ordinal:member."""
+    from pg2kinesis_spark.functions.archives import archive_to_corpus
+
+    out = archive_to_corpus(_fx(spark, "media_archives"))
+    return out.select(
+        "doc_id", "path", "member", F.md5("text").alias("text_md5")
+    ).orderBy("doc_id")
+
+
+def n25_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio container metadata walk over every supported format."""
+    from pg2kinesis_spark.functions.multimodal import extract_audio_metadata
+
+    media = _fx(spark, "media_containers").filter(F.col("kind") == "audio")
+    out = extract_audio_metadata(media.select("media_id", "content"), errors="raise")
+    return out.select(
+        "media_id", "container", "sample_rate", "n_channels",
+        "duration_ms", "bitrate_kbps", "vbr",
+    ).orderBy("media_id")
+
+
+def n26_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video container metadata walk over every supported format."""
+    from pg2kinesis_spark.functions.multimodal import extract_video_features
+
+    media = _fx(spark, "media_containers").filter(F.col("kind") == "video")
+    out = extract_video_features(media.select("media_id", "content"), errors="raise")
+    return out.select(
+        "media_id", "n_frames", "width", "height", "fps", "duration_ms"
+    ).orderBy("media_id")
+
+
+R6_QUERIES = {
+    "n24_archive_text": n24_archive_text,
+    "n25_container_meta": n25_container_meta,
+    "n26_video_meta": n26_video_meta,
+}
+
+# Spark-side doc_id: cast(conv(substr(md5(k),1,15),16,10) as bigint);
+# DuckDB twin below. The suffix rule is re-applied in SQL from the
+# truth table's member names (binary members carry NULL text anyway).
+_TEXT_SUFFIX_SQL = (
+    "(lower(member) LIKE '%.txt' OR lower(member) LIKE '%.md' OR "
+    "lower(member) LIKE '%.text' OR lower(member) LIKE '%.json' OR "
+    "lower(member) LIKE '%.jsonl' OR lower(member) LIKE '%.csv' OR "
+    "lower(member) LIKE '%.html' OR lower(member) LIKE '%.htm')"
+)
+
+R6_ORACLE_SQL = {
+    "n24_archive_text": f"""
+        SELECT ('0x' || substr(md5(path || ':' || CAST(ordinal AS VARCHAR)
+                 || ':' || member), 1, 15))::BIGINT AS doc_id,
+               path, member, md5(text) AS text_md5
+        FROM {_f('media_archives_truth')}
+        WHERE text IS NOT NULL AND {_TEXT_SUFFIX_SQL}
+        ORDER BY doc_id
+    """,
+    "n25_container_meta": f"""
+        SELECT media_id, container, sample_rate, n_channels,
+               duration_ms, bitrate_kbps, vbr
+        FROM {_f('media_containers_audio_truth')}
+        ORDER BY media_id
+    """,
+    "n26_video_meta": f"""
+        SELECT media_id, n_frames, width, height, fps, duration_ms
+        FROM {_f('media_containers_video_truth')}
+        ORDER BY media_id
+    """,
+}

@@ -79,6 +79,42 @@ def main() -> None:
             "payload": pa.array([r[2] for r in rows], pa.string()),
         })
 
+    arch, arch_truth = fx.gen_media_archives()
+    write(out, "media_archives", {
+        "path": pa.array([r[0] for r in arch], pa.string()),
+        "content": pa.array([r[1] for r in arch], pa.binary()),
+    })
+    write(out, "media_archives_truth", {
+        "path": pa.array([r[0] for r in arch_truth], pa.string()),
+        "ordinal": pa.array([r[1] for r in arch_truth], pa.int32()),
+        "member": pa.array([r[2] for r in arch_truth], pa.string()),
+        "text": pa.array([r[3] for r in arch_truth], pa.string()),
+    })
+
+    cont, audio_truth, video_truth = fx.gen_media_containers()
+    write(out, "media_containers", {
+        "media_id": pa.array([r[0] for r in cont], pa.int64()),
+        "kind": pa.array([r[1] for r in cont], pa.string()),
+        "content": pa.array([r[2] for r in cont], pa.binary()),
+    })
+    write(out, "media_containers_audio_truth", {
+        "media_id": pa.array([r[0] for r in audio_truth], pa.int64()),
+        "container": pa.array([r[1] for r in audio_truth], pa.string()),
+        "sample_rate": pa.array([r[2] for r in audio_truth], pa.int32()),
+        "n_channels": pa.array([r[3] for r in audio_truth], pa.int32()),
+        "duration_ms": pa.array([r[4] for r in audio_truth], pa.float64()),
+        "bitrate_kbps": pa.array([r[5] for r in audio_truth], pa.float64()),
+        "vbr": pa.array([r[6] for r in audio_truth], pa.bool_()),
+    })
+    write(out, "media_containers_video_truth", {
+        "media_id": pa.array([r[0] for r in video_truth], pa.int64()),
+        "n_frames": pa.array([r[1] for r in video_truth], pa.int32()),
+        "width": pa.array([r[2] for r in video_truth], pa.int32()),
+        "height": pa.array([r[3] for r in video_truth], pa.int32()),
+        "fps": pa.array([r[4] for r in video_truth], pa.float64()),
+        "duration_ms": pa.array([r[5] for r in video_truth], pa.float64()),
+    })
+
 
 if __name__ == "__main__":
     main()
