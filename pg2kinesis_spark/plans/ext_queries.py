@@ -28,16 +28,9 @@ def q24_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("l_returnflag")
 
 
-def q25_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
-    return spark.sql(
-        """
-        SELECT n_regionkey, n_nationkey, COUNT(*) AS cnt
-        FROM nation
-        GROUP BY GROUPING SETS ((n_regionkey), (n_nationkey), ())
-        ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST
-        """
-    )
+# q25_grouping_sets folded into q15_rollup_cube (round-6 registry
+# consolidation under the driver's 50-row cap): the explicit
+# GROUPING SETS shape is the 'sets' branch of that tagged union.
 
 
 def q26_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,15 +58,9 @@ def q26_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "pvalue")
 
 
-def q29_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style rollup: hourly buckets over the event stream."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"))
-        .agg(F.count("*").alias("cnt"), F.sum("value").alias("total"))
-        .select(F.col("w.start").alias("bucket"), "cnt", "total")
-        .orderBy("bucket")
-    )
+# q29_time_bucket folded into q21_date_trunc (round-6 registry
+# consolidation): the hourly F.window bucket over events is the 'hour'
+# branch of that tagged union.
 
 
 def q30_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -139,9 +126,7 @@ def q32_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT_QUERIES = {
     "q32_analytic_windows": q32_analytic_windows,
     "q24_pivot": q24_pivot,
-    "q25_grouping_sets": q25_grouping_sets,
     "q26_asof_join": q26_asof_join,
-    "q29_time_bucket": q29_time_bucket,
     "q30_approx_distinct": q30_approx_distinct,
     "q31_percentiles": q31_percentiles,
 }
@@ -170,12 +155,6 @@ EXT_ORACLE_SQL = {
                SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_f
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
-    "q25_grouping_sets": """
-        SELECT n_regionkey, n_nationkey, COUNT(*) AS cnt
-        FROM nation
-        GROUP BY GROUPING SETS ((n_regionkey), (n_nationkey), ())
-        ORDER BY n_regionkey NULLS FIRST, n_nationkey NULLS FIRST
-    """,
     "q26_asof_join": """
         WITH p AS (
           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS pvalue
@@ -186,11 +165,6 @@ EXT_ORACLE_SQL = {
         SELECT e.event_id, p.pvalue
         FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
         ORDER BY event_id
-    """,
-    "q29_time_bucket": """
-        SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
-               COUNT(*) AS cnt, SUM(value) AS total
-        FROM events GROUP BY 1 ORDER BY 1
     """,
     "q31_percentiles": """
         SELECT quantile_cont(o_totalprice, 0.25) AS p25,

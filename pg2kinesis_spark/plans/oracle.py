@@ -77,6 +77,9 @@ ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT 'cube' AS tag, n_regionkey, n_nationkey, COUNT(*) AS cnt
         FROM nation GROUP BY CUBE (n_regionkey, n_nationkey)
+        UNION ALL
+        SELECT 'sets' AS tag, n_regionkey, n_nationkey, COUNT(*) AS cnt
+        FROM nation GROUP BY GROUPING SETS ((n_regionkey), (n_nationkey), ())
         ORDER BY tag, 2 NULLS FIRST, 3 NULLS FIRST
     """,
     # q17 absorbs the former q19_topk (round-4 registry consolidation):
@@ -123,10 +126,17 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY op, n_nationkey
     """,
     "q21_date_trunc": """
-        SELECT CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month,
+        SELECT 'month' AS tag,
+               CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS bucket,
                COUNT(*) AS cnt,
-               COUNT(DISTINCT o_custkey) AS n_custs
-        FROM orders GROUP BY 1 ORDER BY 1
+               CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS val
+        FROM orders GROUP BY 2
+        UNION ALL
+        SELECT 'hour' AS tag,
+               time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
+               COUNT(*) AS cnt, SUM(value) AS val
+        FROM events GROUP BY 2
+        ORDER BY tag, bucket
     """,
     "q23_array_aggregate": """
         SELECT vec_id,

@@ -161,8 +161,11 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- Q15+Q16 (consolidated): rollup AND cube, tagged — both grouping-set
-# expansions appear in one plan (Expand operator with each grouping-id set).
+# --- Q15+Q16 (+ former Q25, round-6 registry consolidation): rollup,
+# cube, AND explicit grouping sets, tagged — every grouping-set
+# expansion appears in one plan (Expand operator with each grouping-id
+# set; the 'sets' branch exercises the non-power-set shape rollup/cube
+# can't produce).
 def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
     rollup = nation.rollup("n_regionkey", "n_nationkey").agg(F.count("*").alias("cnt")).select(
@@ -171,7 +174,14 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     cube = nation.cube("n_regionkey", "n_nationkey").agg(F.count("*").alias("cnt")).select(
         F.lit("cube").alias("tag"), "n_regionkey", "n_nationkey", "cnt"
     )
-    return rollup.unionAll(cube).orderBy(
+    sets = (
+        nation.groupingSets(
+            [["n_regionkey"], ["n_nationkey"], []], "n_regionkey", "n_nationkey"
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.lit("sets").alias("tag"), "n_regionkey", "n_nationkey", "cnt")
+    )
+    return rollup.unionAll(cube).unionAll(sets).orderBy(
         "tag", F.col("n_regionkey").asc_nulls_first(), F.col("n_nationkey").asc_nulls_first()
     )
 
@@ -230,15 +240,30 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.unionAll(i).unionAll(e).orderBy("op", "n_nationkey")
 
 
-# --- Q21+Q14 (consolidated): date truncation agg with a count-distinct
-# aggregate alongside (the former standalone Q14 capability).
+# --- Q21+Q14 (+ former Q29, round-6 registry consolidation): time
+# truncation/bucketing aggs, tagged — calendar-unit date_trunc over
+# orders with a count-distinct alongside (the former standalone Q14
+# capability), and the hypertable-style fixed-width hourly bucket over
+# the event stream (the former Q29, Spark F.window = TimescaleDB
+# time_bucket). Unified (tag, bucket, cnt, val) schema; val carries
+# n_custs for the month branch and sum(value) for the hour branch.
 def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    return (
-        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
-        .agg(F.count("*").alias("cnt"), F.countDistinct("o_custkey").alias("n_custs"))
-        .orderBy("month")
+    months = (
+        orders.groupBy(F.date_trunc("month", "o_orderdate").alias("bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.countDistinct("o_custkey").cast("double").alias("val"),
+        )
+        .select(F.lit("month").alias("tag"), "bucket", "cnt", "val")
     )
+    ev = _t(spark, sf_dir, "events")
+    hours = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("val"))
+        .select(F.lit("hour").alias("tag"), F.col("w.start").alias("bucket"), "cnt", "val")
+    )
+    return months.unionAll(hours).orderBy("tag", "bucket")
 
 
 # --- Q23: array aggregate (JVM-side lambda, no Python UDF)

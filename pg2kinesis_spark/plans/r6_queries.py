@@ -15,12 +15,13 @@ SQL, never by the walk code under test.
   binary member the suffix rule must drop, unicode text, and a corrupt
   archive that must quarantine WHOLE (it simply has no truth rows —
   presence in the output would hash-mismatch).
-* n25: WAV/FLAC/Ogg(Opus+Vorbis)/MP3(CBR+VBR+Xing) →
-  ``extract_audio_metadata``. Expected values are encoder-parameter
+* n25: both container walks in one tagged wide-schema slot.
+  Audio — WAV/FLAC/Ogg(Opus+Vorbis)/MP3(CBR+VBR+Xing) →
+  ``extract_audio_metadata``; expected values are encoder-parameter
   arithmetic (duration = samples/rate, bitrate = bytes·8/seconds,
   Xing frames excluded from the mean).
-* n26: MP4(v0 + v1/largesize)/WebM/MJPEG-AVI/animated-GIF →
-  ``extract_video_features``. WebM frame count/fps are honestly NULL
+  Video — MP4(v0 + v1/largesize)/WebM/MJPEG-AVI/animated-GIF →
+  ``extract_video_features``; WebM frame count/fps are honestly NULL
   (no Cluster walk) and the truth table says so.
 
 The reference (/root/reference/pg2kinesis) has no analogue — this is
@@ -60,32 +61,47 @@ def n24_archive_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def n25_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio container metadata walk over every supported format."""
-    from pg2kinesis_spark.functions.multimodal import extract_audio_metadata
+    """Audio AND video container metadata walks over every supported
+    format, as one tagged wide-schema union (one driver slot covers
+    both walks; columns the other modality lacks are NULL)."""
+    from pg2kinesis_spark.functions.multimodal import (
+        extract_audio_metadata,
+        extract_video_features,
+    )
 
-    media = _fx(spark, "media_containers").filter(F.col("kind") == "audio")
-    out = extract_audio_metadata(media.select("media_id", "content"), errors="raise")
-    return out.select(
-        "media_id", "container", "sample_rate", "n_channels",
-        "duration_ms", "bitrate_kbps", "vbr",
-    ).orderBy("media_id")
-
-
-def n26_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video container metadata walk over every supported format."""
-    from pg2kinesis_spark.functions.multimodal import extract_video_features
-
-    media = _fx(spark, "media_containers").filter(F.col("kind") == "video")
-    out = extract_video_features(media.select("media_id", "content"), errors="raise")
-    return out.select(
-        "media_id", "n_frames", "width", "height", "fps", "duration_ms"
-    ).orderBy("media_id")
+    media = _fx(spark, "media_containers")
+    audio = extract_audio_metadata(
+        media.filter(F.col("kind") == "audio").select("media_id", "content"),
+        errors="raise",
+    ).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        "container", "sample_rate", "n_channels", "bitrate_kbps", "vbr",
+        F.lit(None).cast("int").alias("n_frames"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("double").alias("fps"),
+        "duration_ms",
+    )
+    video = extract_video_features(
+        media.filter(F.col("kind") == "video").select("media_id", "content"),
+        errors="raise",
+    ).select(
+        "media_id",
+        F.lit("video").alias("kind"),
+        F.lit(None).cast("string").alias("container"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("int").alias("n_channels"),
+        F.lit(None).cast("double").alias("bitrate_kbps"),
+        F.lit(None).cast("boolean").alias("vbr"),
+        "n_frames", "width", "height", "fps", "duration_ms",
+    )
+    return audio.unionByName(video).orderBy("media_id")
 
 
 R6_QUERIES = {
     "n24_archive_text": n24_archive_text,
     "n25_container_meta": n25_container_meta,
-    "n26_video_meta": n26_video_meta,
 }
 
 # Spark-side doc_id: cast(conv(substr(md5(k),1,15),16,10) as bigint);
@@ -108,13 +124,22 @@ R6_ORACLE_SQL = {
         ORDER BY doc_id
     """,
     "n25_container_meta": f"""
-        SELECT media_id, container, sample_rate, n_channels,
-               duration_ms, bitrate_kbps, vbr
+        SELECT media_id, 'audio' AS kind, container, sample_rate,
+               n_channels, bitrate_kbps, vbr,
+               CAST(NULL AS INTEGER) AS n_frames,
+               CAST(NULL AS INTEGER) AS width,
+               CAST(NULL AS INTEGER) AS height,
+               CAST(NULL AS DOUBLE) AS fps,
+               duration_ms
         FROM {_f('media_containers_audio_truth')}
-        ORDER BY media_id
-    """,
-    "n26_video_meta": f"""
-        SELECT media_id, n_frames, width, height, fps, duration_ms
+        UNION ALL
+        SELECT media_id, 'video' AS kind,
+               CAST(NULL AS VARCHAR) AS container,
+               CAST(NULL AS INTEGER) AS sample_rate,
+               CAST(NULL AS INTEGER) AS n_channels,
+               CAST(NULL AS DOUBLE) AS bitrate_kbps,
+               CAST(NULL AS BOOLEAN) AS vbr,
+               n_frames, width, height, fps, duration_ms
         FROM {_f('media_containers_video_truth')}
         ORDER BY media_id
     """,
