@@ -116,8 +116,13 @@ def jaccard_pairs(
 
 
 def _minhash_cols(k: int, seed: int) -> list[Column]:
+    # SQL strings, not nested Column ops: every Column operator is a
+    # py4j round trip, and k=16 permutations × ~6 ops each added ~0.2 s
+    # of driver latency PER CALL (measured in the streaming-ingest
+    # fixed-cost profile). One F.expr per permutation parses JVM-side.
+    # L suffixes force int64 literals — a, b < 2^31 can overflow int32.
     return [
-        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % MERSENNE31).alias(f"mh{i}")
+        F.expr(f"min(({a}L * _h + {b}L) % {MERSENNE31}L) AS mh{i}")
         for i, (a, b) in enumerate(minhash_params(k, seed))
     ]
 
@@ -231,29 +236,33 @@ def _lsh_pairs_from_sig(sig: DataFrame, k: int, bands: int) -> DataFrame:
 
 
 def _banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
-    """(doc_id, band_idx, band_key) — the narrow band-explode rows."""
+    """(doc_id, band_idx, band_key) — the narrow band-explode rows.
+
+    Built as ONE selectExpr string (parsed JVM-side) instead of
+    bands × r nested Column ops — each Column operator is a py4j
+    round trip and this runs in every micro-batch's driver path."""
     r = k // bands
-    band_cols = [
-        F.concat_ws(",", *[F.col(f"mh{band * r + j}").cast("string") for j in range(r)]).alias(f"band{band}")
+    band_sql = ", ".join(
+        "concat_ws(',', "
+        + ", ".join(f"CAST(mh{band * r + j} AS STRING)" for j in range(r))
+        + ")"
         for band in range(bands)
-    ]
-    return sig.select(
-        "doc_id",
-        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"),
+    )
+    return sig.selectExpr(
+        "doc_id", f"posexplode(array({band_sql})) AS (band_idx, band_key)"
     )
 
 
 def _est_jaccard(cand: DataFrame, sig: DataFrame, k: int) -> DataFrame:
-    """Re-join signatures for the candidate pairs only and score them."""
-    s1 = sig.select(F.col("doc_id").alias("id1"), *[F.col(f"mh{i}").alias(f"a_mh{i}") for i in range(k)])
-    s2 = sig.select(F.col("doc_id").alias("id2"), *[F.col(f"mh{i}").alias(f"b_mh{i}") for i in range(k)])
-    eq = sum(
-        F.when(F.col(f"a_mh{i}") == F.col(f"b_mh{i}"), 1).otherwise(0) for i in range(k)
-    )
+    """Re-join signatures for the candidate pairs only and score them.
+    selectExpr strings for the same py4j-chatter reason as _banded."""
+    s1 = sig.selectExpr("doc_id AS id1", *[f"mh{i} AS a_mh{i}" for i in range(k)])
+    s2 = sig.selectExpr("doc_id AS id2", *[f"mh{i} AS b_mh{i}" for i in range(k)])
+    eq = " + ".join(f"IF(a_mh{i} = b_mh{i}, 1, 0)" for i in range(k))
     return (
         cand.join(s1, "id1")
         .join(s2, "id2")
-        .select("id1", "id2", (eq / F.lit(float(k))).alias("est_jaccard"))
+        .selectExpr("id1", "id2", f"({eq}) / {float(k)} AS est_jaccard")
     )
 
 
@@ -423,6 +432,7 @@ def lsh_pairs_incremental(
     exclude_batch_id: int | None = None,
     band_bloom_bits=None,
     band_bloom_k: int = 7,
+    old_sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """Daily-ingest dedup: candidate pairs TOUCHING a new batch, against
     a materialized signature index (write_minhash_signatures) — the new
@@ -448,12 +458,17 @@ def lsh_pairs_incremental(
     new_sig = minhash_signatures(new_docs, n, k, seed)
     # explicit column pruning: the index may carry extra layout columns
     # (e.g. a batch_id partition from the streaming ingest)
-    old_raw = spark.read.parquet(sig_path)
-    if exclude_batch_id is not None and "batch_id" in old_raw.columns:
-        # crash-replay idempotence for the streaming ingest: a replayed
-        # batch must not see its own partially-written index partition
-        # (partition-pruned scan, not a row filter).
-        old_raw = old_raw.filter(F.col("batch_id") != exclude_batch_id)
+    if old_sig_df is not None:
+        # caller already read (and exclusion-filtered) the index — skip
+        # the redundant per-batch schema inference of a second read
+        old_raw = old_sig_df
+    else:
+        old_raw = spark.read.parquet(sig_path)
+        if exclude_batch_id is not None and "batch_id" in old_raw.columns:
+            # crash-replay idempotence for the streaming ingest: a
+            # replayed batch must not see its own partially-written
+            # index partition (partition-pruned scan, not a row filter).
+            old_raw = old_raw.filter(F.col("batch_id") != exclude_batch_id)
     old_sig = old_raw.select("doc_id", *[f"mh{i}" for i in range(k)])
     mn = _banded(new_sig, k, bands)
     mo = _banded(old_sig, k, bands)

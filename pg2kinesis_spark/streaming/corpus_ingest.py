@@ -32,6 +32,7 @@ domain (reference `__main__.py` consume loop; SURVEY §2.9).
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -234,6 +235,22 @@ class CorpusIngest:
         import time as _time
 
         t_start = _time.perf_counter()
+        # SPARK_GRAFT_INGEST_TRACE=1: per-phase wall times to stderr —
+        # the fixed per-batch cost is a sum of driver-blocking jobs, and
+        # this is how you find which one grew.
+        _trace = os.environ.get("SPARK_GRAFT_INGEST_TRACE")
+        _t_last = [t_start]
+
+        def _mark(label: str) -> None:
+            if not _trace:
+                return
+            now = _time.perf_counter()
+            print(
+                f"[ingest b{batch_id}] {label}: {now - _t_last[0]:.3f}s",
+                file=sys.stderr,
+            )
+            _t_last[0] = now
+
         stats_row: dict = {}
         spark = batch.sparkSession
         # heal a crashed compact_corpus_indexes swap (two cheap stat
@@ -246,6 +263,7 @@ class CorpusIngest:
             self.dom_path,
         ):
             _recover_compaction(p)
+        _mark("recover")
         if self.url_col is not None:
             from pg2kinesis_spark.functions import urls as _urls
 
@@ -366,6 +384,7 @@ class CorpusIngest:
         # reference re-executes the whole gate chain (URL/DSIR/gopher/
         # LM/annotate) per micro-batch.
         ann = ann.withColumn("_h", F.md5("text")).localCheckpoint(eager=True)
+        _mark("gates+annotate ckpt")
         if self.stats:
             stats_row["n_after_gates"] = ann.count()  # checkpointed: cheap
         ann = ann.join(
@@ -418,11 +437,13 @@ class CorpusIngest:
             # stats alone also lands here: the after-exact count must
             # come off a materialized plan, not re-run the anti-join.
             ann = ann.localCheckpoint(eager=True)
+            _mark("exact-dedup ckpt")
             if self.stats:
                 stats_row["n_after_exact"] = ann.count()
         if self.near_dup_jaccard is not None:
             docs = ann.select("doc_id", "text")
-            if self._existing(spark, self.sig_path, exclude_batch_id=batch_id) is not None:
+            sig_idx = self._existing(spark, self.sig_path, exclude_batch_id=batch_id)
+            if sig_idx is not None:
                 band_need = _index_batch_ids(self.sig_path) - {batch_id}
                 band_bits = (
                     self.band_bloom.load_union(
@@ -441,6 +462,10 @@ class CorpusIngest:
                     exclude_batch_id=batch_id,
                     band_bloom_bits=band_bits,
                     band_bloom_k=self.band_bloom.k if self.band_bloom else 7,
+                    # reuse the existence probe's read: a second
+                    # spark.read.parquet would re-infer the schema per
+                    # micro-batch for nothing
+                    old_sig_df=sig_idx,
                 ).filter(F.col("est_jaccard") >= self.near_dup_jaccard)
                 # ids are canonicalized id1 < id2; the ACCEPTED index side
                 # must never be dropped. Mark which side is new (the batch
@@ -465,6 +490,7 @@ class CorpusIngest:
                     .distinct()
                 )
                 ann = ann.join(drop, "doc_id", "left_anti")
+                _mark("lsh plan")
 
         # semantic near-dup vs the accepted-embedding index (+ itself)
         if self.sd_cents is not None:
@@ -578,15 +604,36 @@ class CorpusIngest:
             )
             _write(df, self.stats_path)
 
-        if ann.limit(1).count() == 0:
+        # Write FIRST, then derive emptiness from the written partition:
+        # a pre-write `limit(1).count()` probe executed the whole
+        # LSH/semdedup anti-join chain once just to answer "any rows?",
+        # and the write then executed it AGAIN — the single largest
+        # fixed cost of a micro-batch. Dynamic partition overwrite of an
+        # empty plan writes no partition dir, so "did this batch accept
+        # anything" is a free filesystem listing after the write.
+        # (Determinism makes this replay-safe: a replayed batch sees the
+        # same index state — own partitions excluded — so it computes
+        # the same accepted set as the crashed attempt.)
+        _write(ann.drop("_h"), self.accepted_path)
+        if batch_id not in _index_batch_ids(self.accepted_path):
+            # an empty FIRST write leaves a bare scaffold dir — remove
+            # it so an all-rejected stream is a true no-op on disk
+            # (non-recursive delete: can never remove real partitions)
+            try:
+                jvm = spark._jvm
+                jpath = jvm.org.apache.hadoop.fs.Path(self.accepted_path)
+                fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+                fs.delete(jpath, False)
+            except Exception:
+                pass  # non-empty (other batches' partitions) or gone
             _write_stats(0)
             return
-        _write(ann.drop("_h"), self.accepted_path)
         back = (
             spark.read.parquet(self.accepted_path)
             .filter(F.col("batch_id") == batch_id)
             .drop("batch_id")
         )
+        _mark("accepted write")
         # sig BEFORE hash: with the batch-id exclusion above, replay is
         # idempotent regardless of where a crash lands, but ordering the
         # replay-gating state (exact-dedup hashes) last means even a
@@ -600,25 +647,32 @@ class CorpusIngest:
             )
 
             sig = minhash_signatures(back.select("doc_id", "text"), self.n, self.k)
+            _write(sig, self.sig_path)
             if self.band_bloom is not None:
-                # two consumers (bloom build + index write): materialize
-                # once or the shingle+hash pass runs twice per batch.
-                # Band bloom BEFORE the sig index (same over-approximation
-                # discipline as the hash bloom: a crash between the two
-                # leaves extra maybe-seen probes, never missed duplicates).
+                # Bloom FROM the just-written index partition: the
+                # shingle+minhash pass runs exactly once (inside the
+                # write); the bloom build is a cheap column-pruned
+                # re-read. This puts the sig index BEFORE its bloom —
+                # safe because load_union's require_batch_ids coverage
+                # check refuses a union that misses any index batch and
+                # the caller falls back to the full index join, so a
+                # crash in the window costs one slow (never wrong)
+                # probe pass until the batch replays.
                 from pg2kinesis_spark.functions.bloom import bloom_hash_cols
 
-                sig = sig.localCheckpoint(eager=True)
+                sig_back = spark.read.parquet(self.sig_path).filter(
+                    F.col("batch_id") == batch_id
+                )
                 h1, h2 = bloom_hash_cols(band_key_col())
                 self.band_bloom.write(
-                    _banded(sig, self.k, self.bands).select(
+                    _banded(sig_back, self.k, self.bands).select(
                         h1.alias("_h1"), h2.alias("_h2")
                     ),
                     "_h1",
                     "_h2",
                     batch_id,
                 )
-            _write(sig, self.sig_path)
+            _mark("sig build+bloom+write")
         if self.sd_cents is not None:
             from pg2kinesis_spark.functions.semdedup import assign_with_centroids
 
@@ -679,7 +733,9 @@ class CorpusIngest:
                 batch_id,
             )
         _write(back.select(F.md5("text").alias("_h")), self.hash_path)
-        _write_stats(back.count())  # read-back parquet: a cheap count
+        _mark("hash bloom+write")
+        if self.stats:  # the count is a job — don't pay it when unread
+            _write_stats(back.count())  # read-back parquet: cheap count
 
 
 COMPACTED_BATCH_ID = -1
