@@ -1,14 +1,17 @@
-"""PDF text extraction — the honest simple-font tier.
+"""PDF text extraction — simple fonts, plus CID/Type0 via /ToUnicode.
 
 After HTML, PDF is the most common document format a corpus pipeline
-meets. Full PDF text extraction is a rendering problem (CID/Type0
-fonts with CMaps, encoding dictionaries, ActualText, layout
-reconstruction); this module implements the well-defined subset that
-covers machine-generated simple-font documents, and REFUSES the rest
-loudly (the codecs.py honesty rule — wrong text silently entering a
-training corpus is worse than a quarantined file):
+meets. Full PDF text extraction is a rendering problem (encoding
+dictionaries, ActualText, layout reconstruction); this module
+implements the well-defined subsets and REFUSES the rest loudly (the
+codecs.py honesty rule — wrong text silently entering a training
+corpus is worse than a quarantined file):
 
 * content streams stored raw or /FlateDecode (bounded inflate);
+* PDF 1.5+ object streams (``/Type /ObjStm``): compressed non-stream
+  objects (page dicts, font dicts, the catalog) are inflated and
+  joined to the object map, so post-2005 writers that hide the page
+  tree inside an ObjStm still parse;
 * text shown with ``Tj``, ``'``, ``"`` and ``TJ`` (array form with
   kerning numbers — a kern ≤ -180/1000 em inserts a space, the
   convention extractors use for inter-word gaps);
@@ -17,19 +20,29 @@ training corpus is worse than a quarantined file):
   strings;
 * line structure from ``T*``, ``'``, ``"``, ``Td``/``TD`` with a
   vertical component, and ``Tm`` re-positioning;
-* byte→char mapping is Latin-1 (StandardEncoding's printable range) —
-  correct for the unembedded base-14-font documents this tier accepts.
+* simple (Type1/TrueType) fonts decode byte→char as Latin-1
+  (StandardEncoding's printable range) — correct for the unembedded
+  base-14-font documents;
+* CID/Type0 fonts (the dominant post-2005 case) decode through the
+  font's embedded **/ToUnicode CMap** (``bfchar`` + ``bfrange``
+  entries, both scalar-increment and array destinations, UTF-16BE
+  values incl. surrogate pairs). The active font is tracked per
+  ``Tf`` operator against the page's (or an ancestor's) /Resources
+  /Font dict. A code the CMap doesn't cover renders U+FFFD — an
+  explicit unknown, never confident garbage.
 
-A PDF using Type0/Identity-H (CID) fonts raises NotImplementedError —
-its string bytes are glyph indices that NEED the font's CMap; decoding
-them as Latin-1 would produce confident garbage. Encrypted PDFs raise
-too. Both land in the standard quarantine channel in the Spark
-operator (`extract_pdf_text`).
+A Type0 font WITHOUT a usable ToUnicode CMap still raises
+NotImplementedError — its string bytes are glyph indices that need a
+CMap; decoding them as Latin-1 would produce confident garbage.
+Encrypted PDFs raise too. Both land in the standard quarantine
+channel in the Spark operator (`extract_pdf_text`).
 
 Objects are found by scanning (no xref dependence — real-world PDFs
 have broken xref tables constantly); stream bodies are delimited by
 ``stream``/``endstream`` with the declared ``/Length`` used when it
-parses. All scans are bounded.
+parses. Page order follows the catalog's /Kids tree when one resolves,
+falling back to object-scan order, and a document with no page graph
+at all falls back to the every-stream walk. All scans are bounded.
 """
 
 from __future__ import annotations
@@ -131,6 +144,304 @@ def _decode_stream(sdict: bytes, body: bytes) -> bytes | None:
     return None  # DCT/LZW/filter chains: not text content for this tier
 
 
+# --- object graph (scan-based, xref-free) ----------------------------------
+
+_OBJ_START_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_PAGE_RE = re.compile(rb"/Type\s*/Page\b(?!s)")
+
+
+def _object_map(data: bytes) -> dict[int, tuple[bytes, bytes | None]]:
+    """num → (head_bytes, stream_body | None) by sequential scan.
+
+    The scan advances past each object's stream body before looking for
+    the next ``N 0 obj`` token, so binary stream content that happens
+    to contain the pattern can't fabricate objects."""
+    objs: dict[int, tuple[bytes, bytes | None]] = {}
+    pos = 0
+    count = 0
+    while True:
+        m = _OBJ_START_RE.search(data, pos)
+        if not m:
+            return objs
+        count += 1
+        if count > MAX_STREAMS:
+            raise ValueError(f"PDF exceeds {MAX_STREAMS} objects")
+        num = int(m.group(1))
+        sm = _STREAM_RE.search(data, m.end())
+        eo = data.find(b"endobj", m.end())
+        if sm is not None and (eo < 0 or sm.start() < eo):
+            head = data[m.end() : sm.start()]
+            body_start = sm.end()
+            lm = _LENGTH_RE.search(head)
+            body_end = -1
+            if lm:
+                ln = int(lm.group(1))
+                cand = body_start + ln
+                if data[cand : cand + 11].lstrip(b"\r\n")[:9] == b"endstream":
+                    body_end = cand
+            if body_end < 0:
+                e = data.find(b"endstream", body_start)
+                if e < 0:
+                    return objs  # truncated final stream: stop
+                body_end = e
+                while body_end > body_start and data[body_end - 1 : body_end] in (b"\r", b"\n"):
+                    body_end -= 1
+            objs[num] = (head, data[body_start:body_end])
+            e = data.find(b"endstream", body_end)
+            pos = (e + 9) if e >= 0 else len(data)
+        else:
+            if eo < 0:
+                eo = len(data)
+            objs[num] = (data[m.end() : eo], None)
+            pos = eo + 6
+    return objs
+
+
+def _expand_objstm(objs: dict[int, tuple[bytes, bytes | None]]) -> None:
+    """Inflate ``/Type /ObjStm`` streams and add their embedded objects
+    (spec: never stream objects themselves) to the map. The ObjStm body
+    starts with N (objnum, offset) integer pairs; object i spans from
+    /First+offset_i to the next offset (or the end). A direct object
+    with the same number wins — in a well-formed file the two never
+    coexist, and preferring the directly-scanned bytes is the
+    conservative choice for a hostile one."""
+    extra: dict[int, tuple[bytes, bytes | None]] = {}
+    for head, body in list(objs.values()):
+        if body is None or not re.search(rb"/Type\s*/ObjStm\b", head):
+            continue
+        dec = _decode_stream(head, body)
+        if dec is None:
+            continue
+        nm = re.search(rb"/N\s+(\d+)", head)
+        fm = re.search(rb"/First\s+(\d+)", head)
+        if not nm or not fm:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        if n > MAX_STREAMS or first > len(dec):
+            raise ValueError("ObjStm header out of bounds")
+        toks = dec[:first].split()
+        pairs = []
+        for i in range(min(n, len(toks) // 2)):
+            try:
+                pairs.append((int(toks[2 * i]), int(toks[2 * i + 1])))
+            except ValueError:
+                break
+        payload = dec[first:]
+        for i, (onum, off) in enumerate(pairs):
+            end = pairs[i + 1][1] if i + 1 < len(pairs) else len(payload)
+            if 0 <= off <= end <= len(payload):
+                extra[onum] = (payload[off:end], None)
+    for k, v in extra.items():
+        objs.setdefault(k, v)
+
+
+def _dict_at(data: bytes, start: int) -> bytes:
+    """Forward-balanced ``<< ... >>`` starting at ``data[start:]``."""
+    depth = 0
+    i = start
+    n = min(len(data), start + (1 << 20))
+    while i < n - 1:
+        pair = data[i : i + 2]
+        if pair == b"<<":
+            depth += 1
+            i += 2
+        elif pair == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return data[start:i]
+        else:
+            i += 1
+    return data[start:n]
+
+
+def _lookup_dict(
+    objs: dict, head: bytes, key: bytes
+) -> bytes | None:
+    """The dict value of ``/Key`` in ``head`` — inline ``<< ... >>``
+    returned as bytes, or an ``N 0 R`` reference dereferenced to the
+    target object's head."""
+    m = re.search(re.escape(key) + rb"(?![#A-Za-z0-9])", head)
+    if not m:
+        return None
+    rest = head[m.end() :].lstrip()
+    if rest.startswith(b"<<"):
+        return _dict_at(rest, 0)
+    rm = re.match(rb"(\d+)\s+\d+\s+R", rest)
+    if rm:
+        tgt = objs.get(int(rm.group(1)))
+        return tgt[0] if tgt else None
+    return None
+
+
+def _page_order(objs: dict) -> list[int]:
+    """Document page order via the catalog's /Kids tree; object-scan
+    order as the broken-graph fallback."""
+    order: list[int] = []
+    visited: set[int] = set()
+
+    def walk(num: int, depth: int) -> None:
+        if depth > 64 or num in visited or len(order) > MAX_STREAMS:
+            return
+        visited.add(num)
+        entry = objs.get(num)
+        if entry is None:
+            return
+        head = entry[0]
+        if _PAGE_RE.search(head):
+            order.append(num)
+            return
+        km = re.search(rb"/Kids\s*\[([^\]]*)\]", head)
+        if km:
+            for rm in re.finditer(rb"(\d+)\s+\d+\s+R", km.group(1)):
+                walk(int(rm.group(1)), depth + 1)
+
+    root = next(
+        (
+            n
+            for n, (h, b) in objs.items()
+            if b is None and re.search(rb"/Type\s*/Catalog\b", h)
+        ),
+        None,
+    )
+    if root is not None:
+        pm = re.search(rb"/Pages\s+(\d+)\s+\d+\s+R", objs[root][0])
+        if pm:
+            walk(int(pm.group(1)), 0)
+    if not order:
+        order = [
+            n
+            for n in sorted(objs)
+            if objs[n][1] is None and _PAGE_RE.search(objs[n][0])
+        ]
+    return order
+
+
+def _content_refs(head: bytes) -> list[int]:
+    m = re.search(rb"/Contents\s*\[([^\]]*)\]", head)
+    if m:
+        return [int(x) for x in re.findall(rb"(\d+)\s+\d+\s+R", m.group(1))]
+    m = re.search(rb"/Contents\s+(\d+)\s+\d+\s+R", head)
+    return [int(m.group(1))] if m else []
+
+
+# --- fonts / ToUnicode CMaps ------------------------------------------------
+
+_HEXTOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _utf16be(hx: bytes) -> str:
+    if len(hx) % 2:
+        hx += b"0"
+    raw = bytes.fromhex(hx.decode("ascii"))
+    if len(raw) % 2:
+        raw += b"\x00"
+    return raw.decode("utf-16-be", errors="replace")
+
+
+def _parse_tounicode(data: bytes | None) -> tuple[int, dict[int, str]] | None:
+    """(code_byte_length, {code → unicode}) from a ToUnicode CMap.
+
+    Covers ``bfchar`` pairs and ``bfrange`` entries in both the
+    scalar-increment form (``<lo> <hi> <dstbase>`` — the destination is
+    a big-endian integer incremented per code, the PDF 1.7 §9.10.3
+    convention) and the array form (``<lo> <hi> [<d0> <d1> ...]``).
+    Destination values are UTF-16BE (ligatures map to multiple chars,
+    astral chars to surrogate pairs). Returns None when no mapping
+    parses — the caller treats that as an unusable CMap and refuses."""
+    if data is None:
+        return None
+    code_len = 2  # Identity-H's length; codespacerange overrides
+    m = re.search(rb"begincodespacerange(.*?)endcodespacerange", data, re.S)
+    if m:
+        h = _HEXTOK_RE.search(m.group(1))
+        if h:
+            code_len = max(1, len(h.group(1)) // 2)
+    mapping: dict[int, str] = {}
+    for sec in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = _HEXTOK_RE.findall(sec.group(1))
+        for i in range(0, len(toks) - 1, 2):
+            mapping[int(toks[i], 16)] = _utf16be(toks[i + 1])
+    entry_re = re.compile(
+        rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+        rb"(\[(?:\s*<[0-9A-Fa-f]+>)*\s*\]|<[0-9A-Fa-f]+>)"
+    )
+    for sec in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        for em in entry_re.finditer(sec.group(1)):
+            lo, hi = int(em.group(1), 16), int(em.group(2), 16)
+            if hi < lo or hi - lo > 0xFFFF:
+                continue  # hostile/corrupt range: skip, don't allocate
+            dst = em.group(3)
+            if dst.startswith(b"["):
+                vals = _HEXTOK_RE.findall(dst)
+                for i, v in enumerate(vals):
+                    if lo + i > hi:
+                        break
+                    mapping[lo + i] = _utf16be(v)
+            else:
+                base_hx = dst.strip(b"<>")
+                width = len(base_hx)
+                base = int(base_hx, 16)
+                for c in range(lo, hi + 1):
+                    mapping[c] = _utf16be(
+                        (b"%0*x" % (width, base + (c - lo)))[-width:]
+                        if width
+                        else b""
+                    )
+    return (code_len, mapping) if mapping else None
+
+
+def _font_decoder(objs: dict, fhead: bytes) -> tuple:
+    """('simple', None) for byte-per-char fonts; ('cid', (code_len,
+    mapping)) for Type0 with a usable ToUnicode; ('cid', None) for
+    Type0 without one — which refuses at first use."""
+    if not re.search(rb"/Subtype\s*/Type0\b", fhead) and b"/Type0" not in fhead:
+        return ("simple", None)
+    tu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fhead)
+    if tu:
+        t = objs.get(int(tu.group(1)))
+        if t is not None and t[1] is not None:
+            parsed = _parse_tounicode(_decode_stream(t[0], t[1]))
+            if parsed is not None:
+                return ("cid", parsed)
+    return ("cid", None)
+
+
+def _page_fonts(objs: dict, pnum: int) -> dict[str, tuple]:
+    """name → decoder for the page's /Resources /Font dict, walking the
+    /Parent chain when the page inherits resources (bounded depth)."""
+    num: int | None = pnum
+    for _ in range(32):
+        if num is None:
+            break
+        entry = objs.get(num)
+        if entry is None:
+            break
+        head = entry[0]
+        res = _lookup_dict(objs, head, b"/Resources")
+        if res is not None:
+            fdict = _lookup_dict(objs, res, b"/Font")
+            fonts: dict[str, tuple] = {}
+            if fdict is not None:
+                for m in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", fdict):
+                    tgt = objs.get(int(m.group(2)))
+                    if tgt is not None:
+                        fonts[m.group(1).decode("latin-1")] = _font_decoder(
+                            objs, tgt[0]
+                        )
+            return fonts
+        pm = re.search(rb"/Parent\s+(\d+)\s+\d+\s+R", head)
+        num = int(pm.group(1)) if pm else None
+    return {}
+
+
+_CID_REFUSAL = (
+    "CID/Type0-font PDF without a usable /ToUnicode CMap: string bytes "
+    "are glyph indices that need the font's CMap — Latin-1 decoding "
+    "would be garbage"
+)
+
+
 def _unescape_literal(raw: bytes) -> bytes:
     out = bytearray()
     i, n = 0, len(raw)
@@ -205,9 +516,42 @@ def _balanced_strings(content: bytes) -> bytes:
     return bytes(out)
 
 
-def _extract_text_ops(content: bytes, parts: list) -> None:
+def _extract_text_ops(
+    content: bytes,
+    parts: list[str],
+    fonts: dict[str, tuple] | None = None,
+    has_type0: bool = False,
+) -> None:
     """Walk one content stream's BT..ET blocks, appending text pieces
-    and newline markers to ``parts``."""
+    and newline markers to ``parts`` (str).
+
+    ``fonts`` is the page's name → decoder map; ``Tf`` switches the
+    active decoder. Simple fonts decode Latin-1; CID fonts decode
+    fixed-width big-endian codes through their ToUnicode mapping (an
+    unmapped code renders U+FFFD — explicit unknown, never confident
+    garbage). A CID font with no usable CMap raises at first use. When
+    the document contains a Type0 font but a ``Tf`` names a font the
+    resource walk couldn't resolve, text under it also raises — it
+    could be CID-coded bytes."""
+    cur: tuple = ("unknown", None)
+
+    def show(b: bytes) -> None:
+        kind, mp = cur
+        if kind == "cid":
+            if mp is None:
+                raise NotImplementedError(_CID_REFUSAL)
+            code_len, mapping = mp
+            parts.append(
+                "".join(
+                    mapping.get(int.from_bytes(b[i : i + code_len], "big"), "�")
+                    for i in range(0, len(b) - code_len + 1, code_len)
+                )
+            )
+            return
+        if kind == "unknown" and has_type0 and fonts is not None:
+            raise NotImplementedError(_CID_REFUSAL)
+        parts.append(b.decode("latin-1"))
+
     pos = 0
     while True:
         bt = content.find(b"BT", pos)
@@ -235,102 +579,219 @@ def _extract_text_ops(content: bytes, parts: list) -> None:
                     hx += b"0"
                 s = bytes.fromhex(hx.decode("ascii"))
                 (in_array if in_array is not None else stack).append(s)
+            elif tok.startswith(b"/"):
+                (in_array if in_array is not None else stack).append(tok)
             elif tok[:1] in b"-+.0123456789":
                 try:
                     v: float | None = float(tok)
                 except ValueError:
                     v = None
                 (in_array if in_array is not None else stack).append(v)
+            elif tok == b"Tf":
+                # operands: /Name size — find the name operand
+                name = next(
+                    (
+                        o
+                        for o in reversed(stack)
+                        if isinstance(o, bytes) and o.startswith(b"/")
+                    ),
+                    None,
+                )
+                if fonts is not None and name is not None:
+                    cur = fonts.get(name[1:].decode("latin-1"), ("unknown", None))
+                stack.clear()
             elif tok == b"Tj":
                 if stack and isinstance(stack[-1], bytes):
-                    parts.append(stack[-1])
+                    show(stack[-1])
                 stack.clear()
             elif tok in (b"'", b'"'):
-                parts.append(b"\n")
+                parts.append("\n")
                 if stack and isinstance(stack[-1], bytes):
-                    parts.append(stack[-1])
+                    show(stack[-1])
                 stack.clear()
             elif tok == b"TJ":
                 if stack and isinstance(stack[-1], list):
                     for item in stack[-1]:
-                        if isinstance(item, bytes):
-                            parts.append(item)
+                        if isinstance(item, bytes) and not item.startswith(b"/"):
+                            show(item)
                         elif isinstance(item, float) and item <= _KERN_SPACE:
-                            parts.append(b" ")
+                            parts.append(" ")
                 stack.clear()
             elif tok == b"T*":
-                parts.append(b"\n")
+                parts.append("\n")
                 stack.clear()
             elif tok in (b"Td", b"TD"):
                 ty = stack[-1] if stack and isinstance(stack[-1], float) else 0.0
                 if ty:  # vertical movement = new line
-                    parts.append(b"\n")
+                    parts.append("\n")
                 stack.clear()
             elif tok == b"Tm":
-                parts.append(b"\n")
+                parts.append("\n")
                 stack.clear()
             elif re.fullmatch(rb"[A-Za-z*]+", tok):
                 stack.clear()  # any other operator consumes its operands
         pos = et + 2
 
 
+def _has_type0(data: bytes, objs: dict) -> bool:
+    if b"/Type0" in data or b"/Identity-H" in data:
+        return True
+    return any(
+        b"/Type0" in h or b"/Identity-H" in h for h, _ in objs.values()
+    )
+
+
 def pdf_text(data: bytes) -> str:
-    """Extract text from a simple-font PDF. Raises on encrypted or
-    CID-font documents (decoding those as Latin-1 would be confident
-    garbage) and on bomb-sized streams — route through the quarantine
+    """Extract text from a simple-font or ToUnicode-mapped CID-font
+    PDF. Raises on encrypted documents, on CID fonts WITHOUT a usable
+    ToUnicode CMap (decoding those as Latin-1 would be confident
+    garbage), and on bomb-sized streams — route through the quarantine
     channel at corpus scale."""
     data = bytes(data)
     if not is_pdf(data):
         raise ValueError("not a PDF: missing %PDF- header")
     if b"/Encrypt" in data:
         raise NotImplementedError("encrypted PDF")
-    if b"/Type0" in data or b"/Identity-H" in data:
-        raise NotImplementedError(
-            "CID/Type0-font PDF: string bytes are glyph indices that need "
-            "the font's CMap — Latin-1 decoding would be garbage"
-        )
-    parts: list = []
-    for sdict, body in _iter_streams(data):
-        decoded = _decode_stream(sdict, body)
-        if decoded is None or b"BT" not in decoded:
-            continue
-        _extract_text_ops(decoded, parts)
-        parts.append(b"\n")
-    text = b"".join(parts).decode("latin-1")
+    objs = _object_map(data)
+    _expand_objstm(objs)
+    order = _page_order(objs)
+    has_t0 = _has_type0(data, objs)
+    parts: list[str] = []
+    if order:
+        # object-graph walk: per-page resources pick each content
+        # stream's font decoders (the only correct way to CID-decode)
+        for pnum in order:
+            head = objs[pnum][0]
+            fonts = _page_fonts(objs, pnum)
+            for cnum in _content_refs(head):
+                entry = objs.get(cnum)
+                if entry is None or entry[1] is None:
+                    continue
+                decoded = _decode_stream(entry[0], entry[1])
+                if decoded is None or b"BT" not in decoded:
+                    continue
+                _extract_text_ops(decoded, parts, fonts=fonts, has_type0=has_t0)
+            parts.append("\n")
+    else:
+        # no page graph resolves (bare content streams, stripped files):
+        # the every-stream walk, which can't tie streams to resources —
+        # so any Type0 presence refuses wholesale
+        if has_t0:
+            raise NotImplementedError(_CID_REFUSAL)
+        for sdict, body in _iter_streams(data):
+            decoded = _decode_stream(sdict, body)
+            if decoded is None or b"BT" not in decoded:
+                continue
+            _extract_text_ops(decoded, parts)
+            parts.append("\n")
+    text = "".join(parts)
     # collapse runs the line-structure ops produce
     text = re.sub(r"[ \t]*\n[ \t]*", "\n", text)
     return re.sub(r"\n{3,}", "\n\n", text).strip("\n")
 
 
 def pdf_page_count(data: bytes) -> int:
-    return len(re.findall(rb"/Type\s*/Page\b(?!s)", bytes(data)))
+    """Page-dict count, seeing through ObjStm compression; raw-bytes
+    regex as the no-object-parses fallback."""
+    data = bytes(data)
+    try:
+        objs = _object_map(data)
+        _expand_objstm(objs)
+    except ValueError:
+        objs = {}
+    n = sum(1 for h, b in objs.values() if b is None and _PAGE_RE.search(h))
+    if n:
+        return n
+    return len(_PAGE_RE.findall(data))
 
 
 # --- fixture writer --------------------------------------------------------
 
-def encode_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
-    """Minimal valid PDF (xref included): one content stream per page,
-    each inner list is that page's lines — the independent side of
-    pdf_text's contract, like every encode_* in codecs.py."""
+def _esc_pdf(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
-    def esc(s: str) -> str:
-        return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
-    objs: list[bytes] = []
+def _assemble_pdf(
+    objs: list[bytes | None],
+    catalog: int,
+    objstm_members: dict[int, bytes] | None = None,
+) -> bytes:
+    """Serialize numbered objects (+ optional ObjStm packing) into a
+    file. ``objs[i]`` is object i+1's body; a None slot means that
+    object lives in ``objstm_members`` (num → dict bytes) and is
+    emitted only inside the object stream. The classic-xref table only
+    covers the direct objects — readers of these fixtures scan, so the
+    xref is cosmetic (a spec-complete ObjStm file would use an xref
+    stream)."""
+    out = bytearray(b"%PDF-1.5\n" if objstm_members else b"%PDF-1.4\n")
+    direct: list[tuple[int, bytes]] = [
+        (i, body) for i, body in enumerate(objs, 1) if body is not None
+    ]
+    if objstm_members:
+        # ObjStm body: "num offset" pairs, then the members back-to-back
+        payload = bytearray()
+        header = bytearray()
+        for num, dct in sorted(objstm_members.items()):
+            header += f"{num} {len(payload)} ".encode()
+            payload += dct + b"\n"
+        first = len(header)
+        z = zlib.compress(bytes(header) + bytes(payload))
+        stm = (
+            b"<< /Type /ObjStm /N " + str(len(objstm_members)).encode()
+            + b" /First " + str(first).encode()
+            + b" /Length " + str(len(z)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + z + b"\nendstream"
+        )
+        direct.append((len(objs) + 1, stm))
+    offsets = []
+    for num, body in direct:
+        offsets.append((num, len(out)))
+        out += str(num).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 1\n0000000000 65535 f \n"
+    for num, off in offsets:
+        out += f"{num} 1\n{off:010d} 00000 n \n".encode()
+    total = len(objs) + (2 if objstm_members else 1)
+    out += (
+        b"trailer\n<< /Size " + str(total).encode()
+        + b" /Root " + str(catalog).encode() + b" 0 R >>\nstartxref\n"
+        + str(xref_at).encode() + b"\n%%EOF\n"
+    )
+    return bytes(out)
 
-    def add(body: bytes) -> int:
+
+def encode_pdf(
+    pages: list[list[str]], compress: bool = False, objstm: bool = False
+) -> bytes:
+    """Minimal valid PDF: one content stream per page, each inner list
+    is that page's lines — the independent side of pdf_text's contract,
+    like every encode_* in codecs.py. ``objstm=True`` packs every
+    non-stream object (font, pages, page dicts, catalog) into a
+    FlateDecoded /ObjStm, the PDF 1.5+ layout that hides the page tree
+    from a raw-bytes scan."""
+    objs: list[bytes | None] = []
+
+    def add(body: bytes | None) -> int:
         objs.append(body)
         return len(objs)  # 1-based object number
 
-    font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
-    page_ids = []
+    members: dict[int, bytes] = {}
+
+    def add_dict(body: bytes) -> int:
+        if objstm:
+            num = add(None)
+            members[num] = body
+            return num
+        return add(body)
+
+    font = add_dict(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     content_ids = []
     for lines in pages:
         ops = ["BT /F1 12 Tf 72 720 Td"]
         for i, line in enumerate(lines):
             if i:
                 ops.append("T*")
-            ops.append(f"({esc(line)}) Tj")
+            ops.append(f"({_esc_pdf(line)}) Tj")
         ops.append("ET")
         stream = " ".join(ops).encode("latin-1")
         if compress:
@@ -346,9 +807,10 @@ def encode_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
             )
         content_ids.append(add(body))
     pages_id = len(objs) + len(pages) + 1  # filled after page objects
+    page_ids = []
     for cid in content_ids:
         page_ids.append(
-            add(
+            add_dict(
                 b"<< /Type /Page /Parent " + str(pages_id).encode()
                 + b" 0 R /MediaBox [0 0 612 792] /Contents "
                 + str(cid).encode() + b" 0 R /Resources << /Font << /F1 "
@@ -356,29 +818,122 @@ def encode_pdf(pages: list[list[str]], compress: bool = False) -> bytes:
             )
         )
     kids = b" ".join(str(p).encode() + b" 0 R" for p in page_ids)
-    real_pages = add(
+    real_pages = add_dict(
         b"<< /Type /Pages /Kids [" + kids + b"] /Count "
         + str(len(page_ids)).encode() + b" >>"
     )
     assert real_pages == pages_id
-    catalog = add(b"<< /Type /Catalog /Pages " + str(pages_id).encode() + b" 0 R >>")
-
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = [0]
-    for i, body in enumerate(objs, 1):
-        offsets.append(len(out))
-        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
-    xref_at = len(out)
-    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (
-        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
-        + b" /Root " + str(catalog).encode() + b" 0 R >>\nstartxref\n"
-        + str(xref_at).encode() + b"\n%%EOF\n"
+    catalog = add_dict(
+        b"<< /Type /Catalog /Pages " + str(pages_id).encode() + b" 0 R >>"
     )
-    return bytes(out)
+    return _assemble_pdf(objs, catalog, members if objstm else None)
+
+
+def encode_pdf_cid(
+    pages: list[list[str]],
+    with_tounicode: bool = True,
+    objstm: bool = False,
+    code_base: int = 0x0013,
+) -> bytes:
+    """CID/Type0 fixture: text is shown as hex strings of 2-byte glyph
+    codes under an Identity-H Type0 font whose /ToUnicode CMap maps
+    code → char. Codes are assigned sequentially from ``code_base`` per
+    distinct character (deliberately ≠ the Unicode values, so Latin-1
+    or identity decoding of the codes yields garbage — the extraction
+    is only correct THROUGH the CMap). ``with_tounicode=False`` omits
+    the CMap: the honest-refusal fixture. The CMap uses bfchar entries;
+    bfrange forms are unit-tested against _parse_tounicode directly."""
+    charset: list[str] = []
+    index: dict[str, int] = {}
+    for lines in pages:
+        for line in lines:
+            for ch in line:
+                if ch not in index:
+                    index[ch] = code_base + len(charset)
+                    charset.append(ch)
+
+    objs: list[bytes | None] = []
+
+    def add(body: bytes | None) -> int:
+        objs.append(body)
+        return len(objs)
+
+    members: dict[int, bytes] = {}
+
+    def add_dict(body: bytes) -> int:
+        if objstm:
+            num = add(None)
+            members[num] = body
+            return num
+        return add(body)
+
+    tounicode = None
+    if with_tounicode:
+        entries = "\n".join(
+            f"<{index[ch]:04x}> <{''.join(f'{u:04x}' for u in _utf16_units(ch))}>"
+            for ch in charset
+        )
+        cmap = (
+            "/CIDInit /ProcSet findresource begin\n"
+            "begincmap\n"
+            "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+            f"{len(charset)} beginbfchar\n{entries}\nendbfchar\n"
+            "endcmap\nend\n"
+        ).encode("ascii")
+        z = zlib.compress(cmap)
+        tounicode = add(
+            b"<< /Length " + str(len(z)).encode()
+            + b" /Filter /FlateDecode >>\nstream\n" + z + b"\nendstream"
+        )
+    font_body = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture-Identity-H"
+        b" /Encoding /Identity-H"
+        + (b" /ToUnicode " + str(tounicode).encode() + b" 0 R" if tounicode else b"")
+        + b" >>"
+    )
+    font = add_dict(font_body)
+    content_ids = []
+    for lines in pages:
+        ops = ["BT /F1 12 Tf 72 720 Td"]
+        for i, line in enumerate(lines):
+            if i:
+                ops.append("T*")
+            hx = "".join(f"{index[ch]:04x}" for ch in line)
+            ops.append(f"<{hx}> Tj")
+        ops.append("ET")
+        stream = " ".join(ops).encode("ascii")
+        content_ids.append(
+            add(
+                b"<< /Length " + str(len(stream)).encode()
+                + b" >>\nstream\n" + stream + b"\nendstream"
+            )
+        )
+    pages_id = len(objs) + len(pages) + 1
+    page_ids = []
+    for cid in content_ids:
+        page_ids.append(
+            add_dict(
+                b"<< /Type /Page /Parent " + str(pages_id).encode()
+                + b" 0 R /MediaBox [0 0 612 792] /Contents "
+                + str(cid).encode() + b" 0 R /Resources << /Font << /F1 "
+                + str(font).encode() + b" 0 R >> >> >>"
+            )
+        )
+    kids = b" ".join(str(p).encode() + b" 0 R" for p in page_ids)
+    real_pages = add_dict(
+        b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+        + str(len(page_ids)).encode() + b" >>"
+    )
+    assert real_pages == pages_id
+    catalog = add_dict(
+        b"<< /Type /Catalog /Pages " + str(pages_id).encode() + b" 0 R >>"
+    )
+    return _assemble_pdf(objs, catalog, members if objstm else None)
+
+
+def _utf16_units(ch: str) -> list[int]:
+    raw = ch.encode("utf-16-be")
+    return [int.from_bytes(raw[i : i + 2], "big") for i in range(0, len(raw), 2)]
 
 
 # --- Spark operator --------------------------------------------------------

@@ -130,3 +130,123 @@ def test_nested_decodeparms_dict_keeps_filter(spark):
         b"stream\n" + z + b"\nendstream\nendobj\n%%EOF\n"
     )
     assert "nested dict text" in pdf_text(pdf)
+
+
+# --- round-6: CID/Type0 via ToUnicode + object streams ----------------------
+
+
+def test_cid_tounicode_roundtrip():
+    """Glyph codes are deliberately ≠ Unicode values (encode_pdf_cid):
+    the text survives ONLY if decoding went through the CMap."""
+    from pg2kinesis_spark.functions.pdf import encode_pdf_cid
+
+    pages = [["héllo CID wörld", "ligature ﬁ — dash"], ["page two ✓ 你好"]]
+    data = encode_pdf_cid(pages)
+    text = pdf_text(data)
+    assert "héllo CID wörld" in text
+    assert "ligature ﬁ — dash" in text
+    assert "你好" in text
+    assert pdf_page_count(data) == 2
+
+
+def test_cid_without_tounicode_still_refuses():
+    from pg2kinesis_spark.functions.pdf import encode_pdf_cid
+
+    data = encode_pdf_cid([["secret glyphs"]], with_tounicode=False)
+    with pytest.raises(NotImplementedError, match="CMap"):
+        pdf_text(data)
+
+
+def test_cid_unmapped_code_renders_replacement_char():
+    """A code outside the CMap must surface as U+FFFD (explicit
+    unknown), never as a silently wrong character."""
+    from pg2kinesis_spark.functions.pdf import encode_pdf_cid
+
+    data = encode_pdf_cid([["ab"]], code_base=0x0013)
+    # splice an unmapped code 0x0FFF into the hex show string
+    assert b"<00130014> Tj" in data
+    data = data.replace(b"<00130014> Tj", b"<001300140fff> Tj")
+    assert pdf_text(data) == "ab\N{REPLACEMENT CHARACTER}"
+
+
+def test_objstm_hides_page_tree_from_raw_scan_but_parses():
+    data = encode_pdf([["alpha beta"], ["gamma"]], compress=True, objstm=True)
+    # the page dicts are genuinely inside the compressed ObjStm
+    assert b"/ObjStm" in data
+    assert len([m for m in __import__("re").finditer(rb"/Type\s*/Page\b(?!s)", data)]) == 0
+    text = pdf_text(data)
+    assert "alpha beta" in text and "gamma" in text
+    assert pdf_page_count(data) == 2
+
+
+def test_objstm_cid_combined():
+    from pg2kinesis_spark.functions.pdf import encode_pdf_cid
+
+    data = encode_pdf_cid([["mixed μodes"], ["two ✓"]], objstm=True)
+    text = pdf_text(data)
+    assert "mixed μodes" in text and "two ✓" in text
+    assert pdf_page_count(data) == 2
+
+
+def test_tounicode_bfrange_scalar_and_array_and_surrogates():
+    from pg2kinesis_spark.functions.pdf import _parse_tounicode
+
+    cm = (
+        b"1 begincodespacerange <0000> <ffff> endcodespacerange\n"
+        b"1 beginbfrange <0010> <0012> <0041> endbfrange\n"
+        b"1 beginbfrange <0020> <0021> [<0058> <00590041>] endbfrange\n"
+        b"1 beginbfchar <0001> <D83DDE00> endbfchar\n"
+    )
+    code_len, mp = _parse_tounicode(cm)
+    assert code_len == 2
+    assert (mp[0x10], mp[0x11], mp[0x12]) == ("A", "B", "C")
+    assert mp[0x20] == "X" and mp[0x21] == "YA"  # array + multi-unit dst
+    assert mp[0x01] == "\U0001F600"  # surrogate pair decodes
+    # hostile range (hi < lo / oversized) is skipped, not allocated
+    bad = b"1 beginbfrange <00ff> <0010> <0041> endbfrange"
+    assert _parse_tounicode(bad) is None
+
+
+def test_mixed_simple_and_cid_fonts_on_one_page():
+    """Two fonts in one content stream: Tf switches the decoder."""
+    import re as _re
+
+    from pg2kinesis_spark.functions.pdf import encode_pdf_cid
+
+    data = encode_pdf_cid([["cidtext"]], code_base=0x0030)
+    # add a simple font /F2 to the page resources and a latin-1 run
+    data = data.replace(
+        b"/Font << /F1 ",
+        b"/Font << /F2 900 0 R /F1 ",
+    )
+    simple_font = (
+        b"900 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        b"\nendobj\n"
+    )
+    # append the extra font object and extend the content stream
+    m = _re.search(rb"<< /Length (\d+) >>\nstream\n(.*?)\nendstream", data, _re.S)
+    old_stream = m.group(2)
+    new_stream = old_stream.replace(
+        b" ET", b" T* /F2 12 Tf (plain latin) Tj ET"
+    )
+    data = data.replace(
+        b"<< /Length " + m.group(1) + b" >>\nstream\n" + old_stream,
+        b"<< /Length " + str(len(new_stream)).encode() + b" >>\nstream\n" + new_stream,
+    ) + simple_font
+    text = pdf_text(data)
+    assert "cidtext" in text and "plain latin" in text
+
+
+def test_fuzz_cid_and_objstm_pdfs():
+    """The corruption hammer over the new encoders: any byte damage
+    must raise or return — never hang or produce an unbounded alloc."""
+    from tests.test_codec_fuzz import _hammer
+
+    from pg2kinesis_spark.functions.pdf import encode_pdf_cid
+
+    fixtures = [
+        encode_pdf_cid([["fuzz cid page", "two lines"]], objstm=False),
+        encode_pdf_cid([["objstm cid"]], objstm=True),
+        encode_pdf([["objstm simple"]], compress=True, objstm=True),
+    ]
+    _hammer(pdf_text, fixtures, seed=47)
