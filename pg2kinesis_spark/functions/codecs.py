@@ -634,6 +634,228 @@ def encode_mp3_frames(
     return bytes(out)
 
 
+# --- MP3 Layer I subband codec (the audio-energy tier) ----------------------
+#
+# Real ISO 11172-3 §2.4 Layer I frame decode to SUBBAND samples:
+# allocation table → scalefactors → requantized samples, per channel.
+# The synthesis polyphase filterbank (spec table D — not closed-form)
+# is deliberately NOT implemented: the near-orthogonal filterbank makes
+# subband-domain energy a Parseval proxy for PCM energy, which is all
+# the energy-envelope fingerprint needs. PCM reconstruction stays
+# honestly unsupported; Layer II (grouped quantization) and Layer III
+# (Huffman + MDCT) frames raise NotImplementedError into the standard
+# quarantine channel.
+#
+# The scalefactor table is the closed form behind the spec's printed
+# values: sf(idx) = 2 · 2^(−idx/3), idx 0..62.
+
+
+def _sf_value(idx: int) -> float:
+    return 2.0 * 2.0 ** (-idx / 3.0)
+
+
+def _l1_dequant(code: int, nb: int) -> float:
+    """Layer I requantization (ISO 11172-3 §2.4.3.3): invert the MSB,
+    read as a two's-complement fraction, then scale and recenter."""
+    b = code ^ (1 << (nb - 1))
+    if b >= (1 << (nb - 1)):
+        b -= 1 << nb
+    frac = b / float(1 << (nb - 1))
+    return (float(1 << nb) / ((1 << nb) - 1)) * (frac + 2.0 ** (1 - nb))
+
+
+def _l1_quant(x: float, nb: int) -> int:
+    """Inverse of _l1_dequant (fixture encoder side), clipped to the
+    representable code range."""
+    frac = x * ((1 << nb) - 1) / float(1 << nb) - 2.0 ** (1 - nb)
+    s = int(round(frac * (1 << (nb - 1))))
+    s = max(-(1 << (nb - 1)), min((1 << (nb - 1)) - 1, s))
+    return (s & ((1 << nb) - 1)) ^ (1 << (nb - 1))
+
+
+class _MsbWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, v: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (v & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def getvalue(self) -> bytes:
+        out = bytearray(self.buf)
+        if self.n:
+            out.append((self.acc << (8 - self.n)) & 0xFF)
+        return bytes(out)
+
+
+class _MsbReader:
+    """Whole-body big-int reader — frame bodies are a few KB."""
+
+    def __init__(self, body: bytes) -> None:
+        self.val = int.from_bytes(body, "big")
+        self.left = len(body) * 8
+
+    def read(self, nbits: int) -> int:
+        if nbits > self.left:
+            raise ValueError("truncated MP3 Layer I frame body")
+        self.left -= nbits
+        return (self.val >> self.left) & ((1 << nbits) - 1)
+
+
+def encode_mp3_layer1(
+    subbands, rate: int = 44100, kbps: int = 256
+) -> bytes:
+    """Spec-packed MPEG-1 Layer I stream carrying REAL subband data.
+
+    ``subbands``: float array (n_frames, 32, 12) mono or
+    (n_frames, n_channels, 32, 12), values in (-2, 2). Allocation is
+    uniform over the frame's active (any-nonzero) subbands at the
+    finest width the target bitrate affords; scalefactors maximize
+    precision per subband. The independent fixture side of
+    mp3_subband_energies' contract."""
+    import numpy as np
+
+    arr = np.asarray(subbands, dtype=np.float64)
+    if arr.ndim == 3:
+        arr = arr[:, None, :, :]
+    n_frames, nch, nsb, ns = arr.shape
+    if nsb != 32 or ns != 12 or nch not in (1, 2):
+        raise ValueError(f"subbands must be (frames[, ch<=2], 32, 12), got {arr.shape}")
+    if np.abs(arr).max() >= 2.0:
+        raise ValueError("subband samples must be in (-2, 2)")
+    sr_idx = _MP3_RATES[3].index(rate)
+    br_idx = _MP3_BITRATES[(1, 1)].index(kbps)
+    flen = (12 * kbps * 1000 // rate) * 4
+    mode = 3 if nch == 1 else 0
+    header = bytes(
+        [0xFF, 0xE0 | (3 << 3) | (3 << 1) | 1, (br_idx << 4) | (sr_idx << 2), mode << 6]
+    )
+    out = bytearray()
+    for f in range(n_frames):
+        active = [sb for sb in range(32) if np.abs(arr[f, :, sb]).max() > 0]
+        nact = len(active) * nch
+        budget = flen * 8 - 32 - 32 * 4 * nch - 6 * nact
+        nb = min(15, budget // (12 * nact)) if nact else 0
+        if nact and nb < 2:
+            raise ValueError(
+                f"{kbps} kbps can't fit {len(active)} active subbands × {nch} ch"
+            )
+        bw = _MsbWriter()
+        for sb in range(32):
+            for _ch in range(nch):
+                bw.write(nb - 1 if sb in active else 0, 4)
+        sf = {}
+        for sb in active:
+            for ch in range(nch):
+                mx = float(np.abs(arr[f, ch, sb]).max())
+                idx = 0
+                if 0 < mx < 2.0:
+                    idx = min(62, int(-3.0 * np.log2(mx / 2.0)))
+                    while idx > 0 and _sf_value(idx) < mx:
+                        idx -= 1
+                sf[(sb, ch)] = idx
+                bw.write(idx, 6)
+        for t in range(12):
+            for sb in active:
+                for ch in range(nch):
+                    x = arr[f, ch, sb, t] / _sf_value(sf[(sb, ch)])
+                    bw.write(_l1_quant(x, nb), nb)
+        body = bytearray(bw.getvalue())
+        if len(body) > flen - 4:
+            raise ValueError("frame overflow")  # unreachable by budget math
+        body += bytes(flen - 4 - len(body))
+        out += header + bytes(body)
+    return bytes(out)
+
+
+def mp3_subband_energies(data: bytes):
+    """Per-audio-frame subband-domain energy of a Layer I MP3: mean
+    over the frame's (subband, sample-instant) grid of the mono-mixed
+    requantized value squared — the energy envelope the audio
+    fingerprint consumes, extracted WITHOUT a synthesis filterbank
+    (Parseval proxy; the proportionality constant cancels in the
+    fingerprint's adjacent-window comparisons).
+
+    Raises ValueError on content with no valid frame and
+    NotImplementedError on Layer II/III frames (grouped quantization /
+    Huffman+MDCT — decoding those dishonestly would corrupt the
+    envelope silently)."""
+    import numpy as np
+
+    data = bytes(data)
+    pos = _id3v2_size(data)
+    n = len(data)
+    energies: list[float] = []
+    while pos + 4 <= n:
+        if data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
+            break  # lost sync (trailing tag/garbage ends the walk)
+        b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
+        vbits = (b1 >> 3) & 3
+        lbits = (b1 >> 1) & 3
+        br_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 3
+        if vbits == 1 or lbits == 0 or br_idx in (0, 15) or sr_idx == 3:
+            break
+        layer = 4 - lbits
+        if layer != 1 or vbits != 3:
+            raise NotImplementedError(
+                f"MP3 Layer {'I' * layer if layer < 3 else 'III'} "
+                "(MPEG-1 Layer I only): grouped-quantization/Huffman frames "
+                "can't be energy-decoded without the full codec"
+            )
+        kbps = _MP3_BITRATES[(1, 1)][br_idx]
+        rate = _MP3_RATES[3][sr_idx]
+        padding = (b2 >> 1) & 1
+        flen = (12 * kbps * 1000 // rate + padding) * 4
+        if flen <= 4 or pos + flen > n:
+            break
+        body = data[pos + 4 : pos + flen]
+        if not (b1 & 1):  # protection bit 0: 16-bit CRC before audio data
+            body = body[2:]
+        mode = (b3 >> 6) & 3
+        nch = 1 if mode == 3 else 2
+        br = _MsbReader(body)
+        alloc = [[0] * nch for _ in range(32)]
+        for sb in range(32):
+            for ch in range(nch):
+                a = br.read(4)
+                if a == 15:
+                    raise ValueError("Layer I allocation code 15 is forbidden")
+                alloc[sb][ch] = a + 1 if a else 0
+        sf = [[0] * nch for _ in range(32)]
+        for sb in range(32):
+            for ch in range(nch):
+                if alloc[sb][ch]:
+                    idx = br.read(6)
+                    if idx == 63:
+                        raise ValueError("Layer I scalefactor index 63 is forbidden")
+                    sf[sb][ch] = idx
+        acc = 0.0
+        for _t in range(12):
+            for sb in range(32):
+                vals = []
+                for ch in range(nch):
+                    nb = alloc[sb][ch]
+                    if nb:
+                        vals.append(
+                            _sf_value(sf[sb][ch]) * _l1_dequant(br.read(nb), nb)
+                        )
+                if vals:
+                    m = sum(vals) / nch  # mono mix (absent channel = 0)
+                    acc += m * m
+        energies.append(acc / (12 * 32))
+        pos += flen
+    if not energies:
+        raise ValueError("not a Layer I MP3: no valid audio frame")
+    return np.asarray(energies, dtype=np.float64)
+
+
 def _truncation_as_valueerror(what: str):
     """Metadata walks promise ValueError on hostile/truncated input;
     short-slice IndexError / struct.error from a stomped field must

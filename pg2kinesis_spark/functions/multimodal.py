@@ -21,11 +21,15 @@ Codec support is tiered, honestly:
   image operators compose per frame).
 * MP3 METADATA is real (``extract_audio_metadata``: ISO 11172-3
   frame-header walk — duration/bitrate/channels/VBR, ID3v2 skip,
-  Xing exclusion — the profiling tier for audio corpora), but MP3
-  AUDIO decode and non-MJPEG video codecs (ffmpeg) are NOT available
-  in this environment — those raise NotImplementedError inside the
-  kernel, and the deterministic fake (``fake=True``) remains for
-  plumbing tests. The Spark-side contract — schemas, batch iteration,
+  Xing exclusion — the profiling tier for audio corpora), and MPEG-1
+  **Layer I** audio frames energy-decode for the fingerprint
+  (``codecs.mp3_subband_energies``: allocation → scalefactors →
+  requantized subband samples; subband-domain energy is a Parseval
+  proxy, no synthesis filterbank). Layer II/III audio decode and
+  non-MJPEG video codecs (ffmpeg) are NOT available in this
+  environment — those raise NotImplementedError inside the kernel,
+  and the deterministic fake (``fake=True``) remains for plumbing
+  tests. The Spark-side contract — schemas, batch iteration,
   partitioning — is identical either way.
 
 Dirty-data contract: scraped corpora contain truncated, mislabeled,
@@ -481,12 +485,19 @@ AFP_SCHEMA = T.StructType(
 
 
 def audio_fingerprint(media: DataFrame, errors: str = "quarantine") -> DataFrame:
-    """REAL audio fingerprint for PCM WAV content: the energy-envelope
-    analogue of dHash — mono-mix, 65 equal frames, bit i = energy of
-    frame i+1 > energy of frame i. Invariant to amplitude scaling
-    (comparisons only) and channel layout (mono mix). Returns
-    (media_id, afp, decode_error): non-WAV content gets NULL afp + the
-    error string (default) or raises (``errors="raise"``)."""
+    """REAL audio fingerprint: the energy-envelope analogue of dHash —
+    65 equal windows over the track, bit i = energy of window i+1 >
+    energy of window i. Invariant to amplitude scaling (comparisons
+    only) and channel layout (mono mix).
+
+    Two decode paths feed the same envelope: PCM WAV (sample-level
+    energy) and MPEG-1 **Layer I** MP3 (per-frame subband-domain
+    energy via ``codecs.mp3_subband_energies`` — no synthesis
+    filterbank needed; the Parseval proportionality constant cancels
+    in the comparisons, so a re-encode of the same track at a
+    different bitrate fingerprints the same). Layer II/III and other
+    containers get NULL afp + the error string (default) or raise
+    (``errors="raise"``)."""
     import pandas as pd
 
     from . import codecs
@@ -494,14 +505,19 @@ def audio_fingerprint(media: DataFrame, errors: str = "quarantine") -> DataFrame
     _check_errors(errors)
 
     def one(c: bytes) -> int:
-        samples, _rate = codecs.decode_wav(c)
-        mono = samples.astype("float64").mean(axis=1)
-        n = len(mono)
+        if codecs.is_mp3(c):
+            # per-frame energies ARE the envelope samples
+            seq = codecs.mp3_subband_energies(c)
+        else:
+            samples, _rate = codecs.decode_wav(c)
+            mono = samples.astype("float64").mean(axis=1)
+            seq = mono * mono
+        n = len(seq)
         h = 0
         if n >= 65:
             edges = (np.arange(66) * n) // 65
             energy = np.array(
-                [(mono[edges[i] : edges[i + 1]] ** 2).mean() for i in range(65)]
+                [seq[edges[i] : edges[i + 1]].mean() for i in range(65)]
             )
             for i in range(64):
                 if energy[i + 1] > energy[i]:

@@ -809,3 +809,116 @@ def test_png_sub8_gray_color_key():
     assert out.shape == (2, 2, 2)
     np.testing.assert_array_equal(out[:, :, 0], vals * 85)
     np.testing.assert_array_equal(out[:, :, 1], [[255, 255], [0, 255]])
+
+
+# --- round-6: MP3 Layer I subband-energy tier --------------------------------
+
+
+def _l1_track(seed: int, n_frames: int = 130) -> np.ndarray:
+    """Synthetic subband-domain track with a stepped energy envelope."""
+    rng = np.random.default_rng(seed)
+    sub = np.zeros((n_frames, 32, 12))
+    env = np.repeat(rng.choice([0.05, 0.2, 0.8, 0.4], size=(n_frames + 9) // 10), 10)
+    for f in range(n_frames):
+        sub[f, :6, :] = rng.uniform(-1, 1, (6, 12)) * env[f]
+    return sub
+
+
+def test_mp3_layer1_energy_roundtrip():
+    """Requantized subband energies track the construction-side truth;
+    amplitude scales quadratically; a coarser re-encode preserves the
+    envelope; Layer III refuses; forbidden field values raise."""
+    from pg2kinesis_spark.functions.codecs import (
+        encode_mp3_frames,
+        encode_mp3_layer1,
+        mp3_info,
+        mp3_subband_energies,
+    )
+
+    sub = _l1_track(7)
+    mp3 = encode_mp3_layer1(sub, kbps=256)
+    e = mp3_subband_energies(mp3)
+    true_e = (sub**2).mean(axis=(1, 2))
+    assert len(e) == 130
+    assert np.corrcoef(e, true_e)[0, 1] > 0.9999
+    # the metadata walk reads the same stream as Layer I CBR
+    info = mp3_info(mp3)
+    assert (info["layer"], info["n_frames"], info["vbr"]) == (1, 130, False)
+    # half volume: every frame's energy scales by exactly 1/4 (up to
+    # requantization) — the fingerprint's comparison bits cannot move
+    e_half = mp3_subband_energies(encode_mp3_layer1(sub * 0.5, kbps=256))
+    assert np.allclose(e_half / e, 0.25, rtol=1e-6)
+    # re-encode at 96 kbps: coarser codes, same envelope
+    e_re = mp3_subband_energies(encode_mp3_layer1(sub, kbps=96))
+    assert np.corrcoef(e, e_re)[0, 1] > 0.999
+    # stereo mono-mixes
+    st = np.stack([sub, sub * 0.7], axis=1)
+    assert len(mp3_subband_energies(encode_mp3_layer1(st, kbps=384))) == 130
+    # Layer III (the zero-payload metadata fixture) refuses honestly
+    with pytest.raises(NotImplementedError, match="Layer"):
+        mp3_subband_energies(encode_mp3_frames(5, kbps=128))
+    # hostile field values: allocation 15 / scalefactor 63 are forbidden
+    one = bytearray(encode_mp3_layer1(sub[:1], kbps=256))
+    one[4] = 0xFF  # first two 4-bit allocations -> 15, 15
+    with pytest.raises(ValueError, match="allocation"):
+        mp3_subband_energies(bytes(one))
+
+
+def test_mp3_fingerprint_reencoded_copies_pair(spark):
+    """The WAV oracle's invariances, on MP3: a half-volume copy and a
+    lower-bitrate re-encode of the same track pair up in
+    media_near_dup_pairs(signature='audio'); an independent track
+    separates; a Layer III file quarantines (NULL afp, cannot pair)."""
+    from pg2kinesis_spark.functions.codecs import (
+        encode_mp3_frames,
+        encode_mp3_layer1,
+    )
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprint,
+        media_near_dup_pairs,
+    )
+
+    track = _l1_track(11)
+    other = _l1_track(99)
+    blobs = [
+        encode_mp3_layer1(track, kbps=256),        # 0: original
+        encode_mp3_layer1(track * 0.5, kbps=256),  # 1: half volume
+        encode_mp3_layer1(track, kbps=96),         # 2: re-encode
+        encode_mp3_layer1(other, kbps=256),        # 3: different track
+        encode_mp3_frames(70, kbps=128),           # 4: Layer III -> quarantine
+    ]
+    rows = [
+        (i, bytearray(b), ("audio/mpeg", len(b), f"mem://{i}.mp3"))
+        for i, b in enumerate(blobs)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    fps = {r["media_id"]: r for r in audio_fingerprint(media).collect()}
+    assert fps[4]["afp"] is None and "Layer" in fps[4]["decode_error"]
+    mask = (1 << 64) - 1
+    assert bin((fps[0]["afp"] ^ fps[1]["afp"]) & mask).count("1") <= 3
+    assert bin((fps[0]["afp"] ^ fps[2]["afp"]) & mask).count("1") <= 3
+    assert bin((fps[0]["afp"] ^ fps[3]["afp"]) & mask).count("1") > 6
+
+    pairs = media_near_dup_pairs(media, max_hamming=3, signature="audio").collect()
+    got = {(r["media_id1"], r["media_id2"]) for r in pairs}
+    assert (0, 1) in got and (0, 2) in got
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_fuzz_mp3_layer1_energy_walk():
+    from tests.test_codec_fuzz import _hammer
+
+    from pg2kinesis_spark.functions.codecs import (
+        encode_mp3_layer1,
+        mp3_subband_energies,
+    )
+
+    corpus = [
+        encode_mp3_layer1(_l1_track(3, n_frames=20), kbps=256),
+        encode_mp3_layer1(
+            np.stack([_l1_track(4, 10), _l1_track(5, 10)], axis=1), kbps=384
+        ),
+    ]
+    _hammer(mp3_subband_energies, corpus, seed=48)
