@@ -396,3 +396,59 @@ def gen_media_containers() -> tuple[list[tuple], list[tuple], list[tuple]]:
     add(11, "video", gif)
     video_truth.append((11, 4, 8, 8, 4 / (100 / 100.0), 100 * 10.0))
     return container_rows, audio_truth, video_truth
+
+
+# Per-language vocabularies for the lang-ID training corpus: common
+# words with language-characteristic orthography (char n-grams carry
+# the signal — 'sch'/umlauts vs 'th'/'tion' vs 'ción'/'ñ' vs
+# 'aux'/'è'). Deliberately DISJOINT from text.LANG_MARKERS where
+# possible so the trained model isn't just re-learning the marker list.
+LANG_VOCAB: dict[str, tuple[str, ...]] = {
+    "de": (
+        "über", "schön", "müssen", "können", "zwischen", "straße",
+        "mädchen", "natürlich", "vielleicht", "wichtig", "geschichte",
+        "wissenschaft", "verstehen", "sprechen", "deutschland", "größe",
+        "fünf", "zwölf", "tägliche", "glück", "bücher", "spät",
+        "während", "jahrhundert", "entwicklung", "möglichkeit",
+    ),
+    "en": (
+        "through", "knowledge", "because", "together", "thought",
+        "world", "people", "should", "right", "language", "history",
+        "science", "understand", "speak", "england", "growth",
+        "twelve", "daily", "happiness", "books", "late", "during",
+        "century", "development", "possibility", "weather",
+    ),
+    "es": (
+        "través", "conocimiento", "porque", "juntos", "pensamiento",
+        "mundo", "gente", "debería", "derecho", "lenguaje", "historia",
+        "ciencia", "entender", "hablar", "españa", "crecimiento",
+        "doce", "diario", "felicidad", "libros", "tarde", "durante",
+        "siglo", "desarrollo", "posibilidad", "añejo",
+    ),
+    "fr": (
+        "travers", "connaissance", "parce", "ensemble", "pensée",
+        "monde", "gens", "devrait", "droit", "langage", "histoire",
+        "science", "comprendre", "parler", "français", "croissance",
+        "douze", "quotidien", "bonheur", "livres", "tard", "pendant",
+        "siècle", "développement", "possibilité", "château",
+    ),
+}
+
+
+def gen_lang_corpus(
+    n_per_lang: int = 300, seed: int = 13, min_words: int = 12, max_words: int = 40
+) -> list[tuple[int, str, str]]:
+    """(doc_id, text, lang) training rows for the char-n-gram lang-ID:
+    sentences sampled from per-language vocabularies (LANG_VOCAB)."""
+    rng = random.Random(seed)
+    rows = []
+    doc_id = 0
+    for lang in sorted(LANG_VOCAB):
+        vocab = LANG_VOCAB[lang]
+        for _ in range(n_per_lang):
+            n = rng.randint(min_words, max_words)
+            words = [rng.choice(vocab) for _ in range(n)]
+            text = (" ".join(words)).capitalize() + "."
+            rows.append((doc_id, text, lang))
+            doc_id += 1
+    return rows

@@ -95,6 +95,7 @@ def curate_corpus(
     classifier_model=None,
     classifier_keep: str = "curated",
     classifier_min_score: float = 0.5,
+    lang_model=None,
     lm_model=None,
     max_perplexity: float | None = None,
     url_col: str | None = None,
@@ -110,6 +111,10 @@ def curate_corpus(
     """Curated corpus: (doc_id, text, n_tokens, quality, pred_lang) for
     every surviving document. See module docstring for stage order and
     the scale contract of each stage.
+
+    ``lang_model`` (a ``langid.train_char_lang_id`` PipelineModel)
+    replaces the marker-word pred_lang with the trained char-n-gram
+    classifier's prediction — map-only broadcast scoring, same schema.
 
     ``c4_rules`` applies the C4 line/page gates BEFORE annotation (they
     rewrite text, so annotations must see the cleaned version);
@@ -166,6 +171,14 @@ def curate_corpus(
 
         docs = c4_clean(docs, span_dedup=False)
     ann = annotate(docs)
+    if lang_model is not None:
+        # trained char-n-gram lang-ID overrides the marker-word column:
+        # a map-only broadcast scoring pass over the same projection
+        # (langid.predict_lang), no joins — annotate still supplies
+        # n_tokens/quality from its single scan.
+        from .langid import predict_lang
+
+        ann = predict_lang(lang_model, ann, out_col="pred_lang")
     if langs:
         ann = ann.filter(F.col("pred_lang").isin(*langs))
     if min_quality > 0.0:
