@@ -59,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--replay-path", help="Parquet wire corpus for --source replay.")
     p.add_argument("--pk-catalog", help="Parquet pk_catalog for --source replay.")
+    p.add_argument(
+        "--pk-refresh-batches", type=int, default=None, metavar="N",
+        help="Opt-in PK-cache refresh for test_decoding/wal2json: "
+        "re-snapshot the catalog every N micro-batches so mid-stream "
+        "DDL starts parsing instead of fail-stopping (reference "
+        "README.rst future work; default keeps snapshot-once).",
+    )
     p.add_argument("--transport", default="kinesis", choices=["kinesis", "memory"])
     p.add_argument("--checkpoint", default="/tmp/pg2kinesis_spark_ckpt")
     p.add_argument("--ack-log", default=None)
@@ -142,18 +149,40 @@ def main(argv: list[str] | None = None) -> int:
             ack_log=args.ack_log,
         )
     elif args.pg_slot_output_plugin == "test_decoding":
-        pk_map = primary_key_map(catalog)
-        stream = build_test_decoding_stream(
-            spark, corpus, pk_map, formatter=fmt, operations=operations,
-            table_pat=args.table_pat, rows_per_batch=args.rows_per_batch, ack_log=args.ack_log,
-        )
+        if args.pk_refresh_batches:
+            from pg2kinesis_spark.streaming.pipeline import (
+                build_test_decoding_stream_refreshing,
+            )
+
+            stream, parse_fn = build_test_decoding_stream_refreshing(
+                spark, corpus, formatter=fmt, operations=operations,
+                table_pat=args.table_pat, rows_per_batch=args.rows_per_batch,
+                ack_log=args.ack_log,
+            )
+        else:
+            pk_map = primary_key_map(catalog)
+            stream = build_test_decoding_stream(
+                spark, corpus, pk_map, formatter=fmt, operations=operations,
+                table_pat=args.table_pat, rows_per_batch=args.rows_per_batch, ack_log=args.ack_log,
+            )
     else:
-        pk_map = primary_key_map(catalog)
-        stream = build_wal2json_stream(
-            spark, corpus, pk_map, formatter=fmt, operations=operations,
-            table_pat=args.table_pat, full_change=args.full_change,
-            rows_per_batch=args.rows_per_batch, ack_log=args.ack_log,
-        )
+        if args.pk_refresh_batches:
+            from pg2kinesis_spark.streaming.pipeline import (
+                build_wal2json_stream_refreshing,
+            )
+
+            stream, parse_fn = build_wal2json_stream_refreshing(
+                spark, corpus, formatter=fmt, operations=operations,
+                table_pat=args.table_pat, full_change=args.full_change,
+                rows_per_batch=args.rows_per_batch, ack_log=args.ack_log,
+            )
+        else:
+            pk_map = primary_key_map(catalog)
+            stream = build_wal2json_stream(
+                spark, corpus, pk_map, formatter=fmt, operations=operations,
+                table_pat=args.table_pat, full_change=args.full_change,
+                rows_per_batch=args.rows_per_batch, ack_log=args.ack_log,
+            )
 
     if args.transport == "kinesis":
         from pg2kinesis_spark.sinks.kinesis_boto import BotoKinesisTransport
@@ -163,6 +192,28 @@ def main(argv: list[str] | None = None) -> int:
         transport = InMemoryTransport()
     writer = KinesisLikeWriter(transport)
     writer.log = lambda line: print(line, file=sys.stderr)
+    if args.pk_refresh_batches and args.pg_slot_output_plugin in (
+        "test_decoding", "wal2json",
+    ):
+        from pg2kinesis_spark.streaming.pipeline import RefreshingWriter
+
+        if args.source == "pg":
+            def load_pk_map():
+                # live: a fresh information_schema snapshot per refresh
+                return primary_key_map(spark.createDataFrame(
+                    mgr.fetch_pk_catalog(),
+                    "table_name string, col_name string, "
+                    "col_type string, col_ord_pos int",
+                ))
+        else:
+            def load_pk_map():
+                # replay: re-read the catalog parquet (the test twin of
+                # a live re-snapshot — update the file to simulate DDL)
+                return primary_key_map(spark.read.parquet(args.pk_catalog))
+
+        writer = RefreshingWriter(
+            writer, parse_fn, load_pk_map, refresh_every=args.pk_refresh_batches
+        )
 
     if args.drain:
         # Drain = stop once the sink has gone quiet: no new put_message

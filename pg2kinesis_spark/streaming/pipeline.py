@@ -264,6 +264,109 @@ def build_wal2json_stream(
     )
 
 
+class RefreshingWriter:
+    """Opt-in PK-cache refresh for the text plugins (the reference's
+    own future-work item, README.rst:133-138: "the primary key cache
+    ... does not ever refresh"). The pgoutput path already tracks
+    schema live via Relation messages; test_decoding/wal2json carry no
+    relation metadata on the wire, so their catalog snapshot can only
+    be re-taken BETWEEN micro-batches — which is exactly what this
+    wrapper does.
+
+    Wraps a sink writer: every ``refresh_every`` batches, re-runs
+    ``load_pk_map`` (an information_schema re-snapshot for live slots,
+    a parquet re-read for replay) and parses the batch against the
+    fresh map — a table added mid-stream starts parsing at the next
+    refresh instead of fail-stopping the query. The DEFAULT pipelines
+    (build_*_stream) keep the reference-faithful snapshot-once
+    fail-stop; this is strictly opt-in (CLI: --pk-refresh-batches).
+
+    Scale: the pk_map snapshot is catalog-sized (rows per table
+    column), eagerly checkpointed once per refresh and broadcast into
+    the batch join — refresh cost is one catalog query per interval,
+    never per row."""
+
+    def __init__(self, inner, parse_fn, load_pk_map, refresh_every: int = 1):
+        if refresh_every < 1:
+            raise ValueError(f"refresh_every must be >= 1, got {refresh_every}")
+        self.inner = inner
+        self.parse_fn = parse_fn
+        self.load_pk_map = load_pk_map
+        self.refresh_every = refresh_every
+        self._pk: DataFrame | None = None
+        self._batches_seen = 0
+
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        if self._pk is None or self._batches_seen % self.refresh_every == 0:
+            # eager snapshot: the catalog query runs once per refresh,
+            # not once per downstream reference to the map
+            self._pk = self.load_pk_map().localCheckpoint(eager=True)
+        self._batches_seen += 1
+        self.inner.process_batch(self.parse_fn(batch_df, self._pk), batch_id)
+
+    def __getattr__(self, name):  # telemetry rides through to the sink
+        return getattr(self.inner, name)
+
+
+def build_test_decoding_stream_refreshing(
+    spark: SparkSession,
+    source,
+    formatter: str = "CSV",
+    operations: tuple[str, ...] = ("all",),
+    table_pat: str | None = None,
+    rows_per_batch: int = 1000,
+    ack_log: str | None = None,
+) -> tuple[DataFrame, "callable"]:
+    """(stamped_stream, parse_fn) for the PK-refresh mode: the
+    cross-batch xid stamp stays in the streaming plan (it is operator
+    state), while parse/format/filter move into foreachBatch via
+    RefreshingWriter so the pk_map can be swapped between batches."""
+    raw = _raw_stream(spark, source, rows_per_batch, ack_log)
+    stamped = stamp_xid_stateful(raw)
+
+    def parse_fn(batch_df: DataFrame, pk_map: DataFrame) -> DataFrame:
+        parsed = parse_test_decoding(
+            batch_df, pk_map, table_pat, xid_precomputed=True, keep_frames=True
+        )
+        msgs = format_csv(parsed) if formatter == "CSV" else format_csvpayload(parsed)
+        msgs = filter_operations(msgs, operations)
+        return msgs.withColumn(
+            "wire_size", F.coalesce(F.col("data_size"), F.lit(0)).cast("long")
+        )
+
+    return stamped, parse_fn
+
+
+def build_wal2json_stream_refreshing(
+    spark: SparkSession,
+    source,
+    formatter: str = "CSVPayload",
+    operations: tuple[str, ...] = ("all",),
+    table_pat: str | None = None,
+    full_change: bool = False,
+    rows_per_batch: int = 1000,
+    ack_log: str | None = None,
+) -> tuple[DataFrame, "callable"]:
+    """wal2json twin of build_test_decoding_stream_refreshing (no
+    cross-batch state at all — each message carries its xid)."""
+    raw = _raw_stream(spark, source, rows_per_batch, ack_log)
+
+    def parse_fn(batch_df: DataFrame, pk_map: DataFrame) -> DataFrame:
+        parsed = parse_wal2json(
+            batch_df, pk_map, table_pat, full_change=full_change, keep_empty=True
+        )
+        if full_change:
+            msgs = format_csvpayload(parsed, full_change=True)
+        else:
+            msgs = format_csv(parsed) if formatter == "CSV" else format_csvpayload(parsed)
+        msgs = filter_operations(msgs, operations)
+        return msgs.withColumn(
+            "is_frame", F.col("change_idx").isNull()
+        ).withColumn("wire_size", F.coalesce(F.col("data_size"), F.lit(0)).cast("long"))
+
+    return raw, parse_fn
+
+
 PGOUT_PARSED_SCHEMA = (
     "lsn long, data_size int, operation string, begin_xid string, "
     "rel_id long, col_values array<string>, old_values array<string>"
