@@ -66,6 +66,8 @@ class CorpusIngest:
         self,
         out_dir: str,
         min_quality: float = 0.0,
+        langs: tuple[str, ...] | None = None,
+        lang_model=None,
         near_dup_jaccard: float | None = 0.6,
         n: int = 3,
         k: int = 16,
@@ -175,6 +177,12 @@ class CorpusIngest:
         self.sig_path = os.path.join(out_dir, "sig_index")
         self.emb_path = os.path.join(out_dir, "emb_index")
         self.min_quality = min_quality
+        # language gate, mirroring curate_corpus: annotate's marker-word
+        # pred_lang by default; lang_model (langid.train_char_lang_id)
+        # swaps in the trained char-n-gram prediction — broadcast
+        # map-only scoring, still a row-local gate
+        self.langs = tuple(langs) if langs else None
+        self.lang_model = lang_model
         self.near_dup_jaccard = near_dup_jaccard
         self.n, self.k, self.bands = n, k, bands
         # Bloom sidecar over the accepted hashes: answers "definitely
@@ -372,6 +380,12 @@ class CorpusIngest:
         if self.domain_cap_k is not None:
             carry.append("_cu_dom")
         ann = annotate(batch, carry=tuple(carry))
+        if self.lang_model is not None:
+            from pg2kinesis_spark.functions.langid import predict_lang
+
+            ann = predict_lang(self.lang_model, ann, out_col="pred_lang")
+        if self.langs:
+            ann = ann.filter(F.col("pred_lang").isin(*self.langs))
         if self.min_quality > 0.0:
             ann = ann.filter(F.col("quality") >= self.min_quality)
 

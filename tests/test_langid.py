@@ -100,3 +100,27 @@ def test_curate_corpus_with_trained_lang_model(spark):
     truth_fr = {r[0] for r in gen_lang_corpus(n_per_lang=25, seed=77) if r[2] == "fr"}
     assert {r.doc_id for r in got} == truth_fr
     assert set(out.columns) == {"doc_id", "text", "n_tokens", "quality", "pred_lang"}
+
+
+def test_streaming_ingest_lang_gate(spark, tmp_path):
+    """CorpusIngest(langs=..., lang_model=...) mirrors curate_corpus:
+    the trained prediction gates rows inside the micro-batch."""
+    import os
+
+    from pg2kinesis_spark.streaming.corpus_ingest import CorpusIngest
+
+    rows = gen_lang_corpus(n_per_lang=100, seed=3)
+    model = train_char_lang_id(_labeled(spark, rows))
+    out = str(tmp_path / "curated_lang")
+    ingest = CorpusIngest(
+        out, near_dup_jaccard=None, bloom_bits=None,
+        langs=("en", "de"), lang_model=model,
+    )
+    batch = _labeled(spark, gen_lang_corpus(n_per_lang=10, seed=55)).drop("lang")
+    ingest.process_batch(batch, 0)
+    acc = spark.read.parquet(os.path.join(out, "accepted"))
+    got = {r.doc_id: r.pred_lang for r in acc.collect()}
+    truth = {r[0]: r[2] for r in gen_lang_corpus(n_per_lang=10, seed=55)}
+    assert set(got.values()) == {"de", "en"}
+    assert set(got) == {d for d, lang in truth.items() if lang in ("de", "en")}
+    assert all(got[d] == truth[d] for d in got)
