@@ -390,22 +390,31 @@ class CorpusIngest:
             ann = ann.filter(F.col("quality") >= self.min_quality)
 
         # exact dedup: within batch (min doc_id per hash) and vs index.
-        # Materialize the gated batch FIRST (curate.py's multi-reference
-        # discipline): everything below — the within-batch groupBy
-        # semi-join, the bloom maybe/definitely split, docs for the
-        # signature stage, the near-dup drop anti-join — references
-        # `ann` from 2+ plan subtrees, and without a checkpoint each
-        # reference re-executes the whole gate chain (URL/DSIR/gopher/
-        # LM/annotate) per micro-batch.
-        ann = ann.withColumn("_h", F.md5("text")).localCheckpoint(eager=True)
-        _mark("gates+annotate ckpt")
+        # Within-batch dedup is a WINDOW row_number (min doc_id per
+        # hash), not the groupBy+semi-join it used to be: the window is
+        # a single-reference plan, so ONE materialization here covers
+        # both it and everything below — the bloom maybe/definitely
+        # split, docs for the signature stage, the near-dup drop
+        # anti-join — which all reference `ann` from 2+ plan subtrees
+        # (curate.py's multi-reference discipline; without a checkpoint
+        # each reference re-executes the whole gate chain per batch).
+        # The old shape paid a second materialization just to make the
+        # two-reference groupBy+join cheap.
+        ann = ann.withColumn("_h", F.md5("text"))
         if self.stats:
-            stats_row["n_after_gates"] = ann.count()  # checkpointed: cheap
-        ann = ann.join(
-            ann.groupBy("_h").agg(F.min("doc_id").alias("doc_id")),
-            ["_h", "doc_id"],
-            "left_semi",
+            # pre-dedup count keeps its meaning; a dedicated job only
+            # observability users pay (the gates are map-only)
+            stats_row["n_after_gates"] = ann.count()
+        from pyspark.sql.window import Window as _W
+
+        w_h = _W.partitionBy("_h").orderBy("doc_id")
+        ann = (
+            ann.withColumn("_rn", F.row_number().over(w_h))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .localCheckpoint(eager=True)
         )
+        _mark("gates+dedup ckpt")
         idx = self._existing(spark, self.hash_path, exclude_batch_id=batch_id)
         if idx is not None:
             # every index batch must have a bloom file, or the union
