@@ -539,7 +539,25 @@ BENCH_GROUPS: list[tuple[str, list[str]]] = [
 
 # Reps policy: warm-up pass (untimed) + best-of-3; entries whose warm
 # pass exceeds this many seconds get best-of-2 to bound total wall.
-SLOW_ENTRY_SEC = 5.0
+SLOW_ENTRY_SEC = 8.0
+
+
+def _box_probe() -> float:
+    """Single-core Python spin (best of 3) — the box-speed context every
+    number in this artifact must be read against. This host is a shared
+    hypervisor guest: the same code has measured 1.6× slower when the
+    probe reads ~0.7 s than when it reads ~0.45 s (SCALING.md "Bench
+    reconciliation"), with GUEST load idle both times. Embedding the
+    probe makes a slow-box artifact self-labeling instead of looking
+    like a code regression."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(10**7):
+            acc += i * i
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def _time_reps(run_once, warm_sec: float) -> tuple[float, float, int]:
@@ -710,6 +728,7 @@ def orchestrate(sf_dir: str, sf: float) -> None:
     spread: dict[str, list] = {}
     errors: dict[str, str] = {}
     stderr_labels: list[str] = []
+    probe_before = _box_probe()
     t_all = time.perf_counter()
     for gname, entries in BENCH_GROUPS:
         env = dict(os.environ)
@@ -745,6 +764,12 @@ def orchestrate(sf_dir: str, sf: float) -> None:
             "bench_mode": "fresh-jvm-groups",
             "n_groups": len(BENCH_GROUPS),
             "orchestration_wall": round(time.perf_counter() - t_all, 1),
+            # Box-speed context (see _box_probe): controlled-morning
+            # state reads ~0.45 s, the documented 1.6x-slower shared-
+            # hypervisor state reads ~0.7 s. Rates in this artifact
+            # scale inversely with it — compare artifacts probe-to-
+            # probe before calling anything a regression.
+            "box_probe_s": {"before": probe_before, "after": _box_probe()},
             # Any JVM stack trace logged by any child, labeled; [] means
             # the run was clean (VERDICT r5 "What's wrong" item 2).
             "stderr_exceptions": stderr_labels,

@@ -452,3 +452,47 @@ def gen_lang_corpus(
             rows.append((doc_id, text, lang))
             doc_id += 1
     return rows
+
+
+def gen_media_pdfs() -> tuple[list[tuple], list[tuple]]:
+    """(pdf_rows, truth_rows) for the PDF text tier (n27).
+
+    pdf_rows: (media_id, content) across the five supported layouts —
+    plain simple-font, FlateDecoded, ObjStm-packed (page tree hidden
+    from raw scans), CID/Type0 via ToUnicode (glyph codes ≠ Unicode,
+    so the round trip only survives decoding through the CMap), and
+    CID+ObjStm combined — plus the two honest refusals (Type0 with no
+    CMap; encrypted), whose truth rows are (NULL, NULL): the quarantine
+    kernel yields NULL text/pages for them in every engine.
+    truth_rows: (media_id, text, n_pages) computed from the
+    CONSTRUCTION inputs (lines joined by newline, pages by blank line —
+    the documented collapse convention), never by pdf_text."""
+    from pg2kinesis_spark.functions.pdf import encode_pdf, encode_pdf_cid
+
+    def expected(pages: list[list[str]]) -> str:
+        return "\n\n".join("\n".join(lines) for lines in pages)
+
+    a = [["alpha document line one", "alpha line two"], ["alpha page two"]]
+    b = [["beta compressed stream (latin-1)", "naïve café text"]]
+    c = [["gamma inside an object stream"], ["gamma page two"], ["gamma three"]]
+    d = [["delta CID: héllo wörld", "ligature ﬁ — dash"], ["delta 你好 ✓"]]
+    e = [["epsilon: CID and ObjStm combined"]]
+    pdf_rows = [
+        (1, encode_pdf(a)),
+        (2, encode_pdf(b, compress=True)),
+        (3, encode_pdf(c, compress=True, objstm=True)),
+        (4, encode_pdf_cid(d)),
+        (5, encode_pdf_cid(e, objstm=True)),
+        (6, encode_pdf_cid([["refused glyphs"]], with_tounicode=False)),
+        (7, encode_pdf([["refused secret"]]) + b"\n<< /Encrypt 9 0 R >>"),
+    ]
+    truth_rows = [
+        (1, expected(a), 2),
+        (2, expected(b), 1),
+        (3, expected(c), 3),
+        (4, expected(d), 2),
+        (5, expected(e), 1),
+        (6, None, None),
+        (7, None, None),
+    ]
+    return pdf_rows, truth_rows

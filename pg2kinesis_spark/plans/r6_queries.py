@@ -15,6 +15,11 @@ SQL, never by the walk code under test.
   binary member the suffix rule must drop, unicode text, and a corrupt
   archive that must quarantine WHOLE (it simply has no truth rows —
   presence in the output would hash-mismatch).
+* n27: PDFs across all five supported layouts (plain/Flate/ObjStm/
+  CID via ToUnicode/CID+ObjStm) → ``extract_pdf_text``; expected text
+  is the construction-side page/line convention, and the two honest
+  refusals (no-CMap Type0, encrypted) are (NULL, NULL) truth rows —
+  the quarantine kernel must yield exactly that.
 * n25: both container walks in one tagged wide-schema slot.
   Audio — WAV/FLAC/Ogg(Opus+Vorbis)/MP3(CBR+VBR+Xing) →
   ``extract_audio_metadata``; expected values are encoder-parameter
@@ -99,9 +104,23 @@ def n25_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio.unionByName(video).orderBy("media_id")
 
 
+def n27_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text tier across all five supported layouts (plain, Flate,
+    ObjStm, CID/ToUnicode, CID+ObjStm) plus the two honest refusals
+    (no-CMap Type0, encrypted), whose quarantined rows carry NULL text
+    and NULL n_pages — exactly what the truth table records for them."""
+    from pg2kinesis_spark.functions.pdf import extract_pdf_text
+
+    out = extract_pdf_text(_fx(spark, "media_pdfs").select("media_id", "content"))
+    return out.select(
+        "media_id", F.md5("text").alias("text_md5"), "n_pages"
+    ).orderBy("media_id")
+
+
 R6_QUERIES = {
     "n24_archive_text": n24_archive_text,
     "n25_container_meta": n25_container_meta,
+    "n27_pdf_text": n27_pdf_text,
 }
 
 # Spark-side doc_id: cast(conv(substr(md5(k),1,15),16,10) as bigint);
@@ -115,6 +134,11 @@ _TEXT_SUFFIX_SQL = (
 )
 
 R6_ORACLE_SQL = {
+    "n27_pdf_text": f"""
+        SELECT media_id, md5(text) AS text_md5, n_pages
+        FROM {_f('media_pdfs_truth')}
+        ORDER BY media_id
+    """,
     "n24_archive_text": f"""
         SELECT ('0x' || substr(md5(path || ':' || CAST(ordinal AS VARCHAR)
                  || ':' || member), 1, 15))::BIGINT AS doc_id,

@@ -91,6 +91,17 @@ def main() -> None:
         "text": pa.array([r[3] for r in arch_truth], pa.string()),
     })
 
+    pdfs, pdf_truth = fx.gen_media_pdfs()
+    write(out, "media_pdfs", {
+        "media_id": pa.array([r[0] for r in pdfs], pa.int64()),
+        "content": pa.array([r[1] for r in pdfs], pa.binary()),
+    })
+    write(out, "media_pdfs_truth", {
+        "media_id": pa.array([r[0] for r in pdf_truth], pa.int64()),
+        "text": pa.array([r[1] for r in pdf_truth], pa.string()),
+        "n_pages": pa.array([r[2] for r in pdf_truth], pa.int32()),
+    })
+
     cont, audio_truth, video_truth = fx.gen_media_containers()
     write(out, "media_containers", {
         "media_id": pa.array([r[0] for r in cont], pa.int64()),
