@@ -560,6 +560,29 @@ def _box_probe() -> float:
     return round(best, 3)
 
 
+def _spin_once(_):
+    acc = 0
+    for i in range(10**7):
+        acc += i * i
+    return acc
+
+
+def _box_probe_mt(n_procs: int = 8) -> float:
+    """Multi-core twin of _box_probe: wall to run n_procs process spins
+    concurrently. A shared hypervisor can be fast single-core yet
+    oversubscribed across cores (measured: a run with single probe 0.6
+    came out 1.5x slower than one at 0.72) — all-core contention is
+    what actually throttles 32-thread Spark stages, and this probe
+    reads it directly: idle host ≈ the single-core number, contended
+    host rises toward n_procs × it."""
+    import concurrent.futures as cf
+
+    t0 = time.perf_counter()
+    with cf.ProcessPoolExecutor(max_workers=n_procs) as ex:
+        list(ex.map(_spin_once, range(n_procs)))
+    return round(time.perf_counter() - t0, 3)
+
+
 def _time_reps(run_once, warm_sec: float) -> tuple[float, float, int]:
     """(best, worst, reps) over best-of-3 (best-of-2 when slow)."""
     reps = 2 if warm_sec >= SLOW_ENTRY_SEC else 3
@@ -729,6 +752,7 @@ def orchestrate(sf_dir: str, sf: float) -> None:
     errors: dict[str, str] = {}
     stderr_labels: list[str] = []
     probe_before = _box_probe()
+    probe_mt_before = _box_probe_mt()
     t_all = time.perf_counter()
     for gname, entries in BENCH_GROUPS:
         env = dict(os.environ)
@@ -770,6 +794,7 @@ def orchestrate(sf_dir: str, sf: float) -> None:
             # scale inversely with it — compare artifacts probe-to-
             # probe before calling anything a regression.
             "box_probe_s": {"before": probe_before, "after": _box_probe()},
+            "box_probe_mt8_s": {"before": probe_mt_before, "after": _box_probe_mt()},
             # Any JVM stack trace logged by any child, labeled; [] means
             # the run was clean (VERDICT r5 "What's wrong" item 2).
             "stderr_exceptions": stderr_labels,
