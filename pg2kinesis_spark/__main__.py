@@ -197,7 +197,7 @@ def main(argv: list[str] | None = None) -> int:
     ):
         from pg2kinesis_spark.streaming.pipeline import RefreshingWriter
 
-        if args.source == "pg":
+        if args.source == "pgcdc":
             def load_pk_map():
                 # live: a fresh information_schema snapshot per refresh
                 return primary_key_map(spark.createDataFrame(

@@ -121,7 +121,13 @@ def predict_lang(
     )
     drop = [
         c
-        for c in ("_cgrams", "_features", "rawPrediction", "probability", "prediction")
+        for c in (
+            # _label appears when the scored frame still carries the
+            # training label column (StringIndexerModel only skips
+            # itself when its INPUT column is absent)
+            "_cgrams", "_features", "_label",
+            "rawPrediction", "probability", "prediction",
+        )
         if c in out.columns
     ]
     return out.withColumn(out_col, pred).drop(*drop)

@@ -513,17 +513,26 @@ def audio_fingerprint(media: DataFrame, errors: str = "quarantine") -> DataFrame
             mono = samples.astype("float64").mean(axis=1)
             seq = mono * mono
         n = len(seq)
-        h = 0
-        if n >= 65:
-            edges = (np.arange(66) * n) // 65
-            energy = np.array(
-                [seq[edges[i] : edges[i + 1]].mean() for i in range(65)]
+        if n < 65:
+            # Refuse rather than return 0: with the MP3 path, sub-65-
+            # FRAME tracks (< ~0.57 s) are realistic, and two unrelated
+            # short tracks both fingerprinting as 0 would pair at
+            # hamming 0 — quarantine (NULL afp can never pair) is the
+            # honest answer for content too short for a 65-window
+            # envelope.
+            raise ValueError(
+                f"track too short to fingerprint: {n} envelope samples < 65"
             )
-            for i in range(64):
-                if energy[i + 1] > energy[i]:
-                    h |= 1 << i
-            if h >= 1 << 63:
-                h -= 1 << 64
+        h = 0
+        edges = (np.arange(66) * n) // 65
+        energy = np.array(
+            [seq[edges[i] : edges[i + 1]].mean() for i in range(65)]
+        )
+        for i in range(64):
+            if energy[i + 1] > energy[i]:
+                h |= 1 << i
+        if h >= 1 << 63:
+            h -= 1 << 64
         return h
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -407,9 +407,9 @@ def _font_decoder(objs: dict, fhead: bytes) -> tuple:
     return ("cid", None)
 
 
-def _page_fonts(objs: dict, pnum: int) -> dict[str, tuple]:
-    """name → decoder for the page's /Resources /Font dict, walking the
-    /Parent chain when the page inherits resources (bounded depth)."""
+def _page_resources(objs: dict, pnum: int) -> bytes | None:
+    """The page's /Resources dict bytes, walking the /Parent chain when
+    the page inherits resources (bounded depth)."""
     num: int | None = pnum
     for _ in range(32):
         if num is None:
@@ -420,19 +420,34 @@ def _page_fonts(objs: dict, pnum: int) -> dict[str, tuple]:
         head = entry[0]
         res = _lookup_dict(objs, head, b"/Resources")
         if res is not None:
-            fdict = _lookup_dict(objs, res, b"/Font")
-            fonts: dict[str, tuple] = {}
-            if fdict is not None:
-                for m in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", fdict):
-                    tgt = objs.get(int(m.group(2)))
-                    if tgt is not None:
-                        fonts[m.group(1).decode("latin-1")] = _font_decoder(
-                            objs, tgt[0]
-                        )
-            return fonts
+            return res
         pm = re.search(rb"/Parent\s+(\d+)\s+\d+\s+R", head)
         num = int(pm.group(1)) if pm else None
-    return {}
+    return None
+
+
+def _fonts_from_resources(objs: dict, res: bytes | None) -> dict[str, tuple]:
+    """name → decoder for a /Resources dict's /Font entries."""
+    fonts: dict[str, tuple] = {}
+    if res is None:
+        return fonts
+    fdict = _lookup_dict(objs, res, b"/Font")
+    if fdict is not None:
+        for m in re.finditer(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R", fdict):
+            tgt = objs.get(int(m.group(2)))
+            if tgt is not None:
+                fonts[m.group(1).decode("latin-1")] = _font_decoder(objs, tgt[0])
+    return fonts
+
+
+def _xobject_refs(objs: dict, res: bytes | None) -> list[int]:
+    """Object numbers of the /Resources dict's /XObject entries."""
+    if res is None:
+        return []
+    xdict = _lookup_dict(objs, res, b"/XObject")
+    if xdict is None:
+        return []
+    return [int(m.group(1)) for m in re.finditer(rb"\s(\d+)\s+\d+\s+R", xdict)]
 
 
 _CID_REFUSAL = (
@@ -660,17 +675,39 @@ def pdf_text(data: bytes) -> str:
     if order:
         # object-graph walk: per-page resources pick each content
         # stream's font decoders (the only correct way to CID-decode)
+        seen_streams: set[int] = set()
         for pnum in order:
             head = objs[pnum][0]
-            fonts = _page_fonts(objs, pnum)
-            for cnum in _content_refs(head):
-                entry = objs.get(cnum)
-                if entry is None or entry[1] is None:
-                    continue
+            res = _page_resources(objs, pnum)
+            fonts = _fonts_from_resources(objs, res)
+
+            def _extract_stream(num: int, use_fonts: dict) -> None:
+                entry = objs.get(num)
+                if num in seen_streams or entry is None or entry[1] is None:
+                    return
+                seen_streams.add(num)
                 decoded = _decode_stream(entry[0], entry[1])
                 if decoded is None or b"BT" not in decoded:
+                    return
+                _extract_text_ops(decoded, parts, fonts=use_fonts, has_type0=has_t0)
+
+            for cnum in _content_refs(head):
+                _extract_stream(cnum, fonts)
+            # Form XObjects: text drawn via `/Fm Do` lives in a stream
+            # the page merely references — the pre-round-6 every-stream
+            # walk extracted it, so the graph walk must too. A form's
+            # own /Resources fonts win over the page's; shared forms
+            # extract once (first referencing page), matching the old
+            # one-pass-per-stream behavior. One level deep (a form
+            # referencing another form is rare enough to leave to the
+            # fallback-shaped future).
+            for xnum in _xobject_refs(objs, res):
+                xentry = objs.get(xnum)
+                if xentry is None:
                     continue
-                _extract_text_ops(decoded, parts, fonts=fonts, has_type0=has_t0)
+                own = _lookup_dict(objs, xentry[0], b"/Resources")
+                xfonts = _fonts_from_resources(objs, own) if own is not None else fonts
+                _extract_stream(xnum, xfonts)
             parts.append("\n")
     else:
         # no page graph resolves (bare content streams, stripped files):

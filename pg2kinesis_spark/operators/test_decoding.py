@@ -138,6 +138,29 @@ def stamp_xid_scalable(
         if k in last_by_bkt:
             cur = last_by_bkt[k]
     w = W.partitionBy("_bkt").orderBy(order_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    if carry and len(carry) > 512:
+        # n_buckets scales with defaultParallelism: on a thousand-core
+        # cluster a literal map would put thousands of expression nodes
+        # in every plan (codegen 64KB-method fallback, linear analysis
+        # cost). Above the cap, ship the carry as data again — the
+        # broadcast join costs one build stage but stays O(1) plan size.
+        carry_df = F.broadcast(
+            spark.createDataFrame(
+                [(k, c) for k, c in carry.items()], "_bkt long, _carry string"
+            )
+        )
+        return (
+            b.join(carry_df, "_bkt", "left")
+            .withColumn(
+                "xid",
+                F.coalesce(
+                    F.last(begin_col, ignorenulls=True).over(w),
+                    F.col("_carry"),
+                    F.lit(""),
+                ),
+            )
+            .drop("_bkt", "_carry")
+        )
     if carry:
         pairs: list = []
         for k, c in carry.items():

@@ -409,7 +409,12 @@ class CorpusIngest:
 
         w_h = _W.partitionBy("_h").orderBy("doc_id")
         ann = (
-            ann.withColumn("_rn", F.row_number().over(w_h))
+            # NULL-text rows drop here, preserving the old groupBy+
+            # semi-join semantics (a join on the NULL hash key never
+            # matched, so NULL-text docs never reached the corpus; the
+            # window alone would keep rank 1 of the NULL partition)
+            ann.filter(F.col("_h").isNotNull())
+            .withColumn("_rn", F.row_number().over(w_h))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
             .localCheckpoint(eager=True)

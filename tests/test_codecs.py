@@ -922,3 +922,25 @@ def test_fuzz_mp3_layer1_energy_walk():
         ),
     ]
     _hammer(mp3_subband_energies, corpus, seed=48)
+
+
+def test_audio_fingerprint_short_track_quarantines(spark):
+    """Sub-65-frame MP3s (and sub-65-sample WAVs) must refuse rather
+    than fingerprint as 0 — two unrelated short tracks would otherwise
+    pair at hamming 0."""
+    from pg2kinesis_spark.functions.codecs import encode_mp3_layer1, encode_wav
+    from pg2kinesis_spark.functions.multimodal import MEDIA_SCHEMA, audio_fingerprint
+
+    short_mp3 = encode_mp3_layer1(_l1_track(21, n_frames=20), kbps=256)
+    short_wav = encode_wav(np.arange(30, dtype=np.int16)[:, None], 8000)
+    ok_mp3 = encode_mp3_layer1(_l1_track(22, n_frames=70), kbps=256)
+    rows = [
+        (0, bytearray(short_mp3), ("audio/mpeg", len(short_mp3), "m")),
+        (1, bytearray(short_wav), ("audio/wav", len(short_wav), "w")),
+        (2, bytearray(ok_mp3), ("audio/mpeg", len(ok_mp3), "ok")),
+    ]
+    fps = {r.media_id: r for r in audio_fingerprint(
+        spark.createDataFrame(rows, MEDIA_SCHEMA)).collect()}
+    assert fps[0].afp is None and "too short" in fps[0].decode_error
+    assert fps[1].afp is None and "too short" in fps[1].decode_error
+    assert fps[2].afp is not None and fps[2].decode_error is None

@@ -591,3 +591,18 @@ def test_compact_folds_emb_index_and_semdedup_survives(spark, tmp_path):
     acc = {r.doc_id for r in spark.read.parquet(os.path.join(out, "accepted")).collect()}
     assert 21 not in acc  # paraphrase of folded batch-0 doc still dropped
     assert acc == {1, 11, 22}
+
+
+def test_ingest_null_text_rows_never_accepted(spark, tmp_path):
+    """md5(NULL) is NULL: the old groupBy+semi-join dropped NULL-text
+    rows (a join on a NULL key never matches); the window-dedup shape
+    must preserve that, not keep rank 1 of the NULL partition."""
+    out = str(tmp_path / "curated_null")
+    ingest = CorpusIngest(out, near_dup_jaccard=None, bloom_bits=None)
+    batch = spark.createDataFrame(
+        [(1, "a real document with words"), (2, None), (3, None)],
+        "doc_id long, text string",
+    )
+    ingest.process_batch(batch, 0)
+    acc = spark.read.parquet(os.path.join(out, "accepted"))
+    assert {r.doc_id for r in acc.collect()} == {1}

@@ -250,3 +250,32 @@ def test_fuzz_cid_and_objstm_pdfs():
         encode_pdf([["objstm simple"]], compress=True, objstm=True),
     ]
     _hammer(pdf_text, fixtures, seed=47)
+
+
+def test_form_xobject_text_is_extracted():
+    """Text drawn via `/Fm0 Do` lives in a Form XObject stream the page
+    references through /Resources /XObject — the graph walk must
+    extract it (the pre-round-6 every-stream walk did), shared forms
+    exactly once, and a form's own /Resources fonts win."""
+    content = b"q /Fm0 Do Q"
+    form = b"BT /F1 10 Tf 10 10 Td (xobject text) Tj ET"
+    objs = [
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",        # 1
+        b"<< /Length " + str(len(form)).encode() + b" >>\nstream\n"       # 2
+        + form + b"\nendstream",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"    # 3
+        + content + b"\nendstream",
+        b"<< /Type /Page /Parent 6 0 R /Contents 3 0 R /Resources "       # 4
+        b"<< /Font << /F1 1 0 R >> /XObject << /Fm0 2 0 R >> >> >>",
+        b"<< /Type /Page /Parent 6 0 R /Contents 3 0 R /Resources "       # 5
+        b"<< /Font << /F1 1 0 R >> /XObject << /Fm0 2 0 R >> >> >>",
+        b"<< /Type /Pages /Kids [4 0 R 5 0 R] /Count 2 >>",               # 6
+        b"<< /Type /Catalog /Pages 6 0 R >>",                             # 7
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, 1):
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    out += b"%%EOF\n"
+    text = pdf_text(bytes(out))
+    assert text.count("xobject text") == 1  # shared form: extracted once
+    assert pdf_page_count(bytes(out)) == 2
