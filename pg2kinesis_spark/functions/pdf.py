@@ -797,6 +797,68 @@ def _assemble_pdf(
     return bytes(out)
 
 
+class _PdfBuilder:
+    """Shared fixture-writer bookkeeping: object numbering, optional
+    ObjStm membership for non-stream dicts, and the page-tree/catalog
+    assembly both encode_pdf and encode_pdf_cid need."""
+
+    def __init__(self, objstm: bool):
+        self.objstm = objstm
+        self.objs: list[bytes | None] = []
+        self.members: dict[int, bytes] = {}
+
+    def add(self, body: bytes | None) -> int:
+        self.objs.append(body)
+        return len(self.objs)  # 1-based object number
+
+    def add_dict(self, body: bytes) -> int:
+        if self.objstm:
+            num = self.add(None)
+            self.members[num] = body
+            return num
+        return self.add(body)
+
+    def add_stream(self, stream: bytes, compress: bool = False) -> int:
+        if compress:
+            z = zlib.compress(stream)
+            return self.add(
+                b"<< /Length " + str(len(z)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n" + z + b"\nendstream"
+            )
+        return self.add(
+            b"<< /Length " + str(len(stream)).encode()
+            + b" >>\nstream\n" + stream + b"\nendstream"
+        )
+
+    def finish(self, content_ids: list[int], font: int) -> bytes:
+        """Page dicts + /Pages + /Catalog around the content streams,
+        then serialize (the pages_id forward-reference arithmetic lives
+        exactly once, here)."""
+        pages_id = len(self.objs) + len(content_ids) + 1
+        page_ids = []
+        for cid in content_ids:
+            page_ids.append(
+                self.add_dict(
+                    b"<< /Type /Page /Parent " + str(pages_id).encode()
+                    + b" 0 R /MediaBox [0 0 612 792] /Contents "
+                    + str(cid).encode() + b" 0 R /Resources << /Font << /F1 "
+                    + str(font).encode() + b" 0 R >> >> >>"
+                )
+            )
+        kids = b" ".join(str(pn).encode() + b" 0 R" for pn in page_ids)
+        real_pages = self.add_dict(
+            b"<< /Type /Pages /Kids [" + kids + b"] /Count "
+            + str(len(page_ids)).encode() + b" >>"
+        )
+        assert real_pages == pages_id
+        catalog = self.add_dict(
+            b"<< /Type /Catalog /Pages " + str(pages_id).encode() + b" 0 R >>"
+        )
+        return _assemble_pdf(
+            self.objs, catalog, self.members if self.objstm else None
+        )
+
+
 def encode_pdf(
     pages: list[list[str]], compress: bool = False, objstm: bool = False
 ) -> bytes:
@@ -806,22 +868,8 @@ def encode_pdf(
     non-stream object (font, pages, page dicts, catalog) into a
     FlateDecoded /ObjStm, the PDF 1.5+ layout that hides the page tree
     from a raw-bytes scan."""
-    objs: list[bytes | None] = []
-
-    def add(body: bytes | None) -> int:
-        objs.append(body)
-        return len(objs)  # 1-based object number
-
-    members: dict[int, bytes] = {}
-
-    def add_dict(body: bytes) -> int:
-        if objstm:
-            num = add(None)
-            members[num] = body
-            return num
-        return add(body)
-
-    font = add_dict(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b = _PdfBuilder(objstm)
+    font = b.add_dict(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     content_ids = []
     for lines in pages:
         ops = ["BT /F1 12 Tf 72 720 Td"]
@@ -830,40 +878,8 @@ def encode_pdf(
                 ops.append("T*")
             ops.append(f"({_esc_pdf(line)}) Tj")
         ops.append("ET")
-        stream = " ".join(ops).encode("latin-1")
-        if compress:
-            z = zlib.compress(stream)
-            body = (
-                b"<< /Length " + str(len(z)).encode()
-                + b" /Filter /FlateDecode >>\nstream\n" + z + b"\nendstream"
-            )
-        else:
-            body = (
-                b"<< /Length " + str(len(stream)).encode()
-                + b" >>\nstream\n" + stream + b"\nendstream"
-            )
-        content_ids.append(add(body))
-    pages_id = len(objs) + len(pages) + 1  # filled after page objects
-    page_ids = []
-    for cid in content_ids:
-        page_ids.append(
-            add_dict(
-                b"<< /Type /Page /Parent " + str(pages_id).encode()
-                + b" 0 R /MediaBox [0 0 612 792] /Contents "
-                + str(cid).encode() + b" 0 R /Resources << /Font << /F1 "
-                + str(font).encode() + b" 0 R >> >> >>"
-            )
-        )
-    kids = b" ".join(str(p).encode() + b" 0 R" for p in page_ids)
-    real_pages = add_dict(
-        b"<< /Type /Pages /Kids [" + kids + b"] /Count "
-        + str(len(page_ids)).encode() + b" >>"
-    )
-    assert real_pages == pages_id
-    catalog = add_dict(
-        b"<< /Type /Catalog /Pages " + str(pages_id).encode() + b" 0 R >>"
-    )
-    return _assemble_pdf(objs, catalog, members if objstm else None)
+        content_ids.append(b.add_stream(" ".join(ops).encode("latin-1"), compress))
+    return b.finish(content_ids, font)
 
 
 def encode_pdf_cid(
@@ -889,21 +905,7 @@ def encode_pdf_cid(
                     index[ch] = code_base + len(charset)
                     charset.append(ch)
 
-    objs: list[bytes | None] = []
-
-    def add(body: bytes | None) -> int:
-        objs.append(body)
-        return len(objs)
-
-    members: dict[int, bytes] = {}
-
-    def add_dict(body: bytes) -> int:
-        if objstm:
-            num = add(None)
-            members[num] = body
-            return num
-        return add(body)
-
+    b = _PdfBuilder(objstm)
     tounicode = None
     if with_tounicode:
         entries = "\n".join(
@@ -917,18 +919,13 @@ def encode_pdf_cid(
             f"{len(charset)} beginbfchar\n{entries}\nendbfchar\n"
             "endcmap\nend\n"
         ).encode("ascii")
-        z = zlib.compress(cmap)
-        tounicode = add(
-            b"<< /Length " + str(len(z)).encode()
-            + b" /Filter /FlateDecode >>\nstream\n" + z + b"\nendstream"
-        )
-    font_body = (
+        tounicode = b.add_stream(cmap, compress=True)
+    font = b.add_dict(
         b"<< /Type /Font /Subtype /Type0 /BaseFont /Fixture-Identity-H"
         b" /Encoding /Identity-H"
         + (b" /ToUnicode " + str(tounicode).encode() + b" 0 R" if tounicode else b"")
         + b" >>"
     )
-    font = add_dict(font_body)
     content_ids = []
     for lines in pages:
         ops = ["BT /F1 12 Tf 72 720 Td"]
@@ -938,34 +935,8 @@ def encode_pdf_cid(
             hx = "".join(f"{index[ch]:04x}" for ch in line)
             ops.append(f"<{hx}> Tj")
         ops.append("ET")
-        stream = " ".join(ops).encode("ascii")
-        content_ids.append(
-            add(
-                b"<< /Length " + str(len(stream)).encode()
-                + b" >>\nstream\n" + stream + b"\nendstream"
-            )
-        )
-    pages_id = len(objs) + len(pages) + 1
-    page_ids = []
-    for cid in content_ids:
-        page_ids.append(
-            add_dict(
-                b"<< /Type /Page /Parent " + str(pages_id).encode()
-                + b" 0 R /MediaBox [0 0 612 792] /Contents "
-                + str(cid).encode() + b" 0 R /Resources << /Font << /F1 "
-                + str(font).encode() + b" 0 R >> >> >>"
-            )
-        )
-    kids = b" ".join(str(p).encode() + b" 0 R" for p in page_ids)
-    real_pages = add_dict(
-        b"<< /Type /Pages /Kids [" + kids + b"] /Count "
-        + str(len(page_ids)).encode() + b" >>"
-    )
-    assert real_pages == pages_id
-    catalog = add_dict(
-        b"<< /Type /Catalog /Pages " + str(pages_id).encode() + b" 0 R >>"
-    )
-    return _assemble_pdf(objs, catalog, members if objstm else None)
+        content_ids.append(b.add_stream(" ".join(ops).encode("ascii")))
+    return b.finish(content_ids, font)
 
 
 def _utf16_units(ch: str) -> list[int]:
