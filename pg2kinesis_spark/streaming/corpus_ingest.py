@@ -390,36 +390,37 @@ class CorpusIngest:
             ann = ann.filter(F.col("quality") >= self.min_quality)
 
         # exact dedup: within batch (min doc_id per hash) and vs index.
-        # Within-batch dedup is a WINDOW row_number (min doc_id per
-        # hash), not the groupBy+semi-join it used to be: the window is
-        # a single-reference plan, so ONE materialization here covers
-        # both it and everything below — the bloom maybe/definitely
-        # split, docs for the signature stage, the near-dup drop
-        # anti-join — which all reference `ann` from 2+ plan subtrees
-        # (curate.py's multi-reference discipline; without a checkpoint
-        # each reference re-executes the whole gate chain per batch).
-        # The old shape paid a second materialization just to make the
-        # two-reference groupBy+join cheap.
-        ann = ann.withColumn("_h", F.md5("text"))
-        if self.stats:
-            # pre-dedup count keeps its meaning; a dedicated job only
-            # observability users pay (the gates are map-only)
-            stats_row["n_after_gates"] = ann.count()
-        from pyspark.sql.window import Window as _W
-
-        w_h = _W.partitionBy("_h").orderBy("doc_id")
+        # Materialize the gated batch FIRST (curate.py's multi-reference
+        # discipline): everything below — the within-batch groupBy
+        # semi-join, the bloom maybe/definitely split, docs for the
+        # signature stage, the near-dup drop anti-join — references
+        # `ann` from 2+ plan subtrees, and without a checkpoint each
+        # reference re-executes the whole gate chain (URL/DSIR/gopher/
+        # LM/annotate) per micro-batch.
+        #
+        # The within-batch dedup stays the groupBy+semi-join shape ON
+        # PURPOSE: a window row_number over _h was tried (one fewer
+        # materialization, 24 jobs) and measured WORSE at scale — the
+        # window shuffles the FULL document rows by hash, while the
+        # groupBy's exchange carries only (_h, doc_id) pairs and AQE
+        # broadcasts the survivor set back (ladder: 88 -> 126 µs/doc at
+        # 1M docs). Shuffles carry hashes, never documents.
+        # NULL-text rows drop explicitly (md5(NULL) = NULL): the join
+        # on a NULL key never matched anyway, but the filter makes the
+        # contract visible instead of incidental.
         ann = (
-            # NULL-text rows drop here, preserving the old groupBy+
-            # semi-join semantics (a join on the NULL hash key never
-            # matched, so NULL-text docs never reached the corpus; the
-            # window alone would keep rank 1 of the NULL partition)
-            ann.filter(F.col("_h").isNotNull())
-            .withColumn("_rn", F.row_number().over(w_h))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            ann.withColumn("_h", F.md5("text"))
+            .filter(F.col("_h").isNotNull())
             .localCheckpoint(eager=True)
         )
-        _mark("gates+dedup ckpt")
+        _mark("gates+annotate ckpt")
+        if self.stats:
+            stats_row["n_after_gates"] = ann.count()  # checkpointed: cheap
+        ann = ann.join(
+            ann.groupBy("_h").agg(F.min("doc_id").alias("doc_id")),
+            ["_h", "doc_id"],
+            "left_semi",
+        )
         idx = self._existing(spark, self.hash_path, exclude_batch_id=batch_id)
         if idx is not None:
             # every index batch must have a bloom file, or the union
