@@ -461,9 +461,12 @@ def gen_media_pdfs() -> tuple[list[tuple], list[tuple]]:
     plain simple-font, FlateDecoded, ObjStm-packed (page tree hidden
     from raw scans), CID/Type0 via ToUnicode (glyph codes ≠ Unicode,
     so the round trip only survives decoding through the CMap), and
-    CID+ObjStm combined — plus the two honest refusals (Type0 with no
-    CMap; encrypted), whose truth rows are (NULL, NULL): the quarantine
-    kernel yields NULL text/pages for them in every engine.
+    CID+ObjStm combined, AND a standard-handler RC4/R3 encrypted doc
+    with an empty user password (the owner-locked layout — it DECODES)
+    — plus the two honest refusals (Type0 with no CMap; a non-empty
+    user password, simulated by a tampered /U), whose truth rows are
+    (NULL, NULL): the quarantine kernel yields NULL text/pages for
+    them in every engine.
     truth_rows: (media_id, text, n_pages) computed from the
     CONSTRUCTION inputs (lines joined by newline, pages by blank line —
     the documented collapse convention), never by pdf_text."""
@@ -477,6 +480,10 @@ def gen_media_pdfs() -> tuple[list[tuple], list[tuple]]:
     c = [["gamma inside an object stream"], ["gamma page two"], ["gamma three"]]
     d = [["delta CID: héllo wörld", "ligature ﬁ — dash"], ["delta 你好 ✓"]]
     e = [["epsilon: CID and ObjStm combined"]]
+    f_enc = [["zeta: RC4 R3 encrypted text"], ["zeta page two"]]
+    locked = bytearray(encode_pdf([["locked away"]], encrypt_r=3))
+    ui = locked.find(b"/U <")
+    locked[ui + 4 : ui + 8] = b"0000"  # wrong /U: a non-empty user password
     pdf_rows = [
         (1, encode_pdf(a)),
         (2, encode_pdf(b, compress=True)),
@@ -484,7 +491,8 @@ def gen_media_pdfs() -> tuple[list[tuple], list[tuple]]:
         (4, encode_pdf_cid(d)),
         (5, encode_pdf_cid(e, objstm=True)),
         (6, encode_pdf_cid([["refused glyphs"]], with_tounicode=False)),
-        (7, encode_pdf([["refused secret"]]) + b"\n<< /Encrypt 9 0 R >>"),
+        (7, encode_pdf(f_enc, compress=True, encrypt_r=3)),
+        (8, bytes(locked)),
     ]
     truth_rows = [
         (1, expected(a), 2),
@@ -493,6 +501,7 @@ def gen_media_pdfs() -> tuple[list[tuple], list[tuple]]:
         (4, expected(d), 2),
         (5, expected(e), 1),
         (6, None, None),
-        (7, None, None),
+        (7, expected(f_enc), 2),
+        (8, None, None),
     ]
     return pdf_rows, truth_rows

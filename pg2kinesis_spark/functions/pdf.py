@@ -31,10 +31,15 @@ corpus is worse than a quarantined file):
   /Font dict. A code the CMap doesn't cover renders U+FFFD — an
   explicit unknown, never confident garbage.
 
-A Type0 font WITHOUT a usable ToUnicode CMap still raises
-NotImplementedError — its string bytes are glyph indices that need a
-CMap; decoding them as Latin-1 would produce confident garbage.
-Encrypted PDFs raise too. Both land in the standard quarantine
+Encrypted documents using the standard security handler with RC4
+(/V 1-2, /R 2-3) and an EMPTY user password — the owner-locked layout
+a crawl actually meets — decrypt for real (PDF 1.7 §7.6.3: key from
+the padding constant + /O + /P + /ID, per-object MD5-derived RC4
+keys, /U verified before trusting the key). A Type0 font WITHOUT a
+usable ToUnicode CMap still raises NotImplementedError — its string
+bytes are glyph indices that need a CMap; decoding them as Latin-1
+would produce confident garbage. Non-empty user passwords and
+AES/newer handlers raise too. All land in the standard quarantine
 channel in the Spark operator (`extract_pdf_text`).
 
 Objects are found by scanning (no xref dependence — real-world PDFs
@@ -209,7 +214,10 @@ def _expand_objstm(objs: dict[int, tuple[bytes, bytes | None]]) -> None:
     for head, body in list(objs.values()):
         if body is None or not re.search(rb"/Type\s*/ObjStm\b", head):
             continue
-        dec = _decode_stream(head, body)
+        try:
+            dec = _decode_stream(head, body)
+        except zlib.error:
+            continue  # corrupt/still-encrypted body: skip, don't die
         if dec is None:
             continue
         nm = re.search(rb"/N\s+(\d+)", head)
@@ -457,6 +465,155 @@ _CID_REFUSAL = (
 )
 
 
+# --- standard security handler (RC4, revisions 2-3) -------------------------
+#
+# Most "encrypted" PDFs in a crawl are owner-password-only: the USER
+# password is empty, and the spec's standard handler derives the key
+# from the padding constant alone — decrypting them is the documented,
+# intended read path (PDF 1.7 §7.6.3), not a bypass. This tier covers
+# /Filter /Standard with /V 1-2, /R 2-3 (RC4); AES (/V 4-5) and files
+# whose user password is NOT empty still raise into quarantine.
+
+_PWD_PAD = bytes.fromhex(
+    "28BF4E5E4E758A4164004E56FFFA01082E2E00B6D0683E802F0CA9FE6453697A"
+)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _md5(b: bytes) -> bytes:
+    import hashlib
+
+    return hashlib.md5(b).digest()
+
+
+def _std_owner_value(r: int, n: int, owner_pwd: bytes, user_pwd: bytes) -> bytes:
+    """Algorithm 3: the /O entry."""
+    h = _md5((owner_pwd + _PWD_PAD)[:32])
+    if r >= 3:
+        for _ in range(50):
+            h = _md5(h)
+    rc4key = h[:n]
+    o = _rc4(rc4key, (user_pwd + _PWD_PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in rc4key), o)
+    return o
+
+
+def _std_encryption_key(
+    r: int, n: int, o: bytes, p: int, file_id: bytes, user_pwd: bytes = b""
+) -> bytes:
+    """Algorithm 2: the file encryption key."""
+    h = _md5(
+        (user_pwd + _PWD_PAD)[:32]
+        + o
+        + (p & 0xFFFFFFFF).to_bytes(4, "little")
+        + file_id
+    )
+    if r >= 3:
+        for _ in range(50):
+            h = _md5(h[:n])
+    return h[:n]
+
+
+def _std_user_value(r: int, key: bytes, file_id: bytes) -> bytes:
+    """Algorithms 4 (R2) / 5 (R3): the /U entry."""
+    if r == 2:
+        return _rc4(key, _PWD_PAD)
+    x = _rc4(key, _md5(_PWD_PAD + file_id))
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x + bytes(16)
+
+
+def _object_rc4_key(key: bytes, num: int) -> bytes:
+    """Algorithm 1's per-object key (generation 0 — the only generation
+    the fixture writers and the scanning walk produce/see)."""
+    return _md5(key + num.to_bytes(3, "little") + bytes(2))[: min(len(key) + 5, 16)]
+
+
+def _pdf_string_bytes(head: bytes, key: bytes) -> bytes | None:
+    """The value of /Key as raw PDF-string bytes: hex or literal."""
+    m = re.search(re.escape(key) + rb"\s*<([0-9A-Fa-f\s]*)>", head)
+    if m:
+        hx = re.sub(rb"\s", b"", m.group(1))
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+    m = re.search(re.escape(key) + rb"\s*\(", head)
+    if m:
+        raw = _balanced_strings(head[m.end() - 1 :])
+        sm = re.match(rb"\((?:[^()\\]|\\.)*\)", raw)
+        if sm:
+            return _unescape_literal(sm.group(0)[1:-1])
+    return None
+
+
+def _decrypt_objects(data: bytes, objs: dict) -> None:
+    """If the file uses the standard RC4 handler with an empty user
+    password, decrypt every stream body in place; raise for anything
+    this tier can't honestly decrypt (AES, non-empty user password,
+    non-Standard filters, unresolvable /Encrypt)."""
+    em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data)
+    if not em:
+        # inline /Encrypt dict (rare) — unsupported shape
+        raise NotImplementedError("encrypted PDF: unresolvable /Encrypt")
+    enc_num = int(em.group(1))
+    entry = objs.get(enc_num)
+    if entry is None:
+        raise NotImplementedError("encrypted PDF: missing /Encrypt object")
+    head = entry[0]
+    fm = re.search(rb"/Filter\s*/(\w+)", head)
+    vm = re.search(rb"/V\s+(\d+)", head)
+    rm = re.search(rb"/R\s+(\d+)", head)
+    v = int(vm.group(1)) if vm else 0
+    r = int(rm.group(1)) if rm else 0
+    if not fm or fm.group(1) != b"Standard" or v not in (1, 2) or r not in (2, 3):
+        raise NotImplementedError(
+            f"encrypted PDF: only the Standard RC4 handler (V 1-2, R 2-3) "
+            f"decrypts; this file has /Filter {fm.group(1).decode() if fm else '?'} "
+            f"/V {v} /R {r} (AES and newer handlers quarantine)"
+        )
+    o_val = _pdf_string_bytes(head, b"/O")
+    pm = re.search(rb"/P\s+(-?\d+)", head)
+    u_val = _pdf_string_bytes(head, b"/U")
+    lm = re.search(rb"/Length\s+(\d+)", head)
+    if o_val is None or pm is None or u_val is None:
+        raise NotImplementedError("encrypted PDF: malformed /Encrypt dict")
+    n = (int(lm.group(1)) // 8) if (lm and r >= 3) else 5
+    idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", data)
+    file_id = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
+    key = _std_encryption_key(r, n, o_val[:32], int(pm.group(1)), file_id)
+    expect_u = _std_user_value(r, key, file_id)
+    got, want = (u_val[:16], expect_u[:16]) if r >= 3 else (u_val[:32], expect_u)
+    if got != want:
+        raise NotImplementedError(
+            "encrypted PDF: user password is not empty — cannot decrypt "
+            "without credentials"
+        )
+    for num, (h, body) in list(objs.items()):
+        # XRef streams are never encrypted (spec) and the /Encrypt
+        # object itself holds no stream; everything else decrypts.
+        if body is None or num == enc_num or b"/XRef" in h:
+            continue
+        objs[num] = (h, _rc4(_object_rc4_key(key, num), body))
+
+
 def _unescape_literal(raw: bytes) -> bytes:
     out = bytearray()
     i, n = 0, len(raw)
@@ -665,9 +822,12 @@ def pdf_text(data: bytes) -> str:
     data = bytes(data)
     if not is_pdf(data):
         raise ValueError("not a PDF: missing %PDF- header")
-    if b"/Encrypt" in data:
-        raise NotImplementedError("encrypted PDF")
     objs = _object_map(data)
+    if b"/Encrypt" in data:
+        # standard-handler RC4 with an empty user password decrypts for
+        # real (the owner-locked case); anything else raises into
+        # quarantine from _decrypt_objects
+        _decrypt_objects(data, objs)
     _expand_objstm(objs)
     order = _page_order(objs)
     has_t0 = _has_type0(data, objs)
@@ -728,13 +888,15 @@ def pdf_text(data: bytes) -> str:
 
 
 def pdf_page_count(data: bytes) -> int:
-    """Page-dict count, seeing through ObjStm compression; raw-bytes
-    regex as the no-object-parses fallback."""
+    """Page-dict count, seeing through ObjStm compression (and the
+    standard RC4 handler); raw-bytes regex as the fallback."""
     data = bytes(data)
     try:
         objs = _object_map(data)
+        if b"/Encrypt" in data:
+            _decrypt_objects(data, objs)
         _expand_objstm(objs)
-    except ValueError:
+    except (ValueError, NotImplementedError):
         objs = {}
     n = sum(1 for h, b in objs.values() if b is None and _PAGE_RE.search(h))
     if n:
@@ -752,14 +914,17 @@ def _assemble_pdf(
     objs: list[bytes | None],
     catalog: int,
     objstm_members: dict[int, bytes] | None = None,
+    encrypt_r: int | None = None,
 ) -> bytes:
     """Serialize numbered objects (+ optional ObjStm packing) into a
     file. ``objs[i]`` is object i+1's body; a None slot means that
     object lives in ``objstm_members`` (num → dict bytes) and is
-    emitted only inside the object stream. The classic-xref table only
-    covers the direct objects — readers of these fixtures scan, so the
-    xref is cosmetic (a spec-complete ObjStm file would use an xref
-    stream)."""
+    emitted only inside the object stream. ``encrypt_r`` (2 or 3)
+    encrypts every stream body with the standard RC4 handler at that
+    revision, empty owner AND user passwords — the owner-locked layout
+    a crawl actually meets. The classic-xref table only covers the
+    direct objects — readers of these fixtures scan, so the xref is
+    cosmetic (a spec-complete ObjStm file would use an xref stream)."""
     out = bytearray(b"%PDF-1.5\n" if objstm_members else b"%PDF-1.4\n")
     direct: list[tuple[int, bytes]] = [
         (i, body) for i, body in enumerate(objs, 1) if body is not None
@@ -780,6 +945,43 @@ def _assemble_pdf(
             + b" /Filter /FlateDecode >>\nstream\n" + z + b"\nendstream"
         )
         direct.append((len(objs) + 1, stm))
+    enc_num = None
+    enc_trailer = b""
+    if encrypt_r is not None:
+        if encrypt_r not in (2, 3):
+            raise ValueError(f"encrypt_r must be 2 or 3, got {encrypt_r}")
+        n = 5 if encrypt_r == 2 else 16
+        p = -44  # typical print-allowed permission mask
+        file_id = _md5(b"pg2kinesis_spark pdf fixture id")
+        o_val = _std_owner_value(encrypt_r, n, b"", b"")
+        key = _std_encryption_key(encrypt_r, n, o_val, p, file_id)
+        u_val = _std_user_value(encrypt_r, key, file_id)
+        encrypted: list[tuple[int, bytes]] = []
+        for num, body in direct:
+            sm = _STREAM_RE.search(body)
+            if sm and body.endswith(b"\nendstream"):
+                raw = body[sm.end() : -len(b"\nendstream")]
+                body = (
+                    body[: sm.end()]
+                    + _rc4(_object_rc4_key(key, num), raw)
+                    + b"\nendstream"
+                )
+            encrypted.append((num, body))
+        direct = encrypted
+        enc_num = len(objs) + (3 if objstm_members else 2)
+        direct.append((
+            enc_num,
+            b"<< /Filter /Standard /V " + (b"1" if encrypt_r == 2 else b"2")
+            + b" /R " + str(encrypt_r).encode()
+            + b" /Length " + str(n * 8).encode()
+            + b" /O <" + o_val.hex().encode() + b">"
+            + b" /U <" + u_val.hex().encode() + b">"
+            + b" /P " + str(p).encode() + b" >>",
+        ))
+        enc_trailer = (
+            b" /Encrypt " + str(enc_num).encode() + b" 0 R /ID [ <"
+            + file_id.hex().encode() + b"> <" + file_id.hex().encode() + b"> ]"
+        )
     offsets = []
     for num, body in direct:
         offsets.append((num, len(out)))
@@ -788,10 +990,11 @@ def _assemble_pdf(
     out += b"xref\n0 1\n0000000000 65535 f \n"
     for num, off in offsets:
         out += f"{num} 1\n{off:010d} 00000 n \n".encode()
-    total = len(objs) + (2 if objstm_members else 1)
+    total = max(n_ for n_, _ in direct) + 1 if direct else 1
     out += (
         b"trailer\n<< /Size " + str(total).encode()
-        + b" /Root " + str(catalog).encode() + b" 0 R >>\nstartxref\n"
+        + b" /Root " + str(catalog).encode() + b" 0 R" + enc_trailer
+        + b" >>\nstartxref\n"
         + str(xref_at).encode() + b"\n%%EOF\n"
     )
     return bytes(out)
@@ -802,8 +1005,9 @@ class _PdfBuilder:
     ObjStm membership for non-stream dicts, and the page-tree/catalog
     assembly both encode_pdf and encode_pdf_cid need."""
 
-    def __init__(self, objstm: bool):
+    def __init__(self, objstm: bool, encrypt_r: int | None = None):
         self.objstm = objstm
+        self.encrypt_r = encrypt_r
         self.objs: list[bytes | None] = []
         self.members: dict[int, bytes] = {}
 
@@ -855,20 +1059,27 @@ class _PdfBuilder:
             b"<< /Type /Catalog /Pages " + str(pages_id).encode() + b" 0 R >>"
         )
         return _assemble_pdf(
-            self.objs, catalog, self.members if self.objstm else None
+            self.objs,
+            catalog,
+            self.members if self.objstm else None,
+            encrypt_r=self.encrypt_r,
         )
 
 
 def encode_pdf(
-    pages: list[list[str]], compress: bool = False, objstm: bool = False
+    pages: list[list[str]],
+    compress: bool = False,
+    objstm: bool = False,
+    encrypt_r: int | None = None,
 ) -> bytes:
     """Minimal valid PDF: one content stream per page, each inner list
     is that page's lines — the independent side of pdf_text's contract,
     like every encode_* in codecs.py. ``objstm=True`` packs every
     non-stream object (font, pages, page dicts, catalog) into a
     FlateDecoded /ObjStm, the PDF 1.5+ layout that hides the page tree
-    from a raw-bytes scan."""
-    b = _PdfBuilder(objstm)
+    from a raw-bytes scan. ``encrypt_r`` (2/3) RC4-encrypts the streams
+    with empty passwords — the owner-locked layout."""
+    b = _PdfBuilder(objstm, encrypt_r)
     font = b.add_dict(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     content_ids = []
     for lines in pages:
@@ -887,6 +1098,7 @@ def encode_pdf_cid(
     with_tounicode: bool = True,
     objstm: bool = False,
     code_base: int = 0x0013,
+    encrypt_r: int | None = None,
 ) -> bytes:
     """CID/Type0 fixture: text is shown as hex strings of 2-byte glyph
     codes under an Identity-H Type0 font whose /ToUnicode CMap maps
@@ -905,7 +1117,7 @@ def encode_pdf_cid(
                     index[ch] = code_base + len(charset)
                     charset.append(ch)
 
-    b = _PdfBuilder(objstm)
+    b = _PdfBuilder(objstm, encrypt_r)
     tounicode = None
     if with_tounicode:
         entries = "\n".join(

@@ -279,3 +279,55 @@ def test_form_xobject_text_is_extracted():
     text = pdf_text(bytes(out))
     assert text.count("xobject text") == 1  # shared form: extracted once
     assert pdf_page_count(bytes(out)) == 2
+
+
+# --- round-6: standard-handler RC4 decryption --------------------------------
+
+
+def test_encrypted_rc4_empty_user_password_decodes():
+    """Owner-locked PDFs (standard handler, RC4, empty USER password)
+    decrypt for real — the spec's intended read path, covering both
+    revisions and composing with Flate/ObjStm/CID layouts."""
+    from pg2kinesis_spark.functions.pdf import encode_pdf_cid
+
+    pages = [["secret alpha line", "café ünïcode"], ["page two here"]]
+    for r in (2, 3):
+        for data in (
+            encode_pdf(pages, compress=True, encrypt_r=r),
+            encode_pdf(pages, compress=True, objstm=True, encrypt_r=r),
+            encode_pdf_cid(pages, encrypt_r=r),
+        ):
+            text = pdf_text(data)
+            assert "secret alpha line" in text and "page two here" in text
+            assert pdf_page_count(data) == 2
+    # the ciphertext is genuinely opaque: plaintext absent from bytes
+    enc = encode_pdf([["findme plaintext"]], encrypt_r=3)
+    assert b"findme" not in enc
+    assert "findme" in pdf_text(enc)
+
+
+def test_encrypted_refusals_stay_honest():
+    """Non-empty user passwords, AES/newer handlers, and unresolvable
+    /Encrypt markers all still raise into the quarantine channel."""
+    locked = bytearray(encode_pdf([["locked"]], encrypt_r=3))
+    i = locked.find(b"/U <")
+    locked[i + 4 : i + 8] = b"0000"  # wrong /U == non-empty user password
+    with pytest.raises(NotImplementedError, match="password"):
+        pdf_text(bytes(locked))
+    aes = encode_pdf([["x"]], encrypt_r=3).replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    with pytest.raises(NotImplementedError, match="AES"):
+        pdf_text(aes)
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        pdf_text(encode_pdf([["ok"]]) + b"\n<< /Encrypt 9 0 R >>")
+
+
+def test_fuzz_encrypted_pdfs():
+    from tests.test_codec_fuzz import _hammer
+
+    from pg2kinesis_spark.functions.pdf import encode_pdf_cid
+
+    fixtures = [
+        encode_pdf([["fuzz enc", "two"]], compress=True, encrypt_r=3),
+        encode_pdf_cid([["fuzz cid enc"]], objstm=True, encrypt_r=2),
+    ]
+    _hammer(pdf_text, fixtures, seed=49)
