@@ -461,8 +461,9 @@ def gen_media_pdfs() -> tuple[list[tuple], list[tuple]]:
     plain simple-font, FlateDecoded, ObjStm-packed (page tree hidden
     from raw scans), CID/Type0 via ToUnicode (glyph codes ≠ Unicode,
     so the round trip only survives decoding through the CMap), and
-    CID+ObjStm combined, AND a standard-handler RC4/R3 encrypted doc
-    with an empty user password (the owner-locked layout — it DECODES)
+    CID+ObjStm combined, AND owner-locked encrypted docs with empty
+    user passwords across all three cipher generations — RC4/R3,
+    AES-128 AESV2 (V4), AES-256 AESV3 (V5/R6) — which all DECODE
     — plus the two honest refusals (Type0 with no CMap; a non-empty
     user password, simulated by a tampered /U), whose truth rows are
     (NULL, NULL): the quarantine kernel yields NULL text/pages for
@@ -493,6 +494,8 @@ def gen_media_pdfs() -> tuple[list[tuple], list[tuple]]:
         (6, encode_pdf_cid([["refused glyphs"]], with_tounicode=False)),
         (7, encode_pdf(f_enc, compress=True, encrypt_r=3)),
         (8, bytes(locked)),
+        (9, encode_pdf([["eta: AESV2 encrypted"]], compress=True, encrypt_r=4)),
+        (10, encode_pdf_cid([["theta: AESV3 + CID"]], encrypt_r=6)),
     ]
     truth_rows = [
         (1, expected(a), 2),
@@ -503,5 +506,7 @@ def gen_media_pdfs() -> tuple[list[tuple], list[tuple]]:
         (6, None, None),
         (7, expected(f_enc), 2),
         (8, None, None),
+        (9, "eta: AESV2 encrypted", 1),
+        (10, "theta: AESV3 + CID", 1),
     ]
     return pdf_rows, truth_rows

@@ -516,14 +516,22 @@ def _std_owner_value(r: int, n: int, owner_pwd: bytes, user_pwd: bytes) -> bytes
 
 
 def _std_encryption_key(
-    r: int, n: int, o: bytes, p: int, file_id: bytes, user_pwd: bytes = b""
+    r: int,
+    n: int,
+    o: bytes,
+    p: int,
+    file_id: bytes,
+    user_pwd: bytes = b"",
+    encrypt_metadata_false: bool = False,
 ) -> bytes:
-    """Algorithm 2: the file encryption key."""
+    """Algorithm 2: the file encryption key (R4's /EncryptMetadata
+    false appends 0xFFFFFFFF to the hash input)."""
     h = _md5(
         (user_pwd + _PWD_PAD)[:32]
         + o
         + (p & 0xFFFFFFFF).to_bytes(4, "little")
         + file_id
+        + (b"\xff\xff\xff\xff" if encrypt_metadata_false else b"")
     )
     if r >= 3:
         for _ in range(50):
@@ -564,11 +572,45 @@ def _pdf_string_bytes(head: bytes, key: bytes) -> bytes | None:
     return None
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B hardened hash (R6): SHA-256 seed, then
+    AES-128-CBC-encrypt 64 copies of (pwd+K+udata) with K's halves as
+    key/IV, re-hash with SHA-256/384/512 chosen by the first 16 bytes'
+    sum mod 3, until round ≥ 64 and E's last byte ≤ round − 32.
+
+    Deliberately expensive (it is a password KDF) but BOUNDED: the
+    round count is 64-127 by construction and K1's size is bounded by
+    |K| ≤ 64, so hostile bytes can't inflate it — ~0.35 s in pure
+    Python per (pwd, salt) pair, memoized."""
+    import hashlib
+
+    from pg2kinesis_spark.functions.aes import cbc_encrypt
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = cbc_encrypt(k[:16], k[16:32], k1, pad=False)[16:]  # strip IV
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[sum(e[:16]) % 3](
+            e
+        ).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
 def _decrypt_objects(data: bytes, objs: dict) -> None:
-    """If the file uses the standard RC4 handler with an empty user
-    password, decrypt every stream body in place; raise for anything
-    this tier can't honestly decrypt (AES, non-empty user password,
-    non-Standard filters, unresolvable /Encrypt)."""
+    """If the file uses the standard security handler with an empty
+    user password — RC4 (V 1-2 / R 2-3), AES-128 AESV2 (V 4 / R 4), or
+    AES-256 AESV3 (V 5 / R 6) — decrypt every stream body in place;
+    raise for anything this tier can't honestly decrypt (non-empty
+    user password, non-Standard filters, unresolvable /Encrypt)."""
+    from pg2kinesis_spark.functions.aes import cbc_decrypt
+
     em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data)
     if not em:
         # inline /Encrypt dict (rare) — unsupported shape
@@ -583,35 +625,79 @@ def _decrypt_objects(data: bytes, objs: dict) -> None:
     rm = re.search(rb"/R\s+(\d+)", head)
     v = int(vm.group(1)) if vm else 0
     r = int(rm.group(1)) if rm else 0
-    if not fm or fm.group(1) != b"Standard" or v not in (1, 2) or r not in (2, 3):
+    supported = (
+        fm is not None
+        and fm.group(1) == b"Standard"
+        and ((v in (1, 2) and r in (2, 3)) or (v, r) == (4, 4) or (v, r) == (5, 6))
+    )
+    if v == 4 and b"/AESV2" not in head:
+        supported = False  # V4 with a non-AES crypt filter chain
+    if not supported:
         raise NotImplementedError(
-            f"encrypted PDF: only the Standard RC4 handler (V 1-2, R 2-3) "
-            f"decrypts; this file has /Filter {fm.group(1).decode() if fm else '?'} "
-            f"/V {v} /R {r} (AES and newer handlers quarantine)"
+            f"encrypted PDF: only the Standard handler with RC4 (V 1-2, "
+            f"R 2-3), AESV2 (V 4), or AESV3 (V 5, R 6) decrypts; this file "
+            f"has /Filter {fm.group(1).decode() if fm else '?'} /V {v} /R {r}"
         )
     o_val = _pdf_string_bytes(head, b"/O")
     pm = re.search(rb"/P\s+(-?\d+)", head)
     u_val = _pdf_string_bytes(head, b"/U")
-    lm = re.search(rb"/Length\s+(\d+)", head)
     if o_val is None or pm is None or u_val is None:
         raise NotImplementedError("encrypted PDF: malformed /Encrypt dict")
-    n = (int(lm.group(1)) // 8) if (lm and r >= 3) else 5
-    idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", data)
-    file_id = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
-    key = _std_encryption_key(r, n, o_val[:32], int(pm.group(1)), file_id)
-    expect_u = _std_user_value(r, key, file_id)
-    got, want = (u_val[:16], expect_u[:16]) if r >= 3 else (u_val[:32], expect_u)
-    if got != want:
-        raise NotImplementedError(
-            "encrypted PDF: user password is not empty — cannot decrypt "
-            "without credentials"
+
+    if r == 6:
+        # AESV3: /U = hash(32) + validation salt(8) + key salt(8); the
+        # file key comes from AES-decrypting /UE with the key-salt hash
+        ue_val = _pdf_string_bytes(head, b"/UE")
+        if len(u_val) < 48 or ue_val is None or len(ue_val) < 32:
+            raise NotImplementedError("encrypted PDF: malformed AESV3 /U //UE")
+        vsalt, ksalt = u_val[32:40], u_val[40:48]
+        if _hash_2b(b"", vsalt) != u_val[:32]:
+            raise NotImplementedError(
+                "encrypted PDF: user password is not empty — cannot "
+                "decrypt without credentials"
+            )
+        inter = _hash_2b(b"", ksalt)
+        key = cbc_decrypt(inter, bytes(16) + ue_val[:32], unpad=False)
+
+        def dec(num: int, body: bytes) -> bytes:
+            return cbc_decrypt(key, body)  # AESV3: file key used directly
+
+    else:
+        lm = re.search(rb"/Length\s+(\d+)", head)
+        n = (int(lm.group(1)) // 8) if (lm and r >= 3) else 5
+        idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", data)
+        file_id = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
+        meta = re.search(rb"/EncryptMetadata\s+false", head) is not None and r == 4
+        key = _std_encryption_key(
+            r, n, o_val[:32], int(pm.group(1)), file_id, encrypt_metadata_false=meta
         )
+        expect_u = _std_user_value(r, key, file_id)
+        got, want = (u_val[:16], expect_u[:16]) if r >= 3 else (u_val[:32], expect_u)
+        if got != want:
+            raise NotImplementedError(
+                "encrypted PDF: user password is not empty — cannot decrypt "
+                "without credentials"
+            )
+        if v == 4:
+            def dec(num: int, body: bytes) -> bytes:
+                # AESV2 per-object key: the RC4 derivation + sAlT
+                okey = _md5(
+                    key + num.to_bytes(3, "little") + bytes(2) + b"sAlT"
+                )[: min(n + 5, 16)]
+                return cbc_decrypt(okey, body)
+        else:
+            def dec(num: int, body: bytes) -> bytes:
+                return _rc4(_object_rc4_key(key, num), body)
+
     for num, (h, body) in list(objs.items()):
         # XRef streams are never encrypted (spec) and the /Encrypt
         # object itself holds no stream; everything else decrypts.
         if body is None or num == enc_num or b"/XRef" in h:
             continue
-        objs[num] = (h, _rc4(_object_rc4_key(key, num), body))
+        try:
+            objs[num] = (h, dec(num, body))
+        except ValueError as e:
+            raise NotImplementedError(f"encrypted PDF: {e}") from e
 
 
 def _unescape_literal(raw: bytes) -> bytes:
@@ -948,36 +1034,99 @@ def _assemble_pdf(
     enc_num = None
     enc_trailer = b""
     if encrypt_r is not None:
-        if encrypt_r not in (2, 3):
-            raise ValueError(f"encrypt_r must be 2 or 3, got {encrypt_r}")
-        n = 5 if encrypt_r == 2 else 16
+        if encrypt_r not in (2, 3, 4, 6):
+            raise ValueError(
+                f"encrypt_r must be 2/3 (RC4), 4 (AESV2) or 6 (AESV3), "
+                f"got {encrypt_r}"
+            )
+        from pg2kinesis_spark.functions.aes import cbc_encrypt
+
         p = -44  # typical print-allowed permission mask
         file_id = _md5(b"pg2kinesis_spark pdf fixture id")
-        o_val = _std_owner_value(encrypt_r, n, b"", b"")
-        key = _std_encryption_key(encrypt_r, n, o_val, p, file_id)
-        u_val = _std_user_value(encrypt_r, key, file_id)
+        if encrypt_r == 6:
+            # AESV3: empty user+owner passwords; deterministic salts/key
+            vsalt = _md5(b"fixture vsalt")[:8]
+            ksalt = _md5(b"fixture ksalt")[:8]
+            key = _md5(b"fixture file key A") + _md5(b"fixture file key B")
+            u_val = _hash_2b(b"", vsalt) + vsalt + ksalt
+            ue_val = cbc_encrypt(
+                _hash_2b(b"", ksalt), bytes(16), key, pad=False
+            )[16:]
+            o_vs = _md5(b"fixture o vsalt")[:8]
+            o_ks = _md5(b"fixture o ksalt")[:8]
+            o_val = _hash_2b(b"", o_vs, u_val) + o_vs + o_ks
+            oe_val = cbc_encrypt(
+                _hash_2b(b"", o_ks, u_val), bytes(16), key, pad=False
+            )[16:]
+
+            def enc_body(num: int, raw: bytes) -> bytes:
+                iv = _md5(b"iv" + num.to_bytes(4, "little"))
+                return cbc_encrypt(key, iv, raw)
+
+            enc_dict = (
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256"
+                b" /O <" + o_val.hex().encode() + b">"
+                b" /U <" + u_val.hex().encode() + b">"
+                b" /OE <" + oe_val.hex().encode() + b">"
+                b" /UE <" + ue_val.hex().encode() + b">"
+                b" /P " + str(p).encode() +
+                b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+                b" /StmF /StdCF /StrF /StdCF >>"
+            )
+        else:
+            n = 5 if encrypt_r == 2 else 16
+            o_val = _std_owner_value(encrypt_r, n, b"", b"")
+            key = _std_encryption_key(encrypt_r, n, o_val, p, file_id)
+            u_val = _std_user_value(encrypt_r, key, file_id)
+            if encrypt_r == 4:
+                def enc_body(num: int, raw: bytes) -> bytes:
+                    okey = _md5(
+                        key + num.to_bytes(3, "little") + bytes(2) + b"sAlT"
+                    )[: min(n + 5, 16)]
+                    iv = _md5(b"iv" + num.to_bytes(4, "little"))
+                    return cbc_encrypt(okey, iv, raw)
+
+                enc_dict = (
+                    b"<< /Filter /Standard /V 4 /R 4 /Length 128"
+                    b" /O <" + o_val.hex().encode() + b">"
+                    b" /U <" + u_val.hex().encode() + b">"
+                    b" /P " + str(p).encode() +
+                    b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                    b" /StmF /StdCF /StrF /StdCF >>"
+                )
+            else:
+                def enc_body(num: int, raw: bytes) -> bytes:
+                    return _rc4(_object_rc4_key(key, num), raw)
+
+                enc_dict = (
+                    b"<< /Filter /Standard /V "
+                    + (b"1" if encrypt_r == 2 else b"2")
+                    + b" /R " + str(encrypt_r).encode()
+                    + b" /Length " + str(n * 8).encode()
+                    + b" /O <" + o_val.hex().encode() + b">"
+                    + b" /U <" + u_val.hex().encode() + b">"
+                    + b" /P " + str(p).encode() + b" >>"
+                )
         encrypted: list[tuple[int, bytes]] = []
         for num, body in direct:
             sm = _STREAM_RE.search(body)
             if sm and body.endswith(b"\nendstream"):
                 raw = body[sm.end() : -len(b"\nendstream")]
-                body = (
-                    body[: sm.end()]
-                    + _rc4(_object_rc4_key(key, num), raw)
-                    + b"\nendstream"
+                ct = enc_body(num, raw)
+                # AES padding/IV changes the length: fix /Length so the
+                # declared-length fast path still lands on 'endstream'
+                head_part = body[: sm.start()]
+                head_part = re.sub(
+                    rb"/Length\s+\d+",
+                    b"/Length " + str(len(ct)).encode(),
+                    head_part,
+                    count=1,
                 )
+                body = head_part + b"stream\n" + ct + b"\nendstream"
             encrypted.append((num, body))
         direct = encrypted
         enc_num = len(objs) + (3 if objstm_members else 2)
-        direct.append((
-            enc_num,
-            b"<< /Filter /Standard /V " + (b"1" if encrypt_r == 2 else b"2")
-            + b" /R " + str(encrypt_r).encode()
-            + b" /Length " + str(n * 8).encode()
-            + b" /O <" + o_val.hex().encode() + b">"
-            + b" /U <" + u_val.hex().encode() + b">"
-            + b" /P " + str(p).encode() + b" >>",
-        ))
+        direct.append((enc_num, enc_dict))
         enc_trailer = (
             b" /Encrypt " + str(enc_num).encode() + b" 0 R /ID [ <"
             + file_id.hex().encode() + b"> <" + file_id.hex().encode() + b"> ]"

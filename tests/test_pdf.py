@@ -331,3 +331,44 @@ def test_fuzz_encrypted_pdfs():
         encode_pdf_cid([["fuzz cid enc"]], objstm=True, encrypt_r=2),
     ]
     _hammer(pdf_text, fixtures, seed=49)
+
+
+def test_encrypted_aes_v2_and_v3_decode():
+    """AESV2 (V4/R4, AES-128, per-object sAlT keys) and AESV3 (V5/R6,
+    AES-256 file key via the Algorithm 2.B hardened hash + /UE) both
+    decode with empty user passwords, across layouts."""
+    from pg2kinesis_spark.functions.pdf import encode_pdf_cid
+
+    pages = [["aes secret line", "café ünïcode"], ["page two here"]]
+    for r in (4, 6):
+        for data in (
+            encode_pdf(pages, compress=True, encrypt_r=r),
+            encode_pdf(pages, compress=True, objstm=True, encrypt_r=r),
+            encode_pdf_cid(pages, encrypt_r=r),
+        ):
+            text = pdf_text(data)
+            assert "aes secret line" in text and "page two here" in text
+            assert pdf_page_count(data) == 2
+    enc = encode_pdf([["findme plaintext"]], encrypt_r=6)
+    assert b"findme" not in enc
+    assert "findme" in pdf_text(enc)
+    # AESV3 with a tampered validation hash == non-empty user password
+    bad = bytearray(encode_pdf([["x"]], encrypt_r=6))
+    i = bad.find(b"/U <")
+    bad[i + 4 : i + 8] = b"0000"
+    with pytest.raises(NotImplementedError, match="password"):
+        pdf_text(bytes(bad))
+
+
+def test_fuzz_aes_encrypted_pdfs():
+    from tests.test_codec_fuzz import _hammer
+
+    fixtures = [
+        encode_pdf([["fuzz aes v2"]], compress=True, encrypt_r=4),
+        encode_pdf([["fuzz aes v3"]], encrypt_r=6),
+    ]
+    # budget 2 s, not the codec default 0.5 s: a corruption that lands
+    # in the AESV3 salts forces a fresh Algorithm 2.B run, which is a
+    # password KDF — deliberately ~0.35 s, but BOUNDED by construction
+    # (64-127 rounds, K1 ≤ 4 KiB) so hostile bytes can't inflate it.
+    _hammer(pdf_text, fixtures, seed=50, budget_s=2.0)
