@@ -22,7 +22,10 @@ corpus is worse than a quarantined file):
   vertical component, and ``Tm`` re-positioning;
 * simple (Type1/TrueType) fonts decode byte→char as Latin-1
   (StandardEncoding's printable range) — correct for the unembedded
-  base-14-font documents;
+  base-14-font documents — with /Encoding /Differences overrides
+  resolved through glyph names (algorithmic uniXXXX/uXXXXXX plus the
+  high-frequency Adobe-Glyph-List subset; unknown names render
+  U+FFFD);
 * CID/Type0 fonts (the dominant post-2005 case) decode through the
   font's embedded **/ToUnicode CMap** (``bfchar`` + ``bfrange``
   entries, both scalar-increment and array destinations, UTF-16BE
@@ -31,16 +34,19 @@ corpus is worse than a quarantined file):
   /Font dict. A code the CMap doesn't cover renders U+FFFD — an
   explicit unknown, never confident garbage.
 
-Encrypted documents using the standard security handler with RC4
-(/V 1-2, /R 2-3) and an EMPTY user password — the owner-locked layout
-a crawl actually meets — decrypt for real (PDF 1.7 §7.6.3: key from
-the padding constant + /O + /P + /ID, per-object MD5-derived RC4
-keys, /U verified before trusting the key). A Type0 font WITHOUT a
-usable ToUnicode CMap still raises NotImplementedError — its string
-bytes are glyph indices that need a CMap; decoding them as Latin-1
-would produce confident garbage. Non-empty user passwords and
-AES/newer handlers raise too. All land in the standard quarantine
-channel in the Spark operator (`extract_pdf_text`).
+Encrypted documents using the standard security handler with an
+EMPTY user password — the owner-locked layout a crawl actually meets
+— decrypt for real across all three cipher generations: RC4 (/V 1-2,
+/R 2-3; PDF 1.7 §7.6.3 key derivation + per-object MD5 keys), AES-128
+AESV2 (/V 4; per-object sAlT keys, IV+CBC+PKCS#7), and AES-256 AESV3
+(/V 5 /R 6; ISO 32000-2 Algorithm 2.B hardened KDF validates /U, the
+file key unwraps from /UE) — on functions/aes.py's generated-table
+AES. /U is always verified BEFORE trusting a key. A Type0 font
+WITHOUT a usable ToUnicode CMap still raises NotImplementedError —
+its string bytes are glyph indices that need a CMap; decoding them as
+Latin-1 would produce confident garbage. Non-empty user passwords
+raise too. All land in the standard quarantine channel in the Spark
+operator (`extract_pdf_text`).
 
 Objects are found by scanning (no xref dependence — real-world PDFs
 have broken xref tables constantly); stream bodies are delimited by
@@ -399,12 +405,83 @@ def _parse_tounicode(data: bytes | None) -> tuple[int, dict[int, str]] | None:
     return (code_len, mapping) if mapping else None
 
 
+# Glyph-name → unicode for /Differences remaps: uniXXXX/uXXXX[XX]
+# names resolve algorithmically (the AGL's own rule); the map below is
+# the high-frequency Adobe-Glyph-List subset a Differences array
+# actually remaps in machine-generated documents. An unknown name
+# renders U+FFFD — explicit unknown, never a confidently wrong char.
+_GLYPH_NAMES = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "adieresis": "ä", "odieresis": "ö", "udieresis": "ü",
+    "Adieresis": "Ä", "Odieresis": "Ö", "Udieresis": "Ü",
+    "germandbls": "ß", "eacute": "é", "egrave": "è", "ecircumflex": "ê",
+    "agrave": "à", "acircumflex": "â", "ccedilla": "ç", "ntilde": "ñ",
+    "aacute": "á", "iacute": "í", "oacute": "ó", "uacute": "ú",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "fi": "ﬁ", "fl": "ﬂ", "degree": "°",
+    "euro": "€", "sterling": "£", "yen": "¥", "cent": "¢",
+    "section": "§", "paragraph": "¶", "copyright": "©",
+    "registered": "®", "trademark": "™",
+}
+
+
+def _glyph_to_char(name: str) -> str:
+    if len(name) == 1:
+        return name  # /a /B /7 — the name IS the character
+    m = re.fullmatch(r"uni([0-9A-Fa-f]{4})", name)
+    if m:
+        return chr(int(m.group(1), 16))
+    m = re.fullmatch(r"u([0-9A-Fa-f]{4,6})", name)
+    if m:
+        cp = int(m.group(1), 16)
+        return chr(cp) if cp <= 0x10FFFF else "�"
+    return _GLYPH_NAMES.get(name, "�")
+
+
+def _parse_differences(fhead: bytes) -> dict[int, str] | None:
+    """byte → char overrides from a simple font's /Encoding
+    << /Differences [ code /name /name ... code /name ... ] >>."""
+    em = re.search(rb"/Differences\s*\[([^\]]*)\]", fhead)
+    if not em:
+        return None
+    out: dict[int, str] = {}
+    code = 0
+    for tok in re.finditer(rb"(\d+)|/([^\s/<>\[\]()]+)", em.group(1)):
+        if tok.group(1) is not None:
+            code = int(tok.group(1))
+        else:
+            if 0 <= code <= 255:
+                out[code] = _glyph_to_char(tok.group(2).decode("latin-1"))
+            code += 1
+    return out or None
+
+
 def _font_decoder(objs: dict, fhead: bytes) -> tuple:
-    """('simple', None) for byte-per-char fonts; ('cid', (code_len,
-    mapping)) for Type0 with a usable ToUnicode; ('cid', None) for
-    Type0 without one — which refuses at first use."""
+    """('simple', byte-override-map | None) for byte-per-char fonts
+    (the map comes from an /Encoding /Differences array — unmapped
+    bytes stay Latin-1); ('cid', (code_len, mapping)) for Type0 with a
+    usable ToUnicode; ('cid', None) for Type0 without one — which
+    refuses at first use."""
     if not re.search(rb"/Subtype\s*/Type0\b", fhead) and b"/Type0" not in fhead:
-        return ("simple", None)
+        diffs = _parse_differences(fhead)
+        if diffs is None:
+            # /Encoding may be an indirect dict holding the array
+            enc = _lookup_dict(objs, fhead, b"/Encoding")
+            if enc is not None:
+                diffs = _parse_differences(enc)
+        return ("simple", diffs)
     tu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fhead)
     if tu:
         t = objs.get(int(tu.group(1)))
@@ -808,7 +885,10 @@ def _extract_text_ops(
             return
         if kind == "unknown" and has_type0 and fonts is not None:
             raise NotImplementedError(_CID_REFUSAL)
-        parts.append(b.decode("latin-1"))
+        if mp:  # /Encoding /Differences overrides; other bytes Latin-1
+            parts.append("".join(mp.get(x, chr(x)) for x in b))
+        else:
+            parts.append(b.decode("latin-1"))
 
     pos = 0
     while True:

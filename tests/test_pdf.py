@@ -372,3 +372,25 @@ def test_fuzz_aes_encrypted_pdfs():
     # password KDF — deliberately ~0.35 s, but BOUNDED by construction
     # (64-127 rounds, K1 ≤ 4 KiB) so hostile bytes can't inflate it.
     _hammer(pdf_text, fixtures, seed=50, budget_s=2.0)
+
+
+def test_simple_font_encoding_differences():
+    """/Encoding /Differences remaps bytes through glyph names:
+    algorithmic uniXXXX, AGL names, single-char names; unknown names
+    render U+FFFD; unmapped bytes stay Latin-1."""
+    content = b"BT /F1 10 Tf 10 10 Td (caf\x80 \x81 \x82 \xc8 plain) Tj ET"
+    objs = [
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom /Encoding "
+        b"<< /Differences [ 128 /adieresis /uni20AC /q 200 /madeupname ] >> >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+        b"<< /Type /Page /Parent 4 0 R /Contents 2 0 R /Resources "
+        b"<< /Font << /F1 1 0 R >> >> >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Catalog /Pages 4 0 R >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for i, body in enumerate(objs, 1):
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    out += b"%%EOF\n"
+    assert pdf_text(bytes(out)) == "cafä € q \N{REPLACEMENT CHARACTER} plain"
