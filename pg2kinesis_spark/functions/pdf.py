@@ -7,7 +7,11 @@ implements the well-defined subsets and REFUSES the rest loudly (the
 codecs.py honesty rule — wrong text silently entering a training
 corpus is worse than a quarantined file):
 
-* content streams stored raw or /FlateDecode (bounded inflate);
+* content streams through the text-bearing filter set, alone or
+  CHAINED in declared order: /FlateDecode, /LZWDecode (TIFF
+  variant, /EarlyChange honored), /ASCIIHexDecode,
+  /ASCII85Decode, /RunLengthDecode — every inflating step
+  MAX_INFLATE-bounded; image filters (DCT/JPX/CCITT/JBIG2) skip;
 * PDF 1.5+ object streams (``/Type /ObjStm``): compressed non-stream
   objects (page dicts, font dicts, the catalog) are inflated and
   joined to the object map, so post-2005 writers that hide the page
@@ -142,17 +146,120 @@ def _iter_streams(data: bytes):
         pos = (e + 9) if e >= 0 else len(data)
 
 
-def _decode_stream(sdict: bytes, body: bytes) -> bytes | None:
-    """Raw or FlateDecode body; None for filters this tier won't fake."""
-    if b"/Filter" not in sdict:
-        return body
-    if b"/FlateDecode" in sdict and b"[" not in sdict.split(b"/Filter", 1)[1][:20]:
-        d = zlib.decompressobj()
-        out = d.decompress(body, MAX_INFLATE + 1)
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """TIFF-variant LZW (PDF /LZWDecode): MSB-first 9-12 bit codes,
+    256 = clear table, 257 = EOD; /EarlyChange (default 1) bumps the
+    code width one code early. Bounded by MAX_INFLATE."""
+    base = {i: bytes([i]) for i in range(256)}
+    table = dict(base)
+    next_code, width = 258, 9
+    out = bytearray()
+    prev: bytes | None = None
+    val = nbits = 0
+    for byte in data:
+        val = (val << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (val >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            val &= (1 << nbits) - 1
+            if code == 256:
+                table = dict(base)
+                next_code, width = 258, 9
+                prev = None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code] if code in table else None
+                if entry is None:
+                    raise ValueError("LZW: first code not a literal")
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError(f"LZW: code {code} out of range")
+            out += entry
+            if len(out) > MAX_INFLATE:
+                raise ValueError(f"PDF stream inflates past {MAX_INFLATE} bytes")
+            prev = entry
+            if next_code + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _rle_decode(data: bytes) -> bytes:
+    """PDF /RunLengthDecode: length byte < 128 copies n+1 literals,
+    > 128 repeats the next byte 257-n times, 128 = EOD."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        l = data[i]
+        i += 1
+        if l == 128:
+            break
+        if l < 128:
+            out += data[i : i + l + 1]
+            i += l + 1
+        else:
+            if i >= n:
+                break
+            out += data[i : i + 1] * (257 - l)
+            i += 1
         if len(out) > MAX_INFLATE:
             raise ValueError(f"PDF stream inflates past {MAX_INFLATE} bytes")
-        return out
-    return None  # DCT/LZW/filter chains: not text content for this tier
+    return bytes(out)
+
+
+def _filter_names(sdict: bytes) -> list[bytes]:
+    m = re.search(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)", sdict)
+    if not m:
+        return []
+    return re.findall(rb"/([A-Za-z0-9]+)", m.group(1))
+
+
+def _decode_stream(sdict: bytes, body: bytes) -> bytes | None:
+    """Apply the stream's filter chain for the text-bearing filters
+    (Flate, LZW, ASCIIHex, ASCII85, RunLength — in declared order);
+    None for image filters (DCT/JPX/CCITT/JBIG2) this tier won't
+    fake. Every inflating step is MAX_INFLATE-bounded."""
+    names = _filter_names(sdict)
+    if not names:
+        return body
+    import base64
+
+    out = body
+    for nm in names:
+        if nm == b"FlateDecode":
+            d = zlib.decompressobj()
+            out = d.decompress(out, MAX_INFLATE + 1)
+            if len(out) > MAX_INFLATE:
+                raise ValueError(f"PDF stream inflates past {MAX_INFLATE} bytes")
+        elif nm == b"LZWDecode":
+            em = re.search(rb"/EarlyChange\s+(\d+)", sdict)
+            out = _lzw_decode(out, early=int(em.group(1)) if em else 1)
+        elif nm == b"ASCIIHexDecode":
+            hx = re.sub(rb"[\s>]", b"", out.split(b">")[0] + b"")
+            if len(hx) % 2:
+                hx += b"0"
+            out = bytes.fromhex(hx.decode("ascii"))
+        elif nm == b"ASCII85Decode":
+            payload = re.sub(rb"\s", b"", out).split(b"~>")[0]
+            out = base64.a85decode(b"<~" + payload + b"~>", adobe=True)
+            if len(out) > MAX_INFLATE:
+                raise ValueError(f"PDF stream inflates past {MAX_INFLATE} bytes")
+        elif nm == b"RunLengthDecode":
+            out = _rle_decode(out)
+        elif nm == b"Crypt":
+            continue  # /Identity crypt filter: handled at the object layer
+        else:
+            return None  # DCT/JPX/CCITT/JBIG2: image data, not text
+    return out
 
 
 # --- object graph (scan-based, xref-free) ----------------------------------

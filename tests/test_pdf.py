@@ -394,3 +394,96 @@ def test_simple_font_encoding_differences():
         out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
     out += b"%%EOF\n"
     assert pdf_text(bytes(out)) == "cafä € q \N{REPLACEMENT CHARACTER} plain"
+
+
+def _lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Reference TIFF-variant LZW encoder (test-side independent twin)."""
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    out, val, nbits = bytearray(), 0, 0
+
+    def emit(code, w):
+        nonlocal val, nbits
+        val = (val << w) | code
+        nbits += w
+        while nbits >= 8:
+            nbits -= 8
+            out.append((val >> nbits) & 0xFF)
+
+    emit(256, width)
+    w = b""
+    for ch in bytes(data):
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+        else:
+            emit(table[w], width)
+            table[wc] = next_code
+            next_code += 1
+            if next_code + early - 1 >= (1 << width) and width < 12:
+                width += 1
+            w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if nbits:
+        val <<= 8 - nbits
+        out.append(val & 0xFF)
+    return bytes(out)
+
+
+def test_filter_chains_lzw_a85_hex_rle():
+    """The text-bearing filter set decodes, alone and CHAINED in
+    declared order; image filters still skip; bombs stay bounded."""
+    import base64
+    import random
+
+    from pg2kinesis_spark.functions.pdf import (
+        _decode_stream,
+        _lzw_decode,
+        _rle_decode,
+    )
+
+    rng = random.Random(3)
+    for n in (0, 1, 50, 5000):
+        data = bytes(rng.choice(b"abcde\n ") for _ in range(n))
+        assert _lzw_decode(_lzw_encode(data)) == data
+    assert (
+        _rle_decode(bytes([2]) + b"abc" + bytes([254]) + b"x" + bytes([128]))
+        == b"abc" + b"x" * 3
+    )
+
+    content = b"BT /F1 10 Tf 10 10 Td (chained filters) Tj ET"
+    z = zlib.compress(content)
+    a85 = base64.a85encode(z) + b"~>"
+    assert _decode_stream(b"<< /Filter [ /ASCII85Decode /FlateDecode ] >>", a85) == content
+    hx = z.hex().encode() + b">"
+    assert _decode_stream(b"<< /Filter [ /ASCIIHexDecode /FlateDecode ] >>", hx) == content
+    assert _decode_stream(b"<< /Filter /DCTDecode >>", b"\xff\xd8jpeg") is None
+
+    # end-to-end: an LZW content stream (the pre-Flate-era layout)
+    lz = _lzw_encode(content)
+    objs = [
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Filter /LZWDecode /Length " + str(len(lz)).encode()
+        + b" >>\nstream\n" + lz + b"\nendstream",
+        b"<< /Type /Page /Parent 4 0 R /Contents 2 0 R /Resources "
+        b"<< /Font << /F1 1 0 R >> >> >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Catalog /Pages 4 0 R >>",
+    ]
+    out = bytearray(b"%PDF-1.2\n")
+    for i, body in enumerate(objs, 1):
+        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    assert pdf_text(bytes(out)) == "chained filters"
+
+    # LZW bomb: a tiny input that would inflate past the cap must raise
+    import pg2kinesis_spark.functions.pdf as P
+
+    old_cap = P.MAX_INFLATE
+    P.MAX_INFLATE = 1 << 10
+    try:
+        with pytest.raises(ValueError, match="inflates"):
+            _lzw_decode(_lzw_encode(bytes(1 << 12)))
+    finally:
+        P.MAX_INFLATE = old_cap
