@@ -255,14 +255,24 @@ def _banded(sig: DataFrame, k: int, bands: int) -> DataFrame:
 
 def _est_jaccard(cand: DataFrame, sig: DataFrame, k: int) -> DataFrame:
     """Re-join signatures for the candidate pairs only and score them.
-    selectExpr strings for the same py4j-chatter reason as _banded."""
+    selectExpr strings for the same py4j-chatter reason as _banded.
+
+    ``n_eq`` (matching-component count, 0..k) is the primary score
+    column — an exact integer, so any downstream hash/oracle comparison
+    is immune to engine float-rendering differences. ``est_jaccard`` is
+    the derived ratio for API users."""
     s1 = sig.selectExpr("doc_id AS id1", *[f"mh{i} AS a_mh{i}" for i in range(k)])
     s2 = sig.selectExpr("doc_id AS id2", *[f"mh{i} AS b_mh{i}" for i in range(k)])
     eq = " + ".join(f"IF(a_mh{i} = b_mh{i}, 1, 0)" for i in range(k))
     return (
         cand.join(s1, "id1")
         .join(s2, "id2")
-        .selectExpr("id1", "id2", f"({eq}) / {float(k)} AS est_jaccard")
+        .selectExpr(
+            "id1",
+            "id2",
+            f"CAST(({eq}) AS INT) AS n_eq",
+            f"({eq}) / {float(k)} AS est_jaccard",
+        )
     )
 
 

@@ -66,8 +66,16 @@ def n7_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def n8_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Driver row is all-integer (id1, id2, n_eq): the float est_jaccard
+    # ratio was the row's only non-integer render surface and a DuckDB
+    # version skew flipped its hash in r6 despite byte-identical inputs
+    # (VERDICT r6 §what's-wrong #1). est_jaccard stays on the API path.
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
-    return dedup.minhash_lsh_pairs(docs, n=3, k=16, bands=4, seed=7).orderBy("id1", "id2")
+    return (
+        dedup.minhash_lsh_pairs(docs, n=3, k=16, bands=4, seed=7)
+        .select("id1", "id2", "n_eq")
+        .orderBy("id1", "id2")
+    )
 
 
 def n9_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,7 +262,7 @@ def _lsh_pairs_sql() -> str:
     return f"""
 WITH sig AS ({sig}),
 banded AS (SELECT *, {', '.join(bands)} FROM sig)
-SELECT a.doc_id AS id1, b.doc_id AS id2, ({eq}) / 16.0 AS est_jaccard
+SELECT a.doc_id AS id1, b.doc_id AS id2, CAST(({eq}) AS INTEGER) AS n_eq
 FROM banded a JOIN banded b
   ON a.doc_id < b.doc_id
  AND (a.band0 = b.band0 OR a.band1 = b.band1 OR a.band2 = b.band2 OR a.band3 = b.band3)
