@@ -775,18 +775,358 @@ def encode_mp3_layer1(
     return bytes(out)
 
 
+# --- MP3 Layer II subband codec + Layer III energy proxy --------------------
+#
+# Layer II (ISO 11172-3 §2.4 Layer II) shares Layer I's 32-subband
+# structure but quantizes 36 samples/subband per frame with per-subband
+# allowed-step tables (Annex B tables B.2a-d) and grouped codes for the
+# 3/5/9-step classes. Same Parseval argument as Layer I: subband-domain
+# energy is what the fingerprint needs, so no synthesis filterbank.
+#
+# Layer III frames (Huffman + MDCT) get an ENERGY PROXY, not a decode:
+# the side info parses without any Huffman work, and the per-granule
+# global_gain IS the decoder's amplitude scale (samples scale as
+# 2^((global_gain-210)/4), ISO §2.4.3.4.7.1), so
+# 2^((global_gain-210)/2) tracks granule energy up to the spectral
+# shape the encoder folded into the scalefactors — exactly the envelope
+# resolution the adjacent-window fingerprint comparisons consume.
+# part2_3_length == 0 marks a digitally-silent granule (no spectral
+# data at all), which must be energy 0, not 2^((0-210)/2).
+
+# Quantization classes, ISO 11172-3 Table B.4: (nlevels, grouped, bits).
+# Grouped classes pack 3 consecutive samples base-nlevels in one code.
+_L2_QC = [
+    (3, True, 5), (5, True, 7), (7, False, 3), (9, True, 10),
+    (15, False, 4), (31, False, 5), (63, False, 6), (127, False, 7),
+    (255, False, 8), (511, False, 9), (1023, False, 10), (2047, False, 11),
+    (4095, False, 12), (8191, False, 13), (16383, False, 14),
+    (32767, False, 15), (65535, False, 16),
+]
+# The distinct per-subband allowed-class columns of tables B.2a-d,
+# indexed by (allocation - 1); allocation 0 is silent everywhere.
+_L2_ALLOC_ROWS = [
+    (0, 1, 16),
+    (0, 1, 2, 3, 4, 5, 16),
+    (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14),
+    (0, 1, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15),
+    (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 16),
+    (0, 2, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16),
+]
+# (allocation-field width, _L2_ALLOC_ROWS row) per subband-class id.
+_L2_BITALLOC = [(2, 0), (2, 3), (3, 3), (3, 1), (4, 2), (4, 3), (4, 4), (4, 5)]
+# MPEG-1 tables B.2a-d: sblimit + per-subband class ids.
+_L2_SBQUANT = {
+    "a": (27, [7, 7, 7, 6, 6, 6, 6, 6, 6, 6, 6, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 0, 0, 0, 0]),
+    "b": (30, [7, 7, 7, 6, 6, 6, 6, 6, 6, 6, 6, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 3, 0, 0, 0, 0, 0, 0, 0]),
+    "c": (8, [5, 5, 2, 2, 2, 2, 2, 2]),
+    "d": (12, [5, 5, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2]),
+}
+
+
+def _l2_table(rate: int, kbps_per_ch: float) -> tuple[int, list[int]]:
+    """Annex-B table selection (ISO 11172-3 §2.4.2.2, MPEG-1)."""
+    if (rate == 48000 and kbps_per_ch >= 56) or 56 <= kbps_per_ch <= 80:
+        key = "a"
+    elif rate != 48000 and kbps_per_ch >= 96:
+        key = "b"
+    elif rate != 32000 and kbps_per_ch <= 48:
+        key = "c"
+    else:
+        key = "d"
+    return _L2_SBQUANT[key]
+
+
+def _l2_dequant(code: int, nlevels: int) -> float:
+    """Layer II requantization collapsed to its closed midtread form:
+    the spec's s'' = C·(s''' + D) with C = 2^nb/nlevels and the Table
+    B.4 D offsets lands every class on (2·code − (nlevels−1))/nlevels
+    — symmetric, step 2/nlevels."""
+    return (2 * code - (nlevels - 1)) / nlevels
+
+
+def _l2_frame_energy(body: bytes, nch: int, bound: int, sblimit: int, classes: list[int]) -> float:
+    """Mean mono-mixed squared subband value over the 32×36 grid of one
+    Layer II frame (allocation → scfsi → scalefactors → samples)."""
+    br = _MsbReader(body)
+    alloc = [[0] * nch for _ in range(32)]  # Table B.4 class id + 1; 0 = silent
+    for sb in range(sblimit):
+        nbal, orow = _L2_BITALLOC[classes[sb]]
+        if sb < bound:
+            for ch in range(nch):
+                a = br.read(nbal)
+                if a:
+                    alloc[sb][ch] = _L2_ALLOC_ROWS[orow][a - 1] + 1
+        else:  # joint-stereo intensity band: one allocation, shared samples
+            a = br.read(nbal)
+            if a:
+                for ch in range(nch):
+                    alloc[sb][ch] = _L2_ALLOC_ROWS[orow][a - 1] + 1
+    scfsi = [[0] * nch for _ in range(32)]
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc[sb][ch]:
+                scfsi[sb][ch] = br.read(2)
+    sf = [[(0, 0, 0)] * nch for _ in range(32)]
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if not alloc[sb][ch]:
+                continue
+            mode = scfsi[sb][ch]
+            if mode == 0:
+                idxs = (br.read(6), br.read(6), br.read(6))
+            elif mode == 1:
+                a, b = br.read(6), br.read(6)
+                idxs = (a, a, b)
+            elif mode == 2:
+                a = br.read(6)
+                idxs = (a, a, a)
+            else:
+                a, b = br.read(6), br.read(6)
+                idxs = (a, b, b)
+            if 63 in idxs:
+                raise ValueError("Layer II scalefactor index 63 is forbidden")
+            sf[sb][ch] = idxs
+    acc = 0.0
+    for gr in range(12):
+        part = gr // 4
+        triplet = [[0.0, 0.0, 0.0] for _ in range(nch)]
+        for sb in range(sblimit):
+            shared = None
+            for ch in range(nch):
+                qc = alloc[sb][ch]
+                if not qc:
+                    for t in range(3):
+                        triplet[ch][t] = 0.0
+                    continue
+                nlev, grouped, bits = _L2_QC[qc - 1]
+                if sb >= bound and ch == 1 and shared is not None:
+                    codes = shared
+                elif grouped:
+                    c = br.read(bits)
+                    codes = (c % nlev, (c // nlev) % nlev, (c // (nlev * nlev)) % nlev)
+                else:
+                    codes = (br.read(bits), br.read(bits), br.read(bits))
+                if sb >= bound and ch == 0:
+                    shared = codes
+                s = _sf_value(sf[sb][ch][part])
+                for t in range(3):
+                    triplet[ch][t] = s * _l2_dequant(codes[t], nlev)
+            for t in range(3):
+                m = sum(triplet[ch][t] for ch in range(nch)) / nch
+                acc += m * m
+    return acc / (36 * 32)
+
+
+def _l3_sideinfo_energies(body: bytes, nch: int) -> list[float]:
+    """Per-granule energy proxies from an MPEG-1 Layer III frame's side
+    info (ISO 11172-3 §2.4.1.7): 2^((global_gain−210)/2) mono-mixed
+    across channels, 0.0 for digitally-silent granules
+    (part2_3_length == 0). No Huffman/MDCT work — see the section
+    comment for why this is the honest fingerprint-tier decode."""
+    br = _MsbReader(body)
+    br.read(9)  # main_data_begin
+    br.read(5 if nch == 1 else 3)  # private_bits
+    for _ch in range(nch):
+        br.read(4)  # scfsi
+    out = []
+    for _gr in range(2):
+        e = 0.0
+        for _ch in range(nch):
+            part2_3 = br.read(12)
+            br.read(9)  # big_values
+            gg = br.read(8)
+            br.read(4)  # scalefac_compress
+            if br.read(1):  # window_switching: block_type/mixed/2 tables/3 gains
+                br.read(2 + 1 + 2 * 5 + 3 * 3)
+            else:  # 3 table_selects + region0/region1 counts
+                br.read(3 * 5 + 4 + 3)
+            br.read(3)  # preflag, scalefac_scale, count1table_select
+            if part2_3:
+                e += 2.0 ** ((gg - 210) / 2.0)
+        out.append(e / nch)
+    return out
+
+
+def encode_mp3_layer2(subbands, rate: int = 44100, kbps: int = 192) -> bytes:
+    """Spec-packed MPEG-1 Layer II stream carrying REAL subband data —
+    the independent fixture side of mp3_subband_energies' Layer II
+    contract (mirrors encode_mp3_layer1).
+
+    ``subbands``: float array (n_frames, 32, 36) mono or
+    (n_frames, n_channels, 32, 36), values in (-2, 2); subbands at or
+    above the Annex-B table's sblimit must be silent. Allocation is
+    greedy: every active (subband, channel) starts at its column's
+    finest class and the costliest is coarsened until the frame fits."""
+    import numpy as np
+
+    arr = np.asarray(subbands, dtype=np.float64)
+    if arr.ndim == 3:
+        arr = arr[:, None, :, :]
+    n_frames, nch, nsb, ns = arr.shape
+    if nsb != 32 or ns != 36 or nch not in (1, 2):
+        raise ValueError(f"subbands must be (frames[, ch<=2], 32, 36), got {arr.shape}")
+    if np.abs(arr).max() >= 2.0:
+        raise ValueError("subband samples must be in (-2, 2)")
+    sr_idx = _MP3_RATES[3].index(rate)
+    br_idx = _MP3_BITRATES[(1, 2)].index(kbps)
+    sblimit, classes = _l2_table(rate, kbps / nch)
+    if np.abs(arr[:, :, sblimit:]).max() > 0:
+        raise ValueError(f"subbands >= sblimit {sblimit} must be silent at {kbps} kbps")
+    flen = 144 * kbps * 1000 // rate
+    mode = 3 if nch == 1 else 0
+    header = bytes(
+        [0xFF, 0xE0 | (3 << 3) | (2 << 1) | 1, (br_idx << 4) | (sr_idx << 2), mode << 6]
+    )
+    alloc_bits = sum(_L2_BITALLOC[classes[sb]][0] * nch for sb in range(sblimit))
+    out = bytearray()
+    for f in range(n_frames):
+        active = [
+            (sb, ch)
+            for sb in range(sblimit)
+            for ch in range(nch)
+            if np.abs(arr[f, ch, sb]).max() > 0
+        ]
+        # Greedy allocation: start each active pair at its finest class,
+        # coarsen the most expensive until the sample bits fit.
+        level = {}
+        for sb, ch in active:
+            row = _L2_ALLOC_ROWS[_L2_BITALLOC[classes[sb]][1]]
+            nbal = _L2_BITALLOC[classes[sb]][0]
+            level[(sb, ch)] = min(len(row), (1 << nbal) - 1)  # allocation value
+
+        def pair_bits(sb_ch) -> int:
+            sb, _ch = sb_ch
+            row = _L2_ALLOC_ROWS[_L2_BITALLOC[classes[sb]][1]]
+            nlev, grouped, bits = _L2_QC[row[level[sb_ch] - 1]]
+            return 12 * (bits if grouped else 3 * bits)
+
+        budget = flen * 8 - 32 - alloc_bits - len(active) * (2 + 18)
+        while active and sum(pair_bits(p) for p in active) > budget:
+            worst = max(active, key=pair_bits)
+            if level[worst] <= 1:
+                raise ValueError(
+                    f"{kbps} kbps can't fit {len(active)} active subband-channels"
+                )
+            level[worst] -= 1
+        bw = _MsbWriter()
+        for sb in range(sblimit):
+            nbal = _L2_BITALLOC[classes[sb]][0]
+            for ch in range(nch):
+                bw.write(level.get((sb, ch), 0), nbal)
+        for sb, ch in active:
+            bw.write(0, 2)  # scfsi 0: three explicit scalefactors
+        sf = {}
+        for sb, ch in active:
+            idxs = []
+            for part in range(3):
+                mx = float(np.abs(arr[f, ch, sb, part * 12 : part * 12 + 12]).max())
+                idx = 0
+                if 0 < mx < 2.0:
+                    idx = min(62, int(-3.0 * np.log2(mx / 2.0)))
+                    while idx > 0 and _sf_value(idx) < mx:
+                        idx -= 1
+                idxs.append(idx)
+                bw.write(idx, 6)
+            sf[(sb, ch)] = idxs
+        for gr in range(12):
+            part = gr // 4
+            for sb in range(sblimit):
+                for ch in range(nch):
+                    a = level.get((sb, ch))
+                    if not a:
+                        continue
+                    row = _L2_ALLOC_ROWS[_L2_BITALLOC[classes[sb]][1]]
+                    nlev, grouped, bits = _L2_QC[row[a - 1]]
+                    s = _sf_value(sf[(sb, ch)][part])
+                    codes = []
+                    for t in range(3):
+                        x = arr[f, ch, sb, gr * 3 + t] / s
+                        c = int(round((x * nlev + nlev - 1) / 2.0))
+                        codes.append(max(0, min(nlev - 1, c)))
+                    if grouped:
+                        bw.write(codes[0] + nlev * codes[1] + nlev * nlev * codes[2], bits)
+                    else:
+                        for c in codes:
+                            bw.write(c, bits)
+        body = bytearray(bw.getvalue())
+        if len(body) > flen - 4:
+            raise ValueError("frame overflow")  # unreachable by budget math
+        body += bytes(flen - 4 - len(body))
+        out += header + bytes(body)
+    return bytes(out)
+
+
+def encode_mp3_layer3_envelope(
+    energies, rate: int = 44100, kbps: int = 128, mono: bool = False
+) -> bytes:
+    """MPEG-1 Layer III frames whose SIDE INFO carries a real energy
+    envelope — the independent fixture side of the Layer III proxy
+    contract. ``energies``: per-granule energies (2 granules/frame,
+    length must be even); each granule's global_gain is the nearest
+    code with 2^((gg−210)/2) ≈ energy, silence (0.0) becomes
+    part2_3_length 0. Main data is deliberately absent (the proxy
+    consumes side info only; header/side-info structure is spec-true)."""
+    import math as _math
+
+    import numpy as np
+
+    env = np.asarray(energies, dtype=np.float64)
+    if env.ndim != 1 or len(env) % 2:
+        raise ValueError("energies must be a flat even-length per-granule sequence")
+    if (env < 0).any():
+        raise ValueError("energies must be non-negative")
+    sr_idx = _MP3_RATES[3].index(rate)
+    br_idx = _MP3_BITRATES[(1, 3)].index(kbps)
+    nch = 1 if mono else 2
+    mode = 3 if mono else 0
+    flen = 144 * kbps * 1000 // rate
+    header = bytes(
+        [0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1, (br_idx << 4) | (sr_idx << 2), mode << 6]
+    )
+    out = bytearray()
+    for f in range(len(env) // 2):
+        bw = _MsbWriter()
+        bw.write(0, 9)  # main_data_begin
+        bw.write(0, 5 if nch == 1 else 3)
+        for _ch in range(nch):
+            bw.write(0, 4)  # scfsi
+        for gr in range(2):
+            e = float(env[2 * f + gr])
+            for _ch in range(nch):
+                if e > 0:
+                    gg = max(0, min(255, int(round(210 + 2.0 * _math.log2(e)))))
+                    bw.write(1, 12)  # part2_3_length: granule has data
+                    bw.write(0, 9)
+                    bw.write(gg, 8)
+                else:
+                    bw.write(0, 12)  # digitally silent granule
+                    bw.write(0, 9)
+                    bw.write(0, 8)
+                bw.write(0, 4 + 1 + 15 + 4 + 3 + 3)
+        body = bytearray(bw.getvalue())
+        body += bytes(flen - 4 - len(body))
+        out += header + bytes(body)
+    return bytes(out)
+
+
 def mp3_subband_energies(data: bytes):
-    """Per-audio-frame subband-domain energy of a Layer I MP3: mean
-    over the frame's (subband, sample-instant) grid of the mono-mixed
-    requantized value squared — the energy envelope the audio
-    fingerprint consumes, extracted WITHOUT a synthesis filterbank
-    (Parseval proxy; the proportionality constant cancels in the
-    fingerprint's adjacent-window comparisons).
+    """Per-audio-frame energy envelope of an MPEG-1 MP3 — the sequence
+    the audio fingerprint consumes, extracted WITHOUT a synthesis
+    filterbank (Parseval proxy; the proportionality constant cancels in
+    the fingerprint's adjacent-window comparisons). Three tiers:
+
+    - **Layer I**: real frame decode to requantized subband samples
+      (allocation → scalefactors → samples), one energy per frame.
+    - **Layer II**: same, through the Annex-B allocation tables and
+      grouped codes, one energy per frame.
+    - **Layer III**: per-granule side-info energy proxy (two values per
+      frame): 2^((global_gain−210)/2), 0 for silent granules — see the
+      Layer II/III section comment for why this is the honest
+      fingerprint-tier decode. Xing/Info metadata frames are skipped.
 
     Raises ValueError on content with no valid frame and
-    NotImplementedError on Layer II/III frames (grouped quantization /
-    Huffman+MDCT — decoding those dishonestly would corrupt the
-    envelope silently)."""
+    NotImplementedError on MPEG-2/2.5 frames (LSF side info and
+    half-rate tables are a different codec tier)."""
     import numpy as np
 
     data = bytes(data)
@@ -804,16 +1144,18 @@ def mp3_subband_energies(data: bytes):
         if vbits == 1 or lbits == 0 or br_idx in (0, 15) or sr_idx == 3:
             break
         layer = 4 - lbits
-        if layer != 1 or vbits != 3:
+        if vbits != 3:
             raise NotImplementedError(
-                f"MP3 Layer {'I' * layer if layer < 3 else 'III'} "
-                "(MPEG-1 Layer I only): grouped-quantization/Huffman frames "
-                "can't be energy-decoded without the full codec"
+                "MPEG-2/2.5 MP3 (MPEG-1 only): LSF side info and half-rate "
+                "tables can't be energy-decoded by the MPEG-1 walk"
             )
-        kbps = _MP3_BITRATES[(1, 1)][br_idx]
+        kbps = _MP3_BITRATES[(1, layer)][br_idx]
         rate = _MP3_RATES[3][sr_idx]
         padding = (b2 >> 1) & 1
-        flen = (12 * kbps * 1000 // rate + padding) * 4
+        if layer == 1:
+            flen = (12 * kbps * 1000 // rate + padding) * 4
+        else:
+            flen = 144 * kbps * 1000 // rate + padding
         if flen <= 4 or pos + flen > n:
             break
         body = data[pos + 4 : pos + flen]
@@ -821,6 +1163,20 @@ def mp3_subband_energies(data: bytes):
             body = body[2:]
         mode = (b3 >> 6) & 3
         nch = 1 if mode == 3 else 2
+        if layer != 1:
+            bound = (((b3 >> 4) & 3) + 1) * 4 if mode == 1 else 32
+            if layer == 3:
+                side = 32 if mode != 3 else 17
+                if data[pos + 4 + side : pos + 4 + side + 4] not in (b"Xing", b"Info"):
+                    energies.extend(_l3_sideinfo_energies(body, nch))
+                pos += flen
+                continue
+            sblimit, classes = _l2_table(rate, kbps / nch)
+            energies.append(
+                _l2_frame_energy(body, nch, min(bound, sblimit), sblimit, classes)
+            )
+            pos += flen
+            continue
         br = _MsbReader(body)
         alloc = [[0] * nch for _ in range(32)]
         for sb in range(32):
@@ -853,7 +1209,7 @@ def mp3_subband_energies(data: bytes):
         energies.append(acc / (12 * 32))
         pos += flen
     if not energies:
-        raise ValueError("not a Layer I MP3: no valid audio frame")
+        raise ValueError("not an MPEG-1 MP3: no valid audio frame")
     return np.asarray(energies, dtype=np.float64)
 
 
@@ -1102,11 +1458,22 @@ _MKV_PIXELHEIGHT = 0xBA
 _MKV_AUDIO = 0xE1
 _MKV_SAMPLINGFREQ = 0xB5
 _MKV_CHANNELS = 0x9F
+_MKV_TRACKNUMBER = 0xD7
+_MKV_CLUSTER = 0x1F43B675
+_MKV_CLUSTERTC = 0xE7
+_MKV_SIMPLEBLOCK = 0xA3
+_MKV_BLOCKGROUP = 0xA0
+_MKV_BLOCK = 0xA1
 _MKV_CONTAINERS = frozenset(
     (_MKV_SEGMENT, _MKV_INFO, _MKV_TRACKS, _MKV_TRACKENTRY, _MKV_VIDEO, _MKV_AUDIO)
 )
 _MKV_MAX_ELEMS = 100_000
 _MKV_MAX_DEPTH = 16
+# Separate bound for the Cluster/SimpleBlock frame count: blocks scale
+# with CONTENT length (a 2 h file has ~10^5-10^6), unlike the structure
+# walk's element count. Exceeding it degrades to n_frames=None (honest
+# "didn't count"), never an error — the metadata else stays usable.
+_MKV_MAX_BLOCKS = 200_000
 _EBML_UNKNOWN = object()  # sentinel: unknown-size element (streams)
 
 
@@ -1178,10 +1545,78 @@ def _ebml_float(data: bytes, body: int, bend: int) -> float:
 
 
 @_truncation_as_valueerror("Matroska")
+def _block_frame_count(data: bytes, body: int, bend: int, vnum: int) -> int:
+    """Frames a (Simple)Block contributes for track ``vnum``: 0 for
+    other tracks, 1 un-laced, the lace count when the lacing bits are
+    set (the count byte directly follows the flags for every lace
+    mode, ISO-style in Matroska §10)."""
+    tn, p = _ebml_size(data, body)
+    if tn is _EBML_UNKNOWN or p + 3 > bend:
+        raise ValueError("malformed Matroska block header")
+    if tn != vnum:
+        return 0
+    flags = data[p + 2]
+    if flags & 0x06:  # laced: next byte = frame count - 1
+        if p + 4 > bend:
+            raise ValueError("malformed Matroska laced block")
+        return data[p + 3] + 1
+    return 1
+
+
+def _webm_count_frames(data: bytes, clusters: list, vnum: int | None):
+    """Bounded Cluster walk → video-track frame count, or None when
+    there are no Clusters, no attributable video track number, or the
+    block count exceeds _MKV_MAX_BLOCKS (degrade, don't fail — the
+    structural metadata stays usable)."""
+    if vnum is None or not clusters:
+        return None
+    budget = _MKV_MAX_BLOCKS
+    n = 0
+    for cbody, cend in clusters:
+        pos = cbody
+        while pos < cend:
+            budget -= 1
+            if budget < 0:
+                return None
+            eid, p = _ebml_id(data, pos)
+            size, body = _ebml_size(data, p)
+            bend = cend if size is _EBML_UNKNOWN else body + size
+            if bend > cend:
+                raise ValueError(f"EBML element 0x{eid:X} escapes enclosure")
+            if eid == _MKV_CLUSTER:
+                # unknown-size predecessor spanned to segment end; the
+                # next cluster appears nested — walk straight into it
+                pos = body
+                continue
+            if eid in (_MKV_SIMPLEBLOCK, _MKV_BLOCK):
+                n += _block_frame_count(data, body, bend, vnum)
+            elif eid == _MKV_BLOCKGROUP:
+                q = body
+                while q < bend:
+                    budget -= 1
+                    if budget < 0:
+                        return None
+                    eid2, p2 = _ebml_id(data, q)
+                    size2, body2 = _ebml_size(data, p2)
+                    bend2 = bend if size2 is _EBML_UNKNOWN else body2 + size2
+                    if bend2 > bend:
+                        raise ValueError(
+                            f"EBML element 0x{eid2:X} escapes enclosure"
+                        )
+                    if eid2 == _MKV_BLOCK:
+                        n += _block_frame_count(data, body2, bend2, vnum)
+                    q = bend2
+            pos = bend
+    return n
+
+
 def webm_info(data: bytes) -> dict:
     """Matroska/WebM metadata: duration (TimecodeScale-scaled), first
-    video track's dimensions + codec, first audio track's rate/channels
-    + codec, track counts. Bounded walk; ValueError on bad structure."""
+    video track's dimensions + codec + Cluster-walk frame count/fps,
+    first audio track's rate/channels + codec, track counts. Bounded
+    walk; ValueError on bad structure; n_frames/fps None when there are
+    no Clusters (metadata-only skeleton) or the count exceeds the
+    block bound."""
     data = bytes(data)
     if not is_webm(data):
         raise ValueError("not Matroska/WebM: bad EBML magic")
@@ -1193,6 +1628,7 @@ def webm_info(data: bytes) -> dict:
     cur: dict = {}
     entry_end = -1
     saw_segment = False
+    clusters: list[tuple[int, int]] = []
     for eid, body, bend, depth in elems:
         if eid == _MKV_SEGMENT:
             saw_segment = True
@@ -1200,6 +1636,8 @@ def webm_info(data: bytes) -> dict:
             timecode_scale = _ebml_uint(data, body, bend)
         elif eid == _MKV_DURATION:
             duration_ticks = _ebml_float(data, body, bend)
+        elif eid == _MKV_CLUSTER:
+            clusters.append((body, bend))
         elif eid == _MKV_TRACKENTRY:
             if cur:
                 tracks.append(dict(cur))
@@ -1208,6 +1646,8 @@ def webm_info(data: bytes) -> dict:
         elif body <= entry_end:
             if eid == _MKV_TRACKTYPE:
                 cur["type"] = _ebml_uint(data, body, bend)
+            elif eid == _MKV_TRACKNUMBER:
+                cur["num"] = _ebml_uint(data, body, bend)
             elif eid == _MKV_CODECID:
                 cur["codec"] = data[body:bend].decode("latin-1").rstrip("\x00")
             elif eid == _MKV_PIXELWIDTH:
@@ -1229,18 +1669,26 @@ def webm_info(data: bytes) -> dict:
     video_codec = audio_codec = None
     sample_rate = channels = None
     n_video = n_audio = 0
+    vnum = None
     for t in tracks:
         if t.get("type") == 1:  # video
             n_video += 1
             if n_video == 1:
                 width, height = t.get("width", 0), t.get("height", 0)
                 video_codec = t.get("codec")
+                vnum = t.get("num")
         elif t.get("type") == 2:  # audio
             n_audio += 1
             if n_audio == 1:
                 audio_codec = t.get("codec")
                 sample_rate = t.get("rate")
                 channels = t.get("channels")
+    n_frames = _webm_count_frames(data, clusters, vnum)
+    fps = (
+        n_frames / (duration_ms / 1000.0)
+        if n_frames is not None and duration_ms > 0
+        else None
+    )
     return {
         "container": "webm",
         "duration_ms": duration_ms,
@@ -1252,6 +1700,8 @@ def webm_info(data: bytes) -> dict:
         "n_channels": channels,
         "n_video_tracks": n_video,
         "n_audio_tracks": n_audio,
+        "n_frames": n_frames,
+        "fps": fps,
     }
 
 
@@ -1280,9 +1730,20 @@ def encode_webm_skeleton(
     channels: int = 2,
     timecode_scale: int = 1_000_000,
     unknown_segment_size: bool = False,
+    n_frames: int = 0,
+    blocks_per_cluster: int = 20,
+    audio_blocks: bool = False,
+    block_groups: bool = False,
+    laced_pairs: bool = False,
 ) -> bytes:
     """Spec-packed Matroska fixture (EBML header + Segment(Info,
-    Tracks)) — the independent side of webm_info's contract."""
+    Tracks[, Clusters])) — the independent side of webm_info's
+    contract. ``n_frames`` > 0 emits Clusters of SimpleBlocks for the
+    video track (track 1) evenly spread over the duration;
+    ``audio_blocks`` interleaves track-2 blocks the frame count must
+    ignore; ``block_groups`` wraps every other video frame in
+    BlockGroup/Block; ``laced_pairs`` packs frames as 2-frame laced
+    blocks (n_frames must then be even)."""
     ebml_hdr = _EBML_MAGIC + _ebml_encode_size(0)
     info = _ebml_elem(
         _MKV_INFO,
@@ -1295,6 +1756,7 @@ def encode_webm_skeleton(
     video_entry = _ebml_elem(
         _MKV_TRACKENTRY,
         _ebml_elem(_MKV_TRACKTYPE, b"\x01")
+        + _ebml_elem(_MKV_TRACKNUMBER, b"\x01")
         + _ebml_elem(_MKV_CODECID, video_codec)
         + _ebml_elem(
             _MKV_VIDEO,
@@ -1306,6 +1768,7 @@ def encode_webm_skeleton(
         _ebml_elem(
             _MKV_TRACKENTRY,
             _ebml_elem(_MKV_TRACKTYPE, b"\x02")
+            + _ebml_elem(_MKV_TRACKNUMBER, b"\x02")
             + _ebml_elem(_MKV_CODECID, audio_codec)
             + _ebml_elem(
                 _MKV_AUDIO,
@@ -1317,7 +1780,50 @@ def encode_webm_skeleton(
         else b""
     )
     tracks = _ebml_elem(_MKV_TRACKS, video_entry + audio_entry)
-    seg_payload = info + tracks
+
+    def _block(track: int, rel_tc: int, flags: int, payload: bytes) -> bytes:
+        return bytes([0x80 | track]) + struct.pack(">h", rel_tc) + bytes([flags]) + payload
+
+    clusters = b""
+    if n_frames:
+        if laced_pairs and n_frames % 2:
+            raise ValueError("laced_pairs needs an even n_frames")
+        duration_ms = duration_s * 1e9 / timecode_scale  # in ticks
+        tcs = [int(round(k * duration_ms / n_frames)) for k in range(n_frames)]
+        emit_tcs = tcs[::2] if laced_pairs else tcs
+        i = 0
+        while i < len(emit_tcs):
+            chunk = emit_tcs[i : i + blocks_per_cluster]
+            payload = _ebml_elem(
+                _MKV_CLUSTERTC, max(chunk[0], 0).to_bytes(4, "big")
+            )
+            for j, tc in enumerate(chunk):
+                rel = tc - chunk[0]
+                if laced_pairs:
+                    # EBML lacing, 2 frames: count byte 1, first frame
+                    # size as a 1-byte vint, two 2-byte dummy frames
+                    body = _block(1, rel, 0x80 | 0x06, b"\x01\x82\xaa\xbb\xcc\xdd")
+                elif block_groups and (i + j) % 2:
+                    body = _ebml_elem(
+                        _MKV_BLOCKGROUP,
+                        _ebml_elem(_MKV_BLOCK, _block(1, rel, 0x00, b"\xaa\xbb")),
+                    )
+                    payload += body
+                    if audio_blocks:
+                        payload += _ebml_elem(
+                            _MKV_SIMPLEBLOCK, _block(2, rel, 0x80, b"\xee")
+                        )
+                    continue
+                else:
+                    body = _block(1, rel, 0x80, b"\xaa\xbb")
+                payload += _ebml_elem(_MKV_SIMPLEBLOCK, body)
+                if audio_blocks:
+                    payload += _ebml_elem(
+                        _MKV_SIMPLEBLOCK, _block(2, rel, 0x80, b"\xee")
+                    )
+            clusters += _ebml_elem(_MKV_CLUSTER, payload)
+            i += blocks_per_cluster
+    seg_payload = info + tracks + clusters
     if unknown_segment_size:
         seg = (
             _ebml_encode_id(_MKV_SEGMENT)
@@ -3273,13 +3779,14 @@ def video_info(data: bytes) -> dict:
         }
     if is_webm(data):
         info = webm_info(data)
-        # frame count/fps need a Cluster walk the skeleton tier doesn't
-        # do; NULL is honest (dims + duration are the profiling signal)
+        # n_frames/fps from the bounded Cluster/SimpleBlock walk; still
+        # honestly NULL for metadata-only skeletons (no Clusters) or
+        # when the block count exceeds the walk bound
         return {
-            "n_frames": None,
+            "n_frames": info["n_frames"],
             "width": info["width"],
             "height": info["height"],
-            "fps": None,
+            "fps": info["fps"],
             "duration_ms": info["duration_ms"],
             "video_codec": info["video_codec"],
             "audio_codec": info["audio_codec"],

@@ -22,14 +22,15 @@ Codec support is tiered, honestly:
 * MP3 METADATA is real (``extract_audio_metadata``: ISO 11172-3
   frame-header walk — duration/bitrate/channels/VBR, ID3v2 skip,
   Xing exclusion — the profiling tier for audio corpora), and MPEG-1
-  **Layer I** audio frames energy-decode for the fingerprint
-  (``codecs.mp3_subband_energies``: allocation → scalefactors →
-  requantized subband samples; subband-domain energy is a Parseval
-  proxy, no synthesis filterbank). Layer II/III audio decode and
-  non-MJPEG video codecs (ffmpeg) are NOT available in this
-  environment — those raise NotImplementedError inside the kernel,
-  and the deterministic fake (``fake=True``) remains for plumbing
-  tests. The Spark-side contract — schemas, batch iteration,
+  audio frames energy-decode for the fingerprint
+  (``codecs.mp3_subband_energies``: **Layer I/II** allocation →
+  scalefactors → requantized subband samples, subband-domain energy
+  as a Parseval proxy with no synthesis filterbank; **Layer III**
+  per-granule side-info energy proxy from global_gain). MPEG-2/2.5
+  audio decode and non-MJPEG video codecs (ffmpeg) are NOT available
+  in this environment — those raise NotImplementedError inside the
+  kernel, and the deterministic fake (``fake=True``) remains for
+  plumbing tests. The Spark-side contract — schemas, batch iteration,
   partitioning — is identical either way.
 
 Dirty-data contract: scraped corpora contain truncated, mislabeled,
@@ -491,12 +492,13 @@ def audio_fingerprint(media: DataFrame, errors: str = "quarantine") -> DataFrame
     only) and channel layout (mono mix).
 
     Two decode paths feed the same envelope: PCM WAV (sample-level
-    energy) and MPEG-1 **Layer I** MP3 (per-frame subband-domain
-    energy via ``codecs.mp3_subband_energies`` — no synthesis
+    energy) and MPEG-1 MP3 via ``codecs.mp3_subband_energies`` —
+    Layer I/II per-frame subband-domain energy (no synthesis
     filterbank needed; the Parseval proportionality constant cancels
     in the comparisons, so a re-encode of the same track at a
-    different bitrate fingerprints the same). Layer II/III and other
-    containers get NULL afp + the error string (default) or raise
+    different bitrate fingerprints the same) and Layer III per-granule
+    global_gain energy proxies. MPEG-2/2.5 and other containers get
+    NULL afp + the error string (default) or raise
     (``errors="raise"``)."""
     import pandas as pd
 

@@ -854,9 +854,9 @@ def test_mp3_layer1_energy_roundtrip():
     # stereo mono-mixes
     st = np.stack([sub, sub * 0.7], axis=1)
     assert len(mp3_subband_energies(encode_mp3_layer1(st, kbps=384))) == 130
-    # Layer III (the zero-payload metadata fixture) refuses honestly
-    with pytest.raises(NotImplementedError, match="Layer"):
-        mp3_subband_energies(encode_mp3_frames(5, kbps=128))
+    # MPEG-2 LSF refuses honestly (half-rate tables, different side info)
+    with pytest.raises(NotImplementedError, match="MPEG-2"):
+        mp3_subband_energies(encode_mp3_frames(5, kbps=64, rate=22050, mpeg2=True))
     # hostile field values: allocation 15 / scalefactor 63 are forbidden
     one = bytearray(encode_mp3_layer1(sub[:1], kbps=256))
     one[4] = 0xFF  # first two 4-bit allocations -> 15, 15
@@ -868,7 +868,7 @@ def test_mp3_fingerprint_reencoded_copies_pair(spark):
     """The WAV oracle's invariances, on MP3: a half-volume copy and a
     lower-bitrate re-encode of the same track pair up in
     media_near_dup_pairs(signature='audio'); an independent track
-    separates; a Layer III file quarantines (NULL afp, cannot pair)."""
+    separates; an MPEG-2 file quarantines (NULL afp, cannot pair)."""
     from pg2kinesis_spark.functions.codecs import (
         encode_mp3_frames,
         encode_mp3_layer1,
@@ -886,7 +886,9 @@ def test_mp3_fingerprint_reencoded_copies_pair(spark):
         encode_mp3_layer1(track * 0.5, kbps=256),  # 1: half volume
         encode_mp3_layer1(track, kbps=96),         # 2: re-encode
         encode_mp3_layer1(other, kbps=256),        # 3: different track
-        encode_mp3_frames(70, kbps=128),           # 4: Layer III -> quarantine
+        encode_mp3_frames(                         # 4: MPEG-2 LSF -> quarantine
+            70, kbps=64, rate=22050, mpeg2=True
+        ),
     ]
     rows = [
         (i, bytearray(b), ("audio/mpeg", len(b), f"mem://{i}.mp3"))
@@ -895,7 +897,7 @@ def test_mp3_fingerprint_reencoded_copies_pair(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
 
     fps = {r["media_id"]: r for r in audio_fingerprint(media).collect()}
-    assert fps[4]["afp"] is None and "Layer" in fps[4]["decode_error"]
+    assert fps[4]["afp"] is None and "MPEG-2" in fps[4]["decode_error"]
     mask = (1 << 64) - 1
     assert bin((fps[0]["afp"] ^ fps[1]["afp"]) & mask).count("1") <= 3
     assert bin((fps[0]["afp"] ^ fps[2]["afp"]) & mask).count("1") <= 3
@@ -922,6 +924,152 @@ def test_fuzz_mp3_layer1_energy_walk():
         ),
     ]
     _hammer(mp3_subband_energies, corpus, seed=48)
+
+
+def _l2_track(seed, n_frames=80, n_active=6):
+    """Random Layer II subband track (n_frames, 32, 36) with a stepped
+    energy envelope — the 36-sample analogue of _l1_track."""
+    rng = np.random.default_rng(seed)
+    sub = np.zeros((n_frames, 32, 36))
+    env = np.repeat(rng.choice([0.05, 0.2, 0.8, 0.4], size=(n_frames + 9) // 10), 10)
+    for f in range(n_frames):
+        sub[f, :n_active, :] = rng.uniform(-1, 1, (n_active, 36)) * env[f]
+    return sub
+
+
+def test_mp3_layer2_energy_roundtrip():
+    """Layer II energies track construction truth through the Annex-B
+    allocation tables and grouped codes; amplitude scales quadratically;
+    a low-bitrate re-encode (different Annex-B table, grouped classes in
+    play) preserves the envelope; stereo mono-mixes."""
+    from pg2kinesis_spark.functions.codecs import (
+        encode_mp3_layer2,
+        mp3_info,
+        mp3_subband_energies,
+    )
+
+    sub = _l2_track(3)
+    mp3 = encode_mp3_layer2(sub, kbps=192)  # table B.2b (96 kbps/ch)
+    e = mp3_subband_energies(mp3)
+    true_e = (sub**2).mean(axis=(1, 2))
+    assert len(e) == 80
+    assert np.corrcoef(e, true_e)[0, 1] > 0.9999
+    info = mp3_info(mp3)
+    assert (info["layer"], info["n_frames"], info["vbr"]) == (2, 80, False)
+    e_half = mp3_subband_energies(encode_mp3_layer2(sub * 0.5, kbps=192))
+    assert np.allclose(e_half / e, 0.25, rtol=1e-6)
+    # 64 kbps mono selects table B.2a; 48 kbps selects B.2c (sblimit 8,
+    # grouped 3/5/9-step classes carry most subbands)
+    e_a = mp3_subband_energies(encode_mp3_layer2(sub, kbps=64))
+    assert np.corrcoef(e, e_a)[0, 1] > 0.999
+    e_c = mp3_subband_energies(encode_mp3_layer2(sub, kbps=48))
+    assert np.corrcoef(e, e_c)[0, 1] > 0.99
+    st = np.stack([sub, sub * 0.7], axis=1)
+    assert len(mp3_subband_energies(encode_mp3_layer2(st, kbps=384))) == 80
+    # hostile: scalefactor 63 is forbidden in Layer II too
+    one = bytearray(encode_mp3_layer2(sub[:1], kbps=192))
+    # alloc for 30 subbands mono under B.2b = 94 bits, then 6 active
+    # subbands x 2 scfsi bits; the first scalefactor follows -> force
+    # six 1-bits there
+    blob = bytearray(one)
+    bit0 = 32 + 94 + 12
+    for i in range(6):
+        blob[(bit0 + i) // 8] |= 0x80 >> ((bit0 + i) % 8)
+    with pytest.raises(ValueError, match="scalefactor"):
+        mp3_subband_energies(bytes(blob))
+
+
+def test_mp3_layer3_envelope_proxy():
+    """Layer III side-info proxy: per-granule energies follow the
+    planted global_gain envelope, are exactly bitrate-invariant, scale
+    exactly 4x down at half volume (gg shift of −4 is representable),
+    and silent granules (part2_3_length 0) are exactly 0."""
+    from pg2kinesis_spark.functions.codecs import (
+        encode_mp3_layer3_envelope,
+        mp3_info,
+        mp3_subband_energies,
+    )
+
+    rng = np.random.default_rng(9)
+    env = np.concatenate([np.zeros(4), rng.uniform(0.01, 2.0, 136)])
+    l3 = encode_mp3_layer3_envelope(env, kbps=128)
+    p = np.asarray(mp3_subband_energies(l3))
+    assert len(p) == 140  # 2 granules per frame
+    assert np.all(p[:4] == 0.0)
+    assert np.corrcoef(p[4:], env[4:])[0, 1] > 0.97  # gg is 3 dB-stepped
+    assert (mp3_info(l3)["layer"], mp3_info(l3)["n_frames"]) == (3, 70)
+    p_re = np.asarray(mp3_subband_energies(encode_mp3_layer3_envelope(env, kbps=96)))
+    assert np.array_equal(p, p_re)
+    p_half = np.asarray(
+        mp3_subband_energies(encode_mp3_layer3_envelope(env * 0.25, kbps=128))
+    )
+    assert np.allclose(p_half[4:] / p[4:], 0.25)
+    # stereo side-info layout parses too
+    st = encode_mp3_layer3_envelope(env, kbps=128, mono=False)
+    assert len(mp3_subband_energies(st)) == 140
+
+
+def test_mp3_layer23_fingerprint_copies_pair(spark):
+    """The round-6 verdict bar: Layer II re-encodes and Layer III
+    half-volume + 128→96 kbps re-encodes pair up in
+    media_near_dup_pairs(signature='audio'); independent tracks and the
+    cross-layer different-track rows separate."""
+    from pg2kinesis_spark.functions.codecs import (
+        encode_mp3_layer2,
+        encode_mp3_layer3_envelope,
+    )
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        media_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(21)
+    env = rng.uniform(0.01, 1.5, 160)
+    other_env = rng.uniform(0.01, 1.5, 160)
+    l2 = _l2_track(31)
+    l2_other = _l2_track(77)
+    blobs = [
+        encode_mp3_layer3_envelope(env, kbps=128),          # 0: L3 original
+        encode_mp3_layer3_envelope(env * 0.25, kbps=128),   # 1: half volume
+        encode_mp3_layer3_envelope(env, kbps=96),           # 2: re-encode
+        encode_mp3_layer3_envelope(other_env, kbps=128),    # 3: different track
+        encode_mp3_layer2(l2, kbps=192),                    # 4: L2 original
+        encode_mp3_layer2(l2 * 0.5, kbps=192),              # 5: L2 half volume
+        encode_mp3_layer2(l2, kbps=64),                     # 6: L2 re-encode
+        encode_mp3_layer2(l2_other, kbps=192),              # 7: L2 different
+    ]
+    rows = [
+        (i, bytearray(b), ("audio/mpeg", len(b), f"mem://{i}.mp3"))
+        for i, b in enumerate(blobs)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = media_near_dup_pairs(media, max_hamming=3, signature="audio").collect()
+    got = {(r["media_id1"], r["media_id2"]) for r in pairs}
+    assert (0, 1) in got and (0, 2) in got
+    assert (4, 5) in got and (4, 6) in got
+    assert not any((3 in p or 7 in p) for p in got)
+    assert not any(p[0] < 4 <= p[1] or p[0] >= 4 > p[1] for p in got)
+
+
+def test_fuzz_mp3_layer23_energy_walk():
+    from tests.test_codec_fuzz import _hammer
+
+    from pg2kinesis_spark.functions.codecs import (
+        encode_mp3_layer2,
+        encode_mp3_layer3_envelope,
+        mp3_subband_energies,
+    )
+
+    rng = np.random.default_rng(11)
+    corpus = [
+        encode_mp3_layer2(_l2_track(6, n_frames=12), kbps=192),
+        encode_mp3_layer2(
+            np.stack([_l2_track(7, 8), _l2_track(8, 8)], axis=1), kbps=384
+        ),
+        encode_mp3_layer2(_l2_track(12, n_frames=10), kbps=48),
+        encode_mp3_layer3_envelope(rng.uniform(0.01, 1.5, 24), kbps=128),
+    ]
+    _hammer(mp3_subband_energies, corpus, seed=49)
 
 
 def test_audio_fingerprint_short_track_quarantines(spark):
