@@ -379,11 +379,15 @@ def gen_media_containers() -> tuple[list[tuple], list[tuple], list[tuple]]:
     )
     add(8, "video", mp4_b)
     video_truth.append((8, 84, 1920, 1080, 84 / 3.5, 1000.0 * 3500 / 1000))
-    # 9: WebM skeleton — dims + duration only (no Cluster walk), so
-    # frame count and fps are honestly NULL
-    webm = C.encode_webm_skeleton(duration_s=12.0, width=1280, height=720)
+    # 9: WebM with Clusters — 30 video SimpleBlocks over 12 s, audio
+    # track blocks interleaved (the count must ignore them) and every
+    # other frame wrapped in BlockGroup/Block; fps = frames/duration
+    webm = C.encode_webm_skeleton(
+        duration_s=12.0, width=1280, height=720, n_frames=30,
+        audio_blocks=True, block_groups=True,
+    )
     add(9, "video", webm)
-    video_truth.append((9, None, 1280, 720, None, 12000.0))
+    video_truth.append((9, 30, 1280, 720, 30 / 12.0, 12000.0))
     # 10: MJPEG AVI — avih math: usec/frame = 10^6 // fps
     rng = np.random.default_rng(42)
     frames = [rng.integers(0, 255, (16, 16, 3), dtype=np.uint8) for _ in range(5)]

@@ -80,7 +80,7 @@ def test_video_info_dispatches_to_webm(spark):
 
     info = video_info(encode_webm_skeleton(duration_s=2.0, width=640, height=360))
     assert info["duration_ms"] == pytest.approx(2000.0)
-    assert info["n_frames"] is None  # honest: no Cluster walk
+    assert info["n_frames"] is None  # honest: no Clusters to walk
     rows = [
         (0, bytearray(encode_webm_skeleton(duration_s=4.0, width=320,
                                            height=180)),
@@ -111,3 +111,68 @@ def test_ebml_vint_widths():
 
     assert _ebml_size(b"\xff", 0)[0] is _EBML_UNKNOWN
     assert _ebml_size(b"\x7f\xff", 0)[0] is _EBML_UNKNOWN
+
+
+def test_webm_cluster_frame_walk():
+    """Cluster/SimpleBlock walk: video-track frames count across
+    clusters, audio-track blocks are ignored, BlockGroup/Block and
+    EBML-laced multi-frame blocks count correctly, fps re-derives as
+    frames/duration, and skeletons stay honestly NULL."""
+    w = encode_webm_skeleton(duration_s=12.0, n_frames=30)
+    i = webm_info(w)
+    assert (i["n_frames"], i["fps"]) == (30, pytest.approx(2.5))
+    # interleaved audio blocks + BlockGroups: same video frame count
+    mixed = encode_webm_skeleton(
+        duration_s=10.0, n_frames=50, audio_blocks=True, block_groups=True
+    )
+    assert webm_info(mixed)["n_frames"] == 50
+    # EBML lacing: 24 two-frame blocks carry 48 frames
+    laced = encode_webm_skeleton(duration_s=10.0, n_frames=48, laced_pairs=True)
+    assert webm_info(laced)["n_frames"] == 48
+    # unknown-size segment: clusters walk through the nested span
+    u = encode_webm_skeleton(duration_s=6.0, n_frames=24, unknown_segment_size=True)
+    assert webm_info(u)["n_frames"] == 24
+    # no clusters -> no count, no fps (and no error)
+    s = webm_info(encode_webm_skeleton(duration_s=6.0))
+    assert s["n_frames"] is None and s["fps"] is None
+
+
+def test_webm_cluster_walk_degrades_over_block_budget(monkeypatch):
+    """Block flood degrades the count to None instead of failing the
+    whole metadata walk — big real files must keep dims/duration."""
+    import pg2kinesis_spark.functions.codecs as C
+
+    w = encode_webm_skeleton(duration_s=4.0, n_frames=100)
+    assert webm_info(w)["n_frames"] == 100
+    monkeypatch.setattr(C, "_MKV_MAX_BLOCKS", 50)
+    i = webm_info(w)
+    assert i["n_frames"] is None and i["fps"] is None
+    assert i["width"] == 1280 and i["duration_ms"] == pytest.approx(4000.0)
+
+
+def test_webm_hostile_block_headers_raise():
+    """A block whose track vint or 3-byte header is cut by its element
+    boundary must raise, not mis-count."""
+    from pg2kinesis_spark.functions.codecs import (
+        _MKV_CLUSTER,
+        _MKV_SIMPLEBLOCK,
+        _ebml_elem,
+    )
+
+    base = encode_webm_skeleton(duration_s=2.0)
+    # strip the outer Segment wrapper and rebuild with a bad cluster
+    bad_cluster = _ebml_elem(_MKV_CLUSTER, _ebml_elem(_MKV_SIMPLEBLOCK, b"\x81"))
+    seg = bytes.fromhex("18538067") + b"\xff"
+    with pytest.raises(ValueError, match="block"):
+        webm_info(base[:5] + seg + base[10:] + bad_cluster)
+
+
+def test_fuzz_webm_cluster_walk():
+    from tests.test_codec_fuzz import _hammer
+
+    corpus = [
+        encode_webm_skeleton(duration_s=5.0, n_frames=40, audio_blocks=True),
+        encode_webm_skeleton(duration_s=5.0, n_frames=20, block_groups=True),
+        encode_webm_skeleton(duration_s=5.0, n_frames=16, laced_pairs=True),
+    ]
+    _hammer(webm_info, corpus, seed=51)
