@@ -745,16 +745,40 @@ def _scan_stderr(text: str) -> list[str]:
     return labels
 
 
+# Controlled-box single-core probe reference (SCALING.md "Bench
+# reconciliation"): the morning-idle state of this host. Normalized
+# throughput twins scale raw rates by (group_probe / this), making a
+# slow-box artifact comparable to a controlled one WITHOUT reading
+# SCALING.md: rate_norm ≈ what the same code does at probe 0.45.
+PROBE_REF_S = 0.45
+# Probe above this (1.2x the reference) marks the group box-slow.
+PROBE_SLOW_S = round(PROBE_REF_S * 1.2, 3)
+# Entries that are rates (bigger = better) and scale ~inversely with
+# single-core speed — the ones that get *_norm twins.
+RATE_ENTRIES = (
+    "cdc_replay_msgs_per_sec",
+    "pgoutput_dml_rows_per_sec",
+    "pgoutput_steady_rows_per_sec",
+    "e2e_sink_msgs_per_sec",
+)
+
+
 def orchestrate(sf_dir: str, sf: float) -> None:
     """Run each BENCH_GROUP in a fresh subprocess JVM and merge."""
     times: dict[str, float] = {}
     spread: dict[str, list] = {}
     errors: dict[str, str] = {}
     stderr_labels: list[str] = []
+    group_probes: dict[str, float] = {}
     probe_before = _box_probe()
     probe_mt_before = _box_probe_mt()
     t_all = time.perf_counter()
     for gname, entries in BENCH_GROUPS:
+        # Per-group probe read IMMEDIATELY before launch: the box state
+        # can drift inside one orchestration (hypervisor contention),
+        # and the throughput normalization below must use the state the
+        # group actually ran under, not the run-start snapshot.
+        group_probes[gname] = _box_probe()
         env = dict(os.environ)
         env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(entries)
         try:
@@ -780,6 +804,16 @@ def orchestrate(sf_dir: str, sf: float) -> None:
         spread.update(child.get("spread", {}))
         for lbl in _scan_stderr(proc.stderr or ""):
             stderr_labels.append(f"{gname}: {lbl}")
+        # Self-correcting throughput scoreboard: next to every raw rate
+        # this group produced, a probe-normalized twin (what the rate
+        # reads at the controlled-box reference probe). Raw stays the
+        # ground truth; the twin makes cross-round comparison
+        # probe-to-probe by construction.
+        for k in child.get("queries", {}):
+            if k in RATE_ENTRIES:
+                times[f"{k}_norm"] = round(
+                    times[k] * group_probes[gname] / PROBE_REF_S, 1
+                )
     _emit(
         times,
         sf,
@@ -795,6 +829,20 @@ def orchestrate(sf_dir: str, sf: float) -> None:
             # probe before calling anything a regression.
             "box_probe_s": {"before": probe_before, "after": _box_probe()},
             "box_probe_mt8_s": {"before": probe_mt_before, "after": _box_probe_mt()},
+            # Probe read just before each group launched — the state
+            # its numbers ran under. *_per_sec_norm twins in `queries`
+            # are raw × (group probe / probe_norm_ref_s).
+            "box_probe_by_group_s": group_probes,
+            "probe_norm_ref_s": PROBE_REF_S,
+            **(
+                {
+                    "box_slow_groups": sorted(
+                        g for g, p in group_probes.items() if p > PROBE_SLOW_S
+                    )
+                }
+                if any(p > PROBE_SLOW_S for p in group_probes.values())
+                else {}
+            ),
             # Any JVM stack trace logged by any child, labeled; [] means
             # the run was clean (VERDICT r5 "What's wrong" item 2).
             "stderr_exceptions": stderr_labels,
