@@ -451,11 +451,12 @@ def bench_ingest_batch(spark, sf_dir, out_dir):
     LSH vs the index, write-back + sidecar build. Returns (batch0_df,
     batch1_df, ingest) — the caller times ingest.process_batch.
 
-    The wall is dominated by FIXED per-batch cost (~20 Spark jobs:
-    checkpoints, index joins, write-back, sidecar builds — measured
-    ~5.5 s fixed + ~1.4 ms/doc marginal at sf0.01 vs sf0.1), i.e. the
-    number bounds micro-batch FREQUENCY, not doc throughput; deployment
-    batches of 10^5-10^6 docs amortize it to the marginal rate."""
+    The wall is dominated by FIXED per-batch cost (driver-blocking
+    jobs: checkpoints, index joins, write-back, sidecar builds —
+    ~3.3-3.5 s at sf0.1 after the round-7 sign-once cut, see
+    SCALING.md), i.e. the number bounds micro-batch FREQUENCY, not doc
+    throughput; deployment batches of 10^5-10^6 docs amortize it to
+    the marginal rate."""
     from pyspark.sql import functions as F
 
     from pg2kinesis_spark.io import load_table

@@ -443,6 +443,7 @@ def lsh_pairs_incremental(
     band_bloom_bits=None,
     band_bloom_k: int = 7,
     old_sig_df: DataFrame | None = None,
+    new_sig_df: DataFrame | None = None,
 ) -> DataFrame:
     """Daily-ingest dedup: candidate pairs TOUCHING a new batch, against
     a materialized signature index (write_minhash_signatures) — the new
@@ -464,8 +465,19 @@ def lsh_pairs_incremental(
     leaves the pair set EXACTLY unchanged (test-pinned) while the
     index-side join probes only the maybe-colliding residue.
     Within-batch (new-vs-new) pairs are never filtered.
+
+    ``new_sig_df``: pre-computed (ideally MATERIALIZED) signatures of
+    the new batch. The plan references the new signatures three times
+    (banding + both sides of the pair re-join); without a materialized
+    input each reference re-runs the shingle+minhash pass over the
+    batch text — the streaming ingest passes a localCheckpoint here and
+    reuses it for the post-accept index write.
     """
-    new_sig = minhash_signatures(new_docs, n, k, seed)
+    new_sig = (
+        new_sig_df
+        if new_sig_df is not None
+        else minhash_signatures(new_docs, n, k, seed)
+    )
     # explicit column pruning: the index may carry extra layout columns
     # (e.g. a batch_id partition from the streaming ingest)
     if old_sig_df is not None:

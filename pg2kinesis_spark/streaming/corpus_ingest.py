@@ -469,8 +469,23 @@ class CorpusIngest:
             _mark("exact-dedup ckpt")
             if self.stats:
                 stats_row["n_after_exact"] = ann.count()
+        new_sig = None
         if self.near_dup_jaccard is not None:
+            from pg2kinesis_spark.functions.dedup import minhash_signatures
+
             docs = ann.select("doc_id", "text")
+            # Sign the batch ONCE and materialize: the LSH pair plan
+            # references the new signatures three times (banding + both
+            # sides of the score re-join), and the post-accept sig-index
+            # write needs them again — without this checkpoint each of
+            # those re-runs the shingle+minhash pass over the batch
+            # text. K*8 bytes per doc, the cheapest checkpoint in the
+            # batch; also exactly the lineage-severed form the index
+            # write contract requires.
+            new_sig = minhash_signatures(docs, self.n, self.k).localCheckpoint(
+                eager=True
+            )
+            _mark("sig ckpt")
             sig_idx = self._existing(spark, self.sig_path, exclude_batch_id=batch_id)
             if sig_idx is not None:
                 band_need = _index_batch_ids(self.sig_path) - {batch_id}
@@ -495,6 +510,7 @@ class CorpusIngest:
                     # spark.read.parquet would re-infer the schema per
                     # micro-batch for nothing
                     old_sig_df=sig_idx,
+                    new_sig_df=new_sig,
                 ).filter(F.col("est_jaccard") >= self.near_dup_jaccard)
                 # ids are canonicalized id1 < id2; the ACCEPTED index side
                 # must never be dropped. Mark which side is new (the batch
@@ -669,32 +685,32 @@ class CorpusIngest:
         # reader that ignores the exclusion can never observe a batch
         # whose hashes exist while its signatures don't.
         if self.near_dup_jaccard is not None:
-            from pg2kinesis_spark.functions.dedup import (
-                _banded,
-                band_key_col,
-                minhash_signatures,
-            )
+            from pg2kinesis_spark.functions.dedup import _banded, band_key_col
 
-            sig = minhash_signatures(back.select("doc_id", "text"), self.n, self.k)
+            # ACCEPTED rows' signatures = the checkpointed batch
+            # signatures semi-joined with the written-and-read-back doc
+            # ids: no second shingle+minhash pass, and the lineage is
+            # still severed (checkpoint on one side, final parquet on
+            # the other — minhash is deterministic, so these are
+            # byte-identical to re-signing the read-back text).
+            sig = new_sig.join(
+                F.broadcast(back.select("doc_id")), "doc_id", "left_semi"
+            )
             _write(sig, self.sig_path)
             if self.band_bloom is not None:
-                # Bloom FROM the just-written index partition: the
-                # shingle+minhash pass runs exactly once (inside the
-                # write); the bloom build is a cheap column-pruned
-                # re-read. This puts the sig index BEFORE its bloom —
-                # safe because load_union's require_batch_ids coverage
-                # check refuses a union that misses any index batch and
-                # the caller falls back to the full index join, so a
-                # crash in the window costs one slow (never wrong)
-                # probe pass until the batch replays.
+                # Bloom AFTER the sig-index write (order matters:
+                # load_union's require_batch_ids coverage check refuses
+                # a union that misses any index batch and the caller
+                # falls back to the full index join, so a crash in the
+                # window costs one slow — never wrong — probe pass
+                # until the batch replays), built from the same
+                # checkpointed signatures the write used instead of a
+                # re-read of the partition it just wrote.
                 from pg2kinesis_spark.functions.bloom import bloom_hash_cols
 
-                sig_back = spark.read.parquet(self.sig_path).filter(
-                    F.col("batch_id") == batch_id
-                )
                 h1, h2 = bloom_hash_cols(band_key_col())
                 self.band_bloom.write(
-                    _banded(sig_back, self.k, self.bands).select(
+                    _banded(sig, self.k, self.bands).select(
                         h1.alias("_h1"), h2.alias("_h2")
                     ),
                     "_h1",
