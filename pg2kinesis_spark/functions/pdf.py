@@ -223,6 +223,104 @@ def _filter_names(sdict: bytes) -> list[bytes]:
     return re.findall(rb"/([A-Za-z0-9]+)", m.group(1))
 
 
+def _parse_decode_parms(sdict: bytes) -> list[bytes]:
+    """Per-filter /DecodeParms (or /DP) dict bytes aligned with
+    _filter_names order; b'' for null/absent entries."""
+    m = re.search(rb"/(?:DecodeParms|DP)(?![#A-Za-z0-9])\s*", sdict)
+    if not m:
+        return []
+    rest = sdict[m.end() :]
+    if rest.startswith(b"<<"):
+        return [_dict_at(rest, 0)]
+    if rest.startswith(b"["):
+        out: list[bytes] = []
+        i, n = 1, len(rest)
+        while i < n:
+            if rest[i : i + 1] == b"]":
+                break
+            if rest[i : i + 2] == b"<<":
+                d = _dict_at(rest, i)
+                out.append(d)
+                i += len(d)
+            elif rest[i : i + 4] == b"null":
+                out.append(b"")
+                i += 4
+            else:
+                i += 1
+        return out
+    return []
+
+
+def _parm_int(parms: bytes, key: bytes, default: int) -> int:
+    m = re.search(rb"/" + key + rb"\s+(\d+)", parms)
+    return int(m.group(1)) if m else default
+
+
+def _unpredict(data: bytes, parms: bytes) -> bytes:
+    """Undo /Predictor post-prediction on a Flate/LZW-decoded stream
+    (ISO 32000-1 Table 10): 1 = none, 2 = TIFF horizontal differencing,
+    >= 10 = PNG row filters (each row tagged None/Sub/Up/Average/Paeth).
+    Raises on combinations this tier can't honestly undo — silently
+    skipping would hand garbage to the CMap/ObjStm/content parsers."""
+    pred = _parm_int(parms, b"Predictor", 1)
+    if pred <= 1:
+        return data
+    colors = _parm_int(parms, b"Colors", 1)
+    bpc = _parm_int(parms, b"BitsPerComponent", 8)
+    cols = _parm_int(parms, b"Columns", 1)
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = max(1, (cols * colors * bpc + 7) // 8)
+    if pred == 2:
+        if bpc != 8:
+            raise ValueError(
+                f"TIFF predictor with /BitsPerComponent {bpc} unsupported"
+            )
+        out = bytearray(data)
+        for r0 in range(0, len(out), rowlen):
+            end = min(r0 + rowlen, len(out))
+            for i in range(r0 + bpp, end):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    if pred < 10:
+        raise ValueError(f"/Predictor {pred} is not a PDF predictor")
+    out = bytearray()
+    prev = bytearray(rowlen)
+    i, n = 0, len(data)
+    while i < n:
+        ft = data[i]
+        i += 1
+        row = bytearray(data[i : i + rowlen])
+        i += rowlen
+        if len(row) < rowlen:
+            raise ValueError("predictor-coded stream: truncated final row")
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub
+            for j in range(bpp, rowlen):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(rowlen):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(rowlen):
+                a = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((a + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(rowlen):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[j] = (row[j] + pr) & 0xFF
+        else:
+            raise ValueError(f"PNG predictor row filter {ft} invalid")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 def _decode_stream(sdict: bytes, body: bytes) -> bytes | None:
     """Apply the stream's filter chain for the text-bearing filters
     (Flate, LZW, ASCIIHex, ASCII85, RunLength — in declared order);
@@ -233,16 +331,23 @@ def _decode_stream(sdict: bytes, body: bytes) -> bytes | None:
         return body
     import base64
 
+    parms = _parse_decode_parms(sdict)
+
+    def _parm(idx: int) -> bytes:
+        return parms[idx] if idx < len(parms) else b""
+
     out = body
-    for nm in names:
+    for fi, nm in enumerate(names):
         if nm == b"FlateDecode":
             d = zlib.decompressobj()
             out = d.decompress(out, MAX_INFLATE + 1)
             if len(out) > MAX_INFLATE:
                 raise ValueError(f"PDF stream inflates past {MAX_INFLATE} bytes")
+            out = _unpredict(out, _parm(fi))
         elif nm == b"LZWDecode":
-            em = re.search(rb"/EarlyChange\s+(\d+)", sdict)
+            em = re.search(rb"/EarlyChange\s+(\d+)", _parm(fi) or sdict)
             out = _lzw_decode(out, early=int(em.group(1)) if em else 1)
+            out = _unpredict(out, _parm(fi))
         elif nm == b"ASCIIHexDecode":
             hx = re.sub(rb"[\s>]", b"", out.split(b">")[0] + b"")
             if len(hx) % 2:
@@ -814,7 +919,15 @@ def _decrypt_objects(data: bytes, objs: dict) -> None:
         and fm.group(1) == b"Standard"
         and ((v in (1, 2) and r in (2, 3)) or (v, r) == (4, 4) or (v, r) == (5, 6))
     )
-    if v == 4 and b"/AESV2" not in head:
+    # V4/V5 name the stream crypt filter via /StmF (default /StdCF):
+    # /Identity means STREAMS ARE NOT ENCRYPTED — "decrypting" them
+    # would produce garbage that silently skips as non-text. Any other
+    # non-StdCF name is a custom filter this tier can't honestly apply.
+    stmf = re.search(rb"/StmF\s*/(\w+)", head)
+    stmf_name = stmf.group(1) if stmf else b"StdCF"
+    if v >= 4 and stmf_name not in (b"StdCF", b"Identity"):
+        supported = False
+    if v == 4 and stmf_name != b"Identity" and b"/AESV2" not in head:
         supported = False  # V4 with a non-AES crypt filter chain
     if not supported:
         raise NotImplementedError(
@@ -822,6 +935,11 @@ def _decrypt_objects(data: bytes, objs: dict) -> None:
             f"R 2-3), AESV2 (V 4), or AESV3 (V 5, R 6) decrypts; this file "
             f"has /Filter {fm.group(1).decode() if fm else '?'} /V {v} /R {r}"
         )
+    if v >= 4 and stmf_name == b"Identity":
+        # stream bodies are plaintext by declaration; this tier only
+        # consumes streams, so there is nothing to decrypt (no key
+        # needed — an empty-password check would be beside the point)
+        return
     o_val = _pdf_string_bytes(head, b"/O")
     pm = re.search(rb"/P\s+(-?\d+)", head)
     u_val = _pdf_string_bytes(head, b"/U")
@@ -875,9 +993,21 @@ def _decrypt_objects(data: bytes, objs: dict) -> None:
 
     for num, (h, body) in list(objs.items()):
         # XRef streams are never encrypted (spec) and the /Encrypt
-        # object itself holds no stream; everything else decrypts.
+        # object itself holds no stream; a stream carrying its own
+        # /Crypt filter with /Name /Identity (or no /Name — Identity is
+        # the Table-26 default) opted out per-stream; everything else
+        # decrypts.
         if body is None or num == enc_num or b"/XRef" in h:
             continue
+        if b"Crypt" in _filter_names(h):
+            nm = re.search(rb"/Name\s*/(\w+)", h)
+            if nm is None or nm.group(1) == b"Identity":
+                continue
+            if nm.group(1) != b"StdCF":  # StdCF = the default decryption
+                raise NotImplementedError(
+                    f"encrypted PDF: per-stream /Crypt filter "
+                    f"/{nm.group(1).decode()} is neither Identity nor StdCF"
+                )
         try:
             objs[num] = (h, dec(num, body))
         except ValueError as e:
@@ -1025,7 +1155,11 @@ def _extract_text_ops(
                 s = bytes.fromhex(hx.decode("ascii"))
                 (in_array if in_array is not None else stack).append(s)
             elif tok.startswith(b"/"):
-                (in_array if in_array is not None else stack).append(tok)
+                # name tokens carry a distinct wrapper: a LITERAL STRING
+                # whose decoded bytes begin with '/' (e.g. a unix path)
+                # is real text and must never be mistaken for a name by
+                # a byte-prefix heuristic (or vice versa)
+                (in_array if in_array is not None else stack).append(("name", tok))
             elif tok[:1] in b"-+.0123456789":
                 try:
                     v: float | None = float(tok)
@@ -1033,12 +1167,14 @@ def _extract_text_ops(
                     v = None
                 (in_array if in_array is not None else stack).append(v)
             elif tok == b"Tf":
-                # operands: /Name size — find the name operand
+                # operands: /Name size — only a genuine NAME token can
+                # switch the active font; a literal string like (/F2)
+                # left on the stack by malformed content cannot
                 name = next(
                     (
-                        o
+                        o[1]
                         for o in reversed(stack)
-                        if isinstance(o, bytes) and o.startswith(b"/")
+                        if isinstance(o, tuple) and o[0] == "name"
                     ),
                     None,
                 )
@@ -1057,8 +1193,8 @@ def _extract_text_ops(
             elif tok == b"TJ":
                 if stack and isinstance(stack[-1], list):
                     for item in stack[-1]:
-                        if isinstance(item, bytes) and not item.startswith(b"/"):
-                            show(item)
+                        if isinstance(item, bytes):
+                            show(item)  # names are tuples, never shown
                         elif isinstance(item, float) and item <= _KERN_SPACE:
                             parts.append(" ")
                 stack.clear()

@@ -487,3 +487,149 @@ def test_filter_chains_lzw_a85_hex_rle():
             _lzw_decode(_lzw_encode(bytes(1 << 12)))
     finally:
         P.MAX_INFLATE = old_cap
+
+
+def test_literal_strings_starting_with_slash_are_text_not_names():
+    """A literal string whose bytes begin with '/' is REAL TEXT (unix
+    paths are everywhere in technical documents): TJ/Tj must show it,
+    and a literal like (/F2) left on the stack must never switch the
+    active font the way a genuine /F2 name token does."""
+    from pg2kinesis_spark.functions.pdf import pdf_text
+
+    content = (
+        b"BT /F1 12 Tf 72 720 Td "
+        b"[(see ) (/usr/local/bin) ( path)] TJ "
+        b"(/etc/hosts) Tj "
+        b"(/F9) 12 Tf (still simple text) Tj "  # literal, NOT a font switch
+        b"ET"
+    )
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    text = pdf_text(pdf)
+    assert "see /usr/local/bin path" in text
+    assert "/etc/hosts" in text
+    assert "still simple text" in text
+
+
+def _png_predict_rows(data: bytes, rowlen: int, ft: int) -> bytes:
+    """Forward PNG row prediction (the independent encoder side of
+    _unpredict): pads to a whole row, tags every row with filter ft."""
+    if len(data) % rowlen:
+        data += b" " * (rowlen - len(data) % rowlen)
+    prev = bytes(rowlen)
+    out = bytearray()
+    for r0 in range(0, len(data), rowlen):
+        row = data[r0 : r0 + rowlen]
+        out.append(ft)
+        if ft == 0:
+            out += row
+        elif ft == 1:  # Sub
+            out += bytes(
+                (row[j] - (row[j - 1] if j else 0)) & 0xFF for j in range(rowlen)
+            )
+        elif ft == 2:  # Up
+            out += bytes((row[j] - prev[j]) & 0xFF for j in range(rowlen))
+        else:
+            raise AssertionError("fixture only encodes None/Sub/Up")
+        prev = row
+    return bytes(out)
+
+
+def test_flate_png_predictor_streams_decode():
+    """FlateDecode + /DecodeParms /Predictor >= 10 (ubiquitous in
+    xref/ObjStm streams, legal on content streams): rows un-predict
+    through None/Sub/Up before the content parser sees them; TIFF
+    predictor 2 and a truncated final row are also covered."""
+    import zlib as _z
+
+    from pg2kinesis_spark.functions.pdf import pdf_text
+
+    content = b"BT /F1 12 Tf 72 720 Td (predictor text survives) Tj ET"
+    for ft in (0, 1, 2):
+        z = _z.compress(_png_predict_rows(content, 10, ft))
+        pdf = (
+            b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(z)).encode()
+            + b" /Filter /FlateDecode"
+            b" /DecodeParms << /Predictor 12 /Columns 10 >> >>\n"
+            b"stream\n" + z + b"\nendstream\nendobj\n%%EOF\n"
+        )
+        assert "predictor text survives" in pdf_text(pdf)
+    # TIFF predictor 2: horizontal byte differencing
+    raw = bytearray(content)
+    rowlen = 8
+    if len(raw) % rowlen:
+        raw += b" " * (rowlen - len(raw) % rowlen)
+    diff = bytearray(raw)
+    for r0 in range(0, len(diff), rowlen):
+        for j in range(r0 + rowlen - 1, r0, -1):
+            diff[j] = (diff[j] - diff[j - 1]) & 0xFF
+    z = _z.compress(bytes(diff))
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(z)).encode()
+        + b" /Filter /FlateDecode"
+        b" /DecodeParms << /Predictor 2 /Columns 8 >> >>\n"
+        b"stream\n" + z + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert "predictor text survives" in pdf_text(pdf)
+    # hostile: predictor stream with a cut final row refuses loudly
+    import pytest as _pt
+
+    bad = _png_predict_rows(content, 10, 2)[:-3]
+    z = _z.compress(bad)
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Length " + str(len(z)).encode()
+        + b" /Filter /FlateDecode"
+        b" /DecodeParms << /Predictor 12 /Columns 10 >> >>\n"
+        b"stream\n" + z + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    with _pt.raises(ValueError, match="truncated|predictor|no text"):
+        pdf_text(pdf)
+
+
+def test_stmf_identity_streams_are_plaintext():
+    """A V4 /Encrypt dict with /StmF /Identity declares stream bodies
+    UNencrypted — 'decrypting' them would be garbage. The walk must
+    read them as-is."""
+    base = encode_pdf([["identity stream text"]], compress=True)
+    enc_obj = (
+        b"\n9 0 obj\n<< /Filter /Standard /V 4 /R 4 /StmF /Identity"
+        b" /CF << /StdCF << /CFM /AESV2 >> >> /O <00> /U <00> /P -44 >>"
+        b"\nendobj\n<< /Encrypt 9 0 R >>\n"
+    )
+    text = pdf_text(base + enc_obj)
+    assert "identity stream text" in text
+    # any other non-StdCF stream filter name still refuses
+    other = enc_obj.replace(b"/StmF /Identity", b"/StmF /MyCF")
+    with pytest.raises(NotImplementedError, match="Standard|/V 4"):
+        pdf_text(base + other)
+
+
+def test_per_stream_crypt_identity_is_not_decrypted():
+    """A stream carrying its own /Crypt filter with /Name /Identity (or
+    the Table-26 default, no /Name) opted out of encryption: its body
+    must pass through undecrypted while sibling streams decrypt."""
+    from pg2kinesis_spark.functions.pdf import _decrypt_objects, _object_map
+
+    enc = encode_pdf([["rc4 page text"]], compress=False, encrypt_r=3)
+    plain = b"BT /F1 12 Tf (crypt identity body) Tj ET"
+    extra = (
+        b"\n50 0 obj\n<< /Length " + str(len(plain)).encode()
+        + b" /Filter /Crypt /DecodeParms << /Name /Identity >> >>\n"
+        b"stream\n" + plain + b"\nendstream\nendobj\n"
+    )
+    data = enc + extra
+    objs = _object_map(data)
+    _decrypt_objects(data, objs)
+    assert objs[50][1] == plain  # untouched
+    # /Name /StdCF means the DEFAULT decryption applies (no opt-out)
+    named = extra.replace(b"/Name /Identity", b"/Name /StdCF")
+    objs2 = _object_map(enc + named)
+    _decrypt_objects(enc + named, objs2)
+    assert objs2[50][1] != plain  # body was RC4-"decrypted" like siblings
+    # any other named per-stream crypt filter refuses loudly
+    custom = extra.replace(b"/Name /Identity", b"/Name /MyCF")
+    objs3 = _object_map(enc + custom)
+    with pytest.raises(NotImplementedError, match="Crypt"):
+        _decrypt_objects(enc + custom, objs3)
