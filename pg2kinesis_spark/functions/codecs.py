@@ -3173,7 +3173,7 @@ def _fast_eligible(b: bytes) -> bool:
     return not (is_png(b) and len(b) > 24 and b[24] == 16)
 
 
-def decode_image(data: bytes) -> np.ndarray:
+def decode_image(data: bytes, deterministic: bool = False) -> np.ndarray:
     """Dispatch PNG / JPEG / GIF decode to (H, W, C) uint8.
 
     Uses the PIL fast path when the library is importable (see
@@ -3181,9 +3181,18 @@ def decode_image(data: bytes) -> np.ndarray:
     decoders, which own the hostile-input error contract — so
     quarantine behavior is a superset, never a divergence: the fast
     path can only turn a refusal into a real decode (e.g. CMYK JPEG),
-    never a decode into a refusal."""
+    never a decode into a refusal.
+
+    ``deterministic=True`` additionally keeps JPEG on the pure decoder:
+    PIL/libjpeg IDCT rounding differs from the pure kernel by ±1 pixel
+    levels, so any value that is hash-compared or JOINED across hosts
+    (dHash fingerprints, oracle rows) must not depend on whether the
+    executing host has PIL. PNG/GIF are lossless-exact either way and
+    keep the fast path."""
     b = bytes(data)
     fast = fast_image_decoder()
+    if deterministic and is_jpeg(b):
+        fast = None
     if fast is not None and _fast_eligible(b) and (is_png(b) or is_jpeg(b) or is_gif(b)):
         try:
             return fast(b)

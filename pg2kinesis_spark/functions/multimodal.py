@@ -463,7 +463,12 @@ def media_dhash(media: DataFrame, errors: str = "quarantine") -> DataFrame:
     _check_errors(errors)
 
     def one(c: bytes) -> int:
-        return _dhash_image(codecs.decode_image(c), codecs.resize_nearest)
+        # deterministic: a dHash is a JOIN KEY across batches and hosts
+        # (near-dup pairing) — PIL-vs-pure JPEG IDCT rounding must not
+        # decide whether two copies of one image land in one cluster
+        return _dhash_image(
+            codecs.decode_image(c, deterministic=True), codecs.resize_nearest
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

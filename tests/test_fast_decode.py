@@ -89,3 +89,24 @@ def test_fast_path_hostile_falls_back_to_pure_errors(reset_seam):
     png[40] ^= 0xFF  # corrupt IDAT: PIL raises, pure path owns the error
     with pytest.raises(Exception):
         C.decode_image(bytes(png))
+
+
+def test_deterministic_jpeg_bypasses_fast_path(reset_seam):
+    """decode_image(deterministic=True) must return the PURE decoder's
+    JPEG pixels regardless of PIL availability — dHash fingerprints are
+    join keys across hosts. Pinned by planting a marker fast decoder;
+    PNG (bit-exact either way) still takes the fast path."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+    jpg = C.encode_jpeg(img)
+    png = C.encode_png(img)
+    marker = np.zeros((1, 1, 3), dtype=np.uint8)
+    C._FAST_DECODER.clear()
+    C._FAST_DECODER.append(lambda b: marker)
+    try:
+        assert C.decode_image(jpg).shape == (1, 1, 3)  # fast path active
+        out = C.decode_image(jpg, deterministic=True)
+        assert np.array_equal(out, C.decode_jpeg(jpg))  # pure, not marker
+        assert C.decode_image(png, deterministic=True).shape == (1, 1, 3)
+    finally:
+        C._FAST_DECODER.clear()
