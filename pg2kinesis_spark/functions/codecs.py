@@ -3146,6 +3146,64 @@ def _fast_decode_image(data: bytes) -> np.ndarray:
     return arr
 
 
+_VIDEO_DECODER: list = []  # lazy singleton, same protocol as _FAST_DECODER
+
+
+def _pyav_decode_frames(data: bytes, frame_indices=None) -> list:
+    """PyAV/ffmpeg-backed compressed-video decode to (H, W, 3) uint8
+    RGB frames. Inter-frame codecs need their reference frames, so the
+    decode walks every frame up to the last sampled ordinal but
+    CONVERTS/COPIES only the sampled ones — the same pay-for-what-you-
+    keep contract as decode_avi_mjpeg(frame_indices=...)."""
+    import io
+
+    import av
+
+    out = []
+    last = max(frame_indices) if frame_indices else None
+    with av.open(io.BytesIO(bytes(data))) as ctr:
+        stream = next((s for s in ctr.streams if s.type == "video"), None)
+        if stream is None:
+            raise ValueError("no video stream in container")
+        idx = 0
+        for frame in ctr.decode(stream):
+            if frame_indices is None or idx in frame_indices:
+                arr = frame.to_ndarray(format="rgb24")
+                if arr.shape[0] * arr.shape[1] > MAX_PIXELS:
+                    raise ValueError(
+                        f"video frame {arr.shape[1]}x{arr.shape[0]} exceeds "
+                        "MAX_PIXELS cap"
+                    )
+                out.append(arr)
+            idx += 1
+            if last is not None and idx > last:
+                break
+    if not out:
+        raise ValueError("no decodable video frames")
+    return out
+
+
+def fast_video_decoder():
+    """The optional compressed-video decode seam: PyAV (ffmpeg) when
+    importable, else None — the video twin of ``fast_image_decoder``,
+    under the same contract: the pure decoders own the hostile-input
+    error surface, and the seam can only turn a refusal (H.264/VP9/AV1
+    in MP4/WebM, non-MJPEG AVI) into a real decode, never a decode into
+    a refusal. ``SPARK_GRAFT_NO_PYAV=1`` disables. Resolved once per
+    process."""
+    if not _VIDEO_DECODER:
+        fn = None
+        if not os.environ.get("SPARK_GRAFT_NO_PYAV"):
+            try:
+                import av  # noqa: F401
+
+                fn = _pyav_decode_frames
+            except Exception:
+                fn = None
+        _VIDEO_DECODER.append(fn)
+    return _VIDEO_DECODER[0]
+
+
 def fast_image_decoder():
     """The optional accelerated decode seam: PIL/libjpeg when importable
     (its C entropy decode beats the pure-Python kernels by ~2 orders of

@@ -30,7 +30,12 @@ Codec support is tiered, honestly:
   audio decode and non-MJPEG video codecs (ffmpeg) are NOT available
   in this environment — those raise NotImplementedError inside the
   kernel, and the deterministic fake (``fake=True``) remains for
-  plumbing tests. The Spark-side contract — schemas, batch iteration,
+  plumbing tests. Compressed video (H.264/VP9/AV1 in MP4/WebM,
+  non-MJPEG AVI) has an optional PyAV seam
+  (``codecs.fast_video_decoder``, mirroring ``fast_image_decoder``'s
+  refusal-can-become-a-decode contract) feeding ``video_frames``; the
+  pure path keeps the honest refusal. The Spark-side contract —
+  schemas, batch iteration,
   partitioning — is identical either way.
 
 Dirty-data contract: scraped corpora contain truncated, mislabeled,
@@ -606,7 +611,11 @@ VIDEO_FRAMES_SCHEMA = T.StructType(
 
 
 def video_frames(
-    media: DataFrame, stride: int = 1, max_frames: int = 8, errors: str = "quarantine"
+    media: DataFrame,
+    stride: int = 1,
+    max_frames: int = 8,
+    errors: str = "quarantine",
+    compressed_decoder=None,
 ) -> DataFrame:
     """REAL video frame extraction for MJPEG AVI and animated GIF
     content.
@@ -626,6 +635,14 @@ def video_frames(
     executor-local decode) is the same. An undecodable clip emits ONE
     row with NULL frame_idx/content + ``decode_error`` (default) or
     fails the task (``errors="raise"``).
+
+    Compressed bitstreams (H.264/VP9/AV1 in MP4/WebM, non-MJPEG AVI)
+    decode through ``codecs.fast_video_decoder()`` (the optional PyAV
+    seam) when importable ON THE EXECUTORS, else refuse honestly.
+    ``compressed_decoder`` overrides the seam with an explicit
+    ``(bytes, frame_indices) -> list[ndarray]`` callable — it is
+    serialized into the kernel closure, which is also how the plumbing
+    tests prove the wiring without ffmpeg.
     """
     import pandas as pd
 
@@ -641,6 +658,27 @@ def video_frames(
     def decode_clip(b: bytes) -> list[np.ndarray]:
         if codecs.is_gif(b):  # animated GIFs are videos too
             return codecs.decode_gif_frames(b, frame_indices=sampled)
+        if codecs.is_avi(b):
+            try:
+                return codecs.decode_avi_mjpeg(b, frame_indices=sampled)
+            except NotImplementedError:
+                # non-MJPEG codec inside AVI: only the seam can decode
+                fast = compressed_decoder or codecs.fast_video_decoder()
+                if fast is None:
+                    raise
+                return fast(b, sampled)
+        if codecs.is_mp4(b) or codecs.is_webm(b):
+            # compressed bitstreams (H.264/VP9/AV1): the optional PyAV
+            # seam when importable, the honest refusal otherwise —
+            # mirroring decode_image's fast_image_decoder contract
+            fast = compressed_decoder or codecs.fast_video_decoder()
+            if fast is not None:
+                return fast(b, sampled)
+            raise NotImplementedError(
+                "compressed video decode (H.264/VP9/AV1 in MP4/WebM) "
+                "needs the optional PyAV seam (codecs.fast_video_decoder)"
+                " — not available in this environment"
+            )
         return codecs.decode_avi_mjpeg(b, frame_indices=sampled)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
