@@ -364,6 +364,17 @@ def gen_media_containers() -> tuple[list[tuple], list[tuple], list[tuple]]:
         (6, "mp3", 44100, 2, d * 1000.0, sum(vbr_rates) / len(vbr_rates), True)
     )
 
+    # 12: ADTS AAC — 25 LC frames of 256 bytes at 32 kHz; duration is
+    # 1024 samples per raw data block, bitrate the container mean
+    aac = C.encode_adts_frames(25, rate=32000, channels=2, frame_bytes=256)
+    d = 0.0
+    for _ in range(25):
+        d += 1024 / 32000
+    add(12, "audio", aac)
+    audio_truth.append(
+        (12, "aac", 32000, 2, d * 1000.0, 25 * 256 * 8 / d / 1000.0, True)
+    )
+
     # --- video -------------------------------------------------------
     # 7: MP4 v0 boxes — mdhd timescale = fps*1000, so fps re-derives
     # exactly as n_frames / duration_s

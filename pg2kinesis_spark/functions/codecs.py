@@ -775,6 +775,125 @@ def encode_mp3_layer1(
     return bytes(out)
 
 
+# --- AAC (ADTS) -------------------------------------------------------------
+#
+# Raw .aac streams ship as ADTS (ISO/IEC 13818-7 §6.2 / 14496-3): a
+# 7/9-byte header per frame, 1024 samples per raw data block. Header
+# walk only — AAC spectral decode stays honestly unsupported, the same
+# tier as mp3_info. The sync discriminates cleanly from MP3: ADTS uses
+# the layer bits 00 that are RESERVED in MPEG audio, so is_mp3 can
+# never claim an ADTS stream and vice versa.
+
+_ADTS_RATES = [
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350,
+]
+_ADTS_PROFILES = ["Main", "LC", "SSR", "LTP"]
+
+
+def is_adts_aac(data: bytes) -> bool:
+    data = bytes(data)
+    pos = _id3v2_size(data)
+    return (
+        len(data) >= pos + 7
+        and data[pos] == 0xFF
+        and (data[pos + 1] & 0xF6) == 0xF0
+    )
+
+
+def aac_info(data: bytes) -> dict:
+    """ADTS AAC metadata by frame-header walk: (n_frames, sample_rate,
+    n_channels, duration_ms, bitrate_kbps [container mean], profile,
+    version, id3v2). ``n_channels`` is None for channel_configuration 0
+    (layout lives in an in-band PCE this tier doesn't parse — honest
+    NULL, like the WebM skeleton columns). Raises ValueError on content
+    with no valid ADTS frame; lost sync ends the walk (mp3_info's
+    trailing-garbage rule)."""
+    data = bytes(data)
+    pos = _id3v2_size(data)
+    id3 = pos > 0
+    n = len(data)
+    n_frames = 0
+    audio_bytes = 0
+    duration_s = 0.0
+    rate = channels = None
+    profile = version = None
+    while pos + 7 <= n:
+        if data[pos] != 0xFF or (data[pos + 1] & 0xF6) != 0xF0:
+            break  # lost sync: trailing tag/garbage ends the walk
+        b1, b2, b3, b4, b5, b6 = data[pos + 1 : pos + 7]
+        sfi = (b2 >> 2) & 0xF
+        if sfi >= len(_ADTS_RATES):
+            break  # reserved sampling index: not a real frame header
+        flen = ((b3 & 0x03) << 11) | (b4 << 3) | (b5 >> 5)
+        hdr_len = 7 if (b1 & 1) else 9  # protection_absent=0 adds CRC16
+        if flen < hdr_len or pos + flen > n:
+            break
+        cfg = ((b2 & 1) << 2) | (b3 >> 6)
+        blocks = (b6 & 0x03) + 1
+        r = _ADTS_RATES[sfi]
+        n_frames += 1
+        audio_bytes += flen
+        duration_s += blocks * 1024 / r
+        rate = r
+        channels = cfg if cfg else None
+        profile = _ADTS_PROFILES[(b2 >> 6) & 3]
+        version = "2" if (b1 & 0x08) else "4"
+        pos += flen
+    if n_frames == 0:
+        raise ValueError("not ADTS AAC: no valid frame header")
+    return {
+        "n_frames": n_frames,
+        "sample_rate": rate,
+        "n_channels": channels,
+        "duration_ms": duration_s * 1000.0,
+        "bitrate_kbps": audio_bytes * 8 / duration_s / 1000.0,
+        "profile": profile,
+        "version": version,
+        "id3v2": id3,
+    }
+
+
+def encode_adts_frames(
+    n_frames: int,
+    rate: int = 44100,
+    channels: int = 2,
+    frame_bytes: int = 300,
+    profile: int = 1,
+    mpeg2: bool = False,
+    crc: bool = False,
+    id3v2_bytes: int = 0,
+) -> bytes:
+    """Spec-packed ADTS stream for tests: valid headers + zeroed
+    payloads (the independent fixture side of aac_info's contract).
+    ``frame_bytes`` may be an int or a per-frame list."""
+    out = bytearray()
+    if id3v2_bytes:
+        sz = id3v2_bytes
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+        )
+        out += bytes(sz)
+    sfi = _ADTS_RATES.index(rate)
+    sizes = (
+        [frame_bytes] * n_frames if isinstance(frame_bytes, int) else list(frame_bytes)
+    )
+    for flen in sizes:
+        hdr_len = 9 if crc else 7
+        if flen < hdr_len:
+            raise ValueError(f"frame_bytes {flen} below ADTS header size")
+        b1 = 0xF0 | (0x08 if mpeg2 else 0) | (0 if crc else 1)
+        b2 = (profile << 6) | (sfi << 2) | ((channels >> 2) & 1)
+        b3 = ((channels & 3) << 6) | ((flen >> 11) & 0x03)
+        b4 = (flen >> 3) & 0xFF
+        b5 = ((flen & 0x07) << 5) | 0x1F
+        b6 = 0xFC  # buffer fullness all-ones tail + 1 raw data block
+        frame = bytearray([0xFF, b1, b2, b3, b4, b5, b6])
+        frame += bytes(flen - len(frame))
+        out += frame
+    return bytes(out)
+
+
 # --- MP3 Layer II subband codec + Layer III energy proxy --------------------
 #
 # Layer II (ISO 11172-3 §2.4 Layer II) shares Layer I's 32-subband

@@ -829,6 +829,11 @@ def sniff_mime(content: "F.Column") -> "F.Column":
         b for b in range(0xE0, 0x100) if (b & 0x18) != 0x08 and (b & 0x06) != 0
     ]
     mp3_sync = F.hex(sub(1, 2)).isin(*[f"FF{b:02X}" for b in valid_b1])
+    # ADTS AAC sync: 0xFFF with layer bits 00 (reserved in MPEG audio,
+    # so the MP3 InSet above can never match these and vice versa)
+    adts_sync = F.hex(sub(1, 2)).isin(
+        *[f"FF{b:02X}" for b in range(0xE0, 0x100) if (b & 0xF6) == 0xF0]
+    )
     return (
         F.when(sig8 == F.lit(bytes.fromhex("89504E470D0A1A0A")), "image/png")
         .when(sub(1, 2) == F.lit(b"\xff\xd8"), "image/jpeg")
@@ -838,6 +843,7 @@ def sniff_mime(content: "F.Column") -> "F.Column":
         .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"WAVE")), "audio/wav")
         .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"AVI ")), "video/x-msvideo")
         .when(sub(1, 3) == F.lit(b"ID3"), "audio/mpeg")
+        .when(adts_sync, "audio/aac")
         .when(mp3_sync, "audio/mpeg")
         # ISO BMFF: any box layout starts size(4) + 'ftyp'; audio-only
         # brands (M4A) label as audio, everything else as video
@@ -904,6 +910,14 @@ def extract_audio_metadata(media: DataFrame, errors: str = "quarantine") -> Data
                 "ogg/" + o["codec"], o["sample_rate"], o["n_channels"],
                 o["duration_ms"], kbps, True,
             )
+        if codecs.is_adts_aac(c):
+            # before is_mp3 for clarity only: ADTS uses the layer bits
+            # reserved in MPEG audio, so neither sniffer claims the other
+            a = codecs.aac_info(c)
+            return (
+                "aac", a["sample_rate"], a["n_channels"], a["duration_ms"],
+                a["bitrate_kbps"], True,  # ADTS has no CBR marker
+            )
         if codecs.is_mp3(c):
             m = codecs.mp3_info(c)
             return (
@@ -911,7 +925,8 @@ def extract_audio_metadata(media: DataFrame, errors: str = "quarantine") -> Data
                 float(m["bitrate_kbps"]), m["vbr"],
             )
         raise NotImplementedError(
-            "audio metadata covers WAV, FLAC, Ogg (Opus/Vorbis), and MP3"
+            "audio metadata covers WAV, FLAC, Ogg (Opus/Vorbis), MP3, "
+            "and ADTS AAC"
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

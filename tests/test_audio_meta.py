@@ -234,3 +234,109 @@ def test_spark_audio_metadata_over_ogg(spark):
     assert r.sample_rate == 16000
     assert r.duration_ms == pytest.approx(2000.0)
     assert r.decode_error is None
+
+
+def test_adts_aac_hand_expected():
+    """ADTS header walk: encoder-parameter arithmetic for duration
+    (1024 samples/block), container-mean bitrate, profile/version, and
+    the honest NULL for channel_configuration 0 (in-band PCE)."""
+    from pg2kinesis_spark.functions.codecs import (
+        aac_info,
+        encode_adts_frames,
+        is_adts_aac,
+    )
+
+    a = encode_adts_frames(40, rate=44100, channels=2, frame_bytes=300)
+    assert is_adts_aac(a)
+    i = aac_info(a)
+    assert (i["n_frames"], i["sample_rate"], i["n_channels"]) == (40, 44100, 2)
+    assert i["duration_ms"] == pytest.approx(40 * 1024 / 44100 * 1000)
+    dur_s = 40 * 1024 / 44100
+    assert i["bitrate_kbps"] == pytest.approx(40 * 300 * 8 / dur_s / 1000)
+    assert (i["profile"], i["version"], i["id3v2"]) == ("LC", "4", False)
+    # CRC headers, MPEG-2 ID, ID3v2 skip, PCE channel config -> NULL
+    b = encode_adts_frames(
+        5, rate=22050, channels=0, frame_bytes=120,
+        mpeg2=True, crc=True, id3v2_bytes=32,
+    )
+    j = aac_info(b)
+    assert (j["n_frames"], j["sample_rate"], j["n_channels"]) == (5, 22050, None)
+    assert (j["version"], j["id3v2"]) == ("2", True)
+    # variable frame sizes average correctly
+    v = encode_adts_frames(3, frame_bytes=[100, 200, 300])
+    assert aac_info(v)["bitrate_kbps"] == pytest.approx(
+        600 * 8 / (3 * 1024 / 44100) / 1000
+    )
+
+
+def test_adts_and_mp3_syncs_never_cross_claim():
+    """ADTS uses the layer bits RESERVED in MPEG audio: neither sniffer
+    can claim the other's stream, and trailing garbage ends the walk."""
+    from pg2kinesis_spark.functions.codecs import (
+        aac_info,
+        encode_adts_frames,
+        encode_mp3_frames,
+        is_adts_aac,
+        is_mp3,
+        mp3_info,
+    )
+
+    a = encode_adts_frames(8)
+    m = encode_mp3_frames(8, kbps=128)
+    assert is_adts_aac(a) and not is_mp3(a)
+    assert is_mp3(m) and not is_adts_aac(m)
+    with pytest.raises(ValueError):
+        aac_info(m)
+    with pytest.raises(ValueError):
+        mp3_info(a)
+    # trailing garbage after valid frames: walk stops, count unchanged
+    assert aac_info(a + b"\x00garbage")["n_frames"] == 8
+
+
+def test_adts_hostile_is_bounded():
+    from pg2kinesis_spark.functions.codecs import aac_info, encode_adts_frames
+
+    good = encode_adts_frames(4, frame_bytes=64)
+    with pytest.raises(ValueError):
+        aac_info(good[:5])  # below one header
+    # stomped frame length pointing past EOF: walk stops at the stomp
+    bad = bytearray(good)
+    bad[64 + 3] |= 0x03  # max out the high frame-length bits of frame 2
+    assert aac_info(bytes(bad))["n_frames"] == 1
+    # reserved sampling index ends the walk
+    bad2 = bytearray(good)
+    bad2[64 + 2] = (bad2[64 + 2] & 0xC3) | (13 << 2)
+    assert aac_info(bytes(bad2))["n_frames"] == 1
+
+
+def test_spark_audio_metadata_covers_aac(spark):
+    from pg2kinesis_spark.functions.codecs import encode_adts_frames
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_metadata,
+        sniff_mime,
+    )
+    import pyspark.sql.functions as F
+
+    a = encode_adts_frames(20, rate=48000, channels=1, frame_bytes=250)
+    media = spark.createDataFrame(
+        [(0, bytearray(a), ("audio/aac", len(a), "mem://x.aac"))], MEDIA_SCHEMA
+    )
+    r = extract_audio_metadata(media).collect()[0]
+    assert r.container == "aac" and r.sample_rate == 48000 and r.n_channels == 1
+    assert r.vbr is True and r.decode_error is None
+    assert r.duration_ms == pytest.approx(20 * 1024 / 48000 * 1000)
+    mime = media.select(sniff_mime(F.col("content")).alias("m")).collect()[0].m
+    assert mime == "audio/aac"
+
+
+def test_fuzz_adts_walk():
+    from tests.test_codec_fuzz import _hammer
+
+    from pg2kinesis_spark.functions.codecs import aac_info, encode_adts_frames
+
+    corpus = [
+        encode_adts_frames(10, frame_bytes=128),
+        encode_adts_frames(6, rate=22050, mpeg2=True, crc=True, frame_bytes=[64, 96, 64, 96, 64, 96]),
+    ]
+    _hammer(aac_info, corpus, seed=52)
