@@ -868,13 +868,16 @@ def main() -> None:
 
 
 def _emit(times: dict, sf: float, spread: dict | None = None, extra: dict | None = None) -> None:
-    # *_per_sec are rates, *_steady re-executes an already-timed plan:
-    # neither belongs in the wall-clock sum.
+    # *_per_sec are rates (and *_per_sec_norm their probe-normalized
+    # twins), *_steady re-executes an already-timed plan: none of them
+    # belongs in the wall-clock sum.
     total = round(
         sum(
             v
             for k, v in times.items()
-            if not k.endswith("_per_sec") and not k.endswith("_steady")
+            if not k.endswith("_per_sec")
+            and not k.endswith("_per_sec_norm")
+            and not k.endswith("_steady")
         ),
         4,
     )
