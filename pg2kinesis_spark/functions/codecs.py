@@ -1351,13 +1351,18 @@ def _truncation_as_valueerror(what: str):
     return deco
 
 
-# --- FLAC (header-only) ---------------------------------------------------
+# --- FLAC ------------------------------------------------------------------
 #
 # STREAMINFO metadata block (the mandatory first block, RFC 9639 /
 # xiph spec): everything a profiler needs — rate, channels, bit depth,
-# exact total samples — at magic+38-byte cost. FLAC audio DECODE stays
-# honestly unsupported (the rice/LPC bitstream is out of scope); this
-# is the mp3_info/mp4_info tier.
+# exact total samples — at magic+38-byte cost (flac_info). Round 7 adds
+# the FULL frame decode (decode_flac): FLAC is lossless, so unlike the
+# MP3 energy tiers the decoder's contract is exact PCM — the STREAMINFO
+# MD5 of the unencoded audio is verified after decode, making every
+# successful decode self-checking against the encoder that produced the
+# file. encode_flac is the independent fixture side (constant/verbatim/
+# fixed/LPC subframes, rice + escape partitions, mid/left/right-side
+# stereo, wasted bits), so round trips pin the whole subframe matrix.
 
 
 def is_flac(data: bytes) -> bool:
@@ -1417,6 +1422,615 @@ def encode_flac_streaminfo(
         is_last = 0x80 if i == extra_blocks - 1 else 0
         out += bytes([is_last | 1]) + (4).to_bytes(3, "big") + bytes(4)  # PADDING
     return out
+
+
+def _crc_table(poly: int, width: int) -> list[int]:
+    """MSB-first CRC table, generated (nothing transcribed). FLAC uses
+    CRC-8 poly 0x07 (frame header) and CRC-16 poly 0x8005 (whole
+    frame), both init 0 — RFC 9639 §9.1.1/§9.3."""
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    table = []
+    for byte in range(256):
+        r = byte << (width - 8)
+        for _ in range(8):
+            r = ((r << 1) ^ poly) if (r & top) else (r << 1)
+        table.append(r & mask)
+    return table
+
+
+_FLAC_CRC8 = _crc_table(0x07, 8)
+_FLAC_CRC16 = _crc_table(0x8005, 16)
+
+
+def _flac_crc8(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = _FLAC_CRC8[r ^ b]
+    return r
+
+
+def _flac_crc16(data: bytes) -> int:
+    r = 0
+    for b in data:
+        r = _FLAC_CRC16[((r >> 8) ^ b) & 0xFF] ^ ((r << 8) & 0xFFFF)
+    return r
+
+
+# Frame-header code tables (RFC 9639 §9.1). Block-size codes 6/7 and
+# sample-rate codes 12-14 read their value at the END of the header.
+_FLAC_BLOCK_SIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                     8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                     13: 8192, 14: 16384, 15: 32768}
+_FLAC_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+               6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+               11: 96000}
+_FLAC_BITS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+# Fixed-predictor coefficients by order (binomial, RFC 9639 §9.2.5).
+_FLAC_FIXED = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+_FLAC_MAX_SAMPLES = 100_000_000  # hostile-input bound (~2h stereo 48k×8ch)
+
+
+class _FlacReader:
+    """MSB-first bit reader with byte-position tracking (CRC spans end
+    on byte boundaries) and bounded unary reads."""
+
+    __slots__ = ("data", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes, pos: int = 0) -> None:
+        self.data = data
+        self.pos = pos  # next unread byte
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated FLAC frame: bitstream ran out")
+            self.acc = (self.acc << 8) | self.data[self.pos]
+            self.pos += 1
+            self.nbits += 8
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v >= (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        q = 0
+        while self.read(1) == 0:
+            q += 1
+            if q > 1 << 24:
+                raise ValueError("FLAC rice quotient exceeds hostile bound")
+        return q
+
+    def align(self) -> None:
+        self.nbits = 0
+        self.acc = 0
+
+    def byte_pos(self) -> int:
+        """Current position assuming byte alignment."""
+        return self.pos - (self.nbits // 8)
+
+
+def _flac_utf8_number(r: "_FlacReader", max_bytes: int = 7) -> int:
+    """The frame/sample coded number: UTF-8-style prefix coding extended
+    to 36 bits (RFC 9639 §9.1.5)."""
+    b0 = r.read(8)
+    if b0 < 0x80:
+        return b0
+    nbytes = 0
+    mask = 0x80
+    while b0 & mask:
+        nbytes += 1
+        mask >>= 1
+    if nbytes < 2 or nbytes > max_bytes:
+        raise ValueError("FLAC coded number: invalid UTF-8-style prefix")
+    v = b0 & (mask - 1)
+    for _ in range(nbytes - 1):
+        c = r.read(8)
+        if (c & 0xC0) != 0x80:
+            raise ValueError("FLAC coded number: bad continuation byte")
+        v = (v << 6) | (c & 0x3F)
+    return v
+
+
+def _flac_residual(r: "_FlacReader", block_size: int, order: int) -> list[int]:
+    """Rice-coded residual (RFC 9639 §9.2.7): 2-bit method selects the
+    4-bit (RICE) or 5-bit (RICE2) parameter width; 4-bit partition
+    order splits the block into 2^po equal ranges; the all-ones
+    parameter escapes to raw fixed-width samples."""
+    method = r.read(2)
+    if method > 1:
+        raise ValueError(f"FLAC residual: reserved coding method {method}")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    po = r.read(4)
+    nparts = 1 << po
+    if block_size % nparts:
+        raise ValueError("FLAC residual: partition count doesn't divide block")
+    out: list[int] = []
+    for p in range(nparts):
+        count = (block_size >> po) - (order if p == 0 else 0)
+        if count < 0:
+            raise ValueError("FLAC residual: predictor order exceeds first partition")
+        param = r.read(pbits)
+        if param == escape:
+            raw = r.read(5)
+            if raw == 0:
+                out.extend([0] * count)
+            else:
+                out.extend(r.read_signed(raw) for _ in range(count))
+        else:
+            for _ in range(count):
+                q = r.read_unary()
+                v = (q << param) | r.read(param)
+                out.append((v >> 1) ^ -(v & 1))  # zigzag
+    return out
+
+
+def _flac_subframe(r: "_FlacReader", block_size: int, bps: int) -> list[int]:
+    """One channel of one frame (RFC 9639 §9.2): constant / verbatim /
+    fixed-predictor / LPC, with the wasted-bits prefix."""
+    if r.read(1) != 0:
+        raise ValueError("FLAC subframe: reserved padding bit set")
+    stype = r.read(6)
+    wasted = 0
+    if r.read(1):
+        wasted = 1 + r.read_unary()
+        if wasted >= bps:
+            raise ValueError("FLAC subframe: wasted bits consume the sample width")
+    eff = bps - wasted
+    if stype == 0:
+        samples = [r.read_signed(eff)] * block_size
+    elif stype == 1:
+        samples = [r.read_signed(eff) for _ in range(block_size)]
+    elif 8 <= stype <= 12:
+        order = stype - 8
+        if order > block_size:
+            raise ValueError("FLAC fixed subframe: order exceeds block size")
+        samples = [r.read_signed(eff) for _ in range(order)]
+        coefs = _FLAC_FIXED[order]
+        res = _flac_residual(r, block_size, order)
+        for e in res:
+            pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
+            samples.append(e + pred)
+    elif stype >= 32:
+        order = (stype & 0x1F) + 1
+        if order > block_size:
+            raise ValueError("FLAC LPC subframe: order exceeds block size")
+        samples = [r.read_signed(eff) for _ in range(order)]
+        prec = r.read(4) + 1
+        if prec == 16:
+            raise ValueError("FLAC LPC subframe: reserved precision code 15")
+        shift = r.read_signed(5)
+        if shift < 0:
+            raise ValueError("FLAC LPC subframe: negative shift is forbidden")
+        coefs = [r.read_signed(prec) for _ in range(order)]
+        res = _flac_residual(r, block_size, order)
+        for e in res:
+            pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs)) >> shift
+            samples.append(e + pred)
+    else:
+        raise ValueError(f"FLAC subframe: reserved type {stype}")
+    if wasted:
+        samples = [s << wasted for s in samples]
+    return samples
+
+
+def _flac_first_frame(data: bytes) -> int:
+    """Offset of the first audio frame: walk the metadata blocks."""
+    pos = 4
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("truncated FLAC: metadata blocks never end")
+        last = data[pos] & 0x80
+        blen = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        pos += 4 + blen
+        if last:
+            return pos
+
+
+def decode_flac(data: bytes, verify_md5: bool = True) -> tuple[np.ndarray, int]:
+    """Decode a FLAC stream to ((n_samples, n_channels) int array,
+    sample_rate) — the lossless sibling of decode_wav.
+
+    Full RFC 9639 frame decode: sync + header CRC-8, coded frame/sample
+    numbers, all four subframe types (constant / verbatim / fixed
+    orders 0-4 / LPC to order 32), 4- and 5-bit rice partitions with
+    raw-escape, wasted bits, left/right/mid-side stereo decorrelation,
+    and the trailing frame CRC-16. Because FLAC is lossless the decode
+    is self-verifying: when STREAMINFO carries a nonzero MD5 the
+    decoded PCM (interleaved little-endian at the stated bit depth)
+    must hash to it, or the decode refuses — a wrong decode can never
+    return quietly. Raises ValueError on any malformed structure."""
+    import hashlib
+
+    data = bytes(data)
+    info = flac_info(data)
+    rate0, nch0, bits0 = info["sample_rate"], info["n_channels"], info["bits"]
+    md5_expected = data[8 + 18 : 8 + 34]
+    pos = _flac_first_frame(data)
+    channels: list[list[int]] = [[] for _ in range(nch0)]
+    total = 0
+    while pos + 2 <= len(data):
+        r = _FlacReader(data, pos)
+        sync = r.read(14)
+        if sync != 0x3FFE:
+            raise ValueError("FLAC frame: lost sync (bad frame boundary)")
+        if r.read(1):
+            raise ValueError("FLAC frame: reserved header bit set")
+        variable = r.read(1)
+        bs_code = r.read(4)
+        sr_code = r.read(4)
+        ch_code = r.read(4)
+        bd_code = r.read(3)
+        if r.read(1):
+            raise ValueError("FLAC frame: reserved header bit set")
+        _flac_utf8_number(r, 7 if variable else 6)
+        if bs_code == 0:
+            raise ValueError("FLAC frame: reserved block-size code 0")
+        elif bs_code == 6:
+            block_size = r.read(8) + 1
+        elif bs_code == 7:
+            block_size = r.read(16) + 1
+        else:
+            block_size = _FLAC_BLOCK_SIZES[bs_code]
+        if sr_code == 0:
+            rate = rate0
+        elif sr_code == 12:
+            rate = r.read(8) * 1000
+        elif sr_code == 13:
+            rate = r.read(16)
+        elif sr_code == 14:
+            rate = r.read(16) * 10
+        elif sr_code == 15:
+            raise ValueError("FLAC frame: invalid sample-rate code 15")
+        else:
+            rate = _FLAC_RATES[sr_code]
+        if ch_code <= 7:
+            nch = ch_code + 1
+        elif ch_code <= 10:
+            nch = 2
+        else:
+            raise ValueError(f"FLAC frame: reserved channel assignment {ch_code}")
+        bps = bits0 if bd_code == 0 else _FLAC_BITS.get(bd_code)
+        if bps is None:
+            raise ValueError("FLAC frame: reserved bit-depth code 3")
+        if nch != nch0 or rate != rate0 or bps != bits0:
+            raise ValueError(
+                "FLAC frame: header disagrees with STREAMINFO "
+                f"(ch {nch}≠{nch0} / rate {rate}≠{rate0} / bits {bps}≠{bits0})"
+            )
+        hdr_end = r.byte_pos()
+        crc8 = r.read(8)
+        if _flac_crc8(data[pos:hdr_end]) != crc8:
+            raise ValueError("FLAC frame: header CRC-8 mismatch")
+        total += block_size
+        if total > _FLAC_MAX_SAMPLES:
+            raise ValueError("FLAC stream exceeds the decoded-samples bound")
+        subs = []
+        for ch in range(nch):
+            ch_bps = bps
+            if (ch_code == 8 and ch == 1) or (ch_code == 9 and ch == 0) or (
+                ch_code == 10 and ch == 1
+            ):
+                ch_bps += 1  # the side channel carries one extra bit
+            subs.append(_flac_subframe(r, block_size, ch_bps))
+        r.align()
+        frame_end = r.byte_pos()
+        crc16 = r.read(16)
+        if _flac_crc16(data[pos:frame_end]) != crc16:
+            raise ValueError("FLAC frame: frame CRC-16 mismatch")
+        if ch_code == 8:  # left/side: right = left - side
+            left, side = subs
+            subs = [left, [l - s for l, s in zip(left, side)]]
+        elif ch_code == 9:  # right/side: left = right + side
+            side, right = subs
+            subs = [[rt + s for rt, s in zip(right, side)], right]
+        elif ch_code == 10:  # mid/side (mid stored floor-halved)
+            mid, side = subs
+            left, right = [], []
+            for m, s in zip(mid, side):
+                m = (m << 1) | (s & 1)
+                left.append((m + s) >> 1)
+                right.append((m - s) >> 1)
+            subs = [left, right]
+        for ch in range(nch0):
+            channels[ch].extend(subs[ch])
+        pos = r.byte_pos()
+        if info["n_samples"] and total >= info["n_samples"]:
+            break
+        # trailing metadata/garbage after the last frame ends the walk
+        if pos + 2 <= len(data) and (
+            data[pos] != 0xFF or (data[pos + 1] & 0xFC) != 0xF8
+        ):
+            break
+    if total == 0:
+        raise ValueError("FLAC stream contains no audio frames")
+    if info["n_samples"]:
+        if total < info["n_samples"]:
+            raise ValueError(
+                f"truncated FLAC: {total} samples decoded, "
+                f"STREAMINFO declares {info['n_samples']}"
+            )
+        channels = [c[: info["n_samples"]] for c in channels]
+    out = np.array(channels, dtype=np.int64).T
+    if verify_md5 and md5_expected != bytes(16):
+        nbytes = (bits0 + 7) // 8
+        h = hashlib.md5()
+        flat = out.reshape(-1)
+        # interleaved little-endian signed PCM at the stated depth
+        if nbytes == 1:
+            h.update((flat & 0xFF).astype(np.uint8).tobytes())
+        elif nbytes == 2:
+            h.update(flat.astype("<i2").tobytes())
+        elif nbytes == 3:
+            u = (flat & 0xFFFFFF).astype(np.uint32)
+            b = np.empty((len(flat), 3), dtype=np.uint8)
+            b[:, 0] = u & 0xFF
+            b[:, 1] = (u >> 8) & 0xFF
+            b[:, 2] = (u >> 16) & 0xFF
+            h.update(b.tobytes())
+        else:
+            h.update(flat.astype("<i4").tobytes())
+        if h.digest() != md5_expected:
+            raise ValueError(
+                "FLAC decode self-check failed: decoded PCM MD5 does not "
+                "match STREAMINFO (corrupt stream or decoder defect)"
+            )
+    return out, rate0
+
+
+class _FlacWriter(_MsbWriter):
+    def write_unary(self, q: int) -> None:
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)
+
+    def write_rice(self, v: int, param: int) -> None:
+        u = (v << 1) if v >= 0 else ((-v) << 1) - 1  # zigzag fold
+        self.write_unary(u >> param)
+        if param:
+            self.write(u & ((1 << param) - 1), param)
+
+
+def _rice_param(res: list[int], pbits: int) -> int:
+    """Cheap near-optimal rice parameter: match 2^param to the mean
+    magnitude (standard estimator; any in-range choice is VALID, the
+    parameter only affects size)."""
+    if not res:
+        return 0
+    mean = sum(abs(v) for v in res) / len(res) + 1
+    p = max(0, int(mean).bit_length() - 1)
+    return min(p, (1 << pbits) - 2)
+
+
+def encode_flac(
+    samples: np.ndarray,
+    rate: int = 44100,
+    bits: int = 16,
+    subframe: str = "auto",
+    stereo: str = "independent",
+    partition_order: int = 0,
+    block_size: int = 4096,
+    escape: bool = False,
+) -> bytes:
+    """Encode (n, ch) int PCM as a real FLAC stream — the independent
+    fixture side of decode_flac (written from RFC 9639, sharing no
+    tables with the decoder beyond the generated CRCs).
+
+    subframe: 'auto' (constant where possible, else best fixed order
+    0-2), 'verbatim', 'constant', 'fixed<k>' (forced order), or 'lpc'
+    (order-2 LPC [4,-2]>>1 ≡ the order-2 fixed predictor, exercising
+    the shift path). stereo: 'independent', 'mid' (mid/side), 'left'
+    (left/side), 'right' (right/side). escape=True forces raw-escape
+    residual partitions. Wasted bits are detected and emitted whenever
+    every sample in a channel shares low zero bits."""
+    import hashlib
+
+    samples = np.asarray(samples)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, nch = samples.shape
+    if not (1 <= nch <= 8):
+        raise ValueError(f"FLAC encoder: {nch} channels out of range 1-8")
+    lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
+    if samples.min() < lo or samples.max() > hi:
+        raise ValueError(f"FLAC encoder: samples exceed {bits}-bit range")
+    if stereo != "independent" and nch != 2:
+        raise ValueError("FLAC encoder: side stereo requires 2 channels")
+
+    nbytes = (bits + 7) // 8
+    flat = samples.reshape(-1).astype(np.int64)
+    h = hashlib.md5()
+    if nbytes == 1:
+        h.update((flat & 0xFF).astype(np.uint8).tobytes())
+    elif nbytes == 2:
+        h.update(flat.astype("<i2").tobytes())
+    elif nbytes == 3:
+        u = (flat & 0xFFFFFF).astype(np.uint32)
+        b3 = np.empty((len(flat), 3), dtype=np.uint8)
+        b3[:, 0] = u & 0xFF
+        b3[:, 1] = (u >> 8) & 0xFF
+        b3[:, 2] = (u >> 16) & 0xFF
+        h.update(b3.tobytes())
+    else:
+        h.update(flat.astype("<i4").tobytes())
+
+    si = struct.pack(">HH", min(block_size, n or 1), block_size) + bytes(6)
+    packed = (rate << 44) | ((nch - 1) << 41) | ((bits - 1) << 36) | n
+    si += packed.to_bytes(8, "big") + h.digest()
+    out = bytearray(b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si)
+
+    def emit_subframe(w: "_FlacWriter", ch: list[int], bs: int, bps: int) -> None:
+        wasted = 0
+        if any(ch):
+            trailing = min((v & -v).bit_length() - 1 for v in ch if v)
+            wasted = min(trailing, bps - 1)
+        if wasted:
+            ch = [v >> wasted for v in ch]
+        eff = bps - wasted
+        mode = subframe
+        if mode == "auto":
+            if all(v == ch[0] for v in ch):
+                mode = "constant"
+            else:
+                best, best_cost = 0, None
+                for o in range(3):
+                    if o > len(ch):
+                        break
+                    coefs = _FLAC_FIXED[o]
+                    cost = sum(
+                        abs(ch[i] - sum(c * ch[i - 1 - j] for j, c in enumerate(coefs)))
+                        for i in range(o, len(ch))
+                    )
+                    if best_cost is None or cost < best_cost:
+                        best, best_cost = o, cost
+                mode = f"fixed{best}"
+        if mode == "constant" and any(v != ch[0] for v in ch):
+            raise ValueError("FLAC encoder: constant subframe over varying data")
+
+        def header(stype: int) -> None:
+            w.write(0, 1)
+            w.write(stype, 6)
+            if wasted:
+                w.write(1, 1)
+                w.write_unary(wasted - 1)
+            else:
+                w.write(0, 1)
+
+        def residual(res: list[int], order: int) -> None:
+            po = partition_order
+            while bs % (1 << po) or (bs >> po) <= order:
+                po -= 1  # fall back to a legal split for short tails
+            w.write(0, 2)  # RICE (4-bit params)
+            w.write(po, 4)
+            nparts = 1 << po
+            idx = 0
+            for p in range(nparts):
+                count = (bs >> po) - (order if p == 0 else 0)
+                part = res[idx : idx + count]
+                idx += count
+                if escape:
+                    # two's-complement width: v>=0 needs bit_length+1,
+                    # v<0 needs bit_length(-v-1)+1
+                    raw = max(
+                        ((v.bit_length() if v >= 0 else (-v - 1).bit_length()) + 1)
+                        for v in part
+                    ) if any(part) else 0
+                    w.write(0xF, 4)
+                    w.write(raw, 5)
+                    if raw:
+                        for v in part:
+                            w.write(v & ((1 << raw) - 1), raw)
+                else:
+                    param = _rice_param(part, 4)
+                    w.write(param, 4)
+                    for v in part:
+                        w.write_rice(v, param)
+
+        if mode == "constant":
+            header(0)
+            w.write(ch[0] & ((1 << eff) - 1), eff)
+        elif mode == "verbatim":
+            header(1)
+            for v in ch:
+                w.write(v & ((1 << eff) - 1), eff)
+        elif mode.startswith("fixed"):
+            order = int(mode[5:])
+            if order > len(ch):
+                order = 0
+            header(8 + order)
+            coefs = _FLAC_FIXED[order]
+            for v in ch[:order]:
+                w.write(v & ((1 << eff) - 1), eff)
+            res = [
+                ch[i] - sum(c * ch[i - 1 - j] for j, c in enumerate(coefs))
+                for i in range(order, len(ch))
+            ]
+            residual(res, order)
+        elif mode == "lpc":
+            order = min(2, len(ch))
+            if order < 2:
+                header(1)
+                for v in ch:
+                    w.write(v & ((1 << eff) - 1), eff)
+                return
+            header(32 + order - 1)
+            for v in ch[:order]:
+                w.write(v & ((1 << eff) - 1), eff)
+            coefs, shift = [4, -2], 1  # (4a-2b)>>1 = 2a-b: fixed-2 via the shift path
+            w.write(15 - 1, 4)  # precision 15
+            w.write(shift & 0x1F, 5)
+            for c in coefs:
+                w.write(c & 0x7FFF, 15)
+            res = [
+                ch[i] - ((coefs[0] * ch[i - 1] + coefs[1] * ch[i - 2]) >> shift)
+                for i in range(order, len(ch))
+            ]
+            residual(res, order)
+        else:
+            raise ValueError(f"FLAC encoder: unknown subframe mode {subframe!r}")
+
+    ch_code = {"independent": nch - 1, "left": 8, "right": 9, "mid": 10}[stereo]
+    frame_no = 0
+    for start in range(0, n, block_size):
+        bs = min(block_size, n - start)
+        blk = samples[start : start + bs].astype(np.int64)
+        hdr = _FlacWriter()
+        hdr.write(0x3FFE, 14)
+        hdr.write(0, 1)
+        hdr.write(0, 1)  # fixed blocking
+        if bs == block_size and block_size in _FLAC_BLOCK_SIZES.values():
+            bs_code = next(k for k, v in _FLAC_BLOCK_SIZES.items() if v == block_size)
+            bs_tail = None
+        else:
+            bs_code, bs_tail = 7, bs - 1
+        hdr.write(bs_code, 4)
+        hdr.write(0, 4)  # sample rate: from STREAMINFO
+        hdr.write(ch_code, 4)
+        bd_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bits]
+        hdr.write(bd_code, 3)
+        hdr.write(0, 1)
+        # coded frame number (UTF-8 style); fixtures stay short
+        if frame_no < 0x80:
+            hdr.write(frame_no, 8)
+        else:
+            hdr.write(0xC0 | (frame_no >> 6), 8)
+            hdr.write(0x80 | (frame_no & 0x3F), 8)
+        if bs_tail is not None:
+            hdr.write(bs_tail, 16)
+        hbytes = hdr.getvalue()
+        frame = _FlacWriter()
+        frame.buf = bytearray(hbytes)
+        frame.buf.append(_flac_crc8(hbytes))
+        if stereo == "independent":
+            chans = [blk[:, c].tolist() for c in range(nch)]
+            bpss = [bits] * nch
+        else:
+            l, rr = blk[:, 0], blk[:, 1]
+            side = (l - rr).tolist()
+            if stereo == "mid":
+                chans = [((l + rr) >> 1).tolist(), side]
+                bpss = [bits, bits + 1]
+            elif stereo == "left":
+                chans = [l.tolist(), side]
+                bpss = [bits, bits + 1]
+            else:
+                chans = [side, rr.tolist()]
+                bpss = [bits + 1, bits]
+        for ch, bps in zip(chans, bpss):
+            emit_subframe(frame, ch, bs, bps)
+        frame.write(0, (8 - frame.n) % 8)  # pad to byte
+        body = frame.getvalue()
+        out += body + struct.pack(">H", _flac_crc16(body))
+        frame_no += 1
+    return bytes(out)
 
 
 # --- Ogg (header-only) ----------------------------------------------------

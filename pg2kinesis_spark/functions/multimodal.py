@@ -26,7 +26,12 @@ Codec support is tiered, honestly:
   (``codecs.mp3_subband_energies``: **Layer I/II** allocation →
   scalefactors → requantized subband samples, subband-domain energy
   as a Parseval proxy with no synthesis filterbank; **Layer III**
-  per-granule side-info energy proxy from global_gain). MPEG-2/2.5
+  per-granule side-info energy proxy from global_gain). FLAC decodes
+  IN FULL (``codecs.decode_flac``: lossless RFC 9639 frame decode —
+  all subframe types, rice partitions, stereo decorrelation — with
+  the STREAMINFO MD5 verified after decode, so every successful
+  decode is self-checking; a WAV and a FLAC of the same track
+  fingerprint identically). MPEG-2/2.5
   audio decode and non-MJPEG video codecs (ffmpeg) are NOT available
   in this environment — those raise NotImplementedError inside the
   kernel, and the deterministic fake (``fake=True``) remains for
@@ -363,7 +368,8 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def extract_audio_features(media: DataFrame, errors: str = "quarantine") -> DataFrame:
-    """REAL audio features over PCM WAV content: sample rate, channel
+    """REAL audio features over PCM content — WAV or FLAC (decode_flac,
+    lossless frame decode with MD5 self-check): sample rate, channel
     count, sample count, duration, RMS amplitude. Undecodable rows →
     NULL features + ``decode_error`` (default) or task failure
     (``errors="raise"``)."""
@@ -374,7 +380,10 @@ def extract_audio_features(media: DataFrame, errors: str = "quarantine") -> Data
     _check_errors(errors)
 
     def one(c: bytes):
-        samples, rate = codecs.decode_wav(c)
+        if codecs.is_flac(c):
+            samples, rate = codecs.decode_flac(c)
+        else:
+            samples, rate = codecs.decode_wav(c)
         n = samples.shape[0]
         return (
             rate,
@@ -501,8 +510,10 @@ def audio_fingerprint(media: DataFrame, errors: str = "quarantine") -> DataFrame
     energy of window i. Invariant to amplitude scaling (comparisons
     only) and channel layout (mono mix).
 
-    Two decode paths feed the same envelope: PCM WAV (sample-level
-    energy) and MPEG-1 MP3 via ``codecs.mp3_subband_energies`` —
+    Three decode paths feed the same envelope: PCM WAV and FLAC
+    (``codecs.decode_flac`` — lossless, so a FLAC encode of a WAV
+    track fingerprints IDENTICALLY, not merely nearby) at sample-level
+    energy, and MPEG-1 MP3 via ``codecs.mp3_subband_energies`` —
     Layer I/II per-frame subband-domain energy (no synthesis
     filterbank needed; the Parseval proportionality constant cancels
     in the comparisons, so a re-encode of the same track at a
@@ -521,7 +532,10 @@ def audio_fingerprint(media: DataFrame, errors: str = "quarantine") -> DataFrame
             # per-frame energies ARE the envelope samples
             seq = codecs.mp3_subband_energies(c)
         else:
-            samples, _rate = codecs.decode_wav(c)
+            if codecs.is_flac(c):
+                samples, _rate = codecs.decode_flac(c)
+            else:
+                samples, _rate = codecs.decode_wav(c)
             mono = samples.astype("float64").mean(axis=1)
             seq = mono * mono
         n = len(seq)

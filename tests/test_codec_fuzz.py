@@ -273,6 +273,18 @@ def test_fuzz_container_metadata_walks():
     _hammer(C.mp3_info, [C.encode_mp3_frames(8, xing=True)], seed=45)
 
 
+def test_fuzz_flac_decode():
+    """Full FLAC frame decode under the hammer: triple-guarded (CRC-8,
+    CRC-16, STREAMINFO MD5), so corruptions must refuse or decode
+    bit-identically — and always promptly."""
+    pcm = (np.random.RandomState(21).randn(5000, 2) * 6000).astype(np.int64)
+    corpus = [
+        C.encode_flac(pcm, 44100, block_size=1024),
+        C.encode_flac(pcm, 44100, stereo="mid", partition_order=2, block_size=1024),
+    ]
+    _hammer(C.decode_flac, corpus, seed=46)
+
+
 def test_fuzz_pdf_and_archives():
     """PDF text extraction and the archive splitter under corruption:
     return-or-raise quickly, never hang."""
