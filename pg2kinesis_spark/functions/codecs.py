@@ -1036,30 +1036,42 @@ def _l2_frame_energy(body: bytes, nch: int, bound: int, sblimit: int, classes: l
     return acc / (36 * 32)
 
 
-def _l3_sideinfo_energies(body: bytes, nch: int) -> list[float]:
-    """Per-granule energy proxies from an MPEG-1 Layer III frame's side
-    info (ISO 11172-3 §2.4.1.7): 2^((global_gain−210)/2) mono-mixed
-    across channels, 0.0 for digitally-silent granules
-    (part2_3_length == 0). No Huffman/MDCT work — see the section
-    comment for why this is the honest fingerprint-tier decode."""
+def _l3_sideinfo_energies(body: bytes, nch: int, lsf: bool = False) -> list[float]:
+    """Per-granule energy proxies from a Layer III frame's side info:
+    2^((global_gain−210)/2) mono-mixed across channels, 0.0 for
+    digitally-silent granules (part2_3_length == 0). No Huffman/MDCT
+    work — see the section comment for why this is the honest
+    fingerprint-tier decode.
+
+    Two side-info layouts share the walk: MPEG-1 (ISO 11172-3
+    §2.4.1.7 — 9-bit main_data_begin, scfsi, 4-bit scalefac_compress,
+    preflag, TWO granules) and LSF MPEG-2/2.5 (ISO 13818-3 §2.4.1.7 —
+    8-bit main_data_begin, no scfsi, 9-bit scalefac_compress, no
+    preflag, ONE granule). global_gain sits at the same semantic spot
+    in both."""
     br = _MsbReader(body)
-    br.read(9)  # main_data_begin
-    br.read(5 if nch == 1 else 3)  # private_bits
-    for _ch in range(nch):
-        br.read(4)  # scfsi
+    br.read(8 if lsf else 9)  # main_data_begin
+    if lsf:
+        br.read(1 if nch == 1 else 2)  # private_bits
+    else:
+        br.read(5 if nch == 1 else 3)  # private_bits
+        for _ch in range(nch):
+            br.read(4)  # scfsi
     out = []
-    for _gr in range(2):
+    for _gr in range(1 if lsf else 2):
         e = 0.0
         for _ch in range(nch):
             part2_3 = br.read(12)
             br.read(9)  # big_values
             gg = br.read(8)
-            br.read(4)  # scalefac_compress
+            br.read(9 if lsf else 4)  # scalefac_compress
             if br.read(1):  # window_switching: block_type/mixed/2 tables/3 gains
                 br.read(2 + 1 + 2 * 5 + 3 * 3)
             else:  # 3 table_selects + region0/region1 counts
                 br.read(3 * 5 + 4 + 3)
-            br.read(3)  # preflag, scalefac_scale, count1table_select
+            # MPEG-1: preflag + scalefac_scale + count1table_select;
+            # LSF drops preflag
+            br.read(2 if lsf else 3)
             if part2_3:
                 e += 2.0 ** ((gg - 210) / 2.0)
         out.append(e / nch)
@@ -1176,41 +1188,58 @@ def encode_mp3_layer2(subbands, rate: int = 44100, kbps: int = 192) -> bytes:
 
 
 def encode_mp3_layer3_envelope(
-    energies, rate: int = 44100, kbps: int = 128, mono: bool = False
+    energies,
+    rate: int = 44100,
+    kbps: int = 128,
+    mono: bool = False,
+    version: str = "1",
 ) -> bytes:
-    """MPEG-1 Layer III frames whose SIDE INFO carries a real energy
+    """Layer III frames whose SIDE INFO carries a real energy
     envelope — the independent fixture side of the Layer III proxy
-    contract. ``energies``: per-granule energies (2 granules/frame,
-    length must be even); each granule's global_gain is the nearest
-    code with 2^((gg−210)/2) ≈ energy, silence (0.0) becomes
-    part2_3_length 0. Main data is deliberately absent (the proxy
-    consumes side info only; header/side-info structure is spec-true)."""
+    contract. ``energies``: per-granule energies; each granule's
+    global_gain is the nearest code with 2^((gg−210)/2) ≈ energy,
+    silence (0.0) becomes part2_3_length 0. Main data is deliberately
+    absent (the proxy consumes side info only; header/side-info
+    structure is spec-true).
+
+    ``version``: '1' (MPEG-1: 2 granules/frame, energies length must
+    be even), '2' or '2.5' (LSF: 1 granule/frame, 8-bit
+    main_data_begin / 9-bit scalefac_compress / no scfsi or preflag,
+    576-sample frame length)."""
     import math as _math
 
     import numpy as np
 
     env = np.asarray(energies, dtype=np.float64)
-    if env.ndim != 1 or len(env) % 2:
-        raise ValueError("energies must be a flat even-length per-granule sequence")
+    vbits = {"1": 3, "2": 2, "2.5": 0}[version]
+    lsf = vbits != 3
+    gr_per_frame = 1 if lsf else 2
+    if env.ndim != 1 or len(env) % gr_per_frame:
+        raise ValueError("energies must be a flat per-granule sequence "
+                         f"(multiple of {gr_per_frame} for MPEG-{version})")
     if (env < 0).any():
         raise ValueError("energies must be non-negative")
-    sr_idx = _MP3_RATES[3].index(rate)
-    br_idx = _MP3_BITRATES[(1, 3)].index(kbps)
+    sr_idx = _MP3_RATES[vbits].index(rate)
+    br_idx = _MP3_BITRATES[(2 if lsf else 1, 3)].index(kbps)
     nch = 1 if mono else 2
     mode = 3 if mono else 0
-    flen = 144 * kbps * 1000 // rate
+    flen = (72 if lsf else 144) * kbps * 1000 // rate
     header = bytes(
-        [0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1, (br_idx << 4) | (sr_idx << 2), mode << 6]
+        [0xFF, 0xE0 | (vbits << 3) | (1 << 1) | 1,
+         (br_idx << 4) | (sr_idx << 2), mode << 6]
     )
     out = bytearray()
-    for f in range(len(env) // 2):
+    for f in range(len(env) // gr_per_frame):
         bw = _MsbWriter()
-        bw.write(0, 9)  # main_data_begin
-        bw.write(0, 5 if nch == 1 else 3)
-        for _ch in range(nch):
-            bw.write(0, 4)  # scfsi
-        for gr in range(2):
-            e = float(env[2 * f + gr])
+        bw.write(0, 8 if lsf else 9)  # main_data_begin
+        if lsf:
+            bw.write(0, 1 if nch == 1 else 2)
+        else:
+            bw.write(0, 5 if nch == 1 else 3)
+            for _ch in range(nch):
+                bw.write(0, 4)  # scfsi
+        for gr in range(gr_per_frame):
+            e = float(env[gr_per_frame * f + gr])
             for _ch in range(nch):
                 if e > 0:
                     gg = max(0, min(255, int(round(210 + 2.0 * _math.log2(e)))))
@@ -1221,7 +1250,9 @@ def encode_mp3_layer3_envelope(
                     bw.write(0, 12)  # digitally silent granule
                     bw.write(0, 9)
                     bw.write(0, 8)
-                bw.write(0, 4 + 1 + 15 + 4 + 3 + 3)
+                # scalefac_compress + window_switching + (tables/regions)
+                # + scalefac_scale/count1 (+ preflag, MPEG-1 only)
+                bw.write(0, (9 if lsf else 4) + 1 + 15 + 4 + 3 + (2 if lsf else 3))
         body = bytearray(bw.getvalue())
         body += bytes(flen - 4 - len(body))
         out += header + bytes(body)
@@ -1239,13 +1270,14 @@ def mp3_subband_energies(data: bytes):
     - **Layer II**: same, through the Annex-B allocation tables and
       grouped codes, one energy per frame.
     - **Layer III**: per-granule side-info energy proxy (two values per
-      frame): 2^((global_gain−210)/2), 0 for silent granules — see the
-      Layer II/III section comment for why this is the honest
+      MPEG-1 frame, one per LSF MPEG-2/2.5 frame — both side-info
+      layouts decode): 2^((global_gain−210)/2), 0 for silent granules —
+      see the Layer II/III section comment for why this is the honest
       fingerprint-tier decode. Xing/Info metadata frames are skipped.
 
     Raises ValueError on content with no valid frame and
-    NotImplementedError on MPEG-2/2.5 frames (LSF side info and
-    half-rate tables are a different codec tier)."""
+    NotImplementedError on MPEG-2/2.5 Layer I/II frames (the LSF
+    allocation tables are a different codec tier)."""
     import numpy as np
 
     data = bytes(data)
@@ -1263,16 +1295,20 @@ def mp3_subband_energies(data: bytes):
         if vbits == 1 or lbits == 0 or br_idx in (0, 15) or sr_idx == 3:
             break
         layer = 4 - lbits
-        if vbits != 3:
+        lsf = vbits != 3  # MPEG-2 (vbits 2) / MPEG-2.5 (vbits 0)
+        if lsf and layer != 3:
             raise NotImplementedError(
-                "MPEG-2/2.5 MP3 (MPEG-1 only): LSF side info and half-rate "
-                "tables can't be energy-decoded by the MPEG-1 walk"
+                "MPEG-2/2.5 Layer I/II: the LSF allocation tables are a "
+                "different codec tier (Layer III LSF decodes)"
             )
-        kbps = _MP3_BITRATES[(1, layer)][br_idx]
-        rate = _MP3_RATES[3][sr_idx]
+        kbps = _MP3_BITRATES[(2 if lsf else 1, layer)][br_idx]
+        rate = _MP3_RATES[vbits][sr_idx]
         padding = (b2 >> 1) & 1
         if layer == 1:
             flen = (12 * kbps * 1000 // rate + padding) * 4
+        elif layer == 3 and lsf:
+            # LSF Layer III frames carry 576 samples, not 1152
+            flen = 72 * kbps * 1000 // rate + padding
         else:
             flen = 144 * kbps * 1000 // rate + padding
         if flen <= 4 or pos + flen > n:
@@ -1285,9 +1321,12 @@ def mp3_subband_energies(data: bytes):
         if layer != 1:
             bound = (((b3 >> 4) & 3) + 1) * 4 if mode == 1 else 32
             if layer == 3:
-                side = 32 if mode != 3 else 17
+                if lsf:
+                    side = 17 if mode != 3 else 9
+                else:
+                    side = 32 if mode != 3 else 17
                 if data[pos + 4 + side : pos + 4 + side + 4] not in (b"Xing", b"Info"):
-                    energies.extend(_l3_sideinfo_energies(body, nch))
+                    energies.extend(_l3_sideinfo_energies(body, nch, lsf=lsf))
                 pos += flen
                 continue
             sblimit, classes = _l2_table(rate, kbps / nch)
@@ -1328,7 +1367,7 @@ def mp3_subband_energies(data: bytes):
         energies.append(acc / (12 * 32))
         pos += flen
     if not energies:
-        raise ValueError("not an MPEG-1 MP3: no valid audio frame")
+        raise ValueError("not a decodable MP3: no valid audio frame")
     return np.asarray(energies, dtype=np.float64)
 
 

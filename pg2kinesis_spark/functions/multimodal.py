@@ -518,9 +518,9 @@ def audio_fingerprint(media: DataFrame, errors: str = "quarantine") -> DataFrame
     filterbank needed; the Parseval proportionality constant cancels
     in the comparisons, so a re-encode of the same track at a
     different bitrate fingerprints the same) and Layer III per-granule
-    global_gain energy proxies. MPEG-2/2.5 and other containers get
-    NULL afp + the error string (default) or raise
-    (``errors="raise"``)."""
+    global_gain energy proxies (both MPEG-1 and LSF MPEG-2/2.5 side
+    info). MPEG-2/2.5 Layer I/II and other containers get NULL afp +
+    the error string (default) or raise (``errors="raise"``)."""
     import pandas as pd
 
     from . import codecs

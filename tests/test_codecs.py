@@ -854,9 +854,12 @@ def test_mp3_layer1_energy_roundtrip():
     # stereo mono-mixes
     st = np.stack([sub, sub * 0.7], axis=1)
     assert len(mp3_subband_energies(encode_mp3_layer1(st, kbps=384))) == 130
-    # MPEG-2 LSF refuses honestly (half-rate tables, different side info)
+    # MPEG-2 LSF Layer I/II refuses honestly (LSF allocation tables);
+    # Layer III LSF decodes since round 7 — see the LSF proxy test
     with pytest.raises(NotImplementedError, match="MPEG-2"):
-        mp3_subband_energies(encode_mp3_frames(5, kbps=64, rate=22050, mpeg2=True))
+        mp3_subband_energies(
+            encode_mp3_frames(5, kbps=64, rate=22050, mpeg2=True, layer=2)
+        )
     # hostile field values: allocation 15 / scalefactor 63 are forbidden
     one = bytearray(encode_mp3_layer1(sub[:1], kbps=256))
     one[4] = 0xFF  # first two 4-bit allocations -> 15, 15
@@ -886,8 +889,8 @@ def test_mp3_fingerprint_reencoded_copies_pair(spark):
         encode_mp3_layer1(track * 0.5, kbps=256),  # 1: half volume
         encode_mp3_layer1(track, kbps=96),         # 2: re-encode
         encode_mp3_layer1(other, kbps=256),        # 3: different track
-        encode_mp3_frames(                         # 4: MPEG-2 LSF -> quarantine
-            70, kbps=64, rate=22050, mpeg2=True
+        encode_mp3_frames(                         # 4: MPEG-2 Layer II LSF -> quarantine
+            70, kbps=64, rate=22050, mpeg2=True, layer=2
         ),
     ]
     rows = [
@@ -1009,6 +1012,69 @@ def test_mp3_layer3_envelope_proxy():
     assert len(mp3_subband_energies(st)) == 140
 
 
+def test_mp3_lsf_layer3_envelope_proxy(spark):
+    """LSF (MPEG-2/2.5) Layer III side-info proxy: one granule per
+    frame through the 13818-3 layout (8-bit main_data_begin, 9-bit
+    scalefac_compress, no scfsi/preflag), bitrate-invariant, exact ×¼
+    at quarter energy — and because the proxy consumes per-GRANULE
+    energies, the same envelope encoded as MPEG-1 and as LSF
+    fingerprints IDENTICALLY (cross-version re-encode pairs)."""
+    from pg2kinesis_spark.functions.codecs import (
+        encode_mp3_layer3_envelope,
+        mp3_info,
+        mp3_subband_energies,
+    )
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprint,
+    )
+
+    rng = np.random.default_rng(17)
+    env = np.concatenate([np.zeros(3), rng.uniform(0.01, 2.0, 137)])
+    v2 = encode_mp3_layer3_envelope(env, rate=22050, kbps=64, version="2")
+    p = np.asarray(mp3_subband_energies(v2))
+    assert len(p) == 140  # ONE granule per LSF frame
+    assert np.all(p[:3] == 0.0)
+    assert np.corrcoef(p[3:], env[3:])[0, 1] > 0.97
+    info = mp3_info(v2)
+    assert (info["version"], info["layer"], info["n_frames"]) == ("2", 3, 140)
+    # bitrate-invariant across LSF rates, and across MPEG versions
+    p_re = np.asarray(
+        mp3_subband_energies(
+            encode_mp3_layer3_envelope(env, rate=22050, kbps=32, version="2")
+        )
+    )
+    assert np.array_equal(p, p_re)
+    v25 = encode_mp3_layer3_envelope(env, rate=11025, kbps=32, version="2.5")
+    assert mp3_info(v25)["version"] == "2.5"
+    assert np.array_equal(np.asarray(mp3_subband_energies(v25)), p)
+    v1 = encode_mp3_layer3_envelope(env, rate=44100, kbps=128, version="1")
+    assert np.array_equal(np.asarray(mp3_subband_energies(v1)), p)
+    # quarter energy: gg shift of -4 is exactly representable
+    p_q = np.asarray(
+        mp3_subband_energies(
+            encode_mp3_layer3_envelope(env * 0.25, rate=22050, kbps=64, version="2")
+        )
+    )
+    assert np.allclose(p_q[3:] / p[3:], 0.25)
+    # stereo LSF side info (17 bytes) parses too
+    st = encode_mp3_layer3_envelope(env, rate=22050, kbps=64, version="2", mono=False)
+    assert len(mp3_subband_energies(st)) == 140
+    # end to end: MPEG-1 and MPEG-2.5 encodes of the same track carry
+    # the SAME fingerprint
+    rows = [
+        (0, bytearray(v1), ("audio/mpeg", len(v1), "mem://v1.mp3")),
+        (1, bytearray(v25), ("audio/mpeg", len(v25), "mem://v25.mp3")),
+    ]
+    fps = {
+        r.media_id: r.afp
+        for r in audio_fingerprint(
+            spark.createDataFrame(rows, MEDIA_SCHEMA)
+        ).collect()
+    }
+    assert fps[0] is not None and fps[0] == fps[1]
+
+
 def test_mp3_layer23_fingerprint_copies_pair(spark):
     """The round-6 verdict bar: Layer II re-encodes and Layer III
     half-volume + 128→96 kbps re-encodes pair up in
@@ -1068,6 +1134,9 @@ def test_fuzz_mp3_layer23_energy_walk():
         ),
         encode_mp3_layer2(_l2_track(12, n_frames=10), kbps=48),
         encode_mp3_layer3_envelope(rng.uniform(0.01, 1.5, 24), kbps=128),
+        encode_mp3_layer3_envelope(
+            rng.uniform(0.01, 1.5, 24), rate=22050, kbps=64, version="2"
+        ),
     ]
     _hammer(mp3_subband_energies, corpus, seed=49)
 
