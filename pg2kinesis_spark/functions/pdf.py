@@ -45,12 +45,16 @@ EMPTY user password — the owner-locked layout a crawl actually meets
 AESV2 (/V 4; per-object sAlT keys, IV+CBC+PKCS#7), and AES-256 AESV3
 (/V 5 /R 6; ISO 32000-2 Algorithm 2.B hardened KDF validates /U, the
 file key unwraps from /UE) — on functions/aes.py's generated-table
-AES. /U is always verified BEFORE trusting a key. A Type0 font
-WITHOUT a usable ToUnicode CMap still raises NotImplementedError —
-its string bytes are glyph indices that need a CMap; decoding them as
-Latin-1 would produce confident garbage. Non-empty user passwords
-raise too. All land in the standard quarantine channel in the Spark
-operator (`extract_pdf_text`).
+AES. /U is always verified BEFORE trusting a key. A caller-supplied
+``password`` (round 7) is tried as the USER password and then as the
+OWNER password (Algorithm 7's /O RC4-unwrap; AESV3's /O-hash-over-/U
++ /OE file-key unwrap), so credentialed corpora decrypt too; a wrong
+or missing password raises. A Type0 font WITHOUT a usable ToUnicode
+CMap still raises NotImplementedError — its string bytes are glyph
+indices that need a CMap; decoding them as Latin-1 would produce
+confident garbage. All land in the standard quarantine channel in the
+Spark operator (`extract_pdf_text`, which takes the same
+``password=``).
 
 Objects are found by scanning (no xref dependence — real-world PDFs
 have broken xref tables constantly); stream bodies are delimited by
@@ -892,12 +896,19 @@ def _hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
             return k[:32]
 
 
-def _decrypt_objects(data: bytes, objs: dict) -> None:
-    """If the file uses the standard security handler with an empty
-    user password — RC4 (V 1-2 / R 2-3), AES-128 AESV2 (V 4 / R 4), or
-    AES-256 AESV3 (V 5 / R 6) — decrypt every stream body in place;
-    raise for anything this tier can't honestly decrypt (non-empty
-    user password, non-Standard filters, unresolvable /Encrypt)."""
+def _decrypt_objects(data: bytes, objs: dict, password: bytes = b"") -> None:
+    """If the file uses the standard security handler — RC4 (V 1-2 /
+    R 2-3), AES-128 AESV2 (V 4 / R 4), or AES-256 AESV3 (V 5 / R 6) —
+    decrypt every stream body in place; raise for anything this tier
+    can't honestly decrypt (wrong/missing password, non-Standard
+    filters, unresolvable /Encrypt).
+
+    ``password`` is tried BOTH ways, per the spec's own retry order:
+    as the user password (Algorithm 2 / 2.A key derivation, validated
+    against /U), then as the owner password (Algorithm 7: the /O-key
+    RC4-unwrap recovers the padded user password; AESV3: the /O hash
+    over /U's 48 bytes, file key from /OE). The default empty password
+    keeps the owner-locked crawl case working with no credentials."""
     from pg2kinesis_spark.functions.aes import cbc_decrypt
 
     em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", data)
@@ -946,20 +957,39 @@ def _decrypt_objects(data: bytes, objs: dict) -> None:
     if o_val is None or pm is None or u_val is None:
         raise NotImplementedError("encrypted PDF: malformed /Encrypt dict")
 
+    no_creds = (
+        "encrypted PDF: user password is not empty — cannot decrypt "
+        "without credentials"
+        if not password
+        else "encrypted PDF: wrong password (matches neither /U nor /O)"
+    )
     if r == 6:
         # AESV3: /U = hash(32) + validation salt(8) + key salt(8); the
-        # file key comes from AES-decrypting /UE with the key-salt hash
+        # file key comes from AES-decrypting /UE with the key-salt hash.
+        # Algorithm 2.A truncates the (UTF-8) password to 127 bytes.
+        password = password[:127]
         ue_val = _pdf_string_bytes(head, b"/UE")
         if len(u_val) < 48 or ue_val is None or len(ue_val) < 32:
             raise NotImplementedError("encrypted PDF: malformed AESV3 /U //UE")
         vsalt, ksalt = u_val[32:40], u_val[40:48]
-        if _hash_2b(b"", vsalt) != u_val[:32]:
-            raise NotImplementedError(
-                "encrypted PDF: user password is not empty — cannot "
-                "decrypt without credentials"
-            )
-        inter = _hash_2b(b"", ksalt)
-        key = cbc_decrypt(inter, bytes(16) + ue_val[:32], unpad=False)
+        if _hash_2b(password, vsalt) == u_val[:32]:
+            inter = _hash_2b(password, ksalt)
+            key = cbc_decrypt(inter, bytes(16) + ue_val[:32], unpad=False)
+        else:
+            # owner path: /O hashes over the password + its validation
+            # salt + the FULL 48-byte /U value; /OE unwraps the same
+            # file key (ISO 32000-2 Algorithm 2.A steps e-f)
+            oe_val = _pdf_string_bytes(head, b"/OE")
+            if (
+                len(o_val) >= 48
+                and oe_val is not None
+                and len(oe_val) >= 32
+                and _hash_2b(password, o_val[32:40], u_val[:48]) == o_val[:32]
+            ):
+                inter = _hash_2b(password, o_val[40:48], u_val[:48])
+                key = cbc_decrypt(inter, bytes(16) + oe_val[:32], unpad=False)
+            else:
+                raise NotImplementedError(no_creds)
 
         def dec(num: int, body: bytes) -> bytes:
             return cbc_decrypt(key, body)  # AESV3: file key used directly
@@ -970,16 +1000,38 @@ def _decrypt_objects(data: bytes, objs: dict) -> None:
         idm = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", data)
         file_id = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
         meta = re.search(rb"/EncryptMetadata\s+false", head) is not None and r == 4
-        key = _std_encryption_key(
-            r, n, o_val[:32], int(pm.group(1)), file_id, encrypt_metadata_false=meta
-        )
-        expect_u = _std_user_value(r, key, file_id)
-        got, want = (u_val[:16], expect_u[:16]) if r >= 3 else (u_val[:32], expect_u)
-        if got != want:
-            raise NotImplementedError(
-                "encrypted PDF: user password is not empty — cannot decrypt "
-                "without credentials"
+
+        def _try_user(user_pwd: bytes) -> bytes | None:
+            k = _std_encryption_key(
+                r, n, o_val[:32], int(pm.group(1)), file_id,
+                user_pwd=user_pwd, encrypt_metadata_false=meta,
             )
+            expect_u = _std_user_value(r, k, file_id)
+            got, want = (
+                (u_val[:16], expect_u[:16]) if r >= 3 else (u_val[:32], expect_u)
+            )
+            return k if got == want else None
+
+        key = _try_user(password)
+        if key is None and password:
+            # Algorithm 7: the password as OWNER password — RC4-unwrap
+            # /O back to the PADDED user password, then Algorithm 2
+            h = _md5((password + _PWD_PAD)[:32])
+            if r >= 3:
+                for _ in range(50):
+                    h = _md5(h)
+            rc4key = h[:n]
+            rec = o_val[:32]
+            if r == 2:
+                rec = _rc4(rc4key, rec)
+            else:
+                for i in range(19, -1, -1):
+                    rec = _rc4(bytes(b ^ i for b in rc4key), rec)
+            # rec IS the 32-byte padded user password; Algorithm 2's
+            # (pwd + PAD)[:32] leaves it unchanged
+            key = _try_user(rec)
+        if key is None:
+            raise NotImplementedError(no_creds)
         if v == 4:
             def dec(num: int, body: bytes) -> bytes:
                 # AESV2 per-object key: the RC4 derivation + sAlT
@@ -1222,21 +1274,28 @@ def _has_type0(data: bytes, objs: dict) -> bool:
     )
 
 
-def pdf_text(data: bytes) -> str:
+def pdf_text(data: bytes, password: bytes | str = b"") -> str:
     """Extract text from a simple-font or ToUnicode-mapped CID-font
-    PDF. Raises on encrypted documents, on CID fonts WITHOUT a usable
-    ToUnicode CMap (decoding those as Latin-1 would be confident
-    garbage), and on bomb-sized streams — route through the quarantine
-    channel at corpus scale."""
+    PDF. Raises on encrypted documents whose password isn't supplied,
+    on CID fonts WITHOUT a usable ToUnicode CMap (decoding those as
+    Latin-1 would be confident garbage), and on bomb-sized streams —
+    route through the quarantine channel at corpus scale.
+
+    ``password`` (str is encoded latin-1, the PDFDocEncoding-compatible
+    range) is tried as the user and then the owner password; the
+    default empty string covers the owner-locked crawl case."""
     data = bytes(data)
+    if isinstance(password, str):
+        password = password.encode("latin-1")
     if not is_pdf(data):
         raise ValueError("not a PDF: missing %PDF- header")
     objs = _object_map(data)
     if b"/Encrypt" in data:
-        # standard-handler RC4 with an empty user password decrypts for
-        # real (the owner-locked case); anything else raises into
-        # quarantine from _decrypt_objects
-        _decrypt_objects(data, objs)
+        # the standard handler decrypts for real (empty password = the
+        # owner-locked case; a supplied password is tried as user then
+        # owner); anything else raises into quarantine from
+        # _decrypt_objects
+        _decrypt_objects(data, objs, password=password)
     _expand_objstm(objs)
     order = _page_order(objs)
     has_t0 = _has_type0(data, objs)
@@ -1296,14 +1355,16 @@ def pdf_text(data: bytes) -> str:
     return re.sub(r"\n{3,}", "\n\n", text).strip("\n")
 
 
-def pdf_page_count(data: bytes) -> int:
+def pdf_page_count(data: bytes, password: bytes | str = b"") -> int:
     """Page-dict count, seeing through ObjStm compression (and the
     standard RC4 handler); raw-bytes regex as the fallback."""
     data = bytes(data)
+    if isinstance(password, str):
+        password = password.encode("latin-1")
     try:
         objs = _object_map(data)
         if b"/Encrypt" in data:
-            _decrypt_objects(data, objs)
+            _decrypt_objects(data, objs, password=password)
         _expand_objstm(objs)
     except (ValueError, NotImplementedError):
         objs = {}
@@ -1324,6 +1385,8 @@ def _assemble_pdf(
     catalog: int,
     objstm_members: dict[int, bytes] | None = None,
     encrypt_r: int | None = None,
+    user_password: bytes = b"",
+    owner_password: bytes = b"",
 ) -> bytes:
     """Serialize numbered objects (+ optional ObjStm packing) into a
     file. ``objs[i]`` is object i+1's body; a None slot means that
@@ -1367,19 +1430,20 @@ def _assemble_pdf(
         p = -44  # typical print-allowed permission mask
         file_id = _md5(b"pg2kinesis_spark pdf fixture id")
         if encrypt_r == 6:
-            # AESV3: empty user+owner passwords; deterministic salts/key
+            # AESV3: deterministic salts/key; passwords default empty
+            # (the owner-locked layout)
             vsalt = _md5(b"fixture vsalt")[:8]
             ksalt = _md5(b"fixture ksalt")[:8]
             key = _md5(b"fixture file key A") + _md5(b"fixture file key B")
-            u_val = _hash_2b(b"", vsalt) + vsalt + ksalt
+            u_val = _hash_2b(user_password, vsalt) + vsalt + ksalt
             ue_val = cbc_encrypt(
-                _hash_2b(b"", ksalt), bytes(16), key, pad=False
+                _hash_2b(user_password, ksalt), bytes(16), key, pad=False
             )[16:]
             o_vs = _md5(b"fixture o vsalt")[:8]
             o_ks = _md5(b"fixture o ksalt")[:8]
-            o_val = _hash_2b(b"", o_vs, u_val) + o_vs + o_ks
+            o_val = _hash_2b(owner_password, o_vs, u_val) + o_vs + o_ks
             oe_val = cbc_encrypt(
-                _hash_2b(b"", o_ks, u_val), bytes(16), key, pad=False
+                _hash_2b(owner_password, o_ks, u_val), bytes(16), key, pad=False
             )[16:]
 
             def enc_body(num: int, raw: bytes) -> bytes:
@@ -1398,8 +1462,12 @@ def _assemble_pdf(
             )
         else:
             n = 5 if encrypt_r == 2 else 16
-            o_val = _std_owner_value(encrypt_r, n, b"", b"")
-            key = _std_encryption_key(encrypt_r, n, o_val, p, file_id)
+            o_val = _std_owner_value(
+                encrypt_r, n, owner_password or user_password, user_password
+            )
+            key = _std_encryption_key(
+                encrypt_r, n, o_val, p, file_id, user_pwd=user_password
+            )
             u_val = _std_user_value(encrypt_r, key, file_id)
             if encrypt_r == 4:
                 def enc_body(num: int, raw: bytes) -> bytes:
@@ -1477,9 +1545,17 @@ class _PdfBuilder:
     ObjStm membership for non-stream dicts, and the page-tree/catalog
     assembly both encode_pdf and encode_pdf_cid need."""
 
-    def __init__(self, objstm: bool, encrypt_r: int | None = None):
+    def __init__(
+        self,
+        objstm: bool,
+        encrypt_r: int | None = None,
+        user_password: bytes = b"",
+        owner_password: bytes = b"",
+    ):
         self.objstm = objstm
         self.encrypt_r = encrypt_r
+        self.user_password = user_password
+        self.owner_password = owner_password
         self.objs: list[bytes | None] = []
         self.members: dict[int, bytes] = {}
 
@@ -1535,6 +1611,8 @@ class _PdfBuilder:
             catalog,
             self.members if self.objstm else None,
             encrypt_r=self.encrypt_r,
+            user_password=self.user_password,
+            owner_password=self.owner_password,
         )
 
 
@@ -1543,6 +1621,8 @@ def encode_pdf(
     compress: bool = False,
     objstm: bool = False,
     encrypt_r: int | None = None,
+    user_password: bytes = b"",
+    owner_password: bytes = b"",
 ) -> bytes:
     """Minimal valid PDF: one content stream per page, each inner list
     is that page's lines — the independent side of pdf_text's contract,
@@ -1550,8 +1630,10 @@ def encode_pdf(
     non-stream object (font, pages, page dicts, catalog) into a
     FlateDecoded /ObjStm, the PDF 1.5+ layout that hides the page tree
     from a raw-bytes scan. ``encrypt_r`` (2/3) RC4-encrypts the streams
-    with empty passwords — the owner-locked layout."""
-    b = _PdfBuilder(objstm, encrypt_r)
+    with empty passwords — the owner-locked layout; ``user_password``/
+    ``owner_password`` produce the credentialed layouts (every cipher
+    generation)."""
+    b = _PdfBuilder(objstm, encrypt_r, user_password, owner_password)
     font = b.add_dict(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     content_ids = []
     for lines in pages:
@@ -1640,11 +1722,16 @@ PDF_TEXT_SCHEMA = T.StructType(
 )
 
 
-def extract_pdf_text(media: DataFrame, errors: str = "quarantine") -> DataFrame:
+def extract_pdf_text(
+    media: DataFrame, errors: str = "quarantine", password: bytes | str = b""
+) -> DataFrame:
     """(media_id, content, meta) → (media_id, text, n_pages,
     decode_error) under the standard media quarantine contract:
     CID-font / encrypted / hostile PDFs become error rows, not dead
-    stages (``errors="raise"`` restores fail-stop)."""
+    stages (``errors="raise"`` restores fail-stop). ``password`` is
+    offered to every encrypted document (user then owner, see
+    pdf_text) — corpora from one source often share one credential;
+    non-matching documents quarantine as before."""
     import pandas as pd
 
     from pg2kinesis_spark.functions.multimodal import _check_errors, _guard
@@ -1652,7 +1739,7 @@ def extract_pdf_text(media: DataFrame, errors: str = "quarantine") -> DataFrame:
     _check_errors(errors)
 
     def one(c: bytes):
-        return pdf_text(c), pdf_page_count(c)
+        return pdf_text(c, password=password), pdf_page_count(c, password=password)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -360,6 +360,57 @@ def test_encrypted_aes_v2_and_v3_decode():
         pdf_text(bytes(bad))
 
 
+def test_password_credentialed_decryption_all_generations():
+    """Round 7: a caller-supplied password opens credentialed layouts
+    across every cipher generation — as the USER password (Algorithm 2
+    / 2.A key derivation) and as the OWNER password (Algorithm 7 /O
+    RC4-unwrap; AESV3 /O-hash + /OE unwrap); empty and wrong passwords
+    refuse with distinct honest messages; the owner-locked layout keeps
+    working with no credentials."""
+    pages = [["the secret contents", "line two"], ["page two here"]]
+    for r in (2, 3, 4, 6):
+        pu = encode_pdf(
+            pages, encrypt_r=r, user_password=b"hunter2", owner_password=b"admin99"
+        )
+        with pytest.raises(NotImplementedError, match="not empty"):
+            pdf_text(pu)
+        with pytest.raises(NotImplementedError, match="wrong password"):
+            pdf_text(pu, password=b"wrong")
+        t_user = pdf_text(pu, password="hunter2")  # str: latin-1 path
+        t_owner = pdf_text(pu, password=b"admin99")
+        assert "secret contents" in t_user and t_user == t_owner, r
+        assert pdf_page_count(pu, password=b"hunter2") == 2
+        # owner-only file: opens bare AND with the owner credential
+        po = encode_pdf(pages, encrypt_r=r, owner_password=b"admin99")
+        assert "secret contents" in pdf_text(po)
+        assert "secret contents" in pdf_text(po, password=b"admin99")
+
+
+def test_password_spark_operator_roundtrip(spark):
+    """extract_pdf_text(password=...) opens a credentialed corpus; the
+    same corpus without the credential quarantines (NULL text + the
+    honest error), never killing the batch."""
+    from pg2kinesis_spark.functions.multimodal import MEDIA_SCHEMA
+    from pg2kinesis_spark.functions.pdf import extract_pdf_text
+
+    blob = encode_pdf(
+        [["credentialed body text"]], encrypt_r=3, user_password=b"k3y"
+    )
+    plain = encode_pdf([["open body text"]])
+    rows = [
+        (0, bytearray(blob), ("application/pdf", len(blob), "mem://locked")),
+        (1, bytearray(plain), ("application/pdf", len(plain), "mem://open")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    with_pwd = {r.media_id: r for r in extract_pdf_text(media, password=b"k3y").collect()}
+    assert "credentialed body text" in with_pwd[0].text
+    assert with_pwd[0].decode_error is None
+    assert "open body text" in with_pwd[1].text  # password unused, no harm
+    without = {r.media_id: r for r in extract_pdf_text(media).collect()}
+    assert without[0].text is None and "password" in without[0].decode_error
+    assert "open body text" in without[1].text
+
+
 def test_fuzz_aes_encrypted_pdfs():
     from tests.test_codec_fuzz import _hammer
 
