@@ -452,8 +452,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return arr[:n].reshape(-1, nch), rate
 
 
-def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
-    """Encode an (n_samples, n_channels) int16 array as PCM-16 WAV."""
+def encode_wav(
+    samples: np.ndarray, sample_rate: int, tags: dict[str, str] | None = None
+) -> bytes:
+    """Encode an (n_samples, n_channels) int16 array as PCM-16 WAV;
+    ``tags`` (canonical keys) adds a RIFF LIST/INFO chunk."""
     samples = np.ascontiguousarray(samples, dtype="<i2")
     if samples.ndim == 1:
         samples = samples[:, None]
@@ -462,6 +465,17 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     fmt = struct.pack("<HHIIHH", 1, nch, sample_rate, sample_rate * nch * 2, nch * 2, 16)
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(payload)) + payload
+    if tags:
+        rev = {"title": b"INAM", "artist": b"IART", "album": b"IPRD",
+               "date": b"ICRD", "genre": b"IGNR", "comment": b"ICMT",
+               "encoder": b"ISFT", "copyright": b"ICOP", "track": b"ITRK"}
+        info = bytearray(b"INFO")
+        for k, v in tags.items():
+            raw = v.encode("latin-1") + b"\x00"
+            info += rev[k] + struct.pack("<I", len(raw)) + raw
+            if len(raw) & 1:
+                info += b"\x00"
+        body += b"LIST" + struct.pack("<I", len(info)) + bytes(info)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
@@ -1858,6 +1872,7 @@ def encode_flac(
     partition_order: int = 0,
     block_size: int = 4096,
     escape: bool = False,
+    tags: dict[str, str] | None = None,
 ) -> bytes:
     """Encode (n, ch) int PCM as a real FLAC stream — the independent
     fixture side of decode_flac (written from RFC 9639, sharing no
@@ -1904,7 +1919,11 @@ def encode_flac(
     si = struct.pack(">HH", min(block_size, n or 1), block_size) + bytes(6)
     packed = (rate << 44) | ((nch - 1) << 41) | ((bits - 1) << 36) | n
     si += packed.to_bytes(8, "big") + h.digest()
-    out = bytearray(b"fLaC" + bytes([0x80]) + len(si).to_bytes(3, "big") + si)
+    si_flag = 0x00 if tags else 0x80
+    out = bytearray(b"fLaC" + bytes([si_flag]) + len(si).to_bytes(3, "big") + si)
+    if tags:
+        vc = encode_vorbis_comment(tags)
+        out += bytes([0x80 | 4]) + len(vc).to_bytes(3, "big") + vc
 
     def emit_subframe(w: "_FlacWriter", ch: list[int], bs: int, bps: int) -> None:
         wasted = 0
@@ -2164,9 +2183,12 @@ def encode_ogg_pages(
     n_samples: int = 96000,
     pre_skip: int = 312,
     n_body_pages: int = 3,
+    tags: dict[str, str] | None = None,
 ) -> bytes:
-    """Spec-packed Ogg fixture: id-header page + empty body pages with
-    a running granule position — the independent side of ogg_info."""
+    """Spec-packed Ogg fixture: id-header page + optional comment-header
+    page (``tags``: `\\x03vorbis`+VorbisComment+framing bit, or
+    RFC 7845 OpusTags) + empty body pages with a running granule
+    position — the independent side of ogg_info and ogg_tags."""
 
     def page(granule: int, serial: int, seq: int, payload: bytes,
              header_type: int = 0) -> bytes:
@@ -2201,9 +2223,396 @@ def encode_ogg_pages(
     else:
         raise ValueError(codec)
     out = page(0 if codec == "vorbis" else -1, 7, 0, idp, header_type=2)
+    seq = 1
+    if tags is not None:
+        vc = encode_vorbis_comment(tags)
+        pkt = (b"\x03vorbis" + vc + b"\x01") if codec == "vorbis" else (
+            b"OpusTags" + vc
+        )
+        out += page(0 if codec == "vorbis" else -1, 7, seq, pkt)
+        seq += 1
     for i in range(1, n_body_pages + 1):
         g = final_granule * i // n_body_pages
-        out += page(g, 7, i, bytes(17), header_type=4 if i == n_body_pages else 0)
+        out += page(
+            g, 7, seq, bytes(17), header_type=4 if i == n_body_pages else 0
+        )
+        seq += 1
+    return out
+
+
+# --- Audio tags: ID3v2 / VorbisComment / RIFF INFO -------------------------
+#
+# The tag layer of the audio-profiling tier: title/artist/album/date
+# metadata from the three tag systems real corpora carry — ID3v2
+# (id3.org informal standard, v2.2/v2.3/v2.4 incl. unsynchronisation
+# and all four text encodings) on MP3, VorbisComment (the Xiph spec)
+# in FLAC metadata blocks and Ogg comment headers (Vorbis and
+# OpusTags), and RIFF LIST/INFO chunks in WAV. Every walk is bounded
+# (frame/comment counts, per-value byte caps) against stomped length
+# fields, matching the *_info contracts.
+
+_ID3_TEXT_KEYS = {
+    # v2.3/v2.4 text frames -> canonical keys (v2.2 3-char twins below)
+    b"TIT2": "title", b"TPE1": "artist", b"TALB": "album",
+    b"TYER": "date", b"TDRC": "date", b"TDAT": "date",
+    b"TCON": "genre", b"TRCK": "track", b"TPE2": "album_artist",
+    b"TCOM": "composer", b"TPOS": "disc", b"TPUB": "publisher",
+    b"TLAN": "language", b"TIT1": "grouping", b"TIT3": "subtitle",
+    b"TSSE": "encoder", b"TENC": "encoded_by", b"TCOP": "copyright",
+}
+_ID3V22_TEXT_KEYS = {
+    b"TT2": "title", b"TP1": "artist", b"TAL": "album", b"TYE": "date",
+    b"TCO": "genre", b"TRK": "track", b"TP2": "album_artist",
+    b"TCM": "composer", b"TPA": "disc", b"TEN": "encoded_by",
+}
+_TAG_MAX_FRAMES = 10_000  # hostile-input bounds
+_TAG_MAX_VALUE = 1 << 20
+_TAG_MAX_TOTAL = 4 << 20
+
+
+def _id3_text(body: bytes) -> str:
+    """An ID3v2 text-frame body: encoding byte + encoded string(s);
+    v2.4 packs multiple values NUL-separated — joined with '; '."""
+    if not body:
+        return ""
+    enc, raw = body[0], body[1 : _TAG_MAX_VALUE + 1]
+    if enc == 0:
+        s, sep = raw.decode("latin-1"), "\x00"
+    elif enc == 1:
+        s, sep = raw.decode("utf-16", errors="replace"), "\x00"
+    elif enc == 2:
+        s, sep = raw.decode("utf-16-be", errors="replace"), "\x00"
+    elif enc == 3:
+        s, sep = raw.decode("utf-8", errors="replace"), "\x00"
+    else:
+        raise ValueError(f"ID3v2 text frame: reserved encoding byte {enc}")
+    vals = [v for v in s.split(sep) if v]
+    return "; ".join(vals)
+
+
+def id3v2_tags(data: bytes) -> dict[str, str]:
+    """Text tags from a leading ID3v2 tag (v2.2 / v2.3 / v2.4):
+    canonical keys (title/artist/album/date/genre/track/...) plus
+    TXXX user frames under their own description. Returns {} when no
+    ID3v2 tag leads the data; raises ValueError on a structurally
+    hostile tag (bad sizes, reserved encodings)."""
+    data = bytes(data)
+    total = _id3v2_size(data)
+    if total == 0:
+        return {}
+    if len(data) < 10:
+        raise ValueError("truncated ID3v2 header")
+    major, flags = data[3], data[5]
+    if major not in (2, 3, 4):
+        raise ValueError(f"ID3v2.{major} is not a known tag version")
+    body = bytearray(data[10 : min(total, len(data))])
+    if flags & 0x80 and major <= 3:
+        # v2.2/v2.3 unsynchronisation applies to the WHOLE tag body
+        body = bytearray(bytes(body).replace(b"\xff\x00", b"\xff"))
+    pos = 0
+    if flags & 0x40 and major >= 3:  # extended header
+        if major == 3:
+            (ehsize,) = struct.unpack(">I", bytes(body[0:4]))
+            pos = 4 + ehsize
+        else:  # v2.4: syncsafe, size INCLUDES itself
+            eh = bytes(body[0:4])
+            pos = (eh[0] << 21) | (eh[1] << 14) | (eh[2] << 7) | eh[3]
+    out: dict[str, str] = {}
+    id_len = 3 if major == 2 else 4
+    hdr_len = 6 if major == 2 else 10
+    text_keys = _ID3V22_TEXT_KEYS if major == 2 else _ID3_TEXT_KEYS
+    frames = 0
+    budget = _TAG_MAX_TOTAL
+    while pos + hdr_len <= len(body):
+        fid = bytes(body[pos : pos + id_len])
+        if fid == bytes(id_len):  # padding reached
+            break
+        if major == 2:
+            fsize = int.from_bytes(body[pos + 3 : pos + 6], "big")
+            fflags = 0
+        elif major == 3:
+            (fsize,) = struct.unpack(">I", bytes(body[pos + 4 : pos + 8]))
+            fflags = body[pos + 9]
+        else:
+            b4 = bytes(body[pos + 4 : pos + 8])
+            if any(x & 0x80 for x in b4):
+                raise ValueError("ID3v2.4 frame size is not syncsafe")
+            fsize = (b4[0] << 21) | (b4[1] << 14) | (b4[2] << 7) | b4[3]
+            fflags = body[pos + 9]
+        fbody = bytes(body[pos + hdr_len : pos + hdr_len + fsize])
+        if len(fbody) < fsize:
+            raise ValueError("ID3v2 frame overruns the tag (stomped size)")
+        pos += hdr_len + fsize
+        frames += 1
+        if frames > _TAG_MAX_FRAMES:
+            raise ValueError("ID3v2 tag exceeds the frame-count bound")
+        if major == 4 and fflags & 0x02:  # per-frame unsynchronisation
+            fbody = fbody.replace(b"\xff\x00", b"\xff")
+        if major == 4 and fflags & 0x01:  # data-length indicator prefix
+            fbody = fbody[4:]
+        key = text_keys.get(fid)
+        if key is None and not (
+            fid in (b"TXXX", b"TXX") and len(fbody) >= 2
+        ):
+            continue
+        if fid in (b"TXXX", b"TXX"):
+            # encoding + description NUL value; for the 2-byte-unit
+            # encodings the terminator must sit on a code-unit boundary
+            # (a low byte inside 'c\x00' + the real NUL would otherwise
+            # split mid-character)
+            enc = fbody[0]
+            sep = b"\x00\x00" if enc in (1, 2) else b"\x00"
+            cut = 1
+            while True:
+                cut = fbody.find(sep, cut)
+                if cut < 0 or len(sep) == 1 or (cut - 1) % 2 == 0:
+                    break
+                cut += 1
+            if cut < 0:
+                continue
+            desc = _id3_text(bytes([enc]) + fbody[1:cut])
+            val = _id3_text(bytes([enc]) + fbody[cut + len(sep):])
+            key = f"txxx:{desc.lower()}" if desc else "txxx:"
+        else:
+            val = _id3_text(fbody)
+        if val:
+            budget -= len(val)
+            if budget < 0:
+                raise ValueError("ID3v2 tag exceeds the total text bound")
+            out.setdefault(key, val)
+    return out
+
+
+def vorbis_comments(payload: bytes) -> dict[str, str]:
+    """A bare VorbisComment block (Xiph spec): vendor string + KEY=value
+    list, keys lowercased; first occurrence wins (repeat keys are
+    legal — we keep profiling deterministic). The framing bit / header
+    prefix must already be stripped."""
+    if len(payload) < 8:
+        raise ValueError("truncated VorbisComment: no vendor length")
+    (vlen,) = struct.unpack("<I", payload[0:4])
+    pos = 4 + vlen
+    if pos + 4 > len(payload):
+        raise ValueError("truncated VorbisComment: vendor overruns")
+    (count,) = struct.unpack("<I", payload[pos : pos + 4])
+    pos += 4
+    if count > _TAG_MAX_FRAMES:
+        raise ValueError("VorbisComment exceeds the comment-count bound")
+    out: dict[str, str] = {}
+    budget = _TAG_MAX_TOTAL
+    for _ in range(count):
+        if pos + 4 > len(payload):
+            raise ValueError("truncated VorbisComment: comment length missing")
+        (clen,) = struct.unpack("<I", payload[pos : pos + 4])
+        pos += 4
+        if clen > _TAG_MAX_VALUE or pos + clen > len(payload):
+            raise ValueError("VorbisComment entry overruns (stomped length)")
+        entry = payload[pos : pos + clen]
+        pos += clen
+        eq = entry.find(b"=")
+        if eq <= 0:
+            continue  # malformed entry: skip, spec says be liberal here
+        key = entry[:eq].decode("ascii", errors="replace").lower()
+        val = entry[eq + 1 :].decode("utf-8", errors="replace")
+        if val:
+            budget -= len(val)
+            if budget < 0:
+                raise ValueError("VorbisComment exceeds the total text bound")
+            out.setdefault(key, val)
+    return out
+
+
+def flac_tags(data: bytes) -> dict[str, str]:
+    """VorbisComment tags from a FLAC metadata-block walk (block type
+    4). {} when the file carries none."""
+    data = bytes(data)
+    flac_info(data)  # structure gate: magic + mandatory STREAMINFO
+    pos = 4
+    for _ in range(_TAG_MAX_FRAMES):
+        if pos + 4 > len(data):
+            raise ValueError("truncated FLAC: metadata blocks never end")
+        last, btype = data[pos] & 0x80, data[pos] & 0x7F
+        blen = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + blen]
+        if btype == 4:
+            if len(body) < blen:
+                raise ValueError("FLAC VORBIS_COMMENT block overruns the file")
+            return vorbis_comments(body)
+        pos += 4 + blen
+        if last:
+            return {}
+    raise ValueError("FLAC metadata walk exceeds the block bound")
+
+
+def ogg_tags(data: bytes) -> dict[str, str]:
+    """VorbisComment tags from an Ogg stream's comment header — the
+    `\\x03vorbis` packet or `OpusTags` (RFC 7845 §5.2). Packets are
+    reassembled from page lacing for the FIRST stream only; {} when
+    the first packets carry no comment header."""
+    data = bytes(data)
+    if not is_ogg(data):
+        raise ValueError("not an Ogg: bad OggS magic")
+    pos = 0
+    serial0 = None
+    packets: list[bytes] = []
+    cur = bytearray()
+    pages = 0
+    while pos + 27 <= len(data) and len(packets) < 3:
+        if data[pos : pos + 4] != b"OggS":
+            break
+        pages += 1
+        if pages > 1000:  # the comment header lives in the first pages
+            break
+        serial = struct.unpack("<I", data[pos + 14 : pos + 18])[0]
+        nsegs = data[pos + 26]
+        segs = data[pos + 27 : pos + 27 + nsegs]
+        if len(segs) < nsegs:
+            raise ValueError("truncated Ogg page header")
+        body = pos + 27 + nsegs
+        if serial0 is None:
+            serial0 = serial
+        if serial == serial0:
+            off = body
+            for s in segs:
+                cur += data[off : off + s]
+                if len(cur) > _TAG_MAX_TOTAL + _TAG_MAX_VALUE:
+                    raise ValueError("Ogg packet exceeds the tag bound")
+                off += s
+                if s < 255:  # lacing value < 255 finishes a packet
+                    packets.append(bytes(cur))
+                    cur = bytearray()
+        pos = body + sum(segs)
+    for p in packets:
+        if p.startswith(b"\x03vorbis"):
+            return vorbis_comments(p[7:])
+        if p.startswith(b"OpusTags"):
+            return vorbis_comments(p[8:])
+    return {}
+
+
+def wav_tags(data: bytes) -> dict[str, str]:
+    """RIFF LIST/INFO tags from a WAV (INAM/IART/IPRD/ICRD/IGNR/ICMT
+    and friends), mapped to the canonical keys."""
+    info_keys = {
+        b"INAM": "title", b"IART": "artist", b"IPRD": "album",
+        b"ICRD": "date", b"IGNR": "genre", b"ICMT": "comment",
+        b"ISFT": "encoder", b"ICOP": "copyright", b"ITRK": "track",
+    }
+    data = bytes(data)
+    if not is_wav(data):
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    out: dict[str, str] = {}
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+        if cid != b"LIST" or body[:4] != b"INFO":
+            continue
+        ip = 4
+        for _ in range(_TAG_MAX_FRAMES):
+            if ip + 8 > len(body):
+                break
+            tid = body[ip : ip + 4]
+            (tlen,) = struct.unpack("<I", body[ip + 4 : ip + 8])
+            if tlen > _TAG_MAX_VALUE or ip + 8 + tlen > len(body):
+                raise ValueError("WAV INFO tag overruns its LIST (stomped size)")
+            raw = body[ip + 8 : ip + 8 + tlen].split(b"\x00")[0]
+            ip += 8 + tlen + (tlen & 1)
+            key = info_keys.get(tid)
+            if key and raw:
+                out.setdefault(key, raw.decode("latin-1"))
+    return out
+
+
+def audio_tags(data: bytes) -> dict[str, str]:
+    """Dispatching tag extraction: ID3v2 (MP3 and bare tags), FLAC
+    VORBIS_COMMENT, Ogg comment headers, WAV LIST/INFO. Raises
+    ValueError for bytes that are none of those containers."""
+    data = bytes(data)
+    if data[:3] == b"ID3" or is_mp3(data):
+        return id3v2_tags(data)
+    if is_flac(data):
+        return flac_tags(data)
+    if is_ogg(data):
+        return ogg_tags(data)
+    if is_wav(data):
+        return wav_tags(data)
+    raise ValueError("no recognized tag container (ID3v2/FLAC/Ogg/WAV)")
+
+
+def encode_id3v2(
+    tags: dict[str, str],
+    version: int = 4,
+    encoding: int = 3,
+    unsync: bool = False,
+    padding: int = 0,
+    txxx: dict[str, str] | None = None,
+) -> bytes:
+    """Spec-packed ID3v2 tag — the independent fixture side of
+    id3v2_tags. ``tags`` uses the canonical keys (reverse-mapped to
+    frame ids); v2.2 writes 3-char frames, v2.3 plain sizes (+whole-tag
+    unsynchronisation when asked), v2.4 syncsafe sizes."""
+    if version not in (2, 3, 4):
+        raise ValueError("ID3v2 fixture version must be 2, 3 or 4")
+    rev = {}
+    table = _ID3V22_TEXT_KEYS if version == 2 else _ID3_TEXT_KEYS
+    for fid, key in table.items():
+        rev.setdefault(key, fid)
+    frames = bytearray()
+
+    def enc_text(s: str) -> bytes:
+        if encoding == 0:
+            return bytes([0]) + s.encode("latin-1")
+        if encoding == 1:
+            return bytes([1]) + s.encode("utf-16")  # BOM included
+        if encoding == 2:
+            return bytes([2]) + s.encode("utf-16-be")
+        return bytes([3]) + s.encode("utf-8")
+
+    def frame(fid: bytes, body: bytes) -> bytes:
+        if version == 2:
+            return fid + len(body).to_bytes(3, "big") + body
+        if version == 3:
+            return fid + struct.pack(">I", len(body)) + bytes(2) + body
+        n = len(body)
+        ss = bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+        return fid + ss + bytes(2) + body
+
+    for key, val in tags.items():
+        fid = rev.get(key)
+        if fid is None:
+            raise ValueError(f"no ID3v2.{version} text frame for key {key!r}")
+        frames += frame(fid, enc_text(val))
+    for desc, val in (txxx or {}).items():
+        sep = b"\x00\x00" if encoding in (1, 2) else b"\x00"
+        body = enc_text(desc) + sep + enc_text(val)[1:]
+        frames += frame(b"TXX" if version == 2 else b"TXXX", body)
+    frames += bytes(padding)
+    flags = 0
+    if unsync and version <= 3:
+        frames = bytearray(bytes(frames).replace(b"\xff", b"\xff\x00"))
+        flags |= 0x80
+    n = len(frames)
+    if n >= 1 << 28:
+        raise ValueError("ID3v2 fixture tag too large")
+    return (
+        b"ID3" + bytes([version, 0, flags])
+        + bytes([(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F])
+        + bytes(frames)
+    )
+
+
+def encode_vorbis_comment(
+    tags: dict[str, str], vendor: str = "pg2kinesis_spark fixture"
+) -> bytes:
+    """A bare VorbisComment payload (no framing)."""
+    vb = vendor.encode("utf-8")
+    out = struct.pack("<I", len(vb)) + vb + struct.pack("<I", len(tags))
+    for k, v in tags.items():
+        e = k.upper().encode("ascii") + b"=" + v.encode("utf-8")
+        out += struct.pack("<I", len(e)) + e
     return out
 
 

@@ -961,6 +961,60 @@ def extract_audio_metadata(media: DataFrame, errors: str = "quarantine") -> Data
     return media.mapInPandas(kernel, AUDIO_META_SCHEMA)
 
 
+AUDIO_TAGS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("artist", T.StringType()),
+        T.StructField("album", T.StringType()),
+        T.StructField("date", T.StringType()),
+        T.StructField("genre", T.StringType()),
+        T.StructField("track", T.StringType()),
+        T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+        _ERROR_FIELD,
+    ]
+)
+
+
+def extract_audio_tags(media: DataFrame, errors: str = "quarantine") -> DataFrame:
+    """Tag-level audio metadata (``codecs.audio_tags``): ID3v2 text
+    frames on MP3 (v2.2/2.3/2.4, all four encodings,
+    unsynchronisation), VorbisComment in FLAC metadata blocks and Ogg
+    comment headers (Vorbis + OpusTags), RIFF LIST/INFO in WAV. The
+    common fields surface as typed columns; the full parsed map rides
+    in ``tags``. Untagged files yield NULL columns + an empty map;
+    unrecognized/hostile bytes take the quarantine channel."""
+    import pandas as pd
+
+    from . import codecs
+
+    _check_errors(errors)
+
+    def one(c: bytes):
+        t = codecs.audio_tags(c)
+        return (
+            t.get("title"), t.get("artist"), t.get("album"),
+            t.get("date"), t.get("genre"), t.get("track"), t,
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                r, err = _guard(errors, one, bytes(c))
+                ti, ar, al, da, ge, tr, mp = r if r else (None,) * 7
+                rows.append((mid, ti, ar, al, da, ge, tr, mp, err))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "title", "artist", "album", "date",
+                    "genre", "track", "tags", "decode_error",
+                ],
+            )
+
+    return media.mapInPandas(kernel, AUDIO_TAGS_SCHEMA)
+
+
 def media_from_files(spark, path: str, glob: str | None = None) -> DataFrame:
     """Directory-of-files front door: Spark's binaryFile source mapped
     into MEDIA_SCHEMA. media_id is the xxhash64 of the file path
