@@ -2528,8 +2528,8 @@ def wav_tags(data: bytes) -> dict[str, str]:
 
 def audio_tags(data: bytes) -> dict[str, str]:
     """Dispatching tag extraction: ID3v2 (MP3 and bare tags), FLAC
-    VORBIS_COMMENT, Ogg comment headers, WAV LIST/INFO. Raises
-    ValueError for bytes that are none of those containers."""
+    VORBIS_COMMENT, Ogg comment headers, WAV LIST/INFO, MP4/M4A ilst.
+    Raises ValueError for bytes that are none of those containers."""
     data = bytes(data)
     if data[:3] == b"ID3" or is_mp3(data):
         return id3v2_tags(data)
@@ -2539,7 +2539,9 @@ def audio_tags(data: bytes) -> dict[str, str]:
         return ogg_tags(data)
     if is_wav(data):
         return wav_tags(data)
-    raise ValueError("no recognized tag container (ID3v2/FLAC/Ogg/WAV)")
+    if is_mp4(data):
+        return mp4_tags(data)
+    raise ValueError("no recognized tag container (ID3v2/FLAC/Ogg/WAV/MP4)")
 
 
 def encode_id3v2(
@@ -5208,6 +5210,68 @@ def _mp4_box(fourcc: bytes, payload: bytes, largesize: bool = False) -> bytes:
     return struct.pack(">I", 8 + len(payload)) + fourcc + payload
 
 
+_MP4_TAG_KEYS = {
+    # iTunes-style ilst items (© = 0xA9) -> canonical keys
+    b"\xa9nam": "title", b"\xa9ART": "artist", b"\xa9alb": "album",
+    b"\xa9day": "date", b"\xa9gen": "genre", b"\xa9wrt": "composer",
+    b"\xa9too": "encoder", b"\xa9cmt": "comment", b"aART": "album_artist",
+    b"cprt": "copyright", b"trkn": "track", b"disk": "disc",
+}
+
+
+def mp4_tags(data: bytes) -> dict[str, str]:
+    """iTunes-style metadata from the moov.udta.meta.ilst box path
+    (the tag system M4A/MP4 corpora carry): ©nam/©ART/©alb/... data
+    atoms with well-known-type 1 (UTF-8) decode as text; trkn/disk
+    (implicit type 0) render as 'n/total'. {} when the file carries no
+    ilst; bounded by the shared MP4 box budget."""
+    data = bytes(data)
+    if not is_mp4(data):
+        raise ValueError("not an MP4: no ftyp box")
+    budget = [_MP4_MAX_BOXES]
+    out: dict[str, str] = {}
+    total_budget = _TAG_MAX_TOTAL
+    for fourcc, body, bend in _mp4_walk(data, 0, len(data), 0, budget):
+        if fourcc != b"udta":
+            continue
+        for f2, b2, e2 in _mp4_walk(data, body, bend, 1, budget):
+            if f2 != b"meta":
+                continue
+            # meta is a FULL box: 4 bytes version/flags precede children
+            for f3, b3, e3 in _mp4_walk(data, b2 + 4, e2, 2, budget):
+                if f3 != b"ilst":
+                    continue
+                for f4, b4, e4 in _mp4_walk(data, b3, e3, 3, budget):
+                    key = _MP4_TAG_KEYS.get(f4)
+                    if key is None:
+                        continue
+                    for f5, b5, e5 in _mp4_walk(data, b4, e4, 4, budget):
+                        if f5 != b"data" or e5 - b5 < 8:
+                            continue
+                        dtype = int.from_bytes(data[b5 : b5 + 4], "big") & 0xFFFFFF
+                        payload = data[b5 + 8 : e5]
+                        if len(payload) > _TAG_MAX_VALUE:
+                            raise ValueError("MP4 ilst value exceeds the tag bound")
+                        if key in ("track", "disc") and dtype == 0:
+                            if len(payload) < 6:
+                                continue
+                            n, tot = struct.unpack(">HH", payload[2:6])
+                            val = f"{n}/{tot}" if tot else str(n)
+                        elif dtype == 1:
+                            val = payload.decode("utf-8", errors="replace")
+                        else:
+                            continue  # binary/unknown well-known types
+                        if val:
+                            total_budget -= len(val)
+                            if total_budget < 0:
+                                raise ValueError(
+                                    "MP4 ilst exceeds the total text bound"
+                                )
+                            out.setdefault(key, val)
+                        break
+    return out
+
+
 def encode_mp4_skeleton(
     duration_s: float = 10.0,
     timescale: int = 600,
@@ -5219,10 +5283,13 @@ def encode_mp4_skeleton(
     version1: bool = False,
     largesize_mdat: bool = False,
     brand: bytes = b"isom",
+    tags: dict[str, str] | None = None,
 ) -> bytes:
     """Spec-packed ISO BMFF fixture writer: valid box structure with
     zeroed media data (this module walks boxes, not bitstreams — the
-    independent side of mp4_info's contract, like encode_mp3_frames)."""
+    independent side of mp4_info's contract, like encode_mp3_frames).
+    ``tags`` (canonical keys) adds a moov.udta.meta.ilst block — the
+    independent side of mp4_tags."""
     dur = int(round(duration_s * timescale))
     n_frames = int(round(duration_s * fps))
 
@@ -5291,6 +5358,28 @@ def encode_mp4_skeleton(
         else b""
     )
     ftyp = _mp4_box(b"ftyp", brand + struct.pack(">I", 0x200) + brand)
-    moov = _mp4_box(b"moov", mvhd + video + audio)
+    udta = b""
+    if tags:
+        rev = {}
+        for f, k in _MP4_TAG_KEYS.items():
+            rev.setdefault(k, f)
+        items = b""
+        for k, v in tags.items():
+            f = rev[k]
+            if k in ("track", "disc"):
+                n_, _, tot = v.partition("/")
+                payload = bytes(2) + struct.pack(
+                    ">HH", int(n_), int(tot or 0)
+                ) + bytes(2)
+                d = _mp4_box(b"data", struct.pack(">I", 0) + bytes(4) + payload)
+            else:
+                d = _mp4_box(
+                    b"data", struct.pack(">I", 1) + bytes(4) + v.encode("utf-8")
+                )
+            items += _mp4_box(f, d)
+        hdlr = _mp4_box(b"hdlr", bytes(4) + bytes(4) + b"mdir" + bytes(9))
+        meta = _mp4_box(b"meta", bytes(4) + hdlr + _mp4_box(b"ilst", items))
+        udta = _mp4_box(b"udta", meta)
+    moov = _mp4_box(b"moov", mvhd + video + audio + udta)
     mdat = _mp4_box(b"mdat", bytes(32), largesize=largesize_mdat)
     return ftyp + moov + mdat

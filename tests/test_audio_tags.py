@@ -141,6 +141,31 @@ def test_wav_tags_roundtrip():
     assert wav_tags(encode_wav(np.zeros((8, 1), np.int16), 8000)) == {}
 
 
+def test_mp4_ilst_roundtrip():
+    """iTunes-style moov.udta.meta.ilst: UTF-8 data atoms for text,
+    implicit-type binary for trkn/disk, hand-expected against the
+    encoder's independent packing; the udta block must not perturb
+    mp4_info."""
+    tags = {"title": "M4A Söng", "artist": "The Ärtists", "album": "Box Set",
+            "date": "2021-05", "genre": "Döom", "track": "7/13", "disc": "1/2"}
+    m4a = C.encode_mp4_skeleton(tags=tags)
+    assert C.mp4_tags(m4a) == tags
+    assert audio_tags(m4a) == tags
+    assert C.mp4_info(m4a)["duration_ms"] == 10000.0
+    assert C.mp4_tags(C.encode_mp4_skeleton()) == {}
+    # hand-packed minimal ilst (encoder not involved): one ©nam item;
+    # data atom = 8 (box hdr) + 4 (well-known type 1) + 4 (locale) + text
+    data_atom = struct.pack(">I", 24) + b"data" + struct.pack(">I", 1) \
+        + bytes(4) + b"Hand Nam"
+    item = struct.pack(">I", 8 + len(data_atom)) + b"\xa9nam" + data_atom
+    ilst = struct.pack(">I", 8 + len(item)) + b"ilst" + item
+    meta = struct.pack(">I", 12 + len(ilst)) + b"meta" + bytes(4) + ilst
+    udta = struct.pack(">I", 8 + len(meta)) + b"udta" + meta
+    moov = struct.pack(">I", 8 + len(udta)) + b"moov" + udta
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + bytes(4)
+    assert C.mp4_tags(ftyp + moov) == {"title": "Hand Nam"}
+
+
 def test_audio_tags_dispatch():
     mp3 = encode_id3v2(TAGS, version=4) + encode_mp3_frames(3)
     assert audio_tags(mp3)["artist"] == TAGS["artist"]
@@ -187,6 +212,7 @@ def test_fuzz_audio_tags():
         encode_flac(np.zeros((300, 2), np.int64), 44100, tags=TAGS),
         encode_ogg_pages("vorbis", tags=TAGS),
         encode_wav(np.zeros((32, 1), np.int16), 8000, tags={"title": "f"}),
+        C.encode_mp4_skeleton(tags={"title": "fz", "track": "1/2"}),
     ]
     _hammer(audio_tags, corpus, seed=50)
 
