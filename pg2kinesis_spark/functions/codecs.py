@@ -2383,6 +2383,73 @@ def id3v2_tags(data: bytes) -> dict[str, str]:
     return out
 
 
+_ID3V1_GENRES = (
+    # id3.org's v1 genre list, indices 0-79 (the original set; Winamp
+    # extensions beyond 79 render as their number)
+    "Blues Classic_Rock Country Dance Disco Funk Grunge Hip-Hop Jazz Metal "
+    "New_Age Oldies Other Pop R&B Rap Reggae Rock Techno Industrial "
+    "Alternative Ska Death_Metal Pranks Soundtrack Euro-Techno Ambient "
+    "Trip-Hop Vocal Jazz+Funk Fusion Trance Classical Instrumental Acid "
+    "House Game Sound_Clip Gospel Noise AlternRock Bass Soul Punk Space "
+    "Meditative Instrumental_Pop Instrumental_Rock Ethnic Gothic Darkwave "
+    "Techno-Industrial Electronic Pop-Folk Eurodance Dream Southern_Rock "
+    "Comedy Cult Gangsta Top_40 Christian_Rap Pop/Funk Jungle Native_American "
+    "Cabaret New_Wave Psychadelic Rave Showtunes Trailer Lo-Fi Tribal "
+    "Acid_Punk Acid_Jazz Polka Retro Musical Rock_&_Roll Hard_Rock"
+).split()
+
+
+def id3v1_tags(data: bytes) -> dict[str, str]:
+    """The 128-byte ID3v1 trailer ('TAG' at EOF): fixed-width latin-1
+    title/artist/album/year/comment fields, v1.1 track byte, genre
+    index. {} when no trailer is present."""
+    data = bytes(data)
+    if len(data) < 128 or data[-128:-125] != b"TAG":
+        return {}
+    blk = data[-128:]
+
+    def field(a: int, b: int) -> str:
+        return blk[a:b].split(b"\x00")[0].decode("latin-1").strip()
+
+    out = {}
+    for key, a, b in (("title", 3, 33), ("artist", 33, 63),
+                      ("album", 63, 93), ("date", 93, 97),
+                      ("comment", 97, 127)):  # v1.0 width; v1.1 re-cuts
+        v = field(a, b)
+        if v:
+            out[key] = v
+    if blk[125] == 0 and blk[126]:  # v1.1: comment truncated to 28 + track
+        out["track"] = str(blk[126])
+        if out.get("comment"):
+            out["comment"] = blk[97:125].split(b"\x00")[0].decode(
+                "latin-1"
+            ).strip()
+    g = blk[127]
+    if g < len(_ID3V1_GENRES):
+        out["genre"] = _ID3V1_GENRES[g].replace("_", " ")
+    elif g != 255:
+        out["genre"] = str(g)
+    return out
+
+
+def encode_id3v1(tags: dict[str, str]) -> bytes:
+    """The fixture side of id3v1_tags: a spec-packed 128-byte trailer."""
+    def fx(key: str, width: int) -> bytes:
+        return tags.get(key, "").encode("latin-1")[:width].ljust(width, b"\x00")
+
+    genre = 255
+    if "genre" in tags:
+        name = tags["genre"].replace(" ", "_")
+        genre = (_ID3V1_GENRES.index(name) if name in _ID3V1_GENRES
+                 else int(tags["genre"]) if tags["genre"].isdigit() else 255)
+    blk = b"TAG" + fx("title", 30) + fx("artist", 30) + fx("album", 30) + fx("date", 4)
+    if "track" in tags:
+        blk += fx("comment", 28) + b"\x00" + bytes([int(tags["track"]) & 0xFF])
+    else:
+        blk += fx("comment", 30)
+    return blk + bytes([genre])
+
+
 def vorbis_comments(payload: bytes) -> dict[str, str]:
     """A bare VorbisComment block (Xiph spec): vendor string + KEY=value
     list, keys lowercased; first occurrence wins (repeat keys are
@@ -2532,7 +2599,10 @@ def audio_tags(data: bytes) -> dict[str, str]:
     Raises ValueError for bytes that are none of those containers."""
     data = bytes(data)
     if data[:3] == b"ID3" or is_mp3(data):
-        return id3v2_tags(data)
+        v2 = id3v2_tags(data)
+        v1 = id3v1_tags(data)
+        # v2 wins key-by-key; the v1 trailer fills what v2 lacks
+        return {**v1, **v2}
     if is_flac(data):
         return flac_tags(data)
     if is_ogg(data):

@@ -141,6 +141,31 @@ def test_wav_tags_roundtrip():
     assert wav_tags(encode_wav(np.zeros((8, 1), np.int16), 8000)) == {}
 
 
+def test_id3v1_trailer():
+    """The 128-byte EOF trailer: fixed-width fields, v1.1 track byte
+    (comment cut to 28), genre index table; v2 wins key-by-key with the
+    v1 trailer filling what v2 lacks."""
+    t = {"title": "Old Song", "artist": "Tape Band", "album": "Cassette",
+         "date": "1987", "comment": "side b", "track": "4", "genre": "Polka"}
+    blk = C.encode_id3v1(t)
+    assert len(blk) == 128
+    mp3 = encode_mp3_frames(3) + blk
+    assert audio_tags(mp3) == t
+    assert C.mp3_info(mp3)["n_frames"] == 3  # trailer ends the sync walk
+    # hand-packed (encoder not involved): v1.0, 30-char comment, genre 17
+    hand = (b"TAG" + b"HandT".ljust(30, b"\x00") + b"HandA".ljust(30, b"\x00")
+            + bytes(30) + b"1999" + b"c" * 30 + bytes([17]))
+    got = C.id3v1_tags(b"\xff\xfb" + bytes(100) + hand)
+    assert got["title"] == "HandT" and got["date"] == "1999"
+    assert got["comment"] == "c" * 30 and got["genre"] == "Rock"
+    assert "track" not in got  # last comment byte nonzero: not v1.1
+    # v2 beats v1 per key, v1 fills the rest
+    both = encode_id3v2({"title": "New Title"}, version=4) + mp3
+    g2 = audio_tags(both)
+    assert g2["title"] == "New Title" and g2["artist"] == "Tape Band"
+    assert C.id3v1_tags(encode_mp3_frames(2)) == {}
+
+
 def test_mp4_ilst_roundtrip():
     """iTunes-style moov.udta.meta.ilst: UTF-8 data atoms for text,
     implicit-type binary for trkn/disk, hand-expected against the
