@@ -236,3 +236,55 @@ def archive_to_corpus(
             F.expr("make_valid_utf8(cast(payload as string))").alias("text"),
         )
     )
+
+
+def epub_to_corpus(
+    archives: DataFrame,
+    per: str = "chapter",
+    errors: str = "quarantine",
+    **caps,
+) -> DataFrame:
+    """EPUB front door: an EPUB is a zip of XHTML chapters, so this is
+    the archive walk COMPOSED with the HTML stripper — no new decode
+    kernel. Chapter members (.xhtml/.html/.htm) strip through
+    ``html_to_text_col`` (pure codegen, zero shuffle per row);
+    manifest/NCX/CSS members are skipped; corrupt EPUBs quarantine
+    archive-atomically in ``archive_members``.
+
+    ``per="chapter"`` (default): one row per chapter,
+    (doc_id, path, member, text) with the front door's md5-60 doc ids.
+    ``per="book"``: one row per file, chapters joined in ARCHIVE order
+    (EPUB packaging convention puts the spine in zip order; the OPF
+    spine itself is packaging metadata this tier deliberately does not
+    model — a mis-ordered zip concatenates honestly in file order).
+    The book grouping is a (path)-keyed exchange carrying stripped
+    TEXT, not raw archives.
+    """
+    from pg2kinesis_spark.functions.html import html_to_text_col
+    from pg2kinesis_spark.functions.sampling import HASH60
+
+    if per not in ("chapter", "book"):
+        raise ValueError(f"per must be 'chapter' or 'book', got {per!r}")
+    members = archive_members(archives, errors=errors, **caps)
+    cond = F.lit(False)
+    for s in (".xhtml", ".html", ".htm"):
+        cond = cond | F.lower("member").endswith(s)
+    text = html_to_text_col(F.expr("make_valid_utf8(cast(payload as string))"))
+    key = "concat(path, ':', cast(ordinal as string), ':', member)"
+    chapters = members.filter(F.col("decode_error").isNull() & cond).select(
+        F.expr(HASH60.format(x=key)).alias("doc_id"),
+        "path",
+        "member",
+        "ordinal",
+        text.alias("text"),
+    )
+    if per == "chapter":
+        return chapters.drop("ordinal")
+    return chapters.groupBy("path").agg(
+        F.expr(HASH60.format(x="first(path)")).alias("doc_id"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(ordinal, text))),"
+            " x -> x.text), '\\n\\n')"
+        ).alias("text"),
+        F.count("*").cast("int").alias("n_chapters"),
+    ).select("doc_id", "path", "text", "n_chapters")

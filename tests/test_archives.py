@@ -220,3 +220,67 @@ def test_duplicate_member_names_get_distinct_ids(spark):
         "first version of the document",
         "second version entirely different",
     }
+
+
+def _epub_bytes(chapters: dict[str, str], corrupt: bool = False) -> bytes:
+    """A real EPUB layout: stored mimetype first, META-INF container,
+    OPF manifest, then XHTML chapters."""
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("mimetype", "application/epub+zip",
+                    compress_type=zipfile.ZIP_STORED)
+        zf.writestr(
+            "META-INF/container.xml",
+            '<?xml version="1.0"?><container><rootfiles><rootfile '
+            'full-path="OEBPS/content.opf"/></rootfiles></container>',
+        )
+        items = "".join(
+            f'<item id="c{i}" href="{name}"/>' for i, name in enumerate(chapters)
+        )
+        zf.writestr("OEBPS/content.opf", f"<package><manifest>{items}</manifest></package>")
+        zf.writestr("OEBPS/style.css", "p { margin: 0 }")
+        for name, body in chapters.items():
+            zf.writestr(
+                f"OEBPS/{name}",
+                "<?xml version='1.0'?><html><head><title>t</title>"
+                f"<style>.x{{}}</style></head><body>{body}</body></html>",
+            )
+    raw = bytearray(buf.getvalue())
+    if corrupt:
+        raw[-20:] = b"\x00" * 20  # stomp the central directory
+    return bytes(raw)
+
+
+def test_epub_front_door(spark):
+    """EPUB = zip of XHTML: the archive walk composed with the HTML
+    stripper. Chapter rows carry stripped text (tags/styles gone,
+    entities decoded); per='book' joins chapters in archive order; OPF/
+    NCX/CSS members never become docs; a corrupt EPUB quarantines
+    archive-atomically without killing the batch."""
+    from pg2kinesis_spark.functions.archives import epub_to_corpus
+
+    book = _epub_bytes({
+        "ch1.xhtml": "<h1>One</h1><p>First chapter&nbsp;body.</p>",
+        "ch2.xhtml": "<p>Second <b>chapter</b> text.</p>",
+        "ch3.xhtml": "<p>Third&amp;final.</p>",
+    })
+    bad = _epub_bytes({"ch1.xhtml": "<p>never seen</p>"}, corrupt=True)
+    archives = spark.createDataFrame(
+        [("mem://book.epub", bytearray(book)), ("mem://bad.epub", bytearray(bad))],
+        "path string, content binary",
+    )
+    chapters = epub_to_corpus(archives).collect()
+    by_member = {c.member: c.text for c in chapters}
+    assert by_member["OEBPS/ch1.xhtml"] == "One\n\nFirst chapter body."
+    assert by_member["OEBPS/ch2.xhtml"] == "Second chapter text."
+    assert by_member["OEBPS/ch3.xhtml"] == "Third&final."
+    assert not any("opf" in c.member or "css" in c.member or
+                   c.member == "mimetype" for c in chapters)
+    assert all(c.path == "mem://book.epub" for c in chapters)  # bad dropped
+    assert len({c.doc_id for c in chapters}) == 3
+
+    books = epub_to_corpus(archives, per="book").collect()
+    assert len(books) == 1 and books[0].n_chapters == 3
+    assert books[0].text == (
+        "One\n\nFirst chapter body.\n\nSecond chapter text.\n\nThird&final."
+    )
