@@ -413,7 +413,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     data = bytes(data)
     if not is_wav(data):
         raise ValueError("not a WAV: bad RIFF/WAVE header")
-    pos, fmt, payload = 12, None, None
+    pos, fmt, fmt_body, payload = 12, None, b"", None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
@@ -421,11 +421,26 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             payload = body
     if fmt is None or payload is None:
         raise ValueError("not a WAV: missing fmt/data chunk")
     audio_fmt, nch, rate, _brate, _balign, bits = fmt
+    if audio_fmt == 0xFFFE:
+        # WAVE_FORMAT_EXTENSIBLE: the real container format of most
+        # >16-bit / multichannel WAVs. cbSize(2) + valid_bits(2) +
+        # channel_mask(4) + SubFormat GUID whose leading u16 is the
+        # base format (1 PCM, 3 float) and whose 14-byte suffix is the
+        # fixed KSDATAFORMAT media-subtype namespace.
+        if len(fmt_body) < 40:
+            raise ValueError("extensible WAV: fmt chunk too short for SubFormat")
+        guid = fmt_body[24:40]
+        if guid[2:] != bytes.fromhex("000000001000800000aa00389b71"):
+            raise NotImplementedError(
+                "extensible WAV: SubFormat GUID outside the KSDATAFORMAT namespace"
+            )
+        (audio_fmt,) = struct.unpack("<H", guid[:2])
     if audio_fmt == 3 and bits == 32:  # IEEE float
         arr = np.frombuffer(payload, dtype="<f4").astype(np.float64)
     elif audio_fmt == 1 and bits == 8:
@@ -476,6 +491,44 @@ def encode_wav(
             if len(raw) & 1:
                 info += b"\x00"
         body += b"LIST" + struct.pack("<I", len(info)) + bytes(info)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_extensible(
+    samples: np.ndarray, sample_rate: int, bits: int = 16, float32: bool = False
+) -> bytes:
+    """WAVE_FORMAT_EXTENSIBLE fixture writer (fmt 0xFFFE + SubFormat
+    GUID) — the independent side of decode_wav's extensible path.
+    ``bits`` 16/24 integer PCM, or ``float32=True`` for IEEE float."""
+    samples = np.asarray(samples)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    nch = samples.shape[1]
+    if float32:
+        bits, subfmt = 32, 3
+        payload = samples.astype("<f4").tobytes()
+    elif bits == 24:
+        subfmt = 1
+        u = (samples.reshape(-1).astype(np.int64) & 0xFFFFFF).astype(np.uint32)
+        b = np.empty((u.size, 3), np.uint8)
+        b[:, 0] = u & 0xFF
+        b[:, 1] = (u >> 8) & 0xFF
+        b[:, 2] = (u >> 16) & 0xFF
+        payload = b.tobytes()
+    elif bits == 16:
+        subfmt = 1
+        payload = samples.astype("<i2").tobytes()
+    else:
+        raise ValueError("extensible fixture supports 16/24-bit PCM or float32")
+    guid = struct.pack("<H", subfmt) + bytes.fromhex(
+        "000000001000800000aa00389b71"
+    )
+    fmt = struct.pack(
+        "<HHIIHH", 0xFFFE, nch, sample_rate,
+        sample_rate * nch * bits // 8, nch * bits // 8, bits,
+    ) + struct.pack("<HHI", 22, bits, (1 << nch) - 1) + guid
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(payload)) + payload
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 

@@ -199,6 +199,40 @@ def test_wav_24bit_and_rejections():
         decode_wav(b"RIFFxxxxJUNK")
 
 
+def test_wav_extensible_subformat():
+    """WAVE_FORMAT_EXTENSIBLE (fmt 0xFFFE) — what most >16-bit and
+    multichannel WAVs actually carry: the base format comes from the
+    SubFormat GUID's leading u16 (1 PCM, 3 float) inside the fixed
+    KSDATAFORMAT namespace; a GUID outside that namespace refuses."""
+    from pg2kinesis_spark.functions.codecs import encode_wav_extensible
+
+    rng = np.random.RandomState(4)
+    s16 = rng.randint(-30000, 30000, (500, 6)).astype(np.int16)  # 5.1
+    got, rate = decode_wav(encode_wav_extensible(s16, 48000))
+    assert rate == 48000 and got.shape == (500, 6)
+    np.testing.assert_array_equal(got, s16)
+    s24 = rng.randint(-(1 << 22), 1 << 22, (300, 2))
+    np.testing.assert_array_equal(
+        decode_wav(encode_wav_extensible(s24, 96000, bits=24))[0], s24
+    )
+    f32 = rng.randn(200, 2).astype(np.float32)
+    np.testing.assert_allclose(
+        decode_wav(encode_wav_extensible(f32, 44100, float32=True))[0], f32
+    )
+    bad = bytearray(encode_wav_extensible(s16, 48000))
+    i = bad.find(bytes.fromhex("000000001000800000aa00389b71"))
+    bad[i + 4] ^= 0xFF  # namespace byte stomped
+    with pytest.raises(NotImplementedError, match="KSDATAFORMAT"):
+        decode_wav(bytes(bad))
+    trunc = encode_wav_extensible(s16, 48000)
+    cut = bytearray(trunc)
+    # fmt chunk shortened below the 40 bytes SubFormat needs
+    j = cut.find(b"fmt ") + 4
+    cut[j : j + 4] = struct.pack("<I", 18)
+    with pytest.raises(ValueError, match="SubFormat"):
+        decode_wav(bytes(cut[: j + 4 + 18]) + trunc[trunc.find(b"data"):])
+
+
 def _g711_wav(codes: bytes, audio_fmt: int, rate: int = 8000) -> bytes:
     """Hand-build a G.711 WAV (audio_fmt 6 = A-law, 7 = mu-law)."""
     fmt = struct.pack("<HHIIHH", audio_fmt, 1, rate, rate, 1, 8)
