@@ -532,6 +532,183 @@ def encode_wav_extensible(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _truncation_as_valueerror(what: str):
+    """Metadata walks promise ValueError on hostile/truncated input;
+    short-slice IndexError / struct.error from a stomped field must
+    honor that contract, not leak implementation exceptions."""
+    import functools
+
+    def deco(fn):
+        @functools.wraps(fn)
+        def wrapper(*a, **k):
+            try:
+                return fn(*a, **k)
+            except (IndexError, struct.error) as e:
+                raise ValueError(f"truncated {what} metadata: {e}") from e
+
+        return wrapper
+
+    return deco
+
+
+# --- AIFF (big-endian IFF: the WAV cousin Apple-side corpora carry) --------
+
+
+def is_aiff(data: bytes) -> bool:
+    return bytes(data[:4]) == b"FORM" and bytes(data[8:12]) in (b"AIFF", b"AIFC")
+
+
+def _f80(b: bytes) -> float:
+    """80-bit IEEE 754 extended float (the COMM sample-rate field):
+    1 sign + 15 exponent + 64 explicit-integer-bit mantissa."""
+    if len(b) < 10:
+        raise ValueError("truncated AIFF extended-float field")
+    se = int.from_bytes(b[:2], "big")
+    mant = int.from_bytes(b[2:10], "big")
+    if se & 0x7FFF == 0 and mant == 0:
+        return 0.0
+    exp = (se & 0x7FFF) - 16383 - 63
+    v = mant * (2.0 ** exp)
+    return -v if se & 0x8000 else v
+
+
+def _aiff_chunks(data: bytes):
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = bytes(data[pos : pos + 4])
+        (clen,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+        yield cid, data[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+
+
+@_truncation_as_valueerror("AIFF")
+def aiff_info(data: bytes) -> dict:
+    """Header-only AIFF/AIFC metadata from the COMM chunk (big-endian
+    IFF; the sample rate is an 80-bit extended float)."""
+    data = bytes(data)
+    if not is_aiff(data):
+        raise ValueError("not an AIFF: bad FORM/AIFF header")
+    for cid, body in _aiff_chunks(data):
+        if cid == b"COMM":
+            nch, nframes = struct.unpack(">HI", body[0:6])
+            (bits,) = struct.unpack(">H", body[6:8])
+            rate = _f80(body[8:18])
+            comp = bytes(body[18:22]) if len(body) >= 22 else b"NONE"
+            if rate <= 0:
+                raise ValueError("AIFF COMM declares a non-positive rate")
+            return {
+                "sample_rate": int(round(rate)),
+                "n_channels": nch,
+                "bits": bits,
+                "n_samples": nframes,
+                "duration_ms": 1000.0 * nframes / rate,
+                "compression": comp.decode("latin-1"),
+            }
+    raise ValueError("AIFF missing the mandatory COMM chunk")
+
+
+@_truncation_as_valueerror("AIFF")
+def decode_aiff(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode AIFF PCM to ((n, ch) array, rate): big-endian 8 (signed,
+    unlike WAV)/16/24/32-bit, plus AIFC 'NONE' (big-endian) and 'sowt'
+    (little-endian 16-bit — the common Mac variant). Other AIFC
+    compression types raise into the quarantine channel."""
+    data = bytes(data)
+    info = aiff_info(data)
+    nch, bits = info["n_channels"], info["bits"]
+    comp = info["compression"]
+    if comp not in ("NONE", "sowt") and not comp.startswith("NONE"):
+        raise NotImplementedError(
+            f"AIFC compression {comp!r}: only NONE/sowt PCM decodes"
+        )
+    payload = None
+    for cid, body in _aiff_chunks(data):
+        if cid == b"SSND":
+            (off, _block) = struct.unpack(">II", body[0:8])
+            payload = body[8 + off :]
+            break
+    if payload is None:
+        raise ValueError("AIFF missing the SSND chunk")
+    endian = "<" if comp == "sowt" else ">"
+    if bits == 8:
+        arr = np.frombuffer(payload, dtype=np.int8).astype(np.int16)
+    elif bits == 16:
+        arr = np.frombuffer(payload, dtype=f"{endian}i2")
+    elif bits == 24:
+        b = np.frombuffer(payload[: len(payload) // 3 * 3], dtype=np.uint8)
+        b = b.reshape(-1, 3)
+        hi, mid, lo = (b[:, 0], b[:, 1], b[:, 2])
+        arr = (
+            (hi.astype(np.int32) << 16)
+            | (mid.astype(np.int32) << 8)
+            | lo.astype(np.int32)
+        )
+        arr = np.where(arr >= 1 << 23, arr - (1 << 24), arr)
+    elif bits == 32:
+        arr = np.frombuffer(payload, dtype=f"{endian}i4")
+    else:
+        raise NotImplementedError(f"AIFF {bits}-bit PCM not supported")
+    n = (len(arr) // nch) * nch
+    return arr[:n].reshape(-1, nch), info["sample_rate"]
+
+
+def aiff_tags(data: bytes) -> dict[str, str]:
+    """The IFF text chunks (NAME/AUTH/ANNO/(c) ) mapped to canonical
+    tag keys."""
+    data = bytes(data)
+    if not is_aiff(data):
+        raise ValueError("not an AIFF: bad FORM/AIFF header")
+    keys = {b"NAME": "title", b"AUTH": "artist",
+            b"ANNO": "comment", b"(c) ": "copyright"}
+    out: dict[str, str] = {}
+    for cid, body in _aiff_chunks(data):
+        key = keys.get(cid)
+        if key and body:
+            if len(body) > _TAG_MAX_VALUE:
+                raise ValueError("AIFF text chunk exceeds the tag bound")
+            out.setdefault(key, bytes(body).decode("latin-1").strip("\x00 "))
+    return out
+
+
+def encode_aiff(
+    samples: np.ndarray,
+    sample_rate: int,
+    sowt: bool = False,
+    tags: dict[str, str] | None = None,
+) -> bytes:
+    """AIFF/AIFC fixture writer: 16-bit PCM, big-endian ('NONE') or the
+    little-endian 'sowt' AIFC variant; optional NAME/AUTH/ANNO text
+    chunks — the independent side of decode_aiff/aiff_info/aiff_tags."""
+    samples = np.asarray(samples)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    nframes, nch = samples.shape
+    # the 80-bit extended rate: normalize mantissa to the top bit
+    r = sample_rate
+    exp = r.bit_length() - 1
+    mant = r << (63 - exp)
+    f80 = struct.pack(">H", 16383 + exp) + mant.to_bytes(8, "big")
+    comm = struct.pack(">HIH", nch, nframes, 16) + f80
+    form_type = b"AIFF"
+    if sowt:
+        comm += b"sowt" + b"\x0esowt-compatible\x00"
+        form_type = b"AIFC"
+    payload = samples.astype("<i2" if sowt else ">i2").tobytes()
+    ssnd = struct.pack(">II", 0, 0) + payload
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack(">I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    body = form_type + chunk(b"COMM", comm) + chunk(b"SSND", ssnd)
+    for key, cid in (("title", b"NAME"), ("artist", b"AUTH"),
+                     ("comment", b"ANNO"), ("copyright", b"(c) ")):
+        if tags and key in tags:
+            body += chunk(cid, tags[key].encode("latin-1"))
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
 # --- MP3 (frame-header walk — metadata only, NO audio decode) -------------
 #
 # Real audio corpora are mostly MP3/AAC; full Layer-III synthesis
@@ -1436,25 +1613,6 @@ def mp3_subband_energies(data: bytes):
     if not energies:
         raise ValueError("not a decodable MP3: no valid audio frame")
     return np.asarray(energies, dtype=np.float64)
-
-
-def _truncation_as_valueerror(what: str):
-    """Metadata walks promise ValueError on hostile/truncated input;
-    short-slice IndexError / struct.error from a stomped field must
-    honor that contract, not leak implementation exceptions."""
-    import functools
-
-    def deco(fn):
-        @functools.wraps(fn)
-        def wrapper(*a, **k):
-            try:
-                return fn(*a, **k)
-            except (IndexError, struct.error) as e:
-                raise ValueError(f"truncated {what} metadata: {e}") from e
-
-        return wrapper
-
-    return deco
 
 
 # --- FLAC ------------------------------------------------------------------
@@ -2737,9 +2895,13 @@ def audio_tags(data: bytes) -> dict[str, str]:
         return ogg_tags(data)
     if is_wav(data):
         return wav_tags(data)
+    if is_aiff(data):
+        return aiff_tags(data)
     if is_mp4(data):
         return mp4_tags(data)
-    raise ValueError("no recognized tag container (ID3v2/FLAC/Ogg/WAV/MP4)")
+    raise ValueError(
+        "no recognized tag container (ID3v2/FLAC/Ogg/WAV/AIFF/MP4)"
+    )
 
 
 def encode_id3v2(

@@ -31,11 +31,13 @@ Codec support is tiered, honestly:
   all subframe types, rice partitions, stereo decorrelation — with
   the STREAMINFO MD5 verified after decode, so every successful
   decode is self-checking; a WAV and a FLAC of the same track
-  fingerprint identically). MPEG-2/2.5
-  audio decode and non-MJPEG video codecs (ffmpeg) are NOT available
-  in this environment — those raise NotImplementedError inside the
-  kernel, and the deterministic fake (``fake=True``) remains for
-  plumbing tests. Compressed video (H.264/VP9/AV1 in MP4/WebM,
+  fingerprint identically); AIFF/AIFC PCM decodes via
+  ``codecs.decode_aiff`` (big-endian + 'sowt'). The Layer III proxy
+  covers MPEG-1 AND LSF MPEG-2/2.5 side info; LSF Layer I/II and
+  non-MJPEG video codecs (ffmpeg) are NOT available in this
+  environment — those raise NotImplementedError inside the kernel,
+  and the deterministic fake (``fake=True``) remains for plumbing
+  tests. Compressed video (H.264/VP9/AV1 in MP4/WebM,
   non-MJPEG AVI) has an optional PyAV seam
   (``codecs.fast_video_decoder``, mirroring ``fast_image_decoder``'s
   refusal-can-become-a-decode contract) feeding ``video_frames``; the
@@ -382,6 +384,8 @@ def extract_audio_features(media: DataFrame, errors: str = "quarantine") -> Data
     def one(c: bytes):
         if codecs.is_flac(c):
             samples, rate = codecs.decode_flac(c)
+        elif codecs.is_aiff(c):
+            samples, rate = codecs.decode_aiff(c)
         else:
             samples, rate = codecs.decode_wav(c)
         n = samples.shape[0]
@@ -534,6 +538,8 @@ def audio_fingerprint(media: DataFrame, errors: str = "quarantine") -> DataFrame
         else:
             if codecs.is_flac(c):
                 samples, _rate = codecs.decode_flac(c)
+            elif codecs.is_aiff(c):
+                samples, _rate = codecs.decode_aiff(c)
             else:
                 samples, _rate = codecs.decode_wav(c)
             mono = samples.astype("float64").mean(axis=1)
@@ -856,6 +862,7 @@ def sniff_mime(content: "F.Column") -> "F.Column":
         .when(sig4 == F.lit(b"OggS"), "audio/ogg")
         .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"WAVE")), "audio/wav")
         .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"AVI ")), "video/x-msvideo")
+        .when((sig4 == F.lit(b"FORM")) & (sub(9, 3) == F.lit(b"AIF")), "audio/aiff")
         .when(sub(1, 3) == F.lit(b"ID3"), "audio/mpeg")
         .when(adts_sync, "audio/aac")
         .when(mp3_sync, "audio/mpeg")
@@ -938,9 +945,16 @@ def extract_audio_metadata(media: DataFrame, errors: str = "quarantine") -> Data
                 "mp3", m["sample_rate"], m["n_channels"], m["duration_ms"],
                 float(m["bitrate_kbps"]), m["vbr"],
             )
+        if codecs.is_aiff(c):
+            a = codecs.aiff_info(c)
+            kbps = a["sample_rate"] * a["n_channels"] * a["bits"] / 1000.0
+            return (
+                "aiff", a["sample_rate"], a["n_channels"], a["duration_ms"],
+                kbps, False,
+            )
         raise NotImplementedError(
-            "audio metadata covers WAV, FLAC, Ogg (Opus/Vorbis), MP3, "
-            "and ADTS AAC"
+            "audio metadata covers WAV, AIFF, FLAC, Ogg (Opus/Vorbis), "
+            "MP3, and ADTS AAC"
         )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
