@@ -2249,9 +2249,12 @@ def encode_flac(
                 w.write(0, 1)
 
         def residual(res: list[int], order: int) -> None:
+            # fall back to a legal split for short tails: partitions
+            # must divide the block and the first partition's count
+            # (bs/2^po - order) must be non-negative (zero is legal)
             po = partition_order
-            while bs % (1 << po) or (bs >> po) <= order:
-                po -= 1  # fall back to a legal split for short tails
+            while po > 0 and (bs % (1 << po) or (bs >> po) < order):
+                po -= 1
             w.write(0, 2)  # RICE (4-bit params)
             w.write(po, 4)
             nparts = 1 << po
@@ -5471,6 +5474,7 @@ def mp4_info(data: bytes) -> dict:
     n_frames = 0
     fps = 0.0
     video_codec = audio_codec = None
+    audio_rate = audio_channels = 0
     n_video = n_audio = 0
     saw_moov = False
     # group leaf boxes by their enclosing trak: replay the walk tracking
@@ -5527,6 +5531,19 @@ def mp4_info(data: bytes) -> dict:
                     trak["codec"] = (
                         data[body + 12 : body + 16].decode("latin-1").strip()
                     )
+                    # audio sample-entry fields (ISO 14496-12 §12.2.3):
+                    # channelcount u16 at entry+16, samplerate 16.16 at
+                    # entry+24 — only meaningful for soun tracks, gated
+                    # at aggregation below
+                    ebody = body + 16
+                    if ebody + 28 <= bend:
+                        (trak["a_channels"],) = struct.unpack(
+                            ">H", data[ebody + 16 : ebody + 18]
+                        )
+                        (a_rate_fx,) = struct.unpack(
+                            ">I", data[ebody + 24 : ebody + 28]
+                        )
+                        trak["a_rate"] = a_rate_fx >> 16
             elif fourcc in (b"stsz", b"stz2"):
                 cnt_off = body + (8 if fourcc == b"stsz" else 8)
                 (cnt,) = struct.unpack(">I", data[cnt_off : cnt_off + 4])
@@ -5549,6 +5566,10 @@ def mp4_info(data: bytes) -> dict:
             n_audio += 1
             if n_audio == 1:
                 audio_codec = t.get("codec")
+                # rate preference: the sample entry's 16.16 field, else
+                # the audio track's mdhd timescale (equal by convention)
+                audio_rate = t.get("a_rate") or t.get("mdhd_ts", 0)
+                audio_channels = t.get("a_channels", 0)
     return {
         "container": "mp4",
         "brand": brand,
@@ -5559,6 +5580,8 @@ def mp4_info(data: bytes) -> dict:
         "fps": fps,
         "video_codec": video_codec,
         "audio_codec": audio_codec,
+        "audio_rate": audio_rate,
+        "audio_channels": audio_channels,
         "n_video_tracks": n_video,
         "n_audio_tracks": n_audio,
     }
@@ -5638,7 +5661,7 @@ def encode_mp4_skeleton(
     width: int = 640,
     height: int = 360,
     fps: float = 25.0,
-    video_codec: bytes = b"avc1",
+    video_codec: bytes | None = b"avc1",
     audio_codec: bytes | None = b"mp4a",
     version1: bool = False,
     largesize_mdat: bool = False,
@@ -5707,9 +5730,13 @@ def encode_mp4_skeleton(
         return _mp4_box(b"trak", tkhd + mdia)
 
     media_ts = max(1, int(round(fps * 1000)))
-    video = trak_box(
-        b"vide", video_codec, 1, media_ts,
-        int(round(duration_s * media_ts)), n_frames, width, height,
+    video = (
+        trak_box(
+            b"vide", video_codec, 1, media_ts,
+            int(round(duration_s * media_ts)), n_frames, width, height,
+        )
+        if video_codec is not None
+        else b""  # audio-only layout (M4A)
     )
     audio = (
         trak_box(b"soun", audio_codec, 2, 44100,

@@ -952,6 +952,19 @@ def extract_audio_metadata(media: DataFrame, errors: str = "quarantine") -> Data
                 "aiff", a["sample_rate"], a["n_channels"], a["duration_ms"],
                 kbps, False,
             )
+        if codecs.is_mp4(c):
+            m = codecs.mp4_info(c)
+            if m["n_audio_tracks"] and not m["n_video_tracks"]:
+                # audio-only ISO BMFF = M4A; files WITH video stay on
+                # the video tier (extract_video_features)
+                dur_s = m["duration_ms"] / 1000.0
+                kbps = (len(c) * 8 / dur_s / 1000.0) if dur_s else 0.0
+                return (
+                    "m4a/" + (m["audio_codec"] or "?"),
+                    m["audio_rate"] or None,
+                    m["audio_channels"] or None,
+                    m["duration_ms"], kbps, True,
+                )
         raise NotImplementedError(
             "audio metadata covers WAV, AIFF, FLAC, Ogg (Opus/Vorbis), "
             "MP3, and ADTS AAC"

@@ -107,7 +107,7 @@ def test_extract_audio_metadata_spark(spark):
     }
     assert sniffed[1] == "audio/mpeg" and sniffed[2] == "audio/mpeg"
     assert sniffed[0] == "audio/wav"
-    with pytest.raises(Exception, match="WAV, FLAC, Ogg"):
+    with pytest.raises(Exception, match="WAV, AIFF, FLAC, Ogg"):
         extract_audio_metadata(media, errors="raise").collect()
 
 
@@ -328,6 +328,36 @@ def test_spark_audio_metadata_covers_aac(spark):
     assert r.duration_ms == pytest.approx(20 * 1024 / 48000 * 1000)
     mime = media.select(sniff_mime(F.col("content")).alias("m")).collect()[0].m
     assert mime == "audio/aac"
+
+
+def test_spark_audio_metadata_covers_m4a(spark):
+    """Audio-only ISO BMFF (M4A) routes through the audio-metadata tier
+    with rate/channels from the stsd sample entry; an MP4 WITH video
+    keeps refusing here (it belongs to the video tier)."""
+    from pg2kinesis_spark.functions.codecs import encode_mp4_skeleton
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_metadata,
+        sniff_mime,
+    )
+    import pyspark.sql.functions as F
+
+    m4a = encode_mp4_skeleton(video_codec=None, brand=b"M4A ", duration_s=30.0)
+    vid = encode_mp4_skeleton()
+    media = spark.createDataFrame(
+        [(0, bytearray(m4a), ("audio/mp4", len(m4a), "mem://x.m4a")),
+         (1, bytearray(vid), ("video/mp4", len(vid), "mem://x.mp4"))],
+        MEDIA_SCHEMA,
+    )
+    got = {r.media_id: r for r in extract_audio_metadata(media).collect()}
+    assert got[0].container == "m4a/mp4a"
+    assert got[0].sample_rate == 44100 and got[0].n_channels == 2
+    assert got[0].duration_ms == pytest.approx(30000.0)
+    assert got[0].decode_error is None
+    assert got[1].container is None and "audio metadata" in got[1].decode_error
+    mimes = {r.media_id: r.m for r in media.select(
+        "media_id", sniff_mime(F.col("content")).alias("m")).collect()}
+    assert mimes[0] == "audio/mp4" and mimes[1] == "video/mp4"
 
 
 def test_fuzz_adts_walk():

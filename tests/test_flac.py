@@ -54,6 +54,12 @@ def test_roundtrip_rice_partitions(po):
     pcm = _track(n=4096 * 2 + 501)  # short tail frame forces the po fallback
     dec, _ = decode_flac(encode_flac(pcm, 44100, partition_order=po))
     assert (dec == pcm).all()
+    # tail block of EXACTLY the predictor order: the first partition
+    # legally holds zero residual samples (po fallback edge)
+    edge = _track(n=4096 + 2)
+    dec, _ = decode_flac(encode_flac(edge, 44100, subframe="fixed2",
+                                     partition_order=po))
+    assert (dec == edge).all()
 
 
 def test_roundtrip_escape_partitions():
