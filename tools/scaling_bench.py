@@ -203,6 +203,75 @@ def build_media_corpus(spark, rows: int) -> str:
     return path
 
 
+def build_audio_corpus(spark, rows: int) -> str:
+    """Replica-blown AUDIO corpus: 0.5 s mono 8 kHz tracks synthesized
+    deterministically from the media_id. Ids pair up — (2k, 2k+1)
+    share a base PCM track, the even one ships as WAV, the odd one as
+    FLAC (lossless, so the pair is fingerprint-IDENTICAL) — true pair
+    count = rows/2 exactly, growing linearly."""
+    path = os.path.join(tempfile.gettempdir(), f"scaling_audio_{rows}.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    import numpy as np
+    import pandas as pd
+
+    from pg2kinesis_spark.functions.multimodal import MEDIA_SCHEMA
+
+    def kernel(batches):
+        from pg2kinesis_spark.functions import codecs
+
+        n = 4000
+        t = np.arange(n)
+        for pdf in batches:
+            out = []
+            for mid in pdf["id"]:
+                seed = int(mid) // 2
+                rng = np.random.RandomState(seed % (2**31))
+                freq = 80 + (seed % 400)
+                env = np.repeat(rng.uniform(0.2, 1.0, 80), n // 80)
+                pcm = (
+                    6000 * env * np.sin(2 * np.pi * freq * t / 8000)
+                    + rng.randint(-500, 500, n)
+                ).astype(np.int64)[:, None]
+                if mid % 2 == 0:
+                    data, mime = codecs.encode_wav(pcm.astype(np.int16), 8000), "audio/wav"
+                else:
+                    data, mime = codecs.encode_flac(pcm, 8000), "audio/flac"
+                out.append((int(mid), data, {"mime": mime, "bytes_hint": len(data),
+                                             "source_uri": f"mem://{mid}"}))
+            yield pd.DataFrame(out, columns=["media_id", "content", "meta"])
+
+    (
+        spark.range(rows)
+        .repartition(max(32, rows // 25_000))
+        .mapInPandas(kernel, MEDIA_SCHEMA)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def op_audio_features(spark, media):
+    # full PCM decode: WAV frombuffer + FLAC rice/predictor walk
+    from pg2kinesis_spark.functions.multimodal import extract_audio_features
+
+    return extract_audio_features(media)
+
+
+def op_audio_afp(spark, media):
+    from pg2kinesis_spark.functions.multimodal import audio_fingerprint
+
+    return audio_fingerprint(media)
+
+
+def op_audio_neardup(spark, media):
+    # decode -> energy-envelope fingerprint -> segment-equi-join pair
+    # search; planted WAV/FLAC twins are hamming-0, so output = rows/2
+    from pg2kinesis_spark.functions.multimodal import media_near_dup_pairs
+
+    return media_near_dup_pairs(media, signature="audio", max_hamming=0)
+
+
 def op_media_features(spark, media):
     # full pixel decode (PNG + progressive-capable JPEG path) + luma
     from pg2kinesis_spark.functions.multimodal import extract_image_features
@@ -279,6 +348,9 @@ OPS = {
     "media_features": op_media_features,
     "media_dhash": op_media_dhash,
     "media_neardup": op_media_neardup,
+    "audio_features": op_audio_features,
+    "audio_afp": op_audio_afp,
+    "audio_neardup": op_audio_neardup,
 }
 
 
@@ -291,11 +363,18 @@ def main() -> None:
     spark = get_spark("scaling_bench")
     spark.range(1000000).selectExpr("sum(id)").collect()
     for rows in rows_list:
-        text_ops = [op for op in ops if not op.startswith("media_")]
+        text_ops = [
+            op for op in ops
+            if not op.startswith("media_") and not op.startswith("audio_")
+        ]
         media_ops = [op for op in ops if op.startswith("media_")]
+        audio_ops = [op for op in ops if op.startswith("audio_")]
         docs = spark.read.parquet(build_corpus(spark, rows)) if text_ops else None
         media = (
             spark.read.parquet(build_media_corpus(spark, rows)) if media_ops else None
+        )
+        audio = (
+            spark.read.parquet(build_audio_corpus(spark, rows)) if audio_ops else None
         )
         for op in ops:
             if op == "ingest":
@@ -313,7 +392,12 @@ def main() -> None:
                     flush=True,
                 )
                 continue
-            src = media if op.startswith("media_") else docs
+            if op.startswith("media_"):
+                src = media
+            elif op.startswith("audio_"):
+                src = audio
+            else:
+                src = docs
             t0 = time.perf_counter()
             n = OPS[op](spark, src).count()
             wall = round(time.perf_counter() - t0, 2)
