@@ -2902,8 +2902,10 @@ def audio_tags(data: bytes) -> dict[str, str]:
         return aiff_tags(data)
     if is_mp4(data):
         return mp4_tags(data)
+    if is_webm(data):
+        return mkv_tags(data)
     raise ValueError(
-        "no recognized tag container (ID3v2/FLAC/Ogg/WAV/AIFF/MP4)"
+        "no recognized tag container (ID3v2/FLAC/Ogg/WAV/AIFF/MP4/Matroska)"
     )
 
 
@@ -3013,6 +3015,18 @@ _MKV_BLOCK = 0xA1
 _MKV_CONTAINERS = frozenset(
     (_MKV_SEGMENT, _MKV_INFO, _MKV_TRACKS, _MKV_TRACKENTRY, _MKV_VIDEO, _MKV_AUDIO)
 )
+_MKV_TAGS = 0x1254C367
+_MKV_TAG = 0x7373
+_MKV_SIMPLETAG = 0x67C8
+_MKV_TAGNAME = 0x45A3
+_MKV_TAGSTRING = 0x4487
+_MKV_TAG_KEYS = {
+    # matroska.org official tag names -> canonical keys
+    "TITLE": "title", "ARTIST": "artist", "ALBUM": "album",
+    "DATE_RELEASED": "date", "DATE_RECORDED": "date", "GENRE": "genre",
+    "PART_NUMBER": "track", "COMMENT": "comment", "COPYRIGHT": "copyright",
+    "ENCODER": "encoder", "COMPOSER": "composer",
+}
 _MKV_MAX_ELEMS = 100_000
 _MKV_MAX_DEPTH = 16
 # Separate bound for the Cluster/SimpleBlock frame count: blocks scale
@@ -3251,6 +3265,48 @@ def webm_info(data: bytes) -> dict:
     }
 
 
+def mkv_tags(data: bytes) -> dict[str, str]:
+    """Matroska/WebM Tags element (Segment > Tags > Tag > SimpleTag >
+    TagName/TagString, both UTF-8): the official matroska.org tag
+    names mapped to the canonical keys, plus mkv:<name> passthrough
+    for the rest. {} when the file carries no Tags; the walk shares
+    the EBML element budget and bounds."""
+    data = bytes(data)
+    if not is_webm(data):
+        raise ValueError("not an EBML/Matroska stream")
+    budget = [_MKV_MAX_ELEMS]
+    out: dict[str, str] = {}
+    total_budget = _TAG_MAX_TOTAL
+    for eid, body, bend, _d in _mkv_walk(data, 0, len(data), 0, budget):
+        if eid != _MKV_TAGS:
+            continue
+        for tid, tb, te, _d2 in _mkv_walk(data, body, bend, 1, budget):
+            if tid != _MKV_TAG:
+                continue
+            for sid, sb, se, _d3 in _mkv_walk(data, tb, te, 2, budget):
+                if sid != _MKV_SIMPLETAG:
+                    continue
+                name = val = None
+                for fid, fb, fe, _d4 in _mkv_walk(data, sb, se, 3, budget):
+                    if fid == _MKV_TAGNAME:
+                        name = data[fb:fe].decode("utf-8", errors="replace")
+                    elif fid == _MKV_TAGSTRING:
+                        if fe - fb > _TAG_MAX_VALUE:
+                            raise ValueError(
+                                "Matroska TagString exceeds the tag bound"
+                            )
+                        val = data[fb:fe].decode("utf-8", errors="replace")
+                if name and val:
+                    total_budget -= len(val)
+                    if total_budget < 0:
+                        raise ValueError(
+                            "Matroska Tags exceed the total text bound"
+                        )
+                    key = _MKV_TAG_KEYS.get(name.upper(), f"mkv:{name.lower()}")
+                    out.setdefault(key, val)
+    return out
+
+
 def _ebml_encode_id(eid: int) -> bytes:
     return eid.to_bytes((eid.bit_length() + 7) // 8, "big")
 
@@ -3281,6 +3337,7 @@ def encode_webm_skeleton(
     audio_blocks: bool = False,
     block_groups: bool = False,
     laced_pairs: bool = False,
+    tags: dict[str, str] | None = None,
 ) -> bytes:
     """Spec-packed Matroska fixture (EBML header + Segment(Info,
     Tracks[, Clusters])) — the independent side of webm_info's
@@ -3369,7 +3426,21 @@ def encode_webm_skeleton(
                     )
             clusters += _ebml_elem(_MKV_CLUSTER, payload)
             i += blocks_per_cluster
-    seg_payload = info + tracks + clusters
+    tags_elem = b""
+    if tags:
+        rev = {}
+        for n, k in _MKV_TAG_KEYS.items():
+            rev.setdefault(k, n)
+        stags = b""
+        for k, v in tags.items():
+            name = rev.get(k, k.removeprefix("mkv:").upper())
+            stags += _ebml_elem(
+                _MKV_SIMPLETAG,
+                _ebml_elem(_MKV_TAGNAME, name.encode("utf-8"))
+                + _ebml_elem(_MKV_TAGSTRING, v.encode("utf-8")),
+            )
+        tags_elem = _ebml_elem(_MKV_TAGS, _ebml_elem(_MKV_TAG, stags))
+    seg_payload = info + tracks + clusters + tags_elem
     if unknown_segment_size:
         seg = (
             _ebml_encode_id(_MKV_SEGMENT)

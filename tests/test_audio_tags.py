@@ -191,6 +191,30 @@ def test_mp4_ilst_roundtrip():
     assert C.mp4_tags(ftyp + moov) == {"title": "Hand Nam"}
 
 
+def test_mkv_tags_roundtrip():
+    """Matroska/WebM Tags element: official TagNames map to canonical
+    keys, unknown names pass through as mkv:<name>; the Tags element
+    must not perturb the frame-count walk; hand-packed SimpleTag
+    decodes without the encoder."""
+    t = {"title": "Mkv T", "artist": "Mkv Ä", "date": "2020",
+         "genre": "Drone", "track": "5", "mkv:custom_field": "xval"}
+    w = C.encode_webm_skeleton(tags=t, n_frames=10)
+    assert C.mkv_tags(w) == t
+    assert audio_tags(w) == t
+    assert C.webm_info(w)["n_frames"] == 10
+    assert C.mkv_tags(C.encode_webm_skeleton()) == {}
+    # hand-packed: EBML header + Segment(Tags(Tag(SimpleTag)))
+    def elem(eid, payload):
+        eb = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+        return eb + bytes([0x80 | len(payload)]) + payload
+    st = elem(0x67C8, elem(0x45A3, b"TITLE") + elem(0x4487, b"Hand Mkv"))
+    seg = elem(0x1254C367, elem(0x7373, st))
+    blob = b"\x1a\x45\xdf\xa3\x80" + b"\x18\x53\x80\x67" + bytes(
+        [0x80 | len(seg)]
+    ) + seg
+    assert C.mkv_tags(blob) == {"title": "Hand Mkv"}
+
+
 def test_audio_tags_dispatch():
     mp3 = encode_id3v2(TAGS, version=4) + encode_mp3_frames(3)
     assert audio_tags(mp3)["artist"] == TAGS["artist"]
