@@ -296,3 +296,53 @@ def test_extract_audio_tags_spark(spark):
     assert got[2].title == "Ogg T" and got[2].artist == "Ogg A"
     assert got[3].title is None and got[3].tags == {}  # untagged, clean
     assert got[4].title is None and got[4].decode_error is not None
+
+
+def test_property_id3v2_roundtrip_hypothesis():
+    """Property-based: arbitrary unicode tag values survive the ID3v2
+    encode->parse round trip across versions and encodings (latin-1
+    restricted to its own range; utf-16 variants get the full BMP —
+    the NUL-handling and unsync corners the fixed matrix misses)."""
+    from hypothesis import assume, given, settings, strategies as st
+
+    latin = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+        min_size=1, max_size=40,
+    )
+    uni = st.text(
+        alphabet=st.characters(
+            min_codepoint=32, max_codepoint=0xFFFD,
+            blacklist_categories=("Cs",),
+        ),
+        min_size=1, max_size=40,
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        data=st.data(),
+        version=st.sampled_from([2, 3, 4]),
+        encoding=st.sampled_from([0, 1, 2, 3]),
+        unsync=st.booleans(),
+    )
+    def run(data, version, encoding, unsync):
+        txt = latin if encoding == 0 else uni
+        tags = {
+            k: data.draw(txt)
+            for k in data.draw(
+                st.sets(
+                    st.sampled_from(["title", "artist", "album", "genre"]),
+                    min_size=1, max_size=4,
+                )
+            )
+        }
+        # NULs terminate strings in the wire format; values here are
+        # NUL-free by the alphabet (min_codepoint 32)
+        blob = encode_id3v2(
+            tags, version=version, encoding=encoding,
+            unsync=unsync and version <= 3,
+        )
+        got = id3v2_tags(blob + encode_mp3_frames(2))
+        for k, v in tags.items():
+            assert got[k] == v, (version, encoding, k)
+
+    run()

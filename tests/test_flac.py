@@ -268,3 +268,57 @@ def test_flac_wav_fingerprint_identity_and_pairing(spark):
     }
     assert (0, 1) in got
     assert (0, 2) not in got and (1, 2) not in got
+
+
+def test_property_roundtrip_hypothesis():
+    """Property-based: ANY int PCM within range survives encode->decode
+    bit-exactly across randomized subframe/stereo/partition/escape
+    choices (hypothesis drives the corners the matrix misses: tiny
+    tracks, constant runs, extreme amplitudes, odd block tails)."""
+    from hypothesis import given, settings, strategies as st
+
+    bits_amp = {8: 127, 16: 32767}
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        data=st.data(),
+        n=st.integers(min_value=1, max_value=700),
+        nch=st.integers(min_value=1, max_value=3),
+        bits=st.sampled_from([8, 16]),
+        subframe=st.sampled_from(["auto", "verbatim", "fixed0", "fixed1",
+                                  "fixed2", "lpc"]),
+        po=st.integers(min_value=0, max_value=2),
+        escape=st.booleans(),
+        block=st.sampled_from([192, 256, 577]),
+    )
+    def run(data, n, nch, bits, subframe, po, escape, block):
+        amp = bits_amp[bits]
+        kind = data.draw(st.sampled_from(["random", "constant", "ramp"]))
+        if kind == "constant":
+            v = data.draw(st.integers(min_value=-amp, max_value=amp))
+            pcm = np.full((n, nch), v, dtype=np.int64)
+        elif kind == "ramp":
+            pcm = (np.arange(n * nch).reshape(n, nch) % (2 * amp)) - amp
+        else:
+            seed = data.draw(st.integers(min_value=0, max_value=2**31 - 1))
+            pcm = np.random.RandomState(seed).randint(
+                -amp, amp + 1, (n, nch)
+            ).astype(np.int64)
+        stereo = "independent"
+        if nch == 2:
+            stereo = data.draw(
+                st.sampled_from(["independent", "mid", "left", "right"])
+            )
+        if subframe == "constant" and kind != "constant":
+            subframe_eff = "auto"
+        else:
+            subframe_eff = subframe
+        enc = encode_flac(pcm, 44100, bits=bits, subframe=subframe_eff,
+                          stereo=stereo, partition_order=po,
+                          block_size=block, escape=escape)
+        dec, rate = decode_flac(enc)
+        assert rate == 44100
+        assert dec.shape == pcm.shape
+        assert (dec == pcm).all()
+
+    run()
