@@ -7,9 +7,11 @@ an Arrow-batched ``mapInPandas`` splitter that explodes each archive
 into per-member rows inside its task, with
 
 * **format detection by magic bytes** — ZIP (``PK\\x03\\x04``), tar
-  (``ustar`` at offset 257), gzip (``\\x1f\\x8b``: decompressed, then
-  re-sniffed — ``.tar.gz`` becomes tar, a bare ``.gz`` becomes one
-  member named after the archive);
+  (``ustar`` at offset 257), and all three stdlib stream compressors:
+  gzip (``\\x1f\\x8b``), xz (``\\xfd7zXZ``), bz2 (``BZh``) —
+  decompressed bounded, then re-sniffed, so ``.tar.{gz,xz,bz2}``
+  becomes tar and a bare ``.gz``/``.xz``/``.bz2`` becomes one member
+  named after the archive;
 * **bounded decompression everywhere** — per-member and whole-archive
   inflate caps (an archive entry claiming 10 TB must error before the
   allocation, not after; the zip format's independent per-member
@@ -81,6 +83,34 @@ def _split_archive(
             stem = stem[:-3] if stem.endswith(".gz") else stem
             yield stem, inner
             return
+    if data[:6] == b"\xfd7zXZ\x00" or data[:3] == b"BZh":
+        # the other two stdlib stream compressors, same shape as gzip:
+        # decompress bounded, re-sniff for tar, else one bare member
+        import bz2
+        import lzma
+
+        xz = data[0] == 0xFD
+        dec = lzma.LZMADecompressor() if xz else bz2.BZ2Decompressor()
+        inner = dec.decompress(bytes(data), max_total_bytes + 1)
+        if len(inner) > max_total_bytes or not dec.eof:
+            raise ValueError(
+                f"{'xz' if xz else 'bz2'} stream truncated or inflates "
+                f"past {max_total_bytes} bytes (bomb?)"
+            )
+        if len(inner) >= 262 and inner[257:262] == b"ustar":
+            data = inner  # .tar.xz / .tar.bz2
+        else:
+            if len(inner) > max_member_bytes:
+                raise ValueError(
+                    f"{'xz' if xz else 'bz2'} member inflates past "
+                    f"{max_member_bytes} bytes (bomb?)"
+                )
+            stem = name.rsplit("/", 1)[-1]
+            for suf in (".xz", ".bz2"):
+                if stem.endswith(suf):
+                    stem = stem[: -len(suf)]
+            yield stem, inner
+            return
     if data[:4] == b"PK\x03\x04":
         total = 0
         zf = zipfile.ZipFile(io.BytesIO(data))
@@ -125,7 +155,7 @@ def _split_archive(
             f = tf.extractfile(info)
             yield info.name, (f.read() if f else b"")
         return
-    raise ValueError("not a recognized archive (zip / tar / gzip)")
+    raise ValueError("not a recognized archive (zip / tar / gzip / xz / bz2)")
 
 
 def archive_members(

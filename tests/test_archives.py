@@ -284,3 +284,43 @@ def test_epub_front_door(spark):
     assert books[0].text == (
         "One\n\nFirst chapter body.\n\nSecond chapter text.\n\nThird&final."
     )
+
+
+def test_xz_and_bz2_front_door(spark):
+    """The other two stdlib stream compressors, same contract as gzip:
+    .tar.xz / .tar.bz2 re-sniff to tar, bare .xz / .bz2 become one
+    member, and a high-ratio bomb refuses BEFORE allocation."""
+    import bz2 as _bz2
+    import lzma as _lzma
+
+    from pg2kinesis_spark.functions.archives import archive_to_corpus
+
+    tar_raw = _tar_bytes({"inner.txt": b"xz tar text", "skip.bin": b"\x00"})
+    rows = [
+        ("mem://a.tar.xz", bytearray(_lzma.compress(tar_raw))),
+        ("mem://b.tar.bz2", bytearray(_bz2.compress(tar_raw))),
+        ("mem://c.txt.xz", bytearray(_lzma.compress(b"bare xz member"))),
+        ("mem://d.txt.bz2", bytearray(_bz2.compress(b"bare bz2 member"))),
+    ]
+    archives = spark.createDataFrame(rows, "path string, content binary")
+    members = archive_members(archives).collect()
+    assert all(m.decode_error is None for m in members)
+    got = {(m.path, m.member): bytes(m.payload) for m in members}
+    assert got[("mem://a.tar.xz", "inner.txt")] == b"xz tar text"
+    assert got[("mem://b.tar.bz2", "inner.txt")] == b"xz tar text"
+    assert got[("mem://c.txt.xz", "c.txt")] == b"bare xz member"
+    assert got[("mem://d.txt.bz2", "d.txt")] == b"bare bz2 member"
+    docs = archive_to_corpus(archives).collect()
+    texts = {d.text for d in docs}
+    assert {"xz tar text", "bare xz member", "bare bz2 member"} <= texts
+
+    # bombs: 64 MiB of zeros compresses to a few KB in both formats —
+    # the bounded decompressor must refuse at the cap, pre-allocation
+    bomb_rows = [
+        ("mem://bomb.xz", bytearray(_lzma.compress(bytes(1 << 26)))),
+        ("mem://bomb.bz2", bytearray(_bz2.compress(bytes(1 << 26)))),
+    ]
+    bombs = spark.createDataFrame(bomb_rows, "path string, content binary")
+    out = archive_members(bombs, max_total_bytes=1 << 20).collect()
+    assert all(r.decode_error is not None and "bomb" in r.decode_error
+               for r in out)
