@@ -324,3 +324,41 @@ def test_xz_and_bz2_front_door(spark):
     out = archive_members(bombs, max_total_bytes=1 << 20).collect()
     assert all(r.decode_error is not None and "bomb" in r.decode_error
                for r in out)
+
+
+def test_zst_seam(spark):
+    """zstd front door (optional-import seam, the fast_image_decoder
+    contract): with a binding importable, .tar.zst / bare .zst
+    decompress bounded; without one, the archive quarantines with the
+    honest refusal — never a silent skip. The refusal row always runs;
+    the positive path is skip-gated on the binding."""
+    from pg2kinesis_spark.functions.archives import (
+        _zstd_decompressor,
+        archive_members,
+    )
+
+    # a real zstd frame header (magic + minimal frame: FCS 0, empty) —
+    # enough to trigger the zst branch without a binding
+    fake = bytes.fromhex("28b52ffd2000010000")
+    archives = spark.createDataFrame(
+        [("mem://x.txt.zst", bytearray(fake))], "path string, content binary"
+    )
+    rows = archive_members(archives).collect()
+    if _zstd_decompressor() is None:
+        assert rows[0].decode_error is not None
+        assert "no zstd codec" in rows[0].decode_error
+        pytest.skip("no zstd binding in this environment — refusal pinned")
+    import zstandard  # the positive path, when available
+
+    tar_raw = _tar_bytes({"z.txt": b"zst tar text"})
+    good = spark.createDataFrame(
+        [
+            ("mem://a.tar.zst", bytearray(zstandard.compress(tar_raw))),
+            ("mem://b.txt.zst", bytearray(zstandard.compress(b"bare zst"))),
+        ],
+        "path string, content binary",
+    )
+    got = {(m.path, m.member): bytes(m.payload)
+           for m in archive_members(good).collect()}
+    assert got[("mem://a.tar.zst", "z.txt")] == b"zst tar text"
+    assert got[("mem://b.txt.zst", "b.txt")] == b"bare zst"
