@@ -2389,6 +2389,29 @@ def encode_flac(
 # decode stays honestly unsupported — same tier as mp3/flac/mp4.
 
 _OGG_MAX_PAGES = 1_000_000  # hostile-input bound
+# RFC 3533 §6: CRC-32 poly 0x04C11DB7, init 0, no reflection, no final
+# xor — NOT zlib's crc32. Table generated, nothing transcribed.
+_OGG_CRC = _crc_table(0x04C11DB7, 32)
+
+
+def _ogg_page_crc(page: bytes) -> int:
+    r = 0
+    for b in page:
+        r = (_OGG_CRC[((r >> 24) ^ b) & 0xFF] ^ (r << 8)) & 0xFFFFFFFF
+    return r
+
+
+def _ogg_check_crc(data: bytes, pos: int, body: int, size: int) -> None:
+    """Verify one page's CRC when the field is nonzero (a zero field
+    reads as unchecked — kept lenient for writers that skip it; a
+    real zero CRC is a 2^-32 event)."""
+    (stored,) = struct.unpack("<I", data[pos + 22 : pos + 26])
+    if stored == 0:
+        return
+    page = bytearray(data[pos : body + size])
+    page[22:26] = bytes(4)  # CRC computed with its own field zeroed
+    if _ogg_page_crc(bytes(page)) != stored:
+        raise ValueError("Ogg page CRC-32 mismatch (corrupt page)")
 
 
 def is_ogg(data: bytes) -> bool:
@@ -2424,6 +2447,7 @@ def ogg_info(data: bytes) -> dict:
         size = int(sum(lacing))
         if body + size > len(data):
             raise ValueError("truncated Ogg page body")
+        _ogg_check_crc(data, pos, body, size)
         if first_serial is None:
             first_serial = serial
             first_payload = data[body : body + size]
@@ -2491,10 +2515,12 @@ def encode_ogg_pages(
             b"OggS" + bytes([0, header_type])
             + struct.pack("<q", granule)
             + struct.pack("<II", serial, seq)
-            + bytes(4)  # crc unchecked by the walk
+            + bytes(4)  # CRC placeholder, filled below
             + bytes([len(segs)]) + bytes(segs)
         )
-        return hdr + payload
+        raw = bytearray(hdr + payload)
+        raw[22:26] = struct.pack("<I", _ogg_page_crc(bytes(raw)))
+        return bytes(raw)
 
     if codec == "opus":
         idp = (
@@ -2825,6 +2851,7 @@ def ogg_tags(data: bytes) -> dict[str, str]:
         if len(segs) < nsegs:
             raise ValueError("truncated Ogg page header")
         body = pos + 27 + nsegs
+        _ogg_check_crc(data, pos, body, int(sum(segs)))
         if serial0 is None:
             serial0 = serial
         if serial == serial0:

@@ -205,10 +205,12 @@ def test_ogg_rejects_bad_structure():
     good = encode_ogg_pages()
     with pytest.raises(ValueError, match="truncated"):
         ogg_info(good[:40])
-    # first packet neither OpusHead nor vorbis
-    weird = good[:26] + bytes([1, 8]) + b"XXXXXXXX"
+    # first packet neither OpusHead nor vorbis (CRC zeroed: the
+    # structure error must surface, not the checksum)
+    weird = bytearray(good[:26] + bytes([1, 8]) + b"XXXXXXXX")
+    weird[22:26] = bytes(4)
     with pytest.raises(ValueError, match="unrecognized"):
-        ogg_info(weird)
+        ogg_info(bytes(weird))
     # trailing garbage after valid pages ends the walk, not the parse
     ok = ogg_info(good + b"garbage tail bytes")
     assert ok["codec"] == "opus"
@@ -370,3 +372,48 @@ def test_fuzz_adts_walk():
         encode_adts_frames(6, rate=22050, mpeg2=True, crc=True, frame_bytes=[64, 96, 64, 96, 64, 96]),
     ]
     _hammer(aac_info, corpus, seed=52)
+
+
+def test_ogg_page_crc_verified():
+    """RFC 3533 CRC-32 (poly 0x04C11DB7, unreflected, init/xor 0): the
+    fixture encoder now writes real page CRCs, a flipped payload byte
+    refuses, and legacy zero-CRC pages stay lenient (the committed
+    truth-table fixtures predate CRC emission). Table pinned against
+    an independent bit-at-a-time computation."""
+    from pg2kinesis_spark.functions.codecs import (
+        _ogg_page_crc,
+        encode_ogg_pages,
+        ogg_info,
+        ogg_tags,
+    )
+
+    og = encode_ogg_pages("vorbis", tags={"title": "t"})
+    assert ogg_info(og)["codec"] == "vorbis"
+    assert ogg_tags(og)["title"] == "t"
+    bad = bytearray(og)
+    bad[30] ^= 0x01  # inside the FIRST page's payload (both walks visit it)
+    with pytest.raises(ValueError, match="CRC-32"):
+        ogg_info(bytes(bad))
+    with pytest.raises(ValueError, match="CRC-32"):
+        ogg_tags(bytes(bad))
+    # zero-CRC pages walk unchecked (leniency for CRC-skipping writers)
+    legacy = bytearray(encode_ogg_pages("opus"))
+    p = 0
+    while p < len(legacy):
+        ns = legacy[p + 26]
+        size = sum(legacy[p + 27 : p + 27 + ns])
+        legacy[p + 22 : p + 26] = bytes(4)
+        p += 27 + ns + size
+    assert ogg_info(bytes(legacy))["codec"] == "opus"
+
+    def bitcrc(d):
+        r = 0
+        for b in d:
+            r ^= b << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF if r & 0x80000000 \
+                    else (r << 1) & 0xFFFFFFFF
+        return r
+
+    probe = bytes(bytearray(og[:64]))
+    assert _ogg_page_crc(probe) == bitcrc(probe)
