@@ -77,6 +77,39 @@ def _zstd_decompressor():
         return None
 
 
+def _multistream_decompress(new_dec, data: bytes, cap: int, what: str) -> bytes:
+    """Decompress ALL concatenated streams bounded at ``cap`` total
+    output bytes. Parallel compressors (pbzip2, pixz) and chunked
+    corpus shards emit multi-stream files routinely; a one-shot
+    decompressor would silently return only the first stream."""
+    out = bytearray()
+    buf = bytes(data)
+    while buf:
+        dec = new_dec()
+        out += dec.decompress(buf, cap + 1 - len(out))
+        if len(out) > cap:
+            raise ValueError(f"{what} inflates past {cap} bytes (bomb?)")
+        if not dec.eof:
+            raise ValueError(
+                f"{what} stream truncated (ran out "
+                f"{'of input' if dec.needs_input else 'at the output cap'})"
+            )
+        buf = dec.unused_data.lstrip(b"\x00")  # xz stream padding is NULs
+    return bytes(out)
+
+
+def _xz_decompress(data: bytes, cap: int) -> bytes:
+    import lzma
+
+    return _multistream_decompress(lzma.LZMADecompressor, data, cap, "xz")
+
+
+def _bz2_decompress(data: bytes, cap: int) -> bytes:
+    import bz2
+
+    return _multistream_decompress(bz2.BZ2Decompressor, data, cap, "bz2")
+
+
 def _zstd_decompress(data: bytes, cap: int) -> bytes:
     found = _zstd_decompressor()
     if found is None:
@@ -87,18 +120,27 @@ def _zstd_decompress(data: bytes, cap: int) -> bytes:
         )
     kind, mod = found
     if kind == "stdlib":
-        dec = mod.ZstdDecompressor()
-        out = dec.decompress(data, cap + 1)
-        if len(out) > cap or not dec.eof:
-            raise ValueError(
-                f"zst stream truncated or inflates past {cap} bytes (bomb?)"
-            )
-        return out
-    reader = mod.ZstdDecompressor().stream_reader(data)
+        return _multistream_decompress(mod.ZstdDecompressor, data, cap, "zst")
+    reader = mod.ZstdDecompressor().stream_reader(
+        io.BytesIO(data), read_across_frames=True  # multi-frame shards
+    )
     out = reader.read(cap + 1)
     if len(out) > cap:
-        raise ValueError(f"zst stream inflates past {cap} bytes (bomb?)")
+        raise ValueError(f"zst inflates past {cap} bytes (bomb?)")
     return out
+
+
+# The stream-compressor front doors share one shape: sniff by magic,
+# decompress bounded (ALL streams), re-sniff for tar, else one bare
+# member named after the archive. gzip keeps warc.py's multi-member
+# gunzip_members (it also validates the gzip trailer).
+_STREAM_COMPRESSORS = (
+    (b"\x1f\x8b", "gz", (".gz", ".tgz"),
+     lambda d, cap: gunzip_members(d, max_bytes=cap)),
+    (b"\xfd7zXZ\x00", "xz", (".xz", ".txz"), _xz_decompress),
+    (b"BZh", "bz2", (".bz2", ".tbz2"), _bz2_decompress),
+    (b"\x28\xb5\x2f\xfd", "zst", (".zst",), _zstd_decompress),
+)
 
 
 def _split_archive(
@@ -109,68 +151,29 @@ def _split_archive(
     max_members: int,
 ):
     """Yield (member_name, payload) from one archive's bytes."""
-    if data[:2] == b"\x1f\x8b":
-        inner = gunzip_members(data, max_bytes=max_total_bytes)
+    for magic, label, suffixes, decompress in _STREAM_COMPRESSORS:
+        if not bytes(data[: len(magic)]) == magic:
+            continue
+        # zstd is an optional-import seam (the fast_image_decoder
+        # contract): decompress raises NotImplementedError into
+        # quarantine when no binding exists — never a silent skip
+        inner = decompress(bytes(data), max_total_bytes)
         if len(inner) >= 262 and inner[257:262] == b"ustar":
-            data = inner  # .tar.gz
-        else:
-            # bare .gz: one member, named after the archive — the
-            # per-member cap applies the same as inside a zip/tar
-            if len(inner) > max_member_bytes:
-                raise ValueError(
-                    f"gz member inflates past {max_member_bytes} bytes (bomb?)"
-                )
-            stem = name.rsplit("/", 1)[-1]
-            stem = stem[:-3] if stem.endswith(".gz") else stem
-            yield stem, inner
-            return
-    if data[:6] == b"\xfd7zXZ\x00" or data[:3] == b"BZh":
-        # the other two stdlib stream compressors, same shape as gzip:
-        # decompress bounded, re-sniff for tar, else one bare member
-        import bz2
-        import lzma
-
-        xz = data[0] == 0xFD
-        dec = lzma.LZMADecompressor() if xz else bz2.BZ2Decompressor()
-        inner = dec.decompress(bytes(data), max_total_bytes + 1)
-        if len(inner) > max_total_bytes or not dec.eof:
+            data = inner  # .tar.{gz,xz,bz2,zst}
+            break
+        # bare compressed file: one member, named after the archive —
+        # the per-member cap applies the same as inside a zip/tar
+        if len(inner) > max_member_bytes:
             raise ValueError(
-                f"{'xz' if xz else 'bz2'} stream truncated or inflates "
-                f"past {max_total_bytes} bytes (bomb?)"
+                f"{label} member inflates past {max_member_bytes} bytes (bomb?)"
             )
-        if len(inner) >= 262 and inner[257:262] == b"ustar":
-            data = inner  # .tar.xz / .tar.bz2
-        else:
-            if len(inner) > max_member_bytes:
-                raise ValueError(
-                    f"{'xz' if xz else 'bz2'} member inflates past "
-                    f"{max_member_bytes} bytes (bomb?)"
-                )
-            stem = name.rsplit("/", 1)[-1]
-            for suf in (".xz", ".bz2"):
-                if stem.endswith(suf):
-                    stem = stem[: -len(suf)]
-            yield stem, inner
-            return
-    if data[:4] == b"\x28\xb5\x2f\xfd":
-        # zstd: the compressor modern corpus drops actually use
-        # (.jsonl.zst everywhere). No stdlib codec before 3.14, so this
-        # is an optional-import seam (the fast_image_decoder contract):
-        # when a zstd binding is importable the stream decompresses
-        # bounded; otherwise the archive refuses honestly into
-        # quarantine rather than pretending.
-        inner = _zstd_decompress(bytes(data), max_total_bytes)
-        if len(inner) >= 262 and inner[257:262] == b"ustar":
-            data = inner  # .tar.zst
-        else:
-            if len(inner) > max_member_bytes:
-                raise ValueError(
-                    f"zst member inflates past {max_member_bytes} bytes (bomb?)"
-                )
-            stem = name.rsplit("/", 1)[-1]
-            stem = stem[:-4] if stem.endswith(".zst") else stem
-            yield stem, inner
-            return
+        stem = name.rsplit("/", 1)[-1]
+        for suf in suffixes:
+            if stem.endswith(suf):
+                stem = stem[: -len(suf)]
+                break
+        yield stem, inner
+        return
     if data[:4] == b"PK\x03\x04":
         total = 0
         zf = zipfile.ZipFile(io.BytesIO(data))

@@ -507,17 +507,9 @@ def encode_wav_extensible(
     if float32:
         bits, subfmt = 32, 3
         payload = samples.astype("<f4").tobytes()
-    elif bits == 24:
+    elif bits in (16, 24):
         subfmt = 1
-        u = (samples.reshape(-1).astype(np.int64) & 0xFFFFFF).astype(np.uint32)
-        b = np.empty((u.size, 3), np.uint8)
-        b[:, 0] = u & 0xFF
-        b[:, 1] = (u >> 8) & 0xFF
-        b[:, 2] = (u >> 16) & 0xFF
-        payload = b.tobytes()
-    elif bits == 16:
-        subfmt = 1
-        payload = samples.astype("<i2").tobytes()
+        payload = _pcm_le_bytes(samples.reshape(-1).astype(np.int64), bits)
     else:
         raise ValueError("extensible fixture supports 16/24-bit PCM or float32")
     guid = struct.pack("<H", subfmt) + bytes.fromhex(
@@ -560,15 +552,27 @@ def is_aiff(data: bytes) -> bool:
 
 def _f80(b: bytes) -> float:
     """80-bit IEEE 754 extended float (the COMM sample-rate field):
-    1 sign + 15 exponent + 64 explicit-integer-bit mantissa."""
+    1 sign + 15 exponent + 64 explicit-integer-bit mantissa. Hostile
+    exponents (up to ±16k — far past float64) must surface as the
+    walk's ValueError contract, not leak OverflowError; Inf/NaN
+    (exponent field all-ones) are no sample rate either."""
+    import math
+
     if len(b) < 10:
         raise ValueError("truncated AIFF extended-float field")
     se = int.from_bytes(b[:2], "big")
     mant = int.from_bytes(b[2:10], "big")
     if se & 0x7FFF == 0 and mant == 0:
         return 0.0
+    if se & 0x7FFF == 0x7FFF:
+        raise ValueError("AIFF extended float is Inf/NaN")
     exp = (se & 0x7FFF) - 16383 - 63
-    v = mant * (2.0 ** exp)
+    try:
+        v = math.ldexp(mant, exp)
+    except OverflowError as e:
+        raise ValueError("AIFF extended float exceeds float64 range") from e
+    if math.isinf(v):
+        raise ValueError("AIFF extended float exceeds float64 range")
     return -v if se & 0x8000 else v
 
 
@@ -794,9 +798,11 @@ def mp3_info(data: bytes) -> dict:
             flen = spf // 8 * kbps * 1000 // rate + padding
         if flen <= 4 or pos + flen > n:
             break
-        # Xing/Info (VBR metadata) frame: side-info offset by version/mode
+        # Xing/Info (VBR metadata) frame: side-info offset by version/
+        # mode, plus the 2-byte CRC when protection_bit is 0 (writers
+        # place the tag AFTER the CRC)
         side = (17 if mode != 3 else 9) if vgroup == 2 else (32 if mode != 3 else 17)
-        tag_at = pos + 4 + side
+        tag_at = pos + 4 + (0 if (b1 & 1) else 2) + side
         is_meta = data[tag_at : tag_at + 4] in (b"Xing", b"Info")
         if not is_meta:
             n_frames += 1
@@ -1569,7 +1575,8 @@ def mp3_subband_energies(data: bytes):
                     side = 17 if mode != 3 else 9
                 else:
                     side = 32 if mode != 3 else 17
-                if data[pos + 4 + side : pos + 4 + side + 4] not in (b"Xing", b"Info"):
+                tag_at = pos + 4 + (0 if (b1 & 1) else 2) + side
+                if data[tag_at : tag_at + 4] not in (b"Xing", b"Info"):
                     energies.extend(_l3_sideinfo_energies(body, nch, lsf=lsf))
                 pos += flen
                 continue
@@ -1732,7 +1739,31 @@ _FLAC_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
 _FLAC_BITS = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
 # Fixed-predictor coefficients by order (binomial, RFC 9639 §9.2.5).
 _FLAC_FIXED = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
-_FLAC_MAX_SAMPLES = 100_000_000  # hostile-input bound (~2h stereo 48k×8ch)
+# Hostile-input bound in CELLS (samples × channels): a tiny crafted
+# file can declare 8 channels at block 32768, so the cap must price
+# allocation, not track length — 200M cells ≈ 1.6 GB of int64, checked
+# BEFORE each frame's subframes decode (≈3.7 h of stereo 44.1 kHz).
+_FLAC_MAX_CELLS = 200_000_000
+
+
+def _pcm_le_bytes(flat: np.ndarray, bits: int) -> bytes:
+    """Interleaved little-endian signed PCM at the stated bit depth —
+    the byte layout FLAC's STREAMINFO MD5 hashes. ONE definition shared
+    by decode_flac's self-check and encode_flac's digest (a divergence
+    here would make the decoder reject its own encoder's files)."""
+    nbytes = (bits + 7) // 8
+    if nbytes == 1:
+        return (flat & 0xFF).astype(np.uint8).tobytes()
+    if nbytes == 2:
+        return flat.astype("<i2").tobytes()
+    if nbytes == 3:
+        u = (flat & 0xFFFFFF).astype(np.uint32)
+        b = np.empty((len(flat), 3), dtype=np.uint8)
+        b[:, 0] = u & 0xFF
+        b[:, 1] = (u >> 8) & 0xFF
+        b[:, 2] = (u >> 16) & 0xFF
+        return b.tobytes()
+    return flat.astype("<i4").tobytes()
 
 
 class _FlacReader:
@@ -1993,7 +2024,9 @@ def decode_flac(data: bytes, verify_md5: bool = True) -> tuple[np.ndarray, int]:
     rate0, nch0, bits0 = info["sample_rate"], info["n_channels"], info["bits"]
     md5_expected = data[8 + 18 : 8 + 34]
     pos = _flac_first_frame(data)
-    channels: list[list[int]] = [[] for _ in range(nch0)]
+    # per-channel lists of per-frame int64 chunks (8 B/cell), not
+    # Python-int lists (~28 B/cell) — the hostile-input cap prices these
+    channels: list[list] = [[] for _ in range(nch0)]
     total = 0
     while pos + 2 <= len(data):
         r = _FlacReader(data, pos)
@@ -2049,8 +2082,11 @@ def decode_flac(data: bytes, verify_md5: bool = True) -> tuple[np.ndarray, int]:
         if _flac_crc8(data[pos:hdr_end]) != crc8:
             raise ValueError("FLAC frame: header CRC-8 mismatch")
         total += block_size
-        if total > _FLAC_MAX_SAMPLES:
-            raise ValueError("FLAC stream exceeds the decoded-samples bound")
+        if total * nch0 > _FLAC_MAX_CELLS:
+            raise ValueError(
+                "FLAC stream exceeds the decoded-cells bound "
+                f"({_FLAC_MAX_CELLS} samples x channels)"
+            )
         subs = []
         for ch in range(nch):
             ch_bps = bps
@@ -2079,7 +2115,7 @@ def decode_flac(data: bytes, verify_md5: bool = True) -> tuple[np.ndarray, int]:
                 right.append((m - s) >> 1)
             subs = [left, right]
         for ch in range(nch0):
-            channels[ch].extend(subs[ch])
+            channels[ch].append(np.asarray(subs[ch], dtype=np.int64))
         pos = r.byte_pos()
         if info["n_samples"] and total >= info["n_samples"]:
             break
@@ -2090,32 +2126,17 @@ def decode_flac(data: bytes, verify_md5: bool = True) -> tuple[np.ndarray, int]:
             break
     if total == 0:
         raise ValueError("FLAC stream contains no audio frames")
+    cols = [np.concatenate(c) for c in channels]
     if info["n_samples"]:
         if total < info["n_samples"]:
             raise ValueError(
                 f"truncated FLAC: {total} samples decoded, "
                 f"STREAMINFO declares {info['n_samples']}"
             )
-        channels = [c[: info["n_samples"]] for c in channels]
-    out = np.array(channels, dtype=np.int64).T
+        cols = [c[: info["n_samples"]] for c in cols]
+    out = np.stack(cols, axis=1)
     if verify_md5 and md5_expected != bytes(16):
-        nbytes = (bits0 + 7) // 8
-        h = hashlib.md5()
-        flat = out.reshape(-1)
-        # interleaved little-endian signed PCM at the stated depth
-        if nbytes == 1:
-            h.update((flat & 0xFF).astype(np.uint8).tobytes())
-        elif nbytes == 2:
-            h.update(flat.astype("<i2").tobytes())
-        elif nbytes == 3:
-            u = (flat & 0xFFFFFF).astype(np.uint32)
-            b = np.empty((len(flat), 3), dtype=np.uint8)
-            b[:, 0] = u & 0xFF
-            b[:, 1] = (u >> 8) & 0xFF
-            b[:, 2] = (u >> 16) & 0xFF
-            h.update(b.tobytes())
-        else:
-            h.update(flat.astype("<i4").tobytes())
+        h = hashlib.md5(_pcm_le_bytes(out.reshape(-1), bits0))
         if h.digest() != md5_expected:
             raise ValueError(
                 "FLAC decode self-check failed: decoded PCM MD5 does not "
@@ -2185,22 +2206,7 @@ def encode_flac(
     if stereo != "independent" and nch != 2:
         raise ValueError("FLAC encoder: side stereo requires 2 channels")
 
-    nbytes = (bits + 7) // 8
-    flat = samples.reshape(-1).astype(np.int64)
-    h = hashlib.md5()
-    if nbytes == 1:
-        h.update((flat & 0xFF).astype(np.uint8).tobytes())
-    elif nbytes == 2:
-        h.update(flat.astype("<i2").tobytes())
-    elif nbytes == 3:
-        u = (flat & 0xFFFFFF).astype(np.uint32)
-        b3 = np.empty((len(flat), 3), dtype=np.uint8)
-        b3[:, 0] = u & 0xFF
-        b3[:, 1] = (u >> 8) & 0xFF
-        b3[:, 2] = (u >> 16) & 0xFF
-        h.update(b3.tobytes())
-    else:
-        h.update(flat.astype("<i4").tobytes())
+    h = hashlib.md5(_pcm_le_bytes(samples.reshape(-1).astype(np.int64), bits))
 
     si = struct.pack(">HH", min(block_size, n or 1), block_size) + bytes(6)
     packed = (rate << 44) | ((nch - 1) << 41) | ((bits - 1) << 36) | n
@@ -2389,16 +2395,24 @@ def encode_flac(
 # decode stays honestly unsupported — same tier as mp3/flac/mp4.
 
 _OGG_MAX_PAGES = 1_000_000  # hostile-input bound
-# RFC 3533 §6: CRC-32 poly 0x04C11DB7, init 0, no reflection, no final
-# xor — NOT zlib's crc32. Table generated, nothing transcribed.
-_OGG_CRC = _crc_table(0x04C11DB7, 32)
+_BITREV8 = bytes(int(f"{i:08b}"[::-1], 2) for i in range(256))
 
 
 def _ogg_page_crc(page: bytes) -> int:
-    r = 0
-    for b in page:
-        r = (_OGG_CRC[((r >> 24) ^ b) & 0xFF] ^ (r << 8)) & 0xFFFFFFFF
-    return r
+    """RFC 3533 §6 CRC-32: poly 0x04C11DB7, init 0, unreflected, no
+    final xor — NOT zlib's convention, but computable THROUGH zlib at
+    C speed: the MSB-first CRC of M under P equals the bit-reversed
+    LSB-first CRC of bit-reversed-bytes(M) under bit-reversed(P), and
+    bit-reversed 0x04C11DB7 IS zlib's 0xEDB88320. Seeding zlib with
+    0xFFFFFFFF and xoring the result strips its pre/post conditioning.
+    (A pure-Python table loop here ran ~12 MB/s and turned the
+    'header-only' Ogg walk into a full-file scan cost.) Pinned against
+    an independent bit-at-a-time computation in the tests."""
+    import zlib
+
+    rev = bytes(page).translate(_BITREV8)
+    r = zlib.crc32(rev, 0xFFFFFFFF) ^ 0xFFFFFFFF
+    return int(f"{r:032b}"[::-1], 2)
 
 
 def _ogg_check_crc(data: bytes, pos: int, body: int, size: int) -> None:
@@ -2601,8 +2615,11 @@ def _id3_text(body: bytes) -> str:
         s, sep = raw.decode("utf-8", errors="replace"), "\x00"
     else:
         raise ValueError(f"ID3v2 text frame: reserved encoding byte {enc}")
-    vals = [v for v in s.split(sep) if v]
-    return "; ".join(vals)
+    # v2.4 multi-value frames NUL-join utf-16 strings each carrying
+    # their OWN BOM; one whole-body decode strips only the first, so
+    # later values must shed theirs here
+    vals = [v.lstrip("\ufeff") for v in s.split(sep)]
+    return "; ".join(v for v in vals if v)
 
 
 def id3v2_tags(data: bytes) -> dict[str, str]:

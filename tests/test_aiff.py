@@ -144,3 +144,16 @@ def test_spark_audio_operators_cover_aiff(spark):
     assert fps[0] is not None and fps[0] == fps[1]  # container-invariant
     sniffed = media.select(sniff_mime(media["content"]).alias("m")).collect()
     assert {r.m for r in sniffed} == {"audio/wav", "audio/aiff"}
+
+
+def test_hostile_extended_float_refuses():
+    """Review finding (round 7): 15-bit exponents reach ~2^16k — far
+    past float64 — and all-ones means Inf/NaN; both must surface as
+    the walk's ValueError, never a raw OverflowError."""
+    pcm = _pcm(8)
+    for se in (0x7FFE, 0x7FFF, 0x6000):
+        a = bytearray(encode_aiff(pcm, 44100))
+        i = a.find(b"COMM") + 8 + 8  # f80 starts after nch/nframes/bits
+        a[i : i + 2] = struct.pack(">H", se)
+        with pytest.raises(ValueError):
+            aiff_info(bytes(a))

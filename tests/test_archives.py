@@ -362,3 +362,30 @@ def test_zst_seam(spark):
            for m in archive_members(good).collect()}
     assert got[("mem://a.tar.zst", "z.txt")] == b"zst tar text"
     assert got[("mem://b.txt.zst", "b.txt")] == b"bare zst"
+
+
+def test_multistream_xz_bz2(spark):
+    """Parallel compressors (pbzip2, pixz) and chunked corpus shards
+    emit CONCATENATED streams; a one-shot decompressor silently
+    returns only the first — every stream must surface (review
+    finding, round 7)."""
+    import bz2 as _bz2
+    import lzma as _lzma
+
+    rows = [
+        ("mem://two.txt.bz2",
+         bytearray(_bz2.compress(b"A" * 100) + _bz2.compress(b"B" * 100))),
+        ("mem://two.txt.xz",
+         bytearray(_lzma.compress(b"C" * 50) + _lzma.compress(b"D" * 50))),
+    ]
+    archives = spark.createDataFrame(rows, "path string, content binary")
+    got = {m.path: bytes(m.payload) for m in archive_members(archives).collect()}
+    assert got["mem://two.txt.bz2"] == b"A" * 100 + b"B" * 100
+    assert got["mem://two.txt.xz"] == b"C" * 50 + b"D" * 50
+    # truncated stream refuses (not silently half-decoded)
+    trunc = spark.createDataFrame(
+        [("mem://t.bz2", bytearray(_bz2.compress(b"Z" * 1000)[:-5]))],
+        "path string, content binary",
+    )
+    r = archive_members(trunc).collect()[0]
+    assert r.decode_error is not None and "truncated" in r.decode_error

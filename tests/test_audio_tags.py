@@ -346,3 +346,19 @@ def test_property_id3v2_roundtrip_hypothesis():
             assert got[k] == v, (version, encoding, k)
 
     run()
+
+
+def test_utf16_multivalue_boms_stripped():
+    """Review finding (round 7): a v2.4 multi-value utf-16 frame
+    carries a BOM per value; one whole-body decode strips only the
+    first, so later values must shed theirs."""
+    body = b"\x01" + "Alice".encode("utf-16") + b"\x00\x00" + "Bob".encode("utf-16")
+    n = len(body)
+    frame = b"TPE1" + bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    ) + b"\x00\x00" + body
+    m = len(frame)
+    tag = b"ID3\x04\x00\x00" + bytes(
+        [(m >> 21) & 0x7F, (m >> 14) & 0x7F, (m >> 7) & 0x7F, m & 0x7F]
+    ) + frame
+    assert id3v2_tags(tag) == {"artist": "Alice; Bob"}

@@ -1195,3 +1195,34 @@ def test_audio_fingerprint_short_track_quarantines(spark):
     assert fps[0].afp is None and "too short" in fps[0].decode_error
     assert fps[1].afp is None and "too short" in fps[1].decode_error
     assert fps[2].afp is not None and fps[2].decode_error is None
+
+
+def test_mp3_crc_protected_xing_frame_excluded():
+    """Review finding (round 7): protection_bit 0 inserts a 2-byte CRC
+    before the side info, and real writers place the Xing tag AFTER
+    it — both walks must probe at the shifted offset or a protected
+    metadata frame injects a bogus energy / frame count."""
+    from pg2kinesis_spark.functions.codecs import (
+        encode_mp3_layer3_envelope,
+        mp3_info,
+        mp3_subband_energies,
+    )
+
+    rng = np.random.default_rng(5)
+    env = rng.uniform(0.01, 1.5, 20)
+    plain = encode_mp3_layer3_envelope(env, kbps=128)
+    flen = len(plain) // 10
+    frame = bytearray(plain[:flen])
+    # rebuild frame 0 as a CRC-PROTECTED Xing frame: clear the
+    # protection bit, insert 2 CRC bytes, write Xing after side info
+    frame[1] &= ~1
+    side = 32  # stereo MPEG-1 Layer III
+    prot = bytes(frame[:4]) + b"\x00\x00" + bytes(frame[4 : flen - 2])
+    prot = bytearray(prot)
+    prot[4 + 2 + side : 4 + 2 + side + 4] = b"Xing"
+    data = bytes(prot) + plain
+    m = mp3_info(data)
+    assert m["n_frames"] == 10  # the protected Xing frame is excluded
+    p = np.asarray(mp3_subband_energies(data))
+    assert len(p) == 20  # two granules per real frame, Xing skipped
+    assert np.array_equal(p, np.asarray(mp3_subband_energies(plain)))

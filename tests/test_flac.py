@@ -322,3 +322,34 @@ def test_property_roundtrip_hypothesis():
         assert (dec == pcm).all()
 
     run()
+
+
+def test_hostile_cells_bound_fires_before_allocation():
+    """Review finding (round 7): the hostile bound prices CELLS
+    (samples x channels), so a tiny crafted 8-channel file trips the
+    cap per frame instead of accumulating gigabytes of decoded data.
+    A legal long mono track under the cap still decodes."""
+    import pg2kinesis_spark.functions.codecs as C_
+
+    # 8-channel constant frames at block 4096: each frame adds 32768
+    # cells for ~30 bytes of input; the cap must fire LONG before the
+    # frame count exhausts the input
+    n_frames = 800  # 800 * 4096 * 8 = 26M cells if allowed to run
+    pcm = np.zeros((4096, 8), dtype=np.int64)
+    one = encode_flac(pcm, 44100, subframe="constant")
+    head = one[: 4 + 4 + 34]
+    frame = one[4 + 4 + 34 :]
+    # STREAMINFO with unknown total samples (0) and zero MD5 so the
+    # walk can't stop early or self-check
+    si = bytearray(head)
+    packed = (44100 << 44) | (7 << 41) | (15 << 36) | 0
+    si[8 + 10 : 8 + 18] = packed.to_bytes(8, "big")
+    si[8 + 18 : 8 + 34] = bytes(16)
+    blob = bytes(si) + frame * n_frames
+    old = C_._FLAC_MAX_CELLS
+    C_._FLAC_MAX_CELLS = 1_000_000
+    try:
+        with pytest.raises(ValueError, match="cells bound"):
+            decode_flac(blob)
+    finally:
+        C_._FLAC_MAX_CELLS = old
