@@ -2180,6 +2180,7 @@ def encode_flac(
     block_size: int = 4096,
     escape: bool = False,
     tags: dict[str, str] | None = None,
+    picture: tuple[str, bytes] | None = None,
 ) -> bytes:
     """Encode (n, ch) int PCM as a real FLAC stream — the independent
     fixture side of decode_flac (written from RFC 9639, sharing no
@@ -2211,11 +2212,20 @@ def encode_flac(
     si = struct.pack(">HH", min(block_size, n or 1), block_size) + bytes(6)
     packed = (rate << 44) | ((nch - 1) << 41) | ((bits - 1) << 36) | n
     si += packed.to_bytes(8, "big") + h.digest()
-    si_flag = 0x00 if tags else 0x80
+    si_flag = 0x00 if (tags or picture) else 0x80
     out = bytearray(b"fLaC" + bytes([si_flag]) + len(si).to_bytes(3, "big") + si)
     if tags:
         vc = encode_vorbis_comment(tags)
-        out += bytes([0x80 | 4]) + len(vc).to_bytes(3, "big") + vc
+        flag = 0x00 if picture else 0x80
+        out += bytes([flag | 4]) + len(vc).to_bytes(3, "big") + vc
+    if picture:
+        mime, img = picture
+        mb = mime.encode("latin-1")
+        pb = (struct.pack(">II", 3, len(mb)) + mb  # type 3 = front cover
+              + struct.pack(">I", 0)              # empty description
+              + struct.pack(">IIII", 0, 0, 0, 0)  # w/h/depth/colors unset
+              + struct.pack(">I", len(img)) + img)
+        out += bytes([0x80 | 6]) + len(pb).to_bytes(3, "big") + pb
 
     def emit_subframe(w: "_FlacWriter", ch: list[int], bs: int, bps: int) -> None:
         wasted = 0
@@ -2622,16 +2632,17 @@ def _id3_text(body: bytes) -> str:
     return "; ".join(v for v in vals if v)
 
 
-def id3v2_tags(data: bytes) -> dict[str, str]:
-    """Text tags from a leading ID3v2 tag (v2.2 / v2.3 / v2.4):
-    canonical keys (title/artist/album/date/genre/track/...) plus
-    TXXX user frames under their own description. Returns {} when no
-    ID3v2 tag leads the data; raises ValueError on a structurally
-    hostile tag (bad sizes, reserved encodings)."""
+def _id3v2_frames(data: bytes):
+    """Iterate (major, frame_id, frame_body) over a leading ID3v2 tag
+    — the shared walk under id3v2_tags and id3v2_cover: header/extended
+    -header handling, whole-tag (v2.2/2.3) and per-frame (v2.4)
+    unsynchronisation, syncsafe v2.4 sizes, padding stop, frame-count
+    bound. Yields nothing when no tag leads the data; raises
+    ValueError on structurally hostile tags."""
     data = bytes(data)
     total = _id3v2_size(data)
     if total == 0:
-        return {}
+        return
     if len(data) < 10:
         raise ValueError("truncated ID3v2 header")
     major, flags = data[3], data[5]
@@ -2649,12 +2660,9 @@ def id3v2_tags(data: bytes) -> dict[str, str]:
         else:  # v2.4: syncsafe, size INCLUDES itself
             eh = bytes(body[0:4])
             pos = (eh[0] << 21) | (eh[1] << 14) | (eh[2] << 7) | eh[3]
-    out: dict[str, str] = {}
     id_len = 3 if major == 2 else 4
     hdr_len = 6 if major == 2 else 10
-    text_keys = _ID3V22_TEXT_KEYS if major == 2 else _ID3_TEXT_KEYS
     frames = 0
-    budget = _TAG_MAX_TOTAL
     while pos + hdr_len <= len(body):
         fid = bytes(body[pos : pos + id_len])
         if fid == bytes(id_len):  # padding reached
@@ -2682,6 +2690,19 @@ def id3v2_tags(data: bytes) -> dict[str, str]:
             fbody = fbody.replace(b"\xff\x00", b"\xff")
         if major == 4 and fflags & 0x01:  # data-length indicator prefix
             fbody = fbody[4:]
+        yield major, fid, fbody
+
+
+def id3v2_tags(data: bytes) -> dict[str, str]:
+    """Text tags from a leading ID3v2 tag (v2.2 / v2.3 / v2.4):
+    canonical keys (title/artist/album/date/genre/track/...) plus
+    TXXX user frames under their own description. Returns {} when no
+    ID3v2 tag leads the data; raises ValueError on a structurally
+    hostile tag (bad sizes, reserved encodings)."""
+    out: dict[str, str] = {}
+    budget = _TAG_MAX_TOTAL
+    for major, fid, fbody in _id3v2_frames(data):
+        text_keys = _ID3V22_TEXT_KEYS if major == 2 else _ID3_TEXT_KEYS
         key = text_keys.get(fid)
         if key is None and not (
             fid in (b"TXXX", b"TXX") and len(fbody) >= 2
@@ -2780,6 +2801,149 @@ def encode_id3v1(tags: dict[str, str]) -> bytes:
     else:
         blk += fx("comment", 30)
     return blk + bytes([genre])
+
+
+_COVER_MAX_BYTES = 16 << 20  # hostile bound on embedded pictures
+
+
+def id3v2_cover(data: bytes) -> tuple[bytes, str] | None:
+    """The attached picture (APIC v2.3/2.4 / PIC v2.2) from a leading
+    ID3v2 tag as (image bytes, mime), preferring picture type 3
+    (front cover); None when untagged or pictureless."""
+    best = None
+    for major, fid, fbody in _id3v2_frames(data):
+        if fid not in (b"APIC", b"PIC") or len(fbody) < 4:
+            continue
+        enc = fbody[0]
+        if fid == b"PIC":  # v2.2 stores a 3-char image format, not a mime
+            fmt = fbody[1:4].decode("latin-1").strip().lower()
+            mime = {"png": "image/png", "jpg": "image/jpeg"}.get(
+                fmt, "application/octet-stream"
+            )
+            rest = fbody[4:]
+        else:
+            z = fbody.find(b"\x00", 1)
+            if z < 0:
+                continue
+            mime = fbody[1:z].decode("latin-1").lower()
+            rest = fbody[z + 1 :]
+        if not rest:
+            continue
+        ptype = rest[0]
+        rest = rest[1:]
+        # skip the description (code-unit aligned for utf-16 encodings)
+        sep = b"\x00\x00" if enc in (1, 2) else b"\x00"
+        cut = 0
+        while True:
+            cut = rest.find(sep, cut)
+            if cut < 0 or len(sep) == 1 or cut % 2 == 0:
+                break
+            cut += 1
+        if cut < 0:
+            continue
+        img = rest[cut + len(sep) :]
+        if len(img) > _COVER_MAX_BYTES:
+            raise ValueError("ID3v2 picture exceeds the cover bound")
+        if not img:
+            continue
+        if ptype == 3:
+            return img, mime
+        if best is None:
+            best = (img, mime)
+    return best
+
+
+def flac_cover(data: bytes) -> tuple[bytes, str] | None:
+    """The PICTURE metadata block (type 6, RFC 9639 §8.8) as
+    (image bytes, mime), preferring picture type 3 (front cover)."""
+    data = bytes(data)
+    flac_info(data)  # structure gate
+    best = None
+    pos = 4
+    for _ in range(_TAG_MAX_FRAMES):
+        if pos + 4 > len(data):
+            raise ValueError("truncated FLAC: metadata blocks never end")
+        last, btype = data[pos] & 0x80, data[pos] & 0x7F
+        blen = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body = data[pos + 4 : pos + 4 + blen]
+        if btype == 6 and len(body) >= 32:
+            (ptype, mlen) = struct.unpack(">II", body[0:8])
+            mime = body[8 : 8 + mlen].decode("latin-1").lower()
+            p = 8 + mlen
+            (dlen,) = struct.unpack(">I", body[p : p + 4])
+            p += 4 + dlen + 16  # desc + width/height/depth/colors
+            (ilen,) = struct.unpack(">I", body[p : p + 4])
+            if ilen > _COVER_MAX_BYTES:
+                raise ValueError("FLAC picture exceeds the cover bound")
+            img = body[p + 4 : p + 4 + ilen]
+            if len(img) < ilen:
+                raise ValueError("FLAC PICTURE block overruns (stomped size)")
+            if img:
+                if ptype == 3:
+                    return img, mime
+                if best is None:
+                    best = (img, mime)
+        pos += 4 + blen
+        if last:
+            return best
+    raise ValueError("FLAC metadata walk exceeds the block bound")
+
+
+def mp4_cover(data: bytes) -> tuple[bytes, str] | None:
+    """The iTunes `covr` ilst item as (image bytes, mime): well-known
+    types 13 (JPEG) / 14 (PNG), type 0 sniffed by magic."""
+    data = bytes(data)
+    if not is_mp4(data):
+        raise ValueError("not an MP4: no ftyp box")
+    budget = [_MP4_MAX_BOXES]
+    for fourcc, body, bend in _mp4_walk(data, 0, len(data), 0, budget):
+        if fourcc != b"udta":
+            continue
+        for f2, b2, e2 in _mp4_walk(data, body, bend, 1, budget):
+            if f2 != b"meta":
+                continue
+            for f3, b3, e3 in _mp4_walk(data, b2 + 4, e2, 2, budget):
+                if f3 != b"ilst":
+                    continue
+                for f4, b4, e4 in _mp4_walk(data, b3, e3, 3, budget):
+                    if f4 != b"covr":
+                        continue
+                    for f5, b5, e5 in _mp4_walk(data, b4, e4, 4, budget):
+                        if f5 != b"data" or e5 - b5 < 8:
+                            continue
+                        dtype = int.from_bytes(data[b5 : b5 + 4], "big") & 0xFFFFFF
+                        img = data[b5 + 8 : e5]
+                        if len(img) > _COVER_MAX_BYTES:
+                            raise ValueError(
+                                "MP4 covr exceeds the cover bound"
+                            )
+                        if not img:
+                            continue
+                        if dtype == 13:
+                            return img, "image/jpeg"
+                        if dtype == 14:
+                            return img, "image/png"
+                        if is_png(img):
+                            return img, "image/png"
+                        if is_jpeg(img):
+                            return img, "image/jpeg"
+    return None
+
+
+def audio_cover(data: bytes) -> tuple[bytes, str] | None:
+    """Dispatching embedded-cover extraction: ID3v2 APIC, FLAC PICTURE,
+    MP4 covr. None for untagged/pictureless files; ValueError for
+    unrecognized containers — the extracted bytes feed the IMAGE tier
+    (decode_image / media_dhash), so the same artwork embedded in
+    different containers pairs up."""
+    data = bytes(data)
+    if data[:3] == b"ID3" or is_mp3(data):
+        return id3v2_cover(data)
+    if is_flac(data):
+        return flac_cover(data)
+    if is_mp4(data):
+        return mp4_cover(data)
+    raise ValueError("no recognized cover container (ID3v2/FLAC/MP4)")
 
 
 def vorbis_comments(payload: bytes) -> dict[str, str]:
@@ -2960,6 +3124,7 @@ def encode_id3v2(
     unsync: bool = False,
     padding: int = 0,
     txxx: dict[str, str] | None = None,
+    apic: tuple[str, bytes] | None = None,
 ) -> bytes:
     """Spec-packed ID3v2 tag — the independent fixture side of
     id3v2_tags. ``tags`` uses the canonical keys (reverse-mapped to
@@ -3000,6 +3165,16 @@ def encode_id3v2(
         sep = b"\x00\x00" if encoding in (1, 2) else b"\x00"
         body = enc_text(desc) + sep + enc_text(val)[1:]
         frames += frame(b"TXX" if version == 2 else b"TXXX", body)
+    if apic is not None:
+        mime, img = apic
+        if version == 2:
+            fmt = {"image/png": b"PNG", "image/jpeg": b"JPG"}.get(mime, b"   ")
+            body = bytes([0]) + fmt + bytes([3]) + b"\x00" + img
+            frames += frame(b"PIC", body)
+        else:
+            body = (bytes([0]) + mime.encode("latin-1") + b"\x00"
+                    + bytes([3]) + b"\x00" + img)  # type 3 = front cover
+            frames += frame(b"APIC", body)
     frames += bytes(padding)
     flags = 0
     if unsync and version <= 3:
@@ -5782,6 +5957,7 @@ def encode_mp4_skeleton(
     largesize_mdat: bool = False,
     brand: bytes = b"isom",
     tags: dict[str, str] | None = None,
+    cover: bytes | None = None,
 ) -> bytes:
     """Spec-packed ISO BMFF fixture writer: valid box structure with
     zeroed media data (this module walks boxes, not bitstreams — the
@@ -5861,7 +6037,9 @@ def encode_mp4_skeleton(
     )
     ftyp = _mp4_box(b"ftyp", brand + struct.pack(">I", 0x200) + brand)
     udta = b""
-    if tags:
+    if cover is not None:
+        tags = tags or {}
+    if tags or cover is not None:
         rev = {}
         for f, k in _MP4_TAG_KEYS.items():
             rev.setdefault(k, f)
@@ -5879,6 +6057,12 @@ def encode_mp4_skeleton(
                     b"data", struct.pack(">I", 1) + bytes(4) + v.encode("utf-8")
                 )
             items += _mp4_box(f, d)
+        if cover is not None:
+            dt = 14 if is_png(cover) else 13
+            items += _mp4_box(
+                b"covr",
+                _mp4_box(b"data", struct.pack(">I", dt) + bytes(4) + cover),
+            )
         hdlr = _mp4_box(b"hdlr", bytes(4) + bytes(4) + b"mdir" + bytes(9))
         meta = _mp4_box(b"meta", bytes(4) + hdlr + _mp4_box(b"ilst", items))
         udta = _mp4_box(b"udta", meta)

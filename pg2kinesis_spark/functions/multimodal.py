@@ -1042,6 +1042,64 @@ def extract_audio_tags(media: DataFrame, errors: str = "quarantine") -> DataFram
     return media.mapInPandas(kernel, AUDIO_TAGS_SCHEMA)
 
 
+COVER_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("cover", T.BinaryType()),
+        T.StructField("cover_mime", T.StringType()),
+        _ERROR_FIELD,
+    ]
+)
+
+
+def extract_cover_art(media: DataFrame, errors: str = "quarantine") -> DataFrame:
+    """Embedded cover art (``codecs.audio_cover``: ID3v2 APIC, FLAC
+    PICTURE, MP4 covr) as (media_id, cover, cover_mime). Pictureless
+    files yield NULL cover with no error; unrecognized containers take
+    the quarantine channel. The output composes with the IMAGE tier:
+    ``covers_as_media(extract_cover_art(audio))`` feeds ``media_dhash``
+    / ``media_near_dup_pairs``, so the same artwork embedded in
+    different containers (or different encodes of one album) pairs up
+    without ever decoding the audio."""
+    import pandas as pd
+
+    from . import codecs
+
+    _check_errors(errors)
+
+    def one(c: bytes):
+        got = codecs.audio_cover(c)
+        return (None, None) if got is None else got
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                r, err = _guard(errors, one, bytes(c))
+                img, mime = r if r else (None, None)
+                rows.append((mid, img, mime, err))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "cover", "cover_mime", "decode_error"]
+            )
+
+    return media.mapInPandas(kernel, COVER_SCHEMA)
+
+
+def covers_as_media(covers: DataFrame) -> DataFrame:
+    """extract_cover_art output → MEDIA_SCHEMA rows (cover bytes as
+    content, audio row's media_id carried through), ready for the
+    image operators."""
+    return covers.filter(F.col("cover").isNotNull()).select(
+        F.col("media_id"),
+        F.col("cover").alias("content"),
+        F.struct(
+            F.col("cover_mime").alias("mime"),
+            F.length("cover").cast("long").alias("bytes_hint"),
+            F.concat(F.lit("cover://"), F.col("media_id")).alias("source_uri"),
+        ).alias("meta"),
+    )
+
+
 def media_from_files(spark, path: str, glob: str | None = None) -> DataFrame:
     """Directory-of-files front door: Spark's binaryFile source mapped
     into MEDIA_SCHEMA. media_id is the xxhash64 of the file path
