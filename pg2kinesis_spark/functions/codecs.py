@@ -665,13 +665,18 @@ def aiff_tags(data: bytes) -> dict[str, str]:
     keys = {b"NAME": "title", b"AUTH": "artist",
             b"ANNO": "comment", b"(c) ": "copyright"}
     out: dict[str, str] = {}
+    iff: dict[str, str] = {}
     for cid, body in _aiff_chunks(data):
+        if bytes(cid).lower() == b"id3 " and bytes(body[:3]) == b"ID3":
+            # the same embedded-ID3v2 convention as WAV; ID3 wins
+            out.update(id3v2_tags(bytes(body)))
+            continue
         key = keys.get(cid)
         if key and body:
             if len(body) > _TAG_MAX_VALUE:
                 raise ValueError("AIFF text chunk exceeds the tag bound")
-            out.setdefault(key, bytes(body).decode("latin-1").strip("\x00 "))
-    return out
+            iff.setdefault(key, bytes(body).decode("latin-1").strip("\x00 "))
+    return {**iff, **out}
 
 
 def encode_aiff(
@@ -2943,7 +2948,16 @@ def audio_cover(data: bytes) -> tuple[bytes, str] | None:
         return flac_cover(data)
     if is_mp4(data):
         return mp4_cover(data)
-    raise ValueError("no recognized cover container (ID3v2/FLAC/MP4)")
+    if is_wav(data) or is_aiff(data):
+        # the embedded `id3 ` chunk convention carries APIC too
+        walk = _aiff_chunks(data) if is_aiff(data) else _wav_chunks(data)
+        for cid, body in walk:
+            if bytes(cid).lower() == b"id3 " and bytes(body[:3]) == b"ID3":
+                return id3v2_cover(bytes(body))
+        return None
+    raise ValueError(
+        "no recognized cover container (ID3v2/FLAC/MP4/WAV/AIFF)"
+    )
 
 
 def vorbis_comments(payload: bytes) -> dict[str, str]:
@@ -3054,24 +3068,35 @@ def ogg_tags(data: bytes) -> dict[str, str]:
     return {}
 
 
+def _wav_chunks(data: bytes):
+    data = bytes(data)
+    if not is_wav(data):
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        yield cid, data[pos + 8 : pos + 8 + clen]
+        pos += 8 + clen + (clen & 1)
+
+
 def wav_tags(data: bytes) -> dict[str, str]:
     """RIFF LIST/INFO tags from a WAV (INAM/IART/IPRD/ICRD/IGNR/ICMT
-    and friends), mapped to the canonical keys."""
+    and friends), mapped to the canonical keys; an embedded `id3 `
+    chunk (what most taggers actually write into WAV) parses through
+    the full ID3v2 walk and wins key-by-key (the richer system)."""
     info_keys = {
         b"INAM": "title", b"IART": "artist", b"IPRD": "album",
         b"ICRD": "date", b"IGNR": "genre", b"ICMT": "comment",
         b"ISFT": "encoder", b"ICOP": "copyright", b"ITRK": "track",
     }
     data = bytes(data)
-    if not is_wav(data):
-        raise ValueError("not a WAV: bad RIFF/WAVE header")
     out: dict[str, str] = {}
-    pos = 12
-    while pos + 8 <= len(data):
-        cid = data[pos : pos + 4]
-        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-        body = data[pos + 8 : pos + 8 + clen]
-        pos += 8 + clen + (clen & 1)
+    info: dict[str, str] = {}
+    for cid, body in _wav_chunks(data):
+        if cid.lower() == b"id3 " and body[:3] == b"ID3":
+            out.update(id3v2_tags(body))
+            continue
         if cid != b"LIST" or body[:4] != b"INFO":
             continue
         ip = 4
@@ -3086,8 +3111,8 @@ def wav_tags(data: bytes) -> dict[str, str]:
             ip += 8 + tlen + (tlen & 1)
             key = info_keys.get(tid)
             if key and raw:
-                out.setdefault(key, raw.decode("latin-1"))
-    return out
+                info.setdefault(key, raw.decode("latin-1"))
+    return {**info, **out}
 
 
 def audio_tags(data: bytes) -> dict[str, str]:
