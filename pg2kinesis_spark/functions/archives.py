@@ -381,3 +381,47 @@ def epub_to_corpus(
         ).alias("text"),
         F.count("*").cast("int").alias("n_chapters"),
     ).select("doc_id", "path", "text", "n_chapters")
+
+
+def archive_jsonl_to_corpus(
+    archives: DataFrame,
+    text_field: str = "text",
+    errors: str = "quarantine",
+    **caps,
+) -> DataFrame:
+    """The Pile-style drop layout: archives of .jsonl where each LINE
+    is a document ({"text": ...} records). ``archive_to_corpus`` would
+    make each member ONE doc; this front door explodes members per
+    line and extracts ``text_field`` — entirely JVM-side
+    (split/posexplode/get_json_object are codegen), so a 100 TB drop
+    pays one scan and zero Python. Lines that aren't valid JSON or
+    lack the field drop silently (the jq convention); doc ids are the
+    md5-60 of path:ordinal:line_no, reproducible across engines."""
+    from pg2kinesis_spark.functions.sampling import HASH60
+
+    members = archive_members(archives, errors=errors, **caps)
+    cond = F.lower("member").endswith(".jsonl") | F.lower("member").endswith(
+        ".json"
+    )
+    lines = (
+        members.filter(F.col("decode_error").isNull() & cond)
+        .select(
+            "path",
+            "member",
+            "ordinal",
+            F.posexplode(
+                F.split(
+                    F.expr("make_valid_utf8(cast(payload as string))"), "\n"
+                )
+            ).alias("line_no", "line"),
+        )
+        .filter(F.length(F.trim("line")) > 0)
+    )
+    key = "concat(path, ':', cast(ordinal as string), ':', cast(line_no as string))"
+    return lines.select(
+        F.expr(HASH60.format(x=key)).alias("doc_id"),
+        "path",
+        "member",
+        "line_no",
+        F.get_json_object("line", f"$.{text_field}").alias("text"),
+    ).filter(F.col("text").isNotNull())

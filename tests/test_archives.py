@@ -389,3 +389,35 @@ def test_multistream_xz_bz2(spark):
     )
     r = archive_members(trunc).collect()[0]
     assert r.decode_error is not None and "truncated" in r.decode_error
+
+
+def test_archive_jsonl_explodes_per_line(spark):
+    """Pile-style drops: archives of .jsonl where each LINE is a doc.
+    Lines explode JVM-side with the text field extracted; malformed
+    JSON and missing-field lines drop; ids are stable per
+    (path, member-ordinal, line)."""
+    import gzip as _gzip
+    import json as _json
+
+    from pg2kinesis_spark.functions.archives import archive_jsonl_to_corpus
+
+    recs = [{"text": f"document number {i}", "meta": {"i": i}} for i in range(5)]
+    jl = "\n".join(_json.dumps(r) for r in recs) + "\nnot json at all\n" + \
+        _json.dumps({"other_field": "no text"}) + "\n"
+    zipped = _zip_bytes({"shard0.jsonl": jl.encode(), "readme.txt": b"skip me"})
+    bare = _gzip.compress(jl.encode())
+    archives = spark.createDataFrame(
+        [("mem://drop.zip", bytearray(zipped)),
+         ("mem://shard1.jsonl.gz", bytearray(bare))],
+        "path string, content binary",
+    )
+    docs = archive_jsonl_to_corpus(archives).collect()
+    texts = sorted(d.text for d in docs)
+    # 5 docs from the zip member + 5 from the bare gz; junk lines drop
+    assert texts == sorted([f"document number {i}" for i in range(5)] * 2)
+    assert len({d.doc_id for d in docs}) == 10
+    # .txt members never enter the jsonl path
+    assert all(d.member.endswith((".jsonl", ".json")) for d in docs)
+    # the plan stays JVM-side: no Python stages beyond the member split
+    plan = archive_jsonl_to_corpus(archives)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 0  # explode/json are codegen
