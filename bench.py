@@ -86,9 +86,17 @@ def bench_cdc_replay(spark, sf_dir):
     cat = spark.createDataFrame(
         fx.pk_catalog_rows(), "table_name string, col_name string, col_type string, col_ord_pos int"
     )
-    return format_csv(parse_test_decoding(raw, primary_key_map(cat))).select(
-        "lsn", "xid", "fmt_msg"
-    )
+    # xid_eager=False: a replay backfill builds the plan once and runs
+    # it once, so the xid carry's two driver-blocking jobs are pure
+    # latency — the lazy carry schedules them inside the measured job
+    # graph instead (eager-vs-lazy equality is pytest-pinned and the
+    # lazy path is hash-checked by driver row c2). This is where the
+    # r2-r4 vs r5-r7 throughput gap lived: the build-inclusive timer
+    # pays plan construction + eager jobs, not parse cost (SCALING.md
+    # "cdc_replay: reconciling").
+    return format_csv(
+        parse_test_decoding(raw, primary_key_map(cat), xid_eager=False)
+    ).select("lsn", "xid", "fmt_msg")
 
 
 _PGOUT_REG_CACHE: dict = {}

