@@ -308,11 +308,14 @@ def gen_media_containers() -> tuple[list[tuple], list[tuple], list[tuple]]:
 
     # --- audio -------------------------------------------------------
     # 1: WAV — PCM16 mono; kbps = rate*ch*bits/1000 (CBR by definition)
+    import hashlib as _hl
+
     samples = (np.sin(np.arange(4000) / 10.0) * 3000).astype(np.int16)
     wav = C.encode_wav(samples, 8000)
     add(1, "audio", wav)
     audio_truth.append(
-        (1, "wav", 8000, 1, 1000.0 * 4000 / 8000, 8000 * 1 * 16 / 1000.0, False)
+        (1, "wav", 8000, 1, 1000.0 * 4000 / 8000, 8000 * 1 * 16 / 1000.0, False,
+         None, None, _hl.md5(samples.astype("<i2").tobytes()).hexdigest())
     )
     # 2: FLAC — STREAMINFO totals; container bitrate = bytes over play time
     flac = C.encode_flac_streaminfo(
@@ -375,6 +378,65 @@ def gen_media_containers() -> tuple[list[tuple], list[tuple], list[tuple]]:
         (12, "aac", 32000, 2, d * 1000.0, 25 * 256 * 8 / d / 1000.0, True)
     )
 
+    # --- round-8 rows: tags + lossless PCM identity on the board ------
+    # Truth md5s are computed HERE with inline numpy packing (interleaved
+    # little-endian s16 — the FLAC STREAMINFO layout), independent of the
+    # decode kernels and of codecs._pcm_le_bytes.
+    import hashlib
+
+    def s16_md5(arr: "np.ndarray") -> str:
+        return hashlib.md5(arr.reshape(-1).astype("<i2").tobytes()).hexdigest()
+
+    # 13: full FLAC (real frames) + VorbisComment tags; pcm_md5 proves
+    # the complete lossless decode chain cross-engine
+    t = np.arange(6000)
+    stereo = np.stack(
+        [(np.sin(t / 7.0) * 9000).astype(np.int16),
+         (np.sin(t / 11.0) * 7000).astype(np.int16)], axis=1
+    )
+    flac_full = C.encode_flac(
+        stereo, rate=16000, tags={"title": "Night Drive", "artist": "Unit Vectors"}
+    )
+    add(13, "audio", flac_full)
+    audio_truth.append(
+        (13, "flac", 16000, 2, 1000.0 * 6000 / 16000,
+         len(flac_full) * 8 / (6000 / 16000) / 1000.0, True,
+         "Night Drive", "Unit Vectors", s16_md5(stereo))
+    )
+    # 14: MP3 CBR behind an ID3v2.3 tag — the walk must skip the tag for
+    # the frame math and read it for title/artist; no canonical PCM
+    mp3_tagged = C.encode_id3v2(
+        {"title": "Standards", "artist": "The Parsers"}, version=3
+    ) + C.encode_mp3_frames(18, kbps=128, rate=44100)
+    d = 0.0
+    for _ in range(18):
+        d += 1152 / 44100
+    add(14, "audio", mp3_tagged)
+    audio_truth.append(
+        (14, "mp3", 44100, 2, d * 1000.0, 128.0, False,
+         "Standards", "The Parsers", None)
+    )
+    # 15: WAV with RIFF LIST/INFO tags; pcm_md5 is the data chunk itself
+    mono = (np.sin(np.arange(3200) / 9.0) * 12000).astype(np.int16)
+    wav_tagged = C.encode_wav(
+        mono, 8000, tags={"title": "Sine Study", "artist": "Test Bench"}
+    )
+    add(15, "audio", wav_tagged)
+    audio_truth.append(
+        (15, "wav", 8000, 1, 1000.0 * 3200 / 8000, 8000 * 1 * 16 / 1000.0, False,
+         "Sine Study", "Test Bench", s16_md5(mono))
+    )
+    # 16: AIFF with NAME/AUTH text chunks; big-endian container, same
+    # little-endian canonical PCM layout as WAV/FLAC (lossless identity)
+    aiff_tagged = C.encode_aiff(
+        mono.reshape(-1, 1), 8000, tags={"title": "Iff Study", "artist": "Big End"}
+    )
+    add(16, "audio", aiff_tagged)
+    audio_truth.append(
+        (16, "aiff", 8000, 1, 1000.0 * 3200 / 8000, 8000 * 1 * 16 / 1000.0, False,
+         "Iff Study", "Big End", s16_md5(mono))
+    )
+
     # --- video -------------------------------------------------------
     # 7: MP4 v0 boxes — mdhd timescale = fps*1000, so fps re-derives
     # exactly as n_frames / duration_s
@@ -410,6 +472,9 @@ def gen_media_containers() -> tuple[list[tuple], list[tuple], list[tuple]]:
     gif = C.encode_gif_frames(gframes, delay_cs=25)
     add(11, "video", gif)
     video_truth.append((11, 4, 8, 8, 4 / (100 / 100.0), 100 * 10.0))
+    # pre-round-8 rows carry no tag/pcm expectations (untagged fixtures,
+    # compressed or frameless streams): pad to the 10-column truth shape
+    audio_truth = [r + (None,) * (10 - len(r)) for r in audio_truth]
     return container_rows, audio_truth, video_truth
 
 

@@ -988,6 +988,72 @@ def extract_audio_metadata(media: DataFrame, errors: str = "quarantine") -> Data
     return media.mapInPandas(kernel, AUDIO_META_SCHEMA)
 
 
+AUDIO_PCM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("pcm_md5", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        _ERROR_FIELD,
+    ]
+)
+
+
+def extract_audio_pcm(media: DataFrame, errors: str = "quarantine") -> DataFrame:
+    """Full-decode PCM fingerprint for the losslessly decodable
+    containers (WAV incl. WAVE_FORMAT_EXTENSIBLE, FLAC, AIFF/AIFC):
+    ``pcm_md5`` is the md5 of the interleaved little-endian signed PCM
+    at the stream's bit depth — exactly FLAC's STREAMINFO MD5 layout
+    (RFC 9639 §8.2), so a WAV and its FLAC transcode hash identically
+    and the column is a lossless-identity join key across containers.
+    FLAC decode keeps its embedded-MD5 self-check, so a corrupt stream
+    quarantines rather than fingerprinting wrong. Compressed formats
+    (MP3/Ogg/AAC) have no canonical PCM bytes — honest quarantine.
+
+    This is the audio tier's documented slow path (full sample decode;
+    SCALING.md 'Media-kernel tier') — use the header-only
+    extract_audio_metadata unless lossless identity is the question."""
+    import hashlib
+
+    import pandas as pd
+
+    from . import codecs
+
+    _check_errors(errors)
+
+    def one(c: bytes):
+        if codecs.is_wav(c):
+            samples, _rate = codecs.decode_wav(c)
+            bits = codecs.wav_info(c)["bits"]
+        elif codecs.is_flac(c):
+            samples, _rate = codecs.decode_flac(c)
+            bits = codecs.flac_info(c)["bits"]
+        elif codecs.is_aiff(c):
+            samples, _rate = codecs.decode_aiff(c)
+            bits = codecs.aiff_info(c)["bits"]
+        else:
+            raise NotImplementedError(
+                "pcm fingerprint covers WAV, FLAC, and AIFF (lossless PCM)"
+            )
+        import numpy as np
+
+        flat = samples.reshape(-1).astype(np.int64)
+        h = hashlib.md5(codecs._pcm_le_bytes(flat, bits))
+        return h.hexdigest(), int(samples.shape[0])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                r, err = _guard(errors, one, bytes(c))
+                md5x, n = r if r else (None, None)
+                rows.append((mid, md5x, n, err))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "pcm_md5", "n_samples", "decode_error"]
+            )
+
+    return media.mapInPandas(kernel, AUDIO_PCM_SCHEMA)
+
+
 AUDIO_TAGS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

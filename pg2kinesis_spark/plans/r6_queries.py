@@ -68,25 +68,42 @@ def n24_archive_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 def n25_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio AND video container metadata walks over every supported
     format, as one tagged wide-schema union (one driver slot covers
-    both walks; columns the other modality lacks are NULL)."""
+    both walks; columns the other modality lacks are NULL). Round 8
+    widens the audio side with the tag walk (title/artist across
+    ID3v2, VorbisComment, RIFF INFO, AIFF NAME/AUTH) and the lossless
+    PCM identity md5 (full WAV/FLAC/AIFF decode, FLAC STREAMINFO
+    layout) — the r7 pytest-only surface joins the cross-engine hash
+    gate (VERDICT r7 task 4). Tag/pcm kernels run errors='quarantine':
+    untagged or compressed-only fixtures yield NULLs, which the truth
+    table records explicitly."""
     from pg2kinesis_spark.functions.multimodal import (
         extract_audio_metadata,
+        extract_audio_pcm,
+        extract_audio_tags,
         extract_video_features,
     )
 
     media = _fx(spark, "media_containers")
-    audio = extract_audio_metadata(
-        media.filter(F.col("kind") == "audio").select("media_id", "content"),
-        errors="raise",
-    ).select(
-        "media_id",
-        F.lit("audio").alias("kind"),
-        "container", "sample_rate", "n_channels", "bitrate_kbps", "vbr",
-        F.lit(None).cast("int").alias("n_frames"),
-        F.lit(None).cast("int").alias("width"),
-        F.lit(None).cast("int").alias("height"),
-        F.lit(None).cast("double").alias("fps"),
-        "duration_ms",
+    audio_media = media.filter(F.col("kind") == "audio").select(
+        "media_id", "content"
+    )
+    tags = extract_audio_tags(audio_media).select("media_id", "title", "artist")
+    pcm = extract_audio_pcm(audio_media).select("media_id", "pcm_md5")
+    audio = (
+        extract_audio_metadata(audio_media, errors="raise")
+        .join(tags, "media_id", "left")
+        .join(pcm, "media_id", "left")
+        .select(
+            "media_id",
+            F.lit("audio").alias("kind"),
+            "container", "sample_rate", "n_channels", "bitrate_kbps", "vbr",
+            "title", "artist", "pcm_md5",
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("double").alias("fps"),
+            "duration_ms",
+        )
     )
     video = extract_video_features(
         media.filter(F.col("kind") == "video").select("media_id", "content"),
@@ -99,6 +116,9 @@ def n25_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("n_channels"),
         F.lit(None).cast("double").alias("bitrate_kbps"),
         F.lit(None).cast("boolean").alias("vbr"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("artist"),
+        F.lit(None).cast("string").alias("pcm_md5"),
         "n_frames", "width", "height", "fps", "duration_ms",
     )
     return audio.unionByName(video).orderBy("media_id")
@@ -150,6 +170,7 @@ R6_ORACLE_SQL = {
     "n25_container_meta": f"""
         SELECT media_id, 'audio' AS kind, container, sample_rate,
                n_channels, bitrate_kbps, vbr,
+               title, artist, pcm_md5,
                CAST(NULL AS INTEGER) AS n_frames,
                CAST(NULL AS INTEGER) AS width,
                CAST(NULL AS INTEGER) AS height,
@@ -163,6 +184,9 @@ R6_ORACLE_SQL = {
                CAST(NULL AS INTEGER) AS n_channels,
                CAST(NULL AS DOUBLE) AS bitrate_kbps,
                CAST(NULL AS BOOLEAN) AS vbr,
+               CAST(NULL AS VARCHAR) AS title,
+               CAST(NULL AS VARCHAR) AS artist,
+               CAST(NULL AS VARCHAR) AS pcm_md5,
                n_frames, width, height, fps, duration_ms
         FROM {_f('media_containers_video_truth')}
         ORDER BY media_id

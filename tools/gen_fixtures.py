@@ -116,6 +116,9 @@ def main() -> None:
         "duration_ms": pa.array([r[4] for r in audio_truth], pa.float64()),
         "bitrate_kbps": pa.array([r[5] for r in audio_truth], pa.float64()),
         "vbr": pa.array([r[6] for r in audio_truth], pa.bool_()),
+        "title": pa.array([r[7] for r in audio_truth], pa.string()),
+        "artist": pa.array([r[8] for r in audio_truth], pa.string()),
+        "pcm_md5": pa.array([r[9] for r in audio_truth], pa.string()),
     })
     write(out, "media_containers_video_truth", {
         "media_id": pa.array([r[0] for r in video_truth], pa.int64()),
