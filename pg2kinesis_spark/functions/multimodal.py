@@ -523,8 +523,12 @@ def audio_fingerprint(media: DataFrame, errors: str = "quarantine") -> DataFrame
     in the comparisons, so a re-encode of the same track at a
     different bitrate fingerprints the same) and Layer III per-granule
     global_gain energy proxies (both MPEG-1 and LSF MPEG-2/2.5 side
-    info). MPEG-2/2.5 Layer I/II and other containers get NULL afp +
-    the error string (default) or raise (``errors="raise"``)."""
+    info). Ogg OPUS decodes via ``functions/opus.py`` — SILK subframe
+    gains / CELT coarse band energies through a real range decoder
+    (mono 10/20 ms layouts; see that module for what the proxy does
+    and does not claim). MPEG-2/2.5 Layer I/II, Ogg Vorbis, stereo
+    Opus, and other containers get NULL afp + the error string
+    (default) or raise (``errors="raise"``)."""
     import pandas as pd
 
     from . import codecs
@@ -535,6 +539,14 @@ def audio_fingerprint(media: DataFrame, errors: str = "quarantine") -> DataFrame
         if codecs.is_mp3(c):
             # per-frame energies ARE the envelope samples
             seq = codecs.mp3_subband_energies(c)
+        elif codecs.is_ogg(c):
+            # Ogg Opus: SILK subframe gains / CELT coarse band energy
+            # through a real range decoder (functions/opus.py — mono
+            # 10/20 ms layouts; stereo, 40/60 ms SILK, and Vorbis
+            # refuse into the quarantine channel)
+            from . import opus
+
+            seq = opus.opus_energy_envelope(c)
         else:
             if codecs.is_flac(c):
                 samples, _rate = codecs.decode_flac(c)

@@ -1,0 +1,244 @@
+"""Opus energy-envelope tier (functions/opus.py): range-coder and
+Laplace round trips (hypothesis), packet splitting per RFC 6716 §3.2,
+Ogg lacing reassembly, envelope round trips for both SILK-gain and
+CELT-coarse-energy paths, amplitude-scale invariance, the planted-pair
+truth through media_near_dup_pairs(signature='audio'), honest refusals
+(Vorbis / stereo / 40-60 ms SILK), and the corruption hammer."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pg2kinesis_spark.functions import opus as O
+
+_ICDF8 = (224, 192, 160, 128, 96, 64, 32, 0)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    syms=st.lists(st.integers(0, 7), min_size=1, max_size=120),
+    bits=st.lists(st.tuples(st.integers(0, 1), st.integers(1, 15)), max_size=40),
+)
+def test_range_coder_round_trip(syms, bits):
+    enc = O.RangeEncoder()
+    for s in syms:
+        enc.enc_icdf(s, _ICDF8, 8)
+    for b, lp in bits:
+        enc.enc_bit_logp(b, lp)
+    dec = O.RangeDecoder(enc.done())
+    assert [dec.dec_icdf(_ICDF8, 8) for _ in syms] == syms
+    assert [dec.dec_bit_logp(lp) for _, lp in bits] == [b for b, _ in bits]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    fs=st.integers(64, 16000),
+    decay=st.integers(1000, 16000),
+    vals=st.lists(st.integers(-90, 90), min_size=1, max_size=60),
+)
+def test_laplace_round_trip(fs, decay, vals):
+    enc = O.RangeEncoder()
+    coded = [O._laplace_encode(enc, v, fs, decay) for v in vals]
+    dec = O.RangeDecoder(enc.done())
+    assert [O._laplace_decode(dec, fs, decay) for _ in vals] == coded
+    # saturation is symmetric and bounded
+    assert all(abs(c) <= 64 for c in coded)
+
+
+def test_laplace_intervals_cover_exactly():
+    for fs, decay in [(100, 1000), (9000, 11000), (15000, 16000), (64, 15999)]:
+        iv = O._laplace_intervals(fs, decay)
+        assert iv[0] == (0, fs, 0)
+        hi_prev = 0
+        for lo, hi, _v in iv:
+            assert lo == hi_prev and hi > lo
+            hi_prev = hi
+        assert hi_prev == 32768
+
+
+def test_packet_frames_codes():
+    # code 0: single frame
+    cfg, st_, fr = O.opus_packet_frames(bytes([9 << 3]) + b"abc")
+    assert (cfg, st_, fr) == (9, False, [b"abc"])
+    # code 1: two equal frames
+    _, _, fr = O.opus_packet_frames(bytes([(9 << 3) | 1]) + b"aabb")
+    assert fr == [b"aa", b"bb"]
+    with pytest.raises(ValueError, match="odd"):
+        O.opus_packet_frames(bytes([(9 << 3) | 1]) + b"aab")
+    # code 2: explicit first length
+    _, _, fr = O.opus_packet_frames(bytes([(9 << 3) | 2, 2]) + b"aabbb")
+    assert fr == [b"aa", b"bbb"]
+    # code 3 CBR: count=3
+    _, _, fr = O.opus_packet_frames(bytes([(9 << 3) | 3, 3]) + b"aabbcc")
+    assert fr == [b"aa", b"bb", b"cc"]
+    # code 3 VBR + padding
+    pkt = bytes([(9 << 3) | 3, 0x80 | 0x40 | 2, 1, 1]) + b"abb" + b"\x00"
+    _, _, fr = O.opus_packet_frames(pkt)
+    assert fr == [b"a", b"bb"]
+    with pytest.raises(ValueError, match="frame count"):
+        O.opus_packet_frames(bytes([(9 << 3) | 3, 0]))
+
+
+def test_ogg_packets_reassembles_across_lacing():
+    # a 700-byte packet spans 255+255+190 lacing values; a second packet
+    # follows on the same page
+    big = bytes(range(256)) * 3
+    big = big[:700]
+    small = b"tail"
+    segs = [255, 255, 190, 4]
+    hdr = (
+        b"OggS" + bytes([0, 0]) + struct.pack("<q", 0)
+        + struct.pack("<II", 7, 0) + bytes(4)
+        + bytes([len(segs)]) + bytes(segs)
+    )
+    got = O.ogg_packets(hdr + big + small)
+    assert got == [big, small]
+
+
+def test_envelope_round_trip_silk_and_celt():
+    env = np.array([4.0, 8.0, 16.0, 0.0, 64.0, 8.0, 512.0, 16.0])
+    silk = O.opus_energy_envelope(O.encode_ogg_opus_envelope(env, mode="silk"))
+    # DTX (zero-energy) packets contribute no samples; 4 subframes/frame
+    assert len(silk) == 7 * 4
+    assert np.allclose(silk[:4], 4.0) and np.allclose(silk[-4:], 16.0)
+    celt = O.opus_energy_envelope(O.encode_ogg_opus_envelope(env, mode="celt"))
+    assert len(celt) == 8
+    assert celt[3] == 0.0  # silence flag decodes as zero energy
+    assert np.allclose(celt, env)  # integer log2 energies are exact
+
+
+def test_envelope_10ms_silk():
+    env = np.array([4.0, 32.0, 4.0])
+    got = O.opus_energy_envelope(
+        O.encode_ogg_opus_envelope(env, mode="silk", frame_ms=10)
+    )
+    assert len(got) == 3 * 2  # 2 subframes per 10 ms frame
+
+
+def test_envelope_amplitude_scale_invariance():
+    rng = np.random.default_rng(3)
+    env = 2.0 ** rng.uniform(3, 11, size=70)
+    for mode in ("silk", "celt"):
+        a = O.opus_energy_envelope(O.encode_ogg_opus_envelope(env, mode=mode))
+        b = O.opus_energy_envelope(
+            O.encode_ogg_opus_envelope(env * 0.5, mode=mode)
+        )
+        r = b / a
+        assert np.allclose(r, r[0])  # exactly one quantizer notch down
+
+
+def test_envelope_refusals():
+    env = np.array([4.0, 8.0])
+    ogg = O.encode_ogg_opus_envelope(env, mode="silk")
+    # stereo OpusHead: channel-count byte lives in the first page's body
+    blob = bytearray(ogg)
+    at = blob.index(b"OpusHead") + 9
+    blob[at] = 2
+    with pytest.raises(NotImplementedError, match="mono"):
+        O.opus_energy_envelope(bytes(blob))
+    # a 40 ms SILK packet (config 10) holds multiple SILK frames in ONE
+    # entropy stream — the full-decode tier, refused
+    pkts = O.ogg_packets(ogg)
+    with pytest.raises(NotImplementedError, match="SILK"):
+        O._silk_check_40ms_refusal = None  # marker, not used
+        O.opus_energy_envelope(_swap_first_audio_toc(ogg, 10 << 3))
+    # Vorbis is not Opus
+    from pg2kinesis_spark.functions import codecs as C
+
+    vorb = C.encode_ogg_pages(codec="vorbis", rate=22050, channels=1,
+                              n_samples=4410)
+    with pytest.raises(NotImplementedError, match="Opus"):
+        O.opus_energy_envelope(vorb)
+    assert len(pkts) >= 3
+
+
+def _swap_first_audio_toc(ogg: bytes, toc: int) -> bytes:
+    """Rewrite the first audio packet's TOC byte (and fix the page CRC)."""
+    from pg2kinesis_spark.functions import codecs as C
+
+    data = bytearray(ogg)
+    pos = 0
+    page_no = 0
+    while pos + 27 <= len(data):
+        nsegs = data[pos + 26]
+        body = pos + 27 + nsegs
+        size = sum(data[pos + 27 : pos + 27 + nsegs])
+        if page_no >= 2:  # after OpusHead and OpusTags pages
+            data[body] = toc
+            data[pos + 22 : pos + 26] = bytes(4)
+            raw = bytes(data[pos : body + size])
+            data[pos + 22 : pos + 26] = struct.pack(
+                "<I", C._ogg_page_crc(raw)
+            )
+            return bytes(data)
+        pos = body + size
+        page_no += 1
+    raise AssertionError("no audio page found")
+
+
+def test_opus_fingerprint_planted_pairs(spark):
+    """The planted-pair truth (VERDICT r7 task 3): a half-volume copy
+    and a jittered re-encode of the same envelope pair with the
+    original in media_near_dup_pairs(signature='audio'); an independent
+    track separates; Ogg Vorbis quarantines (NULL afp)."""
+    from pg2kinesis_spark.functions import codecs as C
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprint,
+        media_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    env = 2.0 ** rng.uniform(3, 11, size=80)
+    other = 2.0 ** rng.uniform(3, 11, size=80)
+    jitter = env * rng.uniform(0.93, 1.07, size=80)
+    blobs = [
+        O.encode_ogg_opus_envelope(env, mode="silk"),           # 0
+        O.encode_ogg_opus_envelope(env * 0.5, mode="silk"),     # 1 half vol
+        O.encode_ogg_opus_envelope(jitter, mode="silk"),        # 2 re-encode
+        O.encode_ogg_opus_envelope(other, mode="silk"),         # 3 different
+        O.encode_ogg_opus_envelope(env, mode="celt"),           # 4 celt twin
+        C.encode_ogg_pages(codec="vorbis", rate=22050,          # 5 vorbis
+                           channels=1, n_samples=441000),
+    ]
+    rows = [
+        (i, bytearray(b), ("audio/ogg", len(b), f"mem://{i}.ogg"))
+        for i, b in enumerate(blobs)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fps = {r["media_id"]: r for r in audio_fingerprint(media).collect()}
+    assert fps[5]["afp"] is None and "Vorbis" not in (fps[5]["decode_error"] or "x")
+    assert fps[5]["decode_error"]  # quarantined, whatever the wording
+    mask = (1 << 64) - 1
+
+    def ham(a, b):
+        return bin((fps[a]["afp"] ^ fps[b]["afp"]) & mask).count("1")
+
+    assert ham(0, 1) == 0  # exact scale invariance
+    assert ham(0, 2) <= 4
+    assert ham(0, 3) > 8
+    # SILK (4 gain samples/frame) and CELT (1 energy/frame) encodes of
+    # one envelope bin differently into the 65 windows, so they land
+    # closer than unrelated content but not at pair distance
+    assert ham(0, 4) < ham(0, 3)
+
+    pairs = media_near_dup_pairs(media, max_hamming=4, signature="audio").collect()
+    got = {(r["media_id1"], r["media_id2"]) for r in pairs}
+    assert (0, 1) in got and (0, 2) in got
+    assert not any(3 in p or 5 in p for p in got)
+
+
+def test_fuzz_opus_envelope_walk():
+    from tests.test_codec_fuzz import _hammer
+
+    rng = np.random.default_rng(5)
+    corpus = [
+        O.encode_ogg_opus_envelope(2.0 ** rng.uniform(2, 10, size=70), mode=m)
+        for m in ("silk", "celt")
+    ]
+    _hammer(O.opus_energy_envelope, corpus, seed=7)
