@@ -1109,6 +1109,100 @@ def aac_info(data: bytes) -> dict:
     }
 
 
+def aac_global_gains(data: bytes) -> "np.ndarray":
+    """Per-ADTS-frame energy proxies from the FIRST syntactic element's
+    ``global_gain`` — the AAC twin of the Layer III proxy: ISO 14496-3
+    §4.4.2.1 puts the 8-bit global_gain at the very FRONT of an
+    individual_channel_stream, before any scalefactor/spectral Huffman
+    work, and the scalefactor step is 2^0.25, so
+    ``2^((global_gain−100)/4)`` tracks the frame's amplitude scale and
+    cancels exactly in the fingerprint's adjacent-window comparisons
+    (half volume = a uniform −8 shift).
+
+    Reaches the gain through real syntax only: SCE → instance_tag(4) →
+    global_gain; CPE → instance_tag(4) + common_window(1) [+ shared
+    ics_info + ms_mask per §4.4.2.1 when common_window=1] →
+    global_gain of the first channel. LC-profile ics_info
+    (window_sequence/window_shape/max_sfb/scale_factor_grouping,
+    predictor_data_present must be 0). Raw data blocks led by PCE/CCE/
+    DSE/FIL elements, Main/SSR predictor data, and channel_config-0
+    streams refuse (NotImplementedError) into the quarantine channel.
+    """
+    data = bytes(data)
+    pos = _id3v2_size(data)
+    n = len(data)
+    gains: list[float] = []
+
+    while pos + 7 <= n:
+        if data[pos] != 0xFF or (data[pos + 1] & 0xF6) != 0xF0:
+            break
+        b1, b2, b3, b4, b5 = data[pos + 1 : pos + 6]
+        sfi = (b2 >> 2) & 0xF
+        if sfi >= len(_ADTS_RATES):
+            break
+        flen = ((b3 & 0x03) << 11) | (b4 << 3) | (b5 >> 5)
+        hdr_len = 7 if (b1 & 1) else 9
+        if flen < hdr_len or pos + flen > n:
+            break
+        profile = (b2 >> 6) & 3
+        if profile != 1:
+            raise NotImplementedError(
+                f"global_gain walk covers AAC LC (profile {profile})"
+            )
+        payload = data[pos + hdr_len : pos + flen]
+        bitpos = 0
+
+        def bits(k: int) -> int:
+            nonlocal bitpos
+            out = 0
+            for _ in range(k):
+                byte = bitpos >> 3
+                if byte >= len(payload):
+                    raise ValueError("ADTS payload exhausted before global_gain")
+                out = (out << 1) | ((payload[byte] >> (7 - (bitpos & 7))) & 1)
+                bitpos += 1
+            return out
+
+        ele = bits(3)
+        if ele == 0:  # SCE
+            bits(4)  # element_instance_tag
+        elif ele == 1:  # CPE
+            bits(4)
+            if bits(1):  # common_window: shared ics_info precedes gains
+                bits(1)  # ics_reserved_bit
+                window_sequence = bits(2)
+                bits(1)  # window_shape
+                if window_sequence == 2:  # EIGHT_SHORT_SEQUENCE
+                    max_sfb = bits(4)
+                    sfg = bits(7)
+                    num_window_groups = 1 + sum(
+                        1 for i in range(7) if not (sfg >> (6 - i)) & 1
+                    )
+                else:
+                    max_sfb = bits(6)
+                    if bits(1):  # predictor_data_present
+                        raise NotImplementedError(
+                            "Main/LTP predictor data in ics_info"
+                        )
+                    num_window_groups = 1
+                ms_mask = bits(2)
+                if ms_mask == 1:
+                    bits(num_window_groups * max_sfb)  # ms_used flags
+                elif ms_mask == 3:
+                    raise ValueError("reserved ms_mask_present value 3")
+        else:
+            raise NotImplementedError(
+                f"raw data block led by syntactic element {ele} "
+                "(PCE/CCE/DSE/LFE/FIL) — full-parse tier"
+            )
+        gg = bits(8)
+        gains.append(2.0 ** ((gg - 100) / 4.0))
+        pos += flen
+    if not gains:
+        raise ValueError("not ADTS AAC: no valid frame header")
+    return np.asarray(gains, dtype=np.float64)
+
+
 def encode_adts_frames(
     n_frames: int,
     rate: int = 44100,
@@ -1118,10 +1212,22 @@ def encode_adts_frames(
     mpeg2: bool = False,
     crc: bool = False,
     id3v2_bytes: int = 0,
+    gains=None,
 ) -> bytes:
     """Spec-packed ADTS stream for tests: valid headers + zeroed
     payloads (the independent fixture side of aac_info's contract).
-    ``frame_bytes`` may be an int or a per-frame list."""
+    ``frame_bytes`` may be an int or a per-frame list.
+
+    ``gains``: per-frame energies; each frame's payload then opens with
+    a real first syntactic element (SCE for mono, CPE with
+    common_window=0 for stereo) whose global_gain is the nearest code
+    with 2^((gg−100)/4) ≈ energy — the independent fixture side of
+    ``aac_global_gains`` (the encode_mp3_layer3_envelope precedent).
+    Spectral data stays zeroed; the walk never reads past the gain."""
+    import math as _math
+
+    if gains is not None and len(gains) != n_frames:
+        raise ValueError("gains must have one energy per frame")
     out = bytearray()
     if id3v2_bytes:
         sz = id3v2_bytes
@@ -1133,7 +1239,7 @@ def encode_adts_frames(
     sizes = (
         [frame_bytes] * n_frames if isinstance(frame_bytes, int) else list(frame_bytes)
     )
-    for flen in sizes:
+    for fi, flen in enumerate(sizes):
         hdr_len = 9 if crc else 7
         if flen < hdr_len:
             raise ValueError(f"frame_bytes {flen} below ADTS header size")
@@ -1144,6 +1250,25 @@ def encode_adts_frames(
         b5 = ((flen & 0x07) << 5) | 0x1F
         b6 = 0xFC  # buffer fullness all-ones tail + 1 raw data block
         frame = bytearray([0xFF, b1, b2, b3, b4, b5, b6])
+        if gains is not None:
+            e = float(gains[fi])
+            gg = min(max(int(round(100 + 4.0 * _math.log2(max(e, 1e-12)))), 0), 255)
+            acc = 0
+            nb = 0
+            if channels == 1:  # SCE: id 000, tag 0000, gg
+                acc = (0 << 12) | (0 << 8) | gg
+                nb = 3 + 4 + 8
+            else:  # CPE: id 001, tag 0000, common_window 0, gg
+                acc = (1 << 13) | (0 << 9) | (0 << 8) | gg
+                nb = 3 + 4 + 1 + 8
+            payload = bytearray()
+            acc <<= (8 - nb % 8) % 8  # left-align to a byte boundary
+            nbytes = (nb + 7) // 8
+            for i in range(nbytes - 1, -1, -1):
+                payload.append((acc >> (8 * i)) & 0xFF)
+            if flen < len(frame) + len(payload):
+                raise ValueError("frame_bytes too small for the gain element")
+            frame += payload
         frame += bytes(flen - len(frame))
         out += frame
     return bytes(out)

@@ -536,7 +536,11 @@ def audio_fingerprint(media: DataFrame, errors: str = "quarantine") -> DataFrame
     _check_errors(errors)
 
     def one(c: bytes) -> int:
-        if codecs.is_mp3(c):
+        if codecs.is_adts_aac(c):
+            # AAC twin of the Layer III proxy: first-element global_gain
+            # per ADTS frame (ISO 14496-3 — front-of-stream, no Huffman)
+            seq = codecs.aac_global_gains(c)
+        elif codecs.is_mp3(c):
             # per-frame energies ARE the envelope samples
             seq = codecs.mp3_subband_energies(c)
         elif codecs.is_ogg(c):

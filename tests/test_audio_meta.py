@@ -417,3 +417,153 @@ def test_ogg_page_crc_verified():
 
     probe = bytes(bytearray(og[:64]))
     assert _ogg_page_crc(probe) == bitcrc(probe)
+
+
+# --- AAC global_gain energy proxy (round 8) --------------------------------
+
+def test_aac_global_gains_round_trip():
+    """encode_adts_frames(gains=...) plants per-frame energies in a real
+    first syntactic element (SCE mono / CPE common_window=0 stereo);
+    aac_global_gains must recover the quantized values exactly, for
+    both layouts, and a half-volume copy must shift uniformly."""
+    from pg2kinesis_spark.functions.codecs import (
+        aac_global_gains,
+        encode_adts_frames,
+    )
+
+    env = 2.0 ** np.random.default_rng(1).uniform(2, 10, size=70)
+    q = 2.0 ** (np.round(4 * np.log2(env)) / 4.0)
+    for ch in (1, 2):
+        aac = encode_adts_frames(70, rate=32000, channels=ch,
+                                 frame_bytes=64, gains=env)
+        assert np.allclose(aac_global_gains(aac), q)
+        half = aac_global_gains(
+            encode_adts_frames(70, rate=32000, channels=ch,
+                               frame_bytes=64, gains=env * 0.5)
+        )
+        r = half / q
+        assert np.allclose(r, r[0])  # uniform -8 gain-code shift
+
+
+def _adts_frame_with_payload(payload: bytes, channels: int = 2) -> bytes:
+    """One ADTS LC frame wrapping hand-packed payload bits."""
+    from pg2kinesis_spark.functions.codecs import encode_adts_frames
+
+    flen = 7 + len(payload)
+    frame = bytearray(
+        encode_adts_frames(1, rate=44100, channels=channels,
+                           frame_bytes=flen)[:7]
+    ) + payload
+    frame[3] = (frame[3] & 0xFC) | ((flen >> 11) & 3)
+    frame[4] = (flen >> 3) & 0xFF
+    frame[5] = ((flen & 7) << 5) | 0x1F
+    return bytes(frame)
+
+
+def _pack_bits(bits: str) -> bytes:
+    pad = (8 - len(bits) % 8) % 8
+    return int(bits + "0" * pad, 2).to_bytes((len(bits) + pad) // 8, "big")
+
+
+def test_aac_global_gain_cpe_common_window():
+    """Hand-packed spec-form oracle for the common_window=1 path: the
+    shared ics_info (long window, max_sfb=2) and the ms_used flags must
+    be stepped over to reach channel 0's global_gain (ISO 14496-3
+    §4.4.2.1). EIGHT_SHORT grouping changes the ms_used count."""
+    from pg2kinesis_spark.functions.codecs import aac_global_gains
+
+    # long window: [id 001][tag 0000][cw 1][res 0][wseq 00][shape 0]
+    # [max_sfb 000010][pred 0][ms_mask 01][ms_used 2 bits][gg 10000100]
+    long_w = "001" + "0000" + "1" + "0" + "00" + "0" + "000010" + "0" \
+        + "01" + "11" + format(132, "08b")
+    got = aac_global_gains(_adts_frame_with_payload(_pack_bits(long_w)))
+    assert got.tolist() == [2.0 ** ((132 - 100) / 4)]
+    # EIGHT_SHORT: wseq 10, max_sfb(4)=2, grouping 0101010 -> 5 groups,
+    # ms_used = 5*2 = 10 bits
+    short_w = "001" + "0000" + "1" + "0" + "10" + "0" + "0010" + "0101010" \
+        + "01" + "1" * 10 + format(116, "08b")
+    got = aac_global_gains(_adts_frame_with_payload(_pack_bits(short_w)))
+    assert got.tolist() == [2.0 ** ((116 - 100) / 4)]
+
+
+def test_aac_global_gain_refusals():
+    from pg2kinesis_spark.functions.codecs import (
+        aac_global_gains,
+        encode_adts_frames,
+    )
+
+    # Main profile (0) refuses
+    with pytest.raises(NotImplementedError, match="profile"):
+        aac_global_gains(
+            encode_adts_frames(3, rate=44100, channels=2,
+                               frame_bytes=32, profile=0)
+        )
+    # PCE-led raw data block (element id 5) refuses
+    pce = _adts_frame_with_payload(_pack_bits("101" + "0" * 13))
+    with pytest.raises(NotImplementedError, match="syntactic element"):
+        aac_global_gains(pce)
+    # predictor_data_present in the shared ics_info refuses
+    pred = "001" + "0000" + "1" + "0" + "00" + "0" + "000010" + "1" + "0" * 16
+    with pytest.raises(NotImplementedError, match="predictor"):
+        aac_global_gains(_adts_frame_with_payload(_pack_bits(pred)))
+    # garbage is a ValueError, not a hang
+    with pytest.raises(ValueError):
+        aac_global_gains(b"\x00" * 40)
+
+
+def test_aac_fingerprint_planted_pairs(spark):
+    """The planted-pair truth for AAC: half-volume and re-encoded
+    (jittered) copies pair in media_near_dup_pairs(signature='audio');
+    an independent envelope separates; a Main-profile stream
+    quarantines."""
+    from pg2kinesis_spark.functions.codecs import encode_adts_frames
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprint,
+        media_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(8)
+    env = 2.0 ** rng.uniform(3, 11, size=80)
+    other = 2.0 ** rng.uniform(3, 11, size=80)
+    jitter = env * rng.uniform(0.93, 1.07, size=80)
+    mk = lambda e, **kw: encode_adts_frames(
+        len(e), rate=32000, channels=2, frame_bytes=64, gains=e, **kw
+    )
+    blobs = [mk(env), mk(env * 0.5), mk(jitter), mk(other),
+             mk(env, profile=0)]
+    rows = [
+        (i, bytearray(b), ("audio/aac", len(b), f"mem://{i}.aac"))
+        for i, b in enumerate(blobs)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fps = {r["media_id"]: r for r in audio_fingerprint(media).collect()}
+    assert fps[4]["afp"] is None and "profile" in fps[4]["decode_error"]
+    mask = (1 << 64) - 1
+
+    def ham(a, b):
+        return bin((fps[a]["afp"] ^ fps[b]["afp"]) & mask).count("1")
+
+    assert ham(0, 1) == 0 and ham(0, 2) <= 4 and ham(0, 3) > 8
+    pairs = media_near_dup_pairs(media, max_hamming=4,
+                                 signature="audio").collect()
+    got = {(r["media_id1"], r["media_id2"]) for r in pairs}
+    assert (0, 1) in got and (0, 2) in got
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_fuzz_aac_gain_walk():
+    from tests.test_codec_fuzz import _hammer
+
+    from pg2kinesis_spark.functions.codecs import (
+        aac_global_gains,
+        encode_adts_frames,
+    )
+
+    rng = np.random.default_rng(6)
+    corpus = [
+        encode_adts_frames(40, rate=32000, channels=ch, frame_bytes=48,
+                           gains=2.0 ** rng.uniform(2, 10, size=40))
+        for ch in (1, 2)
+    ]
+    _hammer(aac_global_gains, corpus, seed=9)
