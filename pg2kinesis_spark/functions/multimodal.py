@@ -1182,6 +1182,72 @@ def covers_as_media(covers: DataFrame) -> DataFrame:
     )
 
 
+PDF_IMAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("img_idx", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("mime", T.StringType()),
+        _ERROR_FIELD,
+    ]
+)
+
+
+def extract_pdf_images(
+    media: DataFrame, errors: str = "quarantine", password: str = ""
+) -> DataFrame:
+    """Embedded raster images from PDF media rows (``pdf.pdf_images``:
+    DCTDecode payloads pass through as the JPEG files they are; raw
+    8-bit DeviceRGB/DeviceGray samples re-wrap losslessly as PNG) — one
+    output row per image, per-image quarantine (JPX/JBIG2/CCITT,
+    exotic colorspaces). A PDF that fails to parse at all yields one
+    row with NULL img_idx + the error. Compose with
+    ``pdf_images_as_media`` to feed the image tier — embedded figures
+    and scanned plates then dedup/near-dup exactly like cover art."""
+    import pandas as pd
+
+    from . import pdf as pdfmod
+
+    _check_errors(errors)
+    pwd = password.encode("latin-1")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdfb in batches:
+            rows = []
+            for mid, c in zip(pdfb["media_id"], pdfb["content"]):
+                r, err = _guard(errors, pdfmod.pdf_images, bytes(c), pwd)
+                if r is None:
+                    rows.append((mid, None, None, None, err))
+                    continue
+                for idx, img, mime, ierr in r:
+                    rows.append((mid, idx, img, mime, ierr))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "img_idx", "content", "mime", "decode_error"],
+            )
+
+    return media.mapInPandas(kernel, PDF_IMAGES_SCHEMA)
+
+
+def pdf_images_as_media(images: DataFrame) -> DataFrame:
+    """extract_pdf_images output → MEDIA_SCHEMA rows for the image
+    operators (the covers_as_media precedent). media_id must stay
+    unique per IMAGE for the pair search, so it becomes
+    ``pdf_media_id * 1009 + img_idx`` — document-scoped and
+    deterministic; recover the source document with ``div 1009``."""
+    return images.filter(F.col("content").isNotNull()).select(
+        (F.col("media_id") * F.lit(1009) + F.col("img_idx")).alias("media_id"),
+        F.col("content"),
+        F.struct(
+            F.col("mime"),
+            F.length("content").cast("long").alias("bytes_hint"),
+            F.concat(
+                F.lit("pdfimg://"), F.col("media_id"), F.lit("#"), F.col("img_idx")
+            ).alias("source_uri"),
+        ).alias("meta"),
+    )
+
+
 def media_from_files(spark, path: str, glob: str | None = None) -> DataFrame:
     """Directory-of-files front door: Spark's binaryFile source mapped
     into MEDIA_SCHEMA. media_id is the xxhash64 of the file path

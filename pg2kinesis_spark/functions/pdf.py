@@ -325,12 +325,17 @@ def _unpredict(data: bytes, parms: bytes) -> bytes:
     return bytes(out)
 
 
-def _decode_stream(sdict: bytes, body: bytes) -> bytes | None:
+def _decode_stream(sdict: bytes, body: bytes, upto: int | None = None) -> bytes | None:
     """Apply the stream's filter chain for the text-bearing filters
     (Flate, LZW, ASCIIHex, ASCII85, RunLength — in declared order);
     None for image filters (DCT/JPX/CCITT/JBIG2) this tier won't
-    fake. Every inflating step is MAX_INFLATE-bounded."""
+    fake. Every inflating step is MAX_INFLATE-bounded. ``upto`` stops
+    after the first ``upto`` filters — how pdf_images unwraps the
+    transport filters AROUND a /DCTDecode payload without faking the
+    DCT itself."""
     names = _filter_names(sdict)
+    if upto is not None:
+        names = names[:upto]
     if not names:
         return body
     import base64
@@ -1374,6 +1379,101 @@ def pdf_page_count(data: bytes, password: bytes | str = b"") -> int:
     return len(_PAGE_RE.findall(data))
 
 
+_IMAGE_RE = re.compile(rb"/Subtype\s*/Image\b")
+
+
+def _img_int(head: bytes, key: bytes) -> int | None:
+    m = re.search(re.escape(key) + rb"\s+(\d+)", head)
+    return int(m.group(1)) if m else None
+
+
+def pdf_images(data: bytes, password: bytes | str = b"") -> list[tuple]:
+    """Embedded raster images from a PDF's Image XObjects, as
+    (index, bytes | None, mime | None, error | None) rows — the
+    composition seam that feeds figures/covers into the image tier
+    (dHash / near-dup / exact dedup) the way audio cover art does.
+
+    Found by scanning EVERY stream object for /Subtype /Image (so
+    images referenced from Form XObjects or orphaned by a broken page
+    tree still surface), through the same object-graph plumbing as
+    pdf_text: ObjStm expansion and standard-handler decryption
+    included. Two real extractions:
+
+    * **/DCTDecode** payloads ARE JPEG files: transport filters before
+      the DCT (Flate/A85/AHx/RLE) are unwrapped, the JPEG bytes pass
+      through untouched — arithmetic/12-bit/progressive handling is
+      decode_jpeg's contract downstream, exactly like any other JPEG.
+    * **Raw-sample images** (no filter, or fully decodable chains) in
+      8-bit /DeviceRGB or /DeviceGray re-wrap losslessly as PNG via
+      codecs.encode_png, so downstream sees one uniform image format.
+
+    JPX/JBIG2/CCITT payloads, exotic colorspaces, and sub-8-bit depths
+    yield (idx, None, None, reason) — per-image quarantine, the whole
+    document never fails over one plate."""
+    data = bytes(data)
+    if isinstance(password, str):
+        password = password.encode("latin-1")
+    objs = _object_map(data)
+    if b"/Encrypt" in data:
+        _decrypt_objects(data, objs, password=password)
+    _expand_objstm(objs)
+    out: list[tuple] = []
+    idx = 0
+    for num in sorted(objs):
+        head, body = objs[num]
+        if body is None or not _IMAGE_RE.search(head):
+            continue
+        names = _filter_names(head)
+        try:
+            if names and names[-1] == b"DCTDecode":
+                jpg = _decode_stream(head, body, upto=len(names) - 1)
+                if jpg is None:
+                    raise NotImplementedError(
+                        "image filter before the DCT payload"
+                    )
+                out.append((idx, jpg, "image/jpeg", None))
+            elif names and names[-1] in (b"JPXDecode", b"JBIG2Decode",
+                                         b"CCITTFaxDecode"):
+                raise NotImplementedError(
+                    f"{names[-1].decode()} image payloads"
+                )
+            else:
+                raw = _decode_stream(head, body)
+                if raw is None:
+                    raise NotImplementedError("undecodable image filter chain")
+                w = _img_int(head, b"/Width")
+                h = _img_int(head, b"/Height")
+                bpc = _img_int(head, b"/BitsPerComponent")
+                if not w or not h:
+                    raise ValueError("image without /Width + /Height")
+                if bpc != 8:
+                    raise NotImplementedError(
+                        f"{bpc}-bit raw image samples (8-bit tier)"
+                    )
+                if re.search(rb"/ColorSpace\s*/DeviceRGB\b", head):
+                    nch = 3
+                elif re.search(rb"/ColorSpace\s*/DeviceGray\b", head):
+                    nch = 1
+                else:
+                    raise NotImplementedError(
+                        "raw image colorspace beyond DeviceRGB/DeviceGray"
+                    )
+                if len(raw) < w * h * nch:
+                    raise ValueError("raw image samples shorter than W*H*C")
+                import numpy as np
+
+                from pg2kinesis_spark.functions import codecs as C
+
+                img = np.frombuffer(
+                    raw[: w * h * nch], dtype=np.uint8
+                ).reshape(h, w, nch)
+                out.append((idx, C.encode_png(img), "image/png", None))
+        except Exception as e:
+            out.append((idx, None, None, f"{type(e).__name__}: {e}"))
+        idx += 1
+    return out
+
+
 # --- fixture writer --------------------------------------------------------
 
 def _esc_pdf(s: str) -> str:
@@ -1582,11 +1682,39 @@ class _PdfBuilder:
             + b" >>\nstream\n" + stream + b"\nendstream"
         )
 
-    def finish(self, content_ids: list[int], font: int) -> bytes:
+    def add_image(self, payload: bytes, w: int, h: int, kind: str) -> int:
+        """An Image XObject stream: kind 'jpeg' stores the bytes under
+        /DCTDecode; 'rgb'/'gray' store raw 8-bit samples (optionally
+        behind Flate via finish-time compress=False here, raw)."""
+        if kind == "jpeg":
+            extra = b" /Filter /DCTDecode /ColorSpace /DeviceRGB /BitsPerComponent 8"
+            body = payload
+        else:
+            cs = b"/DeviceRGB" if kind == "rgb" else b"/DeviceGray"
+            extra = b" /ColorSpace " + cs + b" /BitsPerComponent 8"
+            body = payload
+        return self.add(
+            b"<< /Type /XObject /Subtype /Image /Width " + str(w).encode()
+            + b" /Height " + str(h).encode() + extra
+            + b" /Length " + str(len(body)).encode()
+            + b" >>\nstream\n" + body + b"\nendstream"
+        )
+
+    def finish(
+        self, content_ids: list[int], font: int,
+        image_ids: list[int] | None = None,
+    ) -> bytes:
         """Page dicts + /Pages + /Catalog around the content streams,
         then serialize (the pages_id forward-reference arithmetic lives
         exactly once, here)."""
         pages_id = len(self.objs) + len(content_ids) + 1
+        xobj = b""
+        if image_ids:
+            refs = b" ".join(
+                b"/Im" + str(i).encode() + b" " + str(oid).encode() + b" 0 R"
+                for i, oid in enumerate(image_ids)
+            )
+            xobj = b" /XObject << " + refs + b" >>"
         page_ids = []
         for cid in content_ids:
             page_ids.append(
@@ -1594,7 +1722,7 @@ class _PdfBuilder:
                     b"<< /Type /Page /Parent " + str(pages_id).encode()
                     + b" 0 R /MediaBox [0 0 612 792] /Contents "
                     + str(cid).encode() + b" 0 R /Resources << /Font << /F1 "
-                    + str(font).encode() + b" 0 R >> >> >>"
+                    + str(font).encode() + b" 0 R >>" + xobj + b" >> >>"
                 )
             )
         kids = b" ".join(str(pn).encode() + b" 0 R" for pn in page_ids)
@@ -1623,6 +1751,7 @@ def encode_pdf(
     encrypt_r: int | None = None,
     user_password: bytes = b"",
     owner_password: bytes = b"",
+    images: list[tuple] | None = None,
 ) -> bytes:
     """Minimal valid PDF: one content stream per page, each inner list
     is that page's lines — the independent side of pdf_text's contract,
@@ -1632,19 +1761,30 @@ def encode_pdf(
     from a raw-bytes scan. ``encrypt_r`` (2/3) RC4-encrypts the streams
     with empty passwords — the owner-locked layout; ``user_password``/
     ``owner_password`` produce the credentialed layouts (every cipher
-    generation)."""
+    generation).
+
+    ``images``: list of (payload, width, height, kind) placed as Image
+    XObjects on the first page's resources and drawn with `Do` — kind
+    'jpeg' stores the bytes under /DCTDecode, 'rgb'/'gray' store raw
+    8-bit samples; the independent fixture side of ``pdf_images``."""
     b = _PdfBuilder(objstm, encrypt_r, user_password, owner_password)
     font = b.add_dict(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    image_ids = [
+        b.add_image(payload, w, h, kind) for payload, w, h, kind in images or []
+    ]
     content_ids = []
-    for lines in pages:
+    for pi, lines in enumerate(pages):
         ops = ["BT /F1 12 Tf 72 720 Td"]
         for i, line in enumerate(lines):
             if i:
                 ops.append("T*")
             ops.append(f"({_esc_pdf(line)}) Tj")
         ops.append("ET")
+        if pi == 0:
+            for i in range(len(image_ids)):
+                ops.append(f"q 100 0 0 100 72 {600 - 110 * i} cm /Im{i} Do Q")
         content_ids.append(b.add_stream(" ".join(ops).encode("latin-1"), compress))
-    return b.finish(content_ids, font)
+    return b.finish(content_ids, font, image_ids)
 
 
 def encode_pdf_cid(

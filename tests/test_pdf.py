@@ -684,3 +684,111 @@ def test_per_stream_crypt_identity_is_not_decrypted():
     objs3 = _object_map(enc + custom)
     with pytest.raises(NotImplementedError, match="Crypt"):
         _decrypt_objects(enc + custom, objs3)
+
+
+# --- embedded images -> image tier (round 8) --------------------------------
+
+def test_pdf_images_dct_and_raw_round_trip():
+    """DCTDecode payloads come back as the exact JPEG bytes planted;
+    raw 8-bit DeviceRGB/DeviceGray samples re-wrap as lossless PNG;
+    both survive the ObjStm and encrypted layouts."""
+    import numpy as np
+
+    from pg2kinesis_spark.functions import codecs as C
+    from pg2kinesis_spark.functions.pdf import encode_pdf, pdf_images, pdf_text
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (24, 16, 3), dtype=np.uint8)
+    gray = rng.randint(0, 256, (8, 10, 1), dtype=np.uint8)
+    jpg = C.encode_jpeg(img, quality=90)
+    imgs = [(jpg, 16, 24, "jpeg"), (img.tobytes(), 16, 24, "rgb"),
+            (gray.tobytes(), 10, 8, "gray")]
+    for kw in ({}, {"objstm": True, "compress": True}, {"encrypt_r": 3}):
+        doc = encode_pdf([["hello", "world"]], images=imgs, **kw)
+        assert pdf_text(doc) == "hello\nworld"  # Do ops don't perturb text
+        got = pdf_images(doc)
+        assert [g[2] for g in got] == ["image/jpeg", "image/png", "image/png"]
+        assert got[0][1] == jpg
+        assert np.array_equal(C.decode_png(got[1][1]), img)
+        assert np.array_equal(C.decode_png(got[2][1]), gray)
+
+
+def test_pdf_images_per_image_quarantine():
+    """A JPX plate quarantines as ONE row; the JPEG next to it still
+    extracts — per-image error channel, never whole-document."""
+    import numpy as np
+
+    from pg2kinesis_spark.functions import codecs as C
+    from pg2kinesis_spark.functions.pdf import _PdfBuilder, pdf_images
+
+    img = np.full((4, 4, 3), 9, dtype=np.uint8)
+    jpg = C.encode_jpeg(img)
+    b = _PdfBuilder(False)
+    font = b.add_dict(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    b.add_image(jpg, 4, 4, "jpeg")
+    b.add(b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4"
+          b" /Filter /JPXDecode /Length 3 >>\nstream\nabc\nendstream")
+    cid = b.add_stream(b"BT ET")
+    doc = b.finish([cid], font)
+    got = pdf_images(doc)
+    assert got[0][1] == jpg and got[0][3] is None
+    assert got[1][1] is None and "JPXDecode" in got[1][3]
+
+
+def test_pdf_embedded_figures_pair_in_image_tier(spark):
+    """The planted-pair truth (VERDICT r7 task 6): the same figure
+    embedded in two different PDFs (once as JPEG, once as raw RGB)
+    pairs in media_near_dup_pairs(signature='dhash') through the
+    extract_pdf_images -> pdf_images_as_media composition; an unrelated
+    figure separates."""
+    import numpy as np
+
+    from pg2kinesis_spark.functions import codecs as C
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_pdf_images,
+        media_near_dup_pairs,
+        pdf_images_as_media,
+    )
+    from pg2kinesis_spark.functions.pdf import encode_pdf
+
+    x = np.linspace(0, 255, 32, dtype=np.uint8)
+    fig = np.stack(np.meshgrid(x, x)[::-1] + [np.outer(x, x[::-1]) // 255],
+                   axis=-1).astype(np.uint8)
+    rng = np.random.RandomState(9)
+    other = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+    doc_a = encode_pdf([["a"]], images=[(C.encode_jpeg(fig, quality=92), 32, 32, "jpeg")])
+    doc_b = encode_pdf([["b"]], images=[(fig.tobytes(), 32, 32, "rgb")],
+                       objstm=True, compress=True)
+    doc_c = encode_pdf([["c"]], images=[(other.tobytes(), 32, 32, "rgb")])
+    rows = [
+        (i, bytearray(d), ("application/pdf", len(d), f"mem://{i}.pdf"))
+        for i, d in enumerate([doc_a, doc_b, doc_c])
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    figures = pdf_images_as_media(extract_pdf_images(media))
+    ids = {r["media_id"] for r in figures.select("media_id").collect()}
+    assert ids == {0, 1009, 2 * 1009}  # doc*1009 + img_idx
+    pairs = media_near_dup_pairs(figures, max_hamming=6,
+                                 signature="dhash").collect()
+    got = {(r["media_id1"], r["media_id2"]) for r in pairs}
+    assert (0, 1009) in got
+    assert not any(2 * 1009 in p for p in got)
+
+
+def test_fuzz_pdf_images_walk():
+    import numpy as np
+
+    from tests.test_codec_fuzz import _hammer
+
+    from pg2kinesis_spark.functions import codecs as C
+    from pg2kinesis_spark.functions.pdf import encode_pdf, pdf_images
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    corpus = [
+        encode_pdf([["x"]], images=[(C.encode_jpeg(img), 4, 4, "jpeg"),
+                                    (img.tobytes(), 4, 4, "rgb")]),
+        encode_pdf([["y"]], images=[(img.tobytes(), 4, 4, "rgb")],
+                   objstm=True, compress=True),
+    ]
+    _hammer(pdf_images, corpus, seed=13, budget_s=2.0)
