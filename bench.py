@@ -322,15 +322,21 @@ def bench_pack(spark, sf_dir):
 
 def bench_bpe(spark, sf_dir):
     """BPE subword token counts over the FULL documents table against a
-    500-merge model learned on a 5k-doc sample: one word-count shuffle +
-    driver merges (learn), then distinct-word Python encode + broadcast
-    join + per-doc sum (count). Learn runs inside the timer — it is part
-    of the workload, exactly once per corpus."""
+    500-merge model learned on a deterministic half sample: one
+    word-count shuffle + driver merges (learn), then distinct-word
+    Python encode + broadcast join + per-doc sum (count). Learn runs
+    inside the timer — it is part of the workload, exactly once per
+    corpus. The sample is hash_sample, NOT limit(): a global limit
+    funnels the whole tokenize into one partition (GlobalLimit =
+    single-task upstream), which is both the measured cost here and a
+    scale defect at any corpus size — the hash filter is map-side and
+    keeps all 32 cores on the explode."""
     from pg2kinesis_spark.functions.bpe import bpe_token_counts, learn_bpe
+    from pg2kinesis_spark.functions.sampling import hash_sample
     from pg2kinesis_spark.io import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    model = learn_bpe(docs.limit(5000), num_merges=500)
+    model = learn_bpe(hash_sample(docs, "cast(doc_id as string)", 50), num_merges=500)
     return bpe_token_counts(docs, model)
 
 
@@ -343,7 +349,13 @@ def bench_lm(spark, sf_dir):
     from pg2kinesis_spark.io import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    lm = train_ngram_lm(docs.limit(2500), max_vocab=50_000, max_bigrams=500_000)
+    # hash_sample, not limit(): see bench_bpe — a global limit is a
+    # one-partition funnel in front of the train tokenize
+    from pg2kinesis_spark.functions.sampling import hash_sample
+
+    lm = train_ngram_lm(
+        hash_sample(docs, "cast(doc_id as string)", 50), max_vocab=50_000, max_bigrams=500_000
+    )
     return score_perplexity(docs, lm)
 
 
@@ -445,7 +457,9 @@ def bench_unigram(spark, sf_dir):
     from pg2kinesis_spark.io import load_table
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    model = learn_unigram(docs.limit(5000), vocab_size=500)
+    from pg2kinesis_spark.functions.sampling import hash_sample
+
+    model = learn_unigram(hash_sample(docs, "cast(doc_id as string)", 50), vocab_size=500)
     return unigram_token_counts(docs, model)
 
 
