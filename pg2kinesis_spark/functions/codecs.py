@@ -1150,57 +1150,64 @@ def aac_global_gains(data: bytes) -> "np.ndarray":
                 f"global_gain walk covers AAC LC (profile {profile})"
             )
         payload = data[pos + hdr_len : pos + flen]
-        bitpos = 0
-
-        def bits(k: int) -> int:
-            nonlocal bitpos
-            out = 0
-            for _ in range(k):
-                byte = bitpos >> 3
-                if byte >= len(payload):
-                    raise ValueError("ADTS payload exhausted before global_gain")
-                out = (out << 1) | ((payload[byte] >> (7 - (bitpos & 7))) & 1)
-                bitpos += 1
-            return out
-
-        ele = bits(3)
-        if ele == 0:  # SCE
-            bits(4)  # element_instance_tag
-        elif ele == 1:  # CPE
-            bits(4)
-            if bits(1):  # common_window: shared ics_info precedes gains
-                bits(1)  # ics_reserved_bit
-                window_sequence = bits(2)
-                bits(1)  # window_shape
-                if window_sequence == 2:  # EIGHT_SHORT_SEQUENCE
-                    max_sfb = bits(4)
-                    sfg = bits(7)
-                    num_window_groups = 1 + sum(
-                        1 for i in range(7) if not (sfg >> (6 - i)) & 1
-                    )
-                else:
-                    max_sfb = bits(6)
-                    if bits(1):  # predictor_data_present
-                        raise NotImplementedError(
-                            "Main/LTP predictor data in ics_info"
-                        )
-                    num_window_groups = 1
-                ms_mask = bits(2)
-                if ms_mask == 1:
-                    bits(num_window_groups * max_sfb)  # ms_used flags
-                elif ms_mask == 3:
-                    raise ValueError("reserved ms_mask_present value 3")
-        else:
-            raise NotImplementedError(
-                f"raw data block led by syntactic element {ele} "
-                "(PCE/CCE/DSE/LFE/FIL) — full-parse tier"
-            )
-        gg = bits(8)
-        gains.append(2.0 ** ((gg - 100) / 4.0))
+        gains.append(2.0 ** ((_aac_first_element_gain(payload) - 100) / 4.0))
         pos += flen
     if not gains:
         raise ValueError("not ADTS AAC: no valid frame header")
     return np.asarray(gains, dtype=np.float64)
+
+
+def _aac_first_element_gain(payload: bytes) -> int:
+    """global_gain of the first syntactic element of one raw data block
+    (the shared reader behind the ADTS and M4A walks — ISO 14496-3
+    §4.4.2.1): SCE → tag → gain; CPE → tag + common_window [+ shared
+    ics_info + ms_used flags] → gain of channel 0."""
+    bitpos = 0
+
+    def bits(k: int) -> int:
+        nonlocal bitpos
+        out = 0
+        for _ in range(k):
+            byte = bitpos >> 3
+            if byte >= len(payload):
+                raise ValueError("AAC payload exhausted before global_gain")
+            out = (out << 1) | ((payload[byte] >> (7 - (bitpos & 7))) & 1)
+            bitpos += 1
+        return out
+
+    ele = bits(3)
+    if ele == 0:  # SCE
+        bits(4)  # element_instance_tag
+    elif ele == 1:  # CPE
+        bits(4)
+        if bits(1):  # common_window: shared ics_info precedes gains
+            bits(1)  # ics_reserved_bit
+            window_sequence = bits(2)
+            bits(1)  # window_shape
+            if window_sequence == 2:  # EIGHT_SHORT_SEQUENCE
+                max_sfb = bits(4)
+                sfg = bits(7)
+                num_window_groups = 1 + sum(
+                    1 for i in range(7) if not (sfg >> (6 - i)) & 1
+                )
+            else:
+                max_sfb = bits(6)
+                if bits(1):  # predictor_data_present
+                    raise NotImplementedError(
+                        "Main/LTP predictor data in ics_info"
+                    )
+                num_window_groups = 1
+            ms_mask = bits(2)
+            if ms_mask == 1:
+                bits(num_window_groups * max_sfb)  # ms_used flags
+            elif ms_mask == 3:
+                raise ValueError("reserved ms_mask_present value 3")
+    else:
+        raise NotImplementedError(
+            f"raw data block led by syntactic element {ele} "
+            "(PCE/CCE/DSE/LFE/FIL) — full-parse tier"
+        )
+    return bits(8)
 
 
 def encode_adts_frames(
@@ -6093,6 +6100,266 @@ def mp4_tags(data: bytes) -> dict[str, str]:
                             out.setdefault(key, val)
                         break
     return out
+
+
+def _parse_esds_aot(entry: bytes) -> tuple[int, int, int]:
+    """(audioObjectType, freq_index, channel_config) from the esds box
+    inside an mp4a sample entry (ISO 14496-1 descriptor framing: tag +
+    7-bit-varint length; 0x03 ES → 0x04 DecoderConfig → 0x05
+    DecSpecificInfo holding the AudioSpecificConfig bits)."""
+    at = entry.find(b"esds")
+    if at < 0:
+        raise ValueError("mp4a sample entry without an esds box")
+    p = at + 4 + 4  # skip fourcc + fullbox version/flags
+    end = len(entry)
+
+    def varlen(q: int) -> tuple[int, int]:
+        n = 0
+        for _ in range(4):
+            if q >= end:
+                raise ValueError("truncated esds descriptor length")
+            b = entry[q]
+            q += 1
+            n = (n << 7) | (b & 0x7F)
+            if not b & 0x80:
+                break
+        return n, q
+
+    def expect(tag: int, q: int) -> tuple[int, int]:
+        if q >= end or entry[q] != tag:
+            raise ValueError(f"esds: expected descriptor 0x{tag:02x}")
+        _n, q = varlen(q + 1)
+        return _n, q
+
+    _, p = expect(0x03, p)
+    p += 3  # ES_ID(2) + streamDependence/URL/OCR flags(1)
+    _, p = expect(0x04, p)
+    if entry[p] != 0x40:
+        raise NotImplementedError(
+            f"objectTypeIndication 0x{entry[p]:02x} is not MPEG-4 audio"
+        )
+    p += 13  # OTI(1) + streamType/bufferSize(4) + maxBitrate(4) + avgBitrate(4)
+    _, p = expect(0x05, p)
+    if p + 2 > end:
+        raise ValueError("truncated AudioSpecificConfig")
+    asc = (entry[p] << 8) | entry[p + 1]
+    aot = asc >> 11
+    freq_idx = (asc >> 7) & 0xF
+    chan = (asc >> 3) & 0xF
+    return aot, freq_idx, chan
+
+
+def m4a_aac_gains(data: bytes) -> "np.ndarray":
+    """Per-sample energy proxies for AAC-in-MP4 (M4A) — the same
+    first-element global_gain read as the ADTS walk, reached through
+    the REAL sample tables instead of sync words: stsd's mp4a entry
+    (esds AudioSpecificConfig must say AAC LC, AOT 2), stsz sample
+    sizes, stsc sample-to-chunk runs, stco/co64 chunk offsets → one
+    raw access unit per sample → ``_aac_first_element_gain``. Files
+    with video tracks, non-mp4a audio, or non-LC AOT refuse
+    (NotImplementedError) into the quarantine channel."""
+    data = bytes(data)
+    if not is_mp4(data):
+        raise ValueError("not an MP4: no ftyp box")
+    budget = [_MP4_MAX_BOXES]
+    boxes = _mp4_walk(data, 0, len(data), 0, budget)
+    trak_end = -1
+    trak: dict = {}
+    traks: list[dict] = []
+
+    def flush():
+        if trak:
+            traks.append(dict(trak))
+            trak.clear()
+
+    for fourcc, body, bend in boxes:
+        if fourcc == b"trak":
+            flush()
+            trak_end = bend
+        elif body <= trak_end:
+            if fourcc == b"hdlr":
+                trak["handler"] = bytes(data[body + 8 : body + 12])
+            elif fourcc == b"stsd":
+                (n_entries,) = struct.unpack(">I", data[body + 4 : body + 8])
+                if n_entries:
+                    trak["codec"] = bytes(data[body + 12 : body + 16])
+                    trak["entry"] = bytes(data[body + 8 : bend])
+            elif fourcc == b"stsz":
+                sz, cnt = struct.unpack(">II", data[body + 4 : body + 12])
+                if sz:
+                    trak["sizes"] = [sz] * cnt
+                else:
+                    if body + 12 + 4 * cnt > bend:
+                        raise ValueError("stsz table overruns its box")
+                    trak["sizes"] = list(
+                        struct.unpack(f">{cnt}I", data[body + 12 : body + 12 + 4 * cnt])
+                    )
+            elif fourcc == b"stsc":
+                (cnt,) = struct.unpack(">I", data[body + 4 : body + 8])
+                if body + 8 + 12 * cnt > bend:
+                    raise ValueError("stsc table overruns its box")
+                trak["stsc"] = [
+                    struct.unpack(">III", data[body + 8 + 12 * i : body + 20 + 12 * i])
+                    for i in range(cnt)
+                ]
+            elif fourcc in (b"stco", b"co64"):
+                (cnt,) = struct.unpack(">I", data[body + 4 : body + 8])
+                w = 4 if fourcc == b"stco" else 8
+                if body + 8 + w * cnt > bend:
+                    raise ValueError("chunk-offset table overruns its box")
+                fmt = ">%d%s" % (cnt, "I" if w == 4 else "Q")
+                trak["chunks"] = list(
+                    struct.unpack(fmt, data[body + 8 : body + 8 + w * cnt])
+                )
+    flush()
+    if any(t.get("handler") == b"vide" for t in traks):
+        raise NotImplementedError(
+            "MP4 with video tracks stays on the video tier"
+        )
+    aud = next(
+        (t for t in traks if t.get("handler") == b"soun"), None
+    )
+    if aud is None:
+        raise ValueError("MP4 without an audio track")
+    if aud.get("codec") != b"mp4a":
+        raise NotImplementedError(
+            f"M4A gain walk covers mp4a/AAC ({aud.get('codec')!r})"
+        )
+    aot, _fi, _ch = _parse_esds_aot(aud.get("entry", b""))
+    if aot != 2:
+        raise NotImplementedError(
+            f"AudioSpecificConfig AOT {aot} (AAC LC tier is AOT 2)"
+        )
+    sizes = aud.get("sizes")
+    chunks = aud.get("chunks")
+    stsc = aud.get("stsc")
+    if not sizes or not chunks or not stsc:
+        raise ValueError("M4A missing stsz/stco/stsc sample tables")
+    # expand sample-to-chunk runs into a per-chunk sample count
+    per_chunk: list[int] = []
+    for i, (first, spc, _desc) in enumerate(stsc):
+        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(chunks)
+        per_chunk.extend([spc] * (last - first + 1))
+    gains: list[float] = []
+    si = 0
+    n = len(data)
+    for ci, coff in enumerate(chunks):
+        at = coff
+        for _ in range(per_chunk[ci] if ci < len(per_chunk) else 0):
+            if si >= len(sizes):
+                break
+            sz = sizes[si]
+            if at + sz > n:
+                raise ValueError("sample extent overruns the file")
+            gg = _aac_first_element_gain(data[at : at + sz])
+            gains.append(2.0 ** ((gg - 100) / 4.0))
+            at += sz
+            si += 1
+    if not gains:
+        raise ValueError("M4A with zero audio samples")
+    return np.asarray(gains, dtype=np.float64)
+
+
+def encode_m4a_envelope(
+    energies,
+    rate: int = 44100,
+    channels: int = 1,
+    tags: dict[str, str] | None = None,
+) -> bytes:
+    """M4A fixture whose per-sample decoded envelope equals the
+    quantized ``energies`` — real ftyp/moov/mdat structure with true
+    sample tables (stsd mp4a + esds AAC-LC AudioSpecificConfig, stsz
+    per-sample sizes, stsc one run, stco) over raw SCE/CPE access
+    units; the independent fixture side of ``m4a_aac_gains``."""
+    import math as _math
+
+    env = list(energies)
+    samples: list[bytes] = []
+    for e in env:
+        gg = min(max(int(round(100 + 4.0 * _math.log2(max(float(e), 1e-12)))), 0), 255)
+        if channels == 1:  # SCE: [000][0000][gg]
+            acc = gg
+            nb = 15
+        else:  # CPE, common_window=0: [001][0000][0][gg]
+            acc = (1 << 13) | gg
+            nb = 16
+        acc <<= (8 - nb % 8) % 8
+        samples.append(acc.to_bytes((nb + 7) // 8, "big") + b"\x00")
+
+    ftyp = _mp4_box(b"ftyp", b"M4A " + struct.pack(">I", 0x200) + b"M4A mp42")
+    mdat_payload = b"".join(samples)
+    mdat = _mp4_box(b"mdat", mdat_payload)
+    first_off = len(ftyp) + 8  # into mdat's payload
+
+    def fullbox(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+        return _mp4_box(fourcc, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+    ts = rate
+    dur = 1024 * len(samples)
+    mvhd = fullbox(
+        b"mvhd", 0, 0,
+        struct.pack(">III", 0, 0, ts) + struct.pack(">I", dur)
+        + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+        + bytes(10) + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                                  0x40000000) + bytes(24) + struct.pack(">I", 2),
+    )
+    tkhd = fullbox(
+        b"tkhd", 0, 3,
+        struct.pack(">III", 0, 0, 1) + bytes(4) + struct.pack(">I", dur)
+        + bytes(8) + struct.pack(">HHHH", 0, 0, 0x0100, 0)
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", 0, 0),
+    )
+    mdhd = fullbox(
+        b"mdhd", 0, 0,
+        struct.pack(">III", 0, 0, ts) + struct.pack(">I", dur)
+        + struct.pack(">HH", 0x55C4, 0),
+    )
+    hdlr = fullbox(b"hdlr", 0, 0, bytes(4) + b"soun" + bytes(12) + b"a\x00")
+    # AudioSpecificConfig: AOT 2 (LC), freq index from rate, channels
+    _ASC_RATES = [96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+                  16000, 12000, 11025, 8000, 7350]
+    fi = _ASC_RATES.index(rate)
+    asc = bytes([(2 << 3) | (fi >> 1), ((fi & 1) << 7) | (channels << 3)])
+    dsi = bytes([0x05, len(asc)]) + asc
+    dcd = bytes([0x04, 13 + len(dsi), 0x40, 0x15]) + bytes(11) + dsi
+    esd = bytes([0x03, 3 + len(dcd)]) + struct.pack(">H", 1) + b"\x00" + dcd
+    esds = fullbox(b"esds", 0, 0, esd)
+    entry_body = (
+        bytes(6) + struct.pack(">H", 1) + bytes(8)
+        + struct.pack(">HH", channels, 16) + bytes(4)
+        + struct.pack(">I", rate << 16) + esds
+    )
+    stsd = fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + _mp4_box(b"mp4a", entry_body))
+    stsz = fullbox(
+        b"stsz", 0, 0,
+        struct.pack(">II", 0, len(samples))
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+    stsc = fullbox(b"stsc", 0, 0, struct.pack(">I", 1) + struct.pack(">III", 1, len(samples), 1))
+    stco = fullbox(b"stco", 0, 0, struct.pack(">I", 1) + struct.pack(">I", first_off))
+    stts = fullbox(b"stts", 0, 0, struct.pack(">I", 1) + struct.pack(">II", len(samples), 1024))
+    stbl = _mp4_box(b"stbl", stsd + stts + stsc + stsz + stco)
+    smhd = fullbox(b"smhd", 0, 0, bytes(4))
+    dref = fullbox(b"dref", 0, 0, struct.pack(">I", 1) + fullbox(b"url ", 0, 1, b""))
+    dinf = _mp4_box(b"dinf", dref)
+    minf = _mp4_box(b"minf", smhd + dinf + stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    udta = b""
+    if tags:
+        rev = {}
+        for f, k in _MP4_TAG_KEYS.items():
+            rev.setdefault(k, f)
+        items = b""
+        for k, v in tags.items():
+            d = _mp4_box(b"data", struct.pack(">I", 1) + bytes(4) + v.encode("utf-8"))
+            items += _mp4_box(rev[k], d)
+        h2 = _mp4_box(b"hdlr", bytes(4) + bytes(4) + b"mdir" + bytes(9))
+        meta = _mp4_box(b"meta", bytes(4) + h2 + _mp4_box(b"ilst", items))
+        udta = _mp4_box(b"udta", meta)
+    moov = _mp4_box(b"moov", mvhd + trak + udta)
+    return ftyp + mdat + moov
 
 
 def encode_mp4_skeleton(

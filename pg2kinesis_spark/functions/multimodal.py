@@ -551,6 +551,11 @@ def audio_fingerprint(media: DataFrame, errors: str = "quarantine") -> DataFrame
             from . import opus
 
             seq = opus.opus_energy_envelope(c)
+        elif codecs.is_mp4(c):
+            # M4A: the same global_gain read as ADTS, reached through
+            # the real stsz/stsc/stco sample tables — an ADTS stream
+            # and its M4A remux fingerprint IDENTICALLY
+            seq = codecs.m4a_aac_gains(c)
         else:
             if codecs.is_flac(c):
                 samples, _rate = codecs.decode_flac(c)

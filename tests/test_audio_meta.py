@@ -567,3 +567,99 @@ def test_fuzz_aac_gain_walk():
         for ch in (1, 2)
     ]
     _hammer(aac_global_gains, corpus, seed=9)
+
+
+# --- M4A (AAC in MP4) gain walk (round 8) -----------------------------------
+
+def test_m4a_gains_round_trip_and_adts_identity():
+    """encode_m4a_envelope writes real sample tables over raw SCE/CPE
+    access units; m4a_aac_gains must recover the quantized energies
+    exactly — and equal the ADTS walk's gains for the same envelope
+    (an ADTS stream and its M4A remux fingerprint identically)."""
+    from pg2kinesis_spark.functions.codecs import (
+        aac_global_gains,
+        encode_adts_frames,
+        encode_m4a_envelope,
+        m4a_aac_gains,
+        mp4_info,
+        mp4_tags,
+    )
+
+    env = 2.0 ** np.random.default_rng(2).uniform(3, 11, size=70)
+    q = 2.0 ** (np.round(4 * np.log2(env)) / 4.0)
+    for ch in (1, 2):
+        m4a = encode_m4a_envelope(env, channels=ch, tags={"title": "T"})
+        assert np.allclose(m4a_aac_gains(m4a), q)
+        info = mp4_info(m4a)  # the metadata walk sees the same file
+        assert info["audio_codec"] == "mp4a" and info["audio_channels"] == ch
+        assert mp4_tags(m4a) == {"title": "T"}
+    adts = encode_adts_frames(70, rate=44100, channels=1, frame_bytes=64,
+                              gains=env)
+    assert np.array_equal(
+        aac_global_gains(adts),
+        m4a_aac_gains(encode_m4a_envelope(env, channels=1)),
+    )
+
+
+def test_m4a_gain_refusals():
+    from pg2kinesis_spark.functions.codecs import (
+        encode_m4a_envelope,
+        encode_mp4_skeleton,
+        m4a_aac_gains,
+    )
+
+    with pytest.raises(NotImplementedError, match="video"):
+        m4a_aac_gains(encode_mp4_skeleton())  # video-bearing MP4
+    # non-LC AudioSpecificConfig: patch the ASC's AOT bits (2 -> 5/SBR)
+    m4a = bytearray(encode_m4a_envelope([4.0, 8.0]))
+    at = m4a.index(b"esds")
+    # ASC is the 2 bytes after the 0x05 descriptor tag + length
+    dsi = m4a.index(b"\x05\x02", at)
+    m4a[dsi + 2] = (5 << 3) | (m4a[dsi + 2] & 0x07)
+    with pytest.raises(NotImplementedError, match="AOT"):
+        m4a_aac_gains(bytes(m4a))
+    with pytest.raises(ValueError):
+        m4a_aac_gains(b"\x00" * 40)
+
+
+def test_m4a_fingerprint_cross_container_identity(spark):
+    """An ADTS AAC stream and its M4A remux (same envelope) pair at
+    hamming 0 in the audio fingerprint — cross-container identity, the
+    AAC analogue of the WAV==FLAC losslessness contract."""
+    from pg2kinesis_spark.functions.codecs import (
+        encode_adts_frames,
+        encode_m4a_envelope,
+    )
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprint,
+    )
+
+    rng = np.random.default_rng(4)
+    env = 2.0 ** rng.uniform(3, 11, size=80)
+    adts = encode_adts_frames(80, rate=44100, channels=1, frame_bytes=64,
+                              gains=env)
+    m4a = encode_m4a_envelope(env, channels=1)
+    rows = [
+        (0, bytearray(adts), ("audio/aac", len(adts), "mem://0.aac")),
+        (1, bytearray(m4a), ("audio/mp4", len(m4a), "mem://1.m4a")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fps = {r["media_id"]: r["afp"] for r in audio_fingerprint(media).collect()}
+    assert fps[0] == fps[1] and fps[0] is not None
+
+
+def test_fuzz_m4a_gain_walk():
+    from tests.test_codec_fuzz import _hammer
+
+    from pg2kinesis_spark.functions.codecs import (
+        encode_m4a_envelope,
+        m4a_aac_gains,
+    )
+
+    rng = np.random.default_rng(7)
+    corpus = [
+        encode_m4a_envelope(2.0 ** rng.uniform(2, 10, size=30), channels=ch)
+        for ch in (1, 2)
+    ]
+    _hammer(m4a_aac_gains, corpus, seed=15)
