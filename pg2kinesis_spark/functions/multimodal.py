@@ -556,6 +556,14 @@ def audio_fingerprint(media: DataFrame, errors: str = "quarantine") -> DataFrame
             # the real stsz/stsc/stco sample tables — an ADTS stream
             # and its M4A remux fingerprint IDENTICALLY
             seq = codecs.m4a_aac_gains(c)
+        elif codecs.is_webm(c):
+            # audio-only WebM: Opus packets lifted from the Cluster
+            # blocks feed the same envelope walk as the Ogg front —
+            # an Ogg Opus file and its WebM remux fingerprint
+            # IDENTICALLY; video-bearing WebM stays on the video tier
+            from . import opus
+
+            seq = opus.webm_opus_energy_envelope(c)
         else:
             if codecs.is_flac(c):
                 samples, _rate = codecs.decode_flac(c)

@@ -483,10 +483,17 @@ def opus_energy_envelope(data: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"Opus envelope walks mono streams only ({channels} channels)"
         )
+    return opus_packets_energy(
+        p for p in packets[1:] if not p.startswith(b"OpusTags")
+    )
+
+
+def opus_packets_energy(packets) -> np.ndarray:
+    """The per-packet energy walk shared by the Ogg and WebM fronts:
+    each packet contributes its SILK subframe gains or CELT coarse
+    band energy (see the module docstring for scope + refusals)."""
     env: list[float] = []
-    for pkt in packets[1:]:
-        if pkt.startswith(b"OpusTags"):
-            continue
+    for pkt in packets:
         config, stereo, frames = opus_packet_frames(pkt)
         if stereo:
             raise NotImplementedError("stereo Opus packet in mono stream")
@@ -546,31 +553,15 @@ def ogg_packets(data: bytes) -> list[bytes]:
 # --- fixture encoder ---------------------------------------------------------
 
 
-def encode_ogg_opus_envelope(
-    energies,
-    mode: str = "silk",
-    frame_ms: int = 20,
-    tags: dict[str, str] | None = None,
-    serial: int = 7,
-) -> bytes:
-    """Ogg Opus fixture whose per-frame decoded envelope equals the
-    quantized ``energies`` — the independent construction side of
-    ``opus_energy_envelope`` (the MP3 ``encode_mp3_layer3_envelope``
-    precedent). ``mode='silk'`` writes one mono 20 ms (or 10 ms) SILK
-    frame per packet carrying the energy in its subframe gains;
-    ``'celt'`` writes CELT frames carrying it in the coarse band
-    energies. Zero energy becomes a DTX (empty) packet in silk mode and
-    the silence flag in celt mode."""
-    from pg2kinesis_spark.functions import codecs as C
-
+def opus_envelope_packets(energies, mode: str = "silk", frame_ms: int = 20) -> list[bytes]:
+    """Raw mono Opus packets (code 0, one frame each) carrying the
+    quantized envelope — the packet builder shared by the Ogg and WebM
+    fixture fronts."""
     env = np.asarray(energies, dtype=np.float64)
     if (env < 0).any():
         raise ValueError("energies must be non-negative")
     if frame_ms not in (10, 20):
         raise ValueError("frame_ms must be 10 or 20")
-    rate = 48000
-    spf = 48 * frame_ms
-
     pkts: list[bytes] = []
     for e in env:
         if mode == "silk":
@@ -613,6 +604,168 @@ def encode_ogg_opus_envelope(
             pkts.append(toc + enc.done())
         else:
             raise ValueError(mode)
+    return pkts
+
+
+def webm_opus_energy_envelope(data: bytes) -> np.ndarray:
+    """Per-frame energy envelope of Opus inside WebM/Matroska — the
+    same per-packet walk as the Ogg front, with packets lifted from
+    the Cluster SimpleBlocks/Blocks of the first A_OPUS audio track
+    (no-lacing blocks; laced audio refuses). An Ogg Opus stream and
+    its WebM remux fingerprint IDENTICALLY. Video-bearing files stay
+    on the video tier; stereo and non-Opus audio refuse."""
+    from pg2kinesis_spark.functions import codecs as C
+
+    data = bytes(data)
+    if not C.is_webm(data):
+        raise ValueError("not Matroska/WebM: bad EBML magic")
+    info = C.webm_info(data)
+    if info["n_video_tracks"]:
+        raise NotImplementedError("WebM with video tracks stays on the video tier")
+    if info["audio_codec"] != "A_OPUS":
+        raise NotImplementedError(
+            f"WebM audio envelope covers A_OPUS ({info['audio_codec']!r})"
+        )
+    if (info["n_channels"] or 1) != 1:
+        raise NotImplementedError("Opus envelope walks mono streams only")
+    # find the audio track number + cluster extents with the shared walk
+    budget = [C._MKV_MAX_ELEMS]
+    elems = C._mkv_walk(data, 0, len(data), 0, budget)
+    anum = None
+    entry_end = -1
+    cur_num = cur_type = None
+    clusters: list[tuple[int, int]] = []
+    for eid, body, bend, _d in elems:
+        if eid == C._MKV_TRACKENTRY:
+            if cur_type == 2 and anum is None:
+                anum = cur_num
+            cur_num = cur_type = None
+            entry_end = bend
+        elif eid == C._MKV_CLUSTER:
+            clusters.append((body, bend))
+        elif body <= entry_end:
+            if eid == C._MKV_TRACKNUMBER:
+                cur_num = C._ebml_uint(data, body, bend)
+            elif eid == C._MKV_TRACKTYPE:
+                cur_type = C._ebml_uint(data, body, bend)
+    if cur_type == 2 and anum is None:
+        anum = cur_num
+    if anum is None:
+        raise ValueError("WebM without an audio track entry")
+
+    def block_payload(body: int, bend: int) -> bytes | None:
+        # block header: track vint, s16 rel timecode, flags byte
+        tnum, p = C._ebml_size(data, body)
+        if tnum is not C._EBML_UNKNOWN and tnum != anum:
+            return None
+        flags = data[p + 2]
+        if flags & 0x06:
+            raise NotImplementedError("laced Opus blocks (one packet per block tier)")
+        return data[p + 3 : bend]
+
+    packets: list[bytes] = []
+    blk_budget = C._MKV_MAX_BLOCKS
+    for cbody, cend in clusters:
+        pos = cbody
+        while pos < cend:
+            blk_budget -= 1
+            if blk_budget < 0:
+                raise ValueError("WebM block count exceeds the walk budget")
+            eid, p = C._ebml_id(data, pos)
+            size, body = C._ebml_size(data, p)
+            bend = cend if size is C._EBML_UNKNOWN else body + size
+            if bend > cend:
+                raise ValueError(f"EBML element 0x{eid:X} escapes enclosure")
+            if eid == C._MKV_SIMPLEBLOCK:
+                pkt = block_payload(body, bend)
+                if pkt:
+                    packets.append(pkt)
+            elif eid == C._MKV_BLOCKGROUP:
+                q = body
+                while q < bend:
+                    eid2, p2 = C._ebml_id(data, q)
+                    size2, body2 = C._ebml_size(data, p2)
+                    bend2 = bend if size2 is C._EBML_UNKNOWN else body2 + size2
+                    if bend2 > bend:
+                        raise ValueError(
+                            f"EBML element 0x{eid2:X} escapes enclosure"
+                        )
+                    if eid2 == C._MKV_BLOCK:
+                        pkt = block_payload(body2, bend2)
+                        if pkt:
+                            packets.append(pkt)
+                    q = bend2
+            pos = bend
+    if not packets:
+        raise ValueError("WebM Opus track with no blocks")
+    return opus_packets_energy(packets)
+
+
+def encode_webm_opus_envelope(
+    energies,
+    mode: str = "silk",
+    frame_ms: int = 20,
+    blocks_per_cluster: int = 20,
+) -> bytes:
+    """Audio-only WebM fixture carrying the SAME Opus packets the Ogg
+    fixture would — the remux twin for the cross-container identity
+    test, and the independent construction side of
+    ``webm_opus_energy_envelope``."""
+    from pg2kinesis_spark.functions import codecs as C
+
+    pkts = opus_envelope_packets(energies, mode, frame_ms)
+    ebml_hdr = C._EBML_MAGIC + C._ebml_encode_size(0)
+    dur_ticks = frame_ms * len(pkts)  # 1 ms ticks at the default scale
+    info = C._ebml_elem(
+        C._MKV_INFO,
+        C._ebml_elem(C._MKV_TIMECODESCALE, (1_000_000).to_bytes(4, "big"))
+        + C._ebml_elem(C._MKV_DURATION, struct.pack(">d", float(dur_ticks))),
+    )
+    audio_entry = C._ebml_elem(
+        C._MKV_TRACKENTRY,
+        C._ebml_elem(C._MKV_TRACKTYPE, b"\x02")
+        + C._ebml_elem(C._MKV_TRACKNUMBER, b"\x01")
+        + C._ebml_elem(C._MKV_CODECID, b"A_OPUS")
+        + C._ebml_elem(
+            C._MKV_AUDIO,
+            C._ebml_elem(C._MKV_SAMPLINGFREQ, struct.pack(">f", 48000.0))
+            + C._ebml_elem(C._MKV_CHANNELS, b"\x01"),
+        ),
+    )
+    tracks = C._ebml_elem(C._MKV_TRACKS, audio_entry)
+    clusters = b""
+    for i in range(0, len(pkts), blocks_per_cluster):
+        chunk = pkts[i : i + blocks_per_cluster]
+        base_tc = i * frame_ms
+        payload = C._ebml_elem(C._MKV_CLUSTERTC, base_tc.to_bytes(4, "big"))
+        for j, pkt in enumerate(chunk):
+            blk = bytes([0x81]) + struct.pack(">h", j * frame_ms) + b"\x80" + pkt
+            payload += C._ebml_elem(C._MKV_SIMPLEBLOCK, blk)
+        clusters += C._ebml_elem(C._MKV_CLUSTER, payload)
+    segment = C._ebml_elem(C._MKV_SEGMENT, info + tracks + clusters)
+    return ebml_hdr + segment
+
+
+def encode_ogg_opus_envelope(
+    energies,
+    mode: str = "silk",
+    frame_ms: int = 20,
+    tags: dict[str, str] | None = None,
+    serial: int = 7,
+) -> bytes:
+    """Ogg Opus fixture whose per-frame decoded envelope equals the
+    quantized ``energies`` — the independent construction side of
+    ``opus_energy_envelope`` (the MP3 ``encode_mp3_layer3_envelope``
+    precedent). ``mode='silk'`` writes one mono 20 ms (or 10 ms) SILK
+    frame per packet carrying the energy in its subframe gains;
+    ``'celt'`` writes CELT frames carrying it in the coarse band
+    energies. Zero energy becomes a DTX (empty) packet in silk mode and
+    the silence flag in celt mode."""
+    from pg2kinesis_spark.functions import codecs as C
+
+    rate = 48000
+    spf = 48 * frame_ms
+    pkts = opus_envelope_packets(energies, mode, frame_ms)
 
     def page(granule, seq, payload, header_type=0):
         segs = []

@@ -242,3 +242,71 @@ def test_fuzz_opus_envelope_walk():
         for m in ("silk", "celt")
     ]
     _hammer(O.opus_energy_envelope, corpus, seed=7)
+
+
+# --- WebM-contained Opus (round 8) ------------------------------------------
+
+def test_webm_opus_envelope_matches_ogg_remux():
+    """An Ogg Opus stream and its WebM remux (same packets in Cluster
+    SimpleBlocks) decode to IDENTICAL envelopes — cross-container
+    identity for both SILK and CELT modes."""
+    rng = np.random.default_rng(3)
+    env = 2.0 ** rng.uniform(3, 11, size=70)
+    for mode in ("silk", "celt"):
+        a = O.opus_energy_envelope(O.encode_ogg_opus_envelope(env, mode=mode))
+        b = O.webm_opus_energy_envelope(
+            O.encode_webm_opus_envelope(env, mode=mode)
+        )
+        assert np.array_equal(a, b)
+
+
+def test_webm_opus_refusals():
+    from pg2kinesis_spark.functions import codecs as C
+
+    with pytest.raises(NotImplementedError, match="video"):
+        O.webm_opus_energy_envelope(C.encode_webm_skeleton(n_frames=4))
+    # audio-only but not Opus
+    vorb = C.encode_webm_skeleton(
+        video_codec=b"V_VP9", audio_codec=b"A_VORBIS"
+    )
+    # strip the video track by building a pure-audio skeleton: reuse the
+    # fixture writer's audio entry via the envelope encoder, then patch
+    # the CodecID to A_VORBIS
+    webm = bytearray(O.encode_webm_opus_envelope([4.0, 8.0]))
+    at = webm.index(b"A_OPUS")
+    webm[at : at + 6] = b"A_VORB"
+    with pytest.raises(NotImplementedError, match="A_OPUS"):
+        O.webm_opus_energy_envelope(bytes(webm))
+    assert vorb  # the video+vorbis file exercises the first refusal path
+
+
+def test_webm_opus_fingerprint_identity(spark):
+    """Ogg Opus and its WebM remux pair at hamming 0 through
+    audio_fingerprint — the container never shows in the signature."""
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprint,
+    )
+
+    rng = np.random.default_rng(6)
+    env = 2.0 ** rng.uniform(3, 11, size=80)
+    ogg = O.encode_ogg_opus_envelope(env, mode="silk")
+    webm = O.encode_webm_opus_envelope(env, mode="silk")
+    rows = [
+        (0, bytearray(ogg), ("audio/ogg", len(ogg), "mem://0.ogg")),
+        (1, bytearray(webm), ("audio/webm", len(webm), "mem://1.webm")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fps = {r["media_id"]: r["afp"] for r in audio_fingerprint(media).collect()}
+    assert fps[0] == fps[1] and fps[0] is not None
+
+
+def test_fuzz_webm_opus_walk():
+    from tests.test_codec_fuzz import _hammer
+
+    rng = np.random.default_rng(9)
+    corpus = [
+        O.encode_webm_opus_envelope(2.0 ** rng.uniform(2, 10, size=40), mode=m)
+        for m in ("silk", "celt")
+    ]
+    _hammer(O.webm_opus_energy_envelope, corpus, seed=21)
