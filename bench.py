@@ -102,7 +102,7 @@ def bench_cdc_replay(spark, sf_dir):
 _PGOUT_REG_CACHE: dict = {}
 
 
-def bench_pgoutput_replay(spark, sf_dir):
+def bench_pgoutput_replay(spark, sf_dir, xid_eager=False):
     """pgoutput binary-protocol parse throughput: ~190k framed messages
     through decode kernel + distributed xid prefix-scan + broadcast
     registry join + CSV format — the binary twin of cdc_replay_450k.
@@ -141,9 +141,12 @@ def bench_pgoutput_replay(spark, sf_dir):
         _PGOUT_REG_CACHE[corpus] = (reg_df.collect(), reg_df.schema)
     rows, schema = _PGOUT_REG_CACHE[corpus]
     registry = spark.createDataFrame(rows, schema)
-    return format_csv(pgoutput_cdc_changes(raw, registry=registry)).select(
-        "lsn", "xid", "fmt_msg"
-    )
+    # xid_eager=False: same backfill argument as cdc_replay — the JVM
+    # begin twins feed the LAZY bounds/summary branches, so the build
+    # runs zero driver jobs (SCALING.md "cdc_replay: reconciling")
+    return format_csv(
+        pgoutput_cdc_changes(raw, registry=registry, xid_eager=xid_eager)
+    ).select("lsn", "xid", "fmt_msg")
 
 
 def bench_curate(spark, sf_dir):
@@ -677,7 +680,12 @@ def run_inline(only_set: set[str] | None, sf_dir: str) -> tuple[dict, dict]:
             # above is the backfill/cold-start rate; this is the rate a
             # long-lived stream sustains (SCALING.md "pgoutput:
             # reconciling ...").
-            built = fn(spark, sf_dir)
+            # the steady plan builds EAGER (xid literal-map carry): a
+            # long-lived stream pays the two driver jobs once and then
+            # re-executes the cheapest possible plan — the lazy carry is
+            # the BACKFILL shape measured by the build-inclusive number
+            built = bench_pgoutput_replay(spark, sf_dir, xid_eager=True)
+            built.count()  # untimed: materialize the eager carry build
             ss = [_timed_count(built) for _ in range(3)]
             times["pgoutput_steady_rows_per_sec"] = round(n / min(ss), 1)
             spread["pgoutput_replay_steady"] = [round(min(ss), 4), round(max(ss), 4), 3]

@@ -290,7 +290,10 @@ def relation_registry(raw: DataFrame, payload_col: str = "payload") -> DataFrame
 
 
 def parse_pgoutput(
-    raw: DataFrame, registry: DataFrame | None = None, payload_col: str = "payload"
+    raw: DataFrame,
+    registry: DataFrame | None = None,
+    payload_col: str = "payload",
+    xid_eager: bool = True,
 ) -> DataFrame:
     """Parse a (lsn, payload binary) pgoutput stream into change rows.
 
@@ -299,6 +302,12 @@ def parse_pgoutput(
     broadcast relation metadata, xid attributed via the distributed
     BEGIN carry-forward. Begin/Commit/Relation messages drive the
     attribution and registry but emit no change rows.
+
+    ``xid_eager=False`` selects the zero-driver-job carry (see
+    ``stamp_xid_scalable``); the pure-JVM begin twins below then feed
+    the LAZY bounds/summary branches, so a backfill build runs no
+    driver jobs at all and the twin scans schedule inside the consuming
+    action. Keep the default for long-lived streams.
     """
     import pandas as pd
 
@@ -407,6 +416,7 @@ def parse_pgoutput(
         begin_col="begin_xid",
         stats_df=begin_stats,
         begin_rows_df=begin_rows,
+        eager=xid_eager,
     )
     changes = stamped.filter(
         F.col("operation").isin("insert", "update", "delete", "truncate")
@@ -436,6 +446,7 @@ def pgoutput_cdc_changes(
     raw: DataFrame,
     payload_col: str = "payload",
     registry: DataFrame | None = None,
+    xid_eager: bool = True,
 ) -> DataFrame:
     """Adapt a pgoutput stream to apply_cdc's change contract:
     (lsn, change_idx, table, operation, pkey, row map<string,string>,
@@ -448,7 +459,9 @@ def pgoutput_cdc_changes(
     op); rows referencing a rel_id with no Relation message surface an
     ``error`` instead of being dropped (fail-stop channel, §8.5).
     """
-    parsed = parse_pgoutput(raw, registry=registry, payload_col=payload_col)
+    parsed = parse_pgoutput(
+        raw, registry=registry, payload_col=payload_col, xid_eager=xid_eager
+    )
     eff_values = F.when(
         F.col("operation") == "delete", F.col("old_values")
     ).otherwise(F.col("col_values"))

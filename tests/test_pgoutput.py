@@ -286,3 +286,25 @@ def test_parse_pgoutput_truncate_rows_and_snapshot(spark):
     assert tr[0].pkey is None and tr[0].row is None and tr[0].error is None
     snap = {(r.table, r.pkey) for r in pgoutput_snapshot(raw).collect()}
     assert snap == {("public.users", "3"), ("public.other", "7")}
+
+
+def test_pgoutput_lazy_xid_matches_eager(spark):
+    """parse_pgoutput(xid_eager=False) — the zero-driver-job carry fed
+    by the pure-JVM begin twins — must produce byte-identical change
+    rows to the eager default."""
+    from pg2kinesis_spark import fixtures as fx
+    from pg2kinesis_spark.operators.pgoutput import parse_pgoutput
+
+    from pyspark.sql import functions as F
+
+    rows = fx.gen_pgoutput(n_txns=200, seed=9)
+    raw = spark.createDataFrame(
+        rows, "lsn long, data_size int, payload string"
+    ).select("lsn", F.unbase64("payload").alias("payload"))
+    cols = ("lsn", "operation", "xid", "table")
+    a = {tuple(r) for r in parse_pgoutput(raw).select(*cols).collect()}
+    b = {
+        tuple(r)
+        for r in parse_pgoutput(raw, xid_eager=False).select(*cols).collect()
+    }
+    assert a == b and len(a) > 100
