@@ -255,7 +255,14 @@ def bench_gopher(spark, sf_dir):
     from pg2kinesis_spark.functions.repetition import gopher_filter
     from pg2kinesis_spark.io import load_table
 
-    return gopher_filter(load_table(spark, sf_dir, "documents"))
+    # parallelism: the sf0.1 documents file is ONE parquet row group, so
+    # without the explicit repartition the whole interpreted HOF gate
+    # runs on one core — measuring storage layout, not the operator
+    # (the cdc corpus's repartition(32) precedent)
+    return gopher_filter(
+        load_table(spark, sf_dir, "documents"),
+        parallelism=spark.sparkContext.defaultParallelism,
+    )
 
 
 def bench_substr_dedup(spark, sf_dir):

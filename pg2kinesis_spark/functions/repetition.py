@@ -309,6 +309,7 @@ def gopher_filter(
     thresholds: dict | None = None,
     top_ns: tuple[int, ...] = (2, 3, 4),
     dup_ns: tuple[int, ...] = (5, 10),
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Documents passing every Gopher A1.1 gate (shape + repetition).
 
@@ -317,6 +318,15 @@ def gopher_filter(
     shuffle; at 100 TB this is a map-only job. The word/line arrays are
     lambda-bound so each is computed once per row no matter how Catalyst
     rewrites the plan.
+
+    ``parallelism``: optional repartition BEFORE the gate — for inputs
+    whose storage can't split (a single-row-group parquet file puts the
+    whole interpreted HOF evaluation on ONE core; Spark file splits
+    align to row groups, so no split knob can help). The shuffle moves
+    the raw rows once and the gate then runs on every core; leave None
+    at deployment scale, where files carry many row groups and the
+    map-only plan parallelizes for free (the zero-shuffle plan pin
+    covers the default).
     """
     t = dict(GOPHER_DEFAULTS, **(thresholds or {}))
     stop_lit = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -368,4 +378,21 @@ def gopher_filter(
         f"{_bind(_WS_SQL, 'ws2', word_conds)}"
         f" and {_bind(_LINES_SQL, 'ln2', line_conds)}"
     )
+    if parallelism:
+        # the always-true nondeterministic conjunct is load-bearing:
+        # Catalyst pushes a deterministic filter straight through
+        # repartition(), putting the gate back on the unsplittable
+        # scan (and a barrier Project gets column-pruned away first) —
+        # a nondeterministic predicate is ineligible for pushdown, so
+        # the gate actually runs AFTER the exchange, on every core
+        # localCheckpoint is the barrier: Catalyst pushes a
+        # deterministic filter straight back through repartition() onto
+        # the unsplittable scan (and splits/simplifies every
+        # nondeterministic-guard formulation tried), so the plan is cut
+        # instead — the repartitioned rows materialize once (tiny: this
+        # knob exists for SMALL single-row-group inputs) and the gate
+        # then runs on every core
+        return docs.repartition(parallelism).localCheckpoint(eager=False).filter(
+            F.expr(cond)
+        )
     return docs.filter(F.expr(cond))

@@ -39,6 +39,14 @@ def get_spark(app_name: str = "pg2kinesis_spark", shuffle_partitions: int | None
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # openCostInBytes sizes the split floor: the 4 MB default means a
+        # sub-4 MB parquet file never even TRIES to split. 128 KB lets
+        # small multi-row-group corpora parallelize; note splits align
+        # to ROW GROUPS, so the single-row-group testdata files still
+        # scan as one task regardless (see gopher_filter's parallelism
+        # knob for the map-only case that hurts). Inert at deployment
+        # scale, where files exceed maxPartitionBytes.
+        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
         # saveAsTable target for bucketed tables (in-memory catalog, no Hive);
         # out of the repo tree so tests never litter the working copy.
         .config(

@@ -206,3 +206,17 @@ def test_gopher_filter_zero_shuffle(spark, edge_df):
 def test_gopher_filter_returns_original_rows(edge_df):
     out = gopher_filter(edge_df.withColumn("extra", F.lit("x")))
     assert set(out.columns) == {"doc_id", "text", "extra"}
+
+
+def test_gopher_parallelism_knob_identical_results(spark, edge_df):
+    """gopher_filter(parallelism=N) — the barrier for single-row-group
+    inputs — must pass exactly the same documents as the default
+    zero-shuffle plan."""
+    from pg2kinesis_spark.functions.repetition import gopher_filter
+
+    a = {r.doc_id for r in gopher_filter(edge_df).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in gopher_filter(edge_df, parallelism=8).select("doc_id").collect()
+    }
+    assert a == b and a
