@@ -214,9 +214,18 @@ def test_gopher_parallelism_knob_identical_results(spark, edge_df):
     zero-shuffle plan."""
     from pg2kinesis_spark.functions.repetition import gopher_filter
 
-    a = {r.doc_id for r in gopher_filter(edge_df).select("doc_id").collect()}
+    words = " ".join(
+        f"alpha{i} the beta{i} gamma of delta{i} and epsilon" for i in range(20)
+    )
+    docs = edge_df.unionByName(
+        edge_df.sparkSession.createDataFrame(
+            [(1000 + i, words + f" tail{i}") for i in range(5)],
+            ["doc_id", "text"],
+        )
+    )
+    a = {r.doc_id for r in gopher_filter(docs).select("doc_id").collect()}
     b = {
         r.doc_id
-        for r in gopher_filter(edge_df, parallelism=8).select("doc_id").collect()
+        for r in gopher_filter(docs, parallelism=8).select("doc_id").collect()
     }
-    assert a == b and a
+    assert a == b and a  # the clean docs pass; every edge doc agrees
