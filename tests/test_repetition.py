@@ -215,7 +215,8 @@ def test_gopher_parallelism_knob_identical_results(spark, edge_df):
     from pg2kinesis_spark.functions.repetition import gopher_filter
 
     words = " ".join(
-        f"alpha{i} the beta{i} gamma of delta{i} and epsilon" for i in range(20)
+        f"alpha{i} the beta{i} gamma{i} of delta{i} and epsilon{i}"
+        for i in range(20)
     )
     docs = edge_df.unionByName(
         edge_df.sparkSession.createDataFrame(
