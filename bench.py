@@ -149,15 +149,30 @@ def bench_pgoutput_replay(spark, sf_dir, xid_eager=False):
     ).select("lsn", "xid", "fmt_msg")
 
 
+def _docs_parallel(spark, sf_dir, cols=None):
+    """documents, repartitioned with a localCheckpoint barrier: the
+    sf0.1 file is ONE parquet row group, so every map-only gate ahead
+    of the first shuffle would otherwise run on one core (splits align
+    to row groups — see the gopher_filter parallelism note). At
+    deployment scale multi-row-group files make this a no-op shape."""
+    from pg2kinesis_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    if cols:
+        docs = docs.select(*cols)
+    return docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).localCheckpoint(eager=False)
+
+
 def bench_curate(spark, sf_dir):
     """Full corpus curation over documents: fused annotate + lang/quality
     filter + exact dedup + MinHash-LSH near-dup removal — the end-to-end
     100 TB training-data pipeline shape."""
     from pg2kinesis_spark.functions.curate import curate_corpus
-    from pg2kinesis_spark.io import load_table
 
     return curate_corpus(
-        load_table(spark, sf_dir, "documents"), min_quality=0.2, near_dup_jaccard=0.6
+        _docs_parallel(spark, sf_dir), min_quality=0.2, near_dup_jaccard=0.6
     )
 
 
@@ -168,9 +183,8 @@ def bench_curate_max(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from pg2kinesis_spark.functions.curate import curate_corpus
-    from pg2kinesis_spark.io import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_parallel(spark, sf_dir, cols=("doc_id", "text"))
     eval_df = docs.limit(20).select(
         F.col("doc_id").alias("eval_id"),
         F.expr("concat_ws(' ', slice(split(text, ' '), 3, 18))").alias("text"),
@@ -199,8 +213,7 @@ def bench_curate_ultra(spark, sf_dir):
     from pg2kinesis_spark.io import load_table
 
     docs = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", "text")
+        _docs_parallel(spark, sf_dir, cols=("doc_id", "text"))
         .withColumn(
             "url",
             F.expr(
