@@ -53,7 +53,7 @@ def bench_minhash_full(spark, sf_dir):
     from pg2kinesis_spark.functions.dedup import minhash_lsh_pairs
     from pg2kinesis_spark.io import load_table
 
-    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"), n=3, k=16, bands=4)
+    return minhash_lsh_pairs(_docs_parallel(spark, sf_dir), n=3, k=16, bands=4)
 
 
 def bench_cdc_replay(spark, sf_dir):
@@ -149,20 +149,27 @@ def bench_pgoutput_replay(spark, sf_dir, xid_eager=False):
     ).select("lsn", "xid", "fmt_msg")
 
 
-def _docs_parallel(spark, sf_dir, cols=None):
-    """documents, repartitioned with a localCheckpoint barrier: the
-    sf0.1 file is ONE parquet row group, so every map-only gate ahead
-    of the first shuffle would otherwise run on one core (splits align
-    to row groups — see the gopher_filter parallelism note). At
-    deployment scale multi-row-group files make this a no-op shape."""
+def _table_parallel(spark, sf_dir, name="documents", cols=None):
+    """A testdata table, repartitioned with a localCheckpoint barrier:
+    every sf0.1 file is ONE parquet row group, so any per-row map work
+    ahead of an operator's first shuffle (tokenize, shingle, minhash,
+    vector parse, gates) would otherwise run on one core — splits align
+    to row groups, no split knob can help (see the gopher_filter
+    parallelism note). At deployment scale multi-row-group files make
+    this a no-op shape; the barrier is needed because Catalyst pushes
+    deterministic work straight back through a bare repartition()."""
     from pg2kinesis_spark.io import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    df = load_table(spark, sf_dir, name)
     if cols:
-        docs = docs.select(*cols)
-    return docs.repartition(
+        df = df.select(*cols)
+    return df.repartition(
         spark.sparkContext.defaultParallelism
     ).localCheckpoint(eager=False)
+
+
+def _docs_parallel(spark, sf_dir, cols=None):
+    return _table_parallel(spark, sf_dir, "documents", cols)
 
 
 def bench_curate(spark, sf_dir):
@@ -222,7 +229,7 @@ def bench_curate_ultra(spark, sf_dir):
             ),
         )
     )
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = _table_parallel(spark, sf_dir, "embeddings").select(
         F.col("vec_id"), F.col("embedding")
     )
     eval_df = docs.limit(20).select(
@@ -257,7 +264,7 @@ def bench_cosine_blas(spark, sf_dir):
     from pg2kinesis_spark.io import load_table
     from pyspark.sql import functions as F
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = _table_parallel(spark, sf_dir, "embeddings")
     return cosine_topk_blas(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
@@ -273,7 +280,7 @@ def bench_gopher(spark, sf_dir):
     # runs on one core — measuring storage layout, not the operator
     # (the cdc corpus's repartition(32) precedent)
     return gopher_filter(
-        load_table(spark, sf_dir, "documents"),
+        _docs_parallel(spark, sf_dir),
         parallelism=spark.sparkContext.defaultParallelism,
     )
 
@@ -286,7 +293,7 @@ def bench_substr_dedup(spark, sf_dir):
     from pg2kinesis_spark.io import load_table
 
     return dedup_substrings(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"), k=20
+        _docs_parallel(spark, sf_dir, cols=("doc_id", "text")), k=20
     )
 
 
@@ -307,7 +314,7 @@ def bench_bm25(spark, sf_dir):
         # the scoring + salted top-k path do real work too
         "q4": "dup scan filter",
     }
-    return bm25_topk(spark, load_table(spark, sf_dir, "documents"), qs, k=10)
+    return bm25_topk(spark, _docs_parallel(spark, sf_dir), qs, k=10)
 
 
 def bench_decontam(spark, sf_dir):
@@ -318,7 +325,7 @@ def bench_decontam(spark, sf_dir):
     from pg2kinesis_spark.functions.contamination import decontaminate
     from pg2kinesis_spark.io import load_table
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     eval_df = (
         docs.limit(50)
         .select(
@@ -337,7 +344,7 @@ def bench_pack(spark, sf_dir):
     from pg2kinesis_spark.functions.packing import pack_sequences
     from pg2kinesis_spark.io import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select(
+    docs = _docs_parallel(spark, sf_dir).select(
         "doc_id", F.size(F.split("text", " ")).alias("nt")
     )
     return pack_sequences(docs, F.col("nt"), 2048, "doc_id")
@@ -358,6 +365,8 @@ def bench_bpe(spark, sf_dir):
     from pg2kinesis_spark.functions.sampling import hash_sample
     from pg2kinesis_spark.io import load_table
 
+    # plain load: this entry is fixed-job-overhead bound, and the
+    # _docs_parallel checkpoint costs more than the map work it spreads
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     model = learn_bpe(hash_sample(docs, "cast(doc_id as string)", 50), num_merges=500)
     return bpe_token_counts(docs, model)
@@ -391,7 +400,7 @@ def bench_semdedup(spark, sf_dir):
     from pg2kinesis_spark.io import load_table
 
     return semdedup(
-        load_table(spark, sf_dir, "embeddings"), dim=64, eps=0.4, n_clusters=8
+        _table_parallel(spark, sf_dir, "embeddings"), dim=64, eps=0.4, n_clusters=8
     )
 
 
@@ -403,7 +412,7 @@ def bench_dsir(spark, sf_dir):
     from pg2kinesis_spark.functions.dsir import dsir_select, fit_dsir_logratios
     from pg2kinesis_spark.io import load_table
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_parallel(spark, sf_dir, cols=("doc_id", "text"))
     lr = fit_dsir_logratios(docs.limit(200), docs)
     return dsir_select(docs, lr, n=1000)
 
@@ -507,7 +516,7 @@ def bench_ingest_batch(spark, sf_dir, out_dir):
     from pg2kinesis_spark.io import load_table
     from pg2kinesis_spark.streaming.corpus_ingest import CorpusIngest
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _docs_parallel(spark, sf_dir, cols=("doc_id", "text"))
     b0 = docs.filter(F.expr("doc_id % 5 < 3"))  # residues {0,1,2} mod 5
     fresh = docs.filter(F.expr("doc_id % 5 = 3")).selectExpr(
         "doc_id + 1000000 AS doc_id", "text"
