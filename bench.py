@@ -516,7 +516,10 @@ def bench_ingest_batch(spark, sf_dir, out_dir):
     from pg2kinesis_spark.io import load_table
     from pg2kinesis_spark.streaming.corpus_ingest import CorpusIngest
 
-    docs = _docs_parallel(spark, sf_dir, cols=("doc_id", "text"))
+    # plain load: the ingest pipeline manages its own localCheckpoints
+    # (sign-once discipline) — a pre-checkpointed input re-materializes
+    # against them and measured 2x SLOWER, not faster
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     b0 = docs.filter(F.expr("doc_id % 5 < 3"))  # residues {0,1,2} mod 5
     fresh = docs.filter(F.expr("doc_id % 5 = 3")).selectExpr(
         "doc_id + 1000000 AS doc_id", "text"

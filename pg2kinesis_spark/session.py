@@ -39,14 +39,15 @@ def get_spark(app_name: str = "pg2kinesis_spark", shuffle_partitions: int | None
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        # openCostInBytes sizes the split floor: the 4 MB default means a
-        # sub-4 MB parquet file never even TRIES to split. 128 KB lets
-        # small multi-row-group corpora parallelize; note splits align
-        # to ROW GROUPS, so the single-row-group testdata files still
-        # scan as one task regardless (see gopher_filter's parallelism
-        # knob for the map-only case that hurts). Inert at deployment
-        # scale, where files exceed maxPartitionBytes.
-        .config("spark.sql.files.openCostInBytes", str(128 * 1024))
+        # openCostInBytes stays at Spark's 4 MB default DELIBERATELY:
+        # lowering it (tried at 128 KB, round 8) also lowers the
+        # maxSplitBytes floor, which shredded the streaming-ingest
+        # index's many-small-file reads into 128 KB tasks (~1.6x on
+        # ingest_batch) — while buying nothing for the single-ROW-GROUP
+        # testdata files, whose splits can't cross row groups anyway.
+        # Small unsplittable inputs get parallelism from the explicit
+        # knobs instead (gopher_filter(parallelism=), bench
+        # _table_parallel).
         # saveAsTable target for bucketed tables (in-memory catalog, no Hive);
         # out of the repo tree so tests never litter the working copy.
         .config(
