@@ -5255,9 +5255,390 @@ def decode_image(data: bytes, deterministic: bool = False) -> np.ndarray:
         return decode_jpeg(b)
     if is_gif(b):
         return decode_gif(b)
+    if is_tiff(b):
+        return decode_tiff(b)
     raise NotImplementedError(
-        "only PNG, baseline JPEG, and GIF decode are available in this environment"
+        "only PNG, baseline JPEG, GIF, and strip TIFF decode are "
+        "available in this environment"
     )
+
+
+# --- TIFF (round 8) --------------------------------------------------------
+#
+# Baseline TIFF 6.0: the scanned-document and dataset-export format.
+# IFD tag walk (both byte orders), strip assembly, compressions 1
+# (none) / 5 (LZW — the SAME MSB-first early-change variant PDF's
+# /LZWDecode uses, one implementation shared) / 8 (zlib) / 32773
+# (PackBits), horizontal-differencing predictor 2, photometric 0/1/2,
+# 1- and 8-bit samples. Tiled layouts, planar configuration 2, and
+# other photometrics refuse loudly. Same bounds discipline as PNG:
+# dimensions validate against MAX_PIXELS BEFORE allocation, strip
+# inflation is capped by the expected raster size.
+
+
+def is_tiff(data: bytes) -> bool:
+    return data[:4] in (b"II*\x00", b"MM\x00*")
+
+
+_TIFF_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+_TIFF_MAX_ENTRIES = 4096
+_TIFF_MAX_IFDS = 64
+
+
+def _tiff_ifds(data: bytes):
+    """Yield {tag: [values]} per IFD (value arrays resolved through the
+    offset indirection), bounded against looped/hostile chains."""
+    if not is_tiff(data):
+        raise ValueError("not a TIFF: bad byte-order magic")
+    bo = "<" if data[:2] == b"II" else ">"
+    (off,) = struct.unpack_from(bo + "I", data, 4)
+    seen = set()
+    budget = _TIFF_MAX_ENTRIES
+    for _ in range(_TIFF_MAX_IFDS):
+        if off == 0:
+            return
+        if off in seen or off + 2 > len(data):
+            raise ValueError("TIFF IFD chain loops or overruns the file")
+        seen.add(off)
+        (n_entries,) = struct.unpack_from(bo + "H", data, off)
+        budget -= n_entries
+        if budget < 0:
+            raise ValueError("TIFF IFD entry count exceeds the walk budget")
+        if off + 2 + 12 * n_entries + 4 > len(data):
+            raise ValueError("TIFF IFD overruns the file")
+        tags: dict[int, list] = {}
+        for i in range(n_entries):
+            at = off + 2 + 12 * i
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", data, at)
+            sz = _TIFF_TYPE_SIZES.get(typ)
+            if sz is None:
+                continue  # unknown type: skip, per spec readers must
+            total = sz * cnt
+            if total > 4:
+                (vat,) = struct.unpack_from(bo + "I", data, at + 8)
+            else:
+                vat = at + 8
+            if vat + total > len(data) or cnt > _TIFF_MAX_ENTRIES * 16:
+                raise ValueError(f"TIFF tag {tag} value overruns the file")
+            if typ == 3:
+                vals = list(struct.unpack_from(f"{bo}{cnt}H", data, vat))
+            elif typ == 4:
+                vals = list(struct.unpack_from(f"{bo}{cnt}I", data, vat))
+            elif typ in (1, 6, 7):
+                vals = list(data[vat : vat + cnt])
+            elif typ == 2:
+                vals = [data[vat : vat + cnt].split(b"\x00")[0].decode("latin-1")]
+            elif typ == 5:
+                vals = []
+                for k in range(cnt):
+                    num, den = struct.unpack_from(bo + "II", data, vat + 8 * k)
+                    vals.append(num / den if den else 0.0)
+            else:
+                vals = []
+            tags[tag] = vals
+        (off,) = struct.unpack_from(bo + "I", data, off + 2 + 12 * n_entries)
+        yield tags
+
+
+def tiff_info(data: bytes) -> dict:
+    """(width, height, bits, n_channels, compression, photometric,
+    n_pages) from the first IFD + chain count — header walk only."""
+    data = bytes(data)
+    first = None
+    n = 0
+    for tags in _tiff_ifds(data):
+        if first is None:
+            first = tags
+        n += 1
+    if first is None:
+        raise ValueError("TIFF with no IFD")
+    bps = first.get(258, [1])
+    return {
+        "width": (first.get(256) or [0])[0],
+        "height": (first.get(257) or [0])[0],
+        "bits": bps[0] if bps else 1,
+        "n_channels": (first.get(277) or [1])[0],
+        "compression": (first.get(259) or [1])[0],
+        "photometric": (first.get(262) or [1])[0],
+        "n_pages": n,
+    }
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    """Apple PackBits (TIFF compression 32773): n in 0..127 copies n+1
+    literals, 129..255 repeats the next byte 257−n times, 128 no-op.
+    Output capped at the caller's expected strip size."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expect:
+        c = data[i]
+        i += 1
+        if c < 128:
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:
+            if i >= n:
+                break
+            out += data[i : i + 1] * (257 - c)
+            i += 1
+    return bytes(out)
+
+
+def _packbits_encode(row: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(row)
+    while i < n:
+        # find run
+        j = i
+        while j + 1 < n and row[j + 1] == row[j] and j - i < 126:
+            j += 1
+        if j > i:  # run of j-i+1 identical bytes
+            out.append(257 - (j - i + 1))
+            out.append(row[i])
+            i = j + 1
+            continue
+        # literal stretch until next run of ≥3
+        j = i
+        while (
+            j + 2 >= n or row[j + 1] != row[j + 2] or row[j] != row[j + 1]
+        ) and j < n - 1 and j - i < 126:
+            j += 1
+        out.append(j - i)
+        out += row[i : j + 1]
+        i = j + 1
+    return bytes(out)
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """First-page TIFF decode to (H, W, C) uint8 (multi-page files:
+    page 1, like decode_gif's first-frame rule; page count surfaces in
+    tiff_info). See the section comment for the supported matrix."""
+    data = bytes(data)
+    tags = next(iter(_tiff_ifds(data)), None)
+    if tags is None:
+        raise ValueError("TIFF with no IFD")
+    w = (tags.get(256) or [0])[0]
+    h = (tags.get(257) or [0])[0]
+    spp = (tags.get(277) or [1])[0]
+    bps = tags.get(258) or [1]
+    comp = (tags.get(259) or [1])[0]
+    photo = (tags.get(262) or [1])[0]
+    pred = (tags.get(317) or [1])[0]
+    planar = (tags.get(284) or [1])[0]
+    if 322 in tags or 323 in tags or 324 in tags:
+        raise NotImplementedError("tiled TIFF layouts (strip tier only)")
+    if planar != 1:
+        raise NotImplementedError("TIFF planar configuration 2")
+    if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
+        raise ValueError(f"TIFF dimensions {w}x{h} out of bounds")
+    if spp not in (1, 3) or photo not in (0, 1, 2):
+        raise NotImplementedError(
+            f"TIFF photometric {photo} with {spp} samples (gray/RGB tier)"
+        )
+    bits = bps[0]
+    if any(b != bits for b in bps) or bits not in (1, 8):
+        raise NotImplementedError(f"TIFF {bps}-bit samples (1- and 8-bit tier)")
+    if bits == 1 and spp != 1:
+        raise NotImplementedError("1-bit TIFF must be single-sample")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offsets/byte counts")
+    rps = (tags.get(278) or [h])[0] or h
+    row_bytes = (w * spp * bits + 7) // 8
+    raster = bytearray()
+    expect_total = row_bytes * h
+    for si, (o, c) in enumerate(zip(offsets, counts)):
+        if o + c > len(data):
+            raise ValueError("TIFF strip overruns the file")
+        strip = data[o : o + c]
+        n_rows = min(rps, h - si * rps)
+        expect = row_bytes * n_rows
+        if comp == 1:
+            out = strip
+        elif comp == 5:
+            from pg2kinesis_spark.functions.pdf import _lzw_decode
+
+            out = _lzw_decode(strip, early=1)
+        elif comp == 8:
+            d = zlib.decompressobj()
+            out = d.decompress(strip, expect + 1)
+        elif comp == 32773:
+            out = _packbits_decode(strip, expect)
+        else:
+            raise NotImplementedError(
+                f"TIFF compression {comp} (none/LZW/deflate/PackBits tier)"
+            )
+        if len(out) < expect:
+            raise ValueError(f"TIFF strip {si} short: {len(out)} < {expect}")
+        raster += out[:expect]
+        if len(raster) > expect_total:
+            raise ValueError("TIFF strips exceed the raster size")
+    if len(raster) < expect_total:
+        raise ValueError("TIFF strips do not cover the raster")
+    if bits == 1:
+        rows = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(h, row_bytes)
+        img = np.unpackbits(rows, axis=1)[:, :w].astype(np.uint8) * 255
+        if photo == 0:  # WhiteIsZero: 0 bit = white
+            img = 255 - img
+        return img[:, :, None]
+    img = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(h, w * spp)
+    if pred == 2:
+        img = np.cumsum(
+            img.reshape(h, w, spp).astype(np.uint16), axis=1, dtype=np.uint16
+        ).astype(np.uint8).reshape(h, w * spp)
+    elif pred != 1:
+        raise NotImplementedError(f"TIFF predictor {pred}")
+    img = img.reshape(h, w, spp)
+    if photo == 0 and spp == 1:
+        img = 255 - img
+    return np.ascontiguousarray(img)
+
+
+def encode_tiff(
+    img: np.ndarray,
+    compression: int = 1,
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+    byteorder: str = "<",
+    photometric: int | None = None,
+    bits: int = 8,
+) -> bytes:
+    """Spec-packed TIFF fixture writer (strips, both byte orders,
+    compressions 1/5/8/32773, predictor 2, 8-bit gray/RGB or 1-bit
+    bilevel) — the independent test side of decode_tiff/tiff_info,
+    like every encode_* here. ``bits=1``: img is (H, W) of 0/255 (or
+    booleans), rows pack MSB-first; photometric 0 inverts."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, spp = img.shape
+    photo = photometric if photometric is not None else (2 if spp == 3 else 1)
+    rps = rows_per_strip or h
+    if bits == 1:
+        if spp != 1 or predictor == 2:
+            raise ValueError("bilevel fixture: single sample, no predictor")
+        ink = (img[:, :, 0] > 127).astype(np.uint8)
+        if photo == 0:
+            ink = 1 - ink
+        raw = np.packbits(ink, axis=1)  # (h, row_bytes), MSB-first
+    else:
+        raw = img
+        if predictor == 2:
+            d = img.astype(np.int16)
+            d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
+            raw = (d & 0xFF).astype(np.uint8)
+    strips = []
+    for y0 in range(0, h, rps):
+        block = raw[y0 : y0 + rps].tobytes()
+        if compression == 1:
+            strips.append(block)
+        elif compression == 5:
+            strips.append(_tiff_lzw_encode(block))
+        elif compression == 8:
+            strips.append(zlib.compress(block))
+        elif compression == 32773:
+            rb = (w * spp * bits + 7) // 8
+            strips.append(b"".join(
+                _packbits_encode(block[i : i + rb])
+                for i in range(0, len(block), rb)
+            ))
+        else:
+            raise ValueError(f"unsupported fixture compression {compression}")
+    bo = byteorder
+    entries = []  # (tag, type, count, value_bytes-or-int)
+    n_strips = len(strips)
+    header_end = 8
+    # layout: header | strip data | [bps values] | strip offset/count arrays | IFD
+    strip_data = b"".join(strips)
+    strip_offs = []
+    at = header_end
+    for s in strips:
+        strip_offs.append(at)
+        at += len(s)
+    extra = bytearray()
+    extra_base = at
+
+    def arr(vals, typ):
+        nonlocal extra
+        fmt = "H" if typ == 3 else "I"
+        b = struct.pack(f"{bo}{len(vals)}{fmt}", *vals)
+        if len(b) <= 4:
+            return b + bytes(4 - len(b))
+        off = extra_base + len(extra)
+        extra.extend(b)
+        return struct.pack(bo + "I", off)
+
+    def entry(tag, typ, cnt, packed4):
+        entries.append(struct.pack(bo + "HHI", tag, typ, cnt) + packed4)
+
+    entry(256, 4, 1, struct.pack(bo + "I", w))
+    entry(257, 4, 1, struct.pack(bo + "I", h))
+    entry(258, 3, spp, arr([bits] * spp, 3))
+    entry(259, 3, 1, struct.pack(bo + "HH", compression, 0) if bo == "<" else struct.pack(bo + "H", compression) + bytes(2))
+    entry(262, 3, 1, struct.pack(bo + "HH", photo, 0) if bo == "<" else struct.pack(bo + "H", photo) + bytes(2))
+    entry(273, 4, n_strips, arr(strip_offs, 4))
+    entry(277, 3, 1, struct.pack(bo + "HH", spp, 0) if bo == "<" else struct.pack(bo + "H", spp) + bytes(2))
+    entry(278, 4, 1, struct.pack(bo + "I", rps))
+    entry(279, 4, n_strips, arr([len(s) for s in strips], 4))
+    if predictor == 2:
+        entry(317, 3, 1, struct.pack(bo + "HH", 2, 0) if bo == "<" else struct.pack(bo + "H", 2) + bytes(2))
+    ifd_off = extra_base + len(extra)
+    magic = b"II*\x00" if bo == "<" else b"MM\x00*"
+    out = bytearray(magic + struct.pack(bo + "I", ifd_off))
+    out += strip_data + extra
+    out += struct.pack(bo + "H", len(entries))
+    for e in sorted(entries, key=lambda b: struct.unpack_from(bo + "H", b)[0]):
+        out += e
+    out += struct.pack(bo + "I", 0)  # no next IFD
+    return bytes(out)
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF/PDF-variant LZW encoder (MSB-first, 9→12-bit codes, clear
+    256 / EOI 257, EARLY CHANGE) — the fixture twin of _lzw_decode."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(256, width)  # leading CLEAR
+    prev = b""
+    for byte in data:
+        cur = prev + bytes([byte])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        table[cur] = next_code
+        next_code += 1
+        # EARLY CHANGE sync: the decoder's table lags the encoder's by
+        # one entry (it builds E_n while processing C_{n+1}), and its
+        # early=1 rule bumps at dec_next+1 >= 2^w — so the encoder
+        # bumps at enc_next >= 2^w, one entry later than a naive
+        # "enc_next == 2^w - 1" (which desyncs at code 511)
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4093:  # table nearly full: reset
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        prev = bytes([byte])
+    if prev:
+        emit(table[prev], width)
+    emit(257, width)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
 
 
 # --- AVI (MJPEG) ----------------------------------------------------------

@@ -887,6 +887,10 @@ def sniff_mime(content: "F.Column") -> "F.Column":
         F.when(sig8 == F.lit(bytes.fromhex("89504E470D0A1A0A")), "image/png")
         .when(sub(1, 2) == F.lit(b"\xff\xd8"), "image/jpeg")
         .when(sub(1, 3) == F.lit(b"GIF"), "image/gif")
+        .when(
+            (sig4 == F.lit(b"II*\x00")) | (sig4 == F.lit(b"MM\x00*")),
+            "image/tiff",
+        )
         .when(sig4 == F.lit(b"fLaC"), "audio/flac")
         .when(sig4 == F.lit(b"OggS"), "audio/ogg")
         .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"WAVE")), "audio/wav")
