@@ -5409,14 +5409,19 @@ def _packbits_encode(row: bytes) -> bytes:
     return bytes(out)
 
 
-def decode_tiff(data: bytes) -> np.ndarray:
-    """First-page TIFF decode to (H, W, C) uint8 (multi-page files:
-    page 1, like decode_gif's first-frame rule; page count surfaces in
-    tiff_info). See the section comment for the supported matrix."""
+def decode_tiff(data: bytes, page: int = 0) -> np.ndarray:
+    """TIFF decode to (H, W, C) uint8 — ``page`` selects the IFD for
+    multi-page scans (default first, decode_gif's first-frame rule;
+    the page count surfaces in tiff_info). See the section comment for
+    the supported matrix."""
     data = bytes(data)
-    tags = next(iter(_tiff_ifds(data)), None)
+    tags = None
+    for i, t in enumerate(_tiff_ifds(data)):
+        if i == page:
+            tags = t
+            break
     if tags is None:
-        raise ValueError("TIFF with no IFD")
+        raise ValueError(f"TIFF has no page {page}")
     w = (tags.get(256) or [0])[0]
     h = (tags.get(257) or [0])[0]
     spp = (tags.get(277) or [1])[0]

@@ -156,3 +156,31 @@ def test_fuzz_tiff_decode():
                        ).astype(np.uint8), bits=1),
     ]
     _hammer(C.decode_tiff, corpus, seed=31)
+
+
+def test_multi_page_selection():
+    """Hand-assembled two-page TIFF: page selection walks the IFD
+    chain; tiff_info reports the page count."""
+    pxa, pxb = bytes([1, 2, 3, 4]), bytes([9, 8, 7, 6])
+
+    def ifd(strip_off, next_off):
+        entries = [
+            (256, 3, 1, 2), (257, 3, 1, 2), (258, 3, 1, 8), (259, 3, 1, 1),
+            (262, 3, 1, 1), (273, 4, 1, strip_off), (277, 3, 1, 1),
+            (278, 4, 1, 2), (279, 4, 1, 4),
+        ]
+        b = struct.pack("<H", len(entries))
+        for tag, typ, cnt, val in entries:
+            b += struct.pack("<HHII", tag, typ, cnt, val)
+        return b + struct.pack("<I", next_off)
+
+    # header(8) pxa(4) pxb(4) ifd1 ifd2
+    ifd1_off = 16
+    ifd_len = 2 + 9 * 12 + 4
+    blob = (b"II*\x00" + struct.pack("<I", ifd1_off) + pxa + pxb
+            + ifd(8, ifd1_off + ifd_len) + ifd(12, 0))
+    assert C.tiff_info(blob)["n_pages"] == 2
+    assert C.decode_tiff(blob, page=0).flatten().tolist() == [1, 2, 3, 4]
+    assert C.decode_tiff(blob, page=1).flatten().tolist() == [9, 8, 7, 6]
+    with pytest.raises(ValueError, match="no page"):
+        C.decode_tiff(blob, page=2)
