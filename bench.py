@@ -56,7 +56,7 @@ def bench_minhash_full(spark, sf_dir):
     return minhash_lsh_pairs(_docs_parallel(spark, sf_dir), n=3, k=16, bands=4)
 
 
-def bench_cdc_replay(spark, sf_dir):
+def bench_cdc_replay(spark, sf_dir, xid_eager=False):
     """CDC replay throughput: parse+enrich+format ~450k test_decoding
     wire lines (BASELINE.md bench item 4). The corpus is materialized to
     parquet once — the measured pipeline then reads the same columnar
@@ -95,7 +95,7 @@ def bench_cdc_replay(spark, sf_dir):
     # pays plan construction + eager jobs, not parse cost (SCALING.md
     # "cdc_replay: reconciling").
     return format_csv(
-        parse_test_decoding(raw, primary_key_map(cat), xid_eager=False)
+        parse_test_decoding(raw, primary_key_map(cat), xid_eager=xid_eager)
     ).select("lsn", "xid", "fmt_msg")
 
 
@@ -755,7 +755,11 @@ def run_inline(only_set: set[str] | None, sf_dir: str) -> tuple[dict, dict]:
     if selected("e2e_sink"):
         from pg2kinesis_spark.sinks.kinesis import InMemoryTransport, KinesisLikeWriter
 
-        sink_df = bench_cdc_replay(spark, sf_dir)
+        # eager xid carry: the drain re-executes the plan per micro-batch
+        # (the STREAM shape), so the literal-map carry amortizes its two
+        # build jobs — measured ~0.5 s/batch faster than the lazy plan
+        # whose summary branch re-runs every drain
+        sink_df = bench_cdc_replay(spark, sf_dir, xid_eager=True)
         # untimed warm pass (same policy as EXTRA_BENCHES): the cold
         # first drain is 2-3x steady state
         t0 = time.perf_counter()
