@@ -220,12 +220,32 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- Q18: carry-forward window — the W1 xid-state analogue
 # (reference formatter.py:37,59-60: BEGIN <xid> sets cur_xact, later rows inherit)
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 carry-forward on a second domain: last signup's user carried
+    across ALL events. Runs through the SCALABLE two-phase prefix scan
+    (stamp_xid_scalable, lazy mode) instead of a naive global window —
+    a `last(...) over (order by event_id)` collapses the whole table
+    into ONE partition, the cliff the CDC stamp was built to avoid.
+    NULL-before-any-signup semantics restored from the stamp's ''
+    default via nullif (user_id values are non-empty by construction).
+    """
+    from pg2kinesis_spark.operators.test_decoding import stamp_xid_scalable
+
     events = _t(spark, sf_dir, "events")
-    w = W.orderBy("event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
-    carried = F.last(
-        F.when(F.col("event_type") == "signup", F.col("user_id")), ignorenulls=True
-    ).over(w)
-    return events.select("event_id", carried.alias("last_signup_user")).orderBy("event_id").limit(1000)
+    tagged = events.withColumn(
+        "_signup_user",
+        F.when(F.col("event_type") == "signup", F.col("user_id").cast("string")),
+    )
+    stamped = stamp_xid_scalable(
+        tagged, order_col="event_id", begin_col="_signup_user", eager=False
+    )
+    return (
+        stamped.select(
+            "event_id",
+            F.nullif(F.col("xid"), F.lit("")).cast("long").alias("last_signup_user"),
+        )
+        .orderBy("event_id")
+        .limit(1000)
+    )
 
 
 # --- Q20/Q20b/Q20c (consolidated): UNION, INTERSECT, and EXCEPT in one
