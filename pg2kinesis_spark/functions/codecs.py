@@ -5441,8 +5441,8 @@ def decode_tiff(data: bytes, page: int = 0) -> np.ndarray:
             f"TIFF photometric {photo} with {spp} samples (gray/RGB tier)"
         )
     bits = bps[0]
-    if any(b != bits for b in bps) or bits not in (1, 8):
-        raise NotImplementedError(f"TIFF {bps}-bit samples (1- and 8-bit tier)")
+    if any(b != bits for b in bps) or bits not in (1, 8, 16):
+        raise NotImplementedError(f"TIFF {bps}-bit samples (1/8/16-bit tier)")
     if bits == 1 and spp != 1:
         raise NotImplementedError("1-bit TIFF must be single-sample")
     offsets = tags.get(273)
@@ -5487,6 +5487,20 @@ def decode_tiff(data: bytes, page: int = 0) -> np.ndarray:
         if photo == 0:  # WhiteIsZero: 0 bit = white
             img = 255 - img
         return img[:, :, None]
+    if bits == 16:
+        # sample endianness follows the FILE byte order; reduce to the
+        # high byte after undoing the predictor — the PNG 16-bit rule
+        bo = "<" if data[:2] == b"II" else ">"
+        wide = np.frombuffer(bytes(raster), dtype=np.dtype(bo + "u2"))
+        wide = wide.reshape(h, w, spp)
+        if pred == 2:
+            wide = np.cumsum(wide.astype(np.uint32), axis=1) & 0xFFFF
+        elif pred != 1:
+            raise NotImplementedError(f"TIFF predictor {pred}")
+        img = (wide >> 8).astype(np.uint8)
+        if photo == 0 and spp == 1:
+            img = 255 - img
+        return np.ascontiguousarray(img)
     img = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(h, w * spp)
     if pred == 2:
         img = np.cumsum(
@@ -5513,8 +5527,9 @@ def encode_tiff(
     compressions 1/5/8/32773, predictor 2, 8-bit gray/RGB or 1-bit
     bilevel) — the independent test side of decode_tiff/tiff_info,
     like every encode_* here. ``bits=1``: img is (H, W) of 0/255 (or
-    booleans), rows pack MSB-first; photometric 0 inverts."""
-    img = np.asarray(img, dtype=np.uint8)
+    booleans), rows pack MSB-first; photometric 0 inverts. ``bits=16``:
+    img is uint16; samples store in the chosen byte order."""
+    img = np.asarray(img, dtype=np.uint16 if bits == 16 else np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, spp = img.shape
@@ -5527,6 +5542,12 @@ def encode_tiff(
         if photo == 0:
             ink = 1 - ink
         raw = np.packbits(ink, axis=1)  # (h, row_bytes), MSB-first
+    elif bits == 16:
+        d = img.astype(np.uint32)
+        if predictor == 2:
+            d = d.copy()
+            d[:, 1:, :] = (d[:, 1:, :] - d[:, :-1, :]) & 0xFFFF
+        raw = d.astype(np.dtype(byteorder + "u2")).view(np.uint8).reshape(h, -1)
     else:
         raw = img
         if predictor == 2:

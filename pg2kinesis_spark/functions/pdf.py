@@ -1380,6 +1380,39 @@ def pdf_page_count(data: bytes, password: bytes | str = b"") -> int:
 
 
 _IMAGE_RE = re.compile(rb"/Subtype\s*/Image\b")
+_INDEXED_RE = re.compile(
+    rb"/ColorSpace\s*\[\s*/(?:Indexed|I)\s*/(DeviceRGB|DeviceGray)\s+(\d+)\s*"
+    rb"(?:<([0-9A-Fa-f\s]*)>|\((.*?)\)|(\d+)\s+\d+\s+R)",
+    re.S,
+)
+
+
+def _indexed_palette(objs: dict, head: bytes) -> tuple[bytes, int] | None:
+    """(lookup_bytes, base_channels) for an /Indexed colorspace image —
+    lookup as a hex string, literal string, or stream reference — or
+    None when the image isn't indexed."""
+    m = _INDEXED_RE.search(head)
+    if m is None:
+        return None
+    base_nch = 3 if m.group(1) == b"DeviceRGB" else 1
+    hival = int(m.group(2))
+    if m.group(3) is not None:
+        lookup = bytes.fromhex(m.group(3).decode("ascii").replace("\n", "").replace(" ", ""))
+    elif m.group(4) is not None:
+        lookup = _unescape_literal(m.group(4))
+    else:
+        ref = objs.get(int(m.group(5)))
+        if ref is None or ref[1] is None:
+            raise ValueError("/Indexed lookup stream missing")
+        lookup = _decode_stream(ref[0], ref[1])
+        if lookup is None:
+            raise NotImplementedError("/Indexed lookup behind an image filter")
+    need = (hival + 1) * base_nch
+    if len(lookup) < need:
+        raise ValueError(
+            f"/Indexed lookup short: {len(lookup)} < {need} for hival {hival}"
+        )
+    return lookup[:need], base_nch
 
 
 def _img_int(head: bytes, key: bytes) -> int | None:
@@ -1446,6 +1479,44 @@ def pdf_images(data: bytes, password: bytes | str = b"") -> list[tuple]:
                 bpc = _img_int(head, b"/BitsPerComponent")
                 if not w or not h:
                     raise ValueError("image without /Width + /Height")
+                import numpy as np
+
+                from pg2kinesis_spark.functions import codecs as C
+
+                pal = _indexed_palette(objs, head)
+                if pal is not None:
+                    # /Indexed: samples are palette indices at 1/2/4/8
+                    # bits, rows padded to byte boundaries
+                    if bpc not in (1, 2, 4, 8):
+                        raise NotImplementedError(
+                            f"{bpc}-bit indexed samples"
+                        )
+                    lookup, base_nch = pal
+                    row_bytes = (w * bpc + 7) // 8
+                    if len(raw) < row_bytes * h:
+                        raise ValueError("indexed samples shorter than raster")
+                    rows = np.frombuffer(
+                        raw[: row_bytes * h], dtype=np.uint8
+                    ).reshape(h, row_bytes)
+                    if bpc == 8:
+                        idxs = rows[:, :w]
+                    else:
+                        bits = np.unpackbits(rows, axis=1)
+                        per = 8 // bpc
+                        bits = bits[:, : w * bpc].reshape(h, w, bpc)
+                        weights = (1 << np.arange(bpc - 1, -1, -1)).astype(
+                            np.uint8
+                        )
+                        idxs = (bits * weights).sum(axis=2).astype(np.uint8)
+                    if int(idxs.max(initial=0)) * base_nch >= len(lookup):
+                        raise ValueError("palette index beyond /Indexed hival")
+                    table = np.frombuffer(lookup, dtype=np.uint8).reshape(
+                        -1, base_nch
+                    )
+                    img = table[idxs.reshape(-1)].reshape(h, w, base_nch)
+                    out.append((idx, C.encode_png(img), "image/png", None))
+                    idx += 1
+                    continue
                 if bpc != 8:
                     raise NotImplementedError(
                         f"{bpc}-bit raw image samples (8-bit tier)"
@@ -1460,10 +1531,6 @@ def pdf_images(data: bytes, password: bytes | str = b"") -> list[tuple]:
                     )
                 if len(raw) < w * h * nch:
                     raise ValueError("raw image samples shorter than W*H*C")
-                import numpy as np
-
-                from pg2kinesis_spark.functions import codecs as C
-
                 img = np.frombuffer(
                     raw[: w * h * nch], dtype=np.uint8
                 ).reshape(h, w, nch)
@@ -1682,12 +1749,24 @@ class _PdfBuilder:
             + b" >>\nstream\n" + stream + b"\nendstream"
         )
 
-    def add_image(self, payload: bytes, w: int, h: int, kind: str) -> int:
+    def add_image(
+        self, payload: bytes, w: int, h: int, kind: str,
+        palette: bytes | None = None, bpc: int = 8,
+    ) -> int:
         """An Image XObject stream: kind 'jpeg' stores the bytes under
-        /DCTDecode; 'rgb'/'gray' store raw 8-bit samples (optionally
-        behind Flate via finish-time compress=False here, raw)."""
+        /DCTDecode; 'rgb'/'gray' store raw 8-bit samples; 'indexed'
+        stores palette indices at ``bpc`` bits with the RGB ``palette``
+        as a hex-string /Indexed lookup."""
         if kind == "jpeg":
             extra = b" /Filter /DCTDecode /ColorSpace /DeviceRGB /BitsPerComponent 8"
+            body = payload
+        elif kind == "indexed":
+            hival = len(palette) // 3 - 1
+            extra = (
+                b" /ColorSpace [/Indexed /DeviceRGB " + str(hival).encode()
+                + b" <" + palette.hex().encode() + b">]"
+                + b" /BitsPerComponent " + str(bpc).encode()
+            )
             body = payload
         else:
             cs = b"/DeviceRGB" if kind == "rgb" else b"/DeviceGray"
@@ -1770,7 +1849,8 @@ def encode_pdf(
     b = _PdfBuilder(objstm, encrypt_r, user_password, owner_password)
     font = b.add_dict(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     image_ids = [
-        b.add_image(payload, w, h, kind) for payload, w, h, kind in images or []
+        b.add_image(spec[0], spec[1], spec[2], spec[3], *spec[4:])
+        for spec in images or []
     ]
     content_ids = []
     for pi, lines in enumerate(pages):

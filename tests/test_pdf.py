@@ -792,3 +792,38 @@ def test_fuzz_pdf_images_walk():
                    objstm=True, compress=True),
     ]
     _hammer(pdf_images, corpus, seed=13, budget_s=2.0)
+
+
+def test_pdf_indexed_palette_images():
+    """/Indexed colorspace plates (diagrams, charts): palette indices at
+    1/2/4/8 bits map through the RGB lookup to a lossless PNG; an index
+    past /hival refuses per image."""
+    import numpy as np
+
+    from pg2kinesis_spark.functions import codecs as C
+    from pg2kinesis_spark.functions.pdf import encode_pdf, pdf_images
+
+    rng = np.random.RandomState(8)
+    palette = bytes(rng.randint(0, 256, 16 * 3, dtype=np.uint8))
+    tab = np.frombuffer(palette, dtype=np.uint8).reshape(16, 3)
+    for bpc in (1, 2, 4, 8):
+        ncol = min(1 << bpc, 16)
+        idxs = rng.randint(0, ncol, (10, 13)).astype(np.uint8)
+        if bpc == 8:
+            payload = idxs.tobytes()
+        else:
+            bits = ((idxs[:, :, None] >> np.arange(bpc - 1, -1, -1)) & 1).astype(
+                np.uint8
+            )
+            payload = np.packbits(bits.reshape(10, -1), axis=1).tobytes()
+        doc = encode_pdf(
+            [["pg"]], images=[(payload, 13, 10, "indexed", palette, bpc)]
+        )
+        got = pdf_images(doc)
+        assert got[0][2] == "image/png"
+        assert np.array_equal(
+            C.decode_png(got[0][1]), tab[idxs.reshape(-1)].reshape(10, 13, 3)
+        ), bpc
+    bad = encode_pdf([["x"]], images=[(bytes([200]), 1, 1, "indexed", palette, 8)])
+    r = pdf_images(bad)
+    assert r[0][1] is None and "hival" in r[0][3]

@@ -184,3 +184,24 @@ def test_multi_page_selection():
     assert C.decode_tiff(blob, page=1).flatten().tolist() == [9, 8, 7, 6]
     with pytest.raises(ValueError, match="no page"):
         C.decode_tiff(blob, page=2)
+
+
+def test_sixteen_bit_reduces_to_high_byte():
+    """16-bit samples (both byte orders, with and without predictor 2,
+    every compression) reduce to the high byte — the PNG 16-bit rule —
+    and WhiteIsZero still inverts after reduction."""
+    rng = np.random.RandomState(11)
+    img16 = rng.randint(0, 65536, (14, 9, 3)).astype(np.uint16)
+    want = (img16 >> 8).astype(np.uint8)
+    for comp in (1, 5, 8, 32773):
+        for pred in (1, 2):
+            for bo in ("<", ">"):
+                t = C.encode_tiff(img16, bits=16, compression=comp,
+                                  predictor=pred, byteorder=bo, rows_per_strip=5)
+                assert np.array_equal(C.decode_tiff(t), want), (comp, pred, bo)
+                assert C.tiff_info(t)["bits"] == 16
+    g16 = rng.randint(0, 65536, (6, 7)).astype(np.uint16)
+    t0 = C.encode_tiff(g16, bits=16, photometric=0)
+    assert np.array_equal(
+        C.decode_tiff(t0)[:, :, 0], 255 - (g16 >> 8).astype(np.uint8)
+    )
