@@ -545,9 +545,10 @@ def audio_fingerprint(media: DataFrame, errors: str = "quarantine") -> DataFrame
             seq = codecs.mp3_subband_energies(c)
         elif codecs.is_ogg(c):
             # Ogg Opus: SILK subframe gains / CELT coarse band energy
-            # through a real range decoder (functions/opus.py — mono
-            # 10/20 ms layouts; stereo, 40/60 ms SILK, and Vorbis
-            # refuse into the quarantine channel)
+            # through a real range decoder (functions/opus.py — 10/20 ms
+            # layouts; stereo SILK walks the mid channel; stereo CELT,
+            # surround, 40/60 ms SILK, and Vorbis refuse into the
+            # quarantine channel)
             from . import opus
 
             seq = opus.opus_energy_envelope(c)

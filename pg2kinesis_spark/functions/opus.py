@@ -25,9 +25,11 @@ their gain VALUES are only meaningful against this module's own
 independently-written encoder (``encode_ogg_opus_envelope``), which is
 how the fixtures are built. Swapping the tables for the reference ones
 upgrades this to real-stream support without touching any structure —
-the same seam discipline as ``fast_image_decoder``. Unsupported
-layouts (stereo, 40/60 ms SILK packets, Vorbis) refuse loudly and take
-the quarantine channel upstream.
+the same seam discipline as ``fast_image_decoder``. Stereo SILK walks
+the MID channel (the mono mix — exactly the envelope the fingerprint
+wants) after stepping the stereo-weight symbols; unsupported layouts
+(stereo CELT, surround, 40/60 ms SILK packets, Vorbis) refuse loudly
+and take the quarantine channel upstream.
 
 Self-consistency is pinned by round trips (tests/test_opus.py,
 hypothesis fuzz incl. carry-cascade patterns in the range coder) and
@@ -259,6 +261,13 @@ def _icdf_from_pdf(weights, ftb: int = 8) -> tuple:
 _ICDF_GAIN_DELTA = _icdf_from_pdf(
     [max(1, 192 >> abs(i - 4)) if abs(i - 4) <= 7 else 1 for i in range(41)]
 )
+# stereo prediction weights (§4.2.7.1-shaped): one joint index over 25
+# (w0,w1) pairs + two 5-way refinements — decoded to SKIP them (the
+# envelope wants the mid gains); centered pairs likeliest
+_ICDF_STEREO_JOINT = _icdf_from_pdf(
+    [max(1, 96 >> abs(i - 12)) if abs(i - 12) <= 6 else 1 for i in range(25)]
+)
+_ICDF_STEREO_REFINE = _icdf_from_pdf([1, 2, 3, 2, 1])
 
 _N_BANDS = 21  # CELT energy bands
 _LAPLACE_MINP = 1
@@ -398,16 +407,30 @@ def opus_packet_frames(pkt: bytes) -> tuple[int, bool, list[bytes]]:
 # --- per-frame energy walks --------------------------------------------------
 
 
-def _silk_frame_gains(frame: bytes, frame_ms: int) -> list[float]:
-    """Subframe linear gains of a single mono SILK frame (§4.2): VAD
-    flag, LBRR flag, frame-type symbol, then the gains — independent
-    MSB (signal-class icdf) + 3 uniform LSBs for subframe 0, delta
-    icdf after. 10 ms → 2 subframes, 20 ms → 4."""
+def _silk_frame_gains(
+    frame: bytes, frame_ms: int, stereo: bool = False
+) -> list[float]:
+    """Subframe linear gains of a single SILK frame (§4.2): VAD flag(s),
+    LBRR flag(s), then — for stereo — the stereo prediction weights
+    (joint icdf + two refinements) and the mid-only flag, then the
+    frame-type symbol and the gains: independent MSB (signal-class
+    icdf) + 3 uniform LSBs for subframe 0, delta icdf after. 10 ms →
+    2 subframes, 20 ms → 4. Stereo returns the MID channel's gains —
+    the mid IS the mono mix, exactly the envelope the fingerprint
+    wants; the side channel's gains sit behind the mid frame's full
+    residual and stay un-walked."""
     dec = RangeDecoder(frame)
     vad = dec.dec_bit_logp(1)
-    lbrr = dec.dec_bit_logp(1)
-    if lbrr:
+    if dec.dec_bit_logp(1):  # mid LBRR
         raise NotImplementedError("SILK LBRR redundancy not walked")
+    if stereo:
+        dec.dec_bit_logp(1)  # side VAD
+        if dec.dec_bit_logp(1):  # side LBRR
+            raise NotImplementedError("SILK LBRR redundancy not walked")
+        dec.dec_icdf(_ICDF_STEREO_JOINT, 8)  # joint weight index
+        dec.dec_icdf(_ICDF_STEREO_REFINE, 8)  # w0 refinement
+        dec.dec_icdf(_ICDF_STEREO_REFINE, 8)  # w1 refinement
+        dec.dec_bit_logp(1)  # mid-only flag
     if vad:
         ftype = dec.dec_icdf(_ICDF_TYPE_VAD, 8)
         signal = 1 + (ftype >> 1)  # 1 unvoiced, 2 voiced
@@ -469,8 +492,9 @@ def _celt_prob(band: int, intra: int) -> tuple[int, int]:
 
 def opus_energy_envelope(data: bytes) -> np.ndarray:
     """Per-frame energy envelope of an Ogg Opus stream — the sequence
-    ``audio_fingerprint`` consumes. Mono streams only; stereo, 40/60 ms
-    SILK packets, and non-Opus Ogg refuse (NotImplementedError) so the
+    ``audio_fingerprint`` consumes. Mono throughout; stereo SILK walks
+    the mid (mono-mix) channel. Surround, stereo CELT, 40/60 ms SILK
+    packets, and non-Opus Ogg refuse (NotImplementedError) so the
     caller's quarantine channel stays honest."""
     packets = ogg_packets(data)
     if not packets or not packets[0].startswith(b"OpusHead"):
@@ -479,9 +503,9 @@ def opus_energy_envelope(data: bytes) -> np.ndarray:
     if len(head) < 10:
         raise ValueError("truncated OpusHead")
     channels = head[9]
-    if channels != 1:
+    if channels not in (1, 2):
         raise NotImplementedError(
-            f"Opus envelope walks mono streams only ({channels} channels)"
+            f"Opus envelope: {channels}-channel (surround) streams"
         )
     return opus_packets_energy(
         p for p in packets[1:] if not p.startswith(b"OpusTags")
@@ -495,19 +519,22 @@ def opus_packets_energy(packets) -> np.ndarray:
     env: list[float] = []
     for pkt in packets:
         config, stereo, frames = opus_packet_frames(pkt)
-        if stereo:
-            raise NotImplementedError("stereo Opus packet in mono stream")
         ms = _FRAME_MS[config]
         if config < 12 and ms not in (10, 20):
             raise NotImplementedError(
                 f"{ms} ms SILK packets hold multiple interleaved SILK "
                 "frames in one entropy stream (full SILK decode tier)"
             )
+        if stereo and config >= 16:
+            raise NotImplementedError(
+                "stereo CELT packet (coupled-band energy is the full-"
+                "decode tier; stereo SILK walks the mid channel)"
+            )
         for fr in frames:
             if not fr:
                 continue  # DTX
             if config < 16:
-                gains = _silk_frame_gains(fr, int(ms))
+                gains = _silk_frame_gains(fr, int(ms), stereo=stereo)
                 env.extend(gains)
             else:
                 env.append(_celt_frame_energy(fr))
@@ -553,10 +580,15 @@ def ogg_packets(data: bytes) -> list[bytes]:
 # --- fixture encoder ---------------------------------------------------------
 
 
-def opus_envelope_packets(energies, mode: str = "silk", frame_ms: int = 20) -> list[bytes]:
-    """Raw mono Opus packets (code 0, one frame each) carrying the
-    quantized envelope — the packet builder shared by the Ogg and WebM
-    fixture fronts."""
+def opus_envelope_packets(
+    energies, mode: str = "silk", frame_ms: int = 20, stereo: bool = False
+) -> list[bytes]:
+    """Raw Opus packets (code 0, one frame each) carrying the quantized
+    envelope — the packet builder shared by the Ogg and WebM fixture
+    fronts. ``stereo=True`` (silk only) writes real stereo SILK frames:
+    both channels' VAD/LBRR flags, the three stereo-weight symbols, the
+    mid-only flag (set — the fixture carries no side channel), then the
+    mid frame holding the envelope in its gains."""
     env = np.asarray(energies, dtype=np.float64)
     if (env < 0).any():
         raise ValueError("energies must be non-negative")
@@ -566,13 +598,20 @@ def opus_envelope_packets(energies, mode: str = "silk", frame_ms: int = 20) -> l
     for e in env:
         if mode == "silk":
             config = 9 if frame_ms == 20 else 8  # WB SILK
-            toc = bytes([config << 3])  # mono, code 0
+            toc = bytes([(config << 3) | (4 if stereo else 0)])  # code 0
             if e == 0.0:
                 pkts.append(toc)  # DTX
                 continue
             enc = RangeEncoder()
-            enc.enc_bit_logp(1, 1)  # VAD active
-            enc.enc_bit_logp(0, 1)  # no LBRR
+            enc.enc_bit_logp(1, 1)  # mid VAD active
+            enc.enc_bit_logp(0, 1)  # no mid LBRR
+            if stereo:
+                enc.enc_bit_logp(0, 1)  # side VAD inactive
+                enc.enc_bit_logp(0, 1)  # no side LBRR
+                enc.enc_icdf(12, _ICDF_STEREO_JOINT, 8)  # centered weights
+                enc.enc_icdf(2, _ICDF_STEREO_REFINE, 8)
+                enc.enc_icdf(2, _ICDF_STEREO_REFINE, 8)
+                enc.enc_bit_logp(1, 1)  # mid-only
             enc.enc_icdf(2, _ICDF_TYPE_VAD, 8)  # voiced, low offset
             log_gain = int(round(4.0 * np.log2(max(e, 1e-12))))
             log_gain = min(max(log_gain, 0), 63)
@@ -583,6 +622,8 @@ def opus_envelope_packets(energies, mode: str = "silk", frame_ms: int = 20) -> l
                 enc.enc_icdf(4, _ICDF_GAIN_DELTA, 8)  # hold the gain
             pkts.append(toc + enc.done())
         elif mode == "celt":
+            if stereo:
+                raise ValueError("stereo fixtures are SILK-only")
             config = 16 + (2 if frame_ms == 10 else 3)  # NB CELT 10/20ms
             toc = bytes([config << 3])
             enc = RangeEncoder()
@@ -752,6 +793,7 @@ def encode_ogg_opus_envelope(
     frame_ms: int = 20,
     tags: dict[str, str] | None = None,
     serial: int = 7,
+    stereo: bool = False,
 ) -> bytes:
     """Ogg Opus fixture whose per-frame decoded envelope equals the
     quantized ``energies`` — the independent construction side of
@@ -765,7 +807,7 @@ def encode_ogg_opus_envelope(
 
     rate = 48000
     spf = 48 * frame_ms
-    pkts = opus_envelope_packets(energies, mode, frame_ms)
+    pkts = opus_envelope_packets(energies, mode, frame_ms, stereo=stereo)
 
     def page(granule, seq, payload, header_type=0):
         segs = []
@@ -786,7 +828,7 @@ def encode_ogg_opus_envelope(
         return bytes(raw)
 
     head = (
-        b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 0)
+        b"OpusHead" + bytes([1, 2 if stereo else 1]) + struct.pack("<H", 0)
         + struct.pack("<I", rate) + bytes(3)
     )
     out = page(-1, 0, head, header_type=2)

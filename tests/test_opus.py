@@ -120,6 +120,25 @@ def test_envelope_10ms_silk():
     assert len(got) == 3 * 2  # 2 subframes per 10 ms frame
 
 
+def test_stereo_silk_mid_channel_envelope():
+    """Stereo SILK packets decode the MID (mono-mix) channel after
+    stepping the stereo-weight symbols: a stereo release and its mono
+    downmix produce IDENTICAL envelopes, and half volume still shifts
+    uniformly."""
+    rng = np.random.default_rng(13)
+    env = 2.0 ** rng.uniform(3, 11, size=70)
+    mono = O.opus_energy_envelope(O.encode_ogg_opus_envelope(env, mode="silk"))
+    st = O.opus_energy_envelope(
+        O.encode_ogg_opus_envelope(env, mode="silk", stereo=True)
+    )
+    assert np.array_equal(mono, st)
+    half = O.opus_energy_envelope(
+        O.encode_ogg_opus_envelope(env * 0.5, mode="silk", stereo=True)
+    )
+    r = half / st
+    assert np.allclose(r, r[0])
+
+
 def test_envelope_amplitude_scale_invariance():
     rng = np.random.default_rng(3)
     env = 2.0 ** rng.uniform(3, 11, size=70)
@@ -135,12 +154,18 @@ def test_envelope_amplitude_scale_invariance():
 def test_envelope_refusals():
     env = np.array([4.0, 8.0])
     ogg = O.encode_ogg_opus_envelope(env, mode="silk")
-    # stereo OpusHead: channel-count byte lives in the first page's body
+    # surround OpusHead (3 channels) refuses; stereo decodes since r8
     blob = bytearray(ogg)
     at = blob.index(b"OpusHead") + 9
-    blob[at] = 2
-    with pytest.raises(NotImplementedError, match="mono"):
+    blob[at] = 3
+    with pytest.raises(NotImplementedError, match="surround"):
         O.opus_energy_envelope(bytes(blob))
+    # stereo CELT refuses (coupled-band energy = full-decode tier)
+    celt = O.encode_ogg_opus_envelope(env, mode="celt")
+    with pytest.raises(NotImplementedError, match="stereo CELT"):
+        O.opus_energy_envelope(
+            _swap_first_audio_toc(celt, ((16 + 3) << 3) | 4)
+        )
     # a 40 ms SILK packet (config 10) holds multiple SILK frames in ONE
     # entropy stream — the full-decode tier, refused
     pkts = O.ogg_packets(ogg)
