@@ -8,10 +8,12 @@ never leaves the executor.
 
 Codec support is tiered, honestly:
 
-* PNG, baseline JPEG, GIF, and PCM WAV decode/encode are REAL —
-  dependency-free kernels in :mod:`codecs` (stdlib zlib/struct +
-  numpy). ``extract_features`` / ``resize_media`` with ``fake=False``
-  run true pixel decodes for all three image formats;
+* PNG, baseline+progressive JPEG, GIF, strip TIFF (round 8 — the
+  scanned-document format: LZW/deflate/PackBits, predictor 2,
+  bilevel/8/16-bit, both byte orders), and PCM WAV decode/encode are
+  REAL — dependency-free kernels in :mod:`codecs` (stdlib zlib/struct
+  + numpy). ``extract_features`` / ``resize_media`` with ``fake=False``
+  run true pixel decodes;
   ``extract_image_features`` / ``extract_audio_features`` /
   ``media_dhash`` add codec-true columns (channels, luma, sample
   rate, RMS, perceptual hash). ``media_from_files`` turns a directory
@@ -31,13 +33,22 @@ Codec support is tiered, honestly:
   all subframe types, rice partitions, stereo decorrelation — with
   the STREAMINFO MD5 verified after decode, so every successful
   decode is self-checking; a WAV and a FLAC of the same track
-  fingerprint identically); AIFF/AIFC PCM decodes via
-  ``codecs.decode_aiff`` (big-endian + 'sowt'). The Layer III proxy
-  covers MPEG-1 AND LSF MPEG-2/2.5 side info; LSF Layer I/II and
-  non-MJPEG video codecs (ffmpeg) are NOT available in this
-  environment — those raise NotImplementedError inside the kernel,
-  and the deterministic fake (``fake=True``) remains for plumbing
-  tests. Compressed video (H.264/VP9/AV1 in MP4/WebM,
+  fingerprint identically — and ``extract_audio_pcm`` exposes that
+  identity as a joinable md5); AIFF/AIFC PCM decodes via
+  ``codecs.decode_aiff`` (big-endian + 'sowt'). Round 8 widens the
+  fingerprint to the modern codecs: Ogg Opus and WebM-contained Opus
+  (``functions/opus.py`` — real range decoder, SILK subframe gains
+  incl. the stereo mid channel, CELT coarse band energy), ADTS AAC
+  and M4A (``codecs.aac_global_gains`` / ``m4a_aac_gains`` — the
+  spec-true front-of-stream global_gain through real syntax and real
+  sample tables), with remux IDENTITIES pinned: ADTS≡M4A and
+  Ogg≡WebM fingerprint at hamming 0. PDFs surface their embedded
+  images (``extract_pdf_images`` → ``pdf_images_as_media``). The
+  Layer III proxy covers MPEG-1 AND LSF MPEG-2/2.5 side info; LSF
+  Layer I/II, Ogg Vorbis, stereo CELT, and non-MJPEG video codecs
+  (ffmpeg) are NOT available in this environment — those raise
+  NotImplementedError inside the kernel, and the deterministic fake
+  (``fake=True``) remains for plumbing tests. Compressed video (H.264/VP9/AV1 in MP4/WebM,
   non-MJPEG AVI) has an optional PyAV seam
   (``codecs.fast_video_decoder``, mirroring ``fast_image_decoder``'s
   refusal-can-become-a-decode contract) feeding ``video_frames``; the
