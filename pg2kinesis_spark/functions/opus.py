@@ -59,7 +59,6 @@ _CODE_TOP = 1 << (_CODE_BITS - 1)
 _CODE_BOT = _CODE_TOP >> _SYM_BITS
 _CODE_SHIFT = _CODE_BITS - _SYM_BITS - 1
 _SYM_MAX = (1 << _SYM_BITS) - 1
-_WINDOW = (1 << _CODE_BITS) - 1
 
 
 class RangeDecoder:
