@@ -264,7 +264,10 @@ def bench_cosine_blas(spark, sf_dir):
     from pg2kinesis_spark.io import load_table
     from pyspark.sql import functions as F
 
-    emb = _table_parallel(spark, sf_dir, "embeddings")
+    # plain load: the dgemm batches are already core-bound through
+    # Arrow; the _table_parallel checkpoint materialization costs more
+    # than it spreads here (r9 decomposition — the r8 "regression")
+    emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk_blas(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
@@ -344,7 +347,11 @@ def bench_pack(spark, sf_dir):
     from pg2kinesis_spark.functions.packing import pack_sequences
     from pg2kinesis_spark.io import load_table
 
-    docs = _docs_parallel(spark, sf_dir).select(
+    # plain load: the per-row map work here is one split+size — the
+    # _docs_parallel checkpoint materialization costs more than it
+    # spreads (r9: 0.96 s with the barrier vs ~0.77 without, the whole
+    # r8 "regression" on this entry)
+    docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.size(F.split("text", " ")).alias("nt")
     )
     return pack_sequences(docs, F.col("nt"), 2048, "doc_id")

@@ -6642,7 +6642,12 @@ def m4a_aac_gains(data: bytes) -> "np.ndarray":
     stsc = aud.get("stsc")
     if not sizes or not chunks or not stsc:
         raise ValueError("M4A missing stsz/stco/stsc sample tables")
-    # expand sample-to-chunk runs into a per-chunk sample count
+    # expand sample-to-chunk runs into a per-chunk sample count; the
+    # positional expansion assumes runs start at chunk 1 (ISO 14496-12
+    # requires it) — a later first_chunk would silently misalign every
+    # chunk's sample count and walk wrong byte offsets, so refuse
+    if stsc[0][0] != 1:
+        raise ValueError(f"stsc first run starts at chunk {stsc[0][0]}, not 1")
     per_chunk: list[int] = []
     for i, (first, spc, _desc) in enumerate(stsc):
         last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else len(chunks)

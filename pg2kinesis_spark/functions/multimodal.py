@@ -1262,10 +1262,13 @@ def pdf_images_as_media(images: DataFrame) -> DataFrame:
     """extract_pdf_images output → MEDIA_SCHEMA rows for the image
     operators (the covers_as_media precedent). media_id must stay
     unique per IMAGE for the pair search, so it becomes
-    ``pdf_media_id * 1009 + img_idx`` — document-scoped and
-    deterministic; recover the source document with ``div 1009``."""
+    ``xxhash64(pdf_media_id, img_idx)`` — deterministic and
+    collision-resistant for arbitrary (including 64-bit-hash) source
+    ids, unlike a multiply-add that wraps. The source document and
+    index stay recoverable from the meta.source_uri
+    (``pdfimg://<doc>#<idx>``)."""
     return images.filter(F.col("content").isNotNull()).select(
-        (F.col("media_id") * F.lit(1009) + F.col("img_idx")).alias("media_id"),
+        F.xxhash64(F.col("media_id"), F.col("img_idx")).alias("media_id"),
         F.col("content"),
         F.struct(
             F.col("mime"),

@@ -8,32 +8,50 @@ residual/PVQ machinery —
 
 * **SILK frames** (configs 0–11 and the hybrid 12–15, RFC 6716 §4.2):
   header VAD/LBRR bits, the frame-type symbol, then the per-subframe
-  quantization GAINS — decoded here through a real range decoder
-  (§4.1 layout: ``ec_decode``/``ec_dec_update``/``ec_dec_icdf``) and
-  dequantized ``2**(log_gain/4)`` (the codec's ~1.5 dB log-domain
-  step), giving 2–4 linear gain values per frame.
-* **CELT frames** (configs 16–31, §4.3): silence/post-filter/transient/
-  intra flags then the per-band COARSE ENERGY, Laplace-coded in a log
-  domain; the envelope sample is the mean linear band energy.
+  quantization GAINS — decoded through a real range decoder (§4.1
+  layout: ``ec_decode``/``ec_dec_update``/``ec_dec_icdf``) with the
+  RFC's OWN probability tables, transcribed below: the frame-type
+  iCDFs (§4.2.7.3), the per-signal-class independent gain MSB iCDFs +
+  uniform-8 LSB (§4.2.7.4), the 41-symbol delta-gain iCDF, and the
+  stereo-weight layout (§4.2.7.1: one 25-way joint symbol plus a
+  uniform-3 and uniform-5 refinement per weight) with the mid-only
+  flag's iCDF (§4.2.7.2). Dequantization follows the RFC rules:
+  ``log_gain = max(ind0, prev - 16)`` for an independently-coded
+  first subframe, ``clamp(max(2*ind - 16, prev + ind - 4), 0, 63)``
+  for delta-coded subframes (the double-step escape), the decoder
+  state threading across packets exactly like ``LastGainIndex``
+  (reset value 10), and the log-to-linear mapping
+  ``2**((0x1D1C71*lg >> 16) + 2090)/128 - 16)`` — the quantizer's
+  documented ~1.369 dB steps spanning ~2..88 dB. A real-world
+  libopus SILK or hybrid stream therefore yields its TRUE gain
+  envelope (proof against an external encoder is seam-gated in
+  tests/test_opus.py, same discipline as ``fast_image_decoder``).
+* **CELT frames** (configs 16–31, §4.3): the flag walk and the
+  Laplace coder follow the RFC structure (silence/post-filter with
+  its uint-coded octave + tapset iCDF/transient/intra flags, then
+  per-band coarse energy with the geometric-then-minimum-probability
+  interval layout and the prediction leak), but the per-band
+  probability BYTES stand in for the reference's ``e_prob_model``
+  (336 values this module does not transcribe). Real-world CELT
+  streams would decode structurally into meaningless values, so they
+  REFUSE (NotImplementedError → the caller's quarantine channel)
+  unless the container carries this module's fixture marker (the
+  OpusTags vendor string / WebM WritingApp written by the fixture
+  encoders below). Swapping the RFC's e_prob_model bytes in and
+  lifting that gate completes real-stream CELT support with no
+  structural change.
 
-What this is NOT: a PCM decoder, and —unlike the MP3 walk— not a
-bit-exact decoder of libopus output: the PROBABILITY TABLES below are
-module constants shaped like the reference ones (monotone icdf rows,
-Laplace decay per band) but not transcribed from it, so real-world
-Opus payloads decode structurally (same symbol order, same coder) yet
-their gain VALUES are only meaningful against this module's own
-independently-written encoder (``encode_ogg_opus_envelope``), which is
-how the fixtures are built. Swapping the tables for the reference ones
-upgrades this to real-stream support without touching any structure —
-the same seam discipline as ``fast_image_decoder``. Stereo SILK walks
-the MID channel (the mono mix — exactly the envelope the fingerprint
-wants) after stepping the stereo-weight symbols; unsupported layouts
-(stereo CELT, surround, 40/60 ms SILK packets, Vorbis) refuse loudly
-and take the quarantine channel upstream.
+What this is NOT: a PCM decoder. Stereo SILK walks the MID channel
+(the mono mix — exactly the envelope the fingerprint wants) after
+stepping the stereo-weight symbols; unsupported layouts (stereo CELT,
+surround, 40/60 ms SILK packets, LBRR redundancy, Vorbis) refuse
+loudly and take the quarantine channel upstream.
 
 Self-consistency is pinned by round trips (tests/test_opus.py,
-hypothesis fuzz incl. carry-cascade patterns in the range coder) and
-the planted-pair truth: a re-encode and a half-volume re-encode of the
+hypothesis fuzz incl. carry-cascade patterns in the range coder)
+against the pure-arithmetic quantizer mirrors
+(``silk_quantize_envelope`` / ``celt_quantize_envelope``), and the
+planted-pair truth: a re-encode and a half-volume re-encode of the
 same envelope must land at Hamming ≤ threshold in
 ``media_near_dup_pairs(signature="audio")``.
 """
@@ -138,6 +156,13 @@ class RangeDecoder:
             out = (out << 1) | self.dec_bit_logp(1)
         return out
 
+    def dec_uint(self, ft: int) -> int:
+        """A uniformly-distributed integer in [0, ft) (the ec_dec_uint
+        small-ft path — one symbol; this module never needs ft > 256)."""
+        t = self.decode(ft)
+        self.update(t, t + 1, ft)
+        return t
+
 
 class RangeEncoder:
     __slots__ = ("out", "low", "rng", "rem", "ext")
@@ -201,6 +226,9 @@ class RangeEncoder:
         for i in range(n - 1, -1, -1):
             self.enc_bit_logp((val >> i) & 1, 1)
 
+    def enc_uint(self, t: int, ft: int) -> None:
+        self.encode(t, t + 1, ft)
+
     def done(self) -> bytes:
         """Flush: emit enough of low to make decoding unambiguous."""
         # push out 4 full renormalizations — any value in [low, low+rng)
@@ -216,111 +244,220 @@ class RangeEncoder:
         return bytes(self.out)
 
 
-# --- symbol tables ----------------------------------------------------------
+# --- SILK symbol tables (transcribed from RFC 6716) -------------------------
 #
-# icdf rows (ft = 256 unless noted): module constants SHAPED like the
-# reference codec's (monotone non-increasing, terminal 0) but owned by
-# this encoder/decoder pair — see the module docstring.
+# icdf rows with ft = 256: icdf[k] = 256 - cdf(k+1), non-increasing,
+# terminal 0. These are the RFC's published tables for every symbol the
+# gain walk touches (silk_type_offset_*_iCDF, silk_gain_iCDF,
+# silk_uniform{3,5,8}_iCDF, silk_delta_gain_iCDF,
+# silk_stereo_pred_joint_iCDF, silk_stereo_only_code_mid_iCDF).
 
-# frame type (§4.2.7.3): VAD-inactive → {inactive-low, inactive-high};
+# frame type (§4.2.7.3): VAD-inactive → {inactive, inactive+offset};
 # VAD-active → {unvoiced-low, unvoiced-high, voiced-low, voiced-high}
-_ICDF_TYPE_NO_VAD = (26, 0)
+_ICDF_TYPE_NO_VAD = (230, 0)
 _ICDF_TYPE_VAD = (232, 158, 10, 0)
-# independent gain MSB per signal class (8 symbols)
+# independent gain MSB per signal class (§4.2.7.4, 8 symbols each)
 _ICDF_GAIN_MSB = {
-    0: (224, 112, 44, 15, 7, 3, 1, 0),  # inactive: low gains likely
-    1: (196, 128, 64, 28, 12, 5, 2, 0),  # unvoiced
-    2: (208, 144, 80, 36, 16, 6, 2, 0),  # voiced
+    0: (224, 112, 44, 15, 3, 2, 1, 0),  # inactive
+    1: (254, 237, 192, 132, 70, 23, 4, 0),  # unvoiced
+    2: (243, 192, 123, 64, 48, 15, 4, 0),  # voiced
 }
 _ICDF_GAIN_LSB = (224, 192, 160, 128, 96, 64, 32, 0)  # uniform 8
-def _icdf_from_pdf(weights, ftb: int = 8) -> tuple:
-    """icdf[k] = ft − cumsum(pdf)[k] with every symbol ≥ 1/ft mass —
-    zero-width intervals would zero the coder's range."""
-    ft = 1 << ftb
-    w = [max(1, int(x)) for x in weights]
-    total = sum(w)
-    scaled = [max(1, (x * (ft - len(w))) // total) for x in w]
-    i = 0
-    while sum(scaled) < ft:
-        scaled[i % len(scaled)] += 1
-        i += 1
-    while sum(scaled) > ft:
-        j = max(range(len(scaled)), key=lambda t: scaled[t])
-        scaled[j] -= 1
-    out = []
-    acc = ft
-    for p in scaled:
-        acc -= p
-        out.append(acc)
-    out[-1] = 0
-    return tuple(out)
-
-
-# delta gain (41 symbols): strong peak at "hold" (symbol 4 = Δ0)
-_ICDF_GAIN_DELTA = _icdf_from_pdf(
-    [max(1, 192 >> abs(i - 4)) if abs(i - 4) <= 7 else 1 for i in range(41)]
+# delta gain (41 symbols): strong peak at symbol 4 (= hold)
+_ICDF_GAIN_DELTA = (
+    250, 245, 234, 203, 71, 50, 42, 38, 35, 33, 31, 29, 28, 27, 26, 25,
+    24, 23, 22, 21, 20, 19, 18, 17, 16, 15, 14, 13, 12, 11, 10, 9,
+    8, 7, 6, 5, 4, 3, 2, 1, 0,
 )
-# stereo prediction weights (§4.2.7.1-shaped): one joint index over 25
-# (w0,w1) pairs + two 5-way refinements — decoded to SKIP them (the
-# envelope wants the mid gains); centered pairs likeliest
-_ICDF_STEREO_JOINT = _icdf_from_pdf(
-    [max(1, 96 >> abs(i - 12)) if abs(i - 12) <= 6 else 1 for i in range(25)]
+# stereo prediction weights (§4.2.7.1): one joint symbol over the 25
+# (w0,w1) quantization pairs, then per weight a uniform-3 and a
+# uniform-5 refinement — decoded to SKIP them (the envelope wants the
+# mid gains, and the mid IS the mono mix)
+_ICDF_STEREO_JOINT = (
+    249, 247, 246, 245, 244, 234, 210, 202, 201, 200, 197, 174, 82,
+    59, 56, 55, 54, 46, 22, 12, 11, 10, 9, 7, 0,
 )
-_ICDF_STEREO_REFINE = _icdf_from_pdf([1, 2, 3, 2, 1])
+_ICDF_UNIFORM3 = (171, 85, 0)
+_ICDF_UNIFORM5 = (205, 154, 102, 51, 0)
+# mid-only flag (§4.2.7.2) — coded only when the side channel's VAD
+# flag is inactive for the frame
+_ICDF_MID_ONLY = (64, 0)
 
-_N_BANDS = 21  # CELT energy bands
+# --- SILK gain dequantization (§4.2.7.4) -------------------------------------
+#
+# Gain indices live in [0, 63]; the log-to-linear mapping is the RFC's
+# silk_log2lin((0x1D1C71 * log_gain >> 16) + 2090) — ~1.369 dB per
+# step spanning ~2..88 dB (here in exact floats: the envelope compares
+# window-energy ORDER, so the reference's piecewise-parabolic 2**x
+# approximation cancels). The delta rules and the cross-packet state
+# (LastGainIndex, reset value 10) are transcribed verbatim.
+
+_GAIN_STEP_Q16 = 0x1D1C71
+_GAIN_OFFSET_Q7 = 2090
+_GAIN_RESET_IND = 10  # the SILK decoder's LastGainIndex reset value
+_N_GAIN_LEVELS = 64
+
+
+def _silk_gain_log2(log_gain: int) -> float:
+    return (((_GAIN_STEP_Q16 * log_gain) >> 16) + _GAIN_OFFSET_Q7) / 128.0 - 16.0
+
+
+_GAIN_LOG2 = np.array([_silk_gain_log2(i) for i in range(_N_GAIN_LEVELS)])
+_GAIN_LINEAR = 2.0 ** _GAIN_LOG2
+
+
+def _gain_first(ind0: int, prev_ind: int) -> int:
+    """Independently-coded first subframe: the index can't fall more
+    than 16 notches below the previous frame's last gain."""
+    return max(ind0, prev_ind - 16)
+
+
+def _gain_delta(delta: int, prev_ind: int) -> int:
+    """Delta-coded subframe: ±4-notch moves around hold (symbol 4),
+    with the 2*ind-16 double-step escape for large upward jumps."""
+    return min(max(max(2 * delta - 16, prev_ind + delta - 4), 0), 63)
+
+
+def _quantize_gain_index(e: float) -> int:
+    """Nearest gain index in the log domain (scale-shift friendly)."""
+    return int(np.argmin(np.abs(_GAIN_LOG2 - np.log2(max(e, 1e-12)))))
+
+
+def _plan_silk_gains(
+    target_lg: int, prev_ind: int, n_sub: int
+) -> tuple[int, list[int], list[int], int]:
+    """(ind0, deltas, realized gain indices, new prev) for one frame —
+    the single mirror behind the fixture encoder AND
+    ``silk_quantize_envelope``, so the construction-side truth and the
+    wire bytes can never drift apart. Deltas prefer hold (symbol 4)
+    among equally-close options; the realized indices are whatever the
+    RFC dequant rules produce for the chosen symbols (a >16-notch fall
+    across an independent frame boundary saturates, exactly like the
+    real codec)."""
+    ind0 = target_lg
+    cur = _gain_first(ind0, prev_ind)
+    realized = [cur]
+    deltas: list[int] = []
+    order = sorted(range(41), key=lambda d: abs(d - 4))
+    for _ in range(n_sub - 1):
+        d = min(order, key=lambda dd: abs(_gain_delta(dd, cur) - target_lg))
+        cur = _gain_delta(d, cur)
+        deltas.append(d)
+        realized.append(cur)
+    return ind0, deltas, realized, cur
+
+
+def silk_quantize_envelope(energies, frame_ms: int = 20) -> np.ndarray:
+    """The envelope ``opus_energy_envelope`` returns for
+    ``encode_ogg_opus_envelope(energies, mode='silk', ...)`` — pure
+    quantizer arithmetic (no range coding): the independent
+    construction-side truth for round-trip tests."""
+    n_sub = 2 if frame_ms == 10 else 4
+    prev = _GAIN_RESET_IND
+    out: list[float] = []
+    for e in np.asarray(energies, dtype=np.float64):
+        if e == 0.0:
+            continue  # DTX packet: no envelope samples
+        target = _quantize_gain_index(e)
+        _i, _d, realized, prev = _plan_silk_gains(target, prev, n_sub)
+        out.extend(float(_GAIN_LINEAR[lg]) for lg in realized)
+    return np.asarray(out, dtype=np.float64)
+
+
+# --- CELT coarse-energy model (§4.3.2) ---------------------------------------
+#
+# The Laplace coder's interval layout is the RFC's: value 0 owns
+# [0, fs0); ±k pairs walk outward with widths fs1 = ((32768 -
+# 2*NMIN*MINP - fs0)*(16384 - decay) >> 15) + MINP then w' =
+# ((w - 2*MINP)*decay >> 15) + MINP, and once w hits MINP everything
+# beyond has probability MINP per value. The per-band probability
+# BYTES below are module-owned stand-ins for e_prob_model (wired
+# fs0 = prob<<7 / decay = decay<<6 exactly as the real model is), so
+# real-world CELT streams REFUSE upstream (fixture-marker gate) until
+# the RFC's bytes are swapped in.
+
+_N_BANDS = 21
 _LAPLACE_MINP = 1
 _LAPLACE_NMIN = 16
+_TAPSET_ICDF = (2, 1, 0)  # post-filter tapset
+_CELT_BETA_INTRA = 4915.0 / 32768.0  # intra prediction leak
+
+# module-owned (prob, decay) bytes per band — NOT RFC 6716's e_prob_model
+_CELT_PROB_INTRA = tuple(
+    (max(70 - 2 * b, 20), min(172 + 3 * b, 251)) for b in range(_N_BANDS)
+)
+_CELT_PROB_INTER = tuple(
+    (max(94 - 2 * b, 24), min(141 + 4 * b, 251)) for b in range(_N_BANDS)
+)
 
 
-def _laplace_intervals(fs: int, decay: int) -> list[tuple[int, int, int]]:
-    """The (lo, hi, value) interval layout of the Laplace coder for one
-    (fs, decay) model, totaling exactly 32768: value 0 owns [0, fs);
-    ±k alternate outward with geometrically decaying widths (floor
-    _LAPLACE_MINP); whatever mass is left goes to one terminal ±K pair.
-    ONE builder shared by encode and decode — symmetry by construction,
-    not by parallel arithmetic."""
-    iv = [(0, fs, 0)]
-    lo = fs
-    w = max(_LAPLACE_MINP, ((32768 - fs) * (16384 - decay)) >> 16)
-    k = 1
-    # geometric body, then a flat MINP-width tail out to ±64 so large
-    # coarse-energy swings stay exactly representable (saturation would
-    # break the envelope's amplitude-scale invariance)
-    while k < 64 and lo + 2 * w <= 32768 - 2 * _LAPLACE_MINP:
-        iv.append((lo, lo + w, k))
-        iv.append((lo + w, lo + 2 * w, -k))
-        lo += 2 * w
-        w = max(_LAPLACE_MINP, (w * decay) >> 15)
-        k += 1
-    rest = 32768 - lo
-    half = rest // 2
-    iv.append((lo, lo + half, k))
-    iv.append((lo + half, 32768, -k))
-    return iv
+def _laplace_fs1(fs0: int, decay: int) -> int:
+    ft = 32768 - 2 * _LAPLACE_NMIN * _LAPLACE_MINP - fs0
+    return ((ft * (16384 - decay)) >> 15) + _LAPLACE_MINP
+
+
+def _laplace_next(w: int, decay: int) -> int:
+    return (((w - 2 * _LAPLACE_MINP) * decay) >> 15) + _LAPLACE_MINP
 
 
 def _laplace_decode(dec: RangeDecoder, fs: int, decay: int) -> int:
     fm = dec.decode(32768)
-    for lo, hi, v in _laplace_intervals(fs, decay):
-        if lo <= fm < hi:
-            dec.update(lo, hi, 32768)
-            return v
-    raise AssertionError("laplace intervals must cover [0, 32768)")
+    if fm < fs:
+        lo, hi, val = 0, fs, 0
+    else:
+        lo = fs
+        w = _laplace_fs1(fs, decay)
+        k = 1
+        while w > _LAPLACE_MINP and fm >= lo + 2 * w:
+            lo += 2 * w
+            w = _laplace_next(w, decay)
+            k += 1
+        if w == _LAPLACE_MINP:
+            di = (fm - lo) >> 1
+            k += di
+            lo += 2 * di
+        if fm < lo + w:
+            val, hi = -k, lo + w
+        else:
+            val, lo = k, lo + w
+            hi = lo + w
+        hi = min(hi, 32768)
+    dec.update(lo, hi, 32768)
+    return val
 
 
 def _laplace_encode(enc: RangeEncoder, value: int, fs: int, decay: int) -> int:
-    """Encode ``value`` (saturating at the model's terminal bucket);
+    """Encode ``value`` (saturating where the layout runs out of room);
     returns the value actually coded — callers must use it for their
     prediction state."""
-    iv = _laplace_intervals(fs, decay)
-    kmax = iv[-1][2]  # terminal -K
-    v = min(max(value, kmax), -kmax)
-    for lo, hi, vv in iv:
-        if vv == v:
-            enc.encode(lo, hi, 32768)
-            return v
-    raise AssertionError("saturated value must be in the layout")
+    if value == 0:
+        enc.encode(0, fs, 32768)
+        return 0
+    sign = -1 if value < 0 else 1
+    mag = abs(value)
+    lo = fs
+    w = _laplace_fs1(fs, decay)
+    k = 1
+    while k < mag and w > _LAPLACE_MINP and lo + 2 * w <= 32768 - 2:
+        lo += 2 * w
+        w = _laplace_next(w, decay)
+        k += 1
+    if w == _LAPLACE_MINP and k < mag:
+        room = (32768 - lo - 2) // 2
+        di = min(mag - k, room)
+        k += di
+        lo += 2 * di
+    if sign < 0:
+        fl, fh = lo, lo + w
+    else:
+        fl, fh = lo + w, min(lo + 2 * w, 32768)
+    enc.encode(fl, fh, 32768)
+    return sign * k
+
+
+def _celt_prob(band: int, intra: int) -> tuple[int, int]:
+    p, d = (_CELT_PROB_INTRA if intra else _CELT_PROB_INTER)[band]
+    return p << 7, d << 6
 
 
 # --- TOC / frame splitting (§3.1–3.2) ---------------------------------------
@@ -407,14 +544,16 @@ def opus_packet_frames(pkt: bytes) -> tuple[int, bool, list[bytes]]:
 
 
 def _silk_frame_gains(
-    frame: bytes, frame_ms: int, stereo: bool = False
-) -> list[float]:
-    """Subframe linear gains of a single SILK frame (§4.2): VAD flag(s),
-    LBRR flag(s), then — for stereo — the stereo prediction weights
-    (joint icdf + two refinements) and the mid-only flag, then the
-    frame-type symbol and the gains: independent MSB (signal-class
-    icdf) + 3 uniform LSBs for subframe 0, delta icdf after. 10 ms →
-    2 subframes, 20 ms → 4. Stereo returns the MID channel's gains —
+    frame: bytes, frame_ms: int, stereo: bool = False, prev_ind: int = _GAIN_RESET_IND
+) -> tuple[list[float], int]:
+    """(subframe linear gains, new LastGainIndex) of a single SILK
+    frame (§4.2): VAD flag(s), LBRR flag(s), then — for stereo — the
+    stereo prediction weights (joint + two refinements per weight) and
+    the mid-only flag (coded only when the side VAD is inactive), then
+    the frame-type symbol and the gains: independent MSB (signal-class
+    icdf) + 3 uniform LSBs for subframe 0, delta icdf after, all
+    dequantized by the RFC rules against ``prev_ind``. 10 ms → 2
+    subframes, 20 ms → 4. Stereo returns the MID channel's gains —
     the mid IS the mono mix, exactly the envelope the fingerprint
     wants; the side channel's gains sit behind the mid frame's full
     residual and stay un-walked."""
@@ -423,13 +562,15 @@ def _silk_frame_gains(
     if dec.dec_bit_logp(1):  # mid LBRR
         raise NotImplementedError("SILK LBRR redundancy not walked")
     if stereo:
-        dec.dec_bit_logp(1)  # side VAD
+        side_vad = dec.dec_bit_logp(1)
         if dec.dec_bit_logp(1):  # side LBRR
             raise NotImplementedError("SILK LBRR redundancy not walked")
-        dec.dec_icdf(_ICDF_STEREO_JOINT, 8)  # joint weight index
-        dec.dec_icdf(_ICDF_STEREO_REFINE, 8)  # w0 refinement
-        dec.dec_icdf(_ICDF_STEREO_REFINE, 8)  # w1 refinement
-        dec.dec_bit_logp(1)  # mid-only flag
+        dec.dec_icdf(_ICDF_STEREO_JOINT, 8)  # joint (w0, w1) index
+        for _w in range(2):
+            dec.dec_icdf(_ICDF_UNIFORM3, 8)  # per-weight refinement 1
+            dec.dec_icdf(_ICDF_UNIFORM5, 8)  # per-weight refinement 2
+        if not side_vad:
+            dec.dec_icdf(_ICDF_MID_ONLY, 8)  # mid-only flag (§4.2.7.2)
     if vad:
         ftype = dec.dec_icdf(_ICDF_TYPE_VAD, 8)
         signal = 1 + (ftype >> 1)  # 1 unvoiced, 2 voiced
@@ -437,33 +578,33 @@ def _silk_frame_gains(
         dec.dec_icdf(_ICDF_TYPE_NO_VAD, 8)
         signal = 0
     n_sub = 2 if frame_ms == 10 else 4
-    gains = []
-    log_gain = 0
+    gains: list[float] = []
     for i in range(n_sub):
         if i == 0:
             msb = dec.dec_icdf(_ICDF_GAIN_MSB[signal], 8)
             lsb = dec.dec_icdf(_ICDF_GAIN_LSB, 8)
-            log_gain = (msb << 3) | lsb
+            prev_ind = _gain_first((msb << 3) | lsb, prev_ind)
         else:
             delta = dec.dec_icdf(_ICDF_GAIN_DELTA, 8)
-            # symbol 4 = hold; each step is one 1.5 dB quantizer notch
-            log_gain = min(max(log_gain + delta - 4, 0), 63)
-        gains.append(2.0 ** (log_gain / 4.0))
-    return gains
+            prev_ind = _gain_delta(delta, prev_ind)
+        gains.append(float(_GAIN_LINEAR[prev_ind]))
+    return gains, prev_ind
 
 
-def _celt_frame_energy(frame: bytes) -> float:
+def _celt_frame_energy(frame: bytes, lm_state: dict | None = None) -> float:
     """Mean linear band energy of a mono CELT frame (§4.3): silence,
-    post-filter, transient, intra flags, then per-band coarse energy —
-    Laplace-coded deltas against a causal in-frame predictor."""
+    post-filter (uint octave + period/gain bits + tapset icdf),
+    transient, intra flags, then per-band coarse energy — Laplace-coded
+    deltas against the two-term predictor (time prediction zeroed for
+    intra; the in-frame accumulator leaks by beta)."""
     dec = RangeDecoder(frame)
     if dec.dec_bit_logp(15):  # silence
         return 0.0
-    if dec.dec_bit_logp(1):  # post-filter: octave/period/gain fields
-        octave = dec.dec_bits(3)
+    if dec.dec_bit_logp(1):  # post-filter
+        octave = dec.dec_uint(6)
         dec.dec_bits(4 + octave)  # period
         dec.dec_bits(3)  # gain
-        dec.dec_bits(2)  # tapset
+        dec.dec_icdf(_TAPSET_ICDF, 2)  # tapset
     dec.dec_bit_logp(3)  # transient
     intra = dec.dec_bit_logp(3)
     energies = []
@@ -473,28 +614,48 @@ def _celt_frame_energy(frame: bytes) -> float:
         q = _laplace_decode(dec, fs, decay)
         cur = prev + q
         energies.append(2.0 ** (cur / 2.0))
-        prev = cur if intra else 0.7 * cur
+        prev = prev + q * (1.0 - _CELT_BETA_INTRA) if intra else 0.7 * cur
     return float(np.mean(energies))
 
 
-def _celt_prob(band: int, intra: int) -> tuple[int, int]:
-    """(fs, decay) for band — flatter model intra-frame, tighter with
-    inter prediction; low bands vary more than high ones."""
-    if intra:
-        fs = 9000 - 180 * band
-        decay = 11000 + 220 * band
-    else:
-        fs = 12000 - 200 * band
-        decay = 9000 + 260 * band
-    return max(fs, 2 * _LAPLACE_NMIN + 2), min(decay, 16000)
+def celt_quantize_envelope(energies) -> np.ndarray:
+    """The envelope ``opus_energy_envelope`` returns for
+    ``encode_ogg_opus_envelope(energies, mode='celt')`` — the
+    pure-arithmetic mirror of the intra-frame coarse-energy walk."""
+    out: list[float] = []
+    for e in np.asarray(energies, dtype=np.float64):
+        if e == 0.0:
+            out.append(0.0)
+            continue
+        target = 2.0 * np.log2(max(e, 1e-12))
+        prev = 0.0
+        es = []
+        for _band in range(_N_BANDS):
+            q = int(round(target - prev))
+            cur = prev + q
+            es.append(2.0 ** (cur / 2.0))
+            prev = prev + q * (1.0 - _CELT_BETA_INTRA)
+        out.append(float(np.mean(es)))
+    return np.asarray(out, dtype=np.float64)
+
+
+_CELT_REFUSAL = (
+    "CELT coarse-energy probability model is module-owned, not RFC "
+    "6716's e_prob_model — real-world CELT streams quarantine (SILK "
+    "and hybrid streams decode with the transcribed RFC tables)"
+)
+
+_FIXTURE_VENDOR = "pg2kinesis_spark fixture"
 
 
 def opus_energy_envelope(data: bytes) -> np.ndarray:
     """Per-frame energy envelope of an Ogg Opus stream — the sequence
     ``audio_fingerprint`` consumes. Mono throughout; stereo SILK walks
     the mid (mono-mix) channel. Surround, stereo CELT, 40/60 ms SILK
-    packets, and non-Opus Ogg refuse (NotImplementedError) so the
-    caller's quarantine channel stays honest."""
+    packets, non-Opus Ogg, and — until e_prob_model is transcribed —
+    real-world CELT streams (no fixture marker in the OpusTags vendor
+    string) refuse (NotImplementedError) so the caller's quarantine
+    channel stays honest."""
     packets = ogg_packets(data)
     if not packets or not packets[0].startswith(b"OpusHead"):
         raise NotImplementedError("not an Ogg Opus stream")
@@ -506,16 +667,38 @@ def opus_energy_envelope(data: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"Opus envelope: {channels}-channel (surround) streams"
         )
+    fixture = False
+    for p in packets[1:3]:
+        if p.startswith(b"OpusTags"):
+            fixture = _vorbis_vendor(p[8:]) == _FIXTURE_VENDOR
+            break
     return opus_packets_energy(
-        p for p in packets[1:] if not p.startswith(b"OpusTags")
+        (p for p in packets[1:] if not p.startswith(b"OpusTags")),
+        fixture_celt=fixture,
     )
 
 
-def opus_packets_energy(packets) -> np.ndarray:
+def _vorbis_vendor(vc: bytes) -> str | None:
+    """The vendor string of a VorbisComment payload (None if short)."""
+    if len(vc) < 4:
+        return None
+    n = struct.unpack_from("<I", vc, 0)[0]
+    if 4 + n > len(vc):
+        return None
+    try:
+        return vc[4 : 4 + n].decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+
+
+def opus_packets_energy(packets, fixture_celt: bool = False) -> np.ndarray:
     """The per-packet energy walk shared by the Ogg and WebM fronts:
-    each packet contributes its SILK subframe gains or CELT coarse
-    band energy (see the module docstring for scope + refusals)."""
+    each packet contributes its SILK subframe gains (real RFC tables,
+    LastGainIndex threaded across packets like the real decoder) or —
+    for fixture-marked streams only — CELT coarse band energy (see the
+    module docstring for scope + refusals)."""
     env: list[float] = []
+    prev_ind = _GAIN_RESET_IND
     for pkt in packets:
         config, stereo, frames = opus_packet_frames(pkt)
         ms = _FRAME_MS[config]
@@ -524,16 +707,21 @@ def opus_packets_energy(packets) -> np.ndarray:
                 f"{ms} ms SILK packets hold multiple interleaved SILK "
                 "frames in one entropy stream (full SILK decode tier)"
             )
-        if stereo and config >= 16:
-            raise NotImplementedError(
-                "stereo CELT packet (coupled-band energy is the full-"
-                "decode tier; stereo SILK walks the mid channel)"
-            )
+        if config >= 16:
+            if stereo:
+                raise NotImplementedError(
+                    "stereo CELT packet (coupled-band energy is the full-"
+                    "decode tier; stereo SILK walks the mid channel)"
+                )
+            if not fixture_celt:
+                raise NotImplementedError(_CELT_REFUSAL)
         for fr in frames:
             if not fr:
                 continue  # DTX
             if config < 16:
-                gains = _silk_frame_gains(fr, int(ms), stereo=stereo)
+                gains, prev_ind = _silk_frame_gains(
+                    fr, int(ms), stereo=stereo, prev_ind=prev_ind
+                )
                 env.extend(gains)
             else:
                 env.append(_celt_frame_energy(fr))
@@ -584,16 +772,21 @@ def opus_envelope_packets(
 ) -> list[bytes]:
     """Raw Opus packets (code 0, one frame each) carrying the quantized
     envelope — the packet builder shared by the Ogg and WebM fixture
-    fronts. ``stereo=True`` (silk only) writes real stereo SILK frames:
-    both channels' VAD/LBRR flags, the three stereo-weight symbols, the
-    mid-only flag (set — the fixture carries no side channel), then the
-    mid frame holding the envelope in its gains."""
+    fronts. The SILK packets are REAL-table streams (any conformant
+    Opus front-end decoder reads the same gains); the gain planning
+    threads LastGainIndex exactly like the decoder, so
+    ``silk_quantize_envelope`` is the byte-independent truth.
+    ``stereo=True`` (silk only) writes real stereo SILK frames: both
+    channels' VAD/LBRR flags, the five stereo-weight symbols, the
+    mid-only flag (set — the fixture carries no side channel), then
+    the mid frame holding the envelope in its gains."""
     env = np.asarray(energies, dtype=np.float64)
     if (env < 0).any():
         raise ValueError("energies must be non-negative")
     if frame_ms not in (10, 20):
         raise ValueError("frame_ms must be 10 or 20")
     pkts: list[bytes] = []
+    prev_ind = _GAIN_RESET_IND
     for e in env:
         if mode == "silk":
             config = 9 if frame_ms == 20 else 8  # WB SILK
@@ -608,17 +801,20 @@ def opus_envelope_packets(
                 enc.enc_bit_logp(0, 1)  # side VAD inactive
                 enc.enc_bit_logp(0, 1)  # no side LBRR
                 enc.enc_icdf(12, _ICDF_STEREO_JOINT, 8)  # centered weights
-                enc.enc_icdf(2, _ICDF_STEREO_REFINE, 8)
-                enc.enc_icdf(2, _ICDF_STEREO_REFINE, 8)
-                enc.enc_bit_logp(1, 1)  # mid-only
+                for _w in range(2):
+                    enc.enc_icdf(1, _ICDF_UNIFORM3, 8)
+                    enc.enc_icdf(2, _ICDF_UNIFORM5, 8)
+                enc.enc_icdf(1, _ICDF_MID_ONLY, 8)  # mid-only (side VAD off)
             enc.enc_icdf(2, _ICDF_TYPE_VAD, 8)  # voiced, low offset
-            log_gain = int(round(4.0 * np.log2(max(e, 1e-12))))
-            log_gain = min(max(log_gain, 0), 63)
             n_sub = 2 if frame_ms == 10 else 4
-            enc.enc_icdf(log_gain >> 3, _ICDF_GAIN_MSB[2], 8)
-            enc.enc_icdf(log_gain & 7, _ICDF_GAIN_LSB, 8)
-            for _ in range(n_sub - 1):
-                enc.enc_icdf(4, _ICDF_GAIN_DELTA, 8)  # hold the gain
+            target = _quantize_gain_index(e)
+            ind0, deltas, _realized, prev_ind = _plan_silk_gains(
+                target, prev_ind, n_sub
+            )
+            enc.enc_icdf(ind0 >> 3, _ICDF_GAIN_MSB[2], 8)
+            enc.enc_icdf(ind0 & 7, _ICDF_GAIN_LSB, 8)
+            for d in deltas:
+                enc.enc_icdf(d, _ICDF_GAIN_DELTA, 8)
             pkts.append(toc + enc.done())
         elif mode == "celt":
             if stereo:
@@ -640,7 +836,7 @@ def opus_envelope_packets(
                 fs, decay = _celt_prob(band, 1)
                 q = int(round(target - prev))
                 q = _laplace_encode(enc, q, fs, decay)
-                prev = prev + q
+                prev = prev + q * (1.0 - _CELT_BETA_INTRA)
             pkts.append(toc + enc.done())
         else:
             raise ValueError(mode)
@@ -653,7 +849,9 @@ def webm_opus_energy_envelope(data: bytes) -> np.ndarray:
     the Cluster SimpleBlocks/Blocks of the first A_OPUS audio track
     (no-lacing blocks; laced audio refuses). An Ogg Opus stream and
     its WebM remux fingerprint IDENTICALLY. Video-bearing files stay
-    on the video tier; stereo and non-Opus audio refuse."""
+    on the video tier; stereo and non-Opus audio refuse. The CELT
+    fixture gate reads the WritingApp element (the WebM twin of the
+    OpusTags vendor marker)."""
     from pg2kinesis_spark.functions import codecs as C
 
     data = bytes(data)
@@ -674,6 +872,7 @@ def webm_opus_energy_envelope(data: bytes) -> np.ndarray:
     anum = None
     entry_end = -1
     cur_num = cur_type = None
+    fixture = False
     clusters: list[tuple[int, int]] = []
     for eid, body, bend, _d in elems:
         if eid == C._MKV_TRACKENTRY:
@@ -683,6 +882,13 @@ def webm_opus_energy_envelope(data: bytes) -> np.ndarray:
             entry_end = bend
         elif eid == C._MKV_CLUSTER:
             clusters.append((body, bend))
+        elif eid == _MKV_WRITINGAPP:
+            try:
+                fixture = (
+                    data[body:bend].decode("utf-8") == _FIXTURE_VENDOR
+                )
+            except UnicodeDecodeError:
+                fixture = False
         elif body <= entry_end:
             if eid == C._MKV_TRACKNUMBER:
                 cur_num = C._ebml_uint(data, body, bend)
@@ -738,7 +944,10 @@ def webm_opus_energy_envelope(data: bytes) -> np.ndarray:
             pos = bend
     if not packets:
         raise ValueError("WebM Opus track with no blocks")
-    return opus_packets_energy(packets)
+    return opus_packets_energy(packets, fixture_celt=fixture)
+
+
+_MKV_WRITINGAPP = 0x5741
 
 
 def encode_webm_opus_envelope(
@@ -750,7 +959,8 @@ def encode_webm_opus_envelope(
     """Audio-only WebM fixture carrying the SAME Opus packets the Ogg
     fixture would — the remux twin for the cross-container identity
     test, and the independent construction side of
-    ``webm_opus_energy_envelope``."""
+    ``webm_opus_energy_envelope``. Writes the fixture marker into
+    WritingApp (the CELT gate's WebM channel)."""
     from pg2kinesis_spark.functions import codecs as C
 
     pkts = opus_envelope_packets(energies, mode, frame_ms)
@@ -759,7 +969,8 @@ def encode_webm_opus_envelope(
     info = C._ebml_elem(
         C._MKV_INFO,
         C._ebml_elem(C._MKV_TIMECODESCALE, (1_000_000).to_bytes(4, "big"))
-        + C._ebml_elem(C._MKV_DURATION, struct.pack(">d", float(dur_ticks))),
+        + C._ebml_elem(C._MKV_DURATION, struct.pack(">d", float(dur_ticks)))
+        + C._ebml_elem(_MKV_WRITINGAPP, _FIXTURE_VENDOR.encode("utf-8")),
     )
     audio_entry = C._ebml_elem(
         C._MKV_TRACKENTRY,
@@ -794,13 +1005,15 @@ def encode_ogg_opus_envelope(
     serial: int = 7,
     stereo: bool = False,
 ) -> bytes:
-    """Ogg Opus fixture whose per-frame decoded envelope equals the
-    quantized ``energies`` — the independent construction side of
-    ``opus_energy_envelope`` (the MP3 ``encode_mp3_layer3_envelope``
-    precedent). ``mode='silk'`` writes one mono 20 ms (or 10 ms) SILK
-    frame per packet carrying the energy in its subframe gains;
-    ``'celt'`` writes CELT frames carrying it in the coarse band
-    energies. Zero energy becomes a DTX (empty) packet in silk mode and
+    """Ogg Opus fixture whose per-frame decoded envelope equals
+    ``silk_quantize_envelope(energies)`` / ``celt_quantize_envelope``
+    — the independent construction side of ``opus_energy_envelope``
+    (the MP3 ``encode_mp3_layer3_envelope`` precedent). ``mode='silk'``
+    writes one mono 20 ms (or 10 ms) REAL-table SILK frame per packet
+    carrying the energy in its subframe gains; ``'celt'`` writes CELT
+    frames carrying it in the coarse band energies (decodable only
+    under the fixture marker — the OpusTags vendor string written
+    here). Zero energy becomes a DTX (empty) packet in silk mode and
     the silence flag in celt mode."""
     from pg2kinesis_spark.functions import codecs as C
 

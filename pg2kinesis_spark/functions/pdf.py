@@ -1397,7 +1397,12 @@ def _indexed_palette(objs: dict, head: bytes) -> tuple[bytes, int] | None:
     base_nch = 3 if m.group(1) == b"DeviceRGB" else 1
     hival = int(m.group(2))
     if m.group(3) is not None:
-        lookup = bytes.fromhex(m.group(3).decode("ascii").replace("\n", "").replace(" ", ""))
+        # any PDF whitespace may split the hex pairs, and an odd-length
+        # hex string implies a trailing 0 (ISO 32000 §7.3.4.3)
+        hx = re.sub(rb"\s+", b"", m.group(3))
+        if len(hx) % 2:
+            hx += b"0"
+        lookup = bytes.fromhex(hx.decode("ascii"))
     elif m.group(4) is not None:
         lookup = _unescape_literal(m.group(4))
     else:

@@ -379,12 +379,6 @@ def gopher_filter(
         f" and {_bind(_LINES_SQL, 'ln2', line_conds)}"
     )
     if parallelism:
-        # the always-true nondeterministic conjunct is load-bearing:
-        # Catalyst pushes a deterministic filter straight through
-        # repartition(), putting the gate back on the unsplittable
-        # scan (and a barrier Project gets column-pruned away first) —
-        # a nondeterministic predicate is ineligible for pushdown, so
-        # the gate actually runs AFTER the exchange, on every core
         # localCheckpoint is the barrier: Catalyst pushes a
         # deterministic filter straight back through repartition() onto
         # the unsplittable scan (and splits/simplifies every

@@ -618,6 +618,14 @@ def test_m4a_gain_refusals():
     m4a[dsi + 2] = (5 << 3) | (m4a[dsi + 2] & 0x07)
     with pytest.raises(NotImplementedError, match="AOT"):
         m4a_aac_gains(bytes(m4a))
+    # stsc whose first run starts past chunk 1 would misalign every
+    # chunk's sample count — refuse, don't walk wrong offsets (ADVICE r8)
+    m4a = bytearray(encode_m4a_envelope([4.0, 8.0]))
+    at = m4a.index(b"stsc") + 4 + 4 + 4  # type, ver/flags, entry_count
+    assert m4a[at : at + 4] == b"\x00\x00\x00\x01"
+    m4a[at + 3] = 2
+    with pytest.raises(ValueError, match="chunk 2, not 1"):
+        m4a_aac_gains(bytes(m4a))
     with pytest.raises(ValueError):
         m4a_aac_gains(b"\x00" * 40)
 

@@ -768,12 +768,22 @@ def test_pdf_embedded_figures_pair_in_image_tier(spark):
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     figures = pdf_images_as_media(extract_pdf_images(media))
     ids = {r["media_id"] for r in figures.select("media_id").collect()}
-    assert ids == {0, 1009, 2 * 1009}  # doc*1009 + img_idx
+    # per-image id = xxhash64(doc_media_id, img_idx) — collision-safe
+    # for 64-bit-hash source ids (ADVICE r8)
+    from pyspark.sql import functions as F
+
+    id_of = {
+        r["doc"]: r["h"]
+        for r in spark.createDataFrame([(0, 0), (1, 0), (2, 0)], "doc long, idx int")
+        .select("doc", F.xxhash64("doc", "idx").alias("h"))
+        .collect()
+    }
+    assert ids == set(id_of.values())
     pairs = media_near_dup_pairs(figures, max_hamming=6,
                                  signature="dhash").collect()
-    got = {(r["media_id1"], r["media_id2"]) for r in pairs}
-    assert (0, 1009) in got
-    assert not any(2 * 1009 in p for p in got)
+    got = {frozenset((r["media_id1"], r["media_id2"])) for r in pairs}
+    assert frozenset((id_of[0], id_of[1])) in got
+    assert not any(id_of[2] in p for p in got)
 
 
 def test_fuzz_pdf_images_walk():
@@ -827,3 +837,22 @@ def test_pdf_indexed_palette_images():
     bad = encode_pdf([["x"]], images=[(bytes([200]), 1, 1, "indexed", palette, 8)])
     r = pdf_images(bad)
     assert r[0][1] is None and "hival" in r[0][3]
+
+
+def test_indexed_hex_palette_whitespace_and_odd_length():
+    """Hex palette strings may be split by ANY PDF whitespace and may
+    have an odd digit count (implied trailing 0, ISO 32000 §7.3.4.3) —
+    neither is a reason to quarantine (ADVICE r8)."""
+    from pg2kinesis_spark.functions.pdf import _indexed_palette
+
+    head = (
+        b"<< /Subtype /Image /ColorSpace [ /Indexed /DeviceRGB 1 "
+        b"<0A0B\r0C\t112233> ] >>"
+    )
+    lookup, nch = _indexed_palette({}, head)
+    assert (lookup, nch) == (bytes([0x0A, 0x0B, 0x0C, 0x11, 0x22, 0x33]), 3)
+    odd = (
+        b"<< /Subtype /Image /ColorSpace [ /Indexed /DeviceGray 1 <0A0B0> ] >>"
+    )
+    lookup, nch = _indexed_palette({}, odd)
+    assert (lookup, nch) == (bytes([0x0A, 0x0B]), 1)
