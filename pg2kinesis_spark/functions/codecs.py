@@ -5470,9 +5470,29 @@ def decode_tiff(data: bytes, page: int = 0) -> np.ndarray:
             out = d.decompress(strip, expect + 1)
         elif comp == 32773:
             out = _packbits_decode(strip, expect)
+        elif comp in (2, 3, 4):
+            # CCITT fax tiers: 2 = MH with byte-aligned rows, 3 = T.4
+            # (T4Options bit 0 picks 1D/2D; fill+EOL handles alignment),
+            # 4 = T.6/G4. Every strip restarts the coder (TIFF 6.0).
+            from pg2kinesis_spark.functions.ccitt import ccitt_decode
+
+            if bits != 1 or spp != 1:
+                raise ValueError("CCITT TIFF must be 1-bit single-sample")
+            t4 = (tags.get(292) or [0])[0]
+            if comp == 3 and t4 & 2:
+                raise NotImplementedError("T.4 uncompressed mode")
+            if comp == 2:
+                k_, ba = 0, True
+            elif comp == 3:
+                k_, ba = (2 if t4 & 1 else 0), False
+            else:
+                k_, ba = -1, False
+            black = ccitt_decode(strip, w, n_rows, k=k_, byte_align=ba)
+            # photometric 0 (the fax default): bit 1 = black
+            out = np.packbits(black if photo == 0 else ~black, axis=1).tobytes()
         else:
             raise NotImplementedError(
-                f"TIFF compression {comp} (none/LZW/deflate/PackBits tier)"
+                f"TIFF compression {comp} (none/LZW/deflate/PackBits/CCITT tier)"
             )
         if len(out) < expect:
             raise ValueError(f"TIFF strip {si} short: {len(out)} < {expect}")
@@ -5569,6 +5589,24 @@ def encode_tiff(
                 _packbits_encode(block[i : i + rb])
                 for i in range(0, len(block), rb)
             ))
+        elif compression in (2, 3, 4):
+            from pg2kinesis_spark.functions.ccitt import ccitt_encode
+
+            if bits != 1:
+                raise ValueError("CCITT fixture compression needs bits=1")
+            # recover the BLACK mask from the packed rows (photometric
+            # 0 packs black as 1, photometric 1 as 0)
+            rb = (w + 7) // 8
+            packed = np.frombuffer(block, dtype=np.uint8).reshape(-1, rb)
+            mask = np.unpackbits(packed, axis=1)[:, :w].astype(bool)
+            if photo != 0:
+                mask = ~mask
+            if compression == 2:
+                strips.append(ccitt_encode(mask, k=0, byte_align=True))
+            elif compression == 3:
+                strips.append(ccitt_encode(mask, k=4))  # T4Options bit 0
+            else:
+                strips.append(ccitt_encode(mask, k=-1))
         else:
             raise ValueError(f"unsupported fixture compression {compression}")
     bo = byteorder
@@ -5609,6 +5647,8 @@ def encode_tiff(
     entry(279, 4, n_strips, arr([len(s) for s in strips], 4))
     if predictor == 2:
         entry(317, 3, 1, struct.pack(bo + "HH", 2, 0) if bo == "<" else struct.pack(bo + "H", 2) + bytes(2))
+    if compression == 3:
+        entry(292, 4, 1, struct.pack(bo + "I", 1))  # T4Options: 2D
     ifd_off = extra_base + len(extra)
     magic = b"II*\x00" if bo == "<" else b"MM\x00*"
     out = bytearray(magic + struct.pack(bo + "I", ifd_off))

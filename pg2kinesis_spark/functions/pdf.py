@@ -1470,8 +1470,40 @@ def pdf_images(data: bytes, password: bytes | str = b"") -> list[tuple]:
                         "image filter before the DCT payload"
                     )
                 out.append((idx, jpg, "image/jpeg", None))
-            elif names and names[-1] in (b"JPXDecode", b"JBIG2Decode",
-                                         b"CCITTFaxDecode"):
+            elif names and names[-1] == b"CCITTFaxDecode":
+                from pg2kinesis_spark.functions import ccitt as ccitt_mod
+                from pg2kinesis_spark.functions import codecs as C
+
+                fax = _decode_stream(head, body, upto=len(names) - 1)
+                if fax is None:
+                    raise NotImplementedError(
+                        "image filter before the CCITT payload"
+                    )
+                w = _img_int(head, b"/Width")
+                h = _img_int(head, b"/Height")
+                if not w or not h:
+                    raise ValueError("image without /Width + /Height")
+                parms = _parse_decode_parms(head)
+                p = parms[len(names) - 1] if len(parms) >= len(names) else b""
+                mk = re.search(rb"/K\s+(-?\d+)", p)
+                k = int(mk.group(1)) if mk else 0
+                cols = _parm_int(p, b"Columns", 1728)
+                rows = _parm_int(p, b"Rows", h)
+                ba = bool(re.search(rb"/EncodedByteAlign\s+true", p))
+                if cols != w or rows < h:
+                    raise ValueError(
+                        f"/CCITTFaxDecode geometry {cols}x{rows} vs "
+                        f"image {w}x{h}"
+                    )
+                # the CCITT pen is rendered directly (black ink = 0):
+                # /BlackIs1 + /Decode only pick the intermediate BIT
+                # convention, which this path never materializes
+                black = ccitt_mod.ccitt_decode(fax, w, h, k=k, byte_align=ba)
+                import numpy as np
+
+                gray = np.where(black, 0, 255).astype(np.uint8)[:, :, None]
+                out.append((idx, C.encode_png(gray), "image/png", None))
+            elif names and names[-1] in (b"JPXDecode", b"JBIG2Decode"):
                 raise NotImplementedError(
                     f"{names[-1].decode()} image payloads"
                 )
@@ -1761,9 +1793,21 @@ class _PdfBuilder:
         """An Image XObject stream: kind 'jpeg' stores the bytes under
         /DCTDecode; 'rgb'/'gray' store raw 8-bit samples; 'indexed'
         stores palette indices at ``bpc`` bits with the RGB ``palette``
-        as a hex-string /Indexed lookup."""
+        as a hex-string /Indexed lookup; 'ccitt-g4'/'ccitt-g3'/
+        'ccitt-mh' store pre-coded fax bytes under /CCITTFaxDecode
+        with the matching /DecodeParms (K -1/2/0)."""
         if kind == "jpeg":
             extra = b" /Filter /DCTDecode /ColorSpace /DeviceRGB /BitsPerComponent 8"
+            body = payload
+        elif kind.startswith("ccitt"):
+            k = {"ccitt-g4": -1, "ccitt-g3": 2, "ccitt-mh": 0}[kind]
+            align = b" /EncodedByteAlign true" if kind == "ccitt-mh" else b""
+            extra = (
+                b" /Filter /CCITTFaxDecode /DecodeParms << /K "
+                + str(k).encode() + b" /Columns " + str(w).encode()
+                + b" /Rows " + str(h).encode() + align + b" >>"
+                + b" /ColorSpace /DeviceGray /BitsPerComponent 1"
+            )
             body = payload
         elif kind == "indexed":
             hival = len(palette) // 3 - 1
