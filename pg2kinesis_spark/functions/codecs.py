@@ -5263,17 +5263,20 @@ def decode_image(data: bytes, deterministic: bool = False) -> np.ndarray:
     )
 
 
-# --- TIFF (round 8) --------------------------------------------------------
+# --- TIFF (rounds 8-9) ------------------------------------------------------
 #
 # Baseline TIFF 6.0: the scanned-document and dataset-export format.
-# IFD tag walk (both byte orders), strip assembly, compressions 1
-# (none) / 5 (LZW — the SAME MSB-first early-change variant PDF's
+# IFD tag walk (both byte orders), strip AND tile assembly (round 9:
+# tags 322-325, edge tiles coded full-size and clipped), planar
+# configurations 1 and 2 (per-channel segment sequences), compressions
+# 1 (none) / 5 (LZW — the SAME MSB-first early-change variant PDF's
 # /LZWDecode uses, one implementation shared) / 8 (zlib) / 32773
-# (PackBits), horizontal-differencing predictor 2, photometric 0/1/2,
-# 1- and 8-bit samples. Tiled layouts, planar configuration 2, and
-# other photometrics refuse loudly. Same bounds discipline as PNG:
-# dimensions validate against MAX_PIXELS BEFORE allocation, strip
-# inflation is capped by the expected raster size.
+# (PackBits) / 2-3-4 (CCITT MH, T.4, G4 — functions/ccitt.py, shared
+# with PDF /CCITTFaxDecode), horizontal-differencing predictor 2
+# (undone PER SEGMENT — tile rows restart prediction), photometric
+# 0/1/2, 1/8/16-bit samples. Other photometrics refuse loudly. Same
+# bounds discipline as PNG: dimensions validate against MAX_PIXELS
+# BEFORE allocation, segment inflation is capped by the expected size.
 
 
 def is_tiff(data: bytes) -> bool:
@@ -5412,8 +5415,12 @@ def _packbits_encode(row: bytes) -> bytes:
 def decode_tiff(data: bytes, page: int = 0) -> np.ndarray:
     """TIFF decode to (H, W, C) uint8 — ``page`` selects the IFD for
     multi-page scans (default first, decode_gif's first-frame rule;
-    the page count surfaces in tiff_info). See the section comment for
-    the supported matrix."""
+    the page count surfaces in tiff_info). Strip AND tile layouts,
+    planar configurations 1 (chunky) and 2 (per-channel planes); the
+    predictor is undone per segment (a tile's rows restart prediction
+    — applying it across assembled image rows would corrupt every
+    tile column after the first). See the section comment for the
+    supported matrix."""
     data = bytes(data)
     tags = None
     for i, t in enumerate(_tiff_ifds(data)):
@@ -5430,10 +5437,9 @@ def decode_tiff(data: bytes, page: int = 0) -> np.ndarray:
     photo = (tags.get(262) or [1])[0]
     pred = (tags.get(317) or [1])[0]
     planar = (tags.get(284) or [1])[0]
-    if 322 in tags or 323 in tags or 324 in tags:
-        raise NotImplementedError("tiled TIFF layouts (strip tier only)")
-    if planar != 1:
-        raise NotImplementedError("TIFF planar configuration 2")
+    tiled = 322 in tags or 323 in tags or 324 in tags or 325 in tags
+    if planar not in (1, 2):
+        raise NotImplementedError(f"TIFF planar configuration {planar}")
     if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
         raise ValueError(f"TIFF dimensions {w}x{h} out of bounds")
     if spp not in (1, 3) or photo not in (0, 1, 2):
@@ -5445,38 +5451,31 @@ def decode_tiff(data: bytes, page: int = 0) -> np.ndarray:
         raise NotImplementedError(f"TIFF {bps}-bit samples (1/8/16-bit tier)")
     if bits == 1 and spp != 1:
         raise NotImplementedError("1-bit TIFF must be single-sample")
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF missing strip offsets/byte counts")
-    rps = (tags.get(278) or [h])[0] or h
-    row_bytes = (w * spp * bits + 7) // 8
-    raster = bytearray()
-    expect_total = row_bytes * h
-    for si, (o, c) in enumerate(zip(offsets, counts)):
-        if o + c > len(data):
-            raise ValueError("TIFF strip overruns the file")
-        strip = data[o : o + c]
-        n_rows = min(rps, h - si * rps)
-        expect = row_bytes * n_rows
+    if pred not in (1, 2):
+        raise NotImplementedError(f"TIFF predictor {pred}")
+    bo = "<" if data[:2] == b"II" else ">"
+    n_planes = spp if planar == 2 and spp > 1 else 1
+    cpp = spp // n_planes  # channels per plane: 1 planar, spp chunky
+
+    def decompress(seg: bytes, sw: int, sh: int) -> bytes:
+        expect = ((sw * cpp * bits + 7) // 8) * sh
         if comp == 1:
-            out = strip
+            out = seg
         elif comp == 5:
             from pg2kinesis_spark.functions.pdf import _lzw_decode
 
-            out = _lzw_decode(strip, early=1)
+            out = _lzw_decode(seg, early=1)
         elif comp == 8:
-            d = zlib.decompressobj()
-            out = d.decompress(strip, expect + 1)
+            out = zlib.decompressobj().decompress(seg, expect + 1)
         elif comp == 32773:
-            out = _packbits_decode(strip, expect)
+            out = _packbits_decode(seg, expect)
         elif comp in (2, 3, 4):
             # CCITT fax tiers: 2 = MH with byte-aligned rows, 3 = T.4
             # (T4Options bit 0 picks 1D/2D; fill+EOL handles alignment),
-            # 4 = T.6/G4. Every strip restarts the coder (TIFF 6.0).
+            # 4 = T.6/G4. Every strip/tile restarts the coder (TIFF 6.0).
             from pg2kinesis_spark.functions.ccitt import ccitt_decode
 
-            if bits != 1 or spp != 1:
+            if bits != 1:
                 raise ValueError("CCITT TIFF must be 1-bit single-sample")
             t4 = (tags.get(292) or [0])[0]
             if comp == 3 and t4 & 2:
@@ -5487,7 +5486,7 @@ def decode_tiff(data: bytes, page: int = 0) -> np.ndarray:
                 k_, ba = (2 if t4 & 1 else 0), False
             else:
                 k_, ba = -1, False
-            black = ccitt_decode(strip, w, n_rows, k=k_, byte_align=ba)
+            black = ccitt_decode(seg, sw, sh, k=k_, byte_align=ba)
             # photometric 0 (the fax default): bit 1 = black
             out = np.packbits(black if photo == 0 else ~black, axis=1).tobytes()
         else:
@@ -5495,43 +5494,96 @@ def decode_tiff(data: bytes, page: int = 0) -> np.ndarray:
                 f"TIFF compression {comp} (none/LZW/deflate/PackBits/CCITT tier)"
             )
         if len(out) < expect:
-            raise ValueError(f"TIFF strip {si} short: {len(out)} < {expect}")
-        raster += out[:expect]
-        if len(raster) > expect_total:
-            raise ValueError("TIFF strips exceed the raster size")
-    if len(raster) < expect_total:
-        raise ValueError("TIFF strips do not cover the raster")
-    if bits == 1:
-        rows = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(h, row_bytes)
-        img = np.unpackbits(rows, axis=1)[:, :w].astype(np.uint8) * 255
-        if photo == 0:  # WhiteIsZero: 0 bit = white
-            img = 255 - img
-        return img[:, :, None]
-    if bits == 16:
-        # sample endianness follows the FILE byte order; reduce to the
-        # high byte after undoing the predictor — the PNG 16-bit rule
-        bo = "<" if data[:2] == b"II" else ">"
-        wide = np.frombuffer(bytes(raster), dtype=np.dtype(bo + "u2"))
-        wide = wide.reshape(h, w, spp)
+            raise ValueError(f"TIFF segment short: {len(out)} < {expect}")
+        return out[:expect]
+
+    def segment(seg: bytes, sw: int, sh: int) -> np.ndarray:
+        """One strip/tile → (sh, sw, cpp) uint8 (predictor undone
+        here: prediction never crosses a segment boundary)."""
+        raw = decompress(seg, sw, sh)
+        if bits == 1:
+            rows = np.frombuffer(raw, dtype=np.uint8).reshape(sh, -1)
+            return np.unpackbits(rows, axis=1)[:, :sw].astype(np.uint8)[
+                :, :, None
+            ] * 255
+        if bits == 16:
+            # sample endianness follows the FILE byte order; reduce to
+            # the high byte after undoing the predictor — the PNG rule
+            wide = np.frombuffer(raw, dtype=np.dtype(bo + "u2"))
+            wide = wide.reshape(sh, sw, cpp)
+            if pred == 2:
+                wide = np.cumsum(wide.astype(np.uint32), axis=1) & 0xFFFF
+            return (wide >> 8).astype(np.uint8)
+        img = np.frombuffer(raw, dtype=np.uint8).reshape(sh, sw, cpp)
         if pred == 2:
-            wide = np.cumsum(wide.astype(np.uint32), axis=1) & 0xFFFF
-        elif pred != 1:
-            raise NotImplementedError(f"TIFF predictor {pred}")
-        img = (wide >> 8).astype(np.uint8)
-        if photo == 0 and spp == 1:
-            img = 255 - img
-        return np.ascontiguousarray(img)
-    img = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(h, w * spp)
-    if pred == 2:
-        img = np.cumsum(
-            img.reshape(h, w, spp).astype(np.uint16), axis=1, dtype=np.uint16
-        ).astype(np.uint8).reshape(h, w * spp)
-    elif pred != 1:
-        raise NotImplementedError(f"TIFF predictor {pred}")
-    img = img.reshape(h, w, spp)
-    if photo == 0 and spp == 1:
-        img = 255 - img
-    return np.ascontiguousarray(img)
+            img = np.cumsum(img.astype(np.uint16), axis=1).astype(np.uint8)
+        return img
+
+    def fetch(o: int, c: int) -> bytes:
+        if o + c > len(data):
+            raise ValueError("TIFF segment overruns the file")
+        return data[o : o + c]
+
+    out = np.zeros((h, w, spp), dtype=np.uint8)
+    if tiled:
+        tw = (tags.get(322) or [0])[0]
+        th = (tags.get(323) or [0])[0]
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if not tw or not th or not offsets or not counts:
+            raise ValueError("tiled TIFF missing tile geometry/offsets")
+        if len(offsets) != len(counts):
+            raise ValueError("TIFF tile offset/count arrays disagree")
+        if tw * th > MAX_PIXELS:
+            raise ValueError(f"TIFF tile {tw}x{th} out of bounds")
+        tx_n = -(-w // tw)
+        ty_n = -(-h // th)
+        if len(offsets) != tx_n * ty_n * n_planes:
+            raise ValueError(
+                f"TIFF tile count {len(offsets)} != "
+                f"{tx_n}x{ty_n}x{n_planes} grid"
+            )
+        i = 0
+        for p in range(n_planes):
+            for ty in range(ty_n):
+                for tx in range(tx_n):
+                    px = segment(fetch(offsets[i], counts[i]), tw, th)
+                    i += 1
+                    # edge tiles are coded at FULL tile size and clip
+                    sub = px[: min(th, h - ty * th), : min(tw, w - tx * tw)]
+                    ys, xs = ty * th, tx * tw
+                    if n_planes > 1:
+                        out[
+                            ys : ys + sub.shape[0], xs : xs + sub.shape[1], p
+                        ] = sub[:, :, 0]
+                    else:
+                        out[ys : ys + sub.shape[0], xs : xs + sub.shape[1]] = sub
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing strip offsets/byte counts")
+        rps = (tags.get(278) or [h])[0] or h
+        strips_per_plane = -(-h // rps)
+        if len(offsets) != strips_per_plane * n_planes:
+            raise ValueError(
+                f"TIFF strip count {len(offsets)} != "
+                f"{strips_per_plane}x{n_planes} layout"
+            )
+        i = 0
+        for p in range(n_planes):
+            for si in range(strips_per_plane):
+                n_rows = min(rps, h - si * rps)
+                px = segment(fetch(offsets[i], counts[i]), w, n_rows)
+                i += 1
+                ys = si * rps
+                if n_planes > 1:
+                    out[ys : ys + n_rows, :, p] = px[:, :, 0]
+                else:
+                    out[ys : ys + n_rows] = px
+    if photo == 0 and spp == 1:  # WhiteIsZero
+        out = 255 - out
+    return np.ascontiguousarray(out)
 
 
 def encode_tiff(
@@ -5542,83 +5594,117 @@ def encode_tiff(
     byteorder: str = "<",
     photometric: int | None = None,
     bits: int = 8,
+    tiles: tuple[int, int] | None = None,
+    planar: int = 1,
 ) -> bytes:
-    """Spec-packed TIFF fixture writer (strips, both byte orders,
-    compressions 1/5/8/32773, predictor 2, 8-bit gray/RGB or 1-bit
-    bilevel) — the independent test side of decode_tiff/tiff_info,
-    like every encode_* here. ``bits=1``: img is (H, W) of 0/255 (or
-    booleans), rows pack MSB-first; photometric 0 inverts. ``bits=16``:
-    img is uint16; samples store in the chosen byte order."""
+    """Spec-packed TIFF fixture writer (strips OR tiles, both byte
+    orders, compressions 1/5/8/32773 + CCITT 2/3/4, predictor 2,
+    planar configuration 1/2, 8-bit gray/RGB or 1-bit bilevel) — the
+    independent test side of decode_tiff/tiff_info, like every
+    encode_* here. ``bits=1``: img is (H, W) of 0/255 (or booleans),
+    rows pack MSB-first; photometric 0 inverts. ``bits=16``: img is
+    uint16; samples store in the chosen byte order. ``tiles=(tw,th)``
+    writes tags 322-325 with edge tiles zero-padded to full size;
+    ``planar=2`` writes one segment sequence per channel."""
     img = np.asarray(img, dtype=np.uint16 if bits == 16 else np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, spp = img.shape
     photo = photometric if photometric is not None else (2 if spp == 3 else 1)
     rps = rows_per_strip or h
-    if bits == 1:
-        if spp != 1 or predictor == 2:
-            raise ValueError("bilevel fixture: single sample, no predictor")
-        ink = (img[:, :, 0] > 127).astype(np.uint8)
-        if photo == 0:
-            ink = 1 - ink
-        raw = np.packbits(ink, axis=1)  # (h, row_bytes), MSB-first
-    elif bits == 16:
-        d = img.astype(np.uint32)
+    if planar not in (1, 2) or (planar == 2 and spp == 1):
+        raise ValueError("planar 2 fixture needs multi-sample pixels")
+    if bits == 1 and (spp != 1 or predictor == 2):
+        raise ValueError("bilevel fixture: single sample, no predictor")
+
+    def seg_bytes(arr: np.ndarray) -> bytes:
+        """Predictor + bit packing for ONE segment's samples (sh, sw,
+        cpp) — prediction restarts per segment, matching the decoder."""
+        sh = arr.shape[0]
+        if bits == 1:
+            ink = (arr[:, :, 0] > 127).astype(np.uint8)
+            if photo == 0:
+                ink = 1 - ink
+            return np.packbits(ink, axis=1).tobytes()
+        if bits == 16:
+            d = arr.astype(np.uint32)
+            if predictor == 2:
+                d = d.copy()
+                d[:, 1:, :] = (d[:, 1:, :] - d[:, :-1, :]) & 0xFFFF
+            return (
+                d.astype(np.dtype(byteorder + "u2")).view(np.uint8)
+                .reshape(sh, -1).tobytes()
+            )
+        raw = arr
         if predictor == 2:
-            d = d.copy()
-            d[:, 1:, :] = (d[:, 1:, :] - d[:, :-1, :]) & 0xFFFF
-        raw = d.astype(np.dtype(byteorder + "u2")).view(np.uint8).reshape(h, -1)
-    else:
-        raw = img
-        if predictor == 2:
-            d = img.astype(np.int16)
+            d = arr.astype(np.int16)
             d[:, 1:, :] = d[:, 1:, :] - d[:, :-1, :]
             raw = (d & 0xFF).astype(np.uint8)
-    strips = []
-    for y0 in range(0, h, rps):
-        block = raw[y0 : y0 + rps].tobytes()
+        return raw.tobytes()
+
+    def compress(block: bytes, sw: int) -> bytes:
+        cpp = 1 if planar == 2 else spp
         if compression == 1:
-            strips.append(block)
-        elif compression == 5:
-            strips.append(_tiff_lzw_encode(block))
-        elif compression == 8:
-            strips.append(zlib.compress(block))
-        elif compression == 32773:
-            rb = (w * spp * bits + 7) // 8
-            strips.append(b"".join(
+            return block
+        if compression == 5:
+            return _tiff_lzw_encode(block)
+        if compression == 8:
+            return zlib.compress(block)
+        if compression == 32773:
+            rb = (sw * cpp * bits + 7) // 8
+            return b"".join(
                 _packbits_encode(block[i : i + rb])
                 for i in range(0, len(block), rb)
-            ))
-        elif compression in (2, 3, 4):
+            )
+        if compression in (2, 3, 4):
             from pg2kinesis_spark.functions.ccitt import ccitt_encode
 
             if bits != 1:
                 raise ValueError("CCITT fixture compression needs bits=1")
             # recover the BLACK mask from the packed rows (photometric
             # 0 packs black as 1, photometric 1 as 0)
-            rb = (w + 7) // 8
+            rb = (sw + 7) // 8
             packed = np.frombuffer(block, dtype=np.uint8).reshape(-1, rb)
-            mask = np.unpackbits(packed, axis=1)[:, :w].astype(bool)
+            mask = np.unpackbits(packed, axis=1)[:, :sw].astype(bool)
             if photo != 0:
                 mask = ~mask
             if compression == 2:
-                strips.append(ccitt_encode(mask, k=0, byte_align=True))
-            elif compression == 3:
-                strips.append(ccitt_encode(mask, k=4))  # T4Options bit 0
-            else:
-                strips.append(ccitt_encode(mask, k=-1))
-        else:
-            raise ValueError(f"unsupported fixture compression {compression}")
+                return ccitt_encode(mask, k=0, byte_align=True)
+            if compression == 3:
+                return ccitt_encode(mask, k=4)  # T4Options bit 0
+            return ccitt_encode(mask, k=-1)
+        raise ValueError(f"unsupported fixture compression {compression}")
+
+    planes = (
+        [img] if planar == 1 else [img[:, :, c : c + 1] for c in range(spp)]
+    )
+    segs: list[bytes] = []
+    if tiles:
+        tw, th = tiles
+        for plane in planes:
+            for ty in range(0, h, th):
+                for tx in range(0, w, tw):
+                    tile = plane[ty : ty + th, tx : tx + tw]
+                    pad_y, pad_x = th - tile.shape[0], tw - tile.shape[1]
+                    if pad_y or pad_x:
+                        tile = np.pad(
+                            tile, ((0, pad_y), (0, pad_x), (0, 0))
+                        )
+                    segs.append(compress(seg_bytes(tile), tw))
+    else:
+        for plane in planes:
+            for y0 in range(0, h, rps):
+                segs.append(compress(seg_bytes(plane[y0 : y0 + rps]), w))
     bo = byteorder
     entries = []  # (tag, type, count, value_bytes-or-int)
-    n_strips = len(strips)
+    n_segs = len(segs)
     header_end = 8
-    # layout: header | strip data | [bps values] | strip offset/count arrays | IFD
-    strip_data = b"".join(strips)
-    strip_offs = []
+    # layout: header | segment data | [value arrays] | IFD
+    seg_data = b"".join(segs)
+    seg_offs = []
     at = header_end
-    for s in strips:
-        strip_offs.append(at)
+    for s in segs:
+        seg_offs.append(at)
         at += len(s)
     extra = bytearray()
     extra_base = at
@@ -5636,23 +5722,39 @@ def encode_tiff(
     def entry(tag, typ, cnt, packed4):
         entries.append(struct.pack(bo + "HHI", tag, typ, cnt) + packed4)
 
+    def short(tag, val):
+        entry(
+            tag, 3, 1,
+            struct.pack(bo + "HH", val, 0)
+            if bo == "<"
+            else struct.pack(bo + "H", val) + bytes(2),
+        )
+
     entry(256, 4, 1, struct.pack(bo + "I", w))
     entry(257, 4, 1, struct.pack(bo + "I", h))
     entry(258, 3, spp, arr([bits] * spp, 3))
-    entry(259, 3, 1, struct.pack(bo + "HH", compression, 0) if bo == "<" else struct.pack(bo + "H", compression) + bytes(2))
-    entry(262, 3, 1, struct.pack(bo + "HH", photo, 0) if bo == "<" else struct.pack(bo + "H", photo) + bytes(2))
-    entry(273, 4, n_strips, arr(strip_offs, 4))
-    entry(277, 3, 1, struct.pack(bo + "HH", spp, 0) if bo == "<" else struct.pack(bo + "H", spp) + bytes(2))
-    entry(278, 4, 1, struct.pack(bo + "I", rps))
-    entry(279, 4, n_strips, arr([len(s) for s in strips], 4))
+    short(259, compression)
+    short(262, photo)
+    short(277, spp)
+    if tiles:
+        entry(322, 4, 1, struct.pack(bo + "I", tiles[0]))
+        entry(323, 4, 1, struct.pack(bo + "I", tiles[1]))
+        entry(324, 4, n_segs, arr(seg_offs, 4))
+        entry(325, 4, n_segs, arr([len(s) for s in segs], 4))
+    else:
+        entry(273, 4, n_segs, arr(seg_offs, 4))
+        entry(278, 4, 1, struct.pack(bo + "I", rps))
+        entry(279, 4, n_segs, arr([len(s) for s in segs], 4))
+    if planar == 2:
+        short(284, 2)
     if predictor == 2:
-        entry(317, 3, 1, struct.pack(bo + "HH", 2, 0) if bo == "<" else struct.pack(bo + "H", 2) + bytes(2))
+        short(317, 2)
     if compression == 3:
         entry(292, 4, 1, struct.pack(bo + "I", 1))  # T4Options: 2D
     ifd_off = extra_base + len(extra)
     magic = b"II*\x00" if bo == "<" else b"MM\x00*"
     out = bytearray(magic + struct.pack(bo + "I", ifd_off))
-    out += strip_data + extra
+    out += seg_data + extra
     out += struct.pack(bo + "H", len(entries))
     for e in sorted(entries, key=lambda b: struct.unpack_from(bo + "H", b)[0]):
         out += e

@@ -205,3 +205,101 @@ def test_sixteen_bit_reduces_to_high_byte():
     assert np.array_equal(
         C.decode_tiff(t0)[:, :, 0], 255 - (g16 >> 8).astype(np.uint8)
     )
+
+
+# --- tiled layouts + planar configuration 2 (round 9) -----------------------
+
+
+def test_tiled_round_trips_with_edge_clipping():
+    """Tile assembly across bit depths, compressions, byte orders and
+    non-dividing tile grids: edge tiles are coded at FULL tile size
+    and clip into the raster; prediction restarts per tile (an
+    image-row cumsum would corrupt every tile column after the
+    first)."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (37, 53, 3), dtype=np.uint8)
+    for comp in (1, 5, 8, 32773):
+        for pred in (1, 2):
+            for bo in ("<", ">"):
+                for tiles in ((16, 16), (32, 20), (64, 64)):
+                    t = C.encode_tiff(img, compression=comp, predictor=pred,
+                                      byteorder=bo, tiles=tiles)
+                    assert np.array_equal(C.decode_tiff(t), img), (
+                        comp, pred, bo, tiles)
+    # 16-bit tiled reduces to the high byte like the strip path
+    img16 = rng.randint(0, 65536, (21, 30, 3)).astype(np.uint16)
+    t = C.encode_tiff(img16, bits=16, predictor=2, tiles=(16, 16))
+    assert np.array_equal(C.decode_tiff(t), (img16 >> 8).astype(np.uint8))
+
+
+def test_tiled_ccitt_g4_scan():
+    """A tiled G4 fax (large scanner output layout): each tile is an
+    independent T.6 image; assembly reproduces the page exactly."""
+    rng = np.random.RandomState(9)
+    ink = np.zeros((40, 70), dtype=np.uint8)
+    for _ in range(8):
+        r, c = rng.randint(0, 40), rng.randint(0, 70)
+        ink[r : r + rng.randint(2, 18), c : c + rng.randint(2, 30)] = 255
+    px = 255 - ink  # black ink = dark
+    t = C.encode_tiff(px, compression=4, bits=1, photometric=0,
+                      tiles=(32, 16))
+    assert np.array_equal(C.decode_tiff(t)[:, :, 0], px)
+
+
+def test_planar_two_de_interleaves():
+    """Planar configuration 2: one segment sequence per channel, in
+    strip and tile layouts, every compression, both byte orders."""
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (19, 23, 3), dtype=np.uint8)
+    for comp in (1, 5, 8, 32773):
+        for bo in ("<", ">"):
+            t = C.encode_tiff(img, compression=comp, byteorder=bo,
+                              planar=2, rows_per_strip=7)
+            assert np.array_equal(C.decode_tiff(t), img), (comp, bo, "strip")
+            t = C.encode_tiff(img, compression=comp, byteorder=bo,
+                              planar=2, tiles=(16, 8))
+            assert np.array_equal(C.decode_tiff(t), img), (comp, bo, "tile")
+    img16 = rng.randint(0, 65536, (9, 11, 3)).astype(np.uint16)
+    t = C.encode_tiff(img16, bits=16, planar=2, predictor=2, rows_per_strip=4)
+    assert np.array_equal(C.decode_tiff(t), (img16 >> 8).astype(np.uint8))
+
+
+def test_tiled_and_planar_bounds():
+    import struct
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (20, 20, 3), dtype=np.uint8)
+    t = C.encode_tiff(img, tiles=(16, 16))
+    # truncate the tile count array: offsets/counts disagreement
+    at = t.find(struct.pack("<HHI", 325, 4, 4))
+    assert at > 0
+    bad = t[:at] + struct.pack("<HHI", 325, 4, 3) + t[at + 8 :]
+    with pytest.raises(ValueError):
+        C.decode_tiff(bad)
+    # planar 3 refuses
+    t2 = bytearray(C.encode_tiff(img, planar=2))
+    at = t2.find(struct.pack("<HH", 284, 3))
+    t2[at + 8] = 3
+    with pytest.raises(NotImplementedError, match="planar"):
+        C.decode_tiff(bytes(t2))
+    # tile grid that disagrees with the offsets count
+    t3 = bytearray(C.encode_tiff(img, tiles=(16, 16)))
+    at = t3.find(struct.pack("<HHI", 322, 4, 1))
+    struct.pack_into("<I", t3, at + 8, 8)  # TileWidth 16 -> 8
+    with pytest.raises(ValueError, match="tile count"):
+        C.decode_tiff(bytes(t3))
+
+
+def test_fuzz_tiled_planar_tiff():
+    from tests.test_codec_fuzz import _hammer
+
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, (24, 33, 3), dtype=np.uint8)
+    ink = (rng.rand(24, 33) < 0.3).astype(np.uint8) * 255
+    corpus = [
+        C.encode_tiff(img, compression=5, tiles=(16, 16)),
+        C.encode_tiff(img, compression=8, planar=2, rows_per_strip=9),
+        C.encode_tiff(255 - ink, compression=4, bits=1, photometric=0,
+                      tiles=(16, 16)),
+    ]
+    _hammer(C.decode_tiff, corpus, seed=23)
