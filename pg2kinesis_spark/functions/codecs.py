@@ -1059,11 +1059,12 @@ def is_adts_aac(data: bytes) -> bool:
 def aac_info(data: bytes) -> dict:
     """ADTS AAC metadata by frame-header walk: (n_frames, sample_rate,
     n_channels, duration_ms, bitrate_kbps [container mean], profile,
-    version, id3v2). ``n_channels`` is None for channel_configuration 0
-    (layout lives in an in-band PCE this tier doesn't parse — honest
-    NULL, like the WebM skeleton columns). Raises ValueError on content
-    with no valid ADTS frame; lost sync ends the walk (mp3_info's
-    trailing-garbage rule)."""
+    version, id3v2). For channel_configuration 0 the layout lives in an
+    in-band PCE: the first frame's leading elements are walked for it
+    (ISO 13818-7 §8.5 — CPE counts 2, SCE/LFE 1), and ``n_channels``
+    stays the honest NULL only when no parsable PCE leads the stream.
+    Raises ValueError on content with no valid ADTS frame; lost sync
+    ends the walk (mp3_info's trailing-garbage rule)."""
     data = bytes(data)
     pos = _id3v2_size(data)
     id3 = pos > 0
@@ -1073,6 +1074,7 @@ def aac_info(data: bytes) -> dict:
     duration_s = 0.0
     rate = channels = None
     profile = version = None
+    pce_ch = pce_tried = None
     while pos + 7 <= n:
         if data[pos] != 0xFF or (data[pos + 1] & 0xF6) != 0xF0:
             break  # lost sync: trailing tag/garbage ends the walk
@@ -1091,7 +1093,17 @@ def aac_info(data: bytes) -> dict:
         audio_bytes += flen
         duration_s += blocks * 1024 / r
         rate = r
-        channels = cfg if cfg else None
+        if cfg == 0 and pce_tried is None:
+            # channel_config 0: the layout lives in an in-band PCE —
+            # walk the first frame's leading elements for it (round 9);
+            # streams whose first block carries no parsable PCE keep
+            # the honest NULL
+            pce_tried = True
+            try:
+                _g, pce_ch = _aac_lead_walk(data[pos + hdr_len : pos + flen])
+            except Exception:
+                pce_ch = None
+        channels = cfg if cfg else (pce_ch or None)
         profile = _ADTS_PROFILES[(b2 >> 6) & 3]
         version = "2" if (b1 & 0x08) else "4"
         pos += flen
@@ -1157,57 +1169,142 @@ def aac_global_gains(data: bytes) -> "np.ndarray":
     return np.asarray(gains, dtype=np.float64)
 
 
-def _aac_first_element_gain(payload: bytes) -> int:
-    """global_gain of the first syntactic element of one raw data block
-    (the shared reader behind the ADTS and M4A walks — ISO 14496-3
-    §4.4.2.1): SCE → tag → gain; CPE → tag + common_window [+ shared
-    ics_info + ms_used flags] → gain of channel 0."""
+def _aac_parse_pce(bits, align) -> int:
+    """program_config_element (ISO 13818-7 §8.5 / 14496-3 §4.4.1.1)
+    past the 3-bit element id: walks every field incl. mixdown options
+    and the byte-aligned comment, returning the program's OUTPUT
+    channel count (CPE = 2, SCE/LFE = 1; coupling elements are not
+    output channels)."""
+    bits(4)  # element_instance_tag
+    bits(2)  # object_type
+    bits(4)  # sampling_frequency_index
+    n_front = bits(4)
+    n_side = bits(4)
+    n_back = bits(4)
+    n_lfe = bits(2)
+    n_assoc = bits(3)
+    n_cc = bits(4)
+    if bits(1):
+        bits(4)  # mono_mixdown_element_number
+    if bits(1):
+        bits(4)  # stereo_mixdown_element_number
+    if bits(1):
+        bits(3)  # matrix_mixdown_idx + pseudo_surround_enable
+    channels = 0
+    for _ in range(n_front + n_side + n_back):
+        channels += 2 if bits(1) else 1  # element_is_cpe
+        bits(4)  # element_tag_select
+    channels += n_lfe
+    for _ in range(n_lfe):
+        bits(4)
+    for _ in range(n_assoc):
+        bits(4)
+    for _ in range(n_cc):
+        bits(5)  # cc_element_is_ind_sw + tag
+    align()
+    comment = bits(8)
+    for _ in range(comment):
+        bits(8)
+    return channels
+
+
+def _aac_lead_walk(payload: bytes) -> tuple[int, int | None]:
+    """(first audio element's global_gain, PCE channel count or None)
+    for one raw data block (the shared reader behind the ADTS and M4A
+    walks — ISO 14496-3 §4.4.2.1): leading PCE / DSE / FIL elements
+    are walked over (PCE yields the channel layout for
+    channel_config-0 streams); SCE and LFE → tag → gain; CPE → tag +
+    common_window [+ shared ics_info + ms_used flags] → gain of
+    channel 0; CCE (coupling) and an element-less block refuse."""
     bitpos = 0
 
     def bits(k: int) -> int:
         nonlocal bitpos
+        if bitpos + k > len(payload) * 8:
+            raise ValueError("AAC payload exhausted before global_gain")
         out = 0
         for _ in range(k):
-            byte = bitpos >> 3
-            if byte >= len(payload):
-                raise ValueError("AAC payload exhausted before global_gain")
-            out = (out << 1) | ((payload[byte] >> (7 - (bitpos & 7))) & 1)
+            out = (out << 1) | (
+                (payload[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+            )
             bitpos += 1
         return out
 
-    ele = bits(3)
-    if ele == 0:  # SCE
-        bits(4)  # element_instance_tag
-    elif ele == 1:  # CPE
-        bits(4)
-        if bits(1):  # common_window: shared ics_info precedes gains
-            bits(1)  # ics_reserved_bit
-            window_sequence = bits(2)
-            bits(1)  # window_shape
-            if window_sequence == 2:  # EIGHT_SHORT_SEQUENCE
-                max_sfb = bits(4)
-                sfg = bits(7)
-                num_window_groups = 1 + sum(
-                    1 for i in range(7) if not (sfg >> (6 - i)) & 1
-                )
-            else:
-                max_sfb = bits(6)
-                if bits(1):  # predictor_data_present
-                    raise NotImplementedError(
-                        "Main/LTP predictor data in ics_info"
+    def skip(k: int) -> None:
+        nonlocal bitpos
+        if bitpos + k > len(payload) * 8:
+            raise ValueError("AAC payload exhausted before global_gain")
+        bitpos += k
+
+    def align() -> None:
+        # byte alignment is relative to the raw_data_block start,
+        # which is bit 0 of this payload
+        nonlocal bitpos
+        bitpos = (bitpos + 7) & ~7
+
+    pce_channels = None
+    for _ in range(64):  # an element-spam bound, not a spec limit
+        ele = bits(3)
+        if ele == 5:  # PCE
+            pce_channels = _aac_parse_pce(bits, align)
+            continue
+        if ele == 4:  # DSE: skippable by construction
+            bits(4)  # element_instance_tag
+            aligned = bits(1)
+            cnt = bits(8)
+            if cnt == 255:
+                cnt += bits(8)
+            if aligned:
+                align()
+            skip(8 * cnt)
+            continue
+        if ele == 6:  # FIL
+            cnt = bits(4)
+            if cnt == 15:
+                cnt += bits(8) - 1
+            skip(8 * cnt)
+            continue
+        if ele in (0, 3):  # SCE / LFE: tag then the gain
+            bits(4)
+            return bits(8), pce_channels
+        if ele == 1:  # CPE
+            bits(4)
+            if bits(1):  # common_window: shared ics_info precedes gains
+                bits(1)  # ics_reserved_bit
+                window_sequence = bits(2)
+                bits(1)  # window_shape
+                if window_sequence == 2:  # EIGHT_SHORT_SEQUENCE
+                    max_sfb = bits(4)
+                    sfg = bits(7)
+                    num_window_groups = 1 + sum(
+                        1 for i in range(7) if not (sfg >> (6 - i)) & 1
                     )
-                num_window_groups = 1
-            ms_mask = bits(2)
-            if ms_mask == 1:
-                bits(num_window_groups * max_sfb)  # ms_used flags
-            elif ms_mask == 3:
-                raise ValueError("reserved ms_mask_present value 3")
-    else:
-        raise NotImplementedError(
-            f"raw data block led by syntactic element {ele} "
-            "(PCE/CCE/DSE/LFE/FIL) — full-parse tier"
+                else:
+                    max_sfb = bits(6)
+                    if bits(1):  # predictor_data_present
+                        raise NotImplementedError(
+                            "Main/LTP predictor data in ics_info"
+                        )
+                    num_window_groups = 1
+                ms_mask = bits(2)
+                if ms_mask == 1:
+                    bits(num_window_groups * max_sfb)  # ms_used flags
+                elif ms_mask == 3:
+                    raise ValueError("reserved ms_mask_present value 3")
+            return bits(8), pce_channels
+        if ele == 2:
+            raise NotImplementedError(
+                "raw data block led by a CCE (channel coupling) — "
+                "full-parse tier"
+            )
+        raise ValueError(
+            "raw data block ends (END element) before any audio element"
         )
-    return bits(8)
+    raise ValueError("raw data block with >64 leading non-audio elements")
+
+
+def _aac_first_element_gain(payload: bytes) -> int:
+    return _aac_lead_walk(payload)[0]
 
 
 def encode_adts_frames(
@@ -1220,6 +1317,7 @@ def encode_adts_frames(
     crc: bool = False,
     id3v2_bytes: int = 0,
     gains=None,
+    pce_layout: str | None = None,
 ) -> bytes:
     """Spec-packed ADTS stream for tests: valid headers + zeroed
     payloads (the independent fixture side of aac_info's contract).
@@ -1230,11 +1328,27 @@ def encode_adts_frames(
     common_window=0 for stereo) whose global_gain is the nearest code
     with 2^((gg−100)/4) ≈ energy — the independent fixture side of
     ``aac_global_gains`` (the encode_mp3_layer3_envelope precedent).
-    Spectral data stays zeroed; the walk never reads past the gain."""
+    Spectral data stays zeroed; the walk never reads past the gain.
+
+    ``pce_layout``: 'mono' (1 front SCE), 'stereo' (1 front CPE) or
+    '5.1' (front SCE + front CPE + back CPE + LFE) writes
+    channel_config 0 headers with a real program_config_element
+    leading every frame — the independent fixture side of the round-9
+    PCE walk (the gain element follows the PCE)."""
     import math as _math
 
     if gains is not None and len(gains) != n_frames:
         raise ValueError("gains must have one energy per frame")
+    _PCE_LAYOUTS = {
+        # (front (is_cpe, tag)..., back (is_cpe, tag)..., lfe tags)
+        "mono": ((( False, 0),), (), ()),
+        "stereo": (((True, 0),), (), ()),
+        "5.1": (((False, 0), (True, 0)), ((True, 1),), (0,)),
+    }
+    if pce_layout is not None:
+        if pce_layout not in _PCE_LAYOUTS:
+            raise ValueError(f"unknown pce_layout {pce_layout!r}")
+        channels = 0  # channel_config 0: the PCE carries the layout
     out = bytearray()
     if id3v2_bytes:
         sz = id3v2_bytes
@@ -1257,24 +1371,57 @@ def encode_adts_frames(
         b5 = ((flen & 0x07) << 5) | 0x1F
         b6 = 0xFC  # buffer fullness all-ones tail + 1 raw data block
         frame = bytearray([0xFF, b1, b2, b3, b4, b5, b6])
-        if gains is not None:
-            e = float(gains[fi])
+        if gains is not None or pce_layout is not None:
+            bitbuf: list[int] = []  # one int per bit (payload-relative)
+
+            def put(v: int, k: int) -> None:
+                bitbuf.extend((v >> (k - 1 - i)) & 1 for i in range(k))
+
+            if pce_layout is not None:
+                fronts, backs, lfes = _PCE_LAYOUTS[pce_layout]
+                put(5, 3)  # PCE element id
+                put(0, 4)  # element_instance_tag
+                put(1, 2)  # object_type: LC
+                put(sfi, 4)
+                put(len(fronts), 4)
+                put(0, 4)  # sides
+                put(len(backs), 4)
+                put(len(lfes), 2)
+                put(0, 3)  # assoc data
+                put(0, 4)  # valid cc
+                put(0, 1)  # mono mixdown
+                put(0, 1)  # stereo mixdown
+                put(0, 1)  # matrix mixdown
+                for is_cpe, tag in fronts + backs:
+                    put(int(is_cpe), 1)
+                    put(tag, 4)
+                for tag in lfes:
+                    put(tag, 4)
+                while len(bitbuf) % 8:  # byte_alignment()
+                    put(0, 1)
+                put(0, 8)  # comment_field_bytes
+                first_is_cpe = bool(fronts[0][0])
+            else:
+                first_is_cpe = channels != 1
+            e = float(gains[fi]) if gains is not None else 1.0
             gg = min(max(int(round(100 + 4.0 * _math.log2(max(e, 1e-12)))), 0), 255)
-            acc = 0
-            nb = 0
-            if channels == 1:  # SCE: id 000, tag 0000, gg
-                acc = (0 << 12) | (0 << 8) | gg
-                nb = 3 + 4 + 8
-            else:  # CPE: id 001, tag 0000, common_window 0, gg
-                acc = (1 << 13) | (0 << 9) | (0 << 8) | gg
-                nb = 3 + 4 + 1 + 8
+            if first_is_cpe:  # CPE: id 001, tag, common_window 0, gg
+                put(1, 3)
+                put(0, 4)
+                put(0, 1)
+            else:  # SCE: id 000, tag, gg
+                put(0, 3)
+                put(0, 4)
+            put(gg, 8)
             payload = bytearray()
-            acc <<= (8 - nb % 8) % 8  # left-align to a byte boundary
-            nbytes = (nb + 7) // 8
-            for i in range(nbytes - 1, -1, -1):
-                payload.append((acc >> (8 * i)) & 0xFF)
+            for i in range(0, len(bitbuf), 8):
+                byte = 0
+                for b in bitbuf[i : i + 8]:
+                    byte = (byte << 1) | b
+                byte <<= max(0, 8 - len(bitbuf[i : i + 8]))
+                payload.append(byte)
             if flen < len(frame) + len(payload):
-                raise ValueError("frame_bytes too small for the gain element")
+                raise ValueError("frame_bytes too small for the lead elements")
             frame += payload
         frame += bytes(flen - len(frame))
         out += frame

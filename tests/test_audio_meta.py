@@ -498,10 +498,14 @@ def test_aac_global_gain_refusals():
             encode_adts_frames(3, rate=44100, channels=2,
                                frame_bytes=32, profile=0)
         )
-    # PCE-led raw data block (element id 5) refuses
+    # a TRUNCATED PCE (round 9 walks full ones) exhausts honestly
     pce = _adts_frame_with_payload(_pack_bits("101" + "0" * 13))
-    with pytest.raises(NotImplementedError, match="syntactic element"):
+    with pytest.raises(ValueError, match="exhausted"):
         aac_global_gains(pce)
+    # a CCE-led raw data block (element id 2, channel coupling) refuses
+    cce = _adts_frame_with_payload(_pack_bits("010" + "0" * 13))
+    with pytest.raises(NotImplementedError, match="CCE"):
+        aac_global_gains(cce)
     # predictor_data_present in the shared ics_info refuses
     pred = "001" + "0000" + "1" + "0" + "00" + "0" + "000010" + "1" + "0" * 16
     with pytest.raises(NotImplementedError, match="predictor"):
@@ -671,3 +675,52 @@ def test_fuzz_m4a_gain_walk():
         for ch in (1, 2)
     ]
     _hammer(m4a_aac_gains, corpus, seed=15)
+
+
+# --- in-band PCE for channel_config 0 (round 9) ------------------------------
+
+
+def test_pce_channel_layouts_and_gain_walk():
+    """channel_config-0 streams (broadcast layouts): the PCE walk
+    yields the program's output channel count (CPE=2, SCE/LFE=1) in
+    aac_info, and the gain walk steps OVER the PCE to the first audio
+    element — a PCE-led stream and its plain twin carry identical
+    envelopes."""
+    import numpy as np
+
+    from pg2kinesis_spark.functions.codecs import (
+        aac_global_gains,
+        aac_info,
+        encode_adts_frames,
+    )
+
+    env = 2.0 ** np.linspace(2, 8, 40)
+    for layout, want in (("mono", 1), ("stereo", 2), ("5.1", 6)):
+        a = encode_adts_frames(40, frame_bytes=64, gains=env, pce_layout=layout)
+        assert aac_info(a)["n_channels"] == want, layout
+        plain = encode_adts_frames(
+            40, frame_bytes=64, gains=env,
+            channels=1 if layout == "mono" else 2,
+        )
+        assert np.array_equal(aac_global_gains(a), aac_global_gains(plain))
+    # cfg-0 without a parsable PCE keeps the honest NULL
+    bare = encode_adts_frames(5, channels=0, frame_bytes=32)
+    assert aac_info(bare)["n_channels"] is None
+
+
+def test_dse_and_fil_lead_elements_are_walked():
+    """DSE and FIL elements before the first audio element skip by
+    their own length fields (both are skippable by construction);
+    the gain lands on the SCE behind them."""
+    from pg2kinesis_spark.functions.codecs import aac_global_gains
+
+    # DSE: id 100, tag 0000, align 0, count 2, 2 data bytes;
+    # FIL: id 110, count 1, 1 byte; then SCE id 000 tag 0000 gg=132
+    bits = (
+        "100" + "0000" + "0" + "00000010" + "10101010" * 2
+        + "110" + "0001" + "11110000"
+        + "000" + "0000" + format(132, "08b")
+    )
+    frame = _adts_frame_with_payload(_pack_bits(bits))
+    got = aac_global_gains(frame)
+    assert len(got) == 1 and got[0] == 2.0 ** ((132 - 100) / 4.0)
