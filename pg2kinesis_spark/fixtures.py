@@ -285,15 +285,18 @@ def gen_media_archives() -> tuple[list[tuple], list[tuple]]:
     return archive_rows, truth_rows
 
 
-def gen_media_containers() -> tuple[list[tuple], list[tuple], list[tuple]]:
-    """(container_rows, audio_truth, video_truth) for n25/n26.
+def gen_media_containers() -> tuple[
+    list[tuple], list[tuple], list[tuple], list[tuple]
+]:
+    """(container_rows, audio_truth, video_truth, image_truth) for n25.
 
     container_rows: (media_id, kind, content) — spec-packed fixture
     encodings across every supported container. Truth rows carry the
     EXPECTED metadata columns computed from the encoder parameters with
     the documented formulas (duration = samples/rate, bitrate =
-    bytes*8/seconds, fps = frames/duration) — plain arithmetic on the
-    construction inputs, independent of the header walks under test.
+    bytes*8/seconds, fps = frames/duration; round 9 adds images with
+    ITU-R 601 mean luma on the construction pixels) — plain arithmetic
+    on the construction inputs, independent of the walks under test.
     """
     import numpy as np
 
@@ -475,7 +478,60 @@ def gen_media_containers() -> tuple[list[tuple], list[tuple], list[tuple]]:
     # pre-round-8 rows carry no tag/pcm expectations (untagged fixtures,
     # compressed or frameless streams): pad to the 10-column truth shape
     audio_truth = [r + (None,) * (10 - len(r)) for r in audio_truth]
-    return container_rows, audio_truth, video_truth
+
+    # --- images (round 9: the TIFF tier joins the driver board) ------
+    # truth rows: (media_id, width, height, n_channels, mean_luma) —
+    # luma computed with inline numpy on the CONSTRUCTION pixels using
+    # the documented ITU-R 601 formula, never by the decode kernels.
+    # Lossless encodings only, so decode must reproduce the pixels.
+    image_truth: list[tuple] = []
+
+    def luma_of(px: np.ndarray) -> float:
+        f = px.astype(np.float64)
+        if f.shape[2] >= 3:
+            return float(
+                (0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2])
+                .mean()
+            )
+        return float(f[:, :, 0].mean())
+
+    irng = np.random.default_rng(90)
+    rgb = irng.integers(0, 256, (21, 34, 3), dtype=np.uint8)
+    gray = irng.integers(0, 256, (18, 25, 1), dtype=np.uint8)
+    ink = (irng.random((30, 46)) < 0.35).astype(np.uint8) * 255
+    plate = 255 - ink  # black ink = dark pixels
+    wide16 = irng.integers(0, 65536, (11, 17, 3)).astype(np.uint16)
+    # 17: PNG twin of the RGB pixels (cross-format identity anchor)
+    add(17, "image", C.encode_png(rgb))
+    image_truth.append((17, 34, 21, 3, luma_of(rgb)))
+    # 18: uncompressed TIFF, same pixels — TIFF≡PNG luma identity
+    add(18, "image", C.encode_tiff(rgb))
+    image_truth.append((18, 34, 21, 3, luma_of(rgb)))
+    # 19: LZW gray with predictor 2, big-endian byte order
+    add(19, "image", C.encode_tiff(
+        gray, compression=5, predictor=2, byteorder=">"
+    ))
+    image_truth.append((19, 25, 18, 1, luma_of(gray)))
+    # 20: G4 bilevel fax (CCITT tier), photometric WhiteIsZero
+    add(20, "image", C.encode_tiff(plate, compression=4, bits=1, photometric=0))
+    image_truth.append((20, 46, 30, 1, luma_of(plate[:, :, None])))
+    # 21: tiled deflate RGB — edge tiles clip (34 % 16 != 0)
+    add(21, "image", C.encode_tiff(rgb, compression=8, tiles=(16, 16)))
+    image_truth.append((21, 34, 21, 3, luma_of(rgb)))
+    # 22: planar configuration 2, PackBits, multi-strip
+    add(22, "image", C.encode_tiff(
+        rgb, compression=32773, planar=2, rows_per_strip=7
+    ))
+    image_truth.append((22, 34, 21, 3, luma_of(rgb)))
+    # 23: 16-bit with predictor 2 — decode reduces to the high byte
+    add(23, "image", C.encode_tiff(wide16, bits=16, predictor=2))
+    image_truth.append(
+        (23, 17, 11, 3, luma_of((wide16 >> 8).astype(np.uint8)))
+    )
+    # 24: truncated TIFF — the quarantine row (all features NULL)
+    add(24, "image", C.encode_tiff(rgb)[: 40])
+    image_truth.append((24, None, None, None, None))
+    return container_rows, audio_truth, video_truth, image_truth
 
 
 # Per-language vocabularies for the lang-ID training corpus: common
@@ -548,9 +604,20 @@ def gen_media_pdfs() -> tuple[list[tuple], list[tuple]]:
     user password, simulated by a tampered /U), whose truth rows are
     (NULL, NULL): the quarantine kernel yields NULL text/pages for
     them in every engine.
-    truth_rows: (media_id, text, n_pages) computed from the
-    CONSTRUCTION inputs (lines joined by newline, pages by blank line —
-    the documented collapse convention), never by pdf_text."""
+    truth_rows: (media_id, text, n_pages, n_images, img_mime, img_md5)
+    computed from the CONSTRUCTION inputs (lines joined by newline,
+    pages by blank line — the documented collapse convention; image
+    truth from the bytes/pixels PUT IN: a /DCTDecode payload passes
+    through byte-exact so img_md5 is the md5 of the INPUT jpeg, a
+    CCITT plate re-wraps as the PNG of the construction pixels, a JPX
+    image quarantines per image → NULL mime/md5), never by
+    pdf_text/pdf_images."""
+    import hashlib as _hl
+
+    import numpy as np
+
+    from pg2kinesis_spark.functions import ccitt as CC
+    from pg2kinesis_spark.functions import codecs as C
     from pg2kinesis_spark.functions.pdf import encode_pdf, encode_pdf_cid
 
     def expected(pages: list[list[str]]) -> str:
@@ -577,16 +644,47 @@ def gen_media_pdfs() -> tuple[list[tuple], list[tuple]]:
         (9, encode_pdf([["eta: AESV2 encrypted"]], compress=True, encrypt_r=4)),
         (10, encode_pdf_cid([["theta: AESV3 + CID"]], encrypt_r=6)),
     ]
+    # round 9: image-bearing docs — the pdf_images tier joins the board
+    x = np.linspace(0, 255, 24, dtype=np.uint8)
+    fig = np.stack(
+        np.meshgrid(x, x)[::-1] + [np.outer(x, x[::-1]) // 255], axis=-1
+    ).astype(np.uint8)
+    jpg = C.encode_jpeg(fig, quality=90)
+    irng = np.random.default_rng(77)
+    ink = (irng.random((20, 32)) < 0.3).astype(bool)
+    fax = CC.ccitt_encode(ink, k=-1)
+    plate_png = C.encode_png(
+        np.where(ink, 0, 255).astype(np.uint8)[:, :, None]
+    )
+    g_iota = [["iota: a figure below"]]
+    g_kappa = [["kappa: same figure, ObjStm + AESV2"]]
+    g_lam = [["lambda: a G4 scanned plate"]]
+    g_mu = [["mu: a JPX plate (quarantines per image)"]]
+    pdf_rows += [
+        (11, encode_pdf(g_iota, images=[(jpg, 24, 24, "jpeg")])),
+        (12, encode_pdf(g_kappa, images=[(jpg, 24, 24, "jpeg")],
+                        compress=True, objstm=True, encrypt_r=4)),
+        (13, encode_pdf(g_lam, images=[(fax, 32, 20, "ccitt-g4")])),
+        (14, encode_pdf(g_mu, images=[(b"\x00jp2-junk", 8, 8, "jpx")])),
+    ]
+    jpg_md5 = _hl.md5(jpg).hexdigest()
     truth_rows = [
-        (1, expected(a), 2),
-        (2, expected(b), 1),
-        (3, expected(c), 3),
-        (4, expected(d), 2),
-        (5, expected(e), 1),
-        (6, None, None),
-        (7, expected(f_enc), 2),
-        (8, None, None),
-        (9, "eta: AESV2 encrypted", 1),
-        (10, "theta: AESV3 + CID", 1),
+        (1, expected(a), 2, 0, None, None),
+        (2, expected(b), 1, 0, None, None),
+        (3, expected(c), 3, 0, None, None),
+        (4, expected(d), 2, 0, None, None),
+        (5, expected(e), 1, 0, None, None),
+        (6, None, None, 0, None, None),
+        (7, expected(f_enc), 2, 0, None, None),
+        (8, None, None, 0, None, None),
+        (9, "eta: AESV2 encrypted", 1, 0, None, None),
+        (10, "theta: AESV3 + CID", 1, 0, None, None),
+        # 11/12: the SAME jpeg bytes through plain and ObjStm+AESV2
+        # layouts — the byte-exact DCT pass-through contract
+        (11, expected(g_iota), 1, 1, "image/jpeg", jpg_md5),
+        (12, expected(g_kappa), 1, 1, "image/jpeg", jpg_md5),
+        (13, expected(g_lam), 1, 1, "image/png",
+         _hl.md5(plate_png).hexdigest()),
+        (14, expected(g_mu), 1, 1, None, None),  # JPX: per-image NULL
     ]
     return pdf_rows, truth_rows

@@ -1799,6 +1799,9 @@ class _PdfBuilder:
         if kind == "jpeg":
             extra = b" /Filter /DCTDecode /ColorSpace /DeviceRGB /BitsPerComponent 8"
             body = payload
+        elif kind == "jpx":
+            extra = b" /Filter /JPXDecode /ColorSpace /DeviceRGB /BitsPerComponent 8"
+            body = payload
         elif kind.startswith("ccitt"):
             k = {"ccitt-g4": -1, "ccitt-g3": 2, "ccitt-mh": 0}[kind]
             align = b" /EncodedByteAlign true" if kind == "ccitt-mh" else b""

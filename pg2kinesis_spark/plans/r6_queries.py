@@ -66,20 +66,25 @@ def n24_archive_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def n25_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio AND video container metadata walks over every supported
+    """Audio, video AND image container walks over every supported
     format, as one tagged wide-schema union (one driver slot covers
-    both walks; columns the other modality lacks are NULL). Round 8
-    widens the audio side with the tag walk (title/artist across
+    all three; columns the other modalities lack are NULL). Round 8
+    widened the audio side with the tag walk (title/artist across
     ID3v2, VorbisComment, RIFF INFO, AIFF NAME/AUTH) and the lossless
-    PCM identity md5 (full WAV/FLAC/AIFF decode, FLAC STREAMINFO
-    layout) — the r7 pytest-only surface joins the cross-engine hash
-    gate (VERDICT r7 task 4). Tag/pcm kernels run errors='quarantine':
-    untagged or compressed-only fixtures yield NULLs, which the truth
-    table records explicitly."""
+    PCM identity md5; round 9 adds the IMAGE tier (VERDICT r8 task 5):
+    extract_image_features over the TIFF matrix (none/LZW+predictor/
+    G4 fax/tiled deflate/planar-2 PackBits/16-bit) plus the PNG twin
+    of the same pixels — width/height/channels/mean-luma truth is
+    inline-numpy arithmetic on the construction pixels, and the
+    truncated fixture pins the quarantine row (all features NULL).
+    Tag/pcm/feature kernels run errors='quarantine': untagged,
+    compressed-only or corrupt fixtures yield NULLs, which the truth
+    tables record explicitly."""
     from pg2kinesis_spark.functions.multimodal import (
         extract_audio_metadata,
         extract_audio_pcm,
         extract_audio_tags,
+        extract_image_features,
         extract_video_features,
     )
 
@@ -102,6 +107,7 @@ def n25_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("width"),
             F.lit(None).cast("int").alias("height"),
             F.lit(None).cast("double").alias("fps"),
+            F.lit(None).cast("double").alias("mean_luma"),
             "duration_ms",
         )
     )
@@ -119,22 +125,63 @@ def n25_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("title"),
         F.lit(None).cast("string").alias("artist"),
         F.lit(None).cast("string").alias("pcm_md5"),
-        "n_frames", "width", "height", "fps", "duration_ms",
+        "n_frames", "width", "height", "fps",
+        F.lit(None).cast("double").alias("mean_luma"),
+        "duration_ms",
     )
-    return audio.unionByName(video).orderBy("media_id")
+    image = extract_image_features(
+        media.filter(F.col("kind") == "image").select("media_id", "content"),
+    ).select(
+        "media_id",
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("string").alias("container"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        "n_channels",
+        F.lit(None).cast("double").alias("bitrate_kbps"),
+        F.lit(None).cast("boolean").alias("vbr"),
+        F.lit(None).cast("string").alias("title"),
+        F.lit(None).cast("string").alias("artist"),
+        F.lit(None).cast("string").alias("pcm_md5"),
+        F.lit(None).cast("int").alias("n_frames"),
+        "width", "height",
+        F.lit(None).cast("double").alias("fps"),
+        "mean_luma",
+        F.lit(None).cast("double").alias("duration_ms"),
+    )
+    return audio.unionByName(video).unionByName(image).orderBy("media_id")
 
 
 def n27_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text tier across all five supported layouts (plain, Flate,
     ObjStm, CID/ToUnicode, CID+ObjStm) plus the two honest refusals
     (no-CMap Type0, encrypted), whose quarantined rows carry NULL text
-    and NULL n_pages — exactly what the truth table records for them."""
+    and NULL n_pages — exactly what the truth table records for them.
+    Round 9 widens the slot with the pdf_images tier (VERDICT r8 task
+    5): per-document image count + first image's mime and byte md5 —
+    the same /DCTDecode jpeg through plain and ObjStm+AESV2 layouts
+    must hash identically (byte-exact pass-through), the G4 plate
+    re-wraps as the PNG of the construction pixels (the shared CCITT
+    decoder), and the JPX plate quarantines per image (counted, NULL
+    content)."""
+    from pg2kinesis_spark.functions.multimodal import extract_pdf_images
     from pg2kinesis_spark.functions.pdf import extract_pdf_text
 
-    out = extract_pdf_text(_fx(spark, "media_pdfs").select("media_id", "content"))
-    return out.select(
-        "media_id", F.md5("text").alias("text_md5"), "n_pages"
-    ).orderBy("media_id")
+    media = _fx(spark, "media_pdfs").select("media_id", "content")
+    text = extract_pdf_text(media)
+    imgs = extract_pdf_images(media).groupBy("media_id").agg(
+        F.count("img_idx").cast("int").alias("n_images"),
+        F.min(F.when(F.col("img_idx") == 0, F.col("mime"))).alias("img_mime"),
+        F.min(F.when(F.col("img_idx") == 0, F.md5("content"))).alias("img_md5"),
+    )
+    return (
+        text.join(imgs, "media_id", "left")
+        .select(
+            "media_id", F.md5("text").alias("text_md5"), "n_pages",
+            F.coalesce("n_images", F.lit(0)).alias("n_images"),
+            "img_mime", "img_md5",
+        )
+        .orderBy("media_id")
+    )
 
 
 R6_QUERIES = {
@@ -155,7 +202,8 @@ _TEXT_SUFFIX_SQL = (
 
 R6_ORACLE_SQL = {
     "n27_pdf_text": f"""
-        SELECT media_id, md5(text) AS text_md5, n_pages
+        SELECT media_id, md5(text) AS text_md5, n_pages,
+               n_images, img_mime, img_md5
         FROM {_f('media_pdfs_truth')}
         ORDER BY media_id
     """,
@@ -175,6 +223,7 @@ R6_ORACLE_SQL = {
                CAST(NULL AS INTEGER) AS width,
                CAST(NULL AS INTEGER) AS height,
                CAST(NULL AS DOUBLE) AS fps,
+               CAST(NULL AS DOUBLE) AS mean_luma,
                duration_ms
         FROM {_f('media_containers_audio_truth')}
         UNION ALL
@@ -187,8 +236,26 @@ R6_ORACLE_SQL = {
                CAST(NULL AS VARCHAR) AS title,
                CAST(NULL AS VARCHAR) AS artist,
                CAST(NULL AS VARCHAR) AS pcm_md5,
-               n_frames, width, height, fps, duration_ms
+               n_frames, width, height, fps,
+               CAST(NULL AS DOUBLE) AS mean_luma,
+               duration_ms
         FROM {_f('media_containers_video_truth')}
+        UNION ALL
+        SELECT media_id, 'image' AS kind,
+               CAST(NULL AS VARCHAR) AS container,
+               CAST(NULL AS INTEGER) AS sample_rate,
+               n_channels,
+               CAST(NULL AS DOUBLE) AS bitrate_kbps,
+               CAST(NULL AS BOOLEAN) AS vbr,
+               CAST(NULL AS VARCHAR) AS title,
+               CAST(NULL AS VARCHAR) AS artist,
+               CAST(NULL AS VARCHAR) AS pcm_md5,
+               CAST(NULL AS INTEGER) AS n_frames,
+               width, height,
+               CAST(NULL AS DOUBLE) AS fps,
+               mean_luma,
+               CAST(NULL AS DOUBLE) AS duration_ms
+        FROM {_f('media_containers_image_truth')}
         ORDER BY media_id
     """,
 }

@@ -100,9 +100,12 @@ def main() -> None:
         "media_id": pa.array([r[0] for r in pdf_truth], pa.int64()),
         "text": pa.array([r[1] for r in pdf_truth], pa.string()),
         "n_pages": pa.array([r[2] for r in pdf_truth], pa.int32()),
+        "n_images": pa.array([r[3] for r in pdf_truth], pa.int32()),
+        "img_mime": pa.array([r[4] for r in pdf_truth], pa.string()),
+        "img_md5": pa.array([r[5] for r in pdf_truth], pa.string()),
     })
 
-    cont, audio_truth, video_truth = fx.gen_media_containers()
+    cont, audio_truth, video_truth, image_truth = fx.gen_media_containers()
     write(out, "media_containers", {
         "media_id": pa.array([r[0] for r in cont], pa.int64()),
         "kind": pa.array([r[1] for r in cont], pa.string()),
@@ -127,6 +130,13 @@ def main() -> None:
         "height": pa.array([r[3] for r in video_truth], pa.int32()),
         "fps": pa.array([r[4] for r in video_truth], pa.float64()),
         "duration_ms": pa.array([r[5] for r in video_truth], pa.float64()),
+    })
+    write(out, "media_containers_image_truth", {
+        "media_id": pa.array([r[0] for r in image_truth], pa.int64()),
+        "width": pa.array([r[1] for r in image_truth], pa.int32()),
+        "height": pa.array([r[2] for r in image_truth], pa.int32()),
+        "n_channels": pa.array([r[3] for r in image_truth], pa.int32()),
+        "mean_luma": pa.array([r[4] for r in image_truth], pa.float64()),
     })
 
 
