@@ -535,11 +535,14 @@ def audio_fingerprint(media: DataFrame, errors: str = "quarantine") -> DataFrame
     different bitrate fingerprints the same) and Layer III per-granule
     global_gain energy proxies (both MPEG-1 and LSF MPEG-2/2.5 side
     info). Ogg OPUS decodes via ``functions/opus.py`` — SILK subframe
-    gains / CELT coarse band energies through a real range decoder
-    (mono 10/20 ms layouts; see that module for what the proxy does
-    and does not claim). MPEG-2/2.5 Layer I/II, Ogg Vorbis, stereo
-    Opus, and other containers get NULL afp + the error string
-    (default) or raise (``errors="raise"``)."""
+    gains through the transcribed RFC 6716 tables (real-stream true) /
+    CELT coarse band energies (fixture-gated until e_prob_model is
+    transcribed; see that module). Ogg VORBIS decodes via
+    ``functions/vorbis.py`` — the self-describing floor1 amplitude
+    tier (in-band codebooks, rendered floor levels), real-stream true
+    by construction. MPEG-2/2.5 Layer I/II, surround/stereo-CELT
+    Opus, floor-0 Vorbis, and other containers get NULL afp + the
+    error string (default) or raise (``errors="raise"``)."""
     import pandas as pd
 
     from . import codecs
@@ -555,14 +558,23 @@ def audio_fingerprint(media: DataFrame, errors: str = "quarantine") -> DataFrame
             # per-frame energies ARE the envelope samples
             seq = codecs.mp3_subband_energies(c)
         elif codecs.is_ogg(c):
-            # Ogg Opus: SILK subframe gains / CELT coarse band energy
-            # through a real range decoder (functions/opus.py — 10/20 ms
-            # layouts; stereo SILK walks the mid channel; stereo CELT,
-            # surround, 40/60 ms SILK, and Vorbis refuse into the
-            # quarantine channel)
+            # Ogg Opus: SILK subframe gains through the transcribed
+            # RFC 6716 tables / CELT coarse band energy (fixture-gated
+            # until e_prob_model is transcribed) — functions/opus.py.
+            # Ogg VORBIS (round 9): the self-describing floor1 tier —
+            # in-band codebooks + rendered floor amplitudes
+            # (functions/vorbis.py), real-stream true by construction.
+            # Surround, stereo CELT, 40/60 ms SILK, floor-0 packets,
+            # and header-only skeletons refuse into quarantine.
             from . import opus
 
-            seq = opus.opus_energy_envelope(c)
+            pk = opus.ogg_packets(c)
+            if pk and pk[0].startswith(b"\x01vorbis"):
+                from . import vorbis
+
+                seq = vorbis.vorbis_floor_envelope(c)
+            else:
+                seq = opus.opus_energy_envelope(c)
         elif codecs.is_mp4(c):
             # M4A: the same global_gain read as ADTS, reached through
             # the real stsz/stsc/stco sample tables — an ADTS stream

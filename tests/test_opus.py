@@ -296,8 +296,9 @@ def test_opus_fingerprint_planted_pairs(spark):
     ]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA)
     fps = {r["media_id"]: r for r in audio_fingerprint(media).collect()}
-    assert fps[5]["afp"] is None and "Vorbis" not in (fps[5]["decode_error"] or "x")
-    assert fps[5]["decode_error"]  # quarantined, whatever the wording
+    # the header-only Vorbis skeleton still quarantines (round 9 routes
+    # Vorbis to the floor tier, which refuses setup-less streams)
+    assert fps[5]["afp"] is None and "setup" in fps[5]["decode_error"]
     mask = (1 << 64) - 1
 
     def ham(a, b):
