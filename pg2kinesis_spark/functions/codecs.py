@@ -3693,6 +3693,143 @@ def _webm_count_frames(data: bytes, clusters: list, vnum: int | None):
     return n
 
 
+_MKV_CODECPRIVATE = 0x63A2
+_MKV_WRITINGAPP = 0x5741
+
+
+def webm_audio_packets(data: bytes) -> tuple[str, bytes, list, str | None]:
+    """(codec_id, codec_private, packets, writing_app) of the FIRST
+    audio track in a Matroska/WebM file — the shared block walk behind
+    the Opus and Vorbis envelope fronts: packets lifted from Cluster
+    SimpleBlocks/Blocks of that track (no-lacing blocks; laced audio
+    refuses), CodecPrivate passed through for codecs whose headers live
+    there (Vorbis), WritingApp surfaced for the Opus CELT fixture
+    gate."""
+    data = bytes(data)
+    if not is_webm(data):
+        raise ValueError("not Matroska/WebM: bad EBML magic")
+    budget = [_MKV_MAX_ELEMS]
+    elems = _mkv_walk(data, 0, len(data), 0, budget)
+    anum = None
+    entry_end = -1
+    cur_num = cur_type = None
+    cur_codec = cur_priv = None
+    codec_id = None
+    codec_private = b""
+    writing_app = None
+    clusters: list[tuple[int, int]] = []
+    for eid, body, bend, _d in elems:
+        if eid == _MKV_TRACKENTRY:
+            if cur_type == 2 and anum is None:
+                anum = cur_num
+                codec_id = cur_codec
+                codec_private = cur_priv or b""
+            cur_num = cur_type = cur_codec = cur_priv = None
+            entry_end = bend
+        elif eid == _MKV_CLUSTER:
+            clusters.append((body, bend))
+        elif eid == _MKV_WRITINGAPP:
+            try:
+                writing_app = data[body:bend].decode("utf-8")
+            except UnicodeDecodeError:
+                writing_app = None
+        elif body <= entry_end:
+            if eid == _MKV_TRACKNUMBER:
+                cur_num = _ebml_uint(data, body, bend)
+            elif eid == _MKV_TRACKTYPE:
+                cur_type = _ebml_uint(data, body, bend)
+            elif eid == _MKV_CODECID:
+                cur_codec = data[body:bend].decode("latin-1")
+            elif eid == _MKV_CODECPRIVATE:
+                cur_priv = data[body:bend]
+    if cur_type == 2 and anum is None:
+        anum = cur_num
+        codec_id = cur_codec
+        codec_private = cur_priv or b""
+    if anum is None:
+        raise ValueError("WebM without an audio track entry")
+
+    def block_payload(body: int, bend: int):
+        # block header: track vint, s16 rel timecode, flags byte
+        tnum, p = _ebml_size(data, body)
+        if tnum is not _EBML_UNKNOWN and tnum != anum:
+            return None
+        flags = data[p + 2]
+        if flags & 0x06:
+            raise NotImplementedError(
+                "laced audio blocks (one packet per block tier)"
+            )
+        return data[p + 3 : bend]
+
+    packets: list[bytes] = []
+    blk_budget = _MKV_MAX_BLOCKS
+    for cbody, cend in clusters:
+        pos = cbody
+        while pos < cend:
+            blk_budget -= 1
+            if blk_budget < 0:
+                raise ValueError("WebM block count exceeds the walk budget")
+            eid, p = _ebml_id(data, pos)
+            size, body = _ebml_size(data, p)
+            bend = cend if size is _EBML_UNKNOWN else body + size
+            if bend > cend:
+                raise ValueError(f"EBML element 0x{eid:X} escapes enclosure")
+            if eid == _MKV_SIMPLEBLOCK:
+                pkt = block_payload(body, bend)
+                if pkt:
+                    packets.append(pkt)
+            elif eid == _MKV_BLOCKGROUP:
+                q = body
+                while q < bend:
+                    eid2, p2 = _ebml_id(data, q)
+                    size2, body2 = _ebml_size(data, p2)
+                    bend2 = bend if size2 is _EBML_UNKNOWN else body2 + size2
+                    if bend2 > bend:
+                        raise ValueError(
+                            f"EBML element 0x{eid2:X} escapes enclosure"
+                        )
+                    if eid2 == _MKV_BLOCK:
+                        pkt = block_payload(body2, bend2)
+                        if pkt:
+                            packets.append(pkt)
+                    q = bend2
+            pos = bend
+    return codec_id or "", codec_private, packets, writing_app
+
+
+def xiph_lacing_split(priv: bytes, n_packets: int = 3) -> list[bytes]:
+    """Split a Xiph-laced CodecPrivate blob (Matroska's Vorbis header
+    layout: count-1 byte, then 255-continued sizes for all but the
+    last packet, then the packets back to back)."""
+    if not priv:
+        raise ValueError("empty CodecPrivate")
+    if priv[0] != n_packets - 1:
+        raise ValueError(
+            f"CodecPrivate lacing count {priv[0] + 1} != {n_packets}"
+        )
+    at = 1
+    sizes = []
+    for _ in range(n_packets - 1):
+        size = 0
+        while True:
+            if at >= len(priv):
+                raise ValueError("truncated CodecPrivate lacing")
+            size += priv[at]
+            stop = priv[at] < 255
+            at += 1
+            if stop:
+                break
+        sizes.append(size)
+    out = []
+    for size in sizes:
+        if at + size > len(priv):
+            raise ValueError("CodecPrivate lacing overruns the blob")
+        out.append(priv[at : at + size])
+        at += size
+    out.append(priv[at:])
+    return out
+
+
 def webm_info(data: bytes) -> dict:
     """Matroska/WebM metadata: duration (TimecodeScale-scaled), first
     video track's dimensions + codec + Cluster-walk frame count/fps,

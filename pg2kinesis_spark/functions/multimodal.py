@@ -581,13 +581,20 @@ def audio_fingerprint(media: DataFrame, errors: str = "quarantine") -> DataFrame
             # and its M4A remux fingerprint IDENTICALLY
             seq = codecs.m4a_aac_gains(c)
         elif codecs.is_webm(c):
-            # audio-only WebM: Opus packets lifted from the Cluster
-            # blocks feed the same envelope walk as the Ogg front —
-            # an Ogg Opus file and its WebM remux fingerprint
-            # IDENTICALLY; video-bearing WebM stays on the video tier
+            # audio-only WebM: packets lifted from the Cluster blocks
+            # feed the same envelope walks as the Ogg fronts (A_OPUS →
+            # gain tier, A_VORBIS → floor tier via the Xiph-laced
+            # CodecPrivate headers) — a file and its WebM remux
+            # fingerprint IDENTICALLY; video-bearing WebM stays on the
+            # video tier
             from . import opus
 
-            seq = opus.webm_opus_energy_envelope(c)
+            if codecs.webm_info(c).get("audio_codec") == "A_VORBIS":
+                from . import vorbis
+
+                seq = vorbis.webm_vorbis_floor_envelope(c)
+            else:
+                seq = opus.webm_opus_energy_envelope(c)
         else:
             if codecs.is_flac(c):
                 samples, _rate = codecs.decode_flac(c)

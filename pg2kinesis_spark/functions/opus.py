@@ -731,34 +731,69 @@ def opus_packets_energy(packets, fixture_celt: bool = False) -> np.ndarray:
 # --- Ogg packet reassembly ---------------------------------------------------
 
 
-def ogg_packets(data: bytes) -> list[bytes]:
-    """Reassemble the logical packets of a (single-stream) Ogg file
-    from the page lacing values, handling 255-continuation within and
-    across pages. CRC is checked by the caller's page walk (ogg_info);
-    this walk re-checks structure only."""
+def ogg_packets(data: bytes, serial: int | None = None) -> list[bytes]:
+    """Reassemble the logical packets of ONE Ogg stream from the page
+    lacing values, handling 255-continuation within and across pages.
+    ``serial=None`` follows the FIRST stream whose BOS page opens with
+    an audio magic (OpusHead / \\x01vorbis), falling back to the first
+    stream — so multiplexed files (e.g. Theora+Vorbis) feed the audio
+    walk the audio stream's packets instead of an interleaved garble;
+    pass an explicit ``serial`` to pick a stream. Pages of other
+    serials are skipped structurally (their lacing still walks, so a
+    hostile interleave can't smuggle bytes). CRC is checked by the
+    caller's page walk (ogg_info); this walk re-checks structure
+    only."""
     data = bytes(data)
+    n = len(data)
+
+    def pages():
+        pos = 0
+        while pos + 27 <= n:
+            if data[pos : pos + 4] != b"OggS":
+                return
+            nsegs = data[pos + 26]
+            seg_table = data[pos + 27 : pos + 27 + nsegs]
+            if len(seg_table) < nsegs:
+                raise ValueError("truncated Ogg segment table")
+            body = pos + 27 + nsegs
+            size = sum(seg_table)
+            if body + size > n:
+                raise ValueError("Ogg lacing overruns file")
+            yield (
+                data[pos + 5],
+                struct.unpack_from("<I", data, pos + 14)[0],
+                seg_table,
+                body,
+            )
+            pos = body + size
+
+    want = serial
+    if want is None:  # header-only pre-scan: first audio BOS, else first page
+        first_serial = None
+        for header_type, page_serial, _segs, body in pages():
+            if first_serial is None:
+                first_serial = page_serial
+            if header_type & 0x02:
+                head = data[body : body + 8]
+                if head.startswith(b"OpusHead") or head.startswith(
+                    b"\x01vorbis"
+                ):
+                    want = page_serial
+                    break
+        if want is None:
+            want = first_serial
     packets: list[bytes] = []
     cur = bytearray()
-    pos = 0
-    n = len(data)
-    while pos + 27 <= n:
-        if data[pos : pos + 4] != b"OggS":
-            break
-        nsegs = data[pos + 26]
-        seg_table = data[pos + 27 : pos + 27 + nsegs]
-        if len(seg_table) < nsegs:
-            raise ValueError("truncated Ogg segment table")
-        body = pos + 27 + nsegs
+    for _ht, page_serial, seg_table, body in pages():
+        if page_serial != want:
+            continue
         at = body
         for s in seg_table:
-            if at + s > n:
-                raise ValueError("Ogg lacing overruns file")
             cur += data[at : at + s]
             at += s
             if s < 255:
                 packets.append(bytes(cur))
                 cur = bytearray()
-        pos = at
     if cur:
         packets.append(bytes(cur))  # unterminated final packet
     return packets
@@ -847,11 +882,12 @@ def webm_opus_energy_envelope(data: bytes) -> np.ndarray:
     """Per-frame energy envelope of Opus inside WebM/Matroska — the
     same per-packet walk as the Ogg front, with packets lifted from
     the Cluster SimpleBlocks/Blocks of the first A_OPUS audio track
-    (no-lacing blocks; laced audio refuses). An Ogg Opus stream and
-    its WebM remux fingerprint IDENTICALLY. Video-bearing files stay
-    on the video tier; stereo and non-Opus audio refuse. The CELT
-    fixture gate reads the WritingApp element (the WebM twin of the
-    OpusTags vendor marker)."""
+    (the shared ``codecs.webm_audio_packets`` walk; laced audio
+    refuses). An Ogg Opus stream and its WebM remux fingerprint
+    IDENTICALLY. Video-bearing files stay on the video tier; stereo
+    and non-Opus audio refuse. The CELT fixture gate reads the
+    WritingApp element (the WebM twin of the OpusTags vendor
+    marker)."""
     from pg2kinesis_spark.functions import codecs as C
 
     data = bytes(data)
@@ -866,85 +902,12 @@ def webm_opus_energy_envelope(data: bytes) -> np.ndarray:
         )
     if (info["n_channels"] or 1) != 1:
         raise NotImplementedError("Opus envelope walks mono streams only")
-    # find the audio track number + cluster extents with the shared walk
-    budget = [C._MKV_MAX_ELEMS]
-    elems = C._mkv_walk(data, 0, len(data), 0, budget)
-    anum = None
-    entry_end = -1
-    cur_num = cur_type = None
-    fixture = False
-    clusters: list[tuple[int, int]] = []
-    for eid, body, bend, _d in elems:
-        if eid == C._MKV_TRACKENTRY:
-            if cur_type == 2 and anum is None:
-                anum = cur_num
-            cur_num = cur_type = None
-            entry_end = bend
-        elif eid == C._MKV_CLUSTER:
-            clusters.append((body, bend))
-        elif eid == _MKV_WRITINGAPP:
-            try:
-                fixture = (
-                    data[body:bend].decode("utf-8") == _FIXTURE_VENDOR
-                )
-            except UnicodeDecodeError:
-                fixture = False
-        elif body <= entry_end:
-            if eid == C._MKV_TRACKNUMBER:
-                cur_num = C._ebml_uint(data, body, bend)
-            elif eid == C._MKV_TRACKTYPE:
-                cur_type = C._ebml_uint(data, body, bend)
-    if cur_type == 2 and anum is None:
-        anum = cur_num
-    if anum is None:
-        raise ValueError("WebM without an audio track entry")
-
-    def block_payload(body: int, bend: int) -> bytes | None:
-        # block header: track vint, s16 rel timecode, flags byte
-        tnum, p = C._ebml_size(data, body)
-        if tnum is not C._EBML_UNKNOWN and tnum != anum:
-            return None
-        flags = data[p + 2]
-        if flags & 0x06:
-            raise NotImplementedError("laced Opus blocks (one packet per block tier)")
-        return data[p + 3 : bend]
-
-    packets: list[bytes] = []
-    blk_budget = C._MKV_MAX_BLOCKS
-    for cbody, cend in clusters:
-        pos = cbody
-        while pos < cend:
-            blk_budget -= 1
-            if blk_budget < 0:
-                raise ValueError("WebM block count exceeds the walk budget")
-            eid, p = C._ebml_id(data, pos)
-            size, body = C._ebml_size(data, p)
-            bend = cend if size is C._EBML_UNKNOWN else body + size
-            if bend > cend:
-                raise ValueError(f"EBML element 0x{eid:X} escapes enclosure")
-            if eid == C._MKV_SIMPLEBLOCK:
-                pkt = block_payload(body, bend)
-                if pkt:
-                    packets.append(pkt)
-            elif eid == C._MKV_BLOCKGROUP:
-                q = body
-                while q < bend:
-                    eid2, p2 = C._ebml_id(data, q)
-                    size2, body2 = C._ebml_size(data, p2)
-                    bend2 = bend if size2 is C._EBML_UNKNOWN else body2 + size2
-                    if bend2 > bend:
-                        raise ValueError(
-                            f"EBML element 0x{eid2:X} escapes enclosure"
-                        )
-                    if eid2 == C._MKV_BLOCK:
-                        pkt = block_payload(body2, bend2)
-                        if pkt:
-                            packets.append(pkt)
-                    q = bend2
-            pos = bend
+    _codec, _priv, packets, writing_app = C.webm_audio_packets(data)
     if not packets:
         raise ValueError("WebM Opus track with no blocks")
-    return opus_packets_energy(packets, fixture_celt=fixture)
+    return opus_packets_energy(
+        packets, fixture_celt=writing_app == _FIXTURE_VENDOR
+    )
 
 
 _MKV_WRITINGAPP = 0x5741

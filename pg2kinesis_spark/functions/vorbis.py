@@ -21,10 +21,11 @@ here per the public Vorbis I specification:
   parsed and skipped — floors use scalar codeword decode only).
 * §4.2 setup: time transforms (must be 0), floor type 1 configs
   (partition class list, class dims/subclasses, master/subclass
-  books, multiplier, rangebits, X list), floor type 0 configs parsed
-  but refusing at decode (LSP floors are the full-synthesis tier),
-  residue configs (structurally traversed), mapping type 0 (submaps,
-  coupling steps, mux), modes.
+  books, multiplier, rangebits, X list), floor type 0 configs (order,
+  amplitude_bits, book list — the packet's leading AMPLITUDE field is
+  the envelope; LSP coefficients are consumed through the books' dims
+  only to advance the cursor), residue configs (structurally
+  traversed), mapping type 0 (submaps, coupling steps, mux), modes.
 * §7.2.3-7.2.4 floor1 packet decode: nonzero flag, the two absolute
   endpoint amplitudes, per-partition class words through the master
   book + subclass codewords, then the step-2 prediction render
@@ -39,13 +40,15 @@ monotone exponential works here because the fingerprint compares
 window ORDER and ratios of the same stream, and the constant cancels.
 
 Refusals (NotImplementedError → the caller's quarantine channel):
-floor type 0 packets, mapping types ≠ 0, streams whose setup fails to
-parse (incl. the header-only Ogg skeletons ``encode_ogg_pages``
-writes), and a silent-channel-only packet contributes 0.0 exactly
-like Opus DTX. The fixture side (``encode_ogg_vorbis_envelope``)
-writes a REAL stream — identification + setup with a one-book
-codebook set and a 4-point floor — that any conformant Vorbis
-front-end would read identically.
+mapping types ≠ 0 and streams whose setup fails to parse (incl. the
+header-only Ogg skeletons ``encode_ogg_pages`` writes); a silent
+channel (floor1 nonzero-flag clear / floor0 amplitude 0) contributes
+0.0 exactly like Opus DTX. Multiplexed files (e.g. Theora+Vorbis)
+work: ``ogg_packets`` follows the first audio BOS stream's serial.
+The fixture side (``encode_ogg_vorbis_envelope``) writes a REAL
+stream — identification + setup with a one-book codebook set and a
+4-point floor (or an order-4 LSP floor0) — that any conformant
+Vorbis front-end would read identically.
 """
 
 from __future__ import annotations
@@ -164,7 +167,7 @@ def _lookup1_values(entries: int, dims: int) -> int:
     return v
 
 
-def _read_codebook(b: _VBits) -> dict[tuple[int, int], int]:
+def _read_codebook(b: _VBits) -> tuple[int, dict[tuple[int, int], int]]:
     if b.bits(24) != 0x564342:  # "BCV"
         raise ValueError("Vorbis codebook sync pattern missing")
     dims = b.bits(16)
@@ -202,7 +205,7 @@ def _read_codebook(b: _VBits) -> dict[tuple[int, int], int]:
             b.bits(value_bits)  # multiplicands: skipped (scalar use only)
     elif lookup != 0:
         raise ValueError(f"codebook lookup type {lookup}")
-    return _codewords(lengths)
+    return dims, _codewords(lengths)
 
 
 # --- setup parsing (§4.2.4) --------------------------------------------------
@@ -215,6 +218,10 @@ class _Floor1:
         "partition_classes", "class_dims", "class_subclasses",
         "masterbooks", "subclass_books", "multiplier", "x_list",
     )
+
+
+class _Floor0:
+    __slots__ = ("order", "amplitude_bits", "num_books", "books")
 
 
 class _Setup:
@@ -269,15 +276,18 @@ def _read_setup(packet: bytes, channels: int) -> _Setup:
         if ftype == 1:
             s.floors.append(_read_floor1(b))
         elif ftype == 0:
-            # parse to traverse; refuse at decode time (LSP tier)
-            b.bits(8)  # order
+            # LSP floor: the packet's leading AMPLITUDE field is the
+            # envelope; coefficients are consumed (via the books' dims)
+            # only to advance the cursor to the next channel's floor
+            f0 = _Floor0()
+            f0.order = b.bits(8)
             b.bits(16)  # rate
             b.bits(16)  # bark_map_size
-            b.bits(6)  # amplitude_bits
+            f0.amplitude_bits = b.bits(6)
             b.bits(8)  # amplitude_offset
-            for _ in range(b.bits(4) + 1):
-                b.bits(8)
-            s.floors.append(None)
+            f0.num_books = b.bits(4) + 1
+            f0.books = [b.bits(8) for _ in range(f0.num_books)]
+            s.floors.append(f0)
         else:
             raise ValueError(f"Vorbis floor type {ftype}")
     for _ in range(b.bits(6) + 1):  # residues: traverse structurally
@@ -358,14 +368,14 @@ def _floor1_decode(b: _VBits, f: _Floor1, books) -> list[int] | None:
             mb = f.masterbooks[cls]
             if not 0 <= mb < len(books):
                 raise ValueError("floor1 master book out of range")
-            cval = _huff_decode(b, books[mb])
+            cval = _huff_decode(b, books[mb][1])
         for _ in range(f.class_dims[cls]):
             book = f.subclass_books[cls][cval & csub]
             cval >>= cbits
             if book >= 0:
                 if book >= len(books):
                     raise ValueError("floor1 subclass book out of range")
-                ys.append(_huff_decode(b, books[book]))
+                ys.append(_huff_decode(b, books[book][1]))
             else:
                 ys.append(0)
     # step 2: prediction render against the sorted neighbor structure
@@ -403,25 +413,44 @@ def _floor1_decode(b: _VBits, f: _Floor1, books) -> list[int] | None:
     return final
 
 
+def _floor0_level(b: _VBits, f: _Floor0, books) -> float:
+    """Floor-0 (LSP) packet head (§6.2.3): the leading AMPLITUDE field
+    IS the envelope sample (normalized to [0,1]); when nonzero, the
+    book number + order-many LSP coefficients are consumed through the
+    chosen codebook's dims purely to advance the cursor to the next
+    channel's floor — the curve synthesis itself stays un-run."""
+    amp = b.bits(f.amplitude_bits)
+    if amp > 0:
+        bn = b.bits(_ilog(f.num_books))
+        if bn >= f.num_books:
+            raise ValueError("floor0 book number out of range")
+        book_n = f.books[bn]
+        if book_n >= len(books):
+            raise ValueError("floor0 book out of range")
+        dims, table = books[book_n]
+        if dims <= 0:
+            raise ValueError("floor0 coefficient book with zero dims")
+        got = 0
+        while got < f.order:
+            _huff_decode(b, table)
+            got += dims
+    if f.amplitude_bits == 0:
+        return 0.0
+    return amp / float((1 << f.amplitude_bits) - 1)
+
+
 def vorbis_floor_envelope(data: bytes) -> np.ndarray:
     """Per-packet floor-amplitude envelope of an Ogg Vorbis stream —
     the sequence ``audio_fingerprint`` consumes. Each audio packet
     contributes the mean over channels of its mean rendered floor1
-    level, linearized from the dB-index domain; silent channels
-    contribute 0. Floor-0 packets and non-type-0 mappings refuse."""
+    level (or the floor0 amplitude), linearized from the dB-index
+    domain; silent channels contribute 0. Non-type-0 mappings and
+    setup-less skeletons refuse."""
     from pg2kinesis_spark.functions.opus import ogg_packets
 
     packets = ogg_packets(bytes(data))
     if not packets or not packets[0].startswith(b"\x01vorbis"):
         raise NotImplementedError("not an Ogg Vorbis stream")
-    ident = packets[0]
-    if len(ident) < 30:
-        raise ValueError("truncated Vorbis identification header")
-    if struct.unpack_from("<I", ident, 7)[0] != 0:
-        raise ValueError("Vorbis version must be 0")
-    channels = ident[11]
-    if not channels:
-        raise ValueError("Vorbis with zero channels")
     setup_pkt = next(
         (p for p in packets[1:] if p.startswith(b"\x05vorbis")), None
     )
@@ -429,11 +458,55 @@ def vorbis_floor_envelope(data: bytes) -> np.ndarray:
         raise NotImplementedError(
             "Ogg Vorbis without a setup header (header-only skeleton)"
         )
+    audio = [p for p in packets[1:] if p and not p[0] & 1]
+    return vorbis_packets_envelope(packets[0], setup_pkt, audio)
+
+
+def webm_vorbis_floor_envelope(data: bytes) -> np.ndarray:
+    """The WebM/Matroska front: A_VORBIS ships its three header
+    packets Xiph-laced in CodecPrivate and the audio packets in
+    Cluster blocks — the same floor walk as the Ogg front, so an Ogg
+    Vorbis stream and its WebM remux fingerprint IDENTICALLY.
+    Video-bearing files stay on the video tier."""
+    from pg2kinesis_spark.functions import codecs as C
+
+    data = bytes(data)
+    if not C.is_webm(data):
+        raise ValueError("not Matroska/WebM: bad EBML magic")
+    info = C.webm_info(data)
+    if info["n_video_tracks"]:
+        raise NotImplementedError("WebM with video tracks stays on the video tier")
+    if info["audio_codec"] != "A_VORBIS":
+        raise NotImplementedError(
+            f"WebM Vorbis envelope covers A_VORBIS ({info['audio_codec']!r})"
+        )
+    _codec, priv, packets, _app = C.webm_audio_packets(data)
+    ident, _comment, setup_pkt = C.xiph_lacing_split(priv, 3)
+    if not ident.startswith(b"\x01vorbis"):
+        raise ValueError("CodecPrivate does not open with a Vorbis ident")
+    if not setup_pkt.startswith(b"\x05vorbis"):
+        raise ValueError("CodecPrivate third packet is not a Vorbis setup")
+    if not packets:
+        raise ValueError("WebM Vorbis track with no blocks")
+    return vorbis_packets_envelope(ident, setup_pkt, packets)
+
+
+def vorbis_packets_envelope(
+    ident: bytes, setup_pkt: bytes, audio_packets
+) -> np.ndarray:
+    """The per-packet floor walk shared by the Ogg and WebM fronts."""
+    if len(ident) < 30:
+        raise ValueError("truncated Vorbis identification header")
+    if struct.unpack_from("<I", ident, 7)[0] != 0:
+        raise ValueError("Vorbis version must be 0")
+    channels = ident[11]
+    if not channels:
+        raise ValueError("Vorbis with zero channels")
     setup = _read_setup(setup_pkt, channels)
     env: list[float] = []
-    for pkt in packets:
-        if not pkt or pkt[0] & 1:
-            continue  # header packets have odd first bytes; audio = even
+    for pkt in audio_packets:
+        if not pkt:
+            continue
         b = _VBits(pkt)
         if b.bit() != 0:
             continue  # not an audio packet
@@ -452,11 +525,10 @@ def vorbis_floor_envelope(data: bytes) -> np.ndarray:
             fl_n = submap_floors[mux[ch]]
             if fl_n >= len(setup.floors):
                 raise ValueError("Vorbis floor number out of range")
-            if setup.floor_types[fl_n] != 1:
-                raise NotImplementedError(
-                    "floor type 0 (LSP) packets — full-synthesis tier"
-                )
             f = setup.floors[fl_n]
+            if setup.floor_types[fl_n] == 0:
+                levels.append(_floor0_level(b, f, setup.codebooks))
+                continue
             final = _floor1_decode(b, f, setup.codebooks)
             if final is None:
                 levels.append(0.0)
@@ -465,7 +537,7 @@ def vorbis_floor_envelope(data: bytes) -> np.ndarray:
                 levels.append(2.0 ** ((idx - 255.0) * _DB_STEP_LOG2))
         env.append(float(np.mean(levels)))
     if not env:
-        raise ValueError("Ogg Vorbis stream with no audio packets")
+        raise ValueError("Vorbis stream with no audio packets")
     return np.asarray(env, dtype=np.float64)
 
 
@@ -481,7 +553,7 @@ def vorbis_floor_envelope(data: bytes) -> np.ndarray:
 # the level. Any conformant Vorbis front-end reads the same floor.
 
 
-def _fixture_setup_packet() -> bytes:
+def _fixture_setup_packet(floor_type: int = 1) -> bytes:
     w = _VBitWriter()
     w.put(0, 8)  # codebook_count - 1
     w.put(0x564342, 24)
@@ -495,16 +567,26 @@ def _fixture_setup_packet() -> bytes:
     w.put(0, 6)  # time_count - 1
     w.put(0, 16)  # time transform 0
     w.put(0, 6)  # floor_count - 1
-    w.put(1, 16)  # floor type 1
-    w.put(1, 5)  # partitions
-    w.put(0, 4)  # partition class 0
-    w.put(1, 3)  # class dim - 1 = 1 (dim 2)
-    w.put(0, 2)  # subclasses 0
-    w.put(1, 8)  # subclass book 0 (+1 coded; -1 bias → book 0)
-    w.put(0, 2)  # multiplier - 1 = 0 (range 256)
-    w.put(8, 4)  # rangebits
-    w.put(64, 8)  # partition point x2
-    w.put(128, 8)  # partition point x3
+    if floor_type == 0:
+        w.put(0, 16)  # floor type 0 (LSP)
+        w.put(4, 8)  # order
+        w.put(8000, 16)  # rate
+        w.put(64, 16)  # bark_map_size
+        w.put(8, 6)  # amplitude_bits
+        w.put(1, 8)  # amplitude_offset
+        w.put(0, 4)  # number_of_books - 1
+        w.put(0, 8)  # book 0
+    else:
+        w.put(1, 16)  # floor type 1
+        w.put(1, 5)  # partitions
+        w.put(0, 4)  # partition class 0
+        w.put(1, 3)  # class dim - 1 = 1 (dim 2)
+        w.put(0, 2)  # subclasses 0
+        w.put(1, 8)  # subclass book 0 (+1 coded; -1 bias → book 0)
+        w.put(0, 2)  # multiplier - 1 = 0 (range 256)
+        w.put(8, 4)  # rangebits
+        w.put(64, 8)  # partition point x2
+        w.put(128, 8)  # partition point x3
     w.put(0, 6)  # residue_count - 1
     w.put(0, 16)  # residue type 0
     w.put(0, 24)  # begin
@@ -531,14 +613,20 @@ def _fixture_setup_packet() -> bytes:
     return b"\x05vorbis" + w.done()
 
 
-def vorbis_quantize_envelope(energies) -> np.ndarray:
+def vorbis_quantize_envelope(energies, floor_type: int = 1) -> np.ndarray:
     """The envelope ``vorbis_floor_envelope`` returns for
-    ``encode_ogg_vorbis_envelope(energies)`` — pure quantizer
-    arithmetic, the construction-side truth for round trips."""
+    ``encode_ogg_vorbis_envelope(energies, floor_type=...)`` — pure
+    quantizer arithmetic, the construction-side truth for round trips
+    (floor 1 quantizes on the ~0.547 dB grid; floor 0 carries a
+    linear 8-bit amplitude)."""
     out = []
     for e in np.asarray(energies, dtype=np.float64):
         if e == 0.0:
             out.append(0.0)
+            continue
+        if floor_type == 0:
+            lvl = min(max(int(round(float(e) * 255.0)), 1), 255)
+            out.append(lvl / 255.0)
             continue
         lvl = int(round(np.log2(max(e, 1e-12)) / _DB_STEP_LOG2 + 255.0))
         lvl = min(max(lvl, 1), 255)
@@ -547,13 +635,16 @@ def vorbis_quantize_envelope(energies) -> np.ndarray:
 
 
 def encode_ogg_vorbis_envelope(
-    energies, rate: int = 8000, serial: int = 9
+    energies, rate: int = 8000, serial: int = 9, floor_type: int = 1
 ) -> bytes:
     """Ogg Vorbis fixture whose per-packet floor envelope equals
-    ``vorbis_quantize_envelope(energies)`` — a REAL stream (full
-    identification/comment/setup headers, self-describing codebook)
-    whose audio packets carry the level in the floor1 endpoints.
-    Zero energy becomes a silent channel (nonzero flag clear)."""
+    ``vorbis_quantize_envelope(energies, floor_type)`` — a REAL stream
+    (full identification/comment/setup headers, self-describing
+    codebook) whose audio packets carry the level in the floor1
+    endpoints (``floor_type=1``) or the floor0 amplitude field
+    (``floor_type=0``, order-4 LSP coefficients coded as book-0
+    zeros). Zero energy becomes a silent channel (floor1
+    nonzero-flag clear / floor0 amplitude 0)."""
     from pg2kinesis_spark.functions import codecs as C
 
     env = np.asarray(energies, dtype=np.float64)
@@ -563,13 +654,26 @@ def encode_ogg_vorbis_envelope(
         + bytes([(6) | (8 << 4)]) + b"\x01"
     )
     comment = b"\x03vorbis" + C.encode_vorbis_comment({}) + b"\x01"
-    setup = _fixture_setup_packet()
+    setup = _fixture_setup_packet(floor_type)
 
     pkts: list[bytes] = []
     for e in env:
         w = _VBitWriter()
         w.put(0, 1)  # audio packet
         # mode number: ilog(mode_count-1) = ilog(0) = 0 bits
+        if floor_type == 0:
+            if e == 0.0:
+                w.put(0, 8)  # amplitude 0: unused floor
+                pkts.append(w.done())
+                continue
+            lvl = min(max(int(round(float(e) * 255.0)), 1), 255)
+            w.put(lvl, 8)  # amplitude
+            w.put(0, 1)  # book number (ilog(num_books=1) = 1 bit)
+            for _ in range(4):  # order-4 LSP coefficients, book-0 zeros
+                for _bit in range(8):
+                    w.put(0, 1)
+            pkts.append(w.done())
+            continue
         if e == 0.0:
             w.put(0, 1)  # nonzero flag clear: silent channel
             pkts.append(w.done())
@@ -616,3 +720,69 @@ def encode_ogg_vorbis_envelope(
             granule, 3 + i, p, header_type=4 if i == len(pkts) - 1 else 0
         )
     return out
+
+
+def encode_webm_vorbis_envelope(
+    energies,
+    rate: int = 8000,
+    floor_type: int = 1,
+    blocks_per_cluster: int = 20,
+) -> bytes:
+    """Audio-only WebM fixture carrying the SAME Vorbis packets the Ogg
+    fixture would — headers Xiph-laced into CodecPrivate, audio packets
+    in Cluster SimpleBlocks: the remux twin for the cross-container
+    identity test and the independent construction side of
+    ``webm_vorbis_floor_envelope``."""
+    from pg2kinesis_spark.functions import codecs as C
+
+    ogg = encode_ogg_vorbis_envelope(energies, rate=rate, floor_type=floor_type)
+    from pg2kinesis_spark.functions.opus import ogg_packets
+
+    packets = ogg_packets(ogg)
+    ident, comment, setup = packets[0], packets[1], packets[2]
+    pkts = [p for p in packets[3:]]
+
+    def xiph(sizes):
+        out = bytearray()
+        for sz in sizes:
+            while sz >= 255:
+                out.append(255)
+                sz -= 255
+            out.append(sz)
+        return bytes(out)
+
+    priv = (
+        bytes([2]) + xiph([len(ident)]) + xiph([len(comment)])
+        + ident + comment + setup
+    )
+    ebml_hdr = C._EBML_MAGIC + C._ebml_encode_size(0)
+    info = C._ebml_elem(
+        C._MKV_INFO,
+        C._ebml_elem(C._MKV_TIMECODESCALE, (1_000_000).to_bytes(4, "big"))
+        + C._ebml_elem(
+            C._MKV_DURATION, struct.pack(">d", float(20 * len(pkts)))
+        ),
+    )
+    audio_entry = C._ebml_elem(
+        C._MKV_TRACKENTRY,
+        C._ebml_elem(C._MKV_TRACKTYPE, b"\x02")
+        + C._ebml_elem(C._MKV_TRACKNUMBER, b"\x01")
+        + C._ebml_elem(C._MKV_CODECID, b"A_VORBIS")
+        + C._ebml_elem(C._MKV_CODECPRIVATE, priv)
+        + C._ebml_elem(
+            C._MKV_AUDIO,
+            C._ebml_elem(C._MKV_SAMPLINGFREQ, struct.pack(">f", float(rate)))
+            + C._ebml_elem(C._MKV_CHANNELS, b"\x01"),
+        ),
+    )
+    tracks = C._ebml_elem(C._MKV_TRACKS, audio_entry)
+    clusters = b""
+    for i in range(0, len(pkts), blocks_per_cluster):
+        chunk = pkts[i : i + blocks_per_cluster]
+        payload = C._ebml_elem(C._MKV_CLUSTERTC, (i * 20).to_bytes(4, "big"))
+        for j, pkt in enumerate(chunk):
+            blk = bytes([0x81]) + struct.pack(">h", j * 20) + b"\x80" + pkt
+            payload += C._ebml_elem(C._MKV_SIMPLEBLOCK, blk)
+        clusters += C._ebml_elem(C._MKV_CLUSTER, payload)
+    segment = C._ebml_elem(C._MKV_SEGMENT, info + tracks + clusters)
+    return ebml_hdr + segment

@@ -94,7 +94,7 @@ def test_floor1_prediction_render():
     f.subclass_books = [[0]]
     f.multiplier = 1
     f.x_list = [0, 256, 64, 128]
-    books = [V._codewords([8] * 256)]
+    books = [(1, V._codewords([8] * 256))]  # (dims, table)
     w = V._VBitWriter()
     w.put(1, 1)  # nonzero
     w.put(100, 8)  # y0
@@ -191,3 +191,131 @@ def test_vorbis_fingerprint_planted_pairs(spark):
     got = {(r["media_id1"], r["media_id2"]) for r in pairs.collect()}
     assert (0, 1) in got and (0, 2) in got
     assert not any(3 in p for p in got)
+
+
+def test_floor0_amplitude_envelope():
+    """Floor-0 (LSP) streams decode their leading amplitude field as
+    the envelope; the LSP coefficients are consumed through the book's
+    dims to keep the cursor honest; amplitude 0 = unused floor = 0."""
+    env = np.array([0.1, 0.5, 0.0, 0.9])
+    got = V.vorbis_floor_envelope(
+        V.encode_ogg_vorbis_envelope(env, floor_type=0)
+    )
+    assert np.array_equal(got, V.vorbis_quantize_envelope(env, floor_type=0))
+    assert got[2] == 0.0
+    assert np.allclose(got[[0, 1, 3]], env[[0, 1, 3]], atol=1 / 255.0)
+
+
+def test_multiplexed_ogg_selects_the_audio_stream():
+    """A Theora+Vorbis-style mux (video BOS first, interleaved data
+    pages): ogg_packets follows the audio BOS serial, so the floor
+    walk sees exactly the Vorbis stream's packets."""
+    import struct
+
+    from pg2kinesis_spark.functions import codecs as C
+    from pg2kinesis_spark.functions import opus as O
+
+    rng = np.random.default_rng(2)
+    env = 2.0 ** rng.uniform(-18, -3, size=12)
+    vogg = V.encode_ogg_vorbis_envelope(env, serial=9)
+
+    def page(serial, seq, payload, header_type=0):
+        segs, rest = [], len(payload)
+        while rest >= 255:
+            segs.append(255)
+            rest -= 255
+        segs.append(rest)
+        hdr = (
+            b"OggS" + bytes([0, header_type]) + struct.pack("<q", 0)
+            + struct.pack("<II", serial, seq) + bytes(4)
+            + bytes([len(segs)]) + bytes(segs)
+        )
+        raw = bytearray(hdr + payload)
+        raw[22:26] = struct.pack("<I", C._ogg_page_crc(bytes(raw)))
+        return bytes(raw)
+
+    vpages = []
+    pos = 0
+    while pos + 27 <= len(vogg):
+        nsegs = vogg[pos + 26]
+        body = pos + 27 + nsegs
+        size = sum(vogg[pos + 27 : pos + 27 + nsegs])
+        vpages.append(vogg[pos : body + size])
+        pos = body + size
+    theora_bos = page(5, 0, b"\x80theora-fake-header", header_type=2)
+    tdata = [page(5, i + 1, b"\x00video-frame" * 3) for i in range(4)]
+    mux = theora_bos + vpages[0] + tdata[0] + vpages[1] + vpages[2]
+    for i, vp in enumerate(vpages[3:]):
+        mux += vp + tdata[(i + 1) % 4]
+    got = V.vorbis_floor_envelope(mux)
+    assert np.array_equal(got, V.vorbis_quantize_envelope(env))
+    # explicit serial selection returns the OTHER stream's packets
+    other = O.ogg_packets(mux, serial=5)
+    assert other and other[0].startswith(b"\x80theora")
+
+
+# --- WebM-contained Vorbis ----------------------------------------------------
+
+
+def test_webm_vorbis_matches_ogg_remux():
+    """An Ogg Vorbis stream and its WebM remux (headers Xiph-laced in
+    CodecPrivate, packets in Cluster SimpleBlocks) decode to IDENTICAL
+    envelopes — for both floor types."""
+    rng = np.random.default_rng(7)
+    env = 2.0 ** rng.uniform(-18, -3, size=30)
+    for ft in (1, 0):
+        e = env if ft == 1 else np.clip(env * 8, 0, 1)
+        a = V.vorbis_floor_envelope(
+            V.encode_ogg_vorbis_envelope(e, floor_type=ft)
+        )
+        b = V.webm_vorbis_floor_envelope(
+            V.encode_webm_vorbis_envelope(e, floor_type=ft)
+        )
+        assert np.array_equal(a, b), ft
+
+
+def test_webm_vorbis_fingerprint_identity(spark):
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprint,
+    )
+
+    rng = np.random.default_rng(15)
+    env = 2.0 ** rng.uniform(-18, -3, size=80)
+    ogg = V.encode_ogg_vorbis_envelope(env)
+    webm = V.encode_webm_vorbis_envelope(env)
+    rows = [
+        (0, bytearray(ogg), ("audio/ogg", len(ogg), "mem://0.ogg")),
+        (1, bytearray(webm), ("audio/webm", len(webm), "mem://1.webm")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    fps = {r["media_id"]: r["afp"] for r in audio_fingerprint(media).collect()}
+    assert fps[0] == fps[1] and fps[0] is not None
+
+
+def test_webm_vorbis_refusals_and_lacing():
+    from pg2kinesis_spark.functions import codecs as C
+
+    webm = bytearray(V.encode_webm_vorbis_envelope([0.25, 0.5]))
+    at = webm.index(b"A_VORBIS")
+    webm[at : at + 8] = b"A_SPEEXX"
+    with pytest.raises(NotImplementedError, match="A_VORBIS"):
+        V.webm_vorbis_floor_envelope(bytes(webm))
+    # xiph lacing splitter: 255-continued sizes and bounds
+    assert C.xiph_lacing_split(bytes([2, 1, 2]) + b"a" + b"bc" + b"rest") == [
+        b"a", b"bc", b"rest"
+    ]
+    big = bytes([2, 255, 0, 1]) + b"x" * 255 + b"y" + b"z"
+    assert C.xiph_lacing_split(big) == [b"x" * 255, b"y", b"z"]
+    with pytest.raises(ValueError, match="lacing"):
+        C.xiph_lacing_split(bytes([2, 255]))
+
+
+def test_fuzz_webm_vorbis_walk():
+    from tests.test_codec_fuzz import _hammer
+
+    rng = np.random.default_rng(3)
+    corpus = [
+        V.encode_webm_vorbis_envelope(2.0 ** rng.uniform(-18, -3, size=20)),
+    ]
+    _hammer(V.webm_vorbis_floor_envelope, corpus, seed=31)
