@@ -5870,6 +5870,85 @@ def decode_tiff(data: bytes, page: int = 0) -> np.ndarray:
     return np.ascontiguousarray(out)
 
 
+def exif_orientation(data: bytes) -> int | None:
+    """EXIF Orientation (tag 274) of a JPEG (the APP1 ``Exif\\0\\0``
+    TIFF blob, read with the SAME bounded IFD walk as TIFF files) or a
+    TIFF file's first IFD. None when absent or unparsable — EXIF is
+    advisory metadata, never a decode error; only values 1..8 count.
+    At corpus scale this is what makes a camera-rotated photo and its
+    upright re-export land in ONE near-dup cluster (the dHash and
+    feature kernels normalize through ``apply_exif_orientation``)."""
+    data = bytes(data)
+    try:
+        if is_tiff(data):
+            for tags in _tiff_ifds(data):
+                o = (tags.get(274) or [None])[0]
+                return o if o in range(1, 9) else None
+        if is_jpeg(data):
+            pos = 2
+            while pos + 4 <= len(data):
+                if data[pos] != 0xFF:
+                    break
+                while pos < len(data) and data[pos] == 0xFF:
+                    pos += 1
+                marker = data[pos]
+                pos += 1
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    continue
+                if marker in (0xD9, 0xDA):
+                    break  # EOI / SOS: no more header segments
+                (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+                body = data[pos + 2 : pos + seglen]
+                pos += seglen
+                if marker == 0xE1 and body.startswith(b"Exif\x00\x00"):
+                    tiff = body[6:]
+                    if is_tiff(tiff):
+                        for tags in _tiff_ifds(tiff):
+                            o = (tags.get(274) or [None])[0]
+                            return o if o in range(1, 9) else None
+                    return None
+    except Exception:
+        return None
+    return None
+
+
+def apply_exif_orientation(img: np.ndarray, orientation: int | None) -> np.ndarray:
+    """Undo an EXIF orientation on decoded (H, W, C) pixels: the 8
+    standard transforms (mirrors, 180, the transpose family for the
+    90-degree rotations). 1/None/unknown pass through."""
+    if orientation in (None, 1) or not 2 <= orientation <= 8:
+        return img
+    if orientation == 2:  # mirrored horizontal
+        out = img[:, ::-1]
+    elif orientation == 3:  # rotated 180
+        out = img[::-1, ::-1]
+    elif orientation == 4:  # mirrored vertical
+        out = img[::-1]
+    elif orientation == 5:  # transpose (mirror + 90)
+        out = np.transpose(img, (1, 0, 2))
+    elif orientation == 6:  # stored needs 90 CW to display upright
+        out = np.transpose(img, (1, 0, 2))[:, ::-1]
+    elif orientation == 7:  # transverse (anti-diagonal flip)
+        out = np.transpose(img, (1, 0, 2))[::-1, ::-1]
+    else:  # 8: stored needs 90 CCW
+        out = np.transpose(img, (1, 0, 2))[::-1]
+    return np.ascontiguousarray(out)
+
+
+def encode_exif_app1(orientation: int) -> bytes:
+    """A minimal EXIF APP1 segment (marker + length + ``Exif\\0\\0`` +
+    a one-entry little-endian TIFF IFD holding Orientation) — insert
+    after a JPEG's SOI for the fixture side of exif_orientation."""
+    ifd = (
+        struct.pack("<H", 1)
+        + struct.pack("<HHI", 274, 3, 1)
+        + struct.pack("<HH", orientation, 0)
+        + struct.pack("<I", 0)
+    )
+    blob = b"Exif\x00\x00" + b"II*\x00" + struct.pack("<I", 8) + ifd
+    return b"\xff\xe1" + struct.pack(">H", len(blob) + 2) + blob
+
+
 def encode_tiff(
     img: np.ndarray,
     compression: int = 1,
@@ -5880,6 +5959,7 @@ def encode_tiff(
     bits: int = 8,
     tiles: tuple[int, int] | None = None,
     planar: int = 1,
+    orientation: int | None = None,
 ) -> bytes:
     """Spec-packed TIFF fixture writer (strips OR tiles, both byte
     orders, compressions 1/5/8/32773 + CCITT 2/3/4, predictor 2,
@@ -6031,6 +6111,8 @@ def encode_tiff(
         entry(279, 4, n_segs, arr([len(s) for s in segs], 4))
     if planar == 2:
         short(284, 2)
+    if orientation:
+        short(274, orientation)
     if predictor == 2:
         short(317, 2)
     if compression == 3:

@@ -337,6 +337,9 @@ def extract_image_features(media: DataFrame, errors: str = "quarantine") -> Data
 
     def one(c: bytes) -> tuple[int, int, int, float]:
         img = codecs.decode_image(c, deterministic=True)
+        # DISPLAY geometry: a camera-rotated photo reports its upright
+        # width/height (EXIF orientation normalized, round 9)
+        img = codecs.apply_exif_orientation(img, codecs.exif_orientation(c))
         h, w, nch = img.shape
         px = img.astype("float64")
         if nch >= 3:
@@ -494,10 +497,13 @@ def media_dhash(media: DataFrame, errors: str = "quarantine") -> DataFrame:
     def one(c: bytes) -> int:
         # deterministic: a dHash is a JOIN KEY across batches and hosts
         # (near-dup pairing) — PIL-vs-pure JPEG IDCT rounding must not
-        # decide whether two copies of one image land in one cluster
-        return _dhash_image(
-            codecs.decode_image(c, deterministic=True), codecs.resize_nearest
-        )
+        # decide whether two copies of one image land in one cluster.
+        # EXIF orientation is normalized FIRST (round 9): a camera-
+        # rotated photo and its upright re-export must land in one
+        # cluster, and dHash is not rotation-invariant
+        img = codecs.decode_image(c, deterministic=True)
+        img = codecs.apply_exif_orientation(img, codecs.exif_orientation(c))
+        return _dhash_image(img, codecs.resize_nearest)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -489,3 +489,88 @@ def test_avi_empty_frame_indices_returns_no_frames():
     frames = [np.full((16, 16, 3), 128, dtype=np.uint8) for _ in range(3)]
     avi = encode_avi_mjpeg(frames, quality=90)
     assert decode_avi_mjpeg(avi, frame_indices=set()) == []
+
+
+# --- EXIF orientation (round 9) ----------------------------------------------
+
+
+def test_exif_orientation_read_and_undo():
+    """All 8 EXIF orientations: the APP1 TIFF blob reads through the
+    shared IFD walk, apply_exif_orientation restores the upright image
+    (shape-exact; pixels within JPEG loss), and an APP1 segment is
+    transparent to decode_jpeg."""
+    import numpy as np
+
+    from pg2kinesis_spark.functions import codecs as C
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (24, 36, 3), dtype=np.uint8)
+    stored_for = {
+        1: img, 2: img[:, ::-1], 3: img[::-1, ::-1], 4: img[::-1],
+        5: np.transpose(img, (1, 0, 2)),
+        6: np.transpose(img, (1, 0, 2))[::-1],
+        7: np.transpose(img, (1, 0, 2))[::-1, ::-1],
+        8: np.transpose(img, (1, 0, 2))[:, ::-1],
+    }
+    for o, stored in stored_for.items():
+        j = C.encode_jpeg(np.ascontiguousarray(stored), quality=92)
+        tagged = j[:2] + C.encode_exif_app1(o) + j[2:]
+        assert C.exif_orientation(tagged) == o
+        und = C.apply_exif_orientation(C.decode_jpeg(tagged), o)
+        assert und.shape == img.shape
+        assert np.abs(und.astype(int) - img.astype(int)).mean() < 12
+    plain = C.encode_jpeg(img, quality=92)
+    assert C.exif_orientation(plain) is None
+    assert np.array_equal(
+        C.decode_jpeg(plain[:2] + C.encode_exif_app1(6) + plain[2:]),
+        C.decode_jpeg(plain),
+    )
+    # TIFF tag 274 reads through the same walk; lossless -> exact undo
+    t = C.encode_tiff(
+        np.ascontiguousarray(np.transpose(img, (1, 0, 2))[::-1]),
+        orientation=6,
+    )
+    assert C.exif_orientation(t) == 6
+    assert np.array_equal(C.apply_exif_orientation(C.decode_tiff(t), 6), img)
+    # hostile: truncated APP1 is advisory -> None, never an error
+    assert C.exif_orientation(plain[:2] + C.encode_exif_app1(6)[:8] + plain[2:]) is None
+
+
+def test_exif_rotated_copy_pairs_with_upright(spark):
+    """THE corpus-scale point: a camera-rotated JPEG (stored sideways,
+    orientation 6) and its upright re-export land at dHash distance 0
+    through media_near_dup_pairs, and extract_image_features reports
+    the DISPLAY geometry for both."""
+    import numpy as np
+
+    from pg2kinesis_spark.functions import codecs as C
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+        media_near_dup_pairs,
+    )
+
+    x = np.linspace(0, 255, 40, dtype=np.uint8)
+    img = np.stack(np.meshgrid(x, x[:24])[::-1] + [np.outer(x[:24], x[::-1][:40]) // 255],
+                   axis=-1).astype(np.uint8)  # 24x40 smooth figure
+    upright = C.encode_jpeg(img, quality=92)
+    sideways = C.encode_jpeg(
+        np.ascontiguousarray(np.transpose(img, (1, 0, 2))[::-1]), quality=92
+    )
+    rotated = sideways[:2] + C.encode_exif_app1(6) + sideways[2:]
+    rng = np.random.RandomState(7)
+    other = C.encode_jpeg(
+        rng.randint(0, 256, (24, 40, 3), dtype=np.uint8), quality=92
+    )
+    rows = [
+        (0, bytearray(upright), ("image/jpeg", len(upright), "m://a.jpg")),
+        (1, bytearray(rotated), ("image/jpeg", len(rotated), "m://b.jpg")),
+        (2, bytearray(other), ("image/jpeg", len(other), "m://c.jpg")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert (feats[1]["width"], feats[1]["height"]) == (40, 24)  # display dims
+    assert (feats[0]["width"], feats[0]["height"]) == (40, 24)
+    pairs = media_near_dup_pairs(media, max_hamming=2, signature="dhash")
+    got = {(r["media_id1"], r["media_id2"]) for r in pairs.collect()}
+    assert (0, 1) in got and not any(2 in p for p in got)
