@@ -2794,7 +2794,104 @@ def ogg_info(data: bytes) -> dict:
             "n_pages": n_pages,
             "pre_skip": 0,
         }
-    raise ValueError("unrecognized Ogg first packet (not Opus/Vorbis)")
+    if first_payload.startswith(b"\x7fFLAC") and first_payload[9:13] == b"fLaC":
+        # FLAC-to-Ogg mapping: \x7fFLAC major minor nheaders(u16be),
+        # then a NATIVE fLaC + STREAMINFO; granules are sample counts
+        si = flac_info(first_payload[9:])
+        return {
+            "codec": "flac",
+            "sample_rate": si["sample_rate"],
+            "n_channels": si["n_channels"],
+            "duration_ms": 1000.0 * last_granule / si["sample_rate"],
+            "n_pages": n_pages,
+            "pre_skip": 0,
+        }
+    raise ValueError("unrecognized Ogg first packet (not Opus/Vorbis/FLAC)")
+
+
+def ogg_flac_native(data: bytes) -> bytes:
+    """Reassemble the NATIVE FLAC stream from its Ogg encapsulation
+    (the FLAC-to-Ogg mapping is a pure re-framing: the first packet
+    carries ``\\x7fFLAC`` + version + header count + the native
+    ``fLaC`` + STREAMINFO, subsequent packets are the remaining
+    metadata blocks and the frames, byte-for-byte) — so decode_flac,
+    the STREAMINFO-MD5 self-check, and the WAV≡FLAC lossless
+    identity all apply to .oga files unchanged."""
+    from pg2kinesis_spark.functions.opus import ogg_packets
+
+    packets = ogg_packets(bytes(data))
+    if (
+        not packets
+        or not packets[0].startswith(b"\x7fFLAC")
+        or packets[0][9:13] != b"fLaC"
+    ):
+        raise ValueError("not an Ogg FLAC stream")
+    return packets[0][9:] + b"".join(packets[1:])
+
+
+def encode_ogg_flac(native: bytes, serial: int = 11) -> bytes:
+    """Ogg-encapsulate a native FLAC stream per the FLAC-to-Ogg
+    mapping (first packet: \\x7fFLAC 1.0 + following-header count +
+    fLaC + STREAMINFO; one packet per remaining metadata block; frame
+    data split across data pages) — the remux twin for the
+    cross-container identity tests."""
+    native = bytes(native)
+    if native[:4] != b"fLaC":
+        raise ValueError("not a native FLAC stream")
+    bounds = []
+    at = 4
+    while at + 4 <= len(native):
+        hdr = native[at]
+        ln = int.from_bytes(native[at + 1 : at + 4], "big")
+        at = at + 4 + ln
+        bounds.append(at)
+        if hdr & 0x80:
+            break
+    if not bounds or bounds[-1] > len(native):
+        raise ValueError("FLAC metadata blocks overrun the stream")
+    si = flac_info(native)
+    n_samples = si["n_samples"] or 0
+    pkt0 = (
+        b"\x7fFLAC\x01\x00"
+        + struct.pack(">H", len(bounds) - 1)
+        + native[: bounds[0]]
+    )
+    header_pkts = [pkt0] + [
+        native[a:b] for a, b in zip(bounds, bounds[1:])
+    ]
+    frames = native[bounds[-1] :]
+
+    def page(granule, seq, payload, header_type=0):
+        segs = []
+        rest = len(payload)
+        while rest >= 255:
+            segs.append(255)
+            rest -= 255
+        segs.append(rest)
+        hdr = (
+            b"OggS" + bytes([0, header_type])
+            + struct.pack("<q", granule)
+            + struct.pack("<II", serial, seq)
+            + bytes(4)
+            + bytes([len(segs)]) + bytes(segs)
+        )
+        raw = bytearray(hdr + payload)
+        raw[22:26] = struct.pack("<I", _ogg_page_crc(bytes(raw)))
+        return bytes(raw)
+
+    out = page(0, 0, header_pkts[0], header_type=2)
+    seq = 1
+    for hp in header_pkts[1:]:
+        out += page(0, seq, hp)
+        seq += 1
+    chunks = [frames[i : i + 4096] for i in range(0, len(frames), 4096)] or [b""]
+    for i, ch in enumerate(chunks):
+        last = i == len(chunks) - 1
+        out += page(
+            n_samples if last else 0, seq, ch, header_type=4 if last else 0
+        )
+        seq += 1
+    return out
 
 
 def encode_ogg_pages(

@@ -579,6 +579,13 @@ def audio_fingerprint(media: DataFrame, errors: str = "quarantine") -> DataFrame
                 from . import vorbis
 
                 seq = vorbis.vorbis_floor_envelope(c)
+            elif pk and pk[0].startswith(b"\x7fFLAC"):
+                # Ogg-FLAC (round 9): reassemble the native stream —
+                # lossless, so the .oga fingerprints IDENTICALLY to
+                # its WAV/FLAC twins at sample-level energy
+                samples, _rate = codecs.decode_flac(codecs.ogg_flac_native(c))
+                mono = samples.astype("float64").mean(axis=1)
+                seq = mono * mono
             else:
                 seq = opus.opus_energy_envelope(c)
         elif codecs.is_mp4(c):
@@ -1070,14 +1077,16 @@ AUDIO_PCM_SCHEMA = T.StructType(
 
 def extract_audio_pcm(media: DataFrame, errors: str = "quarantine") -> DataFrame:
     """Full-decode PCM fingerprint for the losslessly decodable
-    containers (WAV incl. WAVE_FORMAT_EXTENSIBLE, FLAC, AIFF/AIFC):
+    containers (WAV incl. WAVE_FORMAT_EXTENSIBLE, FLAC — native and
+    Ogg-encapsulated, AIFF/AIFC):
     ``pcm_md5`` is the md5 of the interleaved little-endian signed PCM
     at the stream's bit depth — exactly FLAC's STREAMINFO MD5 layout
     (RFC 9639 §8.2), so a WAV and its FLAC transcode hash identically
     and the column is a lossless-identity join key across containers.
     FLAC decode keeps its embedded-MD5 self-check, so a corrupt stream
     quarantines rather than fingerprinting wrong. Compressed formats
-    (MP3/Ogg/AAC) have no canonical PCM bytes — honest quarantine.
+    (MP3/Ogg Opus+Vorbis/AAC) have no canonical PCM bytes — honest
+    quarantine.
 
     This is the audio tier's documented slow path (full sample decode;
     SCALING.md 'Media-kernel tier') — use the header-only
@@ -1100,9 +1109,17 @@ def extract_audio_pcm(media: DataFrame, errors: str = "quarantine") -> DataFrame
         elif codecs.is_aiff(c):
             samples, _rate = codecs.decode_aiff(c)
             bits = codecs.aiff_info(c)["bits"]
+        elif codecs.is_ogg(c) and codecs.ogg_info(c)["codec"] == "flac":
+            # Ogg-encapsulated FLAC is a pure re-framing: the native
+            # stream reassembles byte-exact, so .oga joins the
+            # lossless-identity key (round 9)
+            native = codecs.ogg_flac_native(c)
+            samples, _rate = codecs.decode_flac(native)
+            bits = codecs.flac_info(native)["bits"]
         else:
             raise NotImplementedError(
-                "pcm fingerprint covers WAV, FLAC, and AIFF (lossless PCM)"
+                "pcm fingerprint covers WAV, FLAC, AIFF, and Ogg-FLAC "
+                "(lossless PCM)"
             )
         import numpy as np
 

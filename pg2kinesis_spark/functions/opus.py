@@ -735,7 +735,7 @@ def ogg_packets(data: bytes, serial: int | None = None) -> list[bytes]:
     """Reassemble the logical packets of ONE Ogg stream from the page
     lacing values, handling 255-continuation within and across pages.
     ``serial=None`` follows the FIRST stream whose BOS page opens with
-    an audio magic (OpusHead / \\x01vorbis), falling back to the first
+    an audio magic (OpusHead / \\x01vorbis / \\x7fFLAC), falling back to the first
     stream — so multiplexed files (e.g. Theora+Vorbis) feed the audio
     walk the audio stream's packets instead of an interleaved garble;
     pass an explicit ``serial`` to pick a stream. Pages of other
@@ -775,8 +775,10 @@ def ogg_packets(data: bytes, serial: int | None = None) -> list[bytes]:
                 first_serial = page_serial
             if header_type & 0x02:
                 head = data[body : body + 8]
-                if head.startswith(b"OpusHead") or head.startswith(
-                    b"\x01vorbis"
+                if (
+                    head.startswith(b"OpusHead")
+                    or head.startswith(b"\x01vorbis")
+                    or head.startswith(b"\x7fFLAC")
                 ):
                     want = page_serial
                     break

@@ -353,3 +353,85 @@ def test_hostile_cells_bound_fires_before_allocation():
             decode_flac(blob)
     finally:
         C_._FLAC_MAX_CELLS = old
+
+
+# --- Ogg-encapsulated FLAC (round 9) ------------------------------------------
+
+
+def test_ogg_flac_native_reassembly_and_identity(spark):
+    """The FLAC-to-Ogg mapping is a pure re-framing: the native stream
+    reassembles BYTE-EXACT, so decode (with its STREAMINFO-MD5
+    self-check), pcm_md5 lossless identity, the audio fingerprint, and
+    ogg_info all cover .oga files; a WAV, a FLAC, and the Ogg-FLAC of
+    one track are ONE identity class."""
+    import numpy as np
+
+    from pg2kinesis_spark.functions import codecs as C
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        audio_fingerprint,
+        extract_audio_pcm,
+    )
+
+    rng = np.random.default_rng(8)
+    t = np.arange(12000) / 11.0
+    pcm = (
+        (np.sin(t) * (4000 + 3000 * np.sin(t / 40)) + rng.normal(0, 30, len(t)))
+        .astype(np.int16)
+        .reshape(-1, 2)
+    )
+    native = C.encode_flac(pcm, rate=16000, tags={"title": "Oga"})
+    oga = C.encode_ogg_flac(native)
+    assert C.ogg_flac_native(oga) == native  # byte-exact
+    info = C.ogg_info(oga)
+    assert (info["codec"], info["sample_rate"], info["n_channels"]) == (
+        "flac", 16000, 2,
+    )
+    assert info["duration_ms"] == 1000.0 * 6000 / 16000
+    wav = C.encode_wav(pcm, 16000)
+    rows = [
+        (0, bytearray(wav), ("audio/wav", len(wav), "m://a.wav")),
+        (1, bytearray(native), ("audio/flac", len(native), "m://a.flac")),
+        (2, bytearray(oga), ("audio/ogg", len(oga), "m://a.oga")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    md5s = {r["media_id"]: r["pcm_md5"] for r in extract_audio_pcm(media).collect()}
+    assert md5s[0] == md5s[1] == md5s[2] and md5s[0]
+    fps = {r["media_id"]: r["afp"] for r in audio_fingerprint(media).collect()}
+    assert fps[0] == fps[1] == fps[2] and fps[0] is not None
+
+
+def test_ogg_flac_refusals():
+    import numpy as np
+
+    from pg2kinesis_spark.functions import codecs as C
+
+    with pytest.raises(ValueError, match="native FLAC"):
+        C.encode_ogg_flac(b"not flac")
+    with pytest.raises(ValueError, match="Ogg FLAC"):
+        C.ogg_flac_native(
+            C.encode_ogg_pages(codec="vorbis", rate=22050, channels=1,
+                               n_samples=100)
+        )
+    # corrupt frame bytes: the STREAMINFO-MD5 self-check still fires
+    pcm = (np.sin(np.arange(4000) / 7.0) * 5000).astype(np.int16).reshape(-1, 1)
+    oga = bytearray(C.encode_ogg_flac(C.encode_flac(pcm, rate=8000)))
+    # flip a byte in the LAST page's body (frame data)
+    oga[-3] ^= 0x55
+    import struct as _s
+
+    # fix that page's CRC so the reassembly sees the corrupt frame
+    pos = 0
+    pages = []
+    while pos + 27 <= len(oga):
+        nsegs = oga[pos + 26]
+        body = pos + 27 + nsegs
+        size = sum(oga[pos + 27 : pos + 27 + nsegs])
+        pages.append((pos, body, size))
+        pos = body + size
+    p0, body, size = pages[-1]
+    oga[p0 + 22 : p0 + 26] = bytes(4)
+    raw = bytes(oga[p0 : body + size])
+    oga[p0 + 22 : p0 + 26] = _s.pack("<I", C._ogg_page_crc(raw))
+    with pytest.raises(ValueError):
+        C.decode_flac(C.ogg_flac_native(bytes(oga)))
