@@ -6004,6 +6004,24 @@ def exif_orientation(data: bytes) -> int | None:
                             o = (tags.get(274) or [None])[0]
                             return o if o in range(1, 9) else None
                     return None
+        if data.startswith(b"\x89PNG\r\n\x1a\n"):
+            # PNG eXIf chunk (PNG 1.2 extension): the same TIFF blob
+            pos = 8
+            for _ in range(256):  # ancillary chunks precede IDAT
+                if pos + 8 > len(data):
+                    break
+                (clen,) = struct.unpack(">I", data[pos : pos + 4])
+                ctype = data[pos + 4 : pos + 8]
+                if ctype in (b"IDAT", b"IEND"):
+                    break
+                if ctype == b"eXIf":
+                    tiff = data[pos + 8 : pos + 8 + clen]
+                    if is_tiff(tiff):
+                        for tags in _tiff_ifds(tiff):
+                            o = (tags.get(274) or [None])[0]
+                            return o if o in range(1, 9) else None
+                    return None
+                pos += 12 + clen
     except Exception:
         return None
     return None

@@ -574,3 +574,27 @@ def test_exif_rotated_copy_pairs_with_upright(spark):
     pairs = media_near_dup_pairs(media, max_hamming=2, signature="dhash")
     got = {(r["media_id1"], r["media_id2"]) for r in pairs.collect()}
     assert (0, 1) in got and not any(2 in p for p in got)
+
+
+def test_exif_orientation_png_exif_chunk():
+    """PNG carries the same TIFF blob in an eXIf chunk (PNG 1.2
+    extension) — a phone photo re-exported as PNG keeps pairing."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pg2kinesis_spark.functions import codecs as C
+
+    img = np.random.RandomState(3).randint(0, 256, (10, 14, 3), dtype=np.uint8)
+    png = C.encode_png(np.ascontiguousarray(np.transpose(img, (1, 0, 2))[::-1]))
+    tiff = C.encode_exif_app1(6)[10:]  # strip marker+len+Exif\0\0 -> TIFF blob
+    chunk = struct.pack(">I", len(tiff)) + b"eXIf" + tiff
+    chunk += struct.pack(">I", zlib.crc32(b"eXIf" + tiff))
+    # insert after IHDR (8-byte sig + 25-byte IHDR chunk)
+    tagged = png[:33] + chunk + png[33:]
+    assert C.exif_orientation(tagged) == 6
+    assert np.array_equal(
+        C.apply_exif_orientation(C.decode_png(tagged), 6), img
+    )
+    assert C.exif_orientation(png) is None
