@@ -1,0 +1,279 @@
+"""Audio content analysis over truly-decoded PCM.
+
+The audio tier so far answers identity questions (pcm_md5, energy
+envelopes, tags); this module answers CONTENT questions a corpus
+curator asks before training on audio: how loud is it, is it mostly
+silence, is it tonal or noise-like, where does its energy live. Every
+measure here is computed on real decoded samples — the callers feed it
+only the losslessly decodable containers (WAV/FLAC/AIFF/Ogg-FLAC, the
+same front door as ``extract_audio_pcm``) and quarantine the rest, so
+there are no proxy numbers pretending to be content truth.
+
+Measures:
+
+* **Integrated loudness (LUFS)** per ITU-R BS.1770-4: per-channel
+  K-weighting (two cascaded biquads), 400 ms blocks at 75 % overlap,
+  the -0.691 dB offset, -70 LUFS absolute gate, then the -10 LU
+  relative gate. The K-filter is *derived* at any sample rate from the
+  published analog parameters of the 48 kHz design (high-shelf
+  f0 = 1681.97 Hz / +3.9998 dB / Q = 0.70718; high-pass
+  f0 = 38.1355 Hz / Q = 0.50033 — the parameters recovered from the
+  ITU coefficient table in De Man, "Evaluation of Implementations of
+  the EBU R128 Loudness Measurement", AES 2014) via the RBJ Audio-EQ
+  cookbook bilinear forms; at exactly 48 kHz the derivation reproduces
+  the coefficient table printed in BS.1770 itself to ~1e-6, and the
+  test suite pins that equality. The spec's own conformance anchor —
+  a 0 dBFS 997/1000 Hz sine reads -3.01 LKFS — is the analytic oracle.
+* **peak_dbfs / rms_dbfs**: sample peak and whole-file RMS in dB
+  relative to full scale.
+* **silence_ratio**: fraction of complete 100 ms frames whose RMS is
+  below -60 dBFS.
+* **zcr**: zero-crossing fraction of the mono mix (a pure f Hz tone
+  measures 2f/rate).
+* **spectral centroid / 85 % rolloff (Hz) / flatness**: Hann-windowed
+  rFFT frames (N = 2048, hop N/2) on the mono mix; centroid and
+  rolloff of a pure tone land on the tone's frequency to within a bin,
+  flatness separates tones (→0) from broadband noise (→1).
+
+Scale posture: this is a bounded per-file kernel like the rest of the
+media tier — the Spark wiring (``multimodal.extract_audio_analysis``)
+ships bytes to an Arrow batch once, emits a fixed-width feature row,
+and nothing but features ever shuffles. The biquads run as an exact
+direct-form-II-transposed recursion (documented slow path, same class
+as full FLAC decode); everything else is vectorized numpy.
+
+The reference has no audio surface at all (it is 507 LoC of CDC
+plumbing); this module is beyond-reference corpus capability, public
+knowledge only (ITU-R BS.1770-4, the RBJ cookbook, standard DSP).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+# The BS.1770-4 K-weighting stages as printed in the spec itself
+# (Tables 1 and 2): digital biquad coefficients at 48 kHz. Other rates
+# are derived from these below by mapping the published filter back to
+# its analog prototype (inverse bilinear transform at 48 kHz) and
+# re-discretizing at the stream's rate — exact at 48 kHz by
+# construction, and the corner frequencies (<= ~1.7 kHz) sit far below
+# Nyquist at any audio rate, so the unwarped mapping error is
+# negligible (the 1 kHz conformance anchor holds at 44.1/32/96 kHz,
+# pinned in tests).
+_ITU48_SHELF_B = (1.53512485958697, -2.69169618940638, 1.19839281085285)
+_ITU48_SHELF_A = (1.0, -1.69065929318241, 0.73248077421585)
+_ITU48_HPF_B = (1.0, -2.0, 1.0)
+_ITU48_HPF_A = (1.0, -1.99004745483398, 0.99007225036621)
+_ITU_RATE = 48000
+
+_ABS_GATE_LUFS = -70.0
+_REL_GATE_LU = -10.0
+_BLOCK_S = 0.400
+_STEP_S = 0.100
+# BS.1770-4 Table 3 channel weights: L, R, C at 1.0; Ls, Rs at 1.41.
+_CHANNEL_WEIGHTS = (1.0, 1.0, 1.0, 1.41, 1.41)
+
+_SILENCE_FRAME_S = 0.100
+_SILENCE_RMS_DBFS = -60.0
+_SPECTRAL_N = 2048
+_SPECTRAL_MIN = 256
+
+
+def _digital_to_analog(coeffs, fs: float) -> tuple[float, float, float]:
+    """Quadratic (s^2, s^1, s^0) analog coefficients of a biquad's
+    inverse bilinear image at sampling rate ``fs`` (z^-1 =
+    (1 - s/K)/(1 + s/K), K = 2 fs; numerator and denominator map
+    independently)."""
+    c0, c1, c2 = coeffs
+    k = 2.0 * fs
+    return (c0 - c1 + c2) / (k * k), 2.0 * (c0 - c2) / k, c0 + c1 + c2
+
+
+def _analog_to_digital(analog, fs: float) -> np.ndarray:
+    """Forward bilinear transform of a quadratic (s^2, s^1, s^0) at
+    rate ``fs`` back to (c0, c1, c2) digital form (unnormalized)."""
+    s2, s1, s0 = analog
+    k = 2.0 * fs
+    return np.array(
+        [
+            s2 * k * k + s1 * k + s0,
+            -2.0 * s2 * k * k + 2.0 * s0,
+            s2 * k * k - s1 * k + s0,
+        ]
+    )
+
+
+def k_weighting_coeffs(rate: int) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """(b1, a1, b2, a2) for the shelving and high-pass stages at
+    ``rate``, a0-normalized. At 48 kHz these are the spec's own tables
+    verbatim; elsewhere the published filter's analog prototype is
+    re-discretized at ``rate`` (round trip at 48 kHz is exact, pinned
+    in tests)."""
+    if rate == _ITU_RATE:
+        return (
+            np.array(_ITU48_SHELF_B),
+            np.array(_ITU48_SHELF_A),
+            np.array(_ITU48_HPF_B),
+            np.array(_ITU48_HPF_A),
+        )
+    out = []
+    for b, a in ((_ITU48_SHELF_B, _ITU48_SHELF_A), (_ITU48_HPF_B, _ITU48_HPF_A)):
+        bd = _analog_to_digital(_digital_to_analog(b, _ITU_RATE), rate)
+        ad = _analog_to_digital(_digital_to_analog(a, _ITU_RATE), rate)
+        out.append(bd / ad[0])
+        out.append(ad / ad[0])
+    return out[0], out[1], out[2], out[3]
+
+
+def _biquad(x: np.ndarray, b: np.ndarray, a: np.ndarray) -> np.ndarray:
+    """Exact direct-form-II-transposed second-order section (causal,
+    zero initial state). Python recursion — the one loop this module
+    keeps, because the IIR recurrence does not vectorize and the
+    callers' inputs are bounded media files."""
+    b0, b1v, b2v = float(b[0]), float(b[1]), float(b[2])
+    a1v, a2v = float(a[1]), float(a[2])
+    z1 = 0.0
+    z2 = 0.0
+    xl = x.tolist()
+    yl = [0.0] * len(xl)
+    for i, xi in enumerate(xl):
+        yi = b0 * xi + z1
+        z1 = b1v * xi - a1v * yi + z2
+        z2 = b2v * xi - a2v * yi
+        yl[i] = yi
+    return np.asarray(yl, dtype=np.float64)
+
+
+def k_weight(x: np.ndarray, rate: int) -> np.ndarray:
+    """K-weighted copy of a mono float signal."""
+    b1, a1, b2, a2 = k_weighting_coeffs(rate)
+    return _biquad(_biquad(np.asarray(x, dtype=np.float64), b1, a1), b2, a2)
+
+
+def integrated_lufs(x: np.ndarray, rate: int) -> float | None:
+    """BS.1770-4 gated integrated loudness of ``x`` (n, ch) in float
+    full-scale units. None when no 400 ms block survives the absolute
+    gate (silence / sub-block-length input)."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, ch = x.shape
+    block = int(round(_BLOCK_S * rate))
+    step = int(round(_STEP_S * rate))
+    if block <= 0 or n < block:
+        return None
+    weights = [
+        _CHANNEL_WEIGHTS[i] if i < len(_CHANNEL_WEIGHTS) else _CHANNEL_WEIGHTS[-1]
+        for i in range(ch)
+    ]
+    # Per-channel K-weighting, then per-block mean squares via a
+    # cumulative sum (one pass, every 75 %-overlapped block).
+    n_blocks = (n - block) // step + 1
+    weighted = np.zeros(n_blocks, dtype=np.float64)
+    for c in range(ch):
+        y2 = k_weight(x[:, c], rate) ** 2
+        cs = np.concatenate(([0.0], np.cumsum(y2)))
+        starts = np.arange(n_blocks) * step
+        zs = (cs[starts + block] - cs[starts]) / block
+        weighted += weights[c] * zs
+    with np.errstate(divide="ignore"):
+        l_blocks = -0.691 + 10.0 * np.log10(weighted)
+    keep = l_blocks > _ABS_GATE_LUFS
+    if not keep.any():
+        return None
+    rel_thresh = -0.691 + 10.0 * math.log10(weighted[keep].mean()) + _REL_GATE_LU
+    keep &= l_blocks > rel_thresh
+    if not keep.any():
+        return None
+    return -0.691 + 10.0 * math.log10(weighted[keep].mean())
+
+
+def _dbfs(v: float) -> float | None:
+    return 20.0 * math.log10(v) if v > 0.0 else None
+
+
+def silence_ratio(x: np.ndarray, rate: int) -> float | None:
+    """Fraction of complete 100 ms frames with RMS below -60 dBFS
+    (RMS over all channels). None when the input is shorter than one
+    frame."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    frame = int(round(_SILENCE_FRAME_S * rate))
+    n_frames = x.shape[0] // frame if frame > 0 else 0
+    if n_frames == 0:
+        return None
+    trimmed = x[: n_frames * frame] ** 2
+    per_frame = trimmed.reshape(n_frames, frame, x.shape[1]).mean(axis=(1, 2))
+    thresh = (10.0 ** (_SILENCE_RMS_DBFS / 20.0)) ** 2
+    return float((per_frame < thresh).mean())
+
+
+def zero_crossing_rate(x: np.ndarray) -> float | None:
+    """Sign-transition fraction of the mono mix (>= 0 counts as
+    positive): a pure f Hz tone at ``rate`` measures 2f/rate."""
+    x = np.asarray(x, dtype=np.float64)
+    m = x.mean(axis=1) if x.ndim == 2 else x
+    if m.shape[0] < 2:
+        return None
+    pos = m >= 0.0
+    return float((pos[1:] != pos[:-1]).mean())
+
+
+def spectral_features(x: np.ndarray, rate: int) -> tuple[float, float, float] | None:
+    """(centroid_hz, rolloff85_hz, flatness) over Hann-windowed rFFT
+    frames of the mono mix. None for inputs shorter than 256 samples."""
+    x = np.asarray(x, dtype=np.float64)
+    m = x.mean(axis=1) if x.ndim == 2 else x
+    n = m.shape[0]
+    if n < _SPECTRAL_MIN:
+        return None
+    size = min(_SPECTRAL_N, 1 << (n.bit_length() - 1))
+    hop = size // 2
+    window = np.hanning(size)
+    n_frames = (n - size) // hop + 1
+    starts = np.arange(n_frames) * hop
+    frames = m[starts[:, None] + np.arange(size)] * window
+    power = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    freqs = np.fft.rfftfreq(size, 1.0 / rate)
+
+    total = power.sum()
+    if total <= 0.0:
+        return None
+    agg = power.sum(axis=0)
+    centroid = float((freqs * agg).sum() / agg.sum())
+    cum = np.cumsum(agg)
+    rolloff = float(freqs[np.searchsorted(cum, 0.85 * cum[-1])])
+    # Per-frame flatness (geometric / arithmetic mean of the power
+    # spectrum), averaged over frames with any energy.
+    eps = 1e-30
+    fr_total = power.sum(axis=1)
+    live = fr_total > 0.0
+    p = power[live] + eps
+    flat = float(np.mean(np.exp(np.mean(np.log(p), axis=1)) / np.mean(p, axis=1)))
+    return centroid, rolloff, flat
+
+
+def analyze_pcm(samples: np.ndarray, rate: int, bits: int) -> dict:
+    """All content measures for integer PCM ``samples`` (n, ch) at
+    ``bits`` depth. Keys match multimodal.AUDIO_ANALYSIS_SCHEMA."""
+    samples = np.asarray(samples)
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    x = samples.astype(np.float64) / float(1 << (bits - 1))
+    n = x.shape[0]
+    peak = _dbfs(float(np.abs(x).max())) if n else None
+    rms = _dbfs(float(np.sqrt((x**2).mean()))) if n else None
+    spec = spectral_features(x, rate) if n else None
+    return {
+        "lufs": integrated_lufs(x, rate) if n else None,
+        "peak_dbfs": peak,
+        "rms_dbfs": rms,
+        "silence_ratio": silence_ratio(x, rate) if n else None,
+        "zcr": zero_crossing_rate(x) if n else None,
+        "spectral_centroid_hz": spec[0] if spec else None,
+        "spectral_rolloff_hz": spec[1] if spec else None,
+        "spectral_flatness": spec[2] if spec else None,
+    }

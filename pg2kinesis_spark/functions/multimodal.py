@@ -1141,6 +1141,83 @@ def extract_audio_pcm(media: DataFrame, errors: str = "quarantine") -> DataFrame
     return media.mapInPandas(kernel, AUDIO_PCM_SCHEMA)
 
 
+AUDIO_ANALYSIS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("lufs", T.DoubleType()),
+        T.StructField("peak_dbfs", T.DoubleType()),
+        T.StructField("rms_dbfs", T.DoubleType()),
+        T.StructField("silence_ratio", T.DoubleType()),
+        T.StructField("zcr", T.DoubleType()),
+        T.StructField("spectral_centroid_hz", T.DoubleType()),
+        T.StructField("spectral_rolloff_hz", T.DoubleType()),
+        T.StructField("spectral_flatness", T.DoubleType()),
+        _ERROR_FIELD,
+    ]
+)
+
+_ANALYSIS_COLS = [f.name for f in AUDIO_ANALYSIS_SCHEMA.fields[1:-1]]
+
+
+def _decode_lossless_pcm(c: bytes):
+    """(samples, rate, bits) through the lossless front door — the
+    same container set as ``extract_audio_pcm`` (WAV/FLAC/AIFF/
+    Ogg-FLAC); anything lossy refuses to the caller's quarantine."""
+    from . import codecs
+
+    if codecs.is_wav(c):
+        samples, rate = codecs.decode_wav(c)
+        return samples, rate, codecs.wav_info(c)["bits"]
+    if codecs.is_flac(c):
+        samples, rate = codecs.decode_flac(c)
+        return samples, rate, codecs.flac_info(c)["bits"]
+    if codecs.is_aiff(c):
+        samples, rate = codecs.decode_aiff(c)
+        return samples, rate, codecs.aiff_info(c)["bits"]
+    if codecs.is_ogg(c) and codecs.ogg_info(c)["codec"] == "flac":
+        native = codecs.ogg_flac_native(c)
+        samples, rate = codecs.decode_flac(native)
+        return samples, rate, codecs.flac_info(native)["bits"]
+    raise NotImplementedError(
+        "audio content analysis covers WAV, FLAC, AIFF, and Ogg-FLAC "
+        "(decoded PCM); lossy formats have no decoded samples here"
+    )
+
+
+def extract_audio_analysis(media: DataFrame, errors: str = "quarantine") -> DataFrame:
+    """Content measures over truly-decoded PCM (``functions.
+    audio_analysis``): BS.1770-4 integrated loudness (LUFS, gated),
+    sample peak and whole-file RMS in dBFS, 100 ms-frame silence
+    ratio, zero-crossing fraction, and Hann-framed spectral centroid /
+    85 % rolloff / flatness. Same lossless front door and quarantine
+    discipline as ``extract_audio_pcm`` — lossy containers refuse
+    rather than report proxy numbers. Bounded per-file Arrow kernel;
+    only the fixed-width feature row leaves the executor."""
+    import pandas as pd
+
+    from . import audio_analysis
+
+    _check_errors(errors)
+
+    def one(c: bytes):
+        samples, rate, bits = _decode_lossless_pcm(c)
+        d = audio_analysis.analyze_pcm(samples, rate, bits)
+        return tuple(d[k] for k in _ANALYSIS_COLS)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                r, err = _guard(errors, one, bytes(c))
+                vals = r if r else (None,) * len(_ANALYSIS_COLS)
+                rows.append((mid, *vals, err))
+            yield pd.DataFrame(
+                rows, columns=["media_id", *_ANALYSIS_COLS, "decode_error"]
+            )
+
+    return media.mapInPandas(kernel, AUDIO_ANALYSIS_SCHEMA)
+
+
 AUDIO_TAGS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),

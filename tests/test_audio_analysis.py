@@ -1,0 +1,209 @@
+"""Audio content analysis: the oracles here are ANALYTIC, not
+reimplementations — BS.1770-4's own conformance anchor (a 0 dBFS
+1 kHz sine reads -3.01 LKFS), exact dB linearity, the energy-sum
+channel law (+3.01 LU for dual mono), and closed-form spectral truths
+of pure tones (centroid = f, ZCR = 2f/rate, flatness → 0) and
+deterministic-LCG noise (flatness ≫ tone's). The 48 kHz K-weighting
+coefficients are pinned byte-for-byte to the tables printed in the
+spec, and the any-rate derivation must round-trip them exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pg2kinesis_spark.functions import audio_analysis as aa
+from pg2kinesis_spark.functions.codecs import (
+    encode_flac,
+    encode_mp3_frames,
+    encode_wav,
+)
+
+RATE = 48000
+
+
+def sine(freq: float, seconds: float, rate: int = RATE, amp: float = 1.0) -> np.ndarray:
+    t = np.arange(int(seconds * rate))
+    return amp * np.sin(2 * np.pi * freq * t / rate)
+
+
+def as_i16(x: np.ndarray) -> np.ndarray:
+    # scale so that amp 1.0 maps to a full-scale-ish 32767 (keeps
+    # float amp semantics to ~1e-4 after the int round trip)
+    return np.round(x * 32767.0).astype(np.int16).reshape(-1, 1)
+
+
+# --- K-weighting filter -------------------------------------------------
+
+
+def test_coeffs_at_48k_are_the_itu_tables():
+    b1, a1, b2, a2 = aa.k_weighting_coeffs(48000)
+    assert b1.tolist() == [1.53512485958697, -2.69169618940638, 1.19839281085285]
+    assert a1.tolist() == [1.0, -1.69065929318241, 0.73248077421585]
+    assert b2.tolist() == [1.0, -2.0, 1.0]
+    assert a2.tolist() == [1.0, -1.99004745483398, 0.99007225036621]
+
+
+def test_analog_round_trip_is_exact_at_48k():
+    for coeffs in (
+        aa._ITU48_SHELF_B,
+        aa._ITU48_SHELF_A,
+        aa._ITU48_HPF_A,
+    ):
+        back = aa._analog_to_digital(aa._digital_to_analog(coeffs, 48000), 48000)
+        back = back / back[0] * coeffs[0]
+        assert np.abs(back - np.array(coeffs)).max() < 1e-12
+
+
+def test_derived_rates_preserve_the_shelf_shape():
+    # High-shelf: ~0 dB gain deep in the passband, ~+4 dB at the top.
+    for rate in (44100, 96000, 32000):
+        b1, a1, _, _ = aa.k_weighting_coeffs(rate)
+
+        def gain_db(f):
+            w = 2 * np.pi * f / rate
+            z = np.exp(-1j * w)
+            h = (b1[0] + b1[1] * z + b1[2] * z**2) / (a1[0] + a1[1] * z + a1[2] * z**2)
+            return 20 * np.log10(abs(h))
+
+        assert gain_db(100) == pytest.approx(0.0, abs=0.05)
+        assert gain_db(rate * 0.45) == pytest.approx(4.0, abs=0.15)
+
+
+# --- Integrated loudness (BS.1770-4) ------------------------------------
+
+
+@pytest.mark.parametrize("rate", [48000, 44100, 32000, 96000])
+def test_conformance_anchor_full_scale_1k_sine(rate):
+    # BS.1770: a 0 dBFS 1 kHz sine on one channel reads -3.01 LKFS.
+    x = sine(1000, 5.0, rate=rate)
+    assert aa.integrated_lufs(x, rate) == pytest.approx(-3.01, abs=0.05)
+
+
+def test_loudness_linearity_exact():
+    ref = aa.integrated_lufs(sine(1000, 5.0), RATE)
+    quarter = aa.integrated_lufs(sine(1000, 5.0, amp=0.25), RATE)
+    assert ref - quarter == pytest.approx(20 * np.log10(4.0), abs=0.01)
+
+
+def test_dual_mono_reads_plus_3LU():
+    x = sine(1000, 5.0, amp=0.5)
+    mono = aa.integrated_lufs(x, RATE)
+    stereo = aa.integrated_lufs(np.stack([x, x], axis=1), RATE)
+    assert stereo - mono == pytest.approx(10 * np.log10(2.0), abs=0.01)
+
+
+def test_silence_and_short_input_are_none():
+    assert aa.integrated_lufs(np.zeros(2 * RATE), RATE) is None
+    # shorter than one 400 ms block
+    assert aa.integrated_lufs(sine(1000, 0.3), RATE) is None
+
+
+def test_gating_drops_the_quiet_tail():
+    loud = sine(1000, 3.0, amp=0.5)
+    quiet = sine(1000, 5.0, amp=1e-5)  # ~ -97 dBFS, below the -70 gate
+    gated = aa.integrated_lufs(np.concatenate([loud, quiet]), RATE)
+    loud_only = aa.integrated_lufs(loud, RATE)
+    # blocks straddling the boundary may survive, but the 5 s of
+    # near-silence must not drag the integrated value down
+    assert gated == pytest.approx(loud_only, abs=0.5)
+    # ungated energy mean over 8 s would sit ~4.3 dB lower
+    assert gated > loud_only - 1.0
+
+
+# --- Simple content measures --------------------------------------------
+
+
+def test_peak_and_rms_dbfs_exact():
+    # 1 kHz at 48 kHz has 48 samples/cycle and hits the exact peak.
+    d = aa.analyze_pcm(as_i16(sine(1000, 1.0, amp=0.5)) * 2, RATE, 17)
+    # amp 0.5 scaled by 2 in a 17-bit domain == amp 0.5 full scale
+    assert d["peak_dbfs"] == pytest.approx(20 * np.log10(0.5), abs=1e-3)
+    assert d["rms_dbfs"] == pytest.approx(20 * np.log10(0.5 / np.sqrt(2)), abs=1e-3)
+
+
+def test_silence_ratio_exact_on_frame_aligned_halves():
+    frame = RATE // 10
+    loud = sine(1000, 1.0, amp=0.5)[: 10 * frame]
+    silent = np.zeros(10 * frame)
+    r = aa.silence_ratio(np.concatenate([loud, silent]), RATE)
+    assert r == pytest.approx(0.5)
+    assert aa.silence_ratio(np.zeros(10), RATE) is None
+
+
+def test_zcr_of_pure_tone():
+    assert aa.zero_crossing_rate(sine(1000, 2.0)) == pytest.approx(
+        2 * 1000 / RATE, abs=1e-3
+    )
+    assert aa.zero_crossing_rate(sine(4000, 2.0)) == pytest.approx(
+        2 * 4000 / RATE, abs=1e-3
+    )
+
+
+def test_spectral_truths_of_tone_and_noise():
+    c, r, flat = aa.spectral_features(sine(1000, 2.0), RATE)
+    bin_hz = RATE / 2048
+    assert c == pytest.approx(1000, abs=2 * bin_hz)
+    assert r == pytest.approx(1000, abs=2 * bin_hz)
+    assert flat < 0.02
+    # deterministic LCG noise: broadband, flatness well above a tone's
+    state = 12345
+    vals = []
+    for _ in range(2 * RATE):
+        state = (state * 6364136223846793005 + 1442695040888963407) & (2**64 - 1)
+        vals.append(state >> 40)
+    noise = (np.array(vals, dtype=np.float64) / 2**23) * 2 - 1
+    cn, rn, flat_n = aa.spectral_features(noise, RATE)
+    assert flat_n > 0.2
+    assert rn > 0.5 * (RATE / 2) * 0.85  # energy spread across the band
+    assert aa.spectral_features(np.zeros(100), RATE) is None
+
+
+def test_analyze_pcm_stereo_and_empty():
+    x = as_i16(sine(1000, 1.0, amp=0.25))
+    stereo = np.concatenate([x, x], axis=1)
+    d = aa.analyze_pcm(stereo, RATE, 16)
+    assert d["peak_dbfs"] == pytest.approx(20 * np.log10(0.25), abs=1e-3)
+    empty = aa.analyze_pcm(np.zeros((0, 1), dtype=np.int16), RATE, 16)
+    assert all(v is None for v in empty.values())
+
+
+# --- Spark wiring --------------------------------------------------------
+
+
+def _media_df(spark, rows):
+    from pg2kinesis_spark.functions.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(
+        [(i, bytearray(c), ("audio/x", len(c), f"m{i}")) for i, c in enumerate(rows)],
+        MEDIA_SCHEMA,
+    )
+
+
+def test_extract_audio_analysis_matches_pure_function(spark):
+    from pg2kinesis_spark.functions.multimodal import extract_audio_analysis
+
+    pcm = as_i16(sine(1000, 2.0, amp=0.5))
+    wav = encode_wav(pcm, RATE)
+    flac = encode_flac(pcm, RATE, bits=16)
+    mp3 = encode_mp3_frames(n_frames=4, kbps=128, rate=44100)
+
+    out = extract_audio_analysis(_media_df(spark, [wav, flac, mp3]))
+    got = {r["media_id"]: r.asDict() for r in out.collect()}
+
+    want = aa.analyze_pcm(pcm, RATE, 16)
+    for mid in (0, 1):  # WAV and its FLAC transcode: identical PCM
+        row = got[mid]
+        assert row["decode_error"] is None
+        for k, v in want.items():
+            assert row[k] == pytest.approx(v, rel=1e-12), (mid, k)
+    assert got[2]["lufs"] is None
+    assert "covers WAV, FLAC, AIFF" in got[2]["decode_error"]
+
+
+def test_extract_audio_analysis_raise_mode(spark):
+    from pg2kinesis_spark.functions.multimodal import extract_audio_analysis
+
+    df = _media_df(spark, [b"not audio at all"])
+    with pytest.raises(Exception):
+        extract_audio_analysis(df, errors="raise").collect()
