@@ -531,6 +531,16 @@ def gen_media_containers() -> tuple[
     # 24: truncated TIFF — the quarantine row (all features NULL)
     add(24, "image", C.encode_tiff(rgb)[: 40])
     image_truth.append((24, None, None, None, None))
+    # 25: 12-bit extended-sequential JPEG (SOF1) — constant-per-8x8-
+    # block EVEN samples at quality 100 decode EXACTLY (DC-only blocks;
+    # quant step 16 divides 8*even), so the lossy format still carries
+    # construction-side truth: luma of the top-8-bit reduction
+    deep_blocks = irng.integers(0, 2048, (4, 6), dtype=np.uint16) * 2
+    deep = np.repeat(np.repeat(deep_blocks, 8, axis=0), 8, axis=1)
+    add(25, "image", C.encode_jpeg_ext12(deep, quality=100))
+    image_truth.append(
+        (25, 48, 32, 1, luma_of((deep >> 4).astype(np.uint8)[:, :, None]))
+    )
     return container_rows, audio_truth, video_truth, image_truth
 
 

@@ -11,8 +11,11 @@ features/dHash/resize, all inside Arrow batches.
 * PNG: 8-bit gray/RGB/palette/alpha, all five scanline filters.
 * JPEG: baseline sequential huffman (SOF0/SOF1), gray + YCbCr,
   4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers; the encoder uses
-  the Annex-K tables with IJG quality scaling. Progressive (SOF2),
-  arithmetic coding, and 12-bit streams raise NotImplementedError.
+  the Annex-K tables with IJG quality scaling. Progressive (SOF2)
+  decodes fully (spectral selection + successive approximation), and
+  12-bit SOF1/SOF2 streams decode at full precision then reduce to
+  the top 8 bits (the 16-bit PNG/TIFF rule; `encode_jpeg_ext12` is
+  the fixture twin). Arithmetic coding raises NotImplementedError.
 * GIF: 87a/89a including animation — full canvas composition with
   GCE transparency and disposal methods 1/2/3, LZW + interlace; the
   encoders (static + animated) are palette-exact (<= 256 colors), so
@@ -4211,9 +4214,10 @@ def encode_webm_skeleton(
 
 # --- JPEG -----------------------------------------------------------------
 #
-# Baseline sequential DCT (SOF0/SOF1), 8-bit, gray or YCbCr, subsampling
-# factors in {1, 2} (4:4:4 / 4:2:2 / 4:2:0), restart markers. Progressive
-# (SOF2), arithmetic coding, and 12-bit precision raise NotImplementedError.
+# Sequential DCT (SOF0/SOF1) and progressive (SOF2), 8-bit and 12-bit
+# (12-bit reduces to the top 8 bits after full-precision decode), gray or
+# YCbCr, subsampling factors in {1, 2} (4:4:4 / 4:2:2 / 4:2:0), restart
+# markers. Arithmetic coding raises NotImplementedError.
 # The encoder (standard Annex-K tables, IJG quality scaling, optional 4:2:0
 # and restart intervals) exists so tests can round-trip the decoder against
 # known pixels and so resize_media can re-emit JPEG; both directions are
@@ -4807,7 +4811,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
     Sequential huffman (SOF0/SOF1) and progressive huffman (SOF2 —
     spectral selection AND successive approximation, the format most
-    of the web serves) are REAL; arithmetic coding, hierarchical, and
+    of the web serves) are REAL, at 8-bit AND 12-bit sample precision
+    (12-bit — medical/archival scans — decodes at full precision and
+    reduces to the top 8 bits, the same bit-depth-reduction rule as
+    16-bit PNG/TIFF; a 12-bit SOF0 is malformed per T.81 and raises
+    ValueError); arithmetic coding, hierarchical, and
     lossless modes raise NotImplementedError. Component sampling
     factors must divide the maxima (the 4:4:4 / 4:2:2 / 4:2:0 family);
     restart markers are honored in every scan type. Architecture:
@@ -4876,7 +4884,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             elif marker in (0xC0, 0xC1, 0xC2):  # sequential | progressive huffman
                 progressive = marker == 0xC2
                 prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), body[5]
-                if prec != 8:
+                if prec == 12:
+                    # T.81 allows 12-bit samples in extended sequential
+                    # (SOF1) and progressive (SOF2); baseline is 8-bit
+                    # by definition, so a 12-bit SOF0 is malformed
+                    if marker == 0xC0:
+                        raise ValueError("12-bit precision is invalid in baseline SOF0")
+                elif prec != 8:
                     raise NotImplementedError(f"JPEG precision {prec}")
                 # the wire field allows 255 components, each of which
                 # allocates its own coefficient plane — a hostile SOF at
@@ -4888,7 +4902,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 for i in range(nc):
                     cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                     comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-                sof = (h, w, comps)
+                sof = (h, w, comps, prec)
             elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
                     "only sequential and progressive huffman JPEG are supported"
@@ -4948,7 +4962,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError(f"truncated JPEG header: {e}") from None
     if sof is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
-    height, width, comps = sof
+    height, width, comps, prec = sof
+    center = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
     _check_pixels(width, height, "JPEG")
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -4989,19 +5005,24 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         blocks = raster.reshape(-1, 8, 8) * qt[c["tq"]]
         # batched IDCT over every block at once: broadcast matmul is
         # ~20x faster than the equivalent einsum for 8x8 stacks
-        pix = (_DCT_M.T @ blocks) @ _DCT_M + 128.0
+        pix = (_DCT_M.T @ blocks) @ _DCT_M + center
         p = pix.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
         p = np.repeat(np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1)
         out.append(p[:height, :width])
+    # 12-bit reduces to the top 8 bits after decoding at full
+    # precision — the same bit-depth-reduction rule as 16-bit PNG/TIFF
+    shift = prec - 8
     if len(out) == 1:
-        return np.clip(np.round(out[0]), 0, 255).astype(np.uint8)[:, :, None]
+        g = np.clip(np.round(out[0]), 0, maxv).astype(np.int32)
+        return (g >> shift).astype(np.uint8)[:, :, None]
     if len(out) != 3:
         raise NotImplementedError(f"JPEG with {len(out)} components")
     y, cb, cr = out
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.round(np.dstack([r, g, b])), 0, 255).astype(np.uint8)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    b = y + 1.772 * (cb - center)
+    rgb = np.clip(np.round(np.dstack([r, g, b])), 0, maxv).astype(np.int32)
+    return (rgb >> shift).astype(np.uint8)
 
 
 class _BitWriter:
@@ -5051,12 +5072,13 @@ def _mag_bits(v: int) -> tuple[int, int]:
     return s, bits
 
 
-def _fdct_quant(p: np.ndarray, q: np.ndarray) -> np.ndarray:
+def _fdct_quant(p: np.ndarray, q: np.ndarray, level: float = 128.0) -> np.ndarray:
     """Batched FDCT + quantize of an MCU-aligned plane: (n_blocks, 64)
     int64 zigzag coefficients, one broadcast matmul for ALL blocks —
-    shared by the sequential and progressive encoders."""
+    shared by the sequential and progressive encoders. ``level`` is
+    the sample level shift (2^(P-1): 128 for 8-bit, 2048 for 12-bit)."""
     nby, nbx = p.shape[0] // 8, p.shape[1] // 8
-    blocks = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8) - 128.0
+    blocks = p.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8) - level
     coef = (_DCT_M @ blocks) @ _DCT_M.T
     zz = coef.reshape(-1, 64)[:, ZIGZAG]
     qzz = q.reshape(64)[ZIGZAG].astype(np.float64)
@@ -5251,6 +5273,90 @@ def encode_jpeg(
                         writer, dc0s[b], ks, vs, starts[b], starts[b + 1],
                         pred[cc["id"]], dc, ac,
                     )
+    writer.flush()
+    out += writer.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# 12-bit flat tables, same philosophy as the progressive encoder's
+# below: DC categories 0..15 at 5 bits each (Kraft 16/32), AC = EOB +
+# ZRL + every (run, size) with size <= 14 at 9 bits (Kraft 226/512) —
+# valid canonical tables, deliberately suboptimal; the Annex-K tables
+# only cover 8-bit categories.
+_H_DC_FLAT12 = ([0, 0, 0, 0, 16] + [0] * 11, list(range(16)))
+_H_AC_FLAT12 = (
+    [0] * 8 + [226] + [0] * 7,
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)],
+)
+
+
+def encode_jpeg_ext12(img: np.ndarray, quality: int = 90) -> bytes:
+    """Encode (H, W[, C]) samples in 0..4095 as a 12-bit
+    extended-sequential (SOF1) JPEG — the fixture twin of
+    ``decode_jpeg``'s 12-bit path (medical/archival scan streams).
+    C in {1: gray, 3: RGB}; 4:4:4 only. Quant tables are the 8-bit
+    bases scaled x16 (same relative step in the wider sample domain),
+    emitted as 16-bit pq=1 DQT entries; level shift 2048 per T.81."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.min() < 0 or img.max() > 4095:
+        raise ValueError("12-bit JPEG encode expects samples in 0..4095")
+    h, w, c = img.shape
+    if c not in (1, 3):
+        raise ValueError(f"JPEG encode supports 1 or 3 channels, got {c}")
+    ql = np.clip(_quality_scale(_Q_LUMA.reshape(8, 8), quality) * 16, 1, 65535)
+    qc = np.clip(_quality_scale(_Q_CHROMA.reshape(8, 8), quality) * 16, 1, 65535)
+    if c == 1:
+        planes = [img[:, :, 0].astype(np.float64)]
+        comps = [{"id": 1, "tq": 0}]
+        qts = [ql]
+    else:
+        px = img.astype(np.float64)
+        y = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        cb = 2048.0 - 0.168736 * px[:, :, 0] - 0.331264 * px[:, :, 1] + 0.5 * px[:, :, 2]
+        cr = 2048.0 + 0.5 * px[:, :, 0] - 0.418688 * px[:, :, 1] - 0.081312 * px[:, :, 2]
+        planes = [y, cb, cr]
+        comps = [{"id": 1, "tq": 0}, {"id": 2, "tq": 1}, {"id": 3, "tq": 1}]
+        qts = [ql, qc, qc]
+    mcx, mcy = -(-w // 8), -(-h // 8)
+    padded = [
+        np.pad(p, ((0, mcy * 8 - h), (0, mcx * 8 - w)), mode="edge") for p in planes
+    ]
+
+    out = bytearray()
+    out += JPEG_SIG
+    for tq, q in ((0, ql), (1, qc))[: 1 if c == 1 else 2]:
+        zz = q.reshape(64)[ZIGZAG].astype(">u2").tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 128) + bytes([(1 << 4) | tq]) + zz
+    sof = struct.pack(">BHHB", 12, h, w, len(comps))
+    for cc in comps:
+        sof += bytes([cc["id"], 0x11, cc["tq"]])
+    out += b"\xff\xc1" + struct.pack(">H", 2 + len(sof)) + sof
+    for tc, (bits, vals) in ((0, _H_DC_FLAT12), (1, _H_AC_FLAT12)):
+        body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+    sos = bytes([len(comps)])
+    for cc in comps:
+        sos += bytes([cc["id"], 0x00])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    dc = _huff_codes(*_H_DC_FLAT12)
+    ac = _huff_codes(*_H_AC_FLAT12)
+    blocks = [
+        (cc, *_nz_slices(_fdct_quant(p, q, level=2048.0)))
+        for cc, p, q in zip(comps, padded, qts)
+    ]
+    writer = _BitWriter()
+    pred = {cc["id"]: 0 for cc in comps}
+    for mcu in range(mcx * mcy):
+        for cc, dc0s, ks, vs, starts in blocks:
+            pred[cc["id"]] = _emit_block(
+                writer, dc0s[mcu], ks, vs, starts[mcu], starts[mcu + 1],
+                pred[cc["id"]], dc, ac,
+            )
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"

@@ -77,6 +77,10 @@ def n25_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the same pixels — width/height/channels/mean-luma truth is
     inline-numpy arithmetic on the construction pixels, and the
     truncated fixture pins the quarantine row (all features NULL).
+    Late round 9 adds a 12-bit SOF1 JPEG whose constant-per-8x8-block
+    even samples decode EXACTLY at quality 100 (DC-only; quant step 16
+    divides 8*even), so even the lossy deep-scan format carries
+    bit-identical construction truth.
     Tag/pcm/feature kernels run errors='quarantine': untagged,
     compressed-only or corrupt fixtures yield NULLs, which the truth
     tables record explicitly."""

@@ -598,3 +598,82 @@ def test_exif_orientation_png_exif_chunk():
         C.apply_exif_orientation(C.decode_png(tagged), 6), img
     )
     assert C.exif_orientation(png) is None
+
+
+# --- 12-bit extended sequential (SOF1) ------------------------------------
+
+
+def test_jpeg12_solid_gray_exact():
+    """A solid 12-bit plate decodes to exactly its top-8-bit value
+    (DC-only blocks quantize losslessly at q95)."""
+    from pg2kinesis_spark.functions.codecs import decode_jpeg, encode_jpeg_ext12
+
+    for val in (0, 77, 1234, 4095):
+        img = np.full((16, 24), val, dtype=np.uint16)
+        dec = decode_jpeg(encode_jpeg_ext12(img, quality=95))
+        assert dec.shape == (16, 24, 1) and dec.dtype == np.uint8
+        assert int(np.abs(dec[:, :, 0].astype(int) - (val >> 4)).max()) <= 1
+
+
+def test_jpeg12_gradient_and_rgb_tolerance():
+    from pg2kinesis_spark.functions.codecs import decode_jpeg, encode_jpeg_ext12
+
+    g = np.add.outer(np.arange(17) * 120, np.arange(13) * 60).astype(np.uint16) % 4096
+    dec = decode_jpeg(encode_jpeg_ext12(g, quality=95))
+    assert dec.shape == (17, 13, 1)
+    # compare in the reduced top-8-bit domain (the decoder's contract)
+    assert np.abs(dec[:, :, 0].astype(int) - (g >> 4).astype(int)).max() <= 3
+
+    from pg2kinesis_spark.functions.codecs import resize_nearest
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(480, 3616, (3, 4, 3)).astype(np.uint16)
+    img = resize_nearest(base, 32, 24)  # the _smooth_img shape, 12-bit domain
+    dec3 = decode_jpeg(encode_jpeg_ext12(img, quality=95))
+    err = np.abs(dec3.astype(int) - (img >> 4).astype(int))
+    assert err.max() <= 8 and err.mean() <= 2.0
+
+
+def test_jpeg12_matches_8bit_twin_at_dhash_level():
+    """The SAME picture carried at 12-bit and 8-bit precision lands on
+    the same perceptual hash — deep scans dedup against web copies."""
+    from pg2kinesis_spark.functions.codecs import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_ext12,
+        resize_nearest,
+    )
+    from pg2kinesis_spark.functions.multimodal import _dhash_image
+
+    img8 = _smooth_img(32, 32, seed=5)
+    img12 = (img8.astype(np.uint16) << 4) | (img8.astype(np.uint16) >> 4)
+    d8 = decode_jpeg(encode_jpeg(img8, quality=95))
+    d12 = decode_jpeg(encode_jpeg_ext12(img12, quality=95))
+    assert _dhash_image(d8, resize_nearest) == _dhash_image(d12, resize_nearest)
+    assert np.abs(d8.astype(int) - d12.astype(int)).mean() <= 1.5
+
+
+def test_jpeg12_refusals_and_bounds():
+    from pg2kinesis_spark.functions.codecs import decode_jpeg, encode_jpeg_ext12
+
+    img = np.full((8, 8), 100, dtype=np.uint16)
+    data = bytearray(encode_jpeg_ext12(img))
+    i = data.find(b"\xff\xc1")
+    # 12-bit baseline SOF0 is malformed per T.81
+    data[i + 1] = 0xC0
+    with pytest.raises(ValueError, match="baseline SOF0"):
+        decode_jpeg(bytes(data))
+    # other precisions still refuse loudly
+    data[i + 1] = 0xC1
+    data[i + 4] = 16
+    with pytest.raises(NotImplementedError, match="precision 16"):
+        decode_jpeg(bytes(data))
+    # encoder guards
+    with pytest.raises(ValueError, match="0..4095"):
+        encode_jpeg_ext12(np.full((8, 8), 5000, dtype=np.uint16))
+    with pytest.raises(ValueError, match="channels"):
+        encode_jpeg_ext12(np.zeros((8, 8, 2), dtype=np.uint16))
+    # truncated entropy stream still raises, not garbage pixels
+    whole = bytes(encode_jpeg_ext12(np.arange(4096).reshape(64, 64).astype(np.uint16)))
+    with pytest.raises(ValueError):
+        decode_jpeg(whole[: len(whole) // 2])
