@@ -541,6 +541,14 @@ def gen_media_containers() -> tuple[
     image_truth.append(
         (25, 48, 32, 1, luma_of((deep >> 4).astype(np.uint8)[:, :, None]))
     )
+    # 26: BMP twin of the RGB pixels (lossless) — BMP≡PNG≡TIFF luma
+    add(26, "image", C.encode_bmp(rgb))
+    image_truth.append((26, 34, 21, 3, luma_of(rgb)))
+    # 27: ICO favicon (DIB entry + all-opaque AND mask -> 4 channels;
+    # the luma formula reads the RGB planes, alpha doesn't enter)
+    favicon = irng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    add(27, "image", C.encode_ico([favicon]))
+    image_truth.append((27, 16, 16, 4, luma_of(favicon)))
     return container_rows, audio_truth, video_truth, image_truth
 
 

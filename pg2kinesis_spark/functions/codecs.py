@@ -23,6 +23,9 @@ features/dHash/resize, all inside Arrow batches.
   bit-for-bit.
 * WAV: PCM 8/16/24/32-bit int + float32, manual RIFF walk.
 * AVI: MJPEG container walk — real video frames via the JPEG kernel.
+* BMP/ICO (round 9): core + INFO-family DIB headers, 1/4/8-bit
+  palette, RLE8/RLE4, 16/32-bit bitfields, bottom-up/top-down; ICO
+  walks the ICONDIR (PNG or DIB entries, AND-mask alpha).
 
 MP3 and non-MJPEG video remain honestly unimplemented
 (``NotImplementedError``). The decode/encode pairs are written
@@ -5744,8 +5747,12 @@ def decode_image(data: bytes, deterministic: bool = False) -> np.ndarray:
         return decode_gif(b)
     if is_tiff(b):
         return decode_tiff(b)
+    if is_bmp(b):
+        return decode_bmp(b)
+    if is_ico(b):
+        return decode_ico(b)
     raise NotImplementedError(
-        "only PNG, baseline JPEG, GIF, and strip TIFF decode are "
+        "only PNG, baseline JPEG, GIF, TIFF, BMP, and ICO decode are "
         "available in this environment"
     )
 
@@ -6882,6 +6889,471 @@ def encode_gif_frames(
         out += b"\x00"
     out += b"\x3b"
     return bytes(out)
+
+
+# --- BMP / ICO (round 9) ----------------------------------------------------
+#
+# DIB bitmaps: the no-compression web workhorse (and the payload format
+# inside .ico favicons, which every crawl collects by the million).
+# BITMAPCOREHEADER (12) and BITMAPINFOHEADER-family (40/52/56/108/124)
+# headers, bottom-up and top-down rows, 1/4/8-bit palette, 16/32-bit
+# BI_BITFIELDS with arbitrary contiguous masks, 24-bit BGR, and RLE8/
+# RLE4 (escape 0/1/2 + absolute mode, word-aligned). ICO walks the
+# ICONDIR, decodes PNG-compressed entries through decode_png and DIB
+# entries through the shared reader (height halved for the AND mask,
+# which becomes the alpha channel for <32-bpp icons). Same bounds
+# discipline as the rest of the tier: dimensions check MAX_PIXELS
+# before allocation, RLE writes are clipped to the raster, palette
+# indices validate against the palette length.
+
+
+def is_bmp(data: bytes) -> bool:
+    return data[:2] == b"BM" and len(data) >= 26
+
+
+def is_ico(data: bytes) -> bool:
+    return data[:4] == b"\x00\x00\x01\x00" and len(data) >= 6
+
+
+def _mask_shift_width(mask: int) -> tuple[int, int]:
+    """(shift, bit width) of a contiguous bitfield mask."""
+    if mask == 0:
+        return 0, 0
+    shift = (mask & -mask).bit_length() - 1
+    width = (mask >> shift).bit_length()
+    if (mask >> shift) != (1 << width) - 1:
+        raise ValueError(f"non-contiguous BMP bitfield mask {mask:#x}")
+    return shift, width
+
+
+def _scale_to_8bit(chan: np.ndarray, width: int) -> np.ndarray:
+    """Replicate the top bits to fill 8 (the 555/565 convention)."""
+    if width == 0:
+        return np.zeros_like(chan, dtype=np.uint8)
+    if width >= 8:
+        return (chan >> (width - 8)).astype(np.uint8)
+    out = chan.astype(np.uint32) << (8 - width)
+    out |= out >> width
+    return out.astype(np.uint8)
+
+
+def _bmp_rle_decode(
+    data: bytes, width: int, height: int, four_bit: bool
+) -> np.ndarray:
+    """RLE8/RLE4 (BI_RLE8=1 / BI_RLE4=2) to a bottom-up (height, width)
+    index raster. Escapes: 0,0 end-of-line; 0,1 end-of-bitmap; 0,2
+    delta (dx, dy up); 0,n>=3 absolute run (word-aligned). Pixels the
+    stream never touches stay index 0 (the spec's undefined-as-
+    background convention)."""
+    out = np.zeros((height, width), dtype=np.uint8)
+    x = y = pos = 0
+    n = len(data)
+    while pos + 1 < n:
+        cnt, val = data[pos], data[pos + 1]
+        pos += 2
+        if cnt:
+            if y >= height:
+                raise ValueError("BMP RLE run outside the raster")
+            end = min(x + cnt, width)
+            if four_bit:
+                pair = np.array([val >> 4, val & 15], dtype=np.uint8)
+                out[y, x:end] = np.tile(pair, (cnt + 1) // 2)[: end - x]
+            else:
+                out[y, x:end] = val
+            x += cnt
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            break
+        elif val == 2:  # delta
+            if pos + 1 >= n:
+                raise ValueError("truncated BMP RLE delta")
+            x += data[pos]
+            y += data[pos + 1]
+            pos += 2
+        else:  # absolute mode: val literal pixels, word-aligned
+            nbytes = (val + 1) // 2 if four_bit else val
+            nbytes += nbytes & 1
+            chunk = data[pos : pos + nbytes]
+            if len(chunk) < nbytes:
+                raise ValueError("truncated BMP RLE absolute run")
+            pos += nbytes
+            if y >= height:
+                raise ValueError("BMP RLE run outside the raster")
+            if four_bit:
+                arr = np.frombuffer(chunk, dtype=np.uint8)
+                pix = np.empty(arr.size * 2, dtype=np.uint8)
+                pix[0::2] = arr >> 4
+                pix[1::2] = arr & 15
+                pix = pix[:val]
+            else:
+                pix = np.frombuffer(chunk[:val], dtype=np.uint8)
+            end = min(x + val, width)
+            out[y, x:end] = pix[: end - x]
+            x += val
+    return out[::-1]  # RLE rasters are always bottom-up
+
+
+def _decode_dib(data: bytes, off: int, pixel_off: int | None, ico: bool = False):
+    """Shared DIB reader: ``off`` points at the DIB header; returns
+    (H, W, 3|4) uint8. ``pixel_off`` is the file-header pixel offset
+    (None inside ICO payloads: pixels follow the palette directly).
+    ``ico=True`` halves the stored height (XOR + AND mask) and applies
+    the AND mask as transparency for <32-bpp entries."""
+    (hdr,) = struct.unpack_from("<I", data, off)
+    if hdr == 12:  # BITMAPCOREHEADER: u16 dims, RGB-triple palette
+        width, height, _planes, bpp = struct.unpack_from("<HHHH", data, off + 4)
+        compression, clr_used, quad, top_down = 0, 0, 3, False
+        masks_off = None
+    elif hdr in (40, 52, 56, 108, 124):
+        width, height, _planes, bpp, compression, _sz, _xp, _yp, clr_used = (
+            struct.unpack_from("<iiHHIIiiI", data, off + 4)
+        )
+        top_down = height < 0
+        height = abs(height)
+        quad = 4
+        # BI_BITFIELDS masks: appended after a 40-byte header, or the
+        # V2+/V4/V5 header's own RGB mask fields — both land at +40
+        masks_off = off + 40
+    else:
+        raise NotImplementedError(f"BMP DIB header size {hdr}")
+    if ico:
+        height //= 2
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad BMP dimensions {width}x{height}")
+    _check_pixels(width, height, "BMP")
+    if bpp not in (1, 4, 8, 16, 24, 32):
+        raise NotImplementedError(f"BMP bit depth {bpp}")
+    if compression not in (0, 1, 2, 3):
+        raise NotImplementedError(f"BMP compression {compression}")
+
+    pal_off = off + hdr
+    n_masks = 0
+    if compression == 3:
+        if bpp not in (16, 32):
+            raise ValueError("BI_BITFIELDS requires 16 or 32 bpp")
+        if hdr == 40:
+            n_masks = 3  # masks sit between header and palette
+    palette = None
+    if bpp <= 8:
+        n_colors = clr_used or (1 << bpp)
+        if n_colors > 256:
+            raise ValueError(f"BMP palette claims {n_colors} colors")
+        praw = data[pal_off + 4 * n_masks : pal_off + 4 * n_masks + quad * n_colors]
+        if len(praw) < quad * n_colors:
+            raise ValueError("truncated BMP palette")
+        ptab = np.frombuffer(praw, dtype=np.uint8).reshape(n_colors, quad)
+        palette = ptab[:, [2, 1, 0]]  # BGR(A) -> RGB
+    if pixel_off is None:
+        pixel_off = pal_off + 4 * n_masks
+        if palette is not None:
+            pixel_off += quad * len(palette)
+        elif compression == 3 and hdr == 40:
+            pass  # masks already skipped via n_masks
+    stride = ((width * bpp + 31) // 32) * 4
+
+    if compression in (1, 2):  # RLE8 / RLE4
+        if (compression == 1 and bpp != 8) or (compression == 2 and bpp != 4):
+            raise ValueError(f"BMP RLE{8 if compression == 1 else 4} with {bpp} bpp")
+        if top_down:
+            raise ValueError("top-down BMP cannot be RLE-compressed")
+        idx = _bmp_rle_decode(
+            data[pixel_off:], width, height, four_bit=compression == 2
+        )
+    else:
+        need = stride * height
+        raw = data[pixel_off : pixel_off + need]
+        if len(raw) < need:
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride)
+        if not top_down:
+            rows = rows[::-1]
+        if bpp in (1, 4):
+            if bpp == 1:
+                bits = np.unpackbits(rows, axis=1)[:, :width]
+                idx = bits
+            else:
+                nib = np.empty((height, stride * 2), dtype=np.uint8)
+                nib[:, 0::2] = rows >> 4
+                nib[:, 1::2] = rows & 15
+                idx = nib[:, :width]
+        elif bpp == 8:
+            idx = rows[:, :width]
+        elif bpp == 16:
+            px = rows[:, : width * 2].reshape(height, width, 2)
+            v = px[:, :, 0].astype(np.uint32) | (px[:, :, 1].astype(np.uint32) << 8)
+            if compression == 3:
+                rm, gm, bm = struct.unpack_from("<III", data, masks_off)
+                am = 0
+            else:
+                rm, gm, bm, am = 0x7C00, 0x03E0, 0x001F, 0  # 555 default
+            chans = []
+            for m in (rm, gm, bm):
+                sh, wd = _mask_shift_width(m)
+                chans.append(_scale_to_8bit((v >> sh) & ((1 << wd) - 1), wd))
+            return np.dstack(chans)
+        else:  # 24 / 32
+            nb = bpp // 8
+            px = rows[:, : width * nb].reshape(height, width, nb)
+            if bpp == 32 and compression == 3:
+                rm, gm, bm = struct.unpack_from("<III", data, masks_off)
+                # the alpha mask exists only in V3+/V4/V5 headers; a
+                # 40-byte BI_BITFIELDS header appends exactly 3 masks
+                am = struct.unpack_from("<I", data, masks_off + 12)[0] if hdr >= 56 else 0
+                v = px[:, :, 0].astype(np.uint32)
+                for i in range(1, 4):
+                    v |= px[:, :, i].astype(np.uint32) << (8 * i)
+                chans = []
+                for m in (rm, gm, bm):
+                    sh, wd = _mask_shift_width(m)
+                    chans.append(_scale_to_8bit((v >> sh) & ((1 << wd) - 1), wd))
+                if am:
+                    sh, wd = _mask_shift_width(am)
+                    chans.append(_scale_to_8bit((v >> sh) & ((1 << wd) - 1), wd))
+                return np.dstack(chans)
+            rgb = px[:, :, [2, 1, 0]]
+            if bpp == 32 and ico:
+                return np.dstack([rgb, px[:, :, 3]])  # icons carry real alpha
+            if bpp == 24 and ico:
+                mask_stride = ((width + 31) // 32) * 4
+                moff = pixel_off + stride * height
+                mraw = data[moff : moff + mask_stride * height]
+                if len(mraw) == mask_stride * height:
+                    mrows = np.frombuffer(mraw, dtype=np.uint8).reshape(
+                        height, mask_stride
+                    )[::-1]
+                    mask = np.unpackbits(mrows, axis=1)[:, :width]
+                    alpha = np.where(mask == 1, 0, 255).astype(np.uint8)
+                    return np.dstack([rgb, alpha])
+            return np.ascontiguousarray(rgb)
+        # palette path falls through here with a bottom-up-corrected idx
+    if palette is None:
+        raise ValueError("paletted BMP without a palette")
+    if int(idx.max()) >= len(palette):
+        raise ValueError("BMP palette index out of range")
+    rgb = palette[idx]
+    if ico and compression == 0:
+        # the 1-bit AND mask follows the XOR pixels (bottom-up,
+        # 4-byte-aligned rows): bit 1 = transparent
+        mask_stride = ((width + 31) // 32) * 4
+        moff = pixel_off + stride * height
+        mraw = data[moff : moff + mask_stride * height]
+        if len(mraw) == mask_stride * height:
+            mrows = np.frombuffer(mraw, dtype=np.uint8).reshape(
+                height, mask_stride
+            )[::-1]
+            mask = np.unpackbits(mrows, axis=1)[:, :width]
+            alpha = np.where(mask == 1, 0, 255).astype(np.uint8)
+            return np.dstack([rgb, alpha])
+    return np.ascontiguousarray(rgb)
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode a BMP file to (H, W, 3|4) uint8 RGB(A)."""
+    data = bytes(data)
+    if not is_bmp(data):
+        raise ValueError("not a BMP: bad magic")
+    (pixel_off,) = struct.unpack_from("<I", data, 10)
+    return _decode_dib(data, 14, pixel_off)
+
+
+def ico_entries(data: bytes) -> list[dict]:
+    """ICONDIR walk: list of {width, height, bpp, size, offset} (0 in
+    the width/height bytes means 256 per the format)."""
+    data = bytes(data)
+    if not is_ico(data):
+        raise ValueError("not an ICO: bad magic")
+    (count,) = struct.unpack_from("<H", data, 4)
+    if count == 0 or count > 64:
+        raise ValueError(f"ICO entry count {count} out of bounds")
+    out = []
+    for i in range(count):
+        o = 6 + 16 * i
+        if o + 16 > len(data):
+            raise ValueError("truncated ICONDIR")
+        w, h, _colors, _res = struct.unpack_from("<BBBB", data, o)
+        _planes, bpp, size, off = struct.unpack_from("<HHII", data, o + 4)
+        out.append(
+            {
+                "width": w or 256,
+                "height": h or 256,
+                "bpp": bpp,
+                "size": size,
+                "offset": off,
+            }
+        )
+    return out
+
+
+def decode_ico(data: bytes, index: int | None = None) -> np.ndarray:
+    """Decode one icon from an ICO file to (H, W, 3|4) uint8 —
+    ``index`` selects an ICONDIR entry, default the largest by area
+    (ties: highest bpp). Entries are PNG-compressed (decode_png) or
+    raw DIBs (stored height doubled for the AND mask, which becomes
+    the alpha channel for <32-bpp entries)."""
+    data = bytes(data)
+    entries = ico_entries(data)
+    if index is None:
+        index = max(
+            range(len(entries)),
+            key=lambda i: (
+                entries[i]["width"] * entries[i]["height"],
+                entries[i]["bpp"],
+            ),
+        )
+    e = entries[index]
+    payload = data[e["offset"] : e["offset"] + e["size"]]
+    if len(payload) < e["size"]:
+        raise ValueError("ICO entry overruns the file")
+    if is_png(payload):
+        return decode_png(payload)
+    return _decode_dib(payload, 0, None, ico=True)
+
+
+def encode_bmp(
+    img: np.ndarray,
+    bpp: int = 24,
+    top_down: bool = False,
+    rle: bool = False,
+) -> bytes:
+    """Encode (H, W[, C]) uint8 as a BMP — the fixture twin of
+    decode_bmp. bpp 24 (BGR), 32 (BGRA via BI_BITFIELDS when the input
+    has an alpha channel, else BGRX), 8/4/1 (palette built from the
+    distinct colors; ``rle=True`` emits BI_RLE8, 8-bpp bottom-up only),
+    16 (565 BI_BITFIELDS)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if c == 1:
+        img = np.repeat(img, 3, axis=2)
+        c = 3
+    rows_rgb = img if top_down else img[::-1]
+    hdr_h = -h if top_down else h
+    palette = b""
+    masks = b""
+    compression = 0
+    if bpp in (1, 4, 8):
+        flat = rows_rgb[:, :, :3].reshape(-1, 3)
+        colors, inv = np.unique(flat, axis=0, return_inverse=True)
+        if len(colors) > (1 << bpp):
+            raise ValueError(f"image needs {len(colors)} colors, {bpp} bpp allows {1 << bpp}")
+        idx = inv.reshape(h, w).astype(np.uint8)
+        palette = b"".join(
+            bytes([b, g, r, 0]) for r, g, b in colors.tolist()
+        )
+        if rle:
+            if bpp != 8 or top_down:
+                raise ValueError("RLE encode supports 8 bpp bottom-up only")
+            compression = 1
+            body = bytearray()
+            for y in range(h):
+                row = idx[y]
+                x = 0
+                while x < w:
+                    run = 1
+                    while x + run < w and row[x + run] == row[x] and run < 255:
+                        run += 1
+                    body += bytes([run, int(row[x])])
+                    x += run
+                body += b"\x00\x00"  # EOL
+            body += b"\x00\x01"  # EOB
+            pix = bytes(body)
+        else:
+            if bpp == 8:
+                packed = idx
+            elif bpp == 4:
+                pad_w = w + (w & 1)
+                nib = np.zeros((h, pad_w), dtype=np.uint8)
+                nib[:, :w] = idx
+                packed = (nib[:, 0::2] << 4) | nib[:, 1::2]
+            else:
+                packed = np.packbits(idx, axis=1)
+            stride = ((w * bpp + 31) // 32) * 4
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, : packed.shape[1]] = packed
+            pix = rows.tobytes()
+    elif bpp == 16:
+        compression = 3
+        masks = struct.pack("<III", 0xF800, 0x07E0, 0x001F)
+        r = rows_rgb[:, :, 0].astype(np.uint16) >> 3
+        g = rows_rgb[:, :, 1].astype(np.uint16) >> 2
+        b = rows_rgb[:, :, 2].astype(np.uint16) >> 3
+        v = (r << 11) | (g << 5) | b
+        stride = ((w * 16 + 31) // 32) * 4
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        le = v.astype("<u2").view(np.uint8).reshape(h, w * 2)
+        rows[:, : w * 2] = le
+        pix = rows.tobytes()
+    elif bpp in (24, 32):
+        nb = bpp // 8
+        alpha_v3 = bpp == 32 and img.shape[2] == 4
+        if alpha_v3:
+            compression = 3  # masks live INSIDE the 56-byte V3 header
+        stride = ((w * bpp + 31) // 32) * 4
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        bgr = rows_rgb[:, :, [2, 1, 0]]
+        if nb == 4:
+            a = (
+                rows_rgb[:, :, 3:4]
+                if img.shape[2] == 4
+                else np.zeros((h, w, 1), dtype=np.uint8)
+            )
+            px = np.concatenate([bgr, a], axis=2)
+        else:
+            px = bgr
+        rows[:, : w * nb] = px.reshape(h, w * nb)
+        pix = rows.tobytes()
+    else:
+        raise ValueError(f"unsupported encode bpp {bpp}")
+    v3 = bpp == 32 and compression == 3
+    dib = struct.pack(
+        "<IiiHHIIiiII", 56 if v3 else 40, w, hdr_h, 1, bpp, compression,
+        len(pix), 2835, 2835, len(palette) // 4, 0,
+    )
+    if v3:  # BITMAPV3INFOHEADER: the four masks are header fields
+        dib += struct.pack(
+            "<IIII", 0x00FF0000, 0x0000FF00, 0x000000FF, 0xFF000000
+        )
+    pixel_off = 14 + len(dib) + len(masks) + len(palette)
+    filehdr = struct.pack("<2sIHHI", b"BM", pixel_off + len(pix), 0, 0, pixel_off)
+    return filehdr + dib + masks + palette + pix
+
+
+def encode_ico(images: list[np.ndarray], png: bool = False) -> bytes:
+    """Pack decoded-pixel arrays as an ICO — DIB entries (with an
+    all-opaque AND mask) or PNG-compressed entries (``png=True``)."""
+    payloads = []
+    for img in images:
+        img = np.asarray(img, dtype=np.uint8)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        h, w = img.shape[:2]
+        if w > 256 or h > 256:
+            raise ValueError("ICO entries cap at 256x256")
+        if png:
+            payloads.append((w, h, 32, encode_png(img)))
+        else:
+            bmp = encode_bmp(img if img.shape[2] != 1 else img[:, :, 0], bpp=24)
+            (poff,) = struct.unpack_from("<I", bmp, 10)
+            dib = bytearray(bmp[14:])
+            # stored height doubles for the AND mask
+            struct.pack_into("<i", dib, 8, h * 2)
+            mask_stride = ((w + 31) // 32) * 4
+            payloads.append(
+                (w, h, 24, bytes(dib) + b"\x00" * (mask_stride * h))
+            )
+    out = struct.pack("<HHH", 0, 1, len(payloads))
+    off = 6 + 16 * len(payloads)
+    dirents = b""
+    body = b""
+    for w, h, bpp, pl in payloads:
+        dirents += struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, bpp, len(pl), off
+        )
+        off += len(pl)
+        body += pl
+    return out + dirents + body
 
 
 def video_info(data: bytes) -> dict:

@@ -935,6 +935,8 @@ def sniff_mime(content: "F.Column") -> "F.Column":
             (sig4 == F.lit(b"II*\x00")) | (sig4 == F.lit(b"MM\x00*")),
             "image/tiff",
         )
+        .when(sub(1, 2) == F.lit(b"BM"), "image/bmp")
+        .when(sig4 == F.lit(b"\x00\x00\x01\x00"), "image/x-icon")
         .when(sig4 == F.lit(b"fLaC"), "audio/flac")
         .when(sig4 == F.lit(b"OggS"), "audio/ogg")
         .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"WAVE")), "audio/wav")

@@ -80,7 +80,9 @@ def n25_container_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     Late round 9 adds a 12-bit SOF1 JPEG whose constant-per-8x8-block
     even samples decode EXACTLY at quality 100 (DC-only; quant step 16
     divides 8*even), so even the lossy deep-scan format carries
-    bit-identical construction truth.
+    bit-identical construction truth, plus the BMP twin of the RGB
+    pixels and an ICO favicon (DIB entry whose AND mask becomes the
+    alpha channel — n_channels 4, luma over the RGB planes).
     Tag/pcm/feature kernels run errors='quarantine': untagged,
     compressed-only or corrupt fixtures yield NULLs, which the truth
     tables record explicitly."""

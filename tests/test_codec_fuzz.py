@@ -344,3 +344,23 @@ def test_fuzz_warc_records_walk():
         return list(W.iter_warc_records(W.gunzip_members(data, max_bytes=1 << 22)))
 
     _hammer(walk, corpus, seed=48)
+
+
+def test_fuzz_bmp_ico():
+    rgb = _img(13, 22, 3, 61)
+    corpus = [
+        C.encode_bmp(rgb),
+        C.encode_bmp(rgb, top_down=True),
+        C.encode_bmp(rgb // 64 * 64, bpp=8, rle=True),
+        C.encode_bmp(rgb // 128 * 128, bpp=4),
+        C.encode_bmp(rgb, bpp=16),
+        C.encode_bmp(
+            np.dstack([rgb, _img(13, 22, 1, 62)[:, :, 0]]), bpp=32
+        ),
+        C.encode_ico([rgb[:6, :6], rgb]),
+        C.encode_ico([rgb], png=True),
+    ]
+    _hammer(C.decode_bmp, corpus[:-2], seed=63)
+    _hammer(C.decode_ico, corpus[-2:], seed=64)
+    # and through the dispatch front door (magic-byte confusion)
+    _hammer(C.decode_image, corpus, seed=65)
