@@ -941,6 +941,7 @@ def sniff_mime(content: "F.Column") -> "F.Column":
         .when(sig4 == F.lit(b"OggS"), "audio/ogg")
         .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"WAVE")), "audio/wav")
         .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"AVI ")), "video/x-msvideo")
+        .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"WEBP")), "image/webp")
         .when((sig4 == F.lit(b"FORM")) & (sub(9, 3) == F.lit(b"AIF")), "audio/aiff")
         .when(sub(1, 3) == F.lit(b"ID3"), "audio/mpeg")
         .when(adts_sync, "audio/aac")

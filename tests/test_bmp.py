@@ -235,3 +235,82 @@ def test_sniff_mime_bmp_ico(spark):
     df = spark.createDataFrame(rows, "content binary")
     got = [r[0] for r in df.select(sniff_mime("content")).collect()]
     assert got == ["image/bmp", "image/x-icon", "image/png"]
+
+
+# --- WebP container truth ---------------------------------------------------
+
+
+def test_webp_info_lossless_and_lossy():
+    w = C.encode_webp_skeleton(640, 480, lossless=True, alpha=True)
+    i = C.webp_info(w)
+    assert i == {
+        "format": "lossless", "width": 640, "height": 480,
+        "has_alpha": True, "animated": False, "n_frames": 1,
+    }
+    w = C.encode_webp_skeleton(31, 17, lossless=False)
+    i = C.webp_info(w)
+    assert (i["format"], i["width"], i["height"], i["has_alpha"]) == (
+        "lossy", 31, 17, False,
+    )
+    # ALPH chunk presence (not a flag byte) drives has_alpha on lossy
+    w = C.encode_webp_skeleton(31, 17, lossless=False, alpha=True)
+    assert C.webp_info(w)["has_alpha"] is True
+
+
+def test_webp_animation_and_refusals():
+    w = C.encode_webp_skeleton(8, 8, n_anim_frames=3)
+    i = C.webp_info(w)
+    assert i["animated"] is True and i["n_frames"] == 3
+    with pytest.raises(NotImplementedError, match="VP8"):
+        C.decode_webp(C.encode_webp_skeleton(8, 8))
+    with pytest.raises(NotImplementedError):
+        C.decode_image(C.encode_webp_skeleton(8, 8))
+    with pytest.raises(ValueError, match="keyframe start code"):
+        bad = bytearray(C.encode_webp_skeleton(8, 8, lossless=False))
+        bad[23] ^= 0xFF  # stomp the 9D 01 2A start code
+        C.webp_info(bytes(bad))
+    with pytest.raises(ValueError, match="overruns"):
+        C.webp_info(C.encode_webp_skeleton(8, 8)[:-3])
+    with pytest.raises(ValueError, match="image chunk"):
+        # metadata-only container: an EXIF chunk but no VP8/VP8L/ANMF
+        C.webp_info(b"RIFF\x0c\x00\x00\x00WEBP" + b"EXIF\x00\x00\x00\x00")
+
+
+def test_webp_vp8x_canvas_wins_and_sniff(spark):
+    import struct as st
+
+    from pg2kinesis_spark.functions.multimodal import sniff_mime
+
+    # hand-packed: VP8X canvas 100x50 followed by a 8x8 VP8L stream
+    vp8x = b"\x00\x00\x00\x00" + (99).to_bytes(3, "little") + (49).to_bytes(3, "little")
+    bits = 7 | (7 << 14)
+    vp8l = bytes([0x2F]) + bits.to_bytes(4, "little")
+    body = (
+        b"WEBP"
+        + b"VP8X" + st.pack("<I", len(vp8x)) + vp8x
+        + b"VP8L" + st.pack("<I", len(vp8l)) + vp8l + b"\x00"
+    )
+    data = b"RIFF" + st.pack("<I", len(body)) + body
+    i = C.webp_info(data)
+    assert (i["width"], i["height"], i["format"]) == (100, 50, "lossless")
+
+    df = spark.createDataFrame([(bytearray(data),)], "content binary")
+    assert df.select(sniff_mime("content")).first()[0] == "image/webp"
+
+
+def test_webp_pil_seam_upgrades_refusal():
+    """With PIL present, decode_image turns the WebP refusal into a
+    real decode (the refusal->decode direction the seam contract
+    allows). Skipped where PIL is absent — the refusal path above is
+    the always-run tier."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    img = _rgb(10, 10)
+    buf = io.BytesIO()
+    PIL.fromarray(img).save(buf, format="WEBP", lossless=True)
+    dec = C.decode_image(buf.getvalue())
+    assert np.array_equal(dec[:, :, :3], img)
+    # and the pure header walk agrees with PIL's own encoder output
+    i = C.webp_info(buf.getvalue())
+    assert (i["width"], i["height"]) == (10, 10)
