@@ -7,10 +7,12 @@ an Arrow-batched ``mapInPandas`` splitter that explodes each archive
 into per-member rows inside its task, with
 
 * **format detection by magic bytes** — ZIP (``PK\\x03\\x04``), tar
-  (``ustar`` at offset 257), and all three stdlib stream compressors:
-  gzip (``\\x1f\\x8b``), xz (``\\xfd7zXZ``), bz2 (``BZh``) —
-  decompressed bounded, then re-sniffed, so ``.tar.{gz,xz,bz2}``
-  becomes tar and a bare ``.gz``/``.xz``/``.bz2`` becomes one member
+  (``ustar`` at offset 257), the three stdlib stream compressors:
+  gzip (``\\x1f\\x8b``), xz (``\\xfd7zXZ``), bz2 (``BZh``), the zstd
+  optional-import seam, and (round 9) the dependency-free LZ4 frame
+  and framed-Snappy decoders in ``functions/compress.py`` — every
+  stream decompressed bounded, then re-sniffed, so ``.tar.{gz,xz,bz2,
+  zst,lz4}`` becomes tar and a bare compressed file becomes one member
   named after the archive;
 * **bounded decompression everywhere** — per-member and whole-archive
   inflate caps (an archive entry claiming 10 TB must error before the
@@ -134,12 +136,28 @@ def _zstd_decompress(data: bytes, cap: int) -> bytes:
 # decompress bounded (ALL streams), re-sniff for tar, else one bare
 # member named after the archive. gzip keeps warc.py's multi-member
 # gunzip_members (it also validates the gzip trailer).
+def _lz4_decompress(data: bytes, cap: int) -> bytes:
+    from . import compress
+
+    return compress.lz4_decompress(data, cap)
+
+
+def _snappy_decompress(data: bytes, cap: int) -> bytes:
+    from . import compress
+
+    return compress.snappy_decompress(data, cap)
+
+
 _STREAM_COMPRESSORS = (
     (b"\x1f\x8b", "gz", (".gz", ".tgz"),
      lambda d, cap: gunzip_members(d, max_bytes=cap)),
     (b"\xfd7zXZ\x00", "xz", (".xz", ".txz"), _xz_decompress),
     (b"BZh", "bz2", (".bz2", ".tbz2"), _bz2_decompress),
     (b"\x28\xb5\x2f\xfd", "zst", (".zst",), _zstd_decompress),
+    # round 9: the data-engineering compressors, decoded by the
+    # dependency-free functions/compress.py (checksums verified)
+    (b"\x04\x22\x4d\x18", "lz4", (".lz4",), _lz4_decompress),
+    (b"\xff\x06\x00\x00sNaPpY", "sz", (".sz", ".snappy"), _snappy_decompress),
 )
 
 
