@@ -475,6 +475,10 @@ def gen_media_containers() -> tuple[
     gif = C.encode_gif_frames(gframes, delay_cs=25)
     add(11, "video", gif)
     video_truth.append((11, 4, 8, 8, 4 / (100 / 100.0), 100 * 10.0))
+    # 28: Y4M (late round 9) — 3 uncompressed frames at 30000/1001
+    yframes = [rng.integers(0, 255, (12, 16, 3), dtype=np.uint8) for _ in range(3)]
+    add(28, "video", C.encode_y4m(yframes, rate=(30000, 1001)))
+    video_truth.append((28, 3, 16, 12, 30000 / 1001, 1000.0 * 3 * 1001 / 30000))
     # pre-round-8 rows carry no tag/pcm expectations (untagged fixtures,
     # compressed or frameless streams): pad to the 10-column truth shape
     audio_truth = [r + (None,) * (10 - len(r)) for r in audio_truth]

@@ -7363,6 +7363,211 @@ def encode_ico(images: list[np.ndarray], png: bool = False) -> bytes:
     return out + dirents + body
 
 
+# --- Y4M / YUV4MPEG2 (round 9) ---------------------------------------------
+#
+# The uncompressed interchange format video pipelines move frames in
+# (ffmpeg's rawvideo twin): one ASCII header line, then FRAME-delimited
+# planar YCbCr. Everything is structure — no entropy coding at all —
+# so decode is real for any conformant stream. Color conversion uses
+# BT.601 STUDIO-SWING (the format's mpeg lineage): the matrix is
+# DERIVED from Kr=0.299/Kb=0.114 and the 219/224 excursions rather
+# than transcribed decimals. Chroma upsampling is nearest-neighbor
+# (documented; a videophile deployment would swap bilinear in).
+
+
+def is_y4m(data: bytes) -> bool:
+    return bytes(data[:10]) == b"YUV4MPEG2 " or bytes(data[:10]) == b"YUV4MPEG2\n"
+
+
+_Y4M_SUBSAMPLING = {
+    "420": (2, 2), "420jpeg": (2, 2), "420mpeg2": (2, 2), "420paldv": (2, 2),
+    "422": (2, 1), "444": (1, 1), "mono": None,
+}
+
+
+def _y4m_header(data: bytes) -> tuple[dict, int]:
+    nl = data.find(b"\n", 0, 512)
+    if nl < 0:
+        raise ValueError("Y4M header line missing/oversized")
+    toks = data[:nl].split(b" ")
+    if toks[0] != b"YUV4MPEG2":
+        raise ValueError("not a Y4M stream")
+    params = {"C": "420jpeg", "F": (25, 1)}  # the format's defaults
+    for t in toks[1:]:
+        if not t:
+            continue
+        key, val = chr(t[0]), t[1:].decode("ascii", "replace")
+        if key in ("W", "H"):
+            params[key] = int(val)
+        elif key == "F":
+            num, den = val.split(":")
+            params["F"] = (int(num), int(den))
+        elif key == "C":
+            params["C"] = val
+        # I (interlacing), A (aspect), X (comments): metadata only
+    if "W" not in params or "H" not in params:
+        raise ValueError("Y4M header missing W/H")
+    w, h = params["W"], params["H"]
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad Y4M dimensions {w}x{h}")
+    _check_pixels(w, h, "Y4M")
+    if params["C"] not in _Y4M_SUBSAMPLING:
+        raise NotImplementedError(f"Y4M colorspace C{params['C']}")
+    sub = _Y4M_SUBSAMPLING[params["C"]]
+    if sub is not None and (w % sub[0] or h % sub[1]):
+        raise ValueError(f"Y4M {w}x{h} not divisible by C{params['C']} subsampling")
+    return params, nl + 1
+
+
+def _y4m_frame_size(params: dict) -> int:
+    w, h = params["W"], params["H"]
+    sub = _Y4M_SUBSAMPLING[params["C"]]
+    if sub is None:
+        return w * h
+    return w * h + 2 * (w // sub[0]) * (h // sub[1])
+
+
+def yuv601_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """BT.601 studio-swing YCbCr planes (full-resolution, float or
+    uint8) → (H, W, 3) uint8 RGB. Matrix derived from Kr/Kb."""
+    kr, kb = 0.299, 0.114
+    yf = (y.astype(np.float64) - 16.0) * (255.0 / 219.0)
+    pb = (cb.astype(np.float64) - 128.0) * (255.0 / 224.0)
+    pr = (cr.astype(np.float64) - 128.0) * (255.0 / 224.0)
+    r = yf + 2.0 * (1.0 - kr) * pr
+    b = yf + 2.0 * (1.0 - kb) * pb
+    g = (yf - kr * r - kb * b) / (1.0 - kr - kb)
+    return np.clip(np.round(np.dstack([r, g, b])), 0, 255).astype(np.uint8)
+
+
+def rgb_to_yuv601(img: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(H, W, 3) uint8 RGB → full-resolution studio-swing BT.601
+    planes as float64 (quantize at the call site)."""
+    kr, kb = 0.299, 0.114
+    px = img.astype(np.float64)
+    yf = kr * px[:, :, 0] + (1 - kr - kb) * px[:, :, 1] + kb * px[:, :, 2]
+    pb = (px[:, :, 2] - yf) / (2.0 * (1.0 - kb))
+    pr = (px[:, :, 0] - yf) / (2.0 * (1.0 - kr))
+    y = yf * (219.0 / 255.0) + 16.0
+    cb = pb * (224.0 / 255.0) + 128.0
+    cr = pr * (224.0 / 255.0) + 128.0
+    return y, cb, cr
+
+
+def y4m_info(data: bytes) -> dict:
+    """Header + frame-count walk (seeks over frame payloads — no pixel
+    work): width, height, fps, n_frames, colorspace, duration_ms."""
+    data = bytes(data)
+    params, pos = _y4m_header(data)
+    fsize = _y4m_frame_size(params)
+    n_frames = 0
+    n = len(data)
+    while pos < n:
+        nl = data.find(b"\n", pos, pos + 256)
+        if nl < 0 or data[pos : pos + 5] != b"FRAME":
+            raise ValueError("Y4M FRAME marker missing")
+        pos = nl + 1 + fsize
+        if pos > n:
+            raise ValueError("truncated Y4M frame payload")
+        n_frames += 1
+    num, den = params["F"]
+    fps = num / den if den else 0.0
+    return {
+        "width": params["W"],
+        "height": params["H"],
+        "fps": fps,
+        "n_frames": n_frames,
+        "colorspace": "C" + params["C"],
+        "duration_ms": 1000.0 * n_frames / fps if fps else None,
+    }
+
+
+def decode_y4m_frames(data: bytes, frame_indices=None) -> list[np.ndarray]:
+    """(H, W, 3) uint8 RGB frames; ``frame_indices`` decodes only the
+    sampled ordinals (unsampled frames are SEEKED over, not read —
+    the decode_avi_mjpeg pay-for-what-you-keep contract) and stops
+    after the last sampled one."""
+    data = bytes(data)
+    params, pos = _y4m_header(data)
+    w, h = params["W"], params["H"]
+    sub = _Y4M_SUBSAMPLING[params["C"]]
+    fsize = _y4m_frame_size(params)
+    last = max(frame_indices) if frame_indices else None
+    out: list[np.ndarray] = []
+    idx = 0
+    n = len(data)
+    while pos < n:
+        nl = data.find(b"\n", pos, pos + 256)
+        if nl < 0 or data[pos : pos + 5] != b"FRAME":
+            raise ValueError("Y4M FRAME marker missing")
+        body = nl + 1
+        if body + fsize > n:
+            raise ValueError("truncated Y4M frame payload")
+        if frame_indices is None or idx in frame_indices:
+            y = np.frombuffer(data, np.uint8, w * h, body).reshape(h, w)
+            if sub is None:
+                rgb = yuv601_to_rgb(y, np.full((h, w), 128.0), np.full((h, w), 128.0))
+            else:
+                cw, ch = w // sub[0], h // sub[1]
+                cb = np.frombuffer(
+                    data, np.uint8, cw * ch, body + w * h
+                ).reshape(ch, cw)
+                cr = np.frombuffer(
+                    data, np.uint8, cw * ch, body + w * h + cw * ch
+                ).reshape(ch, cw)
+                cb = np.repeat(np.repeat(cb, sub[1], 0), sub[0], 1)
+                cr = np.repeat(np.repeat(cr, sub[1], 0), sub[0], 1)
+                rgb = yuv601_to_rgb(y, cb, cr)
+            out.append(rgb)
+        pos = body + fsize
+        idx += 1
+        if last is not None and idx > last:
+            break
+    if not out:
+        raise ValueError("no sampled Y4M frames")
+    return out
+
+
+def encode_y4m(
+    frames: list[np.ndarray],
+    rate: tuple[int, int] = (25, 1),
+    colorspace: str = "C444",
+) -> bytes:
+    """Fixture twin: RGB frames → a conformant YUV4MPEG2 stream
+    (C444, C420jpeg via 2x2 chroma mean, or Cmono from the Y plane)."""
+    if not frames:
+        raise ValueError("Y4M needs at least one frame")
+    first = np.asarray(frames[0])
+    h, w = first.shape[:2]
+    cs = colorspace.lstrip("C")
+    if cs not in ("444", "420jpeg", "mono"):
+        raise ValueError(f"encode_y4m supports C444/C420jpeg/Cmono, not {colorspace}")
+    out = bytearray(
+        f"YUV4MPEG2 W{w} H{h} F{rate[0]}:{rate[1]} Ip A1:1 C{cs}\n".encode()
+    )
+    for f in frames:
+        f = np.asarray(f, dtype=np.uint8)
+        if f.ndim == 2:
+            f = f[:, :, None]
+        if f.shape[:2] != (h, w):
+            raise ValueError("Y4M frames must share dimensions")
+        rgb = f if f.shape[2] == 3 else np.repeat(f[:, :, :1], 3, axis=2)
+        y, cb, cr = rgb_to_yuv601(rgb)
+        qy = np.clip(np.round(y), 0, 255).astype(np.uint8)
+        out += b"FRAME\n"
+        out += qy.tobytes()
+        if cs == "mono":
+            continue
+        if cs == "420jpeg":
+            if h % 2 or w % 2:
+                raise ValueError("C420 needs even dimensions")
+            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        out += np.clip(np.round(cb), 0, 255).astype(np.uint8).tobytes()
+        out += np.clip(np.round(cr), 0, 255).astype(np.uint8).tobytes()
+    return bytes(out)
+
+
 # --- WebP (round 9: container truth; pixel decode refuses) ----------------
 #
 # The header walk is REAL-STREAM TRUE: every field read here (RIFF
@@ -7601,8 +7806,17 @@ def video_info(data: bytes) -> dict:
             "video_codec": info["video_codec"],
             "audio_codec": info["audio_codec"],
         }
+    if is_y4m(data):
+        info = y4m_info(data)
+        return {
+            "n_frames": info["n_frames"],
+            "width": info["width"],
+            "height": info["height"],
+            "fps": info["fps"],
+            "duration_ms": info["duration_ms"],
+        }
     raise ValueError(
-        "not a supported video container (MJPEG AVI / GIF / MP4 / WebM)"
+        "not a supported video container (MJPEG AVI / GIF / MP4 / WebM / Y4M)"
     )
 
 

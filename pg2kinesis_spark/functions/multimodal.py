@@ -751,6 +751,8 @@ def video_frames(
     def decode_clip(b: bytes) -> list[np.ndarray]:
         if codecs.is_gif(b):  # animated GIFs are videos too
             return codecs.decode_gif_frames(b, frame_indices=sampled)
+        if codecs.is_y4m(b):  # uncompressed interchange: always real
+            return codecs.decode_y4m_frames(b, frame_indices=sampled)
         if codecs.is_avi(b):
             try:
                 return codecs.decode_avi_mjpeg(b, frame_indices=sampled)
@@ -838,6 +840,8 @@ def video_frame_dhash(
     def clip_hashes(b: bytes) -> list[int]:
         if codecs.is_gif(b):
             frames = codecs.decode_gif_frames(b, frame_indices=sampled)
+        elif codecs.is_y4m(b):
+            frames = codecs.decode_y4m_frames(b, frame_indices=sampled)
         else:
             frames = codecs.decode_avi_mjpeg(b, frame_indices=sampled)
         return [_dhash_image(f, codecs.resize_nearest) for f in frames]
@@ -942,6 +946,7 @@ def sniff_mime(content: "F.Column") -> "F.Column":
         .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"WAVE")), "audio/wav")
         .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"AVI ")), "video/x-msvideo")
         .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"WEBP")), "image/webp")
+        .when(F.substring(content, 1, 9) == F.lit(b"YUV4MPEG2"), "video/x-yuv4mpegpipe")
         .when((sig4 == F.lit(b"FORM")) & (sub(9, 3) == F.lit(b"AIF")), "audio/aiff")
         .when(sub(1, 3) == F.lit(b"ID3"), "audio/mpeg")
         .when(adts_sync, "audio/aac")

@@ -364,3 +364,20 @@ def test_fuzz_bmp_ico():
     _hammer(C.decode_ico, corpus[-2:], seed=64)
     # and through the dispatch front door (magic-byte confusion)
     _hammer(C.decode_image, corpus, seed=65)
+
+
+def test_fuzz_y4m_and_webp_walks():
+    frames = [_img(12, 16, 3, 71) for _ in range(3)]
+    y4m_corpus = [
+        C.encode_y4m(frames),
+        C.encode_y4m(frames, colorspace="C420jpeg"),
+        C.encode_y4m([f[:, :, 0] for f in frames], colorspace="Cmono"),
+    ]
+    _hammer(C.decode_y4m_frames, y4m_corpus, seed=72)
+    _hammer(C.y4m_info, y4m_corpus, seed=73)
+    webp_corpus = [
+        C.encode_webp_skeleton(640, 480, alpha=True),
+        C.encode_webp_skeleton(31, 17, lossless=False),
+        C.encode_webp_skeleton(8, 8, n_anim_frames=3),
+    ]
+    _hammer(C.webp_info, webp_corpus, seed=74)
