@@ -1514,3 +1514,153 @@ def extract_video_features(media: DataFrame, errors: str = "quarantine") -> Data
             )
 
     return media.mapInPandas(kernel, VIDEO_FEATURES_SCHEMA)
+
+
+def curate_media(
+    media: DataFrame,
+    kind: str,
+    max_hamming: int | None = 3,
+    transitive: bool = False,
+    min_pixels: int | None = None,
+    min_duration_ms: float | None = None,
+    max_silence_ratio: float | None = None,
+    min_lufs: float | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The media twin of ``curate.curate_corpus``: one composition of
+    the verified tier pieces that turns a raw media table into a
+    training-ready one. Returns ``(clean, rejected)`` — clean keeps the
+    original MEDIA_SCHEMA rows; rejected is (media_id, reason) where
+    reason is the decode error or the name of the gate that fired.
+
+    Stage order follows the text pipeline's cheapest-reduction-first
+    discipline:
+
+    1. **decode + gates** — ``kind='image'``: one
+       ``extract_image_features`` pass yields the quarantine verdict
+       AND the ``min_pixels`` gate (undecodable bytes and sub-gate
+       thumbnails leave before any dedup work). ``kind='audio'``: the
+       header-only ``extract_audio_metadata`` drives
+       ``min_duration_ms``; the full-decode ``extract_audio_analysis``
+       runs ONLY when a content gate (``max_silence_ratio`` /
+       ``min_lufs``) is requested — it is the documented slow path.
+    2. **exact dedup** — content md5, survivor = min media_id
+       (16-byte keys shuffle, payloads don't).
+    3. **perceptual dedup** (``max_hamming`` not None) — the
+       multi-index pair search over dHash (image) or the audio
+       fingerprint; greedy id2 drop, or one survivor per connected
+       component with ``transitive=True`` (the curate_corpus rule).
+
+    Scale note: drop/keep sets cross the wire as bare media_id longs;
+    the binary column moves only in the final survivor semi-join —
+    at deployment scale bucket the media table by media_id
+    (``bucketing.write_bucketed``) so that join is exchange-free,
+    the same pay-shuffle-at-write contract as the text corpus.
+    """
+    if kind not in ("image", "audio"):
+        raise ValueError(f"curate_media kind must be 'image' or 'audio', not {kind!r}")
+
+    rejected_parts = []
+    if kind == "image":
+        feats = extract_image_features(media)
+        bad = feats.filter(F.col("decode_error").isNotNull()).select(
+            "media_id", F.col("decode_error").alias("reason")
+        )
+        rejected_parts.append(bad)
+        ok = feats.filter(F.col("decode_error").isNull())
+        if min_pixels is not None:
+            gate = F.col("width") * F.col("height") < F.lit(min_pixels)
+            rejected_parts.append(
+                ok.filter(gate).select("media_id", F.lit("gate:min_pixels").alias("reason"))
+            )
+            ok = ok.filter(~gate)
+        keep_ids = ok.select("media_id")
+    else:
+        meta = extract_audio_metadata(media)
+        bad = meta.filter(F.col("decode_error").isNotNull()).select(
+            "media_id", F.col("decode_error").alias("reason")
+        )
+        rejected_parts.append(bad)
+        ok = meta.filter(F.col("decode_error").isNull())
+        if min_duration_ms is not None:
+            gate = F.col("duration_ms") < F.lit(float(min_duration_ms))
+            rejected_parts.append(
+                ok.filter(gate).select(
+                    "media_id", F.lit("gate:min_duration_ms").alias("reason")
+                )
+            )
+            ok = ok.filter(~gate)
+        keep_ids = ok.select("media_id")
+        if max_silence_ratio is not None or min_lufs is not None:
+            # full-decode content gates: run them on the survivors only
+            survivors = media.join(keep_ids, "media_id", "left_semi")
+            analysis = extract_audio_analysis(survivors)
+            # lossy formats have no decoded PCM here: the analysis
+            # kernel quarantines them, and a content gate the corpus
+            # can't evaluate REJECTS rather than silently passes
+            bad = analysis.filter(F.col("decode_error").isNotNull()).select(
+                "media_id", F.col("decode_error").alias("reason")
+            )
+            rejected_parts.append(bad)
+            ok = analysis.filter(F.col("decode_error").isNull())
+            if max_silence_ratio is not None:
+                gate = F.col("silence_ratio") > F.lit(float(max_silence_ratio))
+                rejected_parts.append(
+                    ok.filter(gate).select(
+                        "media_id", F.lit("gate:max_silence_ratio").alias("reason")
+                    )
+                )
+                ok = ok.filter(~gate)
+            if min_lufs is not None:
+                gate = F.col("lufs").isNull() | (F.col("lufs") < F.lit(float(min_lufs)))
+                rejected_parts.append(
+                    ok.filter(gate).select(
+                        "media_id", F.lit("gate:min_lufs").alias("reason")
+                    )
+                )
+                ok = ok.filter(~gate)
+            keep_ids = ok.select("media_id")
+
+    # the gated survivor set feeds several plan subtrees below (exact
+    # dedup, pair search, final semi-join) — materialize it once, the
+    # curate_corpus multi-reference discipline
+    clean = media.join(keep_ids, "media_id", "left_semi").localCheckpoint(eager=False)
+
+    groups = media_exact_duplicates(clean)
+    exact_losers = (
+        clean.select(F.md5("content").alias("content_hash"), "media_id")
+        .join(groups, "content_hash")
+        .filter(F.col("media_id") != F.col("keep_id"))
+        .select("media_id")
+    )
+    rejected_parts.append(
+        exact_losers.select("media_id", F.lit("duplicate:exact").alias("reason"))
+    )
+    clean = clean.join(exact_losers, "media_id", "left_anti")
+
+    if max_hamming is not None:
+        pairs = media_near_dup_pairs(
+            clean,
+            max_hamming=max_hamming,
+            signature="dhash" if kind == "image" else "audio",
+        )
+        if transitive:
+            from .cc import cluster_drop_list
+
+            drop = cluster_drop_list(
+                pairs.select(
+                    F.col("media_id1").alias("id1"), F.col("media_id2").alias("id2")
+                )
+            ).select(F.col("doc_id").alias("media_id"))
+        else:
+            drop = pairs.select(
+                F.greatest("media_id1", "media_id2").alias("media_id")
+            ).distinct()
+        rejected_parts.append(
+            drop.select("media_id", F.lit("duplicate:perceptual").alias("reason"))
+        )
+        clean = clean.join(drop, "media_id", "left_anti")
+
+    rejected = rejected_parts[0]
+    for p in rejected_parts[1:]:
+        rejected = rejected.unionByName(p)
+    return clean, rejected
