@@ -479,6 +479,10 @@ def gen_media_containers() -> tuple[
     yframes = [rng.integers(0, 255, (12, 16, 3), dtype=np.uint8) for _ in range(3)]
     add(28, "video", C.encode_y4m(yframes, rate=(30000, 1001)))
     video_truth.append((28, 3, 16, 12, 30000 / 1001, 1000.0 * 3 * 1001 / 30000))
+    # 29: APNG (late round 9) — 4 frames at 8 cs each: fps = 4/0.32
+    aframes = [rng.integers(0, 255, (9, 11, 4), dtype=np.uint8) for _ in range(4)]
+    add(29, "video", C.encode_apng(aframes, delay_cs=8))
+    video_truth.append((29, 4, 11, 9, 4 / 0.32, 320.0))
     # pre-round-8 rows carry no tag/pcm expectations (untagged fixtures,
     # compressed or frameless streams): pad to the 10-column truth shape
     audio_truth = [r + (None,) * (10 - len(r)) for r in audio_truth]

@@ -7363,6 +7363,234 @@ def encode_ico(images: list[np.ndarray], png: bool = False) -> bytes:
     return out + dirents + body
 
 
+# --- APNG (round 9) ---------------------------------------------------------
+#
+# Animated PNG, per the public APNG spec folded into PNG 3rd edition:
+# acTL (frame/play counts, before IDAT), per-frame fcTL (region
+# geometry, delay fraction, dispose/blend ops), fdAT (sequence-
+# numbered IDAT-equivalent region data). Every region decodes through
+# the EXISTING decode_png kernel by rebuilding a minimal PNG around
+# the region's chunks (same IHDR depth/color, copied PLTE/tRNS), so
+# filters/interlace/bit depths are covered for free; composition
+# (blend source/over, dispose none/background/previous) mirrors the
+# GIF canvas walk. A PNG without acTL is not an APNG — is_png stays
+# true for both, and decode_image keeps returning the spec's DEFAULT
+# image for still consumers.
+
+
+def is_apng(data: bytes) -> bool:
+    """PNG whose acTL chunk appears before IDAT (the spec's rule)."""
+    if not is_png(data):
+        return False
+    pos = 8
+    n = len(data)
+    for _ in range(64):  # acTL must be early; bounded probe
+        if pos + 8 > n:
+            return False
+        (ln,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        if ctype == b"acTL":
+            return True
+        if ctype == b"IDAT":
+            return False
+        pos += 12 + ln
+    return False
+
+
+def _apng_walk(data: bytes):
+    """(ihdr_body, aux_chunks, acTL, frames) where frames is a list of
+    (fcTL_body, [raw data streams]) — the first frame's data may be the
+    default image's IDAT."""
+    if not is_png(data):
+        raise ValueError("not a PNG")
+    pos = 8
+    n = len(data)
+    ihdr = None
+    aux = []  # PLTE / tRNS pass through to region decodes
+    actl = None
+    frames: list[tuple[bytes, list[bytes]]] = []
+    idat_frame = False  # current frame collects IDAT (default image)
+    seq_expect = 0
+    while pos + 8 <= n:
+        (ln,) = struct.unpack_from(">I", data, pos)
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + ln
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype in (b"PLTE", b"tRNS"):
+            aux.append((ctype, body))
+        elif ctype == b"acTL":
+            if len(body) < 8:
+                raise ValueError("truncated acTL")
+            actl = struct.unpack(">II", body[:8])
+        elif ctype == b"fcTL":
+            if len(body) < 26:
+                raise ValueError("truncated fcTL")
+            (seq,) = struct.unpack_from(">I", body, 0)
+            if seq != seq_expect:
+                raise ValueError(f"APNG sequence number {seq}, expected {seq_expect}")
+            seq_expect += 1
+            frames.append((body, []))
+            # an IDAT following the FIRST fcTL is frame 0's data (the
+            # default image participates in the animation)
+            idat_frame = len(frames) == 1
+        elif ctype == b"IDAT":
+            if idat_frame:
+                frames[0][1].append(body)
+            # IDAT with no preceding fcTL: default image only — skip
+        elif ctype == b"fdAT":
+            if len(body) < 4:
+                raise ValueError("truncated fdAT")
+            (seq,) = struct.unpack_from(">I", body, 0)
+            if seq != seq_expect:
+                raise ValueError(f"APNG sequence number {seq}, expected {seq_expect}")
+            seq_expect += 1
+            if not frames:
+                raise ValueError("fdAT before any fcTL")
+            frames[-1][1].append(body[4:])
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or actl is None:
+        raise ValueError("not an APNG (missing IHDR/acTL)")
+    if len(frames) != actl[0]:
+        raise ValueError(
+            f"acTL declares {actl[0]} frames, stream carries {len(frames)}"
+        )
+    return ihdr, aux, actl, frames
+
+
+def _to_rgba(img: np.ndarray) -> np.ndarray:
+    h, w, c = img.shape
+    if c == 4:
+        return img
+    if c == 3:
+        return np.dstack([img, np.full((h, w), 255, np.uint8)])
+    if c == 2:
+        return np.dstack([np.repeat(img[:, :, :1], 3, 2), img[:, :, 1]])
+    return np.dstack([np.repeat(img, 3, 2), np.full((h, w), 255, np.uint8)])
+
+
+def apng_info(data: bytes) -> dict:
+    """Header walk: n_frames, n_plays, width, height, fps (mean of the
+    per-frame delay fractions), duration_ms."""
+    data = bytes(data)
+    ihdr, _aux, actl, frames = _apng_walk(data)
+    w, h = struct.unpack_from(">II", ihdr, 0)
+    total_s = 0.0
+    for fctl, _chunks in frames:
+        num, den = struct.unpack_from(">HH", fctl, 20)
+        total_s += num / (den or 100)  # den 0 means 1/100 s (spec)
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_frames": len(frames),
+        "n_plays": actl[1],
+        "fps": len(frames) / total_s if total_s else None,
+        "duration_ms": total_s * 1000.0 if total_s else None,
+    }
+
+
+def decode_apng_frames(
+    data: bytes, frame_indices: "set[int] | None" = None
+) -> list[np.ndarray]:
+    """Full-canvas RGBA frames. Composition per the spec: blend 0
+    replaces the region (alpha included), blend 1 alpha-composites
+    over; dispose 0 leaves the canvas, 1 clears the region to
+    transparent, 2 reverts it. Every prior frame must compose (like
+    GIF), but canvases are COPIED only for sampled ordinals and the
+    walk stops after the last one."""
+    data = bytes(data)
+    ihdr, aux, _actl, frames = _apng_walk(data)
+    cw, ch = struct.unpack_from(">II", ihdr, 0)
+    _check_pixels(cw, ch, "APNG")
+    last = max(frame_indices) if frame_indices else None
+    canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+    out: list[np.ndarray] = []
+    for idx, (fctl, chunks) in enumerate(frames):
+        _seq, w, h, x, y = struct.unpack_from(">IIIII", fctl, 0)
+        dispose, blend = fctl[24], fctl[25]
+        if x + w > cw or y + h > ch or w == 0 or h == 0:
+            raise ValueError("APNG frame region outside the canvas")
+        if not chunks:
+            raise ValueError("APNG frame without data chunks")
+        region_ihdr = struct.pack(">II", w, h) + ihdr[8:]
+        mini = bytearray(PNG_SIG)
+        mini += _png_chunk(b"IHDR", region_ihdr)
+        for ctype, body in aux:
+            mini += _png_chunk(ctype, body)
+        for c in chunks:
+            mini += _png_chunk(b"IDAT", c)
+        mini += _png_chunk(b"IEND", b"")
+        region = _to_rgba(decode_png(bytes(mini)))
+        saved = canvas[y : y + h, x : x + w].copy() if dispose == 2 else None
+        if blend == 0 or idx == 0:  # frame 0 always blends as source
+            canvas[y : y + h, x : x + w] = region
+        else:  # over
+            dst = canvas[y : y + h, x : x + w].astype(np.float64)
+            src = region.astype(np.float64)
+            sa = src[:, :, 3:4] / 255.0
+            da = dst[:, :, 3:4] / 255.0
+            oa = sa + da * (1 - sa)
+            rgb = src[:, :, :3] * sa + dst[:, :, :3] * da * (1 - sa)
+            with np.errstate(invalid="ignore"):
+                rgb = np.where(oa > 0, rgb / np.where(oa > 0, oa, 1.0), 0)
+            blended = np.dstack([rgb, oa * 255.0])
+            canvas[y : y + h, x : x + w] = np.clip(
+                np.round(blended), 0, 255
+            ).astype(np.uint8)
+        if frame_indices is None or idx in frame_indices:
+            out.append(canvas.copy())
+        if dispose == 1:
+            canvas[y : y + h, x : x + w] = 0
+        elif dispose == 2:
+            canvas[y : y + h, x : x + w] = saved
+        if last is not None and idx >= last:
+            break
+    if not out:
+        raise ValueError("no sampled APNG frames")
+    return out
+
+
+def encode_apng(
+    frames: list[np.ndarray], delay_cs: int = 10, n_plays: int = 0
+) -> bytes:
+    """Fixture twin: full-canvas RGBA frames, blend source, dispose
+    none — a conformant stream any APNG reader plays identically.
+    Frame 0 doubles as the default image (fcTL before IDAT)."""
+    if not frames:
+        raise ValueError("APNG needs at least one frame")
+    rgba = [_to_rgba(np.asarray(f, dtype=np.uint8)) for f in frames]
+    h, w = rgba[0].shape[:2]
+    out = bytearray(PNG_SIG)
+    out += _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0))
+    out += _png_chunk(b"acTL", struct.pack(">II", len(rgba), n_plays))
+    seq = 0
+
+    def raw_idat(img: np.ndarray) -> bytes:
+        raw = b"".join(b"\x00" + img[yy].tobytes() for yy in range(img.shape[0]))
+        return zlib.compress(raw, 6)
+
+    for i, f in enumerate(rgba):
+        if f.shape[:2] != (h, w):
+            raise ValueError("APNG frames must share canvas dimensions")
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, delay_cs, 100, 0, 0
+        )
+        out += _png_chunk(b"fcTL", fctl)
+        seq += 1
+        payload = raw_idat(f)
+        if i == 0:
+            out += _png_chunk(b"IDAT", payload)
+        else:
+            out += _png_chunk(b"fdAT", struct.pack(">I", seq) + payload)
+            seq += 1
+    out += _png_chunk(b"IEND", b"")
+    return bytes(out)
+
+
 # --- Y4M / YUV4MPEG2 (round 9) ---------------------------------------------
 #
 # The uncompressed interchange format video pipelines move frames in
@@ -7815,8 +8043,18 @@ def video_info(data: bytes) -> dict:
             "fps": info["fps"],
             "duration_ms": info["duration_ms"],
         }
+    if is_apng(data):
+        info = apng_info(data)
+        return {
+            "n_frames": info["n_frames"],
+            "width": info["width"],
+            "height": info["height"],
+            "fps": info["fps"],
+            "duration_ms": info["duration_ms"],
+        }
     raise ValueError(
-        "not a supported video container (MJPEG AVI / GIF / MP4 / WebM / Y4M)"
+        "not a supported video container (MJPEG AVI / GIF / MP4 / WebM / "
+        "Y4M / APNG)"
     )
 
 

@@ -751,6 +751,8 @@ def video_frames(
     def decode_clip(b: bytes) -> list[np.ndarray]:
         if codecs.is_gif(b):  # animated GIFs are videos too
             return codecs.decode_gif_frames(b, frame_indices=sampled)
+        if codecs.is_apng(b):  # animated PNG: fcTL/fdAT composition
+            return codecs.decode_apng_frames(b, frame_indices=sampled)
         if codecs.is_y4m(b):  # uncompressed interchange: always real
             return codecs.decode_y4m_frames(b, frame_indices=sampled)
         if codecs.is_avi(b):
@@ -840,6 +842,8 @@ def video_frame_dhash(
     def clip_hashes(b: bytes) -> list[int]:
         if codecs.is_gif(b):
             frames = codecs.decode_gif_frames(b, frame_indices=sampled)
+        elif codecs.is_apng(b):
+            frames = codecs.decode_apng_frames(b, frame_indices=sampled)
         elif codecs.is_y4m(b):
             frames = codecs.decode_y4m_frames(b, frame_indices=sampled)
         else:

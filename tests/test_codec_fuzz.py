@@ -381,3 +381,10 @@ def test_fuzz_y4m_and_webp_walks():
         C.encode_webp_skeleton(8, 8, n_anim_frames=3),
     ]
     _hammer(C.webp_info, webp_corpus, seed=74)
+
+
+def test_fuzz_apng():
+    frames = [_img(8, 10, 4, 81) for _ in range(3)]
+    corpus = [C.encode_apng(frames), C.encode_apng(frames[:1])]
+    _hammer(C.decode_apng_frames, corpus, seed=82)
+    _hammer(C.apng_info, corpus, seed=83)

@@ -264,6 +264,27 @@ def op_audio_afp(spark, media):
     return audio_fingerprint(media)
 
 
+def op_audio_analysis(spark, media):
+    # full PCM decode + K-weighted loudness + framed rFFT features —
+    # the audio tier's deepest per-file kernel (round 9)
+    from pg2kinesis_spark.functions.multimodal import extract_audio_analysis
+
+    return extract_audio_analysis(media)
+
+
+def op_audio_curate(spark, media):
+    # the full composition: gates (duration + silence) -> exact dedup
+    # -> fingerprint near-dup; clean count = rows/2 exactly (every
+    # WAV/FLAC twin collapses, nothing else gates on this corpus)
+    from pg2kinesis_spark.functions.multimodal import curate_media
+
+    clean, _rejected = curate_media(
+        media, kind="audio", min_duration_ms=100, max_silence_ratio=0.9,
+        max_hamming=0,
+    )
+    return clean
+
+
 def op_audio_neardup(spark, media):
     # decode -> energy-envelope fingerprint -> segment-equi-join pair
     # search; planted WAV/FLAC twins are hamming-0, so output = rows/2
@@ -351,6 +372,8 @@ OPS = {
     "audio_features": op_audio_features,
     "audio_afp": op_audio_afp,
     "audio_neardup": op_audio_neardup,
+    "audio_analysis": op_audio_analysis,
+    "audio_curate": op_audio_curate,
 }
 
 
