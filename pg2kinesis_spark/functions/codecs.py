@@ -5758,9 +5758,11 @@ def decode_image(data: bytes, deterministic: bool = False) -> np.ndarray:
         return decode_ico(b)
     if is_webp(b):
         return decode_webp(b)
+    if is_pnm(b):
+        return decode_pnm(b)
     raise NotImplementedError(
-        "only PNG, baseline JPEG, GIF, TIFF, BMP, and ICO decode are "
-        "available in this environment"
+        "only PNG, baseline JPEG, GIF, TIFF, BMP, ICO, and PNM decode "
+        "are available in this environment"
     )
 
 
@@ -7361,6 +7363,142 @@ def encode_ico(images: list[np.ndarray], png: bool = False) -> bytes:
         off += len(pl)
         body += pl
     return out + dirents + body
+
+
+# --- PNM (PBM/PGM/PPM, round 9) ---------------------------------------------
+#
+# The netpbm family CV pipelines and academic datasets move frames in:
+# P1/P2/P3 (ASCII) and P4/P5/P6 (binary) with #-comments anywhere in
+# the header, arbitrary maxval (two-byte big-endian samples above
+# 255), and P4's packed 1-means-black bitmap rows. Samples scale to
+# 8-bit by round(v * 255 / maxval) — exact for the common 255/65535
+# and the spec's own scaling rule for the odd maxvals real tools emit.
+
+
+def is_pnm(data: bytes) -> bool:
+    # magic must be followed by whitespace or a comment — bare "P3x"
+    # text must not sniff as an image
+    return (
+        len(data) >= 3
+        and data[0:1] == b"P"
+        and data[1:2] in b"123456"
+        and (data[2:3].isspace() or data[2:3] == b"#")
+    )
+
+
+def _pnm_tokens(data: bytes, n_tokens: int, start: int = 0):
+    """Yield header tokens, skipping whitespace and # comments;
+    returns (tokens, position after the single whitespace that
+    terminates the last token)."""
+    toks = []
+    pos = start
+    n = len(data)
+    while len(toks) < n_tokens:
+        while pos < n and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < n and data[pos] == 0x23:  # '#'
+            eol = data.find(b"\n", pos)
+            if eol < 0:
+                raise ValueError("unterminated PNM comment")
+            pos = eol + 1
+            continue
+        t0 = pos
+        while pos < n and not data[pos : pos + 1].isspace() and data[pos] != 0x23:
+            pos += 1
+        if pos == t0:
+            raise ValueError("truncated PNM header")
+        toks.append(data[t0:pos])
+        if len(toks) == n_tokens:
+            # exactly ONE whitespace byte terminates the header before
+            # binary raster data (the spec's rule)
+            if pos < n and data[pos : pos + 1].isspace():
+                pos += 1
+    return toks, pos
+
+
+def decode_pnm(data: bytes) -> np.ndarray:
+    """(H, W, 1|3) uint8; PBM's 1 decodes as BLACK (0) per the spec."""
+    data = bytes(data)
+    if not is_pnm(data):
+        raise ValueError("not a PNM: bad magic")
+    kind = data[1] - 0x30
+    bitmap = kind in (1, 4)
+    nch = 3 if kind in (3, 6) else 1
+    n_hdr = 2 if bitmap else 3
+    toks, pos = _pnm_tokens(data, n_hdr, start=2)
+    w, h = int(toks[0]), int(toks[1])
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNM dimensions {w}x{h}")
+    _check_pixels(w, h, "PNM")
+    maxval = 1 if bitmap else int(toks[2])
+    if not bitmap and not 1 <= maxval <= 65535:
+        raise ValueError(f"bad PNM maxval {maxval}")
+    count = w * h * nch
+    if kind in (1, 2, 3):  # ASCII rasters
+        vals = data[pos:].split()
+        if len(vals) < count:
+            raise ValueError("truncated PNM ASCII raster")
+        arr = np.array([int(v) for v in vals[:count]], dtype=np.int64)
+        if arr.min() < 0 or arr.max() > maxval:
+            raise ValueError("PNM sample exceeds maxval")
+    elif kind == 4:  # packed bits, rows byte-aligned
+        stride = (w + 7) // 8
+        need = stride * h
+        raw = data[pos : pos + need]
+        if len(raw) < need:
+            raise ValueError("truncated PNM bitmap raster")
+        rows = np.frombuffer(raw, np.uint8).reshape(h, stride)
+        arr = np.unpackbits(rows, axis=1)[:, :w].astype(np.int64).reshape(-1)
+    else:  # P5 / P6 binary
+        wide = maxval > 255
+        need = count * (2 if wide else 1)
+        raw = data[pos : pos + need]
+        if len(raw) < need:
+            raise ValueError("truncated PNM binary raster")
+        arr = np.frombuffer(raw, ">u2" if wide else np.uint8)[:count].astype(np.int64)
+        if arr.max(initial=0) > maxval:
+            raise ValueError("PNM sample exceeds maxval")
+    if bitmap:
+        out = np.where(arr == 1, 0, 255).astype(np.uint8)  # 1 = black
+    elif maxval == 255:
+        out = arr.astype(np.uint8)
+    else:
+        # exact integer round-half-up of v*255/maxval (float would put
+        # exact .5 midpoints one ulp low)
+        out = ((arr * 510 + maxval) // (2 * maxval)).astype(np.uint8)
+    return out.reshape(h, w, nch)
+
+
+def encode_pnm(img: np.ndarray, binary: bool = True, maxval: int = 255) -> bytes:
+    """Fixture twin: gray → PGM, RGB → PPM (``maxval`` up to 65535
+    scales samples up with round(v * maxval / 255)); a strictly 0/255
+    single-channel image with ``maxval=1`` writes PBM."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if c not in (1, 3):
+        raise ValueError(f"PNM encode supports 1 or 3 channels, got {c}")
+    if maxval == 1:
+        if c != 1 or not np.isin(img, (0, 255)).all():
+            raise ValueError("maxval=1 (PBM) needs a strictly 0/255 gray image")
+        bits = (img[:, :, 0] == 0).astype(np.uint8)  # black = 1
+        if binary:
+            return f"P4\n{w} {h}\n".encode() + np.packbits(bits, axis=1).tobytes()
+        body = "\n".join(" ".join(map(str, r)) for r in bits.tolist())
+        return f"P1\n{w} {h}\n{body}\n".encode()
+    vals = img.astype(np.int64)
+    if maxval != 255:
+        if not 1 < maxval <= 65535:
+            raise ValueError(f"bad maxval {maxval}")
+        vals = np.round(vals * (maxval / 255.0)).astype(np.int64)
+    magic = {True: {1: "P5", 3: "P6"}, False: {1: "P2", 3: "P3"}}[binary][c]
+    hdr = f"{magic}\n# pg2kinesis_spark fixture\n{w} {h}\n{maxval}\n".encode()
+    if binary:
+        dt = ">u2" if maxval > 255 else np.uint8
+        return hdr + vals.astype(dt).tobytes()
+    body = " ".join(map(str, vals.reshape(-1).tolist()))
+    return hdr + body.encode() + b"\n"
 
 
 # --- APNG (round 9) ---------------------------------------------------------

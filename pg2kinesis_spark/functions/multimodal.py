@@ -945,6 +945,14 @@ def sniff_mime(content: "F.Column") -> "F.Column":
         )
         .when(sub(1, 2) == F.lit(b"BM"), "image/bmp")
         .when(sig4 == F.lit(b"\x00\x00\x01\x00"), "image/x-icon")
+        .when(
+            (sub(1, 1) == F.lit(b"P"))
+            & F.substring(content, 2, 1).isin([bytes([c]) for c in b"123456"])
+            & F.substring(content, 3, 1).isin(
+                [b"\n", b"\r", b"\t", b" ", b"#"]
+            ),
+            "image/x-portable-anymap",
+        )
         .when(sig4 == F.lit(b"fLaC"), "audio/flac")
         .when(sig4 == F.lit(b"OggS"), "audio/ogg")
         .when((sig4 == F.lit(b"RIFF")) & (sub(9, 4) == F.lit(b"WAVE")), "audio/wav")

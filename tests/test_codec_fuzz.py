@@ -388,3 +388,17 @@ def test_fuzz_apng():
     corpus = [C.encode_apng(frames), C.encode_apng(frames[:1])]
     _hammer(C.decode_apng_frames, corpus, seed=82)
     _hammer(C.apng_info, corpus, seed=83)
+
+
+def test_fuzz_pnm():
+    rgb = _img(9, 13, 3, 91)
+    gray = _img(9, 13, 1, 92)
+    bw = np.where(gray > 127, 255, 0).astype(np.uint8)
+    corpus = [
+        C.encode_pnm(rgb),
+        C.encode_pnm(rgb, binary=False),
+        C.encode_pnm(gray, maxval=65535),
+        C.encode_pnm(bw, maxval=1),
+    ]
+    _hammer(C.decode_pnm, corpus, seed=93)
+    _hammer(C.decode_image, corpus, seed=94)
