@@ -26,6 +26,10 @@ features/dHash/resize, all inside Arrow batches.
 * BMP/ICO (round 9): core + INFO-family DIB headers, 1/4/8-bit
   palette, RLE8/RLE4, 16/32-bit bitfields, bottom-up/top-down; ICO
   walks the ICONDIR (PNG or DIB entries, AND-mask alpha).
+* PNM (P1-P6), TGA (incl. RLE + 15/16-bit + palette), APNG (fcTL/
+  fdAT composition through the PNG kernel), Y4M (BT.601 studio-swing
+  planar decode), WebP (container truth; pixel decode refuses) —
+  all round 9.
 
 MP3 and non-MJPEG video remain honestly unimplemented
 (``NotImplementedError``). The decode/encode pairs are written
@@ -5760,9 +5764,11 @@ def decode_image(data: bytes, deterministic: bool = False) -> np.ndarray:
         return decode_webp(b)
     if is_pnm(b):
         return decode_pnm(b)
+    if is_tga(b):  # no magic number — structural check runs LAST
+        return decode_tga(b)
     raise NotImplementedError(
-        "only PNG, baseline JPEG, GIF, TIFF, BMP, ICO, and PNM decode "
-        "are available in this environment"
+        "only PNG, baseline JPEG, GIF, TIFF, BMP, ICO, PNM, and TGA "
+        "decode are available in this environment"
     )
 
 
@@ -7363,6 +7369,175 @@ def encode_ico(images: list[np.ndarray], png: bool = False) -> bytes:
         off += len(pl)
         body += pl
     return out + dirents + body
+
+
+# --- TGA (Truevision, round 9) -----------------------------------------------
+#
+# The graphics/game-asset interchange format: 18-byte header, optional
+# id field and colormap, image types 1/2/3 (+8 for RLE), 8/15/16/24/
+# 32-bit pixels, bottom-up default with descriptor-bit flips. TGA has
+# NO magic number — is_tga is a structural plausibility check (legal
+# type/depth combinations), so it runs LAST in the decode_image
+# dispatch and never shadows a real magic.
+
+
+def is_tga(data: bytes) -> bool:
+    if len(data) < 18:
+        return False
+    cmap_type, img_type = data[1], data[2]
+    depth = data[16]
+    if cmap_type not in (0, 1):
+        return False
+    base = img_type & ~8
+    if base not in (1, 2, 3) or (img_type & ~11):
+        return False
+    if base == 1 and (cmap_type != 1 or depth != 8):
+        return False
+    if base == 2 and depth not in (15, 16, 24, 32):
+        return False
+    if base == 3 and depth != 8:
+        return False
+    w, h = struct.unpack_from("<HH", data, 12)
+    return w > 0 and h > 0
+
+
+def _tga_rle(data: bytes, pos: int, count: int, nb: int) -> bytes:
+    """Expand RLE packets to count*nb raw pixel bytes."""
+    out = bytearray()
+    need = count * nb
+    n = len(data)
+    while len(out) < need:
+        if pos >= n:
+            raise ValueError("truncated TGA RLE stream")
+        hdr = data[pos]
+        pos += 1
+        cnt = (hdr & 127) + 1
+        if hdr & 128:  # run packet: one pixel repeated
+            px = data[pos : pos + nb]
+            if len(px) < nb:
+                raise ValueError("truncated TGA RLE run")
+            pos += nb
+            out += px * cnt
+        else:  # raw packet
+            raw = data[pos : pos + cnt * nb]
+            if len(raw) < cnt * nb:
+                raise ValueError("truncated TGA RLE raw packet")
+            pos += cnt * nb
+            out += raw
+    return bytes(out[:need])
+
+
+def decode_tga(data: bytes) -> np.ndarray:
+    """(H, W, 1|3|4) uint8 — gray, BGR->RGB, BGRA->RGBA, 15/16-bit
+    ARRRRRGG expanded by top-bit replication, palette lookups."""
+    data = bytes(data)
+    if not is_tga(data):
+        raise ValueError("not a plausible TGA header")
+    id_len, cmap_type, img_type = data[0], data[1], data[2]
+    cm_first, cm_len, cm_bits = struct.unpack_from("<HHB", data, 3)
+    w, h = struct.unpack_from("<HH", data, 12)
+    depth, desc = data[16], data[17]
+    _check_pixels(w, h, "TGA")
+    pos = 18 + id_len
+    cmap = None
+    if cmap_type == 1:
+        cm_nb = (cm_bits + 7) // 8
+        if cm_bits not in (15, 16, 24, 32):
+            raise ValueError(f"bad TGA colormap entry size {cm_bits}")
+        raw = data[pos : pos + cm_len * cm_nb]
+        if len(raw) < cm_len * cm_nb:
+            raise ValueError("truncated TGA colormap")
+        pos += cm_len * cm_nb
+        ent = np.frombuffer(raw, np.uint8).reshape(cm_len, cm_nb)
+        if cm_nb == 2:
+            v = ent[:, 0].astype(np.uint32) | (ent[:, 1].astype(np.uint32) << 8)
+            cmap = np.stack(
+                [_scale_to_8bit((v >> s) & 31, 5) for s in (10, 5, 0)], axis=1
+            )
+        elif cm_nb == 3:
+            cmap = ent[:, [2, 1, 0]]
+        else:
+            cmap = ent[:, [2, 1, 0, 3]]
+    nb = (depth + 7) // 8
+    count = w * h
+    if img_type & 8:
+        raw = _tga_rle(data, pos, count, nb)
+    else:
+        raw = data[pos : pos + count * nb]
+        if len(raw) < count * nb:
+            raise ValueError("truncated TGA pixel data")
+    px = np.frombuffer(raw, np.uint8).reshape(h, w, nb)
+    base = img_type & ~8
+    if base == 3:
+        out = px  # gray
+    elif base == 1:
+        idx = px[:, :, 0]
+        if int(idx.max()) >= (cm_first + len(cmap)) or int(idx.min()) < cm_first:
+            raise ValueError("TGA palette index out of range")
+        out = cmap[idx - cm_first]
+    elif nb == 2:  # 15/16-bit ARRRRRGG GGGBBBBB (little-endian)
+        v = px[:, :, 0].astype(np.uint32) | (px[:, :, 1].astype(np.uint32) << 8)
+        out = np.dstack([_scale_to_8bit((v >> s) & 31, 5) for s in (10, 5, 0)])
+    elif nb == 3:
+        out = px[:, :, [2, 1, 0]]
+    elif nb == 4:
+        out = px[:, :, [2, 1, 0, 3]]
+    else:
+        raise ValueError(f"bad TGA depth {depth} for type {img_type}")
+    if not desc & 0x20:  # bottom-up default
+        out = out[::-1]
+    if desc & 0x10:  # right-to-left
+        out = out[:, ::-1]
+    return np.ascontiguousarray(out)
+
+
+def encode_tga(img: np.ndarray, rle: bool = False, top_down: bool = True) -> bytes:
+    """Fixture twin: gray (type 3), BGR (2), BGRA (2/32), optional RLE
+    (+8) with runs split at the 128 cap."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if c == 1:
+        base, depth, px = 3, 8, img
+    elif c == 3:
+        base, depth, px = 2, 24, img[:, :, [2, 1, 0]]
+    elif c == 4:
+        base, depth, px = 2, 32, img[:, :, [2, 1, 0, 3]]
+    else:
+        raise ValueError(f"TGA encode supports 1/3/4 channels, got {c}")
+    if not top_down:
+        px = px[::-1]
+    desc = (0x20 if top_down else 0) | (8 if c == 4 else 0)
+    hdr = struct.pack(
+        "<BBBHHBHHHHBB", 0, 0, base | (8 if rle else 0), 0, 0, 0,
+        0, 0, w, h, depth, desc,
+    )
+    flat = px.reshape(-1, px.shape[2])
+    if not rle:
+        return hdr + flat.tobytes()
+    out = bytearray(hdr)
+    i = 0
+    n = flat.shape[0]
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and (flat[i + run] == flat[i]).all():
+            run += 1
+        if run >= 2:
+            out.append(0x80 | (run - 1))
+            out += flat[i].tobytes()
+            i += run
+        else:
+            j = i + 1
+            while (
+                j < n and j - i < 128
+                and not (j + 1 < n and (flat[j] == flat[j + 1]).all())
+            ):
+                j += 1
+            out.append((j - i) - 1)
+            out += flat[i:j].tobytes()
+            i = j
+    return bytes(out)
 
 
 # --- PNM (PBM/PGM/PPM, round 9) ---------------------------------------------

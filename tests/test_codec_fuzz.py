@@ -402,3 +402,13 @@ def test_fuzz_pnm():
     ]
     _hammer(C.decode_pnm, corpus, seed=93)
     _hammer(C.decode_image, corpus, seed=94)
+
+
+def test_fuzz_tga():
+    rgb = _img(9, 13, 3, 95)
+    corpus = [
+        C.encode_tga(rgb),
+        C.encode_tga(rgb // 64 * 64, rle=True),
+        C.encode_tga(np.dstack([rgb, _img(9, 13, 1, 96)[:, :, 0]])),
+    ]
+    _hammer(C.decode_tga, corpus, seed=97)
