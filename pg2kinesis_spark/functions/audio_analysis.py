@@ -14,16 +14,15 @@ Measures:
 * **Integrated loudness (LUFS)** per ITU-R BS.1770-4: per-channel
   K-weighting (two cascaded biquads), 400 ms blocks at 75 % overlap,
   the -0.691 dB offset, -70 LUFS absolute gate, then the -10 LU
-  relative gate. The K-filter is *derived* at any sample rate from the
-  published analog parameters of the 48 kHz design (high-shelf
-  f0 = 1681.97 Hz / +3.9998 dB / Q = 0.70718; high-pass
-  f0 = 38.1355 Hz / Q = 0.50033 — the parameters recovered from the
-  ITU coefficient table in De Man, "Evaluation of Implementations of
-  the EBU R128 Loudness Measurement", AES 2014) via the RBJ Audio-EQ
-  cookbook bilinear forms; at exactly 48 kHz the derivation reproduces
-  the coefficient table printed in BS.1770 itself to ~1e-6, and the
-  test suite pins that equality. The spec's own conformance anchor —
-  a 0 dBFS 997/1000 Hz sine reads -3.01 LKFS — is the analytic oracle.
+  relative gate. At 48 kHz the K-filter coefficients are the tables
+  printed in the spec itself, VERBATIM; at any other rate they are
+  derived from those tables by mapping the published filter back to
+  its analog prototype (inverse bilinear transform) and
+  re-discretizing — no remembered shelf parameters anywhere, and the
+  48 kHz round trip is exact by construction (pinned in tests). The
+  spec's own conformance anchor — a 0 dBFS 997/1000 Hz sine reads
+  -3.01 LKFS — is the analytic oracle, and it holds at 44.1/32/96 kHz
+  through the derivation.
 * **peak_dbfs / rms_dbfs**: sample peak and whole-file RMS in dB
   relative to full scale.
 * **silence_ratio**: fraction of complete 100 ms frames whose RMS is
@@ -277,3 +276,82 @@ def analyze_pcm(samples: np.ndarray, rate: int, bits: int) -> dict:
         "spectral_rolloff_hz": spec[1] if spec else None,
         "spectral_flatness": spec[2] if spec else None,
     }
+
+
+# --- Landmark (constellation) fingerprint ---------------------------------
+#
+# The spectral-peak pairing scheme of Wang's landmark paper (the
+# public "industrial-strength audio search" design): constellation
+# peaks survive volume changes, codec noise, and — unlike the
+# envelope fingerprints in opus.py/multimodal.audio_fingerprint —
+# TIME SHIFTS, because matches vote on a consistent offset rather
+# than comparing aligned windows. Peaks and hashes are pure numpy;
+# the Spark side joins (hash) longs and votes on (pair, dt) — audio
+# bytes never cross the wire.
+
+_LM_NFFT = 1024
+_LM_HOP = 512
+_LM_PEAKS_PER_FRAME = 3
+_LM_FAN_OUT = 5
+_LM_MAX_DT = 64  # frames an anchor may pair ahead
+
+
+def spectral_peaks(
+    x: np.ndarray,
+    rate: int,
+    n_fft: int = _LM_NFFT,
+    hop: int = _LM_HOP,
+    peaks_per_frame: int = _LM_PEAKS_PER_FRAME,
+) -> list[tuple[int, int]]:
+    """(frame_idx, bin) constellation: per Hann-windowed frame, the
+    top-k bins that are LOCAL maxima (greater than both neighbors),
+    excluding DC. Amplitude-invariant by construction — scaling the
+    signal scales every magnitude equally."""
+    x = np.asarray(x, dtype=np.float64)
+    m = x.mean(axis=1) if x.ndim == 2 else x
+    n = m.shape[0]
+    if n < n_fft:
+        return []
+    window = np.hanning(n_fft)
+    n_frames = (n - n_fft) // hop + 1
+    starts = np.arange(n_frames) * hop
+    frames = m[starts[:, None] + np.arange(n_fft)] * window
+    mag = np.abs(np.fft.rfft(frames, axis=1))
+    # local-maximum mask over the bin axis (exclude DC and Nyquist)
+    inner = mag[:, 1:-1]
+    is_peak = (inner > mag[:, :-2]) & (inner >= mag[:, 2:]) & (inner > 0)
+    out: list[tuple[int, int]] = []
+    for t in range(n_frames):
+        bins = np.nonzero(is_peak[t])[0] + 1
+        if bins.size == 0:
+            continue
+        top = bins[np.argsort(mag[t, bins])[::-1][:peaks_per_frame]]
+        out.extend((t, int(b)) for b in np.sort(top))
+    return out
+
+
+def landmark_hashes(
+    peaks: list[tuple[int, int]],
+    fan_out: int = _LM_FAN_OUT,
+    max_dt: int = _LM_MAX_DT,
+) -> list[tuple[int, int]]:
+    """(hash, t1) landmarks: each anchor peak pairs with up to
+    ``fan_out`` later peaks within ``max_dt`` frames; the hash packs
+    (bin1, bin2, dt) — fully describing the local geometry, so a
+    matching hash at offset dt in another clip is strong evidence."""
+    out: list[tuple[int, int]] = []
+    n = len(peaks)
+    for i, (t1, b1) in enumerate(peaks):
+        paired = 0
+        for j in range(i + 1, n):
+            t2, b2 = peaks[j]
+            dt = t2 - t1
+            if dt == 0:
+                continue
+            if dt > max_dt:
+                break
+            out.append(((b1 << 22) | (b2 << 12) | dt, t1))
+            paired += 1
+            if paired >= fan_out:
+                break
+    return out

@@ -1676,3 +1676,108 @@ def curate_media(
     for p in rejected_parts[1:]:
         rejected = rejected.unionByName(p)
     return clean, rejected
+
+
+AUDIO_LANDMARK_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("lm_hash", T.LongType()),
+        T.StructField("t1", T.IntegerType()),
+        _ERROR_FIELD,
+    ]
+)
+
+
+def extract_audio_landmarks(media: DataFrame, errors: str = "quarantine") -> DataFrame:
+    """Constellation landmarks (``audio_analysis.spectral_peaks`` →
+    ``landmark_hashes``) over the lossless front door: one row per
+    (media_id, lm_hash, t1). The envelope fingerprint's time-SHIFT
+    blind spot is exactly what these close — matching is offset-vote
+    based (see audio_landmark_match)."""
+    import pandas as pd
+
+    from . import audio_analysis
+
+    _check_errors(errors)
+
+    def one(c: bytes):
+        samples, rate, bits = _decode_lossless_pcm(c)
+        x = samples.astype("float64") / float(1 << (bits - 1))
+        peaks = audio_analysis.spectral_peaks(x, rate)
+        return audio_analysis.landmark_hashes(peaks)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                hl, err = _guard(errors, one, bytes(c))
+                if hl is None:
+                    rows.append((mid, None, None, err))
+                    continue
+                for h, t1 in hl:
+                    rows.append((mid, h, t1, None))
+            yield pd.DataFrame(rows, columns=["media_id", "lm_hash", "t1", "decode_error"])
+
+    return media.mapInPandas(kernel, AUDIO_LANDMARK_SCHEMA)
+
+
+def audio_landmark_match(
+    media: DataFrame,
+    min_votes: int = 8,
+    hot_hash_cap: int | None = 64,
+    errors: str = "quarantine",
+) -> DataFrame:
+    """Time-shift-robust audio matching (the constellation scheme of
+    Wang's landmark paper): clips match when >= ``min_votes`` landmark
+    hashes agree on ONE time offset — a clip and a silence-padded or
+    re-trimmed copy match with dt = the pad length in frames, which
+    aligned-window fingerprints structurally cannot see.
+
+    Scale shape: landmarks shuffle as (hash, id, t1) longs — never
+    audio; the candidate join is hash-equi (the LSH-banding shape, not
+    all-pairs); ``hot_hash_cap`` drops degenerate hashes appearing in
+    more clips than the cap (the hot-shingle precedent, dedup.py) so a
+    corpus-wide common pattern cannot quadratic-blow the join. Returns
+    (media_id1, media_id2, votes, dt_frames).
+    """
+    lm = extract_audio_landmarks(media, errors=errors).filter(
+        F.col("lm_hash").isNotNull()
+    )
+    if hot_hash_cap is not None:
+        hot = (
+            lm.select("lm_hash", "media_id")
+            .distinct()
+            .groupBy("lm_hash")
+            .count()
+            .filter(F.col("count") > hot_hash_cap)
+            .select("lm_hash")
+        )
+        lm = lm.join(hot, "lm_hash", "left_anti")
+    # landmarks feed both sides of the self-join: materialize once
+    lm = lm.localCheckpoint(eager=False)
+    a = lm.select(
+        F.col("media_id").alias("media_id1"),
+        "lm_hash",
+        F.col("t1").alias("t1a"),
+    )
+    b = lm.select(
+        F.col("media_id").alias("media_id2"),
+        "lm_hash",
+        F.col("t1").alias("t1b"),
+    )
+    votes = (
+        a.join(b, "lm_hash")
+        .filter(F.col("media_id1") < F.col("media_id2"))
+        .groupBy("media_id1", "media_id2", (F.col("t1a") - F.col("t1b")).alias("dt"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        votes.groupBy("media_id1", "media_id2")
+        .agg(
+            F.max("n").alias("votes"),
+            # deterministic tie-break: most votes, then smallest |dt|,
+            # then the positive sign (the testdata tie-break rule)
+            F.expr("max_by(dt, struct(n, -abs(dt), dt))").alias("dt_frames"),
+        )
+        .filter(F.col("votes") >= min_votes)
+    )

@@ -207,3 +207,88 @@ def test_extract_audio_analysis_raise_mode(spark):
     df = _media_df(spark, [b"not audio at all"])
     with pytest.raises(Exception):
         extract_audio_analysis(df, errors="raise").collect()
+
+
+# --- Landmark (constellation) fingerprint ---------------------------------
+
+
+def melody(seed, seconds=3.0, rate=8000, amp=0.5):
+    """A random tone sequence (0.25 s notes) — non-stationary, so the
+    constellation is informative and offset votes are unambiguous."""
+    rng = np.random.default_rng(seed)
+    seg = int(0.25 * rate)
+    notes = rng.integers(300, 3200, int(seconds / 0.25))
+    t = np.arange(seg)
+    return np.concatenate([amp * np.sin(2 * np.pi * f * t / rate) for f in notes])
+
+
+def test_peaks_land_on_tone_bins_and_are_volume_invariant():
+    rate = 8000
+    t = np.arange(2 * rate)
+    x = np.sin(2 * np.pi * 440 * t / rate) + 0.5 * np.sin(2 * np.pi * 1250 * t / rate)
+    peaks = aa.spectral_peaks(x, rate)
+    bins = {b for _, b in peaks}
+    assert round(440 * 1024 / rate) in bins and round(1250 * 1024 / rate) in bins
+    assert aa.spectral_peaks(0.25 * x, rate) == peaks  # pure scaling
+
+
+def test_landmark_offset_voting_recovers_the_shift():
+    rate = 8000
+    x = melody(5, rate=rate)
+    shift_hops = 4
+    xs = np.concatenate([np.zeros(shift_hops * 512), x])
+    h1 = aa.landmark_hashes(aa.spectral_peaks(x, rate))
+    h2 = aa.landmark_hashes(aa.spectral_peaks(xs, rate))
+    from collections import Counter, defaultdict
+
+    by_hash = defaultdict(list)
+    for h, t1 in h1:
+        by_hash[h].append(t1)
+    votes = Counter()
+    for h, t1 in h2:
+        for t0 in by_hash.get(h, ()):
+            votes[t1 - t0] += 1
+    (best, n), *rest = votes.most_common(2) or [((None, 0))]
+    assert best == shift_hops and n >= 20
+    # an unrelated melody gathers no consistent offset
+    h3 = aa.landmark_hashes(aa.spectral_peaks(melody(6, rate=rate), rate))
+    votes = Counter()
+    for h, t1 in h3:
+        for t0 in by_hash.get(h, ()):
+            votes[t1 - t0] += 1
+    assert not votes or votes.most_common(1)[0][1] < 8
+
+
+def test_audio_landmark_match_spark(spark):
+    from pg2kinesis_spark.functions.codecs import encode_flac, encode_wav
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        audio_landmark_match,
+    )
+
+    rate = 8000
+    base = melody(7, rate=rate)
+    shifted = np.concatenate([np.zeros(4 * 512), base])
+    as_i16_ = lambda x: np.round(x * 32767).astype(np.int16).reshape(-1, 1)
+    rows = [
+        (0, encode_wav(as_i16_(base), rate)),
+        (1, encode_wav(as_i16_(shifted), rate)),        # padded copy
+        (2, encode_flac(as_i16_(0.5 * base), rate)),    # half-volume transcode
+        (3, encode_wav(as_i16_(melody(8, rate=rate)), rate)),  # unrelated
+        (4, b"not audio"),                               # quarantine
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(c), ("a/x", len(c), f"m{i}")) for i, c in rows],
+        MEDIA_SCHEMA,
+    )
+    got = {
+        (r["media_id1"], r["media_id2"]): (r["votes"], r["dt_frames"])
+        for r in audio_landmark_match(media, min_votes=8).collect()
+    }
+    # dt = t1(media_id1) - t1(media_id2): the padded copy's events sit
+    # 4 hops LATER, so (base, padded) votes dt = -4
+    assert (0, 1) in got and got[(0, 1)][1] == -4
+    assert (0, 2) in got and got[(0, 2)][1] == 0   # volume change: aligned
+    assert (1, 2) in got and got[(1, 2)][1] == 4
+    assert not any(3 in pair for pair in got)
+    assert not any(4 in pair for pair in got)
