@@ -56,6 +56,18 @@ Codec support is tiered, honestly:
   schemas, batch iteration,
   partitioning — is identical either way.
 
+Round 9 widens every modality: images gain 12-bit JPEG, BMP/ICO, PNM
+(P1-P6), TGA, and EXIF-orientation-normalized dHash; WebP ships
+container TRUTH with an honest pixel refusal (PIL seam upgrades);
+video gains Y4M (uncompressed BT.601 planar) and APNG (fcTL/fdAT
+composition through the PNG kernel), both riding the frame/dhash/
+near-dup tiers; audio gains true CONTENT analysis over the lossless
+front door (``extract_audio_analysis``: BS.1770-4 gated loudness,
+silence ratio, spectral features) and the time-shift-robust landmark
+matcher (``audio_landmark_match``: constellation hashes + offset
+voting); ``curate_media`` composes gates + exact + perceptual dedup
+into the one-call media curation pipeline.
+
 Dirty-data contract: scraped corpora contain truncated, mislabeled,
 and unsupported bytes, and one bad row must never kill a 100 TB job
 (a task failure retries 4× then fails the whole stage). Every decode
@@ -703,6 +715,43 @@ VIDEO_FRAMES_SCHEMA = T.StructType(
 )
 
 
+def _decode_video_frames(b: bytes, sampled, compressed_decoder=None):
+    """One dispatch for every video-frame consumer (video_frames,
+    video_frame_dhash, video_scene_cuts): GIF / APNG / Y4M / MJPEG AVI
+    decode purely; compressed bitstreams go through the optional PyAV
+    seam or refuse honestly."""
+    from . import codecs
+
+    if codecs.is_gif(b):  # animated GIFs are videos too
+        return codecs.decode_gif_frames(b, frame_indices=sampled)
+    if codecs.is_apng(b):  # animated PNG: fcTL/fdAT composition
+        return codecs.decode_apng_frames(b, frame_indices=sampled)
+    if codecs.is_y4m(b):  # uncompressed interchange: always real
+        return codecs.decode_y4m_frames(b, frame_indices=sampled)
+    if codecs.is_avi(b):
+        try:
+            return codecs.decode_avi_mjpeg(b, frame_indices=sampled)
+        except NotImplementedError:
+            # non-MJPEG codec inside AVI: only the seam can decode
+            fast = compressed_decoder or codecs.fast_video_decoder()
+            if fast is None:
+                raise
+            return fast(b, sampled)
+    if codecs.is_mp4(b) or codecs.is_webm(b):
+        # compressed bitstreams (H.264/VP9/AV1): the optional PyAV
+        # seam when importable, the honest refusal otherwise —
+        # mirroring decode_image's fast_image_decoder contract
+        fast = compressed_decoder or codecs.fast_video_decoder()
+        if fast is not None:
+            return fast(b, sampled)
+        raise NotImplementedError(
+            "compressed video decode (H.264/VP9/AV1 in MP4/WebM) "
+            "needs the optional PyAV seam (codecs.fast_video_decoder)"
+            " — not available in this environment"
+        )
+    return codecs.decode_avi_mjpeg(b, frame_indices=sampled)
+
+
 def video_frames(
     media: DataFrame,
     stride: int = 1,
@@ -749,34 +798,7 @@ def video_frames(
     sampled = {i * stride for i in range(max_frames)}
 
     def decode_clip(b: bytes) -> list[np.ndarray]:
-        if codecs.is_gif(b):  # animated GIFs are videos too
-            return codecs.decode_gif_frames(b, frame_indices=sampled)
-        if codecs.is_apng(b):  # animated PNG: fcTL/fdAT composition
-            return codecs.decode_apng_frames(b, frame_indices=sampled)
-        if codecs.is_y4m(b):  # uncompressed interchange: always real
-            return codecs.decode_y4m_frames(b, frame_indices=sampled)
-        if codecs.is_avi(b):
-            try:
-                return codecs.decode_avi_mjpeg(b, frame_indices=sampled)
-            except NotImplementedError:
-                # non-MJPEG codec inside AVI: only the seam can decode
-                fast = compressed_decoder or codecs.fast_video_decoder()
-                if fast is None:
-                    raise
-                return fast(b, sampled)
-        if codecs.is_mp4(b) or codecs.is_webm(b):
-            # compressed bitstreams (H.264/VP9/AV1): the optional PyAV
-            # seam when importable, the honest refusal otherwise —
-            # mirroring decode_image's fast_image_decoder contract
-            fast = compressed_decoder or codecs.fast_video_decoder()
-            if fast is not None:
-                return fast(b, sampled)
-            raise NotImplementedError(
-                "compressed video decode (H.264/VP9/AV1 in MP4/WebM) "
-                "needs the optional PyAV seam (codecs.fast_video_decoder)"
-                " — not available in this environment"
-            )
-        return codecs.decode_avi_mjpeg(b, frame_indices=sampled)
+        return _decode_video_frames(b, sampled, compressed_decoder)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -840,14 +862,7 @@ def video_frame_dhash(
     sampled = {i * stride for i in range(max_frames)}
 
     def clip_hashes(b: bytes) -> list[int]:
-        if codecs.is_gif(b):
-            frames = codecs.decode_gif_frames(b, frame_indices=sampled)
-        elif codecs.is_apng(b):
-            frames = codecs.decode_apng_frames(b, frame_indices=sampled)
-        elif codecs.is_y4m(b):
-            frames = codecs.decode_y4m_frames(b, frame_indices=sampled)
-        else:
-            frames = codecs.decode_avi_mjpeg(b, frame_indices=sampled)
+        frames = _decode_video_frames(b, sampled)
         return [_dhash_image(f, codecs.resize_nearest) for f in frames]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1781,3 +1796,73 @@ def audio_landmark_match(
         )
         .filter(F.col("votes") >= min_votes)
     )
+
+
+SCENE_CUT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("score", T.DoubleType()),
+        T.StructField("is_cut", T.BooleanType()),
+        _ERROR_FIELD,
+    ]
+)
+
+
+def video_scene_cuts(
+    media: DataFrame,
+    stride: int = 1,
+    max_frames: int = 64,
+    threshold: float = 0.3,
+    errors: str = "quarantine",
+) -> DataFrame:
+    """Hard-cut detection over decoded frames: each consecutive pair
+    of SAMPLED frames scores the mean absolute luma difference of
+    their 32x32 downsamples, normalized to [0, 1]; ``is_cut`` marks
+    scores above ``threshold``. One row per transition — frame_idx is
+    the ordinal (in sampled units x stride) where the NEW scene
+    starts — so the caller can threshold differently, pick one frame
+    per scene for training data, or histogram cut rates across a
+    corpus. Same bounded per-clip kernel contract as video_frames;
+    an undecodable clip emits one NULL row + decode_error."""
+    import pandas as pd
+
+    from . import codecs
+
+    _check_errors(errors)
+    _check_sampling(stride, max_frames)
+    sampled = {i * stride for i in range(max_frames)}
+
+    def one(b: bytes):
+        frames = _decode_video_frames(b, sampled)
+        lumas = []
+        for f in frames:
+            small = codecs.resize_nearest(np.ascontiguousarray(f[:, :, :3]), 32, 32)
+            px = small.astype(np.float64)
+            lumas.append(
+                0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+                if small.shape[2] >= 3
+                else px[:, :, 0]
+            )
+        out = []
+        for i in range(1, len(lumas)):
+            score = float(np.abs(lumas[i] - lumas[i - 1]).mean() / 255.0)
+            out.append((i * stride, score, score > threshold))
+        return out
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                cuts, err = _guard(errors, one, bytes(c))
+                if cuts is None:
+                    rows.append((mid, None, None, None, err))
+                    continue
+                for idx, score, is_cut in cuts:
+                    rows.append((mid, idx, score, is_cut, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_idx", "score", "is_cut", "decode_error"],
+            )
+
+    return media.mapInPandas(kernel, SCENE_CUT_SCHEMA)

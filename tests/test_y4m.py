@@ -131,3 +131,47 @@ def test_video_tier_integration(spark):
         for r in video_near_dup_pairs(media, max_frames=4).collect()
     }
     assert (0, 1) in pairs and (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_video_scene_cuts(spark):
+    """A constructed two-scene clip: the single hard cut is found at
+    exactly the constructed boundary across three containers, and a
+    one-scene clip reports no cuts."""
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        video_scene_cuts,
+    )
+
+    rng = np.random.default_rng(12)
+    scene_a = rng.integers(100, 140, (12, 16, 3)).astype(np.uint8)
+    scene_b = rng.integers(10, 40, (12, 16, 3)).astype(np.uint8)
+
+    def jitter(base, k):
+        out = base.astype(int) + int(k)  # tiny intra-scene motion
+        return np.clip(out, 0, 255).astype(np.uint8)
+
+    frames = [jitter(scene_a, i) for i in range(4)] + [
+        jitter(scene_b, i) for i in range(4)
+    ]
+    clips = [
+        C.encode_y4m(frames, colorspace="C444"),
+        C.encode_apng(frames),
+        C.encode_avi_mjpeg(frames, fps=25),
+        C.encode_y4m([jitter(scene_a, i) for i in range(8)]),  # no cut
+        b"garbage",
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(d), ("x/x", len(d), f"c{i}")) for i, d in enumerate(clips)],
+        MEDIA_SCHEMA,
+    )
+    rows = video_scene_cuts(media, threshold=0.2).collect()
+    cuts = {
+        (r["media_id"], r["frame_idx"]) for r in rows if r["is_cut"]
+    }
+    assert cuts == {(0, 4), (1, 4), (2, 4)}
+    errs = {r["media_id"]: r["decode_error"] for r in rows if r["decode_error"]}
+    assert set(errs) == {4}
+    # intra-scene scores stay tiny, the cut score is large
+    by_clip = [r for r in rows if r["media_id"] == 0]
+    assert all(r["score"] < 0.05 for r in by_clip if r["frame_idx"] != 4)
+    assert next(r["score"] for r in by_clip if r["frame_idx"] == 4) > 0.25
