@@ -482,6 +482,37 @@ def _dhash_image(img: np.ndarray, resize_nearest) -> int:
     return h
 
 
+_DCT32 = None
+
+
+def _phash_image(img: np.ndarray, resize_nearest) -> int:
+    """64-bit pHash: luma → 32x32 nearest-neighbor → 2D DCT-II → the
+    top-left 8x8 low-frequency block (DC excluded) thresholded at its
+    median. DCT coefficients integrate over the whole image, so pHash
+    tolerates local noise and mild blur that flip dHash's pixel-pair
+    bits; dHash stays the default (cheaper, sharper on crops)."""
+    global _DCT32
+    if _DCT32 is None:
+        k = np.arange(32)
+        _DCT32 = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / 64)
+    px = img.astype("float64")
+    if px.shape[2] >= 3:
+        gray = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    else:
+        gray = px[:, :, 0]
+    small = resize_nearest(gray[:, :, None], 32, 32)[:, :, 0]
+    coef = _DCT32 @ small @ _DCT32.T
+    block = coef[:8, :8].flatten()[1:]  # 63 low-freq terms, DC dropped
+    med = np.median(block)
+    h = 0
+    for i, v in enumerate(block):
+        if v > med:
+            h |= 1 << i
+    if h >= 1 << 63:
+        h -= 1 << 64
+    return h
+
+
 DHASH_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
@@ -491,20 +522,29 @@ DHASH_SCHEMA = T.StructType(
 )
 
 
-def media_dhash(media: DataFrame, errors: str = "quarantine") -> DataFrame:
-    """REAL perceptual hash for PNG/JPEG/GIF content: the classic 64-bit
-    dHash — decode, luma, nearest-neighbor resize to 9x8, sign of
-    horizontally adjacent differences. Robust to re-encoding (including
-    across PNG<->JPEG) and uniform brightness shifts; bit-compatible
-    with the SimHash pair-search machinery. Returns (media_id, dhash,
-    decode_error): non-image content gets NULL dhash + the error string
-    (default) or raises (``errors="raise"``).
+def media_dhash(
+    media: DataFrame, errors: str = "quarantine", algo: str = "dhash"
+) -> DataFrame:
+    """REAL perceptual hash for decodable image content: the classic
+    64-bit dHash — decode, luma, nearest-neighbor resize to 9x8, sign
+    of horizontally adjacent differences. Robust to re-encoding
+    (including across PNG<->JPEG) and uniform brightness shifts;
+    bit-compatible with the SimHash pair-search machinery.
+    ``algo="phash"`` swaps in the DCT hash (``_phash_image`` — global
+    low-frequency structure, more tolerant of local noise/blur) under
+    the SAME output column, so every downstream join composes
+    unchanged. Returns (media_id, dhash, decode_error): non-image
+    content gets NULL dhash + the error string (default) or raises
+    (``errors="raise"``).
     """
     import pandas as pd
 
     from . import codecs
 
     _check_errors(errors)
+    if algo not in ("dhash", "phash"):
+        raise ValueError(f"media_dhash algo must be 'dhash' or 'phash', not {algo!r}")
+    hash_fn = _dhash_image if algo == "dhash" else _phash_image
 
     def one(c: bytes) -> int:
         # deterministic: a dHash is a JOIN KEY across batches and hosts
@@ -515,7 +555,7 @@ def media_dhash(media: DataFrame, errors: str = "quarantine") -> DataFrame:
         # cluster, and dHash is not rotation-invariant
         img = codecs.decode_image(c, deterministic=True)
         img = codecs.apply_exif_orientation(img, codecs.exif_orientation(c))
-        return _dhash_image(img, codecs.resize_nearest)
+        return hash_fn(img, codecs.resize_nearest)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -681,8 +721,10 @@ def media_near_dup_pairs(
     """
     from .dedup import simhash_pairs
 
-    if signature == "dhash":
-        sigs = media_dhash(media).filter(F.col("dhash").isNotNull()).select(
+    if signature in ("dhash", "phash"):
+        sigs = media_dhash(media, algo=signature).filter(
+            F.col("dhash").isNotNull()
+        ).select(
             F.col("media_id").alias("doc_id"), F.col("dhash").alias("simhash")
         )
     elif signature == "audio":

@@ -677,3 +677,65 @@ def test_jpeg12_refusals_and_bounds():
     whole = bytes(encode_jpeg_ext12(np.arange(4096).reshape(64, 64).astype(np.uint16)))
     with pytest.raises(ValueError):
         decode_jpeg(whole[: len(whole) // 2])
+
+
+# --- pHash (DCT perceptual hash, round 9) ----------------------------------
+
+
+def test_phash_properties_and_spark_pairing(spark):
+    """pHash: scale-invariant (2x nearest upscale -> hamming 0),
+    brightness-shift-invariant (+20 shifts only the DC term, which is
+    excluded, and the median threshold), noise-tolerant where dHash
+    flips bits, far apart on unrelated images; rides the same
+    media_dhash/pair-search machinery under algo='phash'."""
+    from pg2kinesis_spark.functions.codecs import encode_png, resize_nearest
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        _dhash_image,
+        _phash_image,
+        media_dhash,
+        media_near_dup_pairs,
+    )
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    rng = np.random.RandomState(9)
+    # clip-safe range: +20 brightness and +/-12 noise stay in 0..255,
+    # so those transforms are EXACTLY what they claim (no saturation)
+    base = resize_nearest(
+        rng.randint(30, 206, (8, 8, 3)).astype(np.uint8), 64, 64
+    )
+    p0 = _phash_image(base, resize_nearest)
+    up = np.repeat(np.repeat(base, 2, 0), 2, 1)
+    # nearest-neighbor index mapping may pick a different source pixel
+    # at block boundaries between the two scales — a few bits, never
+    # the ~32 of unrelated content
+    assert ham(p0, _phash_image(up, resize_nearest)) <= 3
+    bright = np.clip(base.astype(int) + 20, 0, 255).astype(np.uint8)
+    assert ham(p0, _phash_image(bright, resize_nearest)) == 0
+    noisy = np.clip(
+        base.astype(int) + rng.randint(-12, 13, base.shape), 0, 255
+    ).astype(np.uint8)
+    assert ham(p0, _phash_image(noisy, resize_nearest)) <= ham(
+        _dhash_image(base, resize_nearest), _dhash_image(noisy, resize_nearest)
+    )
+    other = resize_nearest(rng.randint(0, 256, (8, 8, 3)).astype(np.uint8), 64, 64)
+    assert ham(p0, _phash_image(other, resize_nearest)) > 16
+
+    media = spark.createDataFrame(
+        [
+            (i, bytearray(encode_png(img)), ("image/png", 0, f"p{i}"))
+            for i, img in enumerate([base, up, other])
+        ],
+        MEDIA_SCHEMA,
+    )
+    hashes = {r["media_id"]: r["dhash"] for r in media_dhash(media, algo="phash").collect()}
+    assert ham(hashes[0], hashes[1]) <= 3 < ham(hashes[0], hashes[2])
+    pairs = {
+        tuple(sorted((r["media_id1"], r["media_id2"])))
+        for r in media_near_dup_pairs(media, signature="phash").collect()
+    }
+    assert pairs == {(0, 1)}
+    with pytest.raises(ValueError, match="algo"):
+        media_dhash(media, algo="ahash")
