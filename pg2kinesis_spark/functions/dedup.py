@@ -349,6 +349,39 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_segments(
+    sig: DataFrame,
+    max_hamming: int,
+    bits: int = 64,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """The Manku pigeonhole melt shared by simhash_pairs and the
+    cross-batch index probes (streaming media ingest): split the
+    signature into max_hamming+1 disjoint bit segments and explode to
+    (doc_id, simhash, *extra_cols, seg, key) — any pair within the
+    distance agrees exactly on at least one (seg, key)."""
+    s = max_hamming + 1
+    base, rem = divmod(bits, s)
+    segs, off = [], 0
+    for i in range(s):
+        w = base + (1 if i < rem else 0)
+        if w >= 64:
+            segs.append(F.col("simhash"))
+        else:
+            segs.append(
+                F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
+                    F.lit((1 << w) - 1)
+                )
+            )
+        off += w
+    return sig.select(
+        "doc_id",
+        "simhash",
+        *(extra_cols or []),
+        F.posexplode(F.array(*segs)).alias("seg", "key"),
+    )
+
+
 def simhash_pairs(
     sig: DataFrame,
     max_hamming: int = 3,
@@ -379,24 +412,8 @@ def simhash_pairs(
     — blocking on frame_idx keeps ids verbatim (no arithmetic packing)
     AND shrinks candidate buckets by the block cardinality.
     """
-    s = max_hamming + 1
-    base, rem = divmod(bits, s)
-    segs, off = [], 0
-    for i in range(s):
-        w = base + (1 if i < rem else 0)
-        if w >= 64:
-            segs.append(F.col("simhash"))
-        else:
-            segs.append(
-                F.shiftrightunsigned(F.col("simhash"), off).bitwiseAND(
-                    F.lit((1 << w) - 1)
-                )
-            )
-        off += w
     blk = [block] if block else []
-    melted = sig.select(
-        "doc_id", "simhash", *blk, F.posexplode(F.array(*segs)).alias("seg", "key")
-    )
+    melted = simhash_segments(sig, max_hamming, bits=bits, extra_cols=blk)
     join_keys = blk + ["seg", "key"]
     if max_bucket_df is not None:
         ok = (

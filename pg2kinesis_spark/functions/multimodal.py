@@ -1585,49 +1585,20 @@ def extract_video_features(media: DataFrame, errors: str = "quarantine") -> Data
     return media.mapInPandas(kernel, VIDEO_FEATURES_SCHEMA)
 
 
-def curate_media(
+def _media_gate_ids(
     media: DataFrame,
     kind: str,
-    max_hamming: int | None = 3,
-    transitive: bool = False,
     min_pixels: int | None = None,
     min_duration_ms: float | None = None,
     max_silence_ratio: float | None = None,
     min_lufs: float | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """The media twin of ``curate.curate_corpus``: one composition of
-    the verified tier pieces that turns a raw media table into a
-    training-ready one. Returns ``(clean, rejected)`` — clean keeps the
-    original MEDIA_SCHEMA rows; rejected is (media_id, reason) where
-    reason is the decode error or the name of the gate that fired.
-
-    Stage order follows the text pipeline's cheapest-reduction-first
-    discipline:
-
-    1. **decode + gates** — ``kind='image'``: one
-       ``extract_image_features`` pass yields the quarantine verdict
-       AND the ``min_pixels`` gate (undecodable bytes and sub-gate
-       thumbnails leave before any dedup work). ``kind='audio'``: the
-       header-only ``extract_audio_metadata`` drives
-       ``min_duration_ms``; the full-decode ``extract_audio_analysis``
-       runs ONLY when a content gate (``max_silence_ratio`` /
-       ``min_lufs``) is requested — it is the documented slow path.
-    2. **exact dedup** — content md5, survivor = min media_id
-       (16-byte keys shuffle, payloads don't).
-    3. **perceptual dedup** (``max_hamming`` not None) — the
-       multi-index pair search over dHash (image) or the audio
-       fingerprint; greedy id2 drop, or one survivor per connected
-       component with ``transitive=True`` (the curate_corpus rule).
-
-    Scale note: drop/keep sets cross the wire as bare media_id longs;
-    the binary column moves only in the final survivor semi-join —
-    at deployment scale bucket the media table by media_id
-    (``bucketing.write_bucketed``) so that join is exchange-free,
-    the same pay-shuffle-at-write contract as the text corpus.
-    """
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The gate stage shared by curate_media and the streaming media
+    ingest: (keep_ids, rejected_parts) where each rejected part is
+    (media_id, reason). Cheapest-reduction-first — see curate_media's
+    docstring for the per-kind ordering."""
     if kind not in ("image", "audio"):
-        raise ValueError(f"curate_media kind must be 'image' or 'audio', not {kind!r}")
-
+        raise ValueError(f"media kind must be 'image' or 'audio', not {kind!r}")
     rejected_parts = []
     if kind == "image":
         feats = extract_image_features(media)
@@ -1688,6 +1659,52 @@ def curate_media(
                 )
                 ok = ok.filter(~gate)
             keep_ids = ok.select("media_id")
+    return keep_ids, rejected_parts
+
+
+def curate_media(
+    media: DataFrame,
+    kind: str,
+    max_hamming: int | None = 3,
+    transitive: bool = False,
+    min_pixels: int | None = None,
+    min_duration_ms: float | None = None,
+    max_silence_ratio: float | None = None,
+    min_lufs: float | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The media twin of ``curate.curate_corpus``: one composition of
+    the verified tier pieces that turns a raw media table into a
+    training-ready one. Returns ``(clean, rejected)`` — clean keeps the
+    original MEDIA_SCHEMA rows; rejected is (media_id, reason) where
+    reason is the decode error or the name of the gate that fired.
+
+    Stage order follows the text pipeline's cheapest-reduction-first
+    discipline:
+
+    1. **decode + gates** — ``kind='image'``: one
+       ``extract_image_features`` pass yields the quarantine verdict
+       AND the ``min_pixels`` gate (undecodable bytes and sub-gate
+       thumbnails leave before any dedup work). ``kind='audio'``: the
+       header-only ``extract_audio_metadata`` drives
+       ``min_duration_ms``; the full-decode ``extract_audio_analysis``
+       runs ONLY when a content gate (``max_silence_ratio`` /
+       ``min_lufs``) is requested — it is the documented slow path.
+    2. **exact dedup** — content md5, survivor = min media_id
+       (16-byte keys shuffle, payloads don't).
+    3. **perceptual dedup** (``max_hamming`` not None) — the
+       multi-index pair search over dHash (image) or the audio
+       fingerprint; greedy id2 drop, or one survivor per connected
+       component with ``transitive=True`` (the curate_corpus rule).
+
+    Scale note: drop/keep sets cross the wire as bare media_id longs;
+    the binary column moves only in the final survivor semi-join —
+    at deployment scale bucket the media table by media_id
+    (``bucketing.write_bucketed``) so that join is exchange-free,
+    the same pay-shuffle-at-write contract as the text corpus.
+    """
+    keep_ids, rejected_parts = _media_gate_ids(
+        media, kind, min_pixels, min_duration_ms, max_silence_ratio, min_lufs
+    )
 
     # the gated survivor set feeds several plan subtrees below (exact
     # dedup, pair search, final semi-join) — materialize it once, the

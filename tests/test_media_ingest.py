@@ -1,0 +1,105 @@
+"""Streaming media ingest: construction-side fate partitions per
+batch, cross-batch dedup through the parquet indexes, and the
+crash-replay idempotence contract (a replayed batch_id excludes its
+own partitions, recomputes the same accepted set, and overwrites)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pg2kinesis_spark.functions import codecs as C
+from pg2kinesis_spark.functions.multimodal import MEDIA_SCHEMA
+from pg2kinesis_spark.streaming.media_ingest import MediaIngest
+
+
+def _img(seed, h=24, w=24):
+    rng = np.random.default_rng(seed)
+    return C.resize_nearest(rng.integers(30, 226, (3, 4, 3), dtype=np.uint8), w, h)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(i, bytearray(c), ("x/x", len(c), f"m{i}")) for i, c in rows],
+        MEDIA_SCHEMA,
+    )
+
+
+def _accepted_ids(spark, out):
+    return sorted(
+        r["media_id"]
+        for r in spark.read.parquet(f"{out}/accepted").collect()
+    )
+
+
+def test_batches_dedup_against_accepted_state(spark, tmp_path):
+    out = str(tmp_path / "media")
+    ing = MediaIngest(out, kind="image", min_pixels=100)
+    a, c = _img(1), _img(9)  # seeds 1/9: far apart at dHash level
+
+    batch1 = [
+        (0, C.encode_png(a)),
+        (1, C.encode_png(a)),          # exact dup within the batch
+        (2, C.encode_bmp(a)),          # same pixels: perceptual dup
+        (3, C.encode_png(c)),          # distinct: kept
+        (4, C.encode_png(_img(2, 4, 4))),  # 16 px: gated
+        (5, b"garbage"),               # quarantined at the gate
+    ]
+    ing.process_batch(_df(spark, batch1), 1)
+    assert _accepted_ids(spark, out) == [0, 3]
+
+    batch2 = [
+        (10, C.encode_png(a)),         # exact vs the hash INDEX
+        (11, C.encode_bmp(a, top_down=True)),  # perceptual vs the sig INDEX
+        (12, C.encode_png(_img(20))),  # new: kept
+    ]
+    ing.process_batch(_df(spark, batch2), 2)
+    assert _accepted_ids(spark, out) == [0, 3, 12]
+    # both indexes accrued exactly the accepted rows
+    assert spark.read.parquet(f"{out}/hash_index").count() == 3
+    assert spark.read.parquet(f"{out}/sig_index").count() == 3
+
+
+def test_replay_is_idempotent(spark, tmp_path):
+    out = str(tmp_path / "media")
+    ing = MediaIngest(out, kind="image")
+    a = _img(3)
+    ing.process_batch(_df(spark, [(0, C.encode_png(a))]), 1)
+    b2 = [(10, C.encode_png(_img(4))), (11, C.encode_png(a))]  # 11 dups idx
+    ing.process_batch(_df(spark, b2), 2)
+    first = _accepted_ids(spark, out)
+    assert first == [0, 10]
+    # crash replay: the SAME batch_id runs again — identical result,
+    # no duplicated partitions, indexes unchanged
+    ing.process_batch(_df(spark, b2), 2)
+    assert _accepted_ids(spark, out) == first
+    assert spark.read.parquet(f"{out}/hash_index").count() == 2
+    assert spark.read.parquet(f"{out}/sig_index").count() == 2
+
+
+def test_audio_kind_and_validation(spark, tmp_path):
+    out = str(tmp_path / "audio")
+    ing = MediaIngest(out, kind="audio", min_duration_ms=300, max_hamming=0)
+    rate = 8000
+    t = np.arange(2 * rate)
+    tone = np.round(
+        0.5 * np.sin(2 * np.pi * 440 * t / rate) * 32767
+    ).astype(np.int16).reshape(-1, 1)
+    rng = np.random.default_rng(6)
+    other = np.round(
+        (0.4 * np.sin(2 * np.pi * 1790 * t / rate)
+         + 0.2 * np.sin(2 * np.pi * 333 * t / rate)) * 32767 / 2
+    ).astype(np.int16).reshape(-1, 1)
+    ing.process_batch(
+        _df(spark, [(0, C.encode_wav(tone, rate)), (1, C.encode_wav(tone[:800], rate))]),
+        1,
+    )
+    assert _accepted_ids(spark, out) == [0]  # short clip gated
+    # batch 2: the FLAC transcode fingerprints identically -> dropped
+    ing.process_batch(
+        _df(spark, [(10, C.encode_flac(tone, rate)), (11, C.encode_wav(other, rate))]),
+        2,
+    )
+    assert _accepted_ids(spark, out) == [0, 11]
+    with pytest.raises(ValueError, match="kind"):
+        MediaIngest(out, kind="video")
