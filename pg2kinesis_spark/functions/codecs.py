@@ -6927,7 +6927,10 @@ def is_bmp(data: bytes) -> bool:
 
 
 def is_ico(data: bytes) -> bool:
-    return data[:4] == b"\x00\x00\x01\x00" and len(data) >= 6
+    # type 1 = icon (.ico), type 2 = cursor (.cur — same ICONDIR and
+    # payloads; the two entry fields hold the hotspot instead of
+    # planes/bpp, which this reader only uses as a selection tie-break)
+    return data[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00") and len(data) >= 6
 
 
 def _mask_shift_width(mask: int) -> tuple[int, int]:

@@ -115,6 +115,11 @@ class MediaIngest:
         from pg2kinesis_spark.functions.multimodal import _media_gate_ids
 
         spark = batch.sparkSession
+        # heal a crashed compact_media_indexes swap before any read
+        from pg2kinesis_spark.streaming.corpus_ingest import _recover_compaction
+
+        for p in (self.hash_path, self.sig_path):
+            _recover_compaction(p)
         keep_ids, _rejected = _media_gate_ids(batch, self.kind, **self.gates)
         gated = batch.join(keep_ids, "media_id", "left_semi")
         # the survivor set feeds hashing, signatures, AND the final
@@ -190,6 +195,24 @@ class MediaIngest:
             _write(
                 spark.createDataFrame([(n,)], "n_accepted long"), self.stats_path
             )
+
+
+def compact_media_indexes(
+    spark: SparkSession, out_dir: str, keep_last_batches: int = 1,
+    target_files: int = 1,
+) -> dict:
+    """Fold old per-batch media-index partitions into one compacted
+    partition — ``compact_corpus_indexes`` verbatim (the fold core is
+    schema-agnostic and MediaIngest uses the same hash_index /
+    sig_index names; the corpus-only indexes skip as absent). Run with
+    the ingest stream STOPPED; a crashed swap heals on the next batch
+    (process_batch calls _recover_compaction first)."""
+    from pg2kinesis_spark.streaming.corpus_ingest import compact_corpus_indexes
+
+    return compact_corpus_indexes(
+        spark, out_dir, keep_last_batches=keep_last_batches,
+        target_files=target_files,
+    )
 
 
 def start_media_ingest(

@@ -314,3 +314,16 @@ def test_webp_pil_seam_upgrades_refusal():
     # and the pure header walk agrees with PIL's own encoder output
     i = C.webp_info(buf.getvalue())
     assert (i["width"], i["height"]) == (10, 10)
+
+
+def test_cur_cursor_files_decode_like_ico():
+    """CUR (.cur) is ICO with type 2 and hotspot fields in the entry —
+    the payloads are identical DIBs, so the same reader covers it."""
+    img = _rgb(8, 8)
+    cur = bytearray(C.encode_ico([img]))
+    cur[2] = 2                                   # ICONDIR type: cursor
+    struct.pack_into("<HH", cur, 6 + 4, 3, 5)    # hotspot (3, 5)
+    assert C.is_ico(bytes(cur))
+    dec = C.decode_ico(bytes(cur))
+    assert np.array_equal(dec[:, :, :3], img)
+    assert np.array_equal(C.decode_image(bytes(cur))[:, :, :3], img)

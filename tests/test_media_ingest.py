@@ -103,3 +103,25 @@ def test_audio_kind_and_validation(spark, tmp_path):
     assert _accepted_ids(spark, out) == [0, 11]
     with pytest.raises(ValueError, match="kind"):
         MediaIngest(out, kind="video")
+
+
+def test_compaction_folds_and_dedup_still_holds(spark, tmp_path):
+    out = str(tmp_path / "m")
+    ing = MediaIngest(out, kind="image")
+    imgs = [_img(s) for s in (30, 40, 50)]
+    for b, im in enumerate(imgs, start=1):
+        ing.process_batch(_df(spark, [(b * 100, C.encode_png(im))]), b)
+    from pg2kinesis_spark.streaming.media_ingest import compact_media_indexes
+
+    summary = compact_media_indexes(spark, out, keep_last_batches=1)
+    assert summary["hash_index"]["folded"] == [1, 2]
+    import os
+
+    parts = sorted(os.listdir(f"{out}/hash_index"))
+    assert "batch_id=-1" in parts and "batch_id=1" not in parts
+    # the folded index still dedups: batch 4 replays batch 1's image
+    # (as a BMP re-layout, so BOTH indexes must answer)
+    ing.process_batch(
+        _df(spark, [(400, C.encode_bmp(imgs[0])), (401, C.encode_png(_img(60)))]), 4
+    )
+    assert _accepted_ids(spark, out) == [100, 200, 300, 401]
