@@ -6929,8 +6929,17 @@ def is_bmp(data: bytes) -> bool:
 def is_ico(data: bytes) -> bool:
     # type 1 = icon (.ico), type 2 = cursor (.cur — same ICONDIR and
     # payloads; the two entry fields hold the hotspot instead of
-    # planes/bpp, which this reader only uses as a selection tie-break)
-    return data[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00") and len(data) >= 6
+    # planes/bpp). The CUR magic 00 00 02 00 is ALSO how every plain
+    # truecolor TGA header starts (id 0, no colormap, type 2), so the
+    # gate validates directory plausibility: a sane entry count and a
+    # first-entry offset that lands past the directory inside the file.
+    if data[:4] not in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00") or len(data) < 22:
+        return False
+    (count,) = struct.unpack_from("<H", data, 4)
+    if not 1 <= count <= 64:
+        return False
+    size, off = struct.unpack_from("<II", data, 6 + 8)
+    return size > 0 and 6 + 16 * count <= off <= len(data)
 
 
 def _mask_shift_width(mask: int) -> tuple[int, int]:

@@ -1002,7 +1002,14 @@ def sniff_mime(content: "F.Column") -> "F.Column":
         )
         .when(sub(1, 2) == F.lit(b"BM"), "image/bmp")
         .when(sig4 == F.lit(b"\x00\x00\x01\x00"), "image/x-icon")
-        .when(sig4 == F.lit(b"\x00\x00\x02\x00"), "image/x-cursor")
+        # the CUR magic doubles as a plain truecolor TGA's first four
+        # bytes — require a plausible ICONDIR count (1..64, high byte 0)
+        .when(
+            (sig4 == F.lit(b"\x00\x00\x02\x00"))
+            & (sub(6, 1) == F.lit(b"\x00"))
+            & (sub(5, 1) != F.lit(b"\x00")),
+            "image/x-cursor",
+        )
         .when(
             (sub(1, 1) == F.lit(b"P"))
             & F.substring(content, 2, 1).isin([bytes([c]) for c in b"123456"])

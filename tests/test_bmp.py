@@ -174,8 +174,8 @@ def test_ico_256_encoding_and_bounds():
     assert ents[0]["width"] == 256  # the 0-means-256 byte rule
     with pytest.raises(ValueError, match="cap at 256"):
         C.encode_ico([np.zeros((300, 300, 3), dtype=np.uint8)])
-    with pytest.raises(ValueError, match="entry count"):
-        C.decode_ico(struct.pack("<HHH", 0, 1, 0))
+    with pytest.raises(ValueError, match="bad magic"):
+        C.decode_ico(struct.pack("<HHH", 0, 1, 0))  # count 0: gate refuses
     with pytest.raises(ValueError, match="overruns"):
         bad = bytearray(C.encode_ico([_rgb(8, 8)]))
         struct.pack_into("<I", bad, 6 + 8, 10**6)  # entry size beyond EOF

@@ -88,3 +88,14 @@ def test_dispatch_runs_last_and_dhash_identity():
     assert _dhash_image(via_tga, C.resize_nearest) == _dhash_image(
         via_png, C.resize_nearest
     )
+
+
+def test_tga_never_shadowed_by_the_cur_magic():
+    """A plain truecolor TGA's first four bytes ARE the CUR magic
+    (00 00 02 00) — the ICO gate's directory-plausibility check must
+    keep decode_image dispatching such files to the TGA reader."""
+    rgb = _rgb()
+    t = C.encode_tga(rgb)
+    assert t[:4] == b"\x00\x00\x02\x00"
+    assert not C.is_ico(t)
+    assert np.array_equal(C.decode_image(t), rgb)
