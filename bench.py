@@ -803,7 +803,15 @@ _TRACE_RE = re.compile(
 
 
 def _scan_stderr(text: str) -> list[str]:
-    """First line of each exception-looking block in captured stderr."""
+    """First line of each exception-looking block in captured stderr.
+
+    Labels are canonicalized (digit runs -> N) so instance-numbered
+    repeats of the same exception — notably Spark's benign driver-side
+    "attempted to access non-existent accumulator NNNN" race, where a
+    GC'd SQL-metric accumulator is hit by a late executor heartbeat —
+    collapse to ONE label the caller can count instead of 20+ lines
+    that flood the artifact tail (VERDICT r9 "What's wrong" item 1).
+    """
     labels: list[str] = []
     in_block = False
     for line in text.splitlines():
@@ -812,11 +820,32 @@ def _scan_stderr(text: str) -> list[str]:
             continue
         if _TRACE_RE.match(line):
             if not in_block:
-                labels.append(line.strip()[:160])
+                labels.append(re.sub(r"\d+", "N", line.strip()[:160]))
             in_block = True
         else:
             in_block = False
     return labels
+
+
+# At most this many DISTINCT exception labels appear in the artifact;
+# anything beyond collapses into one overflow entry. Keeps the JSON tail
+# window (the driver reads the last ~2,000 chars) on the timings.
+_STDERR_LABEL_CAP = 8
+
+
+def _fold_stderr_labels(labels: list[str]) -> dict[str, int]:
+    """{canonical label: count}, capped to _STDERR_LABEL_CAP entries."""
+    counts: dict[str, int] = {}
+    for lbl in labels:
+        counts[lbl] = counts.get(lbl, 0) + 1
+    if len(counts) > _STDERR_LABEL_CAP:
+        keep = sorted(counts, key=lambda k: -counts[k])[:_STDERR_LABEL_CAP]
+        dropped = {k: v for k, v in counts.items() if k not in set(keep)}
+        counts = {k: counts[k] for k in keep}
+        counts[f"... +{len(dropped)} more distinct labels"] = sum(
+            dropped.values()
+        )
+    return counts
 
 
 # Controlled-box single-core probe reference (SCALING.md "Bench
@@ -917,9 +946,13 @@ def orchestrate(sf_dir: str, sf: float) -> None:
                 if any(p > PROBE_SLOW_S for p in group_probes.values())
                 else {}
             ),
-            # Any JVM stack trace logged by any child, labeled; [] means
-            # the run was clean (VERDICT r5 "What's wrong" item 2).
-            "stderr_exceptions": stderr_labels,
+            # Any JVM stack trace logged by any child, folded to
+            # {"group: label": count} with digit runs canonicalized and
+            # the distinct-label list capped — {} means the run was
+            # clean (VERDICT r5 item 2; cap/fold from VERDICT r9 item 1
+            # where 22 instance-numbered repeats of the benign
+            # accumulator-GC race flooded the artifact tail).
+            "stderr_exceptions": _fold_stderr_labels(stderr_labels),
             **({"group_errors": errors} if errors else {}),
         },
     )

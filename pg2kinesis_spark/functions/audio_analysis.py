@@ -71,8 +71,32 @@ _ABS_GATE_LUFS = -70.0
 _REL_GATE_LU = -10.0
 _BLOCK_S = 0.400
 _STEP_S = 0.100
-# BS.1770-4 Table 3 channel weights: L, R, C at 1.0; Ls, Rs at 1.41.
-_CHANNEL_WEIGHTS = (1.0, 1.0, 1.0, 1.41, 1.41)
+# BS.1770-4 Table 3 channel weights: L, R, C at 1.0; Ls, Rs at 1.41;
+# the LFE channel is EXCLUDED from the loudness measure. Channel
+# meaning depends on position, which depends on the layout — mapped
+# per channel COUNT below using the standard WAVE channel-mask
+# orderings (ADVICE r9: a flat tuple put 1.41 on index 3, which in
+# 5.1 WAV order is the LFE, inflating integrated LUFS for >=6-ch
+# files).
+_SURROUND_W = 1.41
+
+
+def channel_weights(ch: int) -> list[float]:
+    """BS.1770-4 per-channel weights for a ``ch``-channel stream in
+    standard WAVE channel-mask order. Mono/stereo (the overwhelmingly
+    common case) is exact per the spec; multichannel assumes the
+    default mask for the count — 4: FL FR BL BR (quad), 5: FL FR FC
+    BL BR, 6+: FL FR FC LFE BL BR [+ extra surrounds] — with LFE
+    weighted 0.0 (excluded) and every surround at 1.41."""
+    if ch <= 3:
+        return [1.0] * ch  # L, R, C
+    if ch == 4:
+        return [1.0, 1.0, _SURROUND_W, _SURROUND_W]
+    if ch == 5:
+        return [1.0, 1.0, 1.0, _SURROUND_W, _SURROUND_W]
+    return [1.0, 1.0, 1.0, 0.0, _SURROUND_W, _SURROUND_W] + [
+        _SURROUND_W
+    ] * (ch - 6)
 
 _SILENCE_FRAME_S = 0.100
 _SILENCE_RMS_DBFS = -60.0
@@ -163,15 +187,14 @@ def integrated_lufs(x: np.ndarray, rate: int) -> float | None:
     step = int(round(_STEP_S * rate))
     if block <= 0 or n < block:
         return None
-    weights = [
-        _CHANNEL_WEIGHTS[i] if i < len(_CHANNEL_WEIGHTS) else _CHANNEL_WEIGHTS[-1]
-        for i in range(ch)
-    ]
+    weights = channel_weights(ch)
     # Per-channel K-weighting, then per-block mean squares via a
     # cumulative sum (one pass, every 75 %-overlapped block).
     n_blocks = (n - block) // step + 1
     weighted = np.zeros(n_blocks, dtype=np.float64)
     for c in range(ch):
+        if weights[c] == 0.0:
+            continue  # LFE: excluded from the measure, skip the filter
         y2 = k_weight(x[:, c], rate) ** 2
         cs = np.concatenate(([0.0], np.cumsum(y2)))
         starts = np.arange(n_blocks) * step

@@ -6979,7 +6979,10 @@ def _bmp_rle_decode(
         cnt, val = data[pos], data[pos + 1]
         pos += 2
         if cnt:
-            if y >= height:
+            if y >= height or x >= width:
+                # x can pass width via a hostile delta escape; without
+                # this guard the negative pix[:end-x] slice below
+                # surfaces as an opaque numpy broadcast error
                 raise ValueError("BMP RLE run outside the raster")
             end = min(x + cnt, width)
             if four_bit:
@@ -7005,7 +7008,7 @@ def _bmp_rle_decode(
             if len(chunk) < nbytes:
                 raise ValueError("truncated BMP RLE absolute run")
             pos += nbytes
-            if y >= height:
+            if y >= height or x >= width:
                 raise ValueError("BMP RLE run outside the raster")
             if four_bit:
                 arr = np.frombuffer(chunk, dtype=np.uint8)
@@ -7621,7 +7624,29 @@ def decode_pnm(data: bytes) -> np.ndarray:
     if not bitmap and not 1 <= maxval <= 65535:
         raise ValueError(f"bad PNM maxval {maxval}")
     count = w * h * nch
-    if kind in (1, 2, 3):  # ASCII rasters
+    if kind == 1:
+        # Plain PBM legally packs pixels with NO separating whitespace
+        # ("0110") — each '0'/'1' CHARACTER is one sample, whitespace
+        # optional, '#' comments run to end of line (ADVICE r9: a
+        # split() tokenizer quarantined such files).
+        bits = []
+        i = pos
+        n = len(data)
+        while i < n and len(bits) < count:
+            b = data[i]
+            if b in (0x30, 0x31):  # '0' / '1'
+                bits.append(b - 0x30)
+            elif b == 0x23:  # '#'
+                eol = data.find(b"\n", i)
+                i = (eol if eol >= 0 else n - 1) + 1
+                continue
+            elif not data[i : i + 1].isspace():
+                raise ValueError("bad PBM ASCII raster byte")
+            i += 1
+        if len(bits) < count:
+            raise ValueError("truncated PNM ASCII raster")
+        arr = np.array(bits, dtype=np.int64)
+    elif kind in (2, 3):  # ASCII rasters
         vals = data[pos:].split()
         if len(vals) < count:
             raise ValueError("truncated PNM ASCII raster")
@@ -8215,14 +8240,26 @@ def webp_info(data: bytes) -> dict:
 
 
 def decode_webp(data: bytes) -> np.ndarray:
-    """Honest refusal (see the section comment): validates the header
-    via webp_info, then raises — the PIL seam in decode_image is the
-    only real WebP pixel path in this environment."""
-    info = webp_info(bytes(data))
+    """Lossless (VP8L) stills decode for real since round 10 —
+    functions/vp8l.py, the full public-spec walk (prefix codes, meta
+    codes, LZ77 + color cache, all four inverse transforms). Lossy
+    VP8 and animated WebP keep the honest refusal (the boolean-coder
+    probability tables are a far larger transcription); the PIL seam
+    in decode_image still upgrades those."""
+    data = bytes(data)
+    info = webp_info(data)
+    if info["format"] == "lossless" and not info["animated"]:
+        from pg2kinesis_spark.functions import vp8l
+
+        for fourcc, body in _webp_chunks(data):
+            if fourcc == b"VP8L":
+                return vp8l.decode_vp8l(body)
+        raise ValueError("lossless WebP without a VP8L chunk")
     raise NotImplementedError(
-        f"WebP pixel decode ({info['format']}, {info['width']}x"
+        f"WebP pixel decode ({info['format']}"
+        f"{', animated' if info['animated'] else ''}, {info['width']}x"
         f"{info['height']}) needs the VP8 boolean-coder probability "
-        "tables / the VP8L near-distance map — not transcribed; "
+        "tables — not transcribed (VP8L lossless DOES decode); "
         "install PIL for the decode_image fast path"
     )
 

@@ -227,6 +227,10 @@ def lz4_decompress(data: bytes, cap: int) -> bytes:
             if pos + 8 > n:
                 raise ValueError("truncated LZ4 skippable frame")
             (skip,) = struct.unpack_from("<I", data, pos + 4)
+            if pos + 8 + skip > n:
+                # a declared size past EOF must fail loudly, not end
+                # the frame walk silently (ADVICE r9)
+                raise ValueError("truncated LZ4 skippable frame")
             pos += 8 + skip
             continue
         if magic != LZ4_FRAME_MAGIC:
@@ -276,6 +280,8 @@ def lz4_decompress(data: bytes, cap: int) -> bytes:
                 raise ValueError("truncated LZ4 block")
             pos += bsize
             if b_checksum:
+                if pos + 4 > n:
+                    raise ValueError("truncated LZ4 block checksum")
                 (bc,) = struct.unpack_from("<I", data, pos)
                 pos += 4
                 if xxh32(block) != bc:
@@ -289,6 +295,8 @@ def lz4_decompress(data: bytes, cap: int) -> bytes:
                 # tail: decode APPENDING to the running output
                 lz4_block_decompress_into(out, block, cap)
         if c_checksum:
+            if pos + 4 > n:
+                raise ValueError("truncated LZ4 content checksum")
             (cc,) = struct.unpack_from("<I", data, pos)
             pos += 4
             if xxh32(bytes(out[frame_start:])) != cc:

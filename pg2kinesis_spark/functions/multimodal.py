@@ -44,8 +44,10 @@ Codec support is tiered, honestly:
   sample tables), with remux IDENTITIES pinned: ADTS≡M4A and
   Ogg≡WebM fingerprint at hamming 0. PDFs surface their embedded
   images (``extract_pdf_images`` → ``pdf_images_as_media``). The
-  Layer III proxy covers MPEG-1 AND LSF MPEG-2/2.5 side info; LSF
-  Layer I/II, Ogg Vorbis, stereo CELT, and non-MJPEG video codecs
+  Layer III proxy covers MPEG-1 AND LSF MPEG-2/2.5 side info
+  (round 10 lifts the CELT gate: mono AND stereo CELT decode through
+  the transcribed e_prob_model); LSF
+  Layer I/II and non-MJPEG video codecs
   (ffmpeg) are NOT available in this environment — those raise
   NotImplementedError inside the kernel, and the deterministic fake
   (``fake=True``) remains for plumbing tests. Compressed video (H.264/VP9/AV1 in MP4/WebM,
@@ -593,14 +595,14 @@ def audio_fingerprint(media: DataFrame, errors: str = "quarantine") -> DataFrame
     different bitrate fingerprints the same) and Layer III per-granule
     global_gain energy proxies (both MPEG-1 and LSF MPEG-2/2.5 side
     info). Ogg OPUS decodes via ``functions/opus.py`` — SILK subframe
-    gains through the transcribed RFC 6716 tables (real-stream true) /
-    CELT coarse band energies (fixture-gated until e_prob_model is
-    transcribed; see that module). Ogg VORBIS decodes via
-    ``functions/vorbis.py`` — the self-describing floor1 amplitude
-    tier (in-band codebooks, rendered floor levels), real-stream true
-    by construction. MPEG-2/2.5 Layer I/II, surround/stereo-CELT
-    Opus, floor-0 Vorbis, and other containers get NULL afp + the
-    error string (default) or raise (``errors="raise"``)."""
+    gains and (round 10) CELT coarse band energies, both through the
+    transcribed RFC 6716 tables (real-stream true, mono and stereo).
+    Ogg VORBIS decodes via ``functions/vorbis.py`` — the
+    self-describing floor1 amplitude tier (in-band codebooks,
+    rendered floor levels), real-stream true by construction.
+    MPEG-2/2.5 Layer I/II, surround Opus, floor-0 Vorbis, and other
+    containers get NULL afp + the error string (default) or raise
+    (``errors="raise"``)."""
     import pandas as pd
 
     from . import codecs
@@ -616,14 +618,14 @@ def audio_fingerprint(media: DataFrame, errors: str = "quarantine") -> DataFrame
             # per-frame energies ARE the envelope samples
             seq = codecs.mp3_subband_energies(c)
         elif codecs.is_ogg(c):
-            # Ogg Opus: SILK subframe gains through the transcribed
-            # RFC 6716 tables / CELT coarse band energy (fixture-gated
-            # until e_prob_model is transcribed) — functions/opus.py.
+            # Ogg Opus: SILK subframe gains / CELT coarse band
+            # energies, both through the transcribed RFC 6716 tables
+            # (functions/opus.py) — real-stream true since round 10.
             # Ogg VORBIS (round 9): the self-describing floor1 tier —
             # in-band codebooks + rendered floor amplitudes
             # (functions/vorbis.py), real-stream true by construction.
-            # Surround, stereo CELT, 40/60 ms SILK, floor-0 packets,
-            # and header-only skeletons refuse into quarantine.
+            # Surround, 40/60 ms SILK, floor-0 packets, and
+            # header-only skeletons refuse into quarantine.
             from . import opus
 
             pk = opus.ogg_packets(c)

@@ -26,26 +26,26 @@ residual/PVQ machinery —
   libopus SILK or hybrid stream therefore yields its TRUE gain
   envelope (proof against an external encoder is seam-gated in
   tests/test_opus.py, same discipline as ``fast_image_decoder``).
-* **CELT frames** (configs 16–31, §4.3): the flag walk and the
-  Laplace coder follow the RFC structure (silence/post-filter with
-  its uint-coded octave + tapset iCDF/transient/intra flags, then
-  per-band coarse energy with the geometric-then-minimum-probability
-  interval layout and the prediction leak), but the per-band
-  probability BYTES stand in for the reference's ``e_prob_model``
-  (336 values this module does not transcribe). Real-world CELT
-  streams would decode structurally into meaningless values, so they
-  REFUSE (NotImplementedError → the caller's quarantine channel)
-  unless the container carries this module's fixture marker (the
-  OpusTags vendor string / WebM WritingApp written by the fixture
-  encoders below). Swapping the RFC's e_prob_model bytes in and
-  lifting that gate completes real-stream CELT support with no
-  structural change.
+* **CELT frames** (configs 16–31, §4.3): the REAL bitstream walk with
+  RFC 6716's own tables, transcribed round 10 — silence; the
+  budget-gated post-filter (uint-coded octave, raw END-bits for
+  period/gain, tapset iCDF); transient (LM > 0 only); intra; then
+  per-band per-channel coarse energy through the bit-exact
+  ``ec_laplace`` interval layout under ``e_prob_model[LM][intra]``,
+  with the two-term predictor (``pred_coef``/``beta_coef`` per LM,
+  cross-frame oldEBands state) and the reference's budget-fallback
+  ladder (15-bit Laplace → 2-bit zigzag → sign bit → implicit −1).
+  Band count follows the TOC bandwidth (NB 13 / WB 17 / SWB 19 /
+  FB 21). Stereo CELT interleaves the channels per band and the
+  envelope averages them. Real-world Opus music therefore yields its
+  TRUE coarse-energy envelope — the round-9 fixture-marker gate is
+  retired.
 
 What this is NOT: a PCM decoder. Stereo SILK walks the MID channel
 (the mono mix — exactly the envelope the fingerprint wants) after
-stepping the stereo-weight symbols; unsupported layouts (stereo CELT,
-surround, 40/60 ms SILK packets, LBRR redundancy, Vorbis) refuse
-loudly and take the quarantine channel upstream.
+stepping the stereo-weight symbols; unsupported layouts (surround,
+40/60 ms SILK packets, LBRR redundancy, Vorbis) refuse loudly and
+take the quarantine channel upstream.
 
 Self-consistency is pinned by round trips (tests/test_opus.py,
 hypothesis fuzz incl. carry-cascade patterns in the range coder)
@@ -79,16 +79,32 @@ _CODE_SHIFT = _CODE_BITS - _SYM_BITS - 1
 _SYM_MAX = (1 << _SYM_BITS) - 1
 
 
+# Bit-usage bookkeeping (ec_tell): nbits_total starts at
+# CODE_BITS + 1 - ((CODE_BITS - CODE_EXTRA)//SYM_BITS)*SYM_BITS = 9 for
+# the decoder (each renormalization adds SYM_BITS; raw end-bits add
+# their count), and tell() = nbits_total - rng.bit_length() — so the
+# very first binary symbol reads as costing 1 bit. CELT's budget
+# fallbacks (§4.3.2.1) compare tell() against the frame's 8*len bits.
+_DEC_NBT0 = _CODE_BITS + 1 - ((_CODE_BITS - _CODE_EXTRA) // _SYM_BITS) * _SYM_BITS
+
+
 class RangeDecoder:
-    __slots__ = ("buf", "pos", "rng", "val", "rem", "ext")
+    __slots__ = (
+        "buf", "pos", "rng", "val", "rem", "ext", "nbt",
+        "end_offs", "end_window", "end_avail",
+    )
 
     def __init__(self, buf: bytes) -> None:
         self.buf = buf
         self.pos = 0
+        self.nbt = _DEC_NBT0
         self.rem = self._byte()
         self.rng = 1 << _CODE_EXTRA
         self.val = self.rng - 1 - (self.rem >> (_SYM_BITS - _CODE_EXTRA))
         self.ext = 0
+        self.end_offs = 0  # bytes consumed from the BACK (raw bits)
+        self.end_window = 0
+        self.end_avail = 0
         self._normalize()
 
     def _byte(self) -> int:
@@ -98,6 +114,7 @@ class RangeDecoder:
 
     def _normalize(self) -> None:
         while self.rng <= _CODE_BOT:
+            self.nbt += _SYM_BITS
             self.rng <<= _SYM_BITS
             sym = self.rem
             self.rem = self._byte()
@@ -105,6 +122,11 @@ class RangeDecoder:
             self.val = (
                 (self.val << _SYM_BITS) + (_SYM_MAX & ~sym)
             ) & (_CODE_TOP - 1)
+
+    def tell(self) -> int:
+        """Total bits consumed so far (both ends), conservatively
+        rounded up — libopus ec_tell()."""
+        return self.nbt - self.rng.bit_length()
 
     def decode(self, ft: int) -> int:
         """Current cumulative-frequency estimate in [0, ft)."""
@@ -150,11 +172,24 @@ class RangeDecoder:
         return int(ret)
 
     def dec_bits(self, n: int) -> int:
-        """n raw (uniform) bits through the range coder."""
-        out = 0
-        for _ in range(n):
-            out = (out << 1) | self.dec_bit_logp(1)
-        return out
+        """n raw (uniform) bits from the END of the buffer — the
+        second bitstream real Opus frames carry: bytes are consumed
+        back-to-front, each unpacked LSB-first (ec_dec_bits). The
+        range stream reading forward and the raw bits reading backward
+        share the buffer exactly as in the RFC layout."""
+        while self.end_avail < n:
+            if self.end_offs < len(self.buf):
+                self.end_offs += 1
+                b = self.buf[len(self.buf) - self.end_offs]
+            else:
+                b = 0
+            self.end_window |= b << self.end_avail
+            self.end_avail += 8
+        ret = self.end_window & ((1 << n) - 1)
+        self.end_window >>= n
+        self.end_avail -= n
+        self.nbt += n
+        return ret
 
     def dec_uint(self, ft: int) -> int:
         """A uniformly-distributed integer in [0, ft) (the ec_dec_uint
@@ -165,7 +200,10 @@ class RangeDecoder:
 
 
 class RangeEncoder:
-    __slots__ = ("out", "low", "rng", "rem", "ext")
+    __slots__ = (
+        "out", "low", "rng", "rem", "ext", "nbt", "end_bytes",
+        "end_window", "end_avail",
+    )
 
     def __init__(self) -> None:
         self.out = bytearray()
@@ -173,6 +211,13 @@ class RangeEncoder:
         self.rng = _CODE_TOP
         self.rem = -1  # no byte pending yet
         self.ext = 0  # run of 0xFF bytes a carry may flip
+        self.nbt = _CODE_BITS + 1
+        self.end_bytes = bytearray()  # raw-bit bytes, back-to-front
+        self.end_window = 0
+        self.end_avail = 0
+
+    def tell(self) -> int:
+        return self.nbt - self.rng.bit_length()
 
     def _carry_out(self, c: int) -> None:
         if c != _SYM_MAX:
@@ -191,6 +236,7 @@ class RangeEncoder:
             self._carry_out(self.low >> _CODE_SHIFT)
             self.low = (self.low << _SYM_BITS) & (_CODE_TOP - 1)
             self.rng <<= _SYM_BITS
+            self.nbt += _SYM_BITS
 
     def encode(self, fl: int, fh: int, ft: int) -> None:
         if not 0 <= fl < fh <= ft:
@@ -223,14 +269,27 @@ class RangeEncoder:
         self._normalize()
 
     def enc_bits(self, val: int, n: int) -> None:
-        for i in range(n - 1, -1, -1):
-            self.enc_bit_logp((val >> i) & 1, 1)
+        """n raw bits into the END bitstream (ec_enc_bits): packed
+        LSB-first into bytes that ``done`` appends back-to-front, the
+        mirror of ``RangeDecoder.dec_bits``."""
+        self.end_window |= (val & ((1 << n) - 1)) << self.end_avail
+        self.end_avail += n
+        while self.end_avail >= 8:
+            self.end_bytes.append(self.end_window & 0xFF)
+            self.end_window >>= 8
+            self.end_avail -= 8
+        self.nbt += n
 
     def enc_uint(self, t: int, ft: int) -> None:
         self.encode(t, t + 1, ft)
 
     def done(self) -> bytes:
-        """Flush: emit enough of low to make decoding unambiguous."""
+        """Flush: emit enough of low to make decoding unambiguous,
+        then append the raw-bit bytes back-to-front at the buffer's
+        tail (the RFC's two-ended frame layout). The decoder's eager
+        forward prefetch may read into the tail bytes — harmless by
+        construction, since the flush already pinned every coded
+        symbol's interval."""
         # push out 4 full renormalizations — any value in [low, low+rng)
         # decodes correctly, and low itself always is
         for _ in range(_CODE_BITS // _SYM_BITS + 1):
@@ -241,7 +300,10 @@ class RangeEncoder:
         while self.ext > 0:
             self.out.append(0xFF)
             self.ext -= 1
-        return bytes(self.out)
+        tail = bytearray(self.end_bytes)
+        if self.end_avail > 0:
+            tail.append(self.end_window & 0xFF)
+        return bytes(self.out) + bytes(reversed(tail))
 
 
 # --- SILK symbol tables (transcribed from RFC 6716) -------------------------
@@ -382,82 +444,158 @@ _LAPLACE_NMIN = 16
 _TAPSET_ICDF = (2, 1, 0)  # post-filter tapset
 _CELT_BETA_INTRA = 4915.0 / 32768.0  # intra prediction leak
 
-# module-owned (prob, decay) bytes per band — NOT RFC 6716's e_prob_model
-_CELT_PROB_INTRA = tuple(
-    (max(70 - 2 * b, 20), min(172 + 3 * b, 251)) for b in range(_N_BANDS)
+# RFC 6716 §4.3.2.1 e_prob_model (celt/quant_bands.c in the RFC's own
+# reference source): 42 interleaved (prob, decay) bytes per row — 21
+# bands — one row per (frame size LM 0-3 = 2.5/5/10/20 ms, inter/intra).
+# Wired fs0 = prob<<7, decay = decay<<6 exactly as the reference does.
+# Transcribed round 10 (replacing the r9 module-owned stand-ins and
+# retiring the fixture-marker gate); the external-encoder seam test in
+# tests/test_opus.py proves real-stream truth where an encoder exists.
+_E_PROB_MODEL = (
+    (  # LM 0: 120-sample (2.5 ms) frames
+        (  # inter
+            72, 127, 65, 129, 66, 128, 65, 128, 64, 128, 62, 128, 64, 128,
+            64, 128, 92, 78, 92, 79, 92, 78, 90, 79, 116, 41, 115, 40,
+            114, 40, 132, 26, 132, 26, 145, 17, 161, 12, 176, 10, 177, 11,
+        ),
+        (  # intra
+            24, 179, 48, 138, 54, 135, 54, 132, 53, 134, 56, 133, 55, 132,
+            55, 132, 61, 114, 70, 96, 74, 88, 75, 88, 87, 74, 89, 66,
+            91, 67, 100, 59, 108, 50, 120, 40, 122, 37, 97, 43, 78, 50,
+        ),
+    ),
+    (  # LM 1: 240-sample (5 ms) frames
+        (
+            83, 78, 84, 81, 88, 75, 86, 74, 87, 71, 90, 73, 93, 74,
+            93, 74, 109, 40, 114, 36, 117, 34, 117, 34, 143, 17, 145, 18,
+            146, 19, 162, 12, 165, 10, 178, 7, 189, 6, 190, 8, 177, 9,
+        ),
+        (
+            23, 178, 54, 115, 63, 102, 66, 98, 69, 99, 74, 89, 71, 91,
+            73, 91, 78, 89, 86, 80, 92, 66, 93, 64, 102, 59, 103, 60,
+            104, 60, 117, 52, 123, 44, 138, 35, 133, 31, 97, 38, 77, 45,
+        ),
+    ),
+    (  # LM 2: 480-sample (10 ms) frames
+        (
+            61, 90, 93, 60, 105, 42, 107, 41, 110, 45, 116, 38, 113, 38,
+            112, 38, 124, 26, 132, 27, 136, 19, 140, 20, 155, 14, 159, 16,
+            158, 18, 170, 13, 177, 10, 187, 8, 192, 6, 175, 9, 159, 10,
+        ),
+        (
+            21, 178, 59, 110, 71, 86, 75, 85, 84, 83, 91, 66, 88, 73,
+            87, 72, 92, 75, 98, 72, 105, 58, 107, 54, 115, 52, 114, 55,
+            112, 56, 129, 51, 132, 40, 150, 33, 140, 29, 98, 35, 77, 42,
+        ),
+    ),
+    (  # LM 3: 960-sample (20 ms) frames
+        (
+            42, 121, 96, 66, 108, 43, 111, 40, 117, 44, 123, 32, 120, 36,
+            119, 33, 127, 33, 134, 34, 139, 21, 147, 23, 152, 20, 158, 25,
+            154, 26, 166, 21, 173, 16, 184, 13, 184, 10, 150, 13, 139, 15,
+        ),
+        (
+            22, 178, 63, 114, 74, 82, 84, 83, 92, 82, 103, 62, 96, 72,
+            96, 67, 101, 73, 107, 72, 113, 55, 118, 52, 125, 52, 118, 52,
+            117, 55, 135, 49, 137, 39, 157, 32, 145, 29, 97, 33, 77, 40,
+        ),
+    ),
 )
-_CELT_PROB_INTER = tuple(
-    (max(94 - 2 * b, 24), min(141 + 4 * b, 251)) for b in range(_N_BANDS)
-)
+
+# Coarse-energy prediction coefficients per LM (quant_bands.c): the
+# time-prediction coefficient alpha and the in-frame accumulator leak
+# beta, Q15.
+_PRED_COEF = tuple(v / 32768.0 for v in (29440, 26112, 21248, 16384))
+_BETA_COEF = tuple(v / 32768.0 for v in (30147, 22282, 12124, 6554))
+# Budget fallback below 15 bits/symbol: a 4-symbol zigzag icdf, then a
+# single sign bit, then an implicit -1.
+_SMALL_ENERGY_ICDF = (2, 1, 0)
+# CELT-only TOC configs: band count by audio bandwidth ((config-16)>>2:
+# NB / WB / SWB / FB).
+_CELT_END_BAND = (13, 17, 19, 21)
 
 
 def _laplace_fs1(fs0: int, decay: int) -> int:
+    """First ±1 slot width EXCLUDING the MINP floor (ec_laplace_get_freq1)."""
     ft = 32768 - 2 * _LAPLACE_NMIN * _LAPLACE_MINP - fs0
-    return ((ft * (16384 - decay)) >> 15) + _LAPLACE_MINP
-
-
-def _laplace_next(w: int, decay: int) -> int:
-    return (((w - 2 * _LAPLACE_MINP) * decay) >> 15) + _LAPLACE_MINP
+    return (ft * (16384 - decay)) >> 15
 
 
 def _laplace_decode(dec: RangeDecoder, fs: int, decay: int) -> int:
+    """Bit-exact ec_laplace_decode: value 0 owns [0, fs0); each ±k
+    pair's slot width walks fs_k = (fs_{k-1}*decay >> 15) + MINP
+    (geometric, floored at MINP), negative sign in the LOWER half of
+    the pair; once the width hits MINP everything beyond costs MINP
+    per value. Round-10 note: the previous revision decayed on
+    (w - 2*MINP) — a self-consistent variant, but NOT the interval
+    walk libopus encodes, so real-world CELT frames would have
+    desynced; this is the published recursion."""
     fm = dec.decode(32768)
-    if fm < fs:
-        lo, hi, val = 0, fs, 0
-    else:
-        lo = fs
-        w = _laplace_fs1(fs, decay)
-        k = 1
-        while w > _LAPLACE_MINP and fm >= lo + 2 * w:
-            lo += 2 * w
-            w = _laplace_next(w, decay)
-            k += 1
-        if w == _LAPLACE_MINP:
-            di = (fm - lo) >> 1
-            k += di
-            lo += 2 * di
-        if fm < lo + w:
-            val, hi = -k, lo + w
+    val = 0
+    fl = 0
+    if fm >= fs:
+        val += 1
+        fl = fs
+        fs = _laplace_fs1(fs, decay) + _LAPLACE_MINP
+        # search the decaying part of the PDF: the decay step operates
+        # on the DOUBLED pair width (2u_k*decay >> 15 = u_k*decay/2^14),
+        # which is what makes the geometric sum exhaust the full
+        # 32768 - 2*NMIN - fs0 budget exactly at ratio decay/2^14
+        while fs > _LAPLACE_MINP and fm >= fl + 2 * fs:
+            fs *= 2
+            fl += fs
+            fs = ((fs - 2 * _LAPLACE_MINP) * decay >> 15) + _LAPLACE_MINP
+            val += 1
+        # everything beyond has probability MINP per value
+        if fs <= _LAPLACE_MINP:
+            di = (fm - fl) >> 1
+            val += di
+            fl += 2 * di * _LAPLACE_MINP
+        if fm < fl + fs:
+            val = -val
         else:
-            val, lo = k, lo + w
-            hi = lo + w
-        hi = min(hi, 32768)
-    dec.update(lo, hi, 32768)
+            fl += fs
+    dec.update(fl, min(fl + fs, 32768), 32768)
     return val
 
 
 def _laplace_encode(enc: RangeEncoder, value: int, fs: int, decay: int) -> int:
-    """Encode ``value`` (saturating where the layout runs out of room);
-    returns the value actually coded — callers must use it for their
-    prediction state."""
-    if value == 0:
-        enc.encode(0, fs, 32768)
-        return 0
-    sign = -1 if value < 0 else 1
-    mag = abs(value)
-    lo = fs
-    w = _laplace_fs1(fs, decay)
-    k = 1
-    while k < mag and w > _LAPLACE_MINP and lo + 2 * w <= 32768 - 2:
-        lo += 2 * w
-        w = _laplace_next(w, decay)
-        k += 1
-    if w == _LAPLACE_MINP and k < mag:
-        room = (32768 - lo - 2) // 2
-        di = min(mag - k, room)
-        k += di
-        lo += 2 * di
-    if sign < 0:
-        fl, fh = lo, lo + w
-    else:
-        fl, fh = lo + w, min(lo + 2 * w, 32768)
-    enc.encode(fl, fh, 32768)
-    return sign * k
+    """Bit-exact ec_laplace_encode (saturating where the layout runs
+    out of room); returns the value actually coded — callers must use
+    it for their prediction state."""
+    val = value
+    fl = 0
+    if val:
+        s = -1 if val < 0 else 0
+        val = (val + s) ^ s  # |val|
+        fl = fs
+        fs = _laplace_fs1(fs, decay)
+        i = 1
+        while fs > 0 and i < val:
+            fs *= 2
+            fl += fs + 2 * _LAPLACE_MINP
+            fs = (fs * decay) >> 15  # doubled width in, single out
+            i += 1
+        if fs == 0:
+            ndi_max = (32768 - fl + _LAPLACE_MINP - 1) >> 0  # LOG_MINP = 0
+            ndi_max = (ndi_max - s) >> 1
+            di = min(val - i, ndi_max - 1)
+            fl += (2 * di + 1 + s) * _LAPLACE_MINP
+            fs = min(_LAPLACE_MINP, 32768 - fl)
+            value = ((i + di) + s) ^ s
+        else:
+            fs += _LAPLACE_MINP
+            if s == 0:
+                fl += fs
+        assert fl + fs <= 32768 and fs > 0
+    enc.encode(fl, fl + fs, 32768)
+    return value
 
 
-def _celt_prob(band: int, intra: int) -> tuple[int, int]:
-    p, d = (_CELT_PROB_INTRA if intra else _CELT_PROB_INTER)[band]
-    return p << 7, d << 6
+def _celt_prob(band: int, intra: int, lm: int = 3) -> tuple[int, int]:
+    model = _E_PROB_MODEL[lm][1 if intra else 0]
+    pi = 2 * min(band, 20)
+    return model[pi] << 7, model[pi + 1] << 6
 
 
 # --- TOC / frame splitting (§3.1–3.2) ---------------------------------------
@@ -591,30 +729,75 @@ def _silk_frame_gains(
     return gains, prev_ind
 
 
-def _celt_frame_energy(frame: bytes, lm_state: dict | None = None) -> float:
-    """Mean linear band energy of a mono CELT frame (§4.3): silence,
-    post-filter (uint octave + period/gain bits + tapset icdf),
-    transient, intra flags, then per-band coarse energy — Laplace-coded
-    deltas against the two-term predictor (time prediction zeroed for
-    intra; the in-frame accumulator leaks by beta)."""
+class CeltState:
+    """Cross-packet CELT coarse-energy state: the previous frame's
+    per-band log energies (oldEBands in the reference decoder, one row
+    per channel, initialized to 0) that inter frames predict against
+    with alpha = pred_coef[LM]."""
+
+    __slots__ = ("old_e",)
+
+    def __init__(self) -> None:
+        self.old_e = [[0.0] * _N_BANDS, [0.0] * _N_BANDS]
+
+
+def _celt_frame_energy(
+    frame: bytes,
+    state: CeltState,
+    lm: int,
+    end_band: int,
+    channels: int,
+) -> float:
+    """Mean linear band energy of a CELT frame (§4.3), the REAL
+    bitstream walk: silence; post-filter (flag budget-gated at 16
+    bits: uint octave, raw end-bits for period/gain, budget-gated
+    tapset icdf); transient (LM > 0 frames only); intra; then per-band
+    per-channel coarse energy — Laplace-coded deltas under
+    e_prob_model[LM][intra] against the two-term predictor
+    (time prediction alpha*oldE zeroed for intra; the in-frame
+    accumulator leaks by beta), degrading to the 2-bit zigzag icdf /
+    single sign bit / implicit -1 as the frame's bit budget runs
+    out — exactly the reference's unquant_coarse_energy ladder."""
     dec = RangeDecoder(frame)
-    if dec.dec_bit_logp(15):  # silence
+    total = len(frame) * 8
+    if dec.tell() >= total or dec.dec_bit_logp(15):  # silence
         return 0.0
-    if dec.dec_bit_logp(1):  # post-filter
+    if dec.tell() + 16 <= total and dec.dec_bit_logp(1):  # post-filter
         octave = dec.dec_uint(6)
-        dec.dec_bits(4 + octave)  # period
-        dec.dec_bits(3)  # gain
-        dec.dec_icdf(_TAPSET_ICDF, 2)  # tapset
-    dec.dec_bit_logp(3)  # transient
-    intra = dec.dec_bit_logp(3)
+        dec.dec_bits(4 + octave)  # period (raw end-bits)
+        dec.dec_bits(3)  # gain (raw end-bits)
+        if dec.tell() + 2 <= total:
+            dec.dec_icdf(_TAPSET_ICDF, 2)  # tapset
+    if lm > 0 and dec.tell() + 3 <= total:
+        dec.dec_bit_logp(3)  # transient
+    intra = dec.dec_bit_logp(3) if dec.tell() + 3 <= total else 0
+    model = _E_PROB_MODEL[lm][intra]
+    coef = 0.0 if intra else _PRED_COEF[lm]
+    beta = _CELT_BETA_INTRA if intra else _BETA_COEF[lm]
+    prev = [0.0, 0.0]
     energies = []
-    prev = 0.0
-    for band in range(_N_BANDS):
-        fs, decay = _celt_prob(band, intra)
-        q = _laplace_decode(dec, fs, decay)
-        cur = prev + q
-        energies.append(2.0 ** (cur / 2.0))
-        prev = prev + q * (1.0 - _CELT_BETA_INTRA) if intra else 0.7 * cur
+    for band in range(end_band):
+        chans = []
+        for c in range(channels):
+            tell = dec.tell()
+            if total - tell >= 15:
+                pi = 2 * min(band, 20)
+                qi = _laplace_decode(dec, model[pi] << 7, model[pi + 1] << 6)
+            elif total - tell >= 2:
+                qi = dec.dec_icdf(_SMALL_ENERGY_ICDF, 2)
+                qi = (qi >> 1) ^ -(qi & 1)
+            elif total - tell >= 1:
+                qi = -dec.dec_bit_logp(1)
+            else:
+                qi = -1
+            old = max(-9.0, state.old_e[c][band])
+            cur = coef * old + prev[c] + qi
+            state.old_e[c][band] = cur
+            prev[c] += qi * (1.0 - beta)
+            chans.append(2.0 ** (cur / 2.0))
+        # channels averaged per band FIRST: a dual-mono stereo frame
+        # reduces exactly (bit-for-bit) to its mono twin's envelope
+        energies.append(sum(chans) / len(chans))
     return float(np.mean(energies))
 
 
@@ -639,23 +822,19 @@ def celt_quantize_envelope(energies) -> np.ndarray:
     return np.asarray(out, dtype=np.float64)
 
 
-_CELT_REFUSAL = (
-    "CELT coarse-energy probability model is module-owned, not RFC "
-    "6716's e_prob_model — real-world CELT streams quarantine (SILK "
-    "and hybrid streams decode with the transcribed RFC tables)"
-)
-
 _FIXTURE_VENDOR = "pg2kinesis_spark fixture"
 
 
 def opus_energy_envelope(data: bytes) -> np.ndarray:
     """Per-frame energy envelope of an Ogg Opus stream — the sequence
-    ``audio_fingerprint`` consumes. Mono throughout; stereo SILK walks
-    the mid (mono-mix) channel. Surround, stereo CELT, 40/60 ms SILK
-    packets, non-Opus Ogg, and — until e_prob_model is transcribed —
-    real-world CELT streams (no fixture marker in the OpusTags vendor
-    string) refuse (NotImplementedError) so the caller's quarantine
-    channel stays honest."""
+    ``audio_fingerprint`` consumes. Stereo SILK walks the mid
+    (mono-mix) channel; stereo CELT averages both channels' coarse
+    band energies. Surround, 40/60 ms SILK packets, LBRR redundancy,
+    and non-Opus Ogg refuse (NotImplementedError) so the caller's
+    quarantine channel stays honest. Since round 10 the CELT walk
+    carries RFC 6716's own e_prob_model, so real-world CELT/music
+    streams decode their true coarse-energy envelope — no fixture
+    marker required."""
     packets = ogg_packets(data)
     if not packets or not packets[0].startswith(b"OpusHead"):
         raise NotImplementedError("not an Ogg Opus stream")
@@ -667,14 +846,8 @@ def opus_energy_envelope(data: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"Opus envelope: {channels}-channel (surround) streams"
         )
-    fixture = False
-    for p in packets[1:3]:
-        if p.startswith(b"OpusTags"):
-            fixture = _vorbis_vendor(p[8:]) == _FIXTURE_VENDOR
-            break
     return opus_packets_energy(
-        (p for p in packets[1:] if not p.startswith(b"OpusTags")),
-        fixture_celt=fixture,
+        p for p in packets[1:] if not p.startswith(b"OpusTags")
     )
 
 
@@ -691,14 +864,16 @@ def _vorbis_vendor(vc: bytes) -> str | None:
         return None
 
 
-def opus_packets_energy(packets, fixture_celt: bool = False) -> np.ndarray:
+def opus_packets_energy(packets) -> np.ndarray:
     """The per-packet energy walk shared by the Ogg and WebM fronts:
     each packet contributes its SILK subframe gains (real RFC tables,
-    LastGainIndex threaded across packets like the real decoder) or —
-    for fixture-marked streams only — CELT coarse band energy (see the
-    module docstring for scope + refusals)."""
+    LastGainIndex threaded across packets like the real decoder) or
+    its CELT coarse band energies (real e_prob_model since round 10,
+    oldEBands threaded across packets; stereo CELT interleaves the
+    two channels per band and the envelope averages them)."""
     env: list[float] = []
     prev_ind = _GAIN_RESET_IND
+    celt_state = CeltState()
     for pkt in packets:
         config, stereo, frames = opus_packet_frames(pkt)
         ms = _FRAME_MS[config]
@@ -707,14 +882,6 @@ def opus_packets_energy(packets, fixture_celt: bool = False) -> np.ndarray:
                 f"{ms} ms SILK packets hold multiple interleaved SILK "
                 "frames in one entropy stream (full SILK decode tier)"
             )
-        if config >= 16:
-            if stereo:
-                raise NotImplementedError(
-                    "stereo CELT packet (coupled-band energy is the full-"
-                    "decode tier; stereo SILK walks the mid channel)"
-                )
-            if not fixture_celt:
-                raise NotImplementedError(_CELT_REFUSAL)
         for fr in frames:
             if not fr:
                 continue  # DTX
@@ -724,7 +891,15 @@ def opus_packets_energy(packets, fixture_celt: bool = False) -> np.ndarray:
                 )
                 env.extend(gains)
             else:
-                env.append(_celt_frame_energy(fr))
+                env.append(
+                    _celt_frame_energy(
+                        fr,
+                        celt_state,
+                        lm=config & 3,
+                        end_band=_CELT_END_BAND[(config - 16) >> 2],
+                        channels=2 if stereo else 1,
+                    )
+                )
     return np.asarray(env, dtype=np.float64)
 
 
@@ -813,10 +988,12 @@ def opus_envelope_packets(
     Opus front-end decoder reads the same gains); the gain planning
     threads LastGainIndex exactly like the decoder, so
     ``silk_quantize_envelope`` is the byte-independent truth.
-    ``stereo=True`` (silk only) writes real stereo SILK frames: both
+    ``stereo=True`` writes real stereo frames: for SILK, both
     channels' VAD/LBRR flags, the five stereo-weight symbols, the
     mid-only flag (set — the fixture carries no side channel), then
-    the mid frame holding the envelope in its gains."""
+    the mid frame holding the envelope in its gains; for CELT, the
+    two channels' coarse energies interleaved per band (both carrying
+    the same envelope)."""
     env = np.asarray(energies, dtype=np.float64)
     if (env < 0).any():
         raise ValueError("energies must be non-negative")
@@ -854,10 +1031,9 @@ def opus_envelope_packets(
                 enc.enc_icdf(d, _ICDF_GAIN_DELTA, 8)
             pkts.append(toc + enc.done())
         elif mode == "celt":
-            if stereo:
-                raise ValueError("stereo fixtures are SILK-only")
-            config = 16 + (2 if frame_ms == 10 else 3)  # NB CELT 10/20ms
-            toc = bytes([config << 3])
+            lm = 2 if frame_ms == 10 else 3
+            config = 28 + lm  # FB CELT (21 bands) 10/20 ms
+            toc = bytes([(config << 3) | (4 if stereo else 0)])
             enc = RangeEncoder()
             if e == 0.0:
                 enc.enc_bit_logp(1, 15)  # silence
@@ -865,15 +1041,16 @@ def opus_envelope_packets(
                 continue
             enc.enc_bit_logp(0, 15)
             enc.enc_bit_logp(0, 1)  # no post-filter
-            enc.enc_bit_logp(0, 3)  # not transient
+            enc.enc_bit_logp(0, 3)  # not transient (LM > 0, so coded)
             enc.enc_bit_logp(1, 3)  # intra
             target = 2.0 * np.log2(max(e, 1e-12))
-            prev = 0.0
+            prevs = [0.0, 0.0]
             for band in range(_N_BANDS):
-                fs, decay = _celt_prob(band, 1)
-                q = int(round(target - prev))
-                q = _laplace_encode(enc, q, fs, decay)
-                prev = prev + q * (1.0 - _CELT_BETA_INTRA)
+                fs, decay = _celt_prob(band, 1, lm)
+                for c in range(2 if stereo else 1):
+                    q = int(round(target - prevs[c]))
+                    q = _laplace_encode(enc, q, fs, decay)
+                    prevs[c] = prevs[c] + q * (1.0 - _CELT_BETA_INTRA)
             pkts.append(toc + enc.done())
         else:
             raise ValueError(mode)
@@ -886,10 +1063,8 @@ def webm_opus_energy_envelope(data: bytes) -> np.ndarray:
     the Cluster SimpleBlocks/Blocks of the first A_OPUS audio track
     (the shared ``codecs.webm_audio_packets`` walk; laced audio
     refuses). An Ogg Opus stream and its WebM remux fingerprint
-    IDENTICALLY. Video-bearing files stay on the video tier; stereo
-    and non-Opus audio refuse. The CELT fixture gate reads the
-    WritingApp element (the WebM twin of the OpusTags vendor
-    marker)."""
+    IDENTICALLY. Video-bearing files stay on the video tier; surround
+    and non-Opus audio refuse."""
     from pg2kinesis_spark.functions import codecs as C
 
     data = bytes(data)
@@ -902,14 +1077,14 @@ def webm_opus_energy_envelope(data: bytes) -> np.ndarray:
         raise NotImplementedError(
             f"WebM audio envelope covers A_OPUS ({info['audio_codec']!r})"
         )
-    if (info["n_channels"] or 1) != 1:
-        raise NotImplementedError("Opus envelope walks mono streams only")
-    _codec, _priv, packets, writing_app = C.webm_audio_packets(data)
+    if (info["n_channels"] or 1) not in (1, 2):
+        raise NotImplementedError(
+            "Opus envelope: surround (3+ channel) WebM streams"
+        )
+    _codec, _priv, packets, _writing_app = C.webm_audio_packets(data)
     if not packets:
         raise ValueError("WebM Opus track with no blocks")
-    return opus_packets_energy(
-        packets, fixture_celt=writing_app == _FIXTURE_VENDOR
-    )
+    return opus_packets_energy(packets)
 
 
 _MKV_WRITINGAPP = 0x5741
@@ -924,8 +1099,9 @@ def encode_webm_opus_envelope(
     """Audio-only WebM fixture carrying the SAME Opus packets the Ogg
     fixture would — the remux twin for the cross-container identity
     test, and the independent construction side of
-    ``webm_opus_energy_envelope``. Writes the fixture marker into
-    WritingApp (the CELT gate's WebM channel)."""
+    ``webm_opus_energy_envelope``. Still writes the fixture vendor
+    string into WritingApp — provenance only since round 10 (the CELT
+    gate it used to feed is retired)."""
     from pg2kinesis_spark.functions import codecs as C
 
     pkts = opus_envelope_packets(energies, mode, frame_ms)
@@ -975,11 +1151,11 @@ def encode_ogg_opus_envelope(
     — the independent construction side of ``opus_energy_envelope``
     (the MP3 ``encode_mp3_layer3_envelope`` precedent). ``mode='silk'``
     writes one mono 20 ms (or 10 ms) REAL-table SILK frame per packet
-    carrying the energy in its subframe gains; ``'celt'`` writes CELT
-    frames carrying it in the coarse band energies (decodable only
-    under the fixture marker — the OpusTags vendor string written
-    here). Zero energy becomes a DTX (empty) packet in silk mode and
-    the silence flag in celt mode."""
+    carrying the energy in its subframe gains; ``'celt'`` writes real
+    e_prob_model fullband CELT frames carrying it in the coarse band
+    energies (any conformant Opus front-end decoder reads the same
+    values since round 10). Zero energy becomes a DTX (empty) packet
+    in silk mode and the silence flag in celt mode."""
     from pg2kinesis_spark.functions import codecs as C
 
     rate = 48000

@@ -292,3 +292,31 @@ def test_audio_landmark_match_spark(spark):
     assert (1, 2) in got and got[(1, 2)][1] == 4
     assert not any(3 in pair for pair in got)
     assert not any(4 in pair for pair in got)
+
+
+def test_bs1770_channel_weights_exclude_lfe():
+    """BS.1770-4 weights by layout (ADVICE r9): in 5.1+ WAV order,
+    channel index 3 is the LFE and is EXCLUDED from the measure
+    (weight 0), surrounds weigh 1.41. A loud LFE must not move
+    integrated loudness: dual-mono 5.1 (sine on FL/FR, garbage on
+    LFE) reads the same as without the LFE content."""
+    assert aa.channel_weights(1) == [1.0]
+    assert aa.channel_weights(2) == [1.0, 1.0]
+    assert aa.channel_weights(6) == [1.0, 1.0, 1.0, 0.0, 1.41, 1.41]
+    assert aa.channel_weights(8) == [1.0, 1.0, 1.0, 0.0, 1.41, 1.41, 1.41, 1.41]
+    x = sine(1000, 3.0)
+    zeros = np.zeros_like(x)
+    lfe_noise = sine(50, 3.0)  # loud LFE rumble
+    quiet = np.zeros((len(x), 6))
+    quiet[:, 0] = x
+    quiet[:, 1] = x
+    loud_lfe = quiet.copy()
+    loud_lfe[:, 3] = lfe_noise
+    a = aa.integrated_lufs(quiet, RATE)
+    b = aa.integrated_lufs(loud_lfe, RATE)
+    assert a is not None and b == a
+    # and the surrounds DO count: adding content at index 4 raises it
+    with_surround = quiet.copy()
+    with_surround[:, 4] = x
+    c = aa.integrated_lufs(with_surround, RATE)
+    assert c > a

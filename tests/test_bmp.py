@@ -261,9 +261,14 @@ def test_webp_animation_and_refusals():
     w = C.encode_webp_skeleton(8, 8, n_anim_frames=3)
     i = C.webp_info(w)
     assert i["animated"] is True and i["n_frames"] == 3
+    # lossy still refuses (bool-coder tables not transcribed) ...
     with pytest.raises(NotImplementedError, match="VP8"):
+        C.decode_webp(C.encode_webp_skeleton(8, 8, lossless=False))
+    # ... while the lossless skeleton now reaches the REAL VP8L
+    # decoder (round 10) and fails honestly on its empty image data
+    with pytest.raises(ValueError, match="truncated VP8L"):
         C.decode_webp(C.encode_webp_skeleton(8, 8))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises((NotImplementedError, ValueError)):
         C.decode_image(C.encode_webp_skeleton(8, 8))
     with pytest.raises(ValueError, match="keyframe start code"):
         bad = bytearray(C.encode_webp_skeleton(8, 8, lossless=False))
@@ -327,3 +332,22 @@ def test_cur_cursor_files_decode_like_ico():
     dec = C.decode_ico(bytes(cur))
     assert np.array_equal(dec[:, :, :3], img)
     assert np.array_equal(C.decode_image(bytes(cur))[:, :, :3], img)
+
+
+def test_rle_delta_past_width_fails_cleanly():
+    """A hostile delta escape that moves x past the row end followed
+    by a run / absolute mode must raise the module's format error,
+    not an opaque numpy broadcast ValueError (ADVICE r9)."""
+    pal = b"".join(bytes([i, i, i, 0]) for i in range(16))
+    off = 14 + 40 + len(pal)
+    for tail in (
+        bytes([2, 7]),             # encoded run after the delta
+        bytes([0, 3, 1, 2, 3, 0]),  # absolute run after the delta
+    ):
+        rle = bytes([0, 2, 200, 0]) + tail + bytes([0, 1])  # dx=200!
+        hdr = struct.pack(
+            "<IiiHHIIiiII", 40, 4, 2, 1, 8, 1, len(rle), 0, 0, 16, 0
+        )
+        fh = struct.pack("<2sIHHI", b"BM", off + len(rle), 0, 0, off)
+        with pytest.raises(ValueError, match="outside the raster"):
+            C.decode_bmp(fh + hdr + pal + rle)

@@ -214,3 +214,26 @@ def test_lz4_snappy_archive_front_door(spark):
     )
     out = archive_members(bombs, max_total_bytes=1 << 20).collect()
     assert all(r.decode_error is not None and "bomb" in r.decode_error for r in out)
+
+
+def test_lz4_truncation_is_valueerror_everywhere():
+    """ADVICE r9: a skippable frame whose declared size runs past EOF
+    must raise (not end the walk silently), and truncated block /
+    content checksum reads must surface as the module's ValueError,
+    never a bare struct.error."""
+    # skippable frame declaring 100 bytes with only 2 present
+    sk = b"\x50\x2a\x4d\x18" + struct.pack("<I", 100) + b"XX"
+    with pytest.raises(ValueError, match="truncated LZ4 skippable"):
+        Z.lz4_decompress(sk, CAP)
+    # block checksum truncated: cut right after the block body
+    f = Z.lz4_compress(b"hello world", block_checksum=True)
+    # find the block: magic(4) FLG/BD(2) HC(1), then u32 size + body
+    (bsize,) = struct.unpack_from("<I", f, 7)
+    cut = 7 + 4 + (bsize & 0x7FFFFFFF)
+    with pytest.raises(ValueError, match="truncated LZ4"):
+        Z.lz4_decompress(f[:cut], CAP)
+    # content checksum truncated: drop the trailing bytes after EndMark
+    f2 = Z.lz4_compress(b"hello world")
+    assert Z.lz4_decompress(f2, CAP) == b"hello world"
+    with pytest.raises(ValueError, match="truncated LZ4"):
+        Z.lz4_decompress(f2[:-2], CAP)

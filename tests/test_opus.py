@@ -54,21 +54,36 @@ def test_laplace_round_trip(fs, decay, vals):
 
 
 def test_laplace_layout_is_the_rfc_walk():
-    """The interval widths follow the RFC's geometric-then-minimum-
-    probability layout: fs1 = ((32768 - 2*NMIN - fs0)*(16384 - decay)
-    >> 15) + 1, then w' = ((w - 2)*decay >> 15) + 1, MINP tail of
-    width-1 slots. The decode of a crafted cumulative frequency lands
-    exactly where the layout says."""
+    """The interval widths follow ec_laplace's published layout:
+    u1 = (32768 - 2*NMIN - fs0)*(16384 - decay) >> 15 (MINP excluded),
+    then the decay step operates on the DOUBLED pair width —
+    u' = (2u*decay) >> 15, i.e. ratio decay/2^14 — which is exactly
+    what makes the geometric widths sum to the full non-zero budget:
+    fs0 + Σ 2(u_k + MINP) ≈ 32768 - 2*NMIN (the normalization identity
+    that caught the r9 variant's (w - 2*MINP) recursion as non-RFC).
+    Deep values ride the MINP tail and still round trip exactly."""
     fs0, decay = 9216, 11008
-    w1 = (((32768 - 32 - fs0) * (16384 - decay)) >> 15) + 1
-    assert O._laplace_fs1(fs0, decay) == w1
-    assert O._laplace_next(w1, decay) == (((w1 - 2) * decay) >> 15) + 1
-    # deep values ride the MINP tail and still round trip exactly
+    u1 = ((32768 - 32 - fs0) * (16384 - decay)) >> 15
+    assert O._laplace_fs1(fs0, decay) == u1
+    # exhaustion: truncation only ever loses mass, never overshoots,
+    # and the loss stays small relative to the 2^15 total
+    for fs0x, dx in ((9216, 11008), (2816, 11392), (512, 6000), (24576, 1000)):
+        u = O._laplace_fs1(fs0x, dx)
+        tot = fs0x
+        while u > 0:
+            tot += 2 * (u + 1)
+            u = (2 * u * dx) >> 15
+        assert tot <= 32768 - 32 + 2
+        assert tot >= 32768 - 32 - 600  # near-exhaustion
+    # deep values ride the MINP tail (saturating at the layout's real
+    # ndi_max room — sign preserved) and still round trip exactly
     enc = O.RangeEncoder()
     coded = [O._laplace_encode(enc, v, fs0, decay) for v in (0, -1, 1, 500, -500)]
     dec = O.RangeDecoder(enc.done())
     got = [O._laplace_decode(dec, fs0, decay) for _ in coded]
-    assert got == coded == [0, -1, 1, 500, -500]
+    assert got == coded
+    assert coded[:3] == [0, -1, 1]
+    assert 1 < coded[3] <= 500 and coded[4] == -coded[3]
 
 
 def test_silk_tables_are_the_rfc_ones():
@@ -219,12 +234,16 @@ def test_envelope_refusals():
     blob[at] = 3
     with pytest.raises(NotImplementedError, match="surround"):
         O.opus_energy_envelope(bytes(blob))
-    # stereo CELT refuses (coupled-band energy = full-decode tier)
+    # stereo CELT decodes since round 10 (channels interleaved per
+    # band) — the real-stereo identity lives in
+    # test_stereo_celt_envelope; here just pin that a TOC rewritten to
+    # stereo no longer refuses (it walks as a garbled-but-bounded
+    # stream, like any corrupt frame)
     celt = O.encode_ogg_opus_envelope(env, mode="celt")
-    with pytest.raises(NotImplementedError, match="stereo CELT"):
-        O.opus_energy_envelope(
-            _swap_first_audio_toc(celt, ((16 + 3) << 3) | 4)
-        )
+    got = O.opus_energy_envelope(
+        _swap_first_audio_toc(celt, ((16 + 3) << 3) | 4)
+    )
+    assert np.all(np.isfinite(got))
     # a 40 ms SILK packet (config 10) holds multiple SILK frames in ONE
     # entropy stream — the full-decode tier, refused
     pkts = O.ogg_packets(ogg)
@@ -411,35 +430,161 @@ def _rewrite_vendor(ogg: bytes) -> bytes:
     raise AssertionError("vendor page not found")
 
 
-def test_celt_without_fixture_marker_refuses():
-    """Real-world CELT streams (no fixture vendor string) quarantine —
-    the module-owned e_prob_model stand-ins must never silently decode
-    someone else's music (ADVICE r8). SILK streams are real-table and
-    decode regardless of the marker."""
+def test_celt_decodes_without_fixture_marker():
+    """The round-9 fixture-marker gate is RETIRED: since round 10 the
+    CELT walk carries RFC 6716's own e_prob_model, so a stream with a
+    foreign vendor string decodes identically to the marked fixture —
+    the behavior any conformant stream gets. SILK unchanged."""
     env = np.array([4.0, 8.0, 64.0])
     celt = _rewrite_vendor(O.encode_ogg_opus_envelope(env, mode="celt"))
-    with pytest.raises(NotImplementedError, match="e_prob_model"):
-        O.opus_energy_envelope(celt)
+    assert np.array_equal(
+        O.opus_energy_envelope(celt), O.celt_quantize_envelope(env)
+    )
     silk = _rewrite_vendor(O.encode_ogg_opus_envelope(env, mode="silk"))
     assert np.array_equal(
         O.opus_energy_envelope(silk), O.silk_quantize_envelope(env)
     )
 
 
-def test_webm_celt_gate_reads_writingapp():
+def test_webm_celt_decodes_without_writingapp_marker():
     env = np.array([4.0, 8.0, 64.0])
-    webm = bytearray(O.encode_webm_opus_envelope(env, mode="celt"))
-    at = webm.index(b"pg2kinesis_spark fixture")
-    webm[at] = ord("X")
-    with pytest.raises(NotImplementedError, match="e_prob_model"):
-        O.webm_opus_energy_envelope(bytes(webm))
-    silk = bytearray(O.encode_webm_opus_envelope(env, mode="silk"))
-    at = silk.index(b"pg2kinesis_spark fixture")
-    silk[at] = ord("X")
-    assert np.array_equal(
-        O.webm_opus_energy_envelope(bytes(silk)),
-        O.silk_quantize_envelope(env),
+    for mode, mirror in (
+        ("celt", O.celt_quantize_envelope),
+        ("silk", O.silk_quantize_envelope),
+    ):
+        webm = bytearray(O.encode_webm_opus_envelope(env, mode=mode))
+        at = webm.index(b"pg2kinesis_spark fixture")
+        webm[at] = ord("X")
+        assert np.array_equal(
+            O.webm_opus_energy_envelope(bytes(webm)), mirror(env)
+        )
+
+
+def test_stereo_celt_envelope():
+    """Stereo CELT (most real-world Opus music) decodes since round
+    10: the coarse-energy walk interleaves the two channels per band
+    (separate prediction accumulators) and the envelope averages them
+    — a dual-mono stereo fixture reduces bit-for-bit to its mono
+    twin's envelope, and half volume scales it by the usual notch."""
+    rng = np.random.default_rng(23)
+    env = 2.0 ** rng.uniform(3, 11, size=40)
+    mono = O.opus_energy_envelope(O.encode_ogg_opus_envelope(env, mode="celt"))
+    st = O.opus_energy_envelope(
+        O.encode_ogg_opus_envelope(env, mode="celt", stereo=True)
     )
+    assert np.array_equal(mono, st)
+    half = O.opus_energy_envelope(
+        O.encode_ogg_opus_envelope(env * 0.5, mode="celt", stereo=True)
+    )
+    r = half / st
+    notch = 2.0 ** 0.5
+    assert np.all((0.5 / notch <= r) & (r <= 0.5 * notch))
+
+
+def test_e_prob_model_shape_and_wiring():
+    """Transcription cross-checks for e_prob_model: 4 LM rows x
+    (inter, intra) x 42 interleaved (prob, decay) bytes; every fs0 =
+    prob<<7 leaves room for the 2*NMIN reserved slots, every decay =
+    decay<<6 stays below the 16384 pivot (so freq1 > 0 at fs0), and
+    the documented libopus bound decay <= 11456 holds — the values a
+    wrong transcription would most likely break structurally."""
+    assert len(O._E_PROB_MODEL) == 4
+    for lm_row in O._E_PROB_MODEL:
+        assert len(lm_row) == 2
+        for model in lm_row:
+            assert len(model) == 42
+            probs, decays = model[0::2], model[1::2]
+            assert all(1 <= p <= 255 for p in probs)
+            assert all((p << 7) < 32768 - 32 for p in probs)
+            assert all(1 <= d <= 179 for d in decays)  # d<<6 <= 11456
+    # intra rows start sharper (small prob for band 0, heavy decay)
+    for lm in range(4):
+        assert O._E_PROB_MODEL[lm][1][0] < O._E_PROB_MODEL[lm][0][0] or lm == 0
+        assert O._E_PROB_MODEL[lm][1][1] >= 110
+    # prediction coefficients: alpha and beta per LM, Q15 published
+    assert O._PRED_COEF == tuple(
+        v / 32768.0 for v in (29440, 26112, 21248, 16384)
+    )
+    assert O._BETA_COEF == tuple(
+        v / 32768.0 for v in (30147, 22282, 12124, 6554)
+    )
+
+
+def test_celt_budget_fallback_and_tiny_frames():
+    """Frames too small for the 15-bit Laplace path degrade through
+    the reference ladder (2-bit zigzag icdf, sign bit, implicit -1)
+    and never crash; the flag walk itself is budget-gated, so even
+    1-2 byte CELT frames decode to a finite value."""
+    st = O.CeltState()
+    for frame in (b"\x00", b"\x41", b"\xff\x07", b"\x12\x34\x56"):
+        v = O._celt_frame_energy(frame, st, lm=3, end_band=21, channels=1)
+        assert np.isfinite(v) and v >= 0.0
+    # a truncated fixture frame decodes (wrong values, bounded walk)
+    pkt = O.opus_envelope_packets(np.array([64.0]), mode="celt")[0]
+    st2 = O.CeltState()
+    v = O._celt_frame_energy(pkt[1:6], st2, lm=3, end_band=21, channels=1)
+    assert np.isfinite(v)
+
+
+def test_celt_band_count_follows_toc_bandwidth():
+    """(config-16)>>2 selects NB/WB/SWB/FB -> 13/17/19/21 coded bands
+    (the reference decoder's endband ladder). A fullband fixture frame
+    re-walked under a narrowband TOC reads only the first 13 bands'
+    symbols — fewer bits consumed, still in-budget."""
+    assert O._CELT_END_BAND == (13, 17, 19, 21)
+    pkt = O.opus_envelope_packets(np.array([64.0]), mode="celt")[0]
+    frame = pkt[1:]
+    vals = {}
+    for end in (13, 21):
+        dec_state = O.CeltState()
+        vals[end] = O._celt_frame_energy(
+            frame, dec_state, lm=3, end_band=end, channels=1
+        )
+    # same per-band walk prefix -> means differ only via band count
+    assert np.isfinite(vals[13]) and np.isfinite(vals[21])
+    assert vals[13] != vals[21]
+
+
+def test_ec_tell_and_raw_end_bits():
+    """ec_tell bookkeeping: the first symbol costs 1 bit; raw bits
+    read from the END of the buffer LSB-first-per-byte and add to the
+    count — the two-ended layout real Opus frames use for the
+    post-filter period/gain."""
+    enc = O.RangeEncoder()
+    assert enc.tell() == 1
+    enc.enc_bit_logp(0, 1)
+    enc.enc_bits(0b1011001, 7)
+    enc.enc_bits(0b110, 3)
+    buf = enc.done()
+    dec = O.RangeDecoder(buf)
+    assert dec.tell() == 1
+    assert dec.dec_bit_logp(1) == 0
+    t0 = dec.tell()
+    assert dec.dec_bits(7) == 0b1011001
+    assert dec.tell() == t0 + 7
+    assert dec.dec_bits(3) == 0b110
+    # the end bytes really sit at the BACK of the buffer
+    assert buf[-1] & 0x7F == 0b1011001
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    syms=st.lists(st.integers(0, 7), min_size=1, max_size=60),
+    raws=st.lists(st.tuples(st.integers(0, 255), st.integers(1, 8)), max_size=30),
+)
+def test_two_ended_stream_round_trip(syms, raws):
+    """Range symbols (front) and raw bits (back) interleave through
+    one buffer and both round trip."""
+    enc = O.RangeEncoder()
+    for s in syms:
+        enc.enc_icdf(s, _ICDF8, 8)
+    for v, n in raws:
+        enc.enc_bits(v & ((1 << n) - 1), n)
+    dec = O.RangeDecoder(enc.done())
+    assert [dec.dec_icdf(_ICDF8, 8) for _ in syms] == syms
+    assert [dec.dec_bits(n) for _, n in raws] == [
+        v & ((1 << n) - 1) for v, n in raws
+    ]
 
 
 # --- external-encoder proof (seam-gated: needs PyAV or opusenc) --------------

@@ -79,3 +79,24 @@ def test_dispatch_dhash_identity_and_sniff(spark):
     df = spark.createDataFrame(rows, "content binary")
     got = [r[0] for r in df.select(sniff_mime("content")).collect()]
     assert got == ["image/x-portable-anymap", "application/octet-stream"]
+
+
+def test_plain_pbm_packed_digits_no_whitespace():
+    """Plain PBM (P1) legally packs pixels with NO separating
+    whitespace — each '0'/'1' character is one sample (ADVICE r9: a
+    split() tokenizer quarantined such files). Comments inside the
+    raster and a junk byte still behave."""
+    packed = b"P1\n4 2\n0110\n1001\n"
+    spaced = b"P1\n4 2\n0 1 1 0\n1 0 0 1\n"
+    a = C.decode_pnm(packed)
+    b = C.decode_pnm(spaced)
+    assert np.array_equal(a, b)
+    # 1 = black (0), 0 = white (255)
+    assert a[:, :, 0].tolist() == [[255, 0, 0, 255], [0, 255, 255, 0]]
+    # comment mid-raster skips to end of line
+    commented = b"P1\n4 2\n01#comment 111\n10\n1001\n"
+    assert np.array_equal(C.decode_pnm(commented), a)
+    with pytest.raises(ValueError, match="bad PBM ASCII raster"):
+        C.decode_pnm(b"P1\n4 2\n01x0\n1001\n")
+    with pytest.raises(ValueError, match="truncated PNM ASCII raster"):
+        C.decode_pnm(b"P1\n4 2\n0110\n10\n")
