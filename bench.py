@@ -543,6 +543,56 @@ def bench_ingest_batch(spark, sf_dir, out_dir):
     return b0, b1, ingest
 
 
+_BENCH_MEDIA_DIR = "/tmp/bench_media_corpus_v1"
+
+
+def bench_curate_media(spark, sf_dir):
+    """Media curation end-to-end over a deterministic image corpus
+    (~260 rows: bases + exact dupes + re-encoded perceptual dupes +
+    junk): gates -> exact dedup -> perceptual dedup. Round 10's fused
+    one-decode kernel (image_features_sig) is the thing this entry
+    watches — decode dominates media cost, and the old gate+dhash
+    pipeline paid it twice. Corpus parquet is cached at
+    /tmp/bench_media_corpus_v1 (rm to rebuild), the warc precedent."""
+    import os
+
+    from pg2kinesis_spark.functions.multimodal import MEDIA_SCHEMA, curate_media
+
+    if not os.path.exists(_BENCH_MEDIA_DIR):
+        import numpy as np
+
+        from pg2kinesis_spark.functions import codecs as C
+
+        rng = np.random.default_rng(42)
+        rows = []
+        mid = 0
+
+        def add(content, mime="image/png"):
+            nonlocal mid
+            rows.append(
+                (mid, bytearray(content), (mime, len(content), f"m{mid}"))
+            )
+            mid += 1
+
+        for i in range(150):
+            base = rng.integers(0, 256, (6, 8, 3), dtype=np.uint8)
+            img = C.resize_nearest(base, 64, 64)
+            png = C.encode_png(img)
+            add(png)
+            if i % 3 == 0:
+                add(png)  # exact duplicate
+            elif i % 3 == 1:
+                add(C.encode_bmp(img), "image/bmp")  # perceptual dup
+            if i % 10 == 9:
+                add(b"junk bytes that decode nowhere")  # quarantine
+        spark.createDataFrame(rows, MEDIA_SCHEMA).write.mode(
+            "overwrite"
+        ).parquet(_BENCH_MEDIA_DIR)
+    media = spark.read.parquet(_BENCH_MEDIA_DIR)
+    clean, _rejected = curate_media(media, kind="image", min_pixels=100)
+    return clean
+
+
 EXTRA_BENCHES = {
     "bpe_token_counts_full": bench_bpe,
     "unigram_token_counts_full": bench_unigram,
@@ -562,6 +612,7 @@ EXTRA_BENCHES = {
     "curate_full": bench_curate,
     "curate_max_full": bench_curate_max,
     "curate_ultra_full": bench_curate_ultra,
+    "curate_media_full": bench_curate_media,
     "n9_blas_cosine_topk": bench_cosine_blas,
 }
 
@@ -597,7 +648,7 @@ BENCH_GROUPS: list[tuple[str, list[str]]] = [
             "curate_full",
         ],
     ),
-    ("curate", ["curate_max_full", "curate_ultra_full"]),
+    ("curate", ["curate_max_full", "curate_ultra_full", "curate_media_full"]),
     ("cdc", ["cdc_replay_450k", "pgoutput_replay_190k", "e2e_sink"]),
     ("ingest", ["ingest_batch"]),
 ]

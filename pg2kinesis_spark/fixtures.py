@@ -714,3 +714,109 @@ def gen_media_pdfs() -> tuple[list[tuple], list[tuple]]:
         (14, expected(g_mu), 1, 1, None, None),  # JPX: per-image NULL
     ]
     return pdf_rows, truth_rows
+
+
+def gen_media_curate() -> tuple[list[tuple], list[tuple]]:
+    """(media_rows, truth_rows) for the media-curation fate partition
+    (n28, round 10).
+
+    media_rows: (media_id, kind, content) — a mixed image + audio set
+    where every row is CONSTRUCTED to hit exactly one curate_media
+    fate under the gates (image: min_pixels=100, max_hamming=3; audio:
+    min_duration_ms=1000, max_silence_ratio=0.8, min_lufs=-30,
+    max_hamming=3). truth_rows: (media_id, kind, fate) derived from
+    the construction parameters, never by running the pipeline:
+
+    * exact duplicates are byte-identical copies (min-id survives);
+    * image perceptual duplicates are lossless RE-ENCODINGS of the
+      SAME pixels (BMP/TIFF/lossless-WebP — identical decoded rasters
+      give identical dHash, hamming 0 by construction; the greedy rule
+      drops the greater id of every pair, so the base PNG survives);
+    * the audio perceptual duplicate is the FLAC of the same PCM (the
+      pinned WAV≡FLAC fingerprint identity);
+    * the two kept audio rows have strictly DECAYING vs strictly
+      RISING amplitude envelopes — the envelope fingerprint's bits are
+      all-zero vs all-one by monotonicity, hamming 64, never a pair;
+    * silence / loudness gates use inputs decided by arithmetic, far
+      from the thresholds (90% zero frames vs the 0.8 ratio; a
+      ~-51 dBFS tone vs the -30 LUFS floor);
+    * the MP3 row passes the header-only duration gate but the
+      content gates need decoded PCM, which the lossless-only
+      analyzer refuses — the honest-refusal-to-quarantine contract on
+      the driver board.
+
+    A generation-time assert checks the base and the unrelated image
+    sit beyond pairing distance under an INLINE numpy dHash mirror
+    (independent of multimodal.py), so a freak collision would fail
+    fixture generation, not silently flip a truth row.
+    """
+    import numpy as np
+
+    from pg2kinesis_spark.functions import codecs as C
+    from pg2kinesis_spark.functions import vp8l as V
+
+    rows: list[tuple] = []
+    truth: list[tuple] = []
+
+    def add(mid: int, kind: str, content: bytes, fate: str) -> None:
+        rows.append((mid, kind, content))
+        truth.append((mid, kind, fate))
+
+    def inline_dhash(img: np.ndarray) -> int:
+        px = img.astype("float64")
+        gray = (
+            0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+            if px.shape[2] >= 3
+            else px[:, :, 0]
+        )
+        ys = (np.arange(8) * gray.shape[0]) // 8
+        xs = (np.arange(9) * gray.shape[1]) // 9
+        small = gray[np.ix_(ys, xs)]
+        bits = (small[:, 1:] > small[:, :-1]).flatten()
+        return sum(1 << i for i, b in enumerate(bits) if b)
+
+    rng = np.random.default_rng(46)
+
+    # --- images (gates: min_pixels=100, max_hamming=3) ----------------
+    base = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    other = rng.integers(0, 256, (24, 24, 3), dtype=np.uint8)
+    d = bin(inline_dhash(base) ^ inline_dhash(other)).count("1")
+    assert d > 3, f"fixture collision: unrelated images at hamming {d}"
+    png = C.encode_png(base)
+    add(1, "image", png, "kept")
+    add(2, "image", png, "duplicate:exact")  # byte-identical, id > 1
+    add(3, "image", C.encode_bmp(base), "duplicate:perceptual")
+    add(4, "image", C.encode_tiff(base, compression=5), "duplicate:perceptual")
+    add(5, "image", V.encode_webp_lossless(base), "duplicate:perceptual")
+    add(6, "image", C.encode_png(other), "kept")
+    add(7, "image", C.encode_png(other[:6, :6]), "gate:min_pixels")  # 36 px
+    add(8, "image", b"not an image at all", "quarantine")
+
+    # --- audio (gates: min_duration_ms=1000, max_silence_ratio=0.8,
+    #            min_lufs=-30, max_hamming=3) --------------------------
+    rate = 8000
+    t = np.arange(2 * rate)
+    tone = np.sin(2 * np.pi * 440 * t / rate)
+
+    def pcm(x: np.ndarray) -> np.ndarray:
+        return np.round(x * 32767).astype(np.int16).reshape(-1, 1)
+
+    falling = pcm(tone * np.linspace(0.9, 0.1, len(t)))
+    rising = pcm(tone * np.linspace(0.1, 0.9, len(t)))
+    wav_fall = C.encode_wav(falling, rate)
+    add(11, "audio", wav_fall, "kept")
+    add(12, "audio", wav_fall, "duplicate:exact")
+    add(13, "audio", C.encode_flac(falling, rate), "duplicate:perceptual")
+    add(14, "audio", C.encode_wav(rising, rate), "kept")
+    add(15, "audio", C.encode_wav(pcm(tone[: int(0.3 * rate)] * 0.5), rate),
+        "gate:min_duration_ms")  # 300 ms < 1000
+    mostly_silent = np.zeros(2 * rate)
+    mostly_silent[: int(0.2 * rate)] = tone[: int(0.2 * rate)] * 0.5
+    add(16, "audio", C.encode_wav(pcm(mostly_silent), rate),
+        "gate:max_silence_ratio")  # 18/20 silent frames = 0.9 > 0.8
+    add(17, "audio", C.encode_wav(pcm(tone * 0.004), rate),
+        "gate:min_lufs")  # ~-51 LUFS, audible (> -60 dBFS frames)
+    add(18, "audio", C.encode_mp3_frames(80, kbps=128, rate=44100),
+        "quarantine")  # ~2.1 s passes the header gate; lossy PCM refuses
+    add(19, "audio", b"junk audio bytes", "quarantine")
+    return rows, truth

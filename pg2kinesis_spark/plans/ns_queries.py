@@ -119,16 +119,33 @@ def n12_srp_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def n13_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round 10 consolidation (the q25->q15 'sets'-branch precedent):
+    # the old n14_frame_sample rows ride in this slot as part='frame'
+    # rows of a tagged wide-schema union — coverage unchanged, one
+    # driver slot freed for n28_media_curate.
     media = multimodal.synthetic_media(_docs(spark, sf_dir))
-    return multimodal.extract_features(media, fake=True).orderBy("media_id")
-
-
-def n14_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = multimodal.synthetic_media(_docs(spark, sf_dir).filter(F.col("doc_id") < 100))
-    frames = multimodal.frame_sample(media, every_n_bytes=64, max_frames=8)
-    return frames.select(
-        "media_id", "frame_idx", F.md5("frame_bytes").alias("frame_md5")
-    ).orderBy("media_id", "frame_idx")
+    feats = multimodal.extract_features(media, fake=True).select(
+        "media_id",
+        F.lit("feature").alias("part"),
+        F.lit(None).cast("int").alias("frame_idx"),
+        "mime", "n_bytes", "width", "height", "checksum", "decode_error",
+        F.lit(None).cast("string").alias("frame_md5"),
+    )
+    frames = multimodal.frame_sample(
+        media.filter(F.col("media_id") < 100), every_n_bytes=64, max_frames=8
+    ).select(
+        "media_id",
+        F.lit("frame").alias("part"),
+        "frame_idx",
+        F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("string").alias("checksum"),
+        F.lit(None).cast("string").alias("decode_error"),
+        F.md5("frame_bytes").alias("frame_md5"),
+    )
+    return feats.unionByName(frames).orderBy("media_id", "part", "frame_idx")
 
 
 def n15_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,7 +228,6 @@ NS_QUERIES = {
     "n11_simhash": n11_simhash,
     "n12_srp_ann_topk": n12_srp_ann_topk,
     "n13_media_features": n13_media_features,
-    "n14_frame_sample": n14_frame_sample,
 }
 
 # ---------------------------------------------------------------- oracles
@@ -430,27 +446,42 @@ NS_ORACLE_SQL = {
     """,
     "n10_embedding_neardup": None,  # filled below by _srp_int_neardup_sql()
     "n13_media_features": """
-        SELECT doc_id AS media_id,
-               'image/fake' AS mime,
-               octet_length(encode(text)) AS n_bytes,
-               (octet_length(encode(text)) % 640) + 1 AS width,
-               (octet_length(encode(text)) % 480) + 1 AS height,
-               md5(text) AS checksum,
-               CAST(NULL AS VARCHAR) AS decode_error
-        FROM documents ORDER BY media_id
-    """,
-    "n14_frame_sample": """
-        -- content is ascii by construction, so VARCHAR slicing ≡ byte
-        -- slicing (DuckDB 1.0 has no substring(BLOB, ...)).
-        WITH fr AS (
+        -- round 10: the old n14 frame rows ride in this slot as the
+        -- part='frame' branch of a tagged wide-schema union. content
+        -- is ascii by construction, so VARCHAR slicing ≡ byte slicing
+        -- (DuckDB 1.0 has no substring(BLOB, ...)).
+        WITH feats AS (
+          SELECT doc_id AS media_id,
+                 'feature' AS part,
+                 CAST(NULL AS INTEGER) AS frame_idx,
+                 'image/fake' AS mime,
+                 octet_length(encode(text)) AS n_bytes,
+                 (octet_length(encode(text)) % 640) + 1 AS width,
+                 (octet_length(encode(text)) % 480) + 1 AS height,
+                 md5(text) AS checksum,
+                 CAST(NULL AS VARCHAR) AS decode_error,
+                 CAST(NULL AS VARCHAR) AS frame_md5
+          FROM documents
+        ),
+        fr AS (
           SELECT doc_id AS media_id,
                  unnest(generate_series(0, least(octet_length(encode(text)) // 64, 7))) AS frame_idx,
                  text
           FROM documents WHERE doc_id < 100
+        ),
+        frames AS (
+          SELECT media_id, 'frame' AS part, frame_idx,
+                 CAST(NULL AS VARCHAR) AS mime,
+                 CAST(NULL AS BIGINT) AS n_bytes,
+                 CAST(NULL AS INTEGER) AS width,
+                 CAST(NULL AS INTEGER) AS height,
+                 CAST(NULL AS VARCHAR) AS checksum,
+                 CAST(NULL AS VARCHAR) AS decode_error,
+                 md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
+          FROM fr
         )
-        SELECT media_id, frame_idx,
-               md5(substring(text, frame_idx * 64 + 1, 64)) AS frame_md5
-        FROM fr ORDER BY media_id, frame_idx
+        SELECT * FROM feats UNION ALL SELECT * FROM frames
+        ORDER BY media_id, part, frame_idx
     """,
     # n12_srp_ann_topk: oracle generated below (_srp_int_ann_sql).
     # n15_ivf_ann_topk: oracle generated below (_ivf_int_ann_sql) — the

@@ -24,7 +24,10 @@ applies the corpus_ingest parquet-index discipline to the media tier:
 * **lineage severing** — accepted rows are written FIRST and the index
   rows derive from a re-read of that parquet, so the index writes
   don't re-execute the gate/dedup plan (the corpus_ingest measured
-  trap).
+  trap). Round 10: the perceptual signature is a COLUMN of the
+  accepted parquet (computed once in the fused gate decode for
+  images), so the sig_index rebuild is a projection of the re-read —
+  the old third decode of every accepted file is gone.
 
 Unbounded operator state never exists: all cross-batch memory is
 parquet on disk, readable by any executor count, compactable offline.
@@ -120,7 +123,9 @@ class MediaIngest:
 
         for p in (self.hash_path, self.sig_path):
             _recover_compaction(p)
-        keep_ids, _rejected = _media_gate_ids(batch, self.kind, **self.gates)
+        keep_ids, _rejected, gate_sigs = _media_gate_ids(
+            batch, self.kind, algo=self.algo, **self.gates
+        )
         gated = batch.join(keep_ids, "media_id", "left_semi")
         # the survivor set feeds hashing, signatures, AND the final
         # write — materialize once (the multi-reference discipline)
@@ -135,7 +140,15 @@ class MediaIngest:
         survivors = gated.join(keep.select("media_id"), "media_id", "left_semi")
 
         if self.max_hamming is not None:
-            sigs = self._signatures(survivors).localCheckpoint(eager=False)
+            if gate_sigs is not None:
+                # one-decode fusion (round 10): image signatures come
+                # from the SAME decode the gate pass used
+                sigs = gate_sigs.join(
+                    survivors.select("media_id"), "media_id", "left_semi"
+                ).select("media_id", F.col("sig").alias("simhash"))
+            else:
+                sigs = self._signatures(survivors)
+            sigs = sigs.localCheckpoint(eager=False)
             within = simhash_pairs(
                 sigs.select(F.col("media_id").alias("doc_id"), "simhash"),
                 max_hamming=self.max_hamming,
@@ -180,6 +193,17 @@ class MediaIngest:
                 "partitionOverwriteMode", "dynamic"
             ).parquet(path)
 
+        # the perceptual signature RIDES IN the accepted parquet
+        # (round 10): the post-write index rebuild below reads it back
+        # instead of paying a third decode of every accepted file
+        if self.max_hamming is not None:
+            survivors = survivors.join(
+                sigs.withColumnRenamed("simhash", "sig"), "media_id", "left"
+            )
+        else:
+            survivors = survivors.withColumn(
+                "sig", F.lit(None).cast("long")
+            )
         _write(survivors, self.accepted_path)
         accepted = spark.read.parquet(self.accepted_path).filter(
             F.col("batch_id") == batch_id
@@ -187,7 +211,9 @@ class MediaIngest:
         _write(accepted.select(F.md5("content").alias("h")), self.hash_path)
         if self.max_hamming is not None:
             _write(
-                self._signatures(accepted).select("media_id", "simhash"),
+                accepted.filter(F.col("sig").isNotNull()).select(
+                    "media_id", F.col("sig").alias("simhash")
+                ),
                 self.sig_path,
             )
         if self.stats:

@@ -126,3 +126,47 @@ def test_curate_media_transitive_and_validation(spark):
     assert {r["media_id"] for r in rejected.collect()} == {1, 2}
     with pytest.raises(ValueError, match="kind"):
         curate_media(_media_df(spark, rows), kind="video")
+
+
+def test_fused_kernel_matches_separate_kernels(spark):
+    """image_features_sig (the round-10 one-decode fusion) is
+    BIT-IDENTICAL to extract_image_features + media_dhash run
+    separately — same features, same checksum, same signature, same
+    quarantine verdicts — for both dhash and phash."""
+    from pg2kinesis_spark.functions.multimodal import (
+        extract_image_features,
+        image_features_sig,
+        media_dhash,
+    )
+
+    base = _img(7)
+    rows = [
+        (0, C.encode_png(base)),
+        (1, C.encode_bmp(base)),
+        (2, C.encode_png(_img(8, h=9, w=31))),
+        (3, b"junk bytes"),
+    ]
+    media = _media_df(spark, rows)
+    for algo in ("dhash", "phash"):
+        fused = {
+            r["media_id"]: r.asDict()
+            for r in image_features_sig(media, algo=algo).collect()
+        }
+        feats = {
+            r["media_id"]: r.asDict()
+            for r in extract_image_features(media).collect()
+        }
+        sigs = {
+            r["media_id"]: r.asDict()
+            for r in media_dhash(media, algo=algo).collect()
+        }
+        for mid in (0, 1, 2, 3):
+            f = fused[mid]
+            assert f["sig"] == sigs[mid]["dhash"]
+            for col in ("width", "height", "n_channels", "checksum"):
+                assert f[col] == feats[mid][col], (algo, mid, col)
+            if feats[mid]["mean_luma"] is None:
+                assert f["mean_luma"] is None
+                assert f["decode_error"] and feats[mid]["decode_error"]
+            else:
+                assert f["mean_luma"] == feats[mid]["mean_luma"]  # bit-equal

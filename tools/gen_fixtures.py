@@ -139,6 +139,18 @@ def main() -> None:
         "mean_luma": pa.array([r[4] for r in image_truth], pa.float64()),
     })
 
+    media_curate, curate_truth = fx.gen_media_curate()
+    write(out, "media_curate", {
+        "media_id": pa.array([r[0] for r in media_curate], pa.int64()),
+        "kind": pa.array([r[1] for r in media_curate], pa.string()),
+        "content": pa.array([r[2] for r in media_curate], pa.binary()),
+    })
+    write(out, "media_curate_truth", {
+        "media_id": pa.array([r[0] for r in curate_truth], pa.int64()),
+        "kind": pa.array([r[1] for r in curate_truth], pa.string()),
+        "fate": pa.array([r[2] for r in curate_truth], pa.string()),
+    })
+
 
 if __name__ == "__main__":
     main()
