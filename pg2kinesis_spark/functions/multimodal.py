@@ -1346,10 +1346,16 @@ def extract_audio_analysis(media: DataFrame, errors: str = "quarantine") -> Data
     audio_analysis``): BS.1770-4 integrated loudness (LUFS, gated),
     sample peak and whole-file RMS in dBFS, 100 ms-frame silence
     ratio, zero-crossing fraction, and Hann-framed spectral centroid /
-    85 % rolloff / flatness. Same lossless front door and quarantine
-    discipline as ``extract_audio_pcm`` — lossy containers refuse
-    rather than report proxy numbers. Bounded per-file Arrow kernel;
-    only the fixed-width feature row leaves the executor."""
+    85 % rolloff / flatness. Lossless front door (the
+    ``extract_audio_pcm`` container set) plus — round 10 — MPEG-1
+    Layer I/II: the requantized subband samples run through the
+    derived-prototype synthesis filterbank
+    (``audio_analysis.l12_synthesis``; near-PR, LUFS error ≲ 0.05 dB,
+    see that module's section comment), so the dominant lossy layers
+    stop refusing the content gates. Layer III / AAC / Opus / Vorbis
+    still refuse rather than report proxy numbers. Bounded per-file
+    Arrow kernel; only the fixed-width feature row leaves the
+    executor."""
     import pandas as pd
 
     from . import audio_analysis
@@ -1357,7 +1363,20 @@ def extract_audio_analysis(media: DataFrame, errors: str = "quarantine") -> Data
     _check_errors(errors)
 
     def one(c: bytes):
-        samples, rate, bits = _decode_lossless_pcm(c)
+        try:
+            samples, rate, bits = _decode_lossless_pcm(c)
+        except NotImplementedError:
+            from . import codecs
+
+            if not codecs.is_mp3(c):
+                raise
+            # Layer I/II: subband decode + synthesis -> float PCM in
+            # ~[-1, 1]; Layer III raises inside and stays quarantined
+            sb, rate = codecs.mp3_l12_subband_samples(c)
+            pcm = audio_analysis.l12_synthesis(sb)
+            if pcm.ndim == 1:
+                pcm = pcm[:, None]
+            samples, bits = pcm * 32768.0, 16  # analyze_pcm rescales
         d = audio_analysis.analyze_pcm(samples, rate, bits)
         return tuple(d[k] for k in _ANALYSIS_COLS)
 
@@ -1725,9 +1744,11 @@ def _media_gate_ids(
             # full-decode content gates: run them on the survivors only
             survivors = media.join(keep_ids, "media_id", "left_semi")
             analysis = extract_audio_analysis(survivors)
-            # lossy formats have no decoded PCM here: the analysis
-            # kernel quarantines them, and a content gate the corpus
-            # can't evaluate REJECTS rather than silently passes
+            # formats without decoded PCM (Layer III, AAC, Opus,
+            # Vorbis — Layer I/II synthesize since round 10) are
+            # quarantined by the analysis kernel, and a content gate
+            # the corpus can't evaluate REJECTS rather than silently
+            # passes
             bad = analysis.filter(F.col("decode_error").isNotNull()).select(
                 "media_id", F.col("decode_error").alias("reason")
             )

@@ -101,7 +101,10 @@ def test_curate_media_lossy_content_gate_rejects_not_passes(spark):
     )
     assert [r["media_id"] for r in clean.collect()] == [0]
     reasons = {r["media_id"]: r["reason"] for r in rejected.collect()}
-    assert "covers WAV, FLAC, AIFF" in reasons[1]
+    # round 10: Layer I/II would synthesize PCM and face the gate for
+    # real; this LAYER III stream still has no PCM tier and must carry
+    # the honest MDCT refusal
+    assert "Layer III" in reasons[1]
     # without content gates the same MP3 sails through on header truth
     clean2, rejected2 = curate_media(
         _media_df(spark, rows), kind="audio", max_hamming=None
