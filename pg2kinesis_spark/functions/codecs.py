@@ -8410,6 +8410,18 @@ def webp_info(data: bytes) -> dict:
             has_alpha = True
         elif fourcc == b"ANMF":
             n_frames += 1
+            # format of an animation = its subframes' (round 10): the
+            # first image sub-chunk after the 16-byte frame header
+            if fmt is None and len(body) >= 20:
+                sub = body[16:20]
+                if sub == b"VP8L":
+                    fmt = "lossless"
+                    has_alpha = has_alpha or bool(
+                        len(body) >= 29 and (body[28] >> 4) & 1
+                    )
+                elif sub in (b"VP8 ", b"ALPH"):
+                    fmt = "lossy"
+                    has_alpha = has_alpha or sub == b"ALPH"
     if fmt is None and n_frames == 0:
         raise ValueError("WebP without an image chunk")
     if canvas is not None:
@@ -8433,7 +8445,11 @@ def decode_webp(data: bytes) -> np.ndarray:
     in decode_image still upgrades those."""
     data = bytes(data)
     info = webp_info(data)
-    if info["format"] == "lossless" and not info["animated"]:
+    if info["format"] == "lossless":
+        if info["animated"]:
+            # still-image consumers get the first composed frame (the
+            # GIF convention); the video tier walks all of them
+            return decode_webp_frames(data, frame_indices={0})[0]
         from pg2kinesis_spark.functions import vp8l
 
         for fourcc, body in _webp_chunks(data):
@@ -8444,8 +8460,8 @@ def decode_webp(data: bytes) -> np.ndarray:
         f"WebP pixel decode ({info['format']}"
         f"{', animated' if info['animated'] else ''}, {info['width']}x"
         f"{info['height']}) needs the VP8 boolean-coder probability "
-        "tables — not transcribed (VP8L lossless DOES decode); "
-        "install PIL for the decode_image fast path"
+        "tables — not transcribed (VP8L lossless DOES decode, still "
+        "and animated); install PIL for the decode_image fast path"
     )
 
 
@@ -8474,6 +8490,207 @@ def encode_webp_skeleton(
     for fourcc, payload in chunks:
         body += fourcc + struct.pack("<I", len(payload)) + payload
         if len(payload) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# --- animated WebP (round 10: rides the VP8L decoder) ----------------------
+#
+# ANMF demux per the public container spec: 16-byte frame header
+# (24-bit x/2, y/2, width-1, height-1, 24-bit duration ms, 1 flag byte
+# with disposal bit 0 / blending bit 1), frame payload = the usual
+# image chunks (VP8L here; lossy VP8 subframes refuse like stills).
+# Composition mirrors the APNG walk: blend 0 alpha-composites over the
+# canvas, blend 1 replaces the region; disposal 1 clears the region to
+# the ANIM background color after the frame is emitted. Canvases are
+# COPIED only for sampled ordinals (the pay-for-what-you-keep rule).
+
+
+def _webp_anim_walk(data: bytes):
+    """(canvas_w, canvas_h, bg_rgba, loop_count, frames) where each
+    frame is (x, y, w, h, duration_ms, dispose, blend, payload)."""
+    info = webp_info(data)  # validates structure + gives the canvas
+    if not info["animated"]:
+        raise ValueError("WebP without ANMF frames")
+    cw, ch = info["width"], info["height"]
+    _check_pixels(cw, ch, "WebP")
+    bg = (0, 0, 0, 0)
+    loop = 0
+    frames = []
+    for fourcc, body in _webp_chunks(bytes(data)):
+        if fourcc == b"ANIM" and len(body) >= 6:
+            # background color bytes are B, G, R, A; loop count u16 LE
+            bg = (body[2], body[1], body[0], body[3])
+            loop = struct.unpack_from("<H", body, 4)[0]
+        elif fourcc == b"ANMF":
+            if len(body) < 16:
+                raise ValueError("truncated ANMF header")
+            fx = 2 * int.from_bytes(body[0:3], "little")
+            fy = 2 * int.from_bytes(body[3:6], "little")
+            fw = 1 + int.from_bytes(body[6:9], "little")
+            fh = 1 + int.from_bytes(body[9:12], "little")
+            dur = int.from_bytes(body[12:15], "little")
+            flags = body[15]
+            if fx + fw > cw or fy + fh > ch:
+                raise ValueError("ANMF frame region outside the canvas")
+            frames.append(
+                (fx, fy, fw, fh, dur, flags & 1, (flags >> 1) & 1, body[16:])
+            )
+    if not frames:
+        raise ValueError("animated WebP with no ANMF frames")
+    return cw, ch, bg, loop, frames
+
+
+def _webp_frame_pixels(payload: bytes, fw: int, fh: int) -> np.ndarray:
+    """Decode one ANMF payload's image chunks -> (fh, fw, 4) RGBA."""
+    from pg2kinesis_spark.functions import vp8l
+
+    pos = 0
+    n = len(payload)
+    while pos + 8 <= n:
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("ANMF image chunk overruns the frame")
+        if fourcc == b"VP8L":
+            img = vp8l.decode_vp8l(body)
+            if img.shape[:2] != (fh, fw):
+                raise ValueError("ANMF frame dims disagree with VP8L header")
+            if img.shape[2] == 3:
+                img = np.concatenate(
+                    [img, np.full((fh, fw, 1), 255, dtype=np.uint8)], axis=2
+                )
+            return img
+        if fourcc == b"VP8 ":
+            raise NotImplementedError(
+                "animated WebP with lossy VP8 subframes (bool-coder "
+                "tables not transcribed; the PIL seam covers stills)"
+            )
+        pos += 8 + size + (size & 1)
+    raise ValueError("ANMF frame without an image chunk")
+
+
+def decode_webp_frames(
+    data: bytes, frame_indices: "set[int] | None" = None
+) -> list[np.ndarray]:
+    """Full-canvas RGBA frames of an animated (lossless) WebP; a still
+    lossless WebP yields one frame (the GIF convention, so the video
+    tier's dispatch covers both)."""
+    data = bytes(data)
+    info = webp_info(data)
+    if not info["animated"]:
+        img = decode_webp(data)
+        if img.shape[2] == 3:
+            img = np.concatenate(
+                [img, np.full(img.shape[:2] + (1,), 255, dtype=np.uint8)],
+                axis=2,
+            )
+        return [img]
+    cw, ch, bg, _loop, frames = _webp_anim_walk(data)
+    last = max(frame_indices) if frame_indices else None
+    canvas = np.zeros((ch, cw, 4), dtype=np.uint8)
+    out: list[np.ndarray] = []
+    for idx, (fx, fy, fw, fh, _dur, dispose, no_blend, payload) in enumerate(
+        frames
+    ):
+        img = _webp_frame_pixels(payload, fw, fh)
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if no_blend:
+            region[:] = img
+        else:
+            # alpha compositing (over), straight alpha per the spec
+            fa = img[:, :, 3:4].astype(np.float64) / 255.0
+            ba = region[:, :, 3:4].astype(np.float64) / 255.0
+            oa = fa + ba * (1.0 - fa)
+            safe = np.where(oa == 0.0, 1.0, oa)
+            rgb = (
+                img[:, :, :3] * fa + region[:, :, :3] * ba * (1.0 - fa)
+            ) / safe
+            region[:, :, :3] = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+            region[:, :, 3] = np.clip(np.round(oa[:, :, 0] * 255.0), 0, 255
+                                      ).astype(np.uint8)
+        if frame_indices is None or idx in frame_indices:
+            out.append(canvas.copy())
+        if last is not None and idx >= last:
+            break
+        if dispose:
+            canvas[fy : fy + fh, fx : fx + fw] = np.array(bg, dtype=np.uint8)
+    return out
+
+
+def webp_anim_info(data: bytes) -> dict:
+    """Header walk: n_frames, n_plays, width, height, fps (from the
+    per-frame durations; a 0 ms duration counts per the common 100 ms
+    renderer fallback), duration_ms."""
+    cw, ch, _bg, loop, frames = _webp_anim_walk(bytes(data))
+    total_ms = float(sum((f[4] or 100) for f in frames))
+    return {
+        "width": cw,
+        "height": ch,
+        "n_frames": len(frames),
+        "n_plays": loop,
+        "fps": len(frames) / (total_ms / 1000.0) if total_ms else None,
+        "duration_ms": total_ms or None,
+    }
+
+
+def encode_webp_anim(
+    frames,
+    durations_ms=None,
+    offsets=None,
+    dispose=0,
+    blend=1,
+    canvas=None,
+    loop: int = 0,
+    bg=(0, 0, 0, 0),
+    **vp8l_kw,
+) -> bytes:
+    """Animated lossless WebP fixture: RGBA/RGB frames as ANMF+VP8L
+    chunks. ``blend=1`` (no-blend/replace) is the default so RGB
+    inputs compose exactly; pass per-frame lists for durations/
+    offsets, or scalars. The independent construction side of
+    decode_webp_frames."""
+    from pg2kinesis_spark.functions import vp8l
+
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    n = len(frames)
+    if durations_ms is None:
+        durations_ms = [100] * n
+    if offsets is None:
+        offsets = [(0, 0)] * n
+    if canvas is None:
+        canvas = (
+            max(o[0] + f.shape[1] for o, f in zip(offsets, frames)),
+            max(o[1] + f.shape[0] for o, f in zip(offsets, frames)),
+        )
+    cw, chh = canvas
+    disp = [dispose] * n if isinstance(dispose, int) else list(dispose)
+    blnd = [blend] * n if isinstance(blend, int) else list(blend)
+    body = b"WEBP"
+    vp8x = bytes([0x02 | 0x10]) + bytes(3)  # ANIM + ALPH hint flags
+    vp8x += (cw - 1).to_bytes(3, "little") + (chh - 1).to_bytes(3, "little")
+    body += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    anim = bytes([bg[2], bg[1], bg[0], bg[3]]) + struct.pack("<H", loop)
+    body += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for f, dur, (ox, oy), dp, bl in zip(frames, durations_ms, offsets, disp, blnd):
+        if ox % 2 or oy % 2:
+            raise ValueError("ANMF offsets must be even (stored /2)")
+        payload = vp8l.encode_vp8l(f, **vp8l_kw)
+        sub = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            sub += b"\x00"
+        hdr = (
+            (ox // 2).to_bytes(3, "little")
+            + (oy // 2).to_bytes(3, "little")
+            + (f.shape[1] - 1).to_bytes(3, "little")
+            + (f.shape[0] - 1).to_bytes(3, "little")
+            + int(dur).to_bytes(3, "little")
+            + bytes([(dp & 1) | ((bl & 1) << 1)])
+        )
+        anmf = hdr + sub
+        body += b"ANMF" + struct.pack("<I", len(anmf)) + anmf
+        if len(anmf) & 1:
             body += b"\x00"
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -8599,9 +8816,18 @@ def video_info(data: bytes) -> dict:
             "fps": info["fps"],
             "duration_ms": info["duration_ms"],
         }
+    if is_webp(data) and webp_info(data)["animated"]:
+        info = webp_anim_info(data)
+        return {
+            "n_frames": info["n_frames"],
+            "width": info["width"],
+            "height": info["height"],
+            "fps": info["fps"],
+            "duration_ms": info["duration_ms"],
+        }
     raise ValueError(
         "not a supported video container (MJPEG AVI / GIF / MP4 / WebM / "
-        "Y4M / APNG)"
+        "Y4M / APNG / animated WebP)"
     )
 
 

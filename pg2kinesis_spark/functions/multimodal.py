@@ -840,6 +840,8 @@ def _decode_video_frames(b: bytes, sampled, compressed_decoder=None):
         return codecs.decode_gif_frames(b, frame_indices=sampled)
     if codecs.is_apng(b):  # animated PNG: fcTL/fdAT composition
         return codecs.decode_apng_frames(b, frame_indices=sampled)
+    if codecs.is_webp(b):  # animated (lossless) WebP: ANMF + VP8L
+        return codecs.decode_webp_frames(b, frame_indices=sampled)
     if codecs.is_y4m(b):  # uncompressed interchange: always real
         return codecs.decode_y4m_frames(b, frame_indices=sampled)
     if codecs.is_avi(b):

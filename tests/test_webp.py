@@ -165,16 +165,17 @@ def test_webp_riff_front_door_and_dhash_identity(spark):
     assert sigs[0] is not None and sigs[0] == sigs[1]  # hamming 0
 
 
-def test_lossy_and_animated_keep_refusing():
+def test_lossy_keeps_refusing_and_empty_anmf_is_loud():
     with pytest.raises(NotImplementedError, match="VP8"):
         C.decode_webp(C.encode_webp_skeleton(9, 9, lossless=False))
     img = _rgb(31, 8, 8)
     anim = bytearray(V.encode_webp_lossless(img))
-    # splice an ANMF chunk so webp_info reports animated
+    # splice a dataless ANMF chunk: animated lossless now DECODES
+    # (round 10), so the empty frame must fail loudly, not refuse
     anmf = b"ANMF" + (16).to_bytes(4, "little") + bytes(16)
     anim = bytes(anim[:12]) + anmf + bytes(anim[12:])
     anim = b"RIFF" + (len(anim) - 8 + len(anmf)).to_bytes(4, "little") + anim[8:]
-    with pytest.raises(NotImplementedError, match="animated"):
+    with pytest.raises(ValueError, match="without an image chunk"):
         C.decode_webp(anim)
 
 
@@ -194,3 +195,121 @@ def test_fuzz_vp8l_walk():
         ),
     ]
     _hammer(C.decode_webp, corpus, seed=55)
+
+
+# --- animated WebP (round 10: ANMF + VP8L through the video tier) ----------
+
+def test_webp_anim_round_trip_and_info():
+    rng = np.random.default_rng(61)
+    f0 = rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+    f1 = rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+    blob = C.encode_webp_anim([f0, f1], durations_ms=[40, 60], loop=3)
+    frames = C.decode_webp_frames(blob)
+    assert len(frames) == 2
+    assert np.array_equal(frames[0][:, :, :3], f0)
+    assert np.array_equal(frames[1][:, :, :3], f1)
+    info = C.webp_anim_info(blob)
+    assert (info["n_frames"], info["n_plays"]) == (2, 3)
+    assert info["duration_ms"] == 100.0 and info["fps"] == 20.0
+    wi = C.webp_info(blob)
+    assert wi["animated"] and wi["format"] == "lossless"
+    vi = C.video_info(blob)
+    assert (vi["n_frames"], vi["width"], vi["height"]) == (2, 12, 10)
+    # still-image consumers get the first composed frame (GIF rule)
+    assert np.array_equal(C.decode_webp(blob)[:, :, :3], f0)
+    # sampled ordinals: only the asked-for canvases are copied
+    only1 = C.decode_webp_frames(blob, frame_indices={1})
+    assert len(only1) == 1 and np.array_equal(only1[0], frames[1])
+
+
+def test_webp_anim_dispose_blend_hand_math():
+    """Alpha-over and dispose-to-background recomputed from their
+    definitions: fg(200,0,0,a=128) over bg(50,50,50,255) must read
+    (125,25,25,255) at the overlap; after dispose=1 the region reverts
+    to the ANIM background."""
+    base = np.zeros((8, 8, 4), dtype=np.uint8)
+    base[:, :, :3] = 50
+    base[:, :, 3] = 255
+    patch = np.zeros((4, 4, 4), dtype=np.uint8)
+    patch[:, :, 0] = 200
+    patch[:, :, 3] = 128
+    full = np.full((8, 8, 4), 9, dtype=np.uint8)
+    blob = C.encode_webp_anim(
+        [base, patch, full],
+        durations_ms=[50, 50, 50],
+        offsets=[(0, 0), (2, 2), (0, 0)],
+        dispose=[0, 1, 0],
+        blend=[1, 0, 1],
+        canvas=(8, 8),
+    )
+    fr = C.decode_webp_frames(blob)
+    # frame 1: outside the patch the base shows through; inside, the
+    # over operator (straight alpha): c = (200*128 + 50*255*(1-128/255))/255
+    assert fr[1][0, 0].tolist() == [50, 50, 50, 255]
+    fa = 128 / 255.0
+    want_r = round((200 * fa + 50 * 1.0 * (1 - fa)))
+    assert abs(int(fr[1][3, 3, 0]) - want_r) <= 1
+    assert fr[1][3, 3, 3] == 255
+    # frame 2 replaced the whole canvas (blend=1) AFTER frame 1's
+    # region disposed to the (transparent) background
+    assert fr[2][3, 3].tolist() == [9, 9, 9, 9]
+
+
+def test_webp_anim_refusals():
+    base = _rgb(67, 8, 8)
+    blob = bytearray(C.encode_webp_anim([base, base]))
+    # stomp the first ANMF's sub-chunk fourcc to VP8 (lossy subframe)
+    at = bytes(blob).index(b"ANMF") + 8 + 16
+    assert bytes(blob[at : at + 4]) == b"VP8L"
+    blob[at : at + 4] = b"VP8 "
+    with pytest.raises(NotImplementedError, match="lossy VP8"):
+        C.decode_webp_frames(bytes(blob))
+    # frame region outside the canvas
+    bad = bytearray(C.encode_webp_anim([base], offsets=[(0, 0)], canvas=(8, 8)))
+    i = bytes(bad).index(b"ANMF") + 8
+    bad[i : i + 3] = (6).to_bytes(3, "little")  # x = 12 > canvas
+    with pytest.raises(ValueError, match="outside the canvas"):
+        C.decode_webp_frames(bytes(bad))
+    with pytest.raises(ValueError, match="must be even"):
+        C.encode_webp_anim([base], offsets=[(1, 0)])
+
+
+def test_webp_anim_video_tier(spark):
+    """The cross-format clip identity through Spark: the SAME two-frame
+    clip as animated WebP, APNG, and GIF pairs in video_near_dup_pairs;
+    an unrelated clip does not."""
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        video_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(71)
+    f0 = C.resize_nearest(rng.integers(0, 256, (4, 5, 3), dtype=np.uint8), 24, 24)
+    f1 = C.resize_nearest(rng.integers(0, 256, (4, 5, 3), dtype=np.uint8), 24, 24)
+    g0 = C.resize_nearest(rng.integers(0, 256, (4, 5, 3), dtype=np.uint8), 24, 24)
+    webp = C.encode_webp_anim([f0, f1])
+    apng = C.encode_apng([f0, f1])
+    other = C.encode_webp_anim([g0, g0])
+    rows = [
+        (0, bytearray(webp), ("image/webp", len(webp), "m0")),
+        (1, bytearray(apng), ("image/apng", len(apng), "m1")),
+        (2, bytearray(other), ("image/webp", len(other), "m2")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    pairs = {
+        (r["media_id1"], r["media_id2"])
+        for r in video_near_dup_pairs(media).collect()
+    }
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
+
+
+def test_fuzz_webp_anim_walk():
+    from tests.test_codec_fuzz import _hammer
+
+    img = _rgb(73, 8, 10)
+    corpus = [
+        C.encode_webp_anim([img, img[::-1]], durations_ms=[30, 70]),
+        C.encode_webp_anim([img], dispose=1, blend=0),
+    ]
+    _hammer(lambda b: C.decode_webp_frames(b, frame_indices={0, 1}), corpus, seed=91)
