@@ -1343,6 +1343,30 @@ def _decode_lossless_pcm(c: bytes):
     )
 
 
+def _decode_analysis_pcm(c: bytes):
+    """(float samples (n, ch) in ~[-1, 1], rate) for the CONTENT tiers
+    (analysis, landmarks): the lossless front door plus — round 10 —
+    MPEG-1 Layer I/II through the derived-prototype subband synthesis
+    (``audio_analysis.l12_synthesis``). NOT for identity keys:
+    pcm_md5 stays lossless-only, because synthesized PCM is
+    near-exact, not bit-exact."""
+    from . import audio_analysis, codecs
+
+    try:
+        samples, rate, bits = _decode_lossless_pcm(c)
+        # power-of-two scale: exact, so the lossless paths' numbers
+        # are bit-identical to the pre-round-10 direct division
+        return samples.astype("float64") / float(1 << (bits - 1)), rate
+    except NotImplementedError:
+        if not codecs.is_mp3(c):
+            raise
+        sb, rate = codecs.mp3_l12_subband_samples(c)  # L3/LSF raise
+        pcm = audio_analysis.l12_synthesis(sb)
+        if pcm.ndim == 1:
+            pcm = pcm[:, None]
+        return pcm, rate
+
+
 def extract_audio_analysis(media: DataFrame, errors: str = "quarantine") -> DataFrame:
     """Content measures over truly-decoded PCM (``functions.
     audio_analysis``): BS.1770-4 integrated loudness (LUFS, gated),
@@ -1365,21 +1389,8 @@ def extract_audio_analysis(media: DataFrame, errors: str = "quarantine") -> Data
     _check_errors(errors)
 
     def one(c: bytes):
-        try:
-            samples, rate, bits = _decode_lossless_pcm(c)
-        except NotImplementedError:
-            from . import codecs
-
-            if not codecs.is_mp3(c):
-                raise
-            # Layer I/II: subband decode + synthesis -> float PCM in
-            # ~[-1, 1]; Layer III raises inside and stays quarantined
-            sb, rate = codecs.mp3_l12_subband_samples(c)
-            pcm = audio_analysis.l12_synthesis(sb)
-            if pcm.ndim == 1:
-                pcm = pcm[:, None]
-            samples, bits = pcm * 32768.0, 16  # analyze_pcm rescales
-        d = audio_analysis.analyze_pcm(samples, rate, bits)
+        x, rate = _decode_analysis_pcm(c)  # float [-1,1]; L3 etc raise
+        d = audio_analysis.analyze_pcm(x * 32768.0, rate, 16)
         return tuple(d[k] for k in _ANALYSIS_COLS)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1897,10 +1908,12 @@ AUDIO_LANDMARK_SCHEMA = T.StructType(
 
 def extract_audio_landmarks(media: DataFrame, errors: str = "quarantine") -> DataFrame:
     """Constellation landmarks (``audio_analysis.spectral_peaks`` →
-    ``landmark_hashes``) over the lossless front door: one row per
-    (media_id, lm_hash, t1). The envelope fingerprint's time-SHIFT
-    blind spot is exactly what these close — matching is offset-vote
-    based (see audio_landmark_match)."""
+    ``landmark_hashes``) over the content front door (lossless + the
+    round-10 Layer I/II synthesis — constellation peaks survive the
+    near-PR reconstruction the way they survive codec noise): one row
+    per (media_id, lm_hash, t1). The envelope fingerprint's
+    time-SHIFT blind spot is exactly what these close — matching is
+    offset-vote based (see audio_landmark_match)."""
     import pandas as pd
 
     from . import audio_analysis
@@ -1908,8 +1921,7 @@ def extract_audio_landmarks(media: DataFrame, errors: str = "quarantine") -> Dat
     _check_errors(errors)
 
     def one(c: bytes):
-        samples, rate, bits = _decode_lossless_pcm(c)
-        x = samples.astype("float64") / float(1 << (bits - 1))
+        x, rate = _decode_analysis_pcm(c)
         peaks = audio_analysis.spectral_peaks(x, rate)
         return audio_analysis.landmark_hashes(peaks)
 

@@ -434,3 +434,42 @@ def test_l12_analysis_spark_front_door(spark):
     assert got[1]["decode_error"] is None
     assert got[1]["lufs"] == pytest.approx(got[0]["lufs"], abs=0.3)
     assert got[2]["lufs"] is None and "Layer III" in got[2]["decode_error"]
+
+
+def test_landmarks_match_through_l2_transcode(spark):
+    """The constellation survives the Layer II wire: a WAV melody and
+    its L2 MP3 transcode (analysis twin + spec-packed encoder) match
+    with dt = 0 in audio_landmark_match; an unrelated melody doesn't."""
+    from pg2kinesis_spark.functions.codecs import encode_wav
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        audio_landmark_match,
+    )
+
+    rate = 44100
+    base = melody(7, rate=rate, seconds=4.0)
+    # the unrelated track lives in a DISJOINT frequency band — two
+    # 16-note melodies drawn from one 300-3200 Hz vocabulary can
+    # share enough (bin1, bin2, dt) geometry to gather chance votes
+    rng = np.random.default_rng(9)
+    seg = int(0.25 * rate)
+    notes = rng.integers(4500, 9000, 16)
+    t = np.arange(seg)
+    other = np.concatenate(
+        [0.5 * np.sin(2 * np.pi * f * t / rate) for f in notes]
+    )
+    wav = encode_wav(np.round(base * 32767).astype(np.int16).reshape(-1, 1), rate)
+    mp3 = _l2_mp3_of(base * 0.9, rate)
+    wav_o = encode_wav(np.round(other * 32767).astype(np.int16).reshape(-1, 1), rate)
+    rows = [
+        (0, bytearray(wav), ("audio/wav", len(wav), "m0")),
+        (1, bytearray(mp3), ("audio/mpeg", len(mp3), "m1")),
+        (2, bytearray(wav_o), ("audio/wav", len(wav_o), "m2")),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        (r["media_id1"], r["media_id2"]): r["dt_frames"]
+        for r in audio_landmark_match(media, min_votes=8).collect()
+    }
+    assert (0, 1) in got and abs(got[(0, 1)]) <= 1  # 511-sample delay < 1 hop
+    assert not any(2 in p for p in got)
