@@ -1049,7 +1049,54 @@ def _emit(times: dict, sf: float, spread: dict | None = None, extra: dict | None
         out["spread"] = spread  # per entry: [best, worst, reps]
     if extra:
         out.update(extra)
-    print(json.dumps(out))
+    blob = json.dumps(out)
+    if extra is None:
+        # child protocol / inline subset: one line, consumed in-process
+        print(blob)
+        return
+    # Orchestrator (driver-facing) emission. The driver machine-reads
+    # only the LAST ~2,000 chars of stdout; the full record (~3 KB with
+    # spread + probes) overflows that window, which is why BENCH_r9/r10
+    # recorded parsed:null. Emit the full record FIRST (and mirror it
+    # to BENCH_FULL_latest.json for SCALING.md), then a compact
+    # headline line LAST so a complete JSON object always sits inside
+    # the driver's tail window.
+    print(blob)
+    try:
+        side = os.environ.get(
+            "SPARK_GRAFT_BENCH_FULL",
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL_latest.json"
+            ),
+        )
+        with open(side, "w") as f:
+            f.write(blob + "\n")
+    except OSError:
+        pass
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": dict(times),
+        "sf": sf,
+        "box_probe_s": extra.get("box_probe_s"),
+        "full_record": "line 1 of stdout / BENCH_FULL_latest.json",
+    }
+    for opt in ("box_slow_groups", "group_errors"):
+        if opt in extra:
+            compact[opt] = extra[opt]
+    line = json.dumps(compact)
+    for drop in ("full_record", "box_probe_s", "box_slow_groups"):
+        if len(line) <= 1900:
+            break
+        compact.pop(drop, None)
+        line = json.dumps(compact)
+    if len(line) > 1900:  # last resort: shed the probe-normalized twins
+        compact["queries"] = {
+            k: v for k, v in times.items() if not k.endswith("_norm")
+        }
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -975,7 +975,7 @@ class _MsbReader:
 
 
 def encode_mp3_layer1(
-    subbands, rate: int = 44100, kbps: int = 256
+    subbands, rate: int = 44100, kbps: int = 256, joint_bound: int | None = None
 ) -> bytes:
     """Spec-packed MPEG-1 Layer I stream carrying REAL subband data.
 
@@ -984,7 +984,13 @@ def encode_mp3_layer1(
     uniform over the frame's active (any-nonzero) subbands at the
     finest width the target bitrate affords; scalefactors maximize
     precision per subband. The independent fixture side of
-    mp3_subband_energies' contract."""
+    mp3_subband_energies' contract.
+
+    ``joint_bound`` (stereo only, one of 4/8/12/16): emit a
+    joint-stereo (mode 01) frame — subbands >= bound carry one shared
+    allocation and one shared sample set (channel 0's data is
+    transmitted; per-channel scalefactors remain), exercising the
+    intensity-stereo layout the decoders walk."""
     import numpy as np
 
     arr = np.asarray(subbands, dtype=np.float64)
@@ -995,26 +1001,39 @@ def encode_mp3_layer1(
         raise ValueError(f"subbands must be (frames[, ch<=2], 32, 12), got {arr.shape}")
     if np.abs(arr).max() >= 2.0:
         raise ValueError("subband samples must be in (-2, 2)")
+    if joint_bound is not None:
+        if nch != 2 or joint_bound not in (4, 8, 12, 16):
+            raise ValueError("joint_bound needs stereo input and bound 4/8/12/16")
+        bound = joint_bound
+        mode, mode_ext = 1, joint_bound // 4 - 1
+    else:
+        bound = 32
+        mode, mode_ext = (3 if nch == 1 else 0), 0
     sr_idx = _MP3_RATES[3].index(rate)
     br_idx = _MP3_BITRATES[(1, 1)].index(kbps)
     flen = (12 * kbps * 1000 // rate) * 4
-    mode = 3 if nch == 1 else 0
     header = bytes(
-        [0xFF, 0xE0 | (3 << 3) | (3 << 1) | 1, (br_idx << 4) | (sr_idx << 2), mode << 6]
+        [
+            0xFF,
+            0xE0 | (3 << 3) | (3 << 1) | 1,
+            (br_idx << 4) | (sr_idx << 2),
+            (mode << 6) | (mode_ext << 4),
+        ]
     )
     out = bytearray()
     for f in range(n_frames):
         active = [sb for sb in range(32) if np.abs(arr[f, :, sb]).max() > 0]
-        nact = len(active) * nch
-        budget = flen * 8 - 32 - 32 * 4 * nch - 6 * nact
-        nb = min(15, budget // (12 * nact)) if nact else 0
-        if nact and nb < 2:
+        n_alloc_slots = sum(nch if sb < bound else 1 for sb in range(32))
+        n_sample_slots = 12 * sum(nch if sb < bound else 1 for sb in active)
+        budget = flen * 8 - 32 - 4 * n_alloc_slots - 6 * len(active) * nch
+        nb = min(15, budget // n_sample_slots) if n_sample_slots else 0
+        if n_sample_slots and nb < 2:
             raise ValueError(
                 f"{kbps} kbps can't fit {len(active)} active subbands × {nch} ch"
             )
         bw = _MsbWriter()
         for sb in range(32):
-            for _ch in range(nch):
+            for _ch in range(nch if sb < bound else 1):
                 bw.write(nb - 1 if sb in active else 0, 4)
         sf = {}
         for sb in active:
@@ -1029,7 +1048,7 @@ def encode_mp3_layer1(
                 bw.write(idx, 6)
         for t in range(12):
             for sb in active:
-                for ch in range(nch):
+                for ch in range(nch if sb < bound else 1):
                     x = arr[f, ch, sb, t] / _sf_value(sf[(sb, ch)])
                     bw.write(_l1_quant(x, nb), nb)
         body = bytearray(bw.getvalue())
@@ -1803,22 +1822,34 @@ def encode_mp3_layer3_envelope(
     return bytes(out)
 
 
-def _l1_frame_samples(body: bytes, nch: int):
+def _l1_frame_samples(body: bytes, nch: int, bound: int = 32):
     """One Layer I frame -> (12, 32, nch) requantized subband samples
     (allocation -> scalefactors -> samples; the sample-collecting twin
     of the energy walk in mp3_subband_energies, kept separate so the
     energy path's float summation order - and thus every pinned
-    fingerprint - stays untouched)."""
+    fingerprint - stays untouched). ``bound`` is the joint-stereo
+    (intensity) bound for mode==1 frames: subbands >= bound carry ONE
+    allocation and ONE sample per time step shared by both channels,
+    each still scaled by its own per-channel scalefactor (ISO 11172-3
+    Layer I joint_stereo layout — ADVICE r10 fix; previously the bit
+    walk desynced on these frames)."""
     import numpy as np
 
     br = _MsbReader(body)
     alloc = [[0] * nch for _ in range(32)]
     for sb in range(32):
-        for ch in range(nch):
+        if sb < bound:
+            for ch in range(nch):
+                a = br.read(4)
+                if a == 15:
+                    raise ValueError("Layer I allocation code 15 is forbidden")
+                alloc[sb][ch] = a + 1 if a else 0
+        else:
             a = br.read(4)
             if a == 15:
                 raise ValueError("Layer I allocation code 15 is forbidden")
-            alloc[sb][ch] = a + 1 if a else 0
+            for ch in range(nch):
+                alloc[sb][ch] = a + 1 if a else 0
     sf = [[0] * nch for _ in range(32)]
     for sb in range(32):
         for ch in range(nch):
@@ -1830,6 +1861,11 @@ def _l1_frame_samples(body: bytes, nch: int):
     out = np.zeros((12, 32, nch))
     for t in range(12):
         for sb in range(32):
+            if sb >= bound and alloc[sb][0]:
+                q = _l1_dequant(br.read(alloc[sb][0]), alloc[sb][0])
+                for ch in range(nch):
+                    out[t, sb, ch] = _sf_value(sf[sb][ch]) * q
+                continue
             for ch in range(nch):
                 nb = alloc[sb][ch]
                 if nb:
@@ -1969,7 +2005,8 @@ def mp3_l12_subband_samples(data: bytes):
         nch = 1 if mode == 3 else 2
         rate_out = rate
         if layer == 1:
-            blocks.append(_l1_frame_samples(body, nch))
+            bound = (((b3 >> 4) & 3) + 1) * 4 if mode == 1 else 32
+            blocks.append(_l1_frame_samples(body, nch, bound))
         else:
             bound = (((b3 >> 4) & 3) + 1) * 4 if mode == 1 else 32
             sblimit, classes = _l2_table(rate, kbps / nch)
@@ -2065,14 +2102,26 @@ def mp3_subband_energies(data: bytes):
             )
             pos += flen
             continue
+        # Layer I; mode==1 is joint (intensity) stereo: subbands >=
+        # bound share one allocation and one sample per time step
+        # (per-channel scalefactors) — same layout fix as
+        # _l1_frame_samples (ADVICE r10)
+        bound = (((b3 >> 4) & 3) + 1) * 4 if mode == 1 else 32
         br = _MsbReader(body)
         alloc = [[0] * nch for _ in range(32)]
         for sb in range(32):
-            for ch in range(nch):
+            if sb < bound:
+                for ch in range(nch):
+                    a = br.read(4)
+                    if a == 15:
+                        raise ValueError("Layer I allocation code 15 is forbidden")
+                    alloc[sb][ch] = a + 1 if a else 0
+            else:
                 a = br.read(4)
                 if a == 15:
                     raise ValueError("Layer I allocation code 15 is forbidden")
-                alloc[sb][ch] = a + 1 if a else 0
+                for ch in range(nch):
+                    alloc[sb][ch] = a + 1 if a else 0
         sf = [[0] * nch for _ in range(32)]
         for sb in range(32):
             for ch in range(nch):
@@ -2085,12 +2134,16 @@ def mp3_subband_energies(data: bytes):
         for _t in range(12):
             for sb in range(32):
                 vals = []
-                for ch in range(nch):
-                    nb = alloc[sb][ch]
-                    if nb:
-                        vals.append(
-                            _sf_value(sf[sb][ch]) * _l1_dequant(br.read(nb), nb)
-                        )
+                if sb >= bound and alloc[sb][0]:
+                    q = _l1_dequant(br.read(alloc[sb][0]), alloc[sb][0])
+                    vals = [_sf_value(sf[sb][ch]) * q for ch in range(nch)]
+                else:
+                    for ch in range(nch):
+                        nb = alloc[sb][ch]
+                        if nb:
+                            vals.append(
+                                _sf_value(sf[sb][ch]) * _l1_dequant(br.read(nb), nb)
+                            )
                 if vals:
                     m = sum(vals) / nch  # mono mix (absent channel = 0)
                     acc += m * m

@@ -432,11 +432,10 @@ def silk_quantize_envelope(energies, frame_ms: int = 20) -> np.ndarray:
 # [0, fs0); ±k pairs walk outward with widths fs1 = ((32768 -
 # 2*NMIN*MINP - fs0)*(16384 - decay) >> 15) + MINP then w' =
 # ((w - 2*MINP)*decay >> 15) + MINP, and once w hits MINP everything
-# beyond has probability MINP per value. The per-band probability
-# BYTES below are module-owned stand-ins for e_prob_model (wired
-# fs0 = prob<<7 / decay = decay<<6 exactly as the real model is), so
-# real-world CELT streams REFUSE upstream (fixture-marker gate) until
-# the RFC's bytes are swapped in.
+# beyond has probability MINP per value. The per-band (prob, decay)
+# bytes below are the REAL RFC 6716 e_prob_model (transcribed round
+# 10; the r9 fixture-marker gate is retired — see
+# tests/test_opus.py::test_celt_decodes_without_fixture_marker).
 
 _N_BANDS = 21
 _LAPLACE_MINP = 1

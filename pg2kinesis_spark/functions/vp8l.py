@@ -256,6 +256,19 @@ class _ColorCache:
     def insert(self, argb: int) -> None:
         self.slots[self.key(argb)] = argb
 
+    def insert_many(self, vals: np.ndarray) -> None:
+        """Bulk insert preserving in-order last-wins slot state: for
+        each distinct key keep the LAST value — equivalent to inserting
+        every pixel in order, in O(distinct keys) Python work."""
+        keys = ((_CACHE_MULT * vals.astype(np.uint64)) & 0xFFFFFFFF) >> (
+            32 - self.bits
+        )
+        uk, idx = np.unique(keys[::-1], return_index=True)
+        last_vals = vals[::-1][idx]
+        slots = self.slots
+        for k, v in zip(uk.tolist(), last_vals.tolist()):
+            slots[k] = int(v)
+
     def lookup(self, idx: int) -> int:
         return self.slots[idx]
 
@@ -268,6 +281,22 @@ _NUM_DIST_CODES = 40
 
 def _sub_size(size: int, bits: int) -> int:
     return (size + (1 << bits) - 1) >> bits
+
+
+def _backref_copy(out: np.ndarray, pos: int, dist: int, length: int) -> None:
+    """LZ77 backward copy with repeat semantics, vectorized: a
+    non-overlapping copy is one slice assignment; an overlapping one
+    (dist < length) equals tiling the dist-periodic source pattern —
+    NOT numpy's memmove-style overlap handling, hence the explicit
+    tile. Replaces the per-pixel loop ADVICE r10 flagged as the
+    bytes-to-CPU bomb path."""
+    end = pos + length
+    if dist >= length:
+        out[pos:end] = out[pos - dist : end - dist]
+    else:
+        src = out[pos - dist : pos]
+        reps = -(-length // dist)
+        out[pos:end] = np.tile(src, reps)[:length]
 
 
 def _read_code_groups(br: _Bits, cache_bits: int, n_groups: int):
@@ -313,13 +342,60 @@ def _decode_pixels(br: _Bits, w: int, h: int, level0: bool) -> np.ndarray:
     pos = 0
     g_green, g_red, g_blue, g_alpha, g_dist = groups[0]
     cur_meta = 0
+    # Decode-cost bound: every event below either consumes >=1 payload
+    # bit or takes a vectorized constant/backref fast path, so the loop
+    # count is bounded by the payload size. Without this a hostile
+    # stream built from 0-bit trivial codes (plus a meta image to dodge
+    # the constant fast path) turns a few hundred input bytes into 2^26
+    # interpreted iterations — the bytes-to-CPU bomb ADVICE r10 flagged.
+    events_left = 8 * len(br.data) + 1024
     while pos < total:
+        if events_left <= 0:
+            raise ValueError("VP8L decode-cost bound exceeded")
+        events_left -= 1
         if meta_img is not None:
             x, y = pos % w, pos // w
             mi = int(meta_img[(y >> meta_bits) * meta_w + (x >> meta_bits)])
             if mi != cur_meta:
                 cur_meta = mi
                 g_green, g_red, g_blue, g_alpha, g_dist = groups[mi]
+        if (
+            g_green.trivial is not None
+            and g_green.trivial < 256
+            and g_red.trivial is not None
+            and g_blue.trivial is not None
+            and g_alpha.trivial is not None
+        ):
+            # all-trivial literal group (0 bits/pixel — e.g. a constant
+            # image): fill the whole group span vectorized
+            pix = (
+                (g_alpha.trivial << 24)
+                | (g_red.trivial << 16)
+                | (g_green.trivial << 8)
+                | g_blue.trivial
+            )
+            if meta_img is None:
+                end = total
+            else:  # to the end of this meta cell's row span
+                x, y = pos % w, pos // w
+                end = y * w + min(w, ((x >> meta_bits) + 1) << meta_bits)
+            out[pos:end] = pix
+            if cache is not None:
+                cache.insert(pix)
+            pos = end
+            continue
+        if (
+            meta_img is None
+            and g_green.trivial is not None
+            and g_green.trivial >= 256 + _NUM_LENGTH_CODES
+        ):
+            # trivial cache symbol forever: slots can never change (no
+            # literals/copies follow), so the rest is one constant
+            if cache is None:
+                raise ValueError("VP8L cache symbol without a color cache")
+            out[pos:] = cache.lookup(g_green.trivial - 256 - _NUM_LENGTH_CODES)
+            pos = total
+            continue
         s = g_green.read(br)
         if s < 256:
             red = g_red.read(br)
@@ -338,12 +414,11 @@ def _decode_pixels(br: _Bits, w: int, h: int, level0: bool) -> np.ndarray:
                 raise ValueError("VP8L backward reference before start")
             if pos + length > total:
                 raise ValueError("VP8L backward reference overruns image")
-            for _ in range(length):  # overlapping copies are the norm
-                pix = int(out[pos - dist])
-                out[pos] = pix
-                if cache is not None:
-                    cache.insert(pix)
-                pos += 1
+            end = pos + length
+            _backref_copy(out, pos, dist, length)
+            if cache is not None:
+                cache.insert_many(out[pos:end])
+            pos = end
         else:
             if cache is None:
                 raise ValueError("VP8L cache symbol without a color cache")
@@ -356,6 +431,13 @@ def _decode_pixels(br: _Bits, w: int, h: int, level0: bool) -> np.ndarray:
 # --- transforms (inverse) ------------------------------------------------------
 
 _T_PREDICTOR, _T_COLOR, _T_SUBTRACT_GREEN, _T_COLOR_INDEX = 0, 1, 2, 3
+
+# The inverse-predictor pass is inherently sequential (every pixel
+# reads its already-reconstructed left neighbour) so it runs as an
+# interpreted per-pixel loop; cap its cost below the generic MAX_PIXELS
+# bomb gate (2^26). 2^21 covers 1080p (2,073,600 px); larger
+# predictor-transformed images refuse honestly into quarantine.
+_MAX_PREDICTOR_PIXELS = 1 << 21
 
 
 def _avg2(a: int, b: int) -> int:
@@ -388,7 +470,10 @@ def _clamp_add_sub_half(ave: int, tl: int) -> int:
     for shift in (24, 16, 8, 0):
         a = (ave >> shift) & 0xFF
         b = (tl >> shift) & 0xFF
-        v = a + (a - b) // 2
+        # C truncation toward zero (the spec / libwebp semantics), NOT
+        # Python floor: for a < b with odd difference they differ by 1.
+        d = a - b
+        v = a + (-(-d >> 1) if d < 0 else d >> 1)
         out |= (0 if v < 0 else 255 if v > 255 else v) << shift
     return out
 
@@ -539,6 +624,11 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
             raise ValueError("VP8L transform repeated")
         seen.add(ttype)
         if ttype in (_T_PREDICTOR, _T_COLOR):
+            if ttype == _T_PREDICTOR and w * h > _MAX_PREDICTOR_PIXELS:
+                raise ValueError(
+                    "VP8L predictor transform exceeds the interpreted-"
+                    f"decode pixel cap ({w}x{h} > {_MAX_PREDICTOR_PIXELS})"
+                )
             tbits = 2 + br.bits(3)
             tw, th = _sub_size(cur_w, tbits), _sub_size(h, tbits)
             timg = _decode_pixels(br, tw, th, level0=False)

@@ -39,6 +39,13 @@ def get_spark(app_name: str = "pg2kinesis_spark", shuffle_partitions: int | None
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Python-worker connect-back window: the 15 s default fires
+        # spuriously ("Python worker failed to connect back") when a
+        # full 32-core test suite saturates the box while a streaming
+        # query forks its first workers — the round-10 suite flake.
+        # 120 s costs nothing when healthy (the socket accept returns
+        # as soon as the worker is up).
+        .config("spark.python.authenticate.socketTimeout", "120s")
         # openCostInBytes stays at Spark's 4 MB default DELIBERATELY:
         # lowering it (tried at 128 KB, round 8) also lowers the
         # maxSplitBytes floor, which shredded the streaming-ingest

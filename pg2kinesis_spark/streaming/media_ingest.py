@@ -31,6 +31,14 @@ applies the corpus_ingest parquet-index discipline to the media tier:
 
 Unbounded operator state never exists: all cross-batch memory is
 parquet on disk, readable by any executor count, compactable offline.
+
+State-schema note (round 10 -> 11): the accepted parquet gained a
+``sig`` column in round 10. Deployments upgrading over pre-round-10
+accepted state keep working — the post-write re-read uses
+``mergeSchema`` so old partitions surface ``sig = NULL`` instead of
+poisoning the schema sample; no offline backfill is required (the
+sig_index rebuild only projects the current batch's rows, which always
+carry the column).
 """
 
 from __future__ import annotations
@@ -205,9 +213,17 @@ class MediaIngest:
                 "sig", F.lit(None).cast("long")
             )
         _write(survivors, self.accepted_path)
-        accepted = spark.read.parquet(self.accepted_path).filter(
-            F.col("batch_id") == batch_id
+        # mergeSchema: pre-round-10 accepted partitions lack the `sig`
+        # column, and a plain read may sample its schema from an old
+        # footer and drop (or fail on) the new column — the upgrade
+        # migration ADVICE r10 flagged. Old rows surface sig=NULL.
+        accepted = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(self.accepted_path)
+            .filter(F.col("batch_id") == batch_id)
         )
+        if "sig" not in accepted.columns:
+            accepted = accepted.withColumn("sig", F.lit(None).cast("long"))
         _write(accepted.select(F.md5("content").alias("h")), self.hash_path)
         if self.max_hamming is not None:
             _write(

@@ -56,6 +56,44 @@ def test_fold_empty_means_clean_run():
     assert b._fold_stderr_labels([]) == {}
 
 
+def test_emit_last_line_is_compact_and_parseable(capsys, tmp_path, monkeypatch):
+    """VERDICT r10 item 1: the driver reads only the LAST ~2,000 chars
+    of stdout, so the orchestrator's FINAL line must be a complete,
+    compact JSON object with metric/value/queries — the full record
+    rides line 1 and the side file. A child emission stays one line."""
+    b = _load_bench()
+    side = tmp_path / "full.json"
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_FULL", str(side))
+    times = {f"q{i}_some_entry_name": round(1.0 + i / 7, 4) for i in range(36)}
+    times["cdc_replay_msgs_per_sec"] = 221234.5
+    spread = {k: [v, v * 1.3, 3] for k, v in times.items()}
+    extra = {
+        "bench_mode": "fresh-jvm-groups",
+        "box_probe_s": {"before": 0.51, "after": 0.49},
+        "box_probe_by_group_s": {g: 0.5 for g in "abcdef"},
+        "stderr_exceptions": {},
+        "box_slow_groups": ["a", "b"],
+    }
+    b._emit(times, 0.1, spread=spread, extra=extra)
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 2
+    full = json.loads(lines[0])
+    assert "spread" in full and "box_probe_by_group_s" in full
+    # the driver's view: ONLY the tail window survives
+    tail = "\n".join(lines)[-2000:]
+    last = tail.splitlines()[-1]
+    assert len(last) <= 1900
+    compact = json.loads(last)
+    assert compact["metric"] == "headline_queries_total_wall"
+    assert compact["queries"] == full["queries"]
+    assert compact["value"] == full["value"]
+    assert "spread" not in compact
+    # child protocol: exactly one line, spread included
+    b._emit(times, 0.1, spread=spread, extra=None)
+    child_lines = capsys.readouterr().out.strip().splitlines()
+    assert len(child_lines) == 1 and "spread" in json.loads(child_lines[0])
+
+
 def test_traceback_blocks_yield_one_label():
     b = _load_bench()
     text = (

@@ -901,6 +901,39 @@ def test_mp3_layer1_energy_roundtrip():
         mp3_subband_energies(bytes(one))
 
 
+def test_mp3_layer1_joint_stereo_bound():
+    """ADVICE r10: MPEG-1 Layer I mode==1 (intensity stereo) transmits
+    ONE allocation and ONE sample set per subband above the bound
+    ((mode_ext+1)*4), per-channel scalefactors throughout. Both the
+    sample decoder and the energy walk must honor it — before the fix
+    the bit walk desynced and produced silently wrong PCM."""
+    from pg2kinesis_spark.functions.codecs import (
+        encode_mp3_layer1,
+        mp3_l12_subband_samples,
+        mp3_subband_energies,
+    )
+
+    rng = np.random.default_rng(17)
+    sub = np.zeros((5, 2, 32, 12))
+    # below-bound subbands differ per channel; above-bound are shared
+    # (what an intensity-stereo encoder transmits)
+    sub[:, 0, :3] = rng.uniform(-1, 1, (5, 3, 12))
+    sub[:, 1, :3] = rng.uniform(-1, 1, (5, 3, 12))
+    sub[:, :, 9:11] = rng.uniform(-1, 1, (5, 1, 2, 12))
+    for bound in (4, 8, 16):
+        mp3 = encode_mp3_layer1(sub, kbps=384, joint_bound=bound)
+        got, rate = mp3_l12_subband_samples(mp3)
+        assert rate == 44100 and got.shape == (60, 32, 2)
+        want = sub.transpose(0, 3, 2, 1).reshape(60, 32, 2)
+        assert np.allclose(got, want, atol=2e-3), bound
+        # the energy walk stays on the same truth
+        e = mp3_subband_energies(mp3)
+        true_e = (((sub[:, 0] + sub[:, 1]) / 2.0) ** 2).mean(axis=(1, 2))
+        assert np.corrcoef(e, true_e)[0, 1] > 0.9999, bound
+    with pytest.raises(ValueError, match="joint_bound"):
+        encode_mp3_layer1(sub[:, :1, :, :], joint_bound=8)
+
+
 def test_mp3_fingerprint_reencoded_copies_pair(spark):
     """The WAV oracle's invariances, on MP3: a half-volume copy and a
     lower-bitrate re-encode of the same track pair up in

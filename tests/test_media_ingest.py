@@ -105,6 +105,39 @@ def test_audio_kind_and_validation(spark, tmp_path):
         MediaIngest(out, kind="video")
 
 
+def test_upgrade_over_pre_r10_state_without_sig_column(spark, tmp_path):
+    """ADVICE r10: pre-round-10 accepted partitions lack the `sig`
+    column. The post-write re-read must not fail or drop the column
+    when old footers are sampled — mergeSchema surfaces old rows with
+    sig = NULL and the new batch's index rebuild proceeds."""
+    import shutil
+
+    out = str(tmp_path / "media")
+    ing = MediaIngest(out, kind="image")
+    a = _img(3)
+    ing.process_batch(_df(spark, [(0, C.encode_png(a))]), 1)
+    # rewrite batch 1's accepted partition WITHOUT the sig column,
+    # exactly what a pre-round-10 deployment left on disk
+    part = f"{out}/accepted/batch_id=1"
+    old = spark.read.parquet(part).drop("sig").collect()
+    old_df = spark.createDataFrame(
+        old, spark.read.parquet(part).drop("sig").schema
+    )
+    shutil.rmtree(part)
+    old_df.write.parquet(part)
+    # the upgraded code appends a new batch over the old state: the
+    # re-read must succeed, dedup against the indexes, and keep going
+    b2 = [(10, C.encode_png(a)), (11, C.encode_png(_img(4)))]
+    ing.process_batch(_df(spark, b2), 2)
+    assert _accepted_ids(spark, out) == [0, 11]
+    merged = (
+        spark.read.option("mergeSchema", "true").parquet(f"{out}/accepted")
+    )
+    assert "sig" in merged.columns
+    rows = {r["media_id"]: r["sig"] for r in merged.collect()}
+    assert rows[0] is None and rows[11] is not None
+
+
 def test_compaction_folds_and_dedup_still_holds(spark, tmp_path):
     out = str(tmp_path / "m")
     ing = MediaIngest(out, kind="image")

@@ -179,6 +179,70 @@ def test_lossy_keeps_refusing_and_empty_anmf_is_loud():
         C.decode_webp(anim)
 
 
+def test_mode13_truncates_toward_zero_like_c():
+    """ADVICE r10: ClampAddSubtractHalf divides by 2 with C truncation
+    toward zero, not Python floor — for ave < TL with odd difference
+    the two differ by one. Pin the module against an independent
+    transcription of the spec formula over every channel value pair
+    (no libwebp in the container, so the spec math IS the oracle)."""
+    for a in range(0, 256, 3):
+        for b in range(0, 256, 5):
+            ave = ((a ^ b) >> 1) + (a & b)  # nothing to average here:
+            # feed ave directly by picking l = t = a so avg2(l, t) == a
+            pix_l = a << 8
+            pix_t = a << 8
+            pix_tl = b << 8
+            got = V._predict(13, pix_l, pix_t, 0, pix_tl)
+            d = a - b
+            v = a + int(d / 2.0)  # trunc toward zero
+            want = max(0, min(255, v))
+            assert (got >> 8) & 0xFF == want, (a, b)
+    # a decode-level round trip stressing odd negative differences
+    img = np.zeros((6, 8, 3), dtype=np.uint8)
+    img[::2] = 255
+    img[:, ::3, 1] = 7
+    assert np.array_equal(V.decode_vp8l(V.encode_vp8l(img, predictor=13)), img)
+
+
+def test_decode_cost_bounds():
+    """ADVICE r10: the bytes-to-CPU asymmetry is bounded. Giant LZ77
+    runs fill vectorized (fast), trivial-code streams hit constant
+    fast paths, and the predictor pass refuses above its pixel cap."""
+    import time
+
+    # 4M-pixel constant image round-trips via the vectorized paths
+    big = np.full((2048, 2048, 3), 9, dtype=np.uint8)
+    blob = V.encode_vp8l(big)
+    assert len(blob) < 4096
+    t0 = time.monotonic()
+    out = V.decode_vp8l(blob)
+    assert time.monotonic() - t0 < 5.0
+    assert out.shape == (2048, 2048, 3) and (out == 9).all()
+    # the vectorized backref copy keeps exact LZ77 repeat semantics
+    # (dist < length tiles the pattern; numpy memmove would not)
+    rng = np.random.default_rng(3)
+    for dist, length in ((1, 9), (3, 10), (5, 5), (4, 17), (7, 3)):
+        buf = rng.integers(0, 2**32, 40, dtype=np.uint32)
+        ref = buf.copy()
+        pos = 12
+        for i in range(length):  # the spec's per-pixel definition
+            ref[pos + i] = ref[pos + i - dist]
+        V._backref_copy(buf, pos, dist, length)
+        assert np.array_equal(buf, ref), (dist, length)
+    pat = np.tile(
+        np.arange(30, dtype=np.uint8).reshape(1, 10, 3), (12, 40, 1)
+    )
+    assert np.array_equal(V.decode_vp8l(V.encode_vp8l(pat)), pat)
+    # predictor transform above the interpreted cap refuses loudly
+    head = ((2048 - 1) | ((2048 - 1) << 14)).to_bytes(4, "little")
+    bw = V._BitWriter()
+    bw.bits(1, 1)  # a transform follows
+    bw.bits(V._T_PREDICTOR, 2)
+    hostile = bytes([0x2F]) + head + bw.done()
+    with pytest.raises(ValueError, match="pixel cap"):
+        V.decode_vp8l(hostile)
+
+
 def test_fuzz_vp8l_walk():
     from tests.test_codec_fuzz import _hammer
 
