@@ -820,3 +820,114 @@ def gen_media_curate() -> tuple[list[tuple], list[tuple]]:
         "quarantine")  # ~2.1 s passes the header gate; lossy PCM refuses
     add(19, "audio", b"junk audio bytes", "quarantine")
     return rows, truth
+
+
+def gen_av_match() -> tuple[list[tuple], list[tuple]]:
+    """(media_rows, truth_rows) for the landmark-match + scene-cut
+    driver row (n29, round 11 — VERDICT r10 item 5: the last
+    pytest-only round-9 compositions reach the correctness board).
+
+    media_rows: (media_id, kind, content) with kind 'audio'/'video'.
+    truth_rows: (part, a, b, c) — the construction-side answer the
+    oracle reads back, never produced by running the operators:
+
+    * ``part='match'`` (a=id1, b=id2, c=dt_frames): audio landmark
+      pairs with their offset. dt is PLANTED — the padded copy leads
+      the base by exactly pad/hop = 4 frames (hop 512 at 8 kHz), the
+      half-volume FLAC transcode is aligned (dt 0; the constellation
+      is amplitude-invariant by construction). The unrelated melody
+      and the garbage row must produce NO pair — absence is part of
+      the hash. Votes are NOT in the truth (they depend on the peak
+      extractor); a generation-time assert checks the consensus
+      offset of every planted pair equals the planted dt with >= 8
+      votes, failing generation loudly rather than flipping truth.
+    * ``part='cut'`` (a=media_id, b=frame_idx of the NEW scene): hard
+      cuts planted as constant-luma scene blocks (within-scene score
+      exactly 0, boundary |Δluma|/255 ≈ 0.67 vs the 0.3 threshold —
+      decided by arithmetic, far from the threshold).
+    * ``part='scored'`` (a=media_id, b=n_transitions, c=n_cuts): every
+      decodable clip scores exactly n_frames-1 transitions (stride 1),
+      pinning the zero-cut clip's presence too.
+    * ``part='quarantine'`` (a=media_id): the undecodable clip's NULL
+      row.
+
+    Three video containers cross the shared front door: Y4M, APNG,
+    animated lossless WebP (the round-10 VP8L tier).
+    """
+    import numpy as np
+
+    from pg2kinesis_spark.functions import audio_analysis as aa
+    from pg2kinesis_spark.functions import codecs as C
+
+    rows: list[tuple] = []
+    truth: list[tuple] = []
+
+    # --- audio: planted-offset landmark pairs -------------------------
+    rate, hop = 8000, 512
+
+    def melody(seed: int, seconds: float = 3.0) -> np.ndarray:
+        rng = np.random.default_rng(seed)
+        seg = int(0.25 * rate)
+        notes = rng.integers(300, 3200, int(seconds / 0.25))
+        t = np.arange(seg)
+        return np.concatenate(
+            [0.5 * np.sin(2 * np.pi * f * t / rate) for f in notes]
+        )
+
+    def pcm(x: np.ndarray) -> np.ndarray:
+        return np.round(x * 32767).astype(np.int16).reshape(-1, 1)
+
+    base = melody(7)
+    pad = 4  # frames (hops) the copy is delayed by
+    shifted = np.concatenate([np.zeros(pad * hop), base])
+    rows.append((21, "audio", C.encode_wav(pcm(base), rate)))
+    rows.append((22, "audio", C.encode_wav(pcm(shifted), rate)))
+    rows.append((23, "audio", C.encode_flac(pcm(0.5 * base), rate)))
+    rows.append((24, "audio", C.encode_wav(pcm(melody(8)), rate)))
+    rows.append((25, "audio", b"not audio at all"))
+    # dt convention (multimodal.audio_landmark_match): t1(id1) - t1(id2)
+    truth.append(("match", 21, 22, -pad))
+    truth.append(("match", 21, 23, 0))
+    truth.append(("match", 22, 23, pad))
+
+    # generation-time sanity: the planted offsets must be recoverable
+    # with a clear consensus (>= 8 votes), else FAIL generation
+    from collections import Counter
+
+    lms = {
+        mid: aa.landmark_hashes(aa.spectral_peaks(x, rate))
+        for mid, x in ((21, base), (22, shifted), (23, 0.5 * base))
+    }
+    for _, i1, i2, want_dt in [t for t in truth if t[0] == "match"]:
+        by_hash: dict[int, list[int]] = {}
+        for h, t1 in lms[i2]:
+            by_hash.setdefault(h, []).append(t1)
+        votes: Counter = Counter()
+        for h, t1 in lms[i1]:
+            for t0 in by_hash.get(h, ()):
+                votes[t1 - t0] += 1
+        dt, n = votes.most_common(1)[0]
+        assert (dt, n >= 8) == (want_dt, True), (
+            f"fixture pair ({i1},{i2}): consensus {dt} x{n}, "
+            f"planted {want_dt}"
+        )
+
+    # --- video: planted scene cuts across three containers ------------
+    def flat(v: int, n: int) -> list[np.ndarray]:
+        return [np.full((24, 32, 3), v, dtype=np.uint8)] * n
+
+    y4m = C.encode_y4m(flat(40, 6) + flat(210, 6))  # cut at frame 6
+    apng = C.encode_apng(flat(10, 4) + flat(128, 4) + flat(245, 4))
+    webp = C.encode_webp_anim(flat(100, 5), durations_ms=[40] * 5)
+    rows.append((31, "video", y4m))
+    rows.append((32, "video", apng))
+    rows.append((33, "video", webp))
+    rows.append((34, "video", b"junk video bytes"))
+    truth.append(("cut", 31, 6, None))
+    truth.append(("cut", 32, 4, None))
+    truth.append(("cut", 32, 8, None))
+    truth.append(("scored", 31, 11, 1))
+    truth.append(("scored", 32, 11, 2))
+    truth.append(("scored", 33, 4, 0))
+    truth.append(("quarantine", 34, None, None))
+    return rows, truth

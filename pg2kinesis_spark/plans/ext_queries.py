@@ -63,31 +63,13 @@ def q26_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # branch of that tagged union.
 
 
-def q30_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ sketch as a TOLERANCE WITNESS (+ former q31, round-6
-    registry consolidation): sketches differ across engines, so instead
-    of emitting the raw estimate (rows-only forever), emit the exact
-    count plus a boolean asserting this engine's sketch landed within
-    ±5% of it. Each engine computes its OWN sketch; both return the
-    identical row whenever both sketches are sane — making the
-    approximate operator hash-checkable. The same single-row aggregate
-    carries the exact interpolated percentiles (Spark `percentile` ≡
-    DuckDB quantile_cont — hash-checkable, unlike approx_percentile)."""
-    orders = load_table(spark, sf_dir, "orders")
-    # rsd=0.01: the default 0.05 is a STANDARD DEVIATION, so ~1-sigma
-    # excursions (measured 6.7% at sf0.01) routinely breach a 5% witness;
-    # at rsd=0.01 the measured error is <1% at every test scale.
-    approx = F.approx_count_distinct("o_custkey", 0.01)
-    return orders.agg(
-        F.countDistinct("o_custkey").alias("exact_custs"),
-        (
-            F.abs(approx - F.countDistinct("o_custkey")) / F.countDistinct("o_custkey")
-            <= 0.05
-        ).alias("within_tol"),
-        F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
-        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
-        F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
-    )
+# q30_approx_distinct folded into q21_date_trunc (round-11 registry
+# consolidation, freeing the slot n29_av_match occupies): the HLL++
+# tolerance witness and the exact interpolated percentiles are the
+# 'hll'/'p25'/'p50'/'p75' rows of that tagged union. The rsd=0.01
+# rationale rides with it: the default 0.05 is a STANDARD DEVIATION,
+# so ~1-sigma excursions (measured 6.7% at sf0.01) routinely breach a
+# 5% witness; at rsd=0.01 the measured error is <1% at every scale.
 
 
 def q32_analytic_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -122,7 +104,6 @@ EXT_QUERIES = {
     "q32_analytic_windows": q32_analytic_windows,
     "q24_pivot": q24_pivot,
     "q26_asof_join": q26_asof_join,
-    "q30_approx_distinct": q30_approx_distinct,
 }
 
 EXT_ORACLE_SQL = {
@@ -159,17 +140,5 @@ EXT_ORACLE_SQL = {
         SELECT e.event_id, p.pvalue
         FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
         ORDER BY event_id
-    """,
-    # q30: each engine runs its OWN HLL sketch and witnesses the same
-    # ±5% tolerance against the exact count — hash-checkable even though
-    # the raw estimates differ.
-    "q30_approx_distinct": """
-        SELECT count(DISTINCT o_custkey) AS exact_custs,
-               (abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
-                  / CAST(count(DISTINCT o_custkey) AS DOUBLE) <= 0.05) AS within_tol,
-               quantile_cont(o_totalprice, 0.25) AS p25,
-               quantile_cont(o_totalprice, 0.5) AS p50,
-               quantile_cont(o_totalprice, 0.75) AS p75
-        FROM orders
     """,
 }

@@ -125,6 +125,10 @@ ORACLE_SQL: dict[str, str] = {
         )
         ORDER BY op, n_nationkey
     """,
+    # q21 also carries the former q30 rows (round-11 consolidation):
+    # each engine runs its OWN HLL sketch and witnesses the same ±5%
+    # tolerance against the exact count — hash-checkable even though
+    # the raw estimates differ; quantile_cont ≡ Spark percentile().
     "q21_date_trunc": """
         SELECT 'month' AS tag,
                CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS bucket,
@@ -136,6 +140,26 @@ ORACLE_SQL: dict[str, str] = {
                time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS bucket,
                COUNT(*) AS cnt, SUM(value) AS val
         FROM events GROUP BY 2
+        UNION ALL
+        SELECT t.tag, CAST(NULL AS TIMESTAMP) AS bucket,
+               s.exact_custs AS cnt,
+               CASE t.tag
+                 WHEN 'hll' THEN s.hll_ok
+                 WHEN 'p25' THEN s.p25
+                 WHEN 'p50' THEN s.p50
+                 ELSE s.p75
+               END AS val
+        FROM (
+          SELECT count(DISTINCT o_custkey) AS exact_custs,
+                 CAST(abs(approx_count_distinct(o_custkey)
+                          - count(DISTINCT o_custkey))
+                      / CAST(count(DISTINCT o_custkey) AS DOUBLE) <= 0.05
+                      AS DOUBLE) AS hll_ok,
+                 quantile_cont(o_totalprice, 0.25) AS p25,
+                 quantile_cont(o_totalprice, 0.5) AS p50,
+                 quantile_cont(o_totalprice, 0.75) AS p75
+          FROM orders
+        ) s, (VALUES ('hll'), ('p25'), ('p50'), ('p75')) AS t(tag)
         ORDER BY tag, bucket
     """,
     "q23_array_aggregate": """

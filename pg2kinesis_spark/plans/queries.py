@@ -268,6 +268,15 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 # time_bucket). Unified (tag, bucket, cnt, val) schema; val carries
 # n_custs for the month branch and sum(value) for the hour branch.
 def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union: date_trunc months + F.window hours (former q14/
+    q29), plus — round-11 registry consolidation, freeing q30's slot —
+    the approximate-sketch tolerance witness and the exact
+    interpolated percentiles as 'hll'/'p25'/'p50'/'p75' rows. Each
+    engine runs its OWN HLL++ sketch; the 'hll' row's val is 1.0 when
+    the sketch lands within ±5% of the exact distinct count (rsd=0.01
+    keeps measured error <1% at every test scale), making the
+    approximate operator hash-checkable. percentile() is Spark's exact
+    interpolated quantile ≡ DuckDB quantile_cont."""
     orders = _t(spark, sf_dir, "orders")
     months = (
         orders.groupBy(F.date_trunc("month", "o_orderdate").alias("bucket"))
@@ -283,7 +292,28 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"), F.sum("value").alias("val"))
         .select(F.lit("hour").alias("tag"), F.col("w.start").alias("bucket"), "cnt", "val")
     )
-    return months.unionAll(hours).orderBy("tag", "bucket")
+    exact = F.countDistinct("o_custkey")
+    approx = F.approx_count_distinct("o_custkey", 0.01)
+    sketch = (
+        orders.agg(
+            exact.alias("exact_custs"),
+            (F.abs(approx - exact) / exact <= 0.05)
+            .cast("double")
+            .alias("hll_ok"),
+            F.expr("percentile(o_totalprice, 0.25)").alias("p25"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+            F.expr("percentile(o_totalprice, 0.75)").alias("p75"),
+        )
+        .select(
+            F.expr(
+                "stack(4, 'hll', hll_ok, 'p25', p25, 'p50', p50, 'p75', p75)"
+            ).alias("tag", "val"),
+            F.lit(None).cast("timestamp").alias("bucket"),
+            F.col("exact_custs").alias("cnt"),
+        )
+        .select("tag", "bucket", "cnt", "val")
+    )
+    return months.unionAll(hours).unionAll(sketch).orderBy("tag", "bucket")
 
 
 # --- Q23: array aggregate (JVM-side lambda, no Python UDF)

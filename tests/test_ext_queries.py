@@ -66,15 +66,21 @@ def test_approx_distinct_within_tolerance(spark, sf_small):
     assert abs(row.approx - row.exact) / row.exact < 0.05
 
 
-def test_q30_witness_shape(spark, sf_small):
-    """The registered q30 is the tolerance-witness form: exact count +
-    a within_tol boolean each engine derives from its OWN sketch — the
-    recipe that makes an approximate operator hash-checkable."""
-    from pg2kinesis_spark.plans.ext_queries import q30_approx_distinct
+def test_q21_carries_the_sketch_witness_rows(spark, sf_small):
+    """The former q30 rows live in q21's tagged union (round-11
+    consolidation): a 'hll' row whose val is 1.0 when this engine's
+    own sketch lands within ±5% of the exact count, plus the exact
+    interpolated percentile rows — the recipe that keeps an
+    approximate operator hash-checkable."""
+    from pg2kinesis_spark.plans.queries import q21
 
-    row = q30_approx_distinct(spark, sf_small).collect()[0]
-    assert row.within_tol is True
-    assert row.exact_custs > 0
+    rows = {r.tag: r for r in q21(spark, sf_small).collect() if r.bucket is None}
+    assert set(rows) == {"hll", "p25", "p50", "p75"}
+    assert rows["hll"].val == 1.0
+    assert rows["hll"].cnt > 0
+    assert rows["p25"].val <= rows["p50"].val <= rows["p75"].val
+    # every sketch row repeats the exact distinct count in cnt
+    assert len({r.cnt for r in rows.values()}) == 1
 
 
 def test_sq4_streaming_drop_duplicates(spark, tmp_path):

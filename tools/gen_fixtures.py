@@ -151,6 +151,19 @@ def main() -> None:
         "fate": pa.array([r[2] for r in curate_truth], pa.string()),
     })
 
+    av_rows, av_truth = fx.gen_av_match()
+    write(out, "av_match", {
+        "media_id": pa.array([r[0] for r in av_rows], pa.int64()),
+        "kind": pa.array([r[1] for r in av_rows], pa.string()),
+        "content": pa.array([r[2] for r in av_rows], pa.binary()),
+    })
+    write(out, "av_match_truth", {
+        "part": pa.array([r[0] for r in av_truth], pa.string()),
+        "a": pa.array([r[1] for r in av_truth], pa.int64()),
+        "b": pa.array([r[2] for r in av_truth], pa.int64()),
+        "c": pa.array([r[3] for r in av_truth], pa.int64()),
+    })
+
 
 if __name__ == "__main__":
     main()
