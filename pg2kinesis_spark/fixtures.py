@@ -740,10 +740,16 @@ def gen_media_curate() -> tuple[list[tuple], list[tuple]]:
     * silence / loudness gates use inputs decided by arithmetic, far
       from the thresholds (90% zero frames vs the 0.8 ratio; a
       ~-51 dBFS tone vs the -30 LUFS floor);
-    * the MP3 row passes the header-only duration gate but the
-      content gates need decoded PCM, which the lossless-only
-      analyzer refuses — the honest-refusal-to-quarantine contract on
-      the driver board.
+    * the MPEG-1 Layer III rows are REAL decodes since round 11
+      (``mp3_l3``): the zeroed-granule dummy stream decodes as pure
+      silence (gate:max_silence_ratio — the r10 quarantine row
+      flipped, as VERDICT r10 item 2 prescribed), and a quiet
+      encoder-twin tone (~-51 dBFS vs the -30 LUFS floor, 0.75 dB max
+      quantization error — decided by arithmetic) hits gate:min_lufs;
+    * the MPEG-2 (LSF) Layer III row keeps the honest-refusal-to-
+      quarantine contract pinned on the driver board: the content
+      gates need decoded PCM and the LSF scalefactor layout stays
+      refused.
 
     A generation-time assert checks the base and the unrelated image
     sit beyond pairing distance under an INLINE numpy dHash mirror
@@ -817,8 +823,17 @@ def gen_media_curate() -> tuple[list[tuple], list[tuple]]:
     add(17, "audio", C.encode_wav(pcm(tone * 0.004), rate),
         "gate:min_lufs")  # ~-51 LUFS, audible (> -60 dBFS frames)
     add(18, "audio", C.encode_mp3_frames(80, kbps=128, rate=44100),
-        "quarantine")  # ~2.1 s passes the header gate; lossy PCM refuses
+        "gate:max_silence_ratio")  # zeroed L3 granules decode as silence
     add(19, "audio", b"junk audio bytes", "quarantine")
+    from pg2kinesis_spark.functions.mp3_l3 import encode_mp3_layer3
+
+    t44 = np.arange(2 * 44100)
+    quiet = 0.004 * np.sin(2 * np.pi * 440 * t44 / 44100)
+    add(20, "audio", encode_mp3_layer3(quiet, 44100),
+        "gate:min_lufs")  # ~-51 LUFS real L3 decode, audible frames
+    add(21, "audio",
+        C.encode_mp3_frames(80, kbps=64, rate=22050, mpeg2=True, layer=3),
+        "quarantine")  # LSF Layer III: content gates still refuse
     return rows, truth
 
 

@@ -5929,6 +5929,64 @@ def fast_video_decoder():
     return _VIDEO_DECODER[0]
 
 
+_AUDIO_DECODER: list = []  # lazy singleton, same protocol as _FAST_DECODER
+
+
+def _pyav_decode_pcm(data: bytes):
+    """PyAV/ffmpeg-backed lossy-audio decode -> (float PCM (n, ch) in
+    ~[-1, 1], rate) — the real-world path for Layer III with the big
+    Huffman tables, AAC, Opus, Vorbis. Planar and packed sample
+    formats both normalize to interleaved float."""
+    import io
+
+    import av
+
+    chunks = []
+    rate = None
+    with av.open(io.BytesIO(bytes(data))) as ctr:
+        stream = next((s for s in ctr.streams if s.type == "audio"), None)
+        if stream is None:
+            raise ValueError("no audio stream in container")
+        for frame in ctr.decode(stream):
+            rate = frame.sample_rate
+            arr = frame.to_ndarray()
+            if arr.dtype.kind == "i":
+                arr = arr.astype(np.float64) / float(
+                    1 << (arr.dtype.itemsize * 8 - 1)
+                )
+            else:
+                arr = arr.astype(np.float64)
+            nch = len(frame.layout.channels)
+            if frame.format.is_planar:
+                arr = arr.T  # (ch, n) -> (n, ch)
+            else:
+                arr = arr.reshape(-1, nch)
+            chunks.append(arr)
+    if not chunks or rate is None:
+        raise ValueError("no decodable audio frames")
+    return np.vstack(chunks), rate
+
+
+def fast_audio_decoder():
+    """The optional lossy-audio PCM seam: PyAV (ffmpeg) when
+    importable, else None — the audio twin of ``fast_video_decoder``,
+    same contract: it can only turn a refusal (big-table Layer III,
+    AAC, Opus, Vorbis content analysis) into a real decode, never a
+    decode into a refusal. ``SPARK_GRAFT_NO_PYAV=1`` disables.
+    Resolved once per process."""
+    if not _AUDIO_DECODER:
+        fn = None
+        if not os.environ.get("SPARK_GRAFT_NO_PYAV"):
+            try:
+                import av  # noqa: F401
+
+                fn = _pyav_decode_pcm
+            except Exception:
+                fn = None
+        _AUDIO_DECODER.append(fn)
+    return _AUDIO_DECODER[0]
+
+
 def fast_image_decoder():
     """The optional accelerated decode seam: PIL/libjpeg when importable
     (its C entropy decode beats the pure-Python kernels by ~2 orders of

@@ -1,0 +1,919 @@
+"""MPEG-1 Layer III decode to PCM — the content-analysis tier for the
+dominant lossy audio format (VERDICT r10 item 2), dependency-free.
+
+Everything STRUCTURAL in ISO 11172-3 §2.4 is implemented for real:
+side information (both mono/stereo layouts), the bit reservoir
+(main_data_begin back-pointers across frames), scalefactor decode
+(slen pairs, scfsi sharing, long/short/mixed layouts), requantization
+(ix^(4/3), global_gain, scalefac_scale, preflag/pretab, subblock
+gains), MS stereo, alias-reduction butterflies, the hybrid filterbank
+(18-point IMDCT with DERIVED sine windows for all four block types,
+TDAC overlap-add, frequency inversion), and the final 32-band
+polyphase synthesis (reusing ``audio_analysis.l12_synthesis`` — the
+round-10 derived-prototype bank).
+
+**The Huffman-table registry is deliberately partial.** The house
+rule for codec constants (derive > cross-checked transcription >
+honest refusal) applies: the big-value code tables of ISO 11172-3
+Table B.7 are hundreds of opaque (hlen, hcod) entries with no
+defining math and no structural identity that would catch a wrong
+VALUE assignment (a Kraft-complete but mis-assigned table decodes
+real files to silently wrong PCM — exactly what the contract
+forbids). This module therefore ships only the tables whose size
+admits confident transcription with an import-time prefix/Kraft
+check — table 0 (all zero), table 1 (2x2), and count1 table B (the
+fixed 4-bit complement code) — and REFUSES, naming the exact table,
+any stream selecting tables 2-31 or count1 table A. Real-world
+encoders overwhelmingly use the big tables, so real-world MP3s still
+quarantine honestly; swapping in the printed B.7 rows is the
+documented upgrade seam (each table slots into ``_HUFF_TABLES`` /
+``_COUNT1_A`` and the import-time checks run on it).
+
+What this buys today: ``encode_mp3_layer3`` (the fixture twin) emits
+FULLY CONFORMANT streams restricted to the trusted tables — ternary
+spectra with per-granule global_gain amplitude control (1.5 dB
+steps), optional scalefactors/scfsi, optional MS stereo, optional
+bit-reservoir packing — so round trips exercise every decode stage
+above with real bitstreams, and the content gates (LUFS / silence)
+accept Layer III fixtures instead of refusing. A granule whose bit
+walk does not land exactly on part2_3_length raises (the structural
+self-check a desynced table would trip).
+
+Scale posture: bounded per-file kernel inside the media tier's Arrow
+kernels — linear in duration, map-only, nothing here shuffles.
+
+Reference: /root/reference/pg2kinesis has no audio surface; this is
+the training-data tier. Format per ISO 11172-3 (public); no code
+consulted.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pg2kinesis_spark.functions.codecs import (
+    _id3v2_size,
+    _MP3_BITRATES,
+    _MP3_RATES,
+    _MsbWriter,
+)
+
+# --- scalefactor bands (MPEG-1) ----------------------------------------------
+#
+# Transcribed from ISO 11172-3 Table B.8 with the coverage identity
+# checked at import: long-block widths must tile 576 lines exactly,
+# short-block widths 192 per window.
+
+_SFB_LONG = {
+    44100: (4, 4, 4, 4, 4, 4, 6, 6, 8, 8, 10, 12, 16, 20, 24, 28, 34, 42,
+            50, 54, 76, 158),
+    48000: (4, 4, 4, 4, 4, 4, 6, 6, 6, 8, 10, 12, 16, 18, 22, 28, 34, 40,
+            46, 54, 54, 192),
+    32000: (4, 4, 4, 4, 4, 4, 6, 6, 8, 10, 12, 16, 20, 24, 30, 38, 46, 56,
+            68, 84, 102, 26),
+}
+_SFB_SHORT = {
+    44100: (4, 4, 4, 4, 6, 8, 10, 12, 14, 18, 22, 30, 56),
+    48000: (4, 4, 4, 4, 6, 6, 10, 12, 14, 16, 20, 26, 66),
+    32000: (4, 4, 4, 4, 6, 8, 12, 16, 20, 26, 34, 42, 12),
+}
+# 22 widths: 21 scalefactored bands + the residual band (no
+# scalefactor, like short band 12)
+for _r, _w in _SFB_LONG.items():
+    assert len(_w) == 22 and sum(_w) == 576, f"long sfb table {_r} broken"
+for _r, _w in _SFB_SHORT.items():
+    assert len(_w) == 13 and sum(_w) == 192, f"short sfb table {_r} broken"
+
+
+def _bounds(widths: tuple[int, ...]) -> list[int]:
+    out = [0]
+    for w in widths:
+        out.append(out[-1] + w)
+    return out
+
+
+# slen pairs per scalefac_compress (Table B.6 layout)
+_SLEN1 = (0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4)
+_SLEN2 = (0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3)
+
+# preemphasis table (long sfb 0-20 + the residual band)
+_PRETAB = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0)
+
+# alias-reduction coefficients (§2.4.3.4.7); cs/ca derive from them
+_CI = (-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142, -0.0037)
+_CS = tuple(1.0 / np.sqrt(1.0 + c * c) for c in _CI)
+_CA = tuple(c / np.sqrt(1.0 + c * c) for c in _CI)
+
+
+# --- trusted Huffman tables ---------------------------------------------------
+#
+# {(x, y): (hlen, hcod)}. Import-time check: prefix-free and
+# Kraft-complete, so a transcription slip in LENGTHS cannot ship.
+# (A value-assignment slip is not structurally checkable — which is
+# exactly why the big tables are refused rather than guessed.)
+
+_TAB1 = {(0, 0): (1, 1), (0, 1): (3, 1), (1, 0): (2, 1), (1, 1): (3, 0)}
+
+
+def _check_prefix_complete(tab: dict, what: str) -> None:
+    codes = sorted((l, c) for l, c in tab.values())
+    kraft = sum(1 << (32 - l) for l, _ in codes)
+    assert kraft == 1 << 32, f"{what}: not Kraft-complete"
+    seen = set()
+    for l, c in codes:
+        for pl, pc in seen:
+            if pl <= l and (c >> (l - pl)) == pc:
+                raise AssertionError(f"{what}: not prefix-free")
+        seen.add((l, c))
+
+
+_check_prefix_complete(_TAB1, "Layer III Huffman table 1")
+
+# big-value table registry: index -> (pairs table, linbits) or None
+# (= not transcribed, refuse by name). Tables 4/14 do not exist.
+_HUFF_TABLES: dict[int, tuple[dict, int] | None] = {0: ({}, 0), 1: (_TAB1, 0)}
+for _i in list(range(2, 32)):
+    if _i not in (4, 14):
+        _HUFF_TABLES.setdefault(_i, None)
+
+# count1 table B: the fixed 4-bit code — hcod is the bit-complement of
+# the (v, w, x, y) quad. Complete by construction.
+_COUNT1_B = {q: (4, (~q) & 0xF) for q in range(16)}
+_check_prefix_complete(_COUNT1_B, "Layer III count1 table B")
+_COUNT1_A: dict[int, tuple[int, int]] | None = None  # B.7 table A: refused
+
+
+class _BitReader:
+    """MSB-first reader over the main-data reservoir."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes, bitpos: int = 0) -> None:
+        self.data = data
+        self.pos = bitpos
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > len(self.data) * 8:
+            raise ValueError("Layer III main data truncated")
+        out = 0
+        p = self.pos
+        data = self.data
+        for _ in range(n):
+            out = (out << 1) | ((data[p >> 3] >> (7 - (p & 7))) & 1)
+            p += 1
+        self.pos = p
+        return out
+
+
+def _decode_huff_pair(br: _BitReader, tab: dict) -> tuple[int, int]:
+    code, length = 0, 0
+    while length < 24:
+        code = (code << 1) | br.read(1)
+        length += 1
+        for xy, (l, c) in tab.items():
+            if l == length and c == code:
+                return xy
+    raise ValueError("Layer III Huffman walk exceeded 24 bits")
+
+
+# --- side info ----------------------------------------------------------------
+
+
+def _parse_side_info(body: bytes, nch: int) -> dict:
+    br = _BitReader(body)
+    si: dict = {"main_data_begin": br.read(9)}
+    br.read(5 if nch == 1 else 3)  # private bits
+    si["scfsi"] = [[br.read(1) for _ in range(4)] for _ in range(nch)]
+    grs = []
+    for _g in range(2):
+        chs = []
+        for _c in range(nch):
+            g: dict = {
+                "part2_3_length": br.read(12),
+                "big_values": br.read(9),
+                "global_gain": br.read(8),
+                "scalefac_compress": br.read(4),
+            }
+            if br.read(1):  # window switching
+                g["block_type"] = br.read(2)
+                g["mixed"] = br.read(1)
+                g["table_select"] = [br.read(5), br.read(5), 0]
+                g["subblock_gain"] = [br.read(3) for _ in range(3)]
+                if g["block_type"] == 0:
+                    raise ValueError(
+                        "Layer III: window switching with block_type 0"
+                    )
+                # implied region split at 36 lines
+                g["region0_count"], g["region1_count"] = None, None
+            else:
+                g["block_type"] = 0
+                g["mixed"] = 0
+                g["table_select"] = [br.read(5), br.read(5), br.read(5)]
+                g["subblock_gain"] = [0, 0, 0]
+                g["region0_count"] = br.read(4)
+                g["region1_count"] = br.read(3)
+            g["preflag"] = br.read(1)
+            g["scalefac_scale"] = br.read(1)
+            g["count1table_select"] = br.read(1)
+            if g["big_values"] > 288:
+                raise ValueError("Layer III big_values > 288")
+            chs.append(g)
+        grs.append(chs)
+    si["granules"] = grs
+    return si
+
+
+# --- scalefactors ---------------------------------------------------------------
+
+_SCFSI_GROUPS = ((0, 6), (6, 11), (11, 16), (16, 21))
+
+
+def _read_scalefactors(br: _BitReader, g: dict, scfsi: list[int],
+                       gr: int, prev: dict | None) -> dict:
+    s1, s2 = _SLEN1[g["scalefac_compress"]], _SLEN2[g["scalefac_compress"]]
+    short = g["block_type"] == 2
+    if short and not g["mixed"]:
+        sf_s = [[br.read(s1) for _ in range(3)] for _ in range(6)]
+        sf_s += [[br.read(s2) for _ in range(3)] for _ in range(6)]
+        sf_s.append([0, 0, 0])  # sfb 12 carries no scalefactor
+        return {"long": [0] * 22, "short": sf_s}
+    if short and g["mixed"]:
+        sf_l = [br.read(s1) for _ in range(8)] + [0] * 14
+        sf_s = [[0, 0, 0] for _ in range(3)]
+        sf_s += [[br.read(s1) for _ in range(3)] for _ in range(3)]
+        sf_s += [[br.read(s2) for _ in range(3)] for _ in range(6)]
+        sf_s.append([0, 0, 0])
+        return {"long": sf_l, "short": sf_s}
+    sf_l = [0] * 22
+    for gi, (lo, hi) in enumerate(_SCFSI_GROUPS):
+        slen = s1 if gi < 2 else s2
+        if gr == 1 and scfsi[gi]:
+            if prev is None:
+                raise ValueError("Layer III scfsi set without granule 0")
+            for b in range(lo, hi):
+                sf_l[b] = prev["long"][b]
+        else:
+            for b in range(lo, hi):
+                sf_l[b] = br.read(slen)
+    return {"long": sf_l, "short": [[0, 0, 0]] * 13}
+
+
+def _part2_bits(g: dict, scfsi: list[int], gr: int) -> int:
+    s1, s2 = _SLEN1[g["scalefac_compress"]], _SLEN2[g["scalefac_compress"]]
+    if g["block_type"] == 2 and not g["mixed"]:
+        return 18 * s1 + 18 * s2
+    if g["block_type"] == 2 and g["mixed"]:
+        return 17 * s1 + 18 * s2
+    bits = 0
+    for gi, (lo, hi) in enumerate(_SCFSI_GROUPS):
+        if gr == 1 and scfsi[gi]:
+            continue
+        bits += (hi - lo) * (s1 if gi < 2 else s2)
+    return bits
+
+
+# --- Huffman spectrum decode ----------------------------------------------------
+
+
+def _decode_spectrum(br: _BitReader, g: dict, rate: int, end_bit: int
+                     ) -> np.ndarray:
+    ix = np.zeros(576, dtype=np.float64)
+    long_bounds = _bounds(_SFB_LONG[rate])
+    if g["region0_count"] is None:  # window switching: split at 36
+        b1, b2 = 36, 576
+    else:
+        b1 = long_bounds[min(g["region0_count"] + 1, 22)]
+        b2 = long_bounds[min(g["region0_count"] + 1 + g["region1_count"] + 1, 22)]
+    n_big = g["big_values"] * 2
+    pos = 0
+    while pos < n_big:
+        region = 0 if pos < b1 else (1 if pos < b2 else 2)
+        tsel = g["table_select"][region]
+        entry = _HUFF_TABLES.get(tsel)
+        if entry is None:
+            raise NotImplementedError(
+                f"Layer III Huffman table {tsel} is not transcribed "
+                "(ISO 11172-3 Table B.7 swap-in seam; see module doc)"
+            )
+        tab, linbits = entry
+        if not tab:  # table 0: both values zero, no bits
+            pos += 2
+            continue
+        x, y = _decode_huff_pair(br, tab)
+        for v in (x, y):
+            if v == 15 and linbits:
+                v += br.read(linbits)
+            if v:
+                if br.read(1):
+                    v = -v
+            ix[pos] = v
+            pos += 1
+    # count1 region: quads until the granule's bit budget is spent
+    if g["count1table_select"] == 0 and br.pos < end_bit and pos < 576:
+        if _COUNT1_A is None:
+            raise NotImplementedError(
+                "Layer III count1 table A is not transcribed "
+                "(ISO 11172-3 Table B.7 swap-in seam; table B decodes)"
+            )
+    while br.pos < end_bit and pos + 4 <= 576:
+        start = br.pos
+        code, length = 0, 0
+        quad = None
+        while length < 10:
+            code = (code << 1) | br.read(1)
+            length += 1
+            for q, (l, c) in _COUNT1_B.items():
+                if l == length and c == code:
+                    quad = q
+                    break
+            if quad is not None:
+                break
+        if quad is None:
+            raise ValueError("Layer III count1 walk exceeded 10 bits")
+        vals = [(quad >> 3) & 1, (quad >> 2) & 1, (quad >> 1) & 1, quad & 1]
+        for i in range(4):
+            if vals[i] and br.read(1):
+                vals[i] = -vals[i]
+        if br.pos > end_bit:  # the spec's overshoot rule: drop the quad
+            br.pos = start
+            break
+        for v in vals:
+            ix[pos] = v
+            pos += 1
+    return ix
+
+
+# --- requantization --------------------------------------------------------------
+
+
+def _requantize(ix: np.ndarray, g: dict, sf: dict, rate: int) -> np.ndarray:
+    xr = np.sign(ix) * np.abs(ix) ** (4.0 / 3.0)
+    step_mult = 1.0 if g["scalefac_scale"] else 0.5
+    gain = 2.0 ** ((g["global_gain"] - 210) / 4.0)
+    if g["block_type"] == 2:
+        short_bounds = _bounds(_SFB_SHORT[rate])
+        out = xr * gain
+        first_short_sfb = 3 if g["mixed"] else 0
+        if g["mixed"]:
+            long_bounds = _bounds(_SFB_LONG[rate])
+            for b in range(8):
+                lo, hi = long_bounds[b], long_bounds[b + 1]
+                out[lo:hi] *= 2.0 ** (
+                    -step_mult * (sf["long"][b]
+                                  + (g["preflag"] and _PRETAB[b]))
+                )
+        # short bands: the spectrum at this stage is sfb-major with 3
+        # windows per band (pre-reorder layout)
+        for b in range(first_short_sfb, 13):
+            w = short_bounds[b + 1] - short_bounds[b]
+            base = short_bounds[b] * 3 if not g["mixed"] else (
+                36 + (short_bounds[b] - short_bounds[first_short_sfb]) * 3
+            )
+            for win in range(3):
+                lo = base + win * w
+                out[lo : lo + w] *= 2.0 ** (
+                    -2.0 * g["subblock_gain"][win]
+                    - step_mult * sf["short"][b][win]
+                )
+        return out
+    long_bounds = _bounds(_SFB_LONG[rate])
+    band_gain = np.ones(576)
+    for b in range(21):
+        lo, hi = long_bounds[b], long_bounds[b + 1]
+        band_gain[lo:hi] = 2.0 ** (
+            -step_mult * (sf["long"][b] + (g["preflag"] and _PRETAB[b]))
+        )
+    return xr * gain * band_gain
+
+
+def _reorder_short(xr: np.ndarray, g: dict, rate: int) -> np.ndarray:
+    """sfb-major (3 windows per band) -> position-major interleave
+    (dst[3*start + 3*pos + win]), the layout the per-window IMDCT
+    consumes at stride 3."""
+    if g["block_type"] != 2:
+        return xr
+    out = xr.copy()
+    short_bounds = _bounds(_SFB_SHORT[rate])
+    first = 3 if g["mixed"] else 0
+    for b in range(first, 13):
+        w = short_bounds[b + 1] - short_bounds[b]
+        base = short_bounds[b] * 3 if not g["mixed"] else (
+            36 + (short_bounds[b] - short_bounds[first]) * 3
+        )
+        src = xr[base : base + 3 * w]
+        for win in range(3):
+            for p in range(w):
+                out[base + 3 * p + win] = src[win * w + p]
+    return out
+
+
+def _alias_reduce(x: np.ndarray, g: dict, inverse: bool = False) -> np.ndarray:
+    """Butterflies across subband boundaries (not for pure short
+    blocks; mixed applies the first boundary only). The 2x2 butterfly
+    is orthonormal, so the encode direction is its transpose."""
+    if g["block_type"] == 2 and not g["mixed"]:
+        return x
+    n_bounds = 1 if (g["block_type"] == 2 and g["mixed"]) else 31
+    out = x.copy()
+    for sb in range(n_bounds):
+        for i in range(8):
+            lo = out[sb * 18 + 17 - i]
+            hi = out[sb * 18 + 18 + i]
+            if not inverse:
+                out[sb * 18 + 17 - i] = lo * _CS[i] - hi * _CA[i]
+                out[sb * 18 + 18 + i] = hi * _CS[i] + lo * _CA[i]
+            else:
+                out[sb * 18 + 17 - i] = lo * _CS[i] + hi * _CA[i]
+                out[sb * 18 + 18 + i] = hi * _CS[i] - lo * _CA[i]
+    return out
+
+
+# --- hybrid filterbank (IMDCT + windows, all derived) ---------------------------
+
+
+def _imdct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n // 2)
+    i = np.arange(n)
+    return np.cos(np.pi / (2 * n) * np.outer(2 * i + 1 + n // 2, 2 * k + 1))
+
+
+_C36 = _imdct_matrix(36)
+_C12 = _imdct_matrix(12)
+
+
+def _win_long() -> np.ndarray:
+    n = np.arange(36)
+    return np.sin(np.pi / 36 * (n + 0.5))
+
+
+def _win_short12() -> np.ndarray:
+    n = np.arange(12)
+    return np.sin(np.pi / 12 * (n + 0.5))
+
+
+def _win_start() -> np.ndarray:
+    w = _win_long().copy()
+    w[18:24] = 1.0
+    n = np.arange(24, 30)
+    w[24:30] = np.sin(np.pi / 12 * (n - 18 + 0.5))
+    w[30:] = 0.0
+    return w
+
+
+def _win_stop() -> np.ndarray:
+    return _win_start()[::-1].copy()
+
+
+_WINDOWS = {0: _win_long(), 1: _win_start(), 3: _win_stop()}
+_WSHORT = _win_short12()
+
+
+def _imdct_granule(x: np.ndarray, g: dict, overlap: np.ndarray) -> np.ndarray:
+    """(576,) spectral lines -> (18, 32) subband samples, updating the
+    per-channel 32x18 overlap buffer in place. Frequency inversion is
+    applied so the output feeds the polyphase synthesis directly."""
+    out = np.empty((18, 32))
+    for sb in range(32):
+        lines = x[sb * 18 : (sb + 1) * 18]
+        bt = g["block_type"]
+        if bt == 2 and (not g["mixed"] or sb >= 2):
+            z = np.zeros(36)
+            for win in range(3):
+                xw = _C12 @ lines[win::3]
+                z[6 + 6 * win : 18 + 6 * win] += xw * _WSHORT
+        else:
+            w = _WINDOWS[0 if (bt == 2 and g["mixed"] and sb < 2) else bt]
+            z = (_C36 @ lines) * w
+        block = z[:18] + overlap[sb]
+        overlap[sb] = z[18:]
+        out[:, sb] = block
+    # frequency inversion: odd subbands negate odd time samples
+    out[1::2, 1::2] *= -1.0
+    return out
+
+
+# --- frame walk / top-level decode ----------------------------------------------
+
+
+def decode_mp3_layer3(data: bytes):
+    """MPEG-1 Layer III stream -> (PCM float (n, ch) in ~[-1, 1],
+    rate). NotImplementedError: untranscribed Huffman tables (by
+    number), count1 table A, intensity stereo, MPEG-2/2.5 (LSF).
+    ValueError: structural damage (truncation, bit-walk desync,
+    forbidden field values)."""
+    from pg2kinesis_spark.functions import audio_analysis
+
+    data = bytes(data)
+    pos = _id3v2_size(data)
+    n = len(data)
+    reservoir = bytearray()
+    res_start_frame: list[tuple[int, int]] = []  # (offset of frame's data)
+    granule_sb: list[np.ndarray] = []
+    rate_out = None
+    nch_out = None
+    overlaps = None
+    while pos + 4 <= n:
+        if data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
+            break
+        b1, b2, b3 = data[pos + 1], data[pos + 2], data[pos + 3]
+        vbits = (b1 >> 3) & 3
+        lbits = (b1 >> 1) & 3
+        br_idx = b2 >> 4
+        sr_idx = (b2 >> 2) & 3
+        if vbits == 1 or lbits == 0 or br_idx in (0, 15) or sr_idx == 3:
+            break
+        if 4 - lbits != 3:
+            raise ValueError("not a Layer III stream")
+        if vbits != 3:
+            raise NotImplementedError(
+                "MPEG-2/2.5 Layer III PCM: LSF scalefactor layout is a "
+                "different tier (the side-info energy proxy decodes it)"
+            )
+        kbps = _MP3_BITRATES[(1, 3)][br_idx]
+        rate = _MP3_RATES[3][sr_idx]
+        padding = (b2 >> 1) & 1
+        flen = 144 * kbps * 1000 // rate + padding
+        if flen <= 4 or pos + flen > n:
+            break
+        mode = (b3 >> 6) & 3
+        mode_ext = (b3 >> 4) & 3
+        if mode == 1 and (mode_ext & 1):
+            raise NotImplementedError(
+                "Layer III intensity stereo is not implemented"
+            )
+        nch = 1 if mode == 3 else 2
+        body = data[pos + 4 : pos + flen]
+        if not (b1 & 1):  # CRC present
+            body = body[2:]
+        side_len = 17 if nch == 1 else 32
+        if len(body) < side_len:
+            break
+        si = _parse_side_info(body[:side_len], nch)
+        main = body[side_len:]
+        if rate_out is None:
+            rate_out, nch_out = rate, nch
+            overlaps = [np.zeros((32, 18)) for _ in range(nch)]
+        elif (rate, nch) != (rate_out, nch_out):
+            break  # format change mid-stream: stop at the boundary
+        start = len(reservoir) - si["main_data_begin"]
+        reservoir += main
+        if start < 0:
+            # mid-stream entry: the back-pointer predates our data —
+            # real decoders skip; emit silence for alignment
+            for _g in range(2):
+                granule_sb.append(np.zeros((18, 32, nch)))
+            pos += flen
+            continue
+        br = _BitReader(bytes(reservoir), start * 8)
+        prev_sf: list[dict | None] = [None] * nch
+        ms = mode == 1 and (mode_ext & 2)
+        for gr in range(2):
+            xs = []
+            for ch in range(nch):
+                g = si["granules"][gr][ch]
+                begin = br.pos
+                sf = _read_scalefactors(br, g, si["scfsi"][ch], gr,
+                                        prev_sf[ch])
+                if gr == 0:
+                    prev_sf[ch] = sf
+                end_bit = begin + g["part2_3_length"]
+                ix = _decode_spectrum(br, g, rate, end_bit)
+                if br.pos > end_bit:
+                    raise ValueError(
+                        "Layer III granule bit-walk desync "
+                        f"(consumed {br.pos - begin}, "
+                        f"part2_3_length {g['part2_3_length']})"
+                    )
+                br.pos = end_bit  # stuffing bits are legal
+                xr = _requantize(ix, g, sf, rate)
+                xr = _reorder_short(xr, g, rate)
+                xs.append(xr)
+            if ms:
+                m, s = xs
+                xs = [(m + s) / np.sqrt(2.0), (m - s) / np.sqrt(2.0)]
+            sb_t = np.empty((18, 32, nch))
+            for ch in range(nch):
+                g = si["granules"][gr][ch]
+                x = _alias_reduce(xs[ch], g)
+                sb_t[:, :, ch] = _imdct_granule(x, g, overlaps[ch])
+            granule_sb.append(sb_t)
+        # bound the reservoir: back-pointers reach at most 511 bytes
+        if len(reservoir) > 2048:
+            drop = len(reservoir) - 1024
+            del reservoir[:drop]
+        pos += flen
+    if not granule_sb:
+        raise ValueError("not a decodable MP3: no Layer III frame")
+    sb_all = np.concatenate(granule_sb, axis=0)
+    pcm = audio_analysis.l12_synthesis(sb_all)
+    if pcm.ndim == 1:
+        pcm = pcm[:, None]
+    return pcm, rate_out
+
+
+# --- encoder twin ----------------------------------------------------------------
+
+
+def _mdct_forward(x36: np.ndarray, window: np.ndarray) -> np.ndarray:
+    """36 windowed time samples -> 18 lines, scaled so the module's
+    IMDCT + window + TDAC overlap-add is the exact inverse (sine
+    windows satisfy the Princen-Bradley condition; 4/N is the right
+    factor for this kernel pair — pinned to machine epsilon in
+    tests/test_mp3_l3.py)."""
+    return (4.0 / 36.0) * (_C36.T @ (x36 * window))
+
+
+def _quantize_granule(xr: np.ndarray) -> tuple[np.ndarray, int]:
+    """Ternary quantization: global_gain searched over a small window
+    around the peak-mapping gain for MINIMUM spectral L2 error (with
+    |ix| <= 1, the reconstruction is just ix·step, so the search is
+    seven cheap vector passes). Returns (ix in {-1,0,1}, global_gain)."""
+    mag = np.abs(xr)
+    peak = float(mag.max())
+    if peak <= 0.0:
+        return np.zeros(576), 210
+    gg0 = 210 + int(np.round(4.0 * np.log2(peak)))
+    best = None
+    for dg in range(-4, 3):
+        gg = max(0, min(255, gg0 + dg))
+        step = 2.0 ** ((gg - 210) / 4.0)
+        ix = np.minimum(np.round(mag / step), 1.0)
+        err = float(((ix * step - mag) ** 2).sum())
+        if best is None or err < best[0]:
+            best = (err, gg, ix)
+    _, gg, ix = best
+    return ix * np.sign(xr), gg
+
+
+def encode_mp3_layer3(
+    pcm,
+    rate: int = 44100,
+    kbps: int = 128,
+    ms: bool = False,
+    scalefac_pattern: int = 0,
+    use_scfsi: bool = False,
+    use_reservoir: bool = False,
+    use_count1: bool = True,
+    short_blocks: bool = False,
+    subblock_gain: tuple[int, int, int] = (0, 0, 0),
+) -> bytes:
+    """Fixture twin: REAL MPEG-1 Layer III frames from PCM, restricted
+    to the trusted Huffman tables (1 + count1 B) — ternary spectra
+    with per-granule global_gain. Options exercise decode stages:
+    ``ms`` emits mode-1/mode_ext-2 MS stereo; ``scalefac_pattern``
+    emits nonzero long scalefactors (compress index 8: slen 2/1) the
+    requantizer must undo; ``use_scfsi`` shares granule-0 scalefactors
+    into granule 1 via the scfsi mask; ``use_reservoir`` packs main
+    data back-to-back so main_data_begin is nonzero mid-stream;
+    ``short_blocks`` emits every granule as block_type 2 (window
+    switching, three 12-point MDCTs per subband, the spectrum written
+    sfb-major so the decoder's reorder is a real inverse), with
+    ``subblock_gain`` per-window attenuations the requantizer undoes.
+
+    ``pcm``: float array (n,) or (n, ch<=2) in [-1, 1]."""
+    from pg2kinesis_spark.functions import audio_analysis
+
+    x = np.asarray(pcm, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    n, nch = x.shape
+    if nch not in (1, 2):
+        raise ValueError("mono or stereo only")
+    if ms and nch != 2:
+        raise ValueError("ms needs stereo input")
+    if short_blocks and (scalefac_pattern or use_scfsi):
+        raise ValueError("short_blocks fixture excludes scalefactor options")
+    sr_idx = _MP3_RATES[3].index(rate)
+    br_idx = _MP3_BITRATES[(1, 3)].index(kbps)
+    flen = 144 * kbps * 1000 // rate
+    spf = 1152
+    n_frames = max(1, -(-n // spf))
+    x = np.vstack([x, np.zeros((n_frames * spf - n, nch))])
+
+    # analysis: polyphase -> per-granule MDCT (inverse chain of decode)
+    sb = np.stack(
+        [audio_analysis.l12_analysis(x[:, c]) for c in range(nch)], axis=2
+    )  # (T, 32, ch)
+    T = sb.shape[0]
+    # frequency inversion is self-inverse: apply before the MDCT
+    sb[1::2, 1::2, :] *= -1.0
+    if ms:
+        m = (sb[:, :, 0] + sb[:, :, 1]) / np.sqrt(2.0)
+        s = (sb[:, :, 0] - sb[:, :, 1]) / np.sqrt(2.0)
+        sb = np.stack([m, s], axis=2)
+
+    sf_pat = [0] * 22
+    compress = 0
+    if scalefac_pattern:
+        compress = 8  # slen1=2, slen2=1
+        for b in range(21):
+            sf_pat[b] = (b % (1 << (_SLEN1[8] if b < 11 else _SLEN2[8])))
+    long_w = _WINDOWS[0]
+
+    n_gr = T // 18
+    # per (granule, channel): (ix, global_gain, scalefactors)
+    granules: list[list[tuple]] = []
+    prev_tail = np.zeros((18, 32, nch))
+    for gi in range(n_gr):
+        row = []
+        cur = sb[gi * 18 : (gi + 1) * 18]
+        x36 = np.concatenate([prev_tail, cur], axis=0)  # (36, 32, ch)
+        prev_tail = cur
+        for ch in range(nch):
+            lines = np.empty(576)
+            if short_blocks:
+                # three 12-point MDCTs per subband, laid out post-
+                # reorder (s*18 + 3k + w), window gains pre-compensated
+                for s in range(32):
+                    for w in range(3):
+                        seg = x36[6 + 6 * w : 18 + 6 * w, s, ch]
+                        lines[s * 18 + w : (s + 1) * 18 : 3] = (
+                            (4.0 / 12.0) * (_C12.T @ (seg * _WSHORT))
+                        )
+                # map back to the sfb-major wire layout (the exact
+                # inverse of _reorder_short) and undo the subblock
+                # attenuation the decoder will apply per window
+                pre = np.empty(576)
+                short_bounds = _bounds(_SFB_SHORT[rate])
+                for b in range(13):
+                    wd = short_bounds[b + 1] - short_bounds[b]
+                    base = short_bounds[b] * 3
+                    for w in range(3):
+                        for p in range(wd):
+                            pre[base + w * wd + p] = lines[
+                                base + 3 * p + w
+                            ] * 2.0 ** (2.0 * subblock_gain[w])
+                lines = pre
+            else:
+                for s in range(32):
+                    lines[s * 18 : (s + 1) * 18] = _mdct_forward(
+                        x36[:, s, ch], long_w
+                    )
+                g_stub = {"block_type": 0, "mixed": 0}
+                lines = _alias_reduce(lines, g_stub, inverse=True)
+                # undo the scalefactor attenuation the decoder applies
+                if scalefac_pattern:
+                    bounds = _bounds(_SFB_LONG[rate])
+                    for b in range(21):
+                        lines[bounds[b] : bounds[b + 1]] *= 2.0 ** (
+                            0.5 * sf_pat[b]
+                        )
+            ix, gg = _quantize_granule(lines)
+            row.append((ix, gg))
+        granules.append(row)
+    if n_gr % 2:
+        granules.append(
+            [(np.zeros(576), 210) for _ in range(nch)]
+        )
+        n_gr += 1
+
+    mode = 3 if nch == 1 else (1 if ms else 0)
+    mode_ext = 2 if ms else 0
+    header = bytes(
+        [
+            0xFF,
+            0xE0 | (3 << 3) | (1 << 1) | 1,  # MPEG-1, Layer III, no CRC
+            (br_idx << 4) | (sr_idx << 2),
+            (mode << 6) | (mode_ext << 4),
+        ]
+    )
+
+    def pack_granule(ix: np.ndarray, gg: int, gr: int, share: bool):
+        """-> (side-info fields dict, main-data bits as _MsbWriter)."""
+        bw = _MsbWriter()
+        bits = 0
+        if not share:
+            if compress:
+                for b in range(21):
+                    slen = _SLEN1[8] if b < 11 else _SLEN2[8]
+                    bw.write(sf_pat[b], slen)
+                    bits += slen
+        nz = np.nonzero(ix)[0]
+        last = int(nz[-1]) + 1 if nz.size else 0
+        last4 = ((last + 3) // 4) * 4
+        if use_count1 and last4 >= 4:
+            # hand the final quad to the count1 region (table B) so
+            # the quad walk is a real decode path, not dead code
+            quad_start = last4 - 4
+            big_values = quad_start // 2
+        else:
+            quad_start = None
+            big_values = (last + 1) // 2
+        for p in range(big_values):
+            a, b_ = int(ix[2 * p]), int(ix[2 * p + 1])
+            hlen, hcod = _TAB1[(abs(a), abs(b_))]
+            bw.write(hcod, hlen)
+            bits += hlen
+            for v in (a, b_):
+                if v:
+                    bw.write(1 if v < 0 else 0, 1)
+                    bits += 1
+        if quad_start is not None:
+            vals = [int(ix[quad_start + i]) for i in range(4)]
+            quad = sum((1 if v else 0) << (3 - i) for i, v in enumerate(vals))
+            hlen, hcod = _COUNT1_B[quad]
+            bw.write(hcod, hlen)
+            bits += hlen
+            for v in vals:
+                if v:
+                    bw.write(1 if v < 0 else 0, 1)
+                    bits += 1
+        return {
+            "part2_3_length": bits,
+            "big_values": big_values,
+            "global_gain": gg,
+            "scalefac_compress": compress if not share else compress,
+        }, bw
+
+    frames = []
+    for f in range(n_gr // 2):
+        gr_fields = []
+        gr_bits = []
+        scfsi_mask = [[0, 0, 0, 0] for _ in range(nch)]
+        for gr in range(2):
+            row_f, row_b = [], []
+            for ch in range(nch):
+                share = bool(use_scfsi and scalefac_pattern and gr == 1)
+                fields, bw = pack_granule(*granules[2 * f + gr][ch], gr, share)
+                if share:
+                    scfsi_mask[ch] = [1, 1, 1, 1]
+                row_f.append(fields)
+                row_b.append(bw)
+            gr_fields.append(row_f)
+            gr_bits.append(row_b)
+        frames.append((gr_fields, gr_bits, scfsi_mask))
+
+    # assemble. Main data streams CONTIGUOUSLY through the frames'
+    # main slots (the bit-reservoir model): frame f's data starts
+    # main_data_begin bytes before f's slot and must end inside f's
+    # slot. Without the reservoir, ancillary stuffing pins every
+    # frame's data to its own slot start (main_data_begin = 0); with
+    # it, stuffing only caps the back-pointer at the spec's 511.
+    side_len = 17 if nch == 1 else 32
+    main_room = flen - 4 - side_len
+    n_out_frames = len(frames)
+    stream = bytearray()
+    side_infos = []
+    for f, (gr_fields, gr_bits, scfsi_mask) in enumerate(frames):
+        main_bw = _MsbWriter()
+        for gr in range(2):
+            for ch in range(nch):
+                fields = gr_fields[gr][ch]
+                raw = gr_bits[gr][ch].getvalue()
+                nbits = fields["part2_3_length"]
+                for i in range(nbits):
+                    main_bw.write((raw[i >> 3] >> (7 - (i & 7))) & 1, 1)
+        main = main_bw.getvalue()
+        slot_start = f * main_room
+        lag_cap = 511 if use_reservoir else 0
+        if slot_start - len(stream) > lag_cap:
+            stream += bytes(slot_start - lag_cap - len(stream))
+        main_data_begin = slot_start - len(stream)
+        assert 0 <= main_data_begin <= 511
+        stream += main
+        if len(stream) > slot_start + main_room:
+            raise ValueError(
+                f"{kbps} kbps: granule data overflows the frame slot "
+                f"({len(stream) - slot_start} > {main_room})"
+            )
+        sw = _MsbWriter()
+        sw.write(main_data_begin, 9)
+        sw.write(0, 5 if nch == 1 else 3)
+        for ch in range(nch):
+            for b in scfsi_mask[ch]:
+                sw.write(b, 1)
+        for gr in range(2):
+            for ch in range(nch):
+                fields = gr_fields[gr][ch]
+                sw.write(fields["part2_3_length"], 12)
+                sw.write(fields["big_values"], 9)
+                sw.write(fields["global_gain"], 8)
+                sw.write(fields["scalefac_compress"], 4)
+                if short_blocks:
+                    sw.write(1, 1)  # window switching
+                    sw.write(2, 2)  # block_type 2
+                    sw.write(0, 1)  # not mixed
+                    sw.write(1, 5)  # table 1 (region 0)
+                    sw.write(1, 5)  # table 1 (region 1)
+                    for w in range(3):
+                        sw.write(subblock_gain[w], 3)
+                else:
+                    sw.write(0, 1)  # no window switching (long blocks)
+                    for _r in range(3):
+                        sw.write(1, 5)  # table 1 everywhere
+                    sw.write(0, 4)  # region0_count
+                    sw.write(0, 3)  # region1_count
+                sw.write(0, 1)  # preflag
+                sw.write(0, 1)  # scalefac_scale (multiplier 0.5)
+                sw.write(1, 1)  # count1 table B
+        side = sw.getvalue()
+        assert len(side) == side_len
+        side_infos.append(side)
+    stream += bytes(n_out_frames * main_room - len(stream))
+    out = bytearray()
+    for f in range(n_out_frames):
+        out += header + side_infos[f]
+        out += stream[f * main_room : (f + 1) * main_room]
+    return bytes(out)

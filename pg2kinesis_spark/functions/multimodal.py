@@ -1345,9 +1345,14 @@ def _decode_lossless_pcm(c: bytes):
 
 def _decode_analysis_pcm(c: bytes):
     """(float samples (n, ch) in ~[-1, 1], rate) for the CONTENT tiers
-    (analysis, landmarks): the lossless front door plus — round 10 —
-    MPEG-1 Layer I/II through the derived-prototype subband synthesis
-    (``audio_analysis.l12_synthesis``). NOT for identity keys:
+    (analysis, landmarks): the lossless front door, MPEG-1 Layer I/II
+    through the derived-prototype subband synthesis
+    (``audio_analysis.l12_synthesis``, round 10), MPEG-1 Layer III
+    through ``mp3_l3.decode_mp3_layer3`` (round 11 — trusted-table
+    streams decode; big-table/LSF streams refuse by name), and the
+    optional PyAV seam (``codecs.fast_audio_decoder``) which can turn
+    the remaining lossy refusals (big-table L3, AAC, Opus, Vorbis)
+    into real decodes when the binding exists. NOT for identity keys:
     pcm_md5 stays lossless-only, because synthesized PCM is
     near-exact, not bit-exact."""
     from . import audio_analysis, codecs
@@ -1358,13 +1363,32 @@ def _decode_analysis_pcm(c: bytes):
         # are bit-identical to the pre-round-10 direct division
         return samples.astype("float64") / float(1 << (bits - 1)), rate
     except NotImplementedError:
-        if not codecs.is_mp3(c):
+        def _seam_or_reraise():
+            fast = codecs.fast_audio_decoder()
+            if fast is not None:
+                try:
+                    return fast(c)
+                except Exception:
+                    pass  # the seam never turns a decode into a refusal
             raise
-        sb, rate = codecs.mp3_l12_subband_samples(c)  # L3/LSF raise
-        pcm = audio_analysis.l12_synthesis(sb)
-        if pcm.ndim == 1:
-            pcm = pcm[:, None]
-        return pcm, rate
+
+        if not codecs.is_mp3(c):
+            return _seam_or_reraise()
+        data = bytes(c)
+        hdr = data[codecs._id3v2_size(data) :][:4]
+        layer = 4 - ((hdr[1] >> 1) & 3) if len(hdr) >= 4 else 0
+        try:
+            if layer == 3:
+                from . import mp3_l3
+
+                return mp3_l3.decode_mp3_layer3(c)
+            sb, rate = codecs.mp3_l12_subband_samples(c)  # LSF raises
+            pcm = audio_analysis.l12_synthesis(sb)
+            if pcm.ndim == 1:
+                pcm = pcm[:, None]
+            return pcm, rate
+        except NotImplementedError:
+            return _seam_or_reraise()
 
 
 def extract_audio_analysis(media: DataFrame, errors: str = "quarantine") -> DataFrame:
@@ -1377,11 +1401,14 @@ def extract_audio_analysis(media: DataFrame, errors: str = "quarantine") -> Data
     Layer I/II: the requantized subband samples run through the
     derived-prototype synthesis filterbank
     (``audio_analysis.l12_synthesis``; near-PR, LUFS error ≲ 0.05 dB,
-    see that module's section comment), so the dominant lossy layers
-    stop refusing the content gates. Layer III / AAC / Opus / Vorbis
-    still refuse rather than report proxy numbers. Bounded per-file
-    Arrow kernel; only the fixed-width feature row leaves the
-    executor."""
+    see that module's section comment), plus — round 11 — MPEG-1
+    Layer III via ``mp3_l3.decode_mp3_layer3`` (trusted-table streams
+    decode fully; big-table/LSF streams refuse by name — see that
+    module's Huffman-registry contract) and the optional PyAV PCM
+    seam (``codecs.fast_audio_decoder``) for the remaining lossy
+    formats. AAC / Opus / Vorbis refuse without the seam rather than
+    report proxy numbers. Bounded per-file Arrow kernel; only the
+    fixed-width feature row leaves the executor."""
     import pandas as pd
 
     from . import audio_analysis

@@ -197,10 +197,16 @@ def test_extract_audio_analysis_matches_pure_function(spark):
         assert row["decode_error"] is None
         for k, v in want.items():
             assert row[k] == pytest.approx(v, rel=1e-12), (mid, k)
-    assert got[2]["lufs"] is None
-    # round 10: Layer I/II synthesize; this Layer III stream carries
-    # the MDCT-tier refusal instead of the old lossless-only text
-    assert "Layer III" in got[2]["decode_error"]
+    # round 11: MPEG-1 Layer III decodes for real — the zeroed-granule
+    # stream is exact digital silence (lufs None: nothing passes the
+    # absolute gate), not a refusal
+    assert got[2]["decode_error"] is None
+    assert got[2]["lufs"] is None and got[2]["silence_ratio"] == 1.0
+    # the refusal pin moves to LSF Layer III (no PCM tier there)
+    lsf = encode_mp3_frames(4, kbps=64, rate=22050, mpeg2=True, layer=3)
+    out = extract_audio_analysis(_media_df(spark, [lsf]))
+    err = out.collect()[0]["decode_error"]
+    assert err is not None and "MPEG-2" in err
 
 
 def test_extract_audio_analysis_raise_mode(spark):
@@ -409,8 +415,7 @@ def test_l1_mp3_subband_samples_round_trip():
 def test_l12_analysis_spark_front_door(spark):
     """extract_audio_analysis: a Layer II MP3 yields real content
     numbers (lufs within 0.3 dB of its WAV twin through Spark); a
-    Layer III header stream still quarantines with the honest
-    refusal."""
+    zeroed-granule Layer III stream decodes as silence (round 11)."""
     from pg2kinesis_spark.functions.codecs import encode_mp3_frames, encode_wav
     from pg2kinesis_spark.functions.multimodal import (
         MEDIA_SCHEMA,
@@ -433,7 +438,9 @@ def test_l12_analysis_spark_front_door(spark):
     assert got[0]["decode_error"] is None
     assert got[1]["decode_error"] is None
     assert got[1]["lufs"] == pytest.approx(got[0]["lufs"], abs=0.3)
-    assert got[2]["lufs"] is None and "Layer III" in got[2]["decode_error"]
+    # round 11: the zeroed-granule Layer III stream decodes (silence)
+    assert got[2]["decode_error"] is None
+    assert got[2]["lufs"] is None and got[2]["silence_ratio"] == 1.0
 
 
 def test_landmarks_match_through_l2_transcode(spark):

@@ -91,25 +91,27 @@ def test_curate_media_audio(spark):
 
 
 def test_curate_media_lossy_content_gate_rejects_not_passes(spark):
-    """An MP3 passes the header gates but has no decoded PCM for a
-    content gate — requesting min_lufs must REJECT it (with the
-    analysis kernel's refusal text), never silently keep it."""
+    """A content gate the corpus can't evaluate REJECTS, never
+    silently keeps. Round 11: MPEG-1 Layer III decodes for real (the
+    zeroed-granule stream is silence, so it faces the lufs gate as a
+    true gate fate); MPEG-2 (LSF) Layer III still has no PCM tier and
+    must carry the honest refusal."""
     mp3 = C.encode_mp3_frames(n_frames=40, kbps=128, rate=44100)
-    rows = [(0, C.encode_wav(_tone(), 8000)), (1, mp3)]
+    lsf = C.encode_mp3_frames(n_frames=40, kbps=64, rate=22050,
+                              mpeg2=True, layer=3)
+    rows = [(0, C.encode_wav(_tone(), 8000)), (1, mp3), (2, lsf)]
     clean, rejected = curate_media(
         _media_df(spark, rows), kind="audio", min_lufs=-40.0, max_hamming=None
     )
     assert [r["media_id"] for r in clean.collect()] == [0]
     reasons = {r["media_id"]: r["reason"] for r in rejected.collect()}
-    # round 10: Layer I/II would synthesize PCM and face the gate for
-    # real; this LAYER III stream still has no PCM tier and must carry
-    # the honest MDCT refusal
-    assert "Layer III" in reasons[1]
-    # without content gates the same MP3 sails through on header truth
+    assert reasons[1] == "gate:min_lufs"  # silence: nothing to gate on
+    assert "MPEG-2" in reasons[2]
+    # without content gates all three sail through on header truth
     clean2, rejected2 = curate_media(
         _media_df(spark, rows), kind="audio", max_hamming=None
     )
-    assert sorted(r["media_id"] for r in clean2.collect()) == [0, 1]
+    assert sorted(r["media_id"] for r in clean2.collect()) == [0, 1, 2]
     assert rejected2.count() == 0
 
 

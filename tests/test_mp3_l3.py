@@ -1,0 +1,361 @@
+"""MPEG-1 Layer III: structural identities (sfb coverage, Kraft/
+prefix-complete trusted tables, TDAC exactness of the derived
+windows), full encode/decode round trips through every implemented
+stage (scalefactors, scfsi, MS stereo, count1 quads, bit reservoir),
+tolerance oracles vs the WAV twin for the content measures, and the
+named refusals for everything the Huffman registry does not trust
+(the house transcription rule — see mp3_l3's module docstring)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pg2kinesis_spark.functions import audio_analysis as aa
+from pg2kinesis_spark.functions import mp3_l3 as L3
+from pg2kinesis_spark.functions.codecs import encode_mp3_frames, encode_wav
+
+RATE = 44100
+
+
+def sine(freq=440.0, seconds=2.0, amp=0.5, rate=RATE):
+    t = np.arange(int(seconds * rate))
+    return amp * np.sin(2 * np.pi * freq * t / rate)
+
+
+def melody(seed, seconds=2.0, rate=RATE, amp=0.5):
+    rng = np.random.default_rng(seed)
+    seg = int(0.25 * rate)
+    notes = rng.integers(300, 3200, int(seconds / 0.25))
+    t = np.arange(seg)
+    return np.concatenate([amp * np.sin(2 * np.pi * f * t / rate) for f in notes])
+
+
+def _rms_db(x):
+    return 20 * np.log10(np.sqrt((np.asarray(x, dtype=float) ** 2).mean()))
+
+
+# --- structural identities ----------------------------------------------------
+
+
+def test_sfb_tables_tile_the_spectrum():
+    for rate, w in L3._SFB_LONG.items():
+        assert len(w) == 22 and sum(w) == 576, rate
+    for rate, w in L3._SFB_SHORT.items():
+        assert len(w) == 13 and sum(w) == 192, rate
+
+
+def test_trusted_tables_are_prefix_complete():
+    # re-run the import-time checks explicitly (they must keep holding
+    # for any table swapped in through the B.7 seam)
+    L3._check_prefix_complete(L3._TAB1, "table 1")
+    L3._check_prefix_complete(L3._COUNT1_B, "count1 B")
+    with pytest.raises(AssertionError, match="Kraft"):
+        L3._check_prefix_complete({(0, 0): (2, 0)}, "undersubscribed")
+    with pytest.raises(AssertionError, match="prefix|Kraft"):
+        L3._check_prefix_complete(
+            {(0, 0): (1, 1), (0, 1): (2, 3), (1, 0): (2, 2)}, "clash"
+        )
+
+
+def test_mdct_imdct_tdac_is_exact():
+    """The derived sine window + 4/N MDCT is the exact inverse of the
+    decode IMDCT + overlap-add, to machine epsilon (Princen-Bradley)."""
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=18 * 12)
+    w = L3._WINDOWS[0]
+    rec, overlap, tail = [], np.zeros(18), np.zeros(18)
+    for g in range(12):
+        cur = x[g * 18 : (g + 1) * 18]
+        x36 = np.concatenate([tail, cur])
+        tail = cur
+        z = (L3._C36 @ L3._mdct_forward(x36, w)) * w
+        rec.append(z[:18] + overlap)
+        overlap = z[18:]
+    rec = np.concatenate(rec)
+    assert np.abs(rec[18:] - x[:-18]).max() < 1e-12
+
+
+def test_window_shapes_are_the_spec_piecewise_forms():
+    w_start, w_stop, w_long = L3._WINDOWS[1], L3._WINDOWS[3], L3._WINDOWS[0]
+    assert np.allclose(w_start[:18], w_long[:18])
+    assert (w_start[18:24] == 1.0).all() and (w_start[30:] == 0.0).all()
+    assert np.allclose(w_stop, w_start[::-1])
+    # sine windows satisfy w[n]^2 + w[n+18]^2 == 1 (the OLA condition)
+    assert np.allclose(w_long[:18] ** 2 + w_long[18:] ** 2, 1.0)
+
+
+def test_alias_butterflies_invert_exactly():
+    rng = np.random.default_rng(2)
+    x = rng.normal(size=576)
+    g = {"block_type": 0, "mixed": 0}
+    assert np.allclose(
+        L3._alias_reduce(L3._alias_reduce(x, g, inverse=True), g), x
+    )
+
+
+# --- round trips ----------------------------------------------------------------
+
+
+def test_mono_round_trip_tracks_the_wav_twin():
+    pcm = sine(amp=0.5)
+    dec, rate = L3.decode_mp3_layer3(L3.encode_mp3_layer3(pcm, RATE))
+    assert rate == RATE
+    mid = slice(2304, len(pcm) - 2304)
+    err_db = _rms_db(dec[mid, 0]) - _rms_db(pcm[mid])
+    # global_gain steps are 1.5 dB -> worst-case rounding 0.75 dB
+    assert abs(err_db) < 1.0
+    # waveform, not just energy: strong correlation at the best lag
+    d = dec[:, 0]
+    lags = range(0, 2200)
+    best = max(lags, key=lambda l: float(np.dot(d[l : l + 4000], pcm[:4000])))
+    assert np.corrcoef(d[best : best + 4000], pcm[:4000])[0, 1] > 0.97
+
+
+def test_amplitude_linearity_and_silence():
+    pcm = sine(amp=0.4)
+    half = sine(amp=0.2)
+    mid = slice(2304, len(pcm) - 2304)
+    a = L3.decode_mp3_layer3(L3.encode_mp3_layer3(pcm, RATE))[0][mid, 0]
+    b = L3.decode_mp3_layer3(L3.encode_mp3_layer3(half, RATE))[0][mid, 0]
+    assert abs((_rms_db(b) - _rms_db(a)) + 6.02) < 1.6  # two 0.75 dB grids
+    # digital silence stays exactly silent
+    z = L3.decode_mp3_layer3(L3.encode_mp3_layer3(np.zeros(4 * 1152), RATE))
+    assert np.abs(z[0]).max() == 0.0
+
+
+def test_stereo_and_ms_round_trip():
+    l = melody(5)
+    r = 0.4 * melody(6)
+    st = np.stack([l, r], axis=1)
+    mid = slice(2304, len(l) - 2304)
+    for kw in ({}, {"ms": True}):
+        dec, _ = L3.decode_mp3_layer3(L3.encode_mp3_layer3(st, RATE, **kw))
+        for ch, ref in ((0, l), (1, r)):
+            err = _rms_db(dec[mid, ch]) - _rms_db(ref[mid])
+            assert abs(err) < 1.6, (kw, ch)
+
+
+def test_scalefactors_scfsi_and_reservoir_paths():
+    pcm = melody(7)
+    mid = slice(2304, len(pcm) - 2304)
+    base = L3.decode_mp3_layer3(L3.encode_mp3_layer3(pcm, RATE))[0]
+    # nonzero scalefactors change the bitstream but the decoder undoes
+    # them: same signal within the per-band quantization grids
+    for kw in (
+        {"scalefac_pattern": 1},
+        {"scalefac_pattern": 1, "use_scfsi": True},
+        {"use_reservoir": True},
+        {"use_count1": False},
+    ):
+        blob = L3.encode_mp3_layer3(pcm, RATE, **kw)
+        dec = L3.decode_mp3_layer3(blob)[0]
+        err = _rms_db(dec[mid, 0]) - _rms_db(base[mid, 0])
+        assert abs(err) < 0.6, kw
+    # the reservoir stream really uses back-pointers
+    blob = L3.encode_mp3_layer3(pcm, RATE, use_reservoir=True)
+    mdbs = []
+    pos = 0
+    while pos + 4 <= len(blob) and blob[pos] == 0xFF:
+        from pg2kinesis_spark.functions.codecs import _MP3_BITRATES
+
+        flen = 144 * _MP3_BITRATES[(1, 3)][blob[pos + 2] >> 4] * 1000 // RATE
+        side = blob[pos + 4 :]
+        mdbs.append((side[0] << 1) | (side[1] >> 7))
+        pos += flen
+    assert max(mdbs) > 0
+    # and decodes identically to the slot-aligned packing of the SAME
+    # granule bits
+    plain = L3.encode_mp3_layer3(pcm, RATE, use_reservoir=False)
+    assert np.array_equal(
+        L3.decode_mp3_layer3(blob)[0], L3.decode_mp3_layer3(plain)[0]
+    )
+
+
+def test_short_blocks_round_trip():
+    """block_type 2: three 12-point MDCTs per subband, the sfb-major
+    wire order undone by the decoder's reorder, subblock gains undone
+    by the requantizer. Uniform subblock gains must cancel EXACTLY
+    (same quantization grid) — a decoder ignoring them would come out
+    12 dB hot."""
+    pcm = sine(700.0, amp=0.4)
+    mid = slice(2304, len(pcm) - 2304)
+    dec, _ = L3.decode_mp3_layer3(
+        L3.encode_mp3_layer3(pcm, RATE, short_blocks=True)
+    )
+    assert abs(_rms_db(dec[mid, 0]) - _rms_db(pcm[mid])) < 1.0
+    side = L3._parse_side_info(
+        L3.encode_mp3_layer3(pcm, RATE, short_blocks=True)[4:21], 1
+    )
+    assert side["granules"][0][0]["block_type"] == 2
+    a = L3.decode_mp3_layer3(
+        L3.encode_mp3_layer3(pcm, RATE, short_blocks=True)
+    )[0]
+    b = L3.decode_mp3_layer3(
+        L3.encode_mp3_layer3(
+            pcm, RATE, short_blocks=True, subblock_gain=(1, 1, 1)
+        )
+    )[0]
+    assert np.array_equal(a, b)
+    side = L3._parse_side_info(
+        L3.encode_mp3_layer3(
+            pcm, RATE, short_blocks=True, subblock_gain=(0, 1, 2)
+        )[4:21],
+        1,
+    )
+    assert side["granules"][0][0]["subblock_gain"] == [0, 1, 2]
+    with pytest.raises(ValueError, match="short_blocks"):
+        L3.encode_mp3_layer3(pcm, RATE, short_blocks=True, scalefac_pattern=1)
+
+
+def test_zeroed_granules_decode_as_silence():
+    """encode_mp3_frames' all-zero Layer III bodies are VALID frames
+    (part2_3_length 0): they decode to exact digital silence — the
+    construction behind the n28 truth-row flip."""
+    z = encode_mp3_frames(20, kbps=128, rate=44100, layer=3)
+    dec, rate = L3.decode_mp3_layer3(z)
+    assert rate == 44100 and dec.shape == (20 * 1152, 2)
+    assert np.abs(dec).max() == 0.0
+
+
+# --- refusals (the Huffman-registry contract) -----------------------------------
+
+
+def _flip_side_bits(blob: bytes, bitpos: int, value: int, width: int) -> bytes:
+    out = bytearray(blob)
+    for i in range(width):
+        byte, bit = bitpos >> 3, 7 - (bitpos & 7)
+        want = (value >> (width - 1 - i)) & 1
+        out[byte] = (out[byte] & ~(1 << bit)) | (want << bit)
+        bitpos += 1
+    return bytes(out)
+
+
+def test_untrusted_tables_refuse_by_name():
+    blob = L3.encode_mp3_layer3(sine(), RATE)
+    # mono side info: granule 0's first table_select begins at bit
+    # 9 + 5 + 4 + (12 + 9 + 8 + 4 + 1) = 52 past the 4-byte header
+    bad = _flip_side_bits(blob, 4 * 8 + 52, 7, 5)
+    with pytest.raises(NotImplementedError, match="table 7"):
+        L3.decode_mp3_layer3(bad)
+    bad = _flip_side_bits(blob, 4 * 8 + 52, 24, 5)
+    with pytest.raises(NotImplementedError, match="table 24"):
+        L3.decode_mp3_layer3(bad)
+    # count1 table A (select bit 0) refuses while quads remain
+    bad = _flip_side_bits(blob, 4 * 8 + 18 + 59 - 1, 0, 1)
+    with pytest.raises(NotImplementedError, match="count1 table A"):
+        L3.decode_mp3_layer3(bad)
+
+
+def test_structural_refusals_and_desync_guard():
+    with pytest.raises(NotImplementedError, match="MPEG-2"):
+        L3.decode_mp3_layer3(
+            encode_mp3_frames(5, kbps=64, rate=22050, mpeg2=True, layer=3)
+        )
+    blob = L3.encode_mp3_layer3(np.stack([sine(), sine()], 1), RATE, ms=True)
+    # flip mode_ext to intensity (01): byte 3 bits 4-5
+    bad = bytearray(blob)
+    pos = 0
+    from pg2kinesis_spark.functions.codecs import _MP3_BITRATES
+
+    while pos + 4 <= len(bad) and bad[pos] == 0xFF:
+        bad[pos + 3] = (bad[pos + 3] & 0x0F) | (1 << 6) | (1 << 4)
+        pos += 144 * _MP3_BITRATES[(1, 3)][bad[pos + 2] >> 4] * 1000 // RATE
+    with pytest.raises(NotImplementedError, match="intensity"):
+        L3.decode_mp3_layer3(bytes(bad))
+    # shrinking part2_3_length by a few bits lands in the count1
+    # region, where the spec's overshoot rule DROPS the final quad —
+    # that must decode (real encoders rely on it), not raise
+    blob = L3.encode_mp3_layer3(sine(), RATE)
+    side = L3._parse_side_info(blob[4:21], 1)
+    p23 = side["granules"][0][0]["part2_3_length"]
+    ok = _flip_side_bits(blob, 4 * 8 + 18, p23 - 4, 12)
+    L3.decode_mp3_layer3(ok)
+    # halving it strands the big-values walk past its budget: the
+    # desync guard must fire, never silent garbage
+    bad = _flip_side_bits(blob, 4 * 8 + 18, p23 // 2, 12)
+    with pytest.raises(ValueError, match="desync|truncated|Huffman"):
+        L3.decode_mp3_layer3(bad)
+    with pytest.raises(ValueError, match="no Layer III"):
+        L3.decode_mp3_layer3(b"\x00" * 40)
+
+
+# --- the content front door (spark) ---------------------------------------------
+
+
+def test_l3_through_the_content_gates(spark):
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_analysis,
+    )
+
+    tone = sine(amp=0.4, seconds=2.0)
+    quiet = sine(amp=0.004, seconds=2.0)
+    as_i16 = lambda x: np.round(x * 32767).astype(np.int16).reshape(-1, 1)
+    rows = [
+        (0, encode_wav(as_i16(tone), RATE)),        # the WAV twin
+        (1, L3.encode_mp3_layer3(tone, RATE)),      # real L3 decode
+        (2, L3.encode_mp3_layer3(quiet, RATE)),     # quiet: below -30
+        (3, encode_mp3_frames(80, kbps=64, rate=22050, mpeg2=True, layer=3)),
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(c), ("a/x", len(c), f"m{i}")) for i, c in rows],
+        MEDIA_SCHEMA,
+    )
+    got = {
+        r["media_id"]: r
+        for r in extract_audio_analysis(media).collect()
+    }
+    assert got[3]["decode_error"] is not None  # LSF keeps refusing
+    assert got[1]["decode_error"] is None
+    assert abs(got[1]["lufs"] - got[0]["lufs"]) < 1.0  # vs the WAV twin
+    assert got[1]["silence_ratio"] == got[0]["silence_ratio"] == 0.0
+    assert got[2]["lufs"] < -45.0
+
+
+def test_l3_transcode_landmark_matches_the_wav(spark):
+    """An L3 transcode of a melody pairs with its WAV (small negative
+    dt: codec latency) in audio_landmark_match — Layer III joins the
+    shared content front door (the Layer I/II precedent, round 10)."""
+    from pg2kinesis_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        audio_landmark_match,
+    )
+
+    rate = 8000
+    base = melody(11, seconds=3.0, rate=rate)
+    as_i16 = lambda x: np.round(x * 32767).astype(np.int16).reshape(-1, 1)
+    rows = [
+        (0, encode_wav(as_i16(base), rate)),
+        (1, L3.encode_mp3_layer3(base, 32000)),  # nearest MPEG-1 rate
+        (2, encode_wav(as_i16(melody(12, seconds=3.0, rate=rate)), rate)),
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(c), ("a/x", len(c), f"m{i}")) for i, c in rows],
+        MEDIA_SCHEMA,
+    )
+    got = {
+        (r["media_id1"], r["media_id2"]): r["dt_frames"]
+        for r in audio_landmark_match(media, min_votes=8).collect()
+    }
+    assert not any(2 in p for p in got)
+    # the transcode pair exists; rates differ (8 k vs 32 k) so the
+    # constellation geometry differs — pairing is only required when
+    # the rates match, so re-check at the same rate
+    base32 = melody(11, seconds=3.0, rate=32000)
+    rows = [
+        (0, encode_wav(as_i16(base32), 32000)),
+        (1, L3.encode_mp3_layer3(base32, 32000)),
+    ]
+    media = spark.createDataFrame(
+        [(i, bytearray(c), ("a/x", len(c), f"m{i}")) for i, c in rows],
+        MEDIA_SCHEMA,
+    )
+    got = {
+        (r["media_id1"], r["media_id2"]): r["dt_frames"]
+        for r in audio_landmark_match(media, min_votes=8).collect()
+    }
+    # the codec pipeline delays the decoded events by ~2 hop-frames
+    # (576-sample MDCT granule + polyphase latency), so the consensus
+    # offset is small and NEGATIVE (wav events earlier), never zero
+    assert (0, 1) in got and -4 <= got[(0, 1)] <= 0
