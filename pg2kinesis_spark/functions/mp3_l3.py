@@ -658,6 +658,8 @@ def encode_mp3_layer3(
     use_count1: bool = True,
     short_blocks: bool = False,
     subblock_gain: tuple[int, int, int] = (0, 0, 0),
+    block_pattern: tuple[int, ...] | None = None,
+    mixed: bool = False,
 ) -> bytes:
     """Fixture twin: REAL MPEG-1 Layer III frames from PCM, restricted
     to the trusted Huffman tables (1 + count1 B) — ternary spectra
@@ -670,7 +672,12 @@ def encode_mp3_layer3(
     ``short_blocks`` emits every granule as block_type 2 (window
     switching, three 12-point MDCTs per subband, the spectrum written
     sfb-major so the decoder's reorder is a real inverse), with
-    ``subblock_gain`` per-window attenuations the requantizer undoes.
+    ``subblock_gain`` per-window attenuations the requantizer undoes;
+    ``mixed`` makes those granules mixed blocks (subbands 0-1 keep the
+    long window and the first alias boundary, 2-31 go short);
+    ``block_pattern`` cycles granule block types through an explicit
+    sequence — (0, 1, 2, 3) exercises the start/stop windows and every
+    window transition the TDAC design allows.
 
     ``pcm``: float array (n,) or (n, ch<=2) in [-1, 1]."""
     from pg2kinesis_spark.functions import audio_analysis
@@ -683,8 +690,15 @@ def encode_mp3_layer3(
         raise ValueError("mono or stereo only")
     if ms and nch != 2:
         raise ValueError("ms needs stereo input")
-    if short_blocks and (scalefac_pattern or use_scfsi):
-        raise ValueError("short_blocks fixture excludes scalefactor options")
+    if (short_blocks or block_pattern) and (scalefac_pattern or use_scfsi):
+        raise ValueError("block-type fixtures exclude scalefactor options")
+    if block_pattern is not None:
+        if short_blocks or mixed:
+            raise ValueError("block_pattern is exclusive of short_blocks/mixed")
+        if not block_pattern or any(b not in (0, 1, 2, 3) for b in block_pattern):
+            raise ValueError("block_pattern entries must be 0/1/2/3")
+    if mixed and not short_blocks:
+        raise ValueError("mixed needs short_blocks")
     sr_idx = _MP3_RATES[3].index(rate)
     br_idx = _MP3_BITRATES[(1, 3)].index(kbps)
     flen = 144 * kbps * 1000 // rate
@@ -721,25 +735,41 @@ def encode_mp3_layer3(
         cur = sb[gi * 18 : (gi + 1) * 18]
         x36 = np.concatenate([prev_tail, cur], axis=0)  # (36, 32, ch)
         prev_tail = cur
+        if block_pattern is not None:
+            bt = block_pattern[gi % len(block_pattern)]
+        else:
+            bt = 2 if short_blocks else 0
+        is_mixed = 1 if (mixed and bt == 2) else 0
         for ch in range(nch):
             lines = np.empty(576)
-            if short_blocks:
+            if bt == 2:
                 # three 12-point MDCTs per subband, laid out post-
-                # reorder (s*18 + 3k + w), window gains pre-compensated
-                for s in range(32):
+                # reorder (s*18 + 3k + w); mixed keeps subbands 0-1 on
+                # the normal long window
+                first_sb = 2 if is_mixed else 0
+                for s in range(first_sb):
+                    lines[s * 18 : (s + 1) * 18] = _mdct_forward(
+                        x36[:, s, ch], long_w
+                    )
+                for s in range(first_sb, 32):
                     for w in range(3):
                         seg = x36[6 + 6 * w : 18 + 6 * w, s, ch]
                         lines[s * 18 + w : (s + 1) * 18 : 3] = (
                             (4.0 / 12.0) * (_C12.T @ (seg * _WSHORT))
                         )
+                g_stub = {"block_type": 2, "mixed": is_mixed}
+                lines = _alias_reduce(lines, g_stub, inverse=True)
                 # map back to the sfb-major wire layout (the exact
                 # inverse of _reorder_short) and undo the subblock
                 # attenuation the decoder will apply per window
-                pre = np.empty(576)
+                pre = lines.copy()
                 short_bounds = _bounds(_SFB_SHORT[rate])
-                for b in range(13):
+                first_b = 3 if is_mixed else 0
+                for b in range(first_b, 13):
                     wd = short_bounds[b + 1] - short_bounds[b]
-                    base = short_bounds[b] * 3
+                    base = short_bounds[b] * 3 if not is_mixed else (
+                        36 + (short_bounds[b] - short_bounds[first_b]) * 3
+                    )
                     for w in range(3):
                         for p in range(wd):
                             pre[base + w * wd + p] = lines[
@@ -749,9 +779,9 @@ def encode_mp3_layer3(
             else:
                 for s in range(32):
                     lines[s * 18 : (s + 1) * 18] = _mdct_forward(
-                        x36[:, s, ch], long_w
+                        x36[:, s, ch], _WINDOWS[bt]
                     )
-                g_stub = {"block_type": 0, "mixed": 0}
+                g_stub = {"block_type": bt, "mixed": 0}
                 lines = _alias_reduce(lines, g_stub, inverse=True)
                 # undo the scalefactor attenuation the decoder applies
                 if scalefac_pattern:
@@ -761,11 +791,11 @@ def encode_mp3_layer3(
                             0.5 * sf_pat[b]
                         )
             ix, gg = _quantize_granule(lines)
-            row.append((ix, gg))
+            row.append((ix, gg, bt, is_mixed))
         granules.append(row)
     if n_gr % 2:
         granules.append(
-            [(np.zeros(576), 210) for _ in range(nch)]
+            [(np.zeros(576), 210, 0, 0) for _ in range(nch)]
         )
         n_gr += 1
 
@@ -780,7 +810,8 @@ def encode_mp3_layer3(
         ]
     )
 
-    def pack_granule(ix: np.ndarray, gg: int, gr: int, share: bool):
+    def pack_granule(ix: np.ndarray, gg: int, bt: int, is_mixed: int,
+                     gr: int, share: bool):
         """-> (side-info fields dict, main-data bits as _MsbWriter)."""
         bw = _MsbWriter()
         bits = 0
@@ -825,6 +856,8 @@ def encode_mp3_layer3(
             "big_values": big_values,
             "global_gain": gg,
             "scalefac_compress": compress if not share else compress,
+            "block_type": bt,
+            "mixed": is_mixed,
         }, bw
 
     frames = []
@@ -891,10 +924,10 @@ def encode_mp3_layer3(
                 sw.write(fields["big_values"], 9)
                 sw.write(fields["global_gain"], 8)
                 sw.write(fields["scalefac_compress"], 4)
-                if short_blocks:
+                if fields["block_type"] != 0:
                     sw.write(1, 1)  # window switching
-                    sw.write(2, 2)  # block_type 2
-                    sw.write(0, 1)  # not mixed
+                    sw.write(fields["block_type"], 2)
+                    sw.write(fields["mixed"], 1)
                     sw.write(1, 5)  # table 1 (region 0)
                     sw.write(1, 5)  # table 1 (region 1)
                     for w in range(3):

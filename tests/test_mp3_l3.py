@@ -204,8 +204,43 @@ def test_short_blocks_round_trip():
         1,
     )
     assert side["granules"][0][0]["subblock_gain"] == [0, 1, 2]
-    with pytest.raises(ValueError, match="short_blocks"):
+    with pytest.raises(ValueError, match="scalefactor options"):
         L3.encode_mp3_layer3(pcm, RATE, short_blocks=True, scalefac_pattern=1)
+
+
+def test_block_type_transitions_and_mixed_blocks():
+    """All FOUR block types round-trip, including the start/stop
+    windows and every transition the TDAC window design allows
+    (0->1->2->3->0), and mixed blocks (subbands 0-1 long, 2-31 short
+    with the single alias boundary and the offset reorder base)."""
+    t = np.arange(1152 * 8)
+    pcm = 0.4 * np.sin(2 * np.pi * 700 * t / RATE)
+    mid = slice(2304, len(pcm) - 2304)
+    for kw in (
+        {"block_pattern": (0, 1, 2, 3)},
+        {"block_pattern": (1, 2, 3)},
+        {"short_blocks": True, "mixed": True},
+    ):
+        dec, _ = L3.decode_mp3_layer3(L3.encode_mp3_layer3(pcm, RATE, **kw))
+        assert abs(_rms_db(dec[mid, 0]) - _rms_db(pcm[mid])) < 1.2, kw
+        d = dec[:, 0]
+        best = max(
+            range(0, 2200),
+            key=lambda l: float(np.dot(d[l : l + 6000], pcm[:6000])),
+        )
+        assert np.corrcoef(d[best : best + 6000], pcm[:6000])[0, 1] > 0.9, kw
+    side = L3._parse_side_info(
+        L3.encode_mp3_layer3(pcm, RATE, block_pattern=(0, 1, 2, 3))[4:21], 1
+    )
+    assert [side["granules"][g][0]["block_type"] for g in range(2)] == [0, 1]
+    side = L3._parse_side_info(
+        L3.encode_mp3_layer3(pcm, RATE, short_blocks=True, mixed=True)[4:21], 1
+    )
+    assert side["granules"][0][0]["mixed"] == 1
+    with pytest.raises(ValueError, match="block_pattern"):
+        L3.encode_mp3_layer3(pcm, RATE, block_pattern=(5,))
+    with pytest.raises(ValueError, match="mixed"):
+        L3.encode_mp3_layer3(pcm, RATE, mixed=True)
 
 
 def test_zeroed_granules_decode_as_silence():
