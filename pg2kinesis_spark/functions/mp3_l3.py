@@ -6,7 +6,8 @@ side information (both mono/stereo layouts), the bit reservoir
 (main_data_begin back-pointers across frames), scalefactor decode
 (slen pairs, scfsi sharing, long/short/mixed layouts), requantization
 (ix^(4/3), global_gain, scalefac_scale, preflag/pretab, subblock
-gains), MS stereo, alias-reduction butterflies, the hybrid filterbank
+gains), MS and long-block intensity stereo, alias-reduction
+butterflies, the hybrid filterbank
 (18-point IMDCT with DERIVED sine windows for all four block types,
 TDAC overlap-add, frequency inversion), and the final 32-band
 polyphase synthesis (reusing ``audio_analysis.l12_synthesis`` — the
@@ -32,10 +33,12 @@ documented upgrade seam (each table slots into ``_HUFF_TABLES`` /
 What this buys today: ``encode_mp3_layer3`` (the fixture twin) emits
 FULLY CONFORMANT streams restricted to the trusted tables — ternary
 spectra with per-granule global_gain amplitude control (1.5 dB
-steps), optional scalefactors/scfsi, optional MS stereo, optional
-bit-reservoir packing — so round trips exercise every decode stage
-above with real bitstreams, and the content gates (LUFS / silence)
-accept Layer III fixtures instead of refusing. A granule whose bit
+steps), optional scalefactors/scfsi, optional MS or intensity joint
+stereo (is_pos panning per §2.4.3.4.9.3 — a pure formula), optional
+bit-reservoir packing, and every block type incl. mixed and the
+start/stop transition windows — so round trips exercise every decode
+stage above with real bitstreams, and the content gates (LUFS /
+silence) accept Layer III fixtures instead of refusing. A granule whose bit
 walk does not land exactly on part2_3_length raises (the structural
 self-check a desynced table would trip).
 
@@ -342,7 +345,51 @@ def _decode_spectrum(br: _BitReader, g: dict, rate: int, end_bit: int
         for v in vals:
             ix[pos] = v
             pos += 1
-    return ix
+    return ix, pos
+
+
+# --- stereo ------------------------------------------------------------------
+
+
+def _intensity_stereo(xs: list[np.ndarray], extent_r: int, sf_r: dict,
+                      g_r: dict, rate: int, use_ms: bool) -> list[np.ndarray]:
+    """MPEG-1 Layer III joint stereo for LONG blocks: scalefactor bands
+    whose start sits at or above the right channel's decoded extent are
+    intensity-coded — the left channel carries the summed signal and
+    the right channel's 'scalefactor' for the band is is_pos, with
+    L = xr·r/(1+r), R = xr/(1+r), r = tan(is_pos·π/12) (is_pos 6 =
+    fully left, is_pos 7 = intensity off for the band). Bands below the
+    border get MS when mode_ext has the MS bit too. Pure formula — no
+    tables (the §2.4.3.4.9.3 construction)."""
+    if g_r["block_type"] == 2:
+        raise NotImplementedError(
+            "Layer III intensity stereo with short/mixed blocks is not "
+            "implemented (per-window border corner)"
+        )
+    left, right = xs
+    out_l, out_r = left.copy(), right.copy()
+    bounds = _bounds(_SFB_LONG[rate])
+    for b in range(22):
+        lo, hi = bounds[b], bounds[b + 1]
+        if lo >= extent_r:
+            # the residual band (21) extends the last scalefactor
+            # band's position, the common-decoder rule
+            is_pos = sf_r["long"][min(b, 20)]
+            if is_pos == 7:
+                continue  # intensity off: channels stay as decoded
+            seg = left[lo:hi]
+            if is_pos == 6:
+                out_l[lo:hi] = seg
+                out_r[lo:hi] = 0.0
+            else:
+                r = float(np.tan(is_pos * np.pi / 12.0))
+                out_l[lo:hi] = seg * (r / (1.0 + r))
+                out_r[lo:hi] = seg * (1.0 / (1.0 + r))
+        elif use_ms:
+            m, s = left[lo:hi], right[lo:hi]
+            out_l[lo:hi] = (m + s) / np.sqrt(2.0)
+            out_r[lo:hi] = (m - s) / np.sqrt(2.0)
+    return [out_l, out_r]
 
 
 # --- requantization --------------------------------------------------------------
@@ -500,9 +547,10 @@ def _imdct_granule(x: np.ndarray, g: dict, overlap: np.ndarray) -> np.ndarray:
 def decode_mp3_layer3(data: bytes):
     """MPEG-1 Layer III stream -> (PCM float (n, ch) in ~[-1, 1],
     rate). NotImplementedError: untranscribed Huffman tables (by
-    number), count1 table A, intensity stereo, MPEG-2/2.5 (LSF).
-    ValueError: structural damage (truncation, bit-walk desync,
-    forbidden field values)."""
+    number), count1 table A, intensity stereo on short/mixed blocks
+    (the per-window border corner; long-block intensity decodes),
+    MPEG-2/2.5 (LSF). ValueError: structural damage (truncation,
+    bit-walk desync, forbidden field values)."""
     from pg2kinesis_spark.functions import audio_analysis
 
     data = bytes(data)
@@ -539,10 +587,6 @@ def decode_mp3_layer3(data: bytes):
             break
         mode = (b3 >> 6) & 3
         mode_ext = (b3 >> 4) & 3
-        if mode == 1 and (mode_ext & 1):
-            raise NotImplementedError(
-                "Layer III intensity stereo is not implemented"
-            )
         nch = 1 if mode == 3 else 2
         body = data[pos + 4 : pos + flen]
         if not (b1 & 1):  # CRC present
@@ -571,6 +615,8 @@ def decode_mp3_layer3(data: bytes):
         ms = mode == 1 and (mode_ext & 2)
         for gr in range(2):
             xs = []
+            extents = []
+            sfs = []
             for ch in range(nch):
                 g = si["granules"][gr][ch]
                 begin = br.pos
@@ -579,7 +625,7 @@ def decode_mp3_layer3(data: bytes):
                 if gr == 0:
                     prev_sf[ch] = sf
                 end_bit = begin + g["part2_3_length"]
-                ix = _decode_spectrum(br, g, rate, end_bit)
+                ix, extent = _decode_spectrum(br, g, rate, end_bit)
                 if br.pos > end_bit:
                     raise ValueError(
                         "Layer III granule bit-walk desync "
@@ -590,7 +636,14 @@ def decode_mp3_layer3(data: bytes):
                 xr = _requantize(ix, g, sf, rate)
                 xr = _reorder_short(xr, g, rate)
                 xs.append(xr)
-            if ms:
+                extents.append(extent)
+                sfs.append(sf)
+            if mode == 1 and (mode_ext & 1):
+                xs = _intensity_stereo(
+                    xs, extents[1], sfs[1], si["granules"][gr][1], rate,
+                    use_ms=bool(mode_ext & 2),
+                )
+            elif ms:
                 m, s = xs
                 xs = [(m + s) / np.sqrt(2.0), (m - s) / np.sqrt(2.0)]
             sb_t = np.empty((18, 32, nch))
@@ -660,6 +713,7 @@ def encode_mp3_layer3(
     subblock_gain: tuple[int, int, int] = (0, 0, 0),
     block_pattern: tuple[int, ...] | None = None,
     mixed: bool = False,
+    intensity: int | None = None,
 ) -> bytes:
     """Fixture twin: REAL MPEG-1 Layer III frames from PCM, restricted
     to the trusted Huffman tables (1 + count1 B) — ternary spectra
@@ -699,6 +753,14 @@ def encode_mp3_layer3(
             raise ValueError("block_pattern entries must be 0/1/2/3")
     if mixed and not short_blocks:
         raise ValueError("mixed needs short_blocks")
+    if intensity is not None:
+        if nch != 2 or ms or short_blocks or block_pattern or \
+                scalefac_pattern or use_scfsi:
+            raise ValueError(
+                "intensity fixture needs plain stereo long blocks"
+            )
+        if not 2 <= intensity <= 20:
+            raise ValueError("intensity border band must be 2..20")
     sr_idx = _MP3_RATES[3].index(rate)
     br_idx = _MP3_BITRATES[(1, 3)].index(kbps)
     flen = 144 * kbps * 1000 // rate
@@ -732,6 +794,7 @@ def encode_mp3_layer3(
     prev_tail = np.zeros((18, 32, nch))
     for gi in range(n_gr):
         row = []
+        lines_all: list[np.ndarray] = []
         cur = sb[gi * 18 : (gi + 1) * 18]
         x36 = np.concatenate([prev_tail, cur], axis=0)  # (36, 32, ch)
         prev_tail = cur
@@ -790,17 +853,41 @@ def encode_mp3_layer3(
                         lines[bounds[b] : bounds[b + 1]] *= 2.0 ** (
                             0.5 * sf_pat[b]
                         )
-            ix, gg = _quantize_granule(lines)
-            row.append((ix, gg, bt, is_mixed))
+            lines_all.append(lines)
+        sfvs = [sf_pat if scalefac_pattern else None] * nch
+        if intensity is not None:
+            bounds = _bounds(_SFB_LONG[rate])
+            border = bounds[intensity]
+            l_ln, r_ln = lines_all
+            is_sfv = [0] * 21
+            for b in range(intensity, 21):
+                lo, hi = bounds[b], bounds[b + 1]
+                al = float(np.linalg.norm(l_ln[lo:hi]))
+                ar = float(np.linalg.norm(r_ln[lo:hi]))
+                if ar <= 1e-12:
+                    is_sfv[b] = 6
+                else:
+                    is_sfv[b] = int(
+                        np.clip(np.round(np.arctan2(al, ar) * 12 / np.pi), 0, 6)
+                    )
+            summed = l_ln + r_ln
+            l_out, r_out = l_ln.copy(), r_ln.copy()
+            l_out[border:] = summed[border:]
+            r_out[border:] = 0.0
+            lines_all = [l_out, r_out]
+            sfvs = [None, is_sfv]
+        for ch in range(nch):
+            ix, gg = _quantize_granule(lines_all[ch])
+            row.append((ix, gg, bt, is_mixed, sfvs[ch]))
         granules.append(row)
     if n_gr % 2:
         granules.append(
-            [(np.zeros(576), 210, 0, 0) for _ in range(nch)]
+            [(np.zeros(576), 210, 0, 0, None) for _ in range(nch)]
         )
         n_gr += 1
 
-    mode = 3 if nch == 1 else (1 if ms else 0)
-    mode_ext = 2 if ms else 0
+    mode = 3 if nch == 1 else (1 if (ms or intensity is not None) else 0)
+    mode_ext = 2 if ms else (1 if intensity is not None else 0)
     header = bytes(
         [
             0xFF,
@@ -811,20 +898,21 @@ def encode_mp3_layer3(
     )
 
     def pack_granule(ix: np.ndarray, gg: int, bt: int, is_mixed: int,
-                     gr: int, share: bool):
+                     sfv: list[int] | None, compress_v: int,
+                     count1_ok: bool, share: bool):
         """-> (side-info fields dict, main-data bits as _MsbWriter)."""
         bw = _MsbWriter()
         bits = 0
-        if not share:
-            if compress:
-                for b in range(21):
-                    slen = _SLEN1[8] if b < 11 else _SLEN2[8]
-                    bw.write(sf_pat[b], slen)
+        if not share and compress_v:
+            for b in range(21):
+                slen = _SLEN1[compress_v] if b < 11 else _SLEN2[compress_v]
+                if slen:
+                    bw.write(sfv[b], slen)
                     bits += slen
         nz = np.nonzero(ix)[0]
         last = int(nz[-1]) + 1 if nz.size else 0
         last4 = ((last + 3) // 4) * 4
-        if use_count1 and last4 >= 4:
+        if use_count1 and count1_ok and last4 >= 4:
             # hand the final quad to the count1 region (table B) so
             # the quad walk is a real decode path, not dead code
             quad_start = last4 - 4
@@ -855,7 +943,7 @@ def encode_mp3_layer3(
             "part2_3_length": bits,
             "big_values": big_values,
             "global_gain": gg,
-            "scalefac_compress": compress if not share else compress,
+            "scalefac_compress": compress_v,
             "block_type": bt,
             "mixed": is_mixed,
         }, bw
@@ -869,7 +957,17 @@ def encode_mp3_layer3(
             row_f, row_b = [], []
             for ch in range(nch):
                 share = bool(use_scfsi and scalefac_pattern and gr == 1)
-                fields, bw = pack_granule(*granules[2 * f + gr][ch], gr, share)
+                ix_g, gg_g, bt_g, mx_g, sfv_g = granules[2 * f + gr][ch]
+                if intensity is not None and ch == 1:
+                    compress_v, count1_ok = 15, False  # slen 4/3: is_pos
+                elif sfv_g is not None:
+                    compress_v, count1_ok = 8, True
+                else:
+                    compress_v, count1_ok = 0, True
+                fields, bw = pack_granule(
+                    ix_g, gg_g, bt_g, mx_g, sfv_g, compress_v, count1_ok,
+                    share,
+                )
                 if share:
                     scfsi_mask[ch] = [1, 1, 1, 1]
                 row_f.append(fields)

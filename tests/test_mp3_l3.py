@@ -136,6 +136,47 @@ def test_stereo_and_ms_round_trip():
             assert abs(err) < 1.6, (kw, ch)
 
 
+def test_intensity_stereo_round_trip():
+    """Joint (intensity) stereo per §2.4.3.4.9.3 — a pure formula, no
+    tables: bands above the right channel's decoded extent carry the
+    summed signal in the left channel and is_pos in the right
+    channel's scalefactor slots; L = t·r/(1+r), R = t/(1+r),
+    r = tan(is_pos·π/12). A high tone panned at an exact grid ratio
+    reconstructs both channels; is_pos itself round-trips through the
+    slen-4/3 scalefactor layout."""
+    n = 1152 * 6
+    t = np.arange(n)
+    lo_l = 0.3 * np.sin(2 * np.pi * 300 * t / RATE)
+    lo_r = 0.3 * np.sin(2 * np.pi * 500 * t / RATE)
+    hi = 0.3 * np.sin(2 * np.pi * 5000 * t / RATE)
+    r = np.tan(4 * np.pi / 12)  # is_pos = 4
+    L = lo_l + hi * (r / (1 + r))
+    R = lo_r + hi * (1 / (1 + r))
+    blob = L3.encode_mp3_layer3(np.stack([L, R], 1), RATE, intensity=8)
+    si = L3._parse_side_info(blob[4:36], 2)
+    assert si["granules"][0][1]["scalefac_compress"] == 15
+    dec, _ = L3.decode_mp3_layer3(blob)
+    mid = slice(2304, n - 2304)
+    for ch, ref in ((0, L), (1, R)):
+        assert abs(_rms_db(dec[mid, ch]) - _rms_db(ref[mid])) < 1.2, ch
+        d = dec[:, ch]
+        lags = range(0, len(d) - 4200)
+        best = max(
+            lags, key=lambda l: float(np.dot(d[l : l + 4000], ref[:4000]))
+        )
+        assert np.corrcoef(d[best : best + 4000], ref[:4000])[0, 1] > 0.9, ch
+    # fully-left panning (is_pos 6) zeroes the right channel above the
+    # border; the right channel keeps its own below-border content
+    L2_ = lo_l + hi
+    blob = L3.encode_mp3_layer3(np.stack([L2_, lo_r], 1), RATE, intensity=8)
+    dec, _ = L3.decode_mp3_layer3(blob)
+    assert abs(_rms_db(dec[mid, 1]) - _rms_db(lo_r[mid])) < 1.2
+    # intensity with short blocks refuses (the per-window border
+    # corner) — craft by flipping the MS fixture's mode_ext
+    with pytest.raises(ValueError, match="intensity"):
+        L3.encode_mp3_layer3(np.stack([L, R], 1), RATE, intensity=8, ms=True)
+
+
 def test_scalefactors_scfsi_and_reservoir_paths():
     pcm = melody(7)
     mid = slice(2304, len(pcm) - 2304)
@@ -287,8 +328,11 @@ def test_structural_refusals_and_desync_guard():
         L3.decode_mp3_layer3(
             encode_mp3_frames(5, kbps=64, rate=22050, mpeg2=True, layer=3)
         )
-    blob = L3.encode_mp3_layer3(np.stack([sine(), sine()], 1), RATE, ms=True)
-    # flip mode_ext to intensity (01): byte 3 bits 4-5
+    # intensity + short blocks is the one stereo corner that refuses:
+    # flip a short-block stereo stream's mode/mode_ext to joint/IS
+    blob = L3.encode_mp3_layer3(
+        np.stack([sine(), sine(700.0)], 1), RATE, short_blocks=True
+    )
     bad = bytearray(blob)
     pos = 0
     from pg2kinesis_spark.functions.codecs import _MP3_BITRATES
@@ -296,7 +340,7 @@ def test_structural_refusals_and_desync_guard():
     while pos + 4 <= len(bad) and bad[pos] == 0xFF:
         bad[pos + 3] = (bad[pos + 3] & 0x0F) | (1 << 6) | (1 << 4)
         pos += 144 * _MP3_BITRATES[(1, 3)][bad[pos + 2] >> 4] * 1000 // RATE
-    with pytest.raises(NotImplementedError, match="intensity"):
+    with pytest.raises(NotImplementedError, match="short/mixed"):
         L3.decode_mp3_layer3(bytes(bad))
     # shrinking part2_3_length by a few bits lands in the count1
     # region, where the spec's overshoot rule DROPS the final quad —
