@@ -1,4 +1,11 @@
-"""Benchmark headline queries; prints ONE JSON line for the driver.
+"""Benchmark headline queries for the driver.
+
+Output contract (round 11): the orchestrator prints the FULL record
+as line 1 (mirrored to BENCH_FULL_latest.json) and a COMPACT headline
+JSON line LAST — the driver machine-reads only the last ~2,000 chars
+of stdout, so the final line must be a complete object on its own
+(metric/value/unit/queries/sf + probe context, kept under 1,900
+chars). Child/subset invocations print exactly one line.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default all cores).

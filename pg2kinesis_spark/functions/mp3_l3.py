@@ -882,7 +882,7 @@ def encode_mp3_layer3(
         granules.append(row)
     if n_gr % 2:
         granules.append(
-            [(np.zeros(576), 210, 0, 0, None) for _ in range(nch)]
+            [(np.zeros(576), 210, 0, 0, [0] * 21) for _ in range(nch)]
         )
         n_gr += 1
 
