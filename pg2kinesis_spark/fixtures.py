@@ -439,6 +439,21 @@ def gen_media_containers() -> tuple[
         (16, "aiff", 8000, 1, 1000.0 * 3200 / 8000, 8000 * 1 * 16 / 1000.0, False,
          "Iff Study", "Big End", s16_md5(mono))
     )
+    # 30 (round 11): a REAL Layer III stream from the trusted-table
+    # encoder twin — the header walk's frame math must agree with the
+    # encoder's parameters (42 frames = ceil(1.5 s * 32 kHz / 1152));
+    # lossy, so the canonical PCM identity stays NULL
+    from pg2kinesis_spark.functions.mp3_l3 import encode_mp3_layer3
+
+    t30 = np.arange(int(1.5 * 32000))
+    l3_real = encode_mp3_layer3(
+        0.3 * np.sin(2 * np.pi * 500 * t30 / 32000), 32000, kbps=160
+    )
+    add(30, "audio", l3_real)
+    d = 0.0
+    for _ in range(42):
+        d += 1152 / 32000
+    audio_truth.append((30, "mp3", 32000, 1, d * 1000.0, 160.0, False))
 
     # --- video -------------------------------------------------------
     # 7: MP4 v0 boxes — mdhd timescale = fps*1000, so fps re-derives
