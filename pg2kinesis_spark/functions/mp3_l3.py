@@ -263,19 +263,6 @@ def _read_scalefactors(br: _BitReader, g: dict, scfsi: list[int],
     return {"long": sf_l, "short": [[0, 0, 0]] * 13}
 
 
-def _part2_bits(g: dict, scfsi: list[int], gr: int) -> int:
-    s1, s2 = _SLEN1[g["scalefac_compress"]], _SLEN2[g["scalefac_compress"]]
-    if g["block_type"] == 2 and not g["mixed"]:
-        return 18 * s1 + 18 * s2
-    if g["block_type"] == 2 and g["mixed"]:
-        return 17 * s1 + 18 * s2
-    bits = 0
-    for gi, (lo, hi) in enumerate(_SCFSI_GROUPS):
-        if gr == 1 and scfsi[gi]:
-            continue
-        bits += (hi - lo) * (s1 if gi < 2 else s2)
-    return bits
-
 
 # --- Huffman spectrum decode ----------------------------------------------------
 
