@@ -216,7 +216,9 @@ def test_decode_cost_bounds():
     assert len(blob) < 4096
     t0 = time.monotonic()
     out = V.decode_vp8l(blob)
-    assert time.monotonic() - t0 < 5.0
+    # generous wall bound: proves the vectorized path (the interpreted
+    # per-pixel loop took minutes), with slack for a contended box
+    assert time.monotonic() - t0 < 10.0
     assert out.shape == (2048, 2048, 3) and (out == 9).all()
     # the vectorized backref copy keeps exact LZ77 repeat semantics
     # (dist < length tiles the pattern; numpy memmove would not)
