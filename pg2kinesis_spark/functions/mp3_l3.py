@@ -886,8 +886,13 @@ def encode_mp3_layer3(
 
     def pack_granule(ix: np.ndarray, gg: int, bt: int, is_mixed: int,
                      sfv: list[int] | None, compress_v: int,
-                     count1_ok: bool, share: bool):
-        """-> (side-info fields dict, main-data bits as _MsbWriter)."""
+                     count1_ok: bool, share: bool, min_pairs: int = 0):
+        """-> (side-info fields dict, main-data bits as _MsbWriter).
+        ``min_pairs`` floors big_values — the intensity right channel
+        keeps its decoded extent AT the border even in granules that
+        quantize to nothing (zero pairs cost 1 bit each under table
+        1), so the decoder's intensity region never swallows the
+        below-border bands of a silent-right granule."""
         bw = _MsbWriter()
         bits = 0
         if not share and compress_v:
@@ -906,7 +911,7 @@ def encode_mp3_layer3(
             big_values = quad_start // 2
         else:
             quad_start = None
-            big_values = (last + 1) // 2
+            big_values = max((last + 1) // 2, min_pairs)
         for p in range(big_values):
             a, b_ = int(ix[2 * p]), int(ix[2 * p + 1])
             hlen, hcod = _TAB1[(abs(a), abs(b_))]
@@ -945,15 +950,17 @@ def encode_mp3_layer3(
             for ch in range(nch):
                 share = bool(use_scfsi and scalefac_pattern and gr == 1)
                 ix_g, gg_g, bt_g, mx_g, sfv_g = granules[2 * f + gr][ch]
+                min_pairs = 0
                 if intensity is not None and ch == 1:
                     compress_v, count1_ok = 15, False  # slen 4/3: is_pos
+                    min_pairs = _bounds(_SFB_LONG[rate])[intensity] // 2
                 elif sfv_g is not None:
                     compress_v, count1_ok = 8, True
                 else:
                     compress_v, count1_ok = 0, True
                 fields, bw = pack_granule(
                     ix_g, gg_g, bt_g, mx_g, sfv_g, compress_v, count1_ok,
-                    share,
+                    share, min_pairs,
                 )
                 if share:
                     scfsi_mask[ch] = [1, 1, 1, 1]

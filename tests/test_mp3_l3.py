@@ -177,6 +177,31 @@ def test_intensity_stereo_round_trip():
         L3.encode_mp3_layer3(np.stack([L, R], 1), RATE, intensity=8, ms=True)
 
 
+def test_intensity_silent_right_granules_keep_the_left_channel():
+    """Degenerate-extent guard: granules whose right channel quantizes
+    to NOTHING would have extent 0, letting the decoder's intensity
+    region swallow the below-border bands (is_pos 0 slots would wipe
+    the left channel). The encoder floors the right channel's
+    big_values at the border with free (0,0) pairs, so the extent —
+    and with it the intensity region — stays exactly at the border."""
+    n = 1152 * 16
+    t = np.arange(n)
+    L = 0.3 * np.sin(2 * np.pi * 300 * t / RATE)
+    R = np.zeros(n)
+    R[n // 2 :] = 0.3 * np.sin(2 * np.pi * 500 * t[n // 2 :] / RATE)
+    blob = L3.encode_mp3_layer3(np.stack([L, R], 1), RATE, intensity=8)
+    # the extent floor shows in the side info: 36/2 = 18 pairs even in
+    # silent-right granules
+    si = L3._parse_side_info(blob[4:36], 2)
+    assert si["granules"][0][1]["big_values"] >= 18
+    dec, _ = L3.decode_mp3_layer3(blob)
+    # the left tone must survive the silent-right half
+    early = slice(2304, n // 2 - 2304)
+    assert abs(_rms_db(dec[early, 0]) - _rms_db(L[early])) < 1.2
+    late = slice(n // 2 + 4608, n - 2304)
+    assert abs(_rms_db(dec[late, 1]) - _rms_db(R[late])) < 1.2
+
+
 def test_scalefactors_scfsi_and_reservoir_paths():
     pcm = melody(7)
     mid = slice(2304, len(pcm) - 2304)
