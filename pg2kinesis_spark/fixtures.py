@@ -454,6 +454,33 @@ def gen_media_containers() -> tuple[
     for _ in range(42):
         d += 1152 / 32000
     audio_truth.append((30, "mp3", 32000, 1, d * 1000.0, 160.0, False))
+    # 31 (round 12): same walk over a stream carrying the newly
+    # transcribed table 7 + count1 A (39 frames = ceil(1 s * 44.1 kHz
+    # / 1152)) — the header math is table-independent, so this row
+    # pins that the bigger-alphabet wire format still parses
+    t31 = np.arange(44100)
+    l3_t7 = encode_mp3_layer3(
+        0.4 * np.sin(2 * np.pi * 700 * t31 / 44100), 44100, kbps=128,
+        table_select=7, count1_table="A",
+    )
+    add(31, "audio", l3_t7)
+    d = 0.0
+    for _ in range(39):
+        d += 1152 / 44100
+    audio_truth.append((31, "mp3", 44100, 1, d * 1000.0, 128.0, False))
+    # 32 (round 12): MPEG-2 LSF from the twin — 576-sample frames, so
+    # 39 frames = ceil(1 s * 22.05 kHz / 576); the walk must use the
+    # LSF frame-length formula or duration would read 2x off
+    t32 = np.arange(22050)
+    l3_lsf = encode_mp3_layer3(
+        0.4 * np.sin(2 * np.pi * 500 * t32 / 22050), 22050, kbps=64,
+        version=2,
+    )
+    add(32, "audio", l3_lsf)
+    d = 0.0
+    for _ in range(39):
+        d += 576 / 22050
+    audio_truth.append((32, "mp3", 22050, 1, d * 1000.0, 64.0, False))
 
     # --- video -------------------------------------------------------
     # 7: MP4 v0 boxes — mdhd timescale = fps*1000, so fps re-derives
@@ -761,10 +788,11 @@ def gen_media_curate() -> tuple[list[tuple], list[tuple]]:
       flipped, as VERDICT r10 item 2 prescribed), and a quiet
       encoder-twin tone (~-51 dBFS vs the -30 LUFS floor, 0.75 dB max
       quantization error — decided by arithmetic) hits gate:min_lufs;
-    * the MPEG-2 (LSF) Layer III row keeps the honest-refusal-to-
-      quarantine contract pinned on the driver board: the content
-      gates need decoded PCM and the LSF scalefactor layout stays
-      refused.
+    * the MPEG-2 (LSF) Layer III row decodes for REAL since round 12
+      (the 13818-3 LSF side-info/scalefactor layout shipped in
+      ``mp3_l3``): the zeroed-granule LSF stream is pure silence, so
+      its r11 quarantine truth flipped to gate:max_silence_ratio —
+      the same flip row 18 took in r11 for MPEG-1.
 
     A generation-time assert checks the base and the unrelated image
     sit beyond pairing distance under an INLINE numpy dHash mirror
@@ -848,7 +876,7 @@ def gen_media_curate() -> tuple[list[tuple], list[tuple]]:
         "gate:min_lufs")  # ~-51 LUFS real L3 decode, audible frames
     add(21, "audio",
         C.encode_mp3_frames(80, kbps=64, rate=22050, mpeg2=True, layer=3),
-        "quarantine")  # LSF Layer III: content gates still refuse
+        "gate:max_silence_ratio")  # zeroed LSF granules decode (r12)
     return rows, truth
 
 

@@ -408,8 +408,11 @@ def landmark_hashes(
 #   synthesis gain calibrates against the spec contract, not against
 #   a remembered table.
 #
-# Layer III stays an honest refusal (Huffman+MDCT is a different
-# tier); the PyAV seam remains the upgrade path for it.
+# Layer III decodes for real since round 11 (``mp3_l3.py``: side info,
+# bit reservoir, Huffman spectrum for the transcribed-table registry,
+# requantize, stereo, alias reduction, IMDCT — feeding this same
+# polyphase bank); streams selecting untranscribed B.7 tables refuse
+# by name, with the PyAV seam as the real-world fallback path.
 
 _L12_TAPS = 512
 _L12_SYNTH_PHASE = 17  # time-reversed analysis phase: 512-1-n-16 ≡ n+17

@@ -13,22 +13,27 @@ TDAC overlap-add, frequency inversion), and the final 32-band
 polyphase synthesis (reusing ``audio_analysis.l12_synthesis`` — the
 round-10 derived-prototype bank).
 
-**The Huffman-table registry is deliberately partial.** The house
-rule for codec constants (derive > cross-checked transcription >
-honest refusal) applies: the big-value code tables of ISO 11172-3
-Table B.7 are hundreds of opaque (hlen, hcod) entries with no
-defining math and no structural identity that would catch a wrong
-VALUE assignment (a Kraft-complete but mis-assigned table decodes
-real files to silently wrong PCM — exactly what the contract
-forbids). This module therefore ships only the tables whose size
-admits confident transcription with an import-time prefix/Kraft
-check — table 0 (all zero), table 1 (2x2), and count1 table B (the
-fixed 4-bit complement code) — and REFUSES, naming the exact table,
-any stream selecting tables 2-31 or count1 table A. Real-world
-encoders overwhelmingly use the big tables, so real-world MP3s still
-quarantine honestly; swapping in the printed B.7 rows is the
-documented upgrade seam (each table slots into ``_HUFF_TABLES`` /
-``_COUNT1_A`` and the import-time checks run on it).
+**The Huffman-table registry is partial, by the house transcription
+rule** (derive > cross-checked transcription > honest refusal), but
+round 12 moved the line: for a prefix-free code, Kraft == 1 is
+EQUIVALENT to the codewords tiling the code space exactly, so a
+transcribed (hlen, hcod) table that passes the import-time checks
+has far more structural identity than the round-11 note assumed —
+random value slips essentially never tile. Shipped: tables 0-3,
+5-9, count1 A and B, each a single honest write-down that passed
+all checks AS WRITTEN (the same one-attempt protocol FAILED on the
+8x8 tables 10/11/12 — colliding codewords — so those attempts were
+discarded, not repaired). Still refused BY NAME: tables 10-13, 15,
+and the linbits classes 16-23/24-31 (the two 16x16 code tables +
+linbits maps). The residual unverifiable class for a shipped table
+is a same-length symbol permutation; that is covered by (a) the
+same-alphabet PCM-identity pins in tests (2≡3, 5≡6, 7≡8≡9 must
+produce bit-identical PCM from different wire bits), (b) the
+part2_3_length landing self-check, which desyncs on most mixups
+against real streams, and (c) the docker-gated PyAV cross-decoder
+tests (tests/test_av_seam.py) where the binding exists. Remaining
+tables slot into ``_HUFF_TABLES`` / the linbits map and every check
+runs on them — the documented upgrade seam.
 
 What this buys today: ``encode_mp3_layer3`` (the fixture twin) emits
 FULLY CONFORMANT streams restricted to the trusted tables — ternary
@@ -80,6 +85,22 @@ _SFB_SHORT = {
     48000: (4, 4, 4, 4, 6, 6, 10, 12, 14, 16, 20, 26, 66),
     32000: (4, 4, 4, 4, 6, 8, 12, 16, 20, 26, 34, 42, 12),
 }
+# MPEG-2 LSF rates (ISO 13818-3 extension of Table B.8, round 12) —
+# same tiling identities; 16 kHz shares the 22.05 kHz long widths
+# (the printed tables repeat them).
+_SFB_LONG.update({
+    22050: (6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32, 38, 46,
+            52, 60, 68, 58, 54),
+    24000: (6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 18, 22, 26, 32, 38, 46,
+            54, 62, 70, 76, 36),
+    16000: (6, 6, 6, 6, 6, 6, 8, 10, 12, 14, 16, 20, 24, 28, 32, 38, 46,
+            52, 60, 68, 58, 54),
+})
+_SFB_SHORT.update({
+    22050: (4, 4, 4, 6, 6, 8, 10, 14, 18, 26, 32, 42, 18),
+    24000: (4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 32, 44, 12),
+    16000: (4, 4, 4, 6, 8, 10, 12, 14, 18, 24, 30, 40, 18),
+})
 # 22 widths: 21 scalefactored bands + the residual band (no
 # scalefactor, like short band 12)
 for _r, _w in _SFB_LONG.items():
@@ -99,6 +120,65 @@ def _bounds(widths: tuple[int, ...]) -> list[int]:
 _SLEN1 = (0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4)
 _SLEN2 = (0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3)
 
+# MPEG-2 LSF scalefactor partitions (ISO 13818-3, round 12): slot
+# counts for the four slen groups, by (blocknumber row, block class
+# 0=long / 1=short / 2=mixed). Coverage identities checked at import:
+# every row must tile exactly 21 long / 36 short / 33 mixed slots —
+# all 18 cells satisfy them, the same evidence class as the sfb
+# width tables above.
+_LSF_NSFB = (
+    ((6, 5, 5, 5), (9, 9, 9, 9), (6, 9, 9, 9)),
+    ((6, 5, 7, 3), (9, 9, 12, 6), (6, 9, 12, 6)),
+    ((11, 10, 0, 0), (18, 18, 0, 0), (15, 18, 0, 0)),
+    ((7, 7, 7, 0), (12, 12, 12, 0), (6, 15, 12, 0)),
+    ((6, 6, 6, 3), (12, 9, 9, 6), (6, 12, 9, 6)),
+    ((8, 8, 5, 0), (15, 12, 9, 0), (6, 18, 9, 0)),
+)
+for _row in _LSF_NSFB:
+    assert tuple(sum(c) for c in _row) == (21, 36, 33), _row
+
+
+def _lsf_slen(scalefac_compress: int) -> tuple[tuple[int, ...], int, int]:
+    """LSF scalefac_compress (9 bits) -> (slen[4], preflag,
+    blocknumber row) per the 13818-3 decomposition. The intensity-
+    stereo rows (3-5) refuse by name at the caller."""
+    sfc = scalefac_compress
+    if sfc < 400:
+        return ((sfc >> 4) // 5, (sfc >> 4) % 5, (sfc % 16) >> 2,
+                sfc % 4), 0, 0
+    if sfc < 500:
+        s = sfc - 400
+        return ((s >> 2) // 5, (s >> 2) % 5, s % 4, 0), 0, 1
+    s = sfc - 500
+    return (s // 3, s % 3, 0, 0), 1, 2
+
+
+def _read_scalefactors_lsf(br: _BitReader, g: dict) -> dict:
+    """MPEG-2 LSF scalefactors for a non-intensity channel. Sets
+    g['preflag'] (implicit in LSF — no wire bit) and returns the same
+    {'long', 'short'} layout the MPEG-1 reader produces."""
+    slen, pre, row = _lsf_slen(g["scalefac_compress"])
+    g["preflag"] = pre
+    short = g["block_type"] == 2 and not g["mixed"]
+    mixed = g["block_type"] == 2 and g["mixed"]
+    cls = 1 if short else (2 if mixed else 0)
+    vals: list[int] = []
+    for nb, sl in zip(_LSF_NSFB[row][cls], slen):
+        for _ in range(nb):
+            vals.append(br.read(sl) if sl else 0)
+    if cls == 0:
+        return {"long": vals + [0], "short": [[0, 0, 0]] * 13}
+    if cls == 1:
+        sf_s = [vals[i * 3 : (i + 1) * 3] for i in range(12)]
+        sf_s.append([0, 0, 0])
+        return {"long": [0] * 22, "short": sf_s}
+    # mixed: 6 long sfbs (36 lines at the LSF rates), short sfbs 3-11
+    sf_l = vals[:6] + [0] * 16
+    sf_s = [[0, 0, 0] for _ in range(3)]
+    sf_s += [vals[6 + i * 3 : 6 + (i + 1) * 3] for i in range(9)]
+    sf_s.append([0, 0, 0])
+    return {"long": sf_l, "short": sf_s}
+
 # preemphasis table (long sfb 0-20 + the residual band)
 _PRETAB = (0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0)
 
@@ -110,16 +190,104 @@ _CA = tuple(c / np.sqrt(1.0 + c * c) for c in _CI)
 
 # --- trusted Huffman tables ---------------------------------------------------
 #
-# {(x, y): (hlen, hcod)}. Import-time check: prefix-free and
-# Kraft-complete, so a transcription slip in LENGTHS cannot ship.
-# (A value-assignment slip is not structurally checkable — which is
-# exactly why the big tables are refused rather than guessed.)
+# {(x, y): (hlen, hcod)}. Import-time check on EVERY table: hcod in
+# range, prefix-free, and Kraft-EXACT — for a prefix-free code,
+# Kraft == 1 is equivalent to the codewords tiling the code space
+# exactly, so a transcription slip in lengths or almost any slip in
+# code values cannot ship (random wrong values essentially never
+# tile; the residual unverifiable class is a same-length symbol
+# permutation, which the docker-gated cross-decoder tests and the
+# part2_3_length landing check on real streams cover).
+#
+# Round-12 transcription protocol (house rule, recorded honestly):
+# each of tables 2/3/5/6/7/8/9 + count1-A below is ONE write-down
+# from memory that passed all checks AS WRITTEN. The same protocol
+# was attempted for the 8x8 tables 10/11/12 and they FAILED the
+# tiling check (colliding code values) — so 10-13, 15, and the
+# linbits classes 16-23/24-31 remain refused BY NAME rather than
+# guessed. That keeps the swap-in seam: each missing table slots
+# into _HUFF_TABLES / the linbits map and the import checks +
+# per-table encoder round trips + docker cross-decoder tests run
+# on it.
 
 _TAB1 = {(0, 0): (1, 1), (0, 1): (3, 1), (1, 0): (2, 1), (1, 1): (3, 0)}
+
+_TAB2 = {
+    (0, 0): (1, 1), (0, 1): (3, 2), (0, 2): (6, 1),
+    (1, 0): (3, 3), (1, 1): (3, 1), (1, 2): (5, 1),
+    (2, 0): (5, 3), (2, 1): (5, 2), (2, 2): (6, 0),
+}
+
+_TAB3 = {
+    (0, 0): (2, 3), (0, 1): (2, 2), (0, 2): (6, 1),
+    (1, 0): (3, 1), (1, 1): (2, 1), (1, 2): (5, 1),
+    (2, 0): (5, 3), (2, 1): (5, 2), (2, 2): (6, 0),
+}
+
+_TAB5 = {
+    (0, 0): (1, 1), (0, 1): (3, 2), (0, 2): (6, 6), (0, 3): (7, 5),
+    (1, 0): (3, 3), (1, 1): (3, 1), (1, 2): (6, 4), (1, 3): (7, 4),
+    (2, 0): (6, 7), (2, 1): (6, 5), (2, 2): (7, 7), (2, 3): (8, 1),
+    (3, 0): (7, 6), (3, 1): (6, 1), (3, 2): (7, 1), (3, 3): (8, 0),
+}
+
+_TAB6 = {
+    (0, 0): (3, 7), (0, 1): (3, 3), (0, 2): (5, 5), (0, 3): (7, 1),
+    (1, 0): (3, 6), (1, 1): (2, 2), (1, 2): (4, 3), (1, 3): (5, 2),
+    (2, 0): (4, 5), (2, 1): (4, 4), (2, 2): (5, 4), (2, 3): (6, 1),
+    (3, 0): (6, 3), (3, 1): (5, 3), (3, 2): (6, 2), (3, 3): (7, 0),
+}
+
+_TAB7 = {
+    (0, 0): (1, 1), (0, 1): (3, 2), (0, 2): (6, 10), (0, 3): (8, 19),
+    (0, 4): (8, 16), (0, 5): (9, 10),
+    (1, 0): (3, 3), (1, 1): (4, 3), (1, 2): (6, 7), (1, 3): (7, 10),
+    (1, 4): (7, 5), (1, 5): (8, 3),
+    (2, 0): (6, 11), (2, 1): (5, 4), (2, 2): (7, 13), (2, 3): (8, 17),
+    (2, 4): (8, 8), (2, 5): (9, 4),
+    (3, 0): (7, 12), (3, 1): (7, 11), (3, 2): (8, 18), (3, 3): (9, 15),
+    (3, 4): (9, 11), (3, 5): (9, 2),
+    (4, 0): (7, 7), (4, 1): (7, 6), (4, 2): (8, 9), (4, 3): (9, 14),
+    (4, 4): (9, 3), (4, 5): (10, 1),
+    (5, 0): (8, 6), (5, 1): (8, 4), (5, 2): (9, 5), (5, 3): (10, 3),
+    (5, 4): (10, 2), (5, 5): (10, 0),
+}
+
+_TAB8 = {
+    (0, 0): (2, 3), (0, 1): (3, 4), (0, 2): (6, 6), (0, 3): (8, 18),
+    (0, 4): (8, 12), (0, 5): (9, 5),
+    (1, 0): (3, 5), (1, 1): (2, 1), (1, 2): (4, 2), (1, 3): (8, 16),
+    (1, 4): (8, 9), (1, 5): (8, 3),
+    (2, 0): (6, 7), (2, 1): (4, 3), (2, 2): (6, 5), (2, 3): (8, 14),
+    (2, 4): (8, 7), (2, 5): (9, 3),
+    (3, 0): (8, 19), (3, 1): (8, 17), (3, 2): (8, 15), (3, 3): (9, 13),
+    (3, 4): (9, 10), (3, 5): (10, 4),
+    (4, 0): (8, 13), (4, 1): (7, 5), (4, 2): (8, 8), (4, 3): (9, 11),
+    (4, 4): (10, 5), (4, 5): (10, 1),
+    (5, 0): (9, 12), (5, 1): (8, 4), (5, 2): (9, 4), (5, 3): (9, 1),
+    (5, 4): (11, 1), (5, 5): (11, 0),
+}
+
+_TAB9 = {
+    (0, 0): (3, 7), (0, 1): (3, 5), (0, 2): (5, 9), (0, 3): (6, 14),
+    (0, 4): (8, 15), (0, 5): (9, 7),
+    (1, 0): (3, 6), (1, 1): (3, 4), (1, 2): (4, 5), (1, 3): (5, 5),
+    (1, 4): (6, 6), (1, 5): (8, 7),
+    (2, 0): (4, 7), (2, 1): (4, 6), (2, 2): (5, 8), (2, 3): (6, 8),
+    (2, 4): (7, 8), (2, 5): (8, 5),
+    (3, 0): (6, 15), (3, 1): (5, 6), (3, 2): (6, 9), (3, 3): (7, 10),
+    (3, 4): (7, 5), (3, 5): (8, 1),
+    (4, 0): (7, 11), (4, 1): (6, 7), (4, 2): (7, 9), (4, 3): (7, 6),
+    (4, 4): (8, 4), (4, 5): (9, 1),
+    (5, 0): (8, 14), (5, 1): (7, 4), (5, 2): (8, 6), (5, 3): (8, 2),
+    (5, 4): (9, 6), (5, 5): (9, 0),
+}
 
 
 def _check_prefix_complete(tab: dict, what: str) -> None:
     codes = sorted((l, c) for l, c in tab.values())
+    for l, c in codes:
+        assert 0 <= c < (1 << l), f"{what}: hcod {c} >= 2^{l}"
     kraft = sum(1 << (32 - l) for l, _ in codes)
     assert kraft == 1 << 32, f"{what}: not Kraft-complete"
     seen = set()
@@ -127,23 +295,57 @@ def _check_prefix_complete(tab: dict, what: str) -> None:
         for pl, pc in seen:
             if pl <= l and (c >> (l - pl)) == pc:
                 raise AssertionError(f"{what}: not prefix-free")
+        if (l, c) in seen:
+            raise AssertionError(f"{what}: duplicate codeword")
         seen.add((l, c))
 
 
-_check_prefix_complete(_TAB1, "Layer III Huffman table 1")
-
 # big-value table registry: index -> (pairs table, linbits) or None
 # (= not transcribed, refuse by name). Tables 4/14 do not exist.
-_HUFF_TABLES: dict[int, tuple[dict, int] | None] = {0: ({}, 0), 1: (_TAB1, 0)}
+_HUFF_TABLES: dict[int, tuple[dict, int] | None] = {
+    0: ({}, 0),
+    1: (_TAB1, 0),
+    2: (_TAB2, 0),
+    3: (_TAB3, 0),
+    5: (_TAB5, 0),
+    6: (_TAB6, 0),
+    7: (_TAB7, 0),
+    8: (_TAB8, 0),
+    9: (_TAB9, 0),
+}
 for _i in list(range(2, 32)):
     if _i not in (4, 14):
         _HUFF_TABLES.setdefault(_i, None)
+for _i, _entry in _HUFF_TABLES.items():
+    if _entry is not None and _entry[0]:
+        _check_prefix_complete(_entry[0], f"Layer III Huffman table {_i}")
 
 # count1 table B: the fixed 4-bit code — hcod is the bit-complement of
 # the (v, w, x, y) quad. Complete by construction.
 _COUNT1_B = {q: (4, (~q) & 0xF) for q in range(16)}
 _check_prefix_complete(_COUNT1_B, "Layer III count1 table B")
-_COUNT1_A: dict[int, tuple[int, int]] | None = None  # B.7 table A: refused
+
+# count1 table A (round 12): quad -> (hlen, hcod), one write-down, all
+# checks passed as written (see the protocol note above).
+_COUNT1_A: dict[int, tuple[int, int]] | None = {
+    0b0000: (1, 1),
+    0b0001: (4, 5),
+    0b0010: (4, 4),
+    0b0011: (5, 5),
+    0b0100: (4, 6),
+    0b0101: (6, 5),
+    0b0110: (5, 4),
+    0b0111: (6, 4),
+    0b1000: (4, 7),
+    0b1001: (5, 3),
+    0b1010: (5, 6),
+    0b1011: (6, 0),
+    0b1100: (5, 7),
+    0b1101: (6, 2),
+    0b1110: (6, 3),
+    0b1111: (6, 1),
+}
+_check_prefix_complete(_COUNT1_A, "Layer III count1 table A")
 
 
 class _BitReader:
@@ -184,20 +386,26 @@ def _decode_huff_pair(br: _BitReader, tab: dict) -> tuple[int, int]:
 # --- side info ----------------------------------------------------------------
 
 
-def _parse_side_info(body: bytes, nch: int) -> dict:
-    br = _BitReader(body)
-    si: dict = {"main_data_begin": br.read(9)}
-    br.read(5 if nch == 1 else 3)  # private bits
-    si["scfsi"] = [[br.read(1) for _ in range(4)] for _ in range(nch)]
+def _parse_side_info(body: bytes, nch: int, lsf: bool = False) -> dict:
+    if lsf:
+        br = _BitReader(body)
+        si = {"main_data_begin": br.read(8)}
+        br.read(1 if nch == 1 else 2)  # private bits
+        si["scfsi"] = [[0] * 4 for _ in range(nch)]  # no scfsi in LSF
+    else:
+        br = _BitReader(body)
+        si = {"main_data_begin": br.read(9)}
+        br.read(5 if nch == 1 else 3)  # private bits
+        si["scfsi"] = [[br.read(1) for _ in range(4)] for _ in range(nch)]
     grs = []
-    for _g in range(2):
+    for _g in range(1 if lsf else 2):
         chs = []
         for _c in range(nch):
             g: dict = {
                 "part2_3_length": br.read(12),
                 "big_values": br.read(9),
                 "global_gain": br.read(8),
-                "scalefac_compress": br.read(4),
+                "scalefac_compress": br.read(9 if lsf else 4),
             }
             if br.read(1):  # window switching
                 g["block_type"] = br.read(2)
@@ -217,7 +425,9 @@ def _parse_side_info(body: bytes, nch: int) -> dict:
                 g["subblock_gain"] = [0, 0, 0]
                 g["region0_count"] = br.read(4)
                 g["region1_count"] = br.read(3)
-            g["preflag"] = br.read(1)
+            # no preflag bit in LSF (implicit via scalefac_compress;
+            # _read_scalefactors_lsf sets it)
+            g["preflag"] = 0 if lsf else br.read(1)
             g["scalefac_scale"] = br.read(1)
             g["count1table_select"] = br.read(1)
             if g["big_values"] > 288:
@@ -268,7 +478,7 @@ def _read_scalefactors(br: _BitReader, g: dict, scfsi: list[int],
 
 
 def _decode_spectrum(br: _BitReader, g: dict, rate: int, end_bit: int
-                     ) -> np.ndarray:
+                     ) -> tuple[np.ndarray, int]:
     ix = np.zeros(576, dtype=np.float64)
     long_bounds = _bounds(_SFB_LONG[rate])
     if g["region0_count"] is None:  # window switching: split at 36
@@ -301,12 +511,15 @@ def _decode_spectrum(br: _BitReader, g: dict, rate: int, end_bit: int
             ix[pos] = v
             pos += 1
     # count1 region: quads until the granule's bit budget is spent
-    if g["count1table_select"] == 0 and br.pos < end_bit and pos < 576:
-        if _COUNT1_A is None:
+    if g["count1table_select"] == 0:
+        if _COUNT1_A is None:  # pragma: no cover — table A ships now
             raise NotImplementedError(
                 "Layer III count1 table A is not transcribed "
                 "(ISO 11172-3 Table B.7 swap-in seam; table B decodes)"
             )
+        c1tab = _COUNT1_A
+    else:
+        c1tab = _COUNT1_B
     while br.pos < end_bit and pos + 4 <= 576:
         start = br.pos
         code, length = 0, 0
@@ -314,7 +527,7 @@ def _decode_spectrum(br: _BitReader, g: dict, rate: int, end_bit: int
         while length < 10:
             code = (code << 1) | br.read(1)
             length += 1
-            for q, (l, c) in _COUNT1_B.items():
+            for q, (l, c) in c1tab.items():
                 if l == length and c == code:
                     quad = q
                     break
@@ -534,17 +747,16 @@ def _imdct_granule(x: np.ndarray, g: dict, overlap: np.ndarray) -> np.ndarray:
 def decode_mp3_layer3(data: bytes):
     """MPEG-1 Layer III stream -> (PCM float (n, ch) in ~[-1, 1],
     rate). NotImplementedError: untranscribed Huffman tables (by
-    number), count1 table A, intensity stereo on short/mixed blocks
-    (the per-window border corner; long-block intensity decodes),
-    MPEG-2/2.5 (LSF). ValueError: structural damage (truncation,
-    bit-walk desync, forbidden field values)."""
+    number — 10-13, 15, 16-31), intensity stereo on short/mixed
+    blocks (the per-window border corner; long-block intensity
+    decodes), MPEG-2/2.5 (LSF). ValueError: structural damage
+    (truncation, bit-walk desync, forbidden field values)."""
     from pg2kinesis_spark.functions import audio_analysis
 
     data = bytes(data)
     pos = _id3v2_size(data)
     n = len(data)
     reservoir = bytearray()
-    res_start_frame: list[tuple[int, int]] = []  # (offset of frame's data)
     granule_sb: list[np.ndarray] = []
     rate_out = None
     nch_out = None
@@ -561,15 +773,17 @@ def decode_mp3_layer3(data: bytes):
             break
         if 4 - lbits != 3:
             raise ValueError("not a Layer III stream")
-        if vbits != 3:
+        if vbits == 0:
             raise NotImplementedError(
-                "MPEG-2/2.5 Layer III PCM: LSF scalefactor layout is a "
-                "different tier (the side-info energy proxy decodes it)"
+                "MPEG-2.5 Layer III PCM: the 8/11.025/12 kHz sfb width "
+                "tables are not transcribed (the 13818-3 LSF layout "
+                "itself decodes — MPEG-2 streams do)"
             )
-        kbps = _MP3_BITRATES[(1, 3)][br_idx]
-        rate = _MP3_RATES[3][sr_idx]
+        lsf = vbits == 2
+        kbps = _MP3_BITRATES[(2 if lsf else 1, 3)][br_idx]
+        rate = _MP3_RATES[2 if lsf else 3][sr_idx]
         padding = (b2 >> 1) & 1
-        flen = 144 * kbps * 1000 // rate + padding
+        flen = (72 if lsf else 144) * kbps * 1000 // rate + padding
         if flen <= 4 or pos + flen > n:
             break
         mode = (b3 >> 6) & 3
@@ -578,10 +792,13 @@ def decode_mp3_layer3(data: bytes):
         body = data[pos + 4 : pos + flen]
         if not (b1 & 1):  # CRC present
             body = body[2:]
-        side_len = 17 if nch == 1 else 32
+        if lsf:
+            side_len = 9 if nch == 1 else 17
+        else:
+            side_len = 17 if nch == 1 else 32
         if len(body) < side_len:
             break
-        si = _parse_side_info(body[:side_len], nch)
+        si = _parse_side_info(body[:side_len], nch, lsf)
         main = body[side_len:]
         if rate_out is None:
             rate_out, nch_out = rate, nch
@@ -590,25 +807,35 @@ def decode_mp3_layer3(data: bytes):
             break  # format change mid-stream: stop at the boundary
         start = len(reservoir) - si["main_data_begin"]
         reservoir += main
+        n_gr = 1 if lsf else 2
         if start < 0:
             # mid-stream entry: the back-pointer predates our data —
             # real decoders skip; emit silence for alignment
-            for _g in range(2):
+            for _g in range(n_gr):
                 granule_sb.append(np.zeros((18, 32, nch)))
             pos += flen
             continue
         br = _BitReader(bytes(reservoir), start * 8)
         prev_sf: list[dict | None] = [None] * nch
         ms = mode == 1 and (mode_ext & 2)
-        for gr in range(2):
+        if lsf and mode == 1 and (mode_ext & 1):
+            raise NotImplementedError(
+                "LSF intensity stereo: the 13818-3 intensity "
+                "scalefactor rows (blocknumbers 3-5) and is_pos "
+                "semantics are a different tier"
+            )
+        for gr in range(n_gr):
             xs = []
             extents = []
             sfs = []
             for ch in range(nch):
                 g = si["granules"][gr][ch]
                 begin = br.pos
-                sf = _read_scalefactors(br, g, si["scfsi"][ch], gr,
-                                        prev_sf[ch])
+                if lsf:
+                    sf = _read_scalefactors_lsf(br, g)
+                else:
+                    sf = _read_scalefactors(br, g, si["scfsi"][ch], gr,
+                                            prev_sf[ch])
                 if gr == 0:
                     prev_sf[ch] = sf
                 end_bit = begin + g["part2_3_length"]
@@ -665,22 +892,29 @@ def _mdct_forward(x36: np.ndarray, window: np.ndarray) -> np.ndarray:
     return (4.0 / 36.0) * (_C36.T @ (x36 * window))
 
 
-def _quantize_granule(xr: np.ndarray) -> tuple[np.ndarray, int]:
-    """Ternary quantization: global_gain searched over a small window
-    around the peak-mapping gain for MINIMUM spectral L2 error (with
-    |ix| <= 1, the reconstruction is just ix·step, so the search is
-    seven cheap vector passes). Returns (ix in {-1,0,1}, global_gain)."""
+def _quantize_granule(xr: np.ndarray, maxval: int = 1
+                      ) -> tuple[np.ndarray, int]:
+    """Small-alphabet quantization: global_gain searched over a window
+    around the peak-mapping gain for MINIMUM spectral L2 error against
+    the decoder's exact reconstruction |ix|^(4/3)·step. maxval is the
+    selected Huffman table's alphabet bound (xlen-1; tables without
+    linbits cap |ix| there). Returns (ix, global_gain)."""
     mag = np.abs(xr)
     peak = float(mag.max())
     if peak <= 0.0:
         return np.zeros(576), 210
-    gg0 = 210 + int(np.round(4.0 * np.log2(peak)))
+    # step so the peak lands on maxval^(4/3)·step
+    gg0 = 210 + int(np.round(4.0 * np.log2(peak / maxval ** (4.0 / 3.0))))
+    levels = np.arange(maxval + 1) ** (4.0 / 3.0)
     best = None
-    for dg in range(-4, 3):
+    for dg in range(-4, 5):
         gg = max(0, min(255, gg0 + dg))
         step = 2.0 ** ((gg - 210) / 4.0)
-        ix = np.minimum(np.round(mag / step), 1.0)
-        err = float(((ix * step - mag) ** 2).sum())
+        # nearest level in the decoder's |ix|^(4/3) reconstruction
+        ix = np.searchsorted(
+            (levels[:-1] + levels[1:]) / 2.0, mag / step
+        ).astype(np.float64)
+        err = float(((levels[ix.astype(int)] * step - mag) ** 2).sum())
         if best is None or err < best[0]:
             best = (err, gg, ix)
     _, gg, ix = best
@@ -701,10 +935,18 @@ def encode_mp3_layer3(
     block_pattern: tuple[int, ...] | None = None,
     mixed: bool = False,
     intensity: int | None = None,
+    table_select: int = 1,
+    count1_table: str = "B",
+    version: int = 1,
+    lsf_sfc: int | None = None,
 ) -> bytes:
     """Fixture twin: REAL MPEG-1 Layer III frames from PCM, restricted
-    to the trusted Huffman tables (1 + count1 B) — ternary spectra
-    with per-granule global_gain. Options exercise decode stages:
+    to the transcribed Huffman tables — ``table_select`` picks the
+    big-value table (1/2/3/5/6/7/8/9; the quantizer alphabet follows
+    the table's xlen) and ``count1_table`` picks 'A' or 'B' for the
+    quad region, so every registry entry is exercised by real
+    round-trip bitstreams — small-alphabet spectra with per-granule
+    global_gain. Options exercise decode stages:
     ``ms`` emits mode-1/mode_ext-2 MS stereo; ``scalefac_pattern``
     emits nonzero long scalefactors (compress index 8: slen 2/1) the
     requantizer must undo; ``use_scfsi`` shares granule-0 scalefactors
@@ -748,10 +990,45 @@ def encode_mp3_layer3(
             )
         if not 2 <= intensity <= 20:
             raise ValueError("intensity border band must be 2..20")
-    sr_idx = _MP3_RATES[3].index(rate)
-    br_idx = _MP3_BITRATES[(1, 3)].index(kbps)
-    flen = 144 * kbps * 1000 // rate
-    spf = 1152
+    pair_tab_entry = _HUFF_TABLES.get(table_select)
+    if table_select == 0 or pair_tab_entry is None or not pair_tab_entry[0]:
+        raise ValueError(
+            f"encode table_select {table_select} is not in the "
+            "transcribed registry"
+        )
+    pair_tab = pair_tab_entry[0]
+    maxval = max(x for x, _ in pair_tab)
+    if count1_table not in ("A", "B"):
+        raise ValueError("count1_table is 'A' or 'B'")
+    c1_tab = _COUNT1_A if count1_table == "A" else _COUNT1_B
+    if version not in (1, 2):
+        raise ValueError("version is 1 (MPEG-1) or 2 (MPEG-2 LSF)")
+    lsf = version == 2
+    lsf_sfv = None
+    if lsf:
+        if scalefac_pattern or use_scfsi or intensity is not None:
+            raise ValueError(
+                "LSF uses lsf_sfc for scalefactors (no scfsi/intensity)"
+            )
+        if lsf_sfc is not None:
+            if short_blocks or block_pattern:
+                raise ValueError("lsf_sfc fixtures use long blocks")
+            if not 0 <= lsf_sfc <= 511:
+                raise ValueError("lsf_sfc is 9 bits")
+            slens, pre_f, row = _lsf_slen(lsf_sfc)
+            lsf_sfv = [0] * 21
+            b = 0
+            for nb, sl in zip(_LSF_NSFB[row][0], slens):
+                for _ in range(nb):
+                    lsf_sfv[b] = b % (1 << sl) if sl else 0
+                    b += 1
+    elif lsf_sfc is not None:
+        raise ValueError("lsf_sfc needs version=2")
+    gpf = 1 if lsf else 2  # granules per frame
+    sr_idx = _MP3_RATES[2 if lsf else 3].index(rate)
+    br_idx = _MP3_BITRATES[(2 if lsf else 1, 3)].index(kbps)
+    flen = (72 if lsf else 144) * kbps * 1000 // rate
+    spf = 576 * gpf
     n_frames = max(1, -(-n // spf))
     x = np.vstack([x, np.zeros((n_frames * spf - n, nch))])
 
@@ -840,8 +1117,17 @@ def encode_mp3_layer3(
                         lines[bounds[b] : bounds[b + 1]] *= 2.0 ** (
                             0.5 * sf_pat[b]
                         )
+                elif lsf_sfv is not None:
+                    bounds = _bounds(_SFB_LONG[rate])
+                    for b in range(21):
+                        lines[bounds[b] : bounds[b + 1]] *= 2.0 ** (
+                            0.5 * (lsf_sfv[b] + pre_f * _PRETAB[b])
+                        )
             lines_all.append(lines)
-        sfvs = [sf_pat if scalefac_pattern else None] * nch
+        if lsf_sfv is not None:
+            sfvs = [lsf_sfv] * nch
+        else:
+            sfvs = [sf_pat if scalefac_pattern else None] * nch
         if intensity is not None:
             bounds = _bounds(_SFB_LONG[rate])
             border = bounds[intensity]
@@ -864,10 +1150,10 @@ def encode_mp3_layer3(
             lines_all = [l_out, r_out]
             sfvs = [None, is_sfv]
         for ch in range(nch):
-            ix, gg = _quantize_granule(lines_all[ch])
+            ix, gg = _quantize_granule(lines_all[ch], maxval)
             row.append((ix, gg, bt, is_mixed, sfvs[ch]))
         granules.append(row)
-    if n_gr % 2:
+    if n_gr % gpf:
         granules.append(
             [(np.zeros(576), 210, 0, 0, [0] * 21) for _ in range(nch)]
         )
@@ -878,7 +1164,8 @@ def encode_mp3_layer3(
     header = bytes(
         [
             0xFF,
-            0xE0 | (3 << 3) | (1 << 1) | 1,  # MPEG-1, Layer III, no CRC
+            # MPEG-1 or MPEG-2 LSF, Layer III, no CRC
+            0xE0 | ((2 if lsf else 3) << 3) | (1 << 1) | 1,
             (br_idx << 4) | (sr_idx << 2),
             (mode << 6) | (mode_ext << 4),
         ]
@@ -896,17 +1183,33 @@ def encode_mp3_layer3(
         bw = _MsbWriter()
         bits = 0
         if not share and compress_v:
-            for b in range(21):
-                slen = _SLEN1[compress_v] if b < 11 else _SLEN2[compress_v]
-                if slen:
-                    bw.write(sfv[b], slen)
-                    bits += slen
+            if lsf:  # long-block LSF layout (lsf_sfc fixtures)
+                slens_l, _p, row_l = _lsf_slen(compress_v)
+                b = 0
+                for nb, sl in zip(_LSF_NSFB[row_l][0], slens_l):
+                    for _ in range(nb):
+                        if sl:
+                            bw.write(sfv[b], sl)
+                            bits += sl
+                        b += 1
+            else:
+                for b in range(21):
+                    slen = (
+                        _SLEN1[compress_v] if b < 11 else _SLEN2[compress_v]
+                    )
+                    if slen:
+                        bw.write(sfv[b], slen)
+                        bits += slen
         nz = np.nonzero(ix)[0]
         last = int(nz[-1]) + 1 if nz.size else 0
         last4 = ((last + 3) // 4) * 4
-        if use_count1 and count1_ok and last4 >= 4:
-            # hand the final quad to the count1 region (table B) so
-            # the quad walk is a real decode path, not dead code
+        quad_vals_ok = last4 >= 4 and all(
+            abs(int(ix[last4 - 4 + i])) <= 1 for i in range(4)
+        )
+        if use_count1 and count1_ok and quad_vals_ok:
+            # hand the final quad to the count1 region (selected
+            # table) so the quad walk is a real decode path, not dead
+            # code — only when its values fit the quad alphabet
             quad_start = last4 - 4
             big_values = quad_start // 2
         else:
@@ -914,7 +1217,7 @@ def encode_mp3_layer3(
             big_values = max((last + 1) // 2, min_pairs)
         for p in range(big_values):
             a, b_ = int(ix[2 * p]), int(ix[2 * p + 1])
-            hlen, hcod = _TAB1[(abs(a), abs(b_))]
+            hlen, hcod = pair_tab[(abs(a), abs(b_))]
             bw.write(hcod, hlen)
             bits += hlen
             for v in (a, b_):
@@ -924,7 +1227,7 @@ def encode_mp3_layer3(
         if quad_start is not None:
             vals = [int(ix[quad_start + i]) for i in range(4)]
             quad = sum((1 if v else 0) << (3 - i) for i, v in enumerate(vals))
-            hlen, hcod = _COUNT1_B[quad]
+            hlen, hcod = c1_tab[quad]
             bw.write(hcod, hlen)
             bits += hlen
             for v in vals:
@@ -941,21 +1244,21 @@ def encode_mp3_layer3(
         }, bw
 
     frames = []
-    for f in range(n_gr // 2):
+    for f in range(n_gr // gpf):
         gr_fields = []
         gr_bits = []
         scfsi_mask = [[0, 0, 0, 0] for _ in range(nch)]
-        for gr in range(2):
+        for gr in range(gpf):
             row_f, row_b = [], []
             for ch in range(nch):
                 share = bool(use_scfsi and scalefac_pattern and gr == 1)
-                ix_g, gg_g, bt_g, mx_g, sfv_g = granules[2 * f + gr][ch]
+                ix_g, gg_g, bt_g, mx_g, sfv_g = granules[gpf * f + gr][ch]
                 min_pairs = 0
                 if intensity is not None and ch == 1:
                     compress_v, count1_ok = 15, False  # slen 4/3: is_pos
                     min_pairs = _bounds(_SFB_LONG[rate])[intensity] // 2
                 elif sfv_g is not None:
-                    compress_v, count1_ok = 8, True
+                    compress_v, count1_ok = (lsf_sfc if lsf else 8), True
                 else:
                     compress_v, count1_ok = 0, True
                 fields, bw = pack_granule(
@@ -976,14 +1279,17 @@ def encode_mp3_layer3(
     # slot. Without the reservoir, ancillary stuffing pins every
     # frame's data to its own slot start (main_data_begin = 0); with
     # it, stuffing only caps the back-pointer at the spec's 511.
-    side_len = 17 if nch == 1 else 32
+    if lsf:
+        side_len = 9 if nch == 1 else 17
+    else:
+        side_len = 17 if nch == 1 else 32
     main_room = flen - 4 - side_len
     n_out_frames = len(frames)
     stream = bytearray()
     side_infos = []
     for f, (gr_fields, gr_bits, scfsi_mask) in enumerate(frames):
         main_bw = _MsbWriter()
-        for gr in range(2):
+        for gr in range(gpf):
             for ch in range(nch):
                 fields = gr_fields[gr][ch]
                 raw = gr_bits[gr][ch].getvalue()
@@ -992,11 +1298,12 @@ def encode_mp3_layer3(
                     main_bw.write((raw[i >> 3] >> (7 - (i & 7))) & 1, 1)
         main = main_bw.getvalue()
         slot_start = f * main_room
-        lag_cap = 511 if use_reservoir else 0
+        mdb_max = 255 if lsf else 511
+        lag_cap = mdb_max if use_reservoir else 0
         if slot_start - len(stream) > lag_cap:
             stream += bytes(slot_start - lag_cap - len(stream))
         main_data_begin = slot_start - len(stream)
-        assert 0 <= main_data_begin <= 511
+        assert 0 <= main_data_begin <= mdb_max
         stream += main
         if len(stream) > slot_start + main_room:
             raise ValueError(
@@ -1004,35 +1311,40 @@ def encode_mp3_layer3(
                 f"({len(stream) - slot_start} > {main_room})"
             )
         sw = _MsbWriter()
-        sw.write(main_data_begin, 9)
-        sw.write(0, 5 if nch == 1 else 3)
-        for ch in range(nch):
-            for b in scfsi_mask[ch]:
-                sw.write(b, 1)
-        for gr in range(2):
+        if lsf:
+            sw.write(main_data_begin, 8)
+            sw.write(0, 1 if nch == 1 else 2)  # private; no scfsi
+        else:
+            sw.write(main_data_begin, 9)
+            sw.write(0, 5 if nch == 1 else 3)
+            for ch in range(nch):
+                for b in scfsi_mask[ch]:
+                    sw.write(b, 1)
+        for gr in range(gpf):
             for ch in range(nch):
                 fields = gr_fields[gr][ch]
                 sw.write(fields["part2_3_length"], 12)
                 sw.write(fields["big_values"], 9)
                 sw.write(fields["global_gain"], 8)
-                sw.write(fields["scalefac_compress"], 4)
+                sw.write(fields["scalefac_compress"], 9 if lsf else 4)
                 if fields["block_type"] != 0:
                     sw.write(1, 1)  # window switching
                     sw.write(fields["block_type"], 2)
                     sw.write(fields["mixed"], 1)
-                    sw.write(1, 5)  # table 1 (region 0)
-                    sw.write(1, 5)  # table 1 (region 1)
+                    sw.write(table_select, 5)  # region 0
+                    sw.write(table_select, 5)  # region 1
                     for w in range(3):
                         sw.write(subblock_gain[w], 3)
                 else:
                     sw.write(0, 1)  # no window switching (long blocks)
                     for _r in range(3):
-                        sw.write(1, 5)  # table 1 everywhere
+                        sw.write(table_select, 5)  # same table everywhere
                     sw.write(0, 4)  # region0_count
                     sw.write(0, 3)  # region1_count
-                sw.write(0, 1)  # preflag
+                if not lsf:
+                    sw.write(0, 1)  # preflag (implicit in LSF)
                 sw.write(0, 1)  # scalefac_scale (multiplier 0.5)
-                sw.write(1, 1)  # count1 table B
+                sw.write(0 if count1_table == "A" else 1, 1)
         side = sw.getvalue()
         assert len(side) == side_len
         side_infos.append(side)

@@ -348,11 +348,25 @@ def _decode_pixels(br: _Bits, w: int, h: int, level0: bool) -> np.ndarray:
     # stream built from 0-bit trivial codes (plus a meta image to dodge
     # the constant fast path) turns a few hundred input bytes into 2^26
     # interpreted iterations — the bytes-to-CPU bomb ADVICE r10 flagged.
+    # Spec-VALID streams can also progress on 0 bits (trivial codes
+    # under a meta image fill one cell-row span per event — ADVICE r11):
+    # those events write >=1 pixel each, so they get their own budget,
+    # generous enough for any non-degenerate image (4M spans) while
+    # still bounding a hostile 1-px-wide 2^26-px stream to seconds.
     events_left = 8 * len(br.data) + 1024
+    zero_events_left = 1 << 22
+    prev_bit = br.pos
+    prev_pos = pos
     while pos < total:
-        if events_left <= 0:
-            raise ValueError("VP8L decode-cost bound exceeded")
-        events_left -= 1
+        if br.pos == prev_bit and pos > prev_pos:
+            zero_events_left -= 1
+            if zero_events_left <= 0:
+                raise ValueError("VP8L zero-bit progress bound exceeded")
+        else:
+            events_left -= 1
+            if events_left <= 0:
+                raise ValueError("VP8L decode-cost bound exceeded")
+        prev_bit, prev_pos = br.pos, pos
         if meta_img is not None:
             x, y = pos % w, pos // w
             mi = int(meta_img[(y >> meta_bits) * meta_w + (x >> meta_bits)])
@@ -385,16 +399,24 @@ def _decode_pixels(br: _Bits, w: int, h: int, level0: bool) -> np.ndarray:
             pos = end
             continue
         if (
-            meta_img is None
-            and g_green.trivial is not None
+            g_green.trivial is not None
             and g_green.trivial >= 256 + _NUM_LENGTH_CODES
         ):
-            # trivial cache symbol forever: slots can never change (no
-            # literals/copies follow), so the rest is one constant
+            # trivial cache symbol: cache slots only change on literal /
+            # backref events, so while this group is active the slot is
+            # one constant — fill the whole remaining image (no meta
+            # image: no other group can ever run) or this meta cell's
+            # row span, vectorized (ADVICE r11 edge).
             if cache is None:
                 raise ValueError("VP8L cache symbol without a color cache")
-            out[pos:] = cache.lookup(g_green.trivial - 256 - _NUM_LENGTH_CODES)
-            pos = total
+            pix = cache.lookup(g_green.trivial - 256 - _NUM_LENGTH_CODES)
+            if meta_img is None:
+                end = total
+            else:
+                x, y = pos % w, pos // w
+                end = y * w + min(w, ((x >> meta_bits) + 1) << meta_bits)
+            out[pos:end] = pix
+            pos = end
             continue
         s = g_green.read(br)
         if s < 256:
@@ -432,12 +454,24 @@ def _decode_pixels(br: _Bits, w: int, h: int, level0: bool) -> np.ndarray:
 
 _T_PREDICTOR, _T_COLOR, _T_SUBTRACT_GREEN, _T_COLOR_INDEX = 0, 1, 2, 3
 
-# The inverse-predictor pass is inherently sequential (every pixel
-# reads its already-reconstructed left neighbour) so it runs as an
-# interpreted per-pixel loop; cap its cost below the generic MAX_PIXELS
-# bomb gate (2^26). 2^21 covers 1080p (2,073,600 px); larger
-# predictor-transformed images refuse honestly into quarantine.
-_MAX_PREDICTOR_PIXELS = 1 << 21
+# Only predictor modes whose prediction reads the just-reconstructed
+# LEFT pixel nonlinearly (5, 6, 7, 10, 11, 12, 13) are inherently
+# sequential and run as an interpreted per-pixel loop; modes 0/2/3/4/
+# 8/9 read the previous row only and mode 1 is a per-channel running
+# sum, so whole block-row segments of those vectorize (ADVICE r11).
+# The interpreted-cost cap therefore counts SLOW-mode pixels only —
+# 2^21 of them is seconds of work; beyond that the image refuses
+# honestly into quarantine. Env-tunable like the PyAV seam.
+_SLOW_PRED_MODES = frozenset((5, 6, 7, 10, 11, 12, 13))
+
+
+def _pred_slow_cap() -> int:
+    import os
+
+    try:
+        return int(os.environ.get("SPARK_GRAFT_VP8L_PRED_CAP", str(1 << 21)))
+    except ValueError:
+        return 1 << 21
 
 
 def _avg2(a: int, b: int) -> int:
@@ -522,25 +556,83 @@ def _inverse_predictor(argb: np.ndarray, w: int, h: int, bits: int,
                        pred_img: np.ndarray) -> None:
     pw = _sub_size(w, bits)
     data = argb  # flat uint32, residuals in, pixels out (in place)
-    for y in range(h):
-        row = y * w
-        for x in range(w):
-            if y == 0 and x == 0:
-                pred = 0xFF000000
-            elif y == 0:
-                pred = int(data[row + x - 1])  # L
-            elif x == 0:
-                pred = int(data[row - w + x])  # T
+    img = data[: w * h].reshape(h, w)
+    # little-endian channel bytes: [..., 0]=B [..., 1]=G [..., 2]=R
+    # [..., 3]=A; uint8 arithmetic wraps mod 256, the spec's rule
+    ch = img.view(np.uint8).reshape(h, w, 4)
+    modes = ((pred_img.reshape(-1, pw) >> 8) & 0xF).astype(np.int64)
+    slow_left = _pred_slow_cap()
+    # row 0: (0,0) is black-predicted, every other pixel L-predicted —
+    # one per-channel running sum
+    ch[0, 0, 3] += 0xFF
+    img[0, :] = (
+        np.cumsum(ch[0].astype(np.uint32), axis=0).astype(np.uint8)
+        .view(np.uint32)
+        .reshape(-1)
+    )
+    for y in range(1, h):
+        ch[y, 0] += ch[y - 1, 0]  # column 0: T-predicted
+        mrow = modes[y >> bits]
+        for xb in range((w + (1 << bits) - 1) >> bits):
+            x0 = max(1, xb << bits)
+            x1 = min(w, (xb + 1) << bits)
+            if x1 <= x0:
+                continue
+            mode = int(mrow[xb])
+            if mode in _SLOW_PRED_MODES:
+                slow_left -= x1 - x0
+                if slow_left < 0:
+                    raise ValueError(
+                        "VP8L predictor transform exceeds the interpreted-"
+                        f"decode pixel cap (slow modes > {_pred_slow_cap()})"
+                    )
+                row = y * w
+                for x in range(x0, x1):
+                    l = int(data[row + x - 1])
+                    t = int(data[row - w + x])
+                    tl = int(data[row - w + x - 1])
+                    # TR of the last column wraps to the current row's
+                    # first pixel (the contiguous-memory rule)
+                    tr = (
+                        int(data[row - w + x + 1]) if x + 1 < w
+                        else int(data[row])
+                    )
+                    pred = _predict(mode, l, t, tr, tl)
+                    data[row + x] = _add_pixels(int(data[row + x]), pred)
+                continue
+            if mode == 0:
+                ch[y, x0:x1, 3] += 0xFF
+            elif mode == 1:  # L: running sum seeded by the left pixel
+                seg = ch[y, x0 - 1 : x1].astype(np.uint32)
+                img[y, x0:x1] = (
+                    np.cumsum(seg, axis=0)[1:].astype(np.uint8)
+                    .view(np.uint32)
+                    .reshape(-1)
+                )
+            elif mode == 2:  # T
+                ch[y, x0:x1] += ch[y - 1, x0:x1]
+            elif mode == 3:  # TR (last column wraps to row start)
+                tr = np.empty((x1 - x0, 4), dtype=np.uint8)
+                tr[: min(x1 + 1, w) - (x0 + 1)] = ch[y - 1, x0 + 1 : x1 + 1]
+                if x1 == w:
+                    tr[-1] = ch[y, 0]
+                ch[y, x0:x1] += tr
+            elif mode == 4:  # TL
+                ch[y, x0:x1] += ch[y - 1, x0 - 1 : x1 - 1]
+            elif mode in (8, 9):  # avg2(TL, T) / avg2(T, TR)
+                t = ch[y - 1, x0:x1].astype(np.uint16)
+                if mode == 8:
+                    other = ch[y - 1, x0 - 1 : x1 - 1].astype(np.uint16)
+                else:
+                    other = np.empty((x1 - x0, 4), dtype=np.uint16)
+                    other[: min(x1 + 1, w) - (x0 + 1)] = ch[
+                        y - 1, x0 + 1 : x1 + 1
+                    ]
+                    if x1 == w:
+                        other[-1] = ch[y, 0]
+                ch[y, x0:x1] += (((t + other) >> 1)).astype(np.uint8)
             else:
-                mode = (int(pred_img[(y >> bits) * pw + (x >> bits)]) >> 8) & 0xF
-                l = int(data[row + x - 1])
-                t = int(data[row - w + x])
-                tl = int(data[row - w + x - 1])
-                # TR of the last column wraps to the current row's
-                # first pixel (the contiguous-memory rule)
-                tr = int(data[row - w + x + 1]) if x + 1 < w else int(data[row])
-                pred = _predict(mode, l, t, tr, tl)
-            data[row + x] = _add_pixels(int(data[row + x]), pred)
+                raise ValueError(f"bad VP8L predictor mode {mode}")
 
 
 def _inverse_color_transform(argb: np.ndarray, w: int, h: int, bits: int,
@@ -624,11 +716,6 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
             raise ValueError("VP8L transform repeated")
         seen.add(ttype)
         if ttype in (_T_PREDICTOR, _T_COLOR):
-            if ttype == _T_PREDICTOR and w * h > _MAX_PREDICTOR_PIXELS:
-                raise ValueError(
-                    "VP8L predictor transform exceeds the interpreted-"
-                    f"decode pixel cap ({w}x{h} > {_MAX_PREDICTOR_PIXELS})"
-                )
             tbits = 2 + br.bits(3)
             tw, th = _sub_size(cur_w, tbits), _sub_size(h, tbits)
             timg = _decode_pixels(br, tw, th, level0=False)

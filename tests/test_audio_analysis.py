@@ -202,11 +202,17 @@ def test_extract_audio_analysis_matches_pure_function(spark):
     # absolute gate), not a refusal
     assert got[2]["decode_error"] is None
     assert got[2]["lufs"] is None and got[2]["silence_ratio"] == 1.0
-    # the refusal pin moves to LSF Layer III (no PCM tier there)
+    # round 12: LSF Layer III decodes too — the zeroed LSF stream is
+    # exact silence; the refusal pin moves to MPEG-2.5 (vbits 0)
     lsf = encode_mp3_frames(4, kbps=64, rate=22050, mpeg2=True, layer=3)
     out = extract_audio_analysis(_media_df(spark, [lsf]))
+    row = out.collect()[0]
+    assert row["decode_error"] is None and row["silence_ratio"] == 1.0
+    m25 = bytearray(lsf)
+    m25[1] &= ~0x18  # version bits 2 (MPEG-2) -> 0 (MPEG-2.5)
+    out = extract_audio_analysis(_media_df(spark, [bytes(m25)]))
     err = out.collect()[0]["decode_error"]
-    assert err is not None and "MPEG-2" in err
+    assert err is not None and "MPEG-2.5" in err
 
 
 def test_extract_audio_analysis_raise_mode(spark):

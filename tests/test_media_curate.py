@@ -94,8 +94,8 @@ def test_curate_media_lossy_content_gate_rejects_not_passes(spark):
     """A content gate the corpus can't evaluate REJECTS, never
     silently keeps. Round 11: MPEG-1 Layer III decodes for real (the
     zeroed-granule stream is silence, so it faces the lufs gate as a
-    true gate fate); MPEG-2 (LSF) Layer III still has no PCM tier and
-    must carry the honest refusal."""
+    true gate fate); round 12: MPEG-2 (LSF) decodes too, so its
+    zeroed stream faces the same gate instead of refusing."""
     mp3 = C.encode_mp3_frames(n_frames=40, kbps=128, rate=44100)
     lsf = C.encode_mp3_frames(n_frames=40, kbps=64, rate=22050,
                               mpeg2=True, layer=3)
@@ -106,7 +106,7 @@ def test_curate_media_lossy_content_gate_rejects_not_passes(spark):
     assert [r["media_id"] for r in clean.collect()] == [0]
     reasons = {r["media_id"]: r["reason"] for r in rejected.collect()}
     assert reasons[1] == "gate:min_lufs"  # silence: nothing to gate on
-    assert "MPEG-2" in reasons[2]
+    assert reasons[2] == "gate:min_lufs"  # LSF silence: same fate (r12)
     # without content gates all three sail through on header truth
     clean2, rejected2 = curate_media(
         _media_df(spark, rows), kind="audio", max_hamming=None

@@ -48,8 +48,11 @@ def test_sfb_tables_tile_the_spectrum():
 def test_trusted_tables_are_prefix_complete():
     # re-run the import-time checks explicitly (they must keep holding
     # for any table swapped in through the B.7 seam)
-    L3._check_prefix_complete(L3._TAB1, "table 1")
+    for tid, entry in L3._HUFF_TABLES.items():
+        if entry is not None and entry[0]:
+            L3._check_prefix_complete(entry[0], f"table {tid}")
     L3._check_prefix_complete(L3._COUNT1_B, "count1 B")
+    L3._check_prefix_complete(L3._COUNT1_A, "count1 A")
     with pytest.raises(AssertionError, match="Kraft"):
         L3._check_prefix_complete({(0, 0): (2, 0)}, "undersubscribed")
     with pytest.raises(AssertionError, match="prefix|Kraft"):
@@ -336,23 +339,142 @@ def test_untrusted_tables_refuse_by_name():
     blob = L3.encode_mp3_layer3(sine(), RATE)
     # mono side info: granule 0's first table_select begins at bit
     # 9 + 5 + 4 + (12 + 9 + 8 + 4 + 1) = 52 past the 4-byte header
-    bad = _flip_side_bits(blob, 4 * 8 + 52, 7, 5)
-    with pytest.raises(NotImplementedError, match="table 7"):
+    bad = _flip_side_bits(blob, 4 * 8 + 52, 13, 5)
+    with pytest.raises(NotImplementedError, match="table 13"):
         L3.decode_mp3_layer3(bad)
     bad = _flip_side_bits(blob, 4 * 8 + 52, 24, 5)
     with pytest.raises(NotImplementedError, match="table 24"):
         L3.decode_mp3_layer3(bad)
-    # count1 table A (select bit 0) refuses while quads remain
-    bad = _flip_side_bits(blob, 4 * 8 + 18 + 59 - 1, 0, 1)
-    with pytest.raises(NotImplementedError, match="count1 table A"):
-        L3.decode_mp3_layer3(bad)
+
+
+def test_transcribed_table_registry_round_trips():
+    """Round 12: every transcribed big-value table carries a real
+    bitstream round trip, and same-alphabet tables must produce
+    BIT-IDENTICAL PCM — the quantized spectra are equal, only the
+    wire bits differ, so any same-length value mixup inside one of
+    the twin tables would break the equality."""
+    pcm = melody(3)
+    mid = slice(2304, len(pcm) - 2304)
+    ref_db = _rms_db(pcm[mid])
+    outs, corrs = {}, {}
+    for tab in (1, 2, 3, 5, 6, 7, 8, 9):
+        dec, rate = L3.decode_mp3_layer3(
+            L3.encode_mp3_layer3(pcm, RATE, table_select=tab)
+        )
+        assert rate == RATE
+        outs[tab] = dec[:, 0]
+        assert abs(_rms_db(dec[mid, 0]) - ref_db) < 1.0, tab
+        d = dec[:, 0]
+        best = max(
+            range(0, 2200),
+            key=lambda l: float(np.dot(d[l : l + 4000], pcm[:4000])),
+        )
+        corrs[tab] = np.corrcoef(d[best : best + 4000], pcm[:4000])[0, 1]
+        assert corrs[tab] > 0.95, (tab, corrs[tab])
+    # a finer quantizer alphabet must track the source better
+    assert corrs[1] < corrs[2] < corrs[5] < corrs[7]
+    for a, b in ((2, 3), (5, 6), (7, 8), (8, 9)):
+        assert np.array_equal(outs[a], outs[b]), (a, b)
+
+
+def test_count1_table_a_round_trip():
+    pcm = melody(11)
+    blob_a = L3.encode_mp3_layer3(pcm, RATE, count1_table="A")
+    blob_b = L3.encode_mp3_layer3(pcm, RATE, count1_table="B")
+    side = L3._parse_side_info(blob_a[4:21], 1)
+    assert side["granules"][0][0]["count1table_select"] == 0
+    side = L3._parse_side_info(blob_b[4:21], 1)
+    assert side["granules"][0][0]["count1table_select"] == 1
+    # identical quantized spectra -> identical PCM from either wire
+    dec_a = L3.decode_mp3_layer3(blob_a)[0]
+    dec_b = L3.decode_mp3_layer3(blob_b)[0]
+    assert np.array_equal(dec_a, dec_b)
+    mid = slice(2304, len(pcm) - 2304)
+    assert abs(_rms_db(dec_a[mid, 0]) - _rms_db(pcm[mid])) < 1.0
+
+
+def test_lsf_round_trips_track_the_source():
+    """MPEG-2 LSF (round 12): 13818-3 side info (8-bit back-pointer,
+    one granule, 9-bit scalefac_compress, implicit preflag), the slen
+    decomposition rows 0/1/2, LSF sfb widths, MS stereo, and short
+    blocks — all through real encode/decode round trips."""
+    rate = 22050
+    pcm = melody(5, rate=rate)
+    mid = slice(2304, len(pcm) - 2304)
+    for kw in (
+        {},
+        {"table_select": 7},
+        {"count1_table": "A"},
+        {"lsf_sfc": 101},   # row 0: slen (1,1,1,1)
+        {"lsf_sfc": 470},   # row 1: slen (3,2,2,0)
+        {"lsf_sfc": 508},   # row 2: slen (2,2,0,0) + preflag/pretab
+        {"short_blocks": True},
+    ):
+        blob = L3.encode_mp3_layer3(pcm, rate, kbps=64, version=2, **kw)
+        dec, r = L3.decode_mp3_layer3(blob)
+        assert r == rate, kw
+        assert abs(_rms_db(dec[mid, 0]) - _rms_db(pcm[mid])) < 1.0, kw
+        d = dec[:, 0]
+        best = max(
+            range(0, 2200),
+            key=lambda l: float(np.dot(d[l : l + 4000], pcm[:4000])),
+        )
+        thr = 0.9 if kw.get("short_blocks") else 0.95
+        assert np.corrcoef(d[best : best + 4000], pcm[:4000])[0, 1] > thr, kw
+    # MS stereo and the other LSF rates
+    st = np.stack([pcm, melody(6, rate=rate)], 1)
+    dec, r = L3.decode_mp3_layer3(
+        L3.encode_mp3_layer3(st, rate, kbps=64, version=2, ms=True)
+    )
+    assert r == rate and dec.shape[1] == 2
+    for ch in range(2):
+        assert abs(_rms_db(dec[mid, ch]) - _rms_db(st[mid, ch])) < 1.5, ch
+    for r2 in (24000, 16000):
+        pcm2 = melody(7, rate=r2)
+        dec, got = L3.decode_mp3_layer3(
+            L3.encode_mp3_layer3(pcm2, r2, kbps=64, version=2)
+        )
+        m2 = slice(2304, len(pcm2) - 2304)
+        assert got == r2
+        assert abs(_rms_db(dec[m2, 0]) - _rms_db(pcm2[m2])) < 1.0, r2
+
+
+_GSUTIL_MP3 = (
+    "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/"
+    "test.mp3"
+)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_GSUTIL_MP3),
+    reason="gsutil test data not present",
+)
+def test_real_world_lsf_stream_decodes():
+    """A REAL third-party encoder's MP3 (Apache-2.0 gsutil test data
+    that ships in this container: 22.05 kHz mono 64 kbps MPEG-2 LSF,
+    45 frames of digital silence — all side info verified by hand in
+    round 12) must decode end-to-end through the LSF walk: 8-bit
+    back-pointers up to 255, real padding bytes, ID3v2 skip. Every
+    granule's bit walk lands exactly on part2_3_length or the decode
+    would raise — a real-world structural receipt for the walk."""
+    data = open(_GSUTIL_MP3, "rb").read()
+    dec, rate = L3.decode_mp3_layer3(data)
+    assert rate == 22050
+    assert dec.shape == (45 * 576, 1)
+    assert np.abs(dec).max() == 0.0  # the file is digital silence
 
 
 def test_structural_refusals_and_desync_guard():
-    with pytest.raises(NotImplementedError, match="MPEG-2"):
-        L3.decode_mp3_layer3(
-            encode_mp3_frames(5, kbps=64, rate=22050, mpeg2=True, layer=3)
-        )
+    # round 12: MPEG-2 LSF decodes (zeroed granules -> exact silence);
+    # the version refusal pin moves to MPEG-2.5
+    lsf = encode_mp3_frames(5, kbps=64, rate=22050, mpeg2=True, layer=3)
+    dec, rate = L3.decode_mp3_layer3(lsf)
+    assert rate == 22050 and dec.shape == (5 * 576, 2)
+    assert np.abs(dec).max() == 0.0
+    m25 = bytearray(lsf)
+    m25[1] &= ~0x18  # version bits -> MPEG-2.5
+    with pytest.raises(NotImplementedError, match="MPEG-2.5"):
+        L3.decode_mp3_layer3(bytes(m25))
     # intensity + short blocks is the one stereo corner that refuses:
     # flip a short-block stereo stream's mode/mode_ext to joint/IS
     blob = L3.encode_mp3_layer3(
@@ -410,7 +532,8 @@ def test_l3_through_the_content_gates(spark):
         r["media_id"]: r
         for r in extract_audio_analysis(media).collect()
     }
-    assert got[3]["decode_error"] is not None  # LSF keeps refusing
+    assert got[3]["decode_error"] is None  # LSF decodes since r12
+    assert got[3]["silence_ratio"] == 1.0
     assert got[1]["decode_error"] is None
     assert abs(got[1]["lufs"] - got[0]["lufs"]) < 1.0  # vs the WAV twin
     assert got[1]["silence_ratio"] == got[0]["silence_ratio"] == 0.0

@@ -235,14 +235,96 @@ def test_decode_cost_bounds():
         np.arange(30, dtype=np.uint8).reshape(1, 10, 3), (12, 40, 1)
     )
     assert np.array_equal(V.decode_vp8l(V.encode_vp8l(pat)), pat)
-    # predictor transform above the interpreted cap refuses loudly
-    head = ((2048 - 1) | ((2048 - 1) << 14)).to_bytes(4, "little")
+    # the predictor interpreted-cost cap counts SLOW-mode pixels only
+    # (ADVICE r11): prev-row/left-sum modes vectorize at any size; the
+    # sequential modes refuse once past the env-tunable cap
+    import os
+
+    img2 = _rgb(7, 40, 50)
+    fast = V.encode_vp8l(img2, predictor=2)
+    slow = V.encode_vp8l(img2, predictor=12)
+    os.environ["SPARK_GRAFT_VP8L_PRED_CAP"] = "1000"  # 39*49 slow px
+    try:
+        assert np.array_equal(V.decode_vp8l(fast), img2)
+        with pytest.raises(ValueError, match="pixel cap"):
+            V.decode_vp8l(slow)
+    finally:
+        del os.environ["SPARK_GRAFT_VP8L_PRED_CAP"]
+    assert np.array_equal(V.decode_vp8l(slow), img2)  # default cap
+
+
+def test_trivial_cache_symbol_under_meta_image():
+    """ADVICE r11 edge: a meta-image group whose green code is a
+    trivial (0-bit) CACHE symbol progresses without consuming payload
+    bits. Pinned fate: it DECODES via the span fast path and the
+    zero-bit progress budget — not a false quarantine."""
+    w, h = 8, 4
+    pix = (255 << 24) | (7 << 16) | (42 << 8) | 9  # ARGB of group 0
+    slot = ((V._CACHE_MULT * pix) & 0xFFFFFFFF) >> 31  # cache_bits=1
+
     bw = V._BitWriter()
-    bw.bits(1, 1)  # a transform follows
-    bw.bits(V._T_PREDICTOR, 2)
-    hostile = bytes([0x2F]) + head + bw.done()
-    with pytest.raises(ValueError, match="pixel cap"):
-        V.decode_vp8l(hostile)
+    bw.bits(0, 1)  # no transforms
+    bw.bits(1, 1)
+    bw.bits(1, 4)  # color cache, 1 bit
+    bw.bits(1, 1)
+    bw.bits(0, 3)  # meta prefix codes, meta_bits = 2 -> mw=2 mh=1
+
+    def simple_trivial(sym):
+        bw.bits(1, 1)  # simple code
+        bw.bits(0, 1)  # one symbol
+        if sym <= 1:
+            bw.bits(0, 1)
+            bw.bits(sym, 1)
+        else:
+            bw.bits(1, 1)
+            bw.bits(sym, 8)
+
+    # meta image (2x1, its own code group): green over {0,1}, rest 0
+    bw.bits(0, 1)  # no cache in the meta image
+    bw.bits(1, 1)  # green: simple, two symbols
+    bw.bits(1, 1)
+    bw.bits(0, 1)
+    bw.bits(0, 1)  # sym0 = 0 (1-bit form)
+    bw.bits(1, 8)  # sym1 = 1
+    for s in (0, 0, 0, 0):  # red/blue/alpha/dist trivial 0
+        simple_trivial(s)
+    bw.bits(0, 1)  # meta pixel 0: green sym 0 -> group 0
+    bw.bits(1, 1)  # meta pixel 1: green sym 1 -> group 1
+
+    # group 0: all-trivial LITERAL (fills its cell span, seeds cache)
+    for s in (42, 7, 9, 255, 0):  # green/red/blue/alpha/dist
+        simple_trivial(s)
+    # group 1: green = trivial big symbol 280+slot (cache lookup), via
+    # the full code-length form (simple form caps symbols at 255):
+    # cl code over {1, 18}, two 18-repeats of zeros, then one length-1
+    sym = 256 + 24 + slot
+    bw.bits(0, 1)  # full form
+    bw.bits(0, 4)  # num_codes = 4 -> cl symbols 17, 18, 0, 1
+    for ln in (0, 1, 0, 1):  # lengths for 17, 18, 0, 1
+        bw.bits(ln, 3)
+    chunks, r = [], sym
+    while r:  # 18-repeat runs of zeros, each 11..138
+        take = min(138, r)
+        if r - take and r - take < 11:
+            take = r - 11
+        chunks.append(take)
+        r -= take
+    bw.bits(1, 1)  # length-capped read
+    bw.bits(0, 3)  # length_nbits = 2
+    bw.bits(len(chunks) - 1, 2)  # max_symbol = 2 + n = reads allowed
+    for take in chunks:
+        assert 11 <= take <= 138
+        bw.code(1, 1)  # cl symbol 18
+        bw.bits(take - 11, 7)
+    bw.code(0, 1)  # cl symbol 1 -> length 1 at `sym`
+    for s in (0, 0, 0, 0):  # red/blue/alpha/dist (never read)
+        simple_trivial(s)
+    # no payload bits at all: every event is a 0-bit span fill
+
+    head = ((w - 1) | ((h - 1) << 14)).to_bytes(4, "little")
+    out = V.decode_vp8l(bytes([0x2F]) + head + bw.done())
+    assert out.shape == (h, w, 3)
+    assert (out == np.array([7, 42, 9], dtype=np.uint8)).all()
 
 
 def test_fuzz_vp8l_walk():
