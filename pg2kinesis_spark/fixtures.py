@@ -728,12 +728,23 @@ def gen_media_pdfs() -> tuple[list[tuple], list[tuple]]:
     g_kappa = [["kappa: same figure, ObjStm + AESV2"]]
     g_lam = [["lambda: a G4 scanned plate"]]
     g_mu = [["mu: a JPX plate (quarantines per image)"]]
+    # 15 (round 12): a JBIG2 generic-region plate — MQ-coded through
+    # the encoder twin, decoded back to the construction pixels
+    from pg2kinesis_spark.functions import jbig2 as JB
+
+    ink2 = (irng.random((24, 40)) < 0.25).astype(bool)
+    jb_stream = JB.encode_jbig2(ink2)
+    jb_png = C.encode_png(
+        np.where(ink2, 0, 255).astype(np.uint8)[:, :, None]
+    )
+    g_nu = [["nu: a JBIG2 generic plate"]]
     pdf_rows += [
         (11, encode_pdf(g_iota, images=[(jpg, 24, 24, "jpeg")])),
         (12, encode_pdf(g_kappa, images=[(jpg, 24, 24, "jpeg")],
                         compress=True, objstm=True, encrypt_r=4)),
         (13, encode_pdf(g_lam, images=[(fax, 32, 20, "ccitt-g4")])),
         (14, encode_pdf(g_mu, images=[(b"\x00jp2-junk", 8, 8, "jpx")])),
+        (15, encode_pdf(g_nu, images=[(jb_stream, 40, 24, "jbig2")])),
     ]
     jpg_md5 = _hl.md5(jpg).hexdigest()
     truth_rows = [
@@ -754,6 +765,10 @@ def gen_media_pdfs() -> tuple[list[tuple], list[tuple]]:
         (13, expected(g_lam), 1, 1, "image/png",
          _hl.md5(plate_png).hexdigest()),
         (14, expected(g_mu), 1, 1, None, None),  # JPX: per-image NULL
+        # 15: JBIG2 generic plate -> PNG of the construction pixels
+        # (the G4-plate precedent, round 12)
+        (15, expected(g_nu), 1, 1, "image/png",
+         _hl.md5(jb_png).hexdigest()),
     ]
     return pdf_rows, truth_rows
 

@@ -1445,7 +1445,12 @@ def pdf_images(data: bytes, password: bytes | str = b"") -> list[tuple]:
       8-bit /DeviceRGB or /DeviceGray re-wrap losslessly as PNG via
       codecs.encode_png, so downstream sees one uniform image format.
 
-    JPX/JBIG2/CCITT payloads, exotic colorspaces, and sub-8-bit depths
+    **/CCITTFaxDecode** and (round 12) **/JBIG2Decode** plates decode
+    to pixels: CCITT through the G3/G4 kernel, JBIG2 generic regions
+    through the MQ-coder tier (functions/jbig2.py, incl.
+    /JBIG2Globals resolution); both render black ink = 0 and re-wrap
+    as PNG. JBIG2 symbol/text/halftone/refinement segments, MMR
+    regions, JPX payloads, exotic colorspaces, and sub-8-bit depths
     yield (idx, None, None, reason) — per-image quarantine, the whole
     document never fails over one plate."""
     data = bytes(data)
@@ -1503,7 +1508,47 @@ def pdf_images(data: bytes, password: bytes | str = b"") -> list[tuple]:
 
                 gray = np.where(black, 0, 255).astype(np.uint8)[:, :, None]
                 out.append((idx, C.encode_png(gray), "image/png", None))
-            elif names and names[-1] in (b"JPXDecode", b"JBIG2Decode"):
+            elif names and names[-1] == b"JBIG2Decode":
+                from pg2kinesis_spark.functions import codecs as C
+                from pg2kinesis_spark.functions import jbig2 as jbig2_mod
+
+                emb = _decode_stream(head, body, upto=len(names) - 1)
+                if emb is None:
+                    raise NotImplementedError(
+                        "image filter before the JBIG2 payload"
+                    )
+                w = _img_int(head, b"/Width")
+                h = _img_int(head, b"/Height")
+                if not w or not h:
+                    raise ValueError("image without /Width + /Height")
+                parms = _parse_decode_parms(head)
+                p = parms[len(names) - 1] if len(parms) >= len(names) else b""
+                glob = b""
+                mg = re.search(rb"/JBIG2Globals\s+(\d+)\s+\d+\s+R", p)
+                if mg:
+                    gnum = int(mg.group(1))
+                    if gnum not in objs or objs[gnum][1] is None:
+                        raise ValueError("/JBIG2Globals object missing")
+                    ghead, gbody = objs[gnum]
+                    glob = _decode_stream(ghead, gbody)
+                    if glob is None:
+                        raise NotImplementedError(
+                            "undecodable /JBIG2Globals filter chain"
+                        )
+                black = jbig2_mod.decode_jbig2(emb, glob)
+                if black.shape != (h, w):
+                    # pages can be declared larger than the image dict
+                    if black.shape[0] < h or black.shape[1] < w:
+                        raise ValueError(
+                            f"JBIG2 page {black.shape} smaller than "
+                            f"image {w}x{h}"
+                        )
+                    black = black[:h, :w]
+                import numpy as np
+
+                gray = np.where(black, 0, 255).astype(np.uint8)[:, :, None]
+                out.append((idx, C.encode_png(gray), "image/png", None))
+            elif names and names[-1] == b"JPXDecode":
                 raise NotImplementedError(
                     f"{names[-1].decode()} image payloads"
                 )
@@ -1795,12 +1840,21 @@ class _PdfBuilder:
         stores palette indices at ``bpc`` bits with the RGB ``palette``
         as a hex-string /Indexed lookup; 'ccitt-g4'/'ccitt-g3'/
         'ccitt-mh' store pre-coded fax bytes under /CCITTFaxDecode
-        with the matching /DecodeParms (K -1/2/0)."""
+        with the matching /DecodeParms (K -1/2/0); 'jbig2' stores an
+        embedded-organization stream (jbig2.encode_jbig2) under
+        /JBIG2Decode."""
         if kind == "jpeg":
             extra = b" /Filter /DCTDecode /ColorSpace /DeviceRGB /BitsPerComponent 8"
             body = payload
         elif kind == "jpx":
             extra = b" /Filter /JPXDecode /ColorSpace /DeviceRGB /BitsPerComponent 8"
+            body = payload
+        elif kind == "jbig2":
+            # an embedded-organization stream from jbig2.encode_jbig2
+            extra = (
+                b" /Filter /JBIG2Decode"
+                b" /ColorSpace /DeviceGray /BitsPerComponent 1"
+            )
             body = payload
         elif kind.startswith("ccitt"):
             k = {"ccitt-g4": -1, "ccitt-g3": 2, "ccitt-mh": 0}[kind]
