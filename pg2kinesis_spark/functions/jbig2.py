@@ -33,9 +33,10 @@ honest refusal):
   (tests/test_jbig2.py::test_pymupdf_cross_decoder), which renders a
   plate through an independent JBIG2 implementation.
 
-Refusals (by name): MMR-coded generic regions, refinement / symbol
-dictionary / text / halftone / pattern segments, unknown data length,
-auxiliary buffers. Decode cost is capped (interpreted per-pixel MQ
+MMR-coded generic regions route to the CCITT T.6/G4 kernel (MMR IS
+T.6 coding — the TIFF-compression-4 precedent). Refusals (by name):
+refinement / symbol dictionary / text / halftone / pattern segments,
+unknown data length, auxiliary buffers. Decode cost is capped (interpreted per-pixel MQ
 work) like the VP8L predictor cap.
 
 Reference: /root/reference/pg2kinesis has no image surface; this is
@@ -547,9 +548,20 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             w, h, x, y, comb = _parse_region_info(body[:17])
             gflags = body[17]
             if gflags & 1:
-                raise NotImplementedError(
-                    "JBIG2 MMR-coded generic region"
-                )
+                # MMR-coded generic region: MMR IS T.6/G4 coding
+                # (pure 2D, no EOLs) — route to the CCITT kernel
+                # (round 12; the TIFF-compression-4 precedent)
+                if w <= 0 or h <= 0 or w * h > _jbig2_pixel_cap():
+                    raise NotImplementedError(
+                        f"JBIG2 region {w}x{h} exceeds the "
+                        f"interpreted-decode pixel cap"
+                    )
+                from pg2kinesis_spark.functions import ccitt as ccitt_mod
+
+                bm = ccitt_mod.ccitt_decode(body[18:], w, h, k=-1)
+                regions.append((bm.astype(bool), x, y, comb))
+                pos = nxt
+                continue
             template = (gflags >> 1) & 3
             tpgdon = bool(gflags & 8)
             n_at = 4 if template == 0 else 1
@@ -606,14 +618,20 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
 
 
 def encode_jbig2(bitmap: np.ndarray, template: int = 0,
-                 tpgdon: bool = False) -> bytes:
+                 tpgdon: bool = False, mmr: bool = False) -> bytes:
     """Encoder twin: bool (H, W) -> embedded-organization stream
     (page info + immediate lossless generic region), the layout a
-    PDF /JBIG2Decode stream carries."""
+    PDF /JBIG2Decode stream carries. ``mmr`` codes the region with
+    T.6/G4 (the CCITT kernel) instead of the MQ coder."""
     bm = np.asarray(bitmap).astype(bool)
     h, w = bm.shape
     at = _TEMPLATES[template][1]
-    payload = encode_generic_region(bm, template, at, tpgdon)
+    if mmr:
+        from pg2kinesis_spark.functions import ccitt as ccitt_mod
+
+        payload = ccitt_mod.ccitt_encode(bm, k=-1, eofb=False)
+    else:
+        payload = encode_generic_region(bm, template, at, tpgdon)
 
     def segment(num: int, stype: int, body: bytes) -> bytes:
         head = struct.pack(">IB", num, stype)  # page-assoc 1 byte
@@ -625,11 +643,14 @@ def encode_jbig2(bitmap: np.ndarray, template: int = 0,
     page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00\x00\x00"
     out = segment(0, _SEG_PAGE_INFO, page_info)
     region = struct.pack(">IIII", w, h, 0, 0) + bytes([0])  # OR
-    gflags = ((template & 3) << 1) | (8 if tpgdon else 0)
+    gflags = ((template & 3) << 1) | (8 if tpgdon else 0) | (
+        1 if mmr else 0
+    )
     region += bytes([gflags])
-    n_at = 4 if template == 0 else 1
-    for ax, ay in at[:n_at]:
-        region += struct.pack(">bb", ax, ay)
+    if not mmr:
+        n_at = 4 if template == 0 else 1
+        for ax, ay in at[:n_at]:
+            region += struct.pack(">bb", ax, ay)
     region += payload
     out += segment(1, _SEG_GENERIC_IMMEDIATE_LOSSLESS, region)
     return out

@@ -1449,8 +1449,9 @@ def pdf_images(data: bytes, password: bytes | str = b"") -> list[tuple]:
     to pixels: CCITT through the G3/G4 kernel, JBIG2 generic regions
     through the MQ-coder tier (functions/jbig2.py, incl.
     /JBIG2Globals resolution); both render black ink = 0 and re-wrap
-    as PNG. JBIG2 symbol/text/halftone/refinement segments, MMR
-    regions, JPX payloads, exotic colorspaces, and sub-8-bit depths
+    as PNG (MMR regions ride the same CCITT kernel). JBIG2
+    symbol/text/halftone/refinement segments, JPX payloads, exotic
+    colorspaces, and sub-8-bit depths
     yield (idx, None, None, reason) — per-image quarantine, the whole
     document never fails over one plate."""
     data = bytes(data)

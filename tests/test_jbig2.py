@@ -120,16 +120,27 @@ def test_embedded_stream_and_composition():
     )
 
 
+def test_mmr_regions_route_to_the_ccitt_kernel():
+    """MMR-coded generic regions ARE T.6/G4 coding — they decode
+    through the existing CCITT kernel instead of refusing (round 12,
+    the TIFF-compression-4 precedent)."""
+    img = _plate(41, 28, 44, p=0.2)
+    stream = J.encode_jbig2(img, mmr=True)
+    assert np.array_equal(J.decode_jbig2(stream), img)
+    # and through a PDF plate end to end
+    doc = P.encode_pdf(
+        [["xi: an MMR JBIG2 plate"]], images=[(stream, 44, 28, "jbig2")]
+    )
+    images = P.pdf_images(doc)
+    assert len(images) == 1 and images[0][3] is None
+    px = decode_image(images[0][1])
+    got = px[:, :, 0] if px.ndim == 3 else px
+    assert np.array_equal(got, np.where(img, 0, 255).astype(np.uint8))
+
+
 def test_refusals_by_name_and_pixel_cap(monkeypatch):
     img = _plate(17, 16, 16)
     stream = bytearray(J.encode_jbig2(img))
-    # find the generic-region segment's flags byte and set MMR
-    # (segment 1 header is 11 bytes; region info 17; flags next)
-    seg1 = 11 + 19 + 11 + 17  # seg0 hdr + page info + seg1 hdr + region
-    mmr = bytearray(stream)
-    mmr[seg1] |= 1
-    with pytest.raises(NotImplementedError, match="MMR"):
-        J.decode_jbig2(bytes(mmr))
     # symbol-dictionary segment type refuses by name
     sym = bytearray(stream)
     sym[4] = 0  # segment 0's type byte -> symbol dictionary

@@ -293,6 +293,119 @@ def op_audio_neardup(spark, media):
     return media_near_dup_pairs(media, signature="audio", max_hamming=0)
 
 
+def build_av_corpus(spark, rows: int) -> str:
+    """Landmark-match ladder corpus (n29's operator, round 12): ids
+    pair up — (2k, 2k+1) share a 1 s 8 kHz note sequence, the odd one
+    prepended with seed-dependent silence — so the offset-consensus
+    vote should recover ~one pair per id pair (~rows/2) with a
+    nonzero dt, which aligned-window fingerprints cannot see.
+    Measured (SCALING.md round 12): recall against the planted rows/2
+    is governed by hot_hash_cap — the default 64 keeps ~89% at the
+    100k rung, 256 recovers 100% at ~7x the wall."""
+    path = os.path.join(tempfile.gettempdir(), f"scaling_av_{rows}.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    import numpy as np
+    import pandas as pd
+
+    from pg2kinesis_spark.functions.multimodal import MEDIA_SCHEMA
+
+    def kernel(batches):
+        from pg2kinesis_spark.functions import codecs
+
+        n = 8000
+        for pdf in batches:
+            out = []
+            for mid in pdf["id"]:
+                seed = int(mid) // 2
+                rng = np.random.RandomState(seed % (2**31))
+                # continuous frequencies: cross-pair landmark-hash
+                # collisions vanish, so matches ~= the planted rows/2
+                freqs = 200.0 + 1200.0 * rng.random_sample(8)
+                t = np.arange(1000)
+                pcm = np.concatenate(
+                    [8000 * np.sin(2 * np.pi * f * t / 8000) for f in freqs]
+                )
+                if mid % 2:
+                    pad = (seed % 4 + 1) * 512
+                    pcm = np.concatenate([np.zeros(pad), pcm])
+                pcm = pcm[:n].astype(np.int16)[:, None]
+                data = codecs.encode_wav(pcm, 8000)
+                out.append((int(mid), data,
+                            {"mime": "audio/wav", "bytes_hint": len(data),
+                             "source_uri": f"mem://{mid}"}))
+            yield pd.DataFrame(out, columns=["media_id", "content", "meta"])
+
+    (
+        spark.range(rows)
+        .repartition(max(32, rows // 25_000))
+        .mapInPandas(kernel, MEDIA_SCHEMA)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def build_clip_corpus(spark, rows: int) -> str:
+    """Scene-cut ladder corpus: 12-frame 48x32 Y4M clips with one
+    hard luma cut planted at a seed-dependent frame — the per-clip
+    kernel is map-only Arrow work, so wall should scale linearly."""
+    path = os.path.join(tempfile.gettempdir(), f"scaling_clip_{rows}.parquet")
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    import numpy as np
+    import pandas as pd
+
+    from pg2kinesis_spark.functions.multimodal import MEDIA_SCHEMA
+
+    def kernel(batches):
+        from pg2kinesis_spark.functions import codecs
+
+        for pdf in batches:
+            out = []
+            for mid in pdf["id"]:
+                seed = int(mid)
+                cut = 3 + seed % 6
+                a = np.full((16, 24, 3), 30 + seed % 60, dtype=np.uint8)
+                b = np.full((16, 24, 3), 200 - seed % 60, dtype=np.uint8)
+                frames = [a] * cut + [b] * (12 - cut)
+                data = codecs.encode_y4m(frames)
+                out.append((int(mid), data,
+                            {"mime": "video/x-y4m", "bytes_hint": len(data),
+                             "source_uri": f"mem://{mid}"}))
+            yield pd.DataFrame(out, columns=["media_id", "content", "meta"])
+
+    (
+        spark.range(rows)
+        # clips are ~14 KB each (30x the audio rows): keep per-task
+        # pandas batches small or the single local JVM eats 32 big
+        # Arrow buffers at once (the 100k crash on the first attempt)
+        .repartition(max(64, rows // 2_000))
+        .mapInPandas(kernel, MEDIA_SCHEMA)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def op_av_landmark(spark, media):
+    # constellation hashes -> (hash, id, t1) shuffle with the hot-hash
+    # cap -> offset-consensus votes; planted pairs vote >100 on this
+    # corpus, pure-tone spurious agreements <20, so min_votes=25
+    # separates them cleanly — output tracks the planted rows/2 with
+    # recall set by hot_hash_cap (see SCALING.md round 12)
+    from pg2kinesis_spark.functions.multimodal import audio_landmark_match
+
+    return audio_landmark_match(media, min_votes=25)
+
+
+def op_av_scenecuts(spark, media):
+    # map-only per-clip Arrow kernel; output = 11 transitions per clip
+    from pg2kinesis_spark.functions.multimodal import video_scene_cuts
+
+    return video_scene_cuts(media)
+
+
 def op_media_features(spark, media):
     # full pixel decode (PNG + progressive-capable JPEG path) + luma
     from pg2kinesis_spark.functions.multimodal import extract_image_features
@@ -374,6 +487,8 @@ OPS = {
     "audio_neardup": op_audio_neardup,
     "audio_analysis": op_audio_analysis,
     "audio_curate": op_audio_curate,
+    "av_landmark": op_av_landmark,
+    "av_scenecuts": op_av_scenecuts,
 }
 
 
@@ -388,7 +503,7 @@ def main() -> None:
     for rows in rows_list:
         text_ops = [
             op for op in ops
-            if not op.startswith("media_") and not op.startswith("audio_")
+            if not op.startswith(("media_", "audio_", "av_"))
         ]
         media_ops = [op for op in ops if op.startswith("media_")]
         audio_ops = [op for op in ops if op.startswith("audio_")]
@@ -398,6 +513,14 @@ def main() -> None:
         )
         audio = (
             spark.read.parquet(build_audio_corpus(spark, rows)) if audio_ops else None
+        )
+        av = (
+            spark.read.parquet(build_av_corpus(spark, rows))
+            if "av_landmark" in ops else None
+        )
+        clips = (
+            spark.read.parquet(build_clip_corpus(spark, rows))
+            if "av_scenecuts" in ops else None
         )
         for op in ops:
             if op == "ingest":
@@ -419,6 +542,10 @@ def main() -> None:
                 src = media
             elif op.startswith("audio_"):
                 src = audio
+            elif op == "av_landmark":
+                src = av
+            elif op == "av_scenecuts":
+                src = clips
             else:
                 src = docs
             t0 = time.perf_counter()
