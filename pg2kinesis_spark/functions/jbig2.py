@@ -488,6 +488,10 @@ def _parse_segment_header(data: bytes, pos: int):
         p += 1
     ref_size = 1 if seg_num <= 256 else (2 if seg_num <= 65536 else 4)
     p += count * ref_size
+    # a huge long-form referred count can push p past the buffer —
+    # keep the error contract ValueError, never struct.error/IndexError
+    if p + (4 if page_assoc_4 else 1) + 4 > len(data):
+        raise ValueError("JBIG2 segment header truncated")
     if page_assoc_4:
         page = struct.unpack(">I", data[p : p + 4])[0]
         p += 4

@@ -292,11 +292,11 @@ def _check_prefix_complete(tab: dict, what: str) -> None:
     assert kraft == 1 << 32, f"{what}: not Kraft-complete"
     seen = set()
     for l, c in codes:
+        # an exact duplicate is a prefix of itself (pl == l, shift 0),
+        # so this single test also rejects duplicate codewords
         for pl, pc in seen:
             if pl <= l and (c >> (l - pl)) == pc:
                 raise AssertionError(f"{what}: not prefix-free")
-        if (l, c) in seen:
-            raise AssertionError(f"{what}: duplicate codeword")
         seen.add((l, c))
 
 
@@ -481,8 +481,14 @@ def _decode_spectrum(br: _BitReader, g: dict, rate: int, end_bit: int
                      ) -> tuple[np.ndarray, int]:
     ix = np.zeros(576, dtype=np.float64)
     long_bounds = _bounds(_SFB_LONG[rate])
-    if g["region0_count"] is None:  # window switching: split at 36
-        b1, b2 = 36, 576
+    if g["region0_count"] is None:  # window switching: implied regions
+        # §2.4.2.7: region0_count is implied 8 for block_type 2 (the
+        # first 3 short sfbs x 3 windows = 36 lines at every rate) and
+        # 7 for start/stop blocks (bounds[8]: 36 at MPEG-1 rates, 54
+        # at the LSF rates whose long sfbs are wider — the reference
+        # decoder computes it from the rate's table, never literal 36)
+        b1 = 36 if g["block_type"] == 2 else long_bounds[8]
+        b2 = 576
     else:
         b1 = long_bounds[min(g["region0_count"] + 1, 22)]
         b2 = long_bounds[min(g["region0_count"] + 1 + g["region1_count"] + 1, 22)]
@@ -745,12 +751,12 @@ def _imdct_granule(x: np.ndarray, g: dict, overlap: np.ndarray) -> np.ndarray:
 
 
 def decode_mp3_layer3(data: bytes):
-    """MPEG-1 Layer III stream -> (PCM float (n, ch) in ~[-1, 1],
-    rate). NotImplementedError: untranscribed Huffman tables (by
-    number — 10-13, 15, 16-31), intensity stereo on short/mixed
+    """MPEG-1 or MPEG-2 LSF Layer III stream -> (PCM float (n, ch) in
+    ~[-1, 1], rate). NotImplementedError: untranscribed Huffman tables
+    (by number — 10-13, 15, 16-31), intensity stereo on short/mixed
     blocks (the per-window border corner; long-block intensity
-    decodes), MPEG-2/2.5 (LSF). ValueError: structural damage
-    (truncation, bit-walk desync, forbidden field values)."""
+    decodes), LSF intensity stereo, MPEG-2.5. ValueError: structural
+    damage (truncation, bit-walk desync, forbidden field values)."""
     from pg2kinesis_spark.functions import audio_analysis
 
     data = bytes(data)

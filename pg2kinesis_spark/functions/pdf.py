@@ -1425,6 +1425,17 @@ def _img_int(head: bytes, key: bytes) -> int | None:
     return int(m.group(1)) if m else None
 
 
+def _ink_png(black) -> bytes:
+    """Bool ink mask (True = black) -> grayscale PNG bytes — the one
+    rendering convention shared by the CCITT and JBIG2 plate paths."""
+    import numpy as np
+
+    from pg2kinesis_spark.functions import codecs as C
+
+    gray = np.where(black, 0, 255).astype(np.uint8)[:, :, None]
+    return C.encode_png(gray)
+
+
 def pdf_images(data: bytes, password: bytes | str = b"") -> list[tuple]:
     """Embedded raster images from a PDF's Image XObjects, as
     (index, bytes | None, mime | None, error | None) rows — the
@@ -1478,7 +1489,6 @@ def pdf_images(data: bytes, password: bytes | str = b"") -> list[tuple]:
                 out.append((idx, jpg, "image/jpeg", None))
             elif names and names[-1] == b"CCITTFaxDecode":
                 from pg2kinesis_spark.functions import ccitt as ccitt_mod
-                from pg2kinesis_spark.functions import codecs as C
 
                 fax = _decode_stream(head, body, upto=len(names) - 1)
                 if fax is None:
@@ -1505,12 +1515,8 @@ def pdf_images(data: bytes, password: bytes | str = b"") -> list[tuple]:
                 # /BlackIs1 + /Decode only pick the intermediate BIT
                 # convention, which this path never materializes
                 black = ccitt_mod.ccitt_decode(fax, w, h, k=k, byte_align=ba)
-                import numpy as np
-
-                gray = np.where(black, 0, 255).astype(np.uint8)[:, :, None]
-                out.append((idx, C.encode_png(gray), "image/png", None))
+                out.append((idx, _ink_png(black), "image/png", None))
             elif names and names[-1] == b"JBIG2Decode":
-                from pg2kinesis_spark.functions import codecs as C
                 from pg2kinesis_spark.functions import jbig2 as jbig2_mod
 
                 emb = _decode_stream(head, body, upto=len(names) - 1)
@@ -1545,10 +1551,7 @@ def pdf_images(data: bytes, password: bytes | str = b"") -> list[tuple]:
                             f"image {w}x{h}"
                         )
                     black = black[:h, :w]
-                import numpy as np
-
-                gray = np.where(black, 0, 255).astype(np.uint8)[:, :, None]
-                out.append((idx, C.encode_png(gray), "image/png", None))
+                out.append((idx, _ink_png(black), "image/png", None))
             elif names and names[-1] == b"JPXDecode":
                 raise NotImplementedError(
                     f"{names[-1].decode()} image payloads"

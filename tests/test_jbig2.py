@@ -234,3 +234,15 @@ def test_pymupdf_cross_decoder():
         found = True
     assert found, "no JBIG2 image found by PyMuPDF"
     del page
+
+
+def test_malformed_long_form_header_raises_valueerror():
+    """A long-form referred-segment count large enough to push the
+    parser past the buffer must raise the module's documented
+    ValueError — never struct.error / IndexError (code-review round
+    12)."""
+    import struct
+
+    hdr = struct.pack(">IB", 1, J._SEG_PAGE_INFO) + bytes([0xE0, 0x00, 0x10, 0x00])
+    with pytest.raises(ValueError, match="truncated"):
+        J.decode_jbig2(hdr + b"\x00" * 4)

@@ -586,3 +586,57 @@ def test_l3_transcode_landmark_matches_the_wav(spark):
     # (576-sample MDCT granule + polyphase latency), so the consensus
     # offset is small and NEGATIVE (wav events earlier), never zero
     assert (0, 1) in got and -4 <= got[(0, 1)] <= 0
+
+
+def test_window_switching_region_boundary_is_rate_derived():
+    """Start/stop (block_type 1/3) granules imply region0_count = 7,
+    so the big-values region split is the rate table's bounds[8] —
+    36 at every MPEG-1 rate but 54 at the LSF rates, whose long sfbs
+    are wider (the ISO reference decoder computes it from the table,
+    never literal 36). Short blocks (block_type 2) imply the first
+    three short sfbs x 3 windows = 36 at every rate. A hand-built bit
+    walk coding region 0 with table 1 and region 1 with table 5 only
+    lands exactly on part2_3_length when the decoder derives the
+    split correctly (code-review round 12: the old literal 36
+    mis-tabled LSF start/stop lines 36-53)."""
+    from pg2kinesis_spark.functions.codecs import _MsbWriter
+
+    cases = [
+        (44100, 1, 36), (48000, 3, 36), (32000, 1, 36),  # MPEG-1 long
+        (22050, 1, 54), (24000, 3, 54), (16000, 1, 54),  # LSF long
+        (22050, 2, 36), (44100, 2, 36),                  # short: 36 everywhere
+    ]
+    tab1, _ = L3._HUFF_TABLES[1]
+    tab5, _ = L3._HUFF_TABLES[5]
+    for rate, bt, expect_b1 in cases:
+        assert expect_b1 % 2 == 0
+        bw = _MsbWriter()
+        bits = 0
+        n0 = expect_b1 // 2
+        l1, c1 = tab1[(1, 1)]
+        for _ in range(n0):  # region 0: +1,+1 pairs (table 1)
+            bw.write(c1, l1)
+            bw.write(0, 1)
+            bw.write(0, 1)
+            bits += l1 + 2
+        n1 = 6
+        l5, c5 = tab5[(3, 2)]
+        for _ in range(n1):  # region 1: +3,-2 pairs (table 5 only)
+            bw.write(c5, l5)
+            bw.write(0, 1)
+            bw.write(1, 1)
+            bits += l5 + 2
+        g = {
+            "region0_count": None, "region1_count": None,
+            "block_type": bt, "mixed": 0,
+            "big_values": n0 + n1,
+            "table_select": [1, 5, 0],
+            "count1table_select": 1,
+        }
+        br = L3._BitReader(bw.getvalue())
+        ix, _extent = L3._decode_spectrum(br, g, rate, bits)
+        assert br.pos == bits, (rate, bt)
+        assert np.all(ix[:expect_b1] == 1), (rate, bt)
+        seg = ix[expect_b1:expect_b1 + 2 * n1]
+        assert np.all(seg[0::2] == 3) and np.all(seg[1::2] == -2), (rate, bt)
+        assert np.all(ix[expect_b1 + 2 * n1:] == 0)

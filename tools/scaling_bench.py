@@ -347,7 +347,7 @@ def build_av_corpus(spark, rows: int) -> str:
 
 
 def build_clip_corpus(spark, rows: int) -> str:
-    """Scene-cut ladder corpus: 12-frame 48x32 Y4M clips with one
+    """Scene-cut ladder corpus: 12-frame 24x16 Y4M clips with one
     hard luma cut planted at a seed-dependent frame — the per-clip
     kernel is map-only Arrow work, so wall should scale linearly."""
     path = os.path.join(tempfile.gettempdir(), f"scaling_clip_{rows}.parquet")
