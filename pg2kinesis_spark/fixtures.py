@@ -738,6 +738,27 @@ def gen_media_pdfs() -> tuple[list[tuple], list[tuple]]:
         np.where(ink2, 0, 255).astype(np.uint8)[:, :, None]
     )
     g_nu = [["nu: a JBIG2 generic plate"]]
+    # 16 (round 12 second half): a symbol/text-coded JBIG2 page — the
+    # coding mode real scanner output uses for text; the dictionary
+    # travels as /JBIG2Globals (the split layout) and the truth page
+    # is the numpy composition of the construction glyphs (the oracle
+    # never runs either JBIG2 coder)
+    st_glyphs = [(irng.random((7, 5)) < 0.5),
+                 (irng.random((9, 6)) < 0.45),
+                 (irng.random((6, 6)) < 0.55)]
+    st_places = [(0, 2, 3), (1, 2, 11), (2, 2, 20), (1, 14, 5),
+                 (0, 14, 14)]
+    st_page = np.zeros((24, 30), dtype=bool)
+    for _sid, _r, _c in st_places:
+        _gl = st_glyphs[_sid]
+        st_page[_r : _r + _gl.shape[0], _c : _c + _gl.shape[1]] |= _gl
+    st_g, st_d = JB.encode_jbig2_text(
+        st_glyphs, st_places, 30, 24, split_globals=True
+    )
+    st_png = C.encode_png(
+        np.where(st_page, 0, 255).astype(np.uint8)[:, :, None]
+    )
+    g_xi = [["xi: a JBIG2 symbol/text page"]]
     pdf_rows += [
         (11, encode_pdf(g_iota, images=[(jpg, 24, 24, "jpeg")])),
         (12, encode_pdf(g_kappa, images=[(jpg, 24, 24, "jpeg")],
@@ -745,6 +766,7 @@ def gen_media_pdfs() -> tuple[list[tuple], list[tuple]]:
         (13, encode_pdf(g_lam, images=[(fax, 32, 20, "ccitt-g4")])),
         (14, encode_pdf(g_mu, images=[(b"\x00jp2-junk", 8, 8, "jpx")])),
         (15, encode_pdf(g_nu, images=[(jb_stream, 40, 24, "jbig2")])),
+        (16, encode_pdf(g_xi, images=[((st_d, st_g), 30, 24, "jbig2")])),
     ]
     jpg_md5 = _hl.md5(jpg).hexdigest()
     truth_rows = [
@@ -769,6 +791,10 @@ def gen_media_pdfs() -> tuple[list[tuple], list[tuple]]:
         # (the G4-plate precedent, round 12)
         (15, expected(g_nu), 1, 1, "image/png",
          _hl.md5(jb_png).hexdigest()),
+        # 16: JBIG2 symbol/text page with /JBIG2Globals -> PNG of the
+        # numpy-composed construction glyphs (round 12, second half)
+        (16, expected(g_xi), 1, 1, "image/png",
+         _hl.md5(st_png).hexdigest()),
     ]
     return pdf_rows, truth_rows
 

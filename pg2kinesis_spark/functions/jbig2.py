@@ -1,13 +1,18 @@
-"""JBIG2 (ITU-T T.88) generic-region decode — the scanned-PDF plate
-tier (VERDICT r11 item 3).
+"""JBIG2 (ITU-T T.88) decode — the scanned-PDF plate tier (VERDICT
+r11 item 3; symbol/text coding added in the round-12 second half).
 
 Scope: the MQ arithmetic coder (decoder + encoder twin), generic
 region decoding for templates 0-3 with movable AT pixels and TPGDON
-typical prediction, embedded-organization segment parsing (the layout
-PDF /JBIG2Decode streams use: no file header, page association
-segments), page composition (OR / default pixel), and an encoder twin
-that emits real embedded streams (page info + immediate lossless
-generic region) for fixtures.
+typical prediction, SYMBOL DICTIONARIES + TEXT REGIONS (§6.4/§6.5
+arithmetic variants — the coding mode real scanner output uses for
+text pages: the Annex A integer arithmetic procedures IADH/IADW/
+IAEX/IADT/IAFS/IADS/IAIT/IAID are pure PROCEDURE, no value tables,
+so they pass the house transcription rule), embedded-organization
+segment parsing (the layout PDF /JBIG2Decode streams use: no file
+header, page association segments), page composition (OR / default
+pixel), and encoder twins that emit real embedded streams (generic
+plates via encode_jbig2; dictionary + text pages via
+encode_jbig2_text, incl. the split-globals PDF layout) for fixtures.
 
 Constants policy (house rule — derive > cross-checked transcription >
 honest refusal):
@@ -32,12 +37,19 @@ honest refusal):
   by the PyMuPDF cross-decoder test in the docker twin
   (tests/test_jbig2.py::test_pymupdf_cross_decoder), which renders a
   plate through an independent JBIG2 implementation.
+* The integer-arithmetic PREV threading (Annex A: contexts selected
+  by the bit path, capped at 9 bits) and the text-region placement
+  walks (§6.4.5: strip deltas, refcorner/transposed geometry, the
+  CURS advance) are likewise encoder/decoder-shared procedure —
+  their interop receipt is test_pymupdf_cross_decoder_symbol_text.
 
 MMR-coded generic regions route to the CCITT T.6/G4 kernel (MMR IS
 T.6 coding — the TIFF-compression-4 precedent). Refusals (by name):
-refinement / symbol dictionary / text / halftone / pattern segments,
-unknown data length, auxiliary buffers. Decode cost is capped (interpreted per-pixel MQ
-work) like the VP8L predictor cap.
+Huffman-coded symbol dictionaries and text regions, refinement /
+aggregation, shared coding contexts, halftone / pattern segments,
+unknown data length, auxiliary (intermediate) buffers. Decode cost
+is capped (interpreted per-pixel MQ work, symbol pixel budget,
+instance-count bound) like the VP8L predictor cap.
 
 Reference: /root/reference/pg2kinesis has no image surface; this is
 the training-data tier. Format per ITU-T T.88 (public); no code
@@ -236,6 +248,106 @@ class MQEncoder:
         return bytes(self.buf[1:])
 
 
+# --- integer arithmetic coding (T.88 Annex A) -----------------------------------
+#
+# Pure PROCEDURE, no value tables: a sign bit, a unary-ish range
+# selector, then offset bits — every bit decoded with an adaptive
+# context selected by the path so far (PREV threading, capped at 9
+# bits). The encoder twin emits the identical walk, so a procedure
+# slip desyncs round trips immediately (the MQ-pair evidence class).
+
+_INT_RANGES = (  # (selector depth, offset-bit count, base)
+    (2, 0), (4, 4), (6, 20), (8, 84), (12, 340), (32, 4436),
+)
+
+_OOB = object()  # out-of-band marker (S=1, V=0)
+
+
+def _new_int_ctx() -> list:
+    """512 adaptive contexts — one IAx statistics block."""
+    return [[0, 0] for _ in range(512)]
+
+
+def _int_decode(dec: MQDecoder, cx: list):
+    """IAx decoding procedure -> int or _OOB."""
+    prev = 1
+
+    def bit() -> int:
+        nonlocal prev
+        b = dec.decode(cx[prev])
+        prev = ((prev << 1) | b) if prev < 256 else (
+            (((prev << 1) | b) & 511) | 256
+        )
+        return b
+
+    s = bit()
+    for i, (nbits, base) in enumerate(_INT_RANGES):
+        if i == len(_INT_RANGES) - 1 or not bit():
+            v = 0
+            for _ in range(nbits):
+                v = (v << 1) | bit()
+            v += base
+            break
+    if s and v == 0:
+        return _OOB
+    return -v if s else v
+
+
+def _int_encode(enc: MQEncoder, cx: list, value) -> None:
+    """Encoder twin of _int_decode (value = int or _OOB)."""
+    prev = 1
+
+    def bit(b: int) -> None:
+        nonlocal prev
+        enc.encode(cx[prev], b)
+        prev = ((prev << 1) | b) if prev < 256 else (
+            (((prev << 1) | b) & 511) | 256
+        )
+
+    if value is _OOB:
+        s, v = 1, 0
+    else:
+        s = 1 if value < 0 else 0
+        v = -value if value < 0 else value
+        if s and v == 0:
+            raise ValueError("-0 is the OOB codepoint")
+    bit(s)
+    for i, (nbits, base) in enumerate(_INT_RANGES):
+        top = base + (1 << nbits) - 1
+        if v <= top or i == len(_INT_RANGES) - 1:
+            if i < len(_INT_RANGES) - 1:
+                bit(0)
+            off = v - base
+            if off < 0 or off >= (1 << nbits):
+                raise ValueError(f"integer {value} out of coding range")
+            for j in range(nbits - 1, -1, -1):
+                bit((off >> j) & 1)
+            return
+        bit(1)
+
+
+def _iaid_decode(dec: MQDecoder, cx: list, symcodelen: int) -> int:
+    """IAID: symcodelen bits, tree-threaded contexts (§A.3)."""
+    prev = 1
+    for _ in range(symcodelen):
+        b = dec.decode(cx[prev])
+        prev = (prev << 1) | b
+    return prev - (1 << symcodelen)
+
+
+def _iaid_encode(enc: MQEncoder, cx: list, symcodelen: int,
+                 value: int) -> None:
+    prev = 1
+    for j in range(symcodelen - 1, -1, -1):
+        b = (value >> j) & 1
+        enc.encode(cx[prev], b)
+        prev = (prev << 1) | b
+
+
+def _new_iaid_ctx(symcodelen: int) -> list:
+    return [[0, 0] for _ in range(1 << (symcodelen + 1))]
+
+
 # --- generic region templates ---------------------------------------------------
 #
 # (fixed pixels, nominal AT positions, TPGDON pseudo-context). Fixed
@@ -325,21 +437,43 @@ def decode_generic_region(
     """Arithmetically-coded generic region -> bool (H, W) bitmap
     (True = black, the JBIG2 1 pixel). Pixels outside the bitmap read
     0, rows above the first read 0 (the spec's edge convention)."""
-    if template not in _TEMPLATES:
-        raise ValueError(f"bad JBIG2 template {template}")
-    if at is None:
-        at = _TEMPLATES[template][1]
     if width <= 0 or height <= 0 or width * height > _jbig2_pixel_cap():
         raise NotImplementedError(
             f"JBIG2 region {width}x{height} exceeds the interpreted-"
             f"decode pixel cap ({_jbig2_pixel_cap()})"
         )
+    dec = MQDecoder(data)
+    states = _new_gb_states(template)
+    return _decode_generic_proc(dec, states, width, height, template,
+                                at, tpgdon)
+
+
+def _new_gb_states(template: int) -> list:
+    """Fresh adaptive-context array for a generic-region template —
+    shared across every symbol bitmap of one dictionary (§6.5.8.1:
+    the states persist, only the MQ stream continues)."""
+    if template not in _TEMPLATES:
+        raise ValueError(f"bad JBIG2 template {template}")
+    fixed, nominal, _ = _TEMPLATES[template]
+    nbits = len(fixed) + len(nominal)
+    return [[0, 0] for _ in range(1 << nbits)]
+
+
+def _decode_generic_proc(
+    dec: MQDecoder,
+    states: list,
+    width: int,
+    height: int,
+    template: int = 0,
+    at: tuple[tuple[int, int], ...] | None = None,
+    tpgdon: bool = False,
+) -> np.ndarray:
+    """The §6.2.5 decoding PROCEDURE over an existing MQ decoder and
+    context array (the symbol-dictionary reuse seam)."""
+    if at is None:
+        at = _TEMPLATES[template][1]
     pixels = _template_pixels(template, tuple(at))
     sltp_ctx = _TEMPLATES[template][2]
-    nbits = len(pixels)
-    dec = MQDecoder(data)
-    # one adaptive state per context value
-    states = [[0, 0] for _ in range(1 << nbits)]
     sltp_state = states[sltp_ctx]
     rows: list[list[int]] = [[0] * width for _ in range(height)]
     zero = [0] * width
@@ -416,13 +550,27 @@ def encode_generic_region(
     bit-exact decodable by decode_generic_region. With ``tpgdon`` the
     typical-prediction decision bit is coded per row (rows equal to
     their predecessor cost one bit)."""
+    enc = MQEncoder()
+    states = _new_gb_states(template)
+    _encode_generic_proc(enc, states, bitmap, template, at, tpgdon)
+    return enc.flush()
+
+
+def _encode_generic_proc(
+    enc: MQEncoder,
+    states: list,
+    bitmap: np.ndarray,
+    template: int = 0,
+    at: tuple[tuple[int, int], ...] | None = None,
+    tpgdon: bool = False,
+) -> None:
+    """Encoding procedure over an existing MQ encoder + context array
+    (the symbol-dictionary twin of _decode_generic_proc)."""
     bm = np.asarray(bitmap).astype(bool)
     h, w = bm.shape
     if at is None:
         at = _TEMPLATES[template][1]
     pixels = _template_pixels(template, tuple(at))
-    enc = MQEncoder()
-    states = [[0, 0] for _ in range(1 << len(pixels))]
     sltp_state = states[_TEMPLATES[template][2]]
     ltp = 0
     for y in range(h):
@@ -443,7 +591,6 @@ def encode_generic_region(
                 ):
                     ctx |= int(bm[yy, xx])
             enc.encode(states[ctx], int(bm[y, x]))
-    return enc.flush()
 
 
 # --- embedded-organization segment stream ---------------------------------------
@@ -455,10 +602,12 @@ _SEG_END_OF_FILE = 51
 _SEG_GENERIC_IMMEDIATE = 38
 _SEG_GENERIC_IMMEDIATE_LOSSLESS = 39
 _SEG_GENERIC_INTERMEDIATE = 36
+_SEG_SYMBOL_DICT = 0
+_SEG_TEXT_INTERMEDIATE = 4
+_SEG_TEXT_IMMEDIATE = 6
+_SEG_TEXT_IMMEDIATE_LOSSLESS = 7
 
 _SEG_NAMES = {
-    0: "symbol dictionary", 4: "intermediate text region",
-    6: "immediate text region", 7: "immediate lossless text region",
     16: "pattern dictionary", 20: "intermediate halftone region",
     22: "immediate halftone region",
     23: "immediate lossless halftone region",
@@ -471,7 +620,8 @@ _SEG_NAMES = {
 
 def _parse_segment_header(data: bytes, pos: int):
     """-> (segment_number, type, page_assoc, data_start, data_len,
-    next_pos). Embedded organization (T.88 §7.2)."""
+    next_pos, referred_segment_numbers). Embedded organization
+    (T.88 §7.2)."""
     if pos + 11 > len(data):
         raise ValueError("JBIG2 segment header truncated")
     seg_num = struct.unpack(">I", data[pos : pos + 4])[0]
@@ -487,11 +637,19 @@ def _parse_segment_header(data: bytes, pos: int):
         count = rts >> 5
         p += 1
     ref_size = 1 if seg_num <= 256 else (2 if seg_num <= 65536 else 4)
-    p += count * ref_size
     # a huge long-form referred count can push p past the buffer —
     # keep the error contract ValueError, never struct.error/IndexError
-    if p + (4 if page_assoc_4 else 1) + 4 > len(data):
+    if p + count * ref_size + (4 if page_assoc_4 else 1) + 4 > len(data):
         raise ValueError("JBIG2 segment header truncated")
+    refs = []
+    for _ in range(count):
+        if ref_size == 1:
+            refs.append(data[p])
+        elif ref_size == 2:
+            refs.append(struct.unpack(">H", data[p : p + 2])[0])
+        else:
+            refs.append(struct.unpack(">I", data[p : p + 4])[0])
+        p += ref_size
     if page_assoc_4:
         page = struct.unpack(">I", data[p : p + 4])[0]
         p += 4
@@ -506,7 +664,7 @@ def _parse_segment_header(data: bytes, pos: int):
         )
     if p + data_len > len(data):
         raise ValueError("JBIG2 segment data truncated")
-    return seg_num, seg_type, page, p, data_len, p + data_len
+    return seg_num, seg_type, page, p, data_len, p + data_len, refs
 
 
 def _parse_region_info(data: bytes):
@@ -518,19 +676,383 @@ def _parse_region_info(data: bytes):
     return w, h, x, y, comb_op
 
 
+# --- symbol dictionary + text region (T.88 §6.4/§6.5, arithmetic) ---------------
+
+
+def _symcodelen(nsyms: int) -> int:
+    """SBSYMCODELEN = ceil(log2(SBNUMSYMS)) — spec-literal, so a
+    one-symbol dictionary codes IDs in ZERO bits (§6.4.11.1)."""
+    n = 0
+    while (1 << n) < nsyms:
+        n += 1
+    return n
+
+
+def decode_symbol_dict(body: bytes,
+                       input_syms: list[np.ndarray]) -> list[np.ndarray]:
+    """Arithmetic symbol-dictionary segment body -> exported symbol
+    bitmaps (§6.5; SDHUFF/SDREFAGG/shared-context variants refuse by
+    name). ``input_syms`` are the exports of referred dictionaries."""
+    if len(body) < 2:
+        raise ValueError("JBIG2 symbol dictionary truncated")
+    flags = struct.unpack(">H", body[:2])[0]
+    if flags & 1:
+        raise NotImplementedError("JBIG2 Huffman-coded symbol dictionary")
+    if flags & 2:
+        raise NotImplementedError(
+            "JBIG2 symbol dictionary with refinement/aggregation"
+        )
+    if flags & 0x100 or flags & 0x200:
+        raise NotImplementedError(
+            "JBIG2 symbol dictionary with shared coding contexts"
+        )
+    template = (flags >> 10) & 3
+    n_at = 4 if template == 0 else 1
+    p = 2
+    at = []
+    if p + 2 * n_at + 8 > len(body):
+        raise ValueError("JBIG2 symbol dictionary truncated")
+    for _ in range(n_at):
+        at.append(struct.unpack(">bb", body[p : p + 2]))
+        p += 2
+    num_ex, num_new = struct.unpack(">II", body[p : p + 8])
+    p += 8
+    cap = _jbig2_pixel_cap()
+    if num_new > 1 << 16 or num_ex > num_new + len(input_syms):
+        raise NotImplementedError(
+            f"JBIG2 symbol dictionary with {num_new} new / {num_ex} "
+            "exported symbols exceeds the sanity bound"
+        )
+    dec = MQDecoder(body[p:])
+    iadh, iadw, iaex = _new_int_ctx(), _new_int_ctx(), _new_int_ctx()
+    gb_states = _new_gb_states(template)
+    new_syms: list[np.ndarray] = []
+    budget = cap
+    hcheight = 0
+    while len(new_syms) < num_new:
+        dh = _int_decode(dec, iadh)
+        if dh is _OOB:
+            raise ValueError("JBIG2 symbol dictionary: OOB height delta")
+        hcheight += dh
+        if hcheight <= 0 or hcheight > 1 << 15:
+            raise ValueError(f"JBIG2 symbol height {hcheight}")
+        symwidth = 0
+        while True:
+            dw = _int_decode(dec, iadw)
+            if dw is _OOB:
+                break  # end of this height class
+            symwidth += dw
+            if symwidth <= 0 or symwidth > 1 << 15:
+                raise ValueError(f"JBIG2 symbol width {symwidth}")
+            if len(new_syms) >= num_new:
+                raise ValueError(
+                    "JBIG2 symbol dictionary: more symbols than declared"
+                )
+            budget -= symwidth * hcheight
+            if budget < 0:
+                raise NotImplementedError(
+                    "JBIG2 symbol dictionary exceeds the pixel cap"
+                )
+            new_syms.append(_decode_generic_proc(
+                dec, gb_states, symwidth, hcheight, template, tuple(at)
+            ))
+    # export flag runs (§6.5.10): alternating skip/export run lengths
+    allsyms = list(input_syms) + new_syms
+    exported: list[np.ndarray] = []
+    i = 0
+    exflag = 0
+    while i < len(allsyms) and len(exported) < num_ex:
+        run = _int_decode(dec, iaex)
+        if run is _OOB or run < 0:
+            raise ValueError("JBIG2 symbol export run")
+        if exflag:
+            exported.extend(allsyms[i : i + run])
+        i += run
+        exflag ^= 1
+    if len(exported) != num_ex:
+        raise ValueError(
+            f"JBIG2 symbol dictionary exported {len(exported)} != "
+            f"declared {num_ex}"
+        )
+    return exported
+
+
+def decode_text_region(body: bytes,
+                       syms: list[np.ndarray]):
+    """Arithmetic text-region segment body + symbol list ->
+    (bitmap, x, y, comb_op) (§6.4; Huffman/refinement variants refuse
+    by name). Symbols place by strip with the IADT/IAFS/IADS/IAIT/
+    IAID walks; REFCORNER/TRANSPOSED/SBDSOFFSET all honored."""
+    w, h, x, y, comb = _parse_region_info(body[:17])
+    if len(body) < 23:
+        raise ValueError("JBIG2 text region truncated")
+    flags = struct.unpack(">H", body[17:19])[0]
+    if flags & 1:
+        raise NotImplementedError("JBIG2 Huffman-coded text region")
+    if flags & 2:
+        raise NotImplementedError("JBIG2 text region with refinement")
+    log_strips = (flags >> 2) & 3
+    refcorner = (flags >> 4) & 3
+    transposed = (flags >> 6) & 1
+    sbcombop = (flags >> 7) & 3
+    defpixel = (flags >> 9) & 1
+    dsoffset = (flags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32  # signed 5-bit
+    strips = 1 << log_strips
+    n_inst = struct.unpack(">I", body[19:23])[0]
+    if w <= 0 or h <= 0 or w * h > _jbig2_pixel_cap():
+        raise NotImplementedError(
+            f"JBIG2 text region {w}x{h} exceeds the pixel cap"
+        )
+    if n_inst > 1 << 20:
+        raise NotImplementedError(
+            f"JBIG2 text region with {n_inst} instances exceeds the "
+            "sanity bound"
+        )
+    if not syms and n_inst:
+        raise ValueError("JBIG2 text region with no referred symbols")
+    codelen = _symcodelen(len(syms))
+    dec = MQDecoder(body[23:])
+    iadt, iafs, iads, iait = (_new_int_ctx(), _new_int_ctx(),
+                              _new_int_ctx(), _new_int_ctx())
+    iaid = _new_iaid_ctx(codelen)
+    region = np.full((h, w), bool(defpixel))
+    dt0 = _int_decode(dec, iadt)
+    if dt0 is _OOB:
+        raise ValueError("JBIG2 text region: OOB initial DT")
+    stript = -dt0 * strips
+    firsts = 0
+    placed = 0
+    while placed < n_inst:
+        dt = _int_decode(dec, iadt)
+        if dt is _OOB:
+            raise ValueError("JBIG2 text region: OOB strip DT")
+        stript += dt * strips
+        first = True
+        curs = 0
+        while True:
+            if first:
+                dfs = _int_decode(dec, iafs)
+                if dfs is _OOB:
+                    raise ValueError("JBIG2 text region: OOB first S")
+                firsts += dfs
+                curs = firsts
+                first = False
+            else:
+                ids = _int_decode(dec, iads)
+                if ids is _OOB:
+                    break  # end of strip
+                curs += ids + dsoffset
+            curt = 0 if strips == 1 else _int_decode(dec, iait)
+            if curt is _OOB:
+                raise ValueError("JBIG2 text region: OOB T offset")
+            ti = stript + curt
+            sid = _iaid_decode(dec, iaid, codelen)
+            if sid >= len(syms):
+                raise ValueError(f"JBIG2 symbol id {sid} out of range")
+            sym = syms[sid]
+            hs, ws = sym.shape
+            if transposed:
+                # S runs down rows; T picks the left/right column edge
+                r0 = curs
+                c0 = ti if refcorner in (0, 1) else ti - ws + 1
+            else:
+                # S runs along columns; T picks the top/bottom row edge
+                c0 = curs
+                r0 = ti if refcorner in (1, 3) else ti - hs + 1
+            _draw_symbol(region, sym, r0, c0, sbcombop)
+            curs += (hs if transposed else ws) - 1
+            placed += 1
+            if placed > n_inst:
+                raise ValueError(
+                    "JBIG2 text region placed more instances than "
+                    "declared"
+                )
+    return region, x, y, comb
+
+
+def _draw_symbol(region: np.ndarray, sym: np.ndarray, r0: int,
+                 c0: int, op: int) -> None:
+    """Compose one symbol at (row r0, col c0) with SBCOMBOP, clipped
+    to the region like page composition clips regions."""
+    h, w = region.shape
+    hs, ws = sym.shape
+    rs, cs = max(r0, 0), max(c0, 0)
+    re_, ce = min(r0 + hs, h), min(c0 + ws, w)
+    if rs >= re_ or cs >= ce:
+        return
+    piece = sym[rs - r0 : re_ - r0, cs - c0 : ce - c0]
+    tgt = region[rs:re_, cs:ce]
+    if op == 0:
+        tgt |= piece
+    elif op == 1:
+        tgt &= piece
+    elif op == 2:
+        tgt ^= piece
+    else:  # 3 = XNOR
+        tgt[:] = ~(tgt ^ piece)
+
+
+def encode_symbol_dict(symbols: list[np.ndarray],
+                       template: int = 0) -> tuple[bytes, list[int]]:
+    """Encoder twin (§6.5 arithmetic): symbol bitmaps -> (segment
+    body, order) where ``order[i]`` is the caller index of exported
+    symbol i (the dictionary walks height classes ascending, so the
+    wire order is a stable height sort of the input)."""
+    syms = [np.asarray(s).astype(bool) for s in symbols]
+    if not syms:
+        raise ValueError("symbol dictionary needs at least one symbol")
+    order = sorted(range(len(syms)), key=lambda i: syms[i].shape[0])
+    at = _TEMPLATES[template][1]
+    enc = MQEncoder()
+    iadh, iadw, iaex = _new_int_ctx(), _new_int_ctx(), _new_int_ctx()
+    gb_states = _new_gb_states(template)
+    hcheight = 0
+    i = 0
+    while i < len(order):
+        h = syms[order[i]].shape[0]
+        _int_encode(enc, iadh, h - hcheight)
+        hcheight = h
+        symwidth = 0
+        while i < len(order) and syms[order[i]].shape[0] == h:
+            w = syms[order[i]].shape[1]
+            _int_encode(enc, iadw, w - symwidth)
+            symwidth = w
+            _encode_generic_proc(enc, gb_states, syms[order[i]],
+                                 template, at)
+            i += 1
+        _int_encode(enc, iadw, _OOB)
+    _int_encode(enc, iaex, 0)       # skip run
+    _int_encode(enc, iaex, len(syms))  # export run: everything
+    n_at = 4 if template == 0 else 1
+    body = struct.pack(">H", (template & 3) << 10)
+    for ax, ay in at[:n_at]:
+        body += struct.pack(">bb", ax, ay)
+    body += struct.pack(">II", len(syms), len(syms))
+    return body + enc.flush(), order
+
+
+def encode_text_region(
+    symbols: list[np.ndarray],
+    placements: list[tuple[int, int, int]],
+    width: int,
+    height: int,
+    refcorner: int = 1,
+    transposed: bool = False,
+    sbcombop: int = 0,
+    defpixel: int = 0,
+    dsoffset: int = 0,
+) -> bytes:
+    """Encoder twin (§6.4 arithmetic, SBSTRIPS=1): placements are
+    (symbol_id, row, col) TOP-LEFT page coordinates — the wire S/T
+    walk (strip deltas, first-S, in-strip deltas, ID codes) is
+    derived per refcorner/transposed exactly inversely to the
+    decoder."""
+    syms = [np.asarray(s).astype(bool) for s in symbols]
+    codelen = _symcodelen(len(syms))
+    wire = []
+    for sid, r0, c0 in placements:
+        hs, ws = syms[sid].shape
+        if transposed:
+            t = c0 if refcorner in (0, 1) else c0 + ws - 1
+            s = r0
+            adv = hs - 1
+        else:
+            t = r0 if refcorner in (1, 3) else r0 + hs - 1
+            s = c0
+            adv = ws - 1
+        wire.append((t, s, sid, adv))
+    wire.sort(key=lambda e: (e[0], e[1]))
+    enc = MQEncoder()
+    iadt, iafs, iads = _new_int_ctx(), _new_int_ctx(), _new_int_ctx()
+    iaid = _new_iaid_ctx(codelen)
+    _int_encode(enc, iadt, 0)  # STRIPT starts at 0
+    stript = 0
+    firsts = 0
+    k = 0
+    while k < len(wire):
+        t = wire[k][0]
+        _int_encode(enc, iadt, t - stript)
+        stript = t
+        first = True
+        curs = 0
+        while k < len(wire) and wire[k][0] == t:
+            _t, s, sid, adv = wire[k]
+            if first:
+                _int_encode(enc, iafs, s - firsts)
+                firsts = s
+                first = False
+            else:
+                _int_encode(enc, iads, s - curs - dsoffset)
+            _iaid_encode(enc, iaid, codelen, sid)
+            curs = s + adv
+            k += 1
+        _int_encode(enc, iads, _OOB)
+    flags = ((refcorner & 3) << 4) | ((1 if transposed else 0) << 6)
+    flags |= (sbcombop & 3) << 7 | (defpixel & 1) << 9
+    flags |= (dsoffset & 0x1F) << 10
+    body = struct.pack(">IIII", width, height, 0, 0) + bytes([0])  # OR
+    body += struct.pack(">H", flags)
+    body += struct.pack(">I", len(placements))
+    return body + enc.flush()
+
+
+def _segment(num: int, stype: int, body: bytes,
+             refs: tuple[int, ...] = ()) -> bytes:
+    """Embedded-organization segment with short-form referred list
+    (1-byte referred numbers — enough for fixture streams)."""
+    head = struct.pack(">IB", num, stype)
+    head += bytes([len(refs) << 5])
+    head += bytes(refs)
+    head += bytes([1])  # page 1
+    head += struct.pack(">I", len(body))
+    return head + body
+
+
+def encode_jbig2_text(
+    symbols: list[np.ndarray],
+    placements: list[tuple[int, int, int]],
+    width: int,
+    height: int,
+    split_globals: bool = False,
+    **text_kwargs,
+):
+    """Full embedded stream: page info + symbol dictionary + text
+    region placing ``(symbol_id, row, col)`` instances. With
+    ``split_globals`` returns (globals_bytes, data_bytes) — the PDF
+    /JBIG2Globals layout where the dictionary travels separately."""
+    dict_body, order = encode_symbol_dict(symbols)
+    remap = {orig: wire for wire, orig in enumerate(order)}
+    places = [(remap[sid], r, c) for sid, r, c in placements]
+    text_body = encode_text_region(
+        symbols=[symbols[i] for i in order],
+        placements=places, width=width, height=height, **text_kwargs,
+    )
+    page_info = struct.pack(">IIII", width, height, 0, 0) + b"\x00\x00\x00"
+    g = _segment(0, _SEG_SYMBOL_DICT, dict_body)
+    d = _segment(1, _SEG_PAGE_INFO, page_info)
+    d += _segment(2, _SEG_TEXT_IMMEDIATE_LOSSLESS, text_body, refs=(0,))
+    if split_globals:
+        return g, d
+    return g + d
+
+
 def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
     """Embedded-organization JBIG2 (the PDF /JBIG2Decode layout) ->
-    bool (H, W) page bitmap (True = black). Handles page info +
-    generic region segments; everything else refuses by segment
-    name (symbol/text/halftone/refinement tiers)."""
+    bool (H, W) page bitmap (True = black). Handles page info,
+    generic region, symbol dictionary, and text region segments
+    (arithmetic coding; Huffman / refinement / halftone tiers refuse
+    by segment name)."""
     stream = bytes(globals_data) + bytes(data)
     pos = 0
     page: np.ndarray | None = None
     page_default = 0
     regions: list[tuple[np.ndarray, int, int, int]] = []
     page_wh: tuple[int, int] | None = None
+    sym_dicts: dict[int, list[np.ndarray]] = {}
     while pos + 11 <= len(stream):
-        (_num, seg_type, _pg, dstart, dlen, nxt
+        (seg_num, seg_type, _pg, dstart, dlen, nxt, refs
          ) = _parse_segment_header(stream, pos)
         body = stream[dstart : dstart + dlen]
         if seg_type == _SEG_PAGE_INFO:
@@ -580,6 +1102,26 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
                 body[p:], w, h, template, tuple(at), tpgdon
             )
             regions.append((bm, x, y, comb))
+        elif seg_type == _SEG_SYMBOL_DICT:
+            input_syms: list[np.ndarray] = []
+            for r in refs:
+                input_syms.extend(sym_dicts.get(r, []))
+            sym_dicts[seg_num] = decode_symbol_dict(body, input_syms)
+        elif seg_type in (_SEG_TEXT_IMMEDIATE,
+                          _SEG_TEXT_IMMEDIATE_LOSSLESS,
+                          _SEG_TEXT_INTERMEDIATE):
+            if seg_type == _SEG_TEXT_INTERMEDIATE:
+                raise NotImplementedError(
+                    "JBIG2 intermediate text region (auxiliary buffers)"
+                )
+            syms: list[np.ndarray] = []
+            for r in refs:
+                if r not in sym_dicts:
+                    raise ValueError(
+                        f"JBIG2 text region refers to missing segment {r}"
+                    )
+                syms.extend(sym_dicts[r])
+            regions.append(decode_text_region(body, syms))
         elif seg_type in (_SEG_END_OF_PAGE, _SEG_END_OF_STRIPE,
                           _SEG_END_OF_FILE):
             pass
@@ -590,7 +1132,7 @@ def decode_jbig2(data: bytes, globals_data: bytes = b"") -> np.ndarray:
             )
         pos = nxt
     if not regions:
-        raise ValueError("JBIG2 stream with no generic region")
+        raise ValueError("JBIG2 stream with no region segment")
     if page_wh is None:
         pw = max(x + bm.shape[1] for bm, x, _y, _c in regions)
         ph = max(y + bm.shape[0] for bm, _x, y, _c in regions)
@@ -637,15 +1179,8 @@ def encode_jbig2(bitmap: np.ndarray, template: int = 0,
     else:
         payload = encode_generic_region(bm, template, at, tpgdon)
 
-    def segment(num: int, stype: int, body: bytes) -> bytes:
-        head = struct.pack(">IB", num, stype)  # page-assoc 1 byte
-        head += b"\x00"  # no referred-to segments
-        head += bytes([1])  # page 1
-        head += struct.pack(">I", len(body))
-        return head + body
-
     page_info = struct.pack(">IIII", w, h, 0, 0) + b"\x00\x00\x00"
-    out = segment(0, _SEG_PAGE_INFO, page_info)
+    out = _segment(0, _SEG_PAGE_INFO, page_info)
     region = struct.pack(">IIII", w, h, 0, 0) + bytes([0])  # OR
     gflags = ((template & 3) << 1) | (8 if tpgdon else 0) | (
         1 if mmr else 0
@@ -656,5 +1191,5 @@ def encode_jbig2(bitmap: np.ndarray, template: int = 0,
         for ax, ay in at[:n_at]:
             region += struct.pack(">bb", ax, ay)
     region += payload
-    out += segment(1, _SEG_GENERIC_IMMEDIATE_LOSSLESS, region)
+    out += _segment(1, _SEG_GENERIC_IMMEDIATE_LOSSLESS, region)
     return out

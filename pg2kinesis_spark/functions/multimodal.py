@@ -1563,9 +1563,10 @@ def extract_pdf_images(
     """Embedded raster images from PDF media rows (``pdf.pdf_images``:
     DCTDecode payloads pass through as the JPEG files they are; raw
     8-bit DeviceRGB/DeviceGray samples re-wrap losslessly as PNG;
-    CCITT fax and — round 12 — JBIG2 generic-region plates render to
-    PNG of the ink pixels) — one output row per image, per-image
-    quarantine (JPX, JBIG2 symbol/halftone/MMR tiers, exotic
+    CCITT fax and — round 12 — JBIG2 generic-region, MMR, and
+    symbol/text plates render to PNG of the ink pixels) — one output
+    row per image, per-image quarantine (JPX, JBIG2
+    halftone/refinement/Huffman tiers, exotic
     colorspaces). A PDF that fails to parse at all yields one
     row with NULL img_idx + the error. Compose with
     ``pdf_images_as_media`` to feed the image tier — embedded figures

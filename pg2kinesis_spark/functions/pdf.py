@@ -1460,9 +1460,10 @@ def pdf_images(data: bytes, password: bytes | str = b"") -> list[tuple]:
     to pixels: CCITT through the G3/G4 kernel, JBIG2 generic regions
     through the MQ-coder tier (functions/jbig2.py, incl.
     /JBIG2Globals resolution); both render black ink = 0 and re-wrap
-    as PNG (MMR regions ride the same CCITT kernel). JBIG2
-    symbol/text/halftone/refinement segments, JPX payloads, exotic
-    colorspaces, and sub-8-bit depths
+    as PNG (MMR regions ride the same CCITT kernel; symbol-dictionary
+    + text-region pages decode through the Annex A integer-arithmetic
+    tier). JBIG2 halftone/refinement/Huffman segments, JPX payloads,
+    exotic colorspaces, and sub-8-bit depths
     yield (idx, None, None, reason) — per-image quarantine, the whole
     document never fails over one plate."""
     data = bytes(data)
@@ -1854,12 +1855,26 @@ class _PdfBuilder:
             extra = b" /Filter /JPXDecode /ColorSpace /DeviceRGB /BitsPerComponent 8"
             body = payload
         elif kind == "jbig2":
-            # an embedded-organization stream from jbig2.encode_jbig2
+            # an embedded-organization stream from jbig2.encode_jbig2 /
+            # encode_jbig2_text; a (data, globals) tuple splits the
+            # symbol dictionary into a /JBIG2Globals stream (the
+            # real-scanner layout)
             extra = (
                 b" /Filter /JBIG2Decode"
                 b" /ColorSpace /DeviceGray /BitsPerComponent 1"
             )
-            body = payload
+            if isinstance(payload, tuple):
+                body, glob = payload
+                gid = self.add(
+                    b"<< /Length " + str(len(glob)).encode()
+                    + b" >>\nstream\n" + glob + b"\nendstream"
+                )
+                extra += (
+                    b" /DecodeParms << /JBIG2Globals "
+                    + str(gid).encode() + b" 0 R >>"
+                )
+            else:
+                body = payload
         elif kind.startswith("ccitt"):
             k = {"ccitt-g4": -1, "ccitt-g3": 2, "ccitt-mh": 0}[kind]
             align = b" /EncodedByteAlign true" if kind == "ccitt-mh" else b""

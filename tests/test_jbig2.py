@@ -141,11 +141,12 @@ def test_mmr_regions_route_to_the_ccitt_kernel():
 def test_refusals_by_name_and_pixel_cap(monkeypatch):
     img = _plate(17, 16, 16)
     stream = bytearray(J.encode_jbig2(img))
-    # symbol-dictionary segment type refuses by name
-    sym = bytearray(stream)
-    sym[4] = 0  # segment 0's type byte -> symbol dictionary
-    with pytest.raises(NotImplementedError, match="symbol dictionary"):
-        J.decode_jbig2(bytes(sym))
+    # halftone-region segment type refuses by name (symbol
+    # dictionaries DECODE since the round-12 second half)
+    ht = bytearray(stream)
+    ht[4] = 22  # segment 0's type byte -> immediate halftone region
+    with pytest.raises(NotImplementedError, match="halftone"):
+        J.decode_jbig2(bytes(ht))
     # unknown data length refuses
     unk = bytearray(stream)
     unk[7:11] = b"\xff\xff\xff\xff"
@@ -246,3 +247,155 @@ def test_malformed_long_form_header_raises_valueerror():
     hdr = struct.pack(">IB", 1, J._SEG_PAGE_INFO) + bytes([0xE0, 0x00, 0x10, 0x00])
     with pytest.raises(ValueError, match="truncated"):
         J.decode_jbig2(hdr + b"\x00" * 4)
+
+
+# --- symbol dictionary + text region (round 12, second half) ------------------
+
+
+def _glyphs(seed=11, n=4):
+    rng = np.random.RandomState(seed)
+    shapes = [(7, 5), (7, 4), (9, 6), (5, 5)][:n]
+    return [rng.random_sample(s) > 0.5 for s in shapes]
+
+
+def _compose(places, glyphs, w, h, op="or"):
+    """Construction-side truth: direct numpy placement — never runs
+    either JBIG2 coder."""
+    page = np.zeros((h, w), dtype=bool)
+    for sid, r, c in places:
+        g = glyphs[sid]
+        tgt = page[r : r + g.shape[0], c : c + g.shape[1]]
+        piece = g[: tgt.shape[0], : tgt.shape[1]]
+        if op == "or":
+            tgt |= piece
+        else:
+            tgt ^= piece
+    return page
+
+
+_PLACES = [(0, 2, 3), (1, 2, 10), (3, 2, 16), (2, 14, 5),
+           (0, 14, 13), (2, 30, 1)]
+
+
+@pytest.mark.parametrize("corner", [0, 1, 2, 3])
+@pytest.mark.parametrize("transposed", [False, True])
+def test_symbol_text_round_trip_every_refcorner(corner, transposed):
+    """Symbol dictionary + text region: decode must equal the numpy
+    composition of the construction glyphs at the construction
+    coordinates, for every REFCORNER x TRANSPOSED wire encoding of
+    the SAME page (the coordinate walks differ, the pixels must
+    not)."""
+    glyphs = _glyphs()
+    truth = _compose(_PLACES, glyphs, 40, 44)
+    stream = J.encode_jbig2_text(glyphs, _PLACES, 40, 44,
+                                 refcorner=corner, transposed=transposed)
+    assert np.array_equal(J.decode_jbig2(stream), truth)
+
+
+def test_symbol_text_globals_split_and_pdf_layout():
+    """The real-scanner layout: symbol dictionary in /JBIG2Globals,
+    page info + text region in the image stream."""
+    from pg2kinesis_spark.functions.codecs import decode_image
+
+    glyphs = _glyphs(seed=3, n=3)
+    places = [(0, 1, 1), (1, 1, 9), (2, 1, 17), (1, 12, 4), (0, 12, 12)]
+    truth = _compose(places, glyphs, 26, 22)
+    g, d = J.encode_jbig2_text(glyphs, places, 26, 22, split_globals=True)
+    assert np.array_equal(J.decode_jbig2(d, g), truth)
+    doc = P.encode_pdf([["symbol/text plate"]],
+                       images=[((d, g), 26, 22, "jbig2")])
+    images = P.pdf_images(doc)
+    assert len(images) == 1 and images[0][3] is None
+    px = decode_image(images[0][1])
+    got = (px[:, :, 0] if px.ndim == 3 else px) == 0
+    assert np.array_equal(got, truth)
+
+
+def test_text_region_xor_dsoffset_and_single_symbol():
+    """SBCOMBOP=XOR composes overlaps by parity; SBDSOFFSET shifts
+    the in-strip delta walk (wire-level only — pixels must not move);
+    a one-symbol dictionary codes IDs in ZERO bits (spec-literal
+    SBSYMCODELEN)."""
+    glyphs = _glyphs(seed=5, n=2)
+    overlap = [(0, 4, 4), (1, 6, 6), (0, 4, 20)]
+    truth = _compose(overlap, glyphs, 32, 20, op="xor")
+    stream = J.encode_jbig2_text(glyphs, overlap, 32, 20, sbcombop=2)
+    assert np.array_equal(J.decode_jbig2(stream), truth)
+    # dsoffset: same page, different wire deltas
+    t2 = _compose(overlap, glyphs, 32, 20)
+    for off in (-5, 7):
+        s = J.encode_jbig2_text(glyphs, overlap, 32, 20, dsoffset=off)
+        assert np.array_equal(J.decode_jbig2(s), t2)
+    # single symbol -> SBSYMCODELEN = 0
+    one = [glyphs[0]]
+    places = [(0, 0, 0), (0, 0, 10), (0, 9, 3)]
+    truth1 = _compose(places, one, 18, 17)
+    assert np.array_equal(
+        J.decode_jbig2(J.encode_jbig2_text(one, places, 18, 17)), truth1
+    )
+
+
+def test_symbol_text_refusals_by_name():
+    glyphs = _glyphs(n=2)
+    stream = bytearray(
+        J.encode_jbig2_text(glyphs, [(0, 1, 1), (1, 1, 8)], 16, 10)
+    )
+    # symbol dictionary body starts after its 11-byte segment header
+    with pytest.raises(NotImplementedError, match="Huffman"):
+        bad = bytearray(stream)
+        bad[12] |= 1  # SDHUFF (flags low byte = offset 12)
+        J.decode_jbig2(bytes(bad))
+    with pytest.raises(NotImplementedError, match="refinement"):
+        bad = bytearray(stream)
+        bad[12] |= 2  # SDREFAGG
+        J.decode_jbig2(bytes(bad))
+    with pytest.raises(NotImplementedError, match="shared"):
+        bad = bytearray(stream)
+        bad[11] |= 1  # flags high byte: bitmap coding context used
+        J.decode_jbig2(bytes(bad))
+
+
+def test_int_coder_round_trips_every_bucket():
+    """The Annex A integer coder: every range bucket, both signs, and
+    OOB, through ONE MQ stream with adaptation carried across values
+    (the pair-consistency evidence class of the MQ fuzz test)."""
+    rng = np.random.RandomState(2)
+    vals = [0, 1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436, 10**5,
+            -1, -4, -20, -84, -340, -4436, -(10**6), J._OOB]
+    vals += [int(v) for v in rng.randint(-5000, 5000, 60) if v != 0]
+    vals += [J._OOB, 17, J._OOB]
+    enc = J.MQEncoder()
+    cx = J._new_int_ctx()
+    for v in vals:
+        J._int_encode(enc, cx, v)
+    dec = J.MQDecoder(enc.flush())
+    cx2 = J._new_int_ctx()
+    for v in vals:
+        got = J._int_decode(dec, cx2)
+        assert (got is J._OOB) if v is J._OOB else (got == v)
+    assert [s for s, _m in cx] == [s for s, _m in cx2]  # adapted alike
+
+
+def test_pymupdf_cross_decoder_symbol_text():
+    """The symbol/text interop receipt: the IAx PREV-threading and the
+    placement walks are encoder/decoder-shared here, so only an
+    independent implementation can vouch for them (the context-bit-
+    order precedent). Skips without PyMuPDF."""
+    fitz = pytest.importorskip("fitz")
+    glyphs = _glyphs(seed=9)
+    truth = _compose(_PLACES, glyphs, 40, 44)
+    g, d = J.encode_jbig2_text(glyphs, _PLACES, 40, 44, split_globals=True)
+    doc_bytes = P.encode_pdf([["sym/text cross-check"]],
+                             images=[((d, g), 40, 44, "jbig2")])
+    doc = fitz.open(stream=doc_bytes, filetype="pdf")
+    found = False
+    for xref in range(1, doc.xref_length()):
+        if "JBIG2Decode" not in doc.xref_object(xref, compressed=True):
+            continue
+        pix = fitz.Pixmap(doc, xref)
+        arr = np.frombuffer(pix.samples, dtype=np.uint8).reshape(
+            pix.height, pix.width, pix.n
+        )[:, :, 0]
+        assert np.array_equal(arr, np.where(truth, 0, 255).astype(np.uint8))
+        found = True
+    assert found, "no JBIG2 image found by PyMuPDF"
