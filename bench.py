@@ -423,12 +423,14 @@ def bench_dsir(spark, sf_dir):
     uni+bigram features, 10k-bucket log-ratio fit vs a 200-doc target
     (two partial-agg passes), broadcast-scored docs, Gumbel top-k
     select. Fit runs inside the timer — once per corpus."""
-    from pg2kinesis_spark.functions.dsir import dsir_select, fit_dsir_logratios
+    from pg2kinesis_spark.functions.dsir import dsir_fit_select
     from pg2kinesis_spark.io import load_table
 
     docs = _docs_parallel(spark, sf_dir, cols=("doc_id", "text"))
-    lr = fit_dsir_logratios(docs.limit(200), docs)
-    return dsir_select(docs, lr, n=1000)
+    # fused fit+select: the corpus gram explode runs ONCE (was 3x —
+    # fit raw counts, the totals broadcast re-executing them, scoring);
+    # results are bit-equal to the unfused composition (r12 opt round)
+    return dsir_fit_select(docs, docs.limit(200), n=1000)
 
 
 def bench_urls(spark, sf_dir):

@@ -292,12 +292,13 @@ def curate_corpus(
         sel = token_budget_select(ann, F.col("quality"), F.col("n_tokens"), token_budget)
         ann = ann.join(sel.select("doc_id"), "doc_id", "left_semi")
     if dsir_target is not None and dsir_n is not None:
-        from .dsir import dsir_select, fit_dsir_logratios
+        from .dsir import dsir_fit_select
 
         # fit (raw side), scoring, and the final semi join all
-        # reference the survivor set — materialize once (same trap)
+        # reference the survivor set — materialize once (same trap).
+        # dsir_fit_select shares one gram stream across fit + score
+        # (was 3 corpus explosions; results bit-equal, r12 opt round).
         ann = ann.localCheckpoint(eager=False)
-        lr = fit_dsir_logratios(dsir_target, ann)
-        sel = dsir_select(ann, lr, n=dsir_n)
+        sel = dsir_fit_select(ann, dsir_target, n=dsir_n)
         ann = ann.join(sel.select("doc_id"), "doc_id", "left_semi")
     return ann

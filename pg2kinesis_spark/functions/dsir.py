@@ -69,12 +69,19 @@ def fit_dsir_logratios(
     text_col: str = "text",
     n_buckets: int = 10_000,
     alpha: float = 1.0,
+    raw_grams: DataFrame | None = None,
 ) -> DataFrame:
     """(bucket, logratio) for every bucket in [0, n_buckets) — the
     add-α smoothed log(p_target/p_raw) feature weights.
 
     Output is exactly ``n_buckets`` rows regardless of corpus size;
     callers broadcast it into scoring.
+
+    ``raw_grams``: a precomputed ``_gram_buckets`` stream over ``raw``
+    (any id column; only ``bucket`` is read). Callers that also SCORE
+    the same corpus (``dsir_fit_select``) pass their materialized gram
+    stream here so the raw-side explode runs once, not twice — the
+    bucket counts are identical integers either way.
     """
     spark = target.sparkSession
 
@@ -86,7 +93,12 @@ def fit_dsir_logratios(
         )
 
     full = spark.range(n_buckets).select(F.col("id").cast("long").alias("bucket"))
-    t, r = counts(target, "tc"), counts(raw, "rc")
+    t = counts(target, "tc")
+    r = (
+        raw_grams.groupBy("bucket").agg(F.count("*").alias("rc"))
+        if raw_grams is not None
+        else counts(raw, "rc")
+    )
     joined = (
         full.join(t, "bucket", "left")
         .join(r, "bucket", "left")
@@ -96,6 +108,13 @@ def fit_dsir_logratios(
             F.coalesce("rc", F.lit(0)).alias("rc"),
         )
     )
+    # The totals aggregate below and the final projection BOTH consume
+    # `joined`; left lazy, the broadcast side re-executes the whole
+    # count subtree — a second full-corpus gram explode just to sum 10k
+    # integers (measured: the fit ran its raw explode twice). The table
+    # is exactly n_buckets rows by construction, so the checkpoint is
+    # bounded at any corpus scale.
+    joined = joined.localCheckpoint(eager=False)
     # totals via a window-free grouped-total join would need an extra
     # shuffle; the two totals are single scalars — compute them with the
     # same aggregate and cross-join the 1-row result back (broadcast).
@@ -119,6 +138,7 @@ def dsir_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 10_000,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, logw): per-document log importance weight.
 
@@ -133,8 +153,14 @@ def dsir_scores(
     count re-executes the whole fit — two corpus gram explosions — as
     a hidden side effect. Callers that hold a materialized table can
     pass its count.)
+
+    ``grams``: a precomputed ``_gram_buckets(docs, ...)`` stream —
+    the same rows this function would derive itself; callers that also
+    fed the stream to the fit (``dsir_fit_select``) pass it here so
+    the corpus explodes once across fit + score.
     """
-    grams = _gram_buckets(docs, text_col, n_buckets, id_col)
+    if grams is None:
+        grams = _gram_buckets(docs, text_col, n_buckets, id_col)
     return (
         grams.join(F.broadcast(logratios), "bucket", "left")
         .groupBy(id_col)
@@ -181,6 +207,7 @@ def dsir_select(
     id_col: str = "doc_id",
     n_buckets: int = 10_000,
     n_salt: int = 32,
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """The full DSIR selection: score + Gumbel top-k resample.
 
@@ -190,7 +217,7 @@ def dsir_select(
     single-reducer sort; (gk desc, id) is a total order so the result
     is identical to the single-phase ranking).
     """
-    scored = dsir_scores(docs, logratios, text_col, id_col, n_buckets).withColumn(
+    scored = dsir_scores(docs, logratios, text_col, id_col, n_buckets, grams=grams).withColumn(
         "gk", gumbel_key(F.col("logw"), id_col)
     )
     h = F.expr(HASH60.format(x=f"cast({id_col} as string)"))
@@ -205,4 +232,48 @@ def dsir_select(
         pre.withColumn("_rnk", F.row_number().over(w_all))
         .filter(F.col("_rnk") <= n)
         .drop("_salt", "_lrnk", "_rnk")
+    )
+
+
+def dsir_fit_select(
+    docs: DataFrame,
+    target: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 10_000,
+    alpha: float = 1.0,
+    n_salt: int = 32,
+    materialize_grams: bool = True,
+) -> DataFrame:
+    """Fit on (target, docs) then select from docs — the standard DSIR
+    composition (bench_dsir, curate_corpus, n21) — with the raw-side
+    gram stream computed ONCE.
+
+    Composed as separate fit + select calls, the corpus gram explode
+    (split + md5 per gram — the dominant cost of the whole operator)
+    ran three times: the fit's raw counts, the fit's totals aggregate
+    re-executing that subtree for its broadcast (fixed inside
+    ``fit_dsir_logratios`` by the bounded n_buckets checkpoint), and
+    the scoring stream. This helper computes ``_gram_buckets(docs)``
+    once and feeds the SAME stream to both the fit (``raw_grams`` —
+    bucket counts are identical integers) and the scorer (``grams`` —
+    identical rows, identical per-doc aggregation), so results are
+    bit-equal to the unfused composition while the corpus explodes
+    once.
+
+    ``materialize_grams=True`` localCheckpoints the (id, bucket) stream
+    — two longs per gram occurrence. The right call up to corpus sizes
+    where O(token) intermediate storage is acceptable; at the 100 TB
+    tier pass False: the stream stays lazy, fit + score each recompute
+    it (2 passes instead of 3) and nothing token-sized is ever stored.
+    """
+    grams = _gram_buckets(docs, text_col, n_buckets, id_col)
+    if materialize_grams:
+        grams = grams.localCheckpoint(eager=False)
+    lr = fit_dsir_logratios(
+        target, docs, text_col, n_buckets, alpha, raw_grams=grams
+    )
+    return dsir_select(
+        docs, lr, n, text_col, id_col, n_buckets, n_salt, grams=grams
     )

@@ -85,20 +85,33 @@ def train_ngram_lm(
 ) -> NgramLm:
     """Count-table training over the reference corpus. Caps keep both
     tables broadcastable; ties break on the token strings so the same
-    corpus always yields the same model."""
-    uni = (
-        docs.select(F.explode(_words(text_col)).alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("c1"))
-        .orderBy(F.col("c1").desc(), F.col("w"))
-        .limit(max_vocab)
-    )
-    big = (
+    corpus always yields the same model.
+
+    One corpus pass (r12 opt round): the bigram stream contains every
+    token exactly once as its ``w`` component (the BOS-prefixed pair
+    per token), so the unigram table is the full bigram count table
+    re-aggregated by ``w`` — identical integers to a separate token
+    explode, without the second tokenize+explode pass over the train
+    corpus. The full (uncapped) bigram table is checkpointed once —
+    bounded by the train corpus's DISTINCT bigrams (train inputs are
+    reference/sample corpora by contract), far below the token stream
+    the two-pass formulation shipped twice.
+    """
+    big_full = (
         docs.select(F.explode(_bigram_pairs(text_col)).alias("p"))
         .select(F.col("p.prev").alias("prev"), F.col("p.w").alias("w"))
         .groupBy("prev", "w")
         .agg(F.count("*").alias("c2"))
-        .orderBy(F.col("c2").desc(), F.col("prev"), F.col("w"))
+        .localCheckpoint(eager=False)
+    )
+    uni = (
+        big_full.groupBy("w")
+        .agg(F.sum("c2").alias("c1"))
+        .orderBy(F.col("c1").desc(), F.col("w"))
+        .limit(max_vocab)
+    )
+    big = (
+        big_full.orderBy(F.col("c2").desc(), F.col("prev"), F.col("w"))
         .limit(max_bigrams)
     )
     uni = uni.localCheckpoint(eager=False)

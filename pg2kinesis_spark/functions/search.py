@@ -124,28 +124,59 @@ def bm25_topk(
 
     Returns (query_id, doc_id, score, rnk). Ties break on doc_id
     ascending (total order — engine-stable results).
+
+    One corpus tokenize (r12 opt round): for a dict query batch the
+    query-term set is known on the driver, so the pruning filter is an
+    in-row literal InSet inside the SAME projection that computes dl —
+    the tokenize pass that used to run three times (candidate postings,
+    per-term df, corpus constants) runs once, and the (doc_id, dl,
+    matched-terms) projection it materializes is bounded by MATCHED
+    tokens, never the corpus token stream (the thing that GC-killed the
+    earlier full-postings checkpoint at 5M docs). A DataFrame query
+    batch keeps the broadcast-semi path — executing an arbitrary query
+    plan driver-side just to inline its terms would be worse.
     """
     qterms = _query_terms(spark, queries)
-    qset = qterms.select("term").distinct()
-    # Prune the exploded token stream to the QUERY'S terms in-map
-    # (broadcast semi) before any aggregation: df only matters for the
-    # query's terms, so the full-corpus term table never exists in this
-    # plan at all. The pruned subtree is evaluated twice (candidates +
-    # per-term df) — two cheap map-heavy passes; materializing the full
-    # postings instead (a localCheckpoint) looks clever but holds
-    # O(corpus tokens) rows in executor storage and GC-killed the 5M-doc
-    # scaling run. The amortized full index is write_postings' job.
-    postings = build_postings(docs, term_filter=qset)
-    # n_docs / avgdl are corpus constants: one map-only tokenize pass,
-    # 1-row output, no join against the corpus. dl > 0 keeps the exact
-    # semantics of corpus_stats (which derives them from postings, where
-    # token-less docs never appear) — the persisted-index path must stay
-    # result-identical.
-    consts = (
-        docs.select(F.size(_tokens()).alias("dl"))
-        .filter(F.col("dl") > 0)
-        .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    )
+    if isinstance(queries, dict):
+        terms = sorted({
+            r["term"]
+            for r in qterms.select("term").distinct().collect()
+        })
+        toked = docs.select("doc_id", _tokens().alias("_toks"))
+        if terms:
+            lit = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+            matched = F.expr(f"filter(_toks, t -> t IN ({lit}))")
+        else:
+            matched = F.array().cast("array<string>")
+        pruned = toked.select(
+            "doc_id", F.size("_toks").alias("dl"), matched.alias("_qt")
+        ).localCheckpoint(eager=False)
+        # dl > 0 keeps the exact semantics of corpus_stats (which
+        # derives the constants from postings, where token-less docs
+        # never appear) — the persisted-index path stays
+        # result-identical.
+        consts = (
+            pruned.filter(F.col("dl") > 0)
+            .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+        )
+        postings = (
+            pruned.select("doc_id", "dl", F.explode("_qt").alias("term"))
+            .groupBy("term", "doc_id", "dl")
+            .agg(F.count("*").alias("tf"))
+            .select("term", "doc_id", "tf", "dl")
+        )
+    else:
+        qset = qterms.select("term").distinct()
+        # Prune the exploded token stream to the QUERY'S terms in-map
+        # (broadcast semi) before any aggregation: df only matters for
+        # the query's terms, so the full-corpus term table never exists
+        # in this plan at all.
+        postings = build_postings(docs, term_filter=qset)
+        consts = (
+            docs.select(F.size(_tokens()).alias("dl"))
+            .filter(F.col("dl") > 0)
+            .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+        )
     stats = (
         postings.groupBy("term")
         .agg(F.count("*").alias("df"))

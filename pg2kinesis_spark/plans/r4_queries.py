@@ -53,8 +53,12 @@ def n21_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     target = _docs(spark, sf_dir).filter(F.col("lang") == "en").select("text")
-    lr = dsir.fit_dsir_logratios(target, docs, n_buckets=_DSIR_BUCKETS, alpha=1.0)
-    out = dsir.dsir_select(docs, lr, n=_DSIR_N, n_buckets=_DSIR_BUCKETS)
+    # fused fit+select (r12 opt round): one corpus gram explode instead
+    # of three; identical integers into the fit, identical gram rows
+    # into the scorer — hash-checked unchanged against the oracle.
+    out = dsir.dsir_fit_select(
+        docs, target, n=_DSIR_N, n_buckets=_DSIR_BUCKETS, alpha=1.0
+    )
     return out.orderBy(F.desc("gk"), "doc_id")
 
 
