@@ -136,12 +136,41 @@ def bm25_topk(
     batch keeps the broadcast-semi path — executing an arbitrary query
     plan driver-side just to inline its terms would be worse.
     """
-    qterms = _query_terms(spark, queries)
+    terms: list[str] | None = None
+    if isinstance(queries, dict) and all(
+        isinstance(v, str) and v.isascii() for v in queries.values()
+    ):
+        # Driver-side query tokenize (r12 opt round): TOKEN_REGEX is
+        # plain ASCII [a-z0-9]+, on which Python re and Java regex (and
+        # lower()) agree exactly, so a handful of driver-known query
+        # strings need no Spark job — the old path paid a
+        # createDataFrame -> explode -> distinct -> collect wave
+        # (~0.6 s) just to learn ~a dozen literals. Non-ASCII queries
+        # keep the engine-side tokenizer (identical-by-construction).
+        import re as _re
+        from collections import Counter as _Counter
+
+        counts = {
+            qid: _Counter(_re.findall(TOKEN_REGEX, txt.lower()))
+            for qid, txt in queries.items()
+        }
+        rows = [
+            (qid, t, int(n))
+            for qid, c in sorted(counts.items())
+            for t, n in sorted(c.items())
+        ]
+        qterms = spark.createDataFrame(
+            rows, "query_id string, term string, qn long"
+        )
+        terms = sorted({t for c in counts.values() for t in c})
+    else:
+        qterms = _query_terms(spark, queries)
     if isinstance(queries, dict):
-        terms = sorted({
-            r["term"]
-            for r in qterms.select("term").distinct().collect()
-        })
+        if terms is None:
+            terms = sorted({
+                r["term"]
+                for r in qterms.select("term").distinct().collect()
+            })
         toked = docs.select("doc_id", _tokens().alias("_toks"))
         if terms:
             lit = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
@@ -151,19 +180,62 @@ def bm25_topk(
         pruned = toked.select(
             "doc_id", F.size("_toks").alias("dl"), matched.alias("_qt")
         ).localCheckpoint(eager=False)
-        # dl > 0 keeps the exact semantics of corpus_stats (which
-        # derives the constants from postings, where token-less docs
-        # never appear) — the persisted-index path stays
-        # result-identical.
-        consts = (
-            pruned.filter(F.col("dl") > 0)
-            .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-        )
         postings = (
             pruned.select("doc_id", "dl", F.explode("_qt").alias("term"))
             .groupBy("term", "doc_id", "dl")
             .agg(F.count("*").alias("tf"))
             .select("term", "doc_id", "tf", "dl")
+        )
+        if terms:
+            # ONE 1-row aggregate over the checkpointed projection
+            # yields n_docs, avgdl AND per-term df (the terms are
+            # driver literals, so df_t = Σ array_contains(_qt, t) —
+            # the same integer the old postings-side
+            # groupBy(term).count() produced, since a doc contributes
+            # one postings row per contained term). The old shape ran
+            # TWO extra aggregation subtrees over `pruned` (the consts
+            # agg + the stats re-aggregation of postings) as separate
+            # broadcast-build job waves; this is one job, and idf
+            # still derives from the integer df inside the SAME JVM
+            # expression (bm25_score_expr), so scores are
+            # bit-identical (r12 opt round).
+            # dl > 0 keeps the exact semantics of corpus_stats (which
+            # derives the constants from postings, where token-less
+            # docs never appear) — the persisted-index path stays
+            # result-identical.
+            onerow = pruned.filter(F.col("dl") > 0).agg(
+                F.count("*").alias("n_docs"),
+                F.avg("dl").alias("avgdl"),
+                *[
+                    F.sum(F.array_contains("_qt", t).cast("long")).alias(f"_df_{i}")
+                    for i, t in enumerate(terms)
+                ],
+            )
+            stats = onerow.select(
+                F.explode(
+                    F.array(*[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.col(f"_df_{i}").alias("df"),
+                        )
+                        for i, t in enumerate(terms)
+                    ])
+                ).alias("_s"),
+                "n_docs",
+                "avgdl",
+            ).select(
+                F.col("_s.term").alias("term"),
+                F.col("_s.df").alias("df"),
+                "n_docs",
+                "avgdl",
+            # a term no document contains has df = 0 here where the
+            # old groupBy simply had no row — it joins to zero
+            # candidate postings either way
+            ).filter(F.col("df") > 0)
+            return _bm25_rank(postings, stats, qterms, k, k1, b)
+        consts = (
+            pruned.filter(F.col("dl") > 0)
+            .agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
         )
     else:
         qset = qterms.select("term").distinct()
