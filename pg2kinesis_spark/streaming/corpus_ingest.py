@@ -796,8 +796,8 @@ class CorpusIngest:
 
             _write(
                 back.select(
-                    _urls.registered_domain(
-                        _urls._host(self.url_col)
+                    _urls._registered_domain_expr(
+                        _urls._host_sql(self.url_col)
                     ).alias("domain")
                 )
                 .filter(F.col("domain").isNotNull())

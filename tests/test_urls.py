@@ -365,3 +365,24 @@ def test_parse_urls_custom_column_names(spark):
     assert row._h2 == "a.example.com"
     assert row._d2 == "example.com"
     assert row._p2 == "/p"
+
+
+def test_registered_domain_sql_twin(spark):
+    # The single-parse SQL fast path (_registered_domain_expr) must be
+    # row-for-row identical to the Column-API builder it mirrors,
+    # including NULL, single-label, bare-TLD (n == s), wildcard,
+    # exception, and deep-subdomain hosts.
+    hosts = [
+        None, "com", "ck", "example.com", "www.example.com",
+        "a.b.c.example.co.uk", "co.uk", "thing.co.uk", "anything.weird.ck",
+        "www.ck", "x.www.ck", "user1.github.io", "a.user1.github.io",
+        "portal.or.kr", "deep.sub.gov.br", "localhost", "a.unknowntld",
+        "x.y.z.unknowntld",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    out = df.select(
+        U.registered_domain(F.col("host")).alias("col_api"),
+        U._registered_domain_expr("`host`").alias("sql_api"),
+    ).collect()
+    for h, r in zip(hosts, out):
+        assert r.col_api == r.sql_api, (h, r.col_api, r.sql_api)
