@@ -273,12 +273,12 @@ def curate_corpus(
         surv_emb = embeddings.join(
             ann.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
         )
-        # array<float> carries no length in the schema; one first()-row
-        # probe fixes dim (the k-means needs it only to enumerate the
-        # centroid-update sum columns)
-        dim = len(surv_emb.select("embedding").first()["embedding"])
+        # dim=None: semdedup infers the dimension from the data — the
+        # explicit first() probe here executed the surv_emb join once
+        # just before the driver path collected the same rows again
+        # (one whole pass over the join saved; r12 opt round)
         flags = semdedup(
-            surv_emb, dim=dim, eps=semdedup_eps, n_clusters=semdedup_clusters
+            surv_emb, eps=semdedup_eps, n_clusters=semdedup_clusters
         )
         drop_sem = flags.filter(~F.col("kept")).select(F.col("vec_id").alias("doc_id"))
         ann = ann.join(drop_sem, "doc_id", "left_anti")

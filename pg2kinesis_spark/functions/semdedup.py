@@ -383,7 +383,7 @@ def _semdedup_driver(
 
 def semdedup(
     emb: DataFrame,
-    dim: int,
+    dim: int | None = None,
     eps: float = 0.05,
     n_clusters: int = 16,
     n_iter: int = 2,
@@ -411,6 +411,12 @@ def semdedup(
     overhead at that size (measured ~5 s on a 2.4k-row survivor set).
     ``driver_threshold=None`` (or the hierarchical / sub-split paths,
     or a blown ``driver_max_pairs`` budget) always runs distributed.
+
+    ``dim=None`` infers the dimension from the data: free on the
+    driver path (the collected sample carries it), one ``first()``
+    probe on the distributed path. Callers that used to probe dim
+    themselves before calling paid that probe job even when the driver
+    path was about to collect the same rows anyway (r12 opt round).
     """
     if (
         driver_threshold is not None
@@ -434,6 +440,8 @@ def semdedup(
             )
             if out is not None:
                 return out
+    if dim is None:
+        dim = len(emb.select("embedding").first()["embedding"])
     assigned = semdedup_assign(
         emb, dim, n_clusters, n_iter, scale, hierarchical=hierarchical, nprobe=nprobe
     )
