@@ -739,6 +739,9 @@ def run_inline(only_set: set[str] | None, sf_dir: str) -> tuple[dict, dict]:
         if not selected(name):
             continue
         fn = QUERIES[name]
+        # label jobs for event-log/UI attribution (guide §1.5); free —
+        # a local-properties set, nothing in the timed region changes
+        spark.sparkContext.setJobGroup(name, name)
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()  # untimed warm-up (page cache + codegen)
         warm = time.perf_counter() - t0
@@ -749,6 +752,7 @@ def run_inline(only_set: set[str] | None, sf_dir: str) -> tuple[dict, dict]:
     for name, fn in EXTRA_BENCHES.items():
         if not selected(name):
             continue
+        spark.sparkContext.setJobGroup(name, name)
         # one untimed pass first: page cache + codegen warm-up (the cold
         # first run is 2-4x the steady state and best-of-N alone can
         # record it when all timed reps land cold)
