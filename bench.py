@@ -1058,6 +1058,19 @@ def _emit(times: dict, sf: float, spread: dict | None = None, extra: dict | None
         "queries": times,
         "sf": sf,
     }
+    # Metric-direction contract (VERDICT r12 item 6): every key listed
+    # here is a THROUGHPUT (higher is better, excluded from `value`);
+    # everything else in `queries` is seconds (lower is better). A
+    # prev/now comparison tool must invert the ratio for these instead
+    # of branding an improved rate "regressed" (8 false regressions in
+    # PERF_r12). Addition-only: names, values and `value` are unchanged.
+    thr = sorted(
+        k
+        for k in times
+        if k.endswith("_per_sec") or k.endswith("_per_sec_norm")
+    )
+    if thr:
+        out["throughput"] = thr
     if spread:
         out["spread"] = spread  # per entry: [best, worst, reps]
     if extra:
@@ -1095,11 +1108,13 @@ def _emit(times: dict, sf: float, spread: dict | None = None, extra: dict | None
         "box_probe_s": extra.get("box_probe_s"),
         "full_record": "line 1 of stdout / BENCH_FULL_latest.json",
     }
+    if thr:
+        compact["throughput"] = thr  # higher-is-better keys (see above)
     for opt in ("box_slow_groups", "group_errors"):
         if opt in extra:
             compact[opt] = extra[opt]
     line = json.dumps(compact)
-    for drop in ("full_record", "box_probe_s", "box_slow_groups"):
+    for drop in ("full_record", "box_probe_s", "box_slow_groups", "throughput"):
         if len(line) <= 1900:
             break
         compact.pop(drop, None)

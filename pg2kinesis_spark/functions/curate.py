@@ -84,6 +84,7 @@ def curate_corpus(
     n: int = 3,
     k: int = 16,
     bands: int = 4,
+    materialize_sig: bool = True,
     transitive: bool = False,
     gopher: bool | dict = False,
     redact_pii_text: bool = False,
@@ -111,6 +112,13 @@ def curate_corpus(
     """Curated corpus: (doc_id, text, n_tokens, quality, pred_lang) for
     every surviving document. See module docstring for stage order and
     the scale contract of each stage.
+
+    ``materialize_sig`` forwards to ``minhash_lsh_pairs``: True (the
+    default) checkpoints the k·8 B/doc signature table once for the
+    three subtrees that read it; False is the 100 TB-tier opt-out that
+    keeps the signature plan fully lazy (or, better at that scale, use
+    the written signature index per the module docstring). Survivors
+    are identical either way.
 
     ``lang_model`` (a ``langid.train_char_lang_id`` PipelineModel)
     replaces the marker-word pred_lang with the trained char-n-gram
@@ -233,7 +241,13 @@ def curate_corpus(
     ann = ann.join(keep, "doc_id", "left_semi")
 
     if near_dup_jaccard is not None:
-        pairs = minhash_lsh_pairs(ann.select("doc_id", "text"), n=n, k=k, bands=bands)
+        # materialize_sig forwards the 100 TB-tier opt-out (the k·8 B/doc
+        # signature checkpoint stays lazy when False) — results are
+        # identical either way; see minhash_lsh_pairs.
+        pairs = minhash_lsh_pairs(
+            ann.select("doc_id", "text"), n=n, k=k, bands=bands,
+            materialize_sig=materialize_sig,
+        )
         pairs = pairs.filter(F.col("est_jaccard") >= near_dup_jaccard)
         if transitive:
             # One survivor per TRANSITIVE duplicate cluster (connected

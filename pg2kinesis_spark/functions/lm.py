@@ -82,6 +82,7 @@ def train_ngram_lm(
     l2: float = 0.89,
     l1: float = 0.10,
     l0: float = 0.01,
+    materialize: bool = True,
 ) -> NgramLm:
     """Count-table training over the reference corpus. Caps keep both
     tables broadcastable; ties break on the token strings so the same
@@ -92,18 +93,25 @@ def train_ngram_lm(
     per token), so the unigram table is the full bigram count table
     re-aggregated by ``w`` — identical integers to a separate token
     explode, without the second tokenize+explode pass over the train
-    corpus. The full (uncapped) bigram table is checkpointed once —
-    bounded by the train corpus's DISTINCT bigrams (train inputs are
-    reference/sample corpora by contract), far below the token stream
-    the two-pass formulation shipped twice.
+    corpus. With ``materialize=True`` (the default) the full (uncapped)
+    bigram count table is checkpointed once — O(distinct train-corpus
+    bigrams), near-linear in train tokens for web text, so the default
+    is right only for the documented reference/sample-corpus train
+    inputs. ``materialize=False`` keeps the two-pass lazy formulation
+    (the uni and big derivations each recompute the count table;
+    nothing bigram-sized is ever stored) — the 100 TB-tier shape, same
+    flag contract as ``dsir_fit_select(materialize_grams=)``. The model
+    is bit-identical either way (a checkpoint is a barrier, not a
+    transform).
     """
     big_full = (
         docs.select(F.explode(_bigram_pairs(text_col)).alias("p"))
         .select(F.col("p.prev").alias("prev"), F.col("p.w").alias("w"))
         .groupBy("prev", "w")
         .agg(F.count("*").alias("c2"))
-        .localCheckpoint(eager=False)
     )
+    if materialize:
+        big_full = big_full.localCheckpoint(eager=False)
     uni = (
         big_full.groupBy("w")
         .agg(F.sum("c2").alias("c1"))

@@ -119,11 +119,24 @@ def bm25_topk(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-k documents per query by BM25, built from ``docs`` in-plan.
 
     Returns (query_id, doc_id, score, rnk). Ties break on doc_id
     ascending (total order — engine-stable results).
+
+    ``materialize=True`` lazily localCheckpoints the dict-batch
+    (doc_id, dl, matched-terms) projection — one bounded row per
+    document (dl long + the terms of THIS query batch that the doc
+    contains), which three plan subtrees consume. That is the right
+    call up to corpus sizes where O(n_docs) rows in executor storage
+    (MEMORY_AND_DISK — degrades to spill, never dies) are acceptable;
+    at the 100 TB tier pass ``materialize=False``: the projection stays
+    lazy and each consumer recomputes the tokenize — the same flag
+    contract as ``dsir_fit_select(materialize_grams=)`` and
+    ``minhash_lsh_pairs(materialize_sig=)``. Scores are bit-identical
+    either way (a checkpoint is a barrier, not a transform).
 
     One corpus tokenize (r12 opt round): for a dict query batch the
     query-term set is known on the driver, so the pruning filter is an
@@ -173,13 +186,23 @@ def bm25_topk(
             })
         toked = docs.select("doc_id", _tokens().alias("_toks"))
         if terms:
-            lit = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+            # backslash escaping (the urls._sql_str convention):
+            # doubled single quotes are NOT an escape to Spark's lexer —
+            # adjacent string literals concatenate, so 'it''s' parses as
+            # 'its'. Unreachable today (TOKEN_REGEX terms are [a-z0-9]+)
+            # but a latent mis-parse if the tokenizer ever widens.
+            lit = ", ".join(
+                "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'"
+                for t in terms
+            )
             matched = F.expr(f"filter(_toks, t -> t IN ({lit}))")
         else:
             matched = F.array().cast("array<string>")
         pruned = toked.select(
             "doc_id", F.size("_toks").alias("dl"), matched.alias("_qt")
-        ).localCheckpoint(eager=False)
+        )
+        if materialize:
+            pruned = pruned.localCheckpoint(eager=False)
         postings = (
             pruned.select("doc_id", "dl", F.explode("_qt").alias("term"))
             .groupBy("term", "doc_id", "dl")

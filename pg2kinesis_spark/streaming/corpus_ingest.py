@@ -726,94 +726,110 @@ class CorpusIngest:
 
             bloom_pool = ThreadPoolExecutor(max_workers=1)
             hash_bloom_fut = bloom_pool.submit(_build_hash_bloom)
-        if self.near_dup_jaccard is not None:
-            from pg2kinesis_spark.functions.dedup import _banded, band_key_col
+        _sig_chain_ok = False
+        try:
+            if self.near_dup_jaccard is not None:
+                from pg2kinesis_spark.functions.dedup import _banded, band_key_col
 
-            # ACCEPTED rows' signatures = the checkpointed batch
-            # signatures semi-joined with the written-and-read-back doc
-            # ids: no second shingle+minhash pass, and the lineage is
-            # still severed (checkpoint on one side, final parquet on
-            # the other — minhash is deterministic, so these are
-            # byte-identical to re-signing the read-back text).
-            sig = new_sig.join(
-                F.broadcast(back.select("doc_id")), "doc_id", "left_semi"
-            )
-            _write(sig, self.sig_path)
-            if self.band_bloom is not None:
-                # Bloom AFTER the sig-index write (order matters:
-                # load_union's require_batch_ids coverage check refuses
-                # a union that misses any index batch and the caller
-                # falls back to the full index join, so a crash in the
-                # window costs one slow — never wrong — probe pass
-                # until the batch replays), built from the same
-                # checkpointed signatures the write used instead of a
-                # re-read of the partition it just wrote.
-                from pg2kinesis_spark.functions.bloom import bloom_hash_cols
+                # ACCEPTED rows' signatures = the checkpointed batch
+                # signatures semi-joined with the written-and-read-back doc
+                # ids: no second shingle+minhash pass, and the lineage is
+                # still severed (checkpoint on one side, final parquet on
+                # the other — minhash is deterministic, so these are
+                # byte-identical to re-signing the read-back text).
+                sig = new_sig.join(
+                    F.broadcast(back.select("doc_id")), "doc_id", "left_semi"
+                )
+                _write(sig, self.sig_path)
+                if self.band_bloom is not None:
+                    # Bloom AFTER the sig-index write (order matters:
+                    # load_union's require_batch_ids coverage check refuses
+                    # a union that misses any index batch and the caller
+                    # falls back to the full index join, so a crash in the
+                    # window costs one slow — never wrong — probe pass
+                    # until the batch replays), built from the same
+                    # checkpointed signatures the write used instead of a
+                    # re-read of the partition it just wrote.
+                    from pg2kinesis_spark.functions.bloom import bloom_hash_cols
 
-                h1, h2 = bloom_hash_cols(band_key_col())
-                self.band_bloom.write(
-                    _banded(sig, self.k, self.bands).select(
-                        h1.alias("_h1"), h2.alias("_h2")
+                    h1, h2 = bloom_hash_cols(band_key_col())
+                    self.band_bloom.write(
+                        _banded(sig, self.k, self.bands).select(
+                            h1.alias("_h1"), h2.alias("_h2")
+                        ),
+                        "_h1",
+                        "_h2",
+                        batch_id,
+                    )
+                _mark("sig build+bloom+write")
+            if self.sd_cents is not None:
+                from pg2kinesis_spark.functions.semdedup import assign_with_centroids
+
+                # re-assign from the read-back rows (same frozen centroids →
+                # identical cids) so the index write shares the severed
+                # lineage and the replay-exclusion contract of the others
+                _write(
+                    assign_with_centroids(
+                        back.select(F.col("doc_id").alias("vec_id"), "embedding"),
+                        self.sd_cents,
                     ),
-                    "_h1",
-                    "_h2",
-                    batch_id,
+                    self.emb_path,
                 )
-            _mark("sig build+bloom+write")
-        if self.sd_cents is not None:
-            from pg2kinesis_spark.functions.semdedup import assign_with_centroids
+            if self.url_xbatch:
+                from pg2kinesis_spark.functions import urls as _urls
 
-            # re-assign from the read-back rows (same frozen centroids →
-            # identical cids) so the index write shares the severed
-            # lineage and the replay-exclusion contract of the others
-            _write(
-                assign_with_centroids(
-                    back.select(F.col("doc_id").alias("vec_id"), "embedding"),
-                    self.sd_cents,
-                ),
-                self.emb_path,
-            )
-        if self.url_xbatch:
-            from pg2kinesis_spark.functions import urls as _urls
-
-            # the index writes re-derive url_norm/domain from `back`'s
-            # provenance URL on purpose: deriving from the pre-write
-            # plan would re-execute the whole batch lineage (the severed-
-            # lineage rule above), and keeping _cu_* columns in the
-            # accepted parquet would leak internals into the user-facing
-            # schema — one map-only codegen pass over ACCEPTED rows only
-            # is the cheapest correct option.
-            # Same normalize_url expression as the probe side -> same
-            # md5 keys; NULL norms (unparseable) never enter the index.
-            _write(
-                back.select(
-                    F.md5(_urls.normalize_url(self.url_col)).alias("_uh")
-                ).filter(F.col("_uh").isNotNull()),
-                self.url_path,
-            )
-        if self.domain_cap_k is not None:
-            from pg2kinesis_spark.functions import urls as _urls
-
-            _write(
-                back.select(
-                    _urls._registered_domain_expr(
-                        _urls._host_sql(self.url_col)
-                    ).alias("domain")
+                # the index writes re-derive url_norm/domain from `back`'s
+                # provenance URL on purpose: deriving from the pre-write
+                # plan would re-execute the whole batch lineage (the severed-
+                # lineage rule above), and keeping _cu_* columns in the
+                # accepted parquet would leak internals into the user-facing
+                # schema — one map-only codegen pass over ACCEPTED rows only
+                # is the cheapest correct option.
+                # Same normalize_url expression as the probe side -> same
+                # md5 keys; NULL norms (unparseable) never enter the index.
+                _write(
+                    back.select(
+                        F.md5(_urls.normalize_url(self.url_col)).alias("_uh")
+                    ).filter(F.col("_uh").isNotNull()),
+                    self.url_path,
                 )
-                .filter(F.col("domain").isNotNull())
-                .groupBy("domain")
-                .agg(F.count(F.lit(1)).alias("n")),
-                self.dom_path,
-            )
-        # bloom BEFORE the hash index (the build was submitted above,
-        # concurrent with the sig chain): a crash between the two leaves
-        # the bloom over-approximating (maybe-seen rows probe the index,
-        # find nothing, get re-accepted) — never under-approximating,
-        # which would silently re-admit duplicates. Replay overwrites
-        # both. The join here is the barrier that preserves that order.
-        if hash_bloom_fut is not None:
-            hash_bloom_fut.result()
-            bloom_pool.shutdown()
+            if self.domain_cap_k is not None:
+                from pg2kinesis_spark.functions import urls as _urls
+
+                _write(
+                    back.select(
+                        _urls._registered_domain_expr(
+                            _urls._host_sql(self.url_col)
+                        ).alias("domain")
+                    )
+                    .filter(F.col("domain").isNotNull())
+                    .groupBy("domain")
+                    .agg(F.count(F.lit(1)).alias("n")),
+                    self.dom_path,
+                )
+            _sig_chain_ok = True
+        finally:
+            # bloom BEFORE the hash index (the build was submitted above,
+            # concurrent with the sig chain): a crash between the two
+            # leaves the bloom over-approximating (maybe-seen rows probe
+            # the index, find nothing, get re-accepted) — never under-,
+            # which would silently re-admit duplicates. Replay overwrites
+            # both. result() is the barrier that preserves that order —
+            # and it runs on EVERY exit path: a raise anywhere in the sig/
+            # semdedup/url/domain chain above must not orphan the non-
+            # daemon bloom thread (it could outlive the failed batch into
+            # a same-process replay and race its bloom_<batch_id>.bin
+            # write) or silently drop its exception (ADVICE r12).
+            if hash_bloom_fut is not None:
+                try:
+                    hash_bloom_fut.result()
+                except BaseException:
+                    if _sig_chain_ok:
+                        raise
+                    # the chain already failed — await the thread but do
+                    # not mask the primary exception with the sidecar's
+                finally:
+                    bloom_pool.shutdown(wait=True)
         _write(back.select(F.md5("text").alias("_h")), self.hash_path)
         _mark("hash bloom+write")
         if self.stats:  # the count is a job — don't pay it when unread

@@ -606,3 +606,83 @@ def test_ingest_null_text_rows_never_accepted(spark, tmp_path):
     ingest.process_batch(batch, 0)
     acc = spark.read.parquet(os.path.join(out, "accepted"))
     assert {r.doc_id for r in acc.collect()} == {1}
+
+
+def test_crash_after_bloom_before_hash_index_readmits(spark, tmp_path):
+    """Crash window of the CONCURRENT hash-bloom sidecar (r12 opt round,
+    VERDICT r12 item 8): bloom_<batch_id>.bin landed, the hash-INDEX
+    write did not. The bloom then OVER-approximates — a recrawl probes
+    'maybe seen', finds nothing in the index, and must be RE-ADMITTED.
+    A bloom that could short-circuit the index probe would silently
+    drop the doc instead (under-approximation — the unsafe direction)."""
+    import shutil
+
+    out = str(tmp_path / "curated_bloomwin")
+    ingest = CorpusIngest(out, near_dup_jaccard=None, bloom_bits=1 << 16)
+    rows = [(1, BASE), (2, "a second entirely distinct document about engines")]
+    ingest.process_batch(_docs(spark, rows), 1)
+    assert os.path.exists(os.path.join(out, "bloom", "bloom_1.bin"))
+
+    # simulate the crash between the sidecar barrier and the hash write
+    shutil.rmtree(os.path.join(out, "hash_index", "batch_id=1"))
+
+    # verbatim recrawl in the NEXT batch: bloom says maybe, index has no
+    # hash -> re-accepted (over-approximation is safe; a drop is not)
+    ingest.process_batch(_docs(spark, [(9, BASE)]), 2)
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "accepted"))
+        .select("doc_id")
+        .collect()
+    }
+    assert 9 in got
+
+    # and once the batch REPLAYS (index restored), dedup works again
+    ingest2 = CorpusIngest(out, near_dup_jaccard=None, bloom_bits=1 << 16)
+    ingest2.process_batch(_docs(spark, rows), 1)
+    ingest2.process_batch(_docs(spark, [(10, BASE)]), 3)
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "accepted"))
+        .select("doc_id")
+        .collect()
+    }
+    assert 10 not in got
+
+
+def test_sig_chain_failure_awaits_bloom_thread_and_replays(spark, tmp_path):
+    """A raise inside the sig/url/domain write chain must (a) propagate,
+    (b) await + shut down the concurrent hash-bloom thread (no orphan
+    non-daemon thread racing a same-process replay), and (c) leave the
+    state replayable (ADVICE r12 medium)."""
+    import threading
+
+    out = str(tmp_path / "curated_sigfail")
+    ingest = CorpusIngest(out, near_dup_jaccard=0.6, bloom_bits=1 << 16)
+    rows = [(1, BASE), (2, "yet another unrelated document about compilers")]
+
+    boom = RuntimeError("injected sig-index write failure")
+    orig_write = ingest.band_bloom.write
+
+    def _fail(*a, **k):
+        raise boom
+
+    ingest.band_bloom.write = _fail
+    with pytest.raises(RuntimeError, match="injected sig-index"):
+        ingest.process_batch(_docs(spark, rows), 1)
+    # the bloom pool thread was awaited and shut down on the error path
+    # (shutdown(wait=True) in the finally — no orphan executor thread)
+    assert not [
+        t
+        for t in threading.enumerate()
+        if t.name.startswith("ThreadPoolExecutor") and t.is_alive()
+    ]
+
+    # same-process replay of the same batch_id completes and rebuilds
+    # every index consistently
+    ingest.band_bloom.write = orig_write
+    ingest.process_batch(_docs(spark, rows), 1)
+    sig = spark.read.parquet(os.path.join(out, "sig_index"))
+    assert {r["doc_id"] for r in sig.select("doc_id").collect()} == {1, 2}
+    acc = spark.read.parquet(os.path.join(out, "accepted"))
+    assert acc.count() == 2

@@ -167,3 +167,17 @@ def test_perplexity_buckets_head_middle_tail(spark, docs, lm):
     head_max = max(r["perplexity"] for r in b if r["ppl_bucket"] == "head")
     tail_min = min(r["perplexity"] for r in b if r["ppl_bucket"] == "tail")
     assert head_max <= tail_min
+
+
+def test_train_materialize_flag_bit_equal(docs, lm):
+    """materialize=False (the 100 TB two-pass lazy formulation) yields
+    the SAME model as the checkpointed default — a checkpoint is a
+    barrier, not a transform (ADVICE r12 / r13 opt round)."""
+    lazy = train_ngram_lm(docs, max_vocab=400, max_bigrams=3000, materialize=False)
+    assert {tuple(r) for r in lazy.unigrams.collect()} == {
+        tuple(r) for r in lm.unigrams.collect()
+    }
+    assert {tuple(r) for r in lazy.bigrams.collect()} == {
+        tuple(r) for r in lm.bigrams.collect()
+    }
+    assert (lazy.total_tokens, lazy.vocab_size) == (lm.total_tokens, lm.vocab_size)

@@ -168,3 +168,30 @@ def test_inline_and_persisted_agree_with_empty_docs(spark, tmp_path):
     persisted = {(r["query_id"], r["doc_id"], round(r["score"], 10))
                  for r in bm25_topk_from_postings(spark, path, qs, k=3, buckets=4).collect()}
     assert inline == persisted and inline
+
+
+def test_bm25_materialize_flag_bit_equal(spark, docs):
+    """materialize=False (100 TB opt-out for the O(n_docs) dict-batch
+    checkpoint) is bit-identical to the default — the checkpoint is a
+    barrier, not a transform (VERDICT r12 item 5)."""
+    a = bm25_topk(spark, docs, QUERIES, k=5).collect()
+    b = bm25_topk(spark, docs, QUERIES, k=5, materialize=False).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_in_set_literal_escaping_roundtrip(spark):
+    """The dict-batch IN-set literals are backslash-escaped: Spark's
+    lexer treats adjacent string literals as CONCATENATION, so the old
+    quote-doubling ('it''s') silently parses as 'its'. Unreachable
+    through TOKEN_REGEX today ([a-z0-9]+); pinned so a future tokenizer
+    widening cannot mis-parse (ADVICE r12)."""
+    terms = ["it's", "back\\slash", "plain"]
+    lit = ", ".join(
+        "'" + t.replace("\\", "\\\\").replace("'", "\\'") + "'" for t in terms
+    )
+    df = spark.createDataFrame(
+        [(t,) for t in terms + ["its", "other"]], ["t"]
+    )
+    got = {r["t"] for r in df.filter(F.expr(f"t IN ({lit})")).collect()}
+    # quote-doubling would have matched 'its' instead of "it's"
+    assert got == set(terms)
