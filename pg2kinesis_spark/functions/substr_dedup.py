@@ -106,12 +106,26 @@ def dedup_substrings(docs: DataFrame, k: int = 50, stride: int = 1) -> DataFrame
     # once. Rebuild is then row-local (docs without cuts keep their text
     # column untouched — no explode, no per-word shuffle). The covered
     # array is bounded by the document's own length.
+    #
+    # r13 opt round (guide §2.3 "shuffle fewer bytes", §2.4): aggregate
+    # the LOSER POSITIONS and expand each to its covered k-span
+    # row-locally AFTER the shuffle — the old shape exploded every
+    # loser into k wpos rows BEFORE the doc_id aggregate, so the
+    # partial collect_set sets crossing the exchange were up to k×
+    # larger and the plan carried a Generate node for the expansion.
+    # array_distinct(flatten(sequence...)) builds the same SET the
+    # exploded collect_set did (order is irrelevant: _cut only feeds
+    # array_contains and is dropped) — survivors byte-identical.
     cut = (
-        losers.select(
-            "doc_id", F.explode(F.expr(f"sequence(pos, pos + {k} - 1)")).alias("wpos")
+        losers.groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("_lp"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"array_distinct(flatten(transform(_lp,"
+                f" p -> sequence(p, p + {k} - 1))))"
+            ).alias("_cut"),
         )
-        .groupBy("doc_id")
-        .agg(F.collect_set("wpos").alias("_cut"))
     )
     rebuilt = F.expr(
         "array_join(filter(transform(split(text, ' '),"
