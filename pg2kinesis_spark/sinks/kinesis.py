@@ -34,6 +34,14 @@ import time
 from dataclasses import dataclass, field
 
 from pg2kinesis_spark.operators.errors import CdcParseError
+from pg2kinesis_spark.sinks.kpl import (
+    KPL_MAGIC,
+    _TAG_DATA,
+    _TAG_PK_INDEX,
+    _TAG_PK_TABLE,
+    _TAG_RECORD,
+    _varint,
+)
 
 
 class ProvisionedThroughputExceeded(Exception):
@@ -76,6 +84,16 @@ class AggRecord:
     num_bytes: int = 0
     est_size: int = _KPL_FIXED_OVERHEAD
     _key_idx: dict[str, int] = field(default_factory=dict)
+    # Incrementally framed protobuf fragments (r13 opt round): add()
+    # already walks every message to price it, so it frames the record
+    # bytes in the same walk — serialize() then just concatenates
+    # key-table + records + md5 instead of re-walking the whole
+    # aggregate through serialize_kpl (the drain's second per-message
+    # loop, ~40% of the measured Python sink time). Byte-identical to
+    # serialize_kpl by construction (same framing arithmetic, same
+    # first-seen key-table order) — parity-pinned in tests/test_kpl.py.
+    _table: bytearray = field(default_factory=bytearray)
+    _buf: bytearray = field(default_factory=bytearray)
 
     def add(self, msg: bytes, partition_key: str, max_bytes: int) -> bool:
         if self.partition_key is None:
@@ -83,25 +101,47 @@ class AggRecord:
         idx = self._key_idx.get(partition_key)
         new_key = idx is None
         msg_len = len(msg)
+        buf = self._buf
         if not new_key and idx < 0x80 and msg_len < 0x7C:
             # fast path (typical CDC messages, seen key): every varint is
             # one byte, rec_len = 4 + msg_len < 0x80 — same arithmetic as
             # below, no function calls
             delta = 6 + msg_len
+            if self.messages and self.est_size + delta > max_bytes:
+                return False
+            buf.append(_TAG_RECORD)
+            buf.append(4 + msg_len)
+            buf.append(_TAG_PK_INDEX)
+            buf.append(idx)
+            buf.append(_TAG_DATA)
+            buf.append(msg_len)
+            buf.extend(msg)
         else:
             if new_key:
                 idx = len(self._key_idx)
-                key_len = len(partition_key.encode())
-                delta = 1 + _varint_size(key_len) + key_len  # key-table entry
+                kb = partition_key.encode()
+                key_entry = b"%c%s%s" % (_TAG_PK_TABLE, _varint(len(kb)), kb)
+                delta = len(key_entry)  # key-table entry
             else:
                 delta = 0
             # framed Record message: tag+len envelope around pk-index + data
-            rec_len = 2 + _varint_size(idx) + _varint_size(msg_len) + msg_len
-            delta += 1 + _varint_size(rec_len) + rec_len
-        if self.messages and self.est_size + delta > max_bytes:
-            return False
-        if new_key:
-            self._key_idx[partition_key] = idx
+            vi = _varint(idx)
+            vl = _varint(msg_len)
+            rec_len = 2 + len(vi) + len(vl) + msg_len
+            vr = _varint(rec_len)
+            delta += 1 + len(vr) + rec_len
+            if self.messages and self.est_size + delta > max_bytes:
+                return False
+            if new_key:
+                self._key_idx[partition_key] = idx
+                self._table += key_entry
+            buf.append(_TAG_RECORD)
+            buf.extend(vr)
+            buf.append(_TAG_PK_INDEX)
+            buf.extend(vi)
+            buf.append(_TAG_DATA)
+            buf.extend(vl)
+            buf.extend(msg)
         self.messages.append(msg)
         self.keys.append(partition_key)
         self.num_bytes += msg_len
@@ -109,9 +149,10 @@ class AggRecord:
         return True
 
     def serialize(self) -> bytes:
-        from pg2kinesis_spark.sinks.kpl import serialize_kpl
+        import hashlib
 
-        return serialize_kpl(list(zip(self.keys, self.messages)))
+        payload = bytes(self._table) + bytes(self._buf)
+        return KPL_MAGIC + payload + hashlib.md5(payload).digest()
 
 
 class InMemoryTransport:
@@ -165,10 +206,19 @@ class KinesisLikeWriter:
     def put_message(self, fmt_msg: str | None, partition_key: str | None) -> bool:
         """Add a message; flush on aggregate-full or window expiry.
         Returns True iff a physical put happened (ack gate, S8)."""
+        return self._put_encoded(
+            fmt_msg.encode() if fmt_msg is not None else None, partition_key
+        )
+
+    def _put_encoded(self, data: bytes | None, partition_key: str | None) -> bool:
+        """put_message with the bytes already encoded — the batch drain
+        needs the encoded length for its counters anyway, so encoding
+        once there instead of once per counter + once per put halves
+        the per-message string work (r13 opt round). Semantics are
+        put_message's, verbatim."""
         self.put_message_calls += 1
         did_put = False
-        if fmt_msg is not None:
-            data = fmt_msg.encode()
+        if data is not None:
             if not self._agg.add(data, partition_key or "", self.max_agg_bytes):
                 self._flush()
                 did_put = True
@@ -255,7 +305,7 @@ class KinesisLikeWriter:
         frames = pdf["is_frame"].tolist() if has_frame else None
         wires = pdf["wire_size"].tolist() if has_wire else None
         lsns = pdf["lsn"].tolist() if has_wire else None
-        put_message = self.put_message
+        put_encoded = self._put_encoded
         count = self._count_message
         prev_lsn = None
         for i, fmt in enumerate(fmts):
@@ -269,14 +319,17 @@ class KinesisLikeWriter:
                     self.log(errors[i])
                 raise CdcParseError(errors[i])
             xid = xids[i]
+            # encode ONCE per message: the no-wire counter path needs the
+            # byte length and put_message would re-encode the same string
+            data = fmt.encode() if fmt is not None else None
             if frames is None or not frames[i]:
-                put_message(fmt, xid)
+                put_encoded(data, xid)
             if wires is not None:
                 if lsns[i] != prev_lsn:
                     count(wires[i], xid)
                     prev_lsn = lsns[i]
             else:
-                count(len(fmt.encode()) if fmt else 0, xid)
+                count(len(data) if data else 0, xid)
         self.flush_tail()
 
     # -- reference __main__.py:86-91,106-115 (A1/A2/T7) -----------------

@@ -180,3 +180,30 @@ def test_kpl_boundary_fill_property():
                 assert len(blob) <= max_bytes
 
     prop()
+
+
+def test_agg_incremental_framing_matches_serialize_kpl():
+    """AggRecord.add frames records incrementally (r13 opt round);
+    serialize() must stay BYTE-identical to serialize_kpl over the same
+    (key, message) sequence — fast path, >127-byte messages, >127
+    distinct keys (multi-byte idx varints), and repeated keys."""
+    from pg2kinesis_spark.sinks.kinesis import AggRecord
+    from pg2kinesis_spark.sinks.kpl import serialize_kpl
+
+    agg = AggRecord()
+    seq = []
+    for i in range(300):  # >0x80 distinct keys forces multi-byte idx
+        key = f"xid-{i}"
+        for j in range(2):
+            msg = (f"m{i}." + "x" * (5 + (i * 7 + j * 131) % 200)).encode()
+            assert agg.add(msg, key, 1 << 30)
+            seq.append((key, msg))
+    # repeated earlier keys after the table grew
+    for i in (0, 5, 250):
+        msg = f"again{i}".encode()
+        assert agg.add(msg, f"xid-{i}", 1 << 30)
+        seq.append((f"xid-{i}", msg))
+    blob = agg.serialize()
+    assert blob == serialize_kpl(seq)
+    # and est_size is still the exact serialized size
+    assert agg.est_size == len(blob)
