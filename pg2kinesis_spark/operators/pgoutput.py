@@ -462,27 +462,30 @@ def pgoutput_cdc_changes(
     parsed = parse_pgoutput(
         raw, registry=registry, payload_col=payload_col, xid_eager=xid_eager
     )
-    eff_values = F.when(
-        F.col("operation") == "delete", F.col("old_values")
-    ).otherwise(F.col("col_values"))
-    pos = F.array_position(F.col("col_names"), F.element_at(F.col("key_cols"), 1))
-    pkey = F.coalesce(F.element_at(eff_values, pos.cast("int")), F.lit("None"))
+    # ONE selectExpr parse (r13 opt round, guide §1.5): the Column-op
+    # twin built ~30 py4j-round-trip expression nodes per construction;
+    # the SQL string is expression-for-expression the same tree (CASE
+    # WHEN with no ELSE ≡ F.when with no otherwise; branch expressions
+    # evaluate lazily in both forms, so element_at never sees pos <= 0).
     # Truncate rows carry NO tuple: pkey/row stay NULL (the registry
     # join still resolves col_names, so the pos>0 guard alone would
-    # coalesce pkey to the 'None' sentinel and collide with real keys)
-    is_trunc = F.col("operation") == "truncate"
-    return parsed.select(
+    # coalesce pkey to the 'None' sentinel and collide with real keys).
+    eff = "IF(operation = 'delete', old_values, col_values)"
+    pos = "array_position(col_names, element_at(key_cols, 1))"
+    pkey = f"coalesce(element_at({eff}, CAST({pos} AS INT)), 'None')"
+    return parsed.selectExpr(
         "lsn",
-        F.lit(0).alias("change_idx"),
+        "0 AS change_idx",
         "xid",
-        "table",
+        "`table`",
         "operation",
-        F.when(~is_trunc & (pos > 0), pkey).alias("pkey"),
-        F.when(~is_trunc, F.map_from_arrays("col_names", eff_values)).alias("row"),
-        F.when(
-            F.col("table").isNull(),
-            F.format_string("no Relation message for rel_id %s", F.col("rel_id")),
-        ).alias("error"),
+        f"CASE WHEN NOT (operation = 'truncate') AND {pos} > 0"
+        f" THEN {pkey} END AS pkey",
+        f"CASE WHEN NOT (operation = 'truncate')"
+        f" THEN map_from_arrays(col_names, {eff}) END AS `row`",
+        "CASE WHEN `table` IS NULL THEN"
+        " format_string('no Relation message for rel_id %s', rel_id)"
+        " END AS error",
     )
 
 
