@@ -48,6 +48,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..io import prefetch_checkpoint
 from .cc import cluster_drop_list
 from .dedup import minhash_lsh_pairs
 from .sampling import token_budget_select
@@ -166,11 +167,11 @@ def curate_corpus(
                 parsed, url_blocklist, url_col=url_col,
                 host_col="_cu_host", domain_col="_cu_domain",
             )
-        parsed = parsed.localCheckpoint(eager=False)
+        parsed = prefetch_checkpoint(parsed.localCheckpoint(eager=False))
         parsed = _urls.url_dedup(parsed, url_col=url_col, norm_col="_cu_url_norm")
         if domain_cap_k is not None:
             parsed = _urls.domain_cap(
-                parsed.localCheckpoint(eager=False),
+                prefetch_checkpoint(parsed.localCheckpoint(eager=False)),
                 domain_cap_k, url_col=url_col, domain_col="_cu_domain",
             )
         docs = parsed.drop("_cu_host", "_cu_domain", "_cu_path", "_cu_url_norm")
@@ -229,7 +230,10 @@ def curate_corpus(
         # even the gate-free annotate projection re-ran per subtree
         # (interleaved A/B: ann+sig checkpoints 1.91 s → 1.12 s on the
         # sf0.1 quality+LSH chain; sig ckpt is inside minhash_lsh_pairs).
-        ann = ann.localCheckpoint(eager=False)
+        # r13: prefetch — the cluster materializes the gate chain while
+        # the driver constructs the dedup plans (guide §2.6; see
+        # io.prefetch_checkpoint).
+        ann = prefetch_checkpoint(ann.localCheckpoint(eager=False))
 
     # Exact dedup: survivor = min doc_id per content hash. Left-semi join
     # back so the kept rows keep their annotations without re-deriving.
@@ -269,7 +273,9 @@ def curate_corpus(
         # localCheckpoint materializes the survivors once and is
         # GC-cleaned with the DataFrame — unlike a persist, which pins
         # the CacheManager entry for the session lifetime.
-        base = ann.select("doc_id", "text").localCheckpoint(eager=False)
+        base = prefetch_checkpoint(
+            ann.select("doc_id", "text").localCheckpoint(eager=False)
+        )
         ann = annotate(dedup_substrings(base, k=substring_k))
 
     if embeddings is not None and semdedup_eps is not None:
@@ -280,7 +286,7 @@ def curate_corpus(
         # join) — left lazy, each one re-executes the whole gate+dedup
         # chain above (the measured multi-reference trap; same fix as
         # the substring stage).
-        ann = ann.localCheckpoint(eager=False)
+        ann = prefetch_checkpoint(ann.localCheckpoint(eager=False))
         # semantic near-dups among CURRENT survivors only: restrict the
         # embedding table first so a dropped doc can't suppress a kept
         # one, then drop the semantic losers.
@@ -312,7 +318,7 @@ def curate_corpus(
         # reference the survivor set — materialize once (same trap).
         # dsir_fit_select shares one gram stream across fit + score
         # (was 3 corpus explosions; results bit-equal, r12 opt round).
-        ann = ann.localCheckpoint(eager=False)
+        ann = prefetch_checkpoint(ann.localCheckpoint(eager=False))
         sel = dsir_fit_select(ann, dsir_target, n=dsir_n)
         ann = ann.join(sel.select("doc_id"), "doc_id", "left_semi")
     return ann

@@ -302,7 +302,12 @@ def minhash_lsh_pairs(
     assert k % bands == 0
     sig = minhash_signatures(docs, n, k, seed)
     if materialize_sig:
-        sig = sig.localCheckpoint(eager=False)
+        from pg2kinesis_spark.io import prefetch_checkpoint
+
+        # r13: background-materialize the signature table while the
+        # caller constructs the banding/join plans (guide §2.6; see
+        # io.prefetch_checkpoint — same rows, overlapped schedule)
+        sig = prefetch_checkpoint(sig.localCheckpoint(eager=False))
     return _lsh_pairs_from_sig(sig, k, bands)
 
 

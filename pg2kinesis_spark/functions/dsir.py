@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from pg2kinesis_spark.functions.dedup import HASH60
+from pg2kinesis_spark.io import prefetch_checkpoint
 
 
 def _gram_buckets(docs: DataFrame, text_col: str, n_buckets: int, id_col: str) -> DataFrame:
@@ -108,26 +109,30 @@ def fit_dsir_logratios(
             F.coalesce("rc", F.lit(0)).alias("rc"),
         )
     )
-    # The totals aggregate below and the final projection BOTH consume
-    # `joined`; left lazy, the broadcast side re-executes the whole
-    # count subtree — a second full-corpus gram explode just to sum 10k
-    # integers (measured: the fit ran its raw explode twice). The table
-    # is exactly n_buckets rows by construction, so the checkpoint is
-    # bounded at any corpus scale.
-    joined = joined.localCheckpoint(eager=False)
-    # totals via a window-free grouped-total join would need an extra
-    # shuffle; the two totals are single scalars — compute them with the
-    # same aggregate and cross-join the 1-row result back (broadcast).
-    totals = joined.agg(
-        F.sum("tc").alias("tt"), F.sum("rc").alias("rt")
+    # Totals via an UNPARTITIONED window over the bucket table instead
+    # of a checkpoint + 1-row aggregate + broadcast cross-join (r12's
+    # shape). The window's single partition holds EXACTLY n_buckets
+    # rows by construction — bounded at any corpus scale, so the
+    # usual no-global-window rule does not apply — and it folds the
+    # totals into the SAME pass that projects the log-ratios: `joined`
+    # is consumed once, so the checkpoint that protected its second
+    # consumption is gone, and with it the construction-time physical
+    # planning every lazy localCheckpoint pays (~0.7 s/ckpt profiled,
+    # r13 opt round) plus the totals/broadcast job waves. Same summed
+    # integers, same double arithmetic — logratios bit-identical
+    # (n21 hash-pinned).
+    w = W.partitionBy().rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
     )
     a = float(alpha)
     b = float(n_buckets)
-    return joined.crossJoin(F.broadcast(totals)).select(
+    tt = F.sum("tc").over(w)
+    rt = F.sum("rc").over(w)
+    return joined.select(
         "bucket",
         (
-            F.log((F.col("tc") + F.lit(a)) / (F.col("tt") + F.lit(a * b)))
-            - F.log((F.col("rc") + F.lit(a)) / (F.col("rt") + F.lit(a * b)))
+            F.log((F.col("tc") + F.lit(a)) / (tt + F.lit(a * b)))
+            - F.log((F.col("rc") + F.lit(a)) / (rt + F.lit(a * b)))
         ).alias("logratio"),
     )
 
@@ -254,8 +259,9 @@ def dsir_fit_select(
     (split + md5 per gram — the dominant cost of the whole operator)
     ran three times: the fit's raw counts, the fit's totals aggregate
     re-executing that subtree for its broadcast (fixed inside
-    ``fit_dsir_logratios`` by the bounded n_buckets checkpoint), and
-    the scoring stream. This helper computes ``_gram_buckets(docs)``
+    ``fit_dsir_logratios`` — r13 folds the totals into the log-ratio
+    projection with a bounded n_buckets window, so the bucket table is
+    consumed once with no checkpoint at all), and the scoring stream. This helper computes ``_gram_buckets(docs)``
     once and feeds the SAME stream to both the fit (``raw_grams`` —
     bucket counts are identical integers) and the scorer (``grams`` —
     identical rows, identical per-doc aggregation), so results are
@@ -270,7 +276,10 @@ def dsir_fit_select(
     """
     grams = _gram_buckets(docs, text_col, n_buckets, id_col)
     if materialize_grams:
-        grams = grams.localCheckpoint(eager=False)
+        # r13: the gram explode (the operator's dominant job) starts on
+        # the cluster while the driver builds the fit+select plans
+        # (guide §2.6; see io.prefetch_checkpoint)
+        grams = prefetch_checkpoint(grams.localCheckpoint(eager=False))
     lr = fit_dsir_logratios(
         target, docs, text_col, n_buckets, alpha, raw_grams=grams
     )

@@ -202,7 +202,11 @@ def bm25_topk(
             "doc_id", F.size("_toks").alias("dl"), matched.alias("_qt")
         )
         if materialize:
-            pruned = pruned.localCheckpoint(eager=False)
+            from pg2kinesis_spark.io import prefetch_checkpoint
+
+            # r13: tokenize starts on the cluster while the driver
+            # builds the postings/stats/rank plans (guide §2.6)
+            pruned = prefetch_checkpoint(pruned.localCheckpoint(eager=False))
         postings = (
             pruned.select("doc_id", "dl", F.explode("_qt").alias("term"))
             .groupBy("term", "doc_id", "dl")

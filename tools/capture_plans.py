@@ -24,6 +24,9 @@ OUT_DIR = os.path.join(
 
 
 def main() -> None:
+    # planning-only tool: background checkpoint prefetch would submit
+    # real jobs during construction (io.prefetch_checkpoint opt-out)
+    os.environ.setdefault("SPARK_GRAFT_NO_PREFETCH", "1")
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     only = set(sys.argv[2:]) or None
     os.makedirs(OUT_DIR, exist_ok=True)
