@@ -235,14 +235,29 @@ def curate_corpus(
         # io.prefetch_checkpoint).
         ann = prefetch_checkpoint(ann.localCheckpoint(eager=False))
 
-    # Exact dedup: survivor = min doc_id per content hash. Left-semi join
-    # back so the kept rows keep their annotations without re-deriving.
-    keep = (
-        ann.groupBy(F.md5("text").alias("_h"))
-        .agg(F.min("doc_id").alias("doc_id"))
+    # Exact dedup: survivor = min doc_id per content hash. The decision
+    # runs over a key-only (16-byte hash, doc_id) projection and the
+    # annotated payload is touched once, by a LOSER-list anti join
+    # (r13 opt round): the previous keep-list semi join shuffled `ann`
+    # by doc_id whenever the keep list — one row per distinct content,
+    # corpus-sized — outgrew the broadcast threshold; the loser list is
+    # only the duplicate ids, usually a small fraction and broadcastable
+    # far longer (guide §2.3/§3.1/§8 decide with small rows). Keep-set
+    # identical: doc_id is unique per row, so "not the min of a
+    # duplicated hash group" is exactly the old complement.
+    keys = ann.select("doc_id", F.md5("text").alias("_h"))
+    dup_winners = (
+        keys.groupBy("_h")
+        .agg(F.min("doc_id").alias("_w"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select("_h", "_w")
+    )
+    losers = (
+        keys.join(dup_winners, "_h")
+        .filter(F.col("doc_id") != F.col("_w"))
         .select("doc_id")
     )
-    ann = ann.join(keep, "doc_id", "left_semi")
+    ann = ann.join(losers, "doc_id", "left_anti")
 
     if near_dup_jaccard is not None:
         # materialize_sig forwards the 100 TB-tier opt-out (the k·8 B/doc

@@ -33,7 +33,7 @@ north-star training-data surface, not parity.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from pg2kinesis_spark.functions.dedup import HASH60
@@ -396,24 +396,49 @@ def url_dedup(
     norm_col: str | None = None,
 ) -> DataFrame:
     """One doc per normalized URL — the smallest id wins (deterministic
-    first-occurrence). GroupBy-min + semi-join on (url_norm, id): the
-    verified n5 exact-dedup shape — partial-aggregated, no window, and
-    only (hash-sized key, id) rows ever shuffle. Docs whose URL fails
-    to parse (url_norm NULL) are all kept — no evidence of duplication.
-    ``norm_col`` reuses a ``parse_urls``-computed ``url_norm`` column.
+    first-occurrence). Docs whose URL fails to parse (url_norm NULL)
+    are all kept — no evidence of duplication. ``norm_col`` reuses a
+    ``parse_urls``-computed ``url_norm`` column.
+
+    Shape (r13 opt round): the dedup DECISION runs over a key-only
+    (url_norm, id) projection — a partial-aggregated groupBy finds
+    each duplicated URL's winner, and an AQE-skew-splittable join
+    marks the losers — and the payload is touched exactly once, by a
+    single LOSER-list anti join. The previous keep-list semi join
+    shuffled the document side by (url_norm, id) whenever the winner
+    table (one row per distinct URL — corpus-sized at scale) outgrew
+    the broadcast threshold; the loser list is only the *duplicate*
+    ids, typically orders of magnitude smaller and broadcastable far
+    longer (guide §2.3 shuffle keys not payloads, §3.1 broadcast the
+    small side). NULL-norm rows fall out for free: they never enter
+    the loser list, so the anti join keeps them — no NULL-split
+    union, one fewer subtree. Requires ``id_col`` values to be unique
+    per row (every caller's contract: doc_id is the corpus primary
+    key). Keep-set is identical to the historical groupBy-min +
+    semi-join shape — pinned by
+    tests/test_urls.py::test_url_dedup_first_id_wins.
     """
-    if norm_col is None:
-        base = df.withColumn("_un", normalize_url(url_col))
-        un, drop = "_un", ("_un",)
-    else:
-        base, un, drop = df, norm_col, ()
-    winners = (
-        base.filter(F.col(un).isNotNull())
-        .groupBy(un)
-        .agg(F.min(id_col).alias(id_col))
+    un = norm_col if norm_col is not None else "_un"
+    keys = (
+        df.select(id_col, un)
+        if norm_col is not None
+        else df.select(F.col(id_col), normalize_url(url_col).alias(un))
+    ).filter(F.col(un).isNotNull())
+    # winners restricted to DUPLICATED urls only (n > 1): the join below
+    # carries just the contended groups, and a hot normalized URL is a
+    # join key AQE skew-handling can split (a window could not)
+    dup_winners = (
+        keys.groupBy(un)
+        .agg(F.min(id_col).alias("_w"), F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .select(un, "_w")
     )
-    kept = base.filter(F.col(un).isNotNull()).join(winners, [un, id_col], "left_semi")
-    return kept.unionByName(base.filter(F.col(un).isNull())).drop(*drop)
+    losers = (
+        keys.join(dup_winners, un)
+        .filter(F.col(id_col) != F.col("_w"))
+        .select(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
 
 
 def _py_is_public_suffix(b: str, psl: dict | None = None) -> bool:
@@ -561,30 +586,47 @@ def domain_cap(
     whole-domain reducer funnel (the hot-domain case is exactly the
     skew this repo's top-k shape exists for). Docs whose URL fails to
     parse (NULL domain) all pass through uncapped — the url_dedup
-    no-evidence rule, not one shared cap bucket."""
-    from pyspark.sql import Window as W
+    no-evidence rule, not one shared cap bucket.
 
+    Shape (r13 opt round): the cap DECISION ranks a key-only
+    (domain, order, id) projection — both ranking windows previously
+    partitioned the FULL rows, so the document payload crossed two
+    exchanges just to learn its rank — and the payload is touched
+    once, by a LOSER-list anti join (ids past the cap: the small,
+    broadcast-friendly side; a keep list is nearly the whole corpus
+    when most domains sit under budget). NULL-domain rows never enter
+    the loser list, so the anti join keeps them — the NULL-split
+    union is gone (guide §2.3 shuffle keys not payloads, §3.1, §8
+    "decide with small rows, move big rows once"). Keep-set identical
+    — pinned by tests/test_urls.py::test_domain_cap_matches_single_phase.
+    Requires ``id_col`` values unique per row (the callers' doc_id
+    primary-key contract)."""
     if domain_col is None:
-        base = df.withColumn("_dom", _registered_domain_expr(_host_sql(url_col)))
-        dom, dom_drop = "_dom", ("_dom",)
+        dom_expr = _registered_domain_expr(_host_sql(url_col)).alias("_dom")
+        dom = "_dom"
     else:
-        base, dom, dom_drop = df, domain_col, ()
-    unparsed = base.filter(F.col(dom).isNull()).drop(*dom_drop)
-    base = base.filter(F.col(dom).isNotNull())
+        dom_expr, dom = F.col(domain_col), domain_col
     if order_col is None:
         order = (F.col(id_col).asc(),)
+        keys = df.select(F.col(id_col), dom_expr)
     else:
         order = (F.col(order_col).desc(), F.col(id_col).asc())
+        keys = df.select(F.col(id_col), F.col(order_col), dom_expr)
+    keys = keys.filter(F.col(dom).isNotNull())
     h = F.expr(HASH60.format(x=f"cast({id_col} as string)"))
-    salted = base.withColumn("_salt", F.pmod(h, F.lit(n_salt)))
+    salted = keys.withColumn("_salt", F.pmod(h, F.lit(n_salt)))
     w_local = W.partitionBy(dom, "_salt").orderBy(*order)
-    pre = salted.withColumn("_lrnk", F.row_number().over(w_local)).filter(
-        F.col("_lrnk") <= k
+    ranked = salted.withColumn("_lrnk", F.row_number().over(w_local))
+    # local-phase losers (_lrnk > k) are losers outright: the global
+    # rank only grows. Survivors get the exact global rank.
+    w_dom = W.partitionBy(dom).orderBy(*order)
+    global_losers = (
+        ranked.filter(F.col("_lrnk") <= k)
+        .withColumn("_rnk", F.row_number().over(w_dom))
+        .filter(F.col("_rnk") > k)
+        .select(id_col)
     )
-    w = W.partitionBy(dom).orderBy(*order)
-    capped = (
-        pre.withColumn("_rnk", F.row_number().over(w))
-        .filter(F.col("_rnk") <= k)
-        .drop(*dom_drop, "_salt", "_lrnk", "_rnk")
+    losers = ranked.filter(F.col("_lrnk") > k).select(id_col).unionByName(
+        global_losers
     )
-    return capped.unionByName(unparsed)
+    return df.join(losers, id_col, "left_anti")
