@@ -116,6 +116,28 @@ class AggRecord:
             buf.append(_TAG_DATA)
             buf.append(msg_len)
             buf.extend(msg)
+        elif not new_key and idx < 0x4000 and msg_len < 0x7B:
+            # two-byte-idx fast path (r13 opt round): CDC partition keys
+            # are xids, so an aggregate's key table routinely passes 128
+            # entries and every add was taking the general path below —
+            # 3 _varint calls + bytes temporaries per message (profiled
+            # 840k calls per 250k-message drain). idx < 0x4000 is a
+            # two-byte varint (low 7 bits | 0x80, then high bits) and
+            # rec_len = 5 + msg_len stays single-byte while
+            # msg_len < 0x7B — same arithmetic as the general path,
+            # no function calls. Byte-parity pinned by
+            # tests/test_kpl.py::test_agg_incremental_framing_matches_serialize_kpl.
+            delta = 7 + msg_len
+            if self.messages and self.est_size + delta > max_bytes:
+                return False
+            buf.append(_TAG_RECORD)
+            buf.append(5 + msg_len)
+            buf.append(_TAG_PK_INDEX)
+            buf.append(idx & 0x7F | 0x80)
+            buf.append(idx >> 7)
+            buf.append(_TAG_DATA)
+            buf.append(msg_len)
+            buf.extend(msg)
         else:
             if new_key:
                 idx = len(self._key_idx)
@@ -268,7 +290,15 @@ class KinesisLikeWriter:
         order = [c for c in ("lsn", "change_idx") if c in batch_df.columns]
         # xid cast to string Spark-side: a nullable long column would be
         # coerced to float by the Arrow→pandas transfer ('500' → '500.0').
-        cols = [F.col("xid").cast("string").alias("xid"), F.col("fmt_msg")]
+        # fmt_msg encoded to UTF-8 bytes Spark-side (r13 opt round): the
+        # JVM encodes the column vectorized and Arrow delivers bytes
+        # objects, so the drain loop below stops paying a per-message
+        # str.encode — byte count and put payload identical (UTF-8 both
+        # ways), wire bytes A/B-pinned.
+        cols = [
+            F.col("xid").cast("string").alias("xid"),
+            F.encode(F.col("fmt_msg"), "UTF-8").alias("fmt_msg"),
+        ]
         has_error = "error" in batch_df.columns
         if has_error:
             cols.append(F.col("error"))
@@ -299,35 +329,40 @@ class KinesisLikeWriter:
         pdf = batch_df.select(*sel).toPandas()
         if order:
             pdf = pdf.sort_values(order, kind="stable", ignore_index=True)
+        from itertools import repeat
+
         fmts = pdf["fmt_msg"].tolist()
         xids = pdf["xid"].tolist()
-        errors = pdf["error"].tolist() if has_error else None
-        frames = pdf["is_frame"].tolist() if has_frame else None
-        wires = pdf["wire_size"].tolist() if has_wire else None
-        lsns = pdf["lsn"].tolist() if has_wire else None
+        # zip-driven loop (r13 opt round): absent metadata columns ride
+        # as infinite repeat(None)/repeat(False) so the body is one
+        # shape — zip advances all cursors in C instead of five list
+        # index operations per row. Semantics byte-identical.
+        errors = pdf["error"].tolist() if has_error else repeat(None)
+        frames = pdf["is_frame"].tolist() if has_frame else repeat(False)
+        wires = pdf["wire_size"].tolist() if has_wire else repeat(None)
+        lsns = pdf["lsn"].tolist() if has_wire else repeat(None)
         put_encoded = self._put_encoded
         count = self._count_message
         prev_lsn = None
-        for i, fmt in enumerate(fmts):
-            if errors is not None and errors[i] is not None:
+        for data, xid, err, frame, wire, lsn in zip(
+            fmts, xids, errors, frames, wires, lsns
+        ):
+            if err is not None:
                 # Fail-stop (§8.5): the reference's _log_and_raise kills
                 # the stream on the first bad message (formatter.py:134-137).
                 # Rows are drained in LSN order, so this is the earliest
                 # error; messages before it were already put — same as the
                 # reference's sequential loop, still at-least-once.
                 if self.log is not None:
-                    self.log(errors[i])
-                raise CdcParseError(errors[i])
-            xid = xids[i]
-            # encode ONCE per message: the no-wire counter path needs the
-            # byte length and put_message would re-encode the same string
-            data = fmt.encode() if fmt is not None else None
-            if frames is None or not frames[i]:
+                    self.log(err)
+                raise CdcParseError(err)
+            # data is already UTF-8 bytes (encoded Spark-side above) or None
+            if not frame:
                 put_encoded(data, xid)
-            if wires is not None:
-                if lsns[i] != prev_lsn:
-                    count(wires[i], xid)
-                    prev_lsn = lsns[i]
+            if has_wire:
+                if lsn != prev_lsn:
+                    count(wire, xid)
+                    prev_lsn = lsn
             else:
                 count(len(data) if data else 0, xid)
         self.flush_tail()

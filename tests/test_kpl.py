@@ -207,3 +207,29 @@ def test_agg_incremental_framing_matches_serialize_kpl():
     assert blob == serialize_kpl(seq)
     # and est_size is still the exact serialized size
     assert agg.est_size == len(blob)
+
+
+def test_agg_two_byte_idx_fast_path_boundaries():
+    """The r13 two-byte-idx fast path (seen key, 0x80 <= idx < 0x4000,
+    msg_len < 0x7B) must stay byte-identical to serialize_kpl exactly at
+    its gate boundaries: idx 0x7F/0x80/0x3FFF/0x4000 and msg_len
+    0x7A/0x7B/0x7C — each combination exercises a different branch of
+    AggRecord.add."""
+    from pg2kinesis_spark.sinks.kinesis import AggRecord
+    from pg2kinesis_spark.sinks.kpl import serialize_kpl
+
+    agg = AggRecord()
+    seq = []
+    n_keys = 0x4001  # key table through idx 0x4000 (three-byte varint)
+    for i in range(n_keys):
+        msg = b"seed"
+        assert agg.add(msg, f"k{i}", 1 << 32)
+        seq.append((f"k{i}", msg))
+    for idx in (0, 0x7F, 0x80, 0x81, 0x3FFF, 0x4000):
+        for mlen in (0, 1, 0x7A, 0x7B, 0x7C, 0x7D, 200):
+            msg = bytes((mlen % 251,)) * mlen
+            assert agg.add(msg, f"k{idx}", 1 << 32)
+            seq.append((f"k{idx}", msg))
+    blob = agg.serialize()
+    assert blob == serialize_kpl(seq)
+    assert agg.est_size == len(blob)
