@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from pg2kinesis_spark.functions.curate import annotate
 from pg2kinesis_spark.functions.dedup import lsh_pairs_incremental
+from pg2kinesis_spark.io import prefetch_checkpoint
 
 
 def _index_batch_ids(path: str) -> set[int]:
@@ -168,7 +169,7 @@ class CorpusIngest:
         self.max_perplexity = max_perplexity
         # opt-in per-batch observability: one row per micro-batch to
         # out_dir/stats (input-after-gates, after-exact-dedup, accepted,
-        # wall). The counts reuse the eager checkpoints the plan already
+        # wall). The counts reuse the checkpoints the plan already
         # materializes, so they cost RDD counts, not gate re-execution.
         self.stats = stats
         self.stats_path = os.path.join(out_dir, "stats")
@@ -357,7 +358,11 @@ class CorpusIngest:
             # the whole upstream gate chain executes twice per batch.
             from pg2kinesis_spark.functions.contamination import _gram_hashes
 
-            batch = batch.localCheckpoint(eager=True)
+            # lazy + prefetch (guide §2.6, io.prefetch_checkpoint): the
+            # cluster materializes the gate chain while the driver
+            # constructs the gram/anti-join plans below — same plan
+            # instance, same multi-reference protection once materialized
+            batch = prefetch_checkpoint(batch.localCheckpoint(eager=False))
             flagged = (
                 _gram_hashes(batch, self.contamination_n, "doc_id", "gram_h")
                 .join(F.broadcast(self.eval_grams), "gram_h", "left_semi")
@@ -409,10 +414,22 @@ class CorpusIngest:
         # NULL-text rows drop explicitly (md5(NULL) = NULL): the join
         # on a NULL key never matched anyway, but the filter makes the
         # contract visible instead of incidental.
-        ann = (
+        # The checkpoint is LAZY + prefetched (io.prefetch_checkpoint,
+        # guide §2.6): a background driver thread submits the
+        # materialization job the moment the checkpoint exists, so the
+        # cluster runs the gate chain WHILE the driver constructs the
+        # exact-dedup plans below (index existence probe + parquet
+        # schema read, bloom sidecar load, join construction — pure
+        # driver work that used to wait behind the eager barrier). The
+        # multi-reference protection is unchanged: once materialized
+        # (at latest inside the accepted write, which forces it), every
+        # reference reads the stored blocks; in-flight partitions are
+        # awaited via the block manager's single-flight locks, never
+        # computed twice.
+        ann = prefetch_checkpoint(
             ann.withColumn("_h", F.md5("text"))
             .filter(F.col("_h").isNotNull())
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         _mark("gates+annotate ckpt")
         if self.stats:
@@ -477,7 +494,10 @@ class CorpusIngest:
             # split, the final anti-join) — bound the plan here too.
             # stats alone also lands here: the after-exact count must
             # come off a materialized plan, not re-run the anti-join.
-            ann = ann.localCheckpoint(eager=True)
+            # lazy + prefetch again: the exact-dedup result materializes
+            # (forcing the gates checkpoint above if still in flight)
+            # while the driver constructs the signature/LSH plans below
+            ann = prefetch_checkpoint(ann.localCheckpoint(eager=False))
             _mark("exact-dedup ckpt")
             if self.stats:
                 stats_row["n_after_exact"] = ann.count()
@@ -494,8 +514,13 @@ class CorpusIngest:
             # text. K*8 bytes per doc, the cheapest checkpoint in the
             # batch; also exactly the lineage-severed form the index
             # write contract requires.
-            new_sig = minhash_signatures(docs, self.n, self.k).localCheckpoint(
-                eager=True
+            # lazy + prefetch: the shingle+minhash pass runs while the
+            # driver constructs the banding/score-join plan (the "lsh
+            # plan" phase, ~0.3-0.5 s of pure py4j construction at sf0.1)
+            new_sig = prefetch_checkpoint(
+                minhash_signatures(docs, self.n, self.k).localCheckpoint(
+                    eager=False
+                )
             )
             _mark("sig ckpt")
             sig_idx = self._existing(spark, self.sig_path, exclude_batch_id=batch_id)
@@ -707,7 +732,7 @@ class CorpusIngest:
         # after both complete. Crash windows are unchanged: a bloom
         # file without its index partition over-approximates until the
         # batch replays and overwrites both.
-        hash_bloom_fut = None
+        bloom_futs: list = []
         bloom_pool = None
         if self.bloom is not None:
             from concurrent.futures import ThreadPoolExecutor
@@ -724,8 +749,11 @@ class CorpusIngest:
                     batch_id,
                 )
 
-            bloom_pool = ThreadPoolExecutor(max_workers=1)
-            hash_bloom_fut = bloom_pool.submit(_build_hash_bloom)
+            # two slots: the hash bloom and (below) the band bloom can
+            # both overlap the sig-index write without queueing on each
+            # other
+            bloom_pool = ThreadPoolExecutor(max_workers=2)
+            bloom_futs.append(bloom_pool.submit(_build_hash_bloom))
         _sig_chain_ok = False
         try:
             if self.near_dup_jaccard is not None:
@@ -740,27 +768,42 @@ class CorpusIngest:
                 sig = new_sig.join(
                     F.broadcast(back.select("doc_id")), "doc_id", "left_semi"
                 )
-                _write(sig, self.sig_path)
+                band_fut = None
                 if self.band_bloom is not None:
-                    # Bloom AFTER the sig-index write (order matters:
-                    # load_union's require_batch_ids coverage check refuses
-                    # a union that misses any index batch and the caller
-                    # falls back to the full index join, so a crash in the
-                    # window costs one slow — never wrong — probe pass
-                    # until the batch replays), built from the same
-                    # checkpointed signatures the write used instead of a
-                    # re-read of the partition it just wrote.
+                    # Band bloom CONCURRENT with the sig-index write
+                    # (guide §2.6), built from the same checkpointed
+                    # signatures the write uses instead of a re-read of
+                    # the partition being written. Either crash ordering
+                    # is safe: a bloom file whose sig partition never
+                    # landed is an EXTRA file load_union ORs in —
+                    # over-approximation (false "maybe" band keys find no
+                    # index row -> no pair -> doc kept); a sig partition
+                    # whose bloom never landed trips the coverage check
+                    # and the probe falls back to the full index join —
+                    # slow, never wrong — until the batch replays and
+                    # overwrites both.
                     from pg2kinesis_spark.functions.bloom import bloom_hash_cols
 
                     h1, h2 = bloom_hash_cols(band_key_col())
-                    self.band_bloom.write(
-                        _banded(sig, self.k, self.bands).select(
-                            h1.alias("_h1"), h2.alias("_h2")
-                        ),
-                        "_h1",
-                        "_h2",
-                        batch_id,
-                    )
+
+                    def _build_band_bloom() -> None:
+                        self.band_bloom.write(
+                            _banded(sig, self.k, self.bands).select(
+                                h1.alias("_h1"), h2.alias("_h2")
+                            ),
+                            "_h1",
+                            "_h2",
+                            batch_id,
+                        )
+
+                    band_fut = bloom_pool.submit(_build_band_bloom)
+                    bloom_futs.append(band_fut)
+                _write(sig, self.sig_path)
+                if band_fut is not None:
+                    # surface a band-bloom failure here, inside the sig
+                    # chain, so the finally's masking rule treats it as
+                    # the primary error of this batch
+                    band_fut.result()
                 _mark("sig build+bloom+write")
             if self.sd_cents is not None:
                 from pg2kinesis_spark.functions.semdedup import assign_with_centroids
@@ -820,15 +863,19 @@ class CorpusIngest:
             # daemon bloom thread (it could outlive the failed batch into
             # a same-process replay and race its bloom_<batch_id>.bin
             # write) or silently drop its exception (ADVICE r12).
-            if hash_bloom_fut is not None:
-                try:
-                    hash_bloom_fut.result()
-                except BaseException:
-                    if _sig_chain_ok:
-                        raise
-                    # the chain already failed — await the thread but do
-                    # not mask the primary exception with the sidecar's
-                finally:
+            try:
+                for fut in bloom_futs:
+                    try:
+                        fut.result()
+                    except BaseException:
+                        if _sig_chain_ok:
+                            raise
+                        # the chain already failed — await the thread but
+                        # do not mask the primary exception with the
+                        # sidecar's (a band-bloom failure re-raised here
+                        # IS the primary: _sig_chain_ok is False then)
+            finally:
+                if bloom_pool is not None:
                     bloom_pool.shutdown(wait=True)
         _write(back.select(F.md5("text").alias("_h")), self.hash_path)
         _mark("hash bloom+write")

@@ -686,3 +686,54 @@ def test_sig_chain_failure_awaits_bloom_thread_and_replays(spark, tmp_path):
     assert {r["doc_id"] for r in sig.select("doc_id").collect()} == {1, 2}
     acc = spark.read.parquet(os.path.join(out, "accepted"))
     assert acc.count() == 2
+
+
+def test_band_bloom_without_sig_partition_overapproximates(spark, tmp_path):
+    """Crash window of the CONCURRENT band-bloom build (r13 opt round:
+    the band bloom overlaps the sig-index write, so it can land while
+    the sig partition does not). The stray bloom file is EXTRA content
+    load_union ORs in — over-approximation: a near-dup of the lost
+    batch probes 'maybe', finds no sig-index row, and must be
+    RE-ADMITTED, never silently dropped; near-dups of intact batches
+    are still caught through the same union. The control scenario pins
+    that both near-dups WOULD be caught without the crash."""
+    import shutil
+
+    doc1 = BASE
+    doc2 = (
+        "an entirely different second story about compilers and parsers "
+        "with many more words that keep the shingle set wide today"
+    )
+    nd1 = doc1 + " tail edit"
+    nd2 = doc2 + " tail edit"
+
+    # control: no crash -> both near-dups dropped
+    out_a = str(tmp_path / "curated_bandwin_ctl")
+    ing_a = CorpusIngest(out_a, near_dup_jaccard=0.6, bloom_bits=1 << 16)
+    ing_a.process_batch(_docs(spark, [(1, doc1)]), 1)
+    ing_a.process_batch(_docs(spark, [(2, doc2)]), 2)
+    ing_a.process_batch(_docs(spark, [(8, nd1), (9, nd2)]), 3)
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out_a, "accepted"))
+        .select("doc_id")
+        .collect()
+    }
+    assert got == {1, 2}
+
+    # crash: batch 2's sig partition lost, its band bloom survived
+    out_b = str(tmp_path / "curated_bandwin")
+    ing_b = CorpusIngest(out_b, near_dup_jaccard=0.6, bloom_bits=1 << 16)
+    ing_b.process_batch(_docs(spark, [(1, doc1)]), 1)
+    ing_b.process_batch(_docs(spark, [(2, doc2)]), 2)
+    shutil.rmtree(os.path.join(out_b, "sig_index", "batch_id=2"))
+    assert os.path.exists(os.path.join(out_b, "bloom_bands", "bloom_2.bin"))
+    ing_b.process_batch(_docs(spark, [(8, nd1), (9, nd2)]), 3)
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out_b, "accepted"))
+        .select("doc_id")
+        .collect()
+    }
+    assert 8 not in got  # intact-batch near-dup still caught via the union
+    assert 9 in got  # lost-partition near-dup re-admitted (over-approx, safe)
