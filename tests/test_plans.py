@@ -93,8 +93,21 @@ def test_two_phase_scans_leave_no_cached_rdds(spark, pk_fixture_dir, sf_small):
     from pg2kinesis_spark.io import load_table
     from pg2kinesis_spark.operators.test_decoding import parse_test_decoding
 
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    def _persisted_ids() -> set[int]:
+        jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
+        it = jmap.keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    # Compare ID SETS, not counts: the shared test session can hold
+    # lingering checkpoint RDDs from EARLIER tests that the
+    # ContextCleaner unpersists asynchronously — a count-equality
+    # assert fails when that cleanup lands mid-test (observed:
+    # before=12 leftovers -> after=0). What this test pins is that the
+    # operators below add NOTHING that remains persisted.
+    before = _persisted_ids()
 
     raw = spark.read.parquet(f"{pk_fixture_dir}/cdc_test_decoding.parquet")
     pk = primary_key_map(spark.read.parquet(f"{pk_fixture_dir}/pk_catalog.parquet"))
@@ -107,7 +120,8 @@ def test_two_phase_scans_leave_no_cached_rdds(spark, pk_fixture_dir, sf_small):
     ).count()
     dedup.jaccard_pairs(docs.limit(50), n=3, max_shingle_df=50).count()
 
-    assert jsc.getPersistentRDDs().size() == before
+    leaked = _persisted_ids() - before
+    assert not leaked, f"operators left persisted RDDs: {sorted(leaked)}"
 
 
 def test_lsh_band_explode_carries_no_signature_columns(spark, sf_small):
