@@ -23,10 +23,13 @@ Spark-first notes:
   - Pure DataFrame groupBy + broadcast-free equi-joins on the node id —
     both halves of a round shuffle on the same key, and AQE coalesces
     the tiny late rounds as the edge set collapses.
-  - ``localCheckpoint(eager=True)`` after every round truncates the
+  - A LAZY ``localCheckpoint`` after every round truncates the
     iterative lineage (the classic iterative-DataFrame plan explosion);
-    at cluster scale swap it for a parquet checkpoint dir so recovery
-    does not depend on executor-local blocks.
+    the signature agg that follows immediately forces it, so each round
+    is ONE job wave instead of the two an eager checkpoint paid
+    (materialize, then re-scan for the agg). At cluster scale swap it
+    for a parquet checkpoint dir so recovery does not depend on
+    executor-local blocks.
   - Convergence is detected by a (count, xxhash64-xor) signature — one
     cheap agg over the checkpointed edges instead of an exceptAll join.
   - GraphFrames is not assumed present; this stays in core pyspark.
@@ -84,11 +87,15 @@ def connected_components(
     is the minimum node id of its connected component. Ids need only be
     orderable + hashable (long or string). Self-loops are ignored;
     isolated nodes never appear (callers union singletons back)."""
+    # lazy: the _signature agg right below is the materializing action —
+    # an eager checkpoint would run the identical computation as a
+    # separate job first and the agg as a second (guide §1.2: don't pay
+    # two job waves where one suffices)
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -97,8 +104,8 @@ def connected_components(
     )
     prev = _signature(e)
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        cur = _signature(e)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        cur = _signature(e)  # forces the round's checkpoint in the same job
         if cur == prev:
             break
         prev = cur
